@@ -1,0 +1,306 @@
+"""Domain (noise-pipeline) queries with DuckDB oracles.
+
+The reference pipeline (states -> phase classify -> dedup -> grid radius join
+-> attenuate -> power-sum per cell -> dB -> heat weights; /root/reference/
+scripts/functions.py:213-302) runs here as one lazy DataFrame graph. Since
+the driver's test lake has no flight-states table, a deterministic states
+table is *derived* from ``events`` with exact integer/double arithmetic that
+both Spark and DuckDB evaluate bitwise-identically (see ``build_states`` /
+``STATES_SQL``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..constants import (
+    FLAGSHIP_N_STEPS,
+    FLAGSHIP_STEP_M,
+    MAX_DB,
+    NANTES_LAT,
+    NANTES_LON,
+    R_MAX,
+)
+from ..functions.geo import haversine_m, haversine_sql, slant_distance_m
+from ..functions.noise import (
+    attenuated_power,
+    attenuated_power_sql,
+    db_from_power,
+    phase_db,
+    phase_db_sql,
+    source_alt,
+)
+from ..operators.dedup import last_wins_dedup
+from ..operators.grid import gen_grid, grid_bounds, grid_sql
+from ..operators.radius_join import radius_join
+from .tables import load
+
+# ---------------------------------------------------------------------------
+# Deterministic flight-states derivation from the events table.
+# All arithmetic is +, *, % on exact inputs -> bitwise identical in both
+# engines. vertical_rate: fmod is exact in IEEE-754. 'error' events carry a
+# null vertical_rate to exercise the null->cruise branch.
+# ---------------------------------------------------------------------------
+
+
+def build_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.lpad(F.col("event_id").cast("string"), 6, "0").alias("icao24"),
+        (F.lit(47.0) + (F.col("user_id") % 120) * F.lit(0.0028)).alias("latitude"),
+        (F.lit(-1.92) + (F.col("event_id") % 240) * F.lit(0.003)).alias("longitude"),
+        (F.col("event_type") == "signup").alias("on_ground"),
+        F.when(F.col("event_type") != "error", (F.col("value") % 30.0) - 15.0)
+        .alias("vertical_rate"),
+        F.when(F.col("event_type") != "purchase", F.col("value") * 25.0)
+        .alias("geo_altitude"),
+    )
+
+
+STATES_SQL = """
+SELECT event_id,
+       lpad(CAST(event_id AS VARCHAR), 6, '0') AS icao24,
+       CAST(47.0 AS DOUBLE) + (user_id % 120) * CAST(0.0028 AS DOUBLE) AS latitude,
+       CAST(-1.92 AS DOUBLE) + (event_id % 240) * CAST(0.003 AS DOUBLE) AS longitude,
+       event_type = 'signup' AS on_ground,
+       CASE WHEN event_type != 'error' THEN (value % CAST(30.0 AS DOUBLE)) - CAST(15.0 AS DOUBLE) END AS vertical_rate,
+       CASE WHEN event_type != 'purchase' THEN value * CAST(25.0 AS DOUBLE) END AS geo_altitude
+FROM events
+"""
+
+
+def classified_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = build_states(spark, sf_dir)
+    return st.withColumn(
+        "src_db", phase_db(F.col("on_ground"), F.col("vertical_rate"))
+    ).withColumn("src_alt", source_alt(F.col("on_ground"), F.col("geo_altitude")))
+
+
+def source_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (lat, lon) -> (db, alt) source map (functions.py:213-227).
+
+    Last-writer-wins on the coordinate key, deterministic by event_id desc.
+    """
+    st = classified_states(spark, sf_dir)
+    deduped = last_wins_dedup(st, ["latitude", "longitude"], "event_id")
+    return deduped.select(
+        F.col("latitude").alias("lat"),
+        F.col("longitude").alias("lon"),
+        F.col("src_db"),
+        F.col("src_alt"),
+    )
+
+
+SOURCE_LEVELS_SQL = f"""
+WITH states AS ({STATES_SQL}),
+classified AS (
+  SELECT *, {phase_db_sql()} AS src_db,
+         CASE WHEN on_ground THEN CAST(27.0 AS DOUBLE) ELSE geo_altitude END AS src_alt
+  FROM states
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY latitude, longitude ORDER BY event_id DESC) AS rn
+  FROM classified
+)
+SELECT latitude AS lat, longitude AS lon, src_db, src_alt
+FROM deduped WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: ground-noise grid
+# ---------------------------------------------------------------------------
+
+
+def flagship_noise_grid(
+    spark: SparkSession,
+    sf_dir: str,
+    step_m: float = FLAGSHIP_STEP_M,
+    n_steps: int = FLAGSHIP_N_STEPS,
+) -> DataFrame:
+    """states -> classify -> dedup -> binned radius join -> attenuate ->
+    groupBy(cell).sum(power) -> dB -> heat weight. One lazy plan, no collect.
+    """
+    grid = gen_grid(spark, NANTES_LAT, NANTES_LON, step_m, n_steps)
+    sources = source_levels(spark, sf_dir).select("lat", "lon", "src_db")
+    pairs = radius_join(grid, sources, R_MAX, NANTES_LAT)
+    power = attenuated_power(F.col("src_db"), F.col("dist_m"))
+    agg = (
+        pairs.withColumn("power", power)
+        .groupBy("g_lat", "g_lon")
+        .agg(F.sum("power").alias("sum_power"))
+        .filter(F.col("sum_power") > 0)
+    )
+    return agg.select(
+        "g_lat",
+        "g_lon",
+        db_from_power(F.col("sum_power")).alias("db"),
+        F.round(db_from_power(F.col("sum_power")) / F.lit(MAX_DB), 6).alias("weight"),
+    )
+
+
+def flagship_sql(step_m: float = FLAGSHIP_STEP_M, n_steps: int = FLAGSHIP_N_STEPS) -> str:
+    dist = haversine_sql("g.g_lat", "g.g_lon", "s.lat", "s.lon")
+    power = attenuated_power_sql("src_db", "dist_m")
+    return f"""
+WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, step_m, n_steps)}),
+sources AS (SELECT lat, lon, src_db FROM ({SOURCE_LEVELS_SQL}) t),
+pairs AS (
+  SELECT g.g_lat, g.g_lon, s.src_db, {dist} AS dist_m
+  FROM grid g CROSS JOIN sources s
+),
+contrib AS (
+  SELECT g_lat, g_lon, {power} AS power
+  FROM pairs WHERE dist_m <= CAST({R_MAX!r} AS DOUBLE)
+),
+agg AS (
+  SELECT g_lat, g_lon, sum(power) AS sum_power
+  FROM contrib GROUP BY g_lat, g_lon
+  HAVING sum(power) > 0
+)
+SELECT g_lat, g_lon,
+       round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) AS db,
+       round(round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) / CAST({MAX_DB!r} AS DOUBLE), 6) AS weight
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Component queries (each a small oracle-checked surface)
+# ---------------------------------------------------------------------------
+
+
+def q_phase_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification branch counts — covers the F.when chain incl. nulls."""
+    st = classified_states(spark, sf_dir)
+    return (
+        st.groupBy("src_db")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("vertical_rate").alias("n_vr_nonnull"),
+        )
+        .orderBy("src_db")
+    )
+
+
+PHASE_CLASSIFY_SQL = f"""
+WITH states AS ({STATES_SQL})
+SELECT {phase_db_sql()} AS src_db,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(vertical_rate) AS BIGINT) AS n_vr_nonnull
+FROM states
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_levels(spark, sf_dir)
+
+
+def q_grid_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)
+    b = grid_bounds(grid)
+    n = grid.agg(F.count(F.lit(1)).alias("n_cells"))
+    return b.crossJoin(n)
+
+
+GRID_BOUNDS_SQL = f"""
+WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)})
+SELECT min(g_lat) AS lamin, min(g_lon) AS lomin,
+       max(g_lat) AS lamax, max(g_lon) AS lomax,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM grid
+"""
+
+
+def q_slant_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D slant distance parity op (reference F:194-211, dead code there).
+
+    Distances from the grid center to each deduped source at its altitude.
+    """
+    src = source_levels(spark, sf_dir).filter(F.col("src_alt").isNotNull())
+    return src.select(
+        "lat",
+        "lon",
+        F.round(
+            slant_distance_m(
+                F.lit(NANTES_LAT), F.lit(NANTES_LON), F.col("lat"), F.col("lon"), F.col("src_alt")
+            ),
+            2,
+        ).alias("slant_m"),
+    )
+
+
+_SLANT_HOR = haversine_sql(
+    f"CAST({NANTES_LAT!r} AS DOUBLE)", f"CAST({NANTES_LON!r} AS DOUBLE)", "lat", "lon"
+)
+
+SLANT_SQL = f"""
+WITH src AS (SELECT * FROM ({SOURCE_LEVELS_SQL}) t WHERE src_alt IS NOT NULL)
+SELECT lat, lon,
+       round(sqrt(({_SLANT_HOR} * {_SLANT_HOR})
+                  + (abs(src_alt - CAST(27.0 AS DOUBLE)) * abs(src_alt - CAST(27.0 AS DOUBLE)))), 2) AS slant_m
+FROM src
+"""
+
+
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox predicate (the reference's S2 pushdown, F:42-48) as a filter that
+    Catalyst pushes into the parquet scan of events."""
+    st = classified_states(spark, sf_dir)
+    return (
+        st.filter(
+            (F.col("latitude") >= 47.05)
+            & (F.col("latitude") <= 47.25)
+            & (F.col("longitude") >= -1.8)
+            & (F.col("longitude") <= -1.4)
+        )
+        .groupBy("src_db")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src_db")
+    )
+
+
+BBOX_SQL = f"""
+WITH states AS ({STATES_SQL})
+SELECT {phase_db_sql()} AS src_db, CAST(count(*) AS BIGINT) AS n
+FROM states
+WHERE latitude >= 47.05 AND latitude <= 47.25 AND longitude >= -1.8 AND longitude <= -1.4
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_heat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized heatmap triples (F:302): the flagship's sink projection."""
+    return flagship_noise_grid(spark, sf_dir).select(
+        F.col("g_lat").alias("lat"), F.col("g_lon").alias("lon"), "weight"
+    )
+
+
+def heat_triples_sql() -> str:
+    return f"SELECT g_lat AS lat, g_lon AS lon, weight FROM ({flagship_sql()}) t"
+
+
+def domain_queries() -> dict:
+    return {
+        "noise_grid_flagship": flagship_noise_grid,
+        "noise_phase_classify": q_phase_classify,
+        "noise_source_levels": q_source_levels,
+        "noise_grid_bounds": q_grid_bounds,
+        "noise_slant_distance": q_slant_distance,
+        "noise_bbox_filter": q_bbox_filter,
+        "noise_heat_triples": q_heat_triples,
+    }
+
+
+def domain_oracles() -> dict:
+    return {
+        "noise_grid_flagship": flagship_sql(),
+        "noise_phase_classify": PHASE_CLASSIFY_SQL,
+        "noise_source_levels": SOURCE_LEVELS_SQL,
+        "noise_grid_bounds": GRID_BOUNDS_SQL,
+        "noise_slant_distance": SLANT_SQL,
+        "noise_bbox_filter": BBOX_SQL,
+        "noise_heat_triples": heat_triples_sql(),
+    }

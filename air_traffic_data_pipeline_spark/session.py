@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for local[N] testing but configured the way a
+large cluster deployment would be (AQE on, sane shuffle partitioning, Arrow).
+
+On a real 1000-executor cluster the same builder applies; only master/memory
+change. Shuffle partitions default to the local core count — at cluster scale
+set ``spark.sql.shuffle.partitions`` to ~2-3x total cores or rely on AQE
+coalescing, which is enabled here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "air-traffic-engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # test lake writes nanosecond parquet timestamps; read them as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally created session.
+
+    The driver harness builds its own SparkSession; every query entrypoint
+    funnels through here so results don't depend on who built the session.
+    Only runtime-mutable confs are touched.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
