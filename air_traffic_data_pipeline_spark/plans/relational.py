@@ -1,0 +1,1041 @@
+"""Relational-core query library (SURVEY.md §2 Part B / §7 M1).
+
+Every query exists twice: as an idiomatic Spark DataFrame/SQL plan and as a
+DuckDB oracle. Numeric determinism rules (so the driver's value-hash matches
+bitwise):
+
+- Sums over 2-decimal money columns go through exact DECIMAL(18,2)
+  arithmetic and are cast back to DOUBLE at the end: float summation order
+  differs between engines, decimal summation is exact. The 2-dp inputs have
+  no representable half-ties, so the double->decimal cast agrees across
+  rounding modes.
+- Averages are exact-decimal sums cast to double, divided by the count
+  (one deterministic double division).
+- Dates/timestamps are projected as formatted strings.
+- Time bucketing uses integer division on epoch values.
+
+At 100 TB the same plans hold: Catalyst picks broadcast joins for the dim
+tables (region/nation/supplier are tiny), sort-merge + AQE for fact-fact
+joins, and partial aggregation makes the groupBys shuffle only the distinct
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from .tables import load
+
+# --- determinism helpers ---------------------------------------------------
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact decimal sum of a 2-dp double column, returned as double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    return (
+        F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def SQL_DSUM(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def SQL_DAVG(expr: str) -> str:
+    return f"(CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / count({expr}))"
+
+
+def revenue_col() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+
+
+SQL_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
+
+
+def fmt_date(col: Column | str, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd").alias(alias)
+
+
+# --- aggregation queries ---------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate with partial (map-side) combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+       {SQL_DAVG('l_quantity')} AS avg_qty,
+       {SQL_DAVG('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (sort/limit)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderpriority,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through region->nation->customer->orders->lineitem->supplier."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(r.r_name.isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name, CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        davg(F.col("c_acctbal"), "avg_bal"),
+        dsum(F.col("c_acctbal"), "sum_bal"),
+    )
+
+
+AGG_STATS_SQL = f"""
+SELECT c_mktsegment, count(*) AS n,
+       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+       {SQL_DAVG('c_acctbal')} AS avg_bal,
+       {SQL_DSUM('c_acctbal')} AS sum_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority", "o_custkey").alias("n_prio_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_CD_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT (o_orderpriority, o_custkey)) AS n_prio_cust,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {SQL_DSUM('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GSETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("bigint"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / CAST(50000.0 AS DOUBLE)) AS BIGINT) AS bucket, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "O",
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier balance totals, unpivoted to rows."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cb = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        dsum(F.col("c_acctbal"), "cust_bal")
+    )
+    sb = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        dsum(F.col("s_acctbal"), "supp_bal")
+    )
+    joined = cb.join(sb, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+    return joined.selectExpr(
+        "nationkey", "stack(2, 'customer', cust_bal, 'supplier', supp_bal) AS (side, bal)"
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH cb AS (SELECT c_nationkey AS nationkey, {SQL_DSUM('c_acctbal')} AS cust_bal FROM customer GROUP BY 1),
+sb AS (SELECT s_nationkey AS nationkey, {SQL_DSUM('s_acctbal')} AS supp_bal FROM supplier GROUP BY 1),
+j AS (SELECT coalesce(cb.nationkey, sb.nationkey) AS nationkey,
+             coalesce(cust_bal, CAST(0.0 AS DOUBLE)) AS cust_bal,
+             coalesce(supp_bal, CAST(0.0 AS DOUBLE)) AS supp_bal
+      FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey)
+SELECT nationkey, 'customer' AS side, cust_bal AS bal FROM j
+UNION ALL
+SELECT nationkey, 'supplier' AS side, supp_bal AS bal FROM j
+"""
+
+
+# --- joins -----------------------------------------------------------------
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "spend")
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+JOIN_LEFT_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(spend, CAST(0.0 AS DOUBLE)) AS spend
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", F.coalesce("s_name", F.lit("<none>")).alias("s_name")
+    )
+
+
+JOIN_RIGHT_SQL = """
+SELECT n_name, coalesce(s_name, '<none>') AS s_name
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = load(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+JOIN_FULL_SQL = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > CAST(450000.0 AS DOUBLE))
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    st = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+"""
+
+
+# --- window functions ------------------------------------------------------
+
+
+def win_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WIN_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+WIN_RANK_SQL = """
+SELECT s_suppkey, s_nationkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+"""
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    prev = F.lag(d).over(w)
+    nxt = F.lead(d).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, prev).cast("bigint").alias("days_since_prev"),
+        F.datediff(nxt, d).cast("bigint").alias("days_to_next"),
+    )
+
+
+WIN_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), lead(CAST(o_orderdate AS DATE)) OVER w) AS BIGINT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+WIN_RUNSUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec).over(w).cast("double") / F.count(dec).over(w)).alias("mavg_3"),
+    )
+
+
+WIN_MAVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(o_totalprice) OVER w AS mavg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def win_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation (deterministic argmax via window)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+WIN_ARGMAX_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) t
+WHERE rn = 1
+"""
+
+
+# --- sort / limit / set ops / distinct ------------------------------------
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+SET_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s.distinct())
+
+
+SET_EXCEPT_SQL = """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT ALL
+SELECT DISTINCT s_nationkey FROM supplier
+"""
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --- scalar function surface ----------------------------------------------
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cat"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.lpad("p_partkey", 8, "0").alias("padded"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+STRING_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS up, lower(p_type) AS lo,
+       CAST(length(p_name) AS BIGINT) AS len,
+       substring(p_name, 1, 5) AS sub5,
+       concat_ws('-', p_brand, p_type) AS cat,
+       coalesce(regexp_extract(p_brand, '(\d+)', 1), '') AS brand_num,
+       replace(p_name, ' ', '_') AS snake,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+       trim('  x  ') AS trimmed
+FROM part WHERE p_partkey < 200
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso"),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+       CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+       strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso
+FROM orders WHERE o_orderkey < 300
+"""
+
+
+def from_unixtime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seconds handling (reference ingests epoch longs, F:77-78)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    epoch_s = (F.col("ts") / F.lit(1000000000)).cast("bigint")
+    return ev.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.from_unixtime(epoch_s, "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+FROM_UNIXTIME_SQL = """
+SELECT event_id,
+       CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT) AS epoch_s,
+       strftime(to_timestamp(CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events WHERE event_id < 200
+"""
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    x = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(x - 1000.0).alias("absdev"),
+        F.ceil(x / 100.0).cast("bigint").alias("ceil_h"),
+        F.floor(x / 100.0).cast("bigint").alias("floor_h"),
+        F.sqrt(x).alias("root"),
+        (x * x).alias("sq"),
+        F.round(F.log10(x), 6).alias("lg"),
+        F.round(x / 7.0, 4).alias("div7"),
+        (F.col("p_size") % 5).cast("bigint").alias("szmod"),
+        F.greatest(x, F.lit(950.0)).alias("hi"),
+        F.least(x, F.lit(950.0)).alias("lo"),
+        F.sign(x - 1000.0).alias("sgn"),
+    )
+
+
+MATH_SQL = """
+SELECT p_partkey,
+       abs(p_retailprice - CAST(1000.0 AS DOUBLE)) AS absdev,
+       CAST(ceil(p_retailprice / CAST(100.0 AS DOUBLE)) AS BIGINT) AS ceil_h,
+       CAST(floor(p_retailprice / CAST(100.0 AS DOUBLE)) AS BIGINT) AS floor_h,
+       sqrt(p_retailprice) AS root,
+       p_retailprice * p_retailprice AS sq,
+       round(log10(p_retailprice), 6) AS lg,
+       round(p_retailprice / CAST(7.0 AS DOUBLE), 4) AS div7,
+       CAST(p_size % 5 AS BIGINT) AS szmod,
+       greatest(p_retailprice, CAST(950.0 AS DOUBLE)) AS hi,
+       least(p_retailprice, CAST(950.0 AS DOUBLE)) AS lo,
+       CAST(sign(p_retailprice - CAST(1000.0 AS DOUBLE)) AS DOUBLE) AS sgn
+FROM part WHERE p_partkey < 500
+"""
+
+
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000.0, "small")
+        .when(F.col("o_totalprice") < 300000.0, "mid")
+        .otherwise("big")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+CASE_SQL = """
+SELECT CASE WHEN o_totalprice < CAST(100000.0 AS DOUBLE) THEN 'small'
+            WHEN o_totalprice < CAST(300000.0 AS DOUBLE) THEN 'mid'
+            ELSE 'big' END AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    nn = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.groupBy(F.coalesce(nn, F.lit("was_P")).alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(nn).alias("n_nonnull"),
+        F.sum(F.when(nn.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+
+
+NULL_SQL = """
+SELECT coalesce(nullif(o_orderstatus, 'P'), 'was_P') AS status,
+       count(*) AS n,
+       count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+       CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM orders GROUP BY 1
+"""
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+    )
+
+
+ARRAY_SQL = """
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       list_contains(string_split(p_name, ' '), 'red') AS has_red,
+       string_split(p_name, ' ')[1] AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words
+FROM part WHERE p_partkey < 300
+"""
+
+
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EXPLODE_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+GROUP BY word
+"""
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k"), (k % 7).alias("k_mod7"))
+
+
+JSON_SQL = """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(props->>'k' AS BIGINT) % 7 AS k_mod7
+FROM events WHERE event_id < 500
+"""
+
+
+# --- subqueries ------------------------------------------------------------
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+SUBQ_SCALAR_SQL = """
+SELECT o_orderstatus, count(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > CAST(480000.0 AS DOUBLE))
+        """
+    )
+
+
+SUBQ_IN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > CAST(480000.0 AS DOUBLE))
+"""
+
+
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= CAST(49.0 AS DOUBLE))
+        """
+    )
+
+
+SUBQ_EXISTS_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= CAST(49.0 AS DOUBLE))
+"""
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'error' event: the most recent 'click' by the same user at or
+    before it (ties -> larger click event_id). Spark lacks a native as-of
+    join; composition = ranged equi-join on user + window row_number. At
+    scale the user_id equi-key shuffles both sides once; the window is
+    per-user and small.
+    """
+    ev = load(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .alias("err")
+    )
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .alias("clk")
+    )
+    j = err.join(
+        clk,
+        (F.col("err.user_id") == F.col("clk.user_id"))
+        & (F.col("clk.clk_ts") <= F.col("err.err_ts")),
+        "left",
+    ).select(F.col("err.err_id"), F.col("err.user_id"), F.col("clk.clk_id"), F.col("clk.clk_ts"))
+    w = W.partitionBy("err_id").orderBy(
+        F.col("clk_ts").desc_nulls_last(), F.col("clk_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("err_id", "user_id", "clk_id")
+    )
+
+
+ASOF_SQL = """
+WITH err AS (SELECT event_id AS err_id, user_id, epoch_ns(ts) AS err_ts
+             FROM events WHERE event_type = 'error'),
+clk AS (SELECT event_id AS clk_id, user_id, epoch_ns(ts) AS clk_ts
+        FROM events WHERE event_type = 'click'),
+j AS (SELECT err.err_id, err.user_id, clk.clk_id, clk.clk_ts
+      FROM err LEFT JOIN clk ON err.user_id = clk.user_id AND clk.clk_ts <= err.err_ts),
+r AS (SELECT *, row_number() OVER (PARTITION BY err_id ORDER BY clk_ts DESC NULLS LAST, clk_id DESC) AS rn
+      FROM j)
+SELECT err_id, user_id, clk_id FROM r WHERE rn = 1
+"""
+
+
+# --- time bucketing (batch shape of the streaming tumbling window) ---------
+
+
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("ts div 3600000000000").cast("bigint")
+    return (
+        ev.groupBy(hour.alias("hour_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+
+
+TIME_BUCKET_SQL = f"""
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+       count(*) AS n, {SQL_DSUM('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- approx (rows-only: engines' sketches differ by design) ---------------
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# --- registry --------------------------------------------------------------
+
+_SPECS: list[tuple[str, object, str | None]] = [
+    ("rel_q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+    ("rel_q3_top_orders", q3_top_orders, Q3_SQL),
+    ("rel_q5_nation_revenue", q5_nation_revenue, Q5_SQL),
+    ("rel_agg_stats", agg_stats, AGG_STATS_SQL),
+    ("rel_agg_count_distinct", agg_count_distinct, AGG_CD_SQL),
+    ("rel_agg_cube", agg_cube, AGG_CUBE_SQL),
+    ("rel_agg_rollup", agg_rollup, AGG_ROLLUP_SQL),
+    ("rel_agg_grouping_sets", agg_grouping_sets, AGG_GSETS_SQL),
+    ("rel_histogram_bucket", histogram_bucket, HISTOGRAM_SQL),
+    ("rel_pivot_status", pivot_status, PIVOT_SQL),
+    ("rel_unpivot_balances", unpivot_balances, UNPIVOT_SQL),
+    ("rel_join_left_outer", join_left_outer, JOIN_LEFT_SQL),
+    ("rel_join_right_outer", join_right_outer, JOIN_RIGHT_SQL),
+    ("rel_join_full_outer", join_full_outer, JOIN_FULL_SQL),
+    ("rel_join_semi", join_semi, JOIN_SEMI_SQL),
+    ("rel_join_anti", join_anti, JOIN_ANTI_SQL),
+    ("rel_join_cross", join_cross, JOIN_CROSS_SQL),
+    ("rel_win_topk_orders", win_topk_orders, WIN_TOPK_SQL),
+    ("rel_win_rank", win_rank, WIN_RANK_SQL),
+    ("rel_win_lag_lead", win_lag_lead, WIN_LAG_SQL),
+    ("rel_win_running_sum", win_running_sum, WIN_RUNSUM_SQL),
+    ("rel_win_moving_avg", win_moving_avg, WIN_MAVG_SQL),
+    ("rel_win_arg_max", win_arg_max, WIN_ARGMAX_SQL),
+    ("rel_sort_limit_topk", sort_limit_topk, SORT_LIMIT_SQL),
+    ("rel_set_union", set_union, SET_UNION_SQL),
+    ("rel_set_intersect", set_intersect, SET_INTERSECT_SQL),
+    ("rel_set_except", set_except, SET_EXCEPT_SQL),
+    ("rel_distinct_pairs", distinct_pairs, DISTINCT_SQL),
+    ("rel_string_funcs", string_funcs, STRING_SQL),
+    ("rel_date_funcs", date_funcs, DATE_SQL),
+    ("rel_from_unixtime", from_unixtime_roundtrip, FROM_UNIXTIME_SQL),
+    ("rel_math_funcs", math_funcs, MATH_SQL),
+    ("rel_conditional_case", conditional_case, CASE_SQL),
+    ("rel_null_handling", null_handling, NULL_SQL),
+    ("rel_array_funcs", array_funcs, ARRAY_SQL),
+    ("rel_explode_wordcount", explode_wordcount, EXPLODE_SQL),
+    ("rel_json_funcs", json_funcs, JSON_SQL),
+    ("rel_subquery_scalar", subquery_scalar, SUBQ_SCALAR_SQL),
+    ("rel_subquery_in", subquery_in, SUBQ_IN_SQL),
+    ("rel_subquery_exists", subquery_exists_correlated, SUBQ_EXISTS_SQL),
+    ("rel_asof_join", asof_join, ASOF_SQL),
+    ("rel_time_bucket_agg", time_bucket_agg, TIME_BUCKET_SQL),
+    ("rel_approx_distinct", approx_distinct, None),
+]
+
+
+def queries() -> dict:
+    return {name: fn for name, fn, _ in _SPECS}
+
+
+def oracles() -> dict:
+    return {name: sql for name, _, sql in _SPECS if sql is not None}
