@@ -1,0 +1,135 @@
+"""Text-analysis column expressions (language ID, quality scoring, token
+counting, fingerprinting, shingling) — all builtin Spark functions, each with
+a DuckDB-SQL rendering that evaluates identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Stopword lists for the n-gram/stopword language-ID heuristic. Public tiny
+# lists; the operator contract is determinism, not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("de", "shi", "le", "he", "zai"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")  # tie-break precedence
+
+PUNCT_CLASS = "[.,!?;:]"
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish tokenizer: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("bigint")
+
+
+def normalized(text: Column) -> Column:
+    """lower + strip punctuation + collapse runs of spaces (fingerprint base)."""
+    no_punct = F.regexp_replace(F.lower(text), PUNCT_CLASS, "")
+    return F.trim(F.regexp_replace(no_punct, " +", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    return F.md5(normalized(text))
+
+
+def stopword_count(text: Column, stops: tuple[str, ...]) -> Column:
+    return F.size(
+        F.filter(words(text), lambda w: w.isin(*stops))
+    ).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text).cast("double")
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, "")).cast("double")
+    return (n - stripped) / n
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword composite in [0, 1], rounded to 6 dp."""
+    wc = word_count(text).cast("double")
+    length_part = F.least(F.lit(1.0), wc / F.lit(100.0))
+    stop_part = stopword_count(text, LANG_STOPWORDS["en"]).cast("double") / wc
+    score = (
+        F.lit(0.4) * length_part
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stop_part
+    )
+    return F.round(score, 6)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (MinHash input)."""
+    w = words(text)
+    n = F.size(w)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+# --- DuckDB renderings -----------------------------------------------------
+
+
+def words_sql(text: str) -> str:
+    return f"string_split({text}, ' ')"
+
+
+def regex_token_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{TOKEN_REGEX}')) AS BIGINT)"
+
+
+def normalized_sql(text: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text}), '{PUNCT_CLASS}', '', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5({normalized_sql(text)})"
+
+
+def stopword_count_sql(text: str, stops: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stops)
+    return (
+        f"CAST(len(list_filter({words_sql(text)}, w -> list_contains([{lst}], w))) AS BIGINT)"
+    )
+
+
+def punct_ratio_sql(text: str) -> str:
+    n = f"CAST(length({text}) AS DOUBLE)"
+    stripped = f"CAST(length(regexp_replace({text}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+    return f"(({n} - {stripped}) / {n})"
+
+
+def quality_score_sql(text: str) -> str:
+    wc = f"CAST(len({words_sql(text)}) AS DOUBLE)"
+    length_part = f"least(CAST(1.0 AS DOUBLE), {wc} / CAST(100.0 AS DOUBLE))"
+    stop_part = f"(CAST({stopword_count_sql(text, LANG_STOPWORDS['en'])} AS DOUBLE) / {wc})"
+    score = (
+        f"(CAST(0.4 AS DOUBLE) * {length_part}"
+        f" + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {punct_ratio_sql(text)})"
+        f" + CAST(0.3 AS DOUBLE) * {stop_part})"
+    )
+    return f"round({score}, 6)"
+
+
+def shingles_sql(text: str, k: int = 3) -> str:
+    w = words_sql(text)
+    return (
+        f"[array_to_string(({w})[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len({w}) - {k - 1}, 1))]"
+    )

@@ -1,0 +1,132 @@
+"""Similarity-search operators over an embedding column (``array<float>``).
+
+Three tiers, mirroring how ANN is built on top of Spark at scale:
+
+- ``brute_force_topk``: exact cosine top-k. The query side is small and
+  broadcast; the corpus side streams. O(|Q| * |C|) — the correctness
+  baseline, and the right plan when |Q| is tiny.
+- ``lsh_bucket``: random-hyperplane LSH signature (integer planes, so the
+  bucket id is bitwise deterministic across engines). Co-bucketing turns the
+  all-pairs cosine search into an equi-join on ``bucket`` — the scale path:
+  both sides shuffle once on the bucket key, candidates drop from |Q|*|C| to
+  co-bucketed pairs, and AQE handles bucket skew.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantization: centroid =
+  per-label mean vector (one distributed agg), vectors assigned to nearest
+  centroid, queries probe the closest ``nprobe`` cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from ..functions.vectors import cosine, dot, norm, to_double
+
+# 8 deterministic integer hyperplanes for d-dim vectors:
+# plane[j][d] = ((j*37 + d*17) % 19) - 9  (range -9..9, mean ~0)
+N_PLANES = 8
+
+
+def plane(j: int, dim: int) -> list[float]:
+    return [float(((j * 37 + d * 17) % 19) - 9) for d in range(dim)]
+
+
+def plane_sql(j: int, dim: int) -> str:
+    vals = ", ".join(repr(v) for v in plane(j, dim))
+    return f"([{vals}]::DOUBLE[])"
+
+
+def lsh_bucket(vec: Column, dim: int) -> Column:
+    """Bucket id in [0, 2^N_PLANES): bit j = (dot(vec, plane_j) >= 0)."""
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        p = F.array(*[F.lit(v) for v in plane(j, dim)])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("bigint")
+
+
+def lsh_bucket_sql(vec: str, dim: int) -> str:
+    from ..functions.vectors import dot_sql
+
+    terms = []
+    for j in range(N_PLANES):
+        terms.append(
+            f"(CASE WHEN {dot_sql(vec, plane_sql(j, dim))} >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, window-ranked.
+
+    Expects ``queries(q_id, q_vec)`` / ``corpus(c_id, c_vec)`` with double
+    arrays. Deterministic tie-break on corpus id.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        pairs.filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def ivf_centroids(vectors: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
+    """Per-label mean vector via posexplode + groupBy — one distributed agg.
+
+    (Float mean is summation-order dependent -> IVF queries are rows-only
+    checked, the documented exception for iterative/approx operators.)
+    """
+    exploded = vectors.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(
+        "label", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int, nprobe: int = 2
+) -> DataFrame:
+    """Assign corpus to nearest centroid; queries probe nprobe cells."""
+    cents = ivf_centroids(vectors, dim)
+
+    def nearest_cells(df: DataFrame, vec_col: str, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cell_sim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = W.partitionBy(df.columns[0]).orderBy(
+            F.col("cell_sim").desc(), F.col("label")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(*df.columns, F.col("label").alias(out))
+        )
+
+    corpus = vectors.select(
+        F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
+    )
+    corpus_cells = nearest_cells(corpus, "c_vec", 1, "cell")
+    q_cells = nearest_cells(queries.select("q_id", "q_vec"), "q_vec", nprobe, "cell")
+
+    cand = q_cells.join(corpus_cells, "cell").filter(F.col("q_id") != F.col("c_id"))
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

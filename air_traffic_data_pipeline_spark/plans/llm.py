@@ -1,0 +1,600 @@
+"""LLM-training-data operators (BASELINE.json north_star): deduplication
+(exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force cosine, LSH-bucketed, IVF), text analysis (language ID, quality,
+token counts), multimodal column plumbing.
+
+Determinism strategy: all hashing is md5 (identical hex in both engines);
+vector folds are sequential double left-folds (see functions/vectors.py);
+similarity outputs are rounded to 6 dp.
+
+Scale notes per operator live in the docstrings — the common theme: turn
+all-pairs problems into equi-joins on a derived key (band hash / LSH bucket /
+fingerprint), which shuffle-partition and AQE-balance instead of exploding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.text import (
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    fingerprint,
+    fingerprint_sql,
+    quality_score,
+    quality_score_sql,
+    regex_token_count,
+    regex_token_count_sql,
+    shingles,
+    shingles_sql,
+    stopword_count,
+    stopword_count_sql,
+    word_count,
+)
+from ..functions.vectors import cosine, cosine_sql, norm, norm_sql, to_double
+from ..operators.similarity import (
+    N_PLANES,
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket,
+    lsh_bucket_sql,
+)
+from .tables import load
+
+EMB_DIM = 64
+MINHASH_K = 8
+MINHASH_BANDS = 4  # 4 bands x 2 rows
+
+
+# --- exact dedup / fingerprinting -----------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
+
+    At scale: map-side partial agg on the 128-bit hash — shuffles only
+    distinct hashes, never full text.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint dedup (lower/strip-punct/collapse-ws)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_FP_SQL = f"""
+SELECT {fingerprint_sql('text')} AS fp, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("wc", word_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("wc").alias("total_words"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_words,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       {regex_token_count_sql('text')} AS re_tokens
+FROM documents WHERE doc_id < 200
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language guess; deterministic argmax with fixed
+    precedence. Accuracy on this synthetic corpus is incidental — the
+    operator shape (per-language score -> argmax) is the deliverable."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            stopword_count(F.col("text"), LANG_STOPWORDS[lg]).alias(f"s_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_ORDER])
+    guess = F.when(F.lit(False), "x")
+    for lg in LANG_ORDER:
+        guess = guess.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("guess"),
+        (guess == F.col("lang")).alias("correct"),
+    )
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(
+        f"{stopword_count_sql('text', LANG_STOPWORDS[lg])} AS s_{lg}" for lg in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in LANG_ORDER
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang, {case} AS guess, ({case} = lang) AS correct
+FROM scored
+"""
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+QUALITY_SQL = f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents"
+
+
+# --- MinHash + LSH near-dedup ----------------------------------------------
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    ).distinct()
+
+
+_SHINGLE_ROWS_SQL = f"""
+SELECT DISTINCT doc_id, unnest({shingles_sql('text')}) AS s FROM documents
+"""
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = f"""
+SELECT doc_id, {", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(MINHASH_K))}
+FROM ({_SHINGLE_ROWS_SQL}) t GROUP BY doc_id
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per document: shingle -> k salted md5 -> min.
+
+    At scale the explode+groupBy is one shuffle on doc_id; signatures are
+    k*32 bytes/doc regardless of document size.
+    """
+    return _minhash_sig(spark, sf_dir)
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify near-dup pipeline.
+
+    Bands of 2 hashes -> band key; candidate pairs share >=1 band
+    (equi-join on (band_idx, key) — the scale path: never all-pairs);
+    verified with exact shingle Jaccard, kept at >= 0.2.
+    """
+    sig = _minhash_sig(spark, sf_dir)
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        band_cols.extend(
+            [F.lit(b), F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))]
+        )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({MINHASH_BANDS}, "
+        + ", ".join(
+            f"{b}, md5(concat(h{2 * b}, h{2 * b + 1}))" for b in range(MINHASH_BANDS)
+        )
+        + ") AS (band, key)",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingle_rows(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    common = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+    )
+    out = (
+        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+_MINHASH_PAIRS_SQL = f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS key FROM sig"
+      for b in range(MINHASH_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sh AS ({_SHINGLE_ROWS_SQL}),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN counts na ON na.doc_id = doc_a
+JOIN counts nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= CAST(0.2 AS DOUBLE)
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_HEXDIGITS = "0123456789abcdef"
+SIMHASH_BITS = 16
+
+
+def _hex4_to_int(col: Column) -> Column:
+    """First 4 hex chars of an md5 -> int in [0, 65536): identical strpos
+    arithmetic in both engines (no conv() in DuckDB)."""
+    val = F.lit(0)
+    for i in range(4):
+        ch = F.substring(col, i + 1, 1)
+        val = val + (F.instr(F.lit(_HEXDIGITS), ch) - 1) * (16 ** (3 - i))
+    return val
+
+
+def _hex4_to_int_sql(expr: str) -> str:
+    terms = [
+        f"(strpos('{_HEXDIGITS}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens: per-bit majority vote of token-hash
+    bits. Explode + one groupBy; at scale this is a single shuffle on doc_id
+    with map-side partial sums."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = tok.withColumn("hv", _hex4_to_int(F.md5(F.col("w"))))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("hv") / (1 << b)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sh = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_hex4_to_int_sql("md5(w)")} AS hv
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+),
+bit_sums AS (
+  SELECT doc_id,
+         {", ".join(
+             f"sum(CASE WHEN CAST(floor(hv / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+             for b in range(SIMHASH_BITS)
+         )}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bit_sums
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard for all pairs in a small id range —
+    the exact-verification kernel the LSH pipelines approximate."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                lambda i: F.substring(F.col("text"), i, 5),
+            )
+        ).alias("g"),
+    ).distinct()
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(text, i, 5) for i in generate_series(1, greatest(length(text) - 4, 1))]) AS g
+  FROM documents WHERE doc_id < 40
+),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM common JOIN counts na ON na.doc_id = doc_a JOIN counts nb ON nb.doc_id = doc_b
+"""
+
+
+# --- embedding similarity --------------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
+    )
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        F.col("vec_id").alias("q_id"), to_double(F.col("embedding")).alias("q_vec")
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors."""
+    return brute_force_topk(_queries(spark, sf_dir), _corpus(spark, sf_dir), 5)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+pairs AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE q_id != c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM pairs
+)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm(v), 6).alias("l2_norm"),
+        F.size(F.col("embedding")).cast("bigint").alias("dim"),
+    )
+
+
+_EMB_NORMS_SQL = f"""
+SELECT vec_id, label,
+       round({norm_sql("(embedding::DOUBLE[])")}, 6) AS l2_norm,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (deterministic integer planes)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    return (
+        e.withColumn("bucket", lsh_bucket(v, EMB_DIM))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+_LSH_BUCKETS_SQL = f"""
+SELECT {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket,
+       count(*) AS n, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: candidates restricted to the query's LSH bucket
+    (equi-join on bucket), then exact cosine rerank."""
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    with_bucket = e.select("vec_id", v.alias("vec")).withColumn(
+        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    )
+    q = with_bucket.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
+    cand = q.join(c, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+_LSH_TOPK_SQL = f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket FROM wb WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, vec AS c_vec, bucket FROM wb),
+cand AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE q_id != c_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank FROM cand)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (rows-only check: centroid means are
+    float-summation-order dependent by nature)."""
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3, nprobe=2)
+
+
+# --- multimodal column plumbing -------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata: the Spark-side plumbing for
+    image/audio columns (decode itself is stubbed; see
+    operators/multimodal.py). Payload here is a deterministic fake blob."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    blob = F.unhex(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.upper(F.substring(F.md5("text"), 1, 8)).alias("magic"),
+        (F.length(blob) % 4 + 1).cast("bigint").alias("fake_channels"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+       upper(substr(md5(text), 1, 8)) AS magic,
+       CAST(octet_length(unhex(md5(text))) % 4 + 1 AS BIGINT) AS fake_channels
+FROM documents WHERE doc_id < 300
+"""
+
+
+_SPECS: list[tuple[str, object, str | None]] = [
+    ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
+    ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
+    ("llm_text_stats", text_stats, TEXT_STATS_SQL),
+    ("llm_token_count", token_count, TOKEN_COUNT_SQL),
+    ("llm_lang_id", lang_id, _lang_id_sql()),
+    ("llm_quality_score", quality, QUALITY_SQL),
+    ("llm_minhash_signatures", minhash_signatures, _MINHASH_SIG_SQL),
+    ("llm_minhash_near_dup_pairs", minhash_near_dup_pairs, _MINHASH_PAIRS_SQL),
+    ("llm_simhash", simhash, _SIMHASH_SQL),
+    ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
+    ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
+    ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
+    ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),
+    ("llm_lsh_topk", lsh_topk, _LSH_TOPK_SQL),
+    ("llm_ann_ivf_topk", ann_ivf_topk, None),
+    ("llm_multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL),
+]
+
+
+def queries() -> dict:
+    return {name: fn for name, fn, _ in _SPECS}
+
+
+def oracles() -> dict:
+    return {name: sql for name, _, sql in _SPECS if sql is not None}

@@ -1,0 +1,118 @@
+"""LLM-data operator tests (M3): dedup, minhash, similarity, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from air_traffic_data_pipeline_spark.functions.vectors import cosine, to_double
+from air_traffic_data_pipeline_spark.operators.multimodal import attach_payload, decode_stub
+from air_traffic_data_pipeline_spark.operators.similarity import brute_force_topk, lsh_bucket
+from air_traffic_data_pipeline_spark.plans import llm
+from air_traffic_data_pipeline_spark.plans.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_identity(spark):
+    """No duplicate texts in the corpus -> every group has one member."""
+    out = llm.dedup_exact(spark, SF)
+    n_docs = load(spark, SF, "documents").count()
+    assert out.count() == out.filter(F.col("n_copies") >= 1).count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_minhash_pairs_are_real_near_dups(spark):
+    """Every LSH-surfaced pair must have genuinely high exact Jaccard."""
+    pairs = llm.minhash_near_dup_pairs(spark, SF).collect()
+    assert len(pairs) > 0, "synthetic corpus contains near-dups; none found"
+    for r in pairs:
+        assert r.jaccard >= 0.2
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    e = load(spark, SF, "embeddings").filter(F.col("vec_id") < 2).collect()
+    v0, v1 = np.array(e[0].embedding, dtype="float64"), np.array(
+        e[1].embedding, dtype="float64"
+    )
+    expect = float(v0 @ v1 / (np.linalg.norm(v0) * np.linalg.norm(v1)))
+    df = load(spark, SF, "embeddings").filter(F.col("vec_id") < 2)
+    a = df.filter(F.col("vec_id") == 0).select(to_double(F.col("embedding")).alias("a"))
+    b = df.filter(F.col("vec_id") == 1).select(to_double(F.col("embedding")).alias("b"))
+    got = a.crossJoin(b).select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_brute_force_topk_contract(spark):
+    q = llm._queries(spark, SF)
+    c = llm._corpus(spark, SF)
+    out = brute_force_topk(q, c, 5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in per_q.items():
+        assert len(rows) == 5
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.c_id != q_id for r in rows)
+
+
+def test_lsh_topk_structure(spark):
+    """LSH results are a correctly ranked subset of the brute-force scores.
+
+    (On *random* embeddings true-NN recall of sign-LSH is legitimately low —
+    wide angles rarely co-bucket — so we assert structure, not recall:
+    candidates share the query's bucket, so each LSH top-1 similarity is
+    <= the brute-force top-1 for that query.)
+    """
+    brute1 = {
+        r.q_id: r.cos_sim
+        for r in llm.cosine_topk(spark, SF).filter(F.col("rank") == 1).collect()
+    }
+    rows = llm.lsh_topk(spark, SF).collect()
+    assert rows, "no query co-bucketed with any corpus vector"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert sims[0] <= brute1[q_id] + 1e-9
+        assert all(r.c_id != q_id for r in rs)
+
+
+def test_multimodal_decode_stub(spark):
+    d = load(spark, SF, "documents").limit(50)
+    decoded = decode_stub(attach_payload(d)).collect()
+    assert len(decoded) == 50
+    for r in decoded:
+        assert r.n_bytes == 16  # md5 payload
+        assert 1 <= r.width <= 16 and 1 <= r.channels <= 4
+        assert 0.0 <= r.mean_byte <= 255.0
+
+
+def test_multimodal_real_codec_raises(spark):
+    d = load(spark, SF, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_stub(attach_payload(d), codec="jpeg")
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-dup pairs should have small simhash hamming distance vs random."""
+    sh = {r.doc_id: r.simhash for r in llm.simhash(spark, SF).collect()}
+    pairs = llm.minhash_near_dup_pairs(spark, SF).filter(F.col("jaccard") > 0.5).collect()
+    if not pairs:
+        pytest.skip("no strong near-dups at this sf")
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(sh[r.doc_a], sh[r.doc_b]) for r in pairs]
+    ids = sorted(sh)
+    far = [ham(sh[ids[i]], sh[ids[i + 7]]) for i in range(0, 40, 8)]
+    assert sum(near) / len(near) < sum(far) / len(far)
