@@ -1,0 +1,155 @@
+"""Streaming queries exposed through the driver contract.
+
+Each runs a real Structured Streaming query (file source -> memory sink,
+drained synchronously) and returns the materialized result; the oracle is
+the equivalent batch SQL, which is exactly what stream/batch unification
+promises. Session windows additionally exist as a batch gaps-and-islands
+operator (``sessionize_events``) so the merge semantics are oracle-checked
+too.
+
+Window-start determinism: Spark tumbling windows align to the epoch, so
+win_start = epoch_us // size * size — the DuckDB oracle computes the same
+integer arithmetic on epoch_ns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..streaming.events_stream import (
+    session_window_counts,
+    sliding_counts,
+    streaming_dedup_count,
+    tumbling_counts,
+)
+from .tables import load
+
+_HOUR_NS = 3_600_000_000_000
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(spark, sf_dir)
+
+
+TUMBLING_SQL = """
+SELECT strftime(to_timestamp(CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(spark, sf_dir)
+
+
+SLIDING_SQL = """
+WITH w AS (
+  SELECT event_id,
+         unnest([CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) - 1,
+                 CAST(epoch_ns(ts) // 3600000000000 AS BIGINT)]) AS win_hour
+  FROM events
+)
+SELECT strftime(to_timestamp(win_hour * 3600), '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n
+FROM w GROUP BY 1
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_counts(spark, sf_dir)
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(to_timestamp(CAST(min(ts_us) // 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(to_timestamp(CAST((max(ts_us) + 600000000) // 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS sess_end,
+       count(*) AS n
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dedup_count(spark, sf_dir)
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_unique_users
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+GROUP BY event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap to the previous event of the same user exceeds 10 minutes.
+    Equivalent to streaming session_window merge semantics on closed data —
+    and therefore exactly SQL-oracle-checkable."""
+    # microseconds: the lake's nanos truncate to us in both engines'
+    # timestamp handling, so sessionize in us for cross-engine parity
+    gap_us = 600_000_000
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, 1
+        ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)),
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts_us").alias("sess_start_us"),
+        F.max("ts_us").alias("sess_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+  FROM flagged
+)
+SELECT user_id, sess_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+_SPECS: list[tuple[str, object, str | None]] = [
+    ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
+    ("stream_sliding_agg", stream_sliding, SLIDING_SQL),
+    ("stream_session_window", stream_session_window, SESSION_WINDOW_SQL),
+    ("stream_dedup", stream_dedup, STREAM_DEDUP_SQL),
+    ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
+]
+
+
+def queries() -> dict:
+    return {name: fn for name, fn, _ in _SPECS}
+
+
+def oracles() -> dict:
+    return {name: sql for name, _, sql in _SPECS if sql is not None}

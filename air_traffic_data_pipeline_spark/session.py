@@ -44,9 +44,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     Only runtime-mutable confs are touched.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # a foreign (driver-built) session keeps the 200 default: wrong for
+        # local mode; AQE coalescing makes this safe to lower at scale too
+        ("spark.sql.shuffle.partitions", cpus),
     ):
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,48 @@
+"""Data-lake writers (fills the reference's reserved-but-unused
+``processedData/`` slot, .gitignore:4).
+
+At 100 TB the layout is the performance lever: partition by a low-cardinality
+pruning column (date), keep files ~128MB-1GB via a pre-write repartition on
+the partition key, and bucket fact tables on their join key so downstream
+joins co-locate without a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    # repartition on the partition columns first: one writer task per
+    # partition directory instead of every task writing to every directory
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: later equi-joins/aggs on ``bucket_col``
+    skip the shuffle (bucket-aware scan)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

