@@ -32,7 +32,7 @@ from ..functions.noise import (
 )
 from ..operators.dedup import last_wins_dedup
 from ..operators.grid import gen_grid, grid_bounds, grid_sql
-from ..operators.radius_join import radius_join
+from ..operators.radius_join import adaptive_radius_join
 from .tables import load
 
 # ---------------------------------------------------------------------------
@@ -124,7 +124,15 @@ def flagship_noise_grid(
     """
     grid = gen_grid(spark, NANTES_LAT, NANTES_LON, step_m, n_steps)
     sources = source_levels(spark, sf_dir).select("lat", "lon", "src_db")
-    pairs = radius_join(grid, sources, R_MAX, NANTES_LAT)
+    n_cells = (2 * n_steps + 1) ** 2
+    pairs = adaptive_radius_join(
+        grid,
+        sources,
+        R_MAX,
+        NANTES_LAT,
+        grid_cells=n_cells,
+        region_extent_m=2 * n_steps * step_m,
+    )
     power = attenuated_power(F.col("src_db"), F.col("dist_m"))
     agg = (
         pairs.withColumn("power", power)

@@ -183,10 +183,13 @@ QUALITY_SQL = f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM docum
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows. Used four times by the near-dup
+    pipeline — deliberately NOT cached: Catalyst's ReusedExchange already
+    shares the distinct's shuffle output across the self-join branches, and
+    an explicit cache() was measured slower (it blocks exchange reuse and
+    adds a materialization barrier)."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    ).distinct()
+    return d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).distinct()
 
 
 _SHINGLE_ROWS_SQL = f"""

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises must
+be visible in the executed plan, not just hoped for.
+
+- filters on raw lake columns reach the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- dimension joins broadcast; the binned radius join is a shuffle equi-join
+- expression pipelines run inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import q1_pricing_summary
+
+    p = plan(q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_column_pruning_in_scan(spark):
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    df = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan(df)
+    assert "l_extendedprice" not in p.split("ReadSchema")[1][:400]
+    assert "l_orderkey" in p and "l_quantity" in p
+
+
+def test_dim_joins_broadcast(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import q5_nation_revenue
+
+    p = plan(q5_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_binned_radius_join_is_shuffle_equi_join(spark):
+    """At sparse-region geometry the radius join must be a real equi-join
+    (sort-merge or shuffled-hash on the bin key), not a nested loop."""
+    from air_traffic_data_pipeline_spark.operators.grid import gen_grid
+    from air_traffic_data_pipeline_spark.operators.radius_join import radius_join
+    from air_traffic_data_pipeline_spark.plans.domain import source_levels
+
+    grid = gen_grid(spark, 47.15, -1.6, 20000.0, 50)  # region >> R_MAX
+    src = source_levels(spark, SF).select("lat", "lon", "src_db")
+    j = radius_join(grid, src, 20000.0, 47.15)
+    p = plan(j, "simple")
+    # the join must be an EQUI-join keyed on the bins (Catalyst then picks
+    # hash/sort-merge by size; at tiny sf it broadcasts, at scale it
+    # shuffles — both are the partitionable shape, unlike a nested loop)
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[__bin_lat", p), p
+
+
+def test_flagship_dense_region_uses_broadcast_nested_loop(spark):
+    from air_traffic_data_pipeline_spark.plans.domain import flagship_noise_grid
+
+    p = plan(flagship_noise_grid(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_whole_stage_codegen_covers_noise_math(spark):
+    from air_traffic_data_pipeline_spark.plans.domain import flagship_noise_grid
+
+    df = flagship_noise_grid(spark, SF)
+    p = plan(df, "codegen")
+    assert "WholeStageCodegen" in p
+    # no Python evaluation nodes anywhere in the pipeline
+    s = plan(df, "simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_vector_ops_stay_jvm_side(spark):
+    from air_traffic_data_pipeline_spark.plans.llm import cosine_topk
+
+    p = plan(cosine_topk(spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
