@@ -39,7 +39,7 @@ from ..operators.similarity import (
     lsh_bucket,
     lsh_bucket_sql,
 )
-from .tables import load
+from .tables import fan_out, load
 
 EMB_DIM = 64
 MINHASH_K = 8
@@ -188,7 +188,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the distinct's shuffle output across the self-join branches, and
     an explicit cache() was measured slower (it blocks exchange reuse and
     adds a materialization barrier)."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).distinct()
 
 
@@ -227,8 +227,21 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bands of 2 hashes -> band key; candidate pairs share >=1 band
     (equi-join on (band_idx, key) — the scale path: never all-pairs);
     verified with exact shingle Jaccard, kept at >= 0.2.
+
+    One combined groupBy(doc_id) produces BOTH the minhash signature and
+    the doc's shingle array, so the explode+distinct+aggregate subtree is
+    computed once and every downstream branch (band self-join, verify
+    joins) hits Catalyst's ReusedExchange instead of recomputing it.
     """
-    sig = _minhash_sig(spark, sf_dir)
+    sh_rows = _shingle_rows(spark, sf_dir)
+    doc_tbl = sh_rows.groupBy("doc_id").agg(
+        F.collect_list("s").alias("sh_arr"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    sig = doc_tbl
     band_cols = []
     for b in range(MINHASH_BANDS):
         band_cols.extend(
@@ -254,23 +267,22 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingle_rows(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
-    common = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
-            F.count(F.lit(1)).alias("n_common")
-        )
-    )
+    # Exact-verify via the per-doc shingle arrays from the same aggregate:
+    # two broadcast joins of the tiny candidate list against the doc->array
+    # table and an array_intersect — no shuffle on the raw shingle strings
+    # and no (doc_a, doc_b) re-aggregation.
+    a_side = doc_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b_side = doc_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long")
     out = (
-        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        a_side.join(F.broadcast(cand), "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                / (F.size("arr_a") + F.size("arr_b") - F.col("n_common")).cast("double"),
                 6,
             ),
         )
@@ -336,7 +348,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over word tokens: per-bit majority vote of token-hash
     bits. Explode + one groupBy; at scale this is a single shuffle on doc_id
     with map-side partial sums."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tok = tok.withColumn("hv", _hex4_to_int(F.md5(F.col("w"))))
     bit_sums = tok.groupBy("doc_id").agg(
@@ -431,7 +443,7 @@ FROM common JOIN counts na ON na.doc_id = doc_a JOIN counts nb ON nb.doc_id = do
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     return e.select(
         F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
     )
@@ -485,7 +497,7 @@ FROM embeddings
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (deterministic integer planes)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     v = to_double(F.col("embedding"))
     return (
         e.withColumn("bucket", lsh_bucket(v, EMB_DIM))
@@ -504,7 +516,7 @@ FROM embeddings GROUP BY 1
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: candidates restricted to the query's LSH bucket
     (equi-join on bucket), then exact cosine rerank."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     v = to_double(F.col("embedding"))
     with_bucket = e.select("vec_id", v.alias("vec")).withColumn(
         "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
