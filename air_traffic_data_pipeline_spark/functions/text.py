@@ -71,12 +71,19 @@ def quality_score(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles as an array<string> (MinHash input)."""
+    """Word k-gram shingles as an array<string> (MinHash input).
+
+    Direct ``get(w, i)`` element access instead of ``slice(w, i, k)``:
+    higher-order-function lambdas are interpreted (not codegen'd), and the
+    slice form allocates a k-element array per shingle — measured ~4x slower
+    at sf0.1. ``get`` past the end yields NULL, which ``concat_ws`` skips,
+    matching slice semantics for docs shorter than k words.
+    """
     w = words(text)
     n = F.size(w)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j - 1) for j in range(k)]),
     )
 
 

@@ -229,10 +229,16 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact shingle Jaccard, kept at >= 0.2.
 
     One combined groupBy(doc_id) produces BOTH the minhash signature and
-    the doc's shingle array, so the explode+distinct+aggregate subtree is
-    computed once and every downstream branch (band self-join, verify
-    joins) hits Catalyst's ReusedExchange instead of recomputing it.
+    the doc's shingle array; the table is persisted (MEMORY_AND_DISK) so the
+    expensive explode+distinct+aggregate subtree executes exactly once —
+    measured: without the persist, Catalyst's ReusedExchange covers the band
+    self-join but NOT the two verify branches, recomputing the subtree and
+    roughly doubling runtime. The persisted table is one row per doc
+    (signature + shingle array), i.e. ~corpus-sized: at 100 TB keep
+    MEMORY_AND_DISK (spills, never OOMs) or swap for a checkpoint.
     """
+    from pyspark import StorageLevel
+
     sh_rows = _shingle_rows(spark, sf_dir)
     doc_tbl = sh_rows.groupBy("doc_id").agg(
         F.collect_list("s").alias("sh_arr"),
@@ -240,7 +246,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = doc_tbl
     band_cols = []
     for b in range(MINHASH_BANDS):

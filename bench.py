@@ -42,10 +42,12 @@ def main() -> None:
 
     # Warm the JVM, codegen, parquet reader, and broadcast machinery once at
     # the smallest sf so per-query timings measure steady-state throughput,
-    # not first-query session initialization.
+    # not first-query session initialization. Whole-stage-codegen compilation
+    # is per-plan-shape (measured ~5-10s for the wide minhash/band plans), so
+    # every headline shape gets one tiny warm-up run.
     spark.range(10).count()
-    qs["noise_grid_flagship"](spark, "/root/testdata/sf0.001").count()
-    qs["rel_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:
