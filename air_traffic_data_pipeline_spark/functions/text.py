@@ -87,6 +87,24 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(text: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash over characters:
+    ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7)``.
+
+    Pure integer arithmetic in a left fold — bitwise identical in any
+    engine. acc < 1e9+7 so acc*31 + 0x10FFFF stays far inside int64.
+    """
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+
+
 # --- DuckDB renderings -----------------------------------------------------
 
 
@@ -132,6 +150,14 @@ def quality_score_sql(text: str) -> str:
         f" + CAST(0.3 AS DOUBLE) * {stop_part})"
     )
     return f"round({score}, 6)"
+
+
+def rolling_hash_sql(text: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({text}, '')]), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
 
 
 def shingles_sql(text: str, k: int = 3) -> str:

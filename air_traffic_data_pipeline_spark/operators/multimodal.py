@@ -54,11 +54,15 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n,
-                    "width": (n % 16 + 1).astype("int32"),
+                    "width": (raw.map(lambda b: b[1] if len(b) > 1 else 0) % 16 + 1).astype(
+                        "int32"
+                    ),
                     "height": (raw.map(lambda b: b[0] if len(b) else 0) % 16 + 1).astype(
                         "int32"
                     ),
-                    "channels": (n % 4 + 1).astype("int32"),
+                    "channels": (
+                        raw.map(lambda b: b[2] if len(b) > 2 else 0) % 4 + 1
+                    ).astype("int32"),
                     "mean_byte": raw.map(
                         lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                     ),
@@ -66,3 +70,39 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double"
+FRAME_BYTES = 4
+
+
+def frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from each payload —
+    the video-frame-sampling batch shape: mapInPandas EXPANDING rows
+    (one input row -> several frame rows), feature per frame.
+
+    At 100 TB the payload bytes stay on the executors and the output is
+    a small per-frame feature row; partitioning follows the scan.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, means = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(raw) // FRAME_BYTES
+                for f in range(0, n_frames, stride):
+                    chunk = raw[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    means.append(float(sum(chunk)) / len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -25,6 +25,8 @@ from ..functions.text import (
     quality_score_sql,
     regex_token_count,
     regex_token_count_sql,
+    rolling_hash,
+    rolling_hash_sql,
     shingles,
     shingles_sql,
     stopword_count,
@@ -567,6 +569,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3, nprobe=2)
 
 
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via Rabin-Karp rolling hash over the full
+    text (pure int64 fold, engine-exact), grouped into dedup form. At scale:
+    the per-doc hash is 8 bytes; the groupBy shuffles only (hash, doc_id).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("fp", rolling_hash(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_ROLLING_FP_SQL = f"""
+SELECT {rolling_hash_sql('text')} AS fp, min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+EMB_NEAR_DUP_THRESHOLD = 0.3
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-prefiltered.
+
+    Candidates = same random-hyperplane LSH bucket (equi-join — the scale
+    path: one shuffle on bucket, never all-pairs), verified with exact
+    cosine >= threshold. The oracle runs the identical bucket prefilter, so
+    the approximation itself is value-checked.
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    v = to_double(F.col("embedding"))
+    wb = e.select("vec_id", v.alias("vec")).withColumn(
+        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    )
+    a = wb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
+    b = wb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.vec', 'b.vec')}, 6) >= CAST({EMB_NEAR_DUP_THRESHOLD} AS DOUBLE)
+"""
+
+
 # --- multimodal column plumbing -------------------------------------------
 
 
@@ -593,6 +654,61 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def _md5_byte_sql(h: str, k: int) -> str:
+    """DuckDB: byte k (0-based) of the md5 hex string ``h`` as an integer."""
+    hi = f"(strpos('{_HEXDIGITS}', substr({h}, {2 * k + 1}, 1)) - 1)"
+    lo = f"(strpos('{_HEXDIGITS}', substr({h}, {2 * k + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real mapInPandas decode path (operators/multimodal.py): binary
+    payload -> Arrow batch -> pandas kernel -> typed feature row. The decode
+    kernel is the deterministic 'fake' codec, so the oracle can recompute
+    every feature from the md5 bytes and value-check the full Python/Arrow
+    round trip."""
+    from ..operators.multimodal import attach_payload, decode_stub
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_stub(attach_payload(d))
+
+
+def _mm_decode_sql() -> str:
+    s = "md5(text)"
+    mean = " + ".join(_md5_byte_sql(s, k) for k in range(16))
+    return f"""
+SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+       CAST({_md5_byte_sql(s, 1)} % 16 + 1 AS INTEGER) AS width,
+       CAST({_md5_byte_sql(s, 0)} % 16 + 1 AS INTEGER) AS height,
+       CAST({_md5_byte_sql(s, 2)} % 4 + 1 AS INTEGER) AS channels,
+       CAST({mean} AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_byte
+FROM documents WHERE doc_id < 300
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via row-expanding mapInPandas: each 16-byte payload is
+    4 fake frames of 4 bytes; stride-2 sampling keeps frames 0 and 2 with a
+    per-frame mean feature."""
+    from ..operators.multimodal import attach_payload, frame_sample
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return frame_sample(attach_payload(d), stride=2)
+
+
+def _mm_frames_sql() -> str:
+    s = "md5(text)"
+    selects = []
+    for f in (0, 2):
+        mean = " + ".join(_md5_byte_sql(s, 4 * f + j) for j in range(4))
+        selects.append(
+            f"SELECT doc_id, CAST({f} AS INTEGER) AS frame_idx, "
+            f"CAST({mean} AS DOUBLE) / CAST(4 AS DOUBLE) AS frame_mean "
+            f"FROM documents WHERE doc_id < 300"
+        )
+    return " UNION ALL ".join(selects)
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -610,6 +726,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_lsh_topk", lsh_topk, _LSH_TOPK_SQL),
     ("llm_ann_ivf_topk", ann_ivf_topk, None),
     ("llm_multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL),
+    ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
+    ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
+    ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),
+    ("llm_multimodal_frames", multimodal_frames, _mm_frames_sql()),
 ]
 
 

@@ -116,3 +116,36 @@ def test_simhash_similar_docs_close(spark):
     ids = sorted(sh)
     far = [ham(sh[ids[i]], sh[ids[i + 7]]) for i in range(0, 40, 8)]
     assert sum(near) / len(near) < sum(far) / len(far)
+
+
+def test_rolling_fingerprint_distinguishes_docs(spark):
+    """The rolling hash is deterministic and (on this corpus) collision-free
+    enough that fingerprint groups == exact-text groups."""
+    fp = llm.rolling_fingerprint(spark, SF)
+    exact = llm.dedup_exact(spark, SF)
+    assert fp.count() == exact.count()
+    assert fp.agg(F.sum("n_copies")).collect()[0][0] == exact.agg(
+        F.sum("n_copies")
+    ).collect()[0][0]
+
+
+def test_embedding_near_dup_pairs_verified(spark):
+    """Every emitted pair really clears the cosine threshold, exactly."""
+    rows = llm.embedding_near_dup(spark, SF).collect()
+    for r in rows:
+        assert r.cos_sim >= llm.EMB_NEAR_DUP_THRESHOLD
+        assert r.vec_a < r.vec_b
+
+
+def test_frame_sample_shape(spark):
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        frame_sample,
+    )
+
+    d = load(spark, SF, "documents").limit(20)
+    rows = frame_sample(attach_payload(d), stride=2).collect()
+    assert len(rows) == 40  # 16-byte payload -> 4 frames -> stride 2 keeps 2
+    assert {r.frame_idx for r in rows} == {0, 2}
+    for r in rows:
+        assert 0.0 <= r.frame_mean <= 255.0
