@@ -241,9 +241,13 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    sh_rows = _shingle_rows(spark, sf_dir)
+    # Explode WITHOUT a pre-distinct: min() is duplicate-insensitive and
+    # collect_set dedups inside the same aggregation, so one shuffle on
+    # doc_id replaces the distinct's shuffle + the groupBy's.
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sh_rows = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     doc_tbl = sh_rows.groupBy("doc_id").agg(
-        F.collect_list("s").alias("sh_arr"),
+        F.collect_set("s").alias("sh_arr"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(MINHASH_K)

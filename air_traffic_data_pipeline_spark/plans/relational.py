@@ -902,42 +902,41 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each 'error' event: the most recent 'click' by the same user at or
     before it (ties -> larger click event_id). Spark lacks a native as-of
-    join; composition = ranged equi-join on user + window row_number. At
-    scale the user_id equi-key shuffles both sides once; the window is
-    per-user and small.
+    join; composition = union both sides + per-user running ``last(clk_id,
+    ignorenulls)`` ordered by (ts, kind, clk_id).
+
+    Scale rationale: the obvious ranged join (user equi-key + ts range +
+    window) materializes err x preceding-clicks per user before ranking —
+    quadratic on hot users. The union-window form is ONE shuffle on user_id
+    and linear scan per user, no pair fan-out, and AQE-safe. Sort order
+    (ts, kind=click<error, clk_id) makes 'click at the same ts counts' and
+    'larger clk_id wins ties' exact.
     """
     ev = load(spark, sf_dir, "events")
-    err = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("err_id"),
-            F.col("user_id"),
-            F.col("ts").alias("err_ts"),
-        )
-        .alias("err")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("clk_id"),
+        F.lit(None).cast("long").alias("err_id"),
     )
-    clk = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("clk_id"),
-            F.col("user_id"),
-            F.col("ts").alias("clk_ts"),
-        )
-        .alias("clk")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("clk_id"),
+        F.col("event_id").alias("err_id"),
     )
-    j = err.join(
-        clk,
-        (F.col("err.user_id") == F.col("clk.user_id"))
-        & (F.col("clk.clk_ts") <= F.col("err.err_ts")),
-        "left",
-    ).select(F.col("err.err_id"), F.col("err.user_id"), F.col("clk.clk_id"), F.col("clk.clk_ts"))
-    w = W.partitionBy("err_id").orderBy(
-        F.col("clk_ts").desc_nulls_last(), F.col("clk_id").desc()
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "clk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("err_id", "user_id", "clk_id")
+        clk.unionByName(err)
+        .withColumn("last_clk", F.last("clk_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("err_id", "user_id", F.col("last_clk").alias("clk_id"))
     )
 
 
