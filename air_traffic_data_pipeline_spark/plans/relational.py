@@ -983,9 +983,210 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- statistical moments (decimal-exact partial sums => deterministic) -----
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation per group WITHOUT order-dependent float
+    summation: all five power sums accumulate in exact DECIMAL (associative
+    and commutative -> identical under any partitioning/merge order, i.e.
+    deterministic on a 1000-executor cluster), then one fixed double-math
+    formula at the end. The native stddev/corr aggregates are fine when
+    last-ulp reproducibility doesn't matter; this is the reproducible form.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+STATS_MOMENTS_SQL = """
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)), 6) AS var_qty,
+       round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))), 6) AS stddev_qty,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+FROM g
+"""
+
+
+def agg_median_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (selection, not summation -> engine-deterministic) and
+    max_by/min_by (no extreme-value ties in this data; the tie-free window
+    arg-max form is rel_win_arg_max)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+    )
+
+
+MEDIAN_ARGMAX_SQL = """
+SELECT o_orderstatus,
+       median(CAST(o_totalprice AS DOUBLE)) AS median_price,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order
+FROM orders GROUP BY 1
+"""
+
+
+def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value / nth_value with
+    explicit frames (full-partition frame for last_value — the default
+    running frame is the classic gotcha)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    wo = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    full = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cume"),
+        F.first_value(F.col("o_totalprice")).over(wo).alias("first_price"),
+        F.last_value(F.col("o_totalprice")).over(full).alias("last_price"),
+        F.nth_value(F.col("o_totalprice"), 2).over(full).alias("second_price"),
+    )
+
+
+WIN_FRAMES_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_x2"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_l5"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_r3"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.contains(F.col("p_name"), F.lit("gold")).alias("has_gold"),
+    )
+
+
+STRING2_SQL = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       repeat(p_brand, 2) AS brand_x2,
+       reverse(p_type) AS type_rev,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+       left(p_name, 5) AS name_l5,
+       right(p_name, 3) AS name_r3,
+       starts_with(p_type, 'PROMO') AS is_promo,
+       contains(p_name, 'gold') AS has_gold
+FROM part WHERE p_partkey < 500
+"""
+
+
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        (F.weekday(d) + F.lit(1)).cast("bigint").alias("iso_dow"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+    )
+
+
+DATE2_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + slicing/search/flatten, all built-ins."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    arr = F.sequence(F.lit(1), (F.col("p_size") % 5 + 2).cast("int"))
+    return p.select(
+        "p_partkey",
+        arr.alias("seq"),
+        F.slice(arr, 2, 2).alias("mid"),
+        F.array_position(arr, 3).alias("pos3"),
+        F.array(arr, arr).alias("nested"),
+        F.flatten(F.array(arr, arr)).alias("flat"),
+        F.array_max(arr).cast("bigint").alias("amax"),
+        F.reverse(arr).alias("rev"),
+    )
+
+
+ARRAY2_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         [CAST(i AS INTEGER) for i in generate_series(1, p_size % 5 + 2)] AS seq
+  FROM part WHERE p_partkey < 500
+)
+SELECT p_partkey, seq,
+       seq[2:3] AS mid,
+       CAST(list_position(seq, 3) AS BIGINT) AS pos3,
+       [seq, seq] AS nested,
+       flatten([seq, seq]) AS flat,
+       CAST(list_max(seq) AS BIGINT) AS amax,
+       list_reverse(seq) AS rev
+FROM t
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
+    ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
+    ("rel_agg_median_argmax", agg_median_argmax, MEDIAN_ARGMAX_SQL),
+    ("rel_win_frames", win_frames, WIN_FRAMES_SQL),
+    ("rel_string_funcs2", string_funcs2, STRING2_SQL),
+    ("rel_date_funcs2", date_funcs2, DATE2_SQL),
+    ("rel_array_funcs2", array_funcs2, ARRAY2_SQL),
     ("rel_q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("rel_q3_top_orders", q3_top_orders, Q3_SQL),
     ("rel_q5_nation_revenue", q5_nation_revenue, Q5_SQL),
