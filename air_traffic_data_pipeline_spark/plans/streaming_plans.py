@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..streaming.events_stream import (
     session_window_counts,
     sliding_counts,
+    stateful_user_stats,
+    stream_static_join_counts,
     streaming_dedup_count,
     tumbling_counts,
 )
@@ -138,11 +140,34 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_static_join_counts(spark, sf_dir)
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c.c_nationkey, count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_user_stats(spark, sf_dir)
+
+
+STATEFUL_STATS_SQL = """
+SELECT user_id, count(*) AS n, max(value) AS max_value, min(value) AS min_value
+FROM events GROUP BY 1
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
     ("stream_sliding_agg", stream_sliding, SLIDING_SQL),
     ("stream_session_window", stream_session_window, SESSION_WINDOW_SQL),
     ("stream_dedup", stream_dedup, STREAM_DEDUP_SQL),
+    ("stream_static_join", stream_static_join, STREAM_STATIC_JOIN_SQL),
+    ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
 ]
 

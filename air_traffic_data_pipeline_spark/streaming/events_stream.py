@@ -136,3 +136,61 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicates(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
     return run_to_memory(agg)
+
+
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — no stream-side state),
+    aggregated per nation. The canonical streaming-enrichment shape."""
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(agg)
+
+
+USER_STATE_OUT = "user_id long, n bigint, max_value double, min_value double"
+USER_STATE_SCHEMA = "n bigint, mx double, mn double"
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, max, min) carried across micro-batches in the
+    state store. Count and extremes are order-independent (selection, not
+    float summation), so the result is deterministic under any partitioning.
+
+    This is the escape hatch for stateful semantics the built-in windowed
+    aggregations can't express (reference analogue: tracking an aircraft's
+    running flight-phase envelope across polls).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, mx, mn = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            bmx = float(pdf["value"].max())
+            bmn = float(pdf["value"].min())
+            mx = bmx if mx is None else max(mx, bmx)
+            mn = bmn if mn is None else min(mn, bmn)
+        state.update((n, mx, mn))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "max_value": [mx], "min_value": [mn]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        USER_STATE_OUT,
+        USER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, mode="update")

@@ -123,3 +123,64 @@ def test_micro_batch_poll_roundtrip(spark):
     out = micro_batch_poll(spark, staging, bounds, fake_fetcher, n_polls=3)
     assert out.count() == 3  # one aircraft x three polls
     assert calls[0] == bounds  # bbox pushdown reached the "server"
+
+
+def test_stateful_user_stats_carries_state_across_batches(spark):
+    """applyInPandasWithState: a second micro-batch must see and extend the
+    state from the first (running count grows, max ratchets up)."""
+    import uuid as _uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tempfile.mkdtemp(prefix="state_src_")
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, 5.0), (1, 7.0), (2, 3.0)])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "max_value": [mx]})
+
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n bigint, max_value double",
+        "n bigint, mx double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "st" + _uuid.uuid4().hex[:10]
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        write([(1, 2.0), (2, 9.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    # the running count only grows, so the max-n row per user is the final
+    # state regardless of sink row order
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n, r.max_value)
+    assert latest[1] == (3, 7.0)
+    assert latest[2] == (2, 9.0)
