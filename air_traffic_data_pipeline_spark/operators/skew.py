@@ -1,0 +1,76 @@
+"""Skew-mitigation operators (SURVEY.md §7 M5).
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``, on by
+default in session.py) handles most sort-merge skew at runtime. Manual
+salting remains the tool when AQE can't help: broadcast-ineligible hot keys
+in shuffled hash joins, or stages where AQE is off (streaming).
+
+``salted_join`` implements the classic transform: the big (skewed) side gets
+a uniform salt in [0, n); the small side is replicated once per salt value;
+the join key becomes (key, salt). Every hot key now spreads over n shuffle
+partitions instead of one. The result set is IDENTICAL to the plain join —
+the salt is internal plumbing (dropped on output) and the replication×salt
+match-up preserves exactly one match per original pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on big_key == small_key, salted.
+
+    ``salt_source``: any big-side expression used to derive the uniform
+    salt (default: a hash of all big-side columns). Correctness does not
+    depend on the salt distribution — only the skew-spreading quality does.
+    """
+    if salt_source is None:
+        salt_source = F.xxhash64(*[F.col(c) for c in big.columns])
+    big_s = big.withColumn("__salt", F.pmod(salt_source, F.lit(n_salts)).cast("int"))
+    # replicate the small side once per salt value (explode keeps it a
+    # narrow, shuffle-free transform; the small side is small by contract)
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    joined = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key]) & (big_s["__salt"] == small_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Mapping[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase sum aggregation: partial on (keys, salt), final on keys.
+
+    ``sums`` maps output alias -> column expression summed in both phases
+    (sum-of-sums; exact for decimal/int inputs regardless of salt
+    assignment). Spark's hash aggregate already combines map-side, so this
+    pays off only when the partial state is big or reducer skew is extreme.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[F.sum(c).alias(a) for a, c in sums.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(a).alias(a) for a in sums.keys()]
+    )

@@ -1178,10 +1178,32 @@ FROM t
 """
 
 
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py) + aggregate. The salt is
+    internal: the result is identical to the plain join, which is exactly
+    what the oracle checks."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT c.c_nationkey, count(*) AS n_events, {SQL_DSUM('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
+    ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
     ("rel_agg_median_argmax", agg_median_argmax, MEDIAN_ARGMAX_SQL),
     ("rel_win_frames", win_frames, WIN_FRAMES_SQL),
     ("rel_string_funcs2", string_funcs2, STRING2_SQL),

@@ -89,3 +89,19 @@ def test_vector_ops_stay_jvm_side(spark):
 
     p = plan(cosine_topk(spark, SF), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salting transform must be invisible in the result set."""
+    from air_traffic_data_pipeline_spark.operators.skew import salted_join
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey).select("event_id", "c_nationkey")
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=5).select(
+        "event_id", "c_nationkey"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
