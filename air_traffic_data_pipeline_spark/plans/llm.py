@@ -396,6 +396,99 @@ FROM bit_sums
 """
 
 
+SIMHASH_HAM_MAX = 4
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit simhash into 4 nibbles; by
+    pigeonhole any pair within hamming distance 4 shares >= 1 exact nibble
+    IF the 4 differing bits concentrate — as with LSH this is a recall
+    heuristic, so candidates = share-a-nibble (equi-join on (band, nibble),
+    the scale path), verified with exact popcount(xor) <= 4. The oracle runs
+    the identical prefilter+verify, making the approximation value-checked.
+    """
+    sh = simhash(spark, sf_dir)
+    nib = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.floor(F.col("simhash") / (16**b)).cast("long").alias("q"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("nb"),
+    ).select("doc_id", "simhash", F.col("nb.band").alias("band"), (F.col("nb.q") % 16).alias("nibble"))
+    a = nib.alias("a")
+    b = nib.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_NEAR_DUP_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+nib AS (
+  SELECT doc_id, simhash, band,
+         CAST(floor(simhash / power(16, band)) AS BIGINT) % 16 AS nibble
+  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM nib a JOIN nib b
+    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAM_MAX}
+"""
+
+
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: corpus minus the higher-id member of every verified
+    minhash near-dup pair (greedy keep-lowest-id survivor policy) — the
+    query a training-data pipeline actually ships. Anti-join on the kill
+    list; at scale the kill list is small and broadcast.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    kills = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        d.join(F.broadcast(kills), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_SURVIVORS_SQL = f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+kills AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d ANTI JOIN kills k ON d.doc_id = k.doc_id
+"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard for all pairs in a small id range —
     the exact-verification kernel the LSH pipelines approximate."""
@@ -723,6 +816,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_minhash_signatures", minhash_signatures, _MINHASH_SIG_SQL),
     ("llm_minhash_near_dup_pairs", minhash_near_dup_pairs, _MINHASH_PAIRS_SQL),
     ("llm_simhash", simhash, _SIMHASH_SQL),
+    ("llm_simhash_near_dup", simhash_near_dup, _SIMHASH_NEAR_DUP_SQL),
+    ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
