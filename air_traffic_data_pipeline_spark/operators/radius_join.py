@@ -10,8 +10,8 @@ scale.
 degrees), explodes the *smaller* side to its 3x3 neighbor bins, equi-joins on
 (bin_lat, bin_lon) — a shuffled hash / sort-merge join Catalyst and AQE can
 plan, skew-split, and parallelize — then applies the exact haversine
-predicate. Semantics are identical to cross+filter (property-tested in
-tests/test_radius_join.py); the equi-join prunes the candidate space from
+predicate. Semantics are identical to cross+filter (equivalence-tested in
+tests/test_domain.py); the equi-join prunes the candidate space from
 |G|x|S| to ~9x the co-binned pairs.
 
 At 100 TB: both sides shuffle-partition on the bin key; hot bins (airports)

@@ -8,9 +8,12 @@ in shuffled hash joins, or stages where AQE is off (streaming).
 ``salted_join`` implements the classic transform: the big (skewed) side gets
 a uniform salt in [0, n); the small side is replicated once per salt value;
 the join key becomes (key, salt). Every hot key now spreads over n shuffle
-partitions instead of one. The result set is IDENTICAL to the plain join —
-the salt is internal plumbing (dropped on output) and the replication×salt
-match-up preserves exactly one match per original pair.
+partitions instead of one. For inner/left joins the result set is IDENTICAL
+to the plain join — the salt is internal plumbing (dropped on output) and
+the replication×salt match-up preserves exactly one match per original
+pair. Right/full outer joins are NOT supported: an unmatched small-side row
+would surface once per salt replica (n_salts duplicates), so those modes
+raise instead of silently corrupting.
 """
 
 from __future__ import annotations
@@ -34,7 +37,19 @@ def salted_join(
     ``salt_source``: any big-side expression used to derive the uniform
     salt (default: a hash of all big-side columns). Correctness does not
     depend on the salt distribution — only the skew-spreading quality does.
+
+    ``how`` is restricted to big-side-preserving modes: replicating the
+    small side is invisible to inner/left/semi/anti results, but would emit
+    unmatched small-side rows n_salts times under right/full outer.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the replicated small "
+            "side would duplicate unmatched rows under right/full outer "
+            f"joins; use one of {sorted(allowed)}"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(*[F.col(c) for c in big.columns])
     big_s = big.withColumn("__salt", F.pmod(salt_source, F.lit(n_salts)).cast("int"))

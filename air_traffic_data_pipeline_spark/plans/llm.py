@@ -223,27 +223,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig(spark, sf_dir)
 
 
-def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash->LSH->verify near-dup pipeline.
+# Persisted per-(session, sf_dir) minhash doc tables. Persisting inside
+# minhash_near_dup_pairs on every call would accumulate executor memory/disk
+# over a long-lived session (the oracle sweep + near_dup_survivors + the
+# bench warm-up each re-invoke it); caching the DataFrame here means one
+# persisted copy per lake dir, reused by every caller in the session.
+_DOC_TBL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    Bands of 2 hashes -> band key; candidate pairs share >=1 band
-    (equi-join on (band_idx, key) — the scale path: never all-pairs);
-    verified with exact shingle Jaccard, kept at >= 0.2.
 
-    One combined groupBy(doc_id) produces BOTH the minhash signature and
-    the doc's shingle array; the table is persisted (MEMORY_AND_DISK) so the
-    expensive explode+distinct+aggregate subtree executes exactly once —
-    measured: without the persist, Catalyst's ReusedExchange covers the band
-    self-join but NOT the two verify branches, recomputing the subtree and
-    roughly doubling runtime. The persisted table is one row per doc
-    (signature + shingle array), i.e. ~corpus-sized: at 100 TB keep
-    MEMORY_AND_DISK (spills, never OOMs) or swap for a checkpoint.
+def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: (doc_id, sh_arr, h0..h{k-1}), persisted MEMORY_AND_DISK.
+
+    Explode WITHOUT a pre-distinct: min() is duplicate-insensitive and
+    collect_set dedups inside the same aggregation, so one shuffle on
+    doc_id replaces the distinct's shuffle + the groupBy's.
     """
     from pyspark import StorageLevel
 
-    # Explode WITHOUT a pre-distinct: min() is duplicate-insensitive and
-    # collect_set dedups inside the same aggregation, so one shuffle on
-    # doc_id replaces the distinct's shuffle + the groupBy's.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOC_TBL_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = fan_out(load(spark, sf_dir, "documents"))
     sh_rows = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     doc_tbl = sh_rows.groupBy("doc_id").agg(
@@ -253,6 +253,28 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ],
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _DOC_TBL_CACHE[key] = doc_tbl
+    return doc_tbl
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify near-dup pipeline.
+
+    Bands of 2 hashes -> band key; candidate pairs share >=1 band
+    (equi-join on (band_idx, key) — the scale path: never all-pairs);
+    verified with exact shingle Jaccard, kept at >= 0.2.
+
+    One combined groupBy(doc_id) produces BOTH the minhash signature and
+    the doc's shingle array; the table is persisted (MEMORY_AND_DISK, cached
+    once per sf_dir — see _minhash_doc_tbl) so the expensive
+    explode+aggregate subtree executes exactly once — measured: without the
+    persist, Catalyst's ReusedExchange covers the band self-join but NOT the
+    two verify branches, recomputing the subtree and roughly doubling
+    runtime. The persisted table is one row per doc (signature + shingle
+    array), i.e. ~corpus-sized: at 100 TB keep MEMORY_AND_DISK (spills,
+    never OOMs) or swap for a checkpoint.
+    """
+    doc_tbl = _minhash_doc_tbl(spark, sf_dir)
     sig = doc_tbl
     band_cols = []
     for b in range(MINHASH_BANDS):
@@ -280,14 +302,18 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact-verify via the per-doc shingle arrays from the same aggregate:
-    # two broadcast joins of the tiny candidate list against the doc->array
-    # table and an array_intersect — no shuffle on the raw shingle strings
-    # and no (doc_a, doc_b) re-aggregation.
+    # join the candidate list against the doc->array table twice and
+    # array_intersect — no shuffle on the raw shingle strings and no
+    # (doc_a, doc_b) re-aggregation. No broadcast hint on cand: with a high
+    # duplicate rate the band-candidate set is corpus-order, so an
+    # unconditional broadcast would OOM the executors at 100 TB; AQE sees
+    # the runtime size and still picks a broadcast join when it is small
+    # (verified in the plan test).
     a_side = doc_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
     b_side = doc_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long")
     out = (
-        a_side.join(F.broadcast(cand), "doc_a")
+        a_side.join(cand, "doc_a")
         .join(b_side, "doc_b")
         .withColumn("n_common", n_common)
         .withColumn(
@@ -470,13 +496,15 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: corpus minus the higher-id member of every verified
     minhash near-dup pair (greedy keep-lowest-id survivor policy) — the
     query a training-data pipeline actually ships. Anti-join on the kill
-    list; at scale the kill list is small and broadcast.
+    list; no broadcast hint — at a high duplicate rate the kill list is
+    corpus-proportional, so an unconditional broadcast would OOM at 100 TB.
+    AQE sees the runtime size and still broadcasts when it is small.
     """
     d = load(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(spark, sf_dir)
     kills = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
-        d.join(F.broadcast(kills), "doc_id", "left_anti")
+        d.join(kills, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_chars")
     )
 

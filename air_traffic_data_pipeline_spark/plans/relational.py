@@ -1146,18 +1146,24 @@ FROM orders WHERE o_orderkey < 2000
 
 
 def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array construction + slicing/search/flatten, all built-ins."""
+    """Array construction + slicing/search/flatten, all built-ins.
+
+    Array-valued results are serialized with ``to_json`` in the final
+    projection (both engines emit e.g. ``[1,2,3]``): the driver's
+    correctness canonicalizer hashes cell values and cannot hash raw list
+    cells — the array *operations* all still run on real arrays.
+    """
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     arr = F.sequence(F.lit(1), (F.col("p_size") % 5 + 2).cast("int"))
     return p.select(
         "p_partkey",
-        arr.alias("seq"),
-        F.slice(arr, 2, 2).alias("mid"),
+        F.to_json(arr).alias("seq"),
+        F.to_json(F.slice(arr, 2, 2)).alias("mid"),
         F.array_position(arr, 3).alias("pos3"),
-        F.array(arr, arr).alias("nested"),
-        F.flatten(F.array(arr, arr)).alias("flat"),
+        F.to_json(F.array(arr, arr)).alias("nested"),
+        F.to_json(F.flatten(F.array(arr, arr))).alias("flat"),
         F.array_max(arr).cast("bigint").alias("amax"),
-        F.reverse(arr).alias("rev"),
+        F.to_json(F.reverse(arr)).alias("rev"),
     )
 
 
@@ -1167,13 +1173,14 @@ WITH t AS (
          [CAST(i AS INTEGER) for i in generate_series(1, p_size % 5 + 2)] AS seq
   FROM part WHERE p_partkey < 500
 )
-SELECT p_partkey, seq,
-       seq[2:3] AS mid,
+SELECT p_partkey,
+       to_json(seq)::VARCHAR AS seq,
+       to_json(seq[2:3])::VARCHAR AS mid,
        CAST(list_position(seq, 3) AS BIGINT) AS pos3,
-       [seq, seq] AS nested,
-       flatten([seq, seq]) AS flat,
+       to_json([seq, seq])::VARCHAR AS nested,
+       to_json(flatten([seq, seq]))::VARCHAR AS flat,
        CAST(list_max(seq) AS BIGINT) AS amax,
-       list_reverse(seq) AS rev
+       to_json(list_reverse(seq))::VARCHAR AS rev
 FROM t
 """
 

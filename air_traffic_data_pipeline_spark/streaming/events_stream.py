@@ -193,4 +193,18 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(out, mode="update")
+    # The update-mode memory sink appends one row per user per micro-batch;
+    # collapse to the FINAL state per user (max n is monotonically the last
+    # emission) so the result is one row per user regardless of how many
+    # micro-batches the file source splits the input into (e.g. multi-file
+    # lakes or maxFilesPerTrigger) — without this, equivalence to the batch
+    # oracle would silently rely on a single-batch run.
+    from pyspark.sql import Window
+
+    sink = run_to_memory(out, mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -105,3 +105,21 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would duplicate unmatched small-side rows once per
+    salt replica; the operator must refuse rather than silently corrupt."""
+    import pytest
+
+    from air_traffic_data_pipeline_spark.operators.skew import salted_join
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    for how in ("right", "full", "full_outer", "outer", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="not supported"):
+            salted_join(ev, cust, "user_id", "c_custkey", how=how)
+    # left stays allowed (big-side-preserving)
+    salted_join(ev, cust, "user_id", "c_custkey", how="left")

@@ -40,8 +40,15 @@ def normalize(rows, cols):
                     v = "NaN"
             elif hasattr(v, "isoformat"):
                 v = v.isoformat()
-            elif isinstance(v, (list, tuple)):
-                v = tuple(v)
+            elif isinstance(v, (list, tuple, dict)):
+                # The driver's pandas-based canonicalizer cannot hash list
+                # cells (r1: rel_array_funcs2 ERROR "unhashable type: 'list'").
+                # Mirror that limitation exactly instead of tuple-izing, so a
+                # query that would error at the driver errors here first.
+                raise TypeError(
+                    f"unhashable collection cell in column {cols[i]!r}: "
+                    "serialize arrays/structs (e.g. to_json) before returning"
+                )
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=repr)
