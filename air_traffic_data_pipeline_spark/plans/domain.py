@@ -133,6 +133,13 @@ def flagship_noise_grid(
         grid_cells=n_cells,
         region_extent_m=2 * n_steps * step_m,
     )
+    return _noise_agg(pairs)
+
+
+def _noise_agg(pairs: DataFrame) -> DataFrame:
+    """attenuate -> per-cell power sum -> dB -> heat weight (shared by the
+    flagship and the reference-geometry variant). Rounding db to 2 dp and
+    weight to 6 dp makes the output insensitive to float summation order."""
     power = attenuated_power(F.col("src_db"), F.col("dist_m"))
     agg = (
         pairs.withColumn("power", power)
@@ -157,6 +164,110 @@ sources AS (SELECT lat, lon, src_db FROM ({SOURCE_LEVELS_SQL}) t),
 pairs AS (
   SELECT g.g_lat, g.g_lon, s.src_db, {dist} AS dist_m
   FROM grid g CROSS JOIN sources s
+),
+contrib AS (
+  SELECT g_lat, g_lon, {power} AS power
+  FROM pairs WHERE dist_m <= CAST({R_MAX!r} AS DOUBLE)
+),
+agg AS (
+  SELECT g_lat, g_lon, sum(power) AS sum_power
+  FROM contrib GROUP BY g_lat, g_lon
+  HAVING sum(power) > 0
+)
+SELECT g_lat, g_lon,
+       round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) AS db,
+       round(round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) / CAST({MAX_DB!r} AS DOUBLE), 6) AS weight
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-geometry flagship: step 200 m / n = 500 -> 1 002 001 cells
+# (/root/reference/scripts/functions.py:281). At this extent/R = 10 the
+# adaptive join picks the binned equi-join — the 100 TB scale path — and this
+# query proves it end to end at the grid the reference actually ships.
+# ---------------------------------------------------------------------------
+
+REFGEOM_STEP_M = 200.0
+REFGEOM_N_STEPS = 500
+# The reference's source side is ONE OpenSky poll (~dozens-hundreds of
+# aircraft, functions.py:47); our events-derived source lattice has
+# thousands of occupied coordinates, so the refgeom query deterministically
+# keeps ~1/40 of the coordinate lattice (pure integer arithmetic, identical
+# in both engines) to bench the reference's real shape: huge grid x
+# poll-sized source set.
+REFGEOM_SAMPLE_MOD = 40
+
+
+def _refgeom_keep(lat, lon) -> F.Column:
+    i_lat = F.round((lat - F.lit(47.0)) / F.lit(0.0028)).cast("long")
+    i_lon = F.round((lon + F.lit(1.92)) / F.lit(0.003)).cast("long")
+    return (i_lat * 7 + i_lon * 11) % REFGEOM_SAMPLE_MOD == 0
+
+
+_REFGEOM_KEEP_SQL = (
+    "(CAST(round((lat - CAST(47.0 AS DOUBLE)) / CAST(0.0028 AS DOUBLE)) AS BIGINT) * 7"
+    " + CAST(round((lon + CAST(1.92 AS DOUBLE)) / CAST(0.003 AS DOUBLE)) AS BIGINT) * 11)"
+    f" % {REFGEOM_SAMPLE_MOD} = 0"
+)
+
+
+def refgeom_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = gen_grid(spark, NANTES_LAT, NANTES_LON, REFGEOM_STEP_M, REFGEOM_N_STEPS)
+    sources = (
+        source_levels(spark, sf_dir)
+        .filter(_refgeom_keep(F.col("lat"), F.col("lon")))
+        .select("lat", "lon", "src_db")
+    )
+    n_cells = (2 * REFGEOM_N_STEPS + 1) ** 2
+    pairs = adaptive_radius_join(
+        grid,
+        sources,
+        R_MAX,
+        NANTES_LAT,
+        grid_cells=n_cells,
+        region_extent_m=2 * REFGEOM_N_STEPS * REFGEOM_STEP_M,
+    )
+    return _noise_agg(pairs)
+
+
+def refgeom_sql() -> str:
+    """DuckDB oracle for the refgeom query, with the SAME binned-equi-join
+    prefilter the Spark operator uses (the bin join is a pure prefilter — the
+    exact haversine predicate decides membership — so result equivalence to
+    cross+filter holds in either engine; binning just keeps the 1M-cell
+    oracle tractable)."""
+    import math
+
+    from ..constants import DEG2RAD, EARTH_RAD, RAD2DEG
+    from .sqlutil import dlit
+
+    bin_deg_lat = R_MAX / EARTH_RAD * RAD2DEG
+    bin_deg_lon = R_MAX / (EARTH_RAD * math.cos(NANTES_LAT * DEG2RAD)) * RAD2DEG
+    dist = haversine_sql("g.g_lat", "g.g_lon", "s.lat", "s.lon")
+    power = attenuated_power_sql("src_db", "dist_m")
+    return f"""
+WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, REFGEOM_STEP_M, REFGEOM_N_STEPS)}),
+src AS (
+  SELECT lat, lon, src_db FROM ({SOURCE_LEVELS_SQL}) t WHERE {_REFGEOM_KEEP_SQL}
+),
+sx AS (
+  SELECT lat, lon, src_db,
+         CAST(floor(lat / {dlit(bin_deg_lat)}) AS BIGINT) + d.dlat AS bin_lat,
+         CAST(floor(lon / {dlit(bin_deg_lon)}) AS BIGINT) + d.dlon AS bin_lon
+  FROM src CROSS JOIN (SELECT a.dlat, b.dlon
+                       FROM (VALUES (-1), (0), (1)) a(dlat),
+                            (VALUES (-1), (0), (1)) b(dlon)) d
+),
+gb AS (
+  SELECT g_lat, g_lon,
+         CAST(floor(g_lat / {dlit(bin_deg_lat)}) AS BIGINT) AS bin_lat,
+         CAST(floor(g_lon / {dlit(bin_deg_lon)}) AS BIGINT) AS bin_lon
+  FROM grid
+),
+pairs AS (
+  SELECT g.g_lat, g.g_lon, s.src_db, {dist} AS dist_m
+  FROM gb g JOIN sx s ON g.bin_lat = s.bin_lat AND g.bin_lon = s.bin_lon
 ),
 contrib AS (
   SELECT g_lat, g_lon, {power} AS power
@@ -299,6 +410,7 @@ def domain_queries() -> dict:
         "noise_slant_distance": q_slant_distance,
         "noise_bbox_filter": q_bbox_filter,
         "noise_heat_triples": q_heat_triples,
+        "noise_grid_refgeom": refgeom_noise_grid,
     }
 
 
@@ -311,4 +423,5 @@ def domain_oracles() -> dict:
         "noise_slant_distance": SLANT_SQL,
         "noise_bbox_filter": BBOX_SQL,
         "noise_heat_triples": heat_triples_sql(),
+        "noise_grid_refgeom": refgeom_sql(),
     }

@@ -834,6 +834,243 @@ def _mm_frames_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+# --- multi-probe LSH -------------------------------------------------------
+
+
+def lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query probes its own bucket PLUS the N_PLANES
+    Hamming-1 neighbor buckets (flip one hyperplane bit). The small query
+    side explodes 1+N_PLANES ways; the corpus side is untouched, so the join
+    stays the same single equi-join on bucket — recall goes up at the cost
+    of ~9x the candidate pairs per query, not a different plan shape.
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    v = to_double(F.col("embedding"))
+    with_bucket = e.select("vec_id", v.alias("vec")).withColumn(
+        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+    )
+    q = (
+        with_bucket.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
+    # a (q, c) pair can match through at most one bucket (buckets partition
+    # the corpus), so no post-join dedup is needed
+    cand = q.join(c, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def _multiprobe_sql() -> str:
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)])
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, vec AS q_vec, unnest([{probes}]) AS bucket
+  FROM wb WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS c_id, vec AS c_vec, bucket FROM wb),
+cand AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE q_id != c_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank FROM cand)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+# --- train/eval contamination check ---------------------------------------
+
+CONTAM_BENCH_MAX_ID = 20
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: fraction of each corpus document's distinct
+    word-3-gram shingles that also appear in the benchmark set (docs with
+    doc_id < 20 stand in for an eval suite). The benchmark shingle set is
+    genuinely small by contract (eval suites are fixed-size), so it is
+    explicitly broadcast; the corpus side never shuffles its raw text —
+    only (doc_id, shingle) pairs into the per-doc count.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select("s").distinct()
+    )
+    corp = sh.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    totals = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+_CONTAM_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {CONTAM_BENCH_MAX_ID}),
+corp AS (SELECT * FROM sh WHERE doc_id >= {CONTAM_BENCH_MAX_ID}),
+totals AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+hits AS (
+  SELECT corp.doc_id, count(*) AS n_hit
+  FROM corp JOIN bench ON corp.s = bench.s
+  GROUP BY corp.doc_id
+)
+SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE), 6) AS contamination
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 0.75}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with a DETERMINISTIC hash gate: keep a doc
+    iff u(doc_id) < rate(lang), where u = first-16-bits(md5(doc_id))/65536.
+    Unlike df.sample(), rerunning (or re-running a failed partition at
+    100 TB) selects the identical rows — sampling decisions must be a pure
+    function of the key, never of partition iteration order.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) / F.lit(65536.0)
+    rate = F.when(F.lit(False), 0.0)
+    for lg, r in SAMPLE_RATES.items():
+        rate = rate.when(F.col("lang") == lg, F.lit(r))
+    rate = rate.otherwise(F.lit(0.5))
+    return d.filter(u < rate).select("doc_id", "lang", "n_chars")
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN CAST({r} AS DOUBLE)" for lg, r in SAMPLE_RATES.items()
+    )
+    u = _hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {u} / CAST(65536.0 AS DOUBLE) < (CASE {cases} ELSE CAST(0.5 AS DOUBLE) END)
+"""
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+TFIDF_MAX_ID = 200
+TFIDF_TOPK = 3
+
+
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document over a bounded doc range. Two
+    shuffles: (doc_id, word) term counts, then word -> document frequency
+    joined back (the df table is vocabulary-sized — broadcast-friendly at
+    any corpus scale since vocabularies grow sublinearly)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < TFIDF_MAX_ID)
+    n_docs = TFIDF_MAX_ID  # doc_ids are dense 0..N-1 in the lake
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "w").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+            6,
+        ),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "w", "tf", "df", "tfidf", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < {TFIDF_MAX_ID}
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln((CAST({TFIDF_MAX_ID} AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE))), 6) AS tfidf
+  FROM tf JOIN df ON tf.w = df.w
+)
+SELECT doc_id, w, tf, df, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+  FROM scored) t
+WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+# --- end-to-end quality gate ----------------------------------------------
+
+QUALITY_MIN = 0.5
+CHARS_MIN, CHARS_MAX = 50, 2000
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation filter a training-data pipeline ships: quality score,
+    length band, and language allowlist combined; emits survivors with
+    their scores. Pure column expressions -> fully pushed-down scan +
+    filter, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        d.withColumn("quality", q)
+        .filter(
+            (F.col("quality") >= QUALITY_MIN)
+            & (F.col("n_chars") >= CHARS_MIN)
+            & (F.col("n_chars") <= CHARS_MAX)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
+_QUALITY_GATE_SQL = f"""
+SELECT doc_id, lang, n_chars, {quality_score_sql('text')} AS quality
+FROM documents
+WHERE {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
+  AND n_chars BETWEEN {CHARS_MIN} AND {CHARS_MAX}
+  AND lang IN ('en', 'de', 'fr')
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -857,7 +1094,24 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),
     ("llm_multimodal_frames", multimodal_frames, _mm_frames_sql()),
+    ("llm_lsh_topk_multiprobe", lsh_topk_multiprobe, _multiprobe_sql()),
+    ("llm_contamination_check", contamination_check, _CONTAM_SQL),
+    ("llm_stratified_sample", stratified_sample, _stratified_sample_sql()),
+    ("llm_tf_idf", tf_idf, _TFIDF_SQL),
+    ("llm_quality_gate", quality_gate, _QUALITY_GATE_SQL),
 ]
+
+
+def clear_caches() -> None:
+    """Unpersist and drop all cached minhash doc tables (bench hygiene:
+    guarantees a timed run is cold and a long session doesn't accumulate
+    executor storage)."""
+    for tbl in _DOC_TBL_CACHE.values():
+        try:
+            tbl.unpersist()
+        except Exception:
+            pass
+    _DOC_TBL_CACHE.clear()
 
 
 def queries() -> dict:

@@ -98,15 +98,31 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + deterministic top-10 (sort/limit)."""
+    """3-way join + agg + deterministic top-10 (sort/limit).
+
+    lineitem is pre-aggregated to (l_orderkey, revenue) BEFORE the join:
+    map-side partial aggregation means the shuffle carries one decimal per
+    distinct orderkey instead of every lineitem row, and the groupBy's hash
+    partitioning on l_orderkey is reused by the subsequent orderkey join
+    (no second lineitem-side shuffle). The orders side is pre-filtered by
+    the broadcast customer dimension, shrinking the join's probe input.
+    Decimal sums are associative, so pre-aggregating per orderkey then
+    projecting is value-identical to aggregating after the join.
+    """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(revenue_col()).alias("rev_dec"))
+    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderpriority"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        li_rev.join(o_f, li_rev.l_orderkey == o_f.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -1206,6 +1222,91 @@ GROUP BY 1
 """
 
 
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` into a typed struct over events.props (SURVEY §2 Part B
+    names from_json explicitly; rel_json_funcs covers get_json_object), plus
+    a to_json round trip and a struct-field predicate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    s = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        s.getField("k").cast("bigint").alias("k"),
+        F.to_json(s).alias("props_rt"),
+        (s.getField("k") >= 50).alias("k_high"),
+    )
+
+
+FROM_JSON_SQL = """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       to_json(struct_pack(k := CAST(props->>'k' AS INTEGER)))::VARCHAR AS props_rt,
+       CAST(props->>'k' AS BIGINT) >= 50 AS k_high
+FROM events WHERE event_id < 500
+"""
+
+
+def range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via the binned equi-join operator (operators/range_join.py):
+    orders matched to NON-uniform price bands [b^2, (b+1)^2) * 20000. The
+    oracle uses the naive theta join — equivalence proves the binned plan.
+    """
+    from ..operators.range_join import range_bin_join
+
+    o = load(spark, sf_dir, "orders")
+    bands = spark.range(0, 6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id") * F.lit(20000.0)).alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * F.lit(20000.0)).alias("hi"),
+    )
+    j = range_bin_join(o, bands, "o_totalprice", "lo", "hi", bin_size=25000.0)
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+RANGE_BUCKET_SQL = f"""
+WITH bands AS (
+  SELECT i AS band_id,
+         CAST(i * i AS DOUBLE) * CAST(20000.0 AS DOUBLE) AS lo,
+         CAST((i + 1) * (i + 1) AS DOUBLE) * CAST(20000.0 AS DOUBLE) AS hi
+  FROM generate_series(0, 5) t(i)
+)
+SELECT band_id, count(*) AS n,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       {SQL_DSUM('o_totalprice')} AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (selection + one linear
+    interpolation; rounded to 4 dp to absorb last-ulp formula differences
+    between engines' interpolation orderings)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", q), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1259,6 +1360,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_asof_join", asof_join, ASOF_SQL),
     ("rel_time_bucket_agg", time_bucket_agg, TIME_BUCKET_SQL),
     ("rel_approx_distinct", approx_distinct, None),
+    ("rel_from_json_struct", from_json_struct, FROM_JSON_SQL),
+    ("rel_range_bucket_join", range_bucket_join, RANGE_BUCKET_SQL),
+    ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
 ]
 
 

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "noise_grid_flagship",
+    "noise_grid_refgeom",
     "noise_source_levels",
     "rel_q1_pricing_summary",
     "rel_q3_top_orders",
@@ -29,6 +30,22 @@ HEADLINE = [
     "llm_lsh_topk",
     "stream_sessionize_batch",
 ]
+
+# Repetitions per timed query; the min is reported. The host VM throttles
+# CPU bursts unpredictably (measured: identical plans varying 1.2s..37s), so
+# a single sample is a lottery — min-of-N measures the engine, not the host.
+REPS = 2
+
+
+def _clear_engine_caches() -> None:
+    """Drop cross-call caches so every timed repetition is a COLD run (the
+    minhash doc-table cache would otherwise make rep 2 measure cache reads)."""
+    try:
+        from air_traffic_data_pipeline_spark.plans import llm
+
+        llm.clear_caches()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -51,9 +68,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(REPS):
+            _clear_engine_caches()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
