@@ -1037,6 +1037,59 @@ WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# --- transitive dedup clusters --------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified minhash near-dup pairs:
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+    Pairwise kill lists over-kill chains (a-b, b-c kills b AND c); the
+    cluster view is what survivor selection should run on. Iterative
+    min-label propagation (operators/components.py); the oracle is the
+    equivalent transitive closure via a recursive CTE — both converge to
+    the same fixpoint, so the iteration itself is value-checked."""
+    from ..operators.components import connected_components
+
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+def cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup: keep every doc that is its own cluster minimum
+    (plus all unclustered docs) — exactly one survivor per near-dup
+    cluster, the correct version of the pairwise near_dup_survivors."""
+    d = load(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir)
+    kills = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return d.join(kills, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+_CLUSTER_SURVIVORS_SQL = f"""
+WITH RECURSIVE cc AS ({_CLUSTERS_SQL}),
+kills AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d ANTI JOIN kills k ON d.doc_id = k.doc_id
+"""
+
+
 # --- end-to-end quality gate ----------------------------------------------
 
 QUALITY_MIN = 0.5
@@ -1099,6 +1152,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_stratified_sample", stratified_sample, _stratified_sample_sql()),
     ("llm_tf_idf", tf_idf, _TFIDF_SQL),
     ("llm_quality_gate", quality_gate, _QUALITY_GATE_SQL),
+    ("llm_dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
+    ("llm_cluster_survivors", cluster_survivors, _CLUSTER_SURVIVORS_SQL),
 ]
 
 

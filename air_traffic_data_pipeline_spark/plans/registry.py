@@ -71,6 +71,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_stratified_sample",
     "llm_tf_idf",
     "llm_quality_gate",
+    "llm_dedup_clusters",
+    "llm_cluster_survivors",
     "noise_grid_refgeom",
 )
 

@@ -108,6 +108,37 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert recall_multi >= recall_single, (recall_single, recall_multi)
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Chain a-b-c collapses to one cluster labeled min(a); disjoint edge
+    keeps its own label; convergence beyond one hop is exercised (the chain
+    needs 2 propagation rounds)."""
+    from air_traffic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 7), (7, 9), (9, 11), (20, 21), (30, 21)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {(2, 2), (7, 2), (9, 2), (11, 2), (20, 20), (21, 20), (30, 20)}
+
+
+def test_cluster_survivors_keep_one_per_cluster(spark):
+    """Every near-dup cluster keeps exactly its minimum doc_id."""
+    cc = llm.dedup_clusters(spark, SF).collect()
+    by_cluster = {}
+    for r in cc:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert by_cluster, "synthetic corpus contains near-dup clusters"
+    surv = {r.doc_id for r in llm.cluster_survivors(spark, SF).collect()}
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+        kept = [m for m in members if m in surv]
+        assert kept == [cid]
+
+
 def test_multimodal_decode_stub(spark):
     d = load(spark, SF, "documents").limit(50)
     decoded = decode_stub(attach_payload(d)).collect()

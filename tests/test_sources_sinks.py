@@ -90,6 +90,40 @@ def test_lake_partitioned_write_prunes(spark):
     assert "PartitionFilters" in plan or "part=2" in plan or back.count() == 250
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    """Joining two tables bucketed on the join key must not shuffle either
+    side: the bucket-aware scan provides the required hash partitioning.
+    This is the co-located-join layout lever SURVEY §2 Part B promises for
+    100 TB fact-fact joins."""
+    from air_traffic_data_pipeline_spark.sinks.lake import read_table, write_bucketed
+
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    ta_name, tb_name = f"bkt_a_{sfx}", f"bkt_b_{sfx}"
+    a = spark.range(2000).withColumn("v", (F.col("id") % 7).cast("long"))
+    b = spark.range(2000).withColumn("w", (F.col("id") % 5).cast("long"))
+    write_bucketed(a, ta_name, "id", n_buckets=8)
+    write_bucketed(b, tb_name, "id", n_buckets=8)
+    # disable auto-broadcast: these test tables are tiny, and a broadcast
+    # join would bypass bucketing; at 100 TB fact-fact scale broadcast is
+    # off the table anyway — the bucketed SMJ is exactly the plan to pin
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = read_table(spark, ta_name), read_table(spark, tb_name)
+        joined = ta.join(tb, "id").groupBy("v").agg(F.sum("w").alias("sw"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 7
+        pre_agg = plan.split("HashAggregate")[-1]  # below the agg: join + scans
+        assert "Exchange" not in pre_agg, pre_agg
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb_name}")
+
+
 def test_flagship_end_to_end_with_sink(spark):
     """Full reference pipeline shape: flagship query -> heatmap sink."""
     from air_traffic_data_pipeline_spark.operators.grid import gen_grid, grid_bounds
