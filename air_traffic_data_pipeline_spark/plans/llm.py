@@ -1037,6 +1037,53 @@ WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# --- grouped-map Arrow kernel (applyInPandas, batch) -----------------------
+
+
+def zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via batch ``applyInPandas``
+    — the grouped-map Arrow escape hatch (streaming counterpart:
+    streaming/events_stream.py stateful op). The kernel accumulates the
+    moments as EXACT int64 sums and applies one fixed double formula, so
+    the Python path is bitwise-reproducible and oracle-checkable — the
+    discipline any pandas kernel needs before it runs on 1000 executors.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = pdf["n_chars"].to_numpy(dtype="int64")
+        n = len(x)
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1)
+        z = np.round((x.astype("float64") - mean) / np.sqrt(var), 6)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_len": z}
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        kernel, "doc_id long, lang string, z_len double"
+    )
+
+
+_ZSCORE_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n,
+         sum(n_chars) AS s, sum(n_chars * n_chars) AS ss
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       round((CAST(d.n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS z_len
+FROM documents d JOIN g USING (lang)
+"""
+
+
 # --- transitive dedup clusters --------------------------------------------
 
 
@@ -1154,6 +1201,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_quality_gate", quality_gate, _QUALITY_GATE_SQL),
     ("llm_dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     ("llm_cluster_survivors", cluster_survivors, _CLUSTER_SURVIVORS_SQL),
+    ("llm_zscore_groups", zscore_groups, _ZSCORE_SQL),
 ]
 
 

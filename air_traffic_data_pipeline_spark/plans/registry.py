@@ -66,6 +66,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_from_json_struct",
     "rel_range_bucket_join",
     "rel_percentiles_exact",
+    "rel_map_funcs",
+    "rel_higher_order",
     "llm_lsh_topk_multiprobe",
     "llm_contamination_check",
     "llm_stratified_sample",
@@ -73,6 +75,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_quality_gate",
     "llm_dedup_clusters",
     "llm_cluster_survivors",
+    "llm_zscore_groups",
     "noise_grid_refgeom",
 )
 

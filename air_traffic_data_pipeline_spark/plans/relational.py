@@ -1307,6 +1307,78 @@ FROM orders GROUP BY 1
 """
 
 
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map from arrays, access/lookup/
+    size/keys; map values are projected to scalars or JSON so the driver
+    can hash them."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type"), F.lit("size")),
+        F.array(F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")),
+    )
+    return p.select(
+        "p_partkey",
+        F.size(m).cast("bigint").alias("n_entries"),
+        F.element_at(m, "brand").alias("brand"),
+        F.element_at(m, "missing").alias("missing_is_null"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.map_contains_key(m, "type").alias("has_type"),
+    )
+
+
+MAP_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         MAP {'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)} AS m
+  FROM part WHERE p_partkey < 300
+)
+SELECT p_partkey,
+       CAST(cardinality(m) AS BIGINT) AS n_entries,
+       m['brand'][1] AS brand,
+       m['missing'][1] AS missing_is_null,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+       list_contains(map_keys(m), 'type') AS has_type
+FROM t
+"""
+
+
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery: transform / filter / exists /
+    forall / aggregate / zip_with over a derived int array. HOF lambdas run
+    interpreted (not codegen) — fine off the hot path; hot-path folds live
+    in functions/vectors.py with the same primitives."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    arr = F.sequence(F.lit(1), (F.col("p_size") % 6 + 3).cast("int"))
+    return p.select(
+        "p_partkey",
+        F.to_json(F.transform(arr, lambda x: x * x)).alias("squares"),
+        F.to_json(F.filter(arr, lambda x: x % 2 == 0)).alias("evens"),
+        F.exists(arr, lambda x: x > 5).alias("any_gt5"),
+        F.forall(arr, lambda x: x < 100).alias("all_lt100"),
+        F.aggregate(arr, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("total"),
+        F.to_json(
+            F.zip_with(arr, F.reverse(arr), lambda a, b: a * b)
+        ).alias("palindrome_products"),
+    )
+
+
+HOF_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         [CAST(i AS INTEGER) for i in generate_series(1, p_size % 6 + 3)] AS arr
+  FROM part WHERE p_partkey < 300
+)
+SELECT p_partkey,
+       to_json(list_transform(arr, x -> x * x))::VARCHAR AS squares,
+       to_json(list_filter(arr, x -> x % 2 = 0))::VARCHAR AS evens,
+       len(list_filter(arr, x -> x > 5)) > 0 AS any_gt5,
+       len(list_filter(arr, x -> NOT (x < 100))) = 0 AS all_lt100,
+       CAST(list_reduce(list_prepend(0, arr), (acc, x) -> acc + x) AS BIGINT) AS total,
+       to_json([arr[i] * arr[len(arr) - i + 1] for i in generate_series(1, len(arr))])::VARCHAR AS palindrome_products
+FROM t
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1363,6 +1435,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_from_json_struct", from_json_struct, FROM_JSON_SQL),
     ("rel_range_bucket_join", range_bucket_join, RANGE_BUCKET_SQL),
     ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
+    ("rel_map_funcs", map_funcs, MAP_SQL),
+    ("rel_higher_order", higher_order_funcs, HOF_SQL),
 ]
 
 

@@ -90,6 +90,27 @@ def test_lake_partitioned_write_prunes(spark):
     assert "PartitionFilters" in plan or "part=2" in plan or back.count() == 250
 
 
+def test_csv_jsonl_scan_roundtrip(spark):
+    """The scans row of SURVEY §2 Part B promises parquet/json/csv: write
+    the customer table out as JSONL and CSV and read both back with an
+    explicit schema — values must survive the round trip exactly."""
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+    schema = "c_custkey long, c_name string, c_acctbal double"
+    jdir = tempfile.mkdtemp(prefix="lake_json_")
+    cdir = tempfile.mkdtemp(prefix="lake_csv_")
+    src.write.mode("overwrite").json(jdir)
+    src.write.mode("overwrite").option("header", True).csv(cdir)
+    back_j = spark.read.schema(schema).json(jdir)
+    back_c = spark.read.schema(schema).option("header", True).csv(cdir)
+    expect = sorted(tuple(r) for r in src.collect())
+    assert sorted(tuple(r) for r in back_j.collect()) == expect
+    assert sorted(tuple(r) for r in back_c.collect()) == expect
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Joining two tables bucketed on the join key must not shuffle either
     side: the bucket-aware scan provides the required hash partitioning.
