@@ -53,6 +53,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stateful_user_stats",
     "stream_sessionize_batch",
+    # -- round-2 flagship-at-reference-geometry (verdict item 4) -----------
+    "noise_grid_refgeom",
     # -- rel_* : past the round-1 window or errored ------------------------
     "rel_array_funcs2",
     "rel_json_funcs",
@@ -75,8 +77,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_quality_gate",
     "llm_dedup_clusters",
     "llm_cluster_survivors",
+    # last: if the driver window is exactly 50, this demo rotates to round 3
     "llm_zscore_groups",
-    "noise_grid_refgeom",
 )
 
 
