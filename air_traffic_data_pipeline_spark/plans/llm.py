@@ -199,17 +199,41 @@ SELECT DISTINCT doc_id, unnest({shingles_sql('text')}) AS s FROM documents
 """
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+def _chunk_cols() -> list:
+    """The k minhash functions as 8-hex-char (32-bit) chunks of TWO salted
+    md5s: h_{4a+j} = substr(md5('a|' || s), 8j+1, 8). One md5 yields four
+    independent 32-bit hash values (md5 bits are uniform), so the per-shingle
+    hash cost drops from k=8 digests to 2 — measured the dominant CPU cost
+    of the pipeline. min() over the fixed-width hex chunks is min over
+    uniform 32-bit values lexicographically, exactly what MinHash needs."""
+    out = []
+    for salt in range(MINHASH_K // 4):
+        m = F.md5(F.concat(F.lit(f"{salt}|"), F.col("s")))
+        out.append(m.alias(f"_m{salt}"))
+    return out
+
+
+def _chunk_aggs() -> list:
+    return [
+        F.min(F.substring(F.col(f"_m{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_CHUNK_MINS_SQL = ", ".join(
+    f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
+    for i in range(MINHASH_K)
+)
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    sh = sh.select("doc_id", "s", *_chunk_cols())
+    return sh.groupBy("doc_id").agg(*_chunk_aggs())
 
 
 _MINHASH_SIG_SQL = f"""
-SELECT doc_id, {", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(MINHASH_K))}
+SELECT doc_id, {_CHUNK_MINS_SQL}
 FROM ({_SHINGLE_ROWS_SQL}) t GROUP BY doc_id
 """
 
@@ -246,12 +270,10 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     d = fan_out(load(spark, sf_dir, "documents"))
     sh_rows = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh_rows = sh_rows.select("doc_id", "s", *_chunk_cols())
     doc_tbl = sh_rows.groupBy("doc_id").agg(
         F.collect_set("s").alias("sh_arr"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ],
+        *_chunk_aggs(),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _DOC_TBL_CACHE[key] = doc_tbl
     return doc_tbl
@@ -276,16 +298,13 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     doc_tbl = _minhash_doc_tbl(spark, sf_dir)
     sig = doc_tbl
-    band_cols = []
-    for b in range(MINHASH_BANDS):
-        band_cols.extend(
-            [F.lit(b), F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))]
-        )
+    # band key = plain concat of the two 32-bit chunks (already uniform hex;
+    # re-hashing with md5 would cost k/2 digests per doc for nothing)
     bands = sig.selectExpr(
         "doc_id",
         f"stack({MINHASH_BANDS}, "
         + ", ".join(
-            f"{b}, md5(concat(h{2 * b}, h{2 * b + 1}))" for b in range(MINHASH_BANDS)
+            f"{b}, concat(h{2 * b}, h{2 * b + 1})" for b in range(MINHASH_BANDS)
         )
         + ") AS (band, key)",
     )
@@ -334,7 +353,7 @@ _MINHASH_PAIRS_SQL = f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS key FROM sig"
+      f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
       for b in range(MINHASH_BANDS)
   )}
 ),
