@@ -1190,6 +1190,240 @@ WHERE {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
 """
 
 
+# --- training-data prep: chunking, packing, split, scrub, mixing -----------
+
+CHUNK_WORDS = 32
+PACK_BUDGET = 256
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window prep: split every document into fixed CHUNK_WORDS-word
+    chunks (last chunk ragged). One explode per doc — at scale this is a
+    narrow map-side transform with no shuffle; chunk count rides the
+    sequence(), text slices stay inside codegen."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_chunks = F.ceil(n / F.lit(CHUNK_WORDS)).cast("int")
+    return (
+        d.select("doc_id", w.alias("w"), n.alias("n"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            "w",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_WORDS), F.col("n") - F.col("chunk_id") * CHUNK_WORDS
+            ).cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("chunk_id") * CHUNK_WORDS + 1, CHUNK_WORDS)
+            ).alias("chunk"),
+        )
+    )
+
+
+_CHUNKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n,
+         CAST(ceil(len(string_split(text, ' ')) / CAST({CHUNK_WORDS} AS DOUBLE)) AS INTEGER) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_WORDS}, n - i * {CHUNK_WORDS}) AS BIGINT) AS n_tokens,
+       array_to_string(w[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}], ' ') AS chunk
+FROM t, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) s
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy stream packing of documents into PACK_BUDGET-token bins:
+    within each source (deterministic doc_id order), a running token count
+    assigns each doc to the bin its first token lands in.
+
+    The window partitions by source, so at scale the cumulative sum runs
+    one partition per source in parallel — never a single global ordered
+    window (the classic driver-melting mistake for this op)."""
+    d = load(spark, sf_dir, "documents")
+    toks = word_count(F.col("text"))
+    win = W.partitionBy("source").orderBy("doc_id")
+    with_pack = (
+        d.select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(win))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast("bigint"),
+        )
+    )
+    return (
+        with_pack.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_packed"),
+            F.round(
+                F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT source, CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+       round(sum(n_tokens) / CAST({PACK_BUDGET} AS DOUBLE), 6) AS fill_ratio
+FROM t GROUP BY 1, 2
+"""
+
+
+SPLIT_TRAIN, SPLIT_VAL = 90, 95  # of 100
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hashed doc_id: the split
+    label is a pure column expression (md5 -> 16-bit int -> mod 100), so
+    membership is stable under reshuffling, appends, and re-runs — the
+    property a reproducible training pipeline needs. Aggregates per split."""
+    d = load(spark, sf_dir, "documents")
+    bucket = _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), word_count(F.col("text")).alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_SQL = f"""
+WITH t AS (
+  SELECT CASE WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY split
+"""
+
+
+PII_NUM_RE = "[0-9]+"
+PII_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over the events payload column (the synthetic
+    lake's only text with digits): redact email-shaped tokens, then digit
+    runs, reporting per-row redaction counts and the scrubbed payload's
+    fingerprint. Pure regexp column expressions — no shuffle, scales
+    linearly with the corpus."""
+    e = load(spark, sf_dir, "events")
+    n_emails = F.size(F.regexp_extract_all(F.col("props"), F.lit(PII_EMAIL_RE), 0))
+    scrub1 = F.regexp_replace(F.col("props"), PII_EMAIL_RE, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(scrub1, F.lit(PII_NUM_RE), 0))
+    scrubbed = F.regexp_replace(scrub1, PII_NUM_RE, "<NUM>")
+    return e.select(
+        "event_id",
+        n_emails.cast("bigint").alias("n_email_redactions"),
+        n_nums.cast("bigint").alias("n_num_redactions"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).filter((F.col("n_email_redactions") > 0) | (F.col("n_num_redactions") > 0))
+
+
+_PII_SQL = f"""
+WITH t AS (
+  SELECT event_id,
+         len(regexp_extract_all(props, '{PII_EMAIL_RE}')) AS n_email_redactions,
+         regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+  FROM events
+)
+SELECT event_id,
+       CAST(n_email_redactions AS BIGINT) AS n_email_redactions,
+       CAST(len(regexp_extract_all(s1, '{PII_NUM_RE}')) AS BIGINT) AS n_num_redactions,
+       md5(regexp_replace(s1, '{PII_NUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+FROM t
+WHERE n_email_redactions > 0 OR len(regexp_extract_all(s1, '{PII_NUM_RE}')) > 0
+"""
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens by frequency: explode -> count -> global
+    top-k. The groupBy shuffles only distinct tokens (map-side combine);
+    the top-k is TakeOrderedAndProject, never a full sort of the vocab."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(20)
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT w, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+GROUP BY w ORDER BY freq DESC, w LIMIT 20
+"""
+
+
+def dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source gets a deterministic sampling
+    rate ((source_number % 5 + 1)/10); a doc survives iff its hashed
+    (doc_id, source) key falls under the rate. Per-source realized rates
+    come out alongside targets — the reproducible-subsample op a data
+    mixture pipeline needs (membership stable under re-runs/appends)."""
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        (F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5 + 1) / 10.0
+    )
+    hv = _hex4_to_int(F.md5(F.concat(F.col("doc_id").cast("string"), F.col("source"))))
+    keep = (hv / F.lit(65536.0)) < rate
+    return (
+        d.select("source", rate.alias("target_rate"), keep.cast("int").alias("kept"))
+        .groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("realized_rate"),
+        )
+    )
+
+
+_MIXING_SQL = f"""
+WITH t AS (
+  SELECT source,
+         (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1) / CAST(10.0 AS DOUBLE) AS target_rate,
+         CASE WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR) || source)")} / CAST(65536.0 AS DOUBLE)
+                   < (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1) / CAST(10.0 AS DOUBLE)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, target_rate, count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+FROM t GROUP BY 1, 2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1221,6 +1455,12 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_clusters", dedup_clusters, _CLUSTERS_SQL),
     ("llm_cluster_survivors", cluster_survivors, _CLUSTER_SURVIVORS_SQL),
     ("llm_zscore_groups", zscore_groups, _ZSCORE_SQL),
+    ("llm_doc_chunking", doc_chunking, _CHUNKING_SQL),
+    ("llm_sequence_packing", sequence_packing, _PACKING_SQL),
+    ("llm_train_val_split", train_val_split, _SPLIT_SQL),
+    ("llm_pii_scrub", pii_scrub, _PII_SQL),
+    ("llm_heavy_hitters", heavy_hitters, _HEAVY_HITTERS_SQL),
+    ("llm_dataset_mixing", dataset_mixing, _MIXING_SQL),
 ]
 
 

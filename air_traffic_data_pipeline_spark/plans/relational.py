@@ -1379,6 +1379,252 @@ FROM t
 """
 
 
+# --- TPC-H-shape fill (adapted to the synthetic lake's narrower columns) ---
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with EXISTS a matching
+    lineitem (here: a returned item — the lake has no commit/receipt dates).
+    Left-semi join, so lineitem contributes at most one match per order and
+    only l_orderkey crosses the shuffle."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q6_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filtered aggregate. All three predicates
+    reach the parquet scan as PushedFilters; the agg is a one-row partial+
+    final with no join — the pushdown showcase."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(disc_rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items.
+
+    Returned lineitems are pre-aggregated per order BEFORE joining orders
+    (decimal sums are associative), so the order join carries one row per
+    order; the final customer join is a broadcast of the dimension."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(revenue_col()).alias("rev_dec"), F.count(F.lit(1)).alias("n_items")
+    )
+    per_cust = (
+        li_rev.join(o, li_rev.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_dec").alias("rev_dec"), F.sum("n_items").alias("n_items"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) counts over a fact-fact join,
+    grouped by return flag (the lake has no shipmode column)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — two exact decimal sums and ONE
+    double division at the end (deterministic across engines). Part is a
+    broadcast dimension."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", revenue_col()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = j.agg(
+        F.sum(promo).alias("promo_dec"), F.sum(revenue_col()).alias("total_dec")
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("promo_revenue_pct"),
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(100.0 AS DOUBLE) * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum({SQL_REVENUE}) AS DOUBLE) AS promo_revenue_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING on a pre-aggregated fact), joined back to orders + broadcast
+    customer. The heavy lineitem aggregation happens before any join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            fmt_date("o_orderdate", "o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 150) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join on partkey with a residual OR-of-ANDs
+    bracket predicate — Catalyst keeps the equi-join (broadcast part) and
+    evaluates the disjunction as a post-join filter, instead of a cross
+    product."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 35)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return j.filter(bracket).agg(
+        F.sum(revenue_col()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 15 AND l_quantity >= CAST(1 AS DOUBLE) AND l_quantity <= CAST(11 AS DOUBLE))
+   OR (p_brand = 'Brand#12' AND p_size <= 25 AND l_quantity >= CAST(10 AS DOUBLE) AND l_quantity <= CAST(20 AS DOUBLE))
+   OR (p_brand = 'Brand#13' AND p_size <= 35 AND l_quantity >= CAST(20 AS DOUBLE) AND l_quantity <= CAST(30 AS DOUBLE))
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1437,6 +1683,13 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
     ("rel_map_funcs", map_funcs, MAP_SQL),
     ("rel_higher_order", higher_order_funcs, HOF_SQL),
+    ("rel_q4_priority_exists", q4_priority_exists, Q4_SQL),
+    ("rel_q6_revenue_band", q6_revenue_band, Q6_SQL),
+    ("rel_q10_returned_revenue", q10_returned_revenue, Q10_SQL),
+    ("rel_q12_priority_counts", q12_priority_counts, Q12_SQL),
+    ("rel_q14_promo_share", q14_promo_share, Q14_SQL),
+    ("rel_q18_large_orders", q18_large_orders, Q18_SQL),
+    ("rel_q19_bracket_predicates", q19_bracket_predicates, Q19_SQL),
 ]
 
 

@@ -1,0 +1,119 @@
+"""Training-data prep operators (round 2): chunking, packing, split, scrub,
+heavy hitters, mixing — plus the TPC-H-shape relational fill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_traffic_data_pipeline_spark.plans import llm, relational
+from air_traffic_data_pipeline_spark.plans.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunking_partitions_every_doc(spark):
+    """Chunks tile each document exactly: token counts re-sum to the doc's
+    word count, chunk ids are dense from 0, and only the last chunk may be
+    ragged."""
+    docs = load(spark, SF, "documents")
+    chunks = llm.doc_chunking(spark, SF)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_id").alias("max_id"),
+        F.min("chunk_id").alias("min_id"),
+    )
+    joined = per_doc.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("wc")), "doc_id"
+    )
+    bad = joined.filter(
+        (F.col("tok") != F.col("wc"))
+        | (F.col("min_id") != 0)
+        | (F.col("max_id") != F.col("n_chunks") - 1)
+    )
+    assert bad.count() == 0
+    assert per_doc.count() == docs.count()
+    # every non-final chunk is exactly CHUNK_WORDS tokens
+    short = chunks.join(per_doc.select("doc_id", "max_id"), "doc_id").filter(
+        (F.col("chunk_id") < F.col("max_id"))
+        & (F.col("n_tokens") != llm.CHUNK_WORDS)
+    )
+    assert short.count() == 0
+
+
+def test_packing_conserves_tokens_and_orders_bins(spark):
+    """Packing neither drops nor duplicates tokens, and bins within a source
+    are dense consecutive ids starting at 0."""
+    docs = load(spark, SF, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    packs = llm.sequence_packing(spark, SF).collect()
+    assert sum(p.tokens_packed for p in packs) == total
+    by_source: dict[str, list[int]] = {}
+    for p in packs:
+        by_source.setdefault(p.source, []).append(p.pack_id)
+    for ids in by_source.values():
+        ids.sort()
+        assert ids == list(range(len(ids)))
+
+
+def test_split_partitions_corpus_with_expected_shape(spark):
+    rows = {r.split: r for r in llm.train_val_split(spark, SF).collect()}
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert rows["train"].n_docs > rows.get("val", rows["train"]).n_docs or n_docs < 20
+    # determinism: rerun gives the identical partition
+    again = {r.split: r.n_docs for r in llm.train_val_split(spark, SF).collect()}
+    assert again == {k: v.n_docs for k, v in rows.items()}
+
+
+def test_pii_scrub_redacts_all_digit_runs(spark):
+    out = llm.pii_scrub(spark, SF)
+    n_events = load(spark, SF, "events").count()
+    rows = out.collect()
+    assert len(rows) == n_events  # every props payload carries a number
+    assert all(r.n_num_redactions >= 1 for r in rows)
+
+
+def test_heavy_hitters_topk_is_sorted_and_exact(spark):
+    rows = llm.heavy_hitters(spark, SF).collect()
+    assert len(rows) == 20
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # spot-check one token's count against a direct filter
+    w0 = rows[0].w
+    direct = (
+        load(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") == w0)
+        .count()
+    )
+    assert direct == rows[0].freq
+
+
+def test_mixing_rates_within_tolerance(spark):
+    for r in llm.dataset_mixing(spark, SF).collect():
+        assert 0 <= r.n_kept <= r.n_total
+        # hash sampling is unbiased; at tiny SF just bound the realized rate
+        assert 0.0 <= r.realized_rate <= 1.0
+
+
+def test_q18_rows_all_exceed_threshold(spark):
+    rows = relational.q18_large_orders(spark, SF).collect()
+    assert all(r.sum_qty > 150 for r in rows)
+
+
+def test_q6_matches_manual_filter(spark):
+    li = load(spark, SF, "lineitem")
+    manual = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).count()
+    )
+    row = relational.q6_revenue_band(spark, SF).collect()[0]
+    assert row.n_items == manual
