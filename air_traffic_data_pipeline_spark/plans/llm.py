@@ -1424,6 +1424,85 @@ FROM t GROUP BY 1, 2
 """
 
 
+FUZZY_MAX_ID = 40
+FUZZY_PREFIX = 200
+FUZZY_MAX_DIST = 60
+
+
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-match kernel: pairwise Levenshtein over text
+    prefixes for a bounded id range — the exact verifier an LSH/blocking
+    pipeline would run on its candidate pairs (deliberately bounded, like
+    the n-gram Jaccard kernel; at scale the pair list comes from a blocking
+    join, never from a corpus cross product)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < FUZZY_MAX_ID)
+        .select("doc_id", F.substring("text", 1, FUZZY_PREFIX).alias("t"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+_FUZZY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS t
+  FROM documents WHERE doc_id < {FUZZY_MAX_ID}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= {FUZZY_MAX_DIST}
+"""
+
+
+def quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality score computed by a VECTORIZED Arrow scalar pandas_udf
+    instead of column expressions — the batteries-included UDF surface,
+    value-checked bitwise against the same DuckDB oracle as the native
+    version (identical float operation ordering inside the kernel; the
+    final 6-dp round stays JVM-side so both paths share it). Arrow batches
+    move whole columns, never rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    stops = set(LANG_STOPWORDS["en"])
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas isn't module-global, so hint inference would fail; the
+    # explicit pandas_udf(fn, "double") form defaults to a SCALAR Arrow UDF
+    def _quality_kernel(text):
+        import re
+
+        words = text.str.split(" ")
+        wc = words.str.len().astype("float64")
+        length_part = (wc / 100.0).clip(upper=1.0)
+        stop_part = (
+            words.apply(lambda ws: sum(w in stops for w in ws)).astype("float64") / wc
+        )
+        n = text.str.len().astype("float64")
+        stripped = text.apply(lambda s: len(re.sub(r"[.,!?;:]", "", s))).astype(
+            "float64"
+        )
+        punct_ratio = (n - stripped) / n
+        return 0.4 * length_part + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_part
+
+    _quality = pandas_udf(_quality_kernel, "double")
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(_quality(F.col("text")), 6).alias("quality"))
+
+
+_QUALITY_UDF_SQL = QUALITY_SQL  # same contract as the native column version
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1461,6 +1540,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pii_scrub", pii_scrub, _PII_SQL),
     ("llm_heavy_hitters", heavy_hitters, _HEAVY_HITTERS_SQL),
     ("llm_dataset_mixing", dataset_mixing, _MIXING_SQL),
+    ("llm_fuzzy_match_levenshtein", fuzzy_match_levenshtein, _FUZZY_SQL),
+    ("llm_quality_pandas_udf", quality_pandas_udf, _QUALITY_UDF_SQL),
 ]
 
 

@@ -1625,6 +1625,155 @@ WHERE (p_brand = 'Brand#11' AND p_size <= 15 AND l_quantity >= CAST(1 AS DOUBLE)
 """
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other, unlike plain equi-join. Derived nullable keys on both sides;
+    still hash-partitionable (NULL is one key), so the scale path is a
+    normal shuffled hash join."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 60)
+    a = c.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k")
+    )
+    b = s.select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("k")
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .groupBy(a.k.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS k FROM customer WHERE c_custkey <= 200),
+     b AS (SELECT s_suppkey, nullif(s_nationkey % 5, 4) AS k FROM supplier WHERE s_suppkey <= 60)
+SELECT a.k, count(*) AS n_pairs,
+       count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
+
+
+NANOS_PER_DAY = 86_400_000_000_000
+
+
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap fill): a generated day spine spanning the
+    events table's range, left-joined to per-day counts, emitting zeros for
+    missing days. The spine comes from sequence() over the 1-row min/max
+    aggregate — generated on executors, no driver loop; at scale a few
+    thousand spine rows broadcast to join the daily aggregate."""
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {NANOS_PER_DAY}").cast("bigint")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "day_value")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.date_format(
+                F.timestamp_seconds(F.col("day") * 86400), "yyyy-MM-dd"
+            ).alias("day_date"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("day_value"), F.lit(0.0)).alias("day_value"),
+            (F.col("n").isNull()).alias("is_gap"),
+        )
+    )
+
+
+DATE_SPINE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(epoch_ns(ts) // {NANOS_PER_DAY} AS BIGINT) AS day,
+         count(*) AS n, {SQL_DSUM('value')} AS day_value
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds)
+SELECT s.day,
+       strftime(to_timestamp(s.day * 86400), '%Y-%m-%d') AS day_date,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+       coalesce(d.day_value, CAST(0.0 AS DOUBLE)) AS day_value,
+       d.n IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+def posexplode_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode + struct-array inline battery: posexplode keeps
+    the element index; inline expands an array of structs into columns.
+    Both are narrow generators — no shuffle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    arr = F.sequence(F.lit(10), F.lit(10) + (F.col("p_size") % 4).cast("int"))
+    exploded = p.select(
+        "p_partkey", F.posexplode(arr).alias("pos", "val")
+    )
+    structs = p.select(
+        "p_partkey",
+        F.inline(
+            F.array(
+                F.struct(F.lit("lo").alias("tag"), (F.col("p_size") % 10).alias("v")),
+                F.struct(F.lit("hi").alias("tag"), (F.col("p_size") % 10 + 100).alias("v")),
+            )
+        ),
+    ).select("p_partkey", F.lit(-1).alias("pos"), F.concat(F.col("tag"), F.lit(":"), F.col("v").cast("string")).alias("tagged"))
+    return (
+        exploded.select(
+            "p_partkey",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("val").cast("string").alias("tagged"),
+        )
+        .unionAll(structs.select("p_partkey", F.col("pos").cast("bigint"), "tagged"))
+    )
+
+
+POSEXPLODE_SQL = """
+WITH base AS (SELECT p_partkey, p_size FROM part WHERE p_partkey < 120),
+ex AS (
+  SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(10 + i - 1 AS VARCHAR) AS tagged
+  FROM base, LATERAL (SELECT unnest(generate_series(1, p_size % 4 + 1)) AS i) t
+),
+st AS (
+  SELECT p_partkey, CAST(-1 AS BIGINT) AS pos, 'lo:' || CAST(p_size % 10 AS VARCHAR) AS tagged FROM base
+  UNION ALL
+  SELECT p_partkey, CAST(-1 AS BIGINT) AS pos, 'hi:' || CAST(p_size % 10 + 100 AS VARCHAR) AS tagged FROM base
+)
+SELECT * FROM ex UNION ALL SELECT * FROM st
+"""
+
+
+def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the 100 TB cardinality pattern: per-group
+    sketch partials (hll_sketch_agg), re-aggregated with hll_union_agg into
+    a global estimate WITHOUT touching raw data again. Engines' sketches
+    differ by design, so the driver check is rows-only; the pytest bounds
+    the estimate against the exact count (±5%)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg(F.col("l_partkey")).alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"),
+    ).select(F.lit("ALL").alias("l_returnflag"), F.col("est").cast("bigint").alias("est_parts"), F.lit(None).cast("long").alias("exact_parts"))
+    per = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate(F.col("sk")).cast("bigint").alias("est_parts"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+    )
+    return per.unionAll(merged)
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1690,6 +1839,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q14_promo_share", q14_promo_share, Q14_SQL),
     ("rel_q18_large_orders", q18_large_orders, Q18_SQL),
     ("rel_q19_bracket_predicates", q19_bracket_predicates, Q19_SQL),
+    ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
+    ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
+    ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
+    ("rel_hll_partial_merge", hll_partial_merge, None),
 ]
 
 

@@ -104,6 +104,64 @@ def test_q18_rows_all_exceed_threshold(spark):
     assert all(r.sum_qty > 150 for r in rows)
 
 
+def test_hll_estimates_close_to_exact(spark):
+    """Sketch partial + merge: per-group estimates within 5% of exact, and
+    the merged global estimate within 5% of the true global distinct."""
+    rows = {r.l_returnflag: r for r in relational.hll_partial_merge(spark, SF).collect()}
+    li = load(spark, SF, "lineitem")
+    for flag, r in rows.items():
+        if flag == "ALL":
+            exact = li.select("l_partkey").distinct().count()
+        else:
+            exact = (
+                li.filter(F.col("l_returnflag") == flag)
+                .select("l_partkey").distinct().count()
+            )
+            assert r.exact_parts == exact
+        assert abs(r.est_parts - exact) <= max(2, 0.05 * exact)
+
+
+def test_null_safe_join_matches_null_group(spark):
+    rows = {r.k: r for r in relational.join_null_safe(spark, SF).collect()}
+    assert None in rows, "NULL <=> NULL group must match"
+    assert rows[None].n_pairs == rows[None].n_cust * rows[None].n_supp
+
+
+def test_date_spine_is_dense_and_flags_gaps(spark):
+    rows = sorted(relational.date_spine_gapfill(spark, SF).collect(), key=lambda r: r.day)
+    days = [r.day for r in rows]
+    assert days == list(range(days[0], days[-1] + 1)), "spine must be gapless"
+    for r in rows:
+        assert (r.n_events == 0) == r.is_gap
+    assert rows[0].n_events > 0 and rows[-1].n_events > 0  # bounds come from data
+
+
+def test_fuzzy_match_detects_near_dups(spark):
+    """The synthetic corpus has near-duplicate docs; their edit distance on
+    the shared prefix must be far below the random-pair baseline."""
+    pairs = llm.fuzzy_match_levenshtein(spark, SF).collect()
+    near = llm.minhash_near_dup_pairs(spark, SF).filter(
+        (F.col("doc_a") < llm.FUZZY_MAX_ID) & (F.col("doc_b") < llm.FUZZY_MAX_ID)
+    ).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    for n in near:
+        assert (n.doc_a, n.doc_b) in got, "true near-dup missed by edit-distance kernel"
+
+
+def test_quality_pandas_udf_matches_native(spark):
+    """Arrow scalar UDF and native column expression agree bitwise."""
+    udf = llm.quality_pandas_udf(spark, SF)
+    native = llm.quality_score_q(spark, SF) if hasattr(llm, "quality_score_q") else None
+    from air_traffic_data_pipeline_spark.plans.llm import _SPECS
+
+    native_fn = dict((n, f) for n, f, _ in _SPECS)["llm_quality_score"]
+    native = native_fn(spark, SF)
+    diff = udf.alias("u").join(native.alias("n"), "doc_id").filter(
+        F.col("u.quality") != F.col("n.quality")
+    )
+    assert diff.count() == 0
+
+
 def test_q6_matches_manual_filter(spark):
     li = load(spark, SF, "lineitem")
     manual = (
