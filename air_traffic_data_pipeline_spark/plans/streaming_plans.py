@@ -161,7 +161,39 @@ FROM events GROUP BY 1
 """
 
 
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import late_data_drop_counts
+
+    return late_data_drop_counts(spark, sf_dir)
+
+
+# Replays the watermark algebra: batch 1 = newer half by (ts, event_id);
+# its max event time minus the 1h delay is the final watermark; batch 2
+# (older half) is entirely behind it and dropped; append mode emits only
+# windows whose end <= watermark. Microseconds to match Spark's
+# timestamp_micros(ts div 1000).
+LATE_DROP_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS cnt
+  FROM events
+),
+newer AS (SELECT * FROM ranked WHERE rn > cnt // 2),
+wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS w FROM newer),
+win AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS wh, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM newer GROUP BY 1
+)
+SELECT strftime(to_timestamp(wh * 3600), '%Y-%m-%d %H:%M:%S') AS win_start,
+       n, total_value
+FROM win, wm
+WHERE (wh + 1) * 3600000000 <= w
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
+    ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
     ("stream_sliding_agg", stream_sliding, SLIDING_SQL),
     ("stream_session_window", stream_session_window, SESSION_WINDOW_SQL),

@@ -130,6 +130,95 @@ def session_window_counts(
     )
 
 
+HOUR_NS = 3_600_000_000_000
+
+
+def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three-batch staging for watermark semantics, ordered by file mtime
+    (maxFilesPerTrigger=1 makes each file one micro-batch):
+
+      01 — the newer half of events (by (ts, event_id) order) MINUS the
+           single globally-newest row,
+      02 — that single newest row,
+      03 — the older half (every row far behind the watermark).
+
+    Measured on this Spark version, the late-row filter applies the
+    watermark with a one-batch lag (batch N filters with the watermark
+    derived from batch N-1's data; progress metrics show the monotonic
+    committed value instead). The middle single-row batch pins the filter
+    watermark at (global max - delay) before the late batch arrives, so
+    batch 03 is fully dropped under BOTH the documented semantics and the
+    observed lagged one — keeping the oracle deterministic. Batch 02's own
+    row can never be late: its window ends above every candidate watermark.
+    Test scaffolding only — a real deployment reads an unbounded source."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/spark_graft_stream/late_{key}"
+    names = ["01_new.parquet", "02_peak.parquet", "03_old.parquet"]
+    if all(os.path.exists(f"{d}/{f}") for f in names):
+        return d
+    os.makedirs(d, exist_ok=True)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+
+    def _write_single(df: DataFrame, dest: str) -> None:
+        tmp = f"{dest}.tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        shutil.move(f"{tmp}/{part}", dest)
+        shutil.rmtree(tmp)
+
+    _write_single(
+        ranked.filter((F.col("rn") > n // 2) & (F.col("rn") < n)).drop("rn"),
+        f"{d}/01_new.parquet",
+    )
+    _write_single(ranked.filter(F.col("rn") == n).drop("rn"), f"{d}/02_peak.parquet")
+    _write_single(ranked.filter(F.col("rn") <= n // 2).drop("rn"), f"{d}/03_old.parquet")
+    for i, f in enumerate(names):
+        os.utime(f"{d}/{f}", (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    return d
+
+
+def late_data_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, exercised over REAL micro-batches:
+    hourly tumbling counts with a 1-hour watermark in append mode. Batch 1
+    (the newer half) advances the watermark to max(event_time) - 1h; every
+    batch-2 row's window ends far below that, so the state store drops them
+    all; append mode then emits exactly the finalized windows (window.end
+    <= final watermark). Both effects are deterministic given the staged
+    order, so the result is value-checked against a batch oracle that
+    replays the same watermark algebra."""
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    ev = with_event_time(src).withWatermark("event_time", "1 hour")
+    agg = ev.groupBy(F.window("event_time", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    out = run_to_memory(agg, mode="append")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        "total_value",
+    )
+
+
 def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type)."""
     ev = with_event_time(read_events_stream(spark, sf_dir))

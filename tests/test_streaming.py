@@ -184,3 +184,38 @@ def test_stateful_user_stats_carries_state_across_batches(spark):
             latest[r.user_id] = (r.n, r.max_value)
     assert latest[1] == (3, 7.0)
     assert latest[2] == (2, 9.0)
+
+
+def test_late_data_drop_discards_old_half(spark):
+    """The 3-batch watermark replay must emit windows ONLY from the newer
+    half of events: every window from the dropped older half is absent,
+    and counts never include late rows."""
+    from pyspark.sql import functions as F
+
+    from air_traffic_data_pipeline_spark.plans.streaming_plans import (
+        stream_late_data_drop,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_late_data_drop(spark, sf)
+    ev = load(spark, sf, "events")
+    n = ev.count()
+    from pyspark.sql import Window
+
+    ranked = ev.withColumn("rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    newer = ranked.filter(F.col("rn") > n // 2)
+    older_max_hour = (
+        ranked.filter(F.col("rn") <= n // 2)
+        .agg(F.max(F.expr("ts div 3600000000000"))).collect()[0][0]
+    )
+    newer_min_hour = newer.agg(F.min(F.expr("ts div 3600000000000"))).collect()[0][0]
+    hours = [r.h for r in got.select(
+        F.unix_timestamp("win_start", "yyyy-MM-dd HH:mm:ss").alias("s")
+    ).select((F.col("s") / 3600).cast("bigint").alias("h")).collect()]
+    # no emitted window is older than the newer half's first hour
+    assert min(hours) >= newer_min_hour
+    assert older_max_hour <= newer_min_hour  # sanity: halves actually split
+    # total emitted events <= newer-half row count (late rows truly dropped)
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total <= newer.count()
