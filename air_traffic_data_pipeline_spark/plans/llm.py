@@ -1503,6 +1503,91 @@ def quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_UDF_SQL = QUALITY_SQL  # same contract as the native column version
 
 
+NGRAM_MIN_FREQ = 5
+
+
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts with sentence padding (<s>, </s>):
+    the count-collection pass an n-gram LM or tokenizer-training job runs.
+    One explode + one groupBy — shuffles only distinct bigrams (map-side
+    combine); thresholding keeps the long tail out of the result."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    lhs = F.concat(F.array(F.lit("<s>")), w)
+    rhs = F.concat(w, F.array(F.lit("</s>")))
+    pairs = d.select(F.explode(F.arrays_zip(lhs.alias("w1"), rhs.alias("w2"))).alias("bg"))
+    return (
+        pairs.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= NGRAM_MIN_FREQ)
+    )
+
+
+_NGRAM_LM_SQL = f"""
+WITH t AS (
+  SELECT list_prepend('<s>', string_split(text, ' ')) AS l,
+         list_append(string_split(text, ' '), '</s>') AS r
+  FROM documents
+),
+bg AS (
+  SELECT l[i] AS w1, r[i] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s
+)
+SELECT w1, w2, count(*) AS freq
+FROM bg GROUP BY w1, w2 HAVING count(*) >= {NGRAM_MIN_FREQ}
+"""
+
+
+VOCAB_K = 30
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-K vocabulary by corpus
+    frequency, then score each document's out-of-vocabulary token rate.
+    The vocab is a top-k aggregate (tiny — broadcast to the coverage join);
+    ties at the K boundary break on the token string in both engines."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, 1 AS in_vocab FROM toks GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT {VOCAB_K}
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks LEFT JOIN vocab USING (w)
+GROUP BY doc_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1542,6 +1627,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dataset_mixing", dataset_mixing, _MIXING_SQL),
     ("llm_fuzzy_match_levenshtein", fuzzy_match_levenshtein, _FUZZY_SQL),
     ("llm_quality_pandas_udf", quality_pandas_udf, _QUALITY_UDF_SQL),
+    ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),
+    ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
 ]
 
 

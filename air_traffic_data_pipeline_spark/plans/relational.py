@@ -1774,6 +1774,37 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionAll(merged)
 
 
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each customer's order-status
+    history becomes validity ranges [valid_from, valid_to) with an
+    is_current flag — the standard warehouse dimension-maintenance op,
+    expressed as one lead() window per customer partition (parallel across
+    customers at scale, no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        fmt_date("o_orderdate", "valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1843,6 +1874,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
     ("rel_hll_partial_merge", hll_partial_merge, None),
+    ("rel_scd2_order_status", scd2_order_status, SCD2_SQL),
 ]
 
 

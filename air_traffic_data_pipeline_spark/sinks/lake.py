@@ -46,3 +46,28 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_rows_per_file: int,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction — the maintenance job every streaming/append
+    lake needs: rewrite a directory of many tiny parquet files into
+    ceil(rows / target) right-sized files. Returns the output file count.
+
+    A row-count pass sizes the repartition; at scale swap the exact count
+    for fileSize-based estimation from the catalog/listing. Round-robin
+    repartition keeps output files uniform regardless of input skew."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode(mode).parquet(dest_path)
+    out = spark.read.parquet(dest_path)
+    assert out.count() == n
+    return n_files

@@ -123,3 +123,33 @@ def test_salted_join_rejects_outer_modes(spark):
             salted_join(ev, cust, "user_id", "c_custkey", how=how)
     # left stays allowed (big-side-preserving)
     salted_join(ev, cust, "user_id", "c_custkey", how="left")
+
+
+def test_q6_predicates_reach_scan(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import q6_revenue_band
+
+    p = plan(q6_revenue_band(spark, SF))
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q10_and_q19_stay_equi_joins(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        q10_returned_revenue,
+        q19_bracket_predicates,
+    )
+
+    p10 = plan(q10_returned_revenue(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p10
+    assert "BroadcastNestedLoopJoin" not in p10
+    p19 = plan(q19_bracket_predicates(spark, SF), "simple")
+    # the OR-of-ANDs bracket must remain a residual filter on the equi-join
+    assert "BroadcastHashJoin" in p19
+    assert "CartesianProduct" not in p19 and "BroadcastNestedLoopJoin" not in p19
+
+
+def test_q4_exists_is_semi_join(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import q4_priority_exists
+
+    p = plan(q4_priority_exists(spark, SF), "simple")
+    assert "LeftSemi" in p

@@ -164,3 +164,48 @@ def test_flagship_end_to_end_with_sink(spark):
     bounds = {"lamin": b.lamin, "lomin": b.lomin, "lamax": b.lamax, "lomax": b.lomax}
     out = write_heatmap(triples, os.path.join(tempfile.mkdtemp(), "flagship.html"), bounds)
     assert os.path.getsize(out) > 100
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path):
+    """A filter on the partition column must become PartitionFilters (scan
+    lists only matching directories), not a post-scan filter."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import write_partitioned
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "part_events")
+    write_partitioned(ev, path, ["event_type"])
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1][:200]
+    assert "event_type" in seg
+    exact = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == exact
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    import os
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import compact_small_files
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    src = str(tmp_path / "many")
+    ev.repartition(37).write.parquet(src)  # simulate a small-file mess
+    n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_small == 37
+    dest = str(tmp_path / "compacted")
+    n_files = compact_small_files(spark, src, dest, target_rows_per_file=n // 3 + 1)
+    n_out = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+    assert n_out == n_files <= 3
+    assert spark.read.parquet(dest).count() == n
