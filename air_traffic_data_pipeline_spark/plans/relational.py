@@ -1805,6 +1805,100 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a derived supplier tree
+    (parent = floor(key/4)) from the roots, computing depth and root — the
+    hierarchy/graph-walk surface. The same SQL text runs on both engines;
+    iteration count is O(tree depth)."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, CAST(1 AS BIGINT) AS depth, s_suppkey AS root
+          FROM supplier WHERE s_suppkey < 4
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1, c.root
+          FROM supplier s JOIN chain c
+            ON CAST(floor(s.s_suppkey / 4) AS BIGINT) = c.s_suppkey
+          WHERE s.s_suppkey >= 4
+        )
+        SELECT s_suppkey, depth, root FROM chain
+        """
+    )
+
+
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey, CAST(1 AS BIGINT) AS depth, s_suppkey AS root
+  FROM supplier WHERE s_suppkey < 4
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1, c.root
+  FROM supplier s JOIN chain c
+    ON CAST(floor(s.s_suppkey / 4) AS BIGINT) = c.s_suppkey
+  WHERE s.s_suppkey >= 4
+)
+SELECT s_suppkey, depth, root FROM chain
+"""
+
+
+def python_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) applied laterally: each part row expands
+    into (p_size % 3 + 1) derived rows. The row-generating escape hatch when
+    explode()-able structures can't express the logic; Arrow-batched like
+    other Python UDFs. Kept off hot paths by design."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i: bigint, scaled: bigint")
+    class Expand:
+        def eval(self, key: int, size: int):
+            for i in range(size % 3 + 1):
+                yield (i, key * 10 + i)
+
+    spark.udtf.register("expand_rows", Expand)
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_partkey, e.i, e.scaled
+        FROM part p, LATERAL expand_rows(p.p_partkey, p.p_size) e
+        WHERE p.p_partkey < 150
+        """
+    )
+
+
+PYTHON_UDTF_SQL = """
+SELECT p_partkey, CAST(i AS BIGINT) AS i,
+       CAST(p_partkey * 10 + i AS BIGINT) AS scaled
+FROM part, LATERAL (SELECT unnest(generate_series(0, p_size % 3)) AS i) e
+WHERE p_partkey < 150
+"""
+
+
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured surface (Spark 4): parse_json into a variant,
+    typed variant_get extraction, and a to_json round trip — the open-schema
+    path for telemetry payloads. Variant's binary encoding scans far faster
+    than repeated string JSON parsing at scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 800)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.to_json(v).alias("props_norm"),
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k_typed,
+       to_json(json(props))::VARCHAR AS props_norm
+FROM events WHERE event_id < 800
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1875,6 +1969,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
     ("rel_hll_partial_merge", hll_partial_merge, None),
     ("rel_scd2_order_status", scd2_order_status, SCD2_SQL),
+    ("rel_recursive_cte_hierarchy", recursive_cte_hierarchy, RECURSIVE_CTE_SQL),
+    ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
+    ("rel_variant_json", variant_json, VARIANT_SQL),
 ]
 
 
