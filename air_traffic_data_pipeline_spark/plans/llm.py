@@ -1588,6 +1588,47 @@ GROUP BY doc_id
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — the measurement a similarity-search rollout
+    needs: recall@3 of single-probe and multi-probe LSH against brute-force
+    ground truth, per query vector. Composes the three existing plans and
+    joins on (q_id, c_id); everything stays deterministic, so even the
+    recall numbers are oracle-checked."""
+    truth = cosine_topk(spark, sf_dir).filter(F.col("rank") <= 3).select("q_id", "c_id")
+    single = lsh_topk(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("s"))
+    multi = lsh_topk_multiprobe(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    j = truth.join(single, ["q_id", "c_id"], "left").join(
+        multi, ["q_id", "c_id"], "left"
+    )
+    return j.groupBy("q_id").agg(
+        F.round(F.sum(F.coalesce(F.col("s"), F.lit(0))) / F.count(F.lit(1)), 6).alias(
+            "recall_single"
+        ),
+        F.round(F.sum(F.coalesce(F.col("m"), F.lit(0))) / F.count(F.lit(1)), 6).alias(
+            "recall_multi"
+        ),
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT q_id, c_id FROM ({_COSINE_TOPK_SQL}) t WHERE rank <= 3
+),
+single AS (SELECT q_id, c_id, 1 AS s FROM ({_LSH_TOPK_SQL}) t),
+multi AS (SELECT q_id, c_id, 1 AS m FROM ({_multiprobe_sql()}) t)
+SELECT truth.q_id,
+       round(sum(coalesce(s, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall_single,
+       round(sum(coalesce(m, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall_multi
+FROM truth
+LEFT JOIN single ON truth.q_id = single.q_id AND truth.c_id = single.c_id
+LEFT JOIN multi  ON truth.q_id = multi.q_id  AND truth.c_id = multi.c_id
+GROUP BY truth.q_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1629,6 +1670,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_quality_pandas_udf", quality_pandas_udf, _QUALITY_UDF_SQL),
     ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
+    ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
 ]
 
 

@@ -175,3 +175,12 @@ def test_q6_matches_manual_filter(spark):
     )
     row = relational.q6_revenue_band(spark, SF).collect()[0]
     assert row.n_items == manual
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH probes a superset of buckets, so its recall@3 can
+    never be below single-probe recall on any query."""
+    rows = llm.ann_recall_eval(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.recall_single <= r.recall_multi <= 1.0
