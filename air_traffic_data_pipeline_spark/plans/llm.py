@@ -1629,6 +1629,86 @@ GROUP BY truth.q_id
 """
 
 
+# --- repetition filter (Gopher-style intra-doc repetition rules) -----------
+
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of word
+    bigrams taken by the single most frequent bigram, and the fraction of
+    word-trigram occurrences that are duplicates. Docs exceeding either
+    threshold are flagged `repetitive` (the rule a web-scale curation
+    pipeline applies before training).
+
+    Two independent explode->count->re-aggregate pipelines joined on
+    doc_id; each is one shuffle on (doc_id, gram) then one on doc_id, and
+    per-doc state is three longs — nothing grows with corpus size, so the
+    shape holds at 100 TB.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+
+    def _gram_stats(k: int, pre: str) -> DataFrame:
+        rows = d.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("g"))
+        per = rows.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{pre}_total"),
+            F.max("c").alias(f"{pre}_top"),
+            F.count(F.lit(1)).alias(f"{pre}_distinct"),
+        )
+
+    bg = _gram_stats(2, "bg")
+    tg = _gram_stats(3, "tg")
+    top_frac = F.round(
+        F.col("bg_top").cast("double") / F.col("bg_total").cast("double"), 6
+    )
+    dup_frac = F.round(
+        (F.col("tg_total") - F.col("tg_distinct")).cast("double")
+        / F.col("tg_total").cast("double"),
+        6,
+    )
+    return (
+        bg.join(tg, "doc_id")
+        .select(
+            "doc_id",
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > REP_TOP_BIGRAM_MAX)
+            | (F.col("dup_trigram_frac") > REP_DUP_TRIGRAM_MAX),
+        )
+    )
+
+
+_REPETITION_SQL = f"""
+WITH bg_rows AS (
+  SELECT doc_id, unnest({shingles_sql('text', 2)}) AS g FROM documents
+),
+tg_rows AS (
+  SELECT doc_id, unnest({shingles_sql('text', 3)}) AS g FROM documents
+),
+bg_per AS (SELECT doc_id, g, count(*) AS c FROM bg_rows GROUP BY doc_id, g),
+tg_per AS (SELECT doc_id, g, count(*) AS c FROM tg_rows GROUP BY doc_id, g),
+bg AS (
+  SELECT doc_id, sum(c) AS bg_total, max(c) AS bg_top, count(*) AS bg_distinct
+  FROM bg_per GROUP BY doc_id
+),
+tg AS (
+  SELECT doc_id, sum(c) AS tg_total, max(c) AS tg_top, count(*) AS tg_distinct
+  FROM tg_per GROUP BY doc_id
+)
+SELECT bg.doc_id,
+       round(CAST(bg_top AS DOUBLE) / CAST(bg_total AS DOUBLE), 6) AS top_bigram_frac,
+       round(CAST(tg_total - tg_distinct AS DOUBLE) / CAST(tg_total AS DOUBLE), 6) AS dup_trigram_frac,
+       (round(CAST(bg_top AS DOUBLE) / CAST(bg_total AS DOUBLE), 6) > CAST({REP_TOP_BIGRAM_MAX} AS DOUBLE)
+        OR round(CAST(tg_total - tg_distinct AS DOUBLE) / CAST(tg_total AS DOUBLE), 6) > CAST({REP_DUP_TRIGRAM_MAX} AS DOUBLE)) AS repetitive
+FROM bg JOIN tg ON bg.doc_id = tg.doc_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1671,6 +1751,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
+    ("llm_repetition_filter", repetition_filter, _REPETITION_SQL),
 ]
 
 

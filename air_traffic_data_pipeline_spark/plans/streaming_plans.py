@@ -17,10 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..streaming.events_stream import (
+    STREAM_STREAM_JOIN_SQL,
     session_window_counts,
     sliding_counts,
     stateful_user_stats,
     stream_static_join_counts,
+    stream_stream_join_pairs,
     streaming_dedup_count,
     tumbling_counts,
 )
@@ -199,6 +201,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_session_window", stream_session_window, SESSION_WINDOW_SQL),
     ("stream_dedup", stream_dedup, STREAM_DEDUP_SQL),
     ("stream_static_join", stream_static_join, STREAM_STATIC_JOIN_SQL),
+    ("stream_stream_join", stream_stream_join_pairs, STREAM_STREAM_JOIN_SQL),
     ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
 ]

@@ -240,6 +240,78 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-interval
+    condition: each click joined to the same user's purchases landing
+    within the following 2 hours — the canonical funnel/attribution
+    shape. Both sides carry a 1-hour watermark so the join state store is
+    bounded (Spark evicts buffered rows once the watermark passes the
+    interval bound); the join itself is an equi-join on user_id plus a
+    range predicate, so at scale it shuffles both streams on user_id and
+    never materializes a cross product.
+
+    The staged source is one file -> one micro-batch, so no row can arrive
+    behind the watermark and the result equals the batch join exactly —
+    letting the driver value-check a genuinely streaming plan against an
+    ANSI-SQL oracle.
+    """
+    clicks = (
+        with_event_time(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    buys = (
+        with_event_time(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_time").alias("buy_time"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("buy_time", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("buy_time") >= F.col("click_time"))
+        & (F.col("buy_time") <= F.col("click_time") + F.expr("INTERVAL 2 HOURS")),
+    )
+    out = run_to_memory(joined, mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("amount", 2).alias("amount"),
+        (F.col("buy_time").cast("long") - F.col("click_time").cast("long")).alias(
+            "lag_sec"
+        ),
+    )
+
+
+# DuckDB reads the lake's ts as TIMESTAMP; Spark's event_time is
+# timestamp_micros(ts div 1000) and cast-to-long truncates to seconds, so
+# the oracle mirrors with epoch_us // 1_000_000.
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       round(p.value, 2) AS amount,
+       (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) AS lag_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 2 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 USER_STATE_OUT = "user_id long, n bigint, max_value double, min_value double"
 USER_STATE_SCHEMA = "n bigint, mx double, mn double"
 

@@ -57,14 +57,19 @@ def main() -> None:
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM, codegen, parquet reader, and broadcast machinery once at
-    # the smallest sf so per-query timings measure steady-state throughput,
-    # not first-query session initialization. Whole-stage-codegen compilation
-    # is per-plan-shape (measured ~5-10s for the wide minhash/band plans), so
-    # every headline shape gets one tiny warm-up run.
+    # Warm the JVM, codegen, parquet reader, and broadcast machinery so
+    # per-query timings measure steady-state throughput, not first-query
+    # session initialization. Two warm-up passes per headline shape:
+    # sf0.001 compiles whole-stage codegen (per-plan-shape, measured
+    # ~5-10s for the wide minhash/band plans); sf0.01 pushes enough rows
+    # through the generated code to trigger C2 JIT of the hot loops
+    # (~10k invocations) — without it the first sf0.1 rep runs
+    # interpreted/C1 and measures 5-10x slower than steady state.
     spark.range(10).count()
-    for name in names:
-        qs[name](spark, "/root/testdata/sf0.001").count()
+    for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in names:
+            _clear_engine_caches()
+            qs[name](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
