@@ -27,7 +27,7 @@ from ..functions.text import (
     regex_token_count_sql,
     rolling_hash,
     rolling_hash_sql,
-    shingles,
+    exploded_shingles,
     shingles_sql,
     stopword_count,
     stopword_count_sql,
@@ -191,7 +191,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit cache() was measured slower (it blocks exchange reuse and
     adds a materialization barrier)."""
     d = fan_out(load(spark, sf_dir, "documents"))
-    return d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).distinct()
+    return exploded_shingles(d.select("doc_id", "text")).distinct()
 
 
 _SHINGLE_ROWS_SQL = f"""
@@ -269,7 +269,7 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     d = fan_out(load(spark, sf_dir, "documents"))
-    sh_rows = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh_rows = exploded_shingles(d.select("doc_id", "text"))
     sh_rows = sh_rows.select("doc_id", "s", *_chunk_cols())
     doc_tbl = sh_rows.groupBy("doc_id").agg(
         F.collect_set("s").alias("sh_arr"),
@@ -930,7 +930,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, shingle) pairs into the per-doc count.
     """
     d = fan_out(load(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).distinct()
+    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
     bench = (
         sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select("s").distinct()
     )
@@ -1650,7 +1650,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"))
 
     def _gram_stats(k: int, pre: str) -> DataFrame:
-        rows = d.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("g"))
+        rows = exploded_shingles(d.select("doc_id", "text"), k=k, out="g")
         per = rows.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
         return per.groupBy("doc_id").agg(
             F.sum("c").alias(f"{pre}_total"),
