@@ -7,8 +7,10 @@ the first N (observed: 50) entries. ``_WINDOW_PRIORITY`` therefore lists,
 explicitly and first, every query that does not yet have a green driver
 correctness row (round 1 covered the first 50 of 86: all domain and most
 rel_* queries are green; every llm_*/stream_* plus seven rel_* queries got
-no row) plus everything newly added this round. Queries already driver-green
-in a prior round follow in their natural module order.
+no row) plus everything newly added this round. After the priority block,
+remaining never-driver-checked queries sort next (module order), and queries
+already driver-green in round 1 (``_R1_GREEN``) sort last — they have the
+least to gain from a scarce window slot.
 """
 
 from __future__ import annotations
@@ -82,8 +84,75 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries with a fully-green driver row in round 1 (rows+schema+hash all
+# matched in CORRECTNESS_r01.json). These have the least to gain from a scarce
+# window slot, so they sort LAST; anything the driver has never checked —
+# including every query added after _WINDOW_PRIORITY was written — sorts
+# between the priority block and this tail, in module order.
+_R1_GREEN: frozenset[str] = frozenset(
+    {
+        "noise_bbox_filter",
+        "noise_grid_bounds",
+        "noise_grid_flagship",
+        "noise_heat_triples",
+        "noise_phase_classify",
+        "noise_slant_distance",
+        "noise_source_levels",
+        "rel_agg_count_distinct",
+        "rel_agg_cube",
+        "rel_agg_grouping_sets",
+        "rel_agg_median_argmax",
+        "rel_agg_rollup",
+        "rel_agg_stats",
+        "rel_array_funcs",
+        "rel_conditional_case",
+        "rel_date_funcs",
+        "rel_date_funcs2",
+        "rel_distinct_pairs",
+        "rel_explode_wordcount",
+        "rel_from_unixtime",
+        "rel_histogram_bucket",
+        "rel_join_anti",
+        "rel_join_cross",
+        "rel_join_full_outer",
+        "rel_join_left_outer",
+        "rel_join_right_outer",
+        "rel_join_semi",
+        "rel_math_funcs",
+        "rel_null_handling",
+        "rel_pivot_status",
+        "rel_q1_pricing_summary",
+        "rel_q3_top_orders",
+        "rel_q5_nation_revenue",
+        "rel_salted_join_agg",
+        "rel_set_except",
+        "rel_set_intersect",
+        "rel_set_union",
+        "rel_sort_limit_topk",
+        "rel_stats_moments",
+        "rel_string_funcs",
+        "rel_string_funcs2",
+        "rel_unpivot_balances",
+        "rel_win_arg_max",
+        "rel_win_frames",
+        "rel_win_lag_lead",
+        "rel_win_moving_avg",
+        "rel_win_rank",
+        "rel_win_running_sum",
+        "rel_win_topk_orders",
+    }
+)
+
+
 def _window_order(d: dict[str, object]) -> dict[str, object]:
     out = {name: d[name] for name in _WINDOW_PRIORITY if name in d}
+    out.update(
+        {
+            name: v
+            for name, v in d.items()
+            if name not in out and name not in _R1_GREEN
+        }
+    )
     out.update({name: v for name, v in d.items() if name not in out})
     return out
 
