@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..streaming.events_stream import (
     STREAM_STREAM_JOIN_SQL,
+    foreach_batch_last_state,
     session_window_counts,
     sliding_counts,
     stateful_user_stats,
@@ -25,6 +26,7 @@ from ..streaming.events_stream import (
     stream_stream_join_pairs,
     streaming_dedup_count,
     tumbling_counts,
+    watermarked_dedup_count,
 )
 from .tables import load
 
@@ -142,6 +144,40 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return watermarked_dedup_count(spark, sf_dir)
+
+
+# Within the finite replay the 35-day delay exceeds the data span, so the
+# watermark-scoped dedup equals global dedup (see watermarked_dedup_count).
+DEDUP_WATERMARK_SQL = """
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+GROUP BY event_type
+"""
+
+
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return foreach_batch_last_state(spark, sf_dir)
+
+
+# Last-wins keyed by (ts, event_id) — data properties, not arrival order —
+# so the multi-batch foreachBatch landing reduces to this batch SQL.
+FOREACH_BATCH_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       epoch_us(ts) // 1000000 AS last_ts_sec,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_counts(spark, sf_dir)
 
@@ -200,6 +236,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_sliding_agg", stream_sliding, SLIDING_SQL),
     ("stream_session_window", stream_session_window, SESSION_WINDOW_SQL),
     ("stream_dedup", stream_dedup, STREAM_DEDUP_SQL),
+    ("stream_dedup_watermark", stream_dedup_watermark, DEDUP_WATERMARK_SQL),
+    ("stream_foreach_batch_sink", stream_foreach_batch, FOREACH_BATCH_SQL),
     ("stream_static_join", stream_static_join, STREAM_STATIC_JOIN_SQL),
     ("stream_stream_join", stream_stream_join_pairs, STREAM_STREAM_JOIN_SQL),
     ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),

@@ -227,6 +227,92 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
+def watermarked_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keys the state store on (user_id, event_type) and evicts entries once
+    the event-time watermark passes them — the production-safe variant of
+    ``dropDuplicates`` whose state otherwise grows without bound on an
+    unbounded stream. Exercised over real multi-micro-batch replay
+    (maxFilesPerTrigger=1 over the 3-file staged dir, including the
+    deliberately late batch).
+
+    The 35-day delay exceeds the events table's ~30-day span, so within
+    this finite replay no row is late and no state evicts: the result
+    equals global dedup, giving an exact ANSI-SQL oracle while the plan
+    still runs the watermark-scoped stateful operator. At scale the same
+    plan holds with a horizon-sized delay (state ∝ keys per horizon).
+    """
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    ev = with_event_time(src).withWatermark("event_time", "35 days")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return run_to_memory(agg)
+
+
+def foreach_batch_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` escape-hatch sink: each micro-batch lands as an
+    idempotent overwrite of its own ``batch=<epoch_id>`` parquet partition
+    (epoch replay after a failure rewrites the same directory — the
+    standard exactly-once recipe for sinks without transactional merge),
+    then the final per-user last-event state is derived by a window over
+    the landed partitions.
+
+    The last-wins rule orders by (ts, event_id) — properties of the DATA,
+    not of batch arrival order — so the result is identical however the
+    source chops the stream into micro-batches (the staged replay even
+    delivers the oldest rows in the LAST batch), which is what makes an
+    exact batch oracle possible. At scale the window partitions per user
+    (no global sort) and the per-batch writes are append-shaped."""
+    import shutil
+
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    # NOT under `d`: the file-stream source lists its dir recursively and
+    # would ingest (and conflict with) the sink's partition layout.
+    base = d.rstrip("/") + "_fb_state"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def _land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = src.writeStream.foreachBatch(_land).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    landed = spark.read.parquet(f"{base}/batch=*")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        landed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.expr("ts div 1000000000").alias("last_ts_sec"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
 def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (broadcast per micro-batch — no stream-side state),

@@ -219,3 +219,56 @@ def test_late_data_drop_discards_old_half(spark):
     # total emitted events <= newer-half row count (late rows truly dropped)
     total = got.agg(F.sum("n")).collect()[0][0]
     assert total <= newer.count()
+
+
+def test_foreach_batch_sink_is_idempotent_and_batch_order_free(spark):
+    """foreachBatch landing: re-running the stream (same epochs replayed
+    into the same partition dirs) must not change the final state, and the
+    last-wins result must equal the batch oracle even though the staged
+    replay delivers the OLDEST rows in the last micro-batch."""
+    from pyspark.sql import Window
+
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        foreach_batch_last_state,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    first = {r.user_id: (r.last_event_id, r.last_value) for r in
+             foreach_batch_last_state(spark, sf).collect()}
+    # second full run = every epoch replayed; overwrite-per-partition makes it a no-op
+    second = {r.user_id: (r.last_event_id, r.last_value) for r in
+              foreach_batch_last_state(spark, sf).collect()}
+    assert first == second
+
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expect = {
+        r.user_id: r.event_id
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert {u: e for u, (e, _) in first.items()} == expect
+
+
+def test_dedup_watermark_query_matches_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over the 3-batch replay == batch
+    distinct when the delay exceeds the data span (no state eviction)."""
+    from air_traffic_data_pipeline_spark.plans.streaming_plans import (
+        stream_dedup_watermark,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r.n_users for r in stream_dedup_watermark(spark, sf).collect()}
+    ev = load(spark, sf, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
