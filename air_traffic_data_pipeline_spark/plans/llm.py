@@ -1709,6 +1709,152 @@ FROM bg JOIN tg ON bg.doc_id = tg.doc_id
 """
 
 
+LM_ALPHA = 0.5  # add-alpha smoothing for the bigram LM
+
+# (sf_dir, "lm_per") -> persisted per-(doc, bigram) count table; see
+# clear_caches(). Persisting is what makes the corpus tokenize/explode run
+# ONCE — the model tables (c12/c1/V) and the scoring join all re-read it.
+_LM_PER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lm_per_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, "lm_per")
+    cached = _LM_PER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = fan_out(load(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    lhs = F.concat(F.array(F.lit("<s>")), w)
+    rhs = F.concat(w, F.array(F.lit("</s>")))
+    bg = d.select(
+        "doc_id",
+        F.explode(F.arrays_zip(lhs.alias("w1"), rhs.alias("w2"))).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    from pyspark import StorageLevel
+
+    per = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    _LM_PER_CACHE[key] = per
+    return per
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: score every document's bits-per-token
+    under an add-alpha-smoothed bigram model trained on the corpus itself
+    (P(w2|w1) = (c12 + a) / (c1 + a*V)); low bits = fluent, high = junk.
+
+    Scale shape: one tokenize/explode pass builds the per-(doc, bigram)
+    count table (persisted — the 100 TB pipeline would write it to the
+    lake between the train and score passes); the model is two aggregates
+    of it bounded by vocab size. Scoring equi-joins per-doc counts to
+    bigram counts on (w1, w2) — map-side combine means both sides shuffle
+    distinct bigrams, never raw occurrences; context counts and the
+    vocab-size scalar broadcast. The per-doc mean weights each distinct
+    bigram by its count and rounds to 6 dp so the result is insensitive to
+    float summation order (same discipline as the noise power sums).
+    """
+    per = _lm_per_doc_bigrams(spark, sf_dir)
+    c12 = per.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = c12.select(F.countDistinct("w2").alias("v"))
+    a = F.lit(LM_ALPHA)
+    scored = (
+        per.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "bits",
+            -F.log2((F.col("c12") + a) / (F.col("c1") + a * F.col("v"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("n") * F.col("bits")) / F.sum("n"), 6
+        ).alias("bits_per_token"),
+    )
+
+
+_LM_PPL_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_prepend('<s>', string_split(text, ' ')) AS l,
+         list_append(string_split(text, ' '), '</s>') AS r
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, l[i] AS w1, r[i] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM c12)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-log2((c12.c12 + CAST({LM_ALPHA} AS DOUBLE))
+                       / (c1.c1 + CAST({LM_ALPHA} AS DOUBLE) * v.v))), 6)
+         AS bits_per_token
+FROM bg
+JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+JOIN c1 ON bg.w1 = c1.w1
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document exact chunk dedup: tile every doc into
+    CHUNK_WORDS-word chunks, keep each distinct chunk text only at its
+    FIRST corpus occurrence (min (doc_id, chunk_id)), and reassemble each
+    document from its surviving chunks in order.
+
+    Scale shape: one window over the chunk-text key (shuffles chunk rows
+    once, ~corpus-sized but narrow), then a per-doc ordered re-assembly via
+    sort_array(collect_list(struct)) — grouped per doc, never a global
+    sort. At 100 TB the chunk key would be a hash (md5 here keeps the
+    exchange narrow; the text itself never needs to co-locate)."""
+    chunks = doc_chunking(spark, sf_dir)
+    w = W.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "chunk_id")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_id", "chunk"))
+                    ),
+                    lambda s: s.chunk,
+                ),
+            ).alias("text_kept"),
+        )
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({_CHUNKING_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+                               ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+       string_agg(chunk, ' ' ORDER BY chunk_id) AS text_kept
+FROM ranked
+WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1752,19 +1898,22 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
     ("llm_repetition_filter", repetition_filter, _REPETITION_SQL),
+    ("llm_lm_perplexity", lm_perplexity, _LM_PPL_SQL),
+    ("llm_chunk_dedup", chunk_dedup, _CHUNK_DEDUP_SQL),
 ]
 
 
 def clear_caches() -> None:
-    """Unpersist and drop all cached minhash doc tables (bench hygiene:
-    guarantees a timed run is cold and a long session doesn't accumulate
-    executor storage)."""
-    for tbl in _DOC_TBL_CACHE.values():
-        try:
-            tbl.unpersist()
-        except Exception:
-            pass
-    _DOC_TBL_CACHE.clear()
+    """Unpersist and drop all cached tables (minhash doc tables, LM bigram
+    tables) — bench hygiene: guarantees a timed run is cold and a long
+    session doesn't accumulate executor storage."""
+    for cache in (_DOC_TBL_CACHE, _LM_PER_CACHE):
+        for tbl in cache.values():
+            try:
+                tbl.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def queries() -> dict:

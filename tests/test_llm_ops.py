@@ -202,3 +202,39 @@ def test_frame_sample_shape(spark):
     assert {r.frame_idx for r in rows} == {0, 2}
     for r in rows:
         assert 0.0 <= r.frame_mean <= 255.0
+
+
+def test_lm_perplexity_scores_every_doc_with_positive_bits(spark):
+    """Every doc gets one score; n_bigrams == n_words + 1 (padded bigrams);
+    smoothed probabilities < 1 so bits are strictly positive."""
+    out = llm.lm_perplexity(spark, SF)
+    docs = load(spark, SF, "documents")
+    assert out.count() == docs.count()
+    joined = out.join(
+        docs.select(
+            "doc_id", (F.size(F.split("text", " ")) + 1).alias("want_bg")
+        ),
+        "doc_id",
+    )
+    assert joined.filter(F.col("n_bigrams") != F.col("want_bg")).count() == 0
+    assert out.filter(F.col("bits_per_token") <= 0).count() == 0
+
+
+def test_chunk_dedup_keeps_each_chunk_text_once(spark):
+    """Total kept chunks == distinct chunk texts, and a doc whose chunks are
+    all first occurrences keeps its full text."""
+    chunks = llm.doc_chunking(spark, SF)
+    kept = llm.chunk_dedup(spark, SF)
+    assert (
+        kept.agg(F.sum("n_kept")).collect()[0][0]
+        == chunks.select("chunk").distinct().count()
+    )
+    # doc 0's chunks are first occurrences by the (doc_id, chunk_id) order
+    # unless another doc shares the text; verify reassembly equals the
+    # original text whenever every chunk survived
+    d0 = kept.join(
+        load(spark, SF, "documents").select("doc_id", "text"), "doc_id"
+    ).withColumn("n_chunks", F.ceil(F.size(F.split("text", " ")) / llm.CHUNK_WORDS))
+    full = d0.filter(F.col("n_kept") == F.col("n_chunks"))
+    assert full.count() > 0
+    assert full.filter(F.col("text_kept") != F.col("text")).count() == 0
