@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..session import tune_session
 
@@ -22,7 +22,30 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _canonical_event_time(df)
+    return df
+
+
+def _canonical_event_time(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to epoch-nanosecond int64.
+
+    The engine's event-time algebra (bucketing, watermark replay oracles,
+    sessionization) is integer arithmetic on epoch nanos — the same value
+    DuckDB's ``epoch_ns(ts)`` yields — so lakes that store ``ts`` as a
+    parquet TIMESTAMP (us, read as TIMESTAMP_NTZ) are normalized at the
+    scan boundary. Session timezone is pinned to UTC (session.py), making
+    the NTZ->instant conversion exact; a pure column expression, stays in
+    whole-stage codegen, no shuffle. Lakes already storing int64 nanos
+    pass through untouched.
+    """
+    field = df.schema["ts"].dataType if "ts" in df.columns else None
+    if isinstance(field, (T.TimestampType, T.TimestampNTZType)):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -7,9 +7,11 @@ and streaming dedup. Batch parquet files drive the streams through the
 file source + memory sink so runs are deterministic and synchronous
 (``processAllAvailable``).
 
-Event time: the lake stores ``ts`` as nanosecond longs (read via
-nanosAsLong); ``with_event_time`` derives a microsecond TimestampType
-column, the granularity Spark's event-time machinery uses.
+Event time: staging canonicalizes ``ts`` to epoch-nanosecond longs
+(``plans.tables._canonical_event_time`` — lakes storing parquet TIMESTAMP
+are converted once at the staging write); ``with_event_time`` derives a
+microsecond TimestampType column, the granularity Spark's event-time
+machinery uses.
 """
 
 from __future__ import annotations
@@ -19,6 +21,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..session import tune_session
+
+# staging root; bump the version suffix when the staged representation
+# changes (v2 = ts canonicalized to int64 epoch nanos at stage time)
+_STAGE_ROOT = "/tmp/spark_graft_stream_v2"
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -32,19 +38,39 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _stage_dir(sf_dir: str) -> str:
+def _load_canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.tables import load
+
+    return load(spark, sf_dir, "events")
+
+
+def _stage_dir(spark: SparkSession, sf_dir: str) -> str:
     """The parquet file-stream source requires a directory; stage a per-sf
-    scratch dir containing a symlink to the events file."""
+    scratch dir holding the events table with ``ts`` canonicalized to
+    int64 epoch nanos (the staged copy IS the canonical form, so the
+    stream schema is stable whatever the lake's physical ts type)."""
     import hashlib
     import os
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_stream/{key}"
-    os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    d = f"{_STAGE_ROOT}/{key}"
+    if not os.path.exists(f"{d}/events.parquet"):
+        _write_single(_load_canonical_events(spark, sf_dir), f"{d}/events.parquet")
     return d
+
+
+def _write_single(df: DataFrame, dest: str) -> None:
+    import os
+    import shutil
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = f"{dest}.tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    shutil.move(f"{tmp}/{part}", dest)
+    shutil.rmtree(tmp)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +78,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .load(_stage_dir(sf_dir))
+        .load(_stage_dir(spark, sf_dir))
     )
 
 
@@ -153,30 +179,20 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
     Test scaffolding only — a real deployment reads an unbounded source."""
     import hashlib
     import os
-    import shutil
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"/tmp/spark_graft_stream/late_{key}"
+    d = f"{_STAGE_ROOT}/late_{key}"
     names = ["01_new.parquet", "02_peak.parquet", "03_old.parquet"]
     if all(os.path.exists(f"{d}/{f}") for f in names):
         return d
     os.makedirs(d, exist_ok=True)
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load_canonical_events(spark, sf_dir)
     n = ev.count()
     ranked = ev.withColumn(
         "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
     )
-
-    def _write_single(df: DataFrame, dest: str) -> None:
-        tmp = f"{dest}.tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet") and f.startswith("part-")
-        )
-        shutil.move(f"{tmp}/{part}", dest)
-        shutil.rmtree(tmp)
 
     _write_single(
         ranked.filter((F.col("rn") > n // 2) & (F.col("rn") < n)).drop("rn"),
