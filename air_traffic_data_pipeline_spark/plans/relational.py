@@ -1899,6 +1899,362 @@ FROM events WHERE event_id < 800
 """
 
 
+# --- TPC-H shape fill (round 2): q7/q8/q9/q13/q15/q16/q17/q22 -------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Lineitem joins orders (fact-fact, shuffles on orderkey only) then the
+    customer and supplier dimensions broadcast with their nation names
+    pre-joined; the pair filter keeps both directions."""
+    n = load(spark, sf_dir, "nation")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, {SQL_REVENUE} AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue among orders
+    from customers in one region. Conditional decimal sum over the full
+    group, ONE double division per year at the end. Region-filtered nation
+    and customer dims broadcast; the only wide shuffle is lineitem-orders."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    vol = revenue_col()
+    target = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).alias("target_dec"),
+            F.sum(vol).alias("total_dec"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("target_dec").cast("double")
+                / F.col("total_dec").cast("double")
+            ).alias("mkt_share"),
+            F.col("total_dec").cast("double").alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       CAST(sum(target) AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM (
+  SELECT year(o_orderdate) AS o_year, {SQL_REVENUE} AS volume,
+         CASE WHEN ns.n_name = 'NATION_2' THEN {SQL_REVENUE}
+              ELSE CAST(0 AS DECIMAL(18,2)) END AS target
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND EXISTS (SELECT 1 FROM customer
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region     ON nc.n_regionkey = r_regionkey
+                WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+) t
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year. The lake has no
+    partsupp, so supply cost is proxied as 60% of p_retailprice — the shape
+    (two broadcast dims into the fact, profit = revenue - cost in exact
+    decimal) is what matters. Profit stays decimal until the final cast."""
+    n = load(spark, sf_dir, "nation")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit("0.60").cast("decimal(18,2)")
+    )
+    profit = revenue_col().cast("decimal(30,6)") - cost.cast("decimal(30,6)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit,
+       count(*) AS n_items
+FROM (
+  SELECT ns.n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,6))
+         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST('0.60' AS DECIMAL(18,2)) AS DECIMAL(30,6)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE p_type = 'STANDARD'
+) t
+GROUP BY nation, o_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer, keeping
+    zero-order customers via left outer join. Two aggregations: per-customer
+    count (shuffle on custkey), then the tiny distribution rollup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the classic view + scalar-max pattern as one plan. The per-supplier agg
+    shuffles on suppkey; the global max is an unpartitioned window over the
+    already-tiny agg result (supplier-count rows, not fact rows)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue_col()).alias("rev_dec"))
+    top = rev.withColumn("max_dec", F.max("rev_dec").over(W.partitionBy())).filter(
+        F.col("rev_dec") == F.col("max_dec")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({SQL_REVENUE}) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_dec = (SELECT max(total_dec) FROM revenue)
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to supply each part class
+    (brand excluded by a NOT predicate). Supplier-part pairs come from
+    lineitem; distinct-then-count keeps the shuffle on the deduped pair
+    set, never the raw fact."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than half the part's
+    average quantity. The correlated scalar subquery becomes a per-part
+    pre-aggregate joined back — the avg table is part-count-sized, so at
+    scale it broadcasts while the fact side never shuffles twice."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    avg_qty = li_p.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li_p.join(F.broadcast(avg_qty), li_p.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.col("total_price") / F.lit(7.0)).alias("avg_yearly"),
+            "total_price",
+            "n_items",
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH li_p AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+),
+avg_qty AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+  FROM li_p GROUP BY l_partkey
+)
+SELECT {SQL_DSUM('l_extendedprice')} / CAST(7.0 AS DOUBLE) AS avg_yearly,
+       {SQL_DSUM('l_extendedprice')} AS total_price,
+       count(*) AS n_items
+FROM li_p JOIN avg_qty ON l_partkey = a_partkey
+WHERE l_quantity < CAST(0.5 AS DOUBLE) * avg_qty
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no orders, grouped by
+    country code (nationkey band — the lake has no phone column). The
+    scalar avg is a 1-row broadcast; the no-orders test is a left-anti
+    join that ships only custkeys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, count(*) AS numcust,
+       {SQL_DSUM('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -1964,6 +2320,14 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q14_promo_share", q14_promo_share, Q14_SQL),
     ("rel_q18_large_orders", q18_large_orders, Q18_SQL),
     ("rel_q19_bracket_predicates", q19_bracket_predicates, Q19_SQL),
+    ("rel_q7_volume_shipping", q7_volume_shipping, Q7_SQL),
+    ("rel_q8_market_share", q8_market_share, Q8_SQL),
+    ("rel_q9_product_profit", q9_product_profit, Q9_SQL),
+    ("rel_q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+    ("rel_q15_top_supplier", q15_top_supplier, Q15_SQL),
+    ("rel_q16_supplier_part_counts", q16_supplier_part_counts, Q16_SQL),
+    ("rel_q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
+    ("rel_q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),

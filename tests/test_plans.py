@@ -153,3 +153,39 @@ def test_q4_exists_is_semi_join(spark):
 
     p = plan(q4_priority_exists(spark, SF), "simple")
     assert "LeftSemi" in p
+
+
+def test_q7_q9_dims_broadcast_single_fact_shuffle(spark):
+    """Q7/Q9: every dimension (supplier+nation, customer+nation, part) joins
+    by broadcast; the only non-broadcast join is lineitem-orders."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        q7_volume_shipping,
+        q9_product_profit,
+    )
+
+    for q in (q7_volume_shipping, q9_product_profit):
+        p = plan(q(spark, SF), "simple")
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        # dims broadcast: at least two BroadcastHashJoins in the plan
+        assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_q17_avg_subquery_becomes_preagg_join(spark):
+    """Q17's correlated scalar avg must compile to an aggregate joined back,
+    never a per-row subquery re-execution; both joins stay equi."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    p = plan(q17_small_quantity_revenue(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_q22_no_orders_is_anti_join(spark):
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        q22_global_sales_opportunity,
+    )
+
+    p = plan(q22_global_sales_opportunity(spark, SF), "simple")
+    assert "LeftAnti" in p
