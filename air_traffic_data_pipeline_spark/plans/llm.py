@@ -1855,6 +1855,90 @@ GROUP BY doc_id
 """
 
 
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling: each doc gets a CONTINUOUS keep
+    probability from a quality proxy (length saturating at 2000 chars,
+    boosted for the high-resource language), and survives iff the
+    deterministic per-doc hash uniform falls under it. Generalizes
+    ``dataset_mixing``'s per-source constant rate to per-example weights —
+    the standard way to tilt a pretraining mixture toward a target
+    distribution. Membership is a pure function of doc_id: stable under
+    re-runs, task retries, and appends. Pure column expressions — no
+    shuffle before the tiny per-lang audit agg."""
+    d = load(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)) * F.when(
+        F.col("lang") == "en", F.lit(1.0)
+    ).otherwise(F.lit(0.6))
+    u = _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) / F.lit(65536.0)
+    return (
+        d.select("lang", weight.alias("w"), (u < weight).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("mean_weight"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("realized_rate"),
+        )
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         least(n_chars / CAST(2000.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+           * (CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END) AS w,
+         CASE WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} / CAST(65536.0 AS DOUBLE)
+                   < least(n_chars / CAST(2000.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                     * (CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(w) / count(*), 6) AS mean_weight,
+       round(sum(kept) / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+FROM t GROUP BY 1
+"""
+
+
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (Arrow series -> scalar), completing the
+    UDF surface next to the scalar pandas UDF, grouped-map applyInPandas,
+    Python UDTF, and the stateful streaming processors. The kernel is a
+    selection statistic (max - min of integer chars), so it is bitwise
+    deterministic under any partitioning — the same discipline as the other
+    pandas kernels. (Spark disallows mixing group-agg pandas UDFs with
+    native aggregates in one agg, so the row count is a second kernel.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _char_range(v):
+        return int(v.max() - v.min())
+
+    def _n_docs(v):
+        return len(v)
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # which pandas_udf cannot resolve; set live annotation objects instead
+    # (Series -> scalar == grouped-aggregate UDF)
+    _char_range.__annotations__ = {"v": pd.Series, "return": int}
+    _n_docs.__annotations__ = {"v": pd.Series, "return": int}
+    char_range = pandas_udf(_char_range, "bigint")
+    n_docs = pandas_udf(_n_docs, "bigint")
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        char_range(F.col("n_chars")).alias("char_range"),
+        n_docs(F.col("doc_id")).alias("n_docs"),
+    )
+
+
+_GROUPED_AGG_UDF_SQL = """
+SELECT lang, CAST(max(n_chars) - min(n_chars) AS BIGINT) AS char_range,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -1900,6 +1984,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_repetition_filter", repetition_filter, _REPETITION_SQL),
     ("llm_lm_perplexity", lm_perplexity, _LM_PPL_SQL),
     ("llm_chunk_dedup", chunk_dedup, _CHUNK_DEDUP_SQL),
+    ("llm_importance_resample", importance_resample, _RESAMPLE_SQL),
+    ("llm_grouped_agg_udf", grouped_agg_pandas_udf, _GROUPED_AGG_UDF_SQL),
 ]
 
 

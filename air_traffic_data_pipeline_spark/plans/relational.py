@@ -2255,6 +2255,97 @@ GROUP BY 1
 """
 
 
+def win_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window battery: distribution/positional functions — ntile,
+    percent_rank, cume_dist, nth_value, first/last over an explicit frame.
+    The ORDER BY includes the unique o_orderkey tiebreak so every function
+    (including row-order-dependent ntile) is deterministic. Windows
+    partition per priority class — no global sort at scale."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(frame).alias("second_key"),
+        F.first("o_orderkey").over(frame).alias("top_key"),
+        F.last("o_orderkey").over(frame).alias("bottom_key"),
+    )
+
+
+WIN_DIST_SQL = """
+SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       nth_value(o_orderkey, 2) OVER wf AS second_key,
+       first_value(o_orderkey)  OVER wf AS top_key,
+       last_value(o_orderkey)   OVER wf AS bottom_key
+FROM orders
+WHERE o_orderkey <= 3000
+WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a transactional table format: a full
+    outer join of the target dimension against a change set, with
+    WHEN MATCHED / WHEN NOT MATCHED branches as projections. The change
+    set is an aggregate (per-customer order spend), so matched rows update
+    the balance and unmatched changes insert. At 100 TB this is the
+    standard shuffle-on-key merge; a lakehouse format would replace the
+    rewrite with a transactional commit, the join shape is identical."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal_dec")
+    )
+    delta = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("d_custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"))
+    )
+    j = c.join(delta, c.c_custkey == delta.d_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "d_custkey").alias("custkey"),
+        F.when(
+            F.col("d_custkey").isNull(), F.lit("keep")  # target-only row
+        )
+        .when(F.col("c_custkey").isNull(), F.lit("insert"))  # change-only row
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (
+            F.coalesce(F.col("bal_dec"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("spend_dec"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("new_balance"),
+    )
+
+
+MERGE_SQL = """
+WITH delta AS (
+  SELECT o_custkey AS d_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+)
+SELECT coalesce(c_custkey, d_custkey) AS custkey,
+       CASE WHEN d_custkey IS NULL THEN 'keep'
+            WHEN c_custkey IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       CAST(coalesce(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))
+            - coalesce(spend_dec, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS new_balance
+FROM customer FULL OUTER JOIN delta ON c_custkey = d_custkey
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2328,6 +2419,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q16_supplier_part_counts", q16_supplier_part_counts, Q16_SQL),
     ("rel_q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
     ("rel_q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_SQL),
+    ("rel_win_distribution_funcs", win_distribution_funcs, WIN_DIST_SQL),
+    ("rel_merge_upsert", merge_upsert, MERGE_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),

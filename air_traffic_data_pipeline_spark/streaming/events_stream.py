@@ -329,6 +329,77 @@ def foreach_batch_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TWS_OUT = "event_type string, n bigint, max_value double, min_value double"
+
+
+def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running (count, max, min) via ``transformWithState``
+    (Spark 4's arbitrary-stateful-processing API — typed ValueState in the
+    RocksDB state store, replacing ``applyInPandasWithState``). Count and
+    extremes are selection aggregates, so the result is deterministic under
+    any partitioning/batch split; the update-mode sink is collapsed to the
+    final emission per key, exactly like ``stateful_user_stats``.
+
+    At scale: state is one fixed-size tuple per key in RocksDB (spillable,
+    incrementally checkpointed); input shuffles once on the grouping key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    tune_session(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("stats", "n BIGINT, mx DOUBLE, mn DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx, mn = self._st.get() if self._st.exists() else (0, None, None)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                bmx = float(pdf["value"].max())
+                bmn = float(pdf["value"].min())
+                mx = bmx if mx is None else max(mx, bmx)
+                mn = bmn if mn is None else min(mn, bmn)
+            self._st.update((n, mx, mn))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n": [n],
+                    "max_value": [mx],
+                    "min_value": [mn],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = with_event_time(read_events_stream(spark, sf_dir))
+    out = ev.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    from pyspark.sql import Window
+
+    sink = run_to_memory(out, mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (broadcast per micro-batch — no stream-side state),

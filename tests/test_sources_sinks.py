@@ -209,3 +209,60 @@ def test_compaction_merges_small_files(spark, tmp_path):
     n_out = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
     assert n_out == n_files <= 3
     assert spark.read.parquet(dest).count() == n
+
+
+def test_orc_and_text_scan_roundtrip(spark, tmp_path):
+    """ORC and text sources: explicit-schema round trips survive exactly —
+    the remaining built-in file formats next to parquet/csv/jsonl."""
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    nat = load(spark, sf, "nation")
+
+    orc_dir = str(tmp_path / "nation_orc")
+    nat.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.schema(nat.schema).orc(orc_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
+
+    txt_dir = str(tmp_path / "nation_txt")
+    nat.select(
+        F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    ).write.mode("overwrite").text(txt_dir)
+    parsed = (
+        spark.read.text(txt_dir)
+        .select(F.split("value", r"\|").alias("p"))
+        .select(
+            F.col("p")[0].cast("int").alias("n_nationkey"),
+            F.col("p")[1].alias("n_name"),
+            F.col("p")[2].cast("int").alias("n_regionkey"),
+        )
+    )
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, nat.collect()))
+
+
+def test_observation_metrics_match_direct_agg(spark):
+    """df.observe(Observation, ...): accumulator-style metrics collected on
+    the pass that materializes the result — the zero-extra-pass way to get
+    row counts / sums out of a 100 TB pipeline run (vs a second scan)."""
+    from pyspark.sql import Observation
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem")
+    obs = Observation("li_stats")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+    n_out = observed.filter(F.col("l_quantity") > 25).count()
+
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    ).collect()[0]
+    assert obs.get["n_rows"] == direct.n_rows
+    assert obs.get["total_qty"] == direct.total_qty
+    # the observed metrics cover the FULL scan, not the filtered output
+    assert n_out < direct.n_rows

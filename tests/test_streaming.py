@@ -272,3 +272,38 @@ def test_dedup_watermark_query_matches_batch_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch_agg(spark):
+    """transformWithState (Spark 4 arbitrary stateful processing, RocksDB
+    ValueState) running stats == the batch groupBy. Skipped where the
+    API's protobuf dependency is absent (this container)."""
+    import pytest
+
+    from air_traffic_data_pipeline_spark.plans.streaming_plans import _tws_available
+
+    if not _tws_available():
+        pytest.skip("google.protobuf missing: transformWithState worker cannot start")
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        transform_with_state_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n, r.max_value, r.min_value)
+        for r in transform_with_state_stats(spark, sf).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.max_value, r.min_value)
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+        .collect()
+    }
+    assert got == want
