@@ -772,6 +772,62 @@ WHERE round({cosine_sql('a.vec', 'b.vec')}, 6) >= CAST({EMB_NEAR_DUP_THRESHOLD} 
 """
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    PAIRS (LSH-prefiltered, exact-verified) -> transitive CLUSTERS
+    (connected components) -> one survivor per semantic cluster (min
+    vec_id), emitted with its cluster size. The embedding-space sibling of
+    ``cluster_survivors``: near-identical *meaning*, not near-identical
+    bytes. Scale path: bucket equi-join for candidates, Pregel-style label
+    propagation (O(diameter) shuffle rounds), anti-join kill list."""
+    from ..operators.components import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(spark, sf_dir)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    survivors = (
+        cc.filter(F.col("node") == F.col("comp"))
+        .join(sizes, "comp")
+        .select(F.col("node").alias("vec_id"), "cluster_size")
+    )
+    return (
+        e.join(cc.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", F.lit(1).cast("bigint").alias("cluster_size"))
+        .unionByName(survivors.select("vec_id", F.col("cluster_size").cast("bigint")))
+        .join(e.select("vec_id", "label"), "vec_id")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS ({_EMB_NEAR_DUP_SQL}),
+und AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+cc AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+sizes AS (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp),
+survivors AS (
+  SELECT cc.node AS vec_id, CAST(sizes.cluster_size AS BIGINT) AS cluster_size
+  FROM cc JOIN sizes USING (comp) WHERE cc.node = cc.comp
+),
+keep AS (
+  SELECT e.vec_id, CAST(1 AS BIGINT) AS cluster_size
+  FROM embeddings e ANTI JOIN cc ON e.vec_id = cc.node
+  UNION ALL
+  SELECT vec_id, cluster_size FROM survivors
+)
+SELECT k.vec_id, k.cluster_size, e.label
+FROM keep k JOIN embeddings e ON k.vec_id = e.vec_id
+"""
+
+
 # --- multimodal column plumbing -------------------------------------------
 
 
@@ -1986,6 +2042,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_chunk_dedup", chunk_dedup, _CHUNK_DEDUP_SQL),
     ("llm_importance_resample", importance_resample, _RESAMPLE_SQL),
     ("llm_grouped_agg_udf", grouped_agg_pandas_udf, _GROUPED_AGG_UDF_SQL),
+    ("llm_semantic_dedup", semantic_dedup, _SEMANTIC_DEDUP_SQL),
 ]
 
 

@@ -2346,6 +2346,60 @@ FROM customer FULL OUTER JOIN delta ON c_custkey = d_custkey
 """
 
 
+def q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-supplier count of multi-supplier orders where
+    THIS supplier returned items and NO OTHER supplier did (the lake has
+    no receipt/commit dates, so 'failed' = returnflag R). The EXISTS /
+    NOT EXISTS pair compiles to a semi join plus an anti join on the same
+    (orderkey, suppkey) relation — both ship only key columns."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    mine = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others_any = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).distinct()
+    others_r = mine.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    # EXISTS other supplier on the order
+    step1 = mine.join(
+        others_any,
+        (mine.l_orderkey == others_any.o_key) & (mine.l_suppkey != others_any.o_supp),
+        "left_semi",
+    )
+    # NOT EXISTS other supplier who ALSO returned
+    step2 = step1.join(
+        others_r,
+        (step1.l_orderkey == others_r.r_key) & (step1.l_suppkey != others_r.r_supp),
+        "left_anti",
+    )
+    return (
+        step2.join(F.broadcast(s), step2.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH mine AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM mine m JOIN supplier ON m.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = m.l_orderkey AND l2.l_suppkey <> m.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = m.l_orderkey
+                    AND l3.l_suppkey <> m.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2421,6 +2475,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_SQL),
     ("rel_win_distribution_funcs", win_distribution_funcs, WIN_DIST_SQL),
     ("rel_merge_upsert", merge_upsert, MERGE_SQL),
+    ("rel_q21_sole_blame", q21_sole_blame, Q21_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),

@@ -307,3 +307,51 @@ def test_transform_with_state_matches_batch_agg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_trigger_available_now_drains_and_stops(spark):
+    """Trigger.availableNow: the modern batch-drain trigger — processes all
+    data available at start (respecting maxFilesPerTrigger backpressure as
+    batch boundaries) then stops on its own, vs processAllAvailable's
+    wait-on-a-running-query. The counts must equal the batch aggregate."""
+    import uuid as _uuid
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+        _stage_late_batches,
+        with_event_time,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _stage_late_batches(spark, sf)  # 3 staged files -> 3 micro-batches
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    agg = (
+        with_event_time(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "an" + _uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # availableNow self-terminates
+    got = {r.event_type: r.n for r in spark.table(name).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
