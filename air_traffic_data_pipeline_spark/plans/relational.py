@@ -2400,6 +2400,164 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region. The lake
+    has no partsupp, so the supply relation derives from lineitem: per
+    (part, supplier) the min observed unit price. The correlated scalar
+    min-cost subquery becomes a per-part pre-aggregate joined back — same
+    rewrite as Q17. Unit price is one double division per row and min is a
+    selection, so the result is bitwise deterministic."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s_eu = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    li = load(spark, sf_dir, "lineitem")
+    supply = (
+        li.join(F.broadcast(s_eu), li.l_suppkey == s_eu.s_suppkey, "left_semi")
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (supply.l_partkey == F.col("m_partkey"))
+            & (supply.cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(s_eu), supply.l_suppkey == s_eu.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey", "p_brand")), supply.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("cost").alias("min_cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH s_eu AS (
+  SELECT s_suppkey, s_name, n_name AS nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+p_f AS (SELECT p_partkey, p_brand FROM part WHERE p_size <= 10),
+supply AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM s_eu)
+    AND l_partkey IN (SELECT p_partkey FROM p_f)
+  GROUP BY 1, 2
+)
+SELECT sp.l_partkey AS p_partkey, p_f.p_brand, s_eu.s_suppkey, s_eu.s_name,
+       s_eu.nation, sp.cost AS min_cost
+FROM supply sp
+JOIN s_eu ON sp.l_suppkey = s_eu.s_suppkey
+JOIN p_f  ON sp.l_partkey = p_f.p_partkey
+WHERE sp.cost = (SELECT min(cost) FROM supply s2 WHERE s2.l_partkey = sp.l_partkey)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's suppliers,
+    HAVING value greater than a FRACTION OF THE GLOBAL TOTAL of the same
+    aggregated relation. The scalar total is a 1-row broadcast cross join
+    over the (already part-count-sized) aggregate — the fact scans once."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("val_dec"))
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.lit(0.001) * F.col("total_dec").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val_dec AS DOUBLE)
+      > CAST(0.001 AS DOUBLE) * (SELECT CAST(sum(val_dec) AS DOUBLE) FROM per_part)
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN-chain — suppliers who shipped a large
+    quantity of PROMO parts in one year. part-filter -> per-(supplier,
+    part) shipped-qty aggregate -> threshold -> semi join up to supplier.
+    Every level ships only keys; the name list is the final projection."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    qualified = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2476,6 +2634,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_win_distribution_funcs", win_distribution_funcs, WIN_DIST_SQL),
     ("rel_merge_upsert", merge_upsert, MERGE_SQL),
     ("rel_q21_sole_blame", q21_sole_blame, Q21_SQL),
+    ("rel_q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+    ("rel_q11_important_stock", q11_important_stock, Q11_SQL),
+    ("rel_q20_excess_shippers", q20_excess_shippers, Q20_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
