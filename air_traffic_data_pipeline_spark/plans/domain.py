@@ -43,8 +43,9 @@ from .tables import load
 # ---------------------------------------------------------------------------
 
 
-def build_states(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def states_from_events(ev: DataFrame) -> DataFrame:
+    """Derive the deterministic states table from an events DataFrame —
+    batch or per-micro-batch (see ``incremental_noise_grid``)."""
     return ev.select(
         F.col("event_id"),
         F.lpad(F.col("event_id").cast("string"), 6, "0").alias("icao24"),
@@ -56,6 +57,10 @@ def build_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") != "purchase", F.col("value") * 25.0)
         .alias("geo_altitude"),
     )
+
+
+def build_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return states_from_events(load(spark, sf_dir, "events"))
 
 
 STATES_SQL = """
@@ -286,6 +291,141 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Incremental noise-map maintenance (streaming materialized view)
+# ---------------------------------------------------------------------------
+
+
+def incremental_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production pattern — poll -> update the heatmap —
+    as STREAMING MATERIALIZED-VIEW MAINTENANCE: each micro-batch of state
+    observations runs the radius join against the grid and lands its
+    per-cell PARTIAL power sums as an idempotent ``batch=<epoch>``
+    partition (epoch replay overwrites the same directory — exactly-once);
+    the view is the re-aggregation of the partials. Power-domain sums are
+    associative, so the incremental result equals the one-shot batch
+    flagship over all observations (no dedup — every poll contributes),
+    which is exactly what the oracle computes.
+
+    At scale each micro-batch touches only its own sources x nearby cells
+    (binned equi radius join), the landed partials are cell-keyed and
+    compact, and the final merge re-aggregates partials — never raw pairs.
+    """
+    import shutil
+
+    from ..streaming.events_stream import EVENTS_SCHEMA, _stage_late_batches
+
+    d = _stage_late_batches(spark, sf_dir)
+    base = d.rstrip("/") + "_noise_mv"
+    shutil.rmtree(base, ignore_errors=True)
+
+    grid = gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)
+    n_cells = (2 * FLAGSHIP_N_STEPS + 1) ** 2
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        st = states_from_events(batch_df)
+        sources = st.select(
+            F.col("latitude").alias("lat"),
+            F.col("longitude").alias("lon"),
+            phase_db(F.col("on_ground"), F.col("vertical_rate")).alias("src_db"),
+        )
+        pairs = adaptive_radius_join(
+            grid,
+            sources,
+            R_MAX,
+            NANTES_LAT,
+            grid_cells=n_cells,
+            region_extent_m=2 * FLAGSHIP_N_STEPS * FLAGSHIP_STEP_M,
+        )
+        partial = (
+            pairs.withColumn(
+                "power", attenuated_power(F.col("src_db"), F.col("dist_m"))
+            )
+            .groupBy("g_lat", "g_lon")
+            .agg(F.sum("power").alias("sum_power"))
+        )
+        partial.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    q = src.writeStream.foreachBatch(_update).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = (
+        spark.read.parquet(f"{base}/batch=*")
+        .groupBy("g_lat", "g_lon")
+        .agg(F.sum("sum_power").alias("sum_power"))
+        .filter(F.col("sum_power") > 0)
+    )
+    return merged.select(
+        "g_lat",
+        "g_lon",
+        db_from_power(F.col("sum_power")).alias("db"),
+        F.round(db_from_power(F.col("sum_power")) / F.lit(MAX_DB), 6).alias("weight"),
+    )
+
+
+def incremental_sql() -> str:
+    """Oracle: the one-shot flagship over ALL observations (no dedup), with
+    the same bin prefilter as refgeom_sql to keep the pair count tractable
+    (the exact haversine predicate decides membership either way)."""
+    import math
+
+    from ..constants import DEG2RAD, EARTH_RAD, RAD2DEG
+    from .sqlutil import dlit
+
+    bin_deg_lat = R_MAX / EARTH_RAD * RAD2DEG
+    bin_deg_lon = R_MAX / (EARTH_RAD * math.cos(NANTES_LAT * DEG2RAD)) * RAD2DEG
+    dist = haversine_sql("g.g_lat", "g.g_lon", "s.lat", "s.lon")
+    power = attenuated_power_sql("src_db", "dist_m")
+    return f"""
+WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)}),
+states AS ({STATES_SQL}),
+src AS (
+  SELECT latitude AS lat, longitude AS lon, {phase_db_sql()} AS src_db
+  FROM states
+),
+sx AS (
+  SELECT lat, lon, src_db,
+         CAST(floor(lat / {dlit(bin_deg_lat)}) AS BIGINT) + d.dlat AS bin_lat,
+         CAST(floor(lon / {dlit(bin_deg_lon)}) AS BIGINT) + d.dlon AS bin_lon
+  FROM src CROSS JOIN (SELECT a.dlat, b.dlon
+                       FROM (VALUES (-1), (0), (1)) a(dlat),
+                            (VALUES (-1), (0), (1)) b(dlon)) d
+),
+gb AS (
+  SELECT g_lat, g_lon,
+         CAST(floor(g_lat / {dlit(bin_deg_lat)}) AS BIGINT) AS bin_lat,
+         CAST(floor(g_lon / {dlit(bin_deg_lon)}) AS BIGINT) AS bin_lon
+  FROM grid
+),
+pairs AS (
+  SELECT g.g_lat, g.g_lon, s.src_db, {dist} AS dist_m
+  FROM gb g JOIN sx s ON g.bin_lat = s.bin_lat AND g.bin_lon = s.bin_lon
+),
+contrib AS (
+  SELECT g_lat, g_lon, {power} AS power
+  FROM pairs WHERE dist_m <= CAST({R_MAX!r} AS DOUBLE)
+),
+agg AS (
+  SELECT g_lat, g_lon, sum(power) AS sum_power
+  FROM contrib GROUP BY g_lat, g_lon
+  HAVING sum(power) > 0
+)
+SELECT g_lat, g_lon,
+       round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) AS db,
+       round(round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) / CAST({MAX_DB!r} AS DOUBLE), 6) AS weight
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Component queries (each a small oracle-checked surface)
 # ---------------------------------------------------------------------------
 
@@ -411,6 +551,7 @@ def domain_queries() -> dict:
         "noise_bbox_filter": q_bbox_filter,
         "noise_heat_triples": q_heat_triples,
         "noise_grid_refgeom": refgeom_noise_grid,
+        "noise_grid_incremental": incremental_noise_grid,
     }
 
 
@@ -424,4 +565,5 @@ def domain_oracles() -> dict:
         "noise_bbox_filter": BBOX_SQL,
         "noise_heat_triples": heat_triples_sql(),
         "noise_grid_refgeom": refgeom_sql(),
+        "noise_grid_incremental": incremental_sql(),
     }
