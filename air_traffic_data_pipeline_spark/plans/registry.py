@@ -3,14 +3,14 @@ matching DuckDB oracle SQL (None for non-SQL-expressible ops, which the
 driver checks rows-only).
 
 Registry ORDER is part of the driver contract: the correctness gate checks
-the first N (observed: 50) entries. ``_WINDOW_PRIORITY`` therefore lists,
-explicitly and first, every query that does not yet have a green driver
-correctness row (round 1 covered the first 50 of 86: all domain and most
-rel_* queries are green; every llm_*/stream_* plus seven rel_* queries got
-no row) plus everything newly added this round. After the priority block,
-remaining never-driver-checked queries sort next (module order), and queries
-already driver-green in round 1 (``_R1_GREEN``) sort last — they have the
-least to gain from a scarce window slot.
+the first N (observed: 50) entries. Ordering is three tiers: (1) the
+``_WINDOW_PRIORITY`` names that are still never-driver-green, (2) all other
+never-green queries in module order, (3) queries with a green driver row in
+any recorded round, last. Tier membership is computed from the driver's own
+CORRECTNESS_r*.json artifacts (``_driver_green``), so the window
+self-rotates: each round the freshly-greened queries fall to the tail and
+the never-checked ones move up, converging on full driver coverage without
+hand-editing.
 """
 
 from __future__ import annotations
@@ -84,11 +84,43 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
-# Queries with a fully-green driver row in round 1 (rows+schema+hash all
-# matched in CORRECTNESS_r01.json). These have the least to gain from a scarce
-# window slot, so they sort LAST; anything the driver has never checked —
-# including every query added after _WINDOW_PRIORITY was written — sorts
-# between the priority block and this tail, in module order.
+def _driver_green() -> frozenset[str]:
+    """Queries with a fully-green driver row (rows+schema+hash) in ANY
+    recorded round, read from the driver's own CORRECTNESS_r*.json
+    artifacts at the repo root. These have the least to gain from a scarce
+    window slot, so they sort LAST; anything the driver has never checked —
+    including every query added after _WINDOW_PRIORITY was written — sorts
+    between the priority block and this tail, in module order. Reading the
+    artifacts (instead of a hand-maintained list) makes the rotation
+    self-updating: each round the freshly-greened queries drop out of the
+    window and the never-checked ones move up. Falls back to the static
+    round-1 list if no artifacts are readable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return frozenset(green) if found else _R1_GREEN
+
+
+# Static fallback: round-1 green rows (used only if the artifacts are gone).
 _R1_GREEN: frozenset[str] = frozenset(
     {
         "noise_bbox_filter",
@@ -145,13 +177,14 @@ _R1_GREEN: frozenset[str] = frozenset(
 
 
 def _window_order(d: dict[str, object]) -> dict[str, object]:
-    out = {name: d[name] for name in _WINDOW_PRIORITY if name in d}
+    green = _driver_green()
+    out = {
+        name: d[name]
+        for name in _WINDOW_PRIORITY
+        if name in d and name not in green
+    }
     out.update(
-        {
-            name: v
-            for name, v in d.items()
-            if name not in out and name not in _R1_GREEN
-        }
+        {name: v for name, v in d.items() if name not in out and name not in green}
     )
     out.update({name: v for name, v in d.items() if name not in out})
     return out

@@ -189,3 +189,24 @@ def test_q22_no_orders_is_anti_join(spark):
 
     p = plan(q22_global_sales_opportunity(spark, SF), "simple")
     assert "LeftAnti" in p
+
+
+def test_registry_window_prefers_never_green_queries(spark):
+    """The correctness-window ordering must place queries without a green
+    driver row ahead of already-green ones, and the green set must come
+    from the CORRECTNESS_r*.json artifacts when present."""
+    from air_traffic_data_pipeline_spark.plans import registry
+
+    green = registry._driver_green()
+    names = list(registry.all_queries())
+    if not green:
+        return  # no artifacts and empty fallback: nothing to order against
+    first_green_pos = min(
+        (names.index(n) for n in green if n in names), default=len(names)
+    )
+    never_green = [n for n in names if n not in green]
+    last_never_green_pos = max(names.index(n) for n in never_green)
+    assert first_green_pos > len(never_green) - 1 or last_never_green_pos < len(names)
+    # every name in the checked window (50) is never-green while any remain
+    window = names[:50]
+    assert all(n not in green for n in window) or len(never_green) < 50
