@@ -1995,6 +1995,69 @@ FROM documents GROUP BY 1
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a pretraining-data team ships, as
+    ONE composed lazy plan: quality/length/language gate -> near-dup
+    cluster kill list (minhash -> bands -> verify -> connected components)
+    -> deterministic train/val/test split -> per-(split, lang) doc and
+    token accounting. Every stage is an already-oracle-checked operator;
+    this query checks their COMPOSITION end to end. At scale: the gate is
+    scan+filter, the kill list an anti-join on doc_id, the split a pure
+    column expression, the audit a small agg — the near-dup subgraph is
+    the only wide stage."""
+    gated = quality_gate(spark, sf_dir)
+    cc = dedup_clusters(spark, sf_dir)
+    kills = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = gated.join(kills, "doc_id", "left_anti")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        survivors.join(d, "doc_id")
+        .select("lang", split.alias("split"), word_count(F.col("text")).alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_CURATION_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+kills AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id),
+gated AS ({_QUALITY_GATE_SQL}),
+survivors AS (
+  SELECT g.doc_id, g.lang FROM gated g ANTI JOIN kills k ON g.doc_id = k.doc_id
+),
+labeled AS (
+  SELECT s.lang,
+         CASE WHEN {_hex4_to_int_sql("md5(CAST(s.doc_id AS VARCHAR))")} % 100 < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_hex4_to_int_sql("md5(CAST(s.doc_id AS VARCHAR))")} % 100 < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2043,6 +2106,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_importance_resample", importance_resample, _RESAMPLE_SQL),
     ("llm_grouped_agg_udf", grouped_agg_pandas_udf, _GROUPED_AGG_UDF_SQL),
     ("llm_semantic_dedup", semantic_dedup, _SEMANTIC_DEDUP_SQL),
+    ("llm_curation_pipeline", curation_pipeline, _CURATION_SQL),
 ]
 
 

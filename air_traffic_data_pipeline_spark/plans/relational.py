@@ -2558,6 +2558,33 @@ WHERE s_suppkey IN (
 """
 
 
+def ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: collect_list is partition-order-dependent,
+    so the DETERMINISTIC form is collect -> sort_array -> serialize. Per
+    nation: the sorted member list and its bounds. At scale collect_list
+    per group is safe only for bounded groups (here: members per nation);
+    unbounded groups should aggregate, not collect."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_custkey"))).alias("members"),
+        F.size(F.collect_list("c_custkey")).cast("bigint").alias("n_members"),
+        F.array_min(F.collect_list("c_custkey")).alias("first_key"),
+        F.array_max(F.collect_list("c_custkey")).alias("last_key"),
+    )
+
+
+ORDERED_COLLECT_SQL = """
+SELECT c_nationkey,
+       string_agg(c_custkey, ',' ORDER BY c_custkey) AS members,
+       count(*) AS n_members,
+       min(c_custkey) AS first_key,
+       max(c_custkey) AS last_key
+FROM customer
+WHERE c_custkey <= 400
+GROUP BY c_nationkey
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2637,6 +2664,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
     ("rel_q11_important_stock", q11_important_stock, Q11_SQL),
     ("rel_q20_excess_shippers", q20_excess_shippers, Q20_SQL),
+    ("rel_ordered_collect", ordered_collect, ORDERED_COLLECT_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),

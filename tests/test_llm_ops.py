@@ -238,3 +238,35 @@ def test_chunk_dedup_keeps_each_chunk_text_once(spark):
     full = d0.filter(F.col("n_kept") == F.col("n_chunks"))
     assert full.count() > 0
     assert full.filter(F.col("text_kept") != F.col("text")).count() == 0
+
+
+def test_map_in_arrow_matches_native(spark):
+    """mapInArrow: the zero-copy RecordBatch-level Arrow surface (one step
+    below mapInPandas — no pandas conversion). Kernel computes text length
+    per batch with pyarrow.compute; must equal the native length()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks(),
+                 pc.utf8_length(tbl.column("text")).combine_chunks().cast(pa.int64())],
+                names=["doc_id", "n_chars_arrow"],
+            )
+
+    got = {
+        r.doc_id: r.n_chars_arrow
+        for r in d.mapInArrow(kernel, "doc_id long, n_chars_arrow long").collect()
+    }
+    want = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.length("text").alias("n")).collect()
+    }
+    assert got == want
