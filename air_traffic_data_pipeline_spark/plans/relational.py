@@ -2585,6 +2585,34 @@ GROUP BY c_nationkey
 """
 
 
+def generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: explode_outer keeps the parent row (with
+    a NULL element) when the array is empty — the LEFT JOIN LATERAL shape.
+    Plain explode would silently drop empty-array parents; pipelines doing
+    per-element fan-out must choose deliberately. Narrow op, no shuffle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    arr = F.when(
+        F.col("p_size") % 3 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(1), (F.col("p_size") % 4 + 1).cast("bigint")))
+    return p.select("p_partkey", arr.alias("arr")).select(
+        "p_partkey",
+        F.size("arr").cast("bigint").alias("n_elems"),
+        F.explode_outer("arr").alias("elem"),
+    )
+
+
+GENERATOR_OUTER_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_size % 3 = 0 THEN CAST([] AS BIGINT[])
+              ELSE range(1, CAST(p_size % 4 + 1 AS BIGINT) + 1) END AS arr
+  FROM part WHERE p_partkey < 200
+)
+SELECT p_partkey, CAST(len(arr) AS BIGINT) AS n_elems, u.elem
+FROM t LEFT JOIN LATERAL (SELECT unnest(arr) AS elem) u ON true
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2665,6 +2693,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q11_important_stock", q11_important_stock, Q11_SQL),
     ("rel_q20_excess_shippers", q20_excess_shippers, Q20_SQL),
     ("rel_ordered_collect", ordered_collect, ORDERED_COLLECT_SQL),
+    ("rel_generator_outer", generator_outer, GENERATOR_OUTER_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
