@@ -985,8 +985,20 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly broadcast; the corpus side never shuffles its raw text —
     only (doc_id, shingle) pairs into the per-doc count.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
+    # persist the distinct shingle table: it feeds THREE branches (bench
+    # set, per-doc totals, hit join) and Catalyst's ReusedExchange does not
+    # cover multi-branch reuse of the explode subtree (measured on the
+    # minhash pipeline — recomputation roughly doubles runtime). Cached per
+    # (app, lake) and dropped by clear_caches().
+    key = (spark.sparkContext.applicationId, sf_dir, "contam_sh")
+    sh = _PERSIST_CACHE.get(key)
+    if sh is None:
+        from pyspark import StorageLevel
+
+        d = fan_out(load(spark, sf_dir, "documents"))
+        sh = exploded_shingles(d.select("doc_id", "text")).distinct()
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSIST_CACHE[key] = sh
     bench = (
         sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select("s").distinct()
     )
@@ -1134,9 +1146,20 @@ def zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(x)
         s = int(x.sum())
         ss = int((x * x).sum())
-        mean = s / n
-        var = (ss - s * s / n) / (n - 1)
-        z = np.round((x.astype("float64") - mean) / np.sqrt(var), 6)
+        # degenerate groups (single doc, zero variance) get NULL z — the
+        # same branch the oracle takes — instead of ZeroDivisionError / inf
+        var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+        if var <= 0.0:
+            z = pd.array([None] * n, dtype="Float64")
+        else:
+            mean = s / n
+            raw = (x.astype("float64") - mean) / np.sqrt(var)
+            # HALF_UP rounding to match F.round / DuckDB round (np.round is
+            # half-even — a latent 1-ulp hash-mismatch source on exact ties)
+            z = pd.array(
+                np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6,
+                dtype="Float64",
+            )
         return pd.DataFrame(
             {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_len": z}
         )
@@ -1153,8 +1176,10 @@ WITH g AS (
   FROM documents GROUP BY lang
 )
 SELECT d.doc_id, d.lang,
-       round((CAST(d.n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
-             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS z_len
+       CASE WHEN n < 2 OR (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) <= 0 THEN NULL
+            ELSE round((CAST(d.n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                       / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6)
+       END AS z_len
 FROM documents d JOIN g USING (lang)
 """
 
@@ -1767,15 +1792,18 @@ FROM bg JOIN tg ON bg.doc_id = tg.doc_id
 
 LM_ALPHA = 0.5  # add-alpha smoothing for the bigram LM
 
-# (sf_dir, "lm_per") -> persisted per-(doc, bigram) count table; see
+# (app, sf_dir, tag) -> persisted intermediate tables (LM bigram counts,
+# contamination shingles); see
 # clear_caches(). Persisting is what makes the corpus tokenize/explode run
 # ONCE — the model tables (c12/c1/V) and the scoring join all re-read it.
-_LM_PER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PERSIST_CACHE: dict[tuple[str, ...], DataFrame] = {}
 
 
 def _lm_per_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (sf_dir, "lm_per")
-    cached = _LM_PER_CACHE.get(key)
+    # keyed on applicationId like _minhash_doc_tbl: a cached DataFrame bound
+    # to a stopped SparkContext must never be returned to a fresh session
+    key = (spark.sparkContext.applicationId, sf_dir, "lm_per")
+    cached = _PERSIST_CACHE.get(key)
     if cached is not None:
         return cached
     d = fan_out(load(spark, sf_dir, "documents"))
@@ -1790,7 +1818,7 @@ def _lm_per_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     per = per.persist(StorageLevel.MEMORY_AND_DISK)
-    _LM_PER_CACHE[key] = per
+    _PERSIST_CACHE[key] = per
     return per
 
 
@@ -2114,7 +2142,7 @@ def clear_caches() -> None:
     """Unpersist and drop all cached tables (minhash doc tables, LM bigram
     tables) — bench hygiene: guarantees a timed run is cold and a long
     session doesn't accumulate executor storage."""
-    for cache in (_DOC_TBL_CACHE, _LM_PER_CACHE):
+    for cache in (_DOC_TBL_CACHE, _PERSIST_CACHE):
         for tbl in cache.values():
             try:
                 tbl.unpersist()

@@ -106,17 +106,19 @@ def _driver_green() -> frozenset[str]:
         try:
             with open(path) as fh:
                 rows = json.load(fh)
-        except (OSError, ValueError):
+            if not isinstance(rows, dict):
+                continue  # unknown artifact shape: ignore, don't crash
+            found = True
+            for name, row in rows.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    green.add(name)
+        except Exception:
             continue
-        found = True
-        for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
     return frozenset(green) if found else _R1_GREEN
 
 

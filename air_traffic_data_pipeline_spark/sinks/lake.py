@@ -61,13 +61,27 @@ def compact_small_files(
 
     A row-count pass sizes the repartition; at scale swap the exact count
     for fileSize-based estimation from the catalog/listing. Round-robin
-    repartition keeps output files uniform regardless of input skew."""
-    import math
+    repartition keeps output files uniform regardless of input skew.
 
+    Refuses dest_path == src_path: overwrite mode truncates the target
+    BEFORE the lazy read of the same directory executes, destroying the
+    input (in-place compaction needs a staging dir + atomic rename, or a
+    table format with transactional rewrite)."""
+    import math
+    import os
+
+    if os.path.abspath(dest_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_small_files: dest_path must differ from src_path "
+            "(overwrite truncates the target before the source is read)"
+        )
     df = spark.read.parquet(src_path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     df.repartition(n_files).write.mode(mode).parquet(dest_path)
-    out = spark.read.parquet(dest_path)
-    assert out.count() == n
+    out_n = spark.read.parquet(dest_path).count()
+    if out_n != n:
+        raise RuntimeError(
+            f"compaction row-count mismatch: wrote {out_n}, expected {n}"
+        )
     return n_files

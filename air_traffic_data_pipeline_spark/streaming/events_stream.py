@@ -350,10 +350,6 @@ def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
 
     class RunningStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -391,7 +387,22 @@ def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    sink = run_to_memory(out, mode="update")
+    # transformWithState requires the RocksDB provider; scope the conf to
+    # this query's run instead of leaking it onto every later streaming
+    # query in the session
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
     return (
         sink.withColumn("__rn", F.row_number().over(w))

@@ -151,7 +151,6 @@ def test_fuzzy_match_detects_near_dups(spark):
 def test_quality_pandas_udf_matches_native(spark):
     """Arrow scalar UDF and native column expression agree bitwise."""
     udf = llm.quality_pandas_udf(spark, SF)
-    native = llm.quality_score_q(spark, SF) if hasattr(llm, "quality_score_q") else None
     from air_traffic_data_pipeline_spark.plans.llm import _SPECS
 
     native_fn = dict((n, f) for n, f, _ in _SPECS)["llm_quality_score"]

@@ -206,7 +206,8 @@ def test_registry_window_prefers_never_green_queries(spark):
     )
     never_green = [n for n in names if n not in green]
     last_never_green_pos = max(names.index(n) for n in never_green)
-    assert first_green_pos > len(never_green) - 1 or last_never_green_pos < len(names)
+    # every never-green query sorts strictly before every green one
+    assert last_never_green_pos < first_green_pos
     # every name in the checked window (50) is never-green while any remain
     window = names[:50]
     assert all(n not in green for n in window) or len(never_green) < 50

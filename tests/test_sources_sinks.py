@@ -266,3 +266,15 @@ def test_observation_metrics_match_direct_agg(spark):
     assert obs.get["total_qty"] == direct.total_qty
     # the observed metrics cover the FULL scan, not the filtered output
     assert n_out < direct.n_rows
+
+
+def test_compaction_refuses_in_place_overwrite(spark, tmp_path):
+    """In-place compaction would truncate the source before reading it —
+    the operator must refuse, not destroy data."""
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import compact_small_files
+
+    src = str(tmp_path / "lake")
+    load(spark, "/root/testdata/sf0.001", "nation").write.parquet(src)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_small_files(spark, src, src, 1000)
