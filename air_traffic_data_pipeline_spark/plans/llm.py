@@ -2023,6 +2023,57 @@ FROM documents GROUP BY 1
 """
 
 
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation (sibling of ``llm_ann_recall_eval``):
+    for every verified near-dup pair, the MinHash-ESTIMATED Jaccard
+    (fraction of the k=8 signature lanes that agree — the only statistic a
+    100 TB pipeline can afford on all pairs) next to the EXACT shingle
+    Jaccard, with the signed error. The estimator itself is deterministic
+    (salted-md5 minhash), so even the error column is oracle-checkable —
+    accuracy claims become data, not folklore."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    doc_tbl = _minhash_doc_tbl(spark, sf_dir)
+    ha = doc_tbl.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    hb = doc_tbl.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (agree.cast("double") / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+            F.round(
+                agree.cast("double") / F.lit(float(MINHASH_K)) - F.col("jaccard"), 6
+            ).alias("err"),
+        )
+    )
+
+
+_JACCARD_EST_SQL = f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+sig AS ({_MINHASH_SIG_SQL})
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))})
+         / CAST({float(MINHASH_K)} AS DOUBLE) AS est_jaccard,
+       round(({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))})
+             / CAST({float(MINHASH_K)} AS DOUBLE) - p.jaccard, 6) AS err
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+"""
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline a pretraining-data team ships, as
     ONE composed lazy plan: quality/length/language gate -> near-dup
@@ -2135,6 +2186,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_grouped_agg_udf", grouped_agg_pandas_udf, _GROUPED_AGG_UDF_SQL),
     ("llm_semantic_dedup", semantic_dedup, _SEMANTIC_DEDUP_SQL),
     ("llm_curation_pipeline", curation_pipeline, _CURATION_SQL),
+    ("llm_minhash_jaccard_est", minhash_jaccard_est, _JACCARD_EST_SQL),
 ]
 
 

@@ -2613,6 +2613,74 @@ FROM t LEFT JOIN LATERAL (SELECT unnest(arr) AS elem) u ON true
 """
 
 
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: scalar shifts/and/or/xor plus the bit_and/bit_or/
+    bit_xor AGGREGATES (associative — partial aggregation applies like any
+    sum). Bit tricks are the workhorse of flag columns and bloom-ish
+    prefilters at scale."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            k.alias("k"),
+            (k % 256).alias("flags"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("flags").alias("and_flags"),
+            F.bit_or("flags").alias("or_flags"),
+            F.bit_xor("flags").alias("xor_flags"),
+            F.sum(F.shiftleft(F.col("flags") % 8, 2)).alias("sum_shifted"),
+            F.sum(F.col("flags").bitwiseAND(F.lit(15))).alias("sum_low_nibble"),
+        )
+    )
+
+
+BITWISE_SQL = """
+WITH t AS (
+  SELECT o_orderstatus, o_orderkey AS k, o_orderkey % 256 AS flags
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderstatus,
+       bit_and(flags) AS and_flags,
+       bit_or(flags)  AS or_flags,
+       bit_xor(flags) AS xor_flags,
+       sum((flags % 8) << 2) AS sum_shifted,
+       sum(flags & 15) AS sum_low_nibble
+FROM t GROUP BY 1
+"""
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_divide / try_cast return NULL instead
+    of failing the job on division-by-zero or malformed casts — at 100 TB
+    one bad row must never kill a 6-hour job; the NULLs surface in data
+    quality counters instead."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    denom = F.col("o_orderkey") % 7
+    bad_str = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), denom.cast("double")).alias("per_bucket"),
+        bad_str.try_cast("bigint").alias("parsed"),
+        F.lit("2024-13-45").try_cast("date").alias("bad_date"),
+    )
+
+
+TRY_ARITH_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE o_totalprice / CAST(o_orderkey % 7 AS DOUBLE) END AS per_bucket,
+       TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-number'
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed,
+       TRY_CAST('2024-13-45' AS DATE) AS bad_date
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2694,6 +2762,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_q20_excess_shippers", q20_excess_shippers, Q20_SQL),
     ("rel_ordered_collect", ordered_collect, ORDERED_COLLECT_SQL),
     ("rel_generator_outer", generator_outer, GENERATOR_OUTER_SQL),
+    ("rel_bitwise_funcs", bitwise_funcs, BITWISE_SQL),
+    ("rel_try_arithmetic", try_arithmetic, TRY_ARITH_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
