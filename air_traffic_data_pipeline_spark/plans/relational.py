@@ -2681,6 +2681,83 @@ FROM orders WHERE o_orderkey < 3000
 """
 
 
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# Modern-SQL surface batteries: the SAME text runs on spark.sql and DuckDB.
+
+GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY ALL
+"""
+
+
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (group on every non-aggregate projection) — identical
+    text on both engines; the convenience form compiles to the same hash
+    aggregate as an explicit key list."""
+    return _sql_query(spark, sf_dir, GROUP_BY_ALL_SQL)
+
+
+AGG_FILTER_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price,
+       count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS n_supp_f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clauses: per-aggregate predicates in a
+    single pass over the fact — the standard-SQL alternative to the CASE
+    trick, still one partial+final hash aggregate at scale."""
+    return _sql_query(spark, sf_dir, AGG_FILTER_SQL)
+
+
+LATERAL_ALIAS_SQL = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(price_dec * 2 AS DOUBLE) AS doubled,
+       CAST(doubled + 1.0 AS DOUBLE) AS plus_one
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+
+def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: later projections reference earlier ones in
+    the same SELECT (Spark 3.4+/DuckDB). Pure sugar — Catalyst inlines the
+    chain into one projection node."""
+    return _sql_query(spark, sf_dir, LATERAL_ALIAS_SQL)
+
+
+VALUES_INLINE_SQL = """
+SELECT r.r_name, t.tier, count(*) AS n_nations
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'omega'))
+     AS t(rk, tier)
+  ON r.r_regionkey = t.rk
+GROUP BY r.r_name, t.tier
+"""
+
+
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table joined against lake tables — constant relations
+    plan as LocalRelation (broadcast for free, no scan at all)."""
+    return _sql_query(spark, sf_dir, VALUES_INLINE_SQL)
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2764,6 +2841,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_generator_outer", generator_outer, GENERATOR_OUTER_SQL),
     ("rel_bitwise_funcs", bitwise_funcs, BITWISE_SQL),
     ("rel_try_arithmetic", try_arithmetic, TRY_ARITH_SQL),
+    ("rel_group_by_all", group_by_all, GROUP_BY_ALL_SQL),
+    ("rel_agg_filter_clause", agg_filter_clause, AGG_FILTER_SQL),
+    ("rel_lateral_column_alias", lateral_column_alias, LATERAL_ALIAS_SQL),
+    ("rel_values_inline", values_inline, VALUES_INLINE_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
