@@ -2758,6 +2758,37 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, VALUES_INLINE_SQL)
 
 
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per customer, orders and spend within
+    the trailing 30 DAYS of each order — a frame defined by event-time
+    distance, not row count (the time-series sibling of rowsBetween).
+    Partitioned per customer: no global sort at scale."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey,
+               count(*) OVER w AS n_30d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        FROM orders
+        WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        """,
+    )
+
+
+WIN_RANGE_INTERVAL_SQL = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER w AS n_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2845,6 +2876,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_agg_filter_clause", agg_filter_clause, AGG_FILTER_SQL),
     ("rel_lateral_column_alias", lateral_column_alias, LATERAL_ALIAS_SQL),
     ("rel_values_inline", values_inline, VALUES_INLINE_SQL),
+    ("rel_win_range_interval", win_range_interval, WIN_RANGE_INTERVAL_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
