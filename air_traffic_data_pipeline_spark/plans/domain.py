@@ -530,6 +530,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_phase_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flight-phase transition detection (SURVEY §2 Part B windows row):
+    per aircraft track (the latitude lattice line doubles as the track key
+    in the derived lake), lag() the classified phase dB over the poll
+    sequence and count each (from, to) transition — climb->cruise,
+    cruise->descent, etc. One window shuffle on the track key; the
+    transition matrix is tiny."""
+    from pyspark.sql import Window
+
+    st = classified_states(spark, sf_dir)
+    w = Window.partitionBy("latitude").orderBy("event_id")
+    prev = F.lag("src_db").over(w)
+    return (
+        st.withColumn("prev_db", prev)
+        .filter(F.col("prev_db").isNotNull() & (F.col("prev_db") != F.col("src_db")))
+        .groupBy(F.col("prev_db").alias("from_db"), F.col("src_db").alias("to_db"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+PHASE_TRANSITIONS_SQL = f"""
+WITH states AS ({STATES_SQL}),
+classified AS (
+  SELECT *, {phase_db_sql()} AS src_db FROM states
+),
+lagged AS (
+  SELECT src_db,
+         lag(src_db) OVER (PARTITION BY latitude ORDER BY event_id) AS prev_db
+  FROM classified
+)
+SELECT prev_db AS from_db, src_db AS to_db, count(*) AS n_transitions
+FROM lagged
+WHERE prev_db IS NOT NULL AND prev_db != src_db
+GROUP BY 1, 2
+"""
+
+
 def q_heat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized heatmap triples (F:302): the flagship's sink projection."""
     return flagship_noise_grid(spark, sf_dir).select(
@@ -552,6 +589,7 @@ def domain_queries() -> dict:
         "noise_heat_triples": q_heat_triples,
         "noise_grid_refgeom": refgeom_noise_grid,
         "noise_grid_incremental": incremental_noise_grid,
+        "noise_phase_transitions": q_phase_transitions,
     }
 
 
@@ -566,4 +604,5 @@ def domain_oracles() -> dict:
         "noise_heat_triples": heat_triples_sql(),
         "noise_grid_refgeom": refgeom_sql(),
         "noise_grid_incremental": incremental_sql(),
+        "noise_phase_transitions": PHASE_TRANSITIONS_SQL,
     }
