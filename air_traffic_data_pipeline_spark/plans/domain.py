@@ -567,6 +567,103 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal rollup: the flagship pipeline per day (hypertable-style)
+# ---------------------------------------------------------------------------
+
+ROLLUP_N_STEPS = 10  # 441 cells: keeps the oracle's pair count tractable
+_NANOS_PER_DAY = 86_400_000_000_000
+
+
+def q_daily_noise_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style temporal rollup of the flagship: the SAME
+    states -> classify -> dedup -> radius join -> dB pipeline, bucketed by
+    day — dedup is last-wins per (day, coordinate) and the aggregation key
+    grows a time dimension. The rollup's scale shape is unchanged (the day
+    column rides along the radius join; the per-cell aggregate shuffles on
+    (day, cell)); at 100 TB the day key also becomes the lake's partition
+    column, so each day's rollup prunes to its own files."""
+    ev = load(spark, sf_dir, "events")
+    st = ev.select(
+        F.col("event_id"),
+        F.expr(f"ts div {_NANOS_PER_DAY}").cast("bigint").alias("day"),
+        (F.lit(47.0) + (F.col("user_id") % 120) * F.lit(0.0028)).alias("latitude"),
+        (F.lit(-1.92) + (F.col("event_id") % 240) * F.lit(0.003)).alias("longitude"),
+        phase_db(
+            F.col("event_type") == "signup",
+            F.when(F.col("event_type") != "error", (F.col("value") % 30.0) - 15.0),
+        ).alias("src_db"),
+    )
+    deduped = last_wins_dedup(st, ["day", "latitude", "longitude"], "event_id")
+    sources = deduped.select(
+        "day", F.col("latitude").alias("lat"), F.col("longitude").alias("lon"), "src_db"
+    )
+    grid = gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, ROLLUP_N_STEPS)
+    pairs = adaptive_radius_join(
+        grid,
+        sources,
+        R_MAX,
+        NANTES_LAT,
+        grid_cells=(2 * ROLLUP_N_STEPS + 1) ** 2,
+        region_extent_m=2 * ROLLUP_N_STEPS * FLAGSHIP_STEP_M,
+    )
+    power = attenuated_power(F.col("src_db"), F.col("dist_m"))
+    agg = (
+        pairs.withColumn("power", power)
+        .groupBy("day", "g_lat", "g_lon")
+        .agg(F.sum("power").alias("sum_power"))
+        .filter(F.col("sum_power") > 0)
+    )
+    return agg.select(
+        "day",
+        "g_lat",
+        "g_lon",
+        db_from_power(F.col("sum_power")).alias("db"),
+    )
+
+
+def daily_rollup_sql() -> str:
+    dist = haversine_sql("g.g_lat", "g.g_lon", "s.lat", "s.lon")
+    power = attenuated_power_sql("src_db", "dist_m")
+    return f"""
+WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, ROLLUP_N_STEPS)}),
+st AS (
+  SELECT event_id,
+         CAST(epoch_ns(ts) // {_NANOS_PER_DAY} AS BIGINT) AS day,
+         CAST(47.0 AS DOUBLE) + (user_id % 120) * CAST(0.0028 AS DOUBLE) AS latitude,
+         CAST(-1.92 AS DOUBLE) + (event_id % 240) * CAST(0.003 AS DOUBLE) AS longitude,
+         {phase_db_sql()} AS src_db
+  FROM (SELECT *,
+               event_type = 'signup' AS on_ground,
+               CASE WHEN event_type != 'error' THEN (value % CAST(30.0 AS DOUBLE)) - CAST(15.0 AS DOUBLE) END AS vertical_rate
+        FROM events) e
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, latitude, longitude ORDER BY event_id DESC) AS rn
+    FROM st) t
+  WHERE rn = 1
+),
+sources AS (SELECT day, latitude AS lat, longitude AS lon, src_db FROM deduped),
+pairs AS (
+  SELECT s.day, g.g_lat, g.g_lon, s.src_db, {dist} AS dist_m
+  FROM grid g CROSS JOIN sources s
+),
+contrib AS (
+  SELECT day, g_lat, g_lon, {power} AS power
+  FROM pairs WHERE dist_m <= CAST({R_MAX!r} AS DOUBLE)
+),
+agg AS (
+  SELECT day, g_lat, g_lon, sum(power) AS sum_power
+  FROM contrib GROUP BY 1, 2, 3
+  HAVING sum(power) > 0
+)
+SELECT day, g_lat, g_lon,
+       round(CAST(10.0 AS DOUBLE) * log10(sum_power), 2) AS db
+FROM agg
+"""
+
+
 def q_heat_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized heatmap triples (F:302): the flagship's sink projection."""
     return flagship_noise_grid(spark, sf_dir).select(
@@ -590,6 +687,7 @@ def domain_queries() -> dict:
         "noise_grid_refgeom": refgeom_noise_grid,
         "noise_grid_incremental": incremental_noise_grid,
         "noise_phase_transitions": q_phase_transitions,
+        "noise_daily_rollup": q_daily_noise_rollup,
     }
 
 
@@ -605,4 +703,5 @@ def domain_oracles() -> dict:
         "noise_grid_refgeom": refgeom_sql(),
         "noise_grid_incremental": incremental_sql(),
         "noise_phase_transitions": PHASE_TRANSITIONS_SQL,
+        "noise_daily_rollup": daily_rollup_sql(),
     }
