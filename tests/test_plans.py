@@ -211,3 +211,34 @@ def test_registry_window_prefers_never_green_queries(spark):
     # every name in the checked window (50) is never-green while any remain
     window = names[:50]
     assert all(n not in green for n in window) or len(never_green) < 50
+
+
+def test_no_query_returns_unhashable_cells(spark):
+    """Driver-gate compatibility: the correctness harness's pandas-based
+    canonicalizer cannot hash array/map/struct cells (round-1 failure mode:
+    rel_array_funcs2 ERROR 'unhashable type: list'). Every registered query
+    must project non-scalar intermediates to scalars (to_json / concat_ws)
+    before returning. Builds every lazy plan and checks the output schema."""
+    import pyspark.sql.types as T
+
+    from air_traffic_data_pipeline_spark.plans import registry
+
+    # eager queries (streaming drains, iterative components) are excluded:
+    # building them runs them; their outputs are scalar-only by construction
+    # and oracle-checked separately
+    eager = {
+        "llm_dedup_clusters",
+        "llm_cluster_survivors",
+        "llm_semantic_dedup",
+        "llm_curation_pipeline",
+        "noise_grid_incremental",
+    }
+    offenders = []
+    for name, fn in registry.all_queries().items():
+        if name.startswith("stream_") or name in eager:
+            continue
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
