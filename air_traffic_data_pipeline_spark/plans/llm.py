@@ -2137,6 +2137,49 @@ FROM labeled GROUP BY 1, 2
 """
 
 
+def winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip per-language document lengths to the [p05, p95]
+    band — the outlier-taming step before length features feed a quality
+    model (extreme lengths are usually boilerplate or garbage, and raw
+    clipping beats dropping). Exact interpolated percentiles per group
+    (rounded 4 dp for cross-engine interpolation parity); the tiny per-lang
+    bounds table broadcasts back onto the scan."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.round(F.percentile("n_chars", 0.05), 4).alias("p05"),
+        F.round(F.percentile("n_chars", 0.95), 4).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(bounds), d.lang == F.col("b_lang"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+                F.col("p95"),
+            ).alias("n_chars_winsorized"),
+            (
+                (F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))
+            ).alias("clipped"),
+        )
+    )
+
+
+_WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT lang AS b_lang,
+         round(quantile_cont(n_chars, 0.05), 4) AS p05,
+         round(quantile_cont(n_chars, 0.95), 4) AS p95
+  FROM documents GROUP BY 1
+)
+SELECT doc_id, lang, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS n_chars_winsorized,
+       (n_chars < p05 OR n_chars > p95) AS clipped
+FROM documents JOIN bounds ON lang = b_lang
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2187,6 +2230,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_semantic_dedup", semantic_dedup, _SEMANTIC_DEDUP_SQL),
     ("llm_curation_pipeline", curation_pipeline, _CURATION_SQL),
     ("llm_minhash_jaccard_est", minhash_jaccard_est, _JACCARD_EST_SQL),
+    ("llm_winsorize_lengths", winsorize_lengths, _WINSORIZE_SQL),
 ]
 
 

@@ -2789,6 +2789,28 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: ORDER BY (total ordering incl. the unique
+    key) + OFFSET + LIMIT (Spark 3.4+). Deterministic only with the full
+    tiebreak; at scale prefer keyset (WHERE key > last_seen) pagination —
+    OFFSET still sorts-and-skips the prefix on every page."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .offset(25)
+        .limit(20)
+    )
+
+
+LIMIT_OFFSET_SQL = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 25
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2877,6 +2899,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_lateral_column_alias", lateral_column_alias, LATERAL_ALIAS_SQL),
     ("rel_values_inline", values_inline, VALUES_INLINE_SQL),
     ("rel_win_range_interval", win_range_interval, WIN_RANGE_INTERVAL_SQL),
+    ("rel_limit_offset", limit_offset_page, LIMIT_OFFSET_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
