@@ -2180,6 +2180,65 @@ FROM documents JOIN bounds ON lang = b_lang
 """
 
 
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships: doc/token/char
+    volumes, language count, exact-duplicate rate, and mean quality — the
+    audit numbers every training-data handoff needs. One pass over the
+    corpus (count_distinct on the md5 rides the same aggregate); all
+    ratios are one double division at the end."""
+    d = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    agg = d.select(
+        "lang",
+        F.md5("text").alias("h"),
+        word_count(F.col("text")).alias("n_tokens"),
+        F.col("n_chars"),
+        q.alias("quality"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_langs",
+        "n_unique",
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        "n_tokens",
+        "n_chars",
+        "mean_quality",
+    )
+
+
+_DATASET_CARD_SQL = f"""
+WITH t AS (
+  SELECT lang, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens,
+         n_chars,
+         {quality_score_sql('text')} AS quality
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT h) AS n_unique,
+       round(CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+FROM t
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2231,6 +2290,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_curation_pipeline", curation_pipeline, _CURATION_SQL),
     ("llm_minhash_jaccard_est", minhash_jaccard_est, _JACCARD_EST_SQL),
     ("llm_winsorize_lengths", winsorize_lengths, _WINSORIZE_SQL),
+    ("llm_dataset_card", dataset_card, _DATASET_CARD_SQL),
 ]
 
 
