@@ -73,9 +73,17 @@ def radius_join(
     )
 
     joined = g.join(s, on=["__bin_lat", "__bin_lon"], how="inner")
+    # Cheap exact prefilter before the trig: any pair within R satisfies
+    # |dlat_deg| <= R-in-degrees (meridional distance never exceeds the
+    # great-circle distance, and the bound is latitude-independent), while
+    # bin candidates can be up to ~2R apart — this halves the haversine
+    # evaluations without touching membership. A longitude analogue is NOT
+    # safe to add statically: its bound tightens with cos(lat).
+    lat_ok = F.abs(g_lat - s_lat) <= F.lit(bin_deg_lat)
     dist = haversine_m(g_lat, g_lon, s_lat, s_lon)
     return (
-        joined.withColumn(dist_col, dist)
+        joined.filter(lat_ok)
+        .withColumn(dist_col, dist)
         .filter(F.col(dist_col) <= F.lit(radius_m))
         .drop("__bin_lat", "__bin_lon")
     )
