@@ -2811,6 +2811,59 @@ LIMIT 20 OFFSET 25
 """
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each error matched to the NEXT click by the same
+    user at-or-after it (ties -> smaller click id) — the mirror of the
+    backward ``rel_asof_join`` and the other half of a full asof-join API
+    (direction=backward|forward). Same union-window rewrite, reversed:
+    one shuffle on user_id, a per-user DESCENDING scan carrying the next
+    click id, no pair fan-out on hot users."""
+    ev = load(spark, sf_dir, "events")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("clk_id"),
+        F.lit(None).cast("long").alias("err_id"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("clk_id"),
+        F.col("event_id").alias("err_id"),
+    )
+    # DESC by (ts, kind desc, clk_id desc): scanning from the future toward
+    # the past, last(clk_id) is the earliest click at-or-after the error;
+    # kind desc puts same-ts errors BEFORE same-ts clicks in scan order so
+    # a click at the exact error ts counts; clk_id desc makes the smaller
+    # click id win ties.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("clk_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clk.unionByName(err)
+        .withColumn("next_clk", F.last("clk_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("err_id", "user_id", F.col("next_clk").alias("clk_id"))
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH err AS (SELECT event_id AS err_id, user_id, epoch_ns(ts) AS err_ts
+             FROM events WHERE event_type = 'error'),
+clk AS (SELECT event_id AS clk_id, user_id, epoch_ns(ts) AS clk_ts
+        FROM events WHERE event_type = 'click'),
+j AS (SELECT err.err_id, err.user_id, clk.clk_id, clk.clk_ts
+      FROM err LEFT JOIN clk ON err.user_id = clk.user_id AND clk.clk_ts >= err.err_ts),
+r AS (SELECT *, row_number() OVER (PARTITION BY err_id ORDER BY clk_ts ASC NULLS LAST, clk_id ASC) AS rn
+      FROM j)
+SELECT err_id, user_id, clk_id FROM r WHERE rn = 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2900,6 +2953,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_values_inline", values_inline, VALUES_INLINE_SQL),
     ("rel_win_range_interval", win_range_interval, WIN_RANGE_INTERVAL_SQL),
     ("rel_limit_offset", limit_offset_page, LIMIT_OFFSET_SQL),
+    ("rel_asof_join_forward", asof_join_forward, ASOF_FORWARD_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
