@@ -43,19 +43,37 @@ from .tables import load
 # ---------------------------------------------------------------------------
 
 
-def states_from_events(ev: DataFrame) -> DataFrame:
+def _lattice_lat() -> F.Column:
+    return F.lit(47.0) + (F.col("user_id") % 120) * F.lit(0.0028)
+
+
+def _lattice_lon() -> F.Column:
+    return F.lit(-1.92) + (F.col("event_id") % 240) * F.lit(0.003)
+
+
+def _vertical_rate() -> F.Column:
+    return F.when(F.col("event_type") != "error", (F.col("value") % 30.0) - 15.0)
+
+
+def _on_ground() -> F.Column:
+    return F.col("event_type") == "signup"
+
+
+def states_from_events(ev: DataFrame, *extra: F.Column) -> DataFrame:
     """Derive the deterministic states table from an events DataFrame —
-    batch or per-micro-batch (see ``incremental_noise_grid``)."""
+    batch or per-micro-batch (see ``incremental_noise_grid``). ``extra``
+    columns (e.g. a day bucket for the temporal rollup) ride along so
+    derived pipelines never re-implement the lattice formulas."""
     return ev.select(
         F.col("event_id"),
         F.lpad(F.col("event_id").cast("string"), 6, "0").alias("icao24"),
-        (F.lit(47.0) + (F.col("user_id") % 120) * F.lit(0.0028)).alias("latitude"),
-        (F.lit(-1.92) + (F.col("event_id") % 240) * F.lit(0.003)).alias("longitude"),
-        (F.col("event_type") == "signup").alias("on_ground"),
-        F.when(F.col("event_type") != "error", (F.col("value") % 30.0) - 15.0)
-        .alias("vertical_rate"),
+        _lattice_lat().alias("latitude"),
+        _lattice_lon().alias("longitude"),
+        _on_ground().alias("on_ground"),
+        _vertical_rate().alias("vertical_rate"),
         F.when(F.col("event_type") != "purchase", F.col("value") * 25.0)
         .alias("geo_altitude"),
+        *extra,
     )
 
 
@@ -63,13 +81,20 @@ def build_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return states_from_events(load(spark, sf_dir, "events"))
 
 
-STATES_SQL = """
+# shared SQL fragments — the single source for the lattice/phase formulas
+# (used by STATES_SQL and the temporal-rollup oracle)
+_LAT_SQL = "CAST(47.0 AS DOUBLE) + (user_id % 120) * CAST(0.0028 AS DOUBLE)"
+_LON_SQL = "CAST(-1.92 AS DOUBLE) + (event_id % 240) * CAST(0.003 AS DOUBLE)"
+_ON_GROUND_SQL = "event_type = 'signup'"
+_VR_SQL = "CASE WHEN event_type != 'error' THEN (value % CAST(30.0 AS DOUBLE)) - CAST(15.0 AS DOUBLE) END"
+
+STATES_SQL = f"""
 SELECT event_id,
        lpad(CAST(event_id AS VARCHAR), 6, '0') AS icao24,
-       CAST(47.0 AS DOUBLE) + (user_id % 120) * CAST(0.0028 AS DOUBLE) AS latitude,
-       CAST(-1.92 AS DOUBLE) + (event_id % 240) * CAST(0.003 AS DOUBLE) AS longitude,
-       event_type = 'signup' AS on_ground,
-       CASE WHEN event_type != 'error' THEN (value % CAST(30.0 AS DOUBLE)) - CAST(15.0 AS DOUBLE) END AS vertical_rate,
+       {_LAT_SQL} AS latitude,
+       {_LON_SQL} AS longitude,
+       {_ON_GROUND_SQL} AS on_ground,
+       {_VR_SQL} AS vertical_rate,
        CASE WHEN event_type != 'purchase' THEN value * CAST(25.0 AS DOUBLE) END AS geo_altitude
 FROM events
 """
@@ -584,16 +609,9 @@ def q_daily_noise_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, cell)); at 100 TB the day key also becomes the lake's partition
     column, so each day's rollup prunes to its own files."""
     ev = load(spark, sf_dir, "events")
-    st = ev.select(
-        F.col("event_id"),
-        F.expr(f"ts div {_NANOS_PER_DAY}").cast("bigint").alias("day"),
-        (F.lit(47.0) + (F.col("user_id") % 120) * F.lit(0.0028)).alias("latitude"),
-        (F.lit(-1.92) + (F.col("event_id") % 240) * F.lit(0.003)).alias("longitude"),
-        phase_db(
-            F.col("event_type") == "signup",
-            F.when(F.col("event_type") != "error", (F.col("value") % 30.0) - 15.0),
-        ).alias("src_db"),
-    )
+    st = states_from_events(
+        ev, F.expr(f"ts div {_NANOS_PER_DAY}").cast("bigint").alias("day")
+    ).withColumn("src_db", phase_db(F.col("on_ground"), F.col("vertical_rate")))
     deduped = last_wins_dedup(st, ["day", "latitude", "longitude"], "event_id")
     sources = deduped.select(
         "day", F.col("latitude").alias("lat"), F.col("longitude").alias("lon"), "src_db"
@@ -630,12 +648,12 @@ WITH grid AS ({grid_sql(NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, ROLLUP_N_STEPS)
 st AS (
   SELECT event_id,
          CAST(epoch_ns(ts) // {_NANOS_PER_DAY} AS BIGINT) AS day,
-         CAST(47.0 AS DOUBLE) + (user_id % 120) * CAST(0.0028 AS DOUBLE) AS latitude,
-         CAST(-1.92 AS DOUBLE) + (event_id % 240) * CAST(0.003 AS DOUBLE) AS longitude,
+         {_LAT_SQL} AS latitude,
+         {_LON_SQL} AS longitude,
          {phase_db_sql()} AS src_db
   FROM (SELECT *,
-               event_type = 'signup' AS on_ground,
-               CASE WHEN event_type != 'error' THEN (value % CAST(30.0 AS DOUBLE)) - CAST(15.0 AS DOUBLE) END AS vertical_rate
+               {_ON_GROUND_SQL} AS on_ground,
+               {_VR_SQL} AS vertical_rate
         FROM events) e
 ),
 deduped AS (

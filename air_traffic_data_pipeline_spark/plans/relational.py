@@ -2763,19 +2763,7 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing 30 DAYS of each order — a frame defined by event-time
     distance, not row count (the time-series sibling of rowsBetween).
     Partitioned per customer: no global sort at scale."""
-    return _sql_query(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderkey, o_custkey,
-               count(*) OVER w AS n_30d,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
-        FROM orders
-        WHERE o_custkey < 300
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-        """,
-    )
+    return _sql_query(spark, sf_dir, WIN_RANGE_INTERVAL_SQL)
 
 
 WIN_RANGE_INTERVAL_SQL = """
@@ -2833,14 +2821,16 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("clk_id"),
         F.col("event_id").alias("err_id"),
     )
-    # DESC by (ts, kind desc, clk_id desc): scanning from the future toward
-    # the past, last(clk_id) is the earliest click at-or-after the error;
-    # kind desc puts same-ts errors BEFORE same-ts clicks in scan order so
-    # a click at the exact error ts counts; clk_id desc makes the smaller
-    # click id win ties.
+    # DESC by ts, then kind ASC, clk_id DESC: scanning from the future
+    # toward the past, last(clk_id) is the earliest click at-or-after the
+    # error. kind ASC puts same-ts clicks BEFORE same-ts errors in scan
+    # order, so a click at the exact error ts lands inside the error's
+    # preceding frame (mirroring the backward join's tie rule and the
+    # oracle's clk_ts >= err_ts); clk_id DESC makes the smallest click id
+    # the last-seen — and therefore the winner — among same-ts ties.
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("clk_id").desc())
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("clk_id").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

@@ -70,7 +70,14 @@ def compact_small_files(
     import math
     import os
 
-    if os.path.abspath(dest_path) == os.path.abspath(src_path):
+    def _canon(p: str) -> str:
+        # normalize URI-scheme spellings (file:///x == /x) and resolve
+        # symlinks so aliases of the same directory cannot dodge the guard
+        if p.startswith("file://"):
+            p = p[len("file://") :] or "/"
+        return os.path.realpath(os.path.abspath(p))
+
+    if _canon(dest_path) == _canon(src_path):
         raise ValueError(
             "compact_small_files: dest_path must differ from src_path "
             "(overwrite truncates the target before the source is read)"

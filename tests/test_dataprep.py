@@ -183,3 +183,32 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert len(rows) == 10
     for r in rows:
         assert 0.0 <= r.recall_single <= r.recall_multi <= 1.0
+
+
+def test_asof_forward_includes_same_ts_click(spark, tmp_path):
+    """A click at EXACTLY the error's timestamp must match (clk_ts >= err_ts),
+    and the smallest click id wins ties — the generated lakes contain no
+    same-user same-ts pairs, so this synthetic lake pins the semantics."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    rows = [
+        # (event_id, ts_nanos, user_id, event_type, value, props)
+        (1, 100, 7, "error", 1.0, "{}"),
+        (2, 100, 7, "click", 1.0, "{}"),  # same-ts click: must win forward
+        (3, 200, 7, "click", 1.0, "{}"),
+        (4, 500, 7, "error", 1.0, "{}"),  # no future click -> NULL
+        (5, 50, 7, "click", 1.0, "{}"),   # past click: backward's match
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    lake = str(tmp_path / "lake")
+    df.write.parquet(f"{lake}/events.parquet")
+
+    fwd = {r.err_id: r.clk_id for r in asof_join_forward(spark, lake).collect()}
+    assert fwd == {1: 2, 4: None}
+    back = {r.err_id: r.clk_id for r in asof_join(spark, lake).collect()}
+    assert back == {1: 2, 4: 3}
