@@ -2854,6 +2854,82 @@ SELECT err_id, user_id, clk_id FROM r WHERE rn = 1
 """
 
 
+def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-group median absolute deviation (MAD) — the
+    outlier-resistant spread measure quality pipelines prefer over stddev.
+    Two aggregation passes (median, then median of |x - median|) with the
+    tiny per-group median table broadcast between them; both are exact
+    interpolated percentiles rounded 4 dp for cross-engine parity."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("m_flag")).agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price")
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == F.col("m_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("median_price").alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("median_price")), 0.5),
+                4,
+            ).alias("mad_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS m_flag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, median_price,
+       round(quantile_cont(abs(l_extendedprice - median_price), 0.5), 4) AS mad_price,
+       count(*) AS n
+FROM lineitem JOIN med ON l_returnflag = m_flag
+GROUP BY l_returnflag, median_price
+"""
+
+
+# Spark spells `lag(x) IGNORE NULLS OVER ...`; DuckDB wants the modifier
+# inside the call: `lag(x IGNORE NULLS) OVER ...` — same semantics.
+_WIN_IGNORE_NULLS_BODY = """
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_totalprice > CAST(100000 AS DOUBLE)
+              THEN CAST(o_totalprice AS DOUBLE) END AS big_price
+  FROM orders WHERE o_custkey < 200
+) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+_WIN_IGNORE_NULLS_SPARK = f"""
+SELECT o_orderkey, o_custkey,
+       lag(big_price) IGNORE NULLS OVER w AS prev_big_price,
+       last_value(big_price) IGNORE NULLS
+         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last_big
+{_WIN_IGNORE_NULLS_BODY}
+"""
+
+WIN_IGNORE_NULLS_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       lag(big_price IGNORE NULLS) OVER w AS prev_big_price,
+       last_value(big_price IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last_big
+{_WIN_IGNORE_NULLS_BODY}
+"""
+
+
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: lag and running last_value skipping
+    NULL gaps — the carry-forward-last-observation idiom (sensor readings,
+    sparse prices). Windows partition per customer."""
+    return _sql_query(spark, sf_dir, _WIN_IGNORE_NULLS_SPARK)
+
+
 # --- registry --------------------------------------------------------------
 
 _SPECS: list[tuple[str, object, str | None]] = [
@@ -2944,6 +3020,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_win_range_interval", win_range_interval, WIN_RANGE_INTERVAL_SQL),
     ("rel_limit_offset", limit_offset_page, LIMIT_OFFSET_SQL),
     ("rel_asof_join_forward", asof_join_forward, ASOF_FORWARD_SQL),
+    ("rel_robust_stats_mad", robust_stats_mad, MAD_SQL),
+    ("rel_win_ignore_nulls", win_ignore_nulls, WIN_IGNORE_NULLS_SQL),
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
