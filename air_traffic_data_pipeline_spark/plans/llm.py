@@ -2239,6 +2239,91 @@ FROM t
 """
 
 
+SUBSTR_BENCH_MAX_ID = 20
+SUBSTR_PROBE_LEN = 80
+
+
+def substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the strict sibling of the shingle
+    -overlap check): for each benchmark doc, how many training docs contain
+    its leading SUBSTR_PROBE_LEN-char probe verbatim. Benchmark probes are
+    fixed-size by contract -> broadcast; the corpus scans once and the
+    contains() runs inside codegen. At 100 TB this is the affordable exact
+    check (suffix-automaton indexes are the exhaustive one)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < SUBSTR_BENCH_MAX_ID).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, SUBSTR_PROBE_LEN).alias("probe"),
+    )
+    corpus = d.filter(F.col("doc_id") >= SUBSTR_BENCH_MAX_ID)
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .filter(F.expr("contains(text, probe)"))
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return bench.join(hits, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_containing_docs"),
+    )
+
+
+_SUBSTR_CONTAM_SQL = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, 1, {SUBSTR_PROBE_LEN}) AS probe
+  FROM documents WHERE doc_id < {SUBSTR_BENCH_MAX_ID}
+),
+hits AS (
+  SELECT bench_id, count(*) AS n_hits
+  FROM documents d CROSS JOIN bench b
+  WHERE d.doc_id >= {SUBSTR_BENCH_MAX_ID} AND contains(d.text, b.probe)
+  GROUP BY bench_id
+)
+SELECT bench_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_containing_docs
+FROM bench LEFT JOIN hits USING (bench_id)
+"""
+
+
+def lsh_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter engineering as a query: for every verified near-dup
+    pair, the S-curve detection probability under the deployed banding
+    (b bands of r rows: p = 1 - (1 - j^r)^b) from BOTH the exact and the
+    signature-estimated Jaccard. The tuning evidence (are the bands
+    catching what the threshold intends?) comes out of the engine itself
+    instead of offline notebooks. Pure projection over the pairs."""
+    b, r = MINHASH_BANDS, MINHASH_K // MINHASH_BANDS
+    est = minhash_jaccard_est(spark, sf_dir)
+    p_of = lambda j: F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(j, F.lit(float(r))), F.lit(float(b))), 6
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "est_jaccard",
+        p_of(F.col("jaccard")).alias("p_detect_exact"),
+        p_of(F.col("est_jaccard")).alias("p_detect_est"),
+    )
+
+
+def _lsh_sensitivity_sql() -> str:
+    b, r = MINHASH_BANDS, MINHASH_K // MINHASH_BANDS
+
+    def p_of(j: str) -> str:
+        return (
+            f"round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE)"
+            f" - pow({j}, CAST({float(r)} AS DOUBLE)), CAST({float(b)} AS DOUBLE)), 6)"
+        )
+
+    return f"""
+WITH est AS ({_JACCARD_EST_SQL})
+SELECT doc_a, doc_b, jaccard, est_jaccard,
+       {p_of('jaccard')} AS p_detect_exact,
+       {p_of('est_jaccard')} AS p_detect_est
+FROM est
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2291,6 +2376,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_minhash_jaccard_est", minhash_jaccard_est, _JACCARD_EST_SQL),
     ("llm_winsorize_lengths", winsorize_lengths, _WINSORIZE_SQL),
     ("llm_dataset_card", dataset_card, _DATASET_CARD_SQL),
+    ("llm_substring_contamination", substring_contamination, _SUBSTR_CONTAM_SQL),
+    ("llm_lsh_sensitivity", lsh_sensitivity, _lsh_sensitivity_sql()),
 ]
 
 
