@@ -84,17 +84,37 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries whose implementation (or oracle) changed AFTER they last earned a
+# green driver row. A green row for the old code proves nothing about the new
+# code, so these override the green tail and re-enter the window until the
+# next driver round re-records them. Prune entries once the following round's
+# CORRECTNESS artifact shows them green again.
+_FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        "llm_simhash",  # r3: 16-bit simhash -> 64-bit, banded 4x16
+        "llm_simhash_near_dup",  # r3: same rework
+        "llm_ann_ivf_topk",  # r3: deterministic centroids + new value oracle
+        "llm_multimodal_decode",  # r3: real WAV/BMP byte-format parse
+        "llm_multimodal_meta",  # r3: payloads regenerated in real byte formats
+        "llm_multimodal_frames",  # r3: same payload change
+    }
+)
+
+
 def _driver_green() -> frozenset[str]:
-    """Queries with a fully-green driver row (rows+schema+hash) in ANY
-    recorded round, read from the driver's own CORRECTNESS_r*.json
-    artifacts at the repo root. These have the least to gain from a scarce
-    window slot, so they sort LAST; anything the driver has never checked —
-    including every query added after _WINDOW_PRIORITY was written — sorts
-    between the priority block and this tail, in module order. Reading the
-    artifacts (instead of a hand-maintained list) makes the rotation
-    self-updating: each round the freshly-greened queries drop out of the
-    window and the never-checked ones move up. Falls back to the static
-    round-1 list if no artifacts are readable."""
+    """Queries the driver has already CHECKED, read from its own
+    CORRECTNESS_r*.json artifacts at the repo root: either a fully-green row
+    (rows+schema+hash) or a deliberate rows-only row (``err == "no_oracle"``
+    — the strongest signal that query can ever get, so re-running it wastes a
+    slot). These have the least to gain from a scarce window slot, so they
+    sort LAST; anything the driver has never checked — including every query
+    added after _WINDOW_PRIORITY was written — sorts between the priority
+    block and this tail, in module order. Reading the artifacts (instead of a
+    hand-maintained list) makes the rotation self-updating: each round the
+    freshly-checked queries drop out of the window and the never-checked ones
+    move up. ``_FORCE_RECHECK`` names are excluded: their implementation
+    changed after greening, so the old row is stale evidence. Falls back to
+    the static round-1 list if no artifacts are readable."""
     import glob
     import json
     import os
@@ -110,16 +130,19 @@ def _driver_green() -> frozenset[str]:
                 continue  # unknown artifact shape: ignore, don't crash
             found = True
             for name, row in rows.items():
-                if (
-                    isinstance(row, dict)
-                    and row.get("rows_match")
+                if not isinstance(row, dict):
+                    continue
+                fully_green = (
+                    row.get("rows_match")
                     and row.get("schema_match")
                     and row.get("hash_match")
-                ):
+                )
+                checked_rows_only = row.get("err") == "no_oracle"
+                if fully_green or checked_rows_only:
                     green.add(name)
         except Exception:
             continue
-    return frozenset(green) if found else _R1_GREEN
+    return frozenset(green - _FORCE_RECHECK) if found else _R1_GREEN - _FORCE_RECHECK
 
 
 # Static fallback: round-1 green rows (used only if the artifacts are gone).
