@@ -380,101 +380,174 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUB
 # --- SimHash ---------------------------------------------------------------
 
 _HEXDIGITS = "0123456789abcdef"
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_LANES = 4  # 4 independent 16-bit lanes = the 4 LSH band keys
+_LANE_BITS = SIMHASH_BITS // SIMHASH_LANES  # 16
 
 
-def _hex4_to_int(col: Column) -> Column:
-    """First 4 hex chars of an md5 -> int in [0, 65536): identical strpos
-    arithmetic in both engines (no conv() in DuckDB)."""
+def _hex4_to_int(col: Column, offset: int = 0) -> Column:
+    """4 hex chars of an md5 starting at ``offset`` -> int in [0, 65536):
+    identical strpos arithmetic in both engines (no conv() in DuckDB)."""
     val = F.lit(0)
     for i in range(4):
-        ch = F.substring(col, i + 1, 1)
+        ch = F.substring(col, offset + i + 1, 1)
         val = val + (F.instr(F.lit(_HEXDIGITS), ch) - 1) * (16 ** (3 - i))
     return val
 
 
-def _hex4_to_int_sql(expr: str) -> str:
+def _hex4_to_int_sql(expr: str, offset: int = 0) -> str:
     terms = [
-        f"(strpos('{_HEXDIGITS}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        f"(strpos('{_HEXDIGITS}', substr({expr}, {offset + i + 1}, 1)) - 1) * {16 ** (3 - i)}"
         for i in range(4)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over word tokens: per-bit majority vote of token-hash
-    bits. Explode + one groupBy; at scale this is a single shuffle on doc_id
-    with map-side partial sums."""
+def _pack_lanes(sh3: Column, sh2: Column, sh1: Column, sh0: Column) -> Column:
+    """Pack four 16-bit lanes into ONE signed 64-bit value (two's complement:
+    lane 3 carries the sign bit, so map it into [-32768, 32767] before the
+    shift — -32768 * 2^48 is exactly BIGINT min, no overflow under ANSI)."""
+    sh3s = F.when(sh3 < 32768, sh3).otherwise(sh3 - 65536)
+    return (
+        sh3s * F.lit(1 << 48).cast("bigint")
+        + sh2 * F.lit(1 << 32).cast("bigint")
+        + sh1 * F.lit(1 << 16).cast("bigint")
+        + sh0
+    ).cast("bigint")
+
+
+def _simhash_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over word tokens as four 16-bit lanes sh0..sh3 plus the
+    packed 64-bit value. One md5 per token supplies all 64 bit-hashes (hex
+    chars [0:4) [4:8) [8:12) [12:16) -> lanes); per-bit majority vote via
+    sum((hv >> b) & 1) against count(*) — integer shift/mask only, all inside
+    whole-stage codegen. Explode + one groupBy: a single shuffle on doc_id
+    with map-side partial sums, 65 agg columns. Scale: O(tokens) rows
+    shuffled once, no data-dependent blowup."""
     d = fan_out(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tok = tok.withColumn("hv", _hex4_to_int(F.md5(F.col("w"))))
+    tok = tok.select("doc_id", F.md5(F.col("w")).alias("h"))
+    tok = tok.select(
+        "doc_id",
+        *[
+            _hex4_to_int(F.col("h"), 4 * lane).alias(f"hv{lane}")
+            for lane in range(SIMHASH_LANES)
+        ],
+    )
     bit_sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
             F.sum(
-                F.when((F.floor(F.col("hv") / (1 << b)) % 2) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+                F.shiftright(F.col(f"hv{lane}"), b).bitwiseAND(F.lit(1))
+            ).alias(f"b{lane}_{b}")
+            for lane in range(SIMHASH_LANES)
+            for b in range(_LANE_BITS)
+        ],
     )
-    sh = F.lit(0)
-    for b in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
+    # bit set iff set-count >= unset-count  <=>  2*sum >= n_tok (old +-1 vote)
+    lanes = [
+        sum(
+            (
+                F.when(2 * F.col(f"b{lane}_{b}") >= F.col("n_tok"), F.lit(1 << b))
+                .otherwise(F.lit(0))
+                for b in range(_LANE_BITS)
+            ),
+            start=F.lit(0),
+        ).cast("bigint").alias(f"sh{lane}")
+        for lane in range(SIMHASH_LANES)
+    ]
+    lanes_df = bit_sums.select("doc_id", *lanes)
+    return lanes_df.select(
+        "doc_id",
+        *[f"sh{lane}" for lane in range(SIMHASH_LANES)],
+        _pack_lanes(
+            F.col("sh3"), F.col("sh2"), F.col("sh1"), F.col("sh0")
+        ).alias("simhash"),
+    )
 
 
-_SIMHASH_SQL = f"""
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, packed into one signed bigint."""
+    return _simhash_lanes(spark, sf_dir).select("doc_id", "simhash")
+
+
+_SIMHASH_LANES_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, {_hex4_to_int_sql("md5(w)")} AS hv
+  SELECT doc_id, md5(w) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
 ),
+hv AS (
+  SELECT doc_id,
+         {", ".join(_hex4_to_int_sql("h", 4 * lane) + f" AS hv{lane}" for lane in range(SIMHASH_LANES))}
+  FROM tok
+),
 bit_sums AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {", ".join(
+             f"sum((hv{lane} >> {b}) & 1) AS b{lane}_{b}"
+             for lane in range(SIMHASH_LANES)
+             for b in range(_LANE_BITS)
+         )}
+  FROM hv GROUP BY doc_id
+),
+lanes AS (
   SELECT doc_id,
          {", ".join(
-             f"sum(CASE WHEN CAST(floor(hv / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
-             for b in range(SIMHASH_BITS)
+             "CAST("
+             + " + ".join(
+                 f"(CASE WHEN 2 * b{lane}_{b} >= n_tok THEN {1 << b} ELSE 0 END)"
+                 for b in range(_LANE_BITS)
+             )
+             + f" AS BIGINT) AS sh{lane}"
+             for lane in range(SIMHASH_LANES)
          )}
-  FROM tok GROUP BY doc_id
+  FROM bit_sums
 )
-SELECT doc_id,
-       CAST({" + ".join(f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-FROM bit_sums
+SELECT doc_id, sh0, sh1, sh2, sh3,
+       CAST((CASE WHEN sh3 < 32768 THEN sh3 ELSE sh3 - 65536 END) * CAST({1 << 48} AS BIGINT)
+            + sh2 * CAST({1 << 32} AS BIGINT) + sh1 * CAST({1 << 16} AS BIGINT) + sh0 AS BIGINT) AS simhash
+FROM lanes
 """
+
+_SIMHASH_SQL = f"SELECT doc_id, simhash FROM ({_SIMHASH_LANES_SQL})"
 
 
 SIMHASH_HAM_MAX = 4
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 16-bit simhash into 4 nibbles; by
-    pigeonhole any pair within hamming distance 4 shares >= 1 exact nibble
-    IF the 4 differing bits concentrate — as with LSH this is a recall
-    heuristic, so candidates = share-a-nibble (equi-join on (band, nibble),
-    the scale path), verified with exact popcount(xor) <= 4. The oracle runs
-    the identical prefilter+verify, making the approximation value-checked.
-    """
-    sh = simhash(spark, sf_dir)
-    nib = sh.select(
+    """SimHash near-dup pairs: band the 64-bit simhash into its four 16-bit
+    lanes; by pigeonhole any pair within hamming distance 3 shares >= 1 exact
+    lane (guaranteed recall), and <= {SIMHASH_HAM_MAX} is a documented recall
+    heuristic beyond that. Candidates = share-a-lane, an equi-join on
+    (band, 16-bit key): 65,536 buckets per band, so candidate volume stays
+    ~N * collision-rate instead of the N^2/16 the old 4-bit nibble banding
+    degenerated to — this is the 100 TB shape. Verified with exact
+    popcount(xor) on the packed 64-bit values. The oracle runs the identical
+    prefilter+verify, making the approximation value-checked."""
+    sh = _simhash_lanes(spark, sf_dir)
+    bands = sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.floor(F.col("simhash") / (16**b)).cast("long").alias("q"),
+                        F.lit(band).alias("band"),
+                        F.col(f"sh{band}").alias("key"),
                     )
-                    for b in range(4)
+                    for band in range(SIMHASH_LANES)
                 ]
             )
         ).alias("nb"),
-    ).select("doc_id", "simhash", F.col("nb.band").alias("band"), (F.col("nb.q") % 16).alias("nibble"))
-    a = nib.alias("a")
-    b = nib.alias("b")
+    ).select("doc_id", "simhash", F.col("nb.band").alias("band"), F.col("nb.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -494,17 +567,17 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_NEAR_DUP_SQL = f"""
-WITH sh AS ({_SIMHASH_SQL}),
-nib AS (
+WITH sh AS ({_SIMHASH_LANES_SQL}),
+bands AS (
   SELECT doc_id, simhash, band,
-         CAST(floor(simhash / power(16, band)) AS BIGINT) % 16 AS nibble
+         CASE band WHEN 0 THEN sh0 WHEN 1 THEN sh1 WHEN 2 THEN sh2 ELSE sh3 END AS key
   FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b
-  FROM nib a JOIN nib b
-    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAM_MAX}

@@ -163,12 +163,49 @@ def test_simhash_similar_docs_close(spark):
         pytest.skip("no strong near-dups at this sf")
 
     def ham(a, b):
-        return bin(a ^ b).count("1")
+        # simhash is a signed 64-bit pack; mask to unsigned before popcount
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     near = [ham(sh[r.doc_a], sh[r.doc_b]) for r in pairs]
     ids = sorted(sh)
     far = [ham(sh[ids[i]], sh[ids[i + 7]]) for i in range(0, 40, 8)]
     assert sum(near) / len(near) < sum(far) / len(far)
+
+
+def test_simhash_banding_prunes_candidates(spark):
+    """The 4x16-bit banding must surface FAR fewer candidate pairs than
+    all-pairs — the property that makes it a 100 TB design (the old 4-bit
+    nibble banding degenerated to ~N^2/16). Unrelated docs collide on a
+    16-bit lane with p ~= 4/65536, so candidate fraction stays tiny."""
+    sh = llm._simhash_lanes(spark, SF)
+    n_docs = sh.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sh{b}").alias("key"))
+                    for b in range(llm.SIMHASH_LANES)
+                ]
+            )
+        ).alias("nb"),
+    ).select("doc_id", F.col("nb.band").alias("band"), F.col("nb.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # sf0.001: ~6% of pairs are near-dups by construction; require the
+    # banding to prune well below the all-pairs quadratic blowup.
+    assert n_cand < 0.25 * all_pairs, (n_cand, all_pairs)
 
 
 def test_rolling_fingerprint_distinguishes_docs(spark):
