@@ -83,13 +83,26 @@ def brute_force_topk(
 def ivf_centroids(vectors: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
     """Per-label mean vector via posexplode + groupBy — one distributed agg.
 
-    (Float mean is summation-order dependent -> IVF queries are rows-only
-    checked, the documented exception for iterative/approx operators.)
-    """
+    The per-dimension mean is computed as a SEQUENTIAL left-fold over members
+    sorted by ``id_col`` (collect_list -> array_sort -> aggregate), not
+    ``F.avg``: float addition is order-dependent, and a fixed fold order makes
+    the centroid bitwise deterministic across partitionings and engines — the
+    DuckDB oracle runs the identical fold (``list(x ORDER BY vec_id)`` +
+    ``list_reduce``). Cost: members of one (label, pos) group materialize as
+    one array; cell population per label is the IVF design bound (k-means-ish
+    balance), so the array stays executor-sized at scale."""
     exploded = vectors.select(
-        "label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+        "label",
+        F.col(id_col).alias("i"),
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
     )
-    per_dim = exploded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
+    )
+    m = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
+    ) / F.size("xs")
+    per_dim = per_dim.select("label", "pos", m.alias("m"))
     return per_dim.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
     ).select(

@@ -780,10 +780,51 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN (rows-only check: centroid means are
-    float-summation-order dependent by nature)."""
+    """IVF coarse-quantized ANN: per-label centroids (deterministic sorted
+    fold, see ``ivf_centroids``), corpus assigned to its nearest cell, queries
+    probe the 2 nearest cells, exact cosine rerank within candidates. Fully
+    value-checked against the identical DuckDB pipeline."""
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3, nprobe=2)
+
+
+_IVF_TOPK_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex GROUP BY label, pos
+),
+cents AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
+c_cells AS (
+  SELECT c_id, c_vec, cell FROM (
+    SELECT c.c_id, c.c_vec, cents.label AS cell,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY {cosine_sql('c_vec', 'centroid')} DESC, cents.label) AS rn
+    FROM c CROSS JOIN cents) t WHERE rn = 1
+),
+q_cells AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.q_id, q.q_vec, cents.label AS cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cosine_sql('q_vec', 'centroid')} DESC, cents.label) AS rn
+    FROM q CROSS JOIN cents) t WHERE rn <= 2
+),
+cand AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM q_cells JOIN c_cells USING (cell) WHERE q_id != c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM cand
+)
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+"""
 
 
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,7 +2455,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),
     ("llm_lsh_topk", lsh_topk, _LSH_TOPK_SQL),
-    ("llm_ann_ivf_topk", ann_ivf_topk, None),
+    ("llm_ann_ivf_topk", ann_ivf_topk, _IVF_TOPK_SQL),
     ("llm_multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
