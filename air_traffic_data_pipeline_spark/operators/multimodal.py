@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The image/audio codecs aren't available in this environment, so the decode
-kernel is STUBBED (deterministic fake features derived from the bytes, or
-``NotImplementedError`` for real codec names) — but everything Spark-side is
-real and tested: the binary column schema, the mapInPandas batch iteration,
-the output schema contract, and partition-preserving execution.
+Real byte formats, pure-Python codecs: payloads are genuine RIFF/WAVE (PCM16)
+and BMP (BITMAPINFOHEADER) files built with ``struct.pack``, and the decode
+kernels walk the actual chunk/header structure with ``struct.unpack`` — no
+image/audio libraries needed. The generation parameters are closed-form in
+(doc_id, md5(text)), so a SQL oracle can independently recompute every
+extracted field and value-check the full write -> Arrow -> parse round trip.
+
+Codecs that genuinely need external libraries (jpeg/png/mp4) remain behind
+``decode_stub``'s ``NotImplementedError`` — an honest gate, not a fake parse.
 
 At 100 TB: payload bytes never leave the executors, batches stream through
 Arrow with bounded memory (spark.sql.execution.arrow.maxRecordsPerBatch),
@@ -15,33 +19,266 @@ standard Spark pattern for media feature-extraction.
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+_UNAVAILABLE_CODECS = {"jpeg", "png", "mp4"}
+
+WAV_HEADER_BYTES = 44  # canonical RIFF + fmt(16) + data header
+BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+
+
+# --- payload writers (real byte formats, deterministic in doc_id/text) ------
+
+
+def _wav_bytes(doc_id: int, text: str) -> bytes:
+    """A complete, valid RIFF/WAVE PCM16 file: 44-byte canonical header +
+    16 PCM bytes (md5 digest of the text = 8 little-endian int16 samples).
+    channels = doc_id % 2 + 1, sample_rate = 8000 * (doc_id % 3 + 1)."""
+    data = hashlib.md5(text.encode("utf-8")).digest()
+    channels = doc_id % 2 + 1
+    rate = 8000 * (doc_id % 3 + 1)
+    block = channels * 2  # 16-bit mono/stereo frame size
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _bmp_bytes(doc_id: int, text: str) -> bytes:
+    """A complete, valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    4-byte-aligned pixel rows (md5 digest bytes cycled to fill).
+    width = doc_id % 16 + 1, height = (doc_id // 16) % 8 + 1."""
+    width = doc_id % 16 + 1
+    height = (doc_id // 16) % 8 + 1
+    row_size = (width * 3 + 3) // 4 * 4
+    img_size = row_size * height
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    pixels = (digest * (img_size // len(digest) + 1))[:img_size]
+    file_header = b"BM" + struct.pack("<IHHI", BMP_HEADER_BYTES + img_size, 0, 0, BMP_HEADER_BYTES)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
+def _payload_writer(build):
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        build(int(i), t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return batches
+
+
+def attach_wav_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real WAV file per row."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_wav_bytes), "doc_id long, payload binary"
+    )
+
+
+def attach_bmp_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real BMP file per row."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_bmp_bytes), "doc_id long, payload binary"
+    )
+
+
+# --- decode kernels (real struct.unpack parsers) ----------------------------
+
+
+def _parse_wav(raw: bytes) -> tuple[int, int, int, int, tuple]:
+    """Walk the RIFF chunk list; return (channels, sample_rate, block_align,
+    bits, int16 samples). Raises ValueError on malformed bytes."""
+    if raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (sz,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding {audio_format}/{bits}")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return channels, rate, block, bits, samples
+
+
+WAV_DECODED_SCHEMA = (
+    "doc_id long, fmt string, channels int, sample_rate int, "
+    "n_frames long, mean_abs double"
+)
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """Parse real WAV bytes -> typed audio features via mapInPandas."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "fmt", "channels", "sample_rate", "n_frames", "mean_abs")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                channels, rate, block, bits, samples = _parse_wav(bytes(raw))
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(f"pcm{bits}")
+                out["channels"].append(channels)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(samples) * 2 // block)
+                out["mean_abs"].append(
+                    float(sum(abs(s) for s in samples)) / len(samples)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "fmt": pd.Series(out["fmt"], dtype="object"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "mean_abs": pd.Series(out["mean_abs"], dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, WAV_DECODED_SCHEMA)
+
+
+BMP_META_SCHEMA = (
+    "doc_id long, magic string, width int, height int, bpp int, n_bytes long"
+)
+
+
+def decode_bmp_meta(df: DataFrame) -> DataFrame:
+    """Parse real BMP headers -> typed image metadata via mapInPandas."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "magic", "width", "height", "bpp", "n_bytes")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(raw)
+                if raw[0:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (file_size,) = struct.unpack("<I", raw[2:6])
+                header_size, width, height, _planes, bpp = struct.unpack(
+                    "<IiiHH", raw[14:30]
+                )
+                if header_size != 40 or file_size != len(raw):
+                    raise ValueError("malformed BMP header")
+                out["doc_id"].append(int(doc_id))
+                out["magic"].append(raw[0:2].decode("ascii"))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["bpp"].append(bpp)
+                out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "magic": pd.Series(out["magic"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "bpp": pd.Series(out["bpp"], dtype="int32"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, BMP_META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double"
+
+
+def frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Sample every ``stride``-th audio frame from real WAV payloads — the
+    frame-sampling batch shape: mapInPandas EXPANDING rows (one input row ->
+    several frame rows). A frame is one block_align group (all channels of
+    one sample instant); the feature is the mean |amplitude| over the frame.
+
+    At 100 TB the payload bytes stay on the executors and the output is a
+    small per-frame feature row; partitioning follows the scan.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, means = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                channels, _rate, block, _bits, samples = _parse_wav(bytes(raw))
+                n_frames = len(samples) // channels
+                for f in range(0, n_frames, stride):
+                    frame = samples[f * channels : (f + 1) * channels]
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    means.append(float(sum(abs(s) for s in frame)) / channels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- honest gate for codecs that truly need external libraries --------------
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, channels int, mean_byte double"
 )
 
-_REAL_CODECS = {"jpeg", "png", "wav", "mp4"}
-
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Derive a deterministic binary payload column from text (test stand-in
-    for real image/audio bytes)."""
+    """Derive a deterministic opaque binary payload column from text (the
+    generic stand-in when no specific byte format is wanted)."""
     return df.withColumn("payload", F.unhex(F.md5(text_col)))
 
 
 def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """'Decode' payloads to typed features via mapInPandas.
+    """'Decode' opaque payloads to typed features via mapInPandas.
 
     codec='fake' produces deterministic pseudo-metadata from the raw bytes;
-    any real codec name raises NotImplementedError (no codec libs here).
+    'wav'/'bmp' have REAL parsers — use decode_wav/decode_bmp_meta on
+    payloads from attach_wav_payload/attach_bmp_payload; jpeg/png/mp4 need
+    libraries not present here and raise NotImplementedError.
     """
-    if codec in _REAL_CODECS:
+    if codec in _UNAVAILABLE_CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires an image/audio library not present in "
-            "this environment; Spark-side plumbing is identical to 'fake'"
+            "this environment; see decode_wav/decode_bmp_meta for the real "
+            "pure-Python formats"
+        )
+    if codec in {"wav", "bmp"}:
+        raise ValueError(
+            "use decode_wav / decode_bmp_meta with attach_wav_payload / "
+            "attach_bmp_payload for real byte formats"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -70,39 +307,3 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
-
-
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double"
-FRAME_BYTES = 4
-
-
-def frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
-    """Sample every ``stride``-th fixed-size frame from each payload —
-    the video-frame-sampling batch shape: mapInPandas EXPANDING rows
-    (one input row -> several frame rows), feature per frame.
-
-    At 100 TB the payload bytes stay on the executors and the output is
-    a small per-frame feature row; partitioning follows the scan.
-    """
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids, idxs, means = [], [], []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(raw) // FRAME_BYTES
-                for f in range(0, n_frames, stride):
-                    chunk = raw[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
-                    ids.append(doc_id)
-                    idxs.append(f)
-                    means.append(float(sum(chunk)) / len(chunk))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_mean": pd.Series(means, dtype="float64"),
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

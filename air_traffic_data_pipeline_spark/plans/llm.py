@@ -946,24 +946,25 @@ FROM keep k JOIN embeddings e ON k.vec_id = e.vec_id
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary payload + typed metadata: the Spark-side plumbing for
-    image/audio columns (decode itself is stubbed; see
-    operators/multimodal.py). Payload here is a deterministic fake blob."""
+    """Image metadata extraction from REAL BMP bytes: a genuine 24-bit BMP
+    file is written per doc (struct.pack, 4-byte-aligned rows), then the
+    BITMAPFILEHEADER/BITMAPINFOHEADER are parsed back with struct.unpack in
+    an Arrow-batched mapInPandas kernel. Generation is closed-form in doc_id,
+    so the oracle recomputes every header field independently and
+    value-checks the write -> Arrow -> parse round trip."""
+    from ..operators.multimodal import attach_bmp_payload, decode_bmp_meta
+
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    blob = F.unhex(F.md5("text"))
-    return d.select(
-        "doc_id",
-        F.length(blob).cast("bigint").alias("n_bytes"),
-        F.upper(F.substring(F.md5("text"), 1, 8)).alias("magic"),
-        (F.length(blob) % 4 + 1).cast("bigint").alias("fake_channels"),
-    )
+    return decode_bmp_meta(attach_bmp_payload(d))
 
 
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
-       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
-       upper(substr(md5(text), 1, 8)) AS magic,
-       CAST(octet_length(unhex(md5(text))) % 4 + 1 AS BIGINT) AS fake_channels
+       'BM' AS magic,
+       CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+       CAST((doc_id // 16) % 8 + 1 AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bpp,
+       CAST(54 + ((doc_id % 16 + 1) * 3 + 3) // 4 * 4 * ((doc_id // 16) % 8 + 1) AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 300
 """
 
@@ -975,50 +976,67 @@ def _md5_byte_sql(h: str, k: int) -> str:
     return f"({hi} * 16 + {lo})"
 
 
+def _md5_abs_i16_sql(h: str, k: int) -> str:
+    """DuckDB: |k-th little-endian int16 sample| of the md5 digest bytes."""
+    raw = f"({_md5_byte_sql(h, 2 * k)} + 256 * {_md5_byte_sql(h, 2 * k + 1)})"
+    return f"abs(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real mapInPandas decode path (operators/multimodal.py): binary
-    payload -> Arrow batch -> pandas kernel -> typed feature row. The decode
-    kernel is the deterministic 'fake' codec, so the oracle can recompute
-    every feature from the md5 bytes and value-check the full Python/Arrow
+    """Audio feature extraction from REAL WAV bytes: a genuine RIFF/WAVE
+    PCM16 file is written per doc (md5 digest = 8 int16 samples; channels and
+    sample_rate vary by doc_id), then the RIFF chunk list is walked back with
+    struct.unpack in an Arrow-batched mapInPandas kernel. The oracle
+    recomputes fmt/channels/rate/frames closed-form from doc_id and the mean
+    |amplitude| from the md5 bytes, value-checking the full byte-format
     round trip."""
-    from ..operators.multimodal import attach_payload, decode_stub
+    from ..operators.multimodal import attach_wav_payload, decode_wav
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return decode_stub(attach_payload(d))
+    return decode_wav(attach_wav_payload(d))
 
 
 def _mm_decode_sql() -> str:
     s = "md5(text)"
-    mean = " + ".join(_md5_byte_sql(s, k) for k in range(16))
+    sum_abs = " + ".join(_md5_abs_i16_sql(s, k) for k in range(8))
     return f"""
-SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
-       CAST({_md5_byte_sql(s, 1)} % 16 + 1 AS INTEGER) AS width,
-       CAST({_md5_byte_sql(s, 0)} % 16 + 1 AS INTEGER) AS height,
-       CAST({_md5_byte_sql(s, 2)} % 4 + 1 AS INTEGER) AS channels,
-       CAST({mean} AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_byte
+SELECT doc_id,
+       'pcm16' AS fmt,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+       CAST(8 // (doc_id % 2 + 1) AS BIGINT) AS n_frames,
+       CAST({sum_abs} AS DOUBLE) / CAST(8 AS DOUBLE) AS mean_abs
 FROM documents WHERE doc_id < 300
 """
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling via row-expanding mapInPandas: each 16-byte payload is
-    4 fake frames of 4 bytes; stride-2 sampling keeps frames 0 and 2 with a
-    per-frame mean feature."""
-    from ..operators.multimodal import attach_payload, frame_sample
+    """Frame sampling via row-expanding mapInPandas over REAL WAV payloads:
+    a frame is one block_align group (all channels of one sample instant);
+    stride-2 sampling keeps even frames with a mean-|amplitude| feature.
+    Mono docs have 8 frames (4 sampled), stereo docs 4 (2 sampled)."""
+    from ..operators.multimodal import attach_wav_payload, frame_sample
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return frame_sample(attach_payload(d), stride=2)
+    return frame_sample(attach_wav_payload(d), stride=2)
 
 
 def _mm_frames_sql() -> str:
     s = "md5(text)"
     selects = []
-    for f in (0, 2):
-        mean = " + ".join(_md5_byte_sql(s, 4 * f + j) for j in range(4))
+    for f in (0, 2, 4, 6):
+        mono = _md5_abs_i16_sql(s, f)
+        if 2 * f + 1 < 8:
+            stereo = f"({_md5_abs_i16_sql(s, 2 * f)} + {_md5_abs_i16_sql(s, 2 * f + 1)})"
+        else:
+            # stereo docs have 4 frames; f >= 4 rows are mono-only (the WHERE
+            # excludes stereo), so this branch is dead — any valid expr works
+            stereo = "0"
         selects.append(
             f"SELECT doc_id, CAST({f} AS INTEGER) AS frame_idx, "
-            f"CAST({mean} AS DOUBLE) / CAST(4 AS DOUBLE) AS frame_mean "
-            f"FROM documents WHERE doc_id < 300"
+            f"CASE WHEN doc_id % 2 = 0 THEN CAST({mono} AS DOUBLE) "
+            f"ELSE CAST({stereo} AS DOUBLE) / CAST(2 AS DOUBLE) END AS frame_mean "
+            f"FROM documents WHERE doc_id < 300 AND {f} < 8 // (doc_id % 2 + 1)"
         )
     return " UNION ALL ".join(selects)
 

@@ -155,6 +155,60 @@ def test_multimodal_real_codec_raises(spark):
         decode_stub(attach_payload(d), codec="jpeg")
 
 
+def test_wav_roundtrip_parses_real_bytes(spark):
+    """The WAV writer emits genuine RIFF files; the parser walks the real
+    chunk structure and recovers the generation parameters."""
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        WAV_HEADER_BYTES,
+        attach_wav_payload,
+        decode_wav,
+    )
+
+    d = load(spark, SF, "documents").limit(20)
+    payloads = {r.doc_id: bytes(r.payload) for r in attach_wav_payload(d).collect()}
+    for doc_id, raw in payloads.items():
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        assert len(raw) == WAV_HEADER_BYTES + 16
+    rows = decode_wav(attach_wav_payload(d)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.fmt == "pcm16"
+        assert r.channels == r.doc_id % 2 + 1
+        assert r.sample_rate == 8000 * (r.doc_id % 3 + 1)
+        assert r.n_frames == 8 // (r.doc_id % 2 + 1)
+        assert 0.0 <= r.mean_abs <= 32768.0
+
+
+def test_bmp_roundtrip_parses_real_bytes(spark):
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_meta,
+    )
+
+    d = load(spark, SF, "documents").limit(20)
+    rows = decode_bmp_meta(attach_bmp_payload(d)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.magic == "BM" and r.bpp == 24
+        assert r.width == r.doc_id % 16 + 1
+        assert r.height == (r.doc_id // 16) % 8 + 1
+        row_size = (r.width * 3 + 3) // 4 * 4
+        assert r.n_bytes == 54 + row_size * r.height
+
+
+def test_wav_parser_rejects_malformed_bytes(spark):
+    """A real parser fails loudly on corrupt input instead of fabricating."""
+    from py4j.protocol import Py4JJavaError
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import decode_wav
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOTAWAVEFILE_____"))], "doc_id long, payload binary"
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        decode_wav(bad).collect()
+
+
 def test_simhash_similar_docs_close(spark):
     """Near-dup pairs should have small simhash hamming distance vs random."""
     sh = {r.doc_id: r.simhash for r in llm.simhash(spark, SF).collect()}
