@@ -336,12 +336,14 @@ def incremental_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact, and the final merge re-aggregates partials — never raw pairs.
     """
     import shutil
+    import uuid
 
     from ..streaming.events_stream import EVENTS_SCHEMA, _stage_late_batches
 
     d = _stage_late_batches(spark, sf_dir)
-    base = d.rstrip("/") + "_noise_mv"
-    shutil.rmtree(base, ignore_errors=True)
+    # unique dir per invocation: a previously returned (lazy) result must
+    # never see its partials deleted by a later call
+    base = f"{d.rstrip('/')}_noise_mv_{uuid.uuid4().hex[:8]}"
 
     grid = gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)
     n_cells = (2 * FLAGSHIP_N_STEPS + 1) ** 2
@@ -388,12 +390,17 @@ def incremental_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sum_power").alias("sum_power"))
         .filter(F.col("sum_power") > 0)
     )
-    return merged.select(
+    out = merged.select(
         "g_lat",
         "g_lon",
         db_from_power(F.col("sum_power")).alias("db"),
         F.round(db_from_power(F.col("sum_power")) / F.lit(MAX_DB), 6).alias("weight"),
     )
+    # materialize (lineage-truncating) so the partials dir can be removed
+    # now instead of leaking one dir per invocation under /tmp
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def incremental_sql() -> str:

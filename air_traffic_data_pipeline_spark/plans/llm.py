@@ -1928,6 +1928,10 @@ LM_ALPHA = 0.5  # add-alpha smoothing for the bigram LM
 # contamination shingles); see
 # clear_caches(). Persisting is what makes the corpus tokenize/explode run
 # ONCE — the model tables (c12/c1/V) and the scoring join all re-read it.
+# CONTRACT: entries are keyed by (applicationId, sf_dir), NOT by lake
+# content — rewriting the lake at sf_dir within one Spark application
+# returns stale cached tables. Callers that mutate a lake in-app must call
+# clear_caches() first (entry() does this on teardown).
 _PERSIST_CACHE: dict[tuple[str, ...], DataFrame] = {}
 
 
@@ -2092,7 +2096,13 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum("kept").cast("bigint").alias("n_kept"),
-            F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("mean_weight"),
+            # w has <= 5 exact decimal places (n_chars/2000 * 0.6): sum as
+            # decimal so partial-agg order can't shift the last ulp vs DuckDB
+            F.round(
+                F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_weight"),
             F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("realized_rate"),
         )
     )
@@ -2110,7 +2120,7 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
-       round(sum(w) / count(*), 6) AS mean_weight,
+       round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_weight,
        round(sum(kept) / CAST(count(*) AS DOUBLE), 6) AS realized_rate
 FROM t GROUP BY 1
 """

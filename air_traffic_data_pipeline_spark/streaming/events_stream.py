@@ -360,9 +360,14 @@ def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
-                n += len(pdf)
-                bmx = float(pdf["value"].max())
-                bmn = float(pdf["value"].min())
+                n += len(pdf)  # n counts ALL rows, like SQL count(*)
+                # SQL max/min ignore NULLs: drop them before the extremes, or
+                # a NULL batch yields NaN and poisons every later comparison
+                v = pdf["value"].dropna()
+                if len(v) == 0:
+                    continue
+                bmx = float(v.max())
+                bmn = float(v.min())
                 mx = bmx if mx is None else max(mx, bmx)
                 mn = bmn if mn is None else min(mn, bmn)
             self._st.update((n, mx, mn))
