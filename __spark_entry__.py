@@ -16,7 +16,16 @@ from air_traffic_data_pipeline_spark.plans.domain import flagship_noise_grid
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Teardown guarantee: any tables persisted by earlier queries() calls in
+    this session (minhash doc tables, LM bigram counts, contamination
+    shingles) are unpersisted first — entry() leaves no executor storage
+    behind (tested in tests/test_entry.py), and the flagship itself
+    persists nothing."""
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    llm.clear_caches()
     return flagship_noise_grid(spark, "/root/testdata/sf0.001")
 
 

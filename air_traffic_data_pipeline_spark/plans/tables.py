@@ -48,19 +48,52 @@ def _canonical_event_time(df: DataFrame) -> DataFrame:
     return df
 
 
+def _conf_bytes(val: str) -> int:
+    """Parse a Spark byte conf ("134217728", "128m", "1g") to bytes."""
+    val = val.strip().lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if val and val[-1] in units:
+        return int(float(val[:-1]) * units[val[-1]])
+    return int(val)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Small-input guard for CPU-heavy per-row pipelines (explode, k x md5).
 
     A tiny parquet file scans as a single partition (one row group), which
-    serializes everything downstream onto one core. When the scan yields
-    fewer partitions than the cluster's parallelism, round-robin repartition
+    serializes everything downstream onto one core. When the scan can't
+    split into >= cluster-parallelism partitions, round-robin repartition
     first — the shuffle moves only the small input. At 100 TB the scan
-    already has >= cores partitions and this is a no-op (no shuffle added).
+    already yields >= cores partitions and this is a no-op (no shuffle
+    added).
+
+    The estimate uses the scan's file list + sizes (driver-side metadata
+    only) instead of ``df.rdd.getNumPartitions()``, which would force a
+    physical-plan materialization on every query build.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df  # non-file source, or already enough splits
+    max_part = _conf_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            # remote store: sizes need FS RPCs; being a small file COUNT is
+            # already the strong signal, so just repartition
+            return df.repartition(target)
+        size = os.path.getsize(u.path)
+        est_splits += max(1, -(-size // max_part))
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

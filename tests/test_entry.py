@@ -1,0 +1,51 @@
+"""Driver-contract hygiene: entry() teardown and the fan_out scan heuristic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from air_traffic_data_pipeline_spark.plans import llm
+from air_traffic_data_pipeline_spark.plans.tables import _conf_bytes, fan_out, load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_entry_teardown_unpersists_everything(spark):
+    """entry() must clear every table persisted by earlier queries() calls:
+    a long driver session (172 queries then the smoke check) may not
+    accumulate executor storage."""
+    # populate both caches: minhash doc table + LM bigram counts
+    llm.minhash_near_dup_pairs(spark, SF).count()
+    llm.lm_perplexity(spark, SF).count()
+    assert _persistent_rdd_count(spark) > 0, "expected persisted tables"
+
+    df = ent.entry(spark)
+    assert _persistent_rdd_count(spark) == 0
+    assert df.count() > 0  # flagship still runs after teardown
+
+
+def test_conf_bytes_parses_spark_units():
+    assert _conf_bytes("134217728") == 134217728
+    assert _conf_bytes("134217728b") == 134217728
+    assert _conf_bytes("128m") == 128 << 20
+    assert _conf_bytes("1g") == 1 << 30
+
+
+def test_fan_out_spreads_small_scan(spark):
+    """A one-file scan must fan out to cluster parallelism without
+    materializing the physical plan via df.rdd."""
+    d = load(spark, SF, "documents")
+    target = spark.sparkContext.defaultParallelism
+    out = fan_out(d)
+    assert out.rdd.getNumPartitions() == target
+
+
+def test_fan_out_noop_on_non_file_source(spark):
+    """Derived in-memory frames (no input files) pass through untouched."""
+    d = spark.range(10).select(F.col("id"))
+    assert fan_out(d) is d
