@@ -283,16 +283,23 @@ def test_embedding_near_dup_pairs_verified(spark):
 
 def test_frame_sample_shape(spark):
     from air_traffic_data_pipeline_spark.operators.multimodal import (
-        attach_payload,
+        attach_wav_payload,
         frame_sample,
     )
 
     d = load(spark, SF, "documents").limit(20)
-    rows = frame_sample(attach_payload(d), stride=2).collect()
-    assert len(rows) == 40  # 16-byte payload -> 4 frames -> stride 2 keeps 2
-    assert {r.frame_idx for r in rows} == {0, 2}
+    ids = [r.doc_id for r in d.select("doc_id").collect()]
+    rows = frame_sample(attach_wav_payload(d), stride=2).collect()
+    # 16-byte PCM16 data = 8 samples; channels = doc_id % 2 + 1, so
+    # mono docs yield 8 frames (stride 2 -> 4 rows), stereo 4 frames (-> 2).
+    want = sum(4 if i % 2 == 0 else 2 for i in ids)
+    assert len(rows) == want
+    by_doc = {}
     for r in rows:
-        assert 0.0 <= r.frame_mean <= 255.0
+        by_doc.setdefault(r.doc_id, set()).add(r.frame_idx)
+        assert 0.0 <= r.frame_mean <= 32768.0  # |int16| bound
+    for i in ids:
+        assert by_doc[i] == ({0, 2, 4, 6} if i % 2 == 0 else {0, 2})
 
 
 def test_lm_perplexity_scores_every_doc_with_positive_bits(spark):
