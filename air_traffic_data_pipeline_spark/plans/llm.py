@@ -2466,6 +2466,405 @@ FROM est
 """
 
 
+# --- incremental corpus maintenance (round 3) ------------------------------
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch"; rest = corpus
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against an existing corpus:
+    each batch doc is 'dup_corpus' (fingerprint already in the corpus),
+    'dup_batch' (first seen earlier IN this batch), or 'new'.
+
+    The production shape for rolling crawl ingestion: the corpus side is
+    reduced to DISTINCT 32-hex fingerprints before the join, so at 100 TB
+    the equi-join shuffles only digests (or broadcasts them when the
+    fingerprint dictionary fits — AQE decides), never document text. The
+    within-batch tie-break is a window over the batch only.
+    """
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    first_id = F.min("doc_id").over(W.partitionBy("fp"))
+    return (
+        batch.join(corpus, "fp", "left")
+        .withColumn("first_id", first_id)
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+            .when(F.col("first_id") < F.col("doc_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+_INCR_DEDUP_SQL = f"""
+WITH batch AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
+corpus AS (
+  SELECT DISTINCT {fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+flagged AS (
+  SELECT b.doc_id, b.fp, (c.fp IS NOT NULL) AS in_corpus,
+         min(b.doc_id) OVER (PARTITION BY b.fp) AS first_id
+  FROM batch b LEFT JOIN corpus c USING (fp))
+SELECT doc_id, fp,
+       CASE WHEN in_corpus THEN 'dup_corpus'
+            WHEN first_id < doc_id THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM flagged
+"""
+
+
+BLOOM_M = 8192  # bit positions
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(fp: Column, i: int) -> Column:
+    return _hex4_to_int(F.md5(F.concat(fp, F.lit(f"#{i}")))) % BLOOM_M
+
+
+def _bloom_pos_sql(fp: str, i: int) -> str:
+    salted = "md5(" + fp + " || '#" + str(i) + "')"
+    return f"({_hex4_to_int_sql(salted)} % {BLOOM_M})"
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, expressed as a position-set semi-join:
+    the corpus's k=3 md5-derived bit positions (<= m=8192 distinct ints) are
+    the filter; an incoming doc "might be a member" iff ALL its k positions
+    are present. Exact membership is computed alongside so the output
+    accounts every false positive (false negatives are impossible — the
+    pytest pins that).
+
+    At 100 TB this is how join pruning is done before an expensive
+    fingerprint shuffle: the position relation is bounded by m regardless of
+    corpus size, broadcasts for free, and drops the (usually dominant)
+    non-duplicate traffic from the wide join. The same structure holds if m
+    grows: positions stay a broadcastable dictionary, never corpus-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    positions = None
+    for i in range(BLOOM_K):
+        p = corpus.select(_bloom_pos(F.col("fp"), i).alias("pos"))
+        positions = p if positions is None else positions.unionAll(p)
+    positions = positions.distinct().withColumn("hit", F.lit(1))
+    probes = batch.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fp"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    # min(hit) == 1 <=> every probed position is set (duplicate positions
+    # from hash collisions inside one doc collapse harmlessly)
+    agg = (
+        probes.join(F.broadcast(positions), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_hit"))
+    )
+    return (
+        agg.join(corpus.withColumn("in_corpus", F.lit(1)), "fp", "left")
+        .select(
+            "doc_id",
+            F.col("all_hit").cast("int").alias("bloom_might"),
+            F.coalesce(F.col("in_corpus"), F.lit(0)).cast("int").alias("exact_dup"),
+            F.when((F.col("all_hit") == 1) & F.col("in_corpus").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("false_pos"),
+        )
+    )
+
+
+_BLOOM_SQL = f"""
+WITH batch AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
+corpus AS (
+  SELECT DISTINCT {fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+positions AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('fp', i)} AS pos FROM corpus" for i in range(BLOOM_K))}
+  )),
+probes AS (
+  SELECT doc_id, fp,
+         unnest([{", ".join(_bloom_pos_sql('fp', i) for i in range(BLOOM_K))}]) AS pos
+  FROM batch),
+agg AS (
+  SELECT p.doc_id, p.fp,
+         min(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+  FROM probes p LEFT JOIN positions s USING (pos)
+  GROUP BY 1, 2)
+SELECT a.doc_id,
+       CAST(all_hit AS INTEGER) AS bloom_might,
+       CAST(CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS INTEGER) AS exact_dup,
+       CAST(CASE WHEN all_hit = 1 AND c.fp IS NULL THEN 1 ELSE 0 END AS INTEGER) AS false_pos
+FROM agg a LEFT JOIN corpus c USING (fp)
+"""
+
+
+# --- embedding quantization (round 3) ---------------------------------------
+
+
+def _max_abs(dv: Column) -> Column:
+    """Sequential greatest-fold of |x| — deterministic and exactly mirrored
+    by DuckDB's list_reduce (max is associative, and max(0.0, x1) == x1 for
+    the |x| >= 0 elements, so the differing fold seeds coincide)."""
+    return F.aggregate(dv, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+
+
+_MAX_ABS_SQL = "list_reduce([abs(x) for x in {v}], (acc, x) -> greatest(acc, x))"
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = 127/max|v|,
+    q_i = clamp(round(v_i * scale)); reports saturation count and the L2
+    reconstruction error.
+
+    The storage/bandwidth workhorse for 100 TB embedding corpora: 4x
+    smaller vectors shrink scan bytes, shuffle bytes, and broadcast sizes
+    for every downstream ANN pass. All math is higher-order functions inside
+    whole-stage codegen — no Python, no shuffle (one narrow map over the
+    scan).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    df = (
+        e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+        .withColumn("max_abs", _max_abs(F.col("dv")))
+        .withColumn("scale", F.lit(127.0) / F.col("max_abs"))
+    )
+    scale = F.col("scale")
+    q = F.transform(
+        F.col("dv"),
+        lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x * scale))),
+    )
+    df = df.withColumn("q", q)
+    err_sq = F.aggregate(
+        F.zip_with(F.col("dv"), F.col("q"), lambda v, qv: (v - qv / scale) * (v - qv / scale)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("max_abs"),
+        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127.0)).cast("int").alias("n_sat"),
+        F.round(F.sqrt(err_sq), 6).alias("recon_err"),
+    )
+
+
+_QUANT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv FROM embeddings),
+sc AS (
+  SELECT vec_id, dv,
+         {_MAX_ABS_SQL.format(v='dv')} AS max_abs,
+         127.0 / {_MAX_ABS_SQL.format(v='dv')} AS scale
+  FROM base),
+qd AS (
+  SELECT vec_id, dv, max_abs, scale,
+         [greatest(-127.0, least(127.0, round(x * scale))) for x in dv] AS q
+  FROM sc)
+SELECT vec_id,
+       round(max_abs, 6) AS max_abs,
+       CAST(len(list_filter(q, x -> abs(x) = 127.0)) AS INTEGER) AS n_sat,
+       round(sqrt(list_reduce(
+         [(dv[i] - q[i] / scale) * (dv[i] - q[i] / scale)
+          for i in generate_series(1, len(dv))],
+         (acc, x) -> acc + x)), 6) AS recon_err
+FROM qd
+"""
+
+QUANT_TOPK_K = 3
+
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k over the int8-quantized corpus: exact float queries
+    against dequantized corpus vectors (the ADC pattern from the PQ/IVF
+    literature, with scalar quantization as the codebook). Same join/window
+    shape as ``cosine_topk`` — the point is the accuracy/throughput trade
+    measured end to end on the quantized representation.
+
+    At scale the corpus side carries int8 + one float scale per vector (4x
+    less shuffle/broadcast traffic); dequantization is a codegen transform
+    at the consumer.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    scaled = base.withColumn("scale", F.lit(127.0) / _max_abs(F.col("dv")))
+    scale = F.col("scale")
+    rvec = F.transform(
+        F.col("dv"),
+        lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x * scale)))
+        / scale,
+    )
+    corpus = scaled.select(F.col("vec_id").alias("c_id"), rvec.alias("c_vec"))
+    queries_df = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_vec")
+    )
+    return brute_force_topk(queries_df, corpus, QUANT_TOPK_K)
+
+
+_DEQ_SQL = "[greatest(-127.0, least(127.0, round(x * scale))) / scale for x in dv]"
+
+_QUANT_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv FROM embeddings),
+sc AS (
+  SELECT vec_id, dv, 127.0 / {_MAX_ABS_SQL.format(v='dv')} AS scale FROM base),
+corpus AS (
+  SELECT vec_id AS c_id, {_DEQ_SQL} AS c_vec FROM sc),
+q AS (
+  SELECT vec_id AS q_id, dv AS q_vec FROM base WHERE vec_id < 10),
+pairs AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM q CROSS JOIN corpus WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+              AS BIGINT) AS rank
+  FROM pairs)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {QUANT_TOPK_K}
+"""
+
+
+# --- count-min sketch (round 3) ---------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+
+
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies, checked against exact counts for
+    the corpus top-20: est = min over 4 hash rows of the 1024-wide counter
+    cells. The sketch state is FIXED (4x1024 cells) however large the
+    corpus — each partition partial-aggregates its own cells and one
+    4096-row table merges at the reduce, the canonical bounded-memory
+    frequency structure at 100 TB. CMS never undercounts; the pytest pins
+    est >= exact on every row.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    tokens = d.select(F.explode(F.split("text", " ")).alias("w"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    pos = (
+        _hex4_to_int(F.md5(F.concat(F.col("w"), F.lit("@"), F.col("r").cast("string"))))
+        % CMS_WIDTH
+    ).alias("pos")
+    cells = (
+        tokens.select("w", rows)
+        .select("r", pos)
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tokens.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+        .orderBy(F.col("exact_freq").desc(), "w")
+        .limit(20)
+    )
+    probes = exact.select("w", "exact_freq", rows).select("w", "exact_freq", "r", pos)
+    return (
+        probes.join(cells, ["r", "pos"])
+        .groupBy("w", "exact_freq")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "w",
+            "exact_freq",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
+        )
+    )
+
+
+_CMS_HASH_SQL = "md5(w || '@' || CAST(r AS VARCHAR))"
+_CMS_POS_SQL = f"({_hex4_to_int_sql(_CMS_HASH_SQL)} % {CMS_WIDTH})"
+
+_CMS_SQL = f"""
+WITH tokens AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+salted AS (
+  SELECT w, r, {_CMS_POS_SQL} AS pos
+  FROM tokens CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)),
+cells AS (
+  SELECT r, pos, count(*) AS cnt FROM salted GROUP BY r, pos),
+exact AS (
+  SELECT w, count(*) AS exact_freq FROM tokens
+  GROUP BY w ORDER BY exact_freq DESC, w LIMIT 20),
+probes AS (
+  SELECT w, exact_freq, r, {_CMS_POS_SQL} AS pos
+  FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)),
+est AS (
+  SELECT w, exact_freq, min(cnt) AS cms_est
+  FROM probes JOIN cells USING (r, pos) GROUP BY 1, 2)
+SELECT w, exact_freq, cms_est, cms_est - exact_freq AS overcount FROM est
+"""
+
+
+# --- LSH band observability (round 3) ---------------------------------------
+
+
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size histogram of the MinHash LSH bands, plus the candidate
+    pairs each (band, size) stratum generates — the skew diagnostic run
+    BEFORE a 100 TB dedup job: a heavy bucket here is exactly the hot key
+    that would dominate the band self-join, and this query costs one
+    groupBy over the signature table (no pairs materialized).
+    """
+    sig = _minhash_sig(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({MINHASH_BANDS}, "
+        + ", ".join(
+            f"{b}, concat(h{2 * b}, h{2 * b + 1})" for b in range(MINHASH_BANDS)
+        )
+        + ") AS (band, key)",
+    )
+    buckets = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return buckets.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.count(F.lit(1)) * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        )
+        .cast("long")
+        .alias("cand_pairs"),
+    )
+
+
+_BAND_STATS_SQL = f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
+      for b in range(MINHASH_BANDS)
+  )}
+),
+buckets AS (
+  SELECT band, key, count(*) AS bucket_size FROM bands GROUP BY 1, 2)
+SELECT band, bucket_size, count(*) AS n_buckets,
+       CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT) AS cand_pairs
+FROM buckets GROUP BY 1, 2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2520,6 +2919,12 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dataset_card", dataset_card, _DATASET_CARD_SQL),
     ("llm_substring_contamination", substring_contamination, _SUBSTR_CONTAM_SQL),
     ("llm_lsh_sensitivity", lsh_sensitivity, _lsh_sensitivity_sql()),
+    ("llm_incremental_dedup", incremental_dedup, _INCR_DEDUP_SQL),
+    ("llm_bloom_prefilter", bloom_prefilter, _BLOOM_SQL),
+    ("llm_quantize_int8", quantize_int8, _QUANT_SQL),
+    ("llm_quantized_topk", quantized_topk, _QUANT_TOPK_SQL),
+    ("llm_count_min_freq", count_min_freq, _CMS_SQL),
+    ("llm_minhash_band_stats", minhash_band_stats, _BAND_STATS_SQL),
 ]
 
 

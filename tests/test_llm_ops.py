@@ -368,3 +368,98 @@ def test_map_in_arrow_matches_native(spark):
         for r in d.select("doc_id", F.length("text").alias("n")).collect()
     }
     assert got == want
+
+
+# --- round-3 ops: incremental dedup / bloom / quantization / CMS / bands ----
+
+
+def test_incremental_dedup_statuses_consistent(spark):
+    """dup_corpus fingerprints really exist in the corpus partition;
+    'new'/'dup_batch' ones do not; dup_batch rows have an earlier batch doc."""
+    out = llm.incremental_dedup(spark, SF).collect()
+    docs = load(spark, SF, "documents").collect()
+    from air_traffic_data_pipeline_spark.functions.text import fingerprint
+
+    fps = {
+        r.doc_id: r.fp
+        for r in load(spark, SF, "documents")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    corpus_fps = {fp for i, fp in fps.items() if i % llm.INCR_BATCH_MOD != 0}
+    batch_ids = sorted(i for i in fps if i % llm.INCR_BATCH_MOD == 0)
+    assert sorted(r.doc_id for r in out) == batch_ids
+    for r in out:
+        if r.status == "dup_corpus":
+            assert r.fp in corpus_fps
+        else:
+            assert r.fp not in corpus_fps
+            earlier = [
+                i for i in batch_ids if i < r.doc_id and fps[i] == r.fp
+            ]
+            assert (r.status == "dup_batch") == bool(earlier)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom membership is one-sided: every exact duplicate MUST pass the
+    filter; false positives are counted, never hidden."""
+    rows = llm.bloom_prefilter(spark, SF).collect()
+    for r in rows:
+        if r.exact_dup == 1:
+            assert r.bloom_might == 1
+        assert r.false_pos == (1 if (r.bloom_might == 1 and r.exact_dup == 0) else 0)
+
+
+def test_quantize_int8_error_bound(spark):
+    """Per-element quantization error is <= 0.5/scale, so the L2 error is
+    <= sqrt(d) * max_abs / 254; saturation count >= 1 (the max element)."""
+    rows = llm.quantize_int8(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sat >= 1
+        assert r.recon_err <= math.sqrt(llm.EMB_DIM) * r.max_abs / 254.0 + 1e-6
+
+
+def test_quantized_topk_close_to_exact(spark):
+    """int8 ADC ranking: every reported similarity is within 0.02 of the
+    exact cosine for the same pair (d=64 scalar quantization)."""
+    e = load(spark, SF, "embeddings")
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_vec")
+    )
+    c = base.select(F.col("vec_id").alias("c_id"), F.col("dv").alias("c_vec"))
+    exact = {
+        (r.q_id, r.c_id): r.cos_sim
+        for r in q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim")
+        )
+        .collect()
+    }
+    got = llm.quantized_topk(spark, SF).collect()
+    assert len(got) == 10 * llm.QUANT_TOPK_K
+    for r in got:
+        assert abs(r.cos_sim - exact[(r.q_id, r.c_id)]) < 0.02
+
+
+def test_count_min_never_undercounts(spark):
+    rows = llm.count_min_freq(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.exact_freq
+        assert r.overcount == r.cms_est - r.exact_freq
+
+
+def test_minhash_band_stats_accounts_every_doc(spark):
+    """sum(bucket_size * n_buckets) per band == number of documents, and the
+    stratified cand_pairs arithmetic is exact."""
+    n_docs = load(spark, SF, "documents").count()
+    rows = llm.minhash_band_stats(spark, SF).collect()
+    per_band: dict[int, int] = {}
+    for r in rows:
+        per_band[r.band] = per_band.get(r.band, 0) + r.bucket_size * r.n_buckets
+        assert r.cand_pairs == r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+    assert set(per_band) == set(range(llm.MINHASH_BANDS))
+    assert all(v == n_docs for v in per_band.values())
