@@ -261,6 +261,14 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explode WITHOUT a pre-distinct: min() is duplicate-insensitive and
     collect_set dedups inside the same aggregation, so one shuffle on
     doc_id replaces the distinct's shuffle + the groupBy's.
+
+    ``sh_arr`` holds 64-bit shingle ids (first 16 hex chars of the already
+    computed md5 lane digest), not the shingle strings: the per-doc arrays
+    and the verify intersect shrink to fixed 16-char elements at zero extra
+    hashing cost, and |intersection| / |union| over the hashed sets equals
+    the string-set Jaccard (64-bit space, ~1e-15 collision odds per pair —
+    and the DuckDB oracle computes distinct-string counts independently, so
+    a collision would surface as a hash mismatch, not hide).
     """
     from pyspark import StorageLevel
 
@@ -272,7 +280,7 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rows = exploded_shingles(d.select("doc_id", "text"))
     sh_rows = sh_rows.select("doc_id", "s", *_chunk_cols())
     doc_tbl = sh_rows.groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh_arr"),
+        F.collect_set(F.substring(F.col("_m0"), 1, 16)).alias("sh_arr"),
         *_chunk_aggs(),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _DOC_TBL_CACHE[key] = doc_tbl

@@ -34,7 +34,7 @@ HEADLINE = [
 # Repetitions per timed query; the min is reported. The host VM throttles
 # CPU bursts unpredictably (measured: identical plans varying 1.2s..37s), so
 # a single sample is a lottery — min-of-N measures the engine, not the host.
-REPS = 2
+REPS = 3
 
 
 def _clear_engine_caches() -> None:
