@@ -242,3 +242,59 @@ def test_no_query_returns_unhashable_cells(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A hot join key must be SPLIT by AQE, not serialized onto one core —
+    the radius join's hot-bin story (airport bins) depends on this engine
+    posture, so pin it with an executed plan: after running a skewed
+    sort-merge join under scaled-down thresholds, the adaptive plan's
+    shuffle read reports skewed splits.
+
+    Thresholds are lowered only inside this test (the defaults trigger at
+    256 MB partitions — correct at cluster scale, unreachable in a unit
+    test); the assertion is about the mechanism being ON and effective.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 90% of left rows share key 0; right side is one row per key.
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise((F.col("id") % 997) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count()) so the inspected QueryExecution is the one
+        # that ran — count() wraps the plan in a fresh aggregate
+        assert len(joined.collect()) == 300_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in executed, executed[:2000]
+        assert "AQEShuffleRead skewed" in executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
