@@ -20,12 +20,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Teardown guarantee: any tables persisted by earlier queries() calls in
     this session (minhash doc tables, LM bigram counts, contamination
-    shingles) are unpersisted first — entry() leaves no executor storage
-    behind (tested in tests/test_entry.py), and the flagship itself
-    persists nothing."""
+    shingles) AND any registered localCheckpoint RDDs (connected
+    components, incremental noise grid) are released first — entry()
+    leaves no executor storage behind (tested in tests/test_entry.py),
+    and the flagship itself persists nothing."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
     from air_traffic_data_pipeline_spark.plans import llm
 
     llm.clear_caches()
+    checkpoints.clear_all(spark)
     return flagship_noise_grid(spark, "/root/testdata/sf0.001")
 
 

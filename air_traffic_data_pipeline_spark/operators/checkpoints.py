@@ -1,0 +1,71 @@
+"""Tracked ``localCheckpoint`` lifecycle.
+
+``DataFrame.localCheckpoint`` persists its materialized RDD in the block
+manager but exposes no Python-side handle to release it, so iterative
+algorithms (connected components) and materialize-then-return plans
+(incremental noise grid) would otherwise accumulate executor storage for
+the life of the session — breaking the ``entry()`` teardown guarantee
+("no persisted RDDs left behind", tests/test_entry.py).
+
+The fix: diff ``JavaSparkContext.getPersistentRDDs()`` around each
+checkpoint call to learn which RDD ids it pinned, then release them either
+immediately (superseded loop iterations) or at ``clear_all`` (results
+registered for session teardown). Single-threaded driver assumption: the
+id diff is only correct when no concurrent thread persists RDDs between
+the two snapshots — true for this engine's query-build path.
+
+Releasing a checkpoint invalidates DataFrames that still depend on it
+(same contract as ``llm.clear_caches``): callers must re-run the query
+after a teardown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# appId -> RDD ids pinned by registered (still-live) checkpoints
+_LIVE: dict[str, set[int]] = {}
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _release_ids(spark: SparkSession, ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist()
+
+
+def tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True, register: bool = False
+) -> tuple[DataFrame, set[int]]:
+    """``df.localCheckpoint(eager)`` returning the pinned RDD ids too.
+
+    ``register=True`` additionally records the ids in the session-wide
+    registry so :func:`clear_all` (entry() teardown) releases them.
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=eager)
+    ids = _persistent_ids(spark) - before
+    if register:
+        _LIVE.setdefault(spark.sparkContext.applicationId, set()).update(ids)
+    return out, ids
+
+
+def release(spark: SparkSession, ids: set[int]) -> None:
+    """Release checkpoint RDDs that a loop has superseded."""
+    _release_ids(spark, ids)
+    live = _LIVE.get(spark.sparkContext.applicationId)
+    if live:
+        live -= ids
+
+
+def clear_all(spark: SparkSession) -> None:
+    """Release every registered checkpoint of this application (teardown)."""
+    ids = _LIVE.pop(spark.sparkContext.applicationId, set())
+    if ids:
+        _release_ids(spark, ids)

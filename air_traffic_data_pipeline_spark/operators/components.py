@@ -30,12 +30,18 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id reachable. Raises if not converged within ``max_iter`` rounds."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    labels = (
-        und.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
+    labels, label_ids = tracked_local_checkpoint(
+        und.select(F.col("a").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        ),
+        register=True,
+    )
     for _ in range(max_iter):
         nbr_min = (
             und.join(
@@ -45,22 +51,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("min_nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
+        new_labels, new_ids = tracked_local_checkpoint(
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
                 F.col("node"),
                 F.least(F.col("comp"), F.coalesce(F.col("min_nbr"), F.col("comp"))).alias(
                     "comp"
                 ),
-            )
-        ).localCheckpoint()
+            ),
+            register=True,
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        # the superseded iteration's checkpoint is no longer reachable —
+        # release it now so the loop holds at most two checkpoints
+        release(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")

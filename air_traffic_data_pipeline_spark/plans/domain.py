@@ -342,7 +342,8 @@ def incremental_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _stage_late_batches(spark, sf_dir)
     # unique dir per invocation: a previously returned (lazy) result must
-    # never see its partials deleted by a later call
+    # never see its partials deleted by a later call. The try/finally below
+    # removes it on EVERY exit path — a failed run must not leak a dir.
     base = f"{d.rstrip('/')}_noise_mv_{uuid.uuid4().hex[:8]}"
 
     grid = gen_grid(spark, NANTES_LAT, NANTES_LON, FLAGSHIP_STEP_M, FLAGSHIP_N_STEPS)
@@ -372,35 +373,42 @@ def incremental_noise_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
 
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(d)
-    )
-    q = src.writeStream.foreachBatch(_update).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from ..operators.checkpoints import tracked_local_checkpoint
 
-    merged = (
-        spark.read.parquet(f"{base}/batch=*")
-        .groupBy("g_lat", "g_lon")
-        .agg(F.sum("sum_power").alias("sum_power"))
-        .filter(F.col("sum_power") > 0)
-    )
-    out = merged.select(
-        "g_lat",
-        "g_lon",
-        db_from_power(F.col("sum_power")).alias("db"),
-        F.round(db_from_power(F.col("sum_power")) / F.lit(MAX_DB), 6).alias("weight"),
-    )
-    # materialize (lineage-truncating) so the partials dir can be removed
-    # now instead of leaking one dir per invocation under /tmp
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{base}/batch=*")
+            .groupBy("g_lat", "g_lon")
+            .agg(F.sum("sum_power").alias("sum_power"))
+            .filter(F.col("sum_power") > 0)
+        )
+        out = merged.select(
+            "g_lat",
+            "g_lon",
+            db_from_power(F.col("sum_power")).alias("db"),
+            F.round(db_from_power(F.col("sum_power")) / F.lit(MAX_DB), 6).alias(
+                "weight"
+            ),
+        )
+        # materialize (lineage-truncating) so the partials dir can be removed
+        # now; the checkpoint is REGISTERED so entry()'s teardown releases
+        # its block-manager storage (tests/test_entry.py)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def incremental_sql() -> str:

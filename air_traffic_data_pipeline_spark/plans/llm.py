@@ -287,6 +287,20 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_tbl
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a signature table with h0..h{k-1}.
+    Band key = plain concat of the two 32-bit chunks (already uniform hex;
+    re-hashing with md5 would cost k/2 digests per doc for nothing)."""
+    return sig.selectExpr(
+        "doc_id",
+        f"stack({MINHASH_BANDS}, "
+        + ", ".join(
+            f"{b}, concat(h{2 * b}, h{2 * b + 1})" for b in range(MINHASH_BANDS)
+        )
+        + ") AS (band, key)",
+    )
+
+
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash->LSH->verify near-dup pipeline.
 
@@ -305,17 +319,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never OOMs) or swap for a checkpoint.
     """
     doc_tbl = _minhash_doc_tbl(spark, sf_dir)
-    sig = doc_tbl
-    # band key = plain concat of the two 32-bit chunks (already uniform hex;
-    # re-hashing with md5 would cost k/2 digests per doc for nothing)
-    bands = sig.selectExpr(
-        "doc_id",
-        f"stack({MINHASH_BANDS}, "
-        + ", ".join(
-            f"{b}, concat(h{2 * b}, h{2 * b + 1})" for b in range(MINHASH_BANDS)
-        )
-        + ") AS (band, key)",
-    )
+    bands = _band_rows(doc_tbl)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -2837,15 +2841,10 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that would dominate the band self-join, and this query costs one
     groupBy over the signature table (no pairs materialized).
     """
-    sig = _minhash_sig(spark, sf_dir)
-    bands = sig.selectExpr(
-        "doc_id",
-        f"stack({MINHASH_BANDS}, "
-        + ", ".join(
-            f"{b}, concat(h{2 * b}, h{2 * b + 1})" for b in range(MINHASH_BANDS)
-        )
-        + ") AS (band, key)",
-    )
+    # reuse the persisted doc table (its h0..h7 are the signature): a sweep
+    # that runs both the pair query and this diagnostic pays the shingle
+    # explode + aggregate once, not twice
+    bands = _band_rows(_minhash_doc_tbl(spark, sf_dir))
     buckets = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_size"))
     return buckets.groupBy("band", "bucket_size").agg(
         F.count(F.lit(1)).alias("n_buckets"),

@@ -85,20 +85,19 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 
 
 # Queries whose implementation (or oracle) changed AFTER they last earned a
-# green driver row. A green row for the old code proves nothing about the new
-# code, so these override the green tail and re-enter the window until the
-# next driver round re-records them. Prune entries once the following round's
-# CORRECTNESS artifact shows them green again.
-_FORCE_RECHECK: frozenset[str] = frozenset(
-    {
-        "llm_simhash",  # r3: 16-bit simhash -> 64-bit, banded 4x16
-        "llm_simhash_near_dup",  # r3: same rework
-        "llm_ann_ivf_topk",  # r3: deterministic centroids + new value oracle
-        "llm_multimodal_decode",  # r3: real WAV/BMP byte-format parse
-        "llm_multimodal_meta",  # r3: payloads regenerated in real byte formats
-        "llm_multimodal_frames",  # r3: same payload change
-    }
-)
+# green driver row, mapped to the round the change landed in. A green row
+# recorded in an EARLIER round proves nothing about the new code, so these
+# re-enter the window — but a green row from >= the change round re-greens
+# them automatically (self-pruning: no hand-editing after the driver
+# re-records them).
+_FORCE_RECHECK: dict[str, int] = {
+    "llm_simhash": 3,  # r3: 16-bit simhash -> 64-bit, banded 4x16
+    "llm_simhash_near_dup": 3,  # r3: same rework
+    "llm_ann_ivf_topk": 3,  # r3: deterministic centroids + new value oracle
+    "llm_multimodal_decode": 3,  # r3: real WAV/BMP byte-format parse
+    "llm_multimodal_meta": 3,  # r3: payloads regenerated in real byte formats
+    "llm_multimodal_frames": 3,  # r3: same payload change
+}
 
 
 def _driver_green() -> frozenset[str]:
@@ -112,17 +111,21 @@ def _driver_green() -> frozenset[str]:
     block and this tail, in module order. Reading the artifacts (instead of a
     hand-maintained list) makes the rotation self-updating: each round the
     freshly-checked queries drop out of the window and the never-checked ones
-    move up. ``_FORCE_RECHECK`` names are excluded: their implementation
-    changed after greening, so the old row is stale evidence. Falls back to
-    the static round-1 list if no artifacts are readable."""
+    move up. A ``_FORCE_RECHECK`` name only counts as green from a row
+    recorded in >= its change round — older rows are stale evidence for
+    reworked code, newer rows re-green it automatically. Falls back to the
+    static round-1 list if no artifacts are readable."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -132,17 +135,24 @@ def _driver_green() -> frozenset[str]:
             for name, row in rows.items():
                 if not isinstance(row, dict):
                     continue
+                if rnd < _FORCE_RECHECK.get(name, 0):
+                    continue  # row predates the query's rework: stale
                 fully_green = (
                     row.get("rows_match")
                     and row.get("schema_match")
                     and row.get("hash_match")
                 )
-                checked_rows_only = row.get("err") == "no_oracle"
+                # rows-only (no oracle) rows count as checked ONLY when the
+                # query actually produced rows — a 0-row regression must
+                # re-enter the window, not hide in the tail
+                checked_rows_only = row.get("err") == "no_oracle" and (
+                    row.get("spark_rows") or 0
+                ) > 0
                 if fully_green or checked_rows_only:
                     green.add(name)
         except Exception:
             continue
-    return frozenset(green - _FORCE_RECHECK) if found else _R1_GREEN - _FORCE_RECHECK
+    return frozenset(green) if found else _R1_GREEN - set(_FORCE_RECHECK)
 
 
 # Static fallback: round-1 green rows (used only if the artifacts are gone).

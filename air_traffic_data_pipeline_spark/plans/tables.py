@@ -72,7 +72,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     physical-plan materialization on every query build.
     """
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -82,17 +82,34 @@ def fan_out(df: DataFrame) -> DataFrame:
     max_part = _conf_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    est_splits = 0
+    open_cost = _conf_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            # remote store: sizes need FS RPCs; being a small file COUNT is
-            # already the strong signal, so just repartition
-            return df.repartition(target)
-        size = os.path.getsize(u.path)
-        est_splits += max(1, -(-size // max_part))
-        if est_splits >= target:
+            # remote store: sizes would need FS RPCs, and without them the
+            # file count alone cannot distinguish "few small files" (needs
+            # the repartition) from "few big files" (the scan splits them
+            # itself) — trust the scan rather than risk shuffling a large
+            # input for nothing
             return df
+        try:
+            sizes.append(os.path.getsize(unquote(u.path)))
+        except OSError:
+            # file vanished between listing and stat (compaction race):
+            # count it as one split and keep going — never fail the build
+            sizes.append(0)
+    # Mirror Spark's FilePartition sizing: maxSplitBytes =
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+    # — using maxPartitionBytes alone undercounts splits and would add a
+    # full-scan shuffle for inputs the scan already parallelizes.
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_part, max(open_cost, total // max(1, target)))
+    est_splits = sum(max(1, -(-s // max_split)) for s in sizes)
+    if est_splits >= target:
+        return df
     return df.repartition(target)
 
 

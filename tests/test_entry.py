@@ -17,16 +17,47 @@ def _persistent_rdd_count(spark) -> int:
 
 def test_entry_teardown_unpersists_everything(spark):
     """entry() must clear every table persisted by earlier queries() calls:
-    a long driver session (172 queries then the smoke check) may not
-    accumulate executor storage."""
+    a long driver session (the full registry sweep then the smoke check)
+    may not accumulate executor storage. Covers BOTH persist families:
+    cached tables (minhash/LM) and registered localCheckpoints
+    (connected components)."""
+    from air_traffic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
     # populate both caches: minhash doc table + LM bigram counts
     llm.minhash_near_dup_pairs(spark, SF).count()
     llm.lm_perplexity(spark, SF).count()
+    # and a registered localCheckpoint result
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    connected_components(edges).count()
     assert _persistent_rdd_count(spark) > 0, "expected persisted tables"
 
     df = ent.entry(spark)
     assert _persistent_rdd_count(spark) == 0
     assert df.count() > 0  # flagship still runs after teardown
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """The label-propagation loop must hold at most two checkpoints while
+    iterating (current + next), and exactly one survives for the result."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
+    from air_traffic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    checkpoints.clear_all(spark)
+    base = _persistent_rdd_count(spark)
+    # a 6-node chain needs several propagation rounds to converge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    out = connected_components(edges)
+    assert out.count() == 6
+    # all intermediates released; only the returned labels' checkpoint lives
+    assert _persistent_rdd_count(spark) == base + 1
+    checkpoints.clear_all(spark)
+    assert _persistent_rdd_count(spark) == base
 
 
 def test_conf_bytes_parses_spark_units():

@@ -197,15 +197,15 @@ def test_bmp_roundtrip_parses_real_bytes(spark):
 
 
 def test_wav_parser_rejects_malformed_bytes(spark):
-    """A real parser fails loudly on corrupt input instead of fabricating."""
-    from py4j.protocol import Py4JJavaError
-
+    """A real parser fails loudly on corrupt input instead of fabricating —
+    pinned to the parser's own error text so an unrelated failure (or a
+    future parser that fabricates defaults) cannot satisfy the test."""
     from air_traffic_data_pipeline_spark.operators.multimodal import decode_wav
 
     bad = spark.createDataFrame(
         [(1, bytearray(b"NOTAWAVEFILE_____"))], "doc_id long, payload binary"
     )
-    with pytest.raises((Py4JJavaError, Exception)):
+    with pytest.raises(Exception, match="not a RIFF/WAVE payload"):
         decode_wav(bad).collect()
 
 
