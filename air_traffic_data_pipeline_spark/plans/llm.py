@@ -391,28 +391,17 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUB
 
 # --- SimHash ---------------------------------------------------------------
 
-_HEXDIGITS = "0123456789abcdef"
 SIMHASH_BITS = 64
 SIMHASH_LANES = 4  # 4 independent 16-bit lanes = the 4 LSH band keys
 _LANE_BITS = SIMHASH_BITS // SIMHASH_LANES  # 16
 
-
-def _hex4_to_int(col: Column, offset: int = 0) -> Column:
-    """4 hex chars of an md5 starting at ``offset`` -> int in [0, 65536):
-    identical strpos arithmetic in both engines (no conv() in DuckDB)."""
-    val = F.lit(0)
-    for i in range(4):
-        ch = F.substring(col, offset + i + 1, 1)
-        val = val + (F.instr(F.lit(_HEXDIGITS), ch) - 1) * (16 ** (3 - i))
-    return val
-
-
-def _hex4_to_int_sql(expr: str, offset: int = 0) -> str:
-    terms = [
-        f"(strpos('{_HEXDIGITS}', substr({expr}, {offset + i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    ]
-    return "(" + " + ".join(terms) + ")"
+# shared md5-lane integer hashing (functions/hashes.py) — local aliases keep
+# the many call sites below unchanged
+from ..functions.hashes import (  # noqa: E402
+    HEXDIGITS as _HEXDIGITS,
+    hex4_to_int as _hex4_to_int,
+    hex4_to_int_sql as _hex4_to_int_sql,
+)
 
 
 def _pack_lanes(sh3: Column, sh2: Column, sh1: Column, sh0: Column) -> Column:
@@ -2761,8 +2750,13 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {QUANT_TOPK_K}
 
 # --- count-min sketch (round 3) ---------------------------------------------
 
-CMS_ROWS = 4
-CMS_WIDTH = 1024
+from ..operators.sketches import (  # noqa: E402
+    CMS_ROWS,
+    CMS_WIDTH,
+    cms_cells,
+    cms_estimate,
+    cms_pos_sql,
+)
 
 
 def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2772,43 +2766,28 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — each partition partial-aggregates its own cells and one
     4096-row table merges at the reduce, the canonical bounded-memory
     frequency structure at 100 TB. CMS never undercounts; the pytest pins
-    est >= exact on every row.
+    est >= exact on every row. (Sketch algebra in operators/sketches.py —
+    the streaming incremental variant merges per-batch partial cells
+    bitwise-identically.)
     """
     d = fan_out(load(spark, sf_dir, "documents"))
     tokens = d.select(F.explode(F.split("text", " ")).alias("w"))
-    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
-    pos = (
-        _hex4_to_int(F.md5(F.concat(F.col("w"), F.lit("@"), F.col("r").cast("string"))))
-        % CMS_WIDTH
-    ).alias("pos")
-    cells = (
-        tokens.select("w", rows)
-        .select("r", pos)
-        .groupBy("r", "pos")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(tokens)
     exact = (
         tokens.groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_freq"))
         .orderBy(F.col("exact_freq").desc(), "w")
         .limit(20)
     )
-    probes = exact.select("w", "exact_freq", rows).select("w", "exact_freq", "r", pos)
-    return (
-        probes.join(cells, ["r", "pos"])
-        .groupBy("w", "exact_freq")
-        .agg(F.min("cnt").alias("cms_est"))
-        .select(
-            "w",
-            "exact_freq",
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
-        )
+    return cms_estimate(exact, cells).select(
+        "w",
+        "exact_freq",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
     )
 
 
-_CMS_HASH_SQL = "md5(w || '@' || CAST(r AS VARCHAR))"
-_CMS_POS_SQL = f"({_hex4_to_int_sql(_CMS_HASH_SQL)} % {CMS_WIDTH})"
+_CMS_POS_SQL = cms_pos_sql("w")
 
 _CMS_SQL = f"""
 WITH tokens AS (

@@ -255,6 +255,35 @@ def _tws_available() -> bool:
         return False
 
 
+def stream_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_cms_user_freq
+
+    return incremental_cms_user_freq(spark, sf_dir)
+
+
+def _incremental_cms_sql() -> str:
+    """One-shot batch CMS over all events — per-batch integer cell partials
+    merged by summation are bitwise-identical (operators/sketches.py)."""
+    from ..operators.sketches import CMS_ROWS_VALUES_SQL, cms_pos_sql
+
+    pos = cms_pos_sql("w")
+    return f"""
+WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS w FROM events),
+salted AS (SELECT w, r, {pos} AS pos FROM toks CROSS JOIN {CMS_ROWS_VALUES_SQL}),
+cells AS (SELECT r, pos, count(*) AS cnt FROM salted GROUP BY r, pos),
+exact AS (
+  SELECT w, count(*) AS exact_freq FROM toks
+  GROUP BY w ORDER BY exact_freq DESC, w LIMIT 20),
+probes AS (SELECT w, exact_freq, r, {pos} AS pos
+           FROM exact CROSS JOIN {CMS_ROWS_VALUES_SQL}),
+est AS (SELECT w, exact_freq, min(cnt) AS cms_est
+        FROM probes JOIN cells USING (r, pos) GROUP BY 1, 2)
+SELECT CAST(w AS BIGINT) AS user_id, exact_freq, cms_est,
+       cms_est - exact_freq AS overcount
+FROM est
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -267,6 +296,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_stream_join", stream_stream_join_pairs, STREAM_STREAM_JOIN_SQL),
     ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
+    ("stream_incremental_cms", stream_incremental_cms, _incremental_cms_sql()),
 ]
 
 if _tws_available():

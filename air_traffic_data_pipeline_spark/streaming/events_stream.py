@@ -558,3 +558,68 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def incremental_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance: each micro-batch lands its
+    OWN partial (r, pos, cnt) cells; the merged sketch is the per-cell sum.
+    Cell counts are integers and addition is exact, so the merged sketch is
+    BITWISE equal to the one-shot batch sketch — which is exactly what the
+    oracle computes. Estimates for the top-20 heaviest users (by exact
+    count) are read off the merged sketch.
+
+    The 100 TB pattern: per-batch state is bounded by CMS_ROWS x CMS_WIDTH
+    cells regardless of stream volume, the merge re-aggregates cells (never
+    raw events), and the heavy-user probe is a bounded broadcast join —
+    continuous frequency monitoring with constant memory.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.sketches import cms_cells, cms_estimate
+
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_cms_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        items = batch_df.select(F.col("user_id").cast("string").alias("w"))
+        cms_cells(items).write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{base}/batch=*")
+            .groupBy("r", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        ev = _load_canonical_events(spark, sf_dir)
+        exact = (
+            ev.select(F.col("user_id").cast("string").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("exact_freq"))
+            .orderBy(F.col("exact_freq").desc(), "w")
+            .limit(20)
+        )
+        out = cms_estimate(exact, merged).select(
+            F.col("w").cast("bigint").alias("user_id"),
+            "exact_freq",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -446,3 +446,47 @@ def test_checkpoint_restart_resumes_state(spark, tmp_path):
         assert second == {"a": 3, "b": 1, "c": 1}
     finally:
         q.stop()
+
+
+def test_incremental_cms_matches_oneshot_sketch(spark):
+    """Per-micro-batch partial CMS cells merged by summation must be
+    bitwise-identical to the one-shot batch sketch, and the estimate can
+    never undercount."""
+    from air_traffic_data_pipeline_spark.operators.sketches import cms_cells
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        _load_canonical_events,
+        incremental_cms_user_freq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = incremental_cms_user_freq(spark, sf).collect()
+    n_users = (
+        _load_canonical_events(spark, sf).select("user_id").distinct().count()
+    )
+    assert len(out) == min(20, n_users)
+    for r in out:
+        assert r.cms_est >= r.exact_freq
+        assert r.overcount == r.cms_est - r.exact_freq
+
+    # merged streaming cells == one-shot cells (integer-exact merge)
+    ev = _load_canonical_events(spark, sf)
+    oneshot = {
+        (r.r, r.pos): r.cnt
+        for r in cms_cells(
+            ev.selectExpr("CAST(user_id AS STRING) AS w")
+        ).collect()
+    }
+    est_by_user = {r.user_id: r.cms_est for r in out}
+    # spot-check: every reported estimate is reproducible from the one-shot
+    # sketch (min over the 4 row positions)
+    from pyspark.sql import functions as F
+    from air_traffic_data_pipeline_spark.operators.sketches import CMS_ROWS, cms_pos
+
+    probe = ev.selectExpr("CAST(user_id AS STRING) AS w").distinct()
+    probe = probe.select(
+        "w", *[cms_pos(F.col("w"), F.lit(r)).alias(f"p{r}") for r in range(CMS_ROWS)]
+    )
+    pos_by_user = {r.w: [r[f"p{i}"] for i in range(CMS_ROWS)] for r in probe.collect()}
+    for uid, est in est_by_user.items():
+        want = min(oneshot[(r, p)] for r, p in enumerate(pos_by_user[str(uid)]))
+        assert est == want
