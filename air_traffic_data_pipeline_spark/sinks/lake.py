@@ -92,3 +92,66 @@ def compact_small_files(
             f"compaction row-count mismatch: wrote {out_n}, expected {n}"
         )
     return n_files
+
+
+def _interleave16(a, b):
+    """Morton (Z-order) interleave of two 16-bit ints -> 32-bit long.
+    Pure bit arithmetic — stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(1 << (2 * i + 1))
+            + F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(1 << (2 * i))
+        )
+    return z
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered write on two numeric columns — the multi-dimension
+    data-skipping lever next to partitioning (one dim, directory pruning)
+    and bucketing (one dim, join co-location): each output file covers a
+    small rectangle of the (a, b) value space, so parquet min/max stats
+    prune files for selective predicates on EITHER column.
+
+    Shape of the job (the same as a table format's OPTIMIZE ZORDER BY):
+    one tiny stats pass (global min/max of both columns), then map each row
+    to a 32-bit Morton code, range-repartition on the code (one shuffle)
+    and sort within partitions. Verified by tests/test_sources_sinks.py:
+    per-file value spreads shrink several-fold vs an unclustered write of
+    the same file count.
+    """
+    from pyspark.sql import functions as F
+
+    a_col, b_col = cols
+    st = df.agg(
+        F.min(a_col).alias("a_min"),
+        F.max(a_col).alias("a_max"),
+        F.min(b_col).alias("b_min"),
+        F.max(b_col).alias("b_max"),
+    ).first()
+
+    def _to16(c: str, lo, hi):
+        rng = float(hi) - float(lo)
+        if rng <= 0:
+            return F.lit(0)
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(rng) * 65535.0
+        return F.least(F.lit(65535), F.greatest(F.lit(0), F.floor(scaled).cast("int")))
+
+    z = _interleave16(_to16(a_col, st.a_min, st.a_max), _to16(b_col, st.b_min, st.b_max))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -278,3 +278,43 @@ def test_compaction_refuses_in_place_overwrite(spark, tmp_path):
     load(spark, "/root/testdata/sf0.001", "nation").write.parquet(src)
     with pytest.raises(ValueError, match="must differ"):
         compact_small_files(spark, src, src, 1000)
+
+
+def test_zorder_clustered_write_shrinks_file_ranges(spark, tmp_path):
+    """Each Z-order-clustered file must cover a small rectangle of the
+    (user_id, value) space: the mean per-file min/max spread of BOTH
+    columns shrinks several-fold vs an unclustered write with the same
+    file count — the parquet-stats pruning surface for 2-D predicates."""
+    import glob
+
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import write_clustered
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select("user_id", "value")
+    n_files = 16
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(ev, clustered, ("user_id", "value"), n_files=n_files)
+    ev.repartition(n_files).write.parquet(plain)
+
+    def mean_spread(path: str, col: str) -> float:
+        lo = ev.agg(F.min(col)).first()[0]
+        hi = ev.agg(F.max(col)).first()[0]
+        spreads = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            part = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if part.lo is not None:
+                spreads.append((part.hi - part.lo) / max(1e-9, float(hi - lo)))
+        assert spreads
+        return sum(spreads) / len(spreads)
+
+    for col, factor in (("user_id", 0.5), ("value", 0.65)):
+        c, p = mean_spread(clustered, col), mean_spread(plain, col)
+        # unclustered round-robin files span ~the full range; z-ordered
+        # files must cover a clear fraction of it per dimension. `value` is
+        # heavy-tailed (p99 ≈ max/2), so linear 16-bit scaling spends little
+        # resolution on the sparse tail and the raw-range shrink is smaller
+        # than uniform user_id's — still a ~2x stats-pruning win.
+        assert c < factor * p, (col, c, p)
