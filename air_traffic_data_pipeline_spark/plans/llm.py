@@ -277,14 +277,22 @@ def _minhash_doc_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     d = fan_out(load(spark, sf_dir, "documents"))
-    sh_rows = exploded_shingles(d.select("doc_id", "text"))
-    sh_rows = sh_rows.select("doc_id", "s", *_chunk_cols())
-    doc_tbl = sh_rows.groupBy("doc_id").agg(
-        F.collect_set(F.substring(F.col("_m0"), 1, 16)).alias("sh_arr"),
-        *_chunk_aggs(),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_tbl = doc_tbl_from(d).persist(StorageLevel.MEMORY_AND_DISK)
     _DOC_TBL_CACHE[key] = doc_tbl
     return doc_tbl
+
+
+def doc_tbl_from(d: DataFrame) -> DataFrame:
+    """The signature+shingle-set aggregate over any (doc_id, text) frame —
+    shared by the cached batch table above and the streaming incremental
+    dedup (streaming/documents_stream.py), which must produce
+    bitwise-identical rows per doc for its batch-equivalence oracle."""
+    sh_rows = exploded_shingles(d.select("doc_id", "text"))
+    sh_rows = sh_rows.select("doc_id", "s", *_chunk_cols())
+    return sh_rows.groupBy("doc_id").agg(
+        F.collect_set(F.substring(F.col("_m0"), 1, 16)).alias("sh_arr"),
+        *_chunk_aggs(),
+    )
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:

@@ -284,6 +284,20 @@ FROM est
 """
 
 
+def stream_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_near_dup_survivors
+
+    return incremental_near_dup_survivors(spark, sf_dir)
+
+
+def _survivors_sql() -> str:
+    """The streaming incremental dedup must equal the one-shot batch
+    survivors bitwise — so the batch query's SQL IS the oracle."""
+    from .llm import _SURVIVORS_SQL
+
+    return _SURVIVORS_SQL
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -297,6 +311,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_stateful_user_stats", stream_stateful_stats, STATEFUL_STATS_SQL),
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
     ("stream_incremental_cms", stream_incremental_cms, _incremental_cms_sql()),
+    ("stream_incremental_near_dup", stream_incremental_near_dup, _survivors_sql()),
 ]
 
 if _tws_available():

@@ -1,0 +1,162 @@
+"""Streaming incremental near-duplicate dedup of a document stream.
+
+The rolling-crawl-ingestion flagship: documents arrive in micro-batches;
+each batch is MinHash-banded and checked against the ACCUMULATED corpus
+state (signature + shingle-set table landed per batch), verified pairs add
+their higher-id member to the kill list, and the batch's own state is
+appended. Because the staged batches partition the corpus in doc_id order,
+every (doc_a < doc_b) verified pair is found exactly once — in doc_b's
+batch — so the union of per-batch kills equals the one-shot batch kill
+list and the surviving set is BITWISE identical to
+``plans.llm.near_dup_survivors``. That batch query's SQL is this query's
+oracle.
+
+At 100 TB: per-batch work is (batch bands) ⋈ (corpus bands) — an
+equi-join on the band key, never all-pairs; the corpus state is cell-keyed
+parquet appended per batch (swap for a table format in production); the
+kill list is digest-sized. Nothing reprocesses old raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..session import tune_session
+from .events_stream import _STAGE_ROOT, _write_single
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+JACCARD_MIN = 0.2  # same verify threshold as plans.llm.minhash_near_dup_pairs
+
+
+def _stage_doc_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered batches partitioning documents by doc_id
+    terciles (maxFilesPerTrigger=1 -> one file per micro-batch, in id
+    order). Id-ordered arrival makes every a<b pair land in b's batch."""
+    import hashlib
+    import os
+
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/docs_{key}"
+    names = ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"]
+    if all(os.path.exists(f"{d}/{f}") for f in names):
+        return d
+    os.makedirs(d, exist_ok=True)
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    lo, hi = n // 3, 2 * n // 3
+    from pyspark.sql import Window
+
+    ranked = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    _write_single(ranked.filter(F.col("rn") <= lo).drop("rn"), f"{d}/01_lo.parquet")
+    _write_single(
+        ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn"),
+        f"{d}/02_mid.parquet",
+    )
+    _write_single(ranked.filter(F.col("rn") > hi).drop("rn"), f"{d}/03_hi.parquet")
+    for i, f in enumerate(names):
+        os.utime(f"{d}/{f}", (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    return d
+
+
+def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors after streaming incremental near-dup dedup — bitwise equal
+    to the one-shot ``near_dup_survivors`` (its SQL is the oracle)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import _band_rows, doc_tbl_from
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_state_{_uuid.uuid4().hex[:8]}"
+    state_dir = f"{base}/doc_tbl"
+    kills_dir = f"{base}/kills"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_tbl = doc_tbl_from(batch_df)
+        have_state = os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        )
+        if have_state:
+            corpus_tbl = spark.read.parquet(state_dir)
+            all_tbl = corpus_tbl.unionByName(batch_tbl)
+        else:
+            all_tbl = batch_tbl
+        # candidates: any band shared between an incoming doc (b side) and
+        # any earlier-id doc already present (corpus or same batch)
+        a = _band_rows(all_tbl).alias("a")
+        b = _band_rows(batch_tbl).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        a_side = all_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+        b_side = batch_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+        n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long")
+        kills = (
+            a_side.join(cand, "doc_a")
+            .join(b_side, "doc_b")
+            .withColumn("n_common", n_common)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (
+                        F.size("arr_a") + F.size("arr_b") - F.col("n_common")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_MIN)
+            .select("doc_b")
+            .distinct()
+        )
+        kills.write.mode("append").parquet(kills_dir)
+        batch_tbl.write.mode("append").parquet(state_dir)
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        docs = load(spark, sf_dir, "documents")
+        kills = (
+            spark.read.parquet(kills_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+            if os.path.isdir(kills_dir)
+            else spark.createDataFrame([], "doc_id long")
+        )
+        out = docs.join(kills, "doc_id", "left_anti").select(
+            "doc_id", "lang", "n_chars"
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

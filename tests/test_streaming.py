@@ -490,3 +490,28 @@ def test_incremental_cms_matches_oneshot_sketch(spark):
     for uid, est in est_by_user.items():
         want = min(oneshot[(r, p)] for r, p in enumerate(pos_by_user[str(uid)]))
         assert est == want
+
+
+def test_incremental_near_dup_equals_batch(spark):
+    """Streaming incremental near-dup dedup (batch-at-a-time band join vs
+    the accumulated corpus state) must reproduce the one-shot batch
+    survivor set exactly — incremental corpus maintenance costs no
+    accuracy."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_near_dup_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.lang, r.n_chars)
+        for r in incremental_near_dup_survivors(spark, sf).collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.n_chars)
+        for r in llm.near_dup_survivors(spark, sf).collect()
+    }
+    assert got == want
+    # the corpus contains near-dups, so the dedup must actually kill some
+    assert len(got) < load(spark, sf, "documents").count()
