@@ -2859,6 +2859,84 @@ FROM buckets GROUP BY 1, 2
 """
 
 
+# --- SemDeDup within IVF cells (round 3) -------------------------------------
+
+
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as published: epsilon-dedup WITHIN coarse-quantizer cells.
+    Each vector is assigned to its nearest (deterministic) IVF centroid;
+    within a cell, any pair with cosine >= threshold kills the higher id;
+    survivors keep their true label for downstream eval.
+
+    This is the billion-scale variant next to ``semantic_dedup`` (which
+    LSH-prefilters globally): the all-pairs check runs only inside a cell,
+    whose population is the quantizer's design bound, so the cost is
+    sum(|cell|^2) — linear in corpus size for balanced cells — and the
+    cell assignment is one broadcast join against k centroids. Cross-cell
+    near-dups are the documented miss, exactly as in the paper; the oracle
+    runs the identical cell-scoped pipeline, so the approximation itself
+    is value-checked.
+    """
+    from ..operators.similarity import ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, EMB_DIM)
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", cosine(F.col("v"), F.col("centroid"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("label").alias("cell"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
+    )
+    kills = pairs.select(F.col("b.vec_id").alias("vec_id")).distinct()
+    return e.join(kills, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def _semdedup_cells_sql() -> str:
+    thr = f"CAST({EMB_NEAR_DUP_THRESHOLD!r} AS DOUBLE)"
+    return f"""
+WITH ex AS (
+  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex GROUP BY label, pos
+),
+cents AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.label AS cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cosine_sql('v', 'centroid')} DESC, cents.label) AS rn
+    FROM c CROSS JOIN cents) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round({cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+kills AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE cos_sim >= {thr})
+SELECT e.vec_id, e.label
+FROM embeddings e ANTI JOIN kills k ON e.vec_id = k.vec_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -2919,6 +2997,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_quantized_topk", quantized_topk, _QUANT_TOPK_SQL),
     ("llm_count_min_freq", count_min_freq, _CMS_SQL),
     ("llm_minhash_band_stats", minhash_band_stats, _BAND_STATS_SQL),
+    ("llm_semdedup_cells", semdedup_cells, _semdedup_cells_sql()),
 ]
 
 

@@ -463,3 +463,44 @@ def test_minhash_band_stats_accounts_every_doc(spark):
         assert r.cand_pairs == r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
     assert set(per_band) == set(range(llm.MINHASH_BANDS))
     assert all(v == n_docs for v in per_band.values())
+
+
+def test_semdedup_cells_kills_only_within_cell_near_dups(spark):
+    """Every killed vector has an in-cell lower-id partner above threshold;
+    every survivor has none (the cell-scoped SemDeDup contract)."""
+    surv = {r.vec_id for r in llm.semdedup_cells(spark, SF).collect()}
+    e = load(spark, SF, "embeddings")
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    killed = all_ids - surv
+    assert killed, "synthetic embeddings contain in-cell near-dups"
+
+    from air_traffic_data_pipeline_spark.functions.vectors import cosine as vcos
+    from air_traffic_data_pipeline_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(e, llm.EMB_DIM)
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", vcos(F.col("v"), F.col("centroid"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("label"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("label").alias("cell"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    hot = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", F.round(vcos(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos_sim") >= llm.EMB_NEAR_DUP_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vb"))
+        .collect()
+    )
+    want_killed = {r.vb for r in hot}
+    assert killed == want_killed
