@@ -51,7 +51,7 @@ def cms_estimate(probes: DataFrame, cells: DataFrame, item: str = "w") -> DataFr
     ``probes`` must contain ``item``; the join against the bounded cell
     table broadcasts under AQE at any corpus size.
     """
-    keep = [c for c in probes.columns]
+    keep = list(probes.columns)
     return (
         _with_rows(probes, item)
         .join(cells, ["r", "pos"])

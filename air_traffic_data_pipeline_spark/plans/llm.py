@@ -2516,13 +2516,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_DEDUP_SQL = f"""
-WITH batch AS (
+# the batch/corpus split CTEs shared by the incremental-dedup and
+# bloom-prefilter oracles
+_INCR_SPLIT_SQL = f"""batch AS (
   SELECT doc_id, {fingerprint_sql('text')} AS fp
   FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
 corpus AS (
   SELECT DISTINCT {fingerprint_sql('text')} AS fp
-  FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0)"""
+
+_INCR_DEDUP_SQL = f"""
+WITH {_INCR_SPLIT_SQL},
 flagged AS (
   SELECT b.doc_id, b.fp, (c.fp IS NOT NULL) AS in_corpus,
          min(b.doc_id) OVER (PARTITION BY b.fp) AS first_id
@@ -2605,12 +2609,7 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_SQL = f"""
-WITH batch AS (
-  SELECT doc_id, {fingerprint_sql('text')} AS fp
-  FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
-corpus AS (
-  SELECT DISTINCT {fingerprint_sql('text')} AS fp
-  FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+WITH {_INCR_SPLIT_SQL},
 positions AS (
   SELECT DISTINCT pos FROM (
     {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('fp', i)} AS pos FROM corpus" for i in range(BLOOM_K))}
@@ -2642,6 +2641,13 @@ def _max_abs(dv: Column) -> Column:
     return F.aggregate(dv, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
 
 
+def _clamped_q(x: Column, scale: Column) -> Column:
+    """The int8 quantized value of one element: clamp(round(x * scale)) —
+    the single definition both the quantizer and the ADC top-k dequantize
+    against (and that both SQL mirrors replicate)."""
+    return F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x * scale)))
+
+
 _MAX_ABS_SQL = "list_reduce([abs(x) for x in {v}], (acc, x) -> greatest(acc, x))"
 
 
@@ -2663,11 +2669,7 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scale", F.lit(127.0) / F.col("max_abs"))
     )
     scale = F.col("scale")
-    q = F.transform(
-        F.col("dv"),
-        lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x * scale))),
-    )
-    df = df.withColumn("q", q)
+    df = df.withColumn("q", F.transform(F.col("dv"), lambda x: _clamped_q(x, scale)))
     err_sq = F.aggregate(
         F.zip_with(F.col("dv"), F.col("q"), lambda v, qv: (v - qv / scale) * (v - qv / scale)),
         F.lit(0.0),
@@ -2721,11 +2723,7 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
     scaled = base.withColumn("scale", F.lit(127.0) / _max_abs(F.col("dv")))
     scale = F.col("scale")
-    rvec = F.transform(
-        F.col("dv"),
-        lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x * scale)))
-        / scale,
-    )
+    rvec = F.transform(F.col("dv"), lambda x: _clamped_q(x, scale) / scale)
     corpus = scaled.select(F.col("vec_id").alias("c_id"), rvec.alias("c_vec"))
     queries_df = base.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("dv").alias("q_vec")

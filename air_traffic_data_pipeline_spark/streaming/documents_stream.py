@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..session import tune_session
-from .events_stream import _STAGE_ROOT, _write_single
+from .events_stream import _STAGE_ROOT
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -42,31 +42,31 @@ def _stage_doc_batches(spark: SparkSession, sf_dir: str) -> str:
     terciles (maxFilesPerTrigger=1 -> one file per micro-batch, in id
     order). Id-ordered arrival makes every a<b pair land in b's batch."""
     import hashlib
-    import os
 
     from ..plans.tables import load
+    from .events_stream import _stage_ordered
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = f"{_STAGE_ROOT}/docs_{key}"
-    names = ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"]
-    if all(os.path.exists(f"{d}/{f}") for f in names):
-        return d
-    os.makedirs(d, exist_ok=True)
-    docs = load(spark, sf_dir, "documents")
-    n = docs.count()
-    lo, hi = n // 3, 2 * n // 3
-    from pyspark.sql import Window
 
-    ranked = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
-    _write_single(ranked.filter(F.col("rn") <= lo).drop("rn"), f"{d}/01_lo.parquet")
-    _write_single(
-        ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn"),
-        f"{d}/02_mid.parquet",
+    def build():
+        from pyspark.sql import Window
+
+        docs = load(spark, sf_dir, "documents")
+        n = docs.count()
+        lo, hi = n // 3, 2 * n // 3
+        ranked = docs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        return [
+            ranked.filter(F.col("rn") <= lo).drop("rn"),
+            ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn"),
+            ranked.filter(F.col("rn") > hi).drop("rn"),
+        ]
+
+    return _stage_ordered(
+        d, ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"], build
     )
-    _write_single(ranked.filter(F.col("rn") > hi).drop("rn"), f"{d}/03_hi.parquet")
-    for i, f in enumerate(names):
-        os.utime(f"{d}/{f}", (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
-    return d
 
 
 def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,24 @@ def _stage_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _stage_ordered(d: str, names: list[str], build_frames) -> str:
+    """Write named single-file parquet batches under ``d`` with ascending
+    mtimes, so a maxFilesPerTrigger=1 file stream replays them as
+    micro-batches in exactly this order. Idempotent per directory;
+    ``build_frames()`` (returning one DataFrame per name) only runs when
+    the batches are missing."""
+    import os
+
+    if all(os.path.exists(f"{d}/{f}") for f in names):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for name, df in zip(names, build_frames()):
+        _write_single(df, f"{d}/{name}")
+    for i, f in enumerate(names):
+        os.utime(f"{d}/{f}", (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    return d
+
+
 def _write_single(df: DataFrame, dest: str) -> None:
     import os
     import shutil
@@ -178,31 +196,27 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
     row can never be late: its window ends above every candidate watermark.
     Test scaffolding only — a real deployment reads an unbounded source."""
     import hashlib
-    import os
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = f"{_STAGE_ROOT}/late_{key}"
-    names = ["01_new.parquet", "02_peak.parquet", "03_old.parquet"]
-    if all(os.path.exists(f"{d}/{f}") for f in names):
-        return d
-    os.makedirs(d, exist_ok=True)
-    from pyspark.sql import Window
 
-    ev = _load_canonical_events(spark, sf_dir)
-    n = ev.count()
-    ranked = ev.withColumn(
-        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-    )
+    def build():
+        from pyspark.sql import Window
 
-    _write_single(
-        ranked.filter((F.col("rn") > n // 2) & (F.col("rn") < n)).drop("rn"),
-        f"{d}/01_new.parquet",
+        ev = _load_canonical_events(spark, sf_dir)
+        n = ev.count()
+        ranked = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        return [
+            ranked.filter((F.col("rn") > n // 2) & (F.col("rn") < n)).drop("rn"),
+            ranked.filter(F.col("rn") == n).drop("rn"),
+            ranked.filter(F.col("rn") <= n // 2).drop("rn"),
+        ]
+
+    return _stage_ordered(
+        d, ["01_new.parquet", "02_peak.parquet", "03_old.parquet"], build
     )
-    _write_single(ranked.filter(F.col("rn") == n).drop("rn"), f"{d}/02_peak.parquet")
-    _write_single(ranked.filter(F.col("rn") <= n // 2).drop("rn"), f"{d}/03_old.parquet")
-    for i, f in enumerate(names):
-        os.utime(f"{d}/{f}", (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
-    return d
 
 
 def late_data_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -479,7 +479,6 @@ def test_incremental_cms_matches_oneshot_sketch(spark):
     est_by_user = {r.user_id: r.cms_est for r in out}
     # spot-check: every reported estimate is reproducible from the one-shot
     # sketch (min over the 4 row positions)
-    from pyspark.sql import functions as F
     from air_traffic_data_pipeline_spark.operators.sketches import CMS_ROWS, cms_pos
 
     probe = ev.selectExpr("CAST(user_id AS STRING) AS w").distinct()
