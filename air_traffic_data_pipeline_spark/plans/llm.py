@@ -33,7 +33,7 @@ from ..functions.text import (
     stopword_count_sql,
     word_count,
 )
-from ..functions.vectors import cosine, cosine_sql, norm, norm_sql, to_double
+from ..functions.vectors import cosine, cosine_sql, dot, dot_sql, norm, norm_sql, to_double
 from ..operators.similarity import (
     N_PLANES,
     brute_force_topk,
@@ -2884,19 +2884,24 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_sim", cosine(F.col("v"), F.col("centroid"))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+    # norm precomputed once per vector: the in-cell pair check then costs
+    # ONE dot fold instead of three (dot + both norms) — ~3x on the
+    # dominant sum(|cell|^2) term. cos = dot/(na*nb) is the same arithmetic
+    # (and the same fold order) as cosine(), so values stay bitwise equal.
     cells = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("label").alias("cell"))
+        .select("vec_id", "v", norm(F.col("v")).alias("nv"), F.col("label").alias("cell"))
     )
     a, b = cells.alias("a"), cells.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     pairs = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
     )
     kills = pairs.select(F.col("b.vec_id").alias("vec_id")).distinct()
@@ -2918,7 +2923,7 @@ cent AS (
 cents AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cells AS (
-  SELECT vec_id, v, cell FROM (
+  SELECT vec_id, v, {norm_sql('v')} AS nv, cell FROM (
     SELECT c.vec_id, c.v, cents.label AS cell,
            row_number() OVER (PARTITION BY c.vec_id
                               ORDER BY {cosine_sql('v', 'centroid')} DESC, cents.label) AS rn
@@ -2926,7 +2931,7 @@ cells AS (
 ),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
-         round({cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+         round({dot_sql('a.v', 'b.v')} / (a.nv * b.nv), 6) AS cos_sim
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
 ),
 kills AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE cos_sim >= {thr})
