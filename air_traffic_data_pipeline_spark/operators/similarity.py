@@ -68,8 +68,14 @@ def brute_force_topk(
     Expects ``queries(q_id, q_vec)`` / ``corpus(c_id, c_vec)`` with double
     arrays. Deterministic tie-break on corpus id.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    # norms once per vector (not per pair): cos = dot/(nq*nc) is the same
+    # arithmetic and fold order as cosine(), so values stay bitwise equal
+    # while the per-pair cost drops from three array folds to one
+    q = queries.withColumn("__nq", norm(F.col("q_vec")))
+    c = corpus.withColumn("__nc", norm(F.col("c_vec")))
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim",
+        F.round(dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__nq") * F.col("__nc")), 6),
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return (

@@ -752,17 +752,26 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-join on bucket), then exact cosine rerank."""
     e = fan_out(load(spark, sf_dir, "embeddings"))
     v = to_double(F.col("embedding"))
-    with_bucket = e.select("vec_id", v.alias("vec")).withColumn(
-        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    # norm once per vector; cos = dot/(nq*nc) keeps bitwise-equal values
+    # (same arithmetic and fold order as cosine()) at one fold per pair
+    with_bucket = (
+        e.select("vec_id", v.alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
+        .withColumn("nv", norm(F.col("vec")))
     )
     q = with_bucket.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("nv").alias("nq"), "bucket",
     )
     c = with_bucket.select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), "bucket"
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
+        F.col("nv").alias("nc"), "bucket",
     )
     cand = q.join(c, "bucket").filter(F.col("q_id") != F.col("c_id"))
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(dot(F.col("q_vec"), F.col("c_vec")) / (F.col("nq") * F.col("nc")), 6),
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -868,15 +877,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = fan_out(load(spark, sf_dir, "embeddings"))
     v = to_double(F.col("embedding"))
-    wb = e.select("vec_id", v.alias("vec")).withColumn(
-        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    wb = (
+        e.select("vec_id", v.alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
+        .withColumn("nv", norm(F.col("vec")))
     )
-    a = wb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
-    b = wb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
+    a = wb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nv").alias("na"), "bucket",
+    )
+    b = wb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -1062,8 +1080,10 @@ def lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = fan_out(load(spark, sf_dir, "embeddings"))
     v = to_double(F.col("embedding"))
-    with_bucket = e.select("vec_id", v.alias("vec")).withColumn(
-        "bucket", lsh_bucket(F.col("vec"), EMB_DIM)
+    with_bucket = (
+        e.select("vec_id", v.alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
+        .withColumn("nv", norm(F.col("vec")))
     )
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
@@ -1073,16 +1093,21 @@ def lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("vec").alias("q_vec"),
+            F.col("nv").alias("nq"),
             F.explode(probes).alias("bucket"),
         )
     )
     c = with_bucket.select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), "bucket"
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"),
+        F.col("nv").alias("nc"), "bucket",
     )
     # a (q, c) pair can match through at most one bucket (buckets partition
     # the corpus), so no post-join dedup is needed
     cand = q.join(c, "bucket").filter(F.col("q_id") != F.col("c_id"))
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(dot(F.col("q_vec"), F.col("c_vec")) / (F.col("nq") * F.col("nc")), 6),
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
