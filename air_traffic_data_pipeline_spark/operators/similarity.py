@@ -122,9 +122,19 @@ def ivf_topk(
     """Assign corpus to nearest centroid; queries probe nprobe cells."""
     cents = ivf_centroids(vectors, dim)
 
+    # centroid and vector norms once each (not per pair): identical values
+    # (same fold), k fewer norm folds per vector during assignment
+    cents_n = cents.withColumn("__ncent", norm(F.col("centroid")))
+
     def nearest_cells(df: DataFrame, vec_col: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cell_sim", cosine(F.col(vec_col), F.col("centroid"))
+        scored = (
+            df.withColumn("__nv", norm(F.col(vec_col)))
+            .crossJoin(F.broadcast(cents_n))
+            .withColumn(
+                "cell_sim",
+                dot(F.col(vec_col), F.col("centroid"))
+                / (F.col("__nv") * F.col("__ncent")),
+            )
         )
         w = W.partitionBy(df.columns[0]).orderBy(
             F.col("cell_sim").desc(), F.col("label")

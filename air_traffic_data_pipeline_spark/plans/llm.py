@@ -2903,10 +2903,13 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_centroids
 
     e = load(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(e, EMB_DIM)
-    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    cents = ivf_centroids(e, EMB_DIM).withColumn("ncent", norm(F.col("centroid")))
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
+        "nv0", norm(F.col("v"))
+    )
     scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "cell_sim", cosine(F.col("v"), F.col("centroid"))
+        "cell_sim",
+        dot(F.col("v"), F.col("centroid")) / (F.col("nv0") * F.col("ncent")),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
     # norm precomputed once per vector: the in-cell pair check then costs
@@ -2916,7 +2919,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", norm(F.col("v")).alias("nv"), F.col("label").alias("cell"))
+        .select("vec_id", "v", F.col("nv0").alias("nv"), F.col("label").alias("cell"))
     )
     a, b = cells.alias("a"), cells.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
