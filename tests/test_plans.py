@@ -298,3 +298,17 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_refgeom_grid_side_joins_without_shuffle(spark):
+    """The reference-geometry radius join must execute as a broadcast hash
+    join on the bin keys — the 1M-cell grid side streams straight from
+    generation into the join with no SortMergeJoin anywhere in the final
+    adaptive plan (the PERF.md round-3 claim, pinned)."""
+    from air_traffic_data_pipeline_spark.plans.domain import refgeom_noise_grid
+
+    df = refgeom_noise_grid(spark, SF)
+    assert len(df.collect()) > 0
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [__bin_lat" in executed
+    assert "SortMergeJoin" not in executed
