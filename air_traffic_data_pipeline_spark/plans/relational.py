@@ -3009,6 +3009,73 @@ CROSS JOIN LATERAL (SELECT CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS 
 """
 
 
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test between hash-assigned variants (user_id parity):
+    per-variant n / mean / sample variance and the z statistic for the
+    mean difference. Sums and sums-of-squares go through exact decimal
+    aggregation (the dsum discipline — value has 2 dp, so value^2 has 4),
+    then ONE double expression derives mean, variance, and z: no
+    partial-aggregation float drift, bitwise-stable at any parallelism.
+    One scan, one tiny two-row aggregate, driver-free.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = (
+        ev.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
+            ).cast("double").alias("ss"),
+        )
+    )
+    m = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    stats = per.select(
+        "variant",
+        "n",
+        F.round(m, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        (m).alias("__m"),
+        (var / F.col("n")).alias("__vn"),
+    )
+    a = stats.filter(F.col("variant") == 0).alias("a")
+    b = stats.filter(F.col("variant") == 1).alias("b")
+    z = (F.col("b.__m") - F.col("a.__m")) / F.sqrt(F.col("a.__vn") + F.col("b.__vn"))
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_control"),
+        F.col("b.n").alias("n_treatment"),
+        F.col("a.mean_value").alias("mean_control"),
+        F.col("b.mean_value").alias("mean_treatment"),
+        F.col("a.var_value").alias("var_control"),
+        F.col("b.var_value").alias("var_treatment"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = """
+WITH per AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+stats AS (
+  SELECT variant, n,
+         round(s / n, 6) AS mean_value,
+         round((ss - s * s / n) / (n - 1), 6) AS var_value,
+         s / n AS m, ((ss - s * s / n) / (n - 1)) / n AS vn
+  FROM per)
+SELECT a.n AS n_control, b.n AS n_treatment,
+       a.mean_value AS mean_control, b.mean_value AS mean_treatment,
+       a.var_value AS var_control, b.var_value AS var_treatment,
+       round((b.m - a.m) / sqrt(a.vn + b.vn), 6) AS z_score
+FROM (SELECT * FROM stats WHERE variant = 0) a
+CROSS JOIN (SELECT * FROM stats WHERE variant = 1) b
+"""
+
+
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user reaches
     step N only with an event strictly AFTER their step-N-1 time. Pure
@@ -3204,6 +3271,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),
+    ("rel_ab_test_zscore", ab_test_zscore, AB_TEST_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
 ]

@@ -261,3 +261,24 @@ def test_cohort_retention_accounts_every_user(spark):
         load(spark, SF, "events").select("user_id").distinct().count()
     )
     assert sum(r.n_users for r in rows if r.k == 0) == n_users
+
+
+def test_ab_test_zscore_matches_numpy(spark):
+    """The decimal-sum pipeline must reproduce numpy's two-sample z within
+    rounding, with sample variance (ddof=1)."""
+    import numpy as np
+
+    ev = (
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+        .collect()
+    )
+    a = np.array([r.value for r in ev if r.user_id % 2 == 0])
+    b = np.array([r.value for r in ev if r.user_id % 2 == 1])
+    want = (b.mean() - a.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    row = relational.ab_test_zscore(spark, SF).collect()[0]
+    assert row.n_control == len(a) and row.n_treatment == len(b)
+    assert abs(row.z_score - round(float(want), 6)) < 1e-6
