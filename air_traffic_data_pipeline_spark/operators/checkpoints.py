@@ -46,7 +46,16 @@ def tracked_local_checkpoint(
 
     ``register=True`` additionally records the ids in the session-wide
     registry so :func:`clear_all` (entry() teardown) releases them.
+    Tracking requires ``eager=True``: a lazy checkpoint pins its RDD only
+    on first action, AFTER the id diff below — it would silently track
+    nothing and break the teardown guarantee, so we refuse it.
     """
+    if not eager:
+        raise ValueError(
+            "tracked_local_checkpoint requires eager=True (a lazy "
+            "checkpoint materializes after the id snapshot, so its RDD "
+            "could never be tracked or released)"
+        )
     spark = df.sparkSession
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=eager)

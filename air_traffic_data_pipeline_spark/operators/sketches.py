@@ -62,7 +62,9 @@ def cms_estimate(probes: DataFrame, cells: DataFrame, item: str = "w") -> DataFr
 
 # --- DuckDB oracle renderings ------------------------------------------------
 
-CMS_ROWS_VALUES_SQL = "(VALUES (0), (1), (2), (3)) AS t(r)"
+CMS_ROWS_VALUES_SQL = (
+    "(VALUES " + ", ".join(f"({r})" for r in range(CMS_ROWS)) + ") AS t(r)"
+)
 
 
 def cms_pos_sql(item: str) -> str:

@@ -2820,12 +2820,14 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_POS_SQL = cms_pos_sql("w")
 
+from ..operators.sketches import CMS_ROWS_VALUES_SQL  # noqa: E402
+
 _CMS_SQL = f"""
 WITH tokens AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 salted AS (
   SELECT w, r, {_CMS_POS_SQL} AS pos
-  FROM tokens CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)),
+  FROM tokens CROSS JOIN {CMS_ROWS_VALUES_SQL}),
 cells AS (
   SELECT r, pos, count(*) AS cnt FROM salted GROUP BY r, pos),
 exact AS (
@@ -2833,7 +2835,7 @@ exact AS (
   GROUP BY w ORDER BY exact_freq DESC, w LIMIT 20),
 probes AS (
   SELECT w, exact_freq, r, {_CMS_POS_SQL} AS pos
-  FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)),
+  FROM exact CROSS JOIN {CMS_ROWS_VALUES_SQL}),
 est AS (
   SELECT w, exact_freq, min(cnt) AS cms_est
   FROM probes JOIN cells USING (r, pos) GROUP BY 1, 2)

@@ -2942,9 +2942,17 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one scan each; the referential check is an anti-join-shaped left
     join shipping only orderkeys.
     """
-    li = load(spark, sf_dir, "lineitem")
-    od = load(spark, sf_dir, "orders")
-    ev = load(spark, sf_dir, "events")
+    return dq_checks_over(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "events"),
+    )
+
+
+def dq_checks_over(li: DataFrame, od: DataFrame, ev: DataFrame) -> DataFrame:
+    """The constraint kernel over arbitrary frames — injectable so tests
+    can prove the checks fire on corrupted data, not just stay green on
+    the clean lake."""
 
     def agg_check(df: DataFrame, name: str, viol) -> DataFrame:
         return df.agg(

@@ -89,12 +89,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            # remote store: sizes would need FS RPCs, and without them the
-            # file count alone cannot distinguish "few small files" (needs
-            # the repartition) from "few big files" (the scan splits them
-            # itself) — trust the scan rather than risk shuffling a large
-            # input for nothing
-            return df
+            # remote store: stat through the Hadoop FS (one RPC per file,
+            # bounded by target-1 files) — file count alone cannot
+            # distinguish "few small files" (needs the repartition) from
+            # "few big files" (the scan splits them itself)
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                sizes.append(int(fs.getFileStatus(jpath).getLen()))
+            except Exception:
+                # unreachable store mid-build: trust the scan rather than
+                # risk shuffling a large input for nothing
+                return df
+            continue
         try:
             sizes.append(os.path.getsize(unquote(u.path)))
         except OSError:

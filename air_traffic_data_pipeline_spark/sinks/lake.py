@@ -138,6 +138,11 @@ def write_clustered(
         F.min(b_col).alias("b_min"),
         F.max(b_col).alias("b_max"),
     ).first()
+    if st.a_min is None or st.b_min is None:
+        # empty input (or all-null cluster columns): nothing to order —
+        # write as-is instead of crashing in the range scaling
+        df.write.mode(mode).parquet(path)
+        return
 
     def _to16(c: str, lo, hi):
         rng = float(hi) - float(lo)

@@ -87,15 +87,16 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
     kills_dir = f"{base}/kills"
 
     def _update(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_tbl = doc_tbl_from(batch_df)
-        have_state = os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
+        # land THIS batch's doc table first, then read both sides back from
+        # parquet: the expensive shingle explode + aggregate executes exactly
+        # once per batch (the write), instead of once per lazy consumer —
+        # the batch sibling of _minhash_doc_tbl's persist (its docstring
+        # measures the recompute at ~2x runtime)
+        doc_tbl_from(batch_df).write.mode("append").parquet(
+            f"{state_dir}/batch={epoch_id}"
         )
-        if have_state:
-            corpus_tbl = spark.read.parquet(state_dir)
-            all_tbl = corpus_tbl.unionByName(batch_tbl)
-        else:
-            all_tbl = batch_tbl
+        batch_tbl = spark.read.parquet(f"{state_dir}/batch={epoch_id}")
+        all_tbl = spark.read.parquet(f"{state_dir}/batch=*")
         # candidates: any band shared between an incoming doc (b side) and
         # any earlier-id doc already present (corpus or same batch)
         a = _band_rows(all_tbl).alias("a")
@@ -132,7 +133,6 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
             .distinct()
         )
         kills.write.mode("append").parquet(kills_dir)
-        batch_tbl.write.mode("append").parquet(state_dir)
 
     try:
         src = (

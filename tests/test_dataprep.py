@@ -226,21 +226,32 @@ def test_dq_checks_clean_lake_all_pass(spark):
 
 
 def test_dq_checks_catches_injected_violations(spark):
-    """An orphaned lineitem and a negative quantity must be counted — the
-    checks are live, not vacuously green."""
+    """Feed the ACTUAL check kernel corrupted frames: every constraint
+    must count its injected violations — the checks are live, not
+    vacuously green."""
     li = load(spark, SF, "lineitem").limit(50)
-    bad = li.withColumn("l_orderkey", F.lit(-999)).withColumn(
+    od = load(spark, SF, "orders").limit(40)
+    ev = load(spark, SF, "events").limit(30)
+    bad_li = li.withColumn("l_orderkey", F.lit(-999)).withColumn(
         "l_quantity", F.lit(-1.0).cast(li.schema["l_quantity"].dataType)
     )
-    orphan = bad.select("l_orderkey").join(
-        load(spark, SF, "orders").select(
-            F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
-        ),
-        "l_orderkey",
-        "left",
+    bad_od = od.withColumn("o_custkey", F.lit(None).cast("long")).withColumn(
+        "o_orderstatus", F.lit("X")
     )
-    assert orphan.filter(F.col("__hit").isNull()).count() == 50
-    assert bad.filter(F.col("l_quantity") <= 0).count() == 50
+    bad_ev = ev.withColumn("value", F.lit(-5.0)).withColumn(
+        "user_id", F.lit(None).cast("long")
+    )
+    rows = {
+        r.check_name: r
+        for r in relational.dq_checks_over(bad_li, bad_od, bad_ev).collect()
+    }
+    assert rows["lineitem_orphan_orderkey"].n_violations == 50
+    assert rows["lineitem_nonpositive_qty"].n_violations == 50
+    assert rows["orders_null_custkey"].n_violations == 40
+    assert rows["orders_unknown_status"].n_violations == 40
+    assert rows["events_negative_value"].n_violations == 30
+    assert rows["events_null_user"].n_violations == 30
+    assert all(r["pass"] == 0 for r in rows.values())
 
 
 def test_funnel_is_monotone_and_ordered(spark):
