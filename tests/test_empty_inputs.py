@@ -73,3 +73,73 @@ def test_similarity_topk_empty_queries(spark):
     )
     out = brute_force_topk(queries, corpus, k=3)
     assert out.count() == 0
+
+
+def test_sketch_ops_empty_items(spark):
+    """CMS cells/estimate over zero items: empty typed frames, no crash."""
+    from air_traffic_data_pipeline_spark.operators.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    empty = spark.createDataFrame([], "w string")
+    cells = cms_cells(empty)
+    assert cells.count() == 0
+    assert set(cells.columns) == {"r", "pos", "cnt"}
+    probes = spark.createDataFrame([], "w string, exact_freq long")
+    assert cms_estimate(probes, cells).count() == 0
+
+
+def test_quantize_empty_embeddings(spark):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    # a filtered-to-nothing embeddings table must flow through untouched
+    e = load(spark, SF, "embeddings").filter(F.lit(False))
+    from air_traffic_data_pipeline_spark.functions.vectors import to_double
+
+    df = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    out = df.withColumn("max_abs", llm._max_abs(F.col("dv")))
+    assert out.count() == 0
+
+
+def test_incremental_dedup_kernel_empty_batch(spark):
+    """Batch/corpus split where the batch side is empty: zero rows out,
+    correct schema, no crash in the window or joins."""
+    from air_traffic_data_pipeline_spark.functions.text import fingerprint
+    from pyspark.sql import Window as W
+
+    batch = _empty_docs(spark).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = (
+        _empty_docs(spark).select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    first_id = F.min("doc_id").over(W.partitionBy("fp"))
+    out = (
+        batch.join(corpus, "fp", "left")
+        .withColumn("first_id", first_id)
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+    assert out.count() == 0
+
+
+def test_write_clustered_empty_input(spark, tmp_path):
+    """Z-order writer must land an empty (schema-preserving) dataset, not
+    crash in the range scaling."""
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import write_clustered
+
+    ev = load(spark, SF, "events").select("user_id", "value").filter(F.lit(False))
+    dest = str(tmp_path / "z_empty")
+    write_clustered(ev, dest, ("user_id", "value"), n_files=4)
+    back = spark.read.parquet(dest)
+    assert back.count() == 0
+    assert set(back.columns) == {"user_id", "value"}
