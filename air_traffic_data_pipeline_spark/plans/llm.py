@@ -2970,6 +2970,157 @@ FROM embeddings e ANTI JOIN kills k ON e.vec_id = k.vec_id
 """
 
 
+# --- distributed BPE merge training (round 3) --------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_apply_merge(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right application of merge (a, b) over a symbol
+    array, as ONE sequential fold: append each symbol, but when the
+    accumulator's last element is `a` and the incoming symbol is `b`,
+    replace that last element with a||b. Equivalent to the classic
+    skip-scan (a merged token a||b can never re-match `a` in the same
+    round since b is non-empty), and exactly replayable in SQL."""
+    merged = F.concat(a, b)
+
+    def step(acc, x):
+        can = (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        return F.when(
+            can, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    """(a, b, n) adjacent-pair counts weighted by word frequency."""
+    idx = F.sequence(F.lit(1), F.size("syms") - 1)
+    pair = F.explode(
+        F.when(
+            F.size("syms") > 1,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ).alias("p")
+    return (
+        vocab.select("cnt", pair)
+        .select("p.a", "p.b", "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus vocabulary:
+    words (with frequencies) start as character sequences; each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    most frequent (ties: lexicographic), and greedily merges it in every
+    word. Returns the learned merge table — the artifact a tokenizer
+    trainer ships.
+
+    The 100 TB shape: the corpus collapses to its VOCABULARY first (one
+    groupBy — Zipf makes this dictionary-sized), every round is then one
+    pair-count aggregate over the vocab plus a codegen fold per word, and
+    the 1-row argmax broadcasts. No per-round corpus rescan, no Python.
+    The DuckDB oracle replays the identical rounds (recursive-CTE walk for
+    the greedy merge), value-checking the whole training loop.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+    )
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        top = (
+            _bpe_pairs(vocab)
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        rows.append(top)
+        t = top.select("sym_a", "sym_b")
+        vocab = vocab.crossJoin(F.broadcast(t)).select(
+            "cnt",
+            _bpe_apply_merge(
+                F.col("syms"), F.col("sym_a"), F.col("sym_b")
+            ).alias("syms"),
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+def _bpe_sql() -> str:
+    """K unrolled rounds; each greedy merge is a per-word recursive walk
+    over symbol positions (state = next index + output list), selecting
+    the completed state. Strings and integers only — bitwise by nature."""
+    prev = "vocab0"
+    parts = [
+        """vocab0 AS (
+  SELECT cnt, [w[i] for i in generate_series(1, len(w))] AS syms, row_number() OVER (ORDER BY w) AS wid
+  FROM (SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE len(w) > 0 GROUP BY w) v
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""pairs{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM {prev}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1),
+walk{r} AS (
+  SELECT wid, cnt, syms, 1 AS i, []::VARCHAR[] AS out FROM {prev}
+  UNION ALL
+  SELECT wid, cnt, syms,
+         CASE WHEN i < len(syms)
+                   AND syms[i] = (SELECT a FROM top{r})
+                   AND syms[i + 1] = (SELECT b FROM top{r})
+              THEN i + 2 ELSE i + 1 END,
+         CASE WHEN i < len(syms)
+                   AND syms[i] = (SELECT a FROM top{r})
+                   AND syms[i + 1] = (SELECT b FROM top{r})
+              THEN list_append(out, (SELECT a || b FROM top{r}))
+              ELSE list_append(out, syms[i]) END
+  FROM walk{r} WHERE i <= len(syms)
+),
+vocab{r} AS (
+  SELECT wid, cnt, out AS syms FROM walk{r} WHERE i = len(syms) + 1
+)"""
+        )
+        prev = f"vocab{r}"
+    body = ",\n".join(parts)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, n AS pair_count FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"WITH RECURSIVE {body}\n{finals}"
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -3031,6 +3182,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_count_min_freq", count_min_freq, _CMS_SQL),
     ("llm_minhash_band_stats", minhash_band_stats, _BAND_STATS_SQL),
     ("llm_semdedup_cells", semdedup_cells, _semdedup_cells_sql()),
+    ("llm_bpe_merges", bpe_merges, _bpe_sql()),
 ]
 
 

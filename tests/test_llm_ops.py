@@ -504,3 +504,36 @@ def test_semdedup_cells_kills_only_within_cell_near_dups(spark):
     )
     want_killed = {r.vb for r in hot}
     assert killed == want_killed
+
+
+def test_bpe_merges_match_pure_python(spark):
+    """The distributed BPE trainer must reproduce a sequential pure-Python
+    reference exactly: same pair counts, same argmax tie-breaks, same
+    greedy left-to-right merge application, round by round."""
+    from collections import Counter
+
+    docs = load(spark, SF, "documents").select("text").collect()
+    vocab = Counter(w for r in docs for w in r.text.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, llm.BPE_ROUNDS + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, a, b, n))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    got = sorted(
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in llm.bpe_merges(spark, SF).collect()
+    )
+    assert got == want
