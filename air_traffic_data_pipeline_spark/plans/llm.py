@@ -3031,6 +3031,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the identical rounds (recursive-CTE walk for
     the greedy merge), value-checking the whole training loop.
     """
+    rows, _vocab = _bpe_train(spark, sf_dir)
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the K training rounds; returns (per-round merge rows, the final
+    vocab DF (w, cnt, syms)) so the tokenize query can apply the result."""
     d = fan_out(load(spark, sf_dir, "documents"))
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -3038,6 +3048,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "w",
             "cnt",
             F.transform(
                 F.sequence(F.lit(1), F.length("w")),
@@ -3061,15 +3072,63 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(top)
         t = top.select("sym_a", "sym_b")
         vocab = vocab.crossJoin(F.broadcast(t)).select(
+            "w",
             "cnt",
             _bpe_apply_merge(
                 F.col("syms"), F.col("sym_a"), F.col("sym_b")
             ).alias("syms"),
         )
-    out = rows[0]
-    for r_df in rows[1:]:
-        out = out.unionByName(r_df)
-    return out
+    return rows, vocab
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table back to the corpus: per document, the
+    BPE token count after K merges vs the raw word/character counts — the
+    compression the tokenizer buys, measured end to end.
+
+    At 100 TB the apply side is the join shape that matters: the corpus
+    streams once, exploded words equi-join the broadcastable vocabulary
+    (word -> token count), and one groupBy(doc_id) re-aggregates. Training
+    cost amortizes over the whole corpus.
+    """
+    _rows, vocab = _bpe_train(spark, sf_dir)
+    word_tok = vocab.select("w", F.size("syms").alias("n_sym"))
+    d = fan_out(load(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.join(word_tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    base = _bpe_sql()
+    # reuse the training CTE chain; swap the final merge-table SELECT for
+    # the per-doc re-aggregation over the final vocab
+    head = base[: base.rindex("SELECT 1 AS round")]
+    return f"""{head}
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(t.w)) AS BIGINT) AS n_chars,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+JOIN (SELECT w0.w, v3.syms
+      FROM vocab{BPE_ROUNDS} v3
+      JOIN (SELECT w, row_number() OVER (ORDER BY w) AS wid
+            FROM (SELECT w, count(*) AS cnt FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+                  WHERE len(w) > 0 GROUP BY w) q) w0
+        ON w0.wid = v3.wid) v
+  ON t.w = v.w
+WHERE len(t.w) > 0
+GROUP BY doc_id
+"""
 
 
 def _bpe_sql() -> str:
@@ -3183,6 +3242,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_minhash_band_stats", minhash_band_stats, _BAND_STATS_SQL),
     ("llm_semdedup_cells", semdedup_cells, _semdedup_cells_sql()),
     ("llm_bpe_merges", bpe_merges, _bpe_sql()),
+    ("llm_bpe_tokenize", bpe_tokenize, _bpe_tokenize_sql()),
 ]
 
 

@@ -537,3 +537,15 @@ def test_bpe_merges_match_pure_python(spark):
         for r in llm.bpe_merges(spark, SF).collect()
     )
     assert got == want
+
+
+def test_bpe_tokenize_compresses_and_conserves(spark):
+    """BPE tokens per doc: never more than characters, never fewer than
+    words; with >= 1 effective merge the corpus total strictly shrinks
+    below the character count."""
+    rows = llm.bpe_tokenize(spark, SF).collect()
+    docs = load(spark, SF, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+    assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)
