@@ -312,3 +312,12 @@ def test_refgeom_grid_side_joins_without_shuffle(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [__bin_lat" in executed
     assert "SortMergeJoin" not in executed
+
+
+def test_bpe_training_stays_jvm_side(spark):
+    """The BPE merge fold and pair counting must run as native expressions
+    — no Python evaluation nodes anywhere in the training plan."""
+    from air_traffic_data_pipeline_spark.plans.llm import bpe_merges
+
+    p = plan(bpe_merges(spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
