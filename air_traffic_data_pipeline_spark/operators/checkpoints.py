@@ -7,12 +7,16 @@ algorithms (connected components) and materialize-then-return plans
 the life of the session — breaking the ``entry()`` teardown guarantee
 ("no persisted RDDs left behind", tests/test_entry.py).
 
-The fix: diff ``JavaSparkContext.getPersistentRDDs()`` around each
-checkpoint call to learn which RDD ids it pinned, then release them either
-immediately (superseded loop iterations) or at ``clear_all`` (results
-registered for session teardown). Single-threaded driver assumption: the
-id diff is only correct when no concurrent thread persists RDDs between
-the two snapshots — true for this engine's query-build path.
+The fix: read the pinned RDD id straight off the returned DataFrame's
+plan — ``Dataset.localCheckpoint`` persists exactly the RDD it then wraps
+in a ``LogicalRDD`` root, so ``analyzed().rdd().id()`` IS the id to
+release — then release it either immediately (superseded loop iterations)
+or at ``clear_all`` (results registered for session teardown). A
+``getPersistentRDDs()`` snapshot-diff remains only as a fallback for
+internals drift, and it can over-capture: an unrelated DataFrame cache
+that first materializes during the checkpoint action lands in the diff
+(single-threaded driver assumption, and the reason the plan-derived id is
+preferred).
 
 Releasing a checkpoint invalidates DataFrames that still depend on it
 (same contract as ``llm.clear_caches``): callers must re-run the query
@@ -39,6 +43,15 @@ def _release_ids(spark: SparkSession, ids: set[int]) -> None:
             jmap.get(k).unpersist()
 
 
+def _checkpointed_rdd_id(out: DataFrame) -> int | None:
+    """The id of the RDD a checkpointed DataFrame pins: its analyzed plan
+    root is the ``LogicalRDD`` wrapping exactly the persisted RDD."""
+    try:
+        return int(out._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
+
+
 def tracked_local_checkpoint(
     df: DataFrame, eager: bool = True, register: bool = False
 ) -> tuple[DataFrame, set[int]]:
@@ -47,8 +60,12 @@ def tracked_local_checkpoint(
     ``register=True`` additionally records the ids in the session-wide
     registry so :func:`clear_all` (entry() teardown) releases them.
     Tracking requires ``eager=True``: a lazy checkpoint pins its RDD only
-    on first action, AFTER the id diff below — it would silently track
-    nothing and break the teardown guarantee, so we refuse it.
+    on first action — the plan-derived id would name an RDD that is not
+    yet (and might never be) persisted, so we refuse it.
+
+    The id comes from the returned plan's ``LogicalRDD`` (exact — immune
+    to unrelated caches materializing concurrently); the snapshot diff is
+    a fallback only.
     """
     if not eager:
         raise ValueError(
@@ -59,7 +76,8 @@ def tracked_local_checkpoint(
     spark = df.sparkSession
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=eager)
-    ids = _persistent_ids(spark) - before
+    cid = _checkpointed_rdd_id(out)
+    ids = {cid} if cid is not None else _persistent_ids(spark) - before
     if register:
         _LIVE.setdefault(spark.sparkContext.applicationId, set()).update(ids)
     return out, ids

@@ -2691,7 +2691,10 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
         .withColumn("max_abs", _max_abs(F.col("dv")))
-        .withColumn("scale", F.lit(127.0) / F.col("max_abs"))
+        # try_divide: an all-zero vector (max_abs = 0) gets a NULL scale
+        # instead of an ANSI DIVIDE_BY_ZERO error; its outputs are pinned by
+        # the CASE guard on the final projection (mirrored by nullif in SQL)
+        .withColumn("scale", F.try_divide(F.lit(127.0), F.col("max_abs")))
     )
     scale = F.col("scale")
     df = df.withColumn("q", F.transform(F.col("dv"), lambda x: _clamped_q(x, scale)))
@@ -2700,11 +2703,18 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # an all-zero vector has max_abs = 0 -> scale = 127/0 diverges between
+    # engines (Spark Infinity vs DuckDB NULL); pin its output explicitly:
+    # zero saturation, zero reconstruction error (q := zeros reproduces it)
+    zero = F.col("max_abs") == 0.0
     return df.select(
         "vec_id",
         F.round("max_abs", 6).alias("max_abs"),
-        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127.0)).cast("int").alias("n_sat"),
-        F.round(F.sqrt(err_sq), 6).alias("recon_err"),
+        F.when(zero, F.lit(0))
+        .otherwise(F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127.0)))
+        .cast("int")
+        .alias("n_sat"),
+        F.when(zero, F.lit(0.0)).otherwise(F.round(F.sqrt(err_sq), 6)).alias("recon_err"),
     )
 
 
@@ -2714,7 +2724,7 @@ WITH base AS (
 sc AS (
   SELECT vec_id, dv,
          {_MAX_ABS_SQL.format(v='dv')} AS max_abs,
-         127.0 / {_MAX_ABS_SQL.format(v='dv')} AS scale
+         127.0 / nullif({_MAX_ABS_SQL.format(v='dv')}, 0.0) AS scale
   FROM base),
 qd AS (
   SELECT vec_id, dv, max_abs, scale,
@@ -2722,11 +2732,15 @@ qd AS (
   FROM sc)
 SELECT vec_id,
        round(max_abs, 6) AS max_abs,
-       CAST(len(list_filter(q, x -> abs(x) = 127.0)) AS INTEGER) AS n_sat,
-       round(sqrt(list_reduce(
-         [(dv[i] - q[i] / scale) * (dv[i] - q[i] / scale)
-          for i in generate_series(1, len(dv))],
-         (acc, x) -> acc + x)), 6) AS recon_err
+       CASE WHEN max_abs = 0.0 THEN 0
+            ELSE CAST(len(list_filter(q, x -> abs(x) = 127.0)) AS INTEGER)
+       END AS n_sat,
+       CASE WHEN max_abs = 0.0 THEN 0.0
+            ELSE round(sqrt(list_reduce(
+              [(dv[i] - q[i] / scale) * (dv[i] - q[i] / scale)
+               for i in generate_series(1, len(dv))],
+              (acc, x) -> acc + x)), 6)
+       END AS recon_err
 FROM qd
 """
 
@@ -2746,7 +2760,11 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
-    scaled = base.withColumn("scale", F.lit(127.0) / _max_abs(F.col("dv")))
+    # all-zero vectors cannot be symmetric-quantized (scale = 127/0); exclude
+    # them from the corpus side — mirrored by WHERE max_abs > 0 in the oracle
+    scaled = base.filter(_max_abs(F.col("dv")) > 0).withColumn(
+        "scale", F.lit(127.0) / _max_abs(F.col("dv"))
+    )
     scale = F.col("scale")
     rvec = F.transform(F.col("dv"), lambda x: _clamped_q(x, scale) / scale)
     corpus = scaled.select(F.col("vec_id").alias("c_id"), rvec.alias("c_vec"))
@@ -2762,7 +2780,8 @@ _QUANT_TOPK_SQL = f"""
 WITH base AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv FROM embeddings),
 sc AS (
-  SELECT vec_id, dv, 127.0 / {_MAX_ABS_SQL.format(v='dv')} AS scale FROM base),
+  SELECT vec_id, dv, 127.0 / {_MAX_ABS_SQL.format(v='dv')} AS scale FROM base
+  WHERE {_MAX_ABS_SQL.format(v='dv')} > 0),
 corpus AS (
   SELECT vec_id AS c_id, {_DEQ_SQL} AS c_vec FROM sc),
 q AS (

@@ -150,6 +150,12 @@ def _driver_green() -> frozenset[str]:
                 ) > 0
                 if fully_green or checked_rows_only:
                     green.add(name)
+                else:
+                    # latest round wins: files are iterated in ascending round
+                    # order, so a newer red/errored row EVICTS a green earned
+                    # in an earlier round — a regressed query must re-enter
+                    # the window instead of hiding in the green tail
+                    green.discard(name)
         except Exception:
             continue
     return frozenset(green) if found else _R1_GREEN - set(_FORCE_RECHECK)

@@ -1511,8 +1511,8 @@ def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -2646,8 +2646,8 @@ SELECT o_orderstatus,
        bit_and(flags) AS and_flags,
        bit_or(flags)  AS or_flags,
        bit_xor(flags) AS xor_flags,
-       sum((flags % 8) << 2) AS sum_shifted,
-       sum(flags & 15) AS sum_low_nibble
+       CAST(sum((flags % 8) << 2) AS BIGINT) AS sum_shifted,
+       CAST(sum(flags & 15) AS BIGINT) AS sum_low_nibble
 FROM t GROUP BY 1
 """
 
@@ -2726,7 +2726,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LATERAL_ALIAS_SQL = """
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
        CAST(price_dec * 2 AS DOUBLE) AS doubled,
        CAST(doubled + 1.0 AS DOUBLE) AS plus_one
 FROM orders
@@ -3039,7 +3039,12 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = F.col("s") / F.col("n")
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    var_raw = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # n < 2 leaves the sample variance undefined (the n-1 divisor hits 0 and
+    # engines disagree on x/0); emit NULL var/z explicitly instead. A variant
+    # with ZERO rows still yields an empty frame (cross join of an empty
+    # side) — callers treat that as "experiment not yet assignable".
+    var = F.when(F.col("n") < 2, F.lit(None).cast("double")).otherwise(var_raw)
     stats = per.select(
         "variant",
         "n",
@@ -3050,7 +3055,10 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = stats.filter(F.col("variant") == 0).alias("a")
     b = stats.filter(F.col("variant") == 1).alias("b")
-    z = (F.col("b.__m") - F.col("a.__m")) / F.sqrt(F.col("a.__vn") + F.col("b.__vn"))
+    denom = F.col("a.__vn") + F.col("b.__vn")
+    z = F.when(denom.isNull() | (denom == 0), F.lit(None).cast("double")).otherwise(
+        (F.col("b.__m") - F.col("a.__m")) / F.sqrt(denom)
+    )
     return a.crossJoin(b).select(
         F.col("a.n").alias("n_control"),
         F.col("b.n").alias("n_treatment"),
@@ -3072,13 +3080,17 @@ WITH per AS (
 stats AS (
   SELECT variant, n,
          round(s / n, 6) AS mean_value,
-         round((ss - s * s / n) / (n - 1), 6) AS var_value,
-         s / n AS m, ((ss - s * s / n) / (n - 1)) / n AS vn
+         CASE WHEN n < 2 THEN NULL
+              ELSE round((ss - s * s / n) / (n - 1), 6) END AS var_value,
+         s / n AS m,
+         CASE WHEN n < 2 THEN NULL
+              ELSE ((ss - s * s / n) / (n - 1)) / n END AS vn
   FROM per)
 SELECT a.n AS n_control, b.n AS n_treatment,
        a.mean_value AS mean_control, b.mean_value AS mean_treatment,
        a.var_value AS var_control, b.var_value AS var_treatment,
-       round((b.m - a.m) / sqrt(a.vn + b.vn), 6) AS z_score
+       CASE WHEN a.vn IS NULL OR b.vn IS NULL OR a.vn + b.vn = 0 THEN NULL
+            ELSE round((b.m - a.m) / sqrt(a.vn + b.vn), 6) END AS z_score
 FROM (SELECT * FROM stats WHERE variant = 0) a
 CROSS JOIN (SELECT * FROM stats WHERE variant = 1) b
 """

@@ -91,8 +91,11 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
         # parquet: the expensive shingle explode + aggregate executes exactly
         # once per batch (the write), instead of once per lazy consumer —
         # the batch sibling of _minhash_doc_tbl's persist (its docstring
-        # measures the recompute at ~2x runtime)
-        doc_tbl_from(batch_df).write.mode("append").parquet(
+        # measures the recompute at ~2x runtime). mode=overwrite on the
+        # epoch-scoped path makes the state write idempotent under
+        # foreachBatch's at-least-once batch replay (a retry of epoch N
+        # rewrites batch=N instead of duplicating its rows).
+        doc_tbl_from(batch_df).write.mode("overwrite").parquet(
             f"{state_dir}/batch={epoch_id}"
         )
         batch_tbl = spark.read.parquet(f"{state_dir}/batch={epoch_id}")
@@ -132,7 +135,9 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
             .select("doc_b")
             .distinct()
         )
-        kills.write.mode("append").parquet(kills_dir)
+        # same idempotence discipline for the kill list: epoch-scoped
+        # overwrite, unioned back with a batch=* glob at the end
+        kills.write.mode("overwrite").parquet(f"{kills_dir}/batch={epoch_id}")
 
     try:
         src = (
@@ -149,7 +154,9 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
 
         docs = load(spark, sf_dir, "documents")
         kills = (
-            spark.read.parquet(kills_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+            spark.read.parquet(f"{kills_dir}/batch=*")
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
             if os.path.isdir(kills_dir)
             else spark.createDataFrame([], "doc_id long")
         )

@@ -60,6 +60,40 @@ def test_connected_components_releases_superseded_checkpoints(spark):
     assert _persistent_rdd_count(spark) == base
 
 
+def test_tracked_checkpoint_does_not_capture_unrelated_cache(spark):
+    """The tracked ids must be EXACTLY the checkpointed RDD (read off the
+    returned plan's LogicalRDD), so a lazy cache that first materializes
+    during the checkpoint action is neither tracked nor released — the
+    r3 snapshot-diff over-capture mode."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
+
+    lazy = spark.range(64).selectExpr("id as k").persist()
+    try:
+        # the checkpointed plan CONSUMES the lazy cache, so the checkpoint
+        # action materializes it — the over-capture trigger
+        out, ids = checkpoints.tracked_local_checkpoint(
+            lazy.selectExpr("k * 3 as z")
+        )
+        assert len(ids) == 1
+        assert out.count() == 64
+        all_ids = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        lazy_ids = all_ids - ids  # includes the cache pinned by `lazy`
+        checkpoints.release(spark, ids)
+        still = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        # releasing the checkpoint must leave the unrelated cache cached
+        assert lazy_ids <= still
+        assert not (ids & still)
+        assert lazy.count() == 64
+    finally:
+        lazy.unpersist()
+
+
 def test_conf_bytes_parses_spark_units():
     assert _conf_bytes("134217728") == 134217728
     assert _conf_bytes("134217728b") == 134217728

@@ -444,6 +444,39 @@ def test_quantized_topk_close_to_exact(spark):
         assert abs(r.cos_sim - exact[(r.q_id, r.c_id)]) < 0.02
 
 
+def test_quantize_zero_vector_guard(spark, tmp_path):
+    """An all-zero embedding has max_abs = 0 (scale = 127/0 is engine-
+    dependent: Spark Infinity, DuckDB NULL); the guard must pin its output
+    to n_sat=0 / recon_err=0.0 IDENTICALLY in the Spark plan and the DuckDB
+    oracle, and quantized_topk must exclude it from the corpus side."""
+    import duckdb
+
+    sf = str(tmp_path)
+    base = load(spark, SF, "embeddings").filter(F.col("vec_id") < 12)
+    zero = spark.range(1).select(
+        F.lit(999999).cast("long").alias("vec_id"),
+        F.array_repeat(F.lit(0.0).cast("float"), llm.EMB_DIM).alias("embedding"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    base.unionByName(zero).write.parquet(f"{sf}/embeddings.parquet")
+
+    srows = {r.vec_id: r for r in llm.quantize_int8(spark, sf).collect()}
+    z = srows[999999]
+    assert z.max_abs == 0.0 and z.n_sat == 0 and z.recon_err == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    drows = {r[0]: r for r in con.sql(llm._QUANT_SQL).fetchall()}
+    assert set(drows) == set(srows)
+    for vid, sr in srows.items():
+        assert drows[vid][1:] == (sr.max_abs, sr.n_sat, sr.recon_err), vid
+
+    topk = llm.quantized_topk(spark, sf).collect()
+    assert topk and all(r.c_id != 999999 for r in topk)
+
+
 def test_count_min_never_undercounts(spark):
     rows = llm.count_min_freq(spark, SF).collect()
     assert len(rows) == 20

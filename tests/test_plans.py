@@ -213,6 +213,32 @@ def test_registry_window_prefers_never_green_queries(spark):
     assert all(n not in green for n in window) or len(never_green) < 50
 
 
+def test_driver_green_latest_round_evicts(monkeypatch, tmp_path):
+    """A query green in an early round but red in a LATER round must leave
+    the green tail (latest round wins), or a regression hides outside the
+    driver's recheck window forever."""
+    import json
+
+    from air_traffic_data_pipeline_spark.plans import registry
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_regressed": g, "q_stable": g})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_regressed": r, "q_new": g})
+    )
+    import glob as _glob
+
+    monkeypatch.setattr(
+        _glob, "glob", lambda pat: sorted(str(p) for p in tmp_path.iterdir())
+    )
+    green = registry._driver_green()
+    assert "q_stable" in green and "q_new" in green
+    assert "q_regressed" not in green
+
+
 def test_no_query_returns_unhashable_cells(spark):
     """Driver-gate compatibility: the correctness harness's pandas-based
     canonicalizer cannot hash array/map/struct cells (round-1 failure mode:

@@ -55,8 +55,48 @@ def normalize(rows, cols):
     return [cols[i] for i in order], out
 
 
+def dtype_issues(sdf, con, sql):
+    """Predict driver hash-fails the value compare can't see.
+
+    The driver canonicalizes via pandas before hashing, so a column that is
+    int64 on the Spark side and float64 on the DuckDB side (DuckDB sum(int)
+    returns HUGEINT -> pandas float64) hash-mismatches even when every value
+    is numerically identical (r3: rel_q12_priority_counts, rel_bitwise_funcs,
+    rel_lateral_column_alias). Rules calibrated on 143 driver rows:
+    - different pandas *kind* (i/u/f/O/M/b) => TYPE_MISMATCH (would fail)
+    - object columns whose element types differ (Decimal vs float) => fail
+    - same-kind width or datetime-unit differences => warning only (many
+      driver-green queries return int32-vs-int64 / ns-vs-us pairs)
+    Also flags the raw DuckDB output type when it is HUGEINT or DECIMAL —
+    both pandas-ify to float64/object and are one CAST away from safe.
+    """
+    fails, warns = [], []
+    spdf = sdf.toPandas()
+    res = con.sql(sql)
+    dtypes = {c: str(t) for c, t in zip(res.columns, res.types)}
+    ddf = res.df()
+    for c, dt in dtypes.items():
+        if dt == "HUGEINT" or dt.startswith("DECIMAL"):
+            fails.append(f"{c}: duck output type {dt} (CAST it)")
+    for c in spdf.columns:
+        if c not in ddf.columns:
+            continue
+        sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk != dk:
+            fails.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
+        elif sk == "O":
+            st = {type(v).__name__ for v in spdf[c].dropna().head(200)}
+            dt_ = {type(v).__name__ for v in ddf[c].dropna().head(200)}
+            if st != dt_:
+                fails.append(f"{c}: object elems spark={st} duck={dt_}")
+        elif str(spdf[c].dtype) != str(ddf[c].dtype):
+            warns.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
+    return fails, warns
+
+
 def compare(name, sdf, con, sql, tol=0.0):
     t0 = time.time()
+    sdf = sdf.persist()
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     t_spark = time.time() - t0
@@ -98,6 +138,14 @@ def compare(name, sdf, con, sql, tol=0.0):
         status = "VALUE_MISMATCH"
     elif max_fdelta > 0:
         status = "FLOAT_NEAR"  # hash would FAIL if driver hashes exact bits
+    if status == "OK":
+        tfails, twarns = dtype_issues(sdf, con, sql)
+        if tfails:
+            status = "TYPE_MISMATCH"
+            notes.extend(tfails)
+        elif twarns:
+            notes.append("type_warn: " + "; ".join(twarns))
+    sdf.unpersist()
     return status, (f"max_fdelta={max_fdelta:.3e} " + "\n".join(notes)).strip(), t_spark, t_duck
 
 
