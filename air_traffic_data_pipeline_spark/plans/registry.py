@@ -23,64 +23,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Keep this list <= ~50 names; anything past the driver's window falls back
 # to local-mirror-only verification (tools/oracle_check.py) until rotated in.
+# Round-4 ordering: (a) the 44 queries with NO driver row ever (highest
+# information per slot), (b) the three r3 hash-fail fixes (no green row, so
+# they re-enter automatically — listed for determinism), (c) the five
+# previously-green minhash-lane consumers re-entering via _FORCE_RECHECK
+# (sha256 lane adoption) — they have old-code green rows, so they are the
+# cheapest to defer if the window is exactly 50 (the last 2 spill to r5).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- llm_* : no driver row in round 1 ----------------------------------
-    "llm_dedup_exact",
-    "llm_dedup_fingerprint",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_lang_id",
-    "llm_quality_score",
+    # -- (a) never driver-checked, module order ----------------------------
+    "rel_python_udtf_expand",
+    "rel_variant_json",
+    "rel_dq_checks",
+    "rel_ab_test_zscore",
+    "rel_funnel_steps",
+    "rel_cohort_retention",
+    "llm_doc_chunking",
+    "llm_sequence_packing",
+    "llm_train_val_split",
+    "llm_pii_scrub",
+    "llm_heavy_hitters",
+    "llm_dataset_mixing",
+    "llm_fuzzy_match_levenshtein",
+    "llm_quality_pandas_udf",
+    "llm_ngram_lm_counts",
+    "llm_vocab_coverage",
+    "llm_ann_recall_eval",
+    "llm_repetition_filter",
+    "llm_lm_perplexity",
+    "llm_chunk_dedup",
+    "llm_importance_resample",
+    "llm_grouped_agg_udf",
+    "llm_semantic_dedup",
+    "llm_curation_pipeline",
+    "llm_minhash_jaccard_est",
+    "llm_winsorize_lengths",
+    "llm_dataset_card",
+    "llm_substring_contamination",
+    "llm_lsh_sensitivity",
+    "llm_incremental_dedup",
+    "llm_bloom_prefilter",
+    "llm_quantize_int8",
+    "llm_quantized_topk",
+    "llm_count_min_freq",
+    "llm_minhash_band_stats",
+    "llm_semdedup_cells",
+    "llm_bpe_merges",
+    "llm_bpe_tokenize",
+    "stream_late_data_drop",
+    "stream_dedup_watermark",
+    "stream_foreach_batch_sink",
+    "stream_stream_join",
+    "stream_incremental_cms",
+    "stream_incremental_near_dup",
+    # -- (b) r3 hash-fails, fixed this round -------------------------------
+    "rel_q12_priority_counts",
+    "rel_bitwise_funcs",
+    "rel_lateral_column_alias",
+    # -- (c) sha256-lane re-entries (old-code green rows exist) ------------
     "llm_minhash_signatures",
     "llm_minhash_near_dup_pairs",
-    "llm_simhash",
-    "llm_simhash_near_dup",
     "llm_near_dup_survivors",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_embedding_norms",
-    "llm_lsh_buckets",
-    "llm_lsh_topk",
-    "llm_ann_ivf_topk",
-    "llm_multimodal_meta",
-    "llm_rolling_fingerprint",
-    "llm_embedding_near_dup",
-    "llm_multimodal_decode",
-    "llm_multimodal_frames",
-    # -- stream_* : no driver row in round 1 -------------------------------
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stateful_user_stats",
-    "stream_sessionize_batch",
-    # -- round-2 flagship-at-reference-geometry (verdict item 4) -----------
-    "noise_grid_refgeom",
-    # -- rel_* : past the round-1 window or errored ------------------------
-    "rel_array_funcs2",
-    "rel_json_funcs",
-    "rel_subquery_scalar",
-    "rel_subquery_in",
-    "rel_subquery_exists",
-    "rel_asof_join",
-    "rel_time_bucket_agg",
-    "rel_approx_distinct",
-    # -- new in round 2 ----------------------------------------------------
-    "rel_from_json_struct",
-    "rel_range_bucket_join",
-    "rel_percentiles_exact",
-    "rel_map_funcs",
-    "rel_higher_order",
-    "llm_lsh_topk_multiprobe",
-    "llm_contamination_check",
-    "llm_stratified_sample",
-    "llm_tf_idf",
-    "llm_quality_gate",
     "llm_dedup_clusters",
     "llm_cluster_survivors",
-    # last: if the driver window is exactly 50, this demo rotates to round 3
-    "llm_zscore_groups",
 )
 
 
@@ -97,6 +101,20 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_multimodal_decode": 3,  # r3: real WAV/BMP byte-format parse
     "llm_multimodal_meta": 3,  # r3: payloads regenerated in real byte formats
     "llm_multimodal_frames": 3,  # r3: same payload change
+    # r4: minhash lanes moved from two salted md5s to one sha256 digest
+    # (every signature value changes) — all lane consumers re-enter
+    "llm_minhash_signatures": 4,
+    "llm_minhash_near_dup_pairs": 4,
+    "llm_near_dup_survivors": 4,
+    "llm_dedup_clusters": 4,
+    "llm_cluster_survivors": 4,
+    "llm_curation_pipeline": 4,
+    "llm_minhash_jaccard_est": 4,
+    "llm_minhash_band_stats": 4,
+    "llm_lsh_sensitivity": 4,
+    "stream_incremental_near_dup": 4,
+    # r4: bounded-population subcell split changes the kill set
+    "llm_semdedup_cells": 4,
 }
 
 

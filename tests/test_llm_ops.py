@@ -444,6 +444,28 @@ def test_quantized_topk_close_to_exact(spark):
         assert abs(r.cos_sim - exact[(r.q_id, r.c_id)]) < 0.02
 
 
+def test_semdedup_subcell_population_bounded(spark):
+    """The bounded-cell contract: as a cell's population DOUBLES, the max
+    subcell population must stay under a fixed bound (4x the design
+    target), so the in-cell all-pairs cost is O(N * TARGET), never
+    O(N^2). This is what makes semdedup_cells survive a fixed label set
+    at 100 TB."""
+    t = llm.SEMDEDUP_TARGET_CELL
+    for n in (16 * t, 32 * t):
+        cells = spark.range(n).selectExpr(
+            "id as vec_id", "array(1.0d) as v", "1.0d as nv", "0 as cell"
+        )
+        sizes = (
+            llm.semdedup_subcells(cells)
+            .groupBy("cell", "subcell")
+            .count()
+            .agg(F.max("count"), F.sum("count"))
+            .collect()[0]
+        )
+        assert sizes[1] == n  # every vector lands in exactly one subcell
+        assert sizes[0] <= 4 * t, f"n={n}: max subcell {sizes[0]} > {4 * t}"
+
+
 def test_quantize_zero_vector_guard(spark, tmp_path):
     """An all-zero embedding has max_abs = 0 (scale = 127/0 is engine-
     dependent: Spark Infinity, DuckDB NULL); the guard must pin its output
@@ -499,8 +521,9 @@ def test_minhash_band_stats_accounts_every_doc(spark):
 
 
 def test_semdedup_cells_kills_only_within_cell_near_dups(spark):
-    """Every killed vector has an in-cell lower-id partner above threshold;
-    every survivor has none (the cell-scoped SemDeDup contract)."""
+    """Every killed vector has an in-subcell lower-id partner above
+    threshold; every survivor has none (the bounded-cell SemDeDup
+    contract, including the population split)."""
     surv = {r.vec_id for r in llm.semdedup_cells(spark, SF).collect()}
     e = load(spark, SF, "embeddings")
     all_ids = {r.vec_id for r in e.select("vec_id").collect()}
@@ -521,13 +544,15 @@ def test_semdedup_cells_kills_only_within_cell_near_dups(spark):
     cells = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("label").alias("cell"))
+        .select("vec_id", "v", F.lit(1.0).alias("nv"), F.col("label").alias("cell"))
     )
+    cells = llm.semdedup_subcells(cells)
     a, b = cells.alias("a"), cells.alias("b")
     hot = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.subcell") == F.col("b.subcell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cos_sim", F.round(vcos(F.col("a.v"), F.col("b.v")), 6))

@@ -63,8 +63,12 @@ def dtype_issues(sdf, con, sql):
     returns HUGEINT -> pandas float64) hash-mismatches even when every value
     is numerically identical (r3: rel_q12_priority_counts, rel_bitwise_funcs,
     rel_lateral_column_alias). Rules calibrated on 143 driver rows:
-    - different pandas *kind* (i/u/f/O/M/b) => TYPE_MISMATCH (would fail)
+    - different pandas *kind* (i/u/f/O/b) => TYPE_MISMATCH (would fail)
     - object columns whose element types differ (Decimal vs float) => fail
+    - object-vs-datetime64 => warning only (Spark DateType pandas-ifies to
+      object while DuckDB DATE gives datetime64[us]; r3 driver-green date
+      queries — rel_try_arithmetic, rel_date_spine_gapfill — prove the
+      driver canonicalizes that pair equal)
     - same-kind width or datetime-unit differences => warning only (many
       driver-green queries return int32-vs-int64 / ns-vs-us pairs)
     Also flags the raw DuckDB output type when it is HUGEINT or DECIMAL —
@@ -83,7 +87,10 @@ def dtype_issues(sdf, con, sql):
             continue
         sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
         if sk != dk:
-            fails.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
+            if {sk, dk} == {"O", "M"}:
+                warns.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
+            else:
+                fails.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
         elif sk == "O":
             st = {type(v).__name__ for v in spdf[c].dropna().head(200)}
             dt_ = {type(v).__name__ for v in ddf[c].dropna().head(200)}
