@@ -3027,6 +3027,183 @@ FROM embeddings e ANTI JOIN kills k ON e.vec_id = k.vec_id
 """
 
 
+# --- signed random projection (round 4) --------------------------------------
+
+RP_DIM = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """The ±1 sign matrix [RP_DIM][EMB_DIM] for Achlioptas/JL signed random
+    projection: sign(j, i) = +1 iff the first hex nibble of
+    sha256("j|i") < 8. Computed ONCE at plan-build time with hashlib and
+    embedded as literals in BOTH engines' plans — no reliance on
+    engine-hash parity, and the matrix is a compile-time constant (16x64
+    floats), so at 100 TB it rides the closure/SQL text, never a join."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.sha256(f"{j}|{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64 -> 16 dims: each
+    output coordinate is a ±1-signed sum of the input (one zip_with fold
+    per dim, all inside whole-stage codegen), and the JL norm estimate
+    ||p|| / sqrt(RP_DIM) is reported against the true norm as a ratio.
+
+    The dimensionality-reduction front end for ANN at 100 TB: 4x fewer
+    floats into every downstream distance computation, with the distortion
+    ratio itself oracle-checked per vector (E[ratio] = 1, concentration by
+    JL). Pure narrow map over the scan — no shuffle, no UDF.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    projected = base.select(
+        "vec_id",
+        norm(F.col("dv")).alias("nv"),
+        *[
+            dot(F.col("dv"), F.array(*[F.lit(s) for s in signs[j]])).alias(f"p{j}")
+            for j in range(RP_DIM)
+        ],
+    )
+    # left-associated sum-of-squares, mirrored textually in the oracle
+    psq = F.col("p0") * F.col("p0")
+    for j in range(1, RP_DIM):
+        psq = psq + F.col(f"p{j}") * F.col(f"p{j}")
+    ratio = F.when(F.col("nv") == 0.0, F.lit(None).cast("double")).otherwise(
+        F.sqrt(psq) / float(RP_DIM) ** 0.5 / F.col("nv")
+    )
+    return projected.select(
+        "vec_id",
+        *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(4)],
+        F.round(ratio, 6).alias("norm_ratio"),
+    )
+
+
+def _rp_sql() -> str:
+    signs = _rp_signs()
+
+    def lit(j: int) -> str:
+        return "(" + "[" + ", ".join(str(s) for s in signs[j]) + "])"
+
+    p_cols = ",\n         ".join(
+        f"{dot_sql('dv', lit(j))} AS p{j}" for j in range(RP_DIM)
+    )
+    psq = " + ".join(f"p{j} * p{j}" for j in range(RP_DIM))
+    return f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv FROM embeddings),
+proj AS (
+  SELECT vec_id, {norm_sql('dv')} AS nv,
+         {p_cols}
+  FROM base)
+SELECT vec_id,
+       round(p0, 6) AS p0, round(p1, 6) AS p1,
+       round(p2, 6) AS p2, round(p3, 6) AS p3,
+       CASE WHEN nv = 0.0 THEN NULL
+            ELSE round(sqrt({psq}) / {float(RP_DIM) ** 0.5!r} / nv, 6)
+       END AS norm_ratio
+FROM proj
+"""
+
+
+# --- minhash containment (round 4) --------------------------------------------
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A ∩ B| / |A| (and C(B,A)) for every
+    LSH-candidate pair that verifies at Jaccard >= 0.2 — the
+    quotation/subset-duplication detector symmetric Jaccard under-scores
+    (a doc fully embedded in a 10x larger one has J ≈ 0.1 but C = 1.0,
+    exactly the contamination shape training corpora care about).
+
+    Same banded-LSH candidate generation and persisted doc-table arrays as
+    ``minhash_near_dup_pairs`` (never all-pairs); the two containment
+    directions cost nothing extra — the intersect is already computed.
+    """
+    doc_tbl = _minhash_doc_tbl(spark, sf_dir)
+    bands = _band_rows(doc_tbl)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a_side = doc_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b_side = doc_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return (
+        a_side.join(cand, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                dbl(F.col("n_common"))
+                / dbl(F.size("arr_a") + F.size("arr_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(dbl(F.col("n_common")) / dbl(F.size("arr_a")), 6).alias(
+                "containment_a"
+            ),
+            F.round(dbl(F.col("n_common")) / dbl(F.size("arr_b")), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
+      for b in range(MINHASH_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sh AS ({_SHINGLE_ROWS_SQL}),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS containment_a,
+       round(CAST(n_common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE), 6) AS containment_b
+FROM common
+JOIN counts na ON na.doc_id = doc_a
+JOIN counts nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= CAST(0.2 AS DOUBLE)
+"""
+
+
 # --- distributed BPE merge training (round 3) --------------------------------
 
 BPE_ROUNDS = 3
@@ -3300,6 +3477,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_semdedup_cells", semdedup_cells, _semdedup_cells_sql()),
     ("llm_bpe_merges", bpe_merges, _bpe_sql()),
     ("llm_bpe_tokenize", bpe_tokenize, _bpe_tokenize_sql()),
+    ("llm_random_projection", random_projection, _rp_sql()),
+    ("llm_minhash_containment", minhash_containment, _CONTAINMENT_SQL),
 ]
 
 

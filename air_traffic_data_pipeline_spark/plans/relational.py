@@ -2799,6 +2799,56 @@ LIMIT 20 OFFSET 25
 """
 
 
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the 100 TB replacement for OFFSET that
+    ``limit_offset_page``'s docstring promises: the anchor is the last
+    (price, key) of the previous page, and the next page is a pushed-down
+    tuple-inequality filter + top-k (TakeOrderedAndProject) — no global
+    sort, no prefix re-scan however deep the page. The anchor derives
+    deterministically as row 25 of the full ordering via two chained
+    top-k passes (limit 25, re-sort ascending, limit 1) — itself
+    driver-free — so this page equals the OFFSET-25 page and the
+    equivalence of the two pagination strategies is value-checked against
+    the oracle's OFFSET-based anchor."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    anchor = (
+        o.orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .orderBy(F.col("price").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(F.col("price").alias("a_price"), F.col("o_orderkey").alias("a_key"))
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("price") < F.col("a_price"))
+            | (
+                (F.col("price") == F.col("a_price"))
+                & (F.col("o_orderkey") > F.col("a_key"))
+            )
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "price")
+    )
+
+
+KEYSET_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+anchor AS (
+  SELECT price AS a_price, o_orderkey AS a_key
+  FROM o ORDER BY price DESC, o_orderkey LIMIT 1 OFFSET 24
+)
+SELECT o_orderkey, price
+FROM o, anchor
+WHERE price < a_price OR (price = a_price AND o_orderkey > a_key)
+ORDER BY price DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each error matched to the NEXT click by the same
     user at-or-after it (ties -> smaller click id) — the mirror of the
@@ -3294,6 +3344,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_ab_test_zscore", ab_test_zscore, AB_TEST_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
+    ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
 ]
 
 

@@ -499,6 +499,33 @@ def test_quantize_zero_vector_guard(spark, tmp_path):
     assert topk and all(r.c_id != 999999 for r in topk)
 
 
+def test_random_projection_preserves_norms(spark):
+    """JL contract: the per-vector norm estimate ||p||/sqrt(d') is an
+    unbiased estimator of ||v|| — individual ratios concentrate around 1
+    (sd ~ 1/sqrt(2 d') ~ 0.18 at d'=16) and the corpus mean sits tight."""
+    rows = llm.random_projection(spark, SF).collect()
+    assert rows
+    ratios = [r.norm_ratio for r in rows if r.norm_ratio is not None]
+    assert len(ratios) == len(rows)
+    assert all(0.4 < x < 1.9 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+
+
+def test_containment_bounds_jaccard(spark):
+    """Containment dominates Jaccard in both directions, is <= 1, and the
+    pair set matches the verified near-dup pairs (same candidates, same
+    threshold)."""
+    rows = llm.minhash_containment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.containment_a >= r.jaccard - 1e-9
+        assert r.containment_b >= r.jaccard - 1e-9
+        assert max(r.containment_a, r.containment_b) <= 1.0 + 1e-9
+    pairs = {(r.doc_a, r.doc_b) for r in llm.minhash_near_dup_pairs(spark, SF).collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} == pairs
+
+
 def test_count_min_never_undercounts(spark):
     rows = llm.count_min_freq(spark, SF).collect()
     assert len(rows) == 20

@@ -213,6 +213,29 @@ def test_registry_window_prefers_never_green_queries(spark):
     assert all(n not in green for n in window) or len(never_green) < 50
 
 
+def test_keyset_pagination_is_topk_not_global_sort(spark):
+    """The keyset page must compile to TakeOrderedAndProject (per-partition
+    top-k + merge) with the anchor broadcast — never a global Sort of the
+    fact — and must equal the OFFSET page it replaces."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        keyset_pagination,
+        load,
+    )
+
+    df = keyset_pagination(spark, SF)
+    p = plan(df, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+    o = load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    offset_page = (
+        o.orderBy(F.col("price").desc(), F.col("o_orderkey")).offset(25).limit(20)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, offset_page.collect()))
+
+
 def test_driver_green_latest_round_evicts(monkeypatch, tmp_path):
     """A query green in an early round but red in a LATER round must leave
     the green tail (latest round wins), or a regression hides outside the
