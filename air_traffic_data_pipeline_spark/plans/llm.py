@@ -3204,6 +3204,83 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUB
 """
 
 
+# --- character entropy quality signal (round 4) -------------------------------
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    gibberish/repetition quality signal: natural text sits ~4 bits, a
+    repeated-character doc near 0, base64 junk near 6. Also reports the
+    entropy normalized by log2(alphabet size) in [0, 1].
+
+    Bitwise determinism discipline: per-(doc, char) counts are EXACT
+    integers from one hash aggregate; the float entropy is then a
+    sequential fold over the counts sorted by character — no
+    order-nondeterministic float partial aggregation, so both engines add
+    the same terms in the same order. At 100 TB the char explode is a
+    narrow generator feeding a map-side-combining count, then a doc-keyed
+    aggregate — the same two-shuffle shape as word counting.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # greatest(1, len) keeps empty docs as one ''-char row IDENTICALLY in
+    # both engines (Spark's sequence(1, 0) would walk backwards)
+    ch = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text")))).alias(
+            "i"
+        ),
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ch", "c"))), lambda x: x["c"]
+        ).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    ent = -F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + (c.cast("double") / nd) * F.log2(c.cast("double") / nd),
+    )
+    k = F.size("cs")
+    return per.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        k.cast("int").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.when(k <= 1, F.lit(None).cast("double"))
+        .otherwise(F.round(ent / F.log2(k.cast("double")), 6))
+        .alias("norm_entropy"),
+    )
+
+
+_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, len(text)))) AS i) g
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, list(c ORDER BY ch) AS cs, CAST(sum(c) AS BIGINT) AS n
+  FROM counts GROUP BY doc_id
+),
+ent AS (
+  SELECT doc_id, n, CAST(len(cs) AS INTEGER) AS k,
+         -(list_reduce(
+             [(x / CAST(n AS DOUBLE)) * log2(x / CAST(n AS DOUBLE)) for x in cs],
+             (acc, x) -> acc + x)) AS e
+  FROM per)
+SELECT doc_id, n AS n_chars, k AS n_distinct,
+       round(e, 6) AS entropy_bits,
+       CASE WHEN k <= 1 THEN NULL
+            ELSE round(e / log2(CAST(k AS DOUBLE)), 6) END AS norm_entropy
+FROM ent
+"""
+
+
 # --- distributed BPE merge training (round 3) --------------------------------
 
 BPE_ROUNDS = 3
@@ -3479,6 +3556,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_bpe_tokenize", bpe_tokenize, _bpe_tokenize_sql()),
     ("llm_random_projection", random_projection, _rp_sql()),
     ("llm_minhash_containment", minhash_containment, _CONTAINMENT_SQL),
+    ("llm_char_entropy", char_entropy, _ENTROPY_SQL),
 ]
 
 

@@ -79,6 +79,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_q12_priority_counts",
     "rel_bitwise_funcs",
     "rel_lateral_column_alias",
+    # -- (b2) new in round 4 (never checked) -------------------------------
+    "rel_keyset_pagination",
+    "llm_random_projection",
+    "llm_minhash_containment",
+    "llm_char_entropy",
     # -- (c) sha256-lane re-entries (old-code green rows exist) ------------
     "llm_minhash_signatures",
     "llm_minhash_near_dup_pairs",

@@ -526,6 +526,26 @@ def test_containment_bounds_jaccard(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} == pairs
 
 
+def test_char_entropy_bounds_and_extremes(spark, tmp_path):
+    """0 <= entropy <= log2(n_distinct); a single-character doc scores 0,
+    a uniform-alphabet doc scores exactly log2(k) (norm_entropy = 1)."""
+    rows = llm.char_entropy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 1e-6
+        if r.norm_entropy is not None:
+            assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaaaaaaa", "en", "s", 8), (2, "abcdabcd", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in llm.char_entropy(spark, sf).collect()}
+    assert got[1].entropy_bits == 0.0 and got[1].norm_entropy is None
+    assert got[2].entropy_bits == 2.0 and got[2].norm_entropy == 1.0
+
+
 def test_count_min_never_undercounts(spark):
     rows = llm.count_min_freq(spark, SF).collect()
     assert len(rows) == 20
