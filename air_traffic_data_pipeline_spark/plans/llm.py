@@ -3389,6 +3389,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 F.col("syms"), F.col("sym_a"), F.col("sym_b")
             ).alias("syms"),
         )
+        # plan lineage grows one crossJoin+fold layer per round; harmless at
+        # the default K=3, but a real tokenizer run (K in the thousands)
+        # would blow analyzer/optimizer time — truncate lineage with a
+        # tracked localCheckpoint every 3rd round when K is raised
+        if BPE_ROUNDS > 3 and r % 3 == 0 and r < BPE_ROUNDS:
+            from ..operators.checkpoints import tracked_local_checkpoint
+
+            vocab, _ = tracked_local_checkpoint(vocab, register=True)
     return rows, vocab
 
 

@@ -611,17 +611,16 @@ def test_semdedup_cells_kills_only_within_cell_near_dups(spark):
     assert killed == want_killed
 
 
-def test_bpe_merges_match_pure_python(spark):
-    """The distributed BPE trainer must reproduce a sequential pure-Python
-    reference exactly: same pair counts, same argmax tie-breaks, same
-    greedy left-to-right merge application, round by round."""
+def _bpe_reference(docs, rounds):
+    """Sequential pure-Python BPE trainer: the ground truth the distributed
+    version must reproduce exactly (pair counts, argmax tie-breaks, greedy
+    left-to-right merges)."""
     from collections import Counter
 
-    docs = load(spark, SF, "documents").select("text").collect()
     vocab = Counter(w for r in docs for w in r.text.split(" ") if w)
     syms = {w: list(w) for w in vocab}
     want = []
-    for rnd in range(1, llm.BPE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         pc = Counter()
         for w, c in vocab.items():
             s = syms[w]
@@ -637,11 +636,38 @@ def test_bpe_merges_match_pure_python(spark):
                 else:
                     out.append(x)
             syms[w] = out
+    return want
+
+
+def test_bpe_merges_match_pure_python(spark):
+    """The distributed BPE trainer must reproduce a sequential pure-Python
+    reference exactly: same pair counts, same argmax tie-breaks, same
+    greedy left-to-right merge application, round by round."""
+    docs = load(spark, SF, "documents").select("text").collect()
+    want = _bpe_reference(docs, llm.BPE_ROUNDS)
     got = sorted(
         (r.round, r.sym_a, r.sym_b, r.pair_count)
         for r in llm.bpe_merges(spark, SF).collect()
     )
     assert got == want
+
+
+def test_bpe_checkpoint_lineage_truncation_when_rounds_raised(spark, monkeypatch):
+    """K > 3 activates the every-3rd-round vocab localCheckpoint (lineage
+    truncation for real tokenizer-sized K): results must still match the
+    pure-Python reference exactly, and teardown must release the
+    registered checkpoints."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
+
+    monkeypatch.setattr(llm, "BPE_ROUNDS", 5)
+    docs = load(spark, SF, "documents").select("text").collect()
+    want = _bpe_reference(docs, 5)
+    got = sorted(
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in llm.bpe_merges(spark, SF).collect()
+    )
+    assert got == want
+    checkpoints.clear_all(spark)
 
 
 def test_bpe_tokenize_compresses_and_conserves(spark):
