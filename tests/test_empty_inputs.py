@@ -131,6 +131,38 @@ def test_incremental_dedup_kernel_empty_batch(spark):
     assert out.count() == 0
 
 
+def test_round4_ops_empty_inputs(spark, tmp_path):
+    """Round-4 operators on empty tables: keyset pagination with no rows
+    (empty anchor), entropy/projection/containment/subcells over empty
+    corpora — all must return typed empty frames, not raise."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("documents", "embeddings", "orders"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(f"{sf}/{t}.parquet")
+
+    from air_traffic_data_pipeline_spark.plans.relational import keyset_pagination
+
+    out = keyset_pagination(spark, sf)
+    assert out.count() == 0 and set(out.columns) == {"o_orderkey", "price"}
+
+    ent = llm.char_entropy(spark, sf)
+    assert ent.count() == 0 and "entropy_bits" in ent.columns
+
+    rp = llm.random_projection(spark, sf)
+    assert rp.count() == 0 and "norm_ratio" in rp.columns
+
+    cont = llm.minhash_containment(spark, sf)
+    assert cont.count() == 0 and "containment_a" in cont.columns
+
+    cells = spark.createDataFrame(
+        [], "vec_id long, v array<double>, nv double, cell int"
+    )
+    sub = llm.semdedup_subcells(cells)
+    assert sub.count() == 0 and "subcell" in sub.columns
+
+
 def test_write_clustered_empty_input(spark, tmp_path):
     """Z-order writer must land an empty (schema-preserving) dataset, not
     crash in the range scaling."""
