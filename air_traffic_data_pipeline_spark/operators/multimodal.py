@@ -248,6 +248,111 @@ def frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, "
+    "out_bytes long, checksum long"
+)
+
+
+def resize_bmp(df: DataFrame, max_side: int = 4) -> DataFrame:
+    """Nearest-neighbor BMP downsample via mapInPandas: REAL bytes in, a
+    REAL resized 24-bit BMP out (new headers + 4-byte-aligned rows), with
+    the resized-pixel checksum reported so an oracle can value-check the
+    resample against the closed-form source pixels.
+
+    Integer-exact NN semantics (mirrorable in SQL): the image scales so
+    max(w, h) <= max_side preserving aspect (nw = max(1, (w*S) div m)),
+    and src_x = (x*w) div nw, src_y = (y*h) div nh. The kernel re-emits a
+    complete BMP and re-parses it before reporting — the round trip is
+    validated inside the executor, not assumed.
+
+    At 100 TB this is the thumbnailing batch shape: payload bytes never
+    leave the executors, output rows are small typed features + (in a real
+    pipeline) the resized payload landed next to the original.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "width",
+                    "height",
+                    "new_width",
+                    "new_height",
+                    "out_bytes",
+                    "checksum",
+                )
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(raw)
+                if raw[0:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                header_size, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
+                if header_size != 40 or bpp != 24:
+                    raise ValueError("unsupported BMP variant")
+                row_size = (w * 3 + 3) // 4 * 4
+                pixels = raw[BMP_HEADER_BYTES:]
+                m = max(w, h)
+                if m <= max_side:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, (w * max_side) // m)
+                    nh = max(1, (h * max_side) // m)
+                nrow = (nw * 3 + 3) // 4 * 4
+                buf = bytearray(nrow * nh)
+                for y in range(nh):
+                    sy = (y * h) // nh
+                    for x in range(nw):
+                        sx = (x * w) // nw
+                        for c in range(3):
+                            buf[y * nrow + x * 3 + c] = pixels[
+                                sy * row_size + sx * 3 + c
+                            ]
+                img_size = nrow * nh
+                out_raw = (
+                    b"BM"
+                    + struct.pack("<IHHI", BMP_HEADER_BYTES + img_size, 0, 0, BMP_HEADER_BYTES)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                    )
+                    + bytes(buf)
+                )
+                # round-trip validation: the emitted file must re-parse
+                hs2, w2, h2, _p2, bpp2 = struct.unpack("<Iii HH".replace(" ", ""), out_raw[14:30])
+                if (hs2, w2, h2, bpp2) != (40, nw, nh, 24):
+                    raise ValueError("resized BMP failed round-trip parse")
+                checksum = sum(
+                    buf[y * nrow + x * 3 + c]
+                    for y in range(nh)
+                    for x in range(nw)
+                    for c in range(3)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["out_bytes"].append(len(out_raw))
+                out["checksum"].append(checksum)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "new_width": pd.Series(out["new_width"], dtype="int32"),
+                    "new_height": pd.Series(out["new_height"], dtype="int32"),
+                    "out_bytes": pd.Series(out["out_bytes"], dtype="int64"),
+                    "checksum": pd.Series(out["checksum"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 # --- honest gate for codecs that truly need external libraries --------------
 
 DECODED_SCHEMA = (

@@ -1006,6 +1006,60 @@ def _md5_abs_i16_sql(h: str, k: int) -> str:
     return f"abs(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
 
 
+MM_RESIZE_MAX_SIDE = 4
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over real BMP bytes: nearest-neighbor downsample to
+    max side 4 inside an Arrow mapInPandas kernel that emits (and
+    round-trip re-parses) a complete new BMP file. The integer-exact NN
+    semantics (src = (dst * src_dim) div dst_dim over md5-cycled source
+    pixels) let the oracle recompute the resized-pixel checksum
+    closed-form — the resample itself is value-checked, not just the
+    dimensions. The thumbnailing shape for multimodal curation at 100 TB:
+    bytes stay on executors, output is small typed rows."""
+    from ..operators.multimodal import attach_bmp_payload, resize_bmp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return resize_bmp(attach_bmp_payload(d), max_side=MM_RESIZE_MAX_SIDE)
+
+
+def _mm_resize_sql() -> str:
+    s = MM_RESIZE_MAX_SIDE
+    hx = _HEXDIGITS
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hh,
+         doc_id % 16 + 1 AS w, (doc_id // 16) % 8 + 1 AS h
+  FROM documents WHERE doc_id < 300),
+dims AS (
+  SELECT doc_id, hh, w, h,
+         CASE WHEN greatest(w, h) <= {s} THEN w
+              ELSE greatest(1, (w * {s}) // greatest(w, h)) END AS nw,
+         CASE WHEN greatest(w, h) <= {s} THEN h
+              ELSE greatest(1, (h * {s}) // greatest(w, h)) END AS nh
+  FROM d),
+px AS (
+  SELECT doc_id, hh, w, h, nw, nh,
+         (((i // (nw * 3)) * h) // nh) * ((w * 3 + 3) // 4 * 4)
+           + ((((i % (nw * 3)) // 3) * w) // nw) * 3 + (i % 3) AS src_idx
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, nw * nh * 3 - 1)) AS i) g),
+vals AS (
+  SELECT doc_id, w, h, nw, nh,
+         (strpos('{hx}', substr(hh, 2 * (src_idx % 16) + 1, 1)) - 1) * 16
+           + (strpos('{hx}', substr(hh, 2 * (src_idx % 16) + 2, 1)) - 1) AS v
+  FROM px)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
+       CAST(54 + ((nw * 3 + 3) // 4 * 4) * nh AS BIGINT) AS out_bytes,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM vals
+GROUP BY doc_id, w, h, nw, nh
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction from REAL WAV bytes: a genuine RIFF/WAVE
     PCM16 file is written per doc (md5 digest = 8 int16 samples; channels and
@@ -3565,6 +3619,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_random_projection", random_projection, _rp_sql()),
     ("llm_minhash_containment", minhash_containment, _CONTAINMENT_SQL),
     ("llm_char_entropy", char_entropy, _ENTROPY_SQL),
+    ("llm_multimodal_resize", multimodal_resize, _mm_resize_sql()),
 ]
 
 

@@ -84,6 +84,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_random_projection",
     "llm_minhash_containment",
     "llm_char_entropy",
+    "llm_multimodal_resize",
     # -- (c) sha256-lane re-entries (old-code green rows exist) ------------
     "llm_minhash_signatures",
     "llm_minhash_near_dup_pairs",

@@ -526,6 +526,44 @@ def test_containment_bounds_jaccard(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} == pairs
 
 
+def test_multimodal_resize_matches_reference_nn(spark):
+    """The distributed BMP resize must match a pure-Python nearest-neighbor
+    reference over the same generated payloads: dims respect max_side with
+    aspect preserved, and the pixel checksum is exact."""
+    from air_traffic_data_pipeline_spark.operators.multimodal import _bmp_bytes
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r.doc_id: r for r in llm.multimodal_resize(spark, SF).collect()}
+    assert set(got) == set(docs)
+    S = llm.MM_RESIZE_MAX_SIDE
+    import struct as _struct
+
+    for doc_id, text in docs.items():
+        raw = _bmp_bytes(doc_id, text)
+        _hs, w, h, _p, _bpp = _struct.unpack("<IiiHH", raw[14:30])
+        m = max(w, h)
+        nw, nh = (w, h) if m <= S else (max(1, w * S // m), max(1, h * S // m))
+        row = (w * 3 + 3) // 4 * 4
+        px = raw[54:]
+        want = sum(
+            px[(y * h // nh) * row + (x * w // nw) * 3 + c]
+            for y in range(nh)
+            for x in range(nw)
+            for c in range(3)
+        )
+        r = got[doc_id]
+        assert (r.width, r.height, r.new_width, r.new_height) == (w, h, nw, nh)
+        assert max(r.new_width, r.new_height) <= max(S, min(w, h))
+        assert r.checksum == want
+        assert r.out_bytes == 54 + ((nw * 3 + 3) // 4 * 4) * nh
+
+
 def test_char_entropy_bounds_and_extremes(spark, tmp_path):
     """0 <= entropy <= log2(n_distinct); a single-character doc scores 0,
     a uniform-alphabet doc scores exactly log2(k) (norm_entropy = 1)."""
