@@ -27,13 +27,34 @@ def haversine_m(lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column) -> C
     expression: the |G|x|S| dense matrix becomes a join + this column.
     """
     la, lb = deg2rad(lat_a), deg2rad(lat_b)
-    dlat = la - lb
-    dlon = deg2rad(lon_a) - deg2rad(lon_b)
+    return haversine_m_pre(la, F.cos(la), deg2rad(lon_a), lb, F.cos(lb), deg2rad(lon_b))
+
+
+def haversine_m_pre(
+    la_rad: Column,
+    cos_la: Column,
+    lon_a_rad: Column,
+    lb_rad: Column,
+    cos_lb: Column,
+    lon_b_rad: Column,
+) -> Column:
+    """Haversine from PRE-CONVERTED radians + per-side cosines.
+
+    Identical arithmetic (same operands, same operation order) as
+    :func:`haversine_m` — IEEE doubles give the same bits whether cos(φ)
+    is evaluated per pair or hoisted to a per-row projection — but inside
+    a radius join the per-side terms (2 cos + 4 deg2rad multiplies) are
+    computed once per INPUT row instead of once per PAIR. Catalyst does
+    not hoist them itself (the projection sits above the join), so the
+    radius-join operators feed this variant from per-side columns.
+    """
+    dlat = la_rad - lb_rad
+    dlon = lon_a_rad - lon_b_rad
     s1 = F.sin(dlat / 2)
     s2 = F.sin(dlon / 2)
     # x*x instead of pow(x, 2): a plain IEEE multiply is bitwise identical
     # across engines, pow() implementations may differ in the last ulp.
-    a = s1 * s1 + F.cos(la) * F.cos(lb) * (s2 * s2)
+    a = s1 * s1 + cos_la * cos_lb * (s2 * s2)
     return F.lit(2.0 * EARTH_RAD) * F.asin(F.sqrt(a))
 
 
