@@ -102,8 +102,15 @@ def dtype_issues(sdf, con, sql):
 
 
 def compare(name, sdf, con, sql, tol=0.0):
-    t0 = time.time()
     sdf = sdf.persist()
+    try:
+        return _compare_persisted(name, sdf, con, sql, tol)
+    finally:
+        sdf.unpersist()
+
+
+def _compare_persisted(name, sdf, con, sql, tol):
+    t0 = time.time()
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     t_spark = time.time() - t0
@@ -152,7 +159,6 @@ def compare(name, sdf, con, sql, tol=0.0):
             notes.extend(tfails)
         elif twarns:
             notes.append("type_warn: " + "; ".join(twarns))
-    sdf.unpersist()
     return status, (f"max_fdelta={max_fdelta:.3e} " + "\n".join(notes)).strip(), t_spark, t_duck
 
 
