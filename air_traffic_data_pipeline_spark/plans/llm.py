@@ -3258,6 +3258,68 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUB
 """
 
 
+# --- boilerplate / template detection (round 4) --------------------------------
+
+
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection à la C4: a word-3-gram is "common" when it
+    appears in >= 1% of documents (and >= 2 absolute — integer arithmetic
+    so both engines agree exactly); each doc reports how much of it is
+    made of common shingles. High fractions flag templates, navigation
+    chrome, and licence blocks — the classic pretraining-corpus cleanup
+    signal.
+
+    Scale shape: shingle→doc-count is one map-side-combining aggregate
+    over the (already distinct) shingle rows; the common set is tiny and
+    broadcasts back onto the same shingle rows; one doc-keyed aggregate
+    finishes. The 1-row corpus total rides a broadcast cross join.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
+    total = d.select(F.count(F.lit(1)).alias("n_total"))
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    common = (
+        counts.crossJoin(F.broadcast(total))
+        .filter((F.col("n_docs") * 100 >= F.col("n_total")) & (F.col("n_docs") >= 2))
+        .select("s", F.lit(1).alias("is_common"))
+    )
+    per_doc = (
+        sh.join(common, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0))).cast("bigint").alias("n_common"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+total AS (SELECT count(*) AS n_total FROM documents),
+counts AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s),
+common AS (
+  SELECT s FROM counts, total
+  WHERE n_docs * 100 >= n_total AND n_docs >= 2),
+per_doc AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM sh LEFT JOIN common c ON sh.s = c.s
+  GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_common,
+       round(CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS boiler_frac
+FROM per_doc
+"""
+
+
 # --- character entropy quality signal (round 4) -------------------------------
 
 
@@ -3620,6 +3682,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_minhash_containment", minhash_containment, _CONTAINMENT_SQL),
     ("llm_char_entropy", char_entropy, _ENTROPY_SQL),
     ("llm_multimodal_resize", multimodal_resize, _mm_resize_sql()),
+    ("llm_boilerplate_fraction", boilerplate_fraction, _BOILERPLATE_SQL),
 ]
 
 

@@ -85,6 +85,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_minhash_containment",
     "llm_char_entropy",
     "llm_multimodal_resize",
+    "llm_boilerplate_fraction",
     # -- (c) sha256-lane re-entries (old-code green rows exist) ------------
     "llm_minhash_signatures",
     "llm_minhash_near_dup_pairs",

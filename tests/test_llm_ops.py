@@ -526,6 +526,37 @@ def test_containment_bounds_jaccard(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} == pairs
 
 
+def test_boilerplate_fraction_invariants(spark):
+    """Every doc accounted for; 0 <= n_common <= n_shingles; the common
+    set honors BOTH thresholds (>= 1% of docs AND >= 2 absolute) — checked
+    by recomputing shingle doc-frequencies exactly."""
+    from collections import Counter
+
+    from air_traffic_data_pipeline_spark.functions.text import shingles
+
+    rows = llm.boilerplate_fraction(spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_common <= r.n_shingles
+        assert abs(r.boiler_frac - round(r.n_common / r.n_shingles, 6)) < 1e-12
+
+    sh = (
+        load(spark, SF, "documents")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .distinct()
+        .collect()
+    )
+    freq = Counter(r.s for r in sh)
+    common = {s for s, c in freq.items() if c * 100 >= n_docs and c >= 2}
+    per_doc = Counter()
+    for r in sh:
+        if r.s in common:
+            per_doc[r.doc_id] += 1
+    for r in rows:
+        assert r.n_common == per_doc.get(r.doc_id, 0)
+
+
 def test_multimodal_resize_matches_reference_nn(spark):
     """The distributed BMP resize must match a pure-Python nearest-neighbor
     reference over the same generated payloads: dims respect max_side with
