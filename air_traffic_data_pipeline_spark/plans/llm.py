@@ -3615,6 +3615,360 @@ vocab{r} AS (
     return f"WITH RECURSIVE {body}\n{finals}"
 
 
+# --- BM25 retrieval scoring (round 4) --------------------------------------
+
+BM25_MAX_ID = 200
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "join", "stream")
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed query-term set — the retrieval
+    pass a contamination sweep or hard-negative miner runs over a training
+    corpus. Uses the +1 idf variant (ln(1 + (N-df+0.5)/(df+0.5))) so terms
+    present in >half the corpus (common in boilerplate-heavy crawls) keep a
+    positive weight instead of flipping the ranking sign.
+
+    Scale shape: the term filter lands BEFORE the tf aggregate, so only
+    query-term postings shuffle (|terms| x docs-containing, not the full
+    token stream); df and avgdl are term-count- and 1-row-sized — both
+    broadcast. Per-term partial scores sum in one doc-keyed aggregate; the
+    final top-k is TakeOrderedAndProject, never a full sort. Determinism:
+    tf/df/dl are exact int64; one fixed double formula per (doc, term),
+    rounded 6 dp AFTER the per-doc sum so ranking tie-breaks see identical
+    values in both engines.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < BM25_MAX_ID)
+    n_docs = float(BM25_MAX_ID)  # doc_ids are dense 0..N-1 in the lake
+    words = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", words.alias("ws")).select(
+        "doc_id", F.size("ws").cast("bigint").alias("dl"), "ws"
+    )
+    # 1-row exact avgdl: int64 sum / constant N (broadcast by AQE)
+    avgdl = docs.agg(
+        (F.sum("dl").cast("double") / F.lit(n_docs)).alias("avgdl")
+    )
+    tok = docs.select("doc_id", "dl", F.explode("ws").alias("w")).filter(
+        F.col("w").isin(*BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    partial = (
+        idf
+        * tfd
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", partial.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows) — the rank window then runs on the k-row result,
+    # never on the full corpus
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(BM25_TOPK)
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < {BM25_MAX_ID}
+),
+avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / {BM25_MAX_ID} AS avgdl FROM docs),
+tok AS (
+  SELECT doc_id, dl, unnest(ws) AS w FROM docs
+),
+tf AS (
+  SELECT doc_id, dl, w, count(*) AS tf FROM tok
+  WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, dl, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + ({BM25_MAX_ID} - CAST(df.df AS DOUBLE) + 0.5)
+                    / (CAST(df.df AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(tf.dl AS DOUBLE) / avgdl.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN avgdl
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored) t
+WHERE rank <= {BM25_TOPK}
+"""
+
+
+# --- inverted index build (round 4) ----------------------------------------
+
+INVIDX_MAX_ID = 200
+INVIDX_POSTINGS_CAP = 5
+INVIDX_MIN_DF = 2
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (document frequency, corpus frequency, capped posting list)
+    — the index-construction pass behind the BM25/contamination queries.
+
+    Scale shape: one (doc, term) tf aggregate (map-side combine collapses
+    repeats before the shuffle), then one term-keyed aggregate. The posting
+    list is HARD-CAPPED at 5 doc ids (sorted, so the cap is
+    deterministic — the lowest ids survive) and serialized to a string:
+    unbounded postings for a stop-word would otherwise build a row as large
+    as the corpus on a single executor. df/cf stay exact int64 over ALL
+    postings — only the stored sample is capped, not the statistics.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < INVIDX_MAX_ID)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list("doc_id")), 1, INVIDX_POSTINGS_CAP
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= INVIDX_MIN_DF)
+    )
+
+
+_INVIDX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < {INVIDX_MAX_ID}
+),
+tf AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY w, doc_id)
+SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{INVIDX_POSTINGS_CAP}], ',') AS postings
+FROM tf GROUP BY w HAVING count(*) >= {INVIDX_MIN_DF}
+"""
+
+
+# --- PMI collocations (round 4) --------------------------------------------
+
+PMI_MIN_FREQ = 30
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation detector ("new york", "machine learning") used to protect
+    multi-word expressions during tokenizer training. PMI =
+    ln(p(w1,w2) / (p(w1) p(w2))) with exact integer counts and the float
+    math deferred to one fixed formula per surviving bigram.
+
+    Scale shape: unigram and bigram tables are vocabulary- and
+    vocabulary²-sized (Zipf-bounded — tiny next to the corpus), built by
+    two map-side-combining aggregates over codegen array zips; the unigram
+    table is broadcast twice into the bigram join. The totals are 1-row
+    broadcasts. A min-frequency floor keeps noise bigrams (whose PMI
+    estimates are garbage anyway) out of the result.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    toks = d.select(ws.alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uf"))
+    )
+    # adjacent pairs: zip(ws[0:n-1], ws[1:n-1]) — codegen slices, no join
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    tot_u = uni.agg(F.sum("uf").cast("double").alias("tu"))
+    tot_b = bi.agg(F.sum("bf").cast("double").alias("tb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("uf").alias("uf1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("uf").alias("uf2"))
+    pmi = F.log(
+        (F.col("bf").cast("double") / F.col("tb"))
+        / (
+            (F.col("uf1").cast("double") / F.col("tu"))
+            * (F.col("uf2").cast("double") / F.col("tu"))
+        )
+    )
+    return (
+        bi.filter(F.col("bf") >= PMI_MIN_FREQ)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select("w1", "w2", F.col("bf").alias("freq"), F.round(pmi, 6).alias("pmi"))
+    )
+
+
+_PMI_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT w, count(*) AS uf FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS bf
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+tu AS (SELECT CAST(sum(uf) AS DOUBLE) AS tu FROM uni),
+tb AS (SELECT CAST(sum(bf) AS DOUBLE) AS tb FROM bi)
+SELECT bi.w1, bi.w2, bi.bf AS freq,
+       round(ln((CAST(bi.bf AS DOUBLE) / tb.tb)
+                / ((CAST(u1.uf AS DOUBLE) / tu.tu)
+                   * (CAST(u2.uf AS DOUBLE) / tu.tu))), 6) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN tu CROSS JOIN tb
+WHERE bi.bf >= {PMI_MIN_FREQ}
+"""
+
+
+# --- k-means Lloyd refinement (round 4) ------------------------------------
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus:
+    deterministic init (per-label fold-mean centroids — the IVF coarse
+    quantizer), cosine reassignment of every vector to its nearest
+    centroid, then exact fold-mean recomputation over the NEW assignment.
+    Output per cluster: member count and how far the centroid moved (L2,
+    6 dp) — the convergence signal a k-means driver loop watches.
+
+    Scale shape per iteration: centroids are k x dim (broadcast); the
+    reassignment is a broadcast nested-loop over k candidates per vector
+    (k << corpus — this is the canonical distributed k-means step, cost
+    O(N·k·dim) map-side with zero shuffle); the recomputation is one
+    (cluster, dim)-keyed aggregate. Nothing all-pairs, nothing
+    corpus-sized on the driver. Extending to T iterations loops this plan
+    T times with a localCheckpoint per round to cut lineage (see
+    bpe_merges for the same pattern under _BPE_CHECKPOINT).
+
+    Determinism: every float reduction is a sequential left-fold over
+    members sorted by vec_id (operators/similarity.py:89 discipline);
+    the oracle runs the identical folds via list_reduce ORDER BY vec_id.
+    """
+    from ..operators.similarity import ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, EMB_DIM).select(
+        F.col("label").alias("k0"), F.col("centroid").alias("c0")
+    )
+    v = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    # reassign: nearest centroid by cosine (label tiebreak)
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("vec"), F.col("c0"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("k0"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("k0").alias("k"), "vec")
+    )
+    # recompute: exact per-dim fold-mean over the new members
+    ex = assigned.select(
+        "k", F.col("vec_id").alias("i"), F.posexplode("vec").alias("pos", "x")
+    )
+    per_dim = ex.groupBy("k", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
+    )
+    m = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
+    ) / F.size("xs")
+    new_c = (
+        per_dim.select("k", "pos", m.alias("m"))
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("k", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c1"))
+    )
+    n_members = assigned.groupBy("k").agg(F.count(F.lit(1)).alias("n_members"))
+    # shift = L2(c0, c1): sequential per-dim fold, sqrt at the end
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("c0"), F.col("c1"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cents.join(new_c, cents.k0 == new_c.k)
+        .join(n_members, "k")
+        .select(
+            F.col("k").alias("cluster"),
+            "n_members",
+            F.round(shift, 6).alias("centroid_shift"),
+        )
+    )
+
+
+_KMEANS_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex GROUP BY label, pos
+),
+cents AS (SELECT label AS k0, list(m ORDER BY pos) AS c0 FROM cent GROUP BY label),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+assigned AS (
+  SELECT vec_id, k0 AS k, vec FROM (
+    SELECT v.vec_id, v.vec, cents.k0,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cosine_sql('vec', 'c0')} DESC, cents.k0) AS rn
+    FROM v CROSS JOIN cents) t WHERE rn = 1
+),
+ex2 AS (
+  SELECT k, vec_id, i - 1 AS pos, vec[i] AS x
+  FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i) g
+),
+cent2 AS (
+  SELECT k, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex2 GROUP BY k, pos
+),
+new_c AS (SELECT k, list(m ORDER BY pos) AS c1 FROM cent2 GROUP BY k),
+n_m AS (SELECT k, count(*) AS n_members FROM assigned GROUP BY k)
+SELECT cents.k0 AS cluster, n_m.n_members,
+       round(sqrt(list_reduce(
+         list_transform(generate_series(1, len(c0)),
+                        i -> (c0[i] - c1[i]) * (c0[i] - c1[i])),
+         (acc, y) -> acc + y)), 6) AS centroid_shift
+FROM cents JOIN new_c ON cents.k0 = new_c.k JOIN n_m ON cents.k0 = n_m.k
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -3683,6 +4037,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_char_entropy", char_entropy, _ENTROPY_SQL),
     ("llm_multimodal_resize", multimodal_resize, _mm_resize_sql()),
     ("llm_boilerplate_fraction", boilerplate_fraction, _BOILERPLATE_SQL),
+    ("llm_bm25_topk", bm25_topk, _BM25_SQL),
+    ("llm_inverted_index", inverted_index, _INVIDX_SQL),
+    ("llm_pmi_collocations", pmi_collocations, _PMI_SQL),
+    ("llm_kmeans_refine", kmeans_refine, _KMEANS_SQL),
 ]
 
 

@@ -175,3 +175,30 @@ def test_write_clustered_empty_input(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 0
     assert set(back.columns) == {"user_id", "value"}
+
+
+def test_retrieval_ops_empty_inputs(spark, tmp_path):
+    """BM25 / inverted index / PMI / k-means over empty tables: typed empty
+    frames, no divide-by-zero or negative-slice surprises."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("documents", "embeddings"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(f"{sf}/{t}.parquet")
+
+    out = llm.bm25_topk(spark, sf)
+    assert out.count() == 0 and set(out.columns) == {"doc_id", "bm25", "rank"}
+
+    idx = llm.inverted_index(spark, sf)
+    assert idx.count() == 0 and "postings" in idx.columns
+
+    pmi = llm.pmi_collocations(spark, sf)
+    assert pmi.count() == 0 and "pmi" in pmi.columns
+
+    km = llm.kmeans_refine(spark, sf)
+    assert km.count() == 0 and set(km.columns) == {
+        "cluster",
+        "n_members",
+        "centroid_shift",
+    }

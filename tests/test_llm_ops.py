@@ -749,3 +749,138 @@ def test_bpe_tokenize_compresses_and_conserves(spark):
     for r in rows:
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars
     assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)
+
+
+def test_bm25_topk_matches_reference(spark):
+    """Recompute BM25 for every returned doc in pure Python (exact integer
+    tf/df/dl, one double formula) and check scores, ordering, and rank."""
+    rows = llm.bm25_topk(spark, SF).collect()
+    assert len(rows) == llm.BM25_TOPK
+    assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id") < llm.BM25_MAX_ID)
+        .collect()
+    }
+    n = float(llm.BM25_MAX_ID)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {
+        t: sum(1 for ws in docs.values() if t in ws) for t in llm.BM25_TERMS
+    }
+    scores = {}
+    for did, ws in docs.items():
+        s = 0.0
+        for t in llm.BM25_TERMS:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += (
+                idf
+                * tf
+                * (llm.BM25_K1 + 1.0)
+                / (tf + llm.BM25_K1 * (1.0 - llm.BM25_B + llm.BM25_B * len(ws) / avgdl))
+            )
+        if s > 0.0:
+            scores[did] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: llm.BM25_TOPK]
+    got = [(r.doc_id, r.bm25) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == want
+
+
+def test_inverted_index_matches_reference(spark):
+    """df/cf exact over ALL postings; stored posting list capped, sorted,
+    ascending, and equal to the lowest doc ids containing the term."""
+    rows = {r.w: r for r in llm.inverted_index(spark, SF).collect()}
+    assert rows, "thresholded index must not be empty on the synthetic corpus"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id") < llm.INVIDX_MAX_ID)
+        .collect()
+    }
+    from collections import Counter
+
+    for w, r in list(rows.items())[:20]:
+        containing = sorted(d for d, ws in docs.items() if w in ws)
+        assert r.df == len(containing) >= llm.INVIDX_MIN_DF
+        assert r.cf == sum(Counter(ws)[w] for ws in docs.values())
+        want = ",".join(str(d) for d in containing[: llm.INVIDX_POSTINGS_CAP])
+        assert r.postings == want
+
+
+def test_pmi_collocations_matches_reference(spark):
+    """Exact unigram/bigram counts and the PMI formula, recomputed from the
+    raw corpus; threshold honored."""
+    from collections import Counter
+
+    rows = llm.pmi_collocations(spark, SF).collect()
+    assert rows
+    texts = [r.text.split(" ") for r in load(spark, SF, "documents").collect()]
+    uni = Counter(w for ws in texts for w in ws)
+    bi = Counter((ws[i], ws[i + 1]) for ws in texts for i in range(len(ws) - 1))
+    tu, tb = float(sum(uni.values())), float(sum(bi.values()))
+    for r in rows:
+        f = bi[(r.w1, r.w2)]
+        assert r.freq == f >= llm.PMI_MIN_FREQ
+        want = round(
+            math.log((f / tb) / ((uni[r.w1] / tu) * (uni[r.w2] / tu))), 6
+        )
+        assert r.pmi == want
+
+
+def test_kmeans_refine_matches_reference(spark):
+    """One full Lloyd iteration recomputed driver-side with the identical
+    sequential fold order (members sorted by vec_id): init centroids,
+    cosine reassignment, new fold-mean centroids, shift and counts."""
+    rows = {r.cluster: r for r in llm.kmeans_refine(spark, SF).collect()}
+    emb = sorted(
+        load(spark, SF, "embeddings").collect(), key=lambda r: r.vec_id
+    )
+    dim = len(emb[0].embedding)
+
+    def fold_mean(members):  # sequential double left-fold per dimension
+        out = []
+        for p in range(dim):
+            acc = 0.0
+            for m in members:
+                acc += float(m.embedding[p])
+            out.append(acc / len(members))
+        return out
+
+    # cosine with the engine's fold shape: dot and norms as left folds
+    def cosine_ref(a, b):
+        d = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r)
+    cents = {k: fold_mean(v) for k, v in sorted(by_label.items())}
+
+    assigned = {}
+    for r in emb:
+        v = [float(x) for x in r.embedding]
+        best = min(
+            ((-cosine_ref(v, c), k) for k, c in cents.items())
+        )  # max sim, label tiebreak
+        assigned.setdefault(best[1], []).append(r)
+
+    assert sum(r.n_members for r in rows.values()) == len(emb)
+    for k, members in assigned.items():
+        assert rows[k].n_members == len(members)
+        new_c = fold_mean(sorted(members, key=lambda m: m.vec_id))
+        shift = math.sqrt(
+            sum((a - b) * (a - b) for a, b in zip(cents[k], new_c))
+        )
+        assert abs(rows[k].centroid_shift - round(shift, 6)) <= 1e-6
