@@ -3969,6 +3969,125 @@ FROM cents JOIN new_c ON cents.k0 = new_c.k JOIN n_m ON cents.k0 = n_m.k
 """
 
 
+# --- TextRank keyword scoring (round 4) ------------------------------------
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 3
+
+
+def textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank: PageRank over the directed word-adjacency graph (nodes =
+    vocabulary, edge w1->w2 weighted by adjacent-bigram count) — the
+    keyword-extraction primitive, and the registry's weighted ITERATIVE
+    float graph algorithm (connected components covers the integer
+    min-propagation case). 3 damped power iterations:
+    PR'(v) = (1-d)/N + d * sum_u PR(u) * wt(u,v) / outw(u).
+
+    Scale shape per iteration: one edge->rank equi-join (edges are
+    vocabulary²-bounded — Zipf keeps this tiny next to the corpus), one
+    target-keyed aggregate, a broadcast out-weight table and a 1-row N.
+    Dangling mass (words with no outgoing edge) follows the simplified
+    PageRank convention — dropped identically in both engines.
+
+    Determinism: the per-target contribution sum is a sequential left-fold
+    over sources sorted by word (the ivf_centroids discipline) so both
+    engines add in the same order. At web-graph scale the in-degree fold
+    array is the bound to watch — swap for plain F.sum when bitwise oracle
+    parity isn't required (float sum is order-nondeterministic but
+    tolerance-stable).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    toks = d.select(ws.alias("ws"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
+    outw = edges.groupBy("w1").agg(F.sum("wt").alias("ow"))
+    nodes = toks.select(F.explode("ws").alias("w")).distinct()
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+
+    dmp = TEXTRANK_DAMPING
+    pr = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "w", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("w", "w1"), "w1")
+            .join(F.broadcast(outw), "w1")
+            .select(
+                "w2",
+                F.struct(
+                    "w1",
+                    (
+                        F.col("pr")
+                        * F.col("wt").cast("double")
+                        / F.col("ow").cast("double")
+                    ).alias("c"),
+                ).alias("s"),
+            )
+            .groupBy("w2")
+            .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+            .select(
+                F.col("w2").alias("w"),
+                F.aggregate(
+                    "ss", F.lit(0.0), lambda a, s: a + s.getField("c")
+                ).alias("contrib"),
+            )
+        )
+        pr = (
+            nodes.join(contrib, "w", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "w",
+                (
+                    F.lit(1.0 - dmp) / F.col("nn")
+                    + F.lit(dmp) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("w", F.round("pr", 6).alias("pr"))
+
+
+def _textrank_sql() -> str:
+    d = TEXTRANK_DAMPING
+    body = """
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+edges AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS wt
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+outw AS (SELECT w1, sum(wt) AS ow FROM edges GROUP BY w1),
+nodes AS (SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM toks)),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+pr0 AS (SELECT w, 1.0 / nn AS pr FROM nodes CROSS JOIN n)"""
+    prev = "pr0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        body += f""",
+c{i} AS (
+  SELECT e.w2 AS w,
+         list_reduce(list(p.pr * CAST(e.wt AS DOUBLE) / CAST(o.ow AS DOUBLE)
+                          ORDER BY e.w1),
+                     (a, b) -> a + b) AS contrib
+  FROM edges e JOIN {prev} p ON e.w1 = p.w JOIN outw o ON e.w1 = o.w1
+  GROUP BY e.w2
+),
+pr{i} AS (
+  SELECT nodes.w,
+         CAST({1.0 - d} AS DOUBLE) / nn
+         + CAST({d} AS DOUBLE) * coalesce(contrib, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c{i} USING (w)
+)"""
+        prev = f"pr{i}"
+    return body + f"\nSELECT w, round(pr, 6) AS pr FROM {prev}"
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -4041,6 +4160,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_inverted_index", inverted_index, _INVIDX_SQL),
     ("llm_pmi_collocations", pmi_collocations, _PMI_SQL),
     ("llm_kmeans_refine", kmeans_refine, _KMEANS_SQL),
+    ("llm_textrank_words", textrank_words, _textrank_sql()),
 ]
 
 

@@ -202,3 +202,6 @@ def test_retrieval_ops_empty_inputs(spark, tmp_path):
         "n_members",
         "centroid_shift",
     }
+
+    tr = llm.textrank_words(spark, sf)
+    assert tr.count() == 0 and set(tr.columns) == {"w", "pr"}

@@ -884,3 +884,36 @@ def test_kmeans_refine_matches_reference(spark):
             sum((a - b) * (a - b) for a, b in zip(cents[k], new_c))
         )
         assert abs(rows[k].centroid_shift - round(shift, 6)) <= 1e-6
+
+
+def test_textrank_matches_reference(spark):
+    """Full 3-iteration damped PageRank recomputed driver-side with the
+    identical per-target fold order (sources sorted by word)."""
+    from collections import Counter, defaultdict
+
+    rows = {r.w: r.pr for r in llm.textrank_words(spark, SF).collect()}
+    texts = [r.text.split(" ") for r in load(spark, SF, "documents").collect()]
+    edges = Counter((ws[i], ws[i + 1]) for ws in texts for i in range(len(ws) - 1))
+    outw = Counter()
+    for (w1, _), wt in edges.items():
+        outw[w1] += wt
+    nodes = sorted({w for ws in texts for w in ws})
+    n = float(len(nodes))
+    assert set(rows) == set(nodes)
+
+    incoming = defaultdict(list)  # target -> [(source, wt)] sorted by source
+    for (w1, w2), wt in sorted(edges.items()):
+        incoming[w2].append((w1, wt))
+
+    d = llm.TEXTRANK_DAMPING
+    pr = {w: 1.0 / n for w in nodes}
+    for _ in range(llm.TEXTRANK_ITERS):
+        new = {}
+        for w in nodes:
+            acc = 0.0
+            for w1, wt in incoming[w]:
+                acc += pr[w1] * float(wt) / float(outw[w1])
+            new[w] = (1.0 - d) / n + d * acc
+        pr = new
+    for w in nodes:
+        assert rows[w] == round(pr[w], 6), w
