@@ -370,3 +370,45 @@ def test_bpe_training_stays_jvm_side(spark):
 
     p = plan(bpe_merges(spark, SF), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_topk_is_takeordered_with_broadcasts(spark):
+    """BM25's global top-k must compile to TakeOrderedAndProject (never a
+    full Sort of the scored corpus) and the df/avgdl side tables must
+    broadcast, not shuffle."""
+    from air_traffic_data_pipeline_spark.plans.llm import bm25_topk
+
+    p = plan(bm25_topk(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # df join
+    assert "BroadcastNestedLoopJoin" in p  # 1-row avgdl
+    assert "SortMergeJoin" not in p
+
+
+def test_pmi_and_textrank_broadcast_vocab_tables(spark):
+    """The vocabulary-sized unigram / out-weight tables must broadcast into
+    the bigram/edge joins — the corpus-sized side never re-shuffles for a
+    dictionary-sized dimension."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        pmi_collocations,
+        textrank_words,
+    )
+
+    p = plan(pmi_collocations(spark, SF), "simple")
+    assert p.count("BroadcastHashJoin") >= 2  # u1 and u2
+    assert "SortMergeJoin" not in p
+
+    p = plan(textrank_words(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p  # out-weight join per iteration
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_is_broadcast_not_cartesian(spark):
+    """The k-candidate reassignment must be a broadcast nested loop over
+    the tiny centroid table — never a CartesianProduct (corpus x corpus)
+    or a corpus shuffle for the centroids."""
+    from air_traffic_data_pipeline_spark.plans.llm import kmeans_refine
+
+    p = plan(kmeans_refine(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
