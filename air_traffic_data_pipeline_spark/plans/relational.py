@@ -3242,6 +3242,46 @@ GROUP BY 1, 2
 """
 
 
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (event type,
+    hour-of-day, coarse value band): equivalence-class sizes plus a
+    violation flag for classes smaller than k — the re-identification-risk
+    check a data-release / training-data governance pass runs before
+    shipping event logs.
+
+    Every bucket is EXACT integer arithmetic (`div`/`%` on epoch-nano
+    int64, floor division on a scaled value) so both engines land rows in
+    identical classes — no float bucketing at the privacy boundary. Scale
+    shape: one map-side-combining aggregate on the QI tuple; output
+    cardinality is the (bounded) QI domain, not the event count.
+    """
+    e = load(spark, sf_dir, "events")
+    hour = F.expr("(ts div 1000000000) div 3600") % 24
+    band = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        e.select(
+            "event_type", hour.alias("hour"), band.alias("value_band")
+        )
+        .groupBy("event_type", "hour", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("k_violation", (F.col("n") < K_ANON_THRESHOLD).cast("int"))
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT event_type,
+       (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+       CAST(floor(value / 25.0) AS BIGINT) AS value_band,
+       count(*) AS n,
+       CAST(CASE WHEN count(*) < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END AS INTEGER) AS k_violation
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -3344,6 +3384,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_ab_test_zscore", ab_test_zscore, AB_TEST_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
+    ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
 ]
 

@@ -293,3 +293,26 @@ def test_ab_test_zscore_matches_numpy(spark):
     row = relational.ab_test_zscore(spark, SF).collect()[0]
     assert row.n_control == len(a) and row.n_treatment == len(b)
     assert abs(row.z_score - round(float(want), 6)) < 1e-6
+
+
+def test_k_anonymity_classes_account_all_events(spark):
+    """Equivalence classes partition the event log exactly; violation flag
+    agrees with the threshold; buckets recomputed driver-side with the
+    same integer arithmetic."""
+    from collections import Counter
+
+    rows = relational.k_anonymity(spark, SF).collect()
+    ev = (
+        relational.load(spark, SF, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    want = Counter(
+        (r.event_type, (r.ts // 1_000_000_000 // 3600) % 24, int(r.value // 25.0))
+        for r in ev
+    )
+    got = {(r.event_type, r.hour, r.value_band): r for r in rows}
+    assert sum(r.n for r in rows) == len(ev)
+    assert {k: v.n for k, v in got.items()} == dict(want)
+    for r in rows:
+        assert r.k_violation == int(r.n < relational.K_ANON_THRESHOLD)
