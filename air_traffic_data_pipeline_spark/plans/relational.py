@@ -3282,6 +3282,109 @@ GROUP BY 1, 2, 3
 """
 
 
+TSM_LEN = 8
+# z-normalized ramp pattern (computed once; repr() round-trips to the same
+# IEEE double in both engines)
+_TSM_MEAN = sum(range(TSM_LEN)) / TSM_LEN
+_TSM_STD = (sum((i - _TSM_MEAN) ** 2 for i in range(TSM_LEN)) / TSM_LEN) ** 0.5
+TSM_PATTERN = tuple((i - _TSM_MEAN) / _TSM_STD for i in range(TSM_LEN))
+TSM_TOPK = 5
+
+
+def tseries_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (cf. PAPERS.md: Time Series Similarity
+    Search for Streaming Data in Distributed Systems, EDBT 2019): find the
+    top-k sliding windows of each user's value series closest — in
+    z-normalized Euclidean distance — to a fixed query pattern (a rising
+    ramp). The subsequence-matching primitive behind motif discovery and
+    anomaly spotting over telemetry.
+
+    Scale shape: windows come from ONE pass of a per-user frame window
+    (`collect_list ROWS BETWEEN L-1 PRECEDING AND CURRENT ROW` — state is
+    L values per partition, never a self-join on time); per-window
+    z-normalization and the distance are sequential in-order folds over
+    the L-element array (codegen higher-order functions); global top-k is
+    TakeOrderedAndProject. Windows with zero variance are filtered — their
+    z-norm is undefined — identically in both engines. Determinism: the
+    frame order is pinned by the unique (ts, event_id) sort; every float
+    step is the same in-order fold in Spark and the DuckDB oracle, and the
+    distance is rounded to 6 dp BEFORE the ranking sort.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(TSM_LEN - 1), 0)
+    )
+    ld = float(TSM_LEN)
+    win = (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("wv", F.collect_list("value").over(w))
+        .filter(F.size("wv") == TSM_LEN)
+    )
+    mean = (
+        F.aggregate("wv", F.lit(0.0), lambda a, x: a + x) / F.lit(ld)
+    )
+    win = win.withColumn("m", mean)
+    var = (
+        F.aggregate(
+            "wv",
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("m")) * (x - F.col("m")),
+        )
+        / F.lit(ld)
+    )
+    win = win.withColumn("s", F.sqrt(var)).filter(F.col("s") > 0.0)
+    pat = F.array(*[F.lit(p) for p in TSM_PATTERN])
+    dist = F.aggregate(
+        F.zip_with(
+            "wv",
+            pat,
+            lambda x, p: ((x - F.col("m")) / F.col("s") - p)
+            * ((x - F.col("m")) / F.col("s") - p),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = win.select(
+        "user_id", "event_id", F.round(dist, 6).alias("dist")
+    )
+    return scored.orderBy("dist", "user_id", "event_id").limit(TSM_TOPK)
+
+
+_TSM_PATTERN_SQL = "[" + ", ".join(repr(p) for p in TSM_PATTERN) + "]"
+TSERIES_MOTIF_SQL = f"""
+WITH win AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {TSM_LEN - 1} PRECEDING AND CURRENT ROW) AS wv
+  FROM events
+),
+full_w AS (SELECT * FROM win WHERE len(wv) = {TSM_LEN}),
+stats AS (
+  SELECT user_id, event_id, wv,
+         list_reduce(wv, (a, x) -> a + x) / CAST({TSM_LEN} AS DOUBLE) AS m
+  FROM full_w
+),
+stats2 AS (
+  SELECT *, sqrt(list_reduce(list_transform(wv, x -> (x - m) * (x - m)),
+                             (a, x) -> a + x) / CAST({TSM_LEN} AS DOUBLE)) AS s
+  FROM stats
+),
+scored AS (
+  SELECT user_id, event_id,
+         round(list_reduce(
+           list_transform(generate_series(1, {TSM_LEN}),
+                          i -> ((wv[i] - m) / s - ({_TSM_PATTERN_SQL})[i])
+                               * ((wv[i] - m) / s - ({_TSM_PATTERN_SQL})[i])),
+           (a, x) -> a + x), 6) AS dist
+  FROM stats2 WHERE s > 0.0
+)
+SELECT user_id, event_id, dist FROM scored
+ORDER BY dist, user_id, event_id LIMIT {TSM_TOPK}
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -3385,6 +3488,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
+    ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
 ]
 

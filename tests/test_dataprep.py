@@ -316,3 +316,43 @@ def test_k_anonymity_classes_account_all_events(spark):
     assert {k: v.n for k, v in got.items()} == dict(want)
     for r in rows:
         assert r.k_violation == int(r.n < relational.K_ANON_THRESHOLD)
+
+
+def test_tseries_motif_matches_reference(spark):
+    """Recompute every user's z-normalized sliding-window distance to the
+    ramp pattern in Python with the identical in-order folds; top-5 must
+    match exactly."""
+    rows = [(r.user_id, r.event_id, r.dist) for r in relational.tseries_motif(spark, SF).collect()]
+    assert len(rows) == relational.TSM_TOPK
+
+    ev = sorted(
+        relational.load(spark, SF, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    L = relational.TSM_LEN
+    pat = relational.TSM_PATTERN
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r)
+    scored = []
+    for uid, rs in per_user.items():
+        for i in range(L - 1, len(rs)):
+            wv = [rs[j].value for j in range(i - L + 1, i + 1)]
+            m = 0.0
+            for x in wv:
+                m += x
+            m /= float(L)
+            v = 0.0
+            for x in wv:
+                v += (x - m) * (x - m)
+            s = (v / float(L)) ** 0.5
+            if not s > 0.0:
+                continue
+            d = 0.0
+            for x, p in zip(wv, pat):
+                d += ((x - m) / s - p) * ((x - m) / s - p)
+            scored.append((uid, rs[i].event_id, round(d, 6)))
+    want = sorted(scored, key=lambda t: (t[2], t[0], t[1]))[: relational.TSM_TOPK]
+    assert rows == want
