@@ -86,7 +86,9 @@ def brute_force_topk(
     )
 
 
-def ivf_centroids(vectors: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
+def ivf_centroids(
+    vectors: DataFrame, dim: int, id_col: str = "vec_id", with_count: bool = False
+) -> DataFrame:
     """Per-label mean vector via posexplode + groupBy — one distributed agg.
 
     The per-dimension mean is computed as a SEQUENTIAL left-fold over members
@@ -96,7 +98,11 @@ def ivf_centroids(vectors: DataFrame, dim: int, id_col: str = "vec_id") -> DataF
     DuckDB oracle runs the identical fold (``list(x ORDER BY vec_id)`` +
     ``list_reduce``). Cost: members of one (label, pos) group materialize as
     one array; cell population per label is the IVF design bound (k-means-ish
-    balance), so the array stays executor-sized at scale."""
+    balance), so the array stays executor-sized at scale.
+
+    ``with_count=True`` adds an ``n_members`` column carried through the same
+    aggregate — callers that also need cluster sizes (k-means refinement)
+    get them without a second pass over the input."""
     exploded = vectors.select(
         "label",
         F.col(id_col).alias("i"),
@@ -108,12 +114,21 @@ def ivf_centroids(vectors: DataFrame, dim: int, id_col: str = "vec_id") -> DataF
     m = F.aggregate(
         F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
     ) / F.size("xs")
-    per_dim = per_dim.select("label", "pos", m.alias("m"))
-    return per_dim.groupBy("label").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-    ).select(
-        "label", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid")
+    per_dim = per_dim.select(
+        "label", "pos", m.alias("m"), F.size("xs").cast("bigint").alias("cnt")
     )
+    out = per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+        # cnt is the member count, constant across pos within a label
+        F.min("cnt").alias("n_members"),
+    )
+    cols = [
+        "label",
+        F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+    ]
+    if with_count:
+        cols.append(F.col("n_members"))
+    return out.select(*cols)
 
 
 def ivf_topk(

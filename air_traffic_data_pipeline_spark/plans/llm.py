@@ -3672,12 +3672,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl"))
         )
     )
+    # per-doc sum of <= |terms| partials as a sorted sequential fold (by
+    # term), not an unordered float F.sum — same bitwise-parity discipline
+    # as the centroid/textrank folds
     scored = (
         tf.join(F.broadcast(df_), "w")
         .crossJoin(F.broadcast(avgdl))
-        .select("doc_id", partial.alias("s"))
+        .select("doc_id", F.struct("w", partial.alias("c")).alias("s"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("ss", F.lit(0.0), lambda a, s: a + s.getField("c")),
+                6,
+            ).alias("bm25"),
+        )
     )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap +
     # driver merge of k rows) — the rank window then runs on the k-row result,
@@ -3707,13 +3717,13 @@ tf AS (
 df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
 scored AS (
   SELECT tf.doc_id,
-         round(sum(
+         round(list_reduce(list(
            ln(1.0 + ({BM25_MAX_ID} - CAST(df.df AS DOUBLE) + 0.5)
                     / (CAST(df.df AS DOUBLE) + 0.5))
            * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
            / (CAST(tf.tf AS DOUBLE)
               + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(tf.dl AS DOUBLE) / avgdl.avgdl))
-         ), 6) AS bm25
+           ORDER BY tf.w), (a, b) -> a + b), 6) AS bm25
   FROM tf JOIN df ON tf.w = df.w CROSS JOIN avgdl
   GROUP BY tf.doc_id
 )
@@ -3778,6 +3788,31 @@ FROM tf GROUP BY w HAVING count(*) >= {INVIDX_MIN_DF}
 PMI_MIN_FREQ = 30
 
 
+def _adjacent_pair_counts(toks: DataFrame, alias: str) -> DataFrame:
+    """Adjacent word-pair counts from a ``ws`` array column: zip of two
+    codegen slices (no join, no posexplode self-join), then one map-side
+    combining aggregate. Shared by PMI and TextRank so the n=1 empty-slice
+    edge and tokenization live in exactly one place."""
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias(alias))
+
+
+def _bigram_counts_sql(alias: str) -> str:
+    """DuckDB mirror of ``_adjacent_pair_counts`` (expects a ``toks`` CTE
+    with a ``ws`` list column in scope)."""
+    return f"""
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS {alias}
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  GROUP BY 1, 2"""
+
+
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over adjacent word pairs — the
     collocation detector ("new york", "machine learning") used to protect
@@ -3800,16 +3835,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("uf"))
     )
-    # adjacent pairs: zip(ws[0:n-1], ws[1:n-1]) — codegen slices, no join
-    pairs = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
-                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    bi = _adjacent_pair_counts(toks, "bf")
     tot_u = uni.agg(F.sum("uf").cast("double").alias("tu"))
     tot_b = bi.agg(F.sum("bf").cast("double").alias("tb"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("uf").alias("uf1"))
@@ -3834,10 +3860,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMI_SQL = f"""
 WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
 uni AS (SELECT w, count(*) AS uf FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
-bi AS (
-  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS bf
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
-  GROUP BY 1, 2
+bi AS ({_bigram_counts_sql("bf")}
 ),
 tu AS (SELECT CAST(sum(uf) AS DOUBLE) AS tu FROM uni),
 tb AS (SELECT CAST(sum(bf) AS DOUBLE) AS tb FROM bi)
@@ -3894,23 +3917,16 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("k0").alias("k"), "vec")
     )
-    # recompute: exact per-dim fold-mean over the new members
-    ex = assigned.select(
-        "k", F.col("vec_id").alias("i"), F.posexplode("vec").alias("pos", "x")
-    )
-    per_dim = ex.groupBy("k", "pos").agg(
-        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
-    )
-    m = F.aggregate(
-        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
-    ) / F.size("xs")
-    new_c = (
-        per_dim.select("k", "pos", m.alias("m"))
-        .groupBy("k")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("k", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c1"))
-    )
-    n_members = assigned.groupBy("k").agg(F.count(F.lit(1)).alias("n_members"))
+    # recompute: the SAME fold-mean kernel as the init (single source of
+    # truth for the fold discipline), with the member count carried through
+    # the one aggregate instead of a second pass over the reassignment
+    new_c = ivf_centroids(
+        assigned.select(
+            F.col("k").alias("label"), "vec_id", F.col("vec").alias("embedding")
+        ),
+        EMB_DIM,
+        with_count=True,
+    ).select(F.col("label").alias("k"), F.col("centroid").alias("c1"), "n_members")
     # shift = L2(c0, c1): sequential per-dim fold, sqrt at the end
     shift = F.sqrt(
         F.aggregate(
@@ -3919,14 +3935,10 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return (
-        cents.join(new_c, cents.k0 == new_c.k)
-        .join(n_members, "k")
-        .select(
-            F.col("k").alias("cluster"),
-            "n_members",
-            F.round(shift, 6).alias("centroid_shift"),
-        )
+    return cents.join(new_c, cents.k0 == new_c.k).select(
+        F.col("k").alias("cluster"),
+        "n_members",
+        F.round(shift, 6).alias("centroid_shift"),
     )
 
 
@@ -3999,15 +4011,7 @@ def textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
     toks = d.select(ws.alias("ws"))
-    pairs = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
-                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
+    edges = _adjacent_pair_counts(toks, "wt")
     outw = edges.groupBy("w1").agg(F.sum("wt").alias("ow"))
     nodes = toks.select(F.explode("ws").alias("w")).distinct()
     ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
@@ -4056,12 +4060,9 @@ def textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _textrank_sql() -> str:
     d = TEXTRANK_DAMPING
-    body = """
+    body = f"""
 WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
-edges AS (
-  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS wt
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
-  GROUP BY 1, 2
+edges AS ({_bigram_counts_sql("wt")}
 ),
 outw AS (SELECT w1, sum(wt) AS ow FROM edges GROUP BY w1),
 nodes AS (SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM toks)),
