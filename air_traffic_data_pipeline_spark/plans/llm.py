@@ -3981,6 +3981,121 @@ FROM cents JOIN new_c ON cents.k0 = new_c.k JOIN n_m ON cents.k0 = n_m.k
 """
 
 
+# --- n-gram novelty curve (round 4) ----------------------------------------
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's word-3-grams
+    whose FIRST corpus appearance (min doc_id) is this doc — the
+    novelty-decay curve dedup/curation teams plot to see how fast a crawl
+    stops contributing new content. Complements boilerplate_fraction
+    (corpus-common shingles) with an ordering-aware signal.
+
+    Scale shape: one shingle-keyed min aggregate, then an equi-join back
+    on the shingle key (the first-seen table is shingle-vocabulary-sized —
+    it SHUFFLES, deliberately not broadcast, because shingle space grows
+    with the corpus), then one doc-keyed aggregate. All counts exact
+    int64; one rounded division at the end.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("novelty_frac"),
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+per_doc AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN firsts f ON sh.s = f.s
+  GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty_frac
+FROM per_doc
+"""
+
+
+# --- co-occurrence triangle enumeration (round 4) ---------------------------
+
+TRI_MIN_WT = 20
+
+
+def cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the thresholded word co-occurrence graph
+    (an edge when an adjacent bigram occurs >= 20 times in either
+    direction): surfaces 3-word cliques — the graph-analytics primitive
+    behind clustering-coefficient / community features, and the third
+    member of the graph family next to connected components (integer
+    propagation) and TextRank (weighted float iteration).
+
+    Scale shape: the standard two-join enumeration over lexicographically
+    oriented edges (a < b): wedge join on the shared middle vertex, then
+    an equi-join probing the closing edge — each triangle emitted exactly
+    once as a < b < c, never a cube-sized cross product. At web scale the
+    orientation key becomes degree order (low-degree vertex first) to
+    bound wedge skew; lexicographic is the same plan shape.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(F.split(F.col("text"), " ").alias("ws"))
+    bi = _adjacent_pair_counts(toks, "wt").filter(F.col("wt") >= TRI_MIN_WT)
+    und = (
+        bi.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wedges = (
+        und.select(F.col("a"), F.col("b").alias("m"))
+        .join(und.select(F.col("a").alias("m"), F.col("b").alias("c")), "m")
+        .select("a", F.col("m").alias("b"), "c")
+    )
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    return (
+        wedges.join(
+            closing,
+            (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
+        )
+        .select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c").alias("w3"))
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bi AS ({_bigram_counts_sql("wt")}
+),
+und AS (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM bi WHERE wt >= {TRI_MIN_WT} AND w1 != w2
+),
+wedges AS (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM und x JOIN und y ON x.b = y.a
+)
+SELECT w.a AS w1, w.b AS w2, w.c AS w3
+FROM wedges w JOIN und z ON w.a = z.a AND w.c = z.b
+"""
+
+
 # --- TextRank keyword scoring (round 4) ------------------------------------
 
 TEXTRANK_DAMPING = 0.85
@@ -4162,6 +4277,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pmi_collocations", pmi_collocations, _PMI_SQL),
     ("llm_kmeans_refine", kmeans_refine, _KMEANS_SQL),
     ("llm_textrank_words", textrank_words, _textrank_sql()),
+    ("llm_ngram_novelty", ngram_novelty, _NOVELTY_SQL),
+    ("llm_cooc_triangles", cooc_triangles, _TRIANGLES_SQL),
 ]
 
 

@@ -917,3 +917,60 @@ def test_textrank_matches_reference(spark):
         pr = new
     for w in nodes:
         assert rows[w] == round(pr[w], 6), w
+
+
+def test_ngram_novelty_matches_reference(spark):
+    """First doc is 100% novel; per-shingle first-seen accounting sums to
+    the distinct-shingle count; every row recomputed from the corpus."""
+    from collections import defaultdict
+
+    from air_traffic_data_pipeline_spark.functions.text import shingles
+
+    rows = {r.doc_id: r for r in llm.ngram_novelty(spark, SF).collect()}
+    sh = (
+        load(spark, SF, "documents")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .distinct()
+        .collect()
+    )
+    per_doc = defaultdict(set)
+    for r in sh:
+        per_doc[r.doc_id].add(r.s)
+    firsts = {}
+    for did in sorted(per_doc):
+        for s in per_doc[did]:
+            firsts.setdefault(s, did)
+    assert sum(r.n_novel for r in rows.values()) == len(firsts)
+    d0 = min(per_doc)
+    assert rows[d0].novelty_frac == 1.0
+    for did, ss in per_doc.items():
+        novel = sum(1 for s in ss if firsts[s] == did)
+        r = rows[did]
+        assert (r.n_shingles, r.n_novel) == (len(ss), novel)
+        assert r.novelty_frac == round(novel / len(ss), 6)
+
+
+def test_cooc_triangles_matches_reference(spark):
+    """Each emitted triangle is lexicographically oriented, all three edges
+    exist in the thresholded graph, and the enumeration is complete."""
+    from collections import Counter
+    from itertools import combinations
+
+    rows = {(r.w1, r.w2, r.w3) for r in llm.cooc_triangles(spark, SF).collect()}
+    texts = [r.text.split(" ") for r in load(spark, SF, "documents").collect()]
+    bi = Counter((ws[i], ws[i + 1]) for ws in texts for i in range(len(ws) - 1))
+    edges = {
+        tuple(sorted(p))
+        for p, c in bi.items()
+        if c >= llm.TRI_MIN_WT and p[0] != p[1]
+    }
+    nodes = sorted({w for e in edges for w in e})
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    }
+    assert rows == want
+    assert want, "thresholded co-occurrence graph should contain triangles"
+    for a, b, c in rows:
+        assert a < b < c
