@@ -298,6 +298,27 @@ def _survivors_sql() -> str:
     return _SURVIVORS_SQL
 
 
+def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_topk_user_value
+
+    return incremental_topk_user_value(spark, sf_dir)
+
+
+INCREMENTAL_TOPK_SQL = """
+WITH agg AS (
+  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, CAST(v AS DOUBLE) AS total_value,
+         row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id) AS rank
+  FROM agg
+)
+SELECT event_type, user_id, total_value, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -312,6 +333,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_sessionize_batch", sessionize_events, SESSIONIZE_SQL),
     ("stream_incremental_cms", stream_incremental_cms, _incremental_cms_sql()),
     ("stream_incremental_near_dup", stream_incremental_near_dup, _survivors_sql()),
+    ("stream_incremental_topk", stream_incremental_topk, INCREMENTAL_TOPK_SQL),
 ]
 
 if _tws_available():

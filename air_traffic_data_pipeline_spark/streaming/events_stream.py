@@ -637,3 +637,73 @@ def incremental_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_topk_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k maintenance: the non-distributive-final-op case of
+    incremental materialized-view upkeep. Each micro-batch lands its OWN
+    partial (event_type, user_id) value sums as exact DECIMAL(18,2) —
+    decimal addition is associative and commutative, so the merged totals
+    are BITWISE equal to a one-shot batch aggregate no matter how the file
+    source slices the input — and the top-3-per-type ranking runs on the
+    merged, user-cardinality-sized state, never on raw events.
+
+    The 100 TB pattern: per-batch state is one row per touched (type,
+    user); the merge re-aggregates partials; a late contribution to ANY
+    key simply lands in a later partial and re-ranks — no replay of
+    history. Contrast incremental_cms_user_freq (distributive sketch
+    merge): top-k cannot be merged rank-wise, so the partials must stay at
+    key granularity — exactly what this plan keeps bounded.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_topk_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy("event_type", "user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+        )
+        part.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{base}/batch=*")
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("v").alias("v"))
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("v").desc(), F.col("user_id")
+        )
+        out = (
+            merged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 3)
+            .select(
+                "event_type",
+                "user_id",
+                F.col("v").cast("double").alias("total_value"),
+                "rank",
+            )
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

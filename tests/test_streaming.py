@@ -514,3 +514,38 @@ def test_incremental_near_dup_equals_batch(spark):
     assert got == want
     # the corpus contains near-dups, so the dedup must actually kill some
     assert len(got) < load(spark, sf, "documents").count()
+
+
+def test_incremental_topk_equals_batch(spark):
+    """Per-micro-batch decimal partials merged then ranked must equal the
+    one-shot batch top-3 per event type exactly (decimal addition is
+    associative — batch slicing can't change the totals)."""
+    from decimal import Decimal
+
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        _load_canonical_events,
+        incremental_topk_user_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.event_type, r.user_id, r.total_value, r.rank)
+        for r in incremental_topk_user_value(spark, sf).collect()
+    )
+
+    ev = _load_canonical_events(spark, sf).select(
+        "event_type", "user_id", "value"
+    ).collect()
+    totals = {}
+    for r in ev:
+        k = (r.event_type, r.user_id)
+        totals[k] = totals.get(k, Decimal(0)) + Decimal(str(round(r.value, 2)))
+    by_type = {}
+    for (et, uid), v in totals.items():
+        by_type.setdefault(et, []).append((uid, v))
+    want = []
+    for et, rows in by_type.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for i, (uid, v) in enumerate(rows[:3], start=1):
+            want.append((et, uid, float(v), i))
+    assert got == sorted(want)
