@@ -205,3 +205,21 @@ def test_retrieval_ops_empty_inputs(spark, tmp_path):
 
     tr = llm.textrank_words(spark, sf)
     assert tr.count() == 0 and set(tr.columns) == {"w", "pr"}
+
+
+def test_events_ops_empty_inputs(spark, tmp_path):
+    """k-anonymity and the time-series motif over an empty event log:
+    typed empty frames (no windows survive the L-length filter)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "events").filter(F.lit(False)).write.parquet(
+        f"{sf}/events.parquet"
+    )
+
+    ka = relational.k_anonymity(spark, sf)
+    assert ka.count() == 0 and "k_violation" in ka.columns
+
+    tm = relational.tseries_motif(spark, sf)
+    assert tm.count() == 0 and set(tm.columns) == {"user_id", "event_id", "dist"}
