@@ -4096,6 +4096,64 @@ FROM wedges w JOIN und z ON w.a = z.a AND w.c = z.b
 """
 
 
+# --- weighted reservoir sampling (round 4) ----------------------------------
+
+WRS_K = 5
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted reservoir sampling (A-Res), top-k per
+    source: each doc draws a deterministic uniform u from its id hash and
+    is ranked by ln(u)/w — the monotone form of the paper's u^(1/w) key —
+    with w = n_chars, so longer docs win proportionally more slots.
+    Completes the sampling family: stratified_sample (unweighted gate),
+    importance_resample (probabilistic keep), this (exact-k weighted).
+
+    Determinism at 100 TB: the key is a pure function of (doc_id,
+    n_chars) — identical under re-runs, partition retries, and engine
+    choice (the md5-hex-to-int arithmetic is the shared hashes.py kernel;
+    u = (h16 + 0.5)/65536 keeps ln away from 0). Scale shape: stateless
+    key projection + per-source top-k window — one shuffle on source,
+    never a global sort; at extreme group cardinality swap the window for
+    a groupBy/max_by-k aggregate (same semantics, pre-aggregated).
+    """
+    from ..functions.hashes import hex4_to_int
+
+    d = load(spark, sf_dir, "documents")
+    u = (
+        hex4_to_int(F.md5(F.col("doc_id").cast("string"))) + F.lit(0.5)
+    ) / F.lit(65536.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    scored = d.select(
+        "source", "doc_id", "n_chars", F.round(key, 6).alias("res_key")
+    )
+    w = W.partitionBy("source").orderBy(F.col("res_key").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= WRS_K)
+        .select("source", "doc_id", "n_chars", "res_key", "rank")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from ..functions.hashes import hex4_to_int_sql
+
+    h = hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         round(ln(({h} + CAST(0.5 AS DOUBLE)) / CAST(65536.0 AS DOUBLE))
+               / CAST(n_chars AS DOUBLE), 6) AS res_key
+  FROM documents
+)
+SELECT source, doc_id, n_chars, res_key, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY res_key DESC, doc_id) AS rank
+  FROM scored) t
+WHERE rank <= {WRS_K}
+"""
+
+
 # --- TextRank keyword scoring (round 4) ------------------------------------
 
 TEXTRANK_DAMPING = 0.85
@@ -4279,6 +4337,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_textrank_words", textrank_words, _textrank_sql()),
     ("llm_ngram_novelty", ngram_novelty, _NOVELTY_SQL),
     ("llm_cooc_triangles", cooc_triangles, _TRIANGLES_SQL),
+    ("llm_weighted_sample", weighted_sample, _weighted_sample_sql()),
 ]
 
 

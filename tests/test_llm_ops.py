@@ -974,3 +974,34 @@ def test_cooc_triangles_matches_reference(spark):
     assert want, "thresholded co-occurrence graph should contain triangles"
     for a, b, c in rows:
         assert a < b < c
+
+
+def test_weighted_sample_matches_reference(spark):
+    """A-Res keys recomputed exactly (same md5-hex arithmetic, ln(u)/w
+    monotone form); per-source top-5 and weighting direction verified."""
+    import hashlib
+
+    rows = llm.weighted_sample(spark, SF).collect()
+    docs = load(spark, SF, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+
+    def key(doc_id, n_chars):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        h16 = int(h[:4], 16)
+        return round(math.log((h16 + 0.5) / 65536.0) / float(n_chars), 6)
+
+    per_source = {}
+    for r in docs:
+        per_source.setdefault(r.source, []).append(
+            (key(r.doc_id, r.n_chars), r.doc_id, r.n_chars)
+        )
+    want = set()
+    for src, ks in per_source.items():
+        ks.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (k, did, nc) in enumerate(ks[: llm.WRS_K], start=1):
+            want.add((src, did, nc, k, rank))
+    got = {(r.source, r.doc_id, r.n_chars, r.res_key, r.rank) for r in rows}
+    assert got == want
+    for src, ks in per_source.items():
+        assert len([1 for t in want if t[0] == src]) == min(llm.WRS_K, len(ks))
