@@ -3274,9 +3274,10 @@ def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the same shingle rows; one doc-keyed aggregate
     finishes. The 1-row corpus total rides a broadcast cross join.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
-    total = d.select(F.count(F.lit(1)).alias("n_total"))
+    sh = _shingle_rows(spark, sf_dir)
+    total = load(spark, sf_dir, "documents").select(
+        F.count(F.lit(1)).alias("n_total")
+    )
     counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     common = (
         counts.crossJoin(F.broadcast(total))
@@ -3788,11 +3789,23 @@ FROM tf GROUP BY w HAVING count(*) >= {INVIDX_MIN_DF}
 PMI_MIN_FREQ = 30
 
 
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization of the corpus as a ``ws`` array column —
+    THE place the word-graph tokenizer lives (PMI, triangles, TextRank all
+    start here; ``_TOKS_SQL`` is the DuckDB mirror)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return d.select(F.split(F.col("text"), " ").alias("ws"))
+
+
+_TOKS_SQL = "SELECT string_split(text, ' ') AS ws FROM documents"
+
+
 def _adjacent_pair_counts(toks: DataFrame, alias: str) -> DataFrame:
     """Adjacent word-pair counts from a ``ws`` array column: zip of two
     codegen slices (no join, no posexplode self-join), then one map-side
-    combining aggregate. Shared by PMI and TextRank so the n=1 empty-slice
-    edge and tokenization live in exactly one place."""
+    combining aggregate. Shared by PMI, triangles, and TextRank (which
+    tokenize via ``_doc_words``) so the n=1 empty-slice edge lives in
+    exactly one place."""
     pairs = toks.select(
         F.explode(
             F.arrays_zip(
@@ -3827,9 +3840,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts. A min-frequency floor keeps noise bigrams (whose PMI
     estimates are garbage anyway) out of the result.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
-    toks = d.select(ws.alias("ws"))
+    toks = _doc_words(spark, sf_dir)
     uni = (
         toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
@@ -3858,7 +3869,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PMI_SQL = f"""
-WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+WITH toks AS ({_TOKS_SQL}),
 uni AS (SELECT w, count(*) AS uf FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
 bi AS ({_bigram_counts_sql("bf")}
 ),
@@ -3902,7 +3913,13 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_centroids
 
-    e = load(spark, sf_dir, "embeddings")
+    # pin the domain to well-formed fixed-width vectors: a malformed (empty
+    # or ragged) embedding would vanish from the posexplode fold while the
+    # oracle's count(*) still saw it — filter identically on both sides
+    # instead of diverging silently
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
     cents = ivf_centroids(e, EMB_DIM).select(
         F.col("label").alias("k0"), F.col("centroid").alias("c0")
     )
@@ -3943,9 +3960,10 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_SQL = f"""
-WITH ex AS (
+WITH emb AS (SELECT * FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+ex AS (
   SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
 ),
 cent AS (
   SELECT label, pos,
@@ -3953,7 +3971,7 @@ cent AS (
   FROM ex GROUP BY label, pos
 ),
 cents AS (SELECT label AS k0, list(m ORDER BY pos) AS c0 FROM cent GROUP BY label),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM emb),
 assigned AS (
   SELECT vec_id, k0 AS k, vec FROM (
     SELECT v.vec_id, v.vec, cents.k0,
@@ -3997,8 +4015,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus), then one doc-keyed aggregate. All counts exact
     int64; one rounded division at the end.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    sh = exploded_shingles(d.select("doc_id", "text")).distinct()
+    sh = _shingle_rows(spark, sf_dir)
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first, "s")
@@ -4054,8 +4071,7 @@ def cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation key becomes degree order (low-degree vertex first) to
     bound wedge skew; lexicographic is the same plan shape.
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    toks = d.select(F.split(F.col("text"), " ").alias("ws"))
+    toks = _doc_words(spark, sf_dir)
     bi = _adjacent_pair_counts(toks, "wt").filter(F.col("wt") >= TRI_MIN_WT)
     und = (
         bi.select(
@@ -4080,7 +4096,7 @@ def cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_SQL = f"""
-WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+WITH toks AS ({_TOKS_SQL}),
 bi AS ({_bigram_counts_sql("wt")}
 ),
 und AS (
@@ -4181,9 +4197,7 @@ def textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity isn't required (float sum is order-nondeterministic but
     tolerance-stable).
     """
-    d = fan_out(load(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
-    toks = d.select(ws.alias("ws"))
+    toks = _doc_words(spark, sf_dir)
     edges = _adjacent_pair_counts(toks, "wt")
     outw = edges.groupBy("w1").agg(F.sum("wt").alias("ow"))
     nodes = toks.select(F.explode("ws").alias("w")).distinct()
@@ -4234,7 +4248,7 @@ def textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _textrank_sql() -> str:
     d = TEXTRANK_DAMPING
     body = f"""
-WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+WITH toks AS ({_TOKS_SQL}),
 edges AS ({_bigram_counts_sql("wt")}
 ),
 outw AS (SELECT w1, sum(wt) AS ow FROM edges GROUP BY w1),

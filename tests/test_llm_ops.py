@@ -1005,3 +1005,18 @@ def test_weighted_sample_matches_reference(spark):
     assert got == want
     for src, ks in per_source.items():
         assert len([1 for t in want if t[0] == src]) == min(llm.WRS_K, len(ks))
+
+
+def test_kmeans_refine_excludes_malformed_vectors(spark, tmp_path):
+    """An empty/ragged embedding row must be excluded from BOTH membership
+    counts and centroids (pinned domain filter) — not silently dropped by
+    the fold while the oracle still counts it."""
+    sf = str(tmp_path)
+    good = load(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    bad = spark.createDataFrame(
+        [(9990, [], 0), (9991, [1.0, 2.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    good.unionByName(bad).write.parquet(f"{sf}/embeddings.parquet")
+    rows = llm.kmeans_refine(spark, sf).collect()
+    assert sum(r.n_members for r in rows) == 40
