@@ -4112,6 +4112,48 @@ FROM wedges w JOIN und z ON w.a = z.a AND w.c = z.b
 """
 
 
+# --- language-ID confusion matrix (round 4) ---------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-profile language classifier:
+    (gold, guess) counts plus each cell's share of its gold class (the
+    per-class recall on the diagonal) — the evaluation pass that turns a
+    classifier query into a quality dashboard, mirroring ann_recall_eval
+    for the retrieval side.
+
+    Scale shape: composes the deterministic lang_id plan with one
+    (gold, guess) aggregate (cardinality = |langs|², tiny) and a
+    broadcast join against per-gold totals. Exact integer counts; one
+    rounded division per cell.
+    """
+    pred = lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n"))
+    totals = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "guess",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("gold_frac"),
+        )
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+cells AS (SELECT lang, guess, count(*) AS n FROM pred GROUP BY 1, 2),
+totals AS (SELECT lang, count(*) AS tot FROM pred GROUP BY 1)
+SELECT cells.lang, cells.guess, cells.n,
+       round(CAST(cells.n AS DOUBLE) / CAST(totals.tot AS DOUBLE), 6) AS gold_frac
+FROM cells JOIN totals ON cells.lang = totals.lang
+"""
+
+
 # --- weighted reservoir sampling (round 4) ----------------------------------
 
 WRS_K = 5
@@ -4352,6 +4394,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ngram_novelty", ngram_novelty, _NOVELTY_SQL),
     ("llm_cooc_triangles", cooc_triangles, _TRIANGLES_SQL),
     ("llm_weighted_sample", weighted_sample, _weighted_sample_sql()),
+    ("llm_langid_confusion", langid_confusion, _langid_confusion_sql()),
 ]
 
 

@@ -3282,6 +3282,61 @@ GROUP BY 1, 2, 3
 """
 
 
+SKEW_BUCKETS = 32
+
+
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: rows per hash bucket of the join key
+    (md5-derived, the shared hashes.py kernel — an engine-neutral proxy
+    for a hash partitioner) with each bucket's load factor vs the uniform
+    ideal. The measurement an operator runs BEFORE choosing between plain
+    shuffle, salting, and AQE skew-join on a 100 TB fact — rel_salted_join
+    is the cure; this is the diagnosis.
+
+    Scale shape: one map-side-combining aggregate producing exactly
+    SKEW_BUCKETS rows; exact integer counts, one rounded division.
+    """
+    from ..functions.hashes import hex4_to_int
+
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        hex4_to_int(F.md5(F.col("l_orderkey").cast("string"))) % SKEW_BUCKETS
+    ).cast("bigint")
+    per = li.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per.agg(F.sum("n_rows").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.lit(float(SKEW_BUCKETS))
+                / F.col("total").cast("double"),
+                6,
+            ).alias("load_factor"),
+        )
+    )
+
+
+def _skew_diagnostics_sql() -> str:
+    from ..functions.hashes import hex4_to_int_sql
+
+    h = hex4_to_int_sql("md5(CAST(l_orderkey AS VARCHAR))")
+    return f"""
+WITH per AS (
+  SELECT {h} % {SKEW_BUCKETS} AS bucket, count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM per)
+SELECT bucket, n_rows,
+       round(CAST(n_rows AS DOUBLE) * {float(SKEW_BUCKETS)} / total, 6) AS load_factor
+FROM per CROSS JOIN total
+"""
+
+
 TSM_LEN = 8
 # z-normalized ramp pattern (computed once; repr() round-trips to the same
 # IEEE double in both engines)
@@ -3492,6 +3547,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
+    ("rel_skew_diagnostics", skew_diagnostics, _skew_diagnostics_sql()),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
 ]
 

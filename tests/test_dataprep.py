@@ -375,3 +375,14 @@ def test_tseries_motif_ignores_null_values(spark, tmp_path):
     rows = out.collect()
     assert 0 < len(rows) <= relational.TSM_TOPK
     assert all(r.dist is not None for r in rows)
+
+
+def test_skew_diagnostics_partitions_all_rows(spark):
+    """Buckets partition the fact exactly; load factors average to 1."""
+    rows = relational.skew_diagnostics(spark, SF).collect()
+    n = relational.load(spark, SF, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == n
+    assert 0 < len(rows) <= relational.SKEW_BUCKETS
+    total_lf = sum(r.load_factor * r.n_rows for r in rows)
+    for r in rows:
+        assert abs(r.load_factor - round(r.n_rows * relational.SKEW_BUCKETS / n, 6)) < 1e-9

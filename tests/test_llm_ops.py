@@ -1020,3 +1020,20 @@ def test_kmeans_refine_excludes_malformed_vectors(spark, tmp_path):
     good.unionByName(bad).write.parquet(f"{sf}/embeddings.parquet")
     rows = llm.kmeans_refine(spark, sf).collect()
     assert sum(r.n_members for r in rows) == 40
+
+
+def test_langid_confusion_accounts_all_docs(spark):
+    """Confusion cells partition the corpus; per-gold fractions sum to 1;
+    diagonal agrees with lang_id's correct flags."""
+    rows = llm.langid_confusion(spark, SF).collect()
+    pred = llm.lang_id(spark, SF).collect()
+    assert sum(r.n for r in rows) == len(pred)
+    per_gold = {}
+    for r in rows:
+        per_gold.setdefault(r.lang, []).append(r)
+    for lang, cells in per_gold.items():
+        tot = sum(c.n for c in cells)
+        assert abs(sum(c.gold_frac for c in cells) - 1.0) < 1e-5
+        diag = sum(c.n for c in cells if c.guess == lang)
+        correct = sum(1 for p in pred if p.lang == lang and p.correct)
+        assert diag == correct
