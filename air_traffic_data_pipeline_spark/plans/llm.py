@@ -4112,6 +4112,107 @@ FROM wedges w JOIN und z ON w.a = z.a AND w.c = z.b
 """
 
 
+# --- minhash dedup precision/recall eval (round 4) ---------------------------
+
+DEDUP_EVAL_MAX_ID = 200
+
+
+def dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash→LSH→verify near-dup pipeline against
+    exact all-pairs Jaccard ground truth on a bounded doc range — the
+    dedup-side mirror of ann_recall_eval: the banding approximation's miss
+    rate becomes an oracle-checked number instead of folklore. Precision
+    is 1.0 by construction (the pipeline exact-verifies candidates);
+    recall measures pairs the band join never surfaced.
+
+    Scale shape: ground truth is the O(N²) exact kernel, so it runs on an
+    evaluation SAMPLE (doc_id < 200) — exactly how a production pipeline
+    audits its LSH parameters; the predicted side reuses the banded
+    pipeline unchanged. Output is one row of exact counts + two rounded
+    ratios (NULL-guarded when a side is empty).
+    """
+    lim = DEDUP_EVAL_MAX_ID
+    sh = _shingle_rows(spark, sf_dir).filter(F.col("doc_id") < lim)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    truth = (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(F.round(jac, 6) >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    pred = minhash_near_dup_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < lim) & (F.col("doc_b") < lim)
+    ).select("doc_a", "doc_b")
+    tp = truth.join(pred, ["doc_a", "doc_b"]).select("doc_a")
+    stats = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    )
+    return stats.select(
+        "n_truth",
+        "n_pred",
+        "n_tp",
+        ratio("n_tp", "n_pred").alias("precision"),
+        ratio("n_tp", "n_truth").alias("recall"),
+    )
+
+
+_DEDUP_PR_SQL = f"""
+WITH sh0 AS ({_SHINGLE_ROWS_SQL}),
+sh AS (SELECT * FROM sh0 WHERE doc_id < {DEDUP_EVAL_MAX_ID}),
+cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN cnts na ON na.doc_id = doc_a JOIN cnts nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= CAST(0.2 AS DOUBLE)
+),
+pred0 AS ({_MINHASH_PAIRS_SQL}),
+pred AS (SELECT doc_a, doc_b FROM pred0
+         WHERE doc_a < {DEDUP_EVAL_MAX_ID} AND doc_b < {DEDUP_EVAL_MAX_ID}),
+tp AS (SELECT t.doc_a FROM truth t JOIN pred p USING (doc_a, doc_b)),
+stats AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM tp) AS n_tp
+)
+SELECT n_truth, n_pred, n_tp,
+       CASE WHEN n_pred > 0
+            THEN round(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall
+FROM stats
+"""
+
+
 # --- language-ID confusion matrix (round 4) ---------------------------------
 
 
@@ -4395,6 +4496,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_cooc_triangles", cooc_triangles, _TRIANGLES_SQL),
     ("llm_weighted_sample", weighted_sample, _weighted_sample_sql()),
     ("llm_langid_confusion", langid_confusion, _langid_confusion_sql()),
+    ("llm_dedup_pr_eval", dedup_pr_eval, _DEDUP_PR_SQL),
 ]
 
 

@@ -1037,3 +1037,21 @@ def test_langid_confusion_accounts_all_docs(spark):
         diag = sum(c.n for c in cells if c.guess == lang)
         correct = sum(1 for p in pred if p.lang == lang and p.correct)
         assert diag == correct
+
+
+def test_dedup_pr_eval_invariants(spark):
+    """tp <= min(truth, pred); pipeline precision is 1.0 by construction
+    (every predicted pair is exact-verified at the same threshold); counts
+    consistent with the pipeline's own pair list."""
+    row = llm.dedup_pr_eval(spark, SF).collect()[0]
+    assert row.n_tp <= min(row.n_truth, row.n_pred)
+    pred = {
+        (r.doc_a, r.doc_b)
+        for r in llm.minhash_near_dup_pairs(spark, SF).collect()
+        if r.doc_a < llm.DEDUP_EVAL_MAX_ID and r.doc_b < llm.DEDUP_EVAL_MAX_ID
+    }
+    assert row.n_pred == len(pred)
+    if row.n_pred:
+        assert row.precision == 1.0
+    if row.n_truth:
+        assert 0.0 <= row.recall <= 1.0
