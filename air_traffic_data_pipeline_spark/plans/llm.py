@@ -1256,6 +1256,62 @@ FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+# --- decontamination filter (round 4) ---------------------------------------
+
+DECONTAM_MAX_FRAC = 0.5
+
+
+def decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of decontamination: drop corpus docs whose benchmark
+    shingle overlap reaches the threshold, and report per-source
+    kept/removed counts plus the characters removed — the audit line a
+    training-data release ships next to its eval scores
+    (contamination_check measures; this enforces and accounts).
+
+    Scale shape: composes the broadcast-bench contamination plan with one
+    per-source aggregate. Docs too short to produce a shingle have no
+    contamination row and are kept (coalesce to 0.0 — identical in the
+    oracle).
+    """
+    contam = contamination_check(spark, sf_dir).select(
+        "doc_id", F.col("contamination").alias("cf")
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+        .select("doc_id", "source", "n_chars")
+    )
+    j = d.join(contam, "doc_id", "left").withColumn(
+        "removed",
+        (F.coalesce("cf", F.lit(0.0)) >= DECONTAM_MAX_FRAC).cast("int"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum("removed")).cast("bigint").alias("n_kept"),
+        F.sum(F.col("n_chars") * F.col("removed")).cast("bigint").alias("chars_removed"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH contam AS ({_CONTAM_SQL}),
+d AS (SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id >= {CONTAM_BENCH_MAX_ID}),
+j AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN coalesce(c.contamination, CAST(0.0 AS DOUBLE))
+                   >= CAST({DECONTAM_MAX_FRAC} AS DOUBLE)
+              THEN 1 ELSE 0 END AS removed
+  FROM d LEFT JOIN contam c ON d.doc_id = c.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(count(*) - sum(removed) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars * removed) AS BIGINT) AS chars_removed
+FROM j GROUP BY source
+"""
+
+
 # --- deterministic stratified sampling ------------------------------------
 
 SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 0.75}
@@ -4497,6 +4553,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_weighted_sample", weighted_sample, _weighted_sample_sql()),
     ("llm_langid_confusion", langid_confusion, _langid_confusion_sql()),
     ("llm_dedup_pr_eval", dedup_pr_eval, _DEDUP_PR_SQL),
+    ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
 ]
 
 

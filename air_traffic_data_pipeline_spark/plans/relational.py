@@ -3282,6 +3282,73 @@ GROUP BY 1, 2, 3
 """
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each reading holds
+    until the next one, so its weight is the interval it was live —
+    the standard correction when sampling is irregular (a value held for
+    an hour counts 3600× one held a second). The last reading per user
+    has no successor interval and is excluded, identically in both
+    engines.
+
+    Determinism: interval weights are EXACT epoch-nano int64 differences
+    (their sum is an exact bigint — associative, safe to F.sum); only the
+    value×dt products are floats, summed as a sequential fold over
+    readings sorted by (ts, event_id). One shuffle on user_id; per-user
+    arrays are session-sized. Zero total duration (all readings
+    simultaneous) yields NULL, not a division error.
+    """
+    e = load(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e2 = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("nxt", F.lead("ts").over(win))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("dt", F.col("nxt") - F.col("ts"))
+    )
+    per = e2.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts",
+                    "event_id",
+                    (F.col("value") * F.col("dt").cast("double")).alias("term"),
+                )
+            )
+        ).alias("terms"),
+        F.sum("dt").alias("dt_sum"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    num = F.aggregate("terms", F.lit(0.0), lambda a, s: a + s.getField("term"))
+    return per.select(
+        "user_id",
+        "n_intervals",
+        F.when(
+            F.col("dt_sum") > 0,
+            F.round(num / F.col("dt_sum").cast("double"), 6),
+        ).alias("twa_value"),
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH e2 AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id, value,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+),
+iv AS (
+  SELECT user_id, tsn, event_id, value, nxt - tsn AS dt
+  FROM e2 WHERE nxt IS NOT NULL
+)
+SELECT user_id, count(*) AS n_intervals,
+       CASE WHEN sum(dt) > 0
+            THEN round(list_reduce(list(value * CAST(dt AS DOUBLE)
+                                        ORDER BY tsn, event_id),
+                                   (a, b) -> a + b)
+                       / CAST(sum(dt) AS DOUBLE), 6) END AS twa_value
+FROM iv GROUP BY user_id
+"""
+
+
 SKEW_BUCKETS = 32
 
 
@@ -3548,6 +3615,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_skew_diagnostics", skew_diagnostics, _skew_diagnostics_sql()),
+    ("rel_time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
 ]
 

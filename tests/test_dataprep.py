@@ -386,3 +386,34 @@ def test_skew_diagnostics_partitions_all_rows(spark):
     total_lf = sum(r.load_factor * r.n_rows for r in rows)
     for r in rows:
         assert abs(r.load_factor - round(r.n_rows * relational.SKEW_BUCKETS / n, 6)) < 1e-9
+
+
+def test_time_weighted_avg_matches_reference(spark):
+    """TWAP recomputed per user with exact nano intervals and the same
+    sorted fold; users with a single reading are excluded."""
+    rows = {r.user_id: r for r in relational.time_weighted_avg(spark, SF).collect()}
+    ev = sorted(
+        relational.load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in per_user.items():
+        if len(rs) < 2:
+            assert uid not in rows
+            continue
+        num = 0.0
+        dt_sum = 0
+        for a, b in zip(rs, rs[1:]):
+            dt = b.ts - a.ts
+            num += a.value * float(dt)
+            dt_sum += dt
+        r = rows[uid]
+        assert r.n_intervals == len(rs) - 1
+        if dt_sum > 0:
+            assert r.twa_value == round(num / float(dt_sum), 6)
+        else:
+            assert r.twa_value is None

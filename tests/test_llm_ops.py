@@ -1055,3 +1055,32 @@ def test_dedup_pr_eval_invariants(spark):
         assert row.precision == 1.0
     if row.n_truth:
         assert 0.0 <= row.recall <= 1.0
+
+
+def test_decontam_filter_accounts_every_corpus_doc(spark):
+    """Kept + removed partitions the corpus; removals agree with the
+    contamination fractions at the threshold."""
+    rows = llm.decontam_filter(spark, SF).collect()
+    contam = {
+        r.doc_id: r.contamination
+        for r in llm.contamination_check(spark, SF).collect()
+    }
+    docs = (
+        load(spark, SF, "documents")
+        .filter(F.col("doc_id") >= llm.CONTAM_BENCH_MAX_ID)
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    assert sum(r.n_docs for r in rows) == len(docs)
+    from collections import Counter
+
+    removed = Counter()
+    chars = Counter()
+    for d in docs:
+        if contam.get(d.doc_id, 0.0) >= llm.DECONTAM_MAX_FRAC:
+            removed[d.source] += 1
+            chars[d.source] += d.n_chars
+    for r in rows:
+        assert r.n_removed == removed.get(r.source, 0)
+        assert r.n_kept == r.n_docs - r.n_removed
+        assert r.chars_removed == chars.get(r.source, 0)
