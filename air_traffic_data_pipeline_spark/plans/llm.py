@@ -4168,6 +4168,74 @@ FROM wedges w JOIN und z ON w.a = z.a AND w.c = z.b
 """
 
 
+# --- image perceptual hash (round 4) -----------------------------------------
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup fingerprints: average-hash over each BMP payload's
+    luminance grid (operators/multimodal.py:phash_bmp — real byte parse in
+    an Arrow kernel). The multimodal counterpart of text fingerprinting:
+    the 16-bit hashes feed the same equi-join dedup shapes as minhash
+    bands. Oracle recomputes the hash closed-form from the synthetic
+    pixel formula (md5 digest bytes cycled row-major), never touching the
+    payload bytes.
+    """
+    from ..operators.multimodal import attach_bmp_payload, phash_bmp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return phash_bmp(attach_bmp_payload(d))
+
+
+def _image_phash_sql() -> str:
+    hexd = "0123456789abcdef"
+
+    def hexpair(idx: str) -> str:
+        pos = f"(({idx}) * 2 + 1)"
+        c1 = f"substr(md5(text), {pos}, 1)"
+        c2 = f"substr(md5(text), {pos} + 1, 1)"
+        return (
+            f"((strpos('{hexd}', {c1}) - 1) * 16"
+            f" + (strpos('{hexd}', {c2}) - 1))"
+        )
+
+    g = 4
+    gray_cols = []
+    for gy in range(g):
+        for gx in range(g):
+            sy = f"(({gy} * h) // {g})"
+            sx = f"(({gx} * w) // {g})"
+            cell = " + ".join(
+                hexpair(f"(({sy}) * row_size + ({sx}) * 3 + {c}) % 16")
+                for c in range(3)
+            )
+            gray_cols.append(f"({cell}) AS g{gy * g + gx}")
+    n = g * g
+    total = " + ".join(f"g{i}" for i in range(n))
+    bit = lambda i: f"CASE WHEN g{i} * {n} > total THEN '1' ELSE '0' END"  # noqa: E731
+    phash = " || ".join(bit(i) for i in range(n))
+    ones = " + ".join(
+        f"CASE WHEN g{i} * {n} > total THEN 1 ELSE 0 END" for i in range(n)
+    )
+    newline = ",\n         "
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text, doc_id % 16 + 1 AS w, (doc_id // 16) % 8 + 1 AS h
+  FROM documents WHERE doc_id < 300
+),
+dims2 AS (SELECT *, (w * 3 + 3) // 4 * 4 AS row_size FROM dims),
+grays AS (
+  SELECT doc_id, w, h,
+         {newline.join(gray_cols)}
+  FROM dims2
+),
+t AS (SELECT *, {total} AS total FROM grays)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {phash} AS phash,
+       CAST({ones} AS BIGINT) AS n_ones
+FROM t
+"""
+
+
 # --- minhash dedup precision/recall eval (round 4) ---------------------------
 
 DEDUP_EVAL_MAX_ID = 200
@@ -4554,6 +4622,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_langid_confusion", langid_confusion, _langid_confusion_sql()),
     ("llm_dedup_pr_eval", dedup_pr_eval, _DEDUP_PR_SQL),
     ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
+    ("llm_image_phash", image_phash, _image_phash_sql()),
 ]
 
 

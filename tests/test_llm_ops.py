@@ -1084,3 +1084,38 @@ def test_decontam_filter_accounts_every_corpus_doc(spark):
         assert r.n_removed == removed.get(r.source, 0)
         assert r.n_kept == r.n_docs - r.n_removed
         assert r.chars_removed == chars.get(r.source, 0)
+
+
+def test_image_phash_matches_bytes_reference(spark):
+    """Recompute the average-hash from the raw BMP payload bytes (fully
+    independent parse) and compare hash, dims, and popcount."""
+    import struct as _struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        PHASH_GRID,
+        attach_bmp_payload,
+    )
+
+    d = load(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    payloads = {r.doc_id: bytes(r.payload) for r in attach_bmp_payload(d).collect()}
+    rows = {r.doc_id: r for r in llm.image_phash(spark, SF).collect() if r.doc_id < 50}
+    assert set(rows) == set(payloads)
+    g = PHASH_GRID
+    for did, raw in payloads.items():
+        _hs, w, h, _p, _bpp = _struct.unpack("<IiiHH", raw[14:30])
+        row_size = (w * 3 + 3) // 4 * 4
+        px = raw[BMP_HEADER_BYTES:]
+        grays = [
+            px[(gy * h // g) * row_size + (gx * w // g) * 3]
+            + px[(gy * h // g) * row_size + (gx * w // g) * 3 + 1]
+            + px[(gy * h // g) * row_size + (gx * w // g) * 3 + 2]
+            for gy in range(g)
+            for gx in range(g)
+        ]
+        total = sum(grays)
+        bits = "".join("1" if gr * g * g > total else "0" for gr in grays)
+        r = rows[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.phash == bits
+        assert r.n_ones == bits.count("1")
