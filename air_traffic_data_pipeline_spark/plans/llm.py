@@ -4236,6 +4236,68 @@ FROM t
 """
 
 
+IMG_NEAR_DUP_MAX_HAMMING = 4
+
+
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: block on exact dimensions, verify with
+    the phash Hamming distance — the block→verify entity-resolution shape
+    (fuzzy_match_levenshtein's text counterpart) applied to the perceptual
+    fingerprints. Closes the multimodal dedup loop: phash_bmp builds the
+    fingerprint; this turns it into a kill-able pair list.
+
+    Scale shape: the (width, height) equi-join keeps candidates to
+    within-block pairs (at web scale the block key would be phash band
+    prefixes — same plan shape, finer blocks); the Hamming verify is 16
+    codegen character comparisons, no UDF. Exact integer distance; pairs
+    emitted once (doc_a < doc_b).
+    """
+    ph = image_phash(spark, sf_dir).select(
+        "doc_id", "width", "height", "phash"
+    )
+    a = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        "width",
+        "height",
+        F.col("phash").alias("ph_a"),
+    )
+    b = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        "width",
+        "height",
+        F.col("phash").alias("ph_b"),
+    )
+    ham = sum(
+        F.when(
+            F.substring("ph_a", i + 1, 1) != F.substring("ph_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(16)
+    ).cast("bigint")
+    return (
+        a.join(b, ["width", "height"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= IMG_NEAR_DUP_MAX_HAMMING)
+        .select("doc_a", "doc_b", "width", "height", "hamming")
+    )
+
+
+def _image_near_dup_sql() -> str:
+    ham = " + ".join(
+        f"CASE WHEN substr(a.phash, {i + 1}, 1) != substr(b.phash, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH ph AS ({_image_phash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.width, a.height,
+       CAST({ham} AS BIGINT) AS hamming
+FROM ph a JOIN ph b
+  ON a.width = b.width AND a.height = b.height AND a.doc_id < b.doc_id
+WHERE {ham} <= {IMG_NEAR_DUP_MAX_HAMMING}
+"""
+
+
 # --- minhash dedup precision/recall eval (round 4) ---------------------------
 
 DEDUP_EVAL_MAX_ID = 200
@@ -4623,6 +4685,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_pr_eval", dedup_pr_eval, _DEDUP_PR_SQL),
     ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
     ("llm_image_phash", image_phash, _image_phash_sql()),
+    ("llm_image_near_dup", image_near_dup, _image_near_dup_sql()),
 ]
 
 

@@ -1119,3 +1119,30 @@ def test_image_phash_matches_bytes_reference(spark):
         assert (r.width, r.height) == (w, h)
         assert r.phash == bits
         assert r.n_ones == bits.count("1")
+
+
+def test_image_near_dup_pairs_verified(spark):
+    """Every emitted pair shares dims, hamming recomputed from the hashes,
+    threshold honored, each pair once (a < b); completeness checked
+    against a driver-side recompute over all same-dim pairs."""
+    from itertools import combinations
+
+    hashes = {
+        r.doc_id: (r.width, r.height, r.phash)
+        for r in llm.image_phash(spark, SF).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.width, r.height, r.hamming)
+        for r in llm.image_near_dup(spark, SF).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(hashes), 2):
+        wa, ha, pa = hashes[a]
+        wb, hb, pb = hashes[b]
+        if (wa, ha) != (wb, hb):
+            continue
+        d = sum(1 for x, y in zip(pa, pb) if x != y)
+        if d <= llm.IMG_NEAR_DUP_MAX_HAMMING:
+            want[(a, b)] = (wa, ha, d)
+    assert got == want
+    assert want, "same-dim blocks should yield at least one near pair"
