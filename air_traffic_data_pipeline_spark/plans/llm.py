@@ -3698,14 +3698,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     values in both engines.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < BM25_MAX_ID)
-    n_docs = float(BM25_MAX_ID)  # doc_ids are dense 0..N-1 in the lake
     words = F.split(F.col("text"), " ")
     docs = d.select("doc_id", words.alias("ws")).select(
         "doc_id", F.size("ws").cast("bigint").alias("dl"), "ws"
     )
-    # 1-row exact avgdl: int64 sum / constant N (broadcast by AQE)
+    # 1-row exact corpus stats: N counted (not assumed from the id cap, so a
+    # sparse-id lake can't silently skew idf/avgdl) and avgdl = int64 sum / N
+    # — broadcast by AQE
     avgdl = docs.agg(
-        (F.sum("dl").cast("double") / F.lit(n_docs)).alias("avgdl")
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
     )
     tok = docs.select("doc_id", "dl", F.explode("ws").alias("w")).filter(
         F.col("w").isin(*BM25_TERMS)
@@ -3714,7 +3718,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5))
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
     )
     tfd = F.col("tf").cast("double")
@@ -3763,7 +3767,8 @@ WITH docs AS (
          string_split(text, ' ') AS ws
   FROM documents WHERE doc_id < {BM25_MAX_ID}
 ),
-avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / {BM25_MAX_ID} AS avgdl FROM docs),
+avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                 CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
 tok AS (
   SELECT doc_id, dl, unnest(ws) AS w FROM docs
 ),
@@ -3775,7 +3780,7 @@ df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
 scored AS (
   SELECT tf.doc_id,
          round(list_reduce(list(
-           ln(1.0 + ({BM25_MAX_ID} - CAST(df.df AS DOUBLE) + 0.5)
+           ln(1.0 + (avgdl.n_docs - CAST(df.df AS DOUBLE) + 0.5)
                     / (CAST(df.df AS DOUBLE) + 0.5))
            * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
            / (CAST(tf.tf AS DOUBLE)
@@ -3981,8 +3986,10 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
     # reassign: nearest centroid by cosine (label tiebreak)
+    # round to 6 dp BEFORE ranking (cosine_topk/bm25_topk discipline) so a
+    # near-tie assignment can't flip if either engine's float eval drifts
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("vec"), F.col("c0"))
+        "sim", F.round(cosine(F.col("vec"), F.col("c0")), 6)
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("k0"))
     assigned = (
@@ -4032,7 +4039,7 @@ assigned AS (
   SELECT vec_id, k0 AS k, vec FROM (
     SELECT v.vec_id, v.vec, cents.k0,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {cosine_sql('vec', 'c0')} DESC, cents.k0) AS rn
+                              ORDER BY round({cosine_sql('vec', 'c0')}, 6) DESC, cents.k0) AS rn
     FROM v CROSS JOIN cents) t WHERE rn = 1
 ),
 ex2 AS (

@@ -803,7 +803,19 @@ def test_inverted_index_matches_reference(spark):
     }
     from collections import Counter
 
-    for w, r in list(rows.items())[:20]:
+    # deterministic boundary sample, not an arbitrary dict slice: every
+    # min-df term (df == INVIDX_MIN_DF) and every capped term
+    # (df > INVIDX_POSTINGS_CAP, so the stored list is truncated), plus the
+    # 10 lexicographically-first terms as a general-case floor
+    boundary = [
+        w
+        for w, r in rows.items()
+        if r.df == llm.INVIDX_MIN_DF or r.df > llm.INVIDX_POSTINGS_CAP
+    ]
+    assert boundary, "corpus must exercise min-df and/or cap boundaries"
+    sample = sorted(set(boundary) | set(sorted(rows)[:10]))
+    for w in sample:
+        r = rows[w]
         containing = sorted(d for d, ws in docs.items() if w in ws)
         assert r.df == len(containing) >= llm.INVIDX_MIN_DF
         assert r.cf == sum(Counter(ws)[w] for ws in docs.values())

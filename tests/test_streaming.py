@@ -520,7 +520,7 @@ def test_incremental_topk_equals_batch(spark):
     """Per-micro-batch decimal partials merged then ranked must equal the
     one-shot batch top-3 per event type exactly (decimal addition is
     associative — batch slicing can't change the totals)."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from air_traffic_data_pipeline_spark.streaming.events_stream import (
         _load_canonical_events,
@@ -539,7 +539,12 @@ def test_incremental_topk_equals_batch(spark):
     totals = {}
     for r in ev:
         k = (r.event_type, r.user_id)
-        totals[k] = totals.get(k, Decimal(0)) + Decimal(str(round(r.value, 2)))
+        # HALF_UP quantize, NOT Python round() (banker's): the plan's
+        # double -> DECIMAL(18,2) cast rounds HALF_UP, and the two agree
+        # only while values carry <= 2 decimal digits
+        totals[k] = totals.get(k, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
     by_type = {}
     for (et, uid), v in totals.items():
         by_type.setdefault(et, []).append((uid, v))
