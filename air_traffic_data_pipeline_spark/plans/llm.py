@@ -4244,35 +4244,65 @@ FROM t
 
 
 IMG_NEAR_DUP_MAX_HAMMING = 4
+# 5 bands over the 16-bit hash (1-indexed substring start, length). With
+# MAX_HAMMING = 4 and 5 bands, any qualifying pair differs in at most 4
+# bits, which can touch at most 4 bands — so at least one band matches
+# exactly (pigeonhole): the band-blocked join is RECALL-COMPLETE, not an
+# approximation.
+IMG_PHASH_BANDS: tuple[tuple[int, int], ...] = (
+    (1, 4),
+    (5, 3),
+    (8, 3),
+    (11, 3),
+    (14, 3),
+)
 
 
 def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs: block on exact dimensions, verify with
-    the phash Hamming distance — the block→verify entity-resolution shape
-    (fuzzy_match_levenshtein's text counterpart) applied to the perceptual
-    fingerprints. Closes the multimodal dedup loop: phash_bmp builds the
-    fingerprint; this turns it into a kill-able pair list.
+    """Image near-duplicate pairs: block on phash BAND PREFIXES, verify
+    with the full Hamming distance — the minhash-band shape applied to
+    perceptual fingerprints. Closes the multimodal dedup loop: phash_bmp
+    builds the fingerprint; this turns it into a kill-able pair list.
 
-    Scale shape: the (width, height) equi-join keeps candidates to
-    within-block pairs (at web scale the block key would be phash band
-    prefixes — same plan shape, finer blocks); the Hamming verify is 16
-    codegen character comparisons, no UDF. Exact integer distance; pairs
-    emitted once (doc_a < doc_b).
+    Scale shape: each image explodes into 5 (band_id, band_value) keys and
+    candidates come from an equi-join on that key — skew-safe where a
+    (width, height) block is not (at web scale most images share a handful
+    of standard dims, so a dims block degenerates toward all-pairs inside
+    the hot class; hash-band buckets subdivide by CONTENT, and a wider
+    hash shrinks them further without changing the plan). Pigeonhole over
+    the 5 bands makes the block exact for Hamming <= 4, so the output
+    equals a true all-pairs Hamming join. The verify is 16 codegen
+    character comparisons, no UDF; pairs dedup on (doc_a, doc_b) before
+    the verify so multi-band matches verify once. Exact integer distance;
+    pairs emitted once (doc_a < doc_b).
     """
-    ph = image_phash(spark, sf_dir).select(
-        "doc_id", "width", "height", "phash"
+    ph = image_phash(spark, sf_dir).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[F.substring("phash", s, ln) for s, ln in IMG_PHASH_BANDS]
+            )
+        ).alias("band_id", "band_val"),
     )
-    a = ph.select(
+    a = bands.select(
         F.col("doc_id").alias("doc_a"),
-        "width",
-        "height",
         F.col("phash").alias("ph_a"),
+        "band_id",
+        "band_val",
     )
-    b = ph.select(
+    b = bands.select(
         F.col("doc_id").alias("doc_b"),
-        "width",
-        "height",
         F.col("phash").alias("ph_b"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
     )
     ham = sum(
         F.when(
@@ -4281,27 +4311,37 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(16)
     ).cast("bigint")
     return (
-        a.join(b, ["width", "height"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= IMG_NEAR_DUP_MAX_HAMMING)
-        .select("doc_a", "doc_b", "width", "height", "hamming")
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
 def _image_near_dup_sql() -> str:
+    band_rows = ", ".join(
+        f"({i}, {s}, {ln})" for i, (s, ln) in enumerate(IMG_PHASH_BANDS)
+    )
     ham = " + ".join(
-        f"CASE WHEN substr(a.phash, {i + 1}, 1) != substr(b.phash, {i + 1}, 1)"
+        f"CASE WHEN substr(ph_a, {i + 1}, 1) != substr(ph_b, {i + 1}, 1)"
         " THEN 1 ELSE 0 END"
         for i in range(16)
     )
     return f"""
-WITH ph AS ({_image_phash_sql()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.width, a.height,
-       CAST({ham} AS BIGINT) AS hamming
-FROM ph a JOIN ph b
-  ON a.width = b.width AND a.height = b.height AND a.doc_id < b.doc_id
-WHERE {ham} <= {IMG_NEAR_DUP_MAX_HAMMING}
+WITH ph AS ({_image_phash_sql()}),
+bands AS (
+  SELECT doc_id, phash, bd.band_id,
+         substr(phash, bd.start, bd.len) AS band_val
+  FROM ph, (VALUES {band_rows}) bd(band_id, start, len)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand WHERE {ham} <= {IMG_NEAR_DUP_MAX_HAMMING}
 """
 
 

@@ -724,18 +724,34 @@ def test_bpe_merges_match_pure_python(spark):
 def test_bpe_checkpoint_lineage_truncation_when_rounds_raised(spark, monkeypatch):
     """K > 3 activates the every-3rd-round vocab localCheckpoint (lineage
     truncation for real tokenizer-sized K): results must still match the
-    pure-Python reference exactly, and teardown must release the
-    registered checkpoints."""
+    pure-Python reference exactly, plan depth must stay FLAT per round
+    (6 rounds with the r=3 checkpoint produce a final vocab plan no
+    deeper than the unclipped 3-round plan — growth reset, not deferred),
+    and teardown must release the registered checkpoints."""
     from air_traffic_data_pipeline_spark.operators import checkpoints
 
-    monkeypatch.setattr(llm, "BPE_ROUNDS", 5)
+    def plan_depth(df):
+        return str(df._jdf.queryExecution().analyzed()).count("\n")
+
+    _rows3, vocab3 = llm._bpe_train(spark, SF)  # default K=3: no checkpoint
+    depth3 = plan_depth(vocab3)
+
+    monkeypatch.setattr(llm, "BPE_ROUNDS", 6)
     docs = load(spark, SF, "documents").select("text").collect()
-    want = _bpe_reference(docs, 5)
+    want = _bpe_reference(docs, 6)
     got = sorted(
         (r.round, r.sym_a, r.sym_b, r.pair_count)
         for r in llm.bpe_merges(spark, SF).collect()
     )
     assert got == want
+
+    _rows6, vocab6 = llm._bpe_train(spark, SF)
+    plan6 = str(vocab6._jdf.queryExecution().analyzed())
+    # the r=3 checkpoint replaced the base lineage with a LogicalRDD scan...
+    assert "LogicalRDD" in plan6 or "ExistingRDD" in plan6
+    # ...so rounds 4-6 stack on a flat base: 6-round depth <= unclipped
+    # 3-round depth proves per-round growth resets instead of accumulating
+    assert plan_depth(vocab6) <= depth3
     checkpoints.clear_all(spark)
 
 
@@ -1134,27 +1150,56 @@ def test_image_phash_matches_bytes_reference(spark):
 
 
 def test_image_near_dup_pairs_verified(spark):
-    """Every emitted pair shares dims, hamming recomputed from the hashes,
-    threshold honored, each pair once (a < b); completeness checked
-    against a driver-side recompute over all same-dim pairs."""
+    """Band-blocked output must EQUAL the brute-force all-pairs Hamming
+    join (pigeonhole: <= 4 differing bits cannot touch all 5 bands), with
+    hamming recomputed from the hashes and each pair emitted once (a < b).
+    """
     from itertools import combinations
 
     hashes = {
-        r.doc_id: (r.width, r.height, r.phash)
-        for r in llm.image_phash(spark, SF).collect()
+        r.doc_id: r.phash for r in llm.image_phash(spark, SF).collect()
     }
     got = {
-        (r.doc_a, r.doc_b): (r.width, r.height, r.hamming)
+        (r.doc_a, r.doc_b): r.hamming
         for r in llm.image_near_dup(spark, SF).collect()
     }
     want = {}
     for a, b in combinations(sorted(hashes), 2):
-        wa, ha, pa = hashes[a]
-        wb, hb, pb = hashes[b]
-        if (wa, ha) != (wb, hb):
-            continue
-        d = sum(1 for x, y in zip(pa, pb) if x != y)
+        d = sum(1 for x, y in zip(hashes[a], hashes[b]) if x != y)
         if d <= llm.IMG_NEAR_DUP_MAX_HAMMING:
-            want[(a, b)] = (wa, ha, d)
+            want[(a, b)] = d
     assert got == want
-    assert want, "same-dim blocks should yield at least one near pair"
+    assert want, "the synthetic corpus should yield at least one near pair"
+
+
+def test_image_near_dup_band_candidates_bounded(spark):
+    """Skew-safety pin for the phash-band block (the semdedup-bound
+    pattern): recompute the candidate-pair count per (band_id, band_val)
+    bucket driver-side at N and 2N images and assert (a) candidates stay
+    well below all-pairs at both sizes and (b) the hot-bucket share of
+    images does not grow as the corpus doubles — the block key subdivides
+    by content, so doubling N must not concentrate mass into one bucket
+    the way a dims block would."""
+    from collections import Counter
+
+    rows = llm.image_phash(spark, SF).collect()
+    assert len(rows) >= 200
+
+    def bucket_stats(hashes):
+        buckets = Counter()
+        for ph in hashes:
+            for bid, (s, ln) in enumerate(llm.IMG_PHASH_BANDS):
+                buckets[(bid, ph[s - 1 : s - 1 + ln])] += 1
+        cand = sum(n * (n - 1) // 2 for n in buckets.values())
+        hot = max(buckets.values())
+        return cand, hot
+
+    all_h = [r.phash for r in sorted(rows, key=lambda r: r.doc_id)]
+    half = all_h[: len(all_h) // 2]
+    cand_n, hot_n = bucket_stats(half)
+    cand_2n, hot_2n = bucket_stats(all_h)
+    allpairs = len(all_h) * (len(all_h) - 1) // 2
+    # candidates (before distinct) stay a strict subset of all-pairs work
+    assert cand_2n < 0.75 * allpairs
+    # hot-bucket occupancy, as a fraction of images, must not grow with N
+    assert hot_2n / len(all_h) <= hot_n / len(half) * 1.10
