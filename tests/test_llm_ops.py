@@ -1149,6 +1149,32 @@ def test_image_phash_matches_bytes_reference(spark):
         assert r.n_ones == bits.count("1")
 
 
+def test_image_phash_degenerate_dims(spark):
+    """1-pixel-wide/tall/both BMPs must parse and hash, not crash: the NN
+    grid sampler collapses onto repeated pixels. For a 1x1 image every
+    grid cell samples THE pixel, so no gray is strictly above the mean and
+    the hash is all zeros — a closed-form invariant, not just absence of
+    error."""
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        attach_bmp_payload,
+        phash_bmp,
+    )
+
+    # doc_id -> dims: width = id % 16 + 1, height = (id // 16) % 8 + 1
+    degen = {0: (1, 1), 15: (16, 1), 112: (1, 8)}
+    d = load(spark, SF, "documents").filter(
+        F.col("doc_id").isin(*degen.keys())
+    )
+    rows = {r.doc_id: r for r in phash_bmp(attach_bmp_payload(d)).collect()}
+    assert set(rows) == set(degen)
+    for did, (w, h) in degen.items():
+        r = rows[did]
+        assert (r.width, r.height) == (w, h)
+        assert len(r.phash) == 16 and set(r.phash) <= {"0", "1"}
+        assert r.n_ones == r.phash.count("1")
+    assert rows[0].phash == "0" * 16 and rows[0].n_ones == 0
+
+
 def test_image_near_dup_pairs_verified(spark):
     """Band-blocked output must EQUAL the brute-force all-pairs Hamming
     join (pigeonhole: <= 4 differing bits cannot touch all 5 bands), with

@@ -73,6 +73,51 @@ def test_flagship_dense_region_uses_broadcast_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_adaptive_radius_join_crossover_property(spark):
+    """On BOTH sides of the extent/R ~ 6 crossover: (a) adaptive picks the
+    strategy the cost model promises (dense region -> broadcast nested
+    loop; sparse -> binned equi-join), and (b) the two strategies agree
+    row-for-row at that geometry — so the flip can never change results,
+    only cost."""
+    import re
+
+    from air_traffic_data_pipeline_spark.operators.grid import gen_grid
+    from air_traffic_data_pipeline_spark.operators.radius_join import (
+        adaptive_radius_join,
+        naive_radius_join,
+        radius_join,
+    )
+    from air_traffic_data_pipeline_spark.plans.domain import source_levels
+
+    grid = gen_grid(spark, 47.02, -1.6, 500.0, 10)  # 21x21, extent 10 km
+    src = source_levels(spark, SF).select("lat", "lon", "src_db")
+    extent = 2 * 10 * 500.0
+
+    def rows(df):
+        return sorted(
+            (round(r.g_lat, 9), round(r.g_lon, 9), round(r.dist_m, 3))
+            for r in df.select("g_lat", "g_lon", "dist_m").collect()
+        )
+
+    for radius, want_dense in ((2000.0, True), (1500.0, False)):
+        adaptive = adaptive_radius_join(
+            grid, src, radius, 47.02, region_extent_m=extent
+        )
+        p = plan(adaptive, "simple")
+        if want_dense:  # extent/R = 5 <= 6
+            assert "BroadcastNestedLoopJoin" in p, p
+        else:  # extent/R = 6.67 > 6
+            assert re.search(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[__bin_lat",
+                p,
+            ), p
+        # strategy flip is result-invariant at the SAME geometry
+        nl = rows(naive_radius_join(grid, src, radius, broadcast_side="sources"))
+        eq = rows(radius_join(grid, src, radius, 47.02))
+        assert nl == eq and rows(adaptive) == nl
+        assert nl, "crossover geometry must produce matches to compare"
+
+
 def test_whole_stage_codegen_covers_noise_math(spark):
     from air_traffic_data_pipeline_spark.plans.domain import flagship_noise_grid
 
