@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from .sqlutil import dlit
 from .tables import load
 
 # --- determinism helpers ---------------------------------------------------
@@ -3510,6 +3511,270 @@ ORDER BY dist, user_id, event_id LIMIT {TSM_TOPK}
 """
 
 
+# --- gaps-and-islands (round 5) ---------------------------------------------
+
+ISL_MIN_LEN = 2
+
+
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per supplier, maximal runs of CONSECUTIVE calendar
+    ship days — the classic day_num - row_number() trick (rows in the same
+    island share the difference), distinct from time-gap sessionization
+    (stream_sessionize_batch): islands break on missing days, not elapsed
+    time. The continuity audit a pipeline runs on ingest completeness.
+
+    Scale shape: dedup to (supplier, day) first (map-side combine — the
+    window then ranks distinct days, not raw lineitems), one shuffle on
+    l_suppkey for the window, one keyed aggregate on the island id. Exact
+    integer day arithmetic end to end.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    days = (
+        li.select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).cast(
+                "bigint"
+            ).alias("day_num"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day_num")
+    isl = days.withColumn(
+        "grp", F.col("day_num") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("l_suppkey", "grp")
+        .agg(
+            F.min("day_num").alias("day_start"),
+            F.max("day_num").alias("day_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .filter(F.col("island_len") >= ISL_MIN_LEN)
+        .select("l_suppkey", "day_start", "day_end", "island_len")
+    )
+
+
+GAPS_ISLANDS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT l_suppkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_num
+  FROM lineitem
+),
+isl AS (
+  SELECT l_suppkey, day_num,
+         day_num - row_number() OVER (PARTITION BY l_suppkey ORDER BY day_num) AS grp
+  FROM days
+)
+SELECT l_suppkey, min(day_num) AS day_start, max(day_num) AS day_end,
+       count(*) AS island_len
+FROM isl GROUP BY l_suppkey, grp
+HAVING count(*) >= {ISL_MIN_LEN}
+"""
+
+
+# --- exponentially weighted moving average (round 5) -------------------------
+
+EWMA_ALPHA = 0.2
+
+
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values: the y_n = a*x_n + (1-a)*y_{n-1}
+    recurrence over the (ts, event_id)-ordered history, seeded with the
+    first value — the smoothing a monitoring pipeline applies before
+    thresholding noisy per-entity series. A recurrence is inherently
+    sequential PER KEY, so the scale unit is the user: one shuffle on
+    user_id, then a bounded per-user array fold (at 100 TB the frame
+    would be a trailing window; full history here keeps the oracle
+    closed-form).
+
+    Determinism: the fold is seeded with element 1 and folds elements
+    2..n in sort order — exactly DuckDB's list_reduce semantics — and
+    every coefficient is a double literal.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform(F.col("xs"), lambda s: s.getField("value"))
+    ew = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x
+        + F.lit(1.0 - EWMA_ALPHA) * acc,
+    )
+    return per.select(
+        "user_id", "n_events", F.round(ew, 6).alias("ewma_last")
+    )
+
+
+EWMA_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       round(list_reduce(list(value ORDER BY epoch_ns(ts), event_id),
+                         (acc, x) -> {dlit(EWMA_ALPHA)} * x
+                                     + {dlit(1.0 - EWMA_ALPHA)} * acc),
+             6) AS ewma_last
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --- interval overlap join (round 5) -----------------------------------------
+
+PROMO_WINDOWS: tuple[tuple[int, str, str], ...] = (
+    (1, "1995-06-01", "1995-08-31"),
+    (2, "1996-11-15", "1997-01-15"),
+    (3, "1998-03-01", "1998-03-31"),
+    (4, "1999-07-04", "1999-09-06"),
+    (5, "2000-12-01", "2001-02-28"),
+)
+
+
+FULFILL_DAYS = 90
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order is live over its fulfillment
+    window [o_orderdate, o_orderdate + 90d]; count orders and distinct
+    customers overlapping each promo window (overlap iff
+    start_a <= end_b AND end_a >= start_b) — allocation against calendar
+    windows, the interval counterpart of the as-of join. The window side
+    is tiny and broadcast, so the fact side streams map-side with zero
+    shuffle before the 5-group aggregate; a large-large interval join
+    goes through the binned range-join kernel instead
+    (rel_range_bucket_join). Exact integer/date arithmetic only.
+    """
+    o = load(spark, sf_dir, "orders")
+    promos = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pid).cast("bigint").alias("promo_id"),
+                        F.lit(s).cast("date").alias("p_start"),
+                        F.lit(e).cast("date").alias("p_end"),
+                    )
+                    for pid, s, e in PROMO_WINDOWS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    start = F.col("o_orderdate").cast("date")
+    j = o.join(
+        F.broadcast(promos),
+        (start <= F.col("p_end"))
+        & (F.date_add(start, FULFILL_DAYS) >= F.col("p_start")),
+    )
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+    )
+
+
+_PROMO_VALUES = ", ".join(
+    f"({pid}, DATE '{s}', DATE '{e}')" for pid, s, e in PROMO_WINDOWS
+)
+INTERVAL_OVERLAP_SQL = f"""
+WITH promos(promo_id, p_start, p_end) AS (VALUES {_PROMO_VALUES})
+SELECT CAST(promo_id AS BIGINT) AS promo_id, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders JOIN promos
+  ON CAST(o_orderdate AS DATE) <= p_end
+ AND CAST(o_orderdate AS DATE) + {FULFILL_DAYS} >= p_start
+GROUP BY promo_id
+"""
+
+
+# --- first-touch attribution (round 5) ---------------------------------------
+
+ATTR_WINDOW_NS = 7 * 86_400 * 1_000_000_000  # 7 days
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's FIRST click gets credit for
+    every purchase value inside the following 7-day window — the marketing
+    -funnel allocation that needs an extremal event per key plus a
+    time-banded self-join. Users who never click don't appear; users with
+    no in-window purchase report 0.
+
+    Scale shape: the first click is a min-struct aggregate (map-side
+    combine, no window needed); the purchases join is keyed on user_id
+    with the time band as a residual predicate — one shuffle each side,
+    broadcast-able if the clicker set is small. Purchase values sum as a
+    sequential fold over (ts, event_id) order; timestamps are exact int64
+    nanos throughout.
+    """
+    e = load(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fc"))
+        .select("user_id", F.col("fc.ts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), "ts", "event_id", "value"
+    )
+    # the time band lives in the JOIN condition (not a post-filter): a user
+    # whose purchases all fall outside the window must still report 0
+    j = first_click.join(
+        purchases,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("ts") >= F.col("click_ts"))
+        & (F.col("ts") <= F.col("click_ts") + F.lit(ATTR_WINDOW_NS)),
+        "left",
+    )
+    # collect_list drops NULLs, so the no-match left-join row contributes
+    # an EMPTY array (fold -> 0.0), not a null struct (fold -> NULL)
+    per = j.groupBy("user_id", "click_ts").agg(
+        F.count("ts").alias("n_purchases"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("ts").isNotNull(),
+                    F.struct("ts", "event_id", "value"),
+                )
+            )
+        ).alias("xs"),
+    )
+    total = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda a, s: a + s.getField("value")
+    )
+    return per.select(
+        "user_id",
+        "click_ts",
+        "n_purchases",
+        F.round(total, 6).alias("attributed_value"),
+    )
+
+
+FIRST_TOUCH_SQL = f"""
+WITH fc AS (
+  SELECT user_id, min(struct_pack(tsn := epoch_ns(ts), eid := event_id)) AS m
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+clicks AS (SELECT user_id, m.tsn AS click_ts FROM fc),
+pur AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.user_id, c.click_ts, p.tsn, p.event_id, p.value
+  FROM clicks c LEFT JOIN pur p
+    ON c.user_id = p.user_id
+   AND p.tsn >= c.click_ts AND p.tsn <= c.click_ts + {ATTR_WINDOW_NS}
+)
+SELECT user_id, click_ts, count(tsn) AS n_purchases,
+       round(coalesce(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(value ORDER BY tsn, event_id)
+                            FILTER (WHERE tsn IS NOT NULL)),
+               (a, x) -> a + x), 0.0), 6) AS attributed_value
+FROM j GROUP BY user_id, click_ts
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -3614,6 +3879,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
+    ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
+    ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),
+    ("rel_interval_overlap_join", interval_overlap_join, INTERVAL_OVERLAP_SQL),
+    ("rel_first_touch_attribution", first_touch_attribution, FIRST_TOUCH_SQL),
     ("rel_skew_diagnostics", skew_diagnostics, _skew_diagnostics_sql()),
     ("rel_time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),

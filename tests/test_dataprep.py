@@ -417,3 +417,115 @@ def test_time_weighted_avg_matches_reference(spark):
             assert r.twa_value == round(num / float(dt_sum), 6)
         else:
             assert r.twa_value is None
+
+
+def test_gaps_islands_matches_reference(spark):
+    """Islands recomputed per supplier from distinct ship-day sets: every
+    maximal consecutive-day run of length >= ISL_MIN_LEN, exactly once."""
+    rows = sorted(
+        (r.l_suppkey, r.day_start, r.day_end, r.island_len)
+        for r in relational.gaps_islands(spark, SF).collect()
+    )
+    import datetime as dt
+
+    li = load(spark, SF, "lineitem").select("l_suppkey", "l_shipdate").collect()
+    epoch = dt.date(1970, 1, 1)
+    days = {}
+    for r in li:
+        d = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        days.setdefault(r.l_suppkey, set()).add((d - epoch).days)
+    want = []
+    for sk, ds in days.items():
+        run = []
+        for d in sorted(ds) + [None]:
+            if run and (d is None or d != run[-1] + 1):
+                if len(run) >= relational.ISL_MIN_LEN:
+                    want.append((sk, run[0], run[-1], len(run)))
+                run = []
+            if d is not None:
+                run.append(d)
+    assert rows == sorted(want)
+    assert rows, "sf0.001 must contain at least one multi-day island"
+
+
+def test_ewma_matches_reference(spark):
+    """EWMA recurrence replayed in pure Python over the same
+    (ts, event_id) order, seeded with the first value."""
+    rows = {r.user_id: r for r in relational.ewma_per_user(spark, SF).collect()}
+    ev = sorted(
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.value)
+    a = relational.EWMA_ALPHA
+    for uid, vals in per_user.items():
+        y = vals[0]
+        for x in vals[1:]:
+            y = a * x + (1.0 - a) * y
+        r = rows[uid]
+        assert r.n_events == len(vals)
+        assert r.ewma_last == round(y, 6)
+    assert set(rows) == set(per_user)
+
+
+def test_interval_overlap_matches_reference(spark):
+    """Overlap counts recomputed with pure Python date math for each promo
+    window (start_a <= end_b AND end_a >= start_b)."""
+    import datetime as dt
+
+    rows = {
+        r.promo_id: (r.n_orders, r.n_custs)
+        for r in relational.interval_overlap_join(spark, SF).collect()
+    }
+    orders = load(spark, SF, "orders").select("o_custkey", "o_orderdate").collect()
+    want = {}
+    for pid, s, e in relational.PROMO_WINDOWS:
+        ps = dt.date.fromisoformat(s)
+        pe = dt.date.fromisoformat(e)
+        hits = [
+            o
+            for o in orders
+            if o.o_orderdate.date() <= pe
+            and o.o_orderdate.date() + dt.timedelta(days=relational.FULFILL_DAYS) >= ps
+        ]
+        if hits:
+            want[pid] = (len(hits), len({o.o_custkey for o in hits}))
+    assert rows == want
+    assert rows, "promo windows must overlap some orders at sf0.001"
+
+
+def test_first_touch_attribution_matches_reference(spark):
+    """First click per user (min (ts, event_id)), purchases inside the
+    7-day band summed in (ts, event_id) order; zero-match users report
+    n=0 / 0.0, never-clicked users are absent."""
+    rows = {r.user_id: r for r in relational.first_touch_attribution(spark, SF).collect()}
+    ev = load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    clicks = {}
+    for r in ev:
+        if r.event_type == "click":
+            k = (r.ts, r.event_id)
+            if r.user_id not in clicks or k < clicks[r.user_id]:
+                clicks[r.user_id] = k
+    assert set(rows) == set(clicks)
+    for uid, (cts, _) in clicks.items():
+        pur = sorted(
+            (r.ts, r.event_id, r.value)
+            for r in ev
+            if r.user_id == uid
+            and r.event_type == "purchase"
+            and cts <= r.ts <= cts + relational.ATTR_WINDOW_NS
+        )
+        total = 0.0
+        for _, _, v in pur:
+            total += v
+        r = rows[uid]
+        assert r.click_ts == cts
+        assert r.n_purchases == len(pur)
+        assert r.attributed_value == round(total, 6)

@@ -223,3 +223,30 @@ def test_events_ops_empty_inputs(spark, tmp_path):
 
     tm = relational.tseries_motif(spark, sf)
     assert tm.count() == 0 and set(tm.columns) == {"user_id", "event_id", "dist"}
+
+
+def test_round5_rel_ops_empty_inputs(spark, tmp_path):
+    """Round-5 relational ops over empty lakes: typed empty frames, no
+    crash — islands/EWMA/attribution with zero events or lineitems, and
+    the interval join with zero orders (the promo dim is inline, so the
+    join side is what empties)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("events", "orders", "lineitem"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+
+    gi = relational.gaps_islands(spark, sf)
+    assert gi.count() == 0 and "island_len" in gi.columns
+
+    ew = relational.ewma_per_user(spark, sf)
+    assert ew.count() == 0 and "ewma_last" in ew.columns
+
+    io = relational.interval_overlap_join(spark, sf)
+    assert io.count() == 0 and "n_orders" in io.columns
+
+    ft = relational.first_touch_attribution(spark, sf)
+    assert ft.count() == 0 and "attributed_value" in ft.columns
