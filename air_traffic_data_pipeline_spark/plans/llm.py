@@ -41,6 +41,7 @@ from ..operators.similarity import (
     lsh_bucket,
     lsh_bucket_sql,
 )
+from .sqlutil import dlit
 from .tables import fan_out, load
 
 EMB_DIM = 64
@@ -4652,6 +4653,506 @@ pr{i} AS (
     return body + f"\nSELECT w, round(pr, 6) AS pr FROM {prev}"
 
 
+# --- hybrid retrieval: reciprocal rank fusion (round 5) ----------------------
+
+RRF_K = 60
+RRF_TOPK = 10
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of the LEXICAL ranking (BM25
+    over the fixed query terms) and the SEMANTIC ranking (exact cosine to
+    query vector 0) on the shared doc-id space — score(d) = sum over lists
+    of 1/(K + rank_d), the standard no-tuning fusion a RAG retrieval stack
+    runs over its keyword and vector legs.
+
+    Scale shape: both legs end in top-k lists (TakeOrderedAndProject), so
+    the fusion join touches 2k rows — driver-light, shuffle-trivial —
+    regardless of corpus size; the heavy lifting stays in the legs, which
+    are already scale-shaped (term-filtered postings / broadcast query).
+    Determinism: ranks are exact ints; the two 1/(K+r) terms fold in a
+    fixed order and round 6 dp before the fused re-rank (doc_id
+    tiebreak).
+    """
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < BM25_MAX_ID
+    )
+    v = to_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
+    c = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), v.alias("c_vec")
+    )
+    sem_scored = c.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    sem = (
+        sem_scored.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(r).cast("double")),
+        F.lit(0.0),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(contrib("lex_rank") + contrib("sem_rank"), 6).alias("rrf"),
+    )
+    w = W.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+    )
+
+
+_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({_BM25_SQL}) lt
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE vec_id < {BM25_MAX_ID}
+),
+qv AS (SELECT vec AS q_vec FROM emb WHERE vec_id = 0),
+sem0 AS (
+  SELECT e.vec_id AS doc_id,
+         round({cosine_sql('e.vec', 'qv.q_vec')}, 6) AS cos_sim
+  FROM emb e CROSS JOIN qv WHERE e.vec_id != 0
+),
+sem AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+    FROM sem0) st
+  WHERE rank <= {RRF_TOPK}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         round(coalesce({dlit(1.0)} / ({dlit(float(RRF_K))} + CAST(lex_rank AS DOUBLE)), {dlit(0.0)})
+             + coalesce({dlit(1.0)} / ({dlit(float(RRF_K))} + CAST(sem_rank AS DOUBLE)), {dlit(0.0)}),
+               6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf, fused_rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM fused) ft
+WHERE fused_rank <= {RRF_TOPK}
+"""
+
+
+# --- retrieval quality: nDCG of the ANN ranking (round 5) --------------------
+
+NDCG_MAX_REL = 6  # rel = NDCG_MAX_REL - exact_rank for exact top-5, else 0
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval eval: nDCG@3 of the LSH-bucketed ranking against
+    exact-cosine ground truth — recall@k (llm_ann_recall_eval) says WHETHER
+    the right docs surfaced; nDCG says whether they surfaced IN ORDER,
+    discounting late hits by 1/log2(rank+1). Relevance is graded from the
+    exact ranking (rank 1 -> 5 ... rank 5 -> 1, absent -> 0).
+
+    Scale shape: both inputs are per-query top-k lists, so this is
+    arithmetic over k rows per query — one shuffle on q_id. Determinism:
+    DCG and ideal-DCG are sequential folds over rank order; log2 is
+    written as ln(x)/ln(2) with the SAME op order in both engines; one
+    round 6 at the end.
+    """
+    exact = cosine_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("ex_rank")
+    )
+    approx = lsh_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("ap_rank")
+    )
+    ln2 = F.log(F.lit(2.0))
+    rel = F.coalesce(
+        F.lit(float(NDCG_MAX_REL)) - F.col("ex_rank").cast("double"),
+        F.lit(0.0),
+    )
+    gain = rel * ln2 / F.log(F.col("ap_rank").cast("double") + F.lit(1.0))
+    dcg_terms = (
+        approx.join(exact, ["q_id", "c_id"], "left")
+        .select("q_id", F.struct(F.col("ap_rank").alias("r"), gain.alias("g")).alias("t"))
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("ts"))
+        .select(
+            "q_id",
+            F.aggregate("ts", F.lit(0.0), lambda a, s: a + s.getField("g")).alias("dcg"),
+        )
+    )
+    igain = (
+        F.lit(float(NDCG_MAX_REL)) - F.col("ex_rank").cast("double")
+    ) * ln2 / F.log(F.col("ex_rank").cast("double") + F.lit(1.0))
+    idcg_terms = (
+        exact.filter(F.col("ex_rank") <= 3)
+        .select("q_id", F.struct(F.col("ex_rank").alias("r"), igain.alias("g")).alias("t"))
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("ts"))
+        .select(
+            "q_id",
+            F.aggregate("ts", F.lit(0.0), lambda a, s: a + s.getField("g")).alias("idcg"),
+        )
+    )
+    return dcg_terms.join(idcg_terms, "q_id").select(
+        "q_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+_NDCG_SQL = f"""
+WITH exact AS (
+  SELECT q_id, c_id, rank AS ex_rank FROM ({_COSINE_TOPK_SQL}) et
+),
+approx AS (
+  SELECT q_id, c_id, rank AS ap_rank FROM ({_LSH_TOPK_SQL}) at
+),
+dcg AS (
+  SELECT a.q_id,
+         list_reduce(list_prepend({dlit(0.0)}, list(
+           coalesce({dlit(float(NDCG_MAX_REL))} - CAST(e.ex_rank AS DOUBLE), {dlit(0.0)})
+           * ln({dlit(2.0)}) / ln(CAST(a.ap_rank AS DOUBLE) + {dlit(1.0)})
+           ORDER BY a.ap_rank)), (x, y) -> x + y) AS dcg
+  FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY a.q_id
+),
+idcg AS (
+  SELECT q_id,
+         list_reduce(list_prepend({dlit(0.0)}, list(
+           ({dlit(float(NDCG_MAX_REL))} - CAST(ex_rank AS DOUBLE))
+           * ln({dlit(2.0)}) / ln(CAST(ex_rank AS DOUBLE) + {dlit(1.0)})
+           ORDER BY ex_rank)), (x, y) -> x + y) AS idcg
+  FROM exact WHERE ex_rank <= 3 GROUP BY q_id
+)
+SELECT dcg.q_id, round(dcg.dcg, 6) AS dcg,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg JOIN idcg ON dcg.q_id = idcg.q_id
+"""
+
+
+# --- matryoshka truncation recall (round 5) ----------------------------------
+
+MRL_DIM = 16
+MRL_K = 5
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style evaluation: re-rank with only the FIRST 16 of 64
+    embedding dims and measure top-5 overlap against the full-dim exact
+    ranking — the dimension-budget study run before shipping truncated
+    embeddings to a cheaper index. recall@5 per query, exact integer
+    overlap.
+
+    Scale shape: two broadcast-query rankings (the truncated one folds
+    16-element arrays — 4x cheaper per pair) ending in per-query top-k;
+    the overlap join touches k rows per query. The query set (not the
+    corpus) bounds driver-side size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    full_v = to_double(F.col("embedding"))
+    tr_v = to_double(F.slice(F.col("embedding"), 1, MRL_DIM))
+    full = brute_force_topk(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), full_v.alias("q_vec")
+        ),
+        fan_out(e).select(F.col("vec_id").alias("c_id"), full_v.alias("c_vec")),
+        MRL_K,
+    ).select("q_id", "c_id")
+    trunc = brute_force_topk(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), tr_v.alias("q_vec")
+        ),
+        fan_out(e).select(F.col("vec_id").alias("c_id"), tr_v.alias("c_vec")),
+        MRL_K,
+    ).select("q_id", "c_id")
+    hits = (
+        full.join(trunc, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"))
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias("overlap"),
+        F.round(
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
+            / F.lit(float(MRL_K)),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+_MRL_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+                  (embedding[1:{MRL_DIM}])::DOUBLE[] AS q_tr
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec,
+             (embedding[1:{MRL_DIM}])::DOUBLE[] AS c_tr
+      FROM embeddings),
+full_r AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round({cosine_sql('q_vec', 'c_vec')}, 6) DESC, c_id) AS rank
+    FROM c CROSS JOIN q WHERE q_id != c_id) t WHERE rank <= {MRL_K}
+),
+tr_r AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round({cosine_sql('q_tr', 'c_tr')}, 6) DESC, c_id) AS rank
+    FROM c CROSS JOIN q WHERE q_id != c_id) t WHERE rank <= {MRL_K}
+),
+hits AS (
+  SELECT f.q_id, count(*) AS overlap
+  FROM full_r f JOIN tr_r t ON f.q_id = t.q_id AND f.c_id = t.c_id
+  GROUP BY f.q_id
+)
+SELECT q.q_id, CAST(coalesce(hits.overlap, 0) AS BIGINT) AS overlap,
+       round(CAST(coalesce(hits.overlap, 0) AS DOUBLE) / {dlit(float(MRL_K))}, 6) AS recall_at_k
+FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+"""
+
+
+# --- Zipf rank-frequency fit (round 5) ---------------------------------------
+
+ZIPF_TOPN = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(freq) against ln(rank) over
+    the top-100 vocabulary — the slope (~-1 for natural text) is the
+    corpus-health number that flags template/boilerplate-dominated crawls
+    (flat slopes) before they poison a tokenizer or LM.
+
+    Scale shape: word counts are one map-side-combining aggregate; the
+    top-100 is TakeOrderedAndProject (never a full vocab sort); the OLS
+    sums are four sequential folds over the SAME rank-sorted 100-element
+    array. Determinism: ranks exact ints, ln on integer-valued doubles,
+    folds in rank order, round 6 at the end.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "w").limit(ZIPF_TOPN)
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "w"))
+        .cast("double")
+        .alias("r"),
+        F.col("cnt").cast("double").alias("f"),
+    ).select(
+        "r", F.log("r").alias("lx"), F.log("f").alias("ly")
+    )
+    arr = ranked.agg(
+        F.array_sort(
+            F.collect_list(F.struct("r", "lx", "ly"))
+        ).alias("ts"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    fold = lambda expr: F.aggregate("ts", F.lit(0.0), expr)  # noqa: E731
+    sx = fold(lambda a, s: a + s.getField("lx"))
+    sy = fold(lambda a, s: a + s.getField("ly"))
+    sxx = fold(lambda a, s: a + s.getField("lx") * s.getField("lx"))
+    sxy = fold(lambda a, s: a + s.getField("lx") * s.getField("ly"))
+    n = F.col("n_words").cast("double")
+    # an ungrouped agg yields one row even on an empty corpus — drop it
+    # rather than emit NaN slopes from the 0/0
+    stats = arr.filter(F.col("n_words") > 0).select(
+        "n_words", sx.alias("sx"), sy.alias("sy"), sxx.alias("sxx"), sxy.alias("sxy")
+    )
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        "n_words",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE len(w) > 0 GROUP BY w
+),
+top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT {ZIPF_TOPN}),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE) AS r,
+         CAST(cnt AS DOUBLE) AS f
+  FROM top
+),
+lg AS (SELECT r, ln(r) AS lx, ln(f) AS ly FROM ranked),
+stats AS (
+  SELECT count(*) AS n_words,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx ORDER BY r)), (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend({dlit(0.0)}, list(ly ORDER BY r)), (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx * lx ORDER BY r)), (a, x) -> a + x) AS sxx,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx * ly ORDER BY r)), (a, x) -> a + x) AS sxy
+  FROM lg
+)
+SELECT n_words,
+       round((CAST(n_words AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_words AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (CAST(n_words AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_words AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_words AS DOUBLE), 6) AS zipf_intercept
+FROM stats WHERE n_words > 0
+"""
+
+
+# --- per-domain quota sampling (round 5) -------------------------------------
+
+QUOTA_PER_SOURCE = 10
+
+
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota curation: keep at most QUOTA docs per source,
+    chosen by quality score (doc_id tiebreak) — the anti-domination cap a
+    pretraining mix applies so one crawl domain can't swamp the corpus.
+    Complements stratified (fixed fractions) and weighted (global scores)
+    sampling: this one is a per-group TOP-K BY QUALITY.
+
+    Scale shape: one shuffle on source, per-group rank, no global sort.
+    A skewed mega-domain makes one hot partition — at 100 TB the rank
+    runs per (source, salt) first and re-ranks the QUOTA*salts survivors
+    (same two-phase trick as top-k); domains here are tiny so the direct
+    window is the right plan.
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "q", quality_score(F.col("text"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        d.withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= QUOTA_PER_SOURCE)
+        .select("source", "doc_id", "q", "src_rank")
+    )
+
+
+_QUOTA_SQL = f"""
+SELECT source, doc_id, q, CAST(src_rank AS BIGINT) AS src_rank FROM (
+  SELECT source, doc_id, {quality_score_sql('text')} AS q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {quality_score_sql('text')} DESC, doc_id) AS src_rank
+  FROM documents) t
+WHERE src_rank <= {QUOTA_PER_SOURCE}
+"""
+
+
+# --- PCA power iteration (round 5) -------------------------------------------
+
+PCA_V0 = 0.125  # 1/sqrt(64): exact in binary, so the seed adds no noise
+
+
+def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: u = X^T (X v0) from the deterministic uniform unit seed,
+    reported as the normalized 64-dim loading vector — the embedding-drift
+    /anisotropy probe (and the building block of iterative PCA, which
+    loops this plan with a localCheckpoint per step like kmeans_refine).
+
+    Scale shape per step: the projection s_i = <x_i, v0> is map-side (v0
+    is a literal); u is ONE (dim)-keyed aggregate — 64 groups however big
+    the corpus; the normalization is a 1-row broadcast. Nothing all-pairs,
+    no driver matrices. Determinism: both the per-vector projection and
+    the per-dim accumulation are sequential folds (vec order / vec_id
+    order); round 6 only at output.
+    """
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
+    v = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    s = v.select(
+        "vec_id",
+        "vec",
+        F.aggregate(
+            F.transform("vec", lambda x: x * F.lit(PCA_V0)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s"),
+    )
+    ex = s.select(
+        "vec_id", "s", F.posexplode("vec").alias("pos", "x")
+    )
+    u = (
+        ex.select(
+            "pos", F.struct("vec_id", (F.col("s") * F.col("x")).alias("t")).alias("st")
+        )
+        .groupBy("pos")
+        .agg(F.array_sort(F.collect_list("st")).alias("sts"))
+        .select(
+            "pos",
+            F.aggregate("sts", F.lit(0.0), lambda a, s_: a + s_.getField("t")).alias("u"),
+        )
+    )
+    nrm = u.agg(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                    lambda s_: s_.getField("u") * s_.getField("u"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm")
+    )
+    return u.crossJoin(F.broadcast(nrm)).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("u") / F.col("nrm"), 6).alias("loading"),
+    )
+
+
+_PCA_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+s AS (
+  SELECT vec_id,
+         list_reduce(list_prepend({dlit(0.0)},
+           [CAST(embedding[i] AS DOUBLE) * {dlit(PCA_V0)}
+            for i in generate_series(1, len(embedding))]),
+           (a, x) -> a + x) AS s
+  FROM emb
+),
+ex AS (
+  SELECT e.vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM emb e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+u AS (
+  SELECT pos,
+         list_reduce(list_prepend({dlit(0.0)},
+           list(s.s * ex.x ORDER BY ex.vec_id)), (a, x) -> a + x) AS u
+  FROM ex JOIN s USING (vec_id) GROUP BY pos
+),
+n AS (
+  SELECT sqrt(list_reduce(list_prepend({dlit(0.0)},
+           list(u * u ORDER BY pos)), (a, x) -> a + x)) AS nrm
+  FROM u
+)
+SELECT CAST(pos AS BIGINT) AS pos, round(u / nrm, 6) AS loading
+FROM u CROSS JOIN n
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -4733,6 +5234,12 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
     ("llm_image_phash", image_phash, _image_phash_sql()),
     ("llm_image_near_dup", image_near_dup, _image_near_dup_sql()),
+    ("llm_rrf_fusion", rrf_fusion, _RRF_SQL),
+    ("llm_ndcg_eval", ndcg_eval, _NDCG_SQL),
+    ("llm_matryoshka_recall", matryoshka_recall, _MRL_SQL),
+    ("llm_zipf_fit", zipf_fit, _ZIPF_SQL),
+    ("llm_domain_quota_sample", domain_quota_sample, _QUOTA_SQL),
+    ("llm_pca_power_iter", pca_power_iter, _PCA_SQL),
 ]
 
 

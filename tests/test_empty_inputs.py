@@ -250,3 +250,28 @@ def test_round5_rel_ops_empty_inputs(spark, tmp_path):
 
     ft = relational.first_touch_attribution(spark, sf)
     assert ft.count() == 0 and "attributed_value" in ft.columns
+
+
+def test_round5_llm_ops_empty_inputs(spark, tmp_path):
+    """Round-5 LLM ops over empty documents/embeddings lakes: typed empty
+    frames, no crash, no NaN rows from ungrouped aggregates."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("documents", "embeddings"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+
+    for fn, col in (
+        (llm.rrf_fusion, "rrf"),
+        (llm.ndcg_eval, "ndcg"),
+        (llm.matryoshka_recall, "recall_at_k"),
+        (llm.zipf_fit, "zipf_slope"),
+        (llm.domain_quota_sample, "src_rank"),
+        (llm.pca_power_iter, "loading"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__

@@ -1229,3 +1229,203 @@ def test_image_near_dup_band_candidates_bounded(spark):
     assert cand_2n < 0.75 * allpairs
     # hot-bucket occupancy, as a fraction of images, must not grow with N
     assert hot_2n / len(all_h) <= hot_n / len(half) * 1.10
+
+
+def test_rrf_fusion_matches_reference(spark):
+    """RRF recomputed from the two legs' own outputs: 1/(60+r) per list,
+    missing rank contributes 0, fused order by (score desc, doc_id)."""
+    lex = {r.doc_id: r.rank for r in llm.bm25_topk(spark, SF).collect()}
+    rows = sorted(
+        (r.fused_rank, r.doc_id, r.lex_rank, r.sem_rank, r.rrf)
+        for r in llm.rrf_fusion(spark, SF).collect()
+    )
+    assert len(rows) == llm.RRF_TOPK
+    # recompute the semantic leg driver-side
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < llm.BM25_MAX_ID)
+        .collect()
+    }
+
+    def dot_(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qv = embs[0]
+    nq = math.sqrt(dot_(qv, qv))
+    sims = sorted(
+        (
+            -round(dot_(v, qv) / (math.sqrt(dot_(v, v)) * nq), 6),
+            cid,
+        )
+        for cid, v in embs.items()
+        if cid != 0
+    )
+    sem = {cid: i + 1 for i, (_, cid) in enumerate(sims[: llm.RRF_TOPK])}
+    scores = {}
+    for d in set(lex) | set(sem):
+        s = 0.0
+        s += 1.0 / (llm.RRF_K + lex[d]) if d in lex else 0.0
+        s += 1.0 / (llm.RRF_K + sem[d]) if d in sem else 0.0
+        scores[d] = round(s, 6)
+    want_order = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[
+        : llm.RRF_TOPK
+    ]
+    for i, (d, s) in enumerate(want_order, start=1):
+        fr, doc, lr, sr, rrf = rows[i - 1]
+        assert (fr, doc) == (i, d)
+        assert rrf == s
+        assert lr == lex.get(d) and sr == sem.get(d)
+
+
+def test_ndcg_eval_matches_reference(spark):
+    """DCG/nDCG recomputed from the exact and LSH rankings with the same
+    graded relevance and ln-based log2; nDCG in [0, 1]-ish bounds."""
+    exact = {
+        (r.q_id, r.c_id): r.rank for r in llm.cosine_topk(spark, SF).collect()
+    }
+    approx = {}
+    for r in llm.lsh_topk(spark, SF).collect():
+        approx.setdefault(r.q_id, []).append((r.rank, r.c_id))
+    rows = {r.q_id: r for r in llm.ndcg_eval(spark, SF).collect()}
+    assert set(rows) == set(approx)
+    ln2 = math.log(2.0)
+    for q, hits in approx.items():
+        dcg = 0.0
+        for rank, cid in sorted(hits):
+            rel = float(llm.NDCG_MAX_REL - exact[(q, cid)]) if (q, cid) in exact else 0.0
+            dcg += rel * ln2 / math.log(rank + 1.0)
+        idcg = 0.0
+        for rank in (1, 2, 3):
+            idcg += (llm.NDCG_MAX_REL - rank) * ln2 / math.log(rank + 1.0)
+        r = rows[q]
+        assert r.dcg == round(dcg, 6)
+        assert r.ndcg == round(dcg / idcg, 6)
+        assert 0.0 <= r.ndcg <= 1.000001
+
+
+def test_matryoshka_recall_matches_reference(spark):
+    """Both rankings recomputed driver-side; overlap and recall@5 exact;
+    every query id present even at zero overlap."""
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, SF, "embeddings").collect()
+    }
+
+    def topk(dim):
+        out = {}
+        for q in range(10):
+            qv = embs[q][:dim]
+
+            def dot_(a, b):
+                acc = 0.0
+                for x, y in zip(a, b):
+                    acc += x * y
+                return acc
+
+            nq = math.sqrt(dot_(qv, qv))
+            sims = sorted(
+                (
+                    -round(
+                        dot_(v[:dim], qv)
+                        / (math.sqrt(dot_(v[:dim], v[:dim])) * nq),
+                        6,
+                    ),
+                    cid,
+                )
+                for cid, v in embs.items()
+                if cid != q
+            )
+            out[q] = {cid for _, cid in sims[: llm.MRL_K]}
+        return out
+
+    full, trunc = topk(64), topk(llm.MRL_DIM)
+    rows = {r.q_id: r for r in llm.matryoshka_recall(spark, SF).collect()}
+    assert set(rows) == set(range(10))
+    for q in range(10):
+        ov = len(full[q] & trunc[q])
+        assert rows[q].overlap == ov
+        assert rows[q].recall_at_k == round(ov / float(llm.MRL_K), 6)
+
+
+def test_zipf_fit_matches_reference(spark):
+    """OLS slope/intercept recomputed with the same rank-ordered
+    accumulation over the same deterministic top-100."""
+    from collections import Counter
+
+    texts = [r.text for r in load(spark, SF, "documents").collect()]
+    counts = Counter(w for t in texts for w in t.split(" ") if w)
+    top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[: llm.ZIPF_TOPN]
+    sx = sy = sxx = sxy = 0.0
+    n = float(len(top))
+    for i, (_, c) in enumerate(top, start=1):
+        lx, ly = math.log(float(i)), math.log(float(c))
+        sx += lx
+        sy += ly
+        sxx += lx * lx
+        sxy += lx * ly
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = llm.zipf_fit(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_words == len(top)
+    assert r.zipf_slope == round(slope, 6)
+    assert r.zipf_intercept == round((sy - slope * sx) / n, 6)
+    assert r.zipf_slope < 0, "frequency must decay with rank"
+
+
+def test_domain_quota_sample_matches_reference(spark):
+    """Per-source cap honored with dense ranks; the kept set equals the
+    top-QUOTA by (quality desc, doc_id) recomputed from the full corpus."""
+    rows = sorted(
+        (r.source, r.src_rank, r.doc_id, r.q)
+        for r in llm.domain_quota_sample(spark, SF).collect()
+    )
+    full = load(spark, SF, "documents").withColumn(
+        "q", llm.quality_score(F.col("text"))
+    )
+    per_src = {}
+    for r in full.select("source", "doc_id", "q").collect():
+        per_src.setdefault(r.source, []).append((-r.q, r.doc_id, r.q))
+    want = []
+    for src, docs in per_src.items():
+        docs.sort()
+        for i, (_, did, q) in enumerate(
+            docs[: llm.QUOTA_PER_SOURCE], start=1
+        ):
+            want.append((src, i, did, q))
+    assert rows == sorted(want)
+
+
+def test_pca_power_iter_matches_reference(spark):
+    """u = X^T(X v0) replayed in pure Python with identical fold orders;
+    loadings unit-norm."""
+    embs = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in load(spark, SF, "embeddings").collect()
+        if len(r.embedding) == llm.EMB_DIM
+    )
+    s = {}
+    for vid, v in embs:
+        acc = 0.0
+        for x in v:
+            acc += x * llm.PCA_V0
+        s[vid] = acc
+    u = []
+    for d in range(llm.EMB_DIM):
+        acc = 0.0
+        for vid, v in embs:
+            acc += s[vid] * v[d]
+        u.append(acc)
+    nrm_acc = 0.0
+    for x in u:
+        nrm_acc += x * x
+    nrm = math.sqrt(nrm_acc)
+    rows = {r.pos: r.loading for r in llm.pca_power_iter(spark, SF).collect()}
+    assert set(rows) == set(range(llm.EMB_DIM))
+    for d in range(llm.EMB_DIM):
+        assert rows[d] == round(u[d] / nrm, 6)
+    assert abs(sum(v * v for v in rows.values()) - 1.0) < 1e-4

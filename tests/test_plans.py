@@ -457,3 +457,20 @@ def test_kmeans_assignment_is_broadcast_not_cartesian(spark):
     p = plan(kmeans_refine(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round5_llm_ops_stay_jvm_side(spark):
+    """The round-5 retrieval/embedding math must compile to pure Catalyst
+    expressions — no Python eval nodes in any plan."""
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    for fn in (
+        llm.rrf_fusion,
+        llm.ndcg_eval,
+        llm.matryoshka_recall,
+        llm.zipf_fit,
+        llm.domain_quota_sample,
+        llm.pca_power_iter,
+    ):
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
