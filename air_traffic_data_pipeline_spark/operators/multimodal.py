@@ -248,6 +248,48 @@ def frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
 
 
+ENERGY_SCHEMA = "doc_id long, frame_idx int, channels int, energy long, rms double"
+
+
+def frame_energy(df: DataFrame) -> DataFrame:
+    """Per-frame energy over real WAV payloads — the VAD/silence-detection
+    primitive of audio curation: energy = sum of squared samples in the
+    frame (EXACT int64 — sign-free, so it needs no float discipline at
+    all), rms = sqrt(energy / channels). Same expanding mapInPandas batch
+    shape as ``frame_sample``; payload bytes never leave the executors.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, chs, energies, rmss = [], [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                channels, _rate, _block, _bits, samples = _parse_wav(bytes(raw))
+                n_frames = len(samples) // channels
+                for f in range(n_frames):
+                    frame = samples[f * channels : (f + 1) * channels]
+                    e = sum(int(s) * int(s) for s in frame)
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    chs.append(channels)
+                    energies.append(e)
+                    rmss.append(math.sqrt(e / channels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, ENERGY_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id long, width int, height int, new_width int, new_height int, "
     "out_bytes long, checksum long"

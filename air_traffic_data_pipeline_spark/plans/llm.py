@@ -5059,6 +5059,195 @@ WHERE src_rank <= {QUOTA_PER_SOURCE}
 """
 
 
+# --- audio frame energy / silence detection (round 5) ------------------------
+
+AUDIO_SILENCE_ENERGY = 100_000_000
+
+
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy + silence flag over REAL WAV bytes — the
+    voice-activity primitive an audio-curation pass runs before keeping or
+    trimming clips. The Arrow kernel (operators/multimodal.py:frame_energy)
+    re-parses the genuine RIFF chunk list; energy is the EXACT int64 sum
+    of squared samples per frame, so the only float is the rms sqrt.
+    The silence threshold applies JVM-side on the exact integer.
+
+    Oracle recomputes every frame closed-form from the synthetic sample
+    formula (md5 digest bytes as little-endian int16s) without touching
+    payload bytes — full byte-format round-trip value check.
+    """
+    from ..operators.multimodal import attach_wav_payload, frame_energy
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fe = frame_energy(attach_wav_payload(d))
+    return fe.select(
+        "doc_id",
+        "frame_idx",
+        "channels",
+        "energy",
+        F.round("rms", 6).alias("rms"),
+        (F.col("energy") < F.lit(AUDIO_SILENCE_ENERGY)).alias("is_silence"),
+    )
+
+
+def _audio_energy_sql() -> str:
+    s = "md5(text)"
+
+    def sq(k: int) -> str:
+        a = _md5_abs_i16_sql(s, k)
+        return f"({a} * {a})"
+
+    selects = []
+    for f in range(8):
+        mono = sq(f)
+        if 2 * f + 1 < 8:
+            stereo = f"({sq(2 * f)} + {sq(2 * f + 1)})"
+        else:
+            stereo = "0"  # dead: stereo docs have only 4 frames
+        selects.append(
+            f"SELECT doc_id, CAST({f} AS INTEGER) AS frame_idx, "
+            f"CAST(doc_id % 2 + 1 AS INTEGER) AS channels, "
+            f"CAST(CASE WHEN doc_id % 2 = 0 THEN {mono} ELSE {stereo} END AS BIGINT) AS energy "
+            f"FROM documents WHERE doc_id < 300 AND {f} < 8 // (doc_id % 2 + 1)"
+        )
+    base = " UNION ALL ".join(selects)
+    return f"""
+SELECT doc_id, frame_idx, channels, energy,
+       round(sqrt(CAST(energy AS DOUBLE) / CAST(channels AS DOUBLE)), 6) AS rms,
+       energy < {AUDIO_SILENCE_ENERGY} AS is_silence
+FROM ({base}) t
+"""
+
+
+# --- MMR diversified re-ranking (round 5) ------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 10  # candidate pool (exact top-k for the query)
+MMR_SELECT = 5  # greedy picks
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the exact cosine top-10
+    for query vector 0, greedily pick 5 results maximizing
+    lambda*sim(q,c) - (1-lambda)*max_{s in S} sim(c,s) — the diversity
+    pass a RAG retriever runs so five near-identical chunks don't fill
+    the context window.
+
+    Scale shape: the expensive part (corpus-wide top-k) is the already
+    scale-shaped retrieval leg; MMR itself runs on the K-candidate pool —
+    the K x K pairwise sims are computed ONCE (tiny broadcast cross join)
+    and each greedy step is an anti-join + max-aggregate over <= K rows.
+    The greedy loop is unrolled MMR_SELECT times (fixed plan depth, no
+    driver collect). Determinism: every sim rounds 6 dp before any
+    comparison; argmax tiebreak on c_id; scores recomputed identically in
+    the oracle's unrolled CTE chain.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
+    c = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("c_id"), v.alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "c_id",
+        "c_vec",
+        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("q_sim"),
+    )
+    cand = scored.orderBy(F.col("q_sim").desc(), "c_id").limit(MMR_POOL)
+    # the K-row pool feeds every unrolled greedy step: checkpoint it once
+    # so the corpus-wide top-k subplan doesn't re-execute per step
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    cand, _ = tracked_local_checkpoint(cand, register=True)
+    a = cand.select(F.col("c_id").alias("a"), F.col("c_vec").alias("va"))
+    b = cand.select(F.col("c_id").alias("b"), F.col("c_vec").alias("vb"))
+    ps = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+    )
+    pool = cand.select("c_id", "q_sim")
+    lam, inv = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    selected = (
+        pool.orderBy(F.col("q_sim").desc(), "c_id")
+        .limit(1)
+        .select(
+            "c_id",
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            F.round(lam * F.col("q_sim"), 6).alias("mmr_score"),
+        )
+    )
+    for step in range(2, MMR_SELECT + 1):
+        remaining = pool.join(selected.select("c_id"), "c_id", "left_anti")
+        mx = (
+            ps.join(selected.select(F.col("c_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("mx"))
+        )
+        pick = (
+            remaining.join(mx, remaining.c_id == mx.a)
+            .select(
+                "c_id",
+                F.round(lam * F.col("q_sim") - inv * F.col("mx"), 6).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), "c_id")
+            .limit(1)
+            .select(
+                "c_id",
+                F.lit(step).cast("bigint").alias("mmr_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionAll(pick)
+    return selected
+
+
+def _mmr_sql() -> str:
+    lam, inv = dlit(MMR_LAMBDA), dlit(1.0 - MMR_LAMBDA)
+    parts = [
+        f"""cand AS (
+  SELECT c_id, c_vec, q_sim FROM (
+    SELECT e.vec_id AS c_id, e.vec AS c_vec,
+           round({cosine_sql('e.vec', 'qv.q_vec')}, 6) AS q_sim
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id != 0) e
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0) qv) t
+  ORDER BY q_sim DESC, c_id LIMIT {MMR_POOL}
+)""",
+        f"""ps AS (
+  SELECT x.c_id AS a, y.c_id AS b,
+         round({cosine_sql('x.c_vec', 'y.c_vec')}, 6) AS sim
+  FROM cand x CROSS JOIN cand y WHERE x.c_id != y.c_id
+)""",
+        f"""sel1 AS (
+  SELECT c_id, CAST(1 AS BIGINT) AS mmr_rank,
+         round({lam} * q_sim, 6) AS mmr_score
+  FROM cand ORDER BY q_sim DESC, c_id LIMIT 1
+)""",
+    ]
+    for step in range(2, MMR_SELECT + 1):
+        prev = f"sel{step - 1}"
+        parts.append(
+            f"""pick{step} AS (
+  SELECT r.c_id, CAST({step} AS BIGINT) AS mmr_rank,
+         round({lam} * r.q_sim - {inv} * m.mx, 6) AS mmr_score
+  FROM cand r
+  JOIN (SELECT a, max(sim) AS mx FROM ps
+        WHERE b IN (SELECT c_id FROM {prev}) GROUP BY a) m ON r.c_id = m.a
+  WHERE r.c_id NOT IN (SELECT c_id FROM {prev})
+  ORDER BY mmr_score DESC, r.c_id LIMIT 1
+)""",
+        )
+        parts.append(
+            f"sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{step})"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT c_id, mmr_rank, mmr_score FROM sel{MMR_SELECT}"
+
+
 # --- PCA power iteration (round 5) -------------------------------------------
 
 PCA_V0 = 0.125  # 1/sqrt(64): exact in binary, so the seed adds no noise
@@ -5240,6 +5429,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_zipf_fit", zipf_fit, _ZIPF_SQL),
     ("llm_domain_quota_sample", domain_quota_sample, _QUOTA_SQL),
     ("llm_pca_power_iter", pca_power_iter, _PCA_SQL),
+    ("llm_audio_frame_energy", audio_frame_energy, _audio_energy_sql()),
+    ("llm_mmr_rerank", mmr_rerank, _mmr_sql()),
 ]
 
 

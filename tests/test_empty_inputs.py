@@ -271,6 +271,8 @@ def test_round5_llm_ops_empty_inputs(spark, tmp_path):
         (llm.zipf_fit, "zipf_slope"),
         (llm.domain_quota_sample, "src_rank"),
         (llm.pca_power_iter, "loading"),
+        (llm.audio_frame_energy, "energy"),
+        (llm.mmr_rerank, "mmr_score"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -1429,3 +1429,101 @@ def test_pca_power_iter_matches_reference(spark):
     for d in range(llm.EMB_DIM):
         assert rows[d] == round(u[d] / nrm, 6)
     assert abs(sum(v * v for v in rows.values()) - 1.0) < 1e-4
+
+
+def test_audio_frame_energy_matches_bytes_reference(spark):
+    """Energy recomputed from the raw WAV payload bytes (independent
+    parse): exact int64 sum of squares per frame, rms, silence flag,
+    frame counts by channel layout."""
+    import struct as _struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        WAV_HEADER_BYTES,
+        attach_wav_payload,
+    )
+
+    d = load(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in attach_wav_payload(d).collect()
+    }
+    rows = {}
+    for r in llm.audio_frame_energy(spark, SF).collect():
+        if r.doc_id < 50:
+            rows[(r.doc_id, r.frame_idx)] = r
+    for did, raw in payloads.items():
+        channels = _struct.unpack("<H", raw[22:24])[0]
+        samples = _struct.unpack("<8h", raw[WAV_HEADER_BYTES:])
+        n_frames = len(samples) // channels
+        assert {f for (d2, f) in rows if d2 == did} == set(range(n_frames))
+        for f in range(n_frames):
+            frame = samples[f * channels : (f + 1) * channels]
+            e = sum(s * s for s in frame)
+            r = rows[(did, f)]
+            assert r.channels == channels
+            assert r.energy == e
+            assert r.rms == round(math.sqrt(e / channels), 6)
+            assert r.is_silence == (e < llm.AUDIO_SILENCE_ENERGY)
+    flags = {r.is_silence for r in rows.values()}
+    assert flags == {True, False}, "threshold should discriminate frames"
+
+
+def test_mmr_rerank_matches_reference(spark):
+    """Greedy MMR replayed in pure Python from the embeddings: same
+    candidate pool, same rounded sims, same argmax tiebreaks. Rounding
+    uses HALF_UP on the exact binary double (Spark's round semantics) —
+    Python's round() is correct-rounding-to-even and diverges on 6th-
+    decimal near-ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark rounds doubles via BigDecimal.valueOf == Double.toString,
+        # i.e. the SHORTEST decimal repr (same as Python repr), then
+        # HALF_UP — not the exact binary expansion
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        da = db = dd = 0.0
+        for x, y in zip(a, b):
+            dd += x * y
+            da += x * x
+            db += y * y
+        return r6(dd / (math.sqrt(da) * math.sqrt(db)))
+
+    qv = embs[0]
+    pool = sorted(
+        ((-cos(v, qv), cid) for cid, v in embs.items() if cid != 0)
+    )[: llm.MMR_POOL]
+    pool = [(cid, -neg) for neg, cid in pool]
+    lam = llm.MMR_LAMBDA
+    sel = []
+    scores = {}
+    first = min(pool, key=lambda t: (-t[1], t[0]))
+    sel.append(first[0])
+    scores[first[0]] = (1, r6(lam * first[1]))
+    for step in range(2, llm.MMR_SELECT + 1):
+        best = None
+        for cid, qs in pool:
+            if cid in sel:
+                continue
+            mx = max(cos(embs[cid], embs[s]) for s in sel)
+            sc = r6(lam * qs - (1.0 - lam) * mx)
+            key = (-sc, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, sc)
+        sel.append(best[1])
+        scores[best[1]] = (step, best[2])
+    got = {
+        r.c_id: (r.mmr_rank, r.mmr_score)
+        for r in llm.mmr_rerank(spark, SF).collect()
+    }
+    assert got == scores
+    assert len(got) == llm.MMR_SELECT
