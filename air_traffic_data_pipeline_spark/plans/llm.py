@@ -5248,6 +5248,248 @@ def _mmr_sql() -> str:
     return f"WITH {body}\nSELECT c_id, mmr_rank, mmr_score FROM sel{MMR_SELECT}"
 
 
+# --- hard-negative mining (round 5) ------------------------------------------
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: documents the LEXICAL leg
+    ranks in its top-k but the SEMANTIC leg does not — lexically
+    confusable, semantically off, exactly the negatives an embedding
+    trainer wants. The complement of llm_rrf_fusion over the same two
+    legs: fusion rewards agreement, this harvests disagreement.
+
+    Scale shape: both legs are already top-k (TakeOrderedAndProject);
+    the mining is a k-row anti-join. Output re-ranks the survivors by
+    lexical rank (exact ints end to end — the only floats are the legs'
+    own rounded scores, passed through).
+    """
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", "bm25", F.col("rank").alias("lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < BM25_MAX_ID
+    )
+    v = to_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
+    c = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), v.alias("c_vec")
+    )
+    sem = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_TOPK)
+    )
+    mined = lex.join(sem.select("doc_id"), "doc_id", "left_anti")
+    w = W.orderBy("lex_rank")
+    return mined.select(
+        "doc_id",
+        "bm25",
+        "lex_rank",
+        F.row_number().over(w).cast("bigint").alias("neg_rank"),
+    )
+
+
+_HARDNEG_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, bm25, rank AS lex_rank FROM ({_BM25_SQL}) lt
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE vec_id < {BM25_MAX_ID}
+),
+qv AS (SELECT vec AS q_vec FROM emb WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round({cosine_sql('e.vec', 'qv.q_vec')}, 6) DESC, e.vec_id) AS rank
+    FROM emb e CROSS JOIN qv WHERE e.vec_id != 0) st
+  WHERE rank <= {RRF_TOPK}
+)
+SELECT doc_id, bm25, lex_rank,
+       CAST(row_number() OVER (ORDER BY lex_rank) AS BIGINT) AS neg_rank
+FROM lex WHERE doc_id NOT IN (SELECT doc_id FROM sem)
+"""
+
+
+# --- embedding-space outlier detection (round 5) -----------------------------
+
+EMB_OUTLIER_Z = -1.5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: each vector's cosine to its OWN
+    label centroid, z-scored within the label — vectors far below their
+    cluster's typical self-similarity are mislabeled/noisy candidates the
+    curation pass reviews before training. The z-score discipline of
+    llm_zscore_groups applied to the ivf_centroids kernel.
+
+    Scale shape: centroids are one (label, dim) aggregate (broadcast
+    back); sims are map-side; the per-label mean/std is a second bounded
+    aggregate with sequential folds over members sorted by vec_id.
+    Labels with zero sim spread (degenerate) drop out identically in
+    both engines via the std > 0 guard.
+    """
+    from ..operators.similarity import ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
+    cents = ivf_centroids(e, EMB_DIM).select(
+        "label", F.col("centroid").alias("cvec")
+    )
+    v = e.select("vec_id", "label", to_double(F.col("embedding")).alias("vec"))
+    sims = v.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("sim"),
+    )
+    per = sims.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "sim"))).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.aggregate(
+        "xs", F.lit(0.0), lambda a, s: a + s.getField("sim")
+    ) / F.col("n").cast("double")
+    stats = per.select("label", mean.alias("mu"), "xs", "n")
+    var = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda a, s: a
+        + (s.getField("sim") - F.col("mu")) * (s.getField("sim") - F.col("mu")),
+    ) / F.col("n").cast("double")
+    stats = stats.select("label", "mu", F.sqrt(var).alias("sd"))
+    return (
+        sims.join(F.broadcast(stats), "label")
+        .filter(F.col("sd") > 0.0)
+        .select(
+            "vec_id",
+            "label",
+            "sim",
+            F.round((F.col("sim") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+        .withColumn("is_outlier", F.col("z") < F.lit(EMB_OUTLIER_Z))
+    )
+
+
+_EMB_OUTLIER_SQL = f"""
+WITH emb AS (SELECT * FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+ex AS (
+  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex GROUP BY label, pos
+),
+cents AS (SELECT label, list(m ORDER BY pos) AS cvec FROM cent GROUP BY label),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM emb),
+sims AS (
+  SELECT v.vec_id, v.label,
+         round({cosine_sql('v.vec', 'cents.cvec')}, 6) AS sim
+  FROM v JOIN cents ON v.label = cents.label
+),
+st AS (
+  SELECT label,
+         list_reduce(list_prepend({dlit(0.0)}, list(sim ORDER BY vec_id)),
+                     (a, x) -> a + x) / CAST(count(*) AS DOUBLE) AS mu,
+         count(*) AS n
+  FROM sims GROUP BY label
+),
+st2 AS (
+  SELECT s.label, st.mu,
+         sqrt(list_reduce(list_prepend({dlit(0.0)},
+                list((s.sim - st.mu) * (s.sim - st.mu) ORDER BY s.vec_id)),
+              (a, x) -> a + x) / CAST(st.n AS DOUBLE)) AS sd
+  FROM sims s JOIN st ON s.label = st.label
+  GROUP BY s.label, st.mu, st.n
+)
+SELECT sims.vec_id, sims.label, sims.sim,
+       round((sims.sim - st2.mu) / st2.sd, 6) AS z,
+       round((sims.sim - st2.mu) / st2.sd, 6) < {dlit(EMB_OUTLIER_Z)} AS is_outlier
+FROM sims JOIN st2 ON sims.label = st2.label
+WHERE st2.sd > {dlit(0.0)}
+"""
+
+
+# --- class-based TF-IDF keywords (round 5) -----------------------------------
+
+CTFIDF_TOPK = 5
+
+
+def ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF shape): treat each source
+    as one concatenated class document, score terms by
+    tf_class * ln(1 + A / f_w) with A = average words per class and f_w =
+    the term's corpus-wide count, and keep the top-5 keywords per class —
+    the label-the-clusters step after any grouping (here the crawl
+    source; the same plan labels k-means or semdedup cells).
+
+    Scale shape: two map-side-combining aggregates (term-per-class and
+    term-global) plus one tiny 1-row stats broadcast; top-k per class is
+    a bounded window over the class's own vocabulary. Exact int counts;
+    one double formula; round 6 before ranking.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    fw = tf.groupBy("w").agg(F.sum("tf").alias("fw"))
+    stats = tf.groupBy("source").agg(F.sum("tf").alias("cw")).agg(
+        (
+            F.sum("cw").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("a")
+    )
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(1.0) + F.col("a") / F.col("fw").cast("double")),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(fw), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("source", "w", "tf", score.alias("ctfidf"))
+    )
+    w_ = W.partitionBy("source").orderBy(F.col("ctfidf").desc(), "w")
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w_).cast("bigint"))
+        .filter(F.col("kw_rank") <= CTFIDF_TOPK)
+    )
+
+
+_CTFIDF_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT source, w, count(*) AS tf FROM toks WHERE len(w) > 0
+  GROUP BY source, w
+),
+fw AS (SELECT w, sum(tf) AS fw FROM tf GROUP BY w),
+stats AS (
+  SELECT CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+  FROM (SELECT source, sum(tf) AS cw FROM tf GROUP BY source) t
+),
+scored AS (
+  SELECT tf.source, tf.w, CAST(tf.tf AS BIGINT) AS tf,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln({dlit(1.0)} + stats.a / CAST(fw.fw AS DOUBLE)), 6) AS ctfidf
+  FROM tf JOIN fw ON tf.w = fw.w CROSS JOIN stats
+)
+SELECT source, w, tf, ctfidf, CAST(kw_rank AS BIGINT) AS kw_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY ctfidf DESC, w) AS kw_rank
+  FROM scored) t
+WHERE kw_rank <= {CTFIDF_TOPK}
+"""
+
+
 # --- PCA power iteration (round 5) -------------------------------------------
 
 PCA_V0 = 0.125  # 1/sqrt(64): exact in binary, so the seed adds no noise
@@ -5431,6 +5673,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pca_power_iter", pca_power_iter, _PCA_SQL),
     ("llm_audio_frame_energy", audio_frame_energy, _audio_energy_sql()),
     ("llm_mmr_rerank", mmr_rerank, _mmr_sql()),
+    ("llm_hard_negative_mining", hard_negative_mining, _HARDNEG_SQL),
+    ("llm_embedding_outliers", embedding_outliers, _EMB_OUTLIER_SQL),
+    ("llm_ctfidf_keywords", ctfidf_keywords, _CTFIDF_SQL),
 ]
 
 

@@ -273,6 +273,9 @@ def test_round5_llm_ops_empty_inputs(spark, tmp_path):
         (llm.pca_power_iter, "loading"),
         (llm.audio_frame_energy, "energy"),
         (llm.mmr_rerank, "mmr_score"),
+        (llm.hard_negative_mining, "neg_rank"),
+        (llm.embedding_outliers, "is_outlier"),
+        (llm.ctfidf_keywords, "kw_rank"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -1527,3 +1527,136 @@ def test_mmr_rerank_matches_reference(spark):
     }
     assert got == scores
     assert len(got) == llm.MMR_SELECT
+
+
+def test_hard_negative_mining_matches_reference(spark):
+    """Mined set == lexical top-10 minus semantic top-10, re-ranked by
+    lexical rank; every mined doc keeps its original bm25 score."""
+    lex = {r.doc_id: (r.bm25, r.rank) for r in llm.bm25_topk(spark, SF).collect()}
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < llm.BM25_MAX_ID)
+        .collect()
+    }
+
+    def cos(a, b):
+        dd = da = db = 0.0
+        for x, y in zip(a, b):
+            dd += x * y
+            da += x * x
+            db += y * y
+        return round(dd / (math.sqrt(da) * math.sqrt(db)), 6)
+
+    qv = embs[0]
+    sem = {
+        cid
+        for _, cid in sorted(
+            ((-cos(v, qv), cid) for cid, v in embs.items() if cid != 0)
+        )[: llm.RRF_TOPK]
+    }
+    want_ids = sorted(
+        (rank, did) for did, (_, rank) in lex.items() if did not in sem
+    )
+    rows = sorted(
+        (r.neg_rank, r.doc_id, r.bm25, r.lex_rank)
+        for r in llm.hard_negative_mining(spark, SF).collect()
+    )
+    assert [(d, lr) for _, d, _, lr in rows] == [
+        (d, r) for r, d in want_ids
+    ]
+    assert [nr for nr, *_ in rows] == list(range(1, len(want_ids) + 1))
+    for _, d, b, _ in rows:
+        assert b == lex[d][0]
+
+
+def test_embedding_outliers_matches_reference(spark):
+    """Centroid, sims, per-label mean/std and z replayed with identical
+    fold orders; outlier flag honors the rounded-z threshold."""
+    embs = [
+        (r.vec_id, r.label, [float(x) for x in r.embedding])
+        for r in load(spark, SF, "embeddings").collect()
+        if len(r.embedding) == llm.EMB_DIM
+    ]
+    by_label = {}
+    for vid, lab, v in embs:
+        by_label.setdefault(lab, []).append((vid, v))
+    rows = {r.vec_id: r for r in llm.embedding_outliers(spark, SF).collect()}
+    for lab, members in by_label.items():
+        members.sort()
+        dim = llm.EMB_DIM
+        cent = []
+        for d in range(dim):
+            acc = 0.0
+            for _, v in members:
+                acc += v[d]
+            cent.append(acc / len(members))
+
+        def cos(a, b):
+            dd = da = db = 0.0
+            for x, y in zip(a, b):
+                dd += x * y
+                da += x * x
+                db += y * y
+            return round(dd / (math.sqrt(da) * math.sqrt(db)), 6)
+
+        sims = [(vid, cos(v, cent)) for vid, v in members]
+        mu_acc = 0.0
+        for _, s in sims:
+            mu_acc += s
+        mu = mu_acc / len(sims)
+        var_acc = 0.0
+        for _, s in sims:
+            var_acc += (s - mu) * (s - mu)
+        sd = math.sqrt(var_acc / len(sims))
+        if sd <= 0.0:
+            assert all(vid not in rows for vid, _ in sims)
+            continue
+        for vid, s in sims:
+            r = rows[vid]
+            assert r.label == lab and r.sim == s
+            assert r.z == round((s - mu) / sd, 6)
+            assert r.is_outlier == (r.z < llm.EMB_OUTLIER_Z)
+    assert any(r.is_outlier for r in rows.values()), "threshold should fire"
+
+
+def test_ctfidf_keywords_matches_reference(spark):
+    """c-TF-IDF recomputed from raw counts: tf * ln(1 + A/f_w), top-5 per
+    source with (score desc, word) tiebreak."""
+    from collections import Counter
+
+    docs = load(spark, SF, "documents").select("source", "text").collect()
+    tf = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                tf[(r.source, w)] += 1
+    fw = Counter()
+    for (s, w), c in tf.items():
+        fw[w] += c
+    class_words = Counter()
+    for (s, _), c in tf.items():
+        class_words[s] += c
+    a = sum(class_words.values()) / float(len(class_words))
+    want = {}
+    for src in class_words:
+        scored = sorted(
+            (
+                -round(c * math.log(1.0 + a / fw[w]), 6),
+                w,
+                c,
+            )
+            for (s, w), c in tf.items()
+            if s == src
+        )[: llm.CTFIDF_TOPK]
+        want[src] = [
+            (i + 1, w, c, -neg) for i, (neg, w, c) in enumerate(scored)
+        ]
+    rows = {}
+    for r in llm.ctfidf_keywords(spark, SF).collect():
+        rows.setdefault(r.source, []).append(
+            (r.kw_rank, r.w, r.tf, r.ctfidf)
+        )
+    for src in rows:
+        rows[src].sort()
+    assert rows == want

@@ -471,6 +471,9 @@ def test_round5_llm_ops_stay_jvm_side(spark):
         llm.zipf_fit,
         llm.domain_quota_sample,
         llm.pca_power_iter,
+        llm.hard_negative_mining,
+        llm.embedding_outliers,
+        llm.ctfidf_keywords,
     ):
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
