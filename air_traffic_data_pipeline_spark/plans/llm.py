@@ -4659,6 +4659,29 @@ RRF_K = 60
 RRF_TOPK = 10
 
 
+def _sem_leg(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Semantic retrieval leg shared by rrf_fusion and
+    hard_negative_mining: exact cosine top-k for query vector 0 over the
+    BM25-aligned doc-id range, via the ONE shared kernel
+    (operators/similarity.py:brute_force_topk) so the rounding/tiebreak
+    discipline lives in a single place. Malformed (ragged) embeddings are
+    excluded on both engines — zip_with over ragged arrays yields NULL
+    sims that silently sort last instead of failing loudly."""
+    e = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < BM25_MAX_ID) & (F.size("embedding") == EMB_DIM)
+    )
+    v = to_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), v.alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), v.alias("c_vec"))
+    return brute_force_topk(q, c, k).select(
+        F.col("c_id").alias("doc_id"),
+        "cos_sim",
+        F.col("rank").alias("sem_rank"),
+    )
+
+
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: reciprocal-rank fusion of the LEXICAL ranking (BM25
     over the fixed query terms) and the SEMANTIC ranking (exact cosine to
@@ -4677,29 +4700,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_topk(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < BM25_MAX_ID
-    )
-    v = to_double(F.col("embedding"))
-    q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
-    c = e.filter(F.col("vec_id") != 0).select(
-        F.col("vec_id").alias("doc_id"), v.alias("c_vec")
-    )
-    sem_scored = c.crossJoin(F.broadcast(q)).select(
-        "doc_id",
-        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cos_sim"),
-    )
-    sem = (
-        sem_scored.orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(RRF_TOPK)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
-            .cast("bigint")
-            .alias("sem_rank"),
-        )
-    )
+    sem = _sem_leg(spark, sf_dir, RRF_TOPK).select("doc_id", "sem_rank")
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(r).cast("double")),
         F.lit(0.0),
@@ -4725,7 +4726,7 @@ WITH lex AS (
 ),
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-  WHERE vec_id < {BM25_MAX_ID}
+  WHERE vec_id < {BM25_MAX_ID} AND len(embedding) = {EMB_DIM}
 ),
 qv AS (SELECT vec AS q_vec FROM emb WHERE vec_id = 0),
 sem0 AS (
@@ -4862,7 +4863,9 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap join touches k rows per query. The query set (not the
     corpus) bounds driver-side size.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
     full_v = to_double(F.col("embedding"))
     tr_v = to_double(F.slice(F.col("embedding"), 1, MRL_DIM))
     full = brute_force_topk(
@@ -4897,12 +4900,13 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MRL_SQL = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+WITH ok AS (SELECT * FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
                   (embedding[1:{MRL_DIM}])::DOUBLE[] AS q_tr
-           FROM embeddings WHERE vec_id < 10),
+           FROM ok WHERE vec_id < 10),
 c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec,
              (embedding[1:{MRL_DIM}])::DOUBLE[] AS c_tr
-      FROM embeddings),
+      FROM ok),
 full_r AS (
   SELECT q_id, c_id FROM (
     SELECT q_id, c_id,
@@ -5142,7 +5146,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison; argmax tiebreak on c_id; scores recomputed identically in
     the oracle's unrolled CTE chain.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
     v = to_double(F.col("embedding"))
     q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
     c = e.filter(F.col("vec_id") != 0).select(
@@ -5213,8 +5219,10 @@ def _mmr_sql() -> str:
   SELECT c_id, c_vec, q_sim FROM (
     SELECT e.vec_id AS c_id, e.vec AS c_vec,
            round({cosine_sql('e.vec', 'qv.q_vec')}, 6) AS q_sim
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id != 0) e
-    CROSS JOIN (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0) qv) t
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+          WHERE vec_id != 0 AND len(embedding) = {EMB_DIM}) e
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings
+                WHERE vec_id = 0 AND len(embedding) = {EMB_DIM}) qv) t
   ORDER BY q_sim DESC, c_id LIMIT {MMR_POOL}
 )""",
         f"""ps AS (
@@ -5266,23 +5274,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_topk(spark, sf_dir).select(
         "doc_id", "bm25", F.col("rank").alias("lex_rank")
     )
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < BM25_MAX_ID
-    )
-    v = to_double(F.col("embedding"))
-    q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
-    c = e.filter(F.col("vec_id") != 0).select(
-        F.col("vec_id").alias("doc_id"), v.alias("c_vec")
-    )
-    sem = (
-        c.crossJoin(F.broadcast(q))
-        .select(
-            "doc_id",
-            F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(RRF_TOPK)
-    )
+    sem = _sem_leg(spark, sf_dir, RRF_TOPK)
     mined = lex.join(sem.select("doc_id"), "doc_id", "left_anti")
     w = W.orderBy("lex_rank")
     return mined.select(
@@ -5299,7 +5291,7 @@ WITH lex AS (
 ),
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-  WHERE vec_id < {BM25_MAX_ID}
+  WHERE vec_id < {BM25_MAX_ID} AND len(embedding) = {EMB_DIM}
 ),
 qv AS (SELECT vec AS q_vec FROM emb WHERE vec_id = 0),
 sem AS (

@@ -3713,9 +3713,12 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("ts", "event_id")).alias("fc"))
         .select("user_id", F.col("fc.ts").alias("click_ts"))
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_uid"), "ts", "event_id", "value"
-    )
+    # NULL-valued purchases are excluded on BOTH engines: Spark's struct
+    # fold would propagate NULL into the total while the oracle's coalesce
+    # reads 0.0 — the one row class where the two would silently diverge
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(F.col("user_id").alias("p_uid"), "ts", "event_id", "value")
     # the time band lives in the JOIN condition (not a post-filter): a user
     # whose purchases all fall outside the window must still report 0
     j = first_click.join(
@@ -3757,7 +3760,7 @@ WITH fc AS (
 clicks AS (SELECT user_id, m.tsn AS click_ts FROM fc),
 pur AS (
   SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
 j AS (
   SELECT c.user_id, c.click_ts, p.tsn, p.event_id, p.value

@@ -520,6 +520,7 @@ def test_first_touch_attribution_matches_reference(spark):
             for r in ev
             if r.user_id == uid
             and r.event_type == "purchase"
+            and r.value is not None
             and cts <= r.ts <= cts + relational.ATTR_WINDOW_NS
         )
         total = 0.0

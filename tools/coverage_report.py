@@ -19,9 +19,8 @@ import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)  # import the checkout being audited, not a fixed path
 
 
 def main() -> int:
