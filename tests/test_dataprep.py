@@ -530,3 +530,70 @@ def test_first_touch_attribution_matches_reference(spark):
         assert r.click_ts == cts
         assert r.n_purchases == len(pur)
         assert r.attributed_value == round(total, 6)
+
+
+def test_gaps_islands_synthetic_edges(spark, tmp_path):
+    """Controlled island structure: duplicate lineitems on one day
+    collapse, singleton days are excluded by ISL_MIN_LEN, runs split
+    exactly at missing days, and a run crossing a month boundary stays
+    one island."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    base = load(spark, SF, "lineitem").limit(0)
+
+    def day(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # supplier 1: run of 3 (incl. month boundary), gap, singleton
+        (1, "1995-01-30"), (1, "1995-01-31"), (1, "1995-02-01"),
+        (1, "1995-02-05"),
+        # supplier 2: duplicates on the same day + neighbor -> one island of 2
+        (2, "1995-03-10"), (2, "1995-03-10"), (2, "1995-03-11"),
+        # supplier 3: singletons only -> no output
+        (3, "1995-04-01"), (3, "1995-04-03"),
+    ]
+    df = spark.createDataFrame(
+        [(sk, day(d)) for sk, d in rows], "l_suppkey long, l_shipdate timestamp"
+    )
+    cols = {c: F.lit(None).cast(t.dataType) for c, t in zip(base.columns, base.schema) if c not in df.columns}
+    out_df = df.select("*", *[v.alias(k) for k, v in cols.items()]).select(base.columns)
+    out_df.write.parquet(f"{sf}/lineitem.parquet")
+
+    epoch = dt.date(1970, 1, 1)
+
+    def dn(s):
+        return (dt.date.fromisoformat(s) - epoch).days
+
+    got = sorted(
+        (r.l_suppkey, r.day_start, r.day_end, r.island_len)
+        for r in relational.gaps_islands(spark, sf).collect()
+    )
+    assert got == [
+        (1, dn("1995-01-30"), dn("1995-02-01"), 3),
+        (2, dn("1995-03-10"), dn("1995-03-11"), 2),
+    ]
+
+
+def test_ewma_single_event_user(spark, tmp_path):
+    """A user with exactly one event: the fold seed IS the answer
+    (slice(_, 2, 0) returns empty — pinned, since that edge is easy to
+    regress into an error or NULL)."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    base = load(spark, SF, "events").limit(0)
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 101, "view", 42.5, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0), 102, "view", 10.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 0, 1), 102, "view", 20.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(base.columns)
+    df.write.parquet(f"{sf}/events.parquet")
+    rows = {r.user_id: r for r in relational.ewma_per_user(spark, sf).collect()}
+    assert rows[101].n_events == 1 and rows[101].ewma_last == 42.5
+    a = relational.EWMA_ALPHA
+    assert rows[102].ewma_last == round(a * 20.0 + (1 - a) * 10.0, 6)
