@@ -45,6 +45,21 @@ from .sqlutil import dlit
 from .tables import fan_out, load
 
 EMB_DIM = 64
+
+
+def _emb_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings lake restricted to well-formed fixed-width vectors.
+
+    Single source of the ragged-row guard every vector consumer applies:
+    a malformed (empty or ragged) embedding would fold to NULL sims that
+    silently sort last / vanish from posexplode aggregates while the
+    oracle's count(*) still saw it — so both engines exclude it up front
+    (oracles mirror with ``len(embedding) = EMB_DIM``).
+    """
+    return load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == EMB_DIM
+    )
+
 MINHASH_K = 8
 MINHASH_BANDS = 4  # 4 bands x 2 rows
 
@@ -3979,9 +3994,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or ragged) embedding would vanish from the posexplode fold while the
     # oracle's count(*) still saw it — filter identically on both sides
     # instead of diverging silently
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == EMB_DIM
-    )
+    e = _emb_ok(spark, sf_dir)
     cents = ivf_centroids(e, EMB_DIM).select(
         F.col("label").alias("k0"), F.col("centroid").alias("c0")
     )
@@ -4667,9 +4680,7 @@ def _sem_leg(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     discipline lives in a single place. Malformed (ragged) embeddings are
     excluded on both engines — zip_with over ragged arrays yields NULL
     sims that silently sort last instead of failing loudly."""
-    e = load(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") < BM25_MAX_ID) & (F.size("embedding") == EMB_DIM)
-    )
+    e = _emb_ok(spark, sf_dir).filter(F.col("vec_id") < BM25_MAX_ID)
     v = to_double(F.col("embedding"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), v.alias("q_vec")
@@ -4863,9 +4874,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap join touches k rows per query. The query set (not the
     corpus) bounds driver-side size.
     """
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == EMB_DIM
-    )
+    e = _emb_ok(spark, sf_dir)
     full_v = to_double(F.col("embedding"))
     tr_v = to_double(F.slice(F.col("embedding"), 1, MRL_DIM))
     full = brute_force_topk(
@@ -5146,9 +5155,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison; argmax tiebreak on c_id; scores recomputed identically in
     the oracle's unrolled CTE chain.
     """
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == EMB_DIM
-    )
+    e = _emb_ok(spark, sf_dir)
     v = to_double(F.col("embedding"))
     q = e.filter(F.col("vec_id") == 0).select(v.alias("q_vec"))
     c = e.filter(F.col("vec_id") != 0).select(
@@ -5328,9 +5335,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_centroids
 
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == EMB_DIM
-    )
+    e = _emb_ok(spark, sf_dir)
     cents = ivf_centroids(e, EMB_DIM).select(
         "label", F.col("centroid").alias("cvec")
     )
@@ -5501,9 +5506,7 @@ def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-dim accumulation are sequential folds (vec order / vec_id
     order); round 6 only at output.
     """
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == EMB_DIM
-    )
+    e = _emb_ok(spark, sf_dir)
     v = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
     s = v.select(
         "vec_id",

@@ -16,6 +16,18 @@ from air_traffic_data_pipeline_spark.plans.tables import load
 SF = "/root/testdata/sf0.001"
 
 
+def _ref_cos(a, b):
+    """Pure-Python mirror of functions/vectors.cosine: same per-element
+    multiply order, same left-fold accumulation, rounded 6 dp — the one
+    reference kernel the retrieval/embedding tests share."""
+    dd = da = db = 0.0
+    for x, y in zip(a, b):
+        dd += x * y
+        da += x * x
+        db += y * y
+    return round(dd / (math.sqrt(da) * math.sqrt(db)), 6)
+
+
 def test_dedup_exact_identity(spark):
     """No duplicate texts in the corpus -> every group has one member."""
     out = llm.dedup_exact(spark, SF)
@@ -1248,21 +1260,9 @@ def test_rrf_fusion_matches_reference(spark):
         .collect()
     }
 
-    def dot_(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
     qv = embs[0]
-    nq = math.sqrt(dot_(qv, qv))
     sims = sorted(
-        (
-            -round(dot_(v, qv) / (math.sqrt(dot_(v, v)) * nq), 6),
-            cid,
-        )
-        for cid, v in embs.items()
-        if cid != 0
+        (-_ref_cos(v, qv), cid) for cid, v in embs.items() if cid != 0
     )
     sem = {cid: i + 1 for i, (_, cid) in enumerate(sims[: llm.RRF_TOPK])}
     scores = {}
@@ -1319,23 +1319,8 @@ def test_matryoshka_recall_matches_reference(spark):
         out = {}
         for q in range(10):
             qv = embs[q][:dim]
-
-            def dot_(a, b):
-                acc = 0.0
-                for x, y in zip(a, b):
-                    acc += x * y
-                return acc
-
-            nq = math.sqrt(dot_(qv, qv))
             sims = sorted(
-                (
-                    -round(
-                        dot_(v[:dim], qv)
-                        / (math.sqrt(dot_(v[:dim], v[:dim])) * nq),
-                        6,
-                    ),
-                    cid,
-                )
+                (-_ref_cos(v[:dim], qv), cid)
                 for cid, v in embs.items()
                 if cid != q
             )
@@ -1540,19 +1525,11 @@ def test_hard_negative_mining_matches_reference(spark):
         .collect()
     }
 
-    def cos(a, b):
-        dd = da = db = 0.0
-        for x, y in zip(a, b):
-            dd += x * y
-            da += x * x
-            db += y * y
-        return round(dd / (math.sqrt(da) * math.sqrt(db)), 6)
-
     qv = embs[0]
     sem = {
         cid
         for _, cid in sorted(
-            ((-cos(v, qv), cid) for cid, v in embs.items() if cid != 0)
+            ((-_ref_cos(v, qv), cid) for cid, v in embs.items() if cid != 0)
         )[: llm.RRF_TOPK]
     }
     want_ids = sorted(
@@ -1592,15 +1569,7 @@ def test_embedding_outliers_matches_reference(spark):
                 acc += v[d]
             cent.append(acc / len(members))
 
-        def cos(a, b):
-            dd = da = db = 0.0
-            for x, y in zip(a, b):
-                dd += x * y
-                da += x * x
-                db += y * y
-            return round(dd / (math.sqrt(da) * math.sqrt(db)), 6)
-
-        sims = [(vid, cos(v, cent)) for vid, v in members]
+        sims = [(vid, _ref_cos(v, cent)) for vid, v in members]
         mu_acc = 0.0
         for _, s in sims:
             mu_acc += s
