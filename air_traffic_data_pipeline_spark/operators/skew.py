@@ -89,3 +89,41 @@ def salted_agg_sum(
     return partial.groupBy(*keys).agg(
         *[F.sum(a).alias(a) for a in sums.keys()]
     )
+
+
+def salted_group_topk(
+    df: DataFrame,
+    key: str,
+    order_by: Sequence[Column],
+    k: int,
+    n_salts: int = 8,
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Two-phase per-group top-k for HOT groups: rank within (key, salt)
+    and keep <= k per salt (spreading one hot group over n_salts reducer
+    partitions), then re-rank the surviving <= k*n_salts rows per key —
+    the skew path the direct one-window top-k (llm_domain_quota_sample)
+    names for a mega-domain. Result-identical to the direct window for
+    any salt assignment: a group's true top-k rows each rank <= k inside
+    whatever salt partition they land in (ranks only shrink when rows are
+    removed), so phase 1 never drops a final top-k row.
+
+    ``order_by`` must be a DETERMINISTIC total order (include a tiebreak
+    column) — same contract as the direct window. The output carries
+    ``rank_col`` (1..k per key).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(key, "__salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__salt", salt.cast("int"))
+        .withColumn(rank_col, F.row_number().over(w1))
+        .filter(F.col(rank_col) <= k)
+        .drop("__salt", rank_col)
+    )
+    w2 = W.partitionBy(key).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -477,3 +477,44 @@ def test_round5_llm_ops_stay_jvm_side(spark):
     ):
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+
+
+def test_salted_group_topk_equals_direct_window(spark):
+    """The two-phase salted per-group top-k (the hot-domain path
+    llm_domain_quota_sample's docstring names) must equal the direct
+    one-window rank for every group, at several salt counts."""
+    from air_traffic_data_pipeline_spark.operators.skew import salted_group_topk
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    d = load(spark, SF, "documents").withColumn(
+        "q", llm.quality_score(F.col("text"))
+    )
+    direct = {
+        (r.source, r.src_rank, r.doc_id)
+        for r in llm.domain_quota_sample(spark, SF).collect()
+    }
+    for n_salts in (1, 3, 8):
+        salted = {
+            (r.source, r.src_rank, r.doc_id)
+            for r in salted_group_topk(
+                d,
+                "source",
+                [F.col("q").desc(), F.col("doc_id")],
+                llm.QUOTA_PER_SOURCE,
+                n_salts=n_salts,
+                rank_col="src_rank",
+            ).collect()
+        }
+        assert salted == direct, n_salts
+
+
+def test_interval_overlap_join_broadcasts_promos(spark):
+    """The tiny promo calendar must broadcast: the fact side streams with
+    no shuffle before the aggregate."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        interval_overlap_join,
+    )
+
+    p = plan(interval_overlap_join(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
