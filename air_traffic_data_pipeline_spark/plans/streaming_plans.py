@@ -319,6 +319,40 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def stream_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_quantile_value
+
+    return incremental_quantile_value(spark, sf_dir)
+
+
+INCREMENTAL_QUANTILE_SQL = """
+WITH hist AS (
+  SELECT CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+tgt AS (
+  SELECT q, n AS n_total,
+         CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS target_rank
+  FROM qs CROSS JOIN tot
+),
+hit AS (
+  SELECT q, n_total, target_rank, min(bin) AS bin
+  FROM tgt JOIN cum ON cum.cum >= tgt.target_rank
+  GROUP BY q, n_total, target_rank
+)
+SELECT q, n_total, target_rank, bin,
+       CAST(bin AS DOUBLE) * CAST(5.0 AS DOUBLE) AS bin_lo
+FROM hit
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -334,6 +368,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_cms", stream_incremental_cms, _incremental_cms_sql()),
     ("stream_incremental_near_dup", stream_incremental_near_dup, _survivors_sql()),
     ("stream_incremental_topk", stream_incremental_topk, INCREMENTAL_TOPK_SQL),
+    ("stream_incremental_quantile", stream_incremental_quantile, INCREMENTAL_QUANTILE_SQL),
 ]
 
 if _tws_available():

@@ -707,3 +707,101 @@ def incremental_topk_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+QUANT_BIN_WIDTH = 5.0
+QUANT_QS = (0.5, 0.9, 0.99)
+
+
+def incremental_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile maintenance via fixed-bin histogram partials:
+    each micro-batch lands its OWN (bin, cnt) histogram (bin =
+    floor(value / width), EXACT int64 counts), the merged histogram is the
+    per-bin sum — bitwise equal to the one-shot batch histogram however
+    the file source slices the input — and p50/p90/p99 are read off the
+    merged cumulative counts (smallest bin whose running count reaches
+    ceil(q * N)). The third incremental-MV shape next to the distributive
+    sketch merge (CMS) and the key-granular partials (top-k): quantiles
+    are NOT distributive, but their sufficient statistic (the histogram)
+    is — so state is bins-sized, never event-sized.
+
+    At 100 TB: per-batch state is |bins| rows regardless of stream volume;
+    the merge re-aggregates bins; a late value lands in a later partial
+    and shifts the cumulative counts without replaying history. All rank
+    arithmetic is exact integers; the only floats are the bin edges.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_quant_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                F.floor(F.col("value") / F.lit(QUANT_BIN_WIDTH)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        part.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        hist = (
+            spark.read.parquet(f"{base}/batch=*")
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        cum = hist.withColumn(
+            "cum", F.sum("cnt").over(Window.orderBy("bin"))
+        )
+        total = hist.agg(F.sum("cnt").alias("n"))
+        qs = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(float(qv)) for qv in QUANT_QS])
+            ).alias("q")
+        )
+        tgt = qs.crossJoin(F.broadcast(total)).select(
+            "q",
+            F.col("n").alias("n_total"),
+            F.ceil(F.col("q") * F.col("n").cast("double")).alias(
+                "target_rank"
+            ),
+        )
+        w = Window.partitionBy("q").orderBy("bin")
+        out = (
+            tgt.join(cum, F.col("cum") >= F.col("target_rank"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q",
+                "n_total",
+                "target_rank",
+                "bin",
+                (F.col("bin").cast("double") * F.lit(QUANT_BIN_WIDTH)).alias(
+                    "bin_lo"
+                ),
+            )
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

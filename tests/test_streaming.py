@@ -554,3 +554,45 @@ def test_incremental_topk_equals_batch(spark):
         for i, (uid, v) in enumerate(rows[:3], start=1):
             want.append((et, uid, float(v), i))
     assert got == sorted(want)
+
+
+def test_incremental_quantile_equals_batch(spark):
+    """Per-micro-batch histogram partials merged by summation must
+    reproduce the one-shot batch quantiles exactly (bin counts are exact
+    ints — batch slicing can't change them), and each reported bin is the
+    smallest whose cumulative count reaches ceil(q*N)."""
+    import math
+
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        QUANT_BIN_WIDTH,
+        QUANT_QS,
+        _load_canonical_events,
+        incremental_quantile_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.q: (r.n_total, r.target_rank, r.bin, r.bin_lo)
+        for r in incremental_quantile_value(spark, sf).collect()
+    }
+    vals = [
+        r.value
+        for r in _load_canonical_events(spark, sf).select("value").collect()
+        if r.value is not None
+    ]
+    hist = {}
+    for v in vals:
+        b = math.floor(v / QUANT_BIN_WIDTH)
+        hist[b] = hist.get(b, 0) + 1
+    n = len(vals)
+    want = {}
+    for q in QUANT_QS:
+        target = math.ceil(q * float(n))
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= target:
+                want[q] = (n, target, b, b * QUANT_BIN_WIDTH)
+                break
+    assert got == want
+    assert len(got) == len(QUANT_QS)
