@@ -5033,6 +5033,102 @@ FROM stats WHERE n_words > 0
 """
 
 
+# --- vocabulary coverage curve (round 5) -------------------------------------
+
+COVERAGE_CHECKPOINTS = (50, 100, 200, 500, 1000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary coverage curve: what fraction of all token
+    occurrences the top-N words cover, at N = 50/100/200/500/1000 — the
+    size-the-vocabulary study a tokenizer design starts from (per-doc OOV
+    rates are llm_vocab_coverage; this is the corpus aggregate that picks
+    K in the first place). Checkpoints past the actual vocabulary clamp to
+    the last rank, so the curve is total-coverage-terminated, not missing.
+
+    Scale shape: word counts are one map-side-combining aggregate; only
+    the top max(checkpoint) words rank (TakeOrderedAndProject, never a
+    full vocab sort), so the window runs over <= 1000 rows. The running
+    total is an EXACT int64 cumulative sum — the one float is the final
+    coverage division, rounded 6 dp.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("total_tokens"))
+    top = counts.orderBy(F.col("freq").desc(), "w").limit(
+        max(COVERAGE_CHECKPOINTS)
+    )
+    w_ = W.orderBy(F.col("freq").desc(), "w")
+    ranked = top.select(
+        F.row_number().over(w_).cast("bigint").alias("rank"),
+        "freq",
+    ).withColumn(
+        "cum",
+        F.sum("freq").over(
+            W.orderBy("rank").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    vmax = ranked.agg(F.max("rank").alias("vmax"))
+    cps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c).cast("bigint") for c in COVERAGE_CHECKPOINTS])
+        ).alias("vocab_size")
+    )
+    eff = cps.crossJoin(F.broadcast(vmax)).select(
+        "vocab_size", F.least("vocab_size", "vmax").alias("rank")
+    )
+    return (
+        eff.join(ranked.select("rank", "cum"), "rank")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.col("cum").alias("cum_tokens"),
+            "total_tokens",
+            F.round(
+                F.col("cum").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+_COVERAGE_CPS_SQL = ", ".join(f"({c})" for c in COVERAGE_CHECKPOINTS)
+_COVERAGE_CURVE_SQL = f"""
+WITH counts AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE len(w) > 0 GROUP BY w
+),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM counts),
+top AS (SELECT w, freq FROM counts ORDER BY freq DESC, w LIMIT {max(COVERAGE_CHECKPOINTS)}),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+         freq
+  FROM top
+),
+cum AS (
+  SELECT rank, CAST(sum(freq) OVER (ORDER BY rank) AS BIGINT) AS cum
+  FROM ranked
+),
+vmax AS (SELECT max(rank) AS vmax FROM ranked),
+cps(vocab_size) AS (VALUES {_COVERAGE_CPS_SQL}),
+eff AS (
+  SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+         least(CAST(vocab_size AS BIGINT), vmax) AS rank
+  FROM cps CROSS JOIN vmax
+)
+SELECT eff.vocab_size, cum.cum AS cum_tokens, tot.total_tokens,
+       round(CAST(cum.cum AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE), 6) AS coverage
+FROM eff JOIN cum ON eff.rank = cum.rank CROSS JOIN tot
+"""
+
+
 # --- per-domain quota sampling (round 5) -------------------------------------
 
 QUOTA_PER_SOURCE = 10
@@ -5671,6 +5767,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_hard_negative_mining", hard_negative_mining, _HARDNEG_SQL),
     ("llm_embedding_outliers", embedding_outliers, _EMB_OUTLIER_SQL),
     ("llm_ctfidf_keywords", ctfidf_keywords, _CTFIDF_SQL),
+    ("llm_vocab_coverage_curve", vocab_coverage_curve, _COVERAGE_CURVE_SQL),
 ]
 
 

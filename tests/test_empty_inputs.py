@@ -276,6 +276,7 @@ def test_round5_llm_ops_empty_inputs(spark, tmp_path):
         (llm.hard_negative_mining, "neg_rank"),
         (llm.embedding_outliers, "is_outlier"),
         (llm.ctfidf_keywords, "kw_rank"),
+        (llm.vocab_coverage_curve, "coverage"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -1629,3 +1629,27 @@ def test_ctfidf_keywords_matches_reference(spark):
     for src in rows:
         rows[src].sort()
     assert rows == want
+
+
+def test_vocab_coverage_curve_matches_reference(spark):
+    """Coverage at each checkpoint recomputed from exact counts; curve is
+    monotone and clamps past the actual vocabulary size."""
+    from collections import Counter
+
+    texts = [r.text for r in load(spark, SF, "documents").collect()]
+    counts = Counter(w for t in texts for w in t.split(" ") if w)
+    total = sum(counts.values())
+    freqs = [c for _, c in sorted(counts.items(), key=lambda t: (-t[1], t[0]))]
+    rows = {
+        r.vocab_size: r for r in llm.vocab_coverage_curve(spark, SF).collect()
+    }
+    assert set(rows) == set(llm.COVERAGE_CHECKPOINTS)
+    prev = 0
+    for cp in sorted(llm.COVERAGE_CHECKPOINTS):
+        eff = min(cp, len(freqs), max(llm.COVERAGE_CHECKPOINTS))
+        cum = sum(freqs[:eff])
+        r = rows[cp]
+        assert r.cum_tokens == cum and r.total_tokens == total
+        assert r.coverage == round(cum / float(total), 6)
+        assert r.cum_tokens >= prev
+        prev = r.cum_tokens
