@@ -518,3 +518,35 @@ def test_interval_overlap_join_broadcasts_promos(spark):
 
     p = plan(interval_overlap_join(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_salted_group_topk_under_skew_and_sparse_salts(spark):
+    """Correctness holds when one group dominates (the case the operator
+    exists for) and when salt partitions hold fewer than k rows (phase-1
+    ranks just pass everything through)."""
+    from air_traffic_data_pipeline_spark.operators.skew import salted_group_topk
+
+    rows = [("hot", i, float(i % 97)) for i in range(900)]
+    rows += [("cold%d" % g, 1000 + g * 10 + i, float(i)) for g in range(5) for i in range(3)]
+    df = spark.createDataFrame(rows, "key string, id long, score double")
+    direct_w = {}
+    for key, id_, score in rows:
+        direct_w.setdefault(key, []).append((-score, id_))
+    want = set()
+    for key, items in direct_w.items():
+        items.sort()
+        for rank, (_, id_) in enumerate(items[:7], start=1):
+            want.add((key, rank, id_))
+    for n_salts in (2, 16):  # 16 salts > cold-group sizes: sparse partitions
+        got = {
+            (r.key, r.r, r.id)
+            for r in salted_group_topk(
+                df,
+                "key",
+                [F.col("score").desc(), F.col("id")],
+                7,
+                n_salts=n_salts,
+                rank_col="r",
+            ).collect()
+        }
+        assert got == want, n_salts
