@@ -6,7 +6,10 @@ Registry ORDER is part of the driver contract: the correctness gate checks
 the first N (observed: 50) entries. Ordering is three tiers: (1) the
 ``_WINDOW_PRIORITY`` names that are still never-driver-green, (2) all other
 never-green queries in module order, (3) queries with a green driver row in
-any recorded round, last. Tier membership is computed from the driver's own
+any recorded round, last — ordered stalest row first, so once everything is
+green the window becomes a rolling re-verification of the oldest evidence
+(full tail re-checked every ~ceil(N/50) rounds). Tier membership is
+computed from the driver's own
 CORRECTNESS_r*.json artifacts (``_driver_green``), so the window
 self-rotates: each round the freshly-greened queries fall to the tail and
 the never-checked ones move up, converging on full driver coverage without
@@ -125,28 +128,32 @@ _FORCE_RECHECK: dict[str, int] = {
 }
 
 
-def _driver_green() -> frozenset[str]:
-    """Queries the driver has already CHECKED, read from its own
-    CORRECTNESS_r*.json artifacts at the repo root: either a fully-green row
-    (rows+schema+hash) or a deliberate rows-only row (``err == "no_oracle"``
-    — the strongest signal that query can ever get, so re-running it wastes a
-    slot). These have the least to gain from a scarce window slot, so they
-    sort LAST; anything the driver has never checked — including every query
+def _driver_green_rounds() -> dict[str, int] | None:
+    """Map each driver-CHECKED query to the round of its latest qualifying
+    row, read from the driver's own CORRECTNESS_r*.json artifacts at the repo
+    root. A qualifying row is either fully green (rows+schema+hash) or a
+    deliberate rows-only row (``err == "no_oracle"`` — the strongest signal
+    that query can ever get, so re-running it wastes a slot). These have the
+    least to gain from a scarce window slot, so they sort LAST — and within
+    that green tail, oldest round FIRST, so in the all-green steady state the
+    50-slot window re-verifies the 50 stalest rows each round and a silent
+    regression anywhere in the tail is re-checked within ~ceil(228/50)
+    rounds. Anything the driver has never checked — including every query
     added after _WINDOW_PRIORITY was written — sorts between the priority
     block and this tail, in module order. Reading the artifacts (instead of a
     hand-maintained list) makes the rotation self-updating: each round the
-    freshly-checked queries drop out of the window and the never-checked ones
+    freshly-checked queries drop to the END of the tail and the stalest ones
     move up. A ``_FORCE_RECHECK`` name only counts as green from a row
     recorded in >= its change round — older rows are stale evidence for
-    reworked code, newer rows re-green it automatically. Falls back to the
-    static round-1 list if no artifacts are readable."""
+    reworked code, newer rows re-green it automatically. Returns None if no
+    artifacts are readable (callers fall back to the static round-1 list)."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -174,16 +181,25 @@ def _driver_green() -> frozenset[str]:
                     row.get("spark_rows") or 0
                 ) > 0
                 if fully_green or checked_rows_only:
-                    green.add(name)
+                    green[name] = rnd
                 else:
                     # latest round wins: files are iterated in ascending round
                     # order, so a newer red/errored row EVICTS a green earned
                     # in an earlier round — a regressed query must re-enter
                     # the window instead of hiding in the green tail
-                    green.discard(name)
+                    green.pop(name, None)
         except Exception:
             continue
-    return frozenset(green) if found else _R1_GREEN - set(_FORCE_RECHECK)
+    return green if found else None
+
+
+def _driver_green() -> frozenset[str]:
+    """Set view of :func:`_driver_green_rounds` (static round-1 fallback when
+    no artifacts are readable)."""
+    rounds = _driver_green_rounds()
+    if rounds is None:
+        return _R1_GREEN - set(_FORCE_RECHECK)
+    return frozenset(rounds)
 
 
 # Static fallback: round-1 green rows (used only if the artifacts are gone).
@@ -243,7 +259,12 @@ _R1_GREEN: frozenset[str] = frozenset(
 
 
 def _window_order(d: dict[str, object]) -> dict[str, object]:
-    green = _driver_green()
+    rounds = _driver_green_rounds()
+    green = (
+        frozenset(rounds)
+        if rounds is not None
+        else _R1_GREEN - set(_FORCE_RECHECK)
+    )
     out = {
         name: d[name]
         for name in _WINDOW_PRIORITY
@@ -252,7 +273,11 @@ def _window_order(d: dict[str, object]) -> dict[str, object]:
     out.update(
         {name: v for name, v in d.items() if name not in out and name not in green}
     )
-    out.update({name: v for name, v in d.items() if name not in out})
+    # Green tail: stalest driver row first (stable on module order within a
+    # round), so the steady-state window re-verifies the oldest evidence.
+    tail = [name for name in d if name not in out]
+    tail.sort(key=lambda n: (rounds or {}).get(n, 0))
+    out.update({name: d[name] for name in tail})
     return out
 
 

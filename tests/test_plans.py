@@ -238,24 +238,39 @@ def test_q22_no_orders_is_anti_join(spark):
 
 def test_registry_window_prefers_never_green_queries(spark):
     """The correctness-window ordering must place queries without a green
-    driver row ahead of already-green ones, and the green set must come
-    from the CORRECTNESS_r*.json artifacts when present."""
+    driver row ahead of already-green ones, the green set must come from the
+    CORRECTNESS_r*.json artifacts when present, and the green tail must be
+    ordered stalest driver row first (steady-state recheck rotation)."""
     from air_traffic_data_pipeline_spark.plans import registry
 
     green = registry._driver_green()
     names = list(registry.all_queries())
     if not green:
         return  # no artifacts and empty fallback: nothing to order against
-    first_green_pos = min(
-        (names.index(n) for n in green if n in names), default=len(names)
-    )
     never_green = [n for n in names if n not in green]
-    last_never_green_pos = max(names.index(n) for n in never_green)
-    # every never-green query sorts strictly before every green one
-    assert last_never_green_pos < first_green_pos
-    # every name in the checked window (50) is never-green while any remain
-    window = names[:50]
-    assert all(n not in green for n in window) or len(never_green) < 50
+    if never_green:
+        first_green_pos = min(
+            (names.index(n) for n in green if n in names), default=len(names)
+        )
+        last_never_green_pos = max(names.index(n) for n in never_green)
+        # every never-green query sorts strictly before every green one
+        assert last_never_green_pos < first_green_pos
+        # every name in the checked window (50) is never-green while any remain
+        window = names[:50]
+        assert all(n not in green for n in window) or len(never_green) < 50
+    # Green-tail rotation: latest green round must be non-decreasing along
+    # the tail, so the driver's 50-slot window re-verifies the stalest rows
+    # first and a regression anywhere is re-checked within ~ceil(N/50) rounds.
+    rounds = registry._driver_green_rounds()
+    if rounds:
+        tail_rounds = [rounds[n] for n in names if n in rounds]
+        assert tail_rounds == sorted(tail_rounds)
+        if not never_green:
+            # all-green steady state: the window IS the stalest-50 slice
+            window_rounds = [rounds[n] for n in names[:50]]
+            assert max(window_rounds) <= min(
+                rounds[n] for n in names[50:] if n in rounds
+            )
 
 
 def test_keyset_pagination_is_topk_not_global_sort(spark):

@@ -72,6 +72,17 @@ def main() -> int:
     next_window = names[:window]
     pending_outside_window = [n for n in pending if n not in next_window]
 
+    # staleness: rounds since each green query's latest driver row; bounded
+    # by the oldest-green-first tail rotation at ~ceil(registered/window)+1
+    green_rounds = registry._driver_green_rounds() or {}
+    latest_round = max(
+        (int(re.search(r"r(\d+)$", k).group(1)) for k in per_round), default=0
+    )
+    max_staleness = max(
+        (latest_round - green_rounds[n] for n in names if n in green_rounds),
+        default=0,
+    )
+
     report = {
         "registered": len(names),
         "with_value_oracle": len(oracles),
@@ -83,6 +94,7 @@ def main() -> int:
         "pending_count": len(pending),
         "window_size": window,
         "pending_outside_window": pending_outside_window,
+        "max_green_staleness_rounds": max_staleness,
         "per_round": per_round,
     }
     line = json.dumps(report)
