@@ -5675,6 +5675,426 @@ FROM u CROSS JOIN n
 """
 
 
+# --- corpus-internal repeated spans: winnowing fingerprints (round 6) ---------
+#
+# Lee et al. ("Deduplicating Training Data Makes Language Models Better")
+# style exact repeated-span detection WITHIN the corpus itself — licence
+# blocks, navigation chrome, quoted passages inside otherwise-unique docs —
+# via Schleimer et al.'s winnowing (SIGMOD'03): hash every word-K-gram,
+# slide a window of W consecutive gram hashes, select the minimum per
+# window (ties: rightmost). Guarantee: any repeated run of
+# >= K + W - 1 words shares at least one selected fingerprint, while only
+# ~2/(W+1) of grams are selected — the index is ~2.5x smaller than the
+# full gram set at W=4 with zero recall loss above the guarantee length.
+
+WINNOW_K = 8  # words per gram (a "long" shingle: spans, not topic overlap)
+WINNOW_W = 4  # winnowing window, in gram positions
+# Matched fingerprints closer than this merge into one span. Equals the
+# guarantee length K+W-1, and is >= K-1, so merged spans never overlap
+# (adjacent islands are > GAP positions apart but extend only K-1 words).
+SPAN_MERGE_GAP = WINNOW_K + WINNOW_W - 1
+_WINNOW_POSBASE = 1_000_000_000  # > any gram position; makes min() pick max pos
+
+
+def _winnow_fp_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-selected fingerprints: distinct (doc_id, fp_pos, h, gram).
+
+    The per-window argmin (min hash, ties -> rightmost position) is ONE
+    string min over a composed key ``md5(gram) || lpad(POSBASE - pos) ||
+    gram``: the fixed-width hash prefix orders by hash, the fixed-width
+    inverted-position middle breaks ties toward the RIGHTMOST gram (bigger
+    pos => smaller lpad field), and the gram tail rides along so the
+    verify step never re-reads the document. Both engines compare strings
+    bytewise, so the selection is bitwise identical.
+
+    Scale shape: gram construction is codegen'd projection after one
+    explode (the exploded_shingles idiom, functions/text.py:90); the
+    sliding window is a doc_id-partitioned window frame of W rows — ONE
+    shuffle on doc_id, O(W) frame state; distinct folds the ~P-W+1 window
+    rows to the ~2P/(W+1) expected selected set before anything joins.
+    """
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        w.alias("__w"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(w) - (WINNOW_K - 1), F.lit(1))
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", *[F.get("__w", F.col("pos") + j - 1) for j in range(WINNOW_K)]
+        ).alias("gram"),
+    )
+    key = F.concat(
+        F.md5("gram"),
+        F.lpad((F.lit(_WINNOW_POSBASE) - F.col("pos")).cast("string"), 10, "0"),
+        F.col("gram"),
+    )
+    frame = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    per_doc = W.partitionBy("doc_id")
+    sel = grams.select(
+        "pos",
+        "doc_id",
+        F.min(key).over(frame).alias("wkey"),
+        F.max("pos").over(per_doc).alias("npos"),
+    ).filter(
+        # full windows only: window starts past npos-(W-1) are suffixes of
+        # the last full window (docs shorter than W grams keep their one
+        # truncated window — winnowing of a short doc is its global min)
+        F.col("pos")
+        <= F.greatest(F.col("npos") - (WINNOW_W - 1), F.lit(1))
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WINNOW_POSBASE) - F.substring("wkey", 33, 10).cast("bigint")).alias(
+            "fp_pos"
+        ),
+        F.substring("wkey", 1, 32).alias("h"),
+        F.expr("substring(wkey, 43)").alias("gram"),
+    ).distinct()
+
+
+_WINNOW_FP_SQL = f"""
+SELECT DISTINCT doc_id,
+       {_WINNOW_POSBASE} - CAST(substr(wkey, 33, 10) AS BIGINT) AS fp_pos,
+       substr(wkey, 1, 32) AS h,
+       substr(wkey, 43) AS gram
+FROM (
+  SELECT doc_id, pos,
+         min(md5(gram) || lpad(CAST({_WINNOW_POSBASE} - pos AS VARCHAR), 10, '0')
+             || gram)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wkey,
+         max(pos) OVER (PARTITION BY doc_id) AS npos
+  FROM (
+    SELECT doc_id, i AS pos,
+           array_to_string((w)[i:i+{WINNOW_K - 1}], ' ') AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(
+                    1, greatest(len(w) - {WINNOW_K - 1}, 1))) AS i) t
+  ) g
+) s
+WHERE pos <= greatest(npos - {WINNOW_W - 1}, 1)
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint stats: gram count, selected count,
+    selection density. Theory says density -> 2/(W+1) = 0.4 on random
+    text; a doc whose density collapses is internally repetitive (many
+    windows agree on one min). Exposes the selection machinery behind
+    llm_repeated_spans as its own oracle-checked query.
+    """
+    fps = _winnow_fp_rows(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    n_grams = d.select(
+        "doc_id",
+        F.greatest(F.size(w) - (WINNOW_K - 1), F.lit(1))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    n_sel = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_selected"))
+    return n_grams.join(n_sel, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_selected",
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("density"),
+    )
+
+
+_WINNOW_STATS_SQL = f"""
+WITH fp AS ({_WINNOW_FP_SQL}),
+ng AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - {WINNOW_K - 1}, 1) AS BIGINT)
+           AS n_grams
+  FROM documents),
+ns AS (SELECT doc_id, count(*) AS n_selected FROM fp GROUP BY doc_id)
+SELECT ng.doc_id, ng.n_grams, CAST(ns.n_selected AS BIGINT) AS n_selected,
+       round(CAST(ns.n_selected AS DOUBLE) / CAST(ng.n_grams AS DOUBLE), 6)
+         AS density
+FROM ng JOIN ns ON ng.doc_id = ns.doc_id
+"""
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-span accounting: for every doc containing
+    at least one span repeated ANYWHERE in the corpus (another doc or
+    elsewhere in the same doc), report how many merged spans it has and
+    what fraction of its words they cover — the scrub ledger a Lee
+    et al.-style span-dedup pass would act on.
+
+    A fingerprint is "repeated" when its exact gram is winnow-selected at
+    >= 2 distinct (doc, pos) sites. Grouping the fingerprint table by
+    (h, gram) makes hash-collision verification structural (same h,
+    different gram lands in different groups) and — unlike a pairwise
+    fingerprint self-join — generates NO quadratic blowup on hot grams: a
+    licence block shared by F docs costs F rows in one
+    map-side-combining count, not F^2 join pairs. Matched positions then
+    merge into spans per doc via gaps-and-islands (window lag + running
+    sum: one doc_id shuffle, reusing the fingerprint table's partitioning),
+    islands closer than SPAN_MERGE_GAP fuse, and each island extends K-1
+    words past its last fingerprint. Island spacing > GAP >= K-1
+    guarantees merged spans never overlap, so the per-doc word sum never
+    double-counts (least() clips the lone truncated-gram case of docs
+    shorter than K words).
+    """
+    fps = _winnow_fp_rows(spark, sf_dir)
+    repeated = (
+        fps.groupBy("h", "gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h", "gram")
+    )
+    matched = (
+        fps.join(repeated, ["h", "gram"], "leftsemi")
+        .select("doc_id", "fp_pos")
+        .distinct()
+    )
+    order = W.partitionBy("doc_id").orderBy("fp_pos")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    islands = (
+        matched.withColumn("prev", F.lag("fp_pos").over(order))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("fp_pos").alias("s"),
+            F.max("fp_pos").alias("e"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + WINNOW_K).cast("bigint").alias("raw_words"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_words = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("doc_words")
+    )
+    return per_doc.join(doc_words, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        F.least(F.col("raw_words"), F.col("doc_words")).alias("span_words"),
+        "doc_words",
+        F.round(
+            F.least(F.col("raw_words"), F.col("doc_words")).cast("double")
+            / F.col("doc_words").cast("double"),
+            6,
+        ).alias("repeated_frac"),
+    )
+
+
+_REPEATED_SPANS_SQL = f"""
+WITH fp AS ({_WINNOW_FP_SQL}),
+rep AS (
+  SELECT h, gram FROM fp GROUP BY h, gram HAVING count(*) >= 2),
+matched AS (
+  SELECT DISTINCT fp.doc_id, fp.fp_pos
+  FROM fp SEMI JOIN rep ON fp.h = rep.h AND fp.gram = rep.gram),
+flagged AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN lag(fp_pos) OVER w IS NULL
+                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
+              THEN 1 ELSE 0 END AS new_island
+  FROM matched
+  WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+spans AS (
+  SELECT doc_id, island, min(fp_pos) AS s, max(fp_pos) AS e
+  FROM isl GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + {WINNOW_K}) AS BIGINT) AS raw_words
+  FROM spans GROUP BY doc_id),
+dw AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_words
+  FROM documents)
+SELECT p.doc_id, p.n_spans,
+       least(p.raw_words, dw.doc_words) AS span_words,
+       dw.doc_words,
+       round(CAST(least(p.raw_words, dw.doc_words) AS DOUBLE)
+             / CAST(dw.doc_words AS DOUBLE), 6) AS repeated_frac
+FROM per_doc p JOIN dw ON p.doc_id = dw.doc_id
+"""
+
+
+# --- URL canonicalization dedup (round 6) -------------------------------------
+#
+# A real crawl pipeline's FIRST dedup pass: normalize each document's URL
+# (lowercase scheme+host, strip default ports, 'www.', tracking params and
+# trailing slashes, sort surviving params) and keep the latest crawl per
+# canonical URL. The lake has no url column, so one is derived
+# deterministically from doc_id — same pattern as states-from-events
+# (plans/domain.py:46-77) — with every mess the canonicalizer must fix:
+# mixed-case scheme/host, ':80', 'www.', utm_*/fbclid noise, mixed
+# tracking+meaningful params, trailing slashes.
+
+_URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def _raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with doc_id doubling as crawl recency (bigger = later)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    scheme = F.when(F.col("doc_id") % 10 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("https://")
+    )
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Example.COM"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("example.com:80"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("WWW.Data.ORG"))
+        .otherwise(F.lit("data.org:443"))
+    )
+    path = F.concat(F.lit("/item/"), (F.col("doc_id") % 40).cast("string"))
+    slash = F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("?utm_source=feed"))
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 3).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("?utm_medium=email&page="),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 3, F.lit("?fbclid=abc123"))
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(scheme, host, path, slash, q).alias("url"))
+
+
+_RAW_URLS_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 10 = 0 THEN 'HTTP://' ELSE 'https://' END)
+       || (CASE WHEN doc_id % 4 = 0 THEN 'Example.COM'
+                WHEN doc_id % 4 = 1 THEN 'example.com:80'
+                WHEN doc_id % 4 = 2 THEN 'WWW.Data.ORG'
+                ELSE 'data.org:443' END)
+       || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed'
+                WHEN doc_id % 6 = 1 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                WHEN doc_id % 6 = 2
+                  THEN '?utm_medium=email&page=' || CAST(doc_id % 3 AS VARCHAR)
+                WHEN doc_id % 6 = 3 THEN '?fbclid=abc123'
+                ELSE '' END) AS url
+FROM documents
+"""
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL with pure string/regexp expressions (stays in
+    whole-stage codegen — no UDF): lowercase scheme and host, strip
+    default :80/:443 ports, a leading 'www.', tracking query params
+    (utm_*/fbclid/gclid/ref) and trailing path slashes; surviving params
+    are sorted for order-insensitivity."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.regexp_extract(url, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def _canonical_url_sql(url: str) -> str:
+    scheme = f"lower(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({url},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)), ':(80|443)$', ''),"
+        f" '^www\\.', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?', 1), '/+$', '')"
+    )
+    params = (
+        f"array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({url}, '\\?(.*)$', 1), '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {path}"
+        f" || (CASE WHEN {params} <> '' THEN '?' || {params} ELSE '' END)"
+    )
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-crawl-wins dedup on the canonical URL: per canonical URL,
+    how many crawls collapsed into it, which doc survived (the latest =
+    max doc_id), and that survivor's RAW url.
+
+    One map-side-combining aggregate on the canonical key — cheaper than
+    the row-preserving window of operators/dedup.py:21 (last_wins_dedup)
+    because only the survivor's id/url are needed, not the whole row; the
+    canonicalizer itself is pure regexp/string projection, so at 100 TB
+    this is scan -> codegen'd normalize -> one shuffle on canonical_url.
+    ``max_by`` ties are impossible (doc_id is unique)."""
+    u = _raw_urls(spark, sf_dir)
+    return (
+        u.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.max("doc_id").alias("kept_doc_id"),
+            F.max_by("url", "doc_id").alias("kept_url"),
+        )
+    )
+
+
+_URL_DEDUP_SQL = f"""
+WITH raw AS ({_RAW_URLS_SQL}),
+canon AS (
+  SELECT doc_id, url, {_canonical_url_sql('url')} AS canonical_url FROM raw)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_crawls,
+       CAST(max(doc_id) AS BIGINT) AS kept_doc_id,
+       max_by(url, doc_id) AS kept_url
+FROM canon GROUP BY canonical_url
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -5768,6 +6188,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_embedding_outliers", embedding_outliers, _EMB_OUTLIER_SQL),
     ("llm_ctfidf_keywords", ctfidf_keywords, _CTFIDF_SQL),
     ("llm_vocab_coverage_curve", vocab_coverage_curve, _COVERAGE_CURVE_SQL),
+    ("llm_winnow_fingerprints", winnow_fingerprints, _WINNOW_STATS_SQL),
+    ("llm_repeated_spans", repeated_spans, _REPEATED_SPANS_SQL),
+    ("llm_url_dedup", url_dedup, _URL_DEDUP_SQL),
 ]
 
 

@@ -281,3 +281,23 @@ def test_round5_llm_ops_empty_inputs(spark, tmp_path):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
         assert col in out.columns, fn.__name__
+
+
+def test_winnow_ops_empty_documents(spark, tmp_path):
+    """Winnowing fingerprint selection and repeated-span accounting over an
+    empty documents lake: typed empty frames, no crash."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    for fn, col in (
+        (llm.winnow_fingerprints, "density"),
+        (llm.repeated_spans, "repeated_frac"),
+        (llm.url_dedup, "n_crawls"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__

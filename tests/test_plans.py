@@ -565,3 +565,24 @@ def test_salted_group_topk_under_skew_and_sparse_salts(spark):
             ).collect()
         }
         assert got == want, n_salts
+
+
+def test_round6_llm_ops_plan_shapes(spark):
+    """Round-6 ops stay JVM-side and shuffle-lean: winnowing is pure
+    Catalyst (explode + window, no Python eval, no cartesian); the
+    repeated-gram detection is an aggregate + semi join, never a
+    fingerprint self-join pair blowup; url dedup is a single hash
+    aggregate over a codegen'd canonicalizer (no window, no join)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    for fn in (llm.winnow_fingerprints, llm.repeated_spans, llm.url_dedup):
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+
+    p = plan(llm.repeated_spans(spark, SF), "simple")
+    assert "LeftSemi" in p  # repeated-gram membership, not a pair join
+
+    p = plan(llm.url_dedup(spark, SF), "simple")
+    assert "Window" not in p  # aggregate form, not last_wins window
+    assert "Join" not in p  # one table, one shuffle
