@@ -3029,6 +3029,35 @@ FROM buckets GROUP BY 1, 2
 # --- SemDeDup within IVF cells (round 3) -------------------------------------
 
 
+def _semdedup_cell_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subcell-assigned (vec_id, v, nv, cell, subcell) rows — the pair-join
+    input of ``semdedup_cells``, extracted so scale tests can measure
+    subcell populations with the production assignment (pure refactor,
+    plan-identical)."""
+    from ..operators.similarity import ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, EMB_DIM).withColumn("ncent", norm(F.col("centroid")))
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
+        "nv0", norm(F.col("v"))
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim",
+        dot(F.col("v"), F.col("centroid")) / (F.col("nv0") * F.col("ncent")),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+    # norm precomputed once per vector: the in-cell pair check then costs
+    # ONE dot fold instead of three (dot + both norms) — ~3x on the
+    # dominant sum(|cell|^2) term. cos = dot/(na*nb) is the same arithmetic
+    # (and the same fold order) as cosine(), so values stay bitwise equal.
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("nv0").alias("nv"), F.col("label").alias("cell"))
+    )
+    return semdedup_subcells(cells)
+
+
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published: epsilon-dedup WITHIN coarse-quantizer cells.
     Each vector is assigned to its nearest (deterministic) IVF centroid;
@@ -3051,28 +3080,8 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation itself is value-checked. The per-cell size aggregate is
     one row per cell (broadcastable at any scale).
     """
-    from ..operators.similarity import ivf_centroids
-
     e = load(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(e, EMB_DIM).withColumn("ncent", norm(F.col("centroid")))
-    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
-        "nv0", norm(F.col("v"))
-    )
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "cell_sim",
-        dot(F.col("v"), F.col("centroid")) / (F.col("nv0") * F.col("ncent")),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
-    # norm precomputed once per vector: the in-cell pair check then costs
-    # ONE dot fold instead of three (dot + both norms) — ~3x on the
-    # dominant sum(|cell|^2) term. cos = dot/(na*nb) is the same arithmetic
-    # (and the same fold order) as cosine(), so values stay bitwise equal.
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("nv0").alias("nv"), F.col("label").alias("cell"))
-    )
-    cells = semdedup_subcells(cells)
+    cells = _semdedup_cell_rows(spark, sf_dir)
     a, b = cells.alias("a"), cells.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     pairs = (
@@ -4196,8 +4205,8 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup fingerprints: average-hash over each BMP payload's
     luminance grid (operators/multimodal.py:phash_bmp — real byte parse in
     an Arrow kernel). The multimodal counterpart of text fingerprinting:
-    the 16-bit hashes feed the same equi-join dedup shapes as minhash
-    bands. Oracle recomputes the hash closed-form from the synthetic
+    the 16-character bit-string hashes feed the same equi-join dedup
+    shapes as minhash bands. Oracle recomputes the hash closed-form from the synthetic
     pixel formula (md5 digest bytes cycled row-major), never touching the
     payload bytes.
     """
@@ -4258,11 +4267,15 @@ FROM t
 
 
 IMG_NEAR_DUP_MAX_HAMMING = 4
-# 5 bands over the 16-bit hash (1-indexed substring start, length). With
-# MAX_HAMMING = 4 and 5 bands, any qualifying pair differs in at most 4
-# bits, which can touch at most 4 bands — so at least one band matches
-# exactly (pigeonhole): the band-blocked join is RECALL-COMPLETE, not an
-# approximation.
+# 5 bands over the 16-character '0'/'1' bit-string hash (1-indexed
+# substring start, length). The near-dup metric is character-level
+# Hamming over those 16 characters — image_near_dup counts differing
+# CHARACTERS, which for this one-char-per-bit encoding equals bit
+# Hamming over the 4x4 grid.
+# With MAX_HAMMING = 4 and 5 bands, any qualifying pair differs in at
+# most 4 characters, which can touch at most 4 bands — so at least one
+# band matches exactly (pigeonhole): the band-blocked join is
+# RECALL-COMPLETE for the character metric, not an approximation.
 IMG_PHASH_BANDS: tuple[tuple[int, int], ...] = (
     (1, 4),
     (5, 3),

@@ -124,7 +124,9 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_lsh_sensitivity": 4,
     "stream_incremental_near_dup": 4,
     # r4: bounded-population subcell split changes the kill set
-    "llm_semdedup_cells": 4,
+    # r6: cell-assignment extracted to _semdedup_cell_rows (plan-identical
+    # refactor, bitwise-verified locally — re-entered on principle)
+    "llm_semdedup_cells": 6,
 }
 
 

@@ -1,0 +1,128 @@
+"""Measured scaling curves for the flagship + dedup hot paths.
+
+Builds 1x/2x/4x scaled lakes from a base sf dir and times
+``noise_grid_refgeom`` (events), ``llm_minhash_near_dup_pairs``
+(documents) and ``llm_semdedup_cells`` (embeddings) at each scale —
+turning the 100 TB plan-shape argument into a measured cost curve
+(near-linear wall clock as the input doubles twice).
+
+Scaling models (deliberately different per table):
+- events: replicas get fresh event_ids (offset) but keep the user_id
+  lattice — sources DENSIFY the same geographic region, the radius
+  join's linear-in-sources regime.
+- documents: replica i suffixes every word with ``_i`` — replicas are
+  DISTINCT texts (no cross-replica shingles), the "more unique data"
+  growth model; near-dup structure within each replica is preserved.
+- embeddings: replicas are IDENTICAL vectors under fresh vec_ids — the
+  adversarial case for semantic dedup (every replica is a perfect
+  duplicate); bounded subcells must keep the in-cell pair cost linear
+  anyway (plans/llm.py semdedup_subcells).
+
+Usage: python tools/scaling_curve.py [base_sf_dir] [reps]
+Prints one markdown table (for PERF.md) and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = (1, 2, 4)
+ID_OFFSET = 10_000_000
+
+
+def build_lakes(spark, base: str, root: str) -> dict[int, str]:
+    from pyspark.sql import functions as F
+
+    dirs = {}
+    for m in SCALES:
+        out = os.path.join(root, f"x{m}")
+        dirs[m] = out
+        ev = spark.read.parquet(f"{base}/events.parquet")
+        doc = spark.read.parquet(f"{base}/documents.parquet")
+        emb = spark.read.parquet(f"{base}/embeddings.parquet")
+        evs, docs, embs = [], [], []
+        for i in range(m):
+            evs.append(
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
+            )
+            d = doc.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
+            if i:
+                d = d.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1_{i}")
+                )
+            docs.append(d)
+            embs.append(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
+            )
+        for name, parts in (("events", evs), ("documents", docs), ("embeddings", embs)):
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return dirs
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from air_traffic_data_pipeline_spark.plans import domain, llm
+    from air_traffic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scaling-curve")
+    queries = {
+        "noise_grid_refgeom": domain.domain_queries()["noise_grid_refgeom"],
+        "llm_minhash_near_dup_pairs": llm.minhash_near_dup_pairs,
+        "llm_semdedup_cells": llm.semdedup_cells,
+    }
+
+    root = tempfile.mkdtemp(prefix="scale_")
+    try:
+        dirs = build_lakes(spark, base, root)
+        # warm codegen/JIT per plan shape on the smallest lake
+        for fn in queries.values():
+            llm.clear_caches()
+            fn(spark, dirs[1]).count()
+
+        table: dict[str, dict[int, float]] = {q: {} for q in queries}
+        rows: dict[str, dict[int, int]] = {q: {} for q in queries}
+        for m in SCALES:
+            for qname, fn in queries.items():
+                best = None
+                for _ in range(reps):
+                    llm.clear_caches()
+                    t0 = time.time()
+                    n = fn(spark, dirs[m]).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                table[qname][m] = round(best, 3)
+                rows[qname][m] = n
+
+        print("| query | 1x sec | 2x sec | 4x sec | 4x/1x | rows 1x->4x |")
+        print("|---|---|---|---|---|---|")
+        for q in queries:
+            t = table[q]
+            ratio = round(t[4] / t[1], 2) if t[1] else float("inf")
+            print(
+                f"| {q} | {t[1]} | {t[2]} | {t[4]} | {ratio}x"
+                f" | {rows[q][1]} -> {rows[q][4]} |"
+            )
+        print(
+            json.dumps(
+                {"base": base, "timings": table, "rows": rows, "reps": reps}
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
