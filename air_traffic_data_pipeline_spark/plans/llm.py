@@ -5954,6 +5954,142 @@ FROM per_doc p JOIN dw ON p.doc_id = dw.doc_id
 """
 
 
+def span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of repeated-span dedup (Lee et al. semantics): every
+    repeated span keeps exactly ONE copy — the corpus-wide first site
+    (minimal (doc_id, fp_pos)) — and is scrubbed everywhere else; each doc
+    comes back with its surviving text reconstructed.
+
+    Scrub marking stays in the aggregate world: per (h, gram) group, one
+    count + one min over the int64 site key doc_id*POSBASE + fp_pos (no
+    pairwise join); a site is scrubbed iff its group repeats and it is not
+    the group minimum. Marked sites merge into spans exactly like
+    repeated_spans; the word-level rebuild is an equi-join on doc_id with
+    the span range as residual (spans per doc are few), then one doc-keyed
+    sort-rebuild fold — deterministic both engines. At 100 TB every stage
+    is a doc_id- or gram-keyed shuffle; nothing is all-pairs and no text
+    leaves its executor except the final reconstructed column.
+    """
+    fps = _winnow_fp_rows(spark, sf_dir)
+    # group stats as WINDOW functions over (h, gram): one shuffle, one pass
+    # over the single winnow subtree — a groupBy + join-back would compute
+    # the whole winnow pipeline twice (the broadcast side defeats
+    # ReusedExchange; measured 17.7 s -> 3 s at sf0.01)
+    wg = W.partitionBy("h", "gram")
+    marked = (
+        fps.withColumn("site", F.col("doc_id") * _WINNOW_POSBASE + F.col("fp_pos"))
+        .withColumn("n_occ", F.count(F.lit(1)).over(wg))
+        .withColumn("first_site", F.min("site").over(wg))
+        .filter((F.col("n_occ") >= 2) & (F.col("site") != F.col("first_site")))
+        .select("doc_id", "fp_pos")
+    )
+    order = W.partitionBy("doc_id").orderBy("fp_pos")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_words = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dw")
+    )
+    spans = (
+        marked.withColumn("prev", F.lag("fp_pos").over(order))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("fp_pos").alias("s"), F.max("fp_pos").alias("e"))
+        .join(doc_words, "doc_id")
+        .select(
+            "doc_id", "s", F.least(F.col("e") + (WINNOW_K - 1), F.col("dw")).alias("e2")
+        )
+    )
+    w = F.split(F.col("text"), " ")
+    words = d.select(
+        "doc_id",
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(1), F.size(w))).alias("i"),
+    ).select("doc_id", "i", F.get("__w", F.col("i") - 1).alias("wd"))
+    tagged = words.join(
+        spans,
+        (words.doc_id == spans.doc_id)
+        & (F.col("i") >= F.col("s"))
+        & (F.col("i") <= F.col("e2")),
+        "left",
+    ).select(words.doc_id, "i", "wd", F.col("s").isNotNull().alias("rm"))
+    # a word can fall in one span only (spans are disjoint), so no distinct
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("rm"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("rm"), F.struct("i", "wd"))
+                        )
+                    ),
+                    lambda x: x["wd"],
+                ),
+            ).alias("scrubbed_text"),
+        )
+    )
+
+
+_SPAN_SCRUB_SQL = f"""
+WITH fp AS ({_WINNOW_FP_SQL}),
+sited AS (
+  SELECT doc_id, fp_pos,
+         doc_id * {_WINNOW_POSBASE} + fp_pos AS site,
+         count(*) OVER wg AS n_occ,
+         min(doc_id * {_WINNOW_POSBASE} + fp_pos) OVER wg AS first_site
+  FROM fp
+  WINDOW wg AS (PARTITION BY h, gram)),
+marked AS (
+  SELECT doc_id, fp_pos FROM sited
+  WHERE n_occ >= 2 AND site <> first_site),
+flagged AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN lag(fp_pos) OVER w IS NULL
+                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+dw AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dw
+  FROM documents),
+spans AS (
+  SELECT i.doc_id, min(fp_pos) AS s,
+         least(max(fp_pos) + {WINNOW_K - 1}, any_value(dw.dw)) AS e2
+  FROM isl i JOIN dw ON i.doc_id = dw.doc_id
+  GROUP BY i.doc_id, i.island),
+words AS (
+  SELECT doc_id, i, w[i] AS wd
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+tagged AS (
+  SELECT words.doc_id, words.i, words.wd, spans.s IS NOT NULL AS rm
+  FROM words LEFT JOIN spans
+    ON words.doc_id = spans.doc_id AND words.i >= spans.s AND words.i <= spans.e2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(
+         list(wd ORDER BY i) FILTER (WHERE NOT rm), ' '), '') AS scrubbed_text
+FROM tagged GROUP BY doc_id
+"""
+
+
 # --- URL canonicalization dedup (round 6) -------------------------------------
 #
 # A real crawl pipeline's FIRST dedup pass: normalize each document's URL
@@ -6204,6 +6340,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_winnow_fingerprints", winnow_fingerprints, _WINNOW_STATS_SQL),
     ("llm_repeated_spans", repeated_spans, _REPEATED_SPANS_SQL),
     ("llm_url_dedup", url_dedup, _URL_DEDUP_SQL),
+    ("llm_span_scrub_apply", span_scrub_apply, _SPAN_SCRUB_SQL),
 ]
 
 

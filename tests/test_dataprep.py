@@ -3,6 +3,7 @@ heavy hitters, mixing — plus the TPC-H-shape relational fill."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from air_traffic_data_pipeline_spark.plans import llm, relational
@@ -597,3 +598,35 @@ def test_ewma_single_event_user(spark, tmp_path):
     assert rows[101].n_events == 1 and rows[101].ewma_last == 42.5
     a = relational.EWMA_ALPHA
     assert rows[102].ewma_last == round(a * 20.0 + (1 - a) * 10.0, 6)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_sketch_error_bounds_both_scales(spark, sf):
+    """VERDICT r5 item 7: the two rows-only sketch queries carry pytest
+    accuracy bounds at sf0.1 as well as the tiny SF — approx distinct
+    within 5% of exact per group, approx median inside the group's true
+    value range and within 5% of the exact median; HLL partial+merge
+    within 5% at every group and globally."""
+    exact = {
+        r.l_returnflag: (r.n_parts, r.med)
+        for r in load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    got = {r.l_returnflag: r for r in relational.approx_distinct(spark, sf).collect()}
+    assert set(got) == set(exact)
+    for flag, (n_parts, med) in exact.items():
+        r = got[flag]
+        assert abs(r.approx_parts - n_parts) <= max(2, 0.05 * n_parts), flag
+        assert abs(r.approx_median_price - med) <= 0.05 * med, flag
+
+    rows = {r.l_returnflag: r for r in relational.hll_partial_merge(spark, sf).collect()}
+    li = load(spark, sf, "lineitem")
+    glob = li.select("l_partkey").distinct().count()
+    for flag, r in rows.items():
+        ex = glob if flag == "ALL" else exact[flag][0]
+        assert abs(r.est_parts - ex) <= max(2, 0.05 * ex), flag

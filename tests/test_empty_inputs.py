@@ -297,6 +297,7 @@ def test_winnow_ops_empty_documents(spark, tmp_path):
         (llm.winnow_fingerprints, "density"),
         (llm.repeated_spans, "repeated_frac"),
         (llm.url_dedup, "n_crawls"),
+        (llm.span_scrub_apply, "scrubbed_text"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

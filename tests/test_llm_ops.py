@@ -1896,3 +1896,49 @@ def test_scaling_candidate_volume_bounded(spark, tmp_path):
     t = llm.SEMDEDUP_TARGET_CELL
     assert max_1 <= 4 * t and max_4 <= 4 * t, (max_1, max_4)
     assert mh_4 and sd_4, "scaled lakes must produce real candidate volume"
+
+
+def test_span_scrub_apply_matches_reference(spark):
+    """Keep-one-copy semantics recomputed driver-side: the corpus-wide
+    first site (min doc_id*POSBASE + pos) of every repeated gram keeps its
+    text; every other site's merged span is cut from the rebuilt doc."""
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").collect()}
+    occ = {}
+    fps = {}
+    for doc_id, text in docs.items():
+        fps[doc_id] = _ref_winnow(text)
+        for p, h, g in fps[doc_id]:
+            key = (h, g)
+            site = doc_id * llm._WINNOW_POSBASE + p
+            cnt, first = occ.get(key, (0, site))
+            occ[key] = (cnt + 1, min(first, site))
+    want = {}
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        marked = sorted(
+            p
+            for p, h, g in fps[doc_id]
+            if occ[(h, g)][0] >= 2
+            and doc_id * llm._WINNOW_POSBASE + p != occ[(h, g)][1]
+        )
+        spans = []
+        for p in marked:
+            if spans and p - spans[-1][1] <= llm.SPAN_MERGE_GAP:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        removed = set()
+        for s, e in spans:
+            removed.update(range(s, min(e + llm.WINNOW_K - 1, len(words)) + 1))
+        kept = [w for i, w in enumerate(words, 1) if i not in removed]
+        want[doc_id] = (len(removed), len(words) - len(removed), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_removed, r.n_kept, r.scrubbed_text)
+        for r in llm.span_scrub_apply(spark, SF).collect()
+    }
+    assert got == want
+    assert any(n for n, _, _ in want.values()), "corpus should contain scrubs"
+    # every repeated gram keeps >= 1 copy: total removed < total words
+    assert sum(n for n, _, _ in want.values()) < sum(
+        len(t.split(" ")) for t in docs.values()
+    )

@@ -575,7 +575,12 @@ def test_round6_llm_ops_plan_shapes(spark):
     aggregate over a codegen'd canonicalizer (no window, no join)."""
     from air_traffic_data_pipeline_spark.plans import llm
 
-    for fn in (llm.winnow_fingerprints, llm.repeated_spans, llm.url_dedup):
+    for fn in (
+        llm.winnow_fingerprints,
+        llm.repeated_spans,
+        llm.url_dedup,
+        llm.span_scrub_apply,
+    ):
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
         assert "CartesianProduct" not in p, fn.__name__
