@@ -6244,6 +6244,264 @@ FROM canon GROUP BY canonical_url
 """
 
 
+# --- product quantization ANN (round 6) ----------------------------------------
+#
+# The remaining classic in the ANN family next to LSH (bucket join), IVF
+# (cell probe) and int8 scalar quantization (llm_quantized_topk): split
+# each vector into M subspaces, learn a K-entry codebook per subspace, and
+# answer queries with an Asymmetric Distance Computation — one 128-entry
+# query-side lookup table replaces all float math against the corpus,
+# whose vectors compress to M small codes (64 dims x 8 bytes -> 8 codes,
+# 64x less corpus traffic). Codebook training is deterministic: Knuth-hash
+# init (the semdedup subcell discipline) + ONE Lloyd reassignment step,
+# every float reduction a sequential fold in pinned order.
+
+PQ_M = 8  # subspaces
+PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_CODES = 16  # codebook entries per subspace
+PQ_TOPK = 3
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, sv[PQ_DSUB]) subvector rows with the hash-init code."""
+    e = _emb_ok(spark, sf_dir)
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
+    init = (F.col("vec_id") % 2147483648) * 2654435761 % 2147483648 % PQ_CODES
+    return base.select(
+        "vec_id", sub, F.col("dv"), init.alias("code0")
+    ).select(
+        "vec_id",
+        "sub",
+        "code0",
+        F.slice(F.col("dv"), F.col("sub") * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+    )
+
+
+def _pq_centroids(sv: DataFrame) -> DataFrame:
+    """(sub, code, centroid[PQ_DSUB]) means of the hash-init buckets, per-dim
+    sequential fold ordered by vec_id (the ivf_centroids discipline)."""
+    exploded = sv.select(
+        "sub",
+        F.col("code0").alias("code"),
+        F.col("vec_id").alias("i"),
+        F.posexplode("sv").alias("pos", "x"),
+    )
+    per_dim = exploded.groupBy("sub", "code", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
+    )
+    m = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
+    ) / F.size("xs")
+    return (
+        per_dim.select("sub", "code", "pos", m.alias("m"))
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "sub",
+            "code",
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (pinned element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, code, qerr): one Lloyd step — each subvector moves to
+    its nearest hash-init centroid (ties -> lowest code)."""
+    sv = _pq_subvectors(spark, sf_dir)
+    cents = _pq_centroids(sv)
+    scored = sv.join(F.broadcast(cents), "sub").withColumn(
+        "qerr", _sqdist(F.col("sv"), F.col("centroid"))
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("qerr", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "qerr")
+    )
+
+
+_PQ_SV_SQL = f"""
+SELECT vec_id, sub,
+       (vec_id % 2147483648) * 2654435761 % 2147483648 % {PQ_CODES} AS code0,
+       dv[sub * {PQ_DSUB} + 1 : sub * {PQ_DSUB} + {PQ_DSUB}] AS sv
+FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv
+      FROM embeddings WHERE len(embedding) = {EMB_DIM}) e,
+     LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s
+"""
+
+_PQ_CENTS_SQL = f"""
+SELECT sub, code, list(m ORDER BY pos) AS centroid
+FROM (
+  SELECT sub, code0 AS code, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(x ORDER BY vec_id)), (a, x) -> a + x) / count(*) AS m
+  FROM (
+    SELECT vec_id, sub, code0, i AS pos, sv[i] AS x
+    FROM ({_PQ_SV_SQL}) t,
+         LATERAL (SELECT unnest(generate_series(1, {PQ_DSUB})) AS i) g)
+  GROUP BY sub, code0, pos)
+GROUP BY sub, code
+"""
+
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " [({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    f" for i in generate_series(1, {{n}})]), (acc, d) -> acc + d)"
+)
+
+_PQ_ASSIGN_SQL = f"""
+SELECT vec_id, sub, code, qerr FROM (
+  SELECT sv.vec_id, sv.sub, c.code,
+         {_SQDIST_SQL.format(a='sv.sv', b='c.centroid', n=PQ_DSUB)} AS qerr,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                            ORDER BY {_SQDIST_SQL.format(a='sv.sv', b='c.centroid', n=PQ_DSUB)},
+                                     c.code) AS rn
+  FROM ({_PQ_SV_SQL}) sv JOIN ({_PQ_CENTS_SQL}) c ON sv.sub = c.sub) t
+WHERE rn = 1
+"""
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook health per (subspace, code) after the Lloyd step: how many
+    subvectors landed on each centroid and their mean squared quantization
+    error — the distortion report that sizes PQ_CODES before indexing.
+
+    Scale shape: codebook is PQ_M x PQ_CODES rows (broadcast-sized at any
+    corpus); assignment joins the broadcast codebook onto subvector rows
+    map-side; this summary is one (sub, code)-keyed aggregate with the
+    mean-of-qerr as a vec_id-ordered sequential fold.
+    """
+    a = _pq_assign(spark, sf_dir)
+    per = a.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.array_sort(F.collect_list(F.struct("vec_id", "qerr"))).alias("qs"),
+    )
+    mean_err = F.aggregate(
+        F.col("qs"), F.lit(0.0), lambda acc, s: acc + s.getField("qerr")
+    ) / F.size("qs")
+    return per.select(
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+        "n_assigned",
+        F.round(mean_err, 6).alias("avg_qerr"),
+    )
+
+
+_PQ_CODEBOOK_SQL = f"""
+SELECT sub, code, CAST(count(*) AS BIGINT) AS n_assigned,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(qerr ORDER BY vec_id)), (a, x) -> a + x) / count(*), 6)
+         AS avg_qerr
+FROM ({_PQ_ASSIGN_SQL}) a
+GROUP BY sub, code
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: each query precomputes a
+    PQ_M x PQ_CODES lookup table of exact query-subvector -> centroid
+    distances; a corpus vector's distance estimate is then a PURE TABLE
+    LOOKUP sum over its 8 codes — no float vector math against the corpus
+    at query time.
+
+    Scale shape: the per-query LUT (128 doubles) and the 10-query side
+    broadcast; the corpus side carries only (vec_id, codes[8]) — 64x less
+    traffic than raw vectors; the ADC fold is codegen'd element access in
+    pinned sub order, and top-k is rank-filtered per query.
+    """
+    sv = _pq_subvectors(spark, sf_dir)
+    cents = _pq_centroids(sv)
+    codes = (
+        _pq_assign(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.transform(F.col("sc"), lambda s: s.getField("code")).alias("codes"),
+        )
+    )
+    q = sv.filter(F.col("vec_id") < 10)
+    lut = (
+        q.join(F.broadcast(cents), "sub")
+        .withColumn("d", _sqdist(F.col("sv"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub") * PQ_CODES + F.col("code")).alias("idx"), "d"
+                    )
+                )
+            ).alias("id_")
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.transform(F.col("id_"), lambda s: s.getField("d")).alias("lut"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.col("lut"), (sub * PQ_CODES + F.element_at(F.col("codes"), sub + 1) + 1).cast("int")
+        ),
+    )
+    pairs = (
+        F.broadcast(lut)
+        .crossJoin(codes)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
+
+
+_PQ_ADC_SQL = f"""
+WITH sv AS ({_PQ_SV_SQL}),
+cents AS ({_PQ_CENTS_SQL}),
+codes AS (
+  SELECT vec_id AS c_id, list(code ORDER BY sub) AS codes
+  FROM ({_PQ_ASSIGN_SQL}) a GROUP BY vec_id),
+lut AS (
+  SELECT sv.vec_id AS q_id,
+         list(d ORDER BY idx) AS lut
+  FROM (
+    SELECT sv.vec_id, sv.sub * {PQ_CODES} + c.code AS idx,
+           {_SQDIST_SQL.format(a='sv.sv', b='c.centroid', n=PQ_DSUB)} AS d
+    FROM sv JOIN cents c ON sv.sub = c.sub
+    WHERE sv.vec_id < 10) sv
+  GROUP BY sv.vec_id),
+pairs AS (
+  SELECT q_id, c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [lut[sub * {PQ_CODES} + codes[sub + 1] + 1]
+            for sub in generate_series(0, {PQ_M - 1})]),
+           (acc, d) -> acc + d), 6) AS adc_dist
+  FROM lut CROSS JOIN codes WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id)
+              AS BIGINT) AS rank
+  FROM pairs)
+SELECT q_id, c_id, adc_dist, rank FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -6341,6 +6599,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_repeated_spans", repeated_spans, _REPEATED_SPANS_SQL),
     ("llm_url_dedup", url_dedup, _URL_DEDUP_SQL),
     ("llm_span_scrub_apply", span_scrub_apply, _SPAN_SCRUB_SQL),
+    ("llm_pq_codebook", pq_codebook, _PQ_CODEBOOK_SQL),
+    ("llm_pq_adc_topk", pq_adc_topk, _PQ_ADC_SQL),
 ]
 
 

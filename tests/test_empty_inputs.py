@@ -302,3 +302,21 @@ def test_winnow_ops_empty_documents(spark, tmp_path):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
         assert col in out.columns, fn.__name__
+
+
+def test_pq_ops_empty_embeddings(spark, tmp_path):
+    """PQ codebook/ADC over an empty embeddings lake: typed empty frames."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "embeddings").filter(F.lit(False)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    for fn, col in (
+        (llm.pq_codebook, "avg_qerr"),
+        (llm.pq_adc_topk, "adc_dist"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__

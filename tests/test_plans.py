@@ -591,3 +591,13 @@ def test_round6_llm_ops_plan_shapes(spark):
     p = plan(llm.url_dedup(spark, SF), "simple")
     assert "Window" not in p  # aggregate form, not last_wins window
     assert "Join" not in p  # one table, one shuffle
+
+    for fn in (llm.pq_codebook, llm.pq_adc_topk):
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+        # the codebook (M x K rows) joins onto subvectors via broadcast
+        assert "BroadcastHashJoin" in p, fn.__name__
+    # ADC: the query LUT side is the broadcast of the nested-loop pair join
+    p = plan(llm.pq_adc_topk(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in p
