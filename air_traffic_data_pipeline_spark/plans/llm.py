@@ -6260,6 +6260,7 @@ PQ_M = 8  # subspaces
 PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_CODES = 16  # codebook entries per subspace
 PQ_TOPK = 3
+PQ_SHORTLIST = 30  # ADC shortlist fed to exact rerank in the recall eval
 
 
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6407,8 +6408,10 @@ GROUP BY sub, code
 """
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k: each query precomputes a
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ranking (full, rank-filtered by callers:
+    pq_adc_topk at PQ_TOPK, pq_recall_eval at PQ_SHORTLIST): each query
+    precomputes a
     PQ_M x PQ_CODES lookup table of exact query-subvector -> centroid
     distances; a corpus vector's distance estimate is then a PURE TABLE
     LOOKUP sum over its 8 codes — no float vector math against the corpus
@@ -6464,14 +6467,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("adc_dist", F.round(adc, 6))
     )
     w = W.partitionBy("q_id").orderBy("adc_dist", "c_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("q_id", "c_id", "adc_dist", "rank")
+    return pairs.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "q_id", "c_id", "adc_dist", "rank"
     )
 
 
-_PQ_ADC_SQL = f"""
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_adc_ranked(spark, sf_dir).filter(F.col("rank") <= PQ_TOPK)
+
+
+_PQ_ADC_RANKED_SQL = f"""
 WITH sv AS ({_PQ_SV_SQL}),
 cents AS ({_PQ_CENTS_SQL}),
 codes AS (
@@ -6498,7 +6503,78 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id)
               AS BIGINT) AS rank
   FROM pairs)
-SELECT q_id, c_id, adc_dist, rank FROM ranked WHERE rank <= {PQ_TOPK}
+SELECT q_id, c_id, adc_dist, rank FROM ranked
+"""
+
+_PQ_ADC_SQL = f"""
+SELECT q_id, c_id, adc_dist, rank FROM ({_PQ_ADC_RANKED_SQL}) r
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality measurement: recall@PQ_TOPK of the ADC SHORTLIST against exact
+    squared-L2 ground truth (the metric ADC approximates — cosine ground
+    truth would grade it on a test it never sat). Composes the two plans
+    and joins on (q_id, c_id); deterministic, so the recall itself is
+    oracle-checked — the PQ counterpart of llm_ann_recall_eval (LSH).
+
+    Scale note: the exact leg is the eval-only broadcast kernel (10 query
+    rows x corpus); ADC is the scale path being graded.
+    """
+    e = _emb_ok(spark, sf_dir)
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_vec")
+    )
+    c = base.select(F.col("vec_id").alias("c_id"), F.col("dv").alias("c_vec"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", _sqdist(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("q_id").orderBy("d", "c_id")
+    truth = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "c_id")
+    )
+    adc = (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= PQ_SHORTLIST)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    j = truth.join(adc, ["q_id", "c_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall_pq")
+    )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv
+  FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_SQDIST_SQL.format(a='q.dv', b='c.dv', n=EMB_DIM)} AS d
+  FROM (SELECT * FROM base WHERE vec_id < 10) q
+  CROSS JOIN base c WHERE q.vec_id <> c.vec_id),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rank
+    FROM pairs) t
+  WHERE rank <= {PQ_TOPK}),
+adc AS (SELECT q_id, c_id, 1 AS hit FROM ({_PQ_ADC_RANKED_SQL}) t
+        WHERE rank <= {PQ_SHORTLIST})
+SELECT truth.q_id,
+       round(sum(coalesce(hit, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall_pq
+FROM truth
+LEFT JOIN adc ON truth.q_id = adc.q_id AND truth.c_id = adc.c_id
+GROUP BY truth.q_id
 """
 
 
@@ -6601,6 +6677,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_span_scrub_apply", span_scrub_apply, _SPAN_SCRUB_SQL),
     ("llm_pq_codebook", pq_codebook, _PQ_CODEBOOK_SQL),
     ("llm_pq_adc_topk", pq_adc_topk, _PQ_ADC_SQL),
+    ("llm_pq_recall_eval", pq_recall_eval, _pq_recall_sql()),
 ]
 
 

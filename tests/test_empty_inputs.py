@@ -316,6 +316,7 @@ def test_pq_ops_empty_embeddings(spark, tmp_path):
     for fn, col in (
         (llm.pq_codebook, "avg_qerr"),
         (llm.pq_adc_topk, "adc_dist"),
+        (llm.pq_recall_eval, "recall_pq"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -2066,3 +2066,39 @@ def test_pq_adc_ranks_against_exact_distance(spark):
     pcts.sort()
     assert all(p <= 0.75 for p in pcts), pcts
     assert pcts[len(pcts) // 2] <= 0.35, pcts
+
+
+def test_pq_recall_eval_matches_reference(spark):
+    """Shortlist recall recomputed from the PQ reference (exact-L2 top-3
+    within the reference ADC top-PQ_SHORTLIST), and the aggregate recall
+    is materially better than a random shortlist."""
+    embs = _pq_embs(spark)
+    cents, assign = _ref_pq(embs)
+
+    def exact(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    want = {}
+    for q in range(10):
+        truth = sorted(
+            (exact(embs[q], e), v) for v, e in embs.items() if v != q
+        )[: llm.PQ_TOPK]
+        adc_rank = []
+        for v in embs:
+            if v == q:
+                continue
+            d = 0.0
+            for sub in range(llm.PQ_M):
+                q_sv = embs[q][sub * llm.PQ_DSUB : (sub + 1) * llm.PQ_DSUB]
+                c = cents[(sub, assign[(v, sub)][1])]
+                for x, y in zip(q_sv, c):
+                    d += (x - y) * (x - y)
+            adc_rank.append((d, v))
+        adc_top = {v for _, v in sorted(adc_rank)[: llm.PQ_SHORTLIST]}
+        hits = sum(1 for _, v in truth if v in adc_top)
+        want[q] = round(hits / llm.PQ_TOPK, 6)
+    got = {r.q_id: r.recall_pq for r in llm.pq_recall_eval(spark, SF).collect()}
+    assert got == want
+    n = len(embs)
+    chance = llm.PQ_SHORTLIST / (n - 1)  # random shortlist would catch this
+    assert sum(got.values()) / len(got) > 3 * chance
