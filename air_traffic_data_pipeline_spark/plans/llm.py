@@ -5726,7 +5726,15 @@ def _winnow_fp_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id, O(W) frame state; distinct folds the ~P-W+1 window
     rows to the ~2P/(W+1) expected selected set before anything joins.
     """
-    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return winnow_fp_from(d)
+
+
+def winnow_fp_from(d: DataFrame) -> DataFrame:
+    """DataFrame-input form of :func:`_winnow_fp_rows` — shared with the
+    streaming incremental repeated-span pipeline, which winnows one
+    micro-batch at a time (streaming/documents_stream.py)."""
+    d = d.select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
@@ -5876,6 +5884,15 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp_pos")
         .distinct()
     )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_span_accounting(matched, d)
+
+
+def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
+    """Gaps-and-islands span merge + per-doc scrub ledger over matched
+    (doc_id, fp_pos) fingerprint sites — shared by the batch query above
+    and the streaming incremental pipeline, which accumulates the matched
+    sites across micro-batches (streaming/documents_stream.py)."""
     order = W.partitionBy("doc_id").orderBy("fp_pos")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
     islands = (
@@ -5899,8 +5916,7 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + WINNOW_K).cast("bigint").alias("raw_words"),
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    doc_words = d.select(
+    doc_words = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("doc_words")
     )
     return per_doc.join(doc_words, "doc_id").select(

@@ -298,6 +298,20 @@ def _survivors_sql() -> str:
     return _SURVIVORS_SQL
 
 
+def stream_incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_repeated_spans
+
+    return incremental_repeated_spans(spark, sf_dir)
+
+
+def _repeated_spans_sql() -> str:
+    """Streaming incremental span detection must equal the one-shot batch
+    repeated_spans bitwise — so the batch query's SQL IS the oracle."""
+    from .llm import _REPEATED_SPANS_SQL
+
+    return _REPEATED_SPANS_SQL
+
+
 def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import incremental_topk_user_value
 
@@ -369,6 +383,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_near_dup", stream_incremental_near_dup, _survivors_sql()),
     ("stream_incremental_topk", stream_incremental_topk, INCREMENTAL_TOPK_SQL),
     ("stream_incremental_quantile", stream_incremental_quantile, INCREMENTAL_QUANTILE_SQL),
+    ("stream_incremental_repeated_spans", stream_incremental_repeated_spans, _repeated_spans_sql()),
 ]
 
 if _tws_available():

@@ -167,3 +167,83 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental repeated-span detection — bitwise equal to the
+    one-shot ``plans.llm.repeated_spans`` (its SQL is the oracle).
+
+    Each micro-batch winnows ONLY its own documents and lands the selected
+    fingerprints in the accumulated store; matched sites for grams touched
+    by this batch are emitted from (store ∪ batch) — so when doc_b arrives
+    repeating doc_a's span, BOTH sites flag in b's batch, and the union of
+    per-batch flags equals the batch query's matched-site set whatever the
+    arrival order. The final span merge + accounting runs once on the
+    accumulated flags via the shared ``repeated_span_accounting`` kernel.
+
+    At 100 TB: per-batch work is (batch grams) ⋈ (store grams) — a
+    (h, gram)-keyed aggregate over a semi-joined slice of the store, never
+    a rescan of old text; the store is fingerprint rows (~0.4 per gram),
+    and flags are (doc_id, pos) pairs. Idempotent under foreachBatch
+    replay via epoch-scoped overwrite like the near-dup stream above.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import repeated_span_accounting, winnow_fp_from
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_winnow_{_uuid.uuid4().hex[:8]}"
+    fp_dir = f"{base}/fp"
+    flags_dir = f"{base}/flags"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        winnow_fp_from(batch_df).write.mode("overwrite").parquet(
+            f"{fp_dir}/batch={epoch_id}"
+        )
+        batch_fp = spark.read.parquet(f"{fp_dir}/batch={epoch_id}")
+        all_fp = spark.read.parquet(f"{fp_dir}/batch=*")
+        touched = all_fp.join(
+            batch_fp.select("h", "gram").distinct(), ["h", "gram"], "leftsemi"
+        )
+        repeated = (
+            touched.groupBy("h", "gram")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") >= 2)
+            .select("h", "gram")
+        )
+        flags = (
+            touched.join(repeated, ["h", "gram"], "leftsemi")
+            .select("doc_id", "fp_pos")
+            .distinct()
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        matched = (
+            spark.read.parquet(f"{flags_dir}/batch=*").distinct()
+            if os.path.isdir(flags_dir)
+            else spark.createDataFrame([], "doc_id long, fp_pos long")
+        )
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        out = repeated_span_accounting(matched, docs)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -596,3 +596,35 @@ def test_incremental_quantile_equals_batch(spark):
                 break
     assert got == want
     assert len(got) == len(QUANT_QS)
+
+
+def test_incremental_repeated_spans_equals_batch(spark):
+    """Streaming incremental winnowing (batch fingerprints vs accumulated
+    store, flags emitted for BOTH sites of a late-arriving repeat) must
+    reproduce the one-shot repeated_spans ledger exactly."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_repeated_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.n_spans, r.span_words, r.doc_words, r.repeated_frac)
+        for r in incremental_repeated_spans(spark, sf).collect()
+    }
+    want = {
+        (r.doc_id, r.n_spans, r.span_words, r.doc_words, r.repeated_frac)
+        for r in llm.repeated_spans(spark, sf).collect()
+    }
+    assert got == want
+    assert got, "the corpus should contain repeated spans"
+    # cross-batch detection really happened: at least one flagged doc sits
+    # in the FIRST id-tercile (its repeat partner arrived in a later batch,
+    # so its flag can only come from the store-side emission)
+    ids = sorted(r[0] for r in want)
+    docs = sorted(
+        r.doc_id
+        for r in llm.load(spark, sf, "documents").select("doc_id").collect()
+    )
+    first_tercile = set(docs[: len(docs) // 3])
+    assert any(i in first_tercile for i in ids)
