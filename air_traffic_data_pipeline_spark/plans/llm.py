@@ -3648,6 +3648,73 @@ GROUP BY doc_id
 """
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE tokens per word and
+    characters per token for each lang after K merges — the
+    which-languages-pay-more study run before freezing a vocabulary (a
+    lang whose fertility stays near chars/word is effectively
+    byte-falling-back; a low-fertility lang is well covered by merges).
+
+    Same broadcastable word->token-count vocabulary join as bpe_tokenize,
+    re-aggregated on documents.lang instead of doc_id — one lang-keyed
+    aggregate of a handful of groups at any corpus size; the float
+    ratios are single divisions of exact int64 sums (no float
+    accumulation to order).
+    """
+    _rows, vocab = _bpe_train(spark, sf_dir)
+    word_tok = vocab.select("w", F.size("syms").alias("n_sym"))
+    d = fan_out(load(spark, sf_dir, "documents"))
+    words = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    agg = (
+        words.join(word_tok, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    base = _bpe_sql()
+    head = base[: base.rindex("SELECT 1 AS round")]
+    return f"""{head}
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(t.w)) AS BIGINT) AS n_chars,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(len(v.syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(len(t.w)) AS DOUBLE) / CAST(sum(len(v.syms)) AS DOUBLE), 6)
+         AS chars_per_token
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+JOIN (SELECT w0.w, v3.syms
+      FROM vocab{BPE_ROUNDS} v3
+      JOIN (SELECT w, row_number() OVER (ORDER BY w) AS wid
+            FROM (SELECT w, count(*) AS cnt FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+                  WHERE len(w) > 0 GROUP BY w) q) w0
+        ON w0.wid = v3.wid) v
+  ON t.w = v.w
+WHERE len(t.w) > 0
+GROUP BY lang
+"""
+
+
 def _bpe_sql() -> str:
     """K unrolled rounds; each greedy merge is a per-word recursive walk
     over symbol positions (state = next index + output list), selecting
@@ -6594,6 +6661,71 @@ GROUP BY truth.q_id
 """
 
 
+# --- train/val split leakage (round 6) ----------------------------------------
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-boundary leakage eval: for each held-out split (val, test),
+    the fraction of its distinct word-3-gram shingles that also occur in
+    the train split — the pre-training counterpart of benchmark
+    contamination (llm_substring_contamination checks against an external
+    benchmark; this checks the pipeline's OWN split boundary, where
+    near-dup docs straddling the hash split silently inflate eval
+    scores). Uses the same deterministic md5 split as train_val_split, so
+    leakage is reproducible under reshuffling and appends.
+
+    Scale shape: two distinct-shingle sets (map-side-combining
+    aggregates), one gram-keyed LEFT join of the small held-out side
+    against train, one 2-row aggregate. Nothing pairwise.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    sh = exploded_shingles(
+        d.select(split.alias("split"), "text"), "text"
+    ).distinct()
+    train = sh.filter(F.col("split") == "train").select("s").distinct()
+    held = sh.filter(F.col("split") != "train")
+    j = held.join(train.withColumn("leak", F.lit(1)), "s", "left")
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("leak"), F.lit(0))).cast("bigint").alias("n_leaked"),
+        F.round(
+            F.sum(F.coalesce(F.col("leak"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("leak_frac"),
+    )
+
+
+_SPLIT_LEAK_SQL = f"""
+WITH lab AS (
+  SELECT CASE WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100
+                   < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100
+                   < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         text
+  FROM documents),
+sh AS (
+  SELECT DISTINCT split, unnest({shingles_sql('text')}) AS s FROM lab),
+train AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+held AS (SELECT split, s FROM sh WHERE split <> 'train')
+SELECT held.split,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       round(CAST(sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS leak_frac
+FROM held LEFT JOIN train ON held.s = train.s
+GROUP BY held.split
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -6694,6 +6826,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pq_codebook", pq_codebook, _PQ_CODEBOOK_SQL),
     ("llm_pq_adc_topk", pq_adc_topk, _PQ_ADC_SQL),
     ("llm_pq_recall_eval", pq_recall_eval, _pq_recall_sql()),
+    ("llm_split_leakage", split_leakage, _SPLIT_LEAK_SQL),
+    ("llm_bpe_fertility_by_lang", bpe_fertility_by_lang, _bpe_fertility_sql()),
 ]
 
 

@@ -298,6 +298,8 @@ def test_winnow_ops_empty_documents(spark, tmp_path):
         (llm.repeated_spans, "repeated_frac"),
         (llm.url_dedup, "n_crawls"),
         (llm.span_scrub_apply, "scrubbed_text"),
+        (llm.split_leakage, "leak_frac"),
+        (llm.bpe_fertility_by_lang, "fertility"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -2102,3 +2102,67 @@ def test_pq_recall_eval_matches_reference(spark):
     n = len(embs)
     chance = llm.PQ_SHORTLIST / (n - 1)  # random shortlist would catch this
     assert sum(got.values()) / len(got) > 3 * chance
+
+
+def test_split_leakage_matches_reference(spark):
+    """Leakage recomputed driver-side with the same md5 split and shingle
+    definition; the dup-heavy corpus must show real nonzero leakage."""
+    import hashlib
+
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").collect()}
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    def grams(text):
+        w = text.split(" ")
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(n)}
+
+    by_split = {}
+    for doc_id, text in docs.items():
+        by_split.setdefault(split_of(doc_id), set()).update(grams(text))
+    train = by_split.get("train", set())
+    want = {}
+    for sp in ("val", "test"):
+        g = by_split.get(sp, set())
+        if not g:
+            continue
+        leaked = len(g & train)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        frac = float(
+            Decimal(repr(leaked / len(g))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        want[sp] = (len(g), leaked, frac)
+    got = {
+        r.split: (r.n_grams, r.n_leaked, r.leak_frac)
+        for r in llm.split_leakage(spark, SF).collect()
+    }
+    assert got == want
+    assert any(l for _, l, _ in want.values()), "dup corpus must leak"
+
+
+def test_bpe_fertility_consistent_with_tokenize(spark):
+    """Per-lang fertility must equal re-aggregating the per-doc
+    bpe_tokenize output by the doc's lang (same vocab, same corpus), and
+    fertility must sit between 1 (all words single-token) and
+    chars/word (full byte-fallback)."""
+    langs = {
+        r.doc_id: r.lang for r in load(spark, SF, "documents").collect()
+    }
+    per_doc = llm.bpe_tokenize(spark, SF).collect()
+    agg = {}
+    for r in per_doc:
+        w, c, t = agg.get(langs[r.doc_id], (0, 0, 0))
+        agg[langs[r.doc_id]] = (w + r.n_words, c + r.n_chars, t + r.n_bpe_tokens)
+    got = {r.lang: r for r in llm.bpe_fertility_by_lang(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for lang, (w, c, t) in agg.items():
+        r = got[lang]
+        assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (w, c, t), lang
+        assert r.fertility == round(t / w, 6) and r.chars_per_token == round(c / t, 6)
+        assert 1.0 <= r.fertility <= c / w, lang
