@@ -6726,6 +6726,105 @@ GROUP BY held.split
 """
 
 
+# --- dedup funnel report (round 6) ---------------------------------------------
+
+REPEATED_FRAC_DUP = 0.5  # repeated_spans ledger: "mostly repeated" threshold
+
+
+def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard: how many documents each dedup modality
+    would remove, side by side — exact text, normalized fingerprint,
+    canonical URL (latest-wins), minhash near-dup kills, and
+    mostly-repeated-span docs — each as removed-count and corpus
+    fraction. The numbers do NOT sum (modalities overlap by design);
+    the report is the overlap-at-a-glance a pipeline team reads before
+    ordering the passes.
+
+    Composes the existing plans; every leg ends in a 1-row count, so the
+    report costs one pass per modality and unions 5 single-row frames.
+    """
+    total_df = load(spark, sf_dir, "documents").select(
+        F.count(F.lit(1)).alias("n_total")
+    )
+
+    def leg(name: str, cnt_df: DataFrame) -> DataFrame:
+        # n_total = 0 (empty lake) must yield a zero-row dashboard, not an
+        # ANSI DIVIDE_BY_ZERO — Spark 4 errors even on double division
+        nr = F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+        frac = F.when(
+            F.col("n_total") > 0,
+            F.round(nr.cast("double") / F.col("n_total").cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        return cnt_df.crossJoin(F.broadcast(total_df)).select(
+            F.lit(name).alias("modality"),
+            nr.alias("n_removed"),
+            frac.alias("removed_frac"),
+        )
+
+    exact = dedup_exact(spark, sf_dir).agg(
+        F.sum(F.col("n_copies") - 1).alias("n_removed")
+    )
+    fp = dedup_fingerprint(spark, sf_dir).agg(
+        F.sum(F.col("n_copies") - 1).alias("n_removed")
+    )
+    url = url_dedup(spark, sf_dir).agg(
+        F.sum(F.col("n_crawls") - 1).alias("n_removed")
+    )
+    d = load(spark, sf_dir, "documents")
+    minhash = d.join(
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct(),
+        "doc_id",
+        "leftsemi",
+    ).agg(F.count(F.lit(1)).alias("n_removed"))
+    spans = (
+        repeated_spans(spark, sf_dir)
+        .filter(F.col("repeated_frac") >= REPEATED_FRAC_DUP)
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    out = leg("exact_text", exact)
+    for name, df_ in (
+        ("fingerprint", fp),
+        ("canonical_url", url),
+        ("minhash_near_dup", minhash),
+        ("repeated_span_mostly", spans),
+    ):
+        out = out.unionByName(leg(name, df_))
+    return out
+
+
+def _dedup_funnel_sql() -> str:
+    return f"""
+WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+exact_cnt AS (
+  SELECT CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT) AS n_removed
+  FROM ({DEDUP_EXACT_SQL}) t),
+fp_cnt AS (
+  SELECT CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT) AS n_removed
+  FROM ({DEDUP_FP_SQL}) t),
+url_cnt AS (
+  SELECT CAST(coalesce(sum(n_crawls - 1), 0) AS BIGINT) AS n_removed
+  FROM ({_URL_DEDUP_SQL}) t),
+mh_cnt AS (
+  SELECT CAST(count(DISTINCT doc_b) AS BIGINT) AS n_removed
+  FROM ({_MINHASH_PAIRS_SQL}) t),
+span_cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_removed
+  FROM ({_REPEATED_SPANS_SQL}) t
+  WHERE repeated_frac >= {dlit(REPEATED_FRAC_DUP)})
+SELECT m AS modality, n_removed,
+       round(CAST(n_removed AS DOUBLE) / n_total, 6) AS removed_frac
+FROM (
+  SELECT 'exact_text' AS m, n_removed FROM exact_cnt
+  UNION ALL SELECT 'fingerprint', n_removed FROM fp_cnt
+  UNION ALL SELECT 'canonical_url', n_removed FROM url_cnt
+  UNION ALL SELECT 'minhash_near_dup', n_removed FROM mh_cnt
+  UNION ALL SELECT 'repeated_span_mostly', n_removed FROM span_cnt) u
+CROSS JOIN total
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -6828,6 +6927,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pq_recall_eval", pq_recall_eval, _pq_recall_sql()),
     ("llm_split_leakage", split_leakage, _SPLIT_LEAK_SQL),
     ("llm_bpe_fertility_by_lang", bpe_fertility_by_lang, _bpe_fertility_sql()),
+    ("llm_dedup_funnel", dedup_funnel, _dedup_funnel_sql()),
 ]
 
 

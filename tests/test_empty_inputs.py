@@ -306,6 +306,21 @@ def test_winnow_ops_empty_documents(spark, tmp_path):
         assert col in out.columns, fn.__name__
 
 
+def test_dedup_funnel_empty_documents(spark, tmp_path):
+    """The funnel REPORT keeps its 5 modality rows on an empty lake (a
+    dashboard with zeros, not a vanished dashboard); counts are NULL/0."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = llm.dedup_funnel(spark, sf).collect()
+    assert len(rows) == 5
+    assert all((r.n_removed or 0) == 0 for r in rows)
+
+
 def test_pq_ops_empty_embeddings(spark, tmp_path):
     """PQ codebook/ADC over an empty embeddings lake: typed empty frames."""
     from air_traffic_data_pipeline_spark.plans import llm

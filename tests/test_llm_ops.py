@@ -2166,3 +2166,39 @@ def test_bpe_fertility_consistent_with_tokenize(spark):
         assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (w, c, t), lang
         assert r.fertility == round(t / w, 6) and r.chars_per_token == round(c / t, 6)
         assert 1.0 <= r.fertility <= c / w, lang
+
+
+def test_dedup_funnel_consistent_with_component_queries(spark):
+    """Every funnel row must equal the count derivable from its component
+    query's own output, and the dup-heavy corpus must show removals in
+    every modality."""
+    rows = {r.modality: r for r in llm.dedup_funnel(spark, SF).collect()}
+    total = load(spark, SF, "documents").count()
+    want = {
+        "exact_text": sum(
+            r.n_copies - 1 for r in llm.dedup_exact(spark, SF).collect()
+        ),
+        "fingerprint": sum(
+            r.n_copies - 1 for r in llm.dedup_fingerprint(spark, SF).collect()
+        ),
+        "canonical_url": sum(
+            r.n_crawls - 1 for r in llm.url_dedup(spark, SF).collect()
+        ),
+        "minhash_near_dup": len(
+            {r.doc_b for r in llm.minhash_near_dup_pairs(spark, SF).collect()}
+        ),
+        "repeated_span_mostly": sum(
+            1
+            for r in llm.repeated_spans(spark, SF).collect()
+            if r.repeated_frac >= llm.REPEATED_FRAC_DUP
+        ),
+    }
+    assert {m: r.n_removed for m, r in rows.items()} == want
+    for m, r in rows.items():
+        assert r.removed_frac == round(r.n_removed / total, 6), m
+    # ordering sanity: exact-text removals are a subset of fingerprint's
+    assert want["exact_text"] <= want["fingerprint"]
+    # the sf0.001 corpus has no byte-identical texts (test_dedup_exact_identity)
+    # but must show removals in the similarity/url/span modalities
+    for m in ("canonical_url", "minhash_near_dup", "repeated_span_mostly"):
+        assert want[m] > 0, m
