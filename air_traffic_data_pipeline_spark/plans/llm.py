@@ -6726,6 +6726,90 @@ GROUP BY held.split
 """
 
 
+# --- embedding centroid drift (round 6) ----------------------------------------
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch embedding drift monitor: split the corpus into two
+    halves by vec_id parity (the deterministic stand-in for "yesterday's
+    batch vs today's"), compute each label's per-half centroid with the
+    ivf_centroids fold discipline, and report the cosine between the two
+    half-centroids plus the population split — the embedding-space
+    counterpart of schema drift checks. A label whose centroid cosine
+    falls below ~0.9 between ingests usually means the upstream encoder
+    changed or the label's content shifted.
+
+    Scale shape: one posexplode aggregate keyed (label, half, pos) — the
+    same single-shuffle centroid build as IVF; the drift math runs on
+    2 x n_labels centroid rows (driver-free, broadcast-sized).
+    """
+    e = _emb_ok(spark, sf_dir)
+    half = (F.col("vec_id") % 2).alias("half")
+    exploded = e.select(
+        "label",
+        half,
+        F.col("vec_id").alias("i"),
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    per_dim = exploded.groupBy("label", "half", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
+    )
+    m = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
+    ) / F.size("xs")
+    cents = (
+        per_dim.select(
+            "label", "half", "pos", m.alias("m"),
+            F.size("xs").cast("bigint").alias("cnt"),
+        )
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            F.min("cnt").alias("n_members"),
+        )
+        .select(
+            "label",
+            "half",
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c"),
+            "n_members",
+        )
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("n_members").alias("n_even")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("n_members").alias("n_odd")
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
+    )
+
+
+_EMB_DRIFT_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, vec_id AS i, pos - 1 AS pos,
+         CAST(embedding[pos] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) g
+  WHERE len(embedding) = {EMB_DIM}),
+per_dim AS (
+  SELECT label, half, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(x ORDER BY i)), (a, x) -> a + x) / count(*) AS m,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ex GROUP BY label, half, pos),
+cents AS (
+  SELECT label, half, list(m ORDER BY pos) AS c, min(cnt) AS n_members
+  FROM per_dim GROUP BY label, half)
+SELECT a.label, a.n_members AS n_even, b.n_members AS n_odd,
+       round({cosine_sql('a.c', 'b.c')}, 6) AS centroid_cos
+FROM (SELECT * FROM cents WHERE half = 0) a
+JOIN (SELECT * FROM cents WHERE half = 1) b ON a.label = b.label
+"""
+
+
 # --- dedup funnel report (round 6) ---------------------------------------------
 
 REPEATED_FRAC_DUP = 0.5  # repeated_spans ledger: "mostly repeated" threshold
@@ -6928,6 +7012,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_split_leakage", split_leakage, _SPLIT_LEAK_SQL),
     ("llm_bpe_fertility_by_lang", bpe_fertility_by_lang, _bpe_fertility_sql()),
     ("llm_dedup_funnel", dedup_funnel, _dedup_funnel_sql()),
+    ("llm_embedding_drift", embedding_drift, _EMB_DRIFT_SQL),
 ]
 
 

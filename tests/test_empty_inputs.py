@@ -334,6 +334,7 @@ def test_pq_ops_empty_embeddings(spark, tmp_path):
         (llm.pq_codebook, "avg_qerr"),
         (llm.pq_adc_topk, "adc_dist"),
         (llm.pq_recall_eval, "recall_pq"),
+        (llm.embedding_drift, "centroid_cos"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -2202,3 +2202,36 @@ def test_dedup_funnel_consistent_with_component_queries(spark):
     # but must show removals in the similarity/url/span modalities
     for m in ("canonical_url", "minhash_near_dup", "repeated_span_mostly"):
         assert want[m] > 0, m
+
+
+def test_embedding_drift_matches_reference(spark):
+    """Per-label half-centroids and cosine recomputed driver-side with the
+    same fold orders; same-distribution halves must read near-1 cosine."""
+    embs = {}
+    for r in load(spark, SF, "embeddings").collect():
+        if len(r.embedding) == llm.EMB_DIM:
+            embs[r.vec_id] = (r.label, [float(x) for x in r.embedding])
+    cents = {}
+    counts = {}
+    for vid in sorted(embs):
+        label, v = embs[vid]
+        key = (label, vid % 2)
+        if key not in cents:
+            cents[key] = [0.0] * llm.EMB_DIM
+            counts[key] = 0
+        for i, x in enumerate(v):
+            cents[key][i] += x
+        counts[key] += 1
+    for key in cents:
+        cents[key] = [x / counts[key] for x in cents[key]]
+    got = {r.label: r for r in llm.embedding_drift(spark, SF).collect()}
+    labels = {lab for lab, _ in cents if (lab, 0) in cents and (lab, 1) in cents}
+    assert set(got) == labels
+    for lab in labels:
+        r = got[lab]
+        assert (r.n_even, r.n_odd) == (counts[(lab, 0)], counts[(lab, 1)])
+        assert r.centroid_cos == _ref_cos(cents[(lab, 0)], cents[(lab, 1)])
+        # this lake's labels are mean-zero clusters, so half-centroids are
+        # noise-dominated (cos ~ 0 +- 1/sqrt(dim)) — the monitor's VALUE is
+        # bitwise-verified above; only bound the range here
+        assert -1.0 <= r.centroid_cos <= 1.0
