@@ -86,6 +86,50 @@ def brute_force_topk(
     )
 
 
+def centroid_fold(
+    vectors: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_count: bool = False,
+    already_double: bool = False,
+) -> DataFrame:
+    """Deterministic per-key mean vector: posexplode + groupBy(keys, pos)
+    with the per-dimension mean as a SEQUENTIAL left-fold over members
+    sorted by ``id_col`` — the one bitwise-critical centroid kernel,
+    shared by ivf_centroids (keys=("label",)), PQ codebook training
+    (keys=("sub", "code")) and embedding_drift (keys=("label", "half")).
+    Returns keys + ``centroid`` (+ ``n_members``). See ivf_centroids for
+    the cost/discipline discussion."""
+    vec = F.col(vec_col) if already_double else to_double(F.col(vec_col))
+    exploded = vectors.select(
+        *keys,
+        F.col(id_col).alias("__i"),
+        F.posexplode(vec).alias("__pos", "__x"),
+    )
+    per_dim = exploded.groupBy(*keys, "__pos").agg(
+        F.array_sort(F.collect_list(F.struct("__i", "__x"))).alias("__xs")
+    )
+    m = F.aggregate(
+        F.col("__xs"), F.lit(0.0), lambda acc, s: acc + s.getField("__x")
+    ) / F.size("__xs")
+    per_dim = per_dim.select(
+        *keys, "__pos", m.alias("__m"), F.size("__xs").cast("bigint").alias("__cnt")
+    )
+    out = per_dim.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"),
+        # cnt is the member count, constant across pos within a key
+        F.min("__cnt").alias("n_members"),
+    )
+    cols = [
+        *keys,
+        F.transform(F.col("__pm"), lambda s: s.getField("__m")).alias("centroid"),
+    ]
+    if with_count:
+        cols.append(F.col("n_members"))
+    return out.select(*cols)
+
+
 def ivf_centroids(
     vectors: DataFrame, dim: int, id_col: str = "vec_id", with_count: bool = False
 ) -> DataFrame:
@@ -103,32 +147,9 @@ def ivf_centroids(
     ``with_count=True`` adds an ``n_members`` column carried through the same
     aggregate — callers that also need cluster sizes (k-means refinement)
     get them without a second pass over the input."""
-    exploded = vectors.select(
-        "label",
-        F.col(id_col).alias("i"),
-        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    return centroid_fold(
+        vectors, ("label",), id_col=id_col, with_count=with_count
     )
-    per_dim = exploded.groupBy("label", "pos").agg(
-        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
-    )
-    m = F.aggregate(
-        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
-    ) / F.size("xs")
-    per_dim = per_dim.select(
-        "label", "pos", m.alias("m"), F.size("xs").cast("bigint").alias("cnt")
-    )
-    out = per_dim.groupBy("label").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
-        # cnt is the member count, constant across pos within a label
-        F.min("cnt").alias("n_members"),
-    )
-    cols = [
-        "label",
-        F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
-    ]
-    if with_count:
-        cols.append(F.col("n_members"))
-    return out.select(*cols)
 
 
 def ivf_topk(

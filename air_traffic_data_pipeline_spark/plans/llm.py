@@ -37,6 +37,7 @@ from ..functions.vectors import cosine, cosine_sql, dot, dot_sql, norm, norm_sql
 from ..operators.similarity import (
     N_PLANES,
     brute_force_topk,
+    centroid_fold,
     ivf_topk,
     lsh_bucket,
     lsh_bucket_sql,
@@ -5955,6 +5956,29 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_accounting(matched, d)
 
 
+def _merge_islands(matched: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of matched (doc_id, fp_pos) sites: sites
+    closer than SPAN_MERGE_GAP fuse into one island; returns
+    (doc_id, island, s, e). Shared by repeated_span_accounting and
+    span_scrub_apply so the merge semantics can never drift apart."""
+    order = W.partitionBy("doc_id").orderBy("fp_pos")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        matched.withColumn("prev", F.lag("fp_pos").over(order))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("fp_pos").alias("s"), F.max("fp_pos").alias("e"))
+    )
+
+
 def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
     """Gaps-and-islands span merge + per-doc scrub ledger over matched
     (doc_id, fp_pos) fingerprint sites — shared by the batch query above
@@ -5999,6 +6023,28 @@ def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def _islands_cte_sql(src: str) -> str:
+    """The flagged -> isl -> spans CTE chain (gaps-and-islands merge) over a
+    (doc_id, fp_pos) source CTE — the SQL twin of ``_merge_islands``, shared
+    by _REPEATED_SPANS_SQL and _SPAN_SCRUB_SQL so the merge semantics can
+    never drift between the two oracles."""
+    return f"""flagged AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN lag(fp_pos) OVER w IS NULL
+                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
+              THEN 1 ELSE 0 END AS new_island
+  FROM {src}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+spans0 AS (
+  SELECT doc_id, island, min(fp_pos) AS s, max(fp_pos) AS e
+  FROM isl GROUP BY doc_id, island)"""
+
+
 _REPEATED_SPANS_SQL = f"""
 WITH fp AS ({_WINNOW_FP_SQL}),
 rep AS (
@@ -6006,25 +6052,11 @@ rep AS (
 matched AS (
   SELECT DISTINCT fp.doc_id, fp.fp_pos
   FROM fp SEMI JOIN rep ON fp.h = rep.h AND fp.gram = rep.gram),
-flagged AS (
-  SELECT doc_id, fp_pos,
-         CASE WHEN lag(fp_pos) OVER w IS NULL
-                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
-              THEN 1 ELSE 0 END AS new_island
-  FROM matched
-  WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
-isl AS (
-  SELECT doc_id, fp_pos,
-         sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
-                               ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged),
-spans AS (
-  SELECT doc_id, island, min(fp_pos) AS s, max(fp_pos) AS e
-  FROM isl GROUP BY doc_id, island),
+{_islands_cte_sql('matched')},
 per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          CAST(sum(e - s + {WINNOW_K}) AS BIGINT) AS raw_words
-  FROM spans GROUP BY doc_id),
+  FROM spans0 GROUP BY doc_id),
 dw AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_words
   FROM documents)
@@ -6066,25 +6098,12 @@ def span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_occ") >= 2) & (F.col("site") != F.col("first_site")))
         .select("doc_id", "fp_pos")
     )
-    order = W.partitionBy("doc_id").orderBy("fp_pos")
-    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     doc_words = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dw")
     )
     spans = (
-        marked.withColumn("prev", F.lag("fp_pos").over(order))
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev").isNull()
-                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(run))
-        .groupBy("doc_id", "island")
-        .agg(F.min("fp_pos").alias("s"), F.max("fp_pos").alias("e"))
+        _merge_islands(marked)
         .join(doc_words, "doc_id")
         .select(
             "doc_id", "s", F.least(F.col("e") + (WINNOW_K - 1), F.col("dw")).alias("e2")
@@ -6136,26 +6155,14 @@ sited AS (
 marked AS (
   SELECT doc_id, fp_pos FROM sited
   WHERE n_occ >= 2 AND site <> first_site),
-flagged AS (
-  SELECT doc_id, fp_pos,
-         CASE WHEN lag(fp_pos) OVER w IS NULL
-                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
-              THEN 1 ELSE 0 END AS new_island
-  FROM marked
-  WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
-isl AS (
-  SELECT doc_id, fp_pos,
-         sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
-                               ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged),
+{_islands_cte_sql('marked')},
 dw AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dw
   FROM documents),
 spans AS (
-  SELECT i.doc_id, min(fp_pos) AS s,
-         least(max(fp_pos) + {WINNOW_K - 1}, any_value(dw.dw)) AS e2
-  FROM isl i JOIN dw ON i.doc_id = dw.doc_id
-  GROUP BY i.doc_id, i.island),
+  SELECT sp.doc_id, sp.s,
+         least(sp.e + {WINNOW_K - 1}, dw.dw) AS e2
+  FROM spans0 sp JOIN dw ON sp.doc_id = dw.doc_id),
 words AS (
   SELECT doc_id, i, w[i] AS wd
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
@@ -6347,14 +6354,27 @@ PQ_SHORTLIST = 30  # ADC shortlist fed to exact rerank in the recall eval
 
 
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sub, sv[PQ_DSUB]) subvector rows with the hash-init code."""
+    """(vec_id, sub, sv[PQ_DSUB]) subvector rows with a DENSE hash-init
+    code: the Knuth-hash bucket is re-indexed through a distinct->rank dim
+    table so code0 is always 0..K_eff-1 with NO holes, whatever vec_id
+    residues the lake contains (2654435761 % 16 == 1, so the raw bucket is
+    literally vec_id % 16 — a lake of all-even ids would otherwise leave
+    half the codebook empty and shift every positional LUT lookup; the ADC
+    index math derives K_eff from the LUT length, so it stays correct at
+    any density)."""
     e = _emb_ok(spark, sf_dir)
-    base = e.select("vec_id", to_double(F.col("embedding")).alias("dv"))
+    raw = (F.col("vec_id") % 2147483648) * 2654435761 % 2147483648 % PQ_CODES
+    base = e.select(
+        "vec_id", to_double(F.col("embedding")).alias("dv"), raw.alias("code_raw")
+    )
+    dim = (
+        base.select("code_raw")
+        .distinct()
+        .withColumn("code0", F.row_number().over(W.orderBy("code_raw")) - 1)
+    )
+    base = base.join(F.broadcast(dim), "code_raw")
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
-    init = (F.col("vec_id") % 2147483648) * 2654435761 % 2147483648 % PQ_CODES
-    return base.select(
-        "vec_id", sub, F.col("dv"), init.alias("code0")
-    ).select(
+    return base.select("vec_id", sub, F.col("dv"), F.col("code0")).select(
         "vec_id",
         "sub",
         "code0",
@@ -6363,29 +6383,14 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_centroids(sv: DataFrame) -> DataFrame:
-    """(sub, code, centroid[PQ_DSUB]) means of the hash-init buckets, per-dim
-    sequential fold ordered by vec_id (the ivf_centroids discipline)."""
-    exploded = sv.select(
-        "sub",
-        F.col("code0").alias("code"),
-        F.col("vec_id").alias("i"),
-        F.posexplode("sv").alias("pos", "x"),
-    )
-    per_dim = exploded.groupBy("sub", "code", "pos").agg(
-        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
-    )
-    m = F.aggregate(
-        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
-    ) / F.size("xs")
-    return (
-        per_dim.select("sub", "code", "pos", m.alias("m"))
-        .groupBy("sub", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "sub",
-            "code",
-            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
-        )
+    """(sub, code, centroid[PQ_DSUB]) means of the hash-init buckets —
+    the shared centroid_fold kernel keyed on (sub, code)
+    (operators/similarity.py: one bitwise-critical fold, three users)."""
+    return centroid_fold(
+        sv.select("sub", F.col("code0").alias("code"), "vec_id", "sv"),
+        ("sub", "code"),
+        vec_col="sv",
+        already_double=True,
     )
 
 
@@ -6398,11 +6403,12 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, sub, code, qerr): one Lloyd step — each subvector moves to
-    its nearest hash-init centroid (ties -> lowest code)."""
-    sv = _pq_subvectors(spark, sf_dir)
-    cents = _pq_centroids(sv)
+    its nearest hash-init centroid (ties -> lowest code). Takes the
+    already-built subvector/centroid frames so one plan never computes the
+    centroid subtree twice (the broadcast side defeats ReusedExchange —
+    the span_scrub_apply lesson)."""
     scored = sv.join(F.broadcast(cents), "sub").withColumn(
         "qerr", _sqdist(F.col("sv"), F.col("centroid"))
     )
@@ -6414,12 +6420,20 @@ def _pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RAW_CODE = f"(vec_id % 2147483648) * 2654435761 % 2147483648 % {PQ_CODES}"
+
 _PQ_SV_SQL = f"""
-SELECT vec_id, sub,
-       (vec_id % 2147483648) * 2654435761 % 2147483648 % {PQ_CODES} AS code0,
+SELECT vec_id, sub, code0,
        dv[sub * {PQ_DSUB} + 1 : sub * {PQ_DSUB} + {PQ_DSUB}] AS sv
-FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv
-      FROM embeddings WHERE len(embedding) = {EMB_DIM}) e,
+FROM (
+  SELECT e.vec_id, e.dv, d.code0
+  FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv,
+               {_PQ_RAW_CODE} AS code_raw
+        FROM embeddings WHERE len(embedding) = {EMB_DIM}) e
+  JOIN (SELECT code_raw, row_number() OVER (ORDER BY code_raw) - 1 AS code0
+        FROM (SELECT DISTINCT {_PQ_RAW_CODE} AS code_raw
+              FROM embeddings WHERE len(embedding) = {EMB_DIM}) u) d
+    ON e.code_raw = d.code_raw) b,
      LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s
 """
 
@@ -6465,7 +6479,8 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; this summary is one (sub, code)-keyed aggregate with the
     mean-of-qerr as a vec_id-ordered sequential fold.
     """
-    a = _pq_assign(spark, sf_dir)
+    sv = _pq_subvectors(spark, sf_dir)
+    a = _pq_assign(sv, _pq_centroids(sv))
     per = a.groupBy("sub", "code").agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.array_sort(F.collect_list(F.struct("vec_id", "qerr"))).alias("qs"),
@@ -6508,7 +6523,7 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = _pq_subvectors(spark, sf_dir)
     cents = _pq_centroids(sv)
     codes = (
-        _pq_assign(spark, sf_dir)
+        _pq_assign(sv, cents)
         .groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
         .select(
@@ -6535,12 +6550,14 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("id_"), lambda s: s.getField("d")).alias("lut"),
         )
     )
+    k_eff = (F.size("lut") / F.lit(PQ_M)).cast("int")
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
         lambda acc, sub: acc
         + F.element_at(
-            F.col("lut"), (sub * PQ_CODES + F.element_at(F.col("codes"), sub + 1) + 1).cast("int")
+            F.col("lut"),
+            (sub * k_eff + F.element_at(F.col("codes"), sub + 1) + 1).cast("int"),
         ),
     )
     pairs = (
@@ -6577,7 +6594,7 @@ lut AS (
 pairs AS (
   SELECT q_id, c_id,
          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           [lut[sub * {PQ_CODES} + codes[sub + 1] + 1]
+           [lut[sub * (len(lut) // {PQ_M}) + codes[sub + 1] + 1]
             for sub in generate_series(0, {PQ_M - 1})]),
            (acc, d) -> acc + d), 6) AS adc_dist
   FROM lut CROSS JOIN codes WHERE q_id <> c_id),
@@ -6744,41 +6761,16 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 x n_labels centroid rows (driver-free, broadcast-sized).
     """
     e = _emb_ok(spark, sf_dir)
-    half = (F.col("vec_id") % 2).alias("half")
-    exploded = e.select(
-        "label",
-        half,
-        F.col("vec_id").alias("i"),
-        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
-    )
-    per_dim = exploded.groupBy("label", "half", "pos").agg(
-        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("xs")
-    )
-    m = F.aggregate(
-        F.col("xs"), F.lit(0.0), lambda acc, s: acc + s.getField("x")
-    ) / F.size("xs")
-    cents = (
-        per_dim.select(
-            "label", "half", "pos", m.alias("m"),
-            F.size("xs").cast("bigint").alias("cnt"),
-        )
-        .groupBy("label", "half")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
-            F.min("cnt").alias("n_members"),
-        )
-        .select(
-            "label",
-            "half",
-            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c"),
-            "n_members",
-        )
+    cents = centroid_fold(
+        e.select("label", (F.col("vec_id") % 2).alias("half"), "vec_id", "embedding"),
+        ("label", "half"),
+        with_count=True,
     )
     a = cents.filter(F.col("half") == 0).select(
-        "label", F.col("c").alias("ca"), F.col("n_members").alias("n_even")
+        "label", F.col("centroid").alias("ca"), F.col("n_members").alias("n_even")
     )
     b = cents.filter(F.col("half") == 1).select(
-        "label", F.col("c").alias("cb"), F.col("n_members").alias("n_odd")
+        "label", F.col("centroid").alias("cb"), F.col("n_members").alias("n_odd")
     )
     return a.join(b, "label").select(
         "label",
@@ -6898,7 +6890,9 @@ span_cnt AS (
   FROM ({_REPEATED_SPANS_SQL}) t
   WHERE repeated_frac >= {dlit(REPEATED_FRAC_DUP)})
 SELECT m AS modality, n_removed,
-       round(CAST(n_removed AS DOUBLE) / n_total, 6) AS removed_frac
+       CASE WHEN n_total > 0
+            THEN round(CAST(n_removed AS DOUBLE) / n_total, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS removed_frac
 FROM (
   SELECT 'exact_text' AS m, n_removed FROM exact_cnt
   UNION ALL SELECT 'fingerprint', n_removed FROM fp_cnt

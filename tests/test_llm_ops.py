@@ -16,6 +16,15 @@ from air_traffic_data_pipeline_spark.plans.tables import load
 SF = "/root/testdata/sf0.001"
 
 
+def _r6(x):
+    """Spark F.round-compatible 6-dp reference: HALF_UP on the shortest
+    decimal repr (BigDecimal.valueOf semantics) — bare round() banker-rounds
+    the binary expansion and diverges on 7th-place near-ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _ref_cos(a, b):
     """Pure-Python mirror of functions/vectors.cosine: same per-element
     multiply order, same left-fold accumulation, rounded 6 dp — the one
@@ -1700,7 +1709,7 @@ def test_winnow_density_near_theory(spark):
     densities = []
     for doc_id, s in stats.items():
         assert s.n_selected == fp_counts[doc_id]
-        assert s.density == round(s.n_selected / float(s.n_grams), 6)
+        assert s.density == _r6(s.n_selected / s.n_grams)
         if s.n_grams >= 20:
             densities.append(s.density)
     assert densities
@@ -1948,14 +1957,19 @@ def test_span_scrub_apply_matches_reference(spark):
 
 
 def _ref_pq(embs):
-    """Pure-Python PQ reference: hash-init buckets, per-dim means in
+    """Pure-Python PQ reference: hash-init buckets re-indexed DENSE
+    (rank of the raw bucket among those present), per-dim means in
     vec_id order, one Lloyd reassignment (ties -> lowest code)."""
     M, D, K = llm.PQ_M, llm.PQ_DSUB, llm.PQ_CODES
+    raw = {
+        vid: (vid % 2147483648) * 2654435761 % 2147483648 % K for vid in embs
+    }
+    dense = {r: i for i, r in enumerate(sorted(set(raw.values())))}
     cents = {}
     for sub in range(M):
         buckets = {}
         for vid in sorted(embs):
-            c0 = (vid % 2147483648) * 2654435761 % 2147483648 % K
+            c0 = dense[raw[vid]]
             buckets.setdefault(c0, []).append(embs[vid][sub * D : (sub + 1) * D])
         for c0, vecs in buckets.items():
             cent = []
@@ -2164,7 +2178,7 @@ def test_bpe_fertility_consistent_with_tokenize(spark):
     for lang, (w, c, t) in agg.items():
         r = got[lang]
         assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (w, c, t), lang
-        assert r.fertility == round(t / w, 6) and r.chars_per_token == round(c / t, 6)
+        assert r.fertility == _r6(t / w) and r.chars_per_token == _r6(c / t)
         assert 1.0 <= r.fertility <= c / w, lang
 
 
@@ -2195,7 +2209,7 @@ def test_dedup_funnel_consistent_with_component_queries(spark):
     }
     assert {m: r.n_removed for m, r in rows.items()} == want
     for m, r in rows.items():
-        assert r.removed_frac == round(r.n_removed / total, 6), m
+        assert r.removed_frac == _r6(r.n_removed / total), m
     # ordering sanity: exact-text removals are a subset of fingerprint's
     assert want["exact_text"] <= want["fingerprint"]
     # the sf0.001 corpus has no byte-identical texts (test_dedup_exact_identity)
@@ -2235,3 +2249,39 @@ def test_embedding_drift_matches_reference(spark):
         # noise-dominated (cos ~ 0 +- 1/sqrt(dim)) — the monitor's VALUE is
         # bitwise-verified above; only bound the range here
         assert -1.0 <= r.centroid_cos <= 1.0
+
+
+def test_pq_dense_codes_survive_sparse_vec_ids(spark, tmp_path):
+    """Regression (r6 review): the raw Knuth bucket is vec_id % 16
+    (2654435761 % 16 == 1), so a lake of only EVEN vec_ids fills half the
+    code space; without the dense re-index the positional LUT shifts or
+    overflows past every hole. Pin: ADC on such a lake yields non-null
+    distances, codes span exactly the dense range, and the DuckDB oracle
+    agrees bitwise."""
+    import duckdb
+
+    sf = str(tmp_path)
+    base = load(spark, SF, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    base.write.parquet(f"{sf}/embeddings.parquet")
+
+    cb = llm.pq_codebook(spark, sf).collect()
+    assert cb
+    codes = {r.code for r in cb}
+    assert codes == set(range(len(codes))), codes  # dense, no holes
+    assert len(codes) == llm.PQ_CODES // 2  # even ids -> half the buckets
+
+    srows = {
+        (r.q_id, r.c_id): (r.adc_dist, r.rank)
+        for r in llm.pq_adc_topk(spark, sf).collect()
+    }
+    assert srows
+    assert all(d is not None for d, _ in srows.values())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    drows = {
+        (r[0], r[1]): (r[2], r[3]) for r in con.sql(llm._PQ_ADC_SQL).fetchall()
+    }
+    assert drows == srows
