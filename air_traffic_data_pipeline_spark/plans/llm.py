@@ -6506,20 +6506,10 @@ GROUP BY sub, code
 """
 
 
-def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance ranking (full, rank-filtered by callers:
-    pq_adc_topk at PQ_TOPK, pq_recall_eval at PQ_SHORTLIST): each query
-    precomputes a
-    PQ_M x PQ_CODES lookup table of exact query-subvector -> centroid
-    distances; a corpus vector's distance estimate is then a PURE TABLE
-    LOOKUP sum over its 8 codes — no float vector math against the corpus
-    at query time.
-
-    Scale shape: the per-query LUT (128 doubles) and the 10-query side
-    broadcast; the corpus side carries only (vec_id, codes[8]) — 64x less
-    traffic than raw vectors; the ADC fold is codegen'd element access in
-    pinned sub order, and top-k is rank-filtered per query.
-    """
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(codes, lut): the corpus code table (c_id, codes[PQ_M]) and the
+    per-query ADC lookup table (q_id, lut[PQ_M * K_eff]) — the two frames
+    every PQ consumer joins (flat ADC here, cell-pruned IVFPQ below)."""
     sv = _pq_subvectors(spark, sf_dir)
     cents = _pq_centroids(sv)
     codes = (
@@ -6550,8 +6540,16 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("id_"), lambda s: s.getField("d")).alias("lut"),
         )
     )
+    return codes, lut
+
+
+def _pq_adc_col() -> Column:
+    """The ADC estimate as a column over rows carrying ``lut`` and
+    ``codes``: a sequential fold of PQ_M positional lookups; the
+    per-subspace stride K_eff is derived from the LUT length, so the fold
+    is correct at any dense-codebook size."""
     k_eff = (F.size("lut") / F.lit(PQ_M)).cast("int")
-    adc = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
         lambda acc, sub: acc
@@ -6560,11 +6558,28 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sub * k_eff + F.element_at(F.col("codes"), sub + 1) + 1).cast("int"),
         ),
     )
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ranking (full, rank-filtered by callers:
+    pq_adc_topk at PQ_TOPK, pq_recall_eval at PQ_SHORTLIST): each query
+    precomputes a
+    PQ_M x PQ_CODES lookup table of exact query-subvector -> centroid
+    distances; a corpus vector's distance estimate is then a PURE TABLE
+    LOOKUP sum over its 8 codes — no float vector math against the corpus
+    at query time.
+
+    Scale shape: the per-query LUT (128 doubles) and the 10-query side
+    broadcast; the corpus side carries only (vec_id, codes[8]) — 64x less
+    traffic than raw vectors; the ADC fold is codegen'd element access in
+    pinned sub order, and top-k is rank-filtered per query.
+    """
+    codes, lut = _pq_index(spark, sf_dir)
     pairs = (
         F.broadcast(lut)
         .crossJoin(codes)
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_pq_adc_col(), 6))
     )
     w = W.partitionBy("q_id").orderBy("adc_dist", "c_id")
     return pairs.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
@@ -6675,6 +6690,125 @@ SELECT truth.q_id,
 FROM truth
 LEFT JOIN adc ON truth.q_id = adc.q_id AND truth.c_id = adc.c_id
 GROUP BY truth.q_id
+"""
+
+
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the billion-scale index architecture (FAISS IVFPQ,
+    non-residual variant): the coarse IVF quantizer prunes the corpus to
+    the query's IVFPQ_NPROBE nearest cells, then PQ ADC scores ONLY those
+    candidates from the per-query lookup table. Cells buy candidate
+    pruning, codes buy per-candidate cost — together: no exact float math
+    against the corpus and no full-corpus scan per query. (True FAISS
+    encodes the residual x - centroid; this composition scores raw-vector
+    codes — documented, and graded against its own ADC metric.)
+
+    Scale shape: coarse centroids and PQ codebook both broadcast-sized;
+    corpus carries (cell, codes[8]); the q_cells ⋈ c_cells equi-join on
+    cell replaces the flat ADC's query x corpus nested loop.
+    """
+    from ..operators.similarity import ivf_centroids
+
+    codes, lut = _pq_index(spark, sf_dir)
+    e = _emb_ok(spark, sf_dir)
+    coarse = ivf_centroids(e, EMB_DIM).withColumn("ncent", norm(F.col("centroid")))
+    base = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(coarse)).withColumn(
+            "cell_sim",
+            dot(F.col("v"), F.col("centroid")) / (F.col("nv") * F.col("ncent")),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
+
+    c_cells = nearest_cells(base, 1).select(
+        F.col("vec_id").alias("c_id"), "cell"
+    )
+    q_cells = nearest_cells(base.filter(F.col("vec_id") < 10), IVFPQ_NPROBE).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    cand = q_cells.join(c_cells, "cell").filter(F.col("q_id") != F.col("c_id"))
+    pairs = (
+        cand.join(F.broadcast(lut), "q_id")
+        .join(codes, "c_id")
+        .withColumn("adc_dist", F.round(_pq_adc_col(), 6))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
+
+
+def _ivfpq_sql() -> str:
+    return f"""
+WITH sv AS ({_PQ_SV_SQL}),
+cents AS ({_PQ_CENTS_SQL}),
+codes AS (
+  SELECT vec_id AS c_id, list(code ORDER BY sub) AS codes
+  FROM ({_PQ_ASSIGN_SQL}) a GROUP BY vec_id),
+lut AS (
+  SELECT sv.vec_id AS q_id,
+         list(d ORDER BY idx) AS lut
+  FROM (
+    SELECT sv.vec_id, sv.sub * {PQ_CODES} + c.code AS idx,
+           {_SQDIST_SQL.format(a='sv.sv', b='c.centroid', n=PQ_DSUB)} AS d
+    FROM sv JOIN cents c ON sv.sub = c.sub
+    WHERE sv.vec_id < 10) sv
+  GROUP BY sv.vec_id),
+ex AS (
+  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  WHERE len(embedding) = {EMB_DIM}),
+cent AS (
+  SELECT label, pos,
+         list_reduce(list(x ORDER BY vec_id), (acc, y) -> acc + y) / count(*) AS m
+  FROM ex GROUP BY label, pos),
+coarse AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+  FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+c_cells AS (
+  SELECT vec_id AS c_id, cell FROM (
+    SELECT base.vec_id, coarse.label AS cell,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY {cosine_sql('v', 'centroid')} DESC,
+                                       coarse.label) AS rn
+    FROM base CROSS JOIN coarse) t WHERE rn = 1),
+q_cells AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT base.vec_id, coarse.label AS cell,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY {cosine_sql('v', 'centroid')} DESC,
+                                       coarse.label) AS rn
+    FROM base CROSS JOIN coarse WHERE base.vec_id < 10) t
+  WHERE rn <= {IVFPQ_NPROBE}),
+pairs AS (
+  SELECT q_id, c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [lut[sub * (len(lut) // {PQ_M}) + codes[sub + 1] + 1]
+            for sub in generate_series(0, {PQ_M - 1})]),
+           (acc, d) -> acc + d), 6) AS adc_dist
+  FROM q_cells JOIN c_cells USING (cell)
+  JOIN lut USING (q_id) JOIN codes USING (c_id)
+  WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id)
+              AS BIGINT) AS rank
+  FROM pairs)
+SELECT q_id, c_id, adc_dist, rank FROM ranked WHERE rank <= {PQ_TOPK}
 """
 
 
@@ -7007,6 +7141,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_bpe_fertility_by_lang", bpe_fertility_by_lang, _bpe_fertility_sql()),
     ("llm_dedup_funnel", dedup_funnel, _dedup_funnel_sql()),
     ("llm_embedding_drift", embedding_drift, _EMB_DRIFT_SQL),
+    ("llm_ivfpq_topk", ivfpq_topk, _ivfpq_sql()),
 ]
 
 

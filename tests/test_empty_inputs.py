@@ -335,6 +335,7 @@ def test_pq_ops_empty_embeddings(spark, tmp_path):
         (llm.pq_adc_topk, "adc_dist"),
         (llm.pq_recall_eval, "recall_pq"),
         (llm.embedding_drift, "centroid_cos"),
+        (llm.ivfpq_topk, "adc_dist"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__

@@ -592,7 +592,7 @@ def test_round6_llm_ops_plan_shapes(spark):
     assert "Window" not in p  # aggregate form, not last_wins window
     assert "Join" not in p  # one table, one shuffle
 
-    for fn in (llm.pq_codebook, llm.pq_adc_topk):
+    for fn in (llm.pq_codebook, llm.pq_adc_topk, llm.ivfpq_topk):
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
         assert "CartesianProduct" not in p, fn.__name__
