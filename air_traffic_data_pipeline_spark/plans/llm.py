@@ -6196,7 +6196,14 @@ _URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|ref)="
 
 def _raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, url) with doc_id doubling as crawl recency (bigger = later)."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    return raw_urls_from(load(spark, sf_dir, "documents"))
+
+
+def raw_urls_from(docs: DataFrame) -> DataFrame:
+    """The URL projection over an arbitrary docs frame (a micro-batch or the
+    whole lake) — shared by the batch query and the streaming incremental
+    URL dedup so both sides derive byte-identical raw URLs."""
+    d = docs.select("doc_id")
     scheme = F.when(F.col("doc_id") % 10 == 0, F.lit("HTTP://")).otherwise(
         F.lit("https://")
     )
@@ -7037,6 +7044,122 @@ CROSS JOIN total
 """
 
 
+# --- audio silence trim + exact image payload dedup (round 6) ----------------
+
+
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-gate trim ledger per audio clip — the VAD-shaped pass a
+    speech-data pipeline runs before paying for transcription: per doc the
+    frame count, silent-frame count/ratio (energy < AUDIO_SILENCE_ENERGY),
+    the first/last voiced frame and the surviving frame span after
+    trimming leading/trailing silence (all-silent clips keep 0 frames).
+
+    Builds on ``audio_frame_energy``'s real WAV-byte frame kernel; the trim
+    itself is ONE doc-keyed map-side-combining aggregate over frame rows
+    (min/max/count partials), so at 100 TB the shuffle carries 5 longs per
+    clip regardless of clip length.
+    """
+    fe = audio_frame_energy(spark, sf_dir)
+    voiced = F.when(~F.col("is_silence"), F.col("frame_idx"))
+    n_sil = F.sum(F.col("is_silence").cast("long"))
+    return (
+        fe.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            n_sil.alias("n_silent"),
+            F.min(voiced).alias("first_voiced"),
+            F.max(voiced).alias("last_voiced"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_silent",
+            F.round(
+                F.col("n_silent").cast("double") / F.col("n_frames").cast("double"),
+                6,
+            ).alias("silence_ratio"),
+            "first_voiced",
+            "last_voiced",
+            F.when(
+                F.col("first_voiced").isNull(), F.lit(0)
+            )
+            .otherwise(F.col("last_voiced") - F.col("first_voiced") + 1)
+            .cast("bigint")
+            .alias("kept_frames"),
+        )
+    )
+
+
+def _audio_trim_sql() -> str:
+    fv = "min(CASE WHEN NOT is_silence THEN frame_idx END)"
+    lv = "max(CASE WHEN NOT is_silence THEN frame_idx END)"
+    return f"""
+WITH fe AS ({_audio_energy_sql()})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN is_silence THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       round(CAST(sum(CASE WHEN is_silence THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS silence_ratio,
+       {fv} AS first_voiced,
+       {lv} AS last_voiced,
+       CAST(CASE WHEN {fv} IS NULL THEN 0 ELSE {lv} - {fv} + 1 END AS BIGINT)
+           AS kept_frames
+FROM fe GROUP BY doc_id
+"""
+
+
+def image_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal dedup on the raw payload bytes: sha256 over each
+    BMP payload groups bit-identical images; each group keeps its lowest
+    doc_id and reports copy count plus the survivor's REAL decoded header
+    metadata (width/height/file size re-parsed from the kept payload, not
+    trusted from upstream).
+
+    Scale shape: payload bytes never cross a shuffle — executors digest
+    them in the Arrow kernel and only (doc_id, 32-byte digest) rows reach
+    the groupBy; survivors (one per group) re-attach and decode. The
+    oracle never sees the bytes: the synthetic BMP is a pure function of
+    (doc_id % 16, doc_id//16 % 8, md5(text)), so grouping by that derived
+    key partitions rows identically (pinned by the byte-flip pytest).
+    """
+    from ..operators.multimodal import attach_bmp_payload, decode_bmp_meta
+
+    d = load(spark, sf_dir, "documents")
+    digests = attach_bmp_payload(d).select(
+        "doc_id", F.sha2(F.col("payload"), 256).alias("digest")
+    )
+    groups = digests.groupBy("digest").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    survivors = d.join(
+        groups.select(F.col("kept_doc_id").alias("doc_id")), "doc_id", "leftsemi"
+    )
+    meta = decode_bmp_meta(attach_bmp_payload(survivors)).select(
+        F.col("doc_id").alias("kept_doc_id"), "width", "height", "n_bytes"
+    )
+    return groups.select("kept_doc_id", "n_copies").join(meta, "kept_doc_id")
+
+
+_IMG_EXACT_SQL = """
+WITH g AS (
+  SELECT doc_id % 16 AS wk, (doc_id // 16) % 8 AS hk, md5(text) AS pix,
+         doc_id
+  FROM documents
+),
+grp AS (
+  SELECT wk, hk, CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM g GROUP BY wk, hk, pix
+)
+SELECT kept_doc_id, n_copies,
+       CAST(wk + 1 AS INTEGER) AS width,
+       CAST(hk + 1 AS INTEGER) AS height,
+       CAST(54 + ((wk + 1) * 3 + 3) // 4 * 4 * (hk + 1) AS BIGINT) AS n_bytes
+FROM grp
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -7142,6 +7265,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_funnel", dedup_funnel, _dedup_funnel_sql()),
     ("llm_embedding_drift", embedding_drift, _EMB_DRIFT_SQL),
     ("llm_ivfpq_topk", ivfpq_topk, _ivfpq_sql()),
+    ("llm_audio_silence_trim", audio_silence_trim, _audio_trim_sql()),
+    ("llm_image_dedup_exact", image_dedup_exact, _IMG_EXACT_SQL),
 ]
 
 

@@ -3778,6 +3778,228 @@ FROM j GROUP BY user_id, click_ts
 """
 
 
+# --- market-basket association rules (round 6) ------------------------------
+
+BASKET_MIN_PAIR = 3  # minimum co-occurrence count for a reported rule
+
+
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (items = part brands):
+    per brand pair, co-occurrence count, support, confidence(a→b) and
+    lift — the classic retail-analytics fan-out next to the LLM suite's
+    shingle/band pair generators.
+
+    Scale shape: pair generation is BLOCKED per order (C(k,2) for a
+    k-brand basket, never a corpus cross product — the minhash band-join
+    discipline); the brand dimension broadcasts; every aggregate is a
+    map-side-combining count. Metrics are exact int64 count products with
+    ONE double division each, so both engines agree bitwise.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    tot = baskets.agg(F.count_distinct("okey").cast("bigint").alias("n_orders"))
+    supp = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("brand_a"), F.col("b.item").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    sa = F.broadcast(supp.select(F.col("item").alias("brand_a"), F.col("n_item").alias("n_a")))
+    sb = F.broadcast(supp.select(F.col("item").alias("brand_b"), F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+supp AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+),
+pairs AS (
+  SELECT a.item AS brand_a, b.item AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_PAIR}
+)
+SELECT brand_a, brand_b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b, n_orders,
+       round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE), 6) AS confidence,
+       round(CAST(n_ab * n_orders AS DOUBLE)
+             / CAST(sa.n_item * sb.n_item AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.item = brand_a
+JOIN supp sb ON sb.item = brand_b
+CROSS JOIN tot
+"""
+
+
+# --- z-order data layout (round 6) -------------------------------------------
+
+ZORDER_PREFIX_SHIFT = 6  # 64 morton codes per z-file (z-cube addressing)
+NATURAL_KEY_STRIDE = 64  # orderkeys per file in the insert-order layout
+
+
+def _morton_spread(c: Column) -> Column:
+    """Spread an 8-bit int's bits to the even positions of a 16-bit int
+    (the classic mask-and-shift interleave, fully codegen'd)."""
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333))
+    return c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555))
+
+
+def _morton_spread_sql(v: str) -> str:
+    s1 = f"((({v}) | (({v}) << 4)) & 3855)"
+    s2 = f"(({s1} | ({s1} << 2)) & 13107)"
+    return f"(({s2} | ({s2} << 1)) & 21845)"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout study — the file-skipping lever for a
+    100 TB lake: orders keyed by (customer bucket, day bucket) are binned
+    into files two ways — insert order (orderkey stride) vs Morton-prefix
+    z-cubes — and each layout reports its per-file bounding-box stats.
+    Tight boxes = point/range queries on EITHER dimension skip most files
+    via parquet min/max; the z-order layout's avg box area is the win
+    (asserted by pytest at sf0.001).
+
+    No global sort/row_number anywhere: file assignment is a pure
+    projection (key stride / morton prefix), so the whole study is two
+    map-side-combining aggregates — embarrassingly parallel at any scale.
+    Morton interleave is 6 codegen'd mask-and-shift ops per row.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    x = (F.col("o_custkey") % 256).cast("int")
+    y = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+        % 256
+    ).cast("int")
+    z = _morton_spread(x).bitwiseOR(F.shiftleft(_morton_spread(y), 1))
+    base = o.select(
+        F.col("o_orderkey").alias("okey"), x.alias("x"), y.alias("y"), z.alias("z")
+    )
+
+    def layout(name: str, fid: Column) -> DataFrame:
+        per_file = base.groupBy(fid.alias("file_id")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        xs = (F.col("x_max") - F.col("x_min") + 1).cast("bigint")
+        ys = (F.col("y_max") - F.col("y_min") + 1).cast("bigint")
+        return (
+            per_file.select("n", xs.alias("xs"), ys.alias("ys"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.sum("xs").cast("bigint").alias("sx"),
+                F.sum("ys").cast("bigint").alias("sy"),
+                F.sum(F.col("xs") * F.col("ys")).cast("bigint").alias("sa"),
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                "n_files",
+                "n_rows",
+                F.round(
+                    F.col("sx").cast("double") / F.col("n_files").cast("double"), 6
+                ).alias("avg_x_span"),
+                F.round(
+                    F.col("sy").cast("double") / F.col("n_files").cast("double"), 6
+                ).alias("avg_y_span"),
+                F.round(
+                    F.col("sa").cast("double") / F.col("n_files").cast("double"), 6
+                ).alias("avg_bbox_area"),
+            )
+        )
+
+    natural = layout(
+        "natural", F.floor(F.col("okey") / NATURAL_KEY_STRIDE).cast("bigint")
+    )
+    zord = layout(
+        "zorder", F.shiftright(F.col("z"), ZORDER_PREFIX_SHIFT).cast("bigint")
+    )
+    return natural.unionByName(zord)
+
+
+def _zorder_sql() -> str:
+    sx = _morton_spread_sql("x")
+    sy = _morton_spread_sql("y")
+    base = f"""
+  SELECT o_orderkey AS okey,
+         CAST(o_custkey % 256 AS INTEGER) AS x,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256
+              AS INTEGER) AS y
+  FROM orders
+"""
+    zbase = f"SELECT okey, x, y, ({sx} | ({sy} << 1)) AS z FROM ({base}) t"
+
+    def layout(name: str, fid: str) -> str:
+        return f"""
+SELECT '{name}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(CAST(sum(xs) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_x_span,
+       round(CAST(sum(ys) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_y_span,
+       round(CAST(sum(xs * ys) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS avg_bbox_area
+FROM (
+  SELECT {fid} AS file_id, count(*) AS n,
+         CAST(max(x) - min(x) + 1 AS BIGINT) AS xs,
+         CAST(max(y) - min(y) + 1 AS BIGINT) AS ys
+  FROM ({zbase}) zb GROUP BY 1) pf
+"""
+
+    nat = layout("natural", f"CAST(floor(okey / {NATURAL_KEY_STRIDE}.0) AS BIGINT)")
+    zo = layout("zorder", f"CAST(z // {2 ** ZORDER_PREFIX_SHIFT} AS BIGINT)")
+    return f"{nat} UNION ALL {zo}"
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -3889,6 +4111,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_skew_diagnostics", skew_diagnostics, _skew_diagnostics_sql()),
     ("rel_time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
+    ("rel_market_basket", market_basket, MARKET_BASKET_SQL),
+    ("rel_zorder_layout", zorder_layout, _zorder_sql()),
 ]
 
 

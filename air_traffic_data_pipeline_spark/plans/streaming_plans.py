@@ -312,6 +312,21 @@ def _repeated_spans_sql() -> str:
     return _REPEATED_SPANS_SQL
 
 
+def stream_incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_url_dedup
+
+    return incremental_url_dedup(spark, sf_dir)
+
+
+def _url_dedup_sql() -> str:
+    """The streaming merge of per-batch canonical-URL partials must equal
+    the one-shot batch dedup bitwise — so the batch query's SQL IS the
+    oracle."""
+    from .llm import _URL_DEDUP_SQL
+
+    return _URL_DEDUP_SQL
+
+
 def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import incremental_topk_user_value
 
@@ -384,6 +399,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_topk", stream_incremental_topk, INCREMENTAL_TOPK_SQL),
     ("stream_incremental_quantile", stream_incremental_quantile, INCREMENTAL_QUANTILE_SQL),
     ("stream_incremental_repeated_spans", stream_incremental_repeated_spans, _repeated_spans_sql()),
+    ("stream_incremental_url_dedup", stream_incremental_url_dedup, _url_dedup_sql()),
 ]
 
 if _tws_available():

@@ -169,6 +169,74 @@ def incremental_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental URL-canonicalization dedup — bitwise equal to
+    the one-shot ``plans.llm.url_dedup`` (its SQL is the oracle).
+
+    The crawl-frontier shape of the incremental-MV family: every
+    micro-batch canonicalizes ONLY its own URLs and lands a per-canonical
+    partial (crawl count, max doc_id, that max's raw url); the final
+    answer is one re-aggregate over the partials. All three outputs are
+    distributive (sum of counts, max of maxes, max_by carried through the
+    max), so the merge is exact whatever the arrival order — per-batch
+    state is canonical-key-sized and old batches are never re-read beyond
+    their partial rows. Idempotent under foreachBatch replay via the
+    epoch-scoped overwrite discipline shared with the streams above.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import canonical_url, raw_urls_from
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_urls_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            raw_urls_from(batch_df)
+            .select(
+                "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+            )
+            .groupBy("canonical_url")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("doc_id").alias("max_doc"),
+                F.max_by("url", "doc_id").alias("url_of_max"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("canonical_url")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_crawls"),
+                F.max("max_doc").alias("kept_doc_id"),
+                F.max_by("url_of_max", "max_doc").alias("kept_url"),
+            )
+        )
+        out, _ = tracked_local_checkpoint(merged, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental repeated-span detection — bitwise equal to the
     one-shot ``plans.llm.repeated_spans`` (its SQL is the oracle).
