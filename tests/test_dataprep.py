@@ -630,3 +630,80 @@ def test_sketch_error_bounds_both_scales(spark, sf):
     for flag, r in rows.items():
         ex = glob if flag == "ALL" else exact[flag][0]
         assert abs(r.est_parts - ex) <= max(2, 0.05 * ex), flag
+
+
+def test_market_basket_matches_reference(spark):
+    """Association rules recomputed driver-side with itertools over the
+    collected (order, brand) baskets: every pair count, support,
+    confidence and lift matches, and no qualifying pair is missing."""
+    import itertools
+
+    got = {
+        (r.brand_a, r.brand_b): r
+        for r in relational.market_basket(spark, SF).collect()
+    }
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, SF, "part").select("p_partkey", "p_brand")
+    rows = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    ).collect()
+    baskets: dict[int, set[str]] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    n_orders = len(baskets)
+    supp: dict[str, int] = {}
+    pair_cnt: dict[tuple[str, str], int] = {}
+    for items in baskets.values():
+        for it in items:
+            supp[it] = supp.get(it, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    want = {k: c for k, c in pair_cnt.items() if c >= relational.BASKET_MIN_PAIR}
+    assert set(got) == set(want)
+    for (a, b), c in want.items():
+        r = got[(a, b)]
+        assert r.n_ab == c and r.n_a == supp[a] and r.n_b == supp[b]
+        assert r.n_orders == n_orders
+        assert r.support == round(c / n_orders, 6)
+        assert r.confidence == round(c / supp[a], 6)
+        assert r.lift == round(c * n_orders / (supp[a] * supp[b]), 6)
+    assert want, "sf0.001 should produce qualifying brand pairs"
+
+
+def test_zorder_morton_interleave_unit(spark):
+    """The mask-and-shift Morton spread matches the bit-twiddling
+    reference for a sweep of 8-bit coordinate pairs."""
+    def spread(v: int) -> int:
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        return (v | (v << 1)) & 0x5555
+
+    pairs = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (7, 200), (63, 64)]
+    df = spark.createDataFrame(pairs, "x int, y int")
+    z = relational._morton_spread(F.col("x")).bitwiseOR(
+        F.shiftleft(relational._morton_spread(F.col("y")), 1)
+    )
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
+    for x, y in pairs:
+        want = spread(x) | (spread(y) << 1)
+        assert got[(x, y)] == want, (x, y)
+        # interleave really alternates bits: reconstruct x from even bits
+        rx = sum(((want >> (2 * i)) & 1) << i for i in range(8))
+        ry = sum(((want >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (rx, ry) == (x, y)
+
+
+def test_zorder_layout_beats_natural(spark):
+    """The point of z-ordering: Morton-prefix files carry a far smaller
+    average bounding box over (customer, day) than insert-order files,
+    so min/max file skipping prunes on BOTH dimensions. Also pins the
+    row-conservation invariant (both layouts tile all orders)."""
+    rows = {r.layout: r for r in relational.zorder_layout(spark, SF).collect()}
+    assert set(rows) == {"natural", "zorder"}
+    n = load(spark, SF, "orders").count()
+    assert rows["natural"].n_rows == n and rows["zorder"].n_rows == n
+    nat, zo = rows["natural"], rows["zorder"]
+    assert zo.avg_bbox_area < nat.avg_bbox_area / 2, (
+        zo.avg_bbox_area,
+        nat.avg_bbox_area,
+    )

@@ -2355,3 +2355,63 @@ def test_ivfpq_topk_matches_reference(spark):
     ivf = {(q, c) for q, lst in got.items() for c, _ in lst}
     assert ivf  # non-empty results through the cell pruning
     assert flat  # both paths ran
+
+
+def test_audio_silence_trim_matches_frame_energy(spark):
+    """Trim ledger recomputed driver-side from the frame-energy rows:
+    counts, ratio, first/last voiced frame and the kept span (0 for
+    all-silent clips) all agree, and at least one clip actually trims."""
+    frames = llm.audio_frame_energy(spark, SF).collect()
+    per: dict[int, list] = {}
+    for r in frames:
+        per.setdefault(r.doc_id, []).append(r)
+    got = {r.doc_id: r for r in llm.audio_silence_trim(spark, SF).collect()}
+    assert set(got) == set(per)
+    trimmed_any = False
+    for doc_id, rs in per.items():
+        voiced = [r.frame_idx for r in rs if not r.is_silence]
+        g = got[doc_id]
+        assert g.n_frames == len(rs)
+        assert g.n_silent == sum(1 for r in rs if r.is_silence)
+        assert g.silence_ratio == round(g.n_silent / g.n_frames, 6)
+        if voiced:
+            assert (g.first_voiced, g.last_voiced) == (min(voiced), max(voiced))
+            assert g.kept_frames == max(voiced) - min(voiced) + 1
+            trimmed_any = trimmed_any or g.kept_frames < g.n_frames
+        else:
+            assert g.first_voiced is None and g.kept_frames == 0
+    assert trimmed_any or all(g.kept_frames == g.n_frames for g in got.values())
+
+
+def test_image_dedup_exact_digest_is_over_payload_bytes(spark):
+    """The dedup key is sha256 of the REAL payload bytes: recomputing
+    hashlib.sha256(_bmp_bytes(doc_id, text)) reproduces each group's
+    membership, and flipping one pixel byte breaks the match (so the
+    digest cannot be coming from any doc_id-derived shortcut)."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import _bmp_bytes
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    by_digest: dict[str, list[int]] = {}
+    for r in docs:
+        h = hashlib.sha256(_bmp_bytes(r.doc_id, r.text)).hexdigest()
+        by_digest.setdefault(h, []).append(r.doc_id)
+    want = {
+        (min(ids), len(ids)) for ids in by_digest.values()
+    }
+    got = {
+        (r.kept_doc_id, r.n_copies)
+        for r in llm.image_dedup_exact(spark, SF).collect()
+    }
+    assert got == want
+    # survivor metadata is decoded from the kept payload
+    for r in llm.image_dedup_exact(spark, SF).collect():
+        assert r.width == r.kept_doc_id % 16 + 1
+        assert r.height == (r.kept_doc_id // 16) % 8 + 1
+        row_size = (r.width * 3 + 3) // 4 * 4
+        assert r.n_bytes == 54 + row_size * r.height
+    # byte-flip sanity: one pixel change -> different digest
+    raw = _bmp_bytes(docs[0].doc_id, docs[0].text)
+    flipped = raw[:-1] + bytes([raw[-1] ^ 0xFF])
+    assert hashlib.sha256(raw).hexdigest() != hashlib.sha256(flipped).hexdigest()

@@ -628,3 +628,26 @@ def test_incremental_repeated_spans_equals_batch(spark):
     )
     first_tercile = set(docs[: len(docs) // 3])
     assert any(i in first_tercile for i in ids)
+
+
+def test_incremental_url_dedup_equals_batch(spark):
+    """Per-batch canonical-URL partials (count / max doc / max_by url)
+    re-aggregated across batches must equal the one-shot batch dedup
+    exactly — every output is distributive, so arrival order is
+    irrelevant; and multi-crawl groups must really span batches."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_url_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.canonical_url, r.n_crawls, r.kept_doc_id, r.kept_url)
+        for r in incremental_url_dedup(spark, sf).collect()
+    }
+    want = {
+        (r.canonical_url, r.n_crawls, r.kept_doc_id, r.kept_url)
+        for r in llm.url_dedup(spark, sf).collect()
+    }
+    assert got == want
+    assert any(r[1] > 1 for r in want), "the lake should contain re-crawls"
