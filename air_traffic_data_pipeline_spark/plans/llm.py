@@ -7160,6 +7160,152 @@ FROM grp
 """
 
 
+# --- language temperature sampling + length bucketing (round 6) --------------
+
+LANG_TEMP_BASE = 0.5  # keep rate for a lang at exactly corpus-average share
+
+
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-sqrt language temperature sampling (the mT5/XLM-R move):
+    keep rate r_l = min(1, BASE * sqrt(N / n_l)) upsamples rare languages
+    relative to their corpus share — the α=0.5 temperature reweighting a
+    multilingual pretraining mix applies so English doesn't drown
+    everything. Per language: corpus count, the rate, kept count and
+    realized rate; membership is the stateless md5 hash gate shared with
+    dataset_mixing, so the subsample is stable under re-runs and appends.
+
+    Determinism across engines: sqrt is IEEE-exact (unlike pow, which is
+    why α is pinned at 0.5), and the rate is one divide + one sqrt + one
+    multiply + min — no cross-language float sum anywhere. Scale: two
+    map-side-combining aggregates (lang is low-cardinality) and a
+    broadcast 1-row total.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(LANG_TEMP_BASE)
+        * F.sqrt(F.col("n_total").cast("double") / F.col("n_docs").cast("double")),
+    )
+    hv = _hex4_to_int(F.md5(F.concat(F.col("doc_id").cast("string"), F.col("lang"))))
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    rated = per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_total", F.round(rate, 6).alias("keep_rate")
+    )
+    kept = (
+        d.select("lang", hv.alias("hv"))
+        .join(F.broadcast(rated.select("lang", "keep_rate")), "lang")
+        .filter(F.col("hv") / F.lit(65536.0) < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("realized_rate"),
+        )
+    )
+
+
+_LANG_TEMP_SQL = f"""
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+rated AS (
+  SELECT lang, n_docs,
+         round(least(CAST(1.0 AS DOUBLE),
+                     CAST({dlit(LANG_TEMP_BASE)} AS DOUBLE)
+                     * sqrt(CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE))), 6)
+             AS keep_rate
+  FROM per CROSS JOIN tot
+),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rated r ON d.lang = r.lang
+  WHERE {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR) || d.lang)")}
+        / CAST(65536.0 AS DOUBLE) < r.keep_rate
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / CAST(r.n_docs AS DOUBLE), 6)
+           AS realized_rate
+FROM rated r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+LENGTH_OVERFLOW = 8192
+
+
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching study: docs are assigned the smallest
+    power-of-two bucket holding their token count, and each bucket
+    reports its padding waste (tokens padded / tokens allocated) — the
+    pad-to-bucket vs pad-to-global-max decision every trainer makes
+    before batching sequences.
+
+    The bucket assignment is a codegen'd CASE ladder over the fixed
+    power-of-two boundaries (no join, no log2 float edge cases at exact
+    powers); everything stays exact int64 until each bucket's ONE final
+    division. Scale: explode-free scan + one low-cardinality aggregate.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    bucket = F.lit(LENGTH_OVERFLOW)
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    return (
+        d.select("n_tok", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint").alias("pad_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "pad_tokens",
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def _length_bucketing_sql() -> str:
+    ladder = f"CAST({LENGTH_OVERFLOW} AS BIGINT)"
+    for b in reversed(LENGTH_BUCKETS):
+        ladder = f"CASE WHEN n_tok <= {b} THEN CAST({b} AS BIGINT) ELSE {ladder} END"
+    return f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+b AS (SELECT n_tok, {ladder} AS bucket FROM d)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(bucket - n_tok) AS BIGINT) AS pad_tokens,
+       round(CAST(sum(bucket - n_tok) AS DOUBLE)
+             / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
+FROM b GROUP BY bucket
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -7267,6 +7413,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ivfpq_topk", ivfpq_topk, _ivfpq_sql()),
     ("llm_audio_silence_trim", audio_silence_trim, _audio_trim_sql()),
     ("llm_image_dedup_exact", image_dedup_exact, _IMG_EXACT_SQL),
+    ("llm_lang_temperature_sample", lang_temperature_sample, _LANG_TEMP_SQL),
+    ("llm_length_bucketing", length_bucketing, _length_bucketing_sql()),
 ]
 
 

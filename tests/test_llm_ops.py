@@ -2415,3 +2415,71 @@ def test_image_dedup_exact_digest_is_over_payload_bytes(spark):
     raw = _bmp_bytes(docs[0].doc_id, docs[0].text)
     flipped = raw[:-1] + bytes([raw[-1] ^ 0xFF])
     assert hashlib.sha256(raw).hexdigest() != hashlib.sha256(flipped).hexdigest()
+
+
+def test_lang_temperature_sample_matches_reference(spark):
+    """Inverse-sqrt temperature rates and hash-gate membership recomputed
+    driver-side; rare languages get a strictly higher keep rate than the
+    dominant one, and at least one rate clamps at 1.0 while the dominant
+    language's does not (the reweighting actually reweights)."""
+    import hashlib
+    import math
+
+    docs = load(spark, SF, "documents").select("doc_id", "lang").collect()
+    n_total = len(docs)
+    per: dict[str, list[int]] = {}
+    for r in docs:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    got = {r.lang: r for r in llm.lang_temperature_sample(spark, SF).collect()}
+    assert set(got) == set(per)
+    for lang, ids in per.items():
+        rate = round(
+            min(1.0, llm.LANG_TEMP_BASE * math.sqrt(n_total / len(ids))), 6
+        )
+        kept = sum(
+            1
+            for i in ids
+            if int(hashlib.md5(f"{i}{lang}".encode()).hexdigest()[:4], 16) / 65536.0
+            < rate
+        )
+        g = got[lang]
+        assert g.n_docs == len(ids)
+        assert g.keep_rate == rate
+        assert g.n_kept == kept
+        assert g.realized_rate == round(kept / len(ids), 6)
+    biggest = max(per, key=lambda k: len(per[k]))
+    smallest = min(per, key=lambda k: len(per[k]))
+    assert got[smallest].keep_rate > got[biggest].keep_rate
+    assert got[biggest].keep_rate < 1.0
+
+
+def test_length_bucketing_matches_reference(spark):
+    """Bucket assignment, token sums and padding waste recomputed
+    driver-side; bucketed padding beats pad-to-global-max overall."""
+    lens = [
+        len(r.text.split(" "))
+        for r in load(spark, SF, "documents").select("text").collect()
+    ]
+    rows = {r.bucket: r for r in llm.length_bucketing(spark, SF).collect()}
+
+    def bucket_of(n: int) -> int:
+        for b in llm.LENGTH_BUCKETS:
+            if n <= b:
+                return b
+        return llm.LENGTH_OVERFLOW
+
+    per: dict[int, list[int]] = {}
+    for n in lens:
+        per.setdefault(bucket_of(n), []).append(n)
+    assert set(rows) == set(per)
+    for b, ns in per.items():
+        r = rows[b]
+        assert r.n_docs == len(ns)
+        assert r.sum_tokens == sum(ns)
+        assert r.pad_tokens == sum(b - n for n in ns)
+        assert r.waste_frac == round(r.pad_tokens / (len(ns) * b), 6)
+    # bucketing must beat padding every doc to the global max bucket
+    gmax = max(per)
+    bucketed_alloc = sum(len(ns) * b for b, ns in per.items())
+    flat_alloc = len(lens) * gmax
+    assert bucketed_alloc < flat_alloc
