@@ -3876,6 +3876,76 @@ CROSS JOIN tot
 """
 
 
+# --- skyline / Pareto frontier (round 6) -------------------------------------
+
+SKYLINE_BUCKETS = 16
+
+
+def skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts minimizing (retail price, size):
+    a (price, size) point survives iff no other point is ≤ on both axes
+    and < on one — the multi-objective shortlist query optimizers and
+    product-search engines run.
+
+    Two-phase dominance pruning, the salted-top-k discipline applied to
+    skylines: distinct (price, size) pairs are hashed into buckets, each
+    bucket computes its LOCAL frontier with one running-min window
+    (ordered by price asc, size asc, a pair is dominated iff the running
+    min of size over its strict predecessors is ≤ its size — sound
+    because any dominator sorts strictly earlier), then the union of
+    local survivors (a superset of the global frontier, tiny in
+    practice) takes one final bounded window. No all-pairs join and no
+    global window over the full input at any point; the only full-data
+    shuffles are the distinct-pair aggregate and the bucket exchange.
+    """
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+        "p_partkey",
+    )
+    pairs = p.groupBy("price", "size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+
+    def local_frontier(df: DataFrame, part_col: str) -> DataFrame:
+        w = (
+            W.partitionBy(part_col)
+            .orderBy(F.col("price").asc(), F.col("size").asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        m = F.min("size").over(w)
+        return (
+            df.withColumn("_m", m)
+            .filter(F.col("_m").isNull() | (F.col("_m") > F.col("size")))
+            .drop("_m")
+        )
+
+    bucketed = pairs.withColumn(
+        "_b", F.pmod(F.hash("price", "size"), F.lit(SKYLINE_BUCKETS))
+    )
+    local = local_frontier(bucketed, "_b").drop("_b")
+    # the final window runs on the union of local frontiers — bounded by
+    # construction (each bucket contributes only non-dominated pairs)
+    return local_frontier(local.withColumn("_g", F.lit(0)), "_g").drop("_g")
+
+
+SKYLINE_SQL = """
+WITH pairs AS (
+  SELECT p_retailprice AS price, p_size AS size,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(min(p_partkey) AS BIGINT) AS min_partkey
+  FROM part GROUP BY 1, 2
+)
+SELECT price, size, n_parts, min_partkey
+FROM pairs x
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs y
+  WHERE y.price <= x.price AND y.size <= x.size
+    AND (y.price < x.price OR y.size < x.size))
+"""
+
+
 # --- z-order data layout (round 6) -------------------------------------------
 
 ZORDER_PREFIX_SHIFT = 6  # 64 morton codes per z-file (z-cube addressing)
@@ -4113,6 +4183,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_keyset_pagination", keyset_pagination, KEYSET_SQL),
     ("rel_market_basket", market_basket, MARKET_BASKET_SQL),
     ("rel_zorder_layout", zorder_layout, _zorder_sql()),
+    ("rel_skyline_frontier", skyline_frontier, SKYLINE_SQL),
 ]
 
 

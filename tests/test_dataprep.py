@@ -707,3 +707,30 @@ def test_zorder_layout_beats_natural(spark):
         zo.avg_bbox_area,
         nat.avg_bbox_area,
     )
+
+
+def test_skyline_frontier_matches_bruteforce(spark):
+    """Frontier recomputed by brute-force dominance over the distinct
+    (price, size) pairs; the two-phase bucket pruning must produce
+    exactly the dominated-free set, with counts and exemplars intact."""
+    p = load(spark, SF, "part").select("p_retailprice", "p_size", "p_partkey").collect()
+    agg: dict[tuple, list[int]] = {}
+    for r in p:
+        agg.setdefault((r.p_retailprice, r.p_size), []).append(r.p_partkey)
+    pairs = list(agg)
+    def dominated(x):
+        return any(
+            y[0] <= x[0] and y[1] <= x[1] and (y[0] < x[0] or y[1] < x[1])
+            for y in pairs
+        )
+    want = {
+        (pr, sz, len(agg[(pr, sz)]), min(agg[(pr, sz)]))
+        for (pr, sz) in pairs
+        if not dominated((pr, sz))
+    }
+    got = {
+        (r.price, r.size, r.n_parts, r.min_partkey)
+        for r in relational.skyline_frontier(spark, SF).collect()
+    }
+    assert got == want
+    assert 1 <= len(got) < len(pairs), "frontier should prune most pairs"

@@ -601,3 +601,39 @@ def test_round6_llm_ops_plan_shapes(spark):
     # ADC: the query LUT side is the broadcast of the nested-loop pair join
     p = plan(llm.pq_adc_topk(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_round6_batch2_plan_shapes(spark):
+    """Round-6 batch-2 ops keep their promised shapes: market-basket pair
+    generation is an order-key equi-join (SMJ/SHJ with the item< residual
+    — never a cartesian) with broadcast brand dims; z-order layout has NO
+    window or global sort (file id is a projection, the study is pure
+    aggregates); the skyline's windows are the bucketed local pass plus
+    one bounded final pass, with no all-pairs join; image dedup shuffles
+    only digests (the Arrow payload kernel sits below the aggregate, and
+    no binary column enters an Exchange); lang sampling and length
+    bucketing stay JVM-side."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+
+    p = plan(relational.market_basket(spark, SF), "simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" in p
+
+    p = plan(relational.zorder_layout(spark, SF), "simple")
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "Join" not in p  # two aggregates + union, nothing else
+
+    p = plan(relational.skyline_frontier(spark, SF), "simple")
+    assert p.count("Window") == 2  # bucketed local pass + bounded final
+    assert "Join" not in p  # dominance via running min, never pair joins
+
+    p = plan(llm.image_dedup_exact(spark, SF), "simple")
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert exchanges and all("payload" not in l for l in exchanges)
+
+    for fn in (llm.lang_temperature_sample, llm.length_bucketing,
+               llm.audio_silence_trim):
+        q = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in q, fn.__name__
+        assert "CartesianProduct" not in q, fn.__name__
