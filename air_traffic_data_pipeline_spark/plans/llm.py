@@ -5984,26 +5984,7 @@ def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
     (doc_id, fp_pos) fingerprint sites — shared by the batch query above
     and the streaming incremental pipeline, which accumulates the matched
     sites across micro-batches (streaming/documents_stream.py)."""
-    order = W.partitionBy("doc_id").orderBy("fp_pos")
-    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    islands = (
-        matched.withColumn("prev", F.lag("fp_pos").over(order))
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev").isNull()
-                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(run))
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("fp_pos").alias("s"),
-            F.max("fp_pos").alias("e"),
-        )
-    )
-    per_doc = islands.groupBy("doc_id").agg(
+    per_doc = _merge_islands(matched).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + WINNOW_K).cast("bigint").alias("raw_words"),
     )
@@ -7187,7 +7168,11 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(LANG_TEMP_BASE)
         * F.sqrt(F.col("n_total").cast("double") / F.col("n_docs").cast("double")),
     )
-    hv = _hex4_to_int(F.md5(F.concat(F.col("doc_id").cast("string"), F.col("lang"))))
+    # ':' delimiter keeps the gate injective — md5('12'+'en') == md5('1'+'2en')
+    # would alias two docs if lang values ever started with a digit
+    hv = _hex4_to_int(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")))
+    )
     per = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     rated = per.crossJoin(F.broadcast(tot)).select(
         "lang", "n_docs", "n_total", F.round(rate, 6).alias("keep_rate")
@@ -7231,7 +7216,7 @@ rated AS (
 kept AS (
   SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
   FROM documents d JOIN rated r ON d.lang = r.lang
-  WHERE {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR) || d.lang)")}
+  WHERE {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR) || ':' || d.lang)")}
         / CAST(65536.0 AS DOUBLE) < r.keep_rate
   GROUP BY d.lang
 )
@@ -7257,7 +7242,11 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucket assignment is a codegen'd CASE ladder over the fixed
     power-of-two boundaries (no join, no log2 float edge cases at exact
     powers); everything stays exact int64 until each bucket's ONE final
-    division. Scale: explode-free scan + one low-cardinality aggregate.
+    division. Docs longer than LENGTH_OVERFLOW land in the overflow
+    bucket with padding clamped at 0 (they would be truncated, not
+    padded, by the trainer) — without the clamp pad_tokens/waste_frac go
+    negative for over-long docs. Scale: explode-free scan + one
+    low-cardinality aggregate.
     """
     d = load(spark, sf_dir, "documents").select(
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
@@ -7271,7 +7260,9 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("sum_tokens"),
-            F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint").alias("pad_tokens"),
+            F.sum(F.greatest(F.col("bucket") - F.col("n_tok"), F.lit(0)))
+            .cast("bigint")
+            .alias("pad_tokens"),
         )
         .select(
             "bucket",
@@ -7299,8 +7290,8 @@ b AS (SELECT n_tok, {ladder} AS bucket FROM d)
 SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
-       CAST(sum(bucket - n_tok) AS BIGINT) AS pad_tokens,
-       round(CAST(sum(bucket - n_tok) AS DOUBLE)
+       CAST(sum(greatest(bucket - n_tok, 0)) AS BIGINT) AS pad_tokens,
+       round(CAST(sum(greatest(bucket - n_tok, 0)) AS DOUBLE)
              / CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
 FROM b GROUP BY bucket
 """

@@ -3879,6 +3879,7 @@ CROSS JOIN tot
 # --- skyline / Pareto frontier (round 6) -------------------------------------
 
 SKYLINE_BUCKETS = 16
+SKYLINE_BAND_WIDTH = 64.0  # price units per band in the final pass
 
 
 def skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3892,10 +3893,21 @@ def skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket computes its LOCAL frontier with one running-min window
     (ordered by price asc, size asc, a pair is dominated iff the running
     min of size over its strict predecessors is ≤ its size — sound
-    because any dominator sorts strictly earlier), then the union of
-    local survivors (a superset of the global frontier, tiny in
-    practice) takes one final bounded window. No all-pairs join and no
-    global window over the full input at any point; the only full-data
+    because any dominator sorts strictly earlier). The union of local
+    survivors is a superset of the global frontier, but for
+    ANTI-correlated (price, size) data the frontier itself is O(distinct
+    pairs), so the final pass must NOT funnel it through one task
+    (ADVICE r6): survivors are banded by price VALUE (floor(price/W), so
+    every point in an earlier band has strictly smaller price than every
+    point in a later band), and a survivor is dominated iff an earlier
+    band holds a point with size ≤ its size — checked against a
+    bands-sized cumulative-min table (bounded by price-range/W
+    regardless of row count) — or an in-band strict predecessor has
+    size ≤ its size (the same running-min window, partitioned by band).
+    Dominance is transitive, so checking against bucket-phase survivors
+    only is exact: every eliminated point's eliminator chain ends at a
+    frontier point, which survives its bucket. No all-pairs join and no
+    full-input single-task window at any point; the only full-data
     shuffles are the distinct-pair aggregate and the bucket exchange.
     """
     p = load(spark, sf_dir, "part").select(
@@ -3925,9 +3937,28 @@ def skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_b", F.pmod(F.hash("price", "size"), F.lit(SKYLINE_BUCKETS))
     )
     local = local_frontier(bucketed, "_b").drop("_b")
-    # the final window runs on the union of local frontiers — bounded by
-    # construction (each bucket contributes only non-dominated pairs)
-    return local_frontier(local.withColumn("_g", F.lit(0)), "_g").drop("_g")
+    # final pass, still partitioned: price-value bands + cross-band
+    # cumulative min (tiny by construction) + per-band windows. Band
+    # minima come from ALL pairs, not the local survivors — a superset,
+    # but the dominance test is identical (the minimizing point of an
+    # earlier band always dominates) and the broadcast subtree then
+    # carries only the cheap distinct-pair aggregate, not a second copy
+    # of the bucketed window pass.
+    band_of = F.floor(F.col("price") / F.lit(SKYLINE_BAND_WIDTH)).cast("bigint")
+    band_mins = (
+        pairs.withColumn("_band", band_of)
+        .groupBy("_band")
+        .agg(F.min("size").alias("_bmin"))
+    )
+    wprev = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    prev = band_mins.select("_band", F.min("_bmin").over(wprev).alias("_pmin"))
+    survivors = (
+        local.withColumn("_band", band_of)
+        .join(F.broadcast(prev), "_band")
+        .filter(F.col("_pmin").isNull() | (F.col("_pmin") > F.col("size")))
+        .drop("_pmin")
+    )
+    return local_frontier(survivors, "_band").drop("_band")
 
 
 SKYLINE_SQL = """

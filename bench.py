@@ -48,6 +48,13 @@ def _clear_engine_caches() -> None:
         pass
 
 
+def _probe_work(_: int = 0) -> int:
+    acc = 0
+    for i in range(5_000_000):
+        acc = (acc + i * i) % 1000000007
+    return acc
+
+
 def _cpu_probe() -> float:
     """Fixed-work host-speed probe: time a deterministic pure-Python loop.
     Run immediately before and after the timed reps, its two readings are
@@ -55,11 +62,38 @@ def _cpu_probe() -> float:
     evidence (identical work, so any drift is the HOST, not the engine).
     Unthrottled reference on this box: 0.45-0.85 s (CPU-governor dependent)."""
     t0 = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc = (acc + i * i) % 1000000007
-    assert acc >= 0
+    assert _probe_work() >= 0
     return round(time.perf_counter() - t0, 3)
+
+
+PROBE_MT_WORKERS = 8
+
+
+def _cpu_probe_mt() -> float:
+    """MULTICORE host-speed probe: the same fixed-work loop run on
+    PROBE_MT_WORKERS processes at once (processes, not threads — the GIL
+    would serialize threads and measure nothing). On an idle 32-core box
+    the wall time is ~= the single-thread probe (all workers run in
+    parallel); under multicore contention — other tenants, cgroup CPU
+    quota, a throttled governor — the wall time rises even when the
+    single-thread probe looks healthy. This is exactly the blind spot the
+    r6 flagship anomaly exposed: a local[32] Spark stage is sensitive to
+    the other 31 cores, which one pinned Python thread cannot see.
+    Unthrottled reference on this box: ~0.5-1.1 s (fork + 8-way loop)."""
+    import concurrent.futures as cf
+
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=PROBE_MT_WORKERS) as ex:
+        results = list(ex.map(_probe_work, range(PROBE_MT_WORKERS)))
+    assert all(r >= 0 for r in results)
+    return round(time.perf_counter() - t0, 3)
+
+
+def _loadavg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
 
 
 def main() -> None:
@@ -86,18 +120,23 @@ def main() -> None:
             qs[name](spark, warm_dir).count()
 
     cal_before = _cpu_probe()
+    cal_mt_before = _cpu_probe_mt()
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
     for name in names:
-        best = None
+        loads[name] = _loadavg()
+        samples = []
         for _ in range(REPS):
             _clear_engine_caches()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(round(time.time() - t0, 3))
+        reps[name] = samples
+        timings[name] = min(samples)
 
     cal_after = _cpu_probe()
+    cal_mt_after = _cpu_probe_mt()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -109,6 +148,15 @@ def main() -> None:
         # (0.45-0.85 s unthrottled on this box; multiples of that = host CPU throttle
         # window, interpret the query timings against this scale factor)
         "calibration_sec": {"before": cal_before, "after": cal_after},
+        # multicore evidence: the same fixed work on 8 PROCESSES at once
+        # (~0.5-1.1 s on an idle box; a reading well above that while the
+        # single-thread probe is healthy = multicore contention, the state
+        # the r6 flagship drift was blind-attributed to)
+        "calibration_mt_sec": {"before": cal_mt_before, "after": cal_mt_after},
+        # per-query: all rep samples (not just the min) and the 1-min
+        # loadavg sampled right before each query's reps
+        "query_reps": reps,
+        "query_loadavg": loads,
     }
     print(json.dumps(out))
 

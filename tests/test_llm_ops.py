@@ -2439,7 +2439,7 @@ def test_lang_temperature_sample_matches_reference(spark):
         kept = sum(
             1
             for i in ids
-            if int(hashlib.md5(f"{i}{lang}".encode()).hexdigest()[:4], 16) / 65536.0
+            if int(hashlib.md5(f"{i}:{lang}".encode()).hexdigest()[:4], 16) / 65536.0
             < rate
         )
         g = got[lang]
@@ -2476,7 +2476,7 @@ def test_length_bucketing_matches_reference(spark):
         r = rows[b]
         assert r.n_docs == len(ns)
         assert r.sum_tokens == sum(ns)
-        assert r.pad_tokens == sum(b - n for n in ns)
+        assert r.pad_tokens == sum(max(b - n, 0) for n in ns)
         assert r.waste_frac == round(r.pad_tokens / (len(ns) * b), 6)
     # bucketing must beat padding every doc to the global max bucket
     gmax = max(per)

@@ -608,8 +608,9 @@ def test_round6_batch2_plan_shapes(spark):
     generation is an order-key equi-join (SMJ/SHJ with the item< residual
     — never a cartesian) with broadcast brand dims; z-order layout has NO
     window or global sort (file id is a projection, the study is pure
-    aggregates); the skyline's windows are the bucketed local pass plus
-    one bounded final pass, with no all-pairs join; image dedup shuffles
+    aggregates); the skyline's windows are the bucketed local pass, the
+    bands-sized cumulative min, and the per-band final pass, with no
+    all-pairs join; image dedup shuffles
     only digests (the Arrow payload kernel sits below the aggregate, and
     no binary column enters an Exchange); lang sampling and length
     bucketing stay JVM-side."""
@@ -624,9 +625,12 @@ def test_round6_batch2_plan_shapes(spark):
     assert "Window" not in p and "CartesianProduct" not in p
     assert "Join" not in p  # two aggregates + union, nothing else
 
+    # skyline: bucketed local pass + bands-sized cumulative min + per-band
+    # final pass; the one join is the broadcast of the tiny band-min table
     p = plan(relational.skyline_frontier(spark, SF), "simple")
-    assert p.count("Window") == 2  # bucketed local pass + bounded final
-    assert "Join" not in p  # dominance via running min, never pair joins
+    assert p.count("Window") == 3
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
     p = plan(llm.image_dedup_exact(spark, SF), "simple")
     exchanges = [l for l in p.splitlines() if "Exchange" in l]
