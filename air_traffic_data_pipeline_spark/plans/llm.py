@@ -7297,6 +7297,141 @@ FROM b GROUP BY bucket
 """
 
 
+# --- n-gram LM perplexity quality scoring (round 7) --------------------------
+
+PPL_SMOOTH_K = 1  # add-k smoothing constant (add-one: exact integer counts)
+XENT_MAX = 3.45  # nats/token keep threshold for the filter audit
+
+
+def lm_token_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOKEN-LEVEL bigram log-probability and perplexity
+    under the corpus's own add-one-smoothed bigram LM:
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) over <s>/</s>-padded bigrams,
+    xent = -logprob/n in nats, ppl = e^xent. Complements
+    ``lm_perplexity`` (llm_lm_perplexity, the CCNet bits-per-token score
+    over count-weighted DISTINCT bigrams, alpha=0.5): this one walks
+    every token position in order, so its logprob is the exact sequence
+    log-likelihood a streaming scorer would emit, and it feeds the
+    threshold-gated keep/drop audit below.
+
+    Determinism: counts and V are exact integers; each term is ONE divide
+    + ln of identical doubles in both engines; the per-doc sum is a
+    position-sorted sequential fold (the entropy/zipf discipline); ppl
+    exponentiates the 6-dp-ROUNDED xent so both engines call exp on the
+    identical double. Scale: bigram/context tables are distinct-n-gram
+    sized with map-side combine; scoring is two shuffled equi-joins on
+    the word keys (Zipf-hot heads split by AQE skew handling, same
+    posture as ngram_novelty) plus a 1-row broadcast V; the fold state is
+    one doc's terms.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    lhs = F.concat(F.array(F.lit("<s>")), w)
+    rhs = F.concat(w, F.array(F.lit("</s>")))
+    pairs = d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(lhs.alias("w1"), rhs.alias("w2"))).alias(
+            "pos", "bg"
+        ),
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    v = pairs.agg(F.count_distinct("w2").alias("v"))
+    num = (F.col("c_bg") + F.lit(PPL_SMOOTH_K)).cast("double")
+    den = (F.col("c_ctx") + F.lit(PPL_SMOOTH_K) * F.col("v")).cast("double")
+    terms = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "pos", F.log(num / den).alias("term"))
+    )
+    per = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("ts"),
+    )
+    lp = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["term"])
+    xent = F.round(-lp / F.col("n_bigrams").cast("double"), 6)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(lp, 6).alias("logprob"),
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+_LM_TERMS_SQL = f"""
+t AS (
+  SELECT doc_id, list_prepend('<s>', string_split(text, ' ')) AS l,
+         list_append(string_split(text, ' '), '</s>') AS r
+  FROM documents),
+bgp AS (
+  SELECT doc_id, i AS pos, l[i] AS w1, r[i] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s),
+bg AS (SELECT w1, w2, count(*) AS c_bg FROM bgp GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c_ctx FROM bgp GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bgp),
+terms AS (
+  SELECT p.doc_id, p.pos,
+         ln(CAST(b.c_bg + {PPL_SMOOTH_K} AS DOUBLE)
+            / CAST(c.c_ctx + {PPL_SMOOTH_K} * v.v AS DOUBLE)) AS term
+  FROM bgp p JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+             JOIN ctx c ON p.w1 = c.w1
+             CROSS JOIN v),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list(term ORDER BY pos), (acc, x) -> acc + x) AS lp
+  FROM terms GROUP BY doc_id)"""
+
+_LM_LOGPROB_SQL = f"""
+WITH {_LM_TERMS_SQL}
+SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
+       round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent,
+       round(exp(round(-lp / CAST(n_bigrams AS DOUBLE), 6)), 6) AS ppl
+FROM per
+"""
+
+
+def lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of perplexity filtering (the decontam_filter shape):
+    drop docs whose bigram cross-entropy under the corpus LM exceeds
+    XENT_MAX nats/token and report per-source kept/removed docs plus
+    characters removed — the audit line the quality gate ships. The
+    threshold compares the 6-dp-rounded xent, so engine agreement follows
+    from lm_token_logprob's. Scale: composes the scoring plan with one
+    per-source aggregate; every doc has >= 2 padded bigrams, so the join
+    is inner and complete."""
+    scores = lm_token_logprob(spark, sf_dir).select("doc_id", "xent")
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    j = d.join(scores, "doc_id").withColumn(
+        "removed", (F.col("xent") > F.lit(XENT_MAX)).cast("int")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum("removed")).cast("bigint").alias("n_kept"),
+        F.sum(F.col("n_chars") * F.col("removed"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+_LM_PPL_FILTER_SQL = f"""
+WITH {_LM_TERMS_SQL},
+scores AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+j AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN s.xent > CAST({XENT_MAX} AS DOUBLE) THEN 1 ELSE 0 END AS removed
+  FROM documents d JOIN scores s ON d.doc_id = s.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(count(*) - sum(removed) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars * removed) AS BIGINT) AS chars_removed
+FROM j GROUP BY source
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -7406,6 +7541,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_image_dedup_exact", image_dedup_exact, _IMG_EXACT_SQL),
     ("llm_lang_temperature_sample", lang_temperature_sample, _LANG_TEMP_SQL),
     ("llm_length_bucketing", length_bucketing, _length_bucketing_sql()),
+    ("llm_lm_token_logprob", lm_token_logprob, _LM_LOGPROB_SQL),
+    ("llm_lm_ppl_filter", lm_ppl_filter, _LM_PPL_FILTER_SQL),
 ]
 
 

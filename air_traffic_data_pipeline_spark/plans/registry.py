@@ -127,7 +127,66 @@ _FORCE_RECHECK: dict[str, int] = {
     # r6: cell-assignment extracted to _semdedup_cell_rows (plan-identical
     # refactor, bitwise-verified locally — re-entered on principle)
     "llm_semdedup_cells": 6,
+    # r7: ADVICE fixes change values/plans — hash-gate delimiter, overflow
+    # clamp, banded final skyline pass; repeated-spans island-merge
+    # delegation is a bitwise-pinned refactor, re-entered on principle
+    "llm_lang_temperature_sample": 7,
+    "llm_length_bucketing": 7,
+    "rel_skyline_frontier": 7,
+    "llm_repeated_spans": 7,
+    "stream_incremental_repeated_spans": 7,
 }
+
+
+def _query_src_hash(fn: object) -> str | None:
+    """md5 of the query function's source text — the change signal behind
+    the git-aware recheck. Direct source only: a helper edited in another
+    function does NOT bump consumers' hashes (cover those with
+    _FORCE_RECHECK, as the r7 island-merge entry does)."""
+    import hashlib
+    import inspect
+
+    try:
+        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
+    except Exception:
+        return None
+
+
+def _load_query_hashes() -> dict[str, str]:
+    """name -> source hash recorded at that query's LAST green driver row
+    (QUERY_HASHES.json at the repo root, maintained by
+    tools/refresh_query_hashes.py at round start). Empty when absent."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        with open(os.path.join(root, "QUERY_HASHES.json")) as fh:
+            data = json.load(fh)
+        return {
+            k: v["hash"]
+            for k, v in data.items()
+            if isinstance(v, dict) and isinstance(v.get("hash"), str)
+        }
+    except Exception:
+        return {}
+
+
+def _changed_since_green(green: frozenset[str]) -> set[str]:
+    """Green-tail queries whose CURRENT function source no longer matches
+    the hash recorded at their last green driver row — their green
+    evidence describes code that no longer exists, so they jump the green
+    tail into the recheck window (the r6 VERDICT's git-aware hook)."""
+    recorded = _load_query_hashes()
+    if not recorded:
+        return set()
+    out: set[str] = set()
+    for name, fn in _collect_queries().items():
+        if name in green and name in recorded:
+            h = _query_src_hash(fn)
+            if h is not None and h != recorded[name]:
+                out.add(name)
+    return out
 
 
 def _driver_green_rounds() -> dict[str, int] | None:
@@ -275,6 +334,13 @@ def _window_order(d: dict[str, object]) -> dict[str, object]:
     out.update(
         {name: v for name, v in d.items() if name not in out and name not in green}
     )
+    # Green-but-source-changed block: green rows describing code that has
+    # since changed jump the tail (stalest first), right after the
+    # never-green queries — the git-aware recheck hook.
+    changed = _changed_since_green(green)
+    jump = [name for name in d if name not in out and name in changed]
+    jump.sort(key=lambda n: (rounds or {}).get(n, 0))
+    out.update({name: d[name] for name in jump})
     # Green tail: stalest driver row first (stable on module order within a
     # round), so the steady-state window re-verifies the oldest evidence.
     tail = [name for name in d if name not in out]
@@ -283,7 +349,9 @@ def _window_order(d: dict[str, object]) -> dict[str, object]:
     return out
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _collect_queries() -> dict[str, QueryFn]:
+    """Raw name -> fn map in module order, BEFORE window ordering (the
+    ordering itself needs this map to hash function sources)."""
     out: dict[str, QueryFn] = {}
     from . import domain
 
@@ -306,7 +374,11 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(streaming_plans.queries())
     except ImportError:
         pass
-    return _window_order(out)
+    return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _window_order(_collect_queries())
 
 
 def all_oracles() -> dict[str, str]:

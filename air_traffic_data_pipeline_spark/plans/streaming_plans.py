@@ -327,6 +327,20 @@ def _url_dedup_sql() -> str:
     return _URL_DEDUP_SQL
 
 
+def stream_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_semdedup
+
+    return incremental_semdedup(spark, sf_dir)
+
+
+def _semdedup_sql() -> str:
+    """Streaming incremental semantic dedup must equal the one-shot batch
+    semdedup_cells bitwise — so the batch query's SQL IS the oracle."""
+    from .llm import _semdedup_cells_sql
+
+    return _semdedup_cells_sql()
+
+
 def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import incremental_topk_user_value
 
@@ -400,6 +414,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_quantile", stream_incremental_quantile, INCREMENTAL_QUANTILE_SQL),
     ("stream_incremental_repeated_spans", stream_incremental_repeated_spans, _repeated_spans_sql()),
     ("stream_incremental_url_dedup", stream_incremental_url_dedup, _url_dedup_sql()),
+    ("stream_incremental_semdedup", stream_incremental_semdedup, _semdedup_sql()),
 ]
 
 if _tws_available():

@@ -237,6 +237,182 @@ def incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _stage_emb_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered micro-batches partitioning embeddings by
+    vec_id MODULO 3 (arriving 1, 2, 0) — deliberately NOT id-ordered, so
+    a pair's higher id routinely arrives before its lower id and the
+    kill logic must be arrival-order independent (the pytest and oracle
+    would catch a second-member-only formulation)."""
+    import hashlib
+
+    from ..plans.tables import load
+    from .events_stream import _stage_ordered
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/emb_{key}"
+
+    def build():
+        e = load(spark, sf_dir, "embeddings")
+        return [e.filter(F.col("vec_id") % 3 == m) for m in (1, 2, 0)]
+
+    return _stage_ordered(
+        d, ["01_m1.parquet", "02_m2.parquet", "03_m0.parquet"], build
+    )
+
+
+def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SemDeDup — bitwise equal to the one-shot
+    ``plans.llm.semdedup_cells`` (its SQL is the oracle) under ANY
+    arrival order.
+
+    The quantizer is FROZEN up front — the production SemDeDup posture:
+    coarse centroids are trained offline and held fixed while data
+    streams in. One setup pass computes the deterministic IVF centroids
+    and each cell's subcell arity (ceil(|cell|/TARGET), sized from the
+    reference corpus) and lands them once. Each micro-batch then assigns
+    ONLY its own vectors to (cell, subcell) with the frozen quantizer
+    (identical expressions to the batch query, so assignments are
+    bitwise the same), lands them in the accumulated store, and checks
+    in-subcell pairs between the store and the batch: every epsilon pair
+    contributes its HIGHER vec_id to the kill list whichever side of the
+    join it arrived on (greatest(a, b), not "the batch member") — so a
+    pair flags in the batch where its SECOND member lands, whatever the
+    order. The staged batches deliberately interleave vec_id mod 3 to
+    exercise exactly that. Kills are append-only and idempotent under
+    foreachBatch replay via the epoch-scoped overwrite discipline.
+
+    At 100 TB: per-batch work is (batch rows) ⋈ (store rows) on the
+    (cell, subcell) equi-key with in-subcell population capped at the
+    quantizer's TARGET, centroids are a broadcast-sized table read per
+    batch, and old vectors are never re-scored — only their stored
+    (v, nv, cell, subcell) rows join.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot, norm, to_double
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.similarity import ivf_centroids
+    from ..plans.llm import (
+        EMB_DIM,
+        EMB_NEAR_DUP_THRESHOLD,
+        SEMDEDUP_TARGET_CELL,
+        _SUBCELL_HASH,
+    )
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_emb_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_sem_{_uuid.uuid4().hex[:8]}"
+    quant_dir = f"{base}/quant"
+    state_dir = f"{base}/state"
+    kills_dir = f"{base}/kills"
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        """Nearest-centroid + frozen-arity subcell assignment — the exact
+        expression chain of ``plans.llm._semdedup_cell_rows`` (cell_sim =
+        dot/(nv·ncent), ties on label; Knuth multiplicative subcell
+        hash), so streamed assignments are bitwise the batch query's."""
+        corpus = vecs.select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        ).withColumn("nv0", norm(F.col("v")))
+        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+            "cell_sim",
+            dot(F.col("v"), F.col("centroid")) / (F.col("nv0") * F.col("ncent")),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("label"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "v", F.col("nv0").alias("nv"), F.col("label").alias("cell")
+            )
+        )
+
+    # setup pass: train + freeze the quantizer (centroids and subcell arity)
+    cents = ivf_centroids(e, EMB_DIM).withColumn("ncent", norm(F.col("centroid")))
+    cents.write.mode("overwrite").parquet(f"{quant_dir}/cents")
+    cents_q = spark.read.parquet(f"{quant_dir}/cents")
+    t = SEMDEDUP_TARGET_CELL
+    sizes = (
+        _assign(e, cents_q)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .withColumn("n_sub", F.expr(f"(cell_n + {t - 1}) div {t}"))
+        .select("cell", "n_sub")
+    )
+    sizes.write.mode("overwrite").parquet(f"{quant_dir}/sizes")
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        cents_b = spark.read.parquet(f"{quant_dir}/cents")
+        sizes_b = spark.read.parquet(f"{quant_dir}/sizes")
+        assigned = (
+            _assign(batch_df, cents_b)
+            .join(F.broadcast(sizes_b), "cell")
+            .withColumn(
+                "subcell", F.expr(_SUBCELL_HASH.format(v="vec_id") + " % n_sub")
+            )
+            .drop("n_sub")
+        )
+        assigned.write.mode("overwrite").parquet(f"{state_dir}/batch={epoch_id}")
+        batch_tbl = spark.read.parquet(f"{state_dir}/batch={epoch_id}")
+        all_tbl = spark.read.parquet(f"{state_dir}/batch=*")
+        a, b = all_tbl.alias("a"), batch_tbl.alias("b")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+        kills = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.subcell") == F.col("b.subcell"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .withColumn("cos_sim", F.round(cos, 6))
+            .filter(F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD)
+            .select(F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"))
+            .distinct()
+        )
+        kills.write.mode("overwrite").parquet(f"{kills_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        import os
+
+        kills = (
+            spark.read.parquet(f"{kills_dir}/batch=*").distinct()
+            if os.path.isdir(kills_dir)
+            else spark.createDataFrame([], "vec_id long")
+        )
+        out = e.join(kills, "vec_id", "left_anti").select("vec_id", "label")
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental repeated-span detection — bitwise equal to the
     one-shot ``plans.llm.repeated_spans`` (its SQL is the oracle).

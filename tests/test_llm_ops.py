@@ -2483,3 +2483,45 @@ def test_length_bucketing_matches_reference(spark):
     bucketed_alloc = sum(len(ns) * b for b, ns in per.items())
     flat_alloc = len(lens) * gmax
     assert bucketed_alloc < flat_alloc
+
+
+def test_lm_token_logprob_matches_reference(spark):
+    """Add-one-smoothed bigram LM trained and applied driver-side in pure
+    Python (identical count arithmetic, identical position-ordered float
+    fold); per-doc logprob/xent/ppl must match bitwise. The filter audit
+    must actually split the corpus at the XENT_MAX threshold."""
+    import math
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    bg: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    w2s: set[str] = set()
+    per_doc: dict[int, list[tuple]] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        bgs = list(zip(["<s>"] + ws, ws + ["</s>"]))
+        per_doc[r.doc_id] = bgs
+        for a, b in bgs:
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            w2s.add(b)
+    v = len(w2s)
+    got = {r.doc_id: r for r in llm.lm_token_logprob(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for did, bgs in per_doc.items():
+        lp = 0.0
+        for a, b in bgs:
+            lp += math.log(
+                (bg[(a, b)] + llm.PPL_SMOOTH_K) / (ctx[a] + llm.PPL_SMOOTH_K * v)
+            )
+        g = got[did]
+        assert g.n_bigrams == len(bgs)
+        assert g.logprob == round(lp, 6)
+        xent = round(-lp / len(bgs), 6)
+        assert g.xent == xent
+        assert g.ppl == round(math.exp(xent), 6)
+    fl = {r.source: r for r in llm.lm_ppl_filter(spark, SF).collect()}
+    assert sum(r.n_removed for r in fl.values()) > 0
+    assert sum(r.n_kept for r in fl.values()) > 0
+    for r in fl.values():
+        assert r.n_docs == r.n_kept + r.n_removed

@@ -322,6 +322,33 @@ def test_driver_green_latest_round_evicts(monkeypatch, tmp_path):
     assert "q_regressed" not in green
 
 
+def test_changed_source_query_jumps_green_tail(monkeypatch):
+    """A green query whose function source no longer matches the hash
+    recorded at its last green row (QUERY_HASHES.json) must jump the
+    green tail: after every never-green query, before every unchanged
+    green one — the git-aware recheck hook. Exercised by faking the
+    snapshot entry of the FRESHEST green query (the one that would
+    otherwise sort dead last)."""
+    from air_traffic_data_pipeline_spark.plans import registry
+
+    rounds = registry._driver_green_rounds()
+    real = registry._load_query_hashes()
+    if not rounds or not real:
+        return  # no artifacts / no snapshot: hook inert by design
+    green = frozenset(rounds)
+    target = max((n for n in rounds if n in real), key=lambda n: rounds[n])
+    fake = dict(real)
+    fake[target] = "0" * 32
+    monkeypatch.setattr(registry, "_load_query_hashes", lambda: fake)
+    names = list(registry.all_queries())
+    pos = names.index(target)
+    never_green = [n for n in names if n not in green]
+    if never_green:
+        assert pos > max(names.index(n) for n in never_green)
+    unchanged = [names.index(n) for n in names if n in green and n != target]
+    assert unchanged and pos < min(unchanged)
+
+
 def test_no_query_returns_unhashable_cells(spark):
     """Driver-gate compatibility: the correctness harness's pandas-based
     canonicalizer cannot hash array/map/struct cells (round-1 failure mode:

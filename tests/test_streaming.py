@@ -651,3 +651,48 @@ def test_incremental_url_dedup_equals_batch(spark):
     }
     assert got == want
     assert any(r[1] > 1 for r in want), "the lake should contain re-crawls"
+
+
+def test_incremental_semdedup_equals_batch(spark):
+    """Streaming SemDeDup under the frozen quantizer must reproduce the
+    one-shot semdedup_cells survivor set exactly even though the staged
+    batches interleave vec_id mod 3 (a pair's higher id can arrive
+    first), and the dedup must actually kill something — including at
+    least one pair whose members arrived in DIFFERENT batches (the
+    store-side join leg, not just in-batch pairs)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.vec_id, r.label) for r in incremental_semdedup(spark, sf).collect()
+    }
+    want = {
+        (r.vec_id, r.label) for r in llm.semdedup_cells(spark, sf).collect()
+    }
+    assert got == want
+    all_ids = {
+        r.vec_id
+        for r in llm.load(spark, sf, "embeddings").select("vec_id").collect()
+    }
+    killed = all_ids - {v for v, _ in got}
+    assert killed, "semantic dedup should remove near-duplicate vectors"
+    # cross-batch detection really happened: recompute the epsilon pairs
+    # driver-side from the batch query's own subcell rows and require at
+    # least one pair whose members sit in DIFFERENT mod-3 batches — that
+    # pair can only flag through the store-side join leg
+    rows = llm._semdedup_cell_rows(spark, sf).collect()
+    by_sub: dict[tuple, list] = {}
+    for r in rows:
+        by_sub.setdefault((r.cell, r.subcell), []).append(r)
+    cross_batch = 0
+    for grp in by_sub.values():
+        for i, a in enumerate(grp):
+            for b in grp[i + 1 :]:
+                d = sum(x * y for x, y in zip(a.v, b.v))
+                if round(d / (a.nv * b.nv), 6) >= llm.EMB_NEAR_DUP_THRESHOLD:
+                    if a.vec_id % 3 != b.vec_id % 3:
+                        cross_batch += 1
+    assert cross_batch > 0, "fixture should exercise the store-side leg"

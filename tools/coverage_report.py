@@ -71,6 +71,12 @@ def main() -> int:
     ]  # had a row, but it no longer counts (_FORCE_RECHECK or regression)
     next_window = names[:window]
     pending_outside_window = [n for n in pending if n not in next_window]
+    # git-aware recheck: green rows whose function source has since changed
+    # (QUERY_HASHES.json vs current code) — these jump the green tail
+    changed_since_green = sorted(registry._changed_since_green(green))
+    changed_outside_window = [
+        n for n in changed_since_green if n not in next_window
+    ]
 
     # staleness: rounds since each green query's latest driver row; bounded
     # by the oldest-green-first tail rotation at ~ceil(registered/window)+1
@@ -94,6 +100,7 @@ def main() -> int:
         "pending_count": len(pending),
         "window_size": window,
         "pending_outside_window": pending_outside_window,
+        "changed_since_green": changed_since_green,
         "max_green_staleness_rounds": max_staleness,
         "per_round": per_round,
     }
@@ -101,9 +108,9 @@ def main() -> int:
     print(line)
     with open(os.path.join(ROOT, "COVERAGE.json"), "w") as fh:
         fh.write(line + "\n")
-    # non-zero exit when rotation is unhealthy: a pending query would NOT be
-    # driver-checked next round
-    return 1 if pending_outside_window else 0
+    # non-zero exit when rotation is unhealthy: a pending or changed-code
+    # query would NOT be driver-checked next round
+    return 1 if pending_outside_window or changed_outside_window else 0
 
 
 if __name__ == "__main__":
