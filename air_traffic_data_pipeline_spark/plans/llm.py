@@ -3808,6 +3808,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").isin(*BM25_TERMS)
     )
     tf = tok.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    return bm25_rank_from(tf, avgdl)
+
+
+def bm25_rank_from(tf: DataFrame, avgdl: DataFrame) -> DataFrame:
+    """BM25 scoring + top-k over a (doc_id, dl, w, tf) posting slice and a
+    1-row (avgdl, n_docs) stats frame — the shared kernel of the batch
+    query above and the streaming incremental index
+    (streaming/documents_stream.py:incremental_bm25), so the formula and
+    fold order can never drift apart."""
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -7432,6 +7441,296 @@ FROM j GROUP BY source
 """
 
 
+# --- Gopher-style quality rule battery (round 7) -----------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_LEN = 4  # mean word length bounds, integer cross-multiplied
+GOPHER_MAX_MEAN_LEN = 5
+GOPHER_MAX_DIGIT_FRAC10 = 1  # digit words <= n/10
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality audit (Rae et al.): per document,
+    the four classic structural rules — word-count bounds, mean-word-length
+    bounds, digit-token fraction cap, minimum stop-word count — each as an
+    EXACT-integer predicate (mean-length bounds via cross-multiplication:
+    lo·n <= chars <= hi·n, so no float ever enters a rule), plus the
+    conjunction. Word characters come from the closed form
+    len(text) - (n_words - 1) (single-space joined), identical in both
+    engines. The model-based complement is lm_token_logprob/lm_ppl_filter;
+    this is the cheap first gate a 100 TB curation pass runs in pure
+    codegen over the scan — no shuffle at all."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w).cast("bigint")
+    chars = (F.length("text") - (n - 1)).cast("bigint")
+    stops = stopword_count(F.col("text"), LANG_STOPWORDS["en"])
+    digits = F.size(F.filter(w, lambda x: x.rlike("^[0-9]+$"))).cast("bigint")
+    r1 = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r2 = (chars >= GOPHER_MIN_MEAN_LEN * n) & (chars <= GOPHER_MAX_MEAN_LEN * n)
+    r3 = digits * 10 <= GOPHER_MAX_DIGIT_FRAC10 * n
+    r4 = stops >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        chars.alias("word_chars"),
+        stops.alias("n_stop"),
+        digits.alias("n_digit"),
+        r1.cast("int").alias("r_wordcount"),
+        r2.cast("int").alias("r_wordlen"),
+        r3.cast("int").alias("r_digits"),
+        r4.cast("int").alias("r_stopwords"),
+        (r1 & r2 & r3 & r4).cast("int").alias("passes"),
+    )
+
+
+def _gopher_rules_sql() -> str:
+    stops = stopword_count_sql("text", LANG_STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS chars,
+         {stops} AS stops,
+         CAST(len([w for w in string_split(text, ' ')
+                   if regexp_matches(w, '^[0-9]+$')]) AS BIGINT) AS digits
+  FROM documents
+),
+r AS (
+  SELECT *,
+         CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS r1,
+         CASE WHEN chars >= {GOPHER_MIN_MEAN_LEN} * n
+               AND chars <= {GOPHER_MAX_MEAN_LEN} * n THEN 1 ELSE 0 END AS r2,
+         CASE WHEN digits * 10 <= {GOPHER_MAX_DIGIT_FRAC10} * n
+              THEN 1 ELSE 0 END AS r3,
+         CASE WHEN stops >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS r4
+  FROM d
+)
+SELECT doc_id, n AS n_words, chars AS word_chars, stops AS n_stop,
+       digits AS n_digit,
+       CAST(r1 AS INTEGER) AS r_wordcount, CAST(r2 AS INTEGER) AS r_wordlen,
+       CAST(r3 AS INTEGER) AS r_digits, CAST(r4 AS INTEGER) AS r_stopwords,
+       CAST(r1 * r2 * r3 * r4 AS INTEGER) AS passes
+FROM r
+"""
+
+
+def dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup reweighting: instead of discarding exact duplicates,
+    each fingerprint group's survivor (lowest doc_id) carries the group
+    multiplicity as a sampling weight — downstream samplers then see the
+    corpus-frequency signal (a doc crawled 40 times matters) without the
+    40 redundant copies. weight_frac is each survivor's share of total
+    corpus mass (one division, rounded). Scale: the same single
+    fingerprint aggregate as dedup_exact; weights ride the group row."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    grp = d.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("weight"),
+    )
+    tot = grp.agg(F.sum("weight").cast("bigint").alias("total"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "weight",
+            F.round(
+                F.col("weight").cast("double") / F.col("total").cast("double"), 6
+            ).alias("weight_frac"),
+        )
+    )
+
+
+def _survivor_weights_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT {fingerprint_sql('text')} AS fp,
+         CAST(min(doc_id) AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM g)
+SELECT doc_id, weight,
+       round(CAST(weight AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight_frac
+FROM g CROSS JOIN t
+"""
+
+
+# --- DCT perceptual hash + resize robustness (round 7) -----------------------
+
+
+def image_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-based perceptual hash (pHash proper) next to the average-hash
+    `llm_image_phash`: the same 4x4 luminance grid feeds a 2-D DCT-II and
+    the 15 AC coefficients threshold against their own mean
+    (operators/multimodal.py:dct_phash_bmp). The oracle recomputes the
+    hash closed-form from the synthetic pixel formula with the IDENTICAL
+    compile-time cosine-product literals — engine trig parity is never
+    relied on."""
+    from ..operators.multimodal import attach_bmp_payload, dct_phash_bmp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dct_phash_bmp(attach_bmp_payload(d))
+
+
+def _bmp_hexpair_sql(idx: str) -> str:
+    hexd = "0123456789abcdef"
+    pos = f"(({idx}) * 2 + 1)"
+    c1 = f"substr(md5(text), {pos}, 1)"
+    c2 = f"substr(md5(text), {pos} + 1, 1)"
+    return f"((strpos('{hexd}', {c1}) - 1) * 16 + (strpos('{hexd}', {c2}) - 1))"
+
+
+def _bmp_gray_cols_sql(
+    prefix: str, w: str, h: str, row_size: str
+) -> list[str]:
+    """The 16 grid-gray expressions (3-channel byte sums of the synthetic
+    md5-cycled pixels) for an image with the given dim expressions."""
+    g = 4
+    cols = []
+    for gy in range(g):
+        for gx in range(g):
+            sy = f"(({gy} * {h}) // {g})"
+            sx = f"(({gx} * {w}) // {g})"
+            cell = " + ".join(
+                _bmp_hexpair_sql(f"(({sy}) * {row_size} + ({sx}) * 3 + {c}) % 16")
+                for c in range(3)
+            )
+            cols.append(f"({cell}) AS {prefix}{gy * g + gx}")
+    return cols
+
+
+def _dct_coeff_sql(prefix: str, wk: list[float]) -> str:
+    return " + ".join(f"{prefix}{idx} * {dlit(wk[idx])}" for idx in range(len(wk)))
+
+
+def _image_dct_phash_sql() -> str:
+    from ..operators.multimodal import DCT_BITS, DCT_W
+
+    newline = ",\n         "
+    gray_cols = _bmp_gray_cols_sql("g", "w", "h", "row_size")
+    coeffs = [f"({_dct_coeff_sql('g', wk)}) AS c{k}" for k, wk in enumerate(DCT_W)]
+    mean = " + ".join(f"c{k}" for k in range(DCT_BITS))
+    bits = " || ".join(
+        f"CASE WHEN c{k} > mean_ac THEN '1' ELSE '0' END" for k in range(DCT_BITS)
+    )
+    ones = " + ".join(
+        f"CASE WHEN c{k} > mean_ac THEN 1 ELSE 0 END" for k in range(DCT_BITS)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text, doc_id % 16 + 1 AS w, (doc_id // 16) % 8 + 1 AS h
+  FROM documents WHERE doc_id < 300
+),
+dims2 AS (SELECT *, (w * 3 + 3) // 4 * 4 AS row_size FROM dims),
+grays AS (
+  SELECT doc_id, w, h,
+         {newline.join(gray_cols)}
+  FROM dims2
+),
+co AS (
+  SELECT doc_id, w, h,
+         {newline.join(coeffs)}
+  FROM grays
+),
+t AS (SELECT *, ({mean}) / CAST(15 AS DOUBLE) AS mean_ac FROM co)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {bits} AS dct_hash,
+       CAST({ones} AS BIGINT) AS n_ones
+FROM t
+"""
+
+
+def image_dct_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-robustness grading of the two perceptual hashes: every BMP
+    is NN-downsampled to max side 4 (resize_bmp's integer-exact
+    semantics) and re-hashed; each row reports the character-Hamming
+    drift of the average-hash vs the DCT hash under that rescale
+    (operators/multimodal.py:phash_resize_robustness). Because NN-resize
+    then NN-grid-sample compose to pure integer index maps, the oracle
+    recomputes the resized grid closed-form from the synthetic pixel
+    formula and replays both hashes with the same literal weights."""
+    from ..operators.multimodal import attach_bmp_payload, phash_resize_robustness
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return phash_resize_robustness(attach_bmp_payload(d))
+
+
+def _image_dct_robust_sql() -> str:
+    from ..operators.multimodal import DCT_BITS, DCT_W
+
+    newline = ",\n         "
+    # resized grid sample composes two integer NN maps: grid cell ->
+    # resized pixel (y2, x2) -> source pixel (sy, sx)
+    r_cols = []
+    g = 4
+    for gy in range(g):
+        for gx in range(g):
+            y2 = f"(({gy} * nh) // {g})"
+            x2 = f"(({gx} * nw) // {g})"
+            sy = f"((({y2}) * h) // nh)"
+            sx = f"((({x2}) * w) // nw)"
+            cell = " + ".join(
+                _bmp_hexpair_sql(f"(({sy}) * row_size + ({sx}) * 3 + {c}) % 16")
+                for c in range(3)
+            )
+            r_cols.append(f"({cell}) AS r{gy * g + gx}")
+    g_cols = _bmp_gray_cols_sql("g", "w", "h", "row_size")
+    go_tot = " + ".join(f"g{i}" for i in range(16))
+    gr_tot = " + ".join(f"r{i}" for i in range(16))
+    ham_a = " + ".join(
+        f"CASE WHEN (g{i} * 16 > tot_g) != (r{i} * 16 > tot_r) THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    co = [f"({_dct_coeff_sql('g', wk)}) AS cg{k}" for k, wk in enumerate(DCT_W)]
+    cr = [f"({_dct_coeff_sql('r', wk)}) AS cr{k}" for k, wk in enumerate(DCT_W)]
+    mean_g = " + ".join(f"cg{k}" for k in range(DCT_BITS))
+    mean_r = " + ".join(f"cr{k}" for k in range(DCT_BITS))
+    ham_d = " + ".join(
+        f"CASE WHEN (cg{k} > mean_g) != (cr{k} > mean_r) THEN 1 ELSE 0 END"
+        for k in range(DCT_BITS)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text, doc_id % 16 + 1 AS w, (doc_id // 16) % 8 + 1 AS h
+  FROM documents WHERE doc_id < 300
+),
+dims2 AS (SELECT *, (w * 3 + 3) // 4 * 4 AS row_size, greatest(w, h) AS m
+          FROM dims),
+rd AS (
+  SELECT *,
+         CASE WHEN m <= 4 THEN w ELSE greatest(1, (w * 4) // m) END AS nw,
+         CASE WHEN m <= 4 THEN h ELSE greatest(1, (h * 4) // m) END AS nh
+  FROM dims2
+),
+grays AS (
+  SELECT doc_id, nw, nh,
+         {newline.join(g_cols)},
+         {newline.join(r_cols)}
+  FROM rd
+),
+co AS (
+  SELECT *,
+         {newline.join(co)},
+         {newline.join(cr)}
+  FROM grays
+),
+t AS (SELECT *, {go_tot} AS tot_g, {gr_tot} AS tot_r,
+             ({mean_g}) / CAST(15 AS DOUBLE) AS mean_g,
+             ({mean_r}) / CAST(15 AS DOUBLE) AS mean_r
+      FROM co)
+SELECT doc_id, CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
+       CAST({ham_a} AS BIGINT) AS ham_ahash,
+       CAST({ham_d} AS BIGINT) AS ham_dct
+FROM t
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -7543,6 +7842,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_length_bucketing", length_bucketing, _length_bucketing_sql()),
     ("llm_lm_token_logprob", lm_token_logprob, _LM_LOGPROB_SQL),
     ("llm_lm_ppl_filter", lm_ppl_filter, _LM_PPL_FILTER_SQL),
+    ("llm_image_dct_phash", image_dct_phash, _image_dct_phash_sql()),
+    ("llm_image_dct_robustness", image_dct_robustness, _image_dct_robust_sql()),
+    ("llm_gopher_rules", gopher_rules, _gopher_rules_sql()),
+    ("llm_dedup_survivor_weights", dedup_survivor_weights, _survivor_weights_sql()),
 ]
 
 

@@ -135,6 +135,10 @@ _FORCE_RECHECK: dict[str, int] = {
     "rel_skyline_frontier": 7,
     "llm_repeated_spans": 7,
     "stream_incremental_repeated_spans": 7,
+    # r7: scoring/top-k extracted to bm25_rank_from for the streaming
+    # incremental index (plan-identical refactor, bitwise-verified locally
+    # — re-entered on principle)
+    "llm_bm25_topk": 7,
 }
 
 

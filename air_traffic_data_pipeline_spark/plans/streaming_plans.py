@@ -327,6 +327,20 @@ def _url_dedup_sql() -> str:
     return _URL_DEDUP_SQL
 
 
+def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_bm25
+
+    return incremental_bm25(spark, sf_dir)
+
+
+def _bm25_sql() -> str:
+    """The streaming posting/stats merge must equal the one-shot BM25
+    ranking bitwise — so the batch query's SQL IS the oracle."""
+    from .llm import _BM25_SQL
+
+    return _BM25_SQL
+
+
 def stream_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_semdedup
 
@@ -415,6 +429,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_repeated_spans", stream_incremental_repeated_spans, _repeated_spans_sql()),
     ("stream_incremental_url_dedup", stream_incremental_url_dedup, _url_dedup_sql()),
     ("stream_incremental_semdedup", stream_incremental_semdedup, _semdedup_sql()),
+    ("stream_incremental_bm25", stream_incremental_bm25, _bm25_sql()),
 ]
 
 if _tws_available():

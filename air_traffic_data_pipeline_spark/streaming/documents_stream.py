@@ -237,6 +237,85 @@ def incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental BM25 index maintenance — bitwise equal to the
+    one-shot ``plans.llm.bm25_topk`` (its SQL is the oracle).
+
+    Micro-batches maintain BM25's sufficient statistics and the
+    query-term posting slice: per batch, ONE (n_docs, sum_dl) stats
+    partial (distributive int64 sums) and the batch's own
+    (doc_id, dl, w, tf) postings for the fixed query terms. A document
+    lives in exactly one batch, so postings are append-only facts never
+    revisited; the int64 stats merge exactly under any arrival order.
+    The final answer derives N and avgdl from the merged partials
+    (identical cast-then-divide as the batch query), df from the
+    accumulated postings, and ranks through the SHARED
+    ``bm25_rank_from`` kernel — formula and fold order cannot drift.
+
+    At 100 TB: per-batch state is query-term-posting sized (|terms| x
+    docs-containing, never the token stream); old text is never
+    re-tokenized — only its posting rows re-aggregate. Epoch-scoped
+    overwrite = replay-idempotent like the sibling streams.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import BM25_MAX_ID, BM25_TERMS, bm25_rank_from
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_bm25_{_uuid.uuid4().hex[:8]}"
+    stats_dir = f"{base}/stats"
+    post_dir = f"{base}/postings"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = (
+            batch_df.filter(F.col("doc_id") < BM25_MAX_ID)
+            .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+            .select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+        )
+        stats = docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sdl"),
+        )
+        stats.write.mode("overwrite").parquet(f"{stats_dir}/batch={epoch_id}")
+        tf = (
+            docs.select("doc_id", "dl", F.explode("ws").alias("w"))
+            .filter(F.col("w").isin(*BM25_TERMS))
+            .groupBy("doc_id", "dl", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf.write.mode("overwrite").parquet(f"{post_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = spark.read.parquet(f"{stats_dir}/batch=*").agg(
+            F.sum("sdl").cast("bigint").alias("sdl"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+        avgdl = merged.select(
+            (F.col("sdl").cast("double") / F.col("n").cast("double")).alias("avgdl"),
+            F.col("n").cast("double").alias("n_docs"),
+        )
+        tf = spark.read.parquet(f"{post_dir}/batch=*")
+        out, _ = tracked_local_checkpoint(bm25_rank_from(tf, avgdl), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 EMB_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

@@ -1196,6 +1196,127 @@ def test_image_phash_degenerate_dims(spark):
     assert rows[0].phash == "0" * 16 and rows[0].n_ones == 0
 
 
+def test_image_dct_phash_matches_bytes_reference(spark):
+    """Recompute the DCT hash from the raw BMP payload bytes with an
+    independent parse + float chain (same literal weights, same op
+    order) and compare bitwise; also pin the structural contract (15
+    bits, popcount) and that the DCT hash is not just the average-hash
+    in disguise (they disagree on at least one image)."""
+    import struct as _struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        DCT_W,
+        attach_bmp_payload,
+    )
+
+    d = load(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    payloads = {r.doc_id: bytes(r.payload) for r in attach_bmp_payload(d).collect()}
+    rows = {
+        r.doc_id: r for r in llm.image_dct_phash(spark, SF).collect() if r.doc_id < 50
+    }
+    ah = {
+        r.doc_id: r.phash for r in llm.image_phash(spark, SF).collect() if r.doc_id < 50
+    }
+    assert set(rows) == set(payloads)
+    disagree = 0
+    for did, raw in payloads.items():
+        _hs, w, h, _p, _bpp = _struct.unpack("<IiiHH", raw[14:30])
+        row_size = (w * 3 + 3) // 4 * 4
+        px = raw[BMP_HEADER_BYTES:]
+        grays = [
+            sum(px[(gy * h // 4) * row_size + (gx * w // 4) * 3 + c] for c in range(3))
+            for gy in range(4)
+            for gx in range(4)
+        ]
+        coeffs = []
+        for wk in DCT_W:
+            acc = grays[0] * wk[0]
+            for i in range(1, 16):
+                acc = acc + grays[i] * wk[i]
+            coeffs.append(acc)
+        m = coeffs[0]
+        for c in coeffs[1:]:
+            m = m + c
+        mean_ac = m / 15.0
+        bits = "".join("1" if c > mean_ac else "0" for c in coeffs)
+        r = rows[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.dct_hash == bits and len(bits) == 15
+        assert r.n_ones == bits.count("1")
+        if r.dct_hash != ah[did][:15]:
+            disagree += 1
+    assert disagree > 0
+
+
+def test_image_dct_robustness_contract(spark):
+    """Resize-robustness rows: hamming drifts recomputed independently by
+    composing the NN resize + NN grid-sample integer maps; images already
+    within the 4-px budget must report zero drift (resize is identity
+    there)."""
+    import struct as _struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        DCT_W,
+        attach_bmp_payload,
+    )
+
+    d = load(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    payloads = {r.doc_id: bytes(r.payload) for r in attach_bmp_payload(d).collect()}
+    rows = {
+        r.doc_id: r
+        for r in llm.image_dct_robustness(spark, SF).collect()
+        if r.doc_id < 50
+    }
+
+    def hashes(px, w, h, row_size):
+        grays = [
+            sum(px[(gy * h // 4) * row_size + (gx * w // 4) * 3 + c] for c in range(3))
+            for gy in range(4)
+            for gx in range(4)
+        ]
+        total = sum(grays)
+        abits = "".join("1" if g * 16 > total else "0" for g in grays)
+        coeffs = []
+        for wk in DCT_W:
+            acc = grays[0] * wk[0]
+            for i in range(1, 16):
+                acc = acc + grays[i] * wk[i]
+            coeffs.append(acc)
+        m = coeffs[0]
+        for c in coeffs[1:]:
+            m = m + c
+        dbits = "".join("1" if c > m / 15.0 else "0" for c in coeffs)
+        return abits, dbits
+
+    for did, raw in payloads.items():
+        _hs, w, h, _p, _bpp = _struct.unpack("<IiiHH", raw[14:30])
+        row_size = (w * 3 + 3) // 4 * 4
+        px = raw[BMP_HEADER_BYTES:]
+        a0, d0 = hashes(px, w, h, row_size)
+        m = max(w, h)
+        if m <= 4:
+            nw, nh = w, h
+        else:
+            nw, nh = max(1, w * 4 // m), max(1, h * 4 // m)
+        nrow = (nw * 3 + 3) // 4 * 4
+        buf = bytearray(nrow * nh)
+        for y in range(nh):
+            sy = y * h // nh
+            for x in range(nw):
+                sx = x * w // nw
+                for c in range(3):
+                    buf[y * nrow + x * 3 + c] = px[sy * row_size + sx * 3 + c]
+        a1, d1 = hashes(bytes(buf), nw, nh, nrow)
+        r = rows[did]
+        assert (r.new_width, r.new_height) == (nw, nh)
+        assert r.ham_ahash == sum(x != y for x, y in zip(a0, a1))
+        assert r.ham_dct == sum(x != y for x, y in zip(d0, d1))
+        if m <= 4:
+            assert r.ham_ahash == 0 and r.ham_dct == 0
+
+
 def test_image_near_dup_pairs_verified(spark):
     """Band-blocked output must EQUAL the brute-force all-pairs Hamming
     join (pigeonhole: <= 4 differing bits cannot touch all 5 bands), with

@@ -653,6 +653,48 @@ def test_incremental_url_dedup_equals_batch(spark):
     assert any(r[1] > 1 for r in want), "the lake should contain re-crawls"
 
 
+def test_incremental_bm25_equals_batch(spark):
+    """Per-batch (n_docs, sum_dl) stats partials + append-only query-term
+    postings re-derived into N/avgdl/df must rank exactly like the
+    one-shot BM25 — the statistics are distributive int64 sums, so
+    arrival order is irrelevant; and the ranked docs must actually span
+    more than one staged batch (the index really merged)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_bm25,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.doc_id, r.bm25, r.rank) for r in incremental_bm25(spark, sf).collect()
+    ]
+    want = [(r.doc_id, r.bm25, r.rank) for r in llm.bm25_topk(spark, sf).collect()]
+    assert sorted(got) == sorted(want)
+    assert len(want) == llm.BM25_TOPK
+    # the merged index really aggregated cross-batch facts: documents
+    # contributing postings (id < BM25_MAX_ID, containing a query term)
+    # must span more than one staged id-tercile batch — df and avgdl are
+    # then genuinely multi-batch statistics even if the winners are not
+    rows = (
+        llm.load(spark, sf, "documents")
+        .filter(F.col("doc_id") < llm.BM25_MAX_ID)
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = sorted(
+        r.doc_id
+        for r in llm.load(spark, sf, "documents").select("doc_id").collect()
+    )
+    lo, hi = docs[len(docs) // 3], docs[2 * len(docs) // 3]
+    contributing = [
+        r.doc_id
+        for r in rows
+        if any(t in r.text.split(" ") for t in llm.BM25_TERMS)
+    ]
+    terciles = {0 if d < lo else (1 if d < hi else 2) for d in contributing}
+    assert len(terciles) > 1, "postings should span multiple staged batches"
+
+
 def test_incremental_semdedup_equals_batch(spark):
     """Streaming SemDeDup under the frozen quantizer must reproduce the
     one-shot semdedup_cells survivor set exactly even though the staged
