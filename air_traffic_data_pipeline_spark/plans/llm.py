@@ -7561,6 +7561,377 @@ FROM g CROSS JOIN t
 """
 
 
+# --- quality-signal correlation eval (round 7) -------------------------------
+
+
+def signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two quality signals agree? Pearson correlation between the
+    model-based score (bigram cross-entropy, lm_token_logprob) and the
+    heuristic quality_score across the corpus — the calibration check
+    before trusting either as a filter. Both inputs are 6-dp-rounded, so
+    they cast EXACTLY to DECIMAL(18,6); all five moments are exact
+    decimal sums (order-free, fully distributed — the ab_test_zscore
+    discipline, no array fold anywhere), converted to double only inside
+    the final closed-form r. Scale: one doc-keyed join + a 1-row
+    aggregate; at 100 TB the decimal widths widen with the count, nothing
+    else changes."""
+    x = lm_token_logprob(spark, sf_dir).select("doc_id", F.col("xent").alias("x"))
+    y = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("y")
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    agg = x.join(y, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return agg.select(
+        "n",
+        F.round(sx / nd, 6).alias("mean_xent"),
+        F.round(sy / nd, 6).alias("mean_quality"),
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+def _signal_corr_sql() -> str:
+    return f"""
+WITH {_LM_TERMS_SQL},
+x AS (
+  SELECT doc_id, CAST(round(-lp / CAST(n_bigrams AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS xd
+  FROM per),
+y AS (
+  SELECT doc_id, CAST({quality_score_sql('text')} AS DECIMAL(18,6)) AS yd
+  FROM documents),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x.xd) AS sx, sum(y.yd) AS sy,
+         sum(x.xd * y.yd) AS sxy, sum(x.xd * x.xd) AS sxx,
+         sum(y.yd * y.yd) AS syy
+  FROM x JOIN y ON x.doc_id = y.doc_id)
+SELECT n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_xent,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_quality,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM m
+"""
+
+
+# --- embedding whitening / standardization (round 7) -------------------------
+
+
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of the embedding
+    lake — the preprocessing step before ANN indexing or drift monitors
+    when dimensions have wildly different scales: two-pass exact folds
+    (per-dim mean over members sorted by vec_id, then per-dim squared
+    deviations in the same order), then each vector reports its whitened
+    squared norm Σ (x-μ)²/σ² as a pos-ordered fold — ≈ dim for
+    well-standardized data, so outliers surface directly.
+
+    No sqrt anywhere (z² uses σ² directly); zero-variance dims are
+    excluded identically in both engines. Scale: two (pos)-keyed
+    aggregates (64 groups at any corpus size), stats broadcast back, one
+    vec-keyed fold."""
+    e = _emb_ok(spark, sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    )
+    means = (
+        ex.groupBy("pos")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("xs"))
+        .select(
+            "pos",
+            (
+                F.aggregate(F.col("xs"), F.lit(0.0), lambda a, s: a + s["x"])
+                / F.size("xs")
+            ).alias("m"),
+        )
+    )
+    dev = ex.join(F.broadcast(means), "pos").select(
+        "vec_id",
+        "pos",
+        "x",
+        "m",
+        # multiply, not pow(x, 2): pow parity across engines is not IEEE
+        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("d2"),
+    )
+    vars_ = (
+        dev.groupBy("pos")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "d2"))).alias("ds"))
+        .select(
+            "pos",
+            (
+                F.aggregate(F.col("ds"), F.lit(0.0), lambda a, s: a + s["d2"])
+                / F.size("ds")
+            ).alias("var"),
+        )
+        .filter(F.col("var") > 0)
+    )
+    z2 = dev.join(F.broadcast(vars_), "pos").select(
+        "vec_id", "pos", (F.col("d2") / F.col("var")).alias("z2")
+    )
+    return (
+        z2.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "z2"))).alias("zs"))
+        .select(
+            "vec_id",
+            F.size("zs").cast("int").alias("n_dims"),
+            F.round(
+                F.aggregate(F.col("zs"), F.lit(0.0), lambda a, s: a + s["z2"]), 6
+            ).alias("wnorm2"),
+        )
+    )
+
+
+_WHITEN_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+  WHERE len(embedding) = {EMB_DIM}
+),
+means AS (
+  SELECT pos,
+         list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
+  FROM ex GROUP BY pos
+),
+dev AS (
+  SELECT ex.vec_id, ex.pos, (ex.x - means.m) * (ex.x - means.m) AS d2
+  FROM ex JOIN means ON ex.pos = means.pos
+),
+vars_ AS (
+  SELECT pos,
+         list_reduce(list(d2 ORDER BY vec_id), (a, b) -> a + b) / count(*) AS var
+  FROM dev GROUP BY pos
+  HAVING list_reduce(list(d2 ORDER BY vec_id), (a, b) -> a + b) / count(*) > 0
+),
+z2 AS (
+  SELECT dev.vec_id, dev.pos, dev.d2 / vars_.var AS z2
+  FROM dev JOIN vars_ ON dev.pos = vars_.pos
+)
+SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims,
+       round(list_reduce(list(z2 ORDER BY pos), (a, b) -> a + b), 6) AS wnorm2
+FROM z2 GROUP BY vec_id
+"""
+
+
+# --- T5 span-corruption data prep (round 7) ----------------------------------
+
+SPANC_L = 3  # masked span length in words
+SPANC_DIV = 20  # one span per 20 words ~ 15% corruption at L=3
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption instance prep: each doc masks
+    S = n_words // SPANC_DIV non-overlapping L-word spans — one per equal
+    word-segment, offset chosen by a deterministic md5 gate (stable under
+    re-runs/retries, unlike random masking) — and emits the (input,
+    target) pair fingerprints plus the length accounting a trainer's
+    batch planner needs. Input replaces each span with its <extra_id_s>
+    sentinel; target is sentinel + masked words per span in order.
+
+    Exactness: all span arithmetic is integer (segment bounds (s·n)//S,
+    offset = hex4 % room); texts rebuild via position-sorted folds and
+    compare as md5 fingerprints. Scale: one posexplode + a doc-keyed
+    equi-join with span ranges as residual (spans per doc are few), then
+    one doc-keyed aggregate — the chunking/packing family's shape.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    base = d.select("doc_id", "text", F.size(w).cast("bigint").alias("n"))
+    # all span arithmetic in INTEGER division (div), never float-then-cast
+    spans = (
+        base.withColumn("n_spans", F.expr(f"n div {SPANC_DIV}"))
+        .filter(F.col("n_spans") > 0)
+        .select(
+            "doc_id",
+            "n",
+            "n_spans",
+            F.explode(F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))).alias(
+                "s"
+            ),
+        )
+        .withColumn("seg_start", F.expr("(s * n) div n_spans"))
+        .withColumn("seg_end", F.expr("((s + 1) * n) div n_spans"))
+        .withColumn(
+            "room", F.col("seg_end") - F.col("seg_start") - F.lit(SPANC_L - 1)
+        )
+        .withColumn(
+            "off",
+            _hex4_to_int(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string")
+                    )
+                )
+            )
+            % F.col("room"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            (F.col("seg_start") + F.col("off")).alias("sp_start"),
+            (F.col("seg_start") + F.col("off") + SPANC_L - 1).alias("sp_end"),
+        )
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode(w).alias("pos", "wd"),
+    )
+    tagged = words.join(
+        spans,
+        (words.doc_id == spans.doc_id)
+        & (F.col("pos") >= F.col("sp_start"))
+        & (F.col("pos") <= F.col("sp_end")),
+        "left",
+    ).select(
+        words.doc_id,
+        "pos",
+        "wd",
+        F.col("s").isNotNull().alias("masked"),
+        (F.col("pos") == F.col("sp_start")).alias("at_start"),
+        "s",
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("s").cast("string"), F.lit(">"))
+    in_tok = F.when(~F.col("masked"), F.col("wd")).when(F.col("at_start"), sentinel)
+    tgt_tok = F.when(
+        F.col("masked") & F.col("at_start"),
+        F.concat(sentinel, F.lit(" "), F.col("wd")),
+    ).when(F.col("masked"), F.col("wd"))
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("masked_words"),
+        F.sum((F.col("masked") & F.col("at_start")).cast("int"))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(in_tok.isNotNull(), F.struct("pos", in_tok.alias("t")))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(tgt_tok.isNotNull(), F.struct("pos", tgt_tok.alias("t")))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias("target_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_spans",
+        "masked_words",
+        (F.col("n_words") - F.col("masked_words") + F.col("n_spans"))
+        .cast("bigint")
+        .alias("input_len"),
+        (F.col("masked_words") + F.col("n_spans")).cast("bigint").alias("target_len"),
+        F.md5("input_text").alias("input_fp"),
+        F.md5("target_text").alias("target_fp"),
+    )
+
+
+def _span_corruption_sql() -> str:
+    off_hash = _hex4_to_int_sql(
+        "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+spans AS (
+  SELECT b.doc_id, s,
+         (s * b.n) // (b.n // {SPANC_DIV}) AS seg_start0,
+         ((s + 1) * b.n) // (b.n // {SPANC_DIV}) AS seg_end0,
+         b.n // {SPANC_DIV} AS n_spans
+  FROM base b, LATERAL (
+    SELECT unnest(generate_series(0, b.n // {SPANC_DIV} - 1)) AS s) g
+  WHERE b.n // {SPANC_DIV} > 0
+),
+spans2 AS (
+  SELECT doc_id, s,
+         seg_start0 + ({off_hash}
+                       % (seg_end0 - seg_start0 - {SPANC_L - 1})) AS sp_start
+  FROM spans
+),
+spans3 AS (SELECT doc_id, s, sp_start, sp_start + {SPANC_L - 1} AS sp_end
+           FROM spans2),
+words AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS wd
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+),
+tagged AS (
+  SELECT w.doc_id, w.pos, w.wd,
+         sp.s IS NOT NULL AS masked,
+         coalesce(w.pos = sp.sp_start, FALSE) AS at_start,
+         sp.s AS s
+  FROM words w LEFT JOIN spans3 sp
+    ON w.doc_id = sp.doc_id AND w.pos >= sp.sp_start AND w.pos <= sp.sp_end
+),
+toks AS (
+  SELECT doc_id, pos, masked, at_start,
+         CASE WHEN NOT masked THEN wd
+              WHEN at_start THEN '<extra_id_' || CAST(s AS VARCHAR) || '>'
+              ELSE NULL END AS in_tok,
+         CASE WHEN masked AND at_start
+                THEN '<extra_id_' || CAST(s AS VARCHAR) || '>' || ' ' || wd
+              WHEN masked THEN wd ELSE NULL END AS tgt_tok
+  FROM tagged
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS masked_words,
+         CAST(sum(CASE WHEN masked AND at_start THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spans,
+         coalesce(array_to_string(list(in_tok ORDER BY pos)
+                           FILTER (WHERE in_tok IS NOT NULL), ' '), '')
+           AS input_text,
+         coalesce(array_to_string(list(tgt_tok ORDER BY pos)
+                           FILTER (WHERE tgt_tok IS NOT NULL), ' '), '')
+           AS target_text
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_spans, masked_words,
+       CAST(n_words - masked_words + n_spans AS BIGINT) AS input_len,
+       CAST(masked_words + n_spans AS BIGINT) AS target_len,
+       md5(input_text) AS input_fp,
+       md5(target_text) AS target_fp
+FROM agg
+"""
+
+
 # --- DCT perceptual hash + resize robustness (round 7) -----------------------
 
 
@@ -7846,6 +8217,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_image_dct_robustness", image_dct_robustness, _image_dct_robust_sql()),
     ("llm_gopher_rules", gopher_rules, _gopher_rules_sql()),
     ("llm_dedup_survivor_weights", dedup_survivor_weights, _survivor_weights_sql()),
+    ("llm_span_corruption", span_corruption, _span_corruption_sql()),
+    ("llm_embedding_whitening", embedding_whitening, _WHITEN_SQL),
+    ("llm_signal_correlation", signal_correlation, _signal_corr_sql()),
 ]
 
 

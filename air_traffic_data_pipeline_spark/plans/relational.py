@@ -4101,6 +4101,189 @@ FROM (
     return f"{nat} UNION ALL {zo}"
 
 
+# --- EWMA-residual anomaly detection (round 7) -------------------------------
+
+ANOM_K = 2.0  # flag when |x - ewma_prev| > K * sigma_user
+
+
+def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user telemetry anomaly screen: each event's residual against
+    the EWMA of its STRICT predecessors (the forecast a monitor would
+    have held at that moment), flagged when it exceeds K times the user's
+    own history deviation — the thresholding step downstream of
+    ewma_per_user. Per user: event count, sigma, anomaly count, max
+    absolute residual.
+
+    The prefix-EWMA sequence is ONE seeded array fold (the accumulator
+    is the growing ewma list, appending a·x + (1-a)·last), replayed
+    verbatim by DuckDB's list_reduce over single-element-list inputs;
+    residuals, moments, and the max all fold over the same
+    (ts, event_id)-sorted array, so every float op sequence is identical
+    in both engines. Scale: one user-keyed shuffle, bounded per-user
+    arrays (a trailing window at 100 TB — the ewma_per_user caveat)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("xs"),
+    )
+    vals = F.transform(F.col("xs"), lambda s: s.getField("value"))
+    per = per.select("user_id", vals.alias("vals"))
+    n = F.size("vals")
+    a, b = F.lit(EWMA_ALPHA), F.lit(1.0 - EWMA_ALPHA)
+    ews = F.aggregate(
+        F.slice("vals", 2, n - 1),
+        F.array(F.element_at("vals", 1)),
+        lambda acc, x: F.concat(acc, F.array(a * x + b * F.element_at(acc, -1))),
+    )
+    sx = F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x)
+    sxx = F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x * x)
+    nd = n.cast("double")
+    sigma = F.sqrt((nd * sxx - sx * sx) / (nd * nd))
+    resid = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at("vals", i) - F.element_at(F.col("ews"), i - 1),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<double>)"))
+    t = per.select("user_id", "vals", ews.alias("ews"), sigma.alias("sigma"))
+    t = t.select("user_id", "vals", "sigma", resid.alias("rs"))
+    return t.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.round("sigma", 6).alias("sigma"),
+        F.size(
+            F.filter("rs", lambda r: F.abs(r) > F.lit(ANOM_K) * F.col("sigma"))
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.round(
+            F.aggregate("rs", F.lit(0.0), lambda acc, r: F.greatest(acc, F.abs(r))), 6
+        ).alias("max_resid"),
+    )
+
+
+EWMA_ANOM_SQL = f"""
+WITH per AS (
+  SELECT user_id, list(value ORDER BY epoch_ns(ts), event_id) AS vals
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+f AS (
+  SELECT user_id, vals, len(vals) AS n,
+         list_reduce(
+           list_prepend([vals[1]],
+                        list_transform(vals[2:], v -> [v])),
+           (acc, x) -> list_append(acc, {dlit(EWMA_ALPHA)} * x[-1]
+                                        + {dlit(1.0 - EWMA_ALPHA)} * acc[-1])) AS ews,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                     (acc, x) -> acc + x) AS sx,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(vals, v -> v * v)),
+                     (acc, x) -> acc + x) AS sxx
+  FROM per
+),
+g AS (
+  SELECT user_id, vals, n, ews,
+         sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma,
+         [vals[i] - ews[i - 1] for i in generate_series(2, n)] AS rs
+  FROM f
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(sigma, 6) AS sigma,
+       CAST(len([r for r in rs if abs(r) > {dlit(ANOM_K)} * sigma]) AS BIGINT)
+         AS n_anomalies,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list_transform(rs, r -> abs(r))),
+                         (acc, r) -> greatest(acc, r)), 6) AS max_resid
+FROM g
+"""
+
+
+# --- GDPR user-erasure audit (round 7) ---------------------------------------
+
+ERASE_MOD = 97  # deterministic stand-in for the deletion-request key set
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation audit: given a deletion-request key
+    set (here the deterministic user_id % ERASE_MOD == 0 stand-in), every
+    user-keyed table reports rows before, rows removed, and rows after —
+    the compliance ledger a deletion job must emit before committing the
+    rewrite. Orders cascade to their lineitems through the order key, so
+    the audit exercises both direct-key and transitive erasure.
+
+    Scale: each leg is one filtered count pair (erasure membership is a
+    pure key predicate, so it rides the scan); the lineitem leg is a
+    semi-join shipping only order keys. At 100 TB the same anti-join
+    feeds the actual rewrite; this query is its dry-run accounting."""
+    ev = load(spark, sf_dir, "events")
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    hit_ev = F.col("user_id") % ERASE_MOD == 0
+    hit_cu = F.col("c_custkey") % ERASE_MOD == 0
+    hit_od = F.col("o_custkey") % ERASE_MOD == 0
+
+    def leg(name: str, df: DataFrame, hit) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+            F.sum(hit.cast("int")).cast("bigint").alias("rows_removed"),
+            (F.count(F.lit(1)) - F.sum(hit.cast("int")))
+            .cast("bigint")
+            .alias("rows_after"),
+        )
+
+    erased_orders = od.filter(hit_od).select("o_orderkey")
+    li_hit = li.join(
+        erased_orders, li.l_orderkey == erased_orders.o_orderkey, "leftsemi"
+    )
+    li_leg = li.agg(F.count(F.lit(1)).cast("bigint").alias("rows_before")).crossJoin(
+        li_hit.agg(F.count(F.lit(1)).cast("bigint").alias("rows_removed"))
+    ).select(
+        F.lit("lineitem").alias("table_name"),
+        "rows_before",
+        "rows_removed",
+        (F.col("rows_before") - F.col("rows_removed")).cast("bigint").alias(
+            "rows_after"
+        ),
+    )
+    return (
+        leg("events", ev, hit_ev)
+        .unionByName(leg("customer", cu, hit_cu))
+        .unionByName(leg("orders", od, hit_od))
+        .unionByName(li_leg)
+    )
+
+
+USER_ERASURE_SQL = f"""
+SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS rows_before,
+       CAST(sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_removed,
+       CAST(count(*) - sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_after
+FROM events
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - sum(CASE WHEN c_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - sum(CASE WHEN o_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', b.n, r.n, b.n - r.n FROM
+  (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem) b,
+  (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+   WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                        WHERE o_custkey % {ERASE_MOD} = 0)) r
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -4215,6 +4398,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_market_basket", market_basket, MARKET_BASKET_SQL),
     ("rel_zorder_layout", zorder_layout, _zorder_sql()),
     ("rel_skyline_frontier", skyline_frontier, SKYLINE_SQL),
+    ("rel_user_erasure_audit", user_erasure_audit, USER_ERASURE_SQL),
+    ("rel_ewma_anomaly_flags", ewma_anomaly_flags, EWMA_ANOM_SQL),
 ]
 
 

@@ -29,6 +29,11 @@ HEADLINE = [
     "llm_cosine_topk",
     "llm_lsh_topk",
     "stream_sessionize_batch",
+    # round-7 additions: the two heaviest corpus-dedup paths get per-round
+    # visibility (new keys — absent from the r1 baseline total, so compare
+    # them round-over-round, not against the r1 aggregate)
+    "llm_repeated_spans",
+    "llm_semdedup_cells",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles

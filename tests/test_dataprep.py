@@ -734,3 +734,68 @@ def test_skyline_frontier_matches_bruteforce(spark):
     }
     assert got == want
     assert 1 <= len(got) < len(pairs), "frontier should prune most pairs"
+
+
+def test_ewma_anomaly_flags_matches_reference(spark):
+    """Prefix-EWMA residual screen replayed in pure Python (same order,
+    same float sequence): sigma, anomaly counts, and max residual must
+    match, and the threshold must flag at least one anomaly somewhere."""
+    import math
+
+    rows = {
+        r.user_id: r for r in relational.ewma_anomaly_flags(spark, SF).collect()
+    }
+    ev = sorted(
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    per_user: dict[int, list[float]] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.value)
+    a = relational.EWMA_ALPHA
+    total_anoms = 0
+    for uid, vals in per_user.items():
+        n = len(vals)
+        ews = [vals[0]]
+        for x in vals[1:]:
+            ews.append(a * x + (1.0 - a) * ews[-1])
+        rs = [vals[i] - ews[i - 1] for i in range(1, n)]
+        sx = 0.0
+        for v in vals:
+            sx += v
+        sxx = 0.0
+        for v in vals:
+            sxx += v * v
+        sigma = math.sqrt((n * sxx - sx * sx) / (n * n))
+        anoms = sum(1 for r in rs if abs(r) > relational.ANOM_K * sigma)
+        mx = 0.0
+        for r in rs:
+            mx = max(mx, abs(r))
+        g = rows[uid]
+        assert g.n_events == n
+        assert g.sigma == round(sigma, 6)
+        assert g.n_anomalies == anoms
+        assert g.max_resid == round(mx, 6)
+        total_anoms += anoms
+    assert set(rows) == set(per_user)
+    assert total_anoms > 0, "the threshold should flag something at sf0.001"
+
+
+def test_user_erasure_audit_consistent(spark):
+    """Per-table accounting must balance, and the lineitem cascade must
+    equal the driver-side recompute through erased orders."""
+    rows = {
+        r.table_name: r for r in relational.user_erasure_audit(spark, SF).collect()
+    }
+    assert set(rows) == {"events", "customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.rows_before == r.rows_removed + r.rows_after
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey").collect()
+    erased = {o.o_orderkey for o in orders if o.o_custkey % relational.ERASE_MOD == 0}
+    li = load(spark, SF, "lineitem").select("l_orderkey").collect()
+    assert rows["lineitem"].rows_removed == sum(1 for x in li if x.l_orderkey in erased)
+    assert rows["orders"].rows_removed == len(erased)
+    assert sum(r.rows_removed for r in rows.values()) > 0

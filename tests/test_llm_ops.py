@@ -2606,6 +2606,139 @@ def test_length_bucketing_matches_reference(spark):
     assert bucketed_alloc < flat_alloc
 
 
+def test_gopher_rules_matches_reference(spark):
+    """Recompute the four structural rules driver-side with plain Python
+    integers; the battery must actually split the corpus (both passing
+    and failing docs exist)."""
+    stops = set(llm.LANG_STOPWORDS["en"])
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in llm.gopher_rules(spark, SF).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    passes = set()
+    for d in docs:
+        ws = d.text.split(" ")
+        n = len(ws)
+        chars = len(d.text) - (n - 1)
+        nstop = sum(w in stops for w in ws)
+        ndig = sum(w.isdigit() for w in ws)
+        r1 = llm.GOPHER_MIN_WORDS <= n <= llm.GOPHER_MAX_WORDS
+        r2 = llm.GOPHER_MIN_MEAN_LEN * n <= chars <= llm.GOPHER_MAX_MEAN_LEN * n
+        r3 = ndig * 10 <= llm.GOPHER_MAX_DIGIT_FRAC10 * n
+        r4 = nstop >= llm.GOPHER_MIN_STOPWORDS
+        g = got[d.doc_id]
+        assert (g.n_words, g.word_chars, g.n_stop, g.n_digit) == (n, chars, nstop, ndig)
+        assert (g.r_wordcount, g.r_wordlen, g.r_digits, g.r_stopwords) == (
+            int(r1),
+            int(r2),
+            int(r3),
+            int(r4),
+        )
+        assert g.passes == int(r1 and r2 and r3 and r4)
+        passes.add(g.passes)
+    assert passes == {0, 1}
+
+
+def test_dedup_survivor_weights_conserve_mass(spark):
+    """Weights sum to the corpus size (soft dedup loses no mass), every
+    survivor is its group's minimum id, and weight_frac is the weight's
+    corpus share."""
+    import re
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    total = len(docs)
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        norm = re.sub(" +", " ", re.sub(r"[.,!?;:]", "", r.text.lower())).strip()
+        groups.setdefault(norm, []).append(r.doc_id)
+    rows = llm.dedup_survivor_weights(spark, SF).collect()
+    assert sum(r.weight for r in rows) == total
+    assert len(rows) == len(groups)
+    want = {min(ids): len(ids) for ids in groups.values()}
+    for r in rows:
+        assert want.get(r.doc_id) == r.weight
+        assert r.weight_frac == round(r.weight / total, 6)
+
+
+def test_span_corruption_matches_reference(spark):
+    """Replay the deterministic span selection and the input/target text
+    builds in pure Python for every doc; fingerprints must match
+    bitwise, and the length accounting must be internally consistent."""
+    import hashlib
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in llm.span_corruption(spark, SF).collect()}
+    L, DIV = llm.SPANC_L, llm.SPANC_DIV
+    for d in docs:
+        ws = d.text.split(" ")
+        n = len(ws)
+        S = n // DIV
+        spans = []
+        for s in range(S):
+            seg_s, seg_e = (s * n) // S, ((s + 1) * n) // S
+            room = seg_e - seg_s - (L - 1)
+            off = int(hashlib.md5(f"{d.doc_id}:{s}".encode()).hexdigest()[:4], 16) % room
+            spans.append((seg_s + off, seg_s + off + L - 1, s))
+        inp, tgt = [], []
+        masked = set()
+        starts = {a: s for a, _, s in spans}
+        for a, b, _s in spans:
+            masked.update(range(a, b + 1))
+        for i, w in enumerate(ws):
+            if i in starts:
+                inp.append(f"<extra_id_{starts[i]}>")
+                tgt.append(f"<extra_id_{starts[i]}> {w}")
+            elif i in masked:
+                tgt.append(w)
+            else:
+                inp.append(w)
+        g = got[d.doc_id]
+        assert g.n_words == n and g.n_spans == S and g.masked_words == S * L
+        assert g.input_len == n - S * L + S
+        assert g.target_len == S * L + S
+        assert g.input_fp == hashlib.md5(" ".join(inp).encode()).hexdigest()
+        assert g.target_fp == hashlib.md5(" ".join(tgt).encode()).hexdigest()
+
+
+def test_embedding_whitening_norms(spark):
+    """Population-standardized squared norms must sum to n_vectors x
+    n_dims per the identity Σ_v (x-μ)²/σ² = n per dimension (up to float
+    rounding), and every row must carry the full dim count."""
+    rows = llm.embedding_whitening(spark, SF).collect()
+    n = len(rows)
+    assert n > 0 and all(r.n_dims == llm.EMB_DIM for r in rows)
+    total = sum(r.wnorm2 for r in rows)
+    assert abs(total - n * llm.EMB_DIM) < 1e-2, total
+
+
+def test_signal_correlation_matches_numpy(spark):
+    """Pearson r between xent and quality recomputed with numpy from the
+    two per-doc tables; the two signals must actually correlate one way
+    or the other (|r| > 0, n = corpus size)."""
+    import numpy as np
+
+    xs = {r.doc_id: r.xent for r in llm.lm_token_logprob(spark, SF).collect()}
+    q = {
+        r.doc_id: r.quality
+        for r in load(spark, SF, "documents")
+        .select(
+            "doc_id",
+            __import__(
+                "air_traffic_data_pipeline_spark.functions.text", fromlist=["x"]
+            ).quality_score(F.col("text")).alias("quality"),
+        )
+        .collect()
+    }
+    ids = sorted(xs)
+    x = np.array([xs[i] for i in ids])
+    y = np.array([q[i] for i in ids])
+    want = float(np.corrcoef(x, y)[0, 1])
+    row = llm.signal_correlation(spark, SF).collect()[0]
+    assert row.n == len(ids)
+    assert abs(row.pearson_r - want) < 1e-6
+    assert row.pearson_r != 0.0
+    assert row.mean_xent == round(float(x.mean()), 6)
+
+
 def test_lm_token_logprob_matches_reference(spark):
     """Add-one-smoothed bigram LM trained and applied driver-side in pure
     Python (identical count arithmetic, identical position-ordered float
