@@ -7559,6 +7559,60 @@ FROM g CROSS JOIN t
 """
 
 
+# --- RAG context assembly (round 7) ------------------------------------------
+
+RAG_TOKEN_BUDGET = 300
+
+
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: the BM25 top-k ranking is packed into a
+    fixed token budget in rank order — a doc enters the context iff the
+    running token total INCLUDING it stays within budget (the standard
+    prefix rule; retrieval rank is the priority, so the first overflow
+    truncates the context). Per candidate: rank, token count, cumulative
+    tokens, and the selected flag — the packing audit the serving layer
+    logs next to every answer.
+
+    Scale: the ranking is already k rows, so the running-sum window costs
+    k rows per query whatever the corpus size; token counts join back by
+    doc_id from the scan."""
+    top = bm25_topk(spark, sf_dir).select("doc_id", "bm25", "rank")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    w = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    j = top.join(toks, "doc_id").withColumn("cum_tok", F.sum("n_tok").over(w))
+    return j.select(
+        "doc_id",
+        "rank",
+        "bm25",
+        "n_tok",
+        F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        (F.col("cum_tok") <= RAG_TOKEN_BUDGET).cast("int").alias("selected"),
+    )
+
+
+def _rag_pack_sql() -> str:
+    return f"""
+WITH top AS ({_BM25_SQL}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+j AS (
+  SELECT t.doc_id, t.rank, t.bm25, k.n_tok,
+         CAST(sum(k.n_tok) OVER (ORDER BY t.rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tok
+  FROM top t JOIN toks k ON t.doc_id = k.doc_id
+)
+SELECT doc_id, rank, bm25, n_tok, cum_tok,
+       CAST(CASE WHEN cum_tok <= {RAG_TOKEN_BUDGET} THEN 1 ELSE 0 END AS INTEGER)
+         AS selected
+FROM j
+"""
+
+
 # --- quality-signal correlation eval (round 7) -------------------------------
 
 
@@ -8218,6 +8272,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_span_corruption", span_corruption, _span_corruption_sql()),
     ("llm_embedding_whitening", embedding_whitening, _WHITEN_SQL),
     ("llm_signal_correlation", signal_correlation, _signal_corr_sql()),
+    ("llm_rag_context_pack", rag_context_pack, _rag_pack_sql()),
 ]
 
 

@@ -4101,6 +4101,84 @@ FROM (
     return f"{nat} UNION ALL {zo}"
 
 
+# --- session path mining (round 7) -------------------------------------------
+
+SESS_GAP_US = 600_000_000  # same 10-minute session gap as sessionize_events
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session navigation paths: the corpus-wide frequency of each
+    adjacent (from_type -> to_type) event transition INSIDE a session
+    (the gaps-and-islands sessionization of sessionize_events), plus the
+    conditional probability given the from-type — the first-order Markov
+    model behind funnel design and next-event prediction. Cross-session
+    boundaries contribute no transition (lag resets per session).
+
+    Scale: one user-keyed window shuffle (shared ordering for session ids
+    and the lag), then one map-side-combining aggregate sized by the
+    event-type alphabet squared; the per-from totals are a tiny window
+    over that aggregate."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when((F.col("ts_us") - F.lag("ts_us").over(w)) > SESS_GAP_US, 1).otherwise(
+            F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    ws = W.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+    pairs = (
+        sess.withColumn("from_type", F.lag("event_type").over(ws))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p_given_from"),
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESS_GAP_US} THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+),
+pairs AS (
+  SELECT lag(event_type) OVER ws AS from_type, event_type AS to_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts_us, event_id)
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS p_given_from
+FROM counts
+"""
+
+
 # --- EWMA-residual anomaly detection (round 7) -------------------------------
 
 ANOM_K = 2.0  # flag when |x - ewma_prev| > K * sigma_user
@@ -4400,6 +4478,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_skyline_frontier", skyline_frontier, SKYLINE_SQL),
     ("rel_user_erasure_audit", user_erasure_audit, USER_ERASURE_SQL),
     ("rel_ewma_anomaly_flags", ewma_anomaly_flags, EWMA_ANOM_SQL),
+    ("rel_session_paths", session_paths, SESSION_PATHS_SQL),
 ]
 
 

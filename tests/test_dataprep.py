@@ -799,3 +799,34 @@ def test_user_erasure_audit_consistent(spark):
     assert rows["lineitem"].rows_removed == sum(1 for x in li if x.l_orderkey in erased)
     assert rows["orders"].rows_removed == len(erased)
     assert sum(r.rows_removed for r in rows.values()) > 0
+
+
+def test_session_paths_matches_reference(spark):
+    """Transition counts and conditional probabilities replayed in pure
+    Python over the same session split; probabilities per from-type sum
+    to 1 and cross-session boundaries contribute nothing."""
+    ev = sorted(
+        load(spark, SF, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    gap = relational.SESS_GAP_US
+    want: dict[tuple, int] = {}
+    prev_user, prev_us, prev_type = None, None, None
+    for r in ev:
+        us = r.ts // 1000
+        same_sess = (
+            r.user_id == prev_user and prev_us is not None and us - prev_us <= gap
+        )
+        if same_sess:
+            want[(prev_type, r.event_type)] = want.get((prev_type, r.event_type), 0) + 1
+        prev_user, prev_us, prev_type = r.user_id, us, r.event_type
+    rows = relational.session_paths(spark, SF).collect()
+    got = {(r.from_type, r.to_type): r.n for r in rows}
+    assert got == want
+    from_tot: dict[str, int] = {}
+    for (f, _t), n in want.items():
+        from_tot[f] = from_tot.get(f, 0) + n
+    for r in rows:
+        assert r.p_given_from == round(r.n / from_tot[r.from_type], 6)

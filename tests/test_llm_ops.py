@@ -2779,3 +2779,19 @@ def test_lm_token_logprob_matches_reference(spark):
     assert sum(r.n_kept for r in fl.values()) > 0
     for r in fl.values():
         assert r.n_docs == r.n_kept + r.n_removed
+
+
+def test_rag_context_pack_budget(spark):
+    """Prefix packing invariants: ranks 1..k all present, cumulative sums
+    correct, selection is exactly the budget prefix, and the budget
+    actually truncates (some candidate is excluded)."""
+    rows = sorted(llm.rag_context_pack(spark, SF).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == llm.BM25_TOPK
+    cum = 0
+    for r in rows:
+        cum += r.n_tok
+        assert r.cum_tok == cum
+        assert r.selected == int(cum <= llm.RAG_TOKEN_BUDGET)
+    assert any(r.selected == 0 for r in rows), "budget should truncate at sf0.001"
+    assert any(r.selected == 1 for r in rows)

