@@ -340,3 +340,40 @@ def test_pq_ops_empty_embeddings(spark, tmp_path):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
         assert col in out.columns, fn.__name__
+
+
+def test_round7_ops_empty_inputs(spark, tmp_path):
+    """Round-7 ops over empty lakes: typed empty frames (or, for the
+    1-row-aggregate shapes, a well-defined degenerate row), no crash."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    load(spark, SF, "embeddings").filter(F.lit(False)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    load(spark, SF, "events").filter(F.lit(False)).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    for fn, col in (
+        (llm.lm_token_logprob, "ppl"),
+        (llm.lm_ppl_filter, "n_removed"),
+        (llm.gopher_rules, "passes"),
+        (llm.dedup_survivor_weights, "weight_frac"),
+        (llm.span_corruption, "input_fp"),
+        (llm.embedding_whitening, "wnorm2"),
+        (llm.image_dct_phash, "dct_hash"),
+        (llm.image_dct_robustness, "ham_dct"),
+        (llm.rag_context_pack, "selected"),
+        (relational.ewma_anomaly_flags, "n_anomalies"),
+        (relational.session_paths, "p_given_from"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__
+    # 1-row aggregate shapes: a degenerate-but-typed row, not a crash
+    row = llm.signal_correlation(spark, sf).collect()
+    assert len(row) == 1 and row[0].n == 0
