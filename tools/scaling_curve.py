@@ -81,6 +81,11 @@ def main() -> int:
         "noise_grid_refgeom": domain.domain_queries()["noise_grid_refgeom"],
         "llm_minhash_near_dup_pairs": llm.minhash_near_dup_pairs,
         "llm_semdedup_cells": llm.semdedup_cells,
+        # round-7 additions: corpus-internal span dedup (winnow window +
+        # (h, gram) count window) and the token-level LM scorer (two
+        # word-keyed joins + per-doc fold) — the new heavy paths
+        "llm_repeated_spans": llm.repeated_spans,
+        "llm_lm_token_logprob": llm.lm_token_logprob,
     }
 
     root = tempfile.mkdtemp(prefix="scale_")
