@@ -7559,6 +7559,97 @@ FROM g CROSS JOIN t
 """
 
 
+# --- dataset snapshot diff (round 7) -----------------------------------------
+
+DIFF_ADD_MOD = 17  # doc_id % 17 == 3: present only in the CURRENT snapshot
+DIFF_CHG_MOD = 13  # doc_id % 13 == 5: text differs between snapshots
+DIFF_RM_MOD = 19  # doc_id % 19 == 7: spawns a prev-only doc (removed since)
+DIFF_RM_OFFSET = 10_000_000
+
+
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: current snapshot vs the previous release,
+    classified added / removed / changed / unchanged by a full-outer join
+    on doc_id with fingerprint comparison — the audit row a dataset card
+    carries between versions ("what moved since v1?"). The previous
+    snapshot is DERIVED deterministically from the lake (docs % ADD are
+    new in current; % CHG had different text before; % RM spawn
+    prev-only ids), so the oracle replays the identical construction.
+    Output: per-status doc and char volumes.
+
+    Scale: both sides reduce to (doc_id, fingerprint, n_chars) before the
+    one doc_id-keyed full-outer join; text never shuffles. At 100 TB the
+    prev side is the previous release's manifest, not a re-derivation."""
+    cur = load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), F.col("n_chars")
+    )
+    d = load(spark, sf_dir, "documents")
+    prev_kept = d.filter(F.col("doc_id") % DIFF_ADD_MOD != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_CHG_MOD == 5,
+            fingerprint(F.concat(F.lit("v1 "), F.col("text"))),
+        )
+        .otherwise(fingerprint(F.col("text")))
+        .alias("fp"),
+        "n_chars",
+    )
+    prev_rm = d.filter(F.col("doc_id") % DIFF_RM_MOD == 7).select(
+        (F.col("doc_id") + DIFF_RM_OFFSET).alias("doc_id"),
+        fingerprint(F.col("text")).alias("fp"),
+        "n_chars",
+    )
+    prev = prev_kept.unionByName(prev_rm)
+    j = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.fp") != F.col("p.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    chars = F.coalesce(F.col("c.n_chars"), F.col("p.n_chars"))
+    return (
+        j.select(status.alias("status"), chars.alias("nc"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def _dataset_diff_sql() -> str:
+    return f"""
+WITH cur AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fp, n_chars FROM documents
+),
+prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_CHG_MOD} = 5
+              THEN {fingerprint_sql("('v1 ' || text)")}
+              ELSE {fingerprint_sql('text')} END AS fp,
+         n_chars
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} != 3
+  UNION ALL
+  SELECT doc_id + {DIFF_RM_OFFSET}, {fingerprint_sql('text')}, n_chars
+  FROM documents WHERE doc_id % {DIFF_RM_MOD} = 7
+),
+j AS (
+  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.fp != p.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(c.n_chars, p.n_chars) AS nc
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars
+FROM j GROUP BY status
+"""
+
+
 # --- RAG context assembly (round 7) ------------------------------------------
 
 RAG_TOKEN_BUDGET = 300
@@ -8273,6 +8364,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_embedding_whitening", embedding_whitening, _WHITEN_SQL),
     ("llm_signal_correlation", signal_correlation, _signal_corr_sql()),
     ("llm_rag_context_pack", rag_context_pack, _rag_pack_sql()),
+    ("llm_dataset_diff", dataset_diff, _dataset_diff_sql()),
 ]
 
 

@@ -4101,6 +4101,65 @@ FROM (
     return f"{nat} UNION ALL {zo}"
 
 
+# --- differentially-private release counts (round 7) -------------------------
+
+DP_EPSILON = 0.5
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts: per-event-type counts with
+    Laplace(1/ε) noise — the privacy mechanism next to the k-anonymity
+    audit (that one measures re-identification risk; this one releases a
+    protected aggregate). Count queries have sensitivity 1, so the noise
+    scale is b = 1/ε.
+
+    The Laplace draw is DETERMINISTIC: u = hex4(md5(event_type))/65536 ∈
+    (0,1), noise = -b·sign(u-0.5)·ln(1-2|u-0.5|) — the inverse-CDF
+    transform on a hash-seeded uniform, so the release is reproducible
+    under re-runs/retries (the stratified-sample discipline applied to
+    noise; a production run would salt the hash with a per-release secret
+    seed). Exact integer counts underneath; one ln per released row.
+    Scale: one map-side-combining aggregate, alphabet-sized output."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    from .llm import _hex4_to_int
+
+    u = _hex4_to_int(F.md5(F.col("event_type"))) / F.lit(65536.0)
+    b = F.lit(1.0 / DP_EPSILON)
+    half = u - F.lit(0.5)
+    noise = -b * F.signum(half) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(half))
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count").cast("double") + noise, 6).alias("released"),
+    )
+
+
+def _dp_counts_sql() -> str:
+    from .llm import _hex4_to_int_sql
+
+    u = f"({_hex4_to_int_sql('md5(event_type)')} / CAST(65536.0 AS DOUBLE))"
+    b = dlit(1.0 / DP_EPSILON)
+    half = f"({u} - {dlit(0.5)})"
+    noise = (
+        f"(-{b} * sign({half})"
+        f" * ln({dlit(1.0)} - {dlit(2.0)} * abs({half})))"
+    )
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+  FROM events GROUP BY event_type
+)
+SELECT event_type, true_count,
+       round({noise}, 6) AS noise,
+       round(CAST(true_count AS DOUBLE) + {noise}, 6) AS released
+FROM c
+"""
+
+
 # --- session path mining (round 7) -------------------------------------------
 
 SESS_GAP_US = 600_000_000  # same 10-minute session gap as sessionize_events
@@ -4479,6 +4538,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_user_erasure_audit", user_erasure_audit, USER_ERASURE_SQL),
     ("rel_ewma_anomaly_flags", ewma_anomaly_flags, EWMA_ANOM_SQL),
     ("rel_session_paths", session_paths, SESSION_PATHS_SQL),
+    ("rel_dp_noisy_counts", dp_noisy_counts, _dp_counts_sql()),
 ]
 
 

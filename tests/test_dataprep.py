@@ -830,3 +830,50 @@ def test_session_paths_matches_reference(spark):
         from_tot[f] = from_tot.get(f, 0) + n
     for r in rows:
         assert r.p_given_from == round(r.n / from_tot[r.from_type], 6)
+
+
+def test_dp_noisy_counts_reference(spark):
+    """Laplace inverse-CDF noise replayed in pure Python from the same
+    hash-seeded uniforms; released = count + noise; |noise| scale sane."""
+    import hashlib
+    import math
+
+    rows = {r.event_type: r for r in relational.dp_noisy_counts(spark, SF).collect()}
+    ev = load(spark, SF, "events").select("event_type").collect()
+    counts: dict[str, int] = {}
+    for r in ev:
+        counts[r.event_type] = counts.get(r.event_type, 0) + 1
+    assert set(rows) == set(counts)
+    b = 1.0 / relational.DP_EPSILON
+    for t, n in counts.items():
+        u = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) / 65536.0
+        half = u - 0.5
+        sign = (half > 0) - (half < 0)
+        noise = -b * sign * math.log(1.0 - 2.0 * abs(half))
+        g = rows[t]
+        assert g.true_count == n
+        assert g.noise == round(noise, 6)
+        assert g.released == round(n + noise, 6)
+
+
+def test_dataset_diff_balances(spark):
+    """The four statuses partition the joined universe: added+changed+
+    unchanged = current docs; removed+changed+unchanged = prev docs; each
+    class is non-empty at sf0.001 (the derivation guarantees all four)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    rows = {r.status: r for r in llm.dataset_diff(spark, SF).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    docs = load(spark, SF, "documents").select("doc_id").collect()
+    n = len(docs)
+    n_added = sum(1 for d in docs if d.doc_id % llm.DIFF_ADD_MOD == 3)
+    n_removed = sum(1 for d in docs if d.doc_id % llm.DIFF_RM_MOD == 7)
+    n_changed = sum(
+        1
+        for d in docs
+        if d.doc_id % llm.DIFF_ADD_MOD != 3 and d.doc_id % llm.DIFF_CHG_MOD == 5
+    )
+    assert rows["added"].n_docs == n_added
+    assert rows["removed"].n_docs == n_removed
+    assert rows["changed"].n_docs == n_changed
+    assert rows["unchanged"].n_docs == n - n_added - n_changed
