@@ -7559,6 +7559,126 @@ FROM g CROSS JOIN t
 """
 
 
+# --- composed pretraining pipeline v2 (round 7) ------------------------------
+
+PIPE2_MAX_REPEATED = 0.5  # drop docs that are mostly repeated spans
+
+
+def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6/7 curation stack as ONE composed lazy plan — the
+    second-generation sibling of llm_curation_pipeline (which composes
+    the round-2 stages): URL-canonicalization dedup (latest crawl per
+    canonical URL) → Gopher structural gate → LM cross-entropy gate →
+    drop mostly-repeated-span docs → inverse-sqrt language temperature
+    sampling over the SURVIVOR distribution (the realistic order: rates
+    re-derive from the cleaned corpus, not the raw crawl) → per-language
+    release accounting. Every stage is an already-oracle-checked
+    operator; this query value-checks their COMPOSITION.
+
+    Scale: keep/drop sets are doc_id-keyed semi/anti joins; the wide
+    stages (winnow, LM scoring) appear exactly once each; the temperature
+    rates are a lang-sized broadcast."""
+    url_keep = url_dedup(spark, sf_dir).select(F.col("kept_doc_id").alias("doc_id"))
+    gop = gopher_rules(spark, sf_dir).filter(F.col("passes") == 1).select("doc_id")
+    ppl = (
+        lm_token_logprob(spark, sf_dir)
+        .filter(F.col("xent") <= XENT_MAX)
+        .select("doc_id")
+    )
+    heavy = (
+        repeated_spans(spark, sf_dir)
+        .filter(F.col("repeated_frac") > PIPE2_MAX_REPEATED)
+        .select("doc_id")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    surv = (
+        d.join(url_keep, "doc_id", "leftsemi")
+        .join(gop, "doc_id", "leftsemi")
+        .join(ppl, "doc_id", "leftsemi")
+        .join(heavy, "doc_id", "left_anti")
+    )
+    per = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_gates")
+    )
+    tot = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(LANG_TEMP_BASE)
+        * F.sqrt(
+            F.col("n_total").cast("double") / F.col("n_after_gates").cast("double")
+        ),
+    )
+    rated = per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_after_gates", F.round(rate, 6).alias("keep_rate")
+    )
+    hv = _hex4_to_int(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")))
+    )
+    kept = (
+        surv.select("doc_id", "lang", hv.alias("hv"), word_count(F.col("text")).alias("n_tok"))
+        .join(F.broadcast(rated.select("lang", "keep_rate")), "lang")
+        .filter(F.col("hv") / F.lit(65536.0) < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_kept"),
+        )
+    )
+    return rated.join(kept, "lang", "left").select(
+        "lang",
+        "n_after_gates",
+        "keep_rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )
+
+
+def _pipeline_v2_sql() -> str:
+    gate = f"""
+url_keep AS (SELECT kept_doc_id AS doc_id FROM ({_URL_DEDUP_SQL})),
+gop AS (SELECT doc_id FROM ({_gopher_rules_sql()}) WHERE passes = 1),
+ppl AS (SELECT doc_id FROM ({_LM_LOGPROB_SQL})
+        WHERE xent <= CAST({XENT_MAX} AS DOUBLE)),
+heavy AS (SELECT doc_id FROM ({_REPEATED_SPANS_SQL})
+          WHERE repeated_frac > CAST({PIPE2_MAX_REPEATED} AS DOUBLE)),
+surv AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  SEMI JOIN url_keep u ON d.doc_id = u.doc_id
+  SEMI JOIN gop g ON d.doc_id = g.doc_id
+  SEMI JOIN ppl p ON d.doc_id = p.doc_id
+  ANTI JOIN heavy h ON d.doc_id = h.doc_id
+),
+per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after_gates
+        FROM surv GROUP BY lang),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM surv),
+rated AS (
+  SELECT lang, n_after_gates,
+         round(least(CAST(1.0 AS DOUBLE),
+                     CAST({dlit(LANG_TEMP_BASE)} AS DOUBLE)
+                     * sqrt(CAST(n_total AS DOUBLE)
+                            / CAST(n_after_gates AS DOUBLE))), 6) AS keep_rate
+  FROM per CROSS JOIN tot
+),
+kept AS (
+  SELECT s.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(len(string_split(s.text, ' '))) AS BIGINT) AS n_tokens_kept
+  FROM surv s JOIN rated r ON s.lang = r.lang
+  WHERE {_hex4_to_int_sql("md5(CAST(s.doc_id AS VARCHAR) || ':' || s.lang)")}
+        / CAST(65536.0 AS DOUBLE) < r.keep_rate
+  GROUP BY s.lang
+)"""
+    return f"""
+WITH {gate}
+SELECT r.lang, r.n_after_gates, r.keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM rated r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
 # --- dataset snapshot diff (round 7) -----------------------------------------
 
 DIFF_ADD_MOD = 17  # doc_id % 17 == 3: present only in the CURRENT snapshot
@@ -8365,6 +8485,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_signal_correlation", signal_correlation, _signal_corr_sql()),
     ("llm_rag_context_pack", rag_context_pack, _rag_pack_sql()),
     ("llm_dataset_diff", dataset_diff, _dataset_diff_sql()),
+    ("llm_pretrain_pipeline_v2", pretrain_pipeline_v2, _pipeline_v2_sql()),
 ]
 
 

@@ -2795,3 +2795,38 @@ def test_rag_context_pack_budget(spark):
         assert r.selected == int(cum <= llm.RAG_TOKEN_BUDGET)
     assert any(r.selected == 0 for r in rows), "budget should truncate at sf0.001"
     assert any(r.selected == 1 for r in rows)
+
+
+def test_pretrain_pipeline_v2_stage_consistency(spark):
+    """The composed v2 pipeline must agree with its stages run
+    independently: survivors-per-language equal the intersection of the
+    four gates; temperature keeps at most the gated docs and upsamples
+    the rarest surviving language relative to the most common one."""
+    url_keep = {r.kept_doc_id for r in llm.url_dedup(spark, SF).collect()}
+    gop = {r.doc_id for r in llm.gopher_rules(spark, SF).collect() if r.passes == 1}
+    ppl = {
+        r.doc_id
+        for r in llm.lm_token_logprob(spark, SF).collect()
+        if r.xent <= llm.XENT_MAX
+    }
+    heavy = {
+        r.doc_id
+        for r in llm.repeated_spans(spark, SF).collect()
+        if r.repeated_frac > llm.PIPE2_MAX_REPEATED
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, SF, "documents").select("doc_id", "lang").collect()
+    }
+    surv = (url_keep & gop & ppl) - heavy
+    per: dict[str, int] = {}
+    for d in surv:
+        per[langs[d]] = per.get(langs[d], 0) + 1
+    rows = {r.lang: r for r in llm.pretrain_pipeline_v2(spark, SF).collect()}
+    assert {k: v.n_after_gates for k, v in rows.items()} == per
+    assert 0 < len(surv) < len(langs), "every gate should bite but not kill all"
+    for r in rows.values():
+        assert r.n_kept <= r.n_after_gates
+    rare = min(rows.values(), key=lambda r: r.n_after_gates)
+    common = max(rows.values(), key=lambda r: r.n_after_gates)
+    assert rare.keep_rate >= common.keep_rate
