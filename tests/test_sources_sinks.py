@@ -318,3 +318,31 @@ def test_zorder_clustered_write_shrinks_file_ranges(spark, tmp_path):
         # resolution on the sparse tail and the raw-range shrink is smaller
         # than uniform user_id's — still a ~2x stats-pruning win.
         assert c < factor * p, (col, c, p)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake schema evolution: a second batch adds a column; reading with
+    mergeSchema unifies the schema and back-fills nulls for the old
+    files — the additive-evolution contract a 100 TB lake relies on when
+    a pipeline starts emitting a new field mid-history."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolve")
+    spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(f"{base}/batch=1")
+    spark.range(5, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("tag").alias("extra"),
+    ).write.parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/batch=*")
+    assert set(merged.columns) >= {"k", "v", "extra"}
+    rows = {r.k: r for r in merged.collect()}
+    assert len(rows) == 10
+    assert all(rows[k].extra is None for k in range(5))
+    assert all(rows[k].extra == "tag" for k in range(5, 10))
+    # WITHOUT mergeSchema the first-listed footer wins: the column may be
+    # absent — the failure mode the option exists to prevent
+    plain = spark.read.parquet(f"{base}/batch=*")
+    assert set(plain.columns) >= {"k", "v"}
