@@ -1527,6 +1527,72 @@ FROM documents d ANTI JOIN kills k ON d.doc_id = k.doc_id
 """
 
 
+def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: each near-dup cluster keeps its
+    HIGHEST-QUALITY member (quality score desc, doc_id asc tiebreak)
+    instead of the lowest id — what production dedup actually ships (the
+    best copy survives, not an arbitrary one). Unclustered docs survive
+    untouched; each survivor row carries its cluster id and size so the
+    release audit can weight by multiplicity.
+
+    Scale: the cluster table is near-dup-members-sized (tiny vs the
+    corpus); quality joins on doc_id; the per-cluster argmax is a window
+    over cluster members only, then one anti join removes the
+    non-canonical members from the corpus."""
+    d = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    cc = dedup_clusters(spark, sf_dir)
+    scored = cc.join(d.select("doc_id", q.alias("quality")), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "csize", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    )
+    kills = ranked.filter(F.col("rn") != 1).select("doc_id")
+    keep_meta = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster_id", F.col("csize").cast("bigint").alias("cluster_size")
+    )
+    return (
+        d.join(kills, "doc_id", "left_anti")
+        .join(keep_meta, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+    )
+
+
+_CLUSTER_BEST_SQL = f"""
+WITH RECURSIVE cc AS ({_CLUSTERS_SQL}),
+scored AS (
+  SELECT cc.doc_id, cc.cluster_id, {quality_score_sql('d.text')} AS quality
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM scored
+),
+kills AS (SELECT doc_id FROM ranked WHERE rn != 1),
+keep_meta AS (SELECT doc_id, cluster_id, CAST(csize AS BIGINT) AS cluster_size
+              FROM ranked WHERE rn = 1)
+SELECT d.doc_id, d.lang, d.n_chars,
+       coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(m.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d
+ANTI JOIN kills k ON d.doc_id = k.doc_id
+LEFT JOIN keep_meta m ON d.doc_id = m.doc_id
+"""
+
+
 # --- end-to-end quality gate ----------------------------------------------
 
 QUALITY_MIN = 0.5
@@ -8486,6 +8552,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_rag_context_pack", rag_context_pack, _rag_pack_sql()),
     ("llm_dataset_diff", dataset_diff, _dataset_diff_sql()),
     ("llm_pretrain_pipeline_v2", pretrain_pipeline_v2, _pipeline_v2_sql()),
+    ("llm_cluster_best_survivor", cluster_best_survivor, _CLUSTER_BEST_SQL),
 ]
 
 

@@ -376,6 +376,21 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def stream_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_funnel
+
+    return incremental_funnel(spark, sf_dir)
+
+
+def _funnel_sql() -> str:
+    """The merged funnel-slice state must reproduce the one-shot
+    strictly-after min-chain bitwise — the batch query's SQL IS the
+    oracle."""
+    from .relational import FUNNEL_SQL
+
+    return FUNNEL_SQL
+
+
 def stream_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import incremental_quantile_value
 
@@ -430,6 +445,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_url_dedup", stream_incremental_url_dedup, _url_dedup_sql()),
     ("stream_incremental_semdedup", stream_incremental_semdedup, _semdedup_sql()),
     ("stream_incremental_bm25", stream_incremental_bm25, _bm25_sql()),
+    ("stream_incremental_funnel", stream_incremental_funnel, _funnel_sql()),
 ]
 
 if _tws_available():

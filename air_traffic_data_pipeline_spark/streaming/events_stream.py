@@ -713,6 +713,101 @@ QUANT_BIN_WIDTH = 5.0
 QUANT_QS = (0.5, 0.9, 0.99)
 
 
+FUNNEL_TYPES = ("view", "click", "purchase")
+
+
+def incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental funnel maintenance — bitwise equal to the
+    one-shot ``plans.relational.funnel_steps`` (its SQL is the oracle).
+
+    The funnel's strictly-after min-chain (t1 = min view; t2 = min click
+    > t1; t3 = min purchase > t2) is NOT distributive in per-type minima
+    alone — an early-arriving later view can LOWER t1 and thereby unlock
+    an earlier click as t2 — so the sufficient statistic is the per-user
+    event-time SET of the three funnel types. Each micro-batch lands its
+    own distinct (user, type, ts) funnel-slice projection; the view
+    re-runs the min-chain on the merged, distinct-union state. Old raw
+    events are never re-read, non-funnel types never enter state, and
+    set-union is order-free — the staged batches deliberately replay
+    newest-first (the late-data staging), so the equality proves arrival
+    order cannot matter. Epoch-scoped overwrite = replay-idempotent.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    tune_session(spark)
+    d = _stage_late_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_funnel_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.filter(F.col("event_type").isin(*FUNNEL_TYPES))
+            .select("user_id", "event_type", "ts")
+            .distinct()
+        )
+        part.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        ev = spark.read.parquet(f"{base}/batch=*").distinct()
+        t1 = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        t2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(t1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        t3 = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(t2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        rows = [
+            t1.agg(
+                F.lit(1).alias("step"),
+                F.lit("view").alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            ),
+            t2.agg(
+                F.lit(2).alias("step"),
+                F.lit("click_after_view").alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            ),
+            t3.agg(
+                F.lit(3).alias("step"),
+                F.lit("purchase_after_click").alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            ),
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile maintenance via fixed-bin histogram partials:
     each micro-batch lands its OWN (bin, cnt) histogram (bin =

@@ -738,3 +738,27 @@ def test_incremental_semdedup_equals_batch(spark):
                     if a.vec_id % 3 != b.vec_id % 3:
                         cross_batch += 1
     assert cross_batch > 0, "fixture should exercise the store-side leg"
+
+
+def test_incremental_funnel_equals_batch(spark):
+    """The funnel-slice union state must reproduce the one-shot funnel
+    exactly under the adversarial newest-first staging (a late-arriving
+    early view can lower t1 and unlock an earlier click — per-type minima
+    alone would get this wrong, the distinct ts-set state must not)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        incremental_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.step, r.step_name, r.n_users)
+        for r in incremental_funnel(spark, sf).collect()
+    )
+    want = sorted(
+        (r.step, r.step_name, r.n_users)
+        for r in relational.funnel_steps(spark, sf).collect()
+    )
+    assert got == want
+    counts = {s: n for s, _, n in want}
+    assert counts[1] >= counts[2] >= counts[3] > 0
