@@ -7625,6 +7625,74 @@ FROM g CROSS JOIN t
 """
 
 
+# --- contamination n-gram sensitivity sweep (round 7) ------------------------
+
+CONTAM_SWEEP_NS = (3, 5, 8, 13)
+
+
+def contamination_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-detector sensitivity sweep: the fraction of corpus
+    docs flagged (>= 1 benchmark shingle hit) at word-n-gram sizes 3, 5,
+    8, 13 — the parameter study behind the n choice (3-grams fire on
+    topic overlap, GPT-3's 13-gram convention fires only on verbatim
+    spans). One row per n with doc counts and the flag rate.
+
+    Scale: each n is the contamination_check shape — bench shingles are
+    fixed-size by contract and broadcast; the corpus side ships
+    (doc_id, shingle) pairs into a distinct + 1-row count. The union of
+    four 1-row frames costs four corpus scans; a production sweep would
+    share one explode of the max-n grams and derive the shorter ones."""
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    out = None
+    for n in CONTAM_SWEEP_NS:
+        sh = exploded_shingles(d, k=n).distinct()
+        bench = sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select("s").distinct()
+        corp = sh.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+        flagged = corp.join(F.broadcast(bench), "s").select("doc_id").distinct()
+        row = (
+            corp.select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .crossJoin(
+                flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+            )
+            .select(
+                F.lit(n).cast("int").alias("n_gram"),
+                "n_docs",
+                "n_flagged",
+                F.round(
+                    F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"),
+                    6,
+                ).alias("flag_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _contam_by_n_sql() -> str:
+    legs = []
+    for n in CONTAM_SWEEP_NS:
+        sh = f"""(SELECT DISTINCT doc_id, unnest({shingles_sql('text', n)}) AS s
+                 FROM documents)"""
+        legs.append(
+            f"""
+SELECT CAST({n} AS INTEGER) AS n_gram,
+       t.n_docs, f.n_flagged,
+       round(CAST(f.n_flagged AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6)
+         AS flag_rate
+FROM (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM {sh} c WHERE doc_id >= {CONTAM_BENCH_MAX_ID}) t
+CROSS JOIN
+     (SELECT CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_flagged
+      FROM {sh} c
+      JOIN (SELECT DISTINCT s FROM {sh} b
+            WHERE doc_id < {CONTAM_BENCH_MAX_ID}) bs ON c.s = bs.s
+      WHERE c.doc_id >= {CONTAM_BENCH_MAX_ID}) f"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
 # --- composed pretraining pipeline v2 (round 7) ------------------------------
 
 PIPE2_MAX_REPEATED = 0.5  # drop docs that are mostly repeated spans
@@ -8553,6 +8621,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dataset_diff", dataset_diff, _dataset_diff_sql()),
     ("llm_pretrain_pipeline_v2", pretrain_pipeline_v2, _pipeline_v2_sql()),
     ("llm_cluster_best_survivor", cluster_best_survivor, _CLUSTER_BEST_SQL),
+    ("llm_contamination_by_n", contamination_by_n, _contam_by_n_sql()),
 ]
 
 

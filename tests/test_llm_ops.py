@@ -2830,3 +2830,20 @@ def test_pretrain_pipeline_v2_stage_consistency(spark):
     rare = min(rows.values(), key=lambda r: r.n_after_gates)
     common = max(rows.values(), key=lambda r: r.n_after_gates)
     assert rare.keep_rate >= common.keep_rate
+
+
+def test_contamination_by_n_monotone(spark):
+    """Flag rate must be non-increasing in n (a shared n-gram contains
+    shared shorter grams, so smaller n can only flag MORE docs), all four
+    sweep points present, and the 3-gram row must agree with a driver-side
+    recount from contamination_check's per-doc table."""
+    rows = sorted(llm.contamination_by_n(spark, SF).collect(), key=lambda r: r.n_gram)
+    assert [r.n_gram for r in rows] == list(llm.CONTAM_SWEEP_NS)
+    rates = [r.flag_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    base = llm.contamination_check(spark, SF).collect()
+    n_flagged_3 = sum(1 for r in base if r.n_hit > 0)
+    assert rows[0].n_flagged == n_flagged_3
+    assert rows[0].n_docs == len(base)
+    for r in rows:
+        assert r.flag_rate == round(r.n_flagged / r.n_docs, 6)
