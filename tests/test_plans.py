@@ -603,9 +603,11 @@ def test_salted_group_topk_under_skew_and_sparse_salts(spark):
 def test_round6_llm_ops_plan_shapes(spark):
     """Round-6 ops stay JVM-side and shuffle-lean: winnowing is pure
     Catalyst (explode + window, no Python eval, no cartesian); the
-    repeated-gram detection is an aggregate + semi join, never a
-    fingerprint self-join pair blowup; url dedup is a single hash
-    aggregate over a codegen'd canonicalizer (no window, no join)."""
+    repeated-gram detection is a (h, gram) count window over ONE winnow
+    subtree (r7: replaced the aggregate + semi-join-back form, which
+    computed the winnow pipeline twice), never a fingerprint self-join
+    pair blowup; url dedup is a single hash aggregate over a codegen'd
+    canonicalizer (no window, no join)."""
     from air_traffic_data_pipeline_spark.plans import llm
 
     for fn in (
@@ -619,7 +621,10 @@ def test_round6_llm_ops_plan_shapes(spark):
         assert "CartesianProduct" not in p, fn.__name__
 
     p = plan(llm.repeated_spans(spark, SF), "simple")
-    assert "LeftSemi" in p  # repeated-gram membership, not a pair join
+    # repeated-gram membership via the count window, not a pair join and
+    # not a second winnow branch: the only join left is the final doc
+    # metadata attach
+    assert "LeftSemi" not in p and p.count("Window") >= 2
 
     p = plan(llm.url_dedup(spark, SF), "simple")
     assert "Window" not in p  # aggregate form, not last_wins window
