@@ -7625,6 +7625,138 @@ FROM g CROSS JOIN t
 """
 
 
+# --- deflated second PCA component (round 7) ---------------------------------
+
+
+def pca_deflated_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second step of iterative PCA: deflate every vector against the
+    first loading direction (x' = x - <x, v1>·v1, with v1 the 6-dp
+    loading vector pca_power_iter publishes — both engines deflate
+    against the IDENTICAL rounded doubles), then run one power step
+    u2 = X'ᵀ(X'v0) on the deflated data and report the normalized
+    second loading. Because every x' is orthogonal to v1 by construction,
+    u2 — a combination of the x' — is orthogonal to v1 up to deflation
+    rounding; the pytest pins <l1, l2> ≈ 0, turning "loops this plan"
+    into demonstrated multi-component machinery.
+
+    Scale shape: v1 is a 64-row broadcast; the projection and deflation
+    are vec-keyed folds; u2 is the same 64-group aggregate as component
+    one. Nothing all-pairs, no driver matrices."""
+    v1 = pca_power_iter(spark, sf_dir).select("pos", F.col("loading").alias("l1"))
+    e = _emb_ok(spark, sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    ).join(F.broadcast(v1), "pos")
+    proj = (
+        ex.select(
+            "vec_id", F.struct("pos", (F.col("x") * F.col("l1")).alias("t")).alias("pt")
+        )
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+        .select(
+            "vec_id",
+            F.aggregate("pts", F.lit(0.0), lambda a, s: a + s.getField("t")).alias(
+                "proj"
+            ),
+        )
+    )
+    defl = ex.join(proj, "vec_id").select(
+        "vec_id", "pos", (F.col("x") - F.col("proj") * F.col("l1")).alias("xd")
+    )
+    s2 = (
+        defl.select(
+            "vec_id",
+            F.struct("pos", (F.col("xd") * F.lit(PCA_V0)).alias("t")).alias("pt"),
+        )
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+        .select(
+            "vec_id",
+            F.aggregate("pts", F.lit(0.0), lambda a, s: a + s.getField("t")).alias(
+                "s2"
+            ),
+        )
+    )
+    u2 = (
+        defl.join(s2, "vec_id")
+        .select(
+            "pos",
+            F.struct("vec_id", (F.col("s2") * F.col("xd")).alias("t")).alias("st"),
+        )
+        .groupBy("pos")
+        .agg(F.array_sort(F.collect_list("st")).alias("sts"))
+        .select(
+            "pos",
+            F.aggregate("sts", F.lit(0.0), lambda a, s: a + s.getField("t")).alias(
+                "u"
+            ),
+        )
+    )
+    nrm = u2.agg(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                    lambda s: s.getField("u") * s.getField("u"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm")
+    )
+    return u2.crossJoin(F.broadcast(nrm)).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("u") / F.col("nrm"), 6).alias("loading2"),
+    )
+
+
+def _pca_deflated_sql() -> str:
+    return f"""
+WITH pca1 AS ({_PCA_SQL}),
+emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = {EMB_DIM}),
+ex AS (
+  SELECT e.vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM emb e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+exj AS (
+  SELECT ex.vec_id, ex.pos, ex.x, p.loading AS l1
+  FROM ex JOIN pca1 p ON ex.pos = p.pos
+),
+proj AS (
+  SELECT vec_id,
+         list_reduce(list_prepend({dlit(0.0)}, list(x * l1 ORDER BY pos)),
+                     (a, t) -> a + t) AS proj
+  FROM exj GROUP BY vec_id
+),
+defl AS (
+  SELECT e.vec_id, e.pos, e.x - p.proj * e.l1 AS xd
+  FROM exj e JOIN proj p ON e.vec_id = p.vec_id
+),
+s2 AS (
+  SELECT vec_id,
+         list_reduce(list_prepend({dlit(0.0)},
+                     list(xd * {dlit(PCA_V0)} ORDER BY pos)),
+                     (a, t) -> a + t) AS s2
+  FROM defl GROUP BY vec_id
+),
+u2 AS (
+  SELECT d.pos,
+         list_reduce(list_prepend({dlit(0.0)},
+                     list(s.s2 * d.xd ORDER BY d.vec_id)),
+                     (a, t) -> a + t) AS u
+  FROM defl d JOIN s2 s ON d.vec_id = s.vec_id
+  GROUP BY d.pos
+),
+nrm AS (
+  SELECT sqrt(list_reduce(list_prepend({dlit(0.0)},
+              list(u * u ORDER BY pos)), (a, x) -> a + x)) AS nrm
+  FROM u2
+)
+SELECT CAST(pos AS BIGINT) AS pos, round(u / nrm, 6) AS loading2
+FROM u2 CROSS JOIN nrm
+"""
+
+
 # --- contamination n-gram sensitivity sweep (round 7) ------------------------
 
 CONTAM_SWEEP_NS = (3, 5, 8, 13)
@@ -8622,6 +8754,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pretrain_pipeline_v2", pretrain_pipeline_v2, _pipeline_v2_sql()),
     ("llm_cluster_best_survivor", cluster_best_survivor, _CLUSTER_BEST_SQL),
     ("llm_contamination_by_n", contamination_by_n, _contam_by_n_sql()),
+    ("llm_pca_deflated_second", pca_deflated_second, _pca_deflated_sql()),
 ]
 
 

@@ -2847,3 +2847,16 @@ def test_contamination_by_n_monotone(spark):
     assert rows[0].n_docs == len(base)
     for r in rows:
         assert r.flag_rate == round(r.n_flagged / r.n_docs, 6)
+
+
+def test_pca_deflated_second_orthogonal(spark):
+    """The second loading must be (near-)orthogonal to the first — the
+    deflation really removed component one (tolerance covers the 6-dp
+    rounding of v1 both engines deflate against) — and unit-norm."""
+    l1 = {r.pos: r.loading for r in llm.pca_power_iter(spark, SF).collect()}
+    l2 = {r.pos: r.loading2 for r in llm.pca_deflated_second(spark, SF).collect()}
+    assert set(l1) == set(l2) and len(l1) == llm.EMB_DIM
+    dot = sum(l1[p] * l2[p] for p in sorted(l1))
+    assert abs(dot) < 1e-3, dot
+    n2 = sum(v * v for v in l2.values())
+    assert abs(n2 - 1.0) < 1e-4
