@@ -7625,6 +7625,82 @@ FROM g CROSS JOIN t
 """
 
 
+# --- curriculum deciles (round 7) --------------------------------------------
+
+CURR_QS = tuple(k / 10.0 for k in range(1, 10))
+
+
+def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering study: docs bucketed into LM cross-entropy
+    deciles (easy → hard), with doc/token volumes and the mean xent per
+    decile — the allocation table a curriculum or quality-pacing schedule
+    reads. SCALE-CORRECT bucketing: the nine decile boundaries come from
+    ONE percentile aggregate (broadcast back, rounded 4 dp so both
+    engines compare identical doubles; ties fall to the lower decile) and
+    membership is a codegen CASE-sum — never an ntile window over the
+    full corpus (a global single-task sort at 100 TB). Mean xent is an
+    exact DECIMAL(18,6) sum divided once."""
+    x = lm_token_logprob(spark, sf_dir).select("doc_id", "xent")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    j = x.join(toks, "doc_id")
+    bounds = j.agg(
+        *[
+            F.round(F.percentile("xent", q), 4).alias(f"b{k}")
+            for k, q in enumerate(CURR_QS)
+        ]
+    )
+    dec = F.lit(1)
+    for k in range(len(CURR_QS)):
+        dec = dec + (F.col("xent") > F.col(f"b{k}")).cast("int")
+    return (
+        j.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "xent", "n_tok", dec.cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("xent").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_xent"),
+        )
+    )
+
+
+def _curriculum_sql() -> str:
+    bcols = ",\n         ".join(
+        f"round(quantile_cont(xent, {q!r}), 4) AS b{k}"
+        for k, q in enumerate(CURR_QS)
+    )
+    dec = " + ".join(
+        f"CASE WHEN xent > b{k} THEN 1 ELSE 0 END" for k in range(len(CURR_QS))
+    )
+    return f"""
+WITH x AS (SELECT doc_id, xent FROM ({_LM_LOGPROB_SQL})),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+j AS (SELECT x.doc_id, x.xent, toks.n_tok FROM x JOIN toks ON x.doc_id = toks.doc_id),
+bounds AS (
+  SELECT {bcols}
+  FROM j
+),
+labeled AS (
+  SELECT doc_id, xent, n_tok, CAST(1 + {dec} AS INTEGER) AS decile
+  FROM j CROSS JOIN bounds
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_xent
+FROM labeled GROUP BY decile
+"""
+
+
 # --- deflated second PCA component (round 7) ---------------------------------
 
 
@@ -8755,6 +8831,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_cluster_best_survivor", cluster_best_survivor, _CLUSTER_BEST_SQL),
     ("llm_contamination_by_n", contamination_by_n, _contam_by_n_sql()),
     ("llm_pca_deflated_second", pca_deflated_second, _pca_deflated_sql()),
+    ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
 ]
 
 

@@ -2860,3 +2860,25 @@ def test_pca_deflated_second_orthogonal(spark):
     assert abs(dot) < 1e-3, dot
     n2 = sum(v * v for v in l2.values())
     assert abs(n2 - 1.0) < 1e-4
+
+
+def test_curriculum_deciles_partition(spark):
+    """Deciles partition the corpus (counts sum to all docs, every decile
+    ~n/10 within interpolation slack), mean xent strictly increases with
+    decile, and membership replays driver-side from the same rounded
+    boundaries."""
+    import numpy as np
+
+    xs = {r.doc_id: r.xent for r in llm.lm_token_logprob(spark, SF).collect()}
+    rows = sorted(llm.curriculum_deciles(spark, SF).collect(), key=lambda r: r.decile)
+    n = len(xs)
+    assert sum(r.n_docs for r in rows) == n
+    means = [r.mean_xent for r in rows]
+    assert means == sorted(means)
+    vals = np.array(sorted(xs.values()))
+    bounds = [round(float(np.quantile(vals, q, method="linear")), 4) for q in llm.CURR_QS]
+    want: dict[int, int] = {}
+    for x in xs.values():
+        d = 1 + sum(x > b for b in bounds)
+        want[d] = want.get(d, 0) + 1
+    assert {r.decile: r.n_docs for r in rows} == want
