@@ -4101,6 +4101,84 @@ FROM (
     return f"{nat} UNION ALL {zo}"
 
 
+# --- clamped running balance (round 7) ---------------------------------------
+
+BALANCE_SEED = 100.0  # opening balance per user
+
+
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-style running balance with a floor: per user, events
+    apply signed deltas (value debits for 'purchase', credits otherwise)
+    to an opening balance, and the balance CLAMPS at zero — an overdrawn
+    step loses the excess rather than going negative (stock cannot be
+    shipped that was never there). The clamp makes the recurrence
+    bal = max(0, bal + delta) genuinely sequential — no prefix-sum window
+    can express it — so it runs as the EWMA-style seeded per-user array
+    fold, replayed exactly by DuckDB's list_reduce. Reports the final
+    balance, how many steps clamped, and the total value lost to clamps.
+
+    Scale: one user-keyed shuffle, bounded per-user arrays (the 100 TB
+    form checkpoints period-end balances and folds within periods)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    delta = F.when(
+        F.col("event_type") == "purchase", -F.col("value")
+    ).otherwise(F.col("value"))
+    per = (
+        e.select("user_id", "ts", "event_id", delta.alias("d"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "d"))).alias("xs"))
+    )
+    ds = F.transform(F.col("xs"), lambda s: s.getField("d"))
+    # accumulator: (balance, n_clamped, lost) as a 3-element double array
+    step = lambda acc, d: F.array(  # noqa: E731
+        F.greatest(F.lit(0.0), F.element_at(acc, 1) + d),
+        F.element_at(acc, 2)
+        + F.when(F.element_at(acc, 1) + d < 0, 1.0).otherwise(0.0),
+        F.element_at(acc, 3)
+        + F.when(
+            F.element_at(acc, 1) + d < 0, -(F.element_at(acc, 1) + d)
+        ).otherwise(0.0),
+    )
+    fold = F.aggregate(
+        ds, F.array(F.lit(BALANCE_SEED), F.lit(0.0), F.lit(0.0)), step
+    )
+    return per.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.round(F.element_at(fold, 1), 6).alias("final_balance"),
+        F.element_at(fold, 2).cast("bigint").alias("n_clamped"),
+        F.round(F.element_at(fold, 3), 6).alias("value_lost"),
+    )
+
+
+CLAMPED_BALANCE_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+         list(CASE WHEN event_type = 'purchase' THEN -value ELSE value END
+              ORDER BY epoch_ns(ts), event_id) AS ds
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+f AS (
+  SELECT user_id, len(ds) AS n,
+         list_reduce(
+           list_prepend([{dlit(BALANCE_SEED)}, {dlit(0.0)}, {dlit(0.0)}],
+                        list_transform(ds, d -> [d, d, d])),
+           (acc, x) -> [greatest({dlit(0.0)}, acc[1] + x[1]),
+                        acc[2] + CASE WHEN acc[1] + x[1] < 0
+                                      THEN {dlit(1.0)} ELSE {dlit(0.0)} END,
+                        acc[3] + CASE WHEN acc[1] + x[1] < 0
+                                      THEN -(acc[1] + x[1])
+                                      ELSE {dlit(0.0)} END]) AS st
+  FROM per
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(st[1], 6) AS final_balance,
+       CAST(st[2] AS BIGINT) AS n_clamped,
+       round(st[3], 6) AS value_lost
+FROM f
+"""
+
+
 # --- differentially-private release counts (round 7) -------------------------
 
 DP_EPSILON = 0.5
@@ -4539,6 +4617,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_ewma_anomaly_flags", ewma_anomaly_flags, EWMA_ANOM_SQL),
     ("rel_session_paths", session_paths, SESSION_PATHS_SQL),
     ("rel_dp_noisy_counts", dp_noisy_counts, _dp_counts_sql()),
+    ("rel_clamped_running_balance", clamped_running_balance, CLAMPED_BALANCE_SQL),
 ]
 
 

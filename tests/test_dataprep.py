@@ -877,3 +877,43 @@ def test_dataset_diff_balances(spark):
     assert rows["removed"].n_docs == n_removed
     assert rows["changed"].n_docs == n_changed
     assert rows["unchanged"].n_docs == n - n_added - n_changed
+
+
+def test_clamped_running_balance_matches_reference(spark):
+    """The floor-0 recurrence replayed in pure Python (same order, same
+    float sequence): final balance, clamp count and lost value match
+    bitwise, and the lake actually exercises the clamp somewhere."""
+    rows = {
+        r.user_id: r
+        for r in relational.clamped_running_balance(spark, SF).collect()
+    }
+    ev = sorted(
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    per: dict[int, list[float]] = {}
+    for r in ev:
+        d = -r.value if r.event_type == "purchase" else r.value
+        per.setdefault(r.user_id, []).append(d)
+    clamps = 0
+    for uid, ds in per.items():
+        bal, nc, lost = relational.BALANCE_SEED, 0, 0.0
+        for d in ds:
+            t = bal + d
+            if t < 0:
+                nc += 1
+                lost += -t
+                bal = 0.0
+            else:
+                bal = max(0.0, t)
+        g = rows[uid]
+        assert g.n_events == len(ds)
+        assert g.final_balance == round(bal, 6)
+        assert g.n_clamped == nc
+        assert g.value_lost == round(lost, 6)
+        clamps += nc
+    assert set(rows) == set(per)
+    assert clamps > 0, "fixture should trigger at least one clamp"
