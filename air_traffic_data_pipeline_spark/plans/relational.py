@@ -4499,6 +4499,100 @@ SELECT 'lineitem', b.n, r.n, b.n - r.n FROM
 """
 
 
+# --- interval max-concurrency sweep (round 7) --------------------------------
+
+# score encoding: live * SWEEP_SCALE + (SWEEP_SCALE - 1 - day) packs (peak
+# level, earliest day at that level) into one bigint max — ties on live
+# resolve to the SMALLEST day because it carries the LARGEST complement.
+# Day numbers (epoch days) stay < 1e6 for any date before year 4707; live
+# <= |orders| keeps the product under int64 even at ~1.5e11 orders (100 TB).
+SWEEP_SCALE = 1_000_000
+
+
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval max-concurrency via the +1/-1 event sweep: each order is
+    live over [o_orderdate, o_orderdate + 90d] (the rel_interval_overlap_join
+    fulfillment window); per order priority, find the PEAK number of
+    simultaneously-live orders and the earliest date it occurs — the
+    capacity-planning number (peak concurrent sessions / open connections /
+    in-flight orders) that the overlap JOIN cannot produce without
+    comparing every pair of intervals.
+
+    Scale shape: the sweep is 2 rows per order folded immediately by a
+    map-side-combining (priority, day) aggregate, so the running-sum window
+    sees at most |priorities| x |calendar days| rows — bounded by the TIME
+    DOMAIN, not the data size (a year is ~365 rows per key at any SF). The
+    peak + earliest-date argmax is one exact-integer encoded max (no second
+    window, no self-join); tie-break and decode are integer arithmetic, so
+    the result is bitwise across engines.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+    )
+    deltas = o.select("pri", "day", F.lit(1).alias("delta")).unionAll(
+        o.select(
+            "pri",
+            (F.col("day") + F.lit(FULFILL_DAYS + 1)).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("pri", "day").agg(F.sum("delta").alias("net"))
+    live = F.sum("net").over(W.partitionBy("pri").orderBy("day")).cast("bigint")
+    scored = per_day.select(
+        "pri",
+        (
+            live * F.lit(SWEEP_SCALE) + (F.lit(SWEEP_SCALE - 1) - F.col("day"))
+        ).alias("score"),
+    )
+    s = F.col("s")
+    return (
+        scored.groupBy("pri")
+        .agg(F.max("score").alias("s"))
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.floor(s / SWEEP_SCALE).cast("bigint").alias("peak_live"),
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    (F.lit(SWEEP_SCALE - 1) - s % SWEEP_SCALE).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("peak_date"),
+        )
+    )
+
+
+MAX_CONCURRENCY_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+),
+deltas AS (
+  SELECT pri, day, 1 AS delta FROM o
+  UNION ALL
+  SELECT pri, day + {FULFILL_DAYS + 1}, -1 FROM o
+),
+per_day AS (SELECT pri, day, sum(delta) AS net FROM deltas GROUP BY pri, day),
+scored AS (
+  SELECT pri,
+         CAST(sum(net) OVER (PARTITION BY pri ORDER BY day) AS BIGINT)
+           * {SWEEP_SCALE} + ({SWEEP_SCALE - 1} - day) AS score
+  FROM per_day
+),
+mx AS (SELECT pri, max(score) AS s FROM scored GROUP BY pri)
+SELECT pri AS o_orderpriority,
+       CAST(s // {SWEEP_SCALE} AS BIGINT) AS peak_live,
+       strftime(DATE '1970-01-01'
+                  + CAST({SWEEP_SCALE - 1} - (s % {SWEEP_SCALE}) AS INTEGER),
+                '%Y-%m-%d') AS peak_date
+FROM mx
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -4618,6 +4712,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_session_paths", session_paths, SESSION_PATHS_SQL),
     ("rel_dp_noisy_counts", dp_noisy_counts, _dp_counts_sql()),
     ("rel_clamped_running_balance", clamped_running_balance, CLAMPED_BALANCE_SQL),
+    ("rel_max_concurrency", max_concurrency, MAX_CONCURRENCY_SQL),
 ]
 
 

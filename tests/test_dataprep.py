@@ -917,3 +917,37 @@ def test_clamped_running_balance_matches_reference(spark):
         clamps += nc
     assert set(rows) == set(per)
     assert clamps > 0, "fixture should trigger at least one clamp"
+
+
+def test_max_concurrency_matches_reference(spark):
+    """The +1/-1 sweep replayed in pure Python per priority: peak live
+    count and earliest peak date match, and the peak exceeds 1 somewhere
+    (the fixture's 90-day windows overlap heavily)."""
+    import datetime as dt
+
+    rows = {
+        r.o_orderpriority: r
+        for r in relational.max_concurrency(spark, SF).collect()
+    }
+    orders = (
+        load(spark, SF, "orders").select("o_orderpriority", "o_orderdate").collect()
+    )
+    epoch = dt.date(1970, 1, 1)
+    deltas: dict[str, dict[int, int]] = {}
+    for o in orders:
+        day = (o.o_orderdate.date() - epoch).days
+        d = deltas.setdefault(o.o_orderpriority, {})
+        d[day] = d.get(day, 0) + 1
+        end = day + relational.FULFILL_DAYS + 1
+        d[end] = d.get(end, 0) - 1
+    want = {}
+    for pri, d in deltas.items():
+        live, peak, peak_day = 0, None, None
+        for day in sorted(d):
+            live += d[day]
+            if peak is None or live > peak:
+                peak, peak_day = live, day
+        want[pri] = (peak, (epoch + dt.timedelta(days=peak_day)).isoformat())
+    got = {p: (r.peak_live, r.peak_date) for p, r in rows.items()}
+    assert got == want
+    assert max(p for p, _ in want.values()) > 1

@@ -377,3 +377,16 @@ def test_round7_ops_empty_inputs(spark, tmp_path):
     # 1-row aggregate shapes: a degenerate-but-typed row, not a crash
     row = llm.signal_correlation(spark, sf).collect()
     assert len(row) == 1 and row[0].n == 0
+
+
+def test_max_concurrency_empty_orders(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "orders").filter(F.lit(False)).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = relational.max_concurrency(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["o_orderpriority", "peak_live", "peak_date"]
