@@ -1861,6 +1861,109 @@ FROM t GROUP BY 1, 2
 """
 
 
+def mixing_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-shift audit: KL(kept ‖ corpus) and Jensen-Shannon divergence
+    between the LANGUAGE distribution of the dataset_mixing survivor set and
+    the full corpus — the one-number answer to "did source-rate mixing skew
+    the language mix?" that a release gate thresholds before shipping a
+    blend (JS is the symmetric, always-finite companion; languages the
+    sampler dropped entirely contribute 0·log 0 = 0 to the kept-side terms).
+
+    Determinism: counts are exact integers from ONE map-side-combining
+    (lang) aggregate; p/q are single double divisions; the three divergence
+    sums are sequential folds over the SAME lang-sorted array, so both
+    engines add identical doubles in identical order (round 6 at the end).
+    Scale shape: the fold input is language-alphabet-sized whatever the
+    corpus size — the whole audit is one aggregate plus O(|langs|) driver
+    -free arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        (F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5 + 1) / 10.0
+    )
+    hv = _hex4_to_int(F.md5(F.concat(F.col("doc_id").cast("string"), F.col("source"))))
+    keep = ((hv / F.lit(65536.0)) < rate).cast("long")
+    per = (
+        d.select("lang", keep.alias("kept"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_corpus"), F.sum("kept").alias("n_kept"))
+    )
+    arr = per.agg(
+        F.sum("n_corpus").alias("tot_c"),
+        F.sum("n_kept").alias("tot_k"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.array_sort(
+            F.collect_list(F.struct("lang", "n_corpus", "n_kept"))
+        ).alias("xs"),
+    ).filter(F.col("tot_k") > 0)
+    tc = F.col("tot_c").cast("double")
+    tk = F.col("tot_k").cast("double")
+    p = lambda s: s.getField("n_corpus").cast("double") / tc  # noqa: E731
+    q = lambda s: s.getField("n_kept").cast("double") / tk  # noqa: E731
+    fold = lambda expr: F.aggregate("xs", F.lit(0.0), expr)  # noqa: E731
+    kl = fold(
+        lambda a, s: a
+        + F.when(
+            s.getField("n_kept") > 0, q(s) * F.log(q(s) / p(s))
+        ).otherwise(F.lit(0.0))
+    )
+    jsp = fold(
+        lambda a, s: a + p(s) * F.log(p(s) / ((p(s) + q(s)) / F.lit(2.0)))
+    )
+    jsq = fold(
+        lambda a, s: a
+        + F.when(
+            s.getField("n_kept") > 0,
+            q(s) * F.log(q(s) / ((p(s) + q(s)) / F.lit(2.0))),
+        ).otherwise(F.lit(0.0))
+    )
+    return arr.select(
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("tot_c").cast("bigint").alias("n_docs"),
+        F.col("tot_k").cast("bigint").alias("n_kept"),
+        F.round(kl, 6).alias("kl_kept_vs_corpus"),
+        F.round(F.lit(0.5) * jsp + F.lit(0.5) * jsq, 6).alias("js_divergence"),
+    )
+
+
+_MIX_DIV_SQL = f"""
+WITH t AS (
+  SELECT lang, count(*) AS n_corpus,
+         sum(CASE WHEN {_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR) || source)")}
+                       / CAST(65536.0 AS DOUBLE)
+                  < (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1)
+                    / CAST(10.0 AS DOUBLE)
+             THEN 1 ELSE 0 END) AS n_kept
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_corpus) AS tot_c, sum(n_kept) AS tot_k,
+               count(*) AS n_langs FROM t),
+terms AS (
+  SELECT lang, n_kept,
+         CAST(n_corpus AS DOUBLE) / CAST(tot_c AS DOUBLE) AS p,
+         CAST(n_kept AS DOUBLE) / CAST(tot_k AS DOUBLE) AS q
+  FROM t, tot
+),
+folds AS (
+  SELECT
+    list_reduce(list_prepend({dlit(0.0)},
+      list(CASE WHEN n_kept > 0 THEN q * ln(q / p) ELSE {dlit(0.0)} END
+           ORDER BY lang)), (a, x) -> a + x) AS kl,
+    list_reduce(list_prepend({dlit(0.0)},
+      list(p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE))) ORDER BY lang)),
+      (a, x) -> a + x) AS jsp,
+    list_reduce(list_prepend({dlit(0.0)},
+      list(CASE WHEN n_kept > 0 THEN q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE)))
+                ELSE {dlit(0.0)} END ORDER BY lang)), (a, x) -> a + x) AS jsq
+  FROM terms
+)
+SELECT CAST(n_langs AS BIGINT) AS n_langs, CAST(tot_c AS BIGINT) AS n_docs,
+       CAST(tot_k AS BIGINT) AS n_kept,
+       round(kl, 6) AS kl_kept_vs_corpus,
+       round({dlit(0.5)} * jsp + {dlit(0.5)} * jsq, 6) AS js_divergence
+FROM folds, tot WHERE tot_k > 0
+"""
+
+
 FUZZY_MAX_ID = 40
 FUZZY_PREFIX = 200
 FUZZY_MAX_DIST = 60
@@ -8744,6 +8847,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pii_scrub", pii_scrub, _PII_SQL),
     ("llm_heavy_hitters", heavy_hitters, _HEAVY_HITTERS_SQL),
     ("llm_dataset_mixing", dataset_mixing, _MIXING_SQL),
+    ("llm_mixing_divergence", mixing_divergence, _MIX_DIV_SQL),
     ("llm_fuzzy_match_levenshtein", fuzzy_match_levenshtein, _FUZZY_SQL),
     ("llm_quality_pandas_udf", quality_pandas_udf, _QUALITY_UDF_SQL),
     ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),

@@ -390,3 +390,16 @@ def test_max_concurrency_empty_orders(spark, tmp_path):
     out = relational.max_concurrency(spark, sf)
     assert out.count() == 0
     assert out.columns == ["o_orderpriority", "peak_live", "peak_date"]
+
+
+def test_mixing_divergence_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.mixing_divergence(spark, sf)
+    assert out.count() == 0
+    assert "js_divergence" in out.columns

@@ -2882,3 +2882,40 @@ def test_curriculum_deciles_partition(spark):
         d = 1 + sum(x > b for b in bounds)
         want[d] = want.get(d, 0) + 1
     assert {r.decile: r.n_docs for r in rows} == want
+
+
+def test_mixing_divergence_matches_reference(spark):
+    """KL/JS recomputed in pure Python with the same keep rule (md5 hash
+    gate vs the source rate) and the same lang-sorted summation order; the
+    fixture's rate spread guarantees a strictly positive shift."""
+    import hashlib
+    import re
+
+    row = llm.mixing_divergence(spark, SF).collect()[0]
+    docs = load(spark, SF, "documents").select(
+        "doc_id", "lang", "source"
+    ).collect()
+    nc: dict[str, int] = {}
+    nk: dict[str, int] = {}
+    for r in docs:
+        rate = (int(re.search(r"[0-9]+", r.source).group(0)) % 5 + 1) / 10.0
+        h16 = int(
+            hashlib.md5((str(r.doc_id) + r.source).encode()).hexdigest()[:4], 16
+        )
+        nc[r.lang] = nc.get(r.lang, 0) + 1
+        if h16 / 65536.0 < rate:
+            nk[r.lang] = nk.get(r.lang, 0) + 1
+    tc, tk = sum(nc.values()), sum(nk.values())
+    kl = jsp = jsq = 0.0
+    for lang in sorted(nc):
+        p = nc[lang] / tc
+        q = nk.get(lang, 0) / tk
+        if q > 0:
+            kl += q * math.log(q / p)
+            jsq += q * math.log(q / ((p + q) / 2.0))
+        jsp += p * math.log(p / ((p + q) / 2.0))
+    assert row.n_langs == len(nc)
+    assert row.n_docs == tc and row.n_kept == tk
+    assert row.kl_kept_vs_corpus == round(kl, 6)
+    assert row.js_divergence == round(0.5 * jsp + 0.5 * jsq, 6)
+    assert row.kl_kept_vs_corpus > 0 and row.js_divergence > 0
