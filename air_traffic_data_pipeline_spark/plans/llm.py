@@ -8810,6 +8810,119 @@ FROM t
 """
 
 
+FH_DIM = 16
+
+
+def _fh_weight(i: Column) -> Column:
+    """Deterministic pseudo-random weight for hash bucket ``i``: the first
+    4 md5 hex chars of str(i) mapped to [-0.5, 0.5). Identical in both
+    engines (md5 of the same decimal string)."""
+    return _hex4_to_int(F.md5(i.cast("string"))) / F.lit(65536.0) - F.lit(0.5)
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer + linear quality classifier (the
+    fastText/CCNet classifier-filter shape): each token hashes into one of
+    FH_DIM buckets (first 4 md5 hex chars mod FH_DIM), per-doc bucket
+    counts form a fixed-width dense count vector, and a deterministic
+    seeded weight vector scores each doc with sigmoid(w . x); docs with
+    score >= 0.5 pass the gate.
+
+    Determinism: bucket counts are exact integers from ONE
+    (doc_id, bucket) map-side-combining aggregate; the dense vector is
+    materialized for buckets 0..FH_DIM-1 in ascending order in both
+    engines; w . x is one sequential double fold in the same bucket order,
+    so both engines add identical doubles identically.
+
+    Scale shape: tokens shuffle once keyed (doc_id, bucket) with partial
+    aggregation; the vector build and score are per-doc array expressions
+    (no second shuffle, no UDF). FH_DIM is a constant, so row width is
+    fixed regardless of vocabulary size — the point of the hashing trick;
+    at 100 TB the same plan holds with FH_DIM=2^20 and a broadcast weight
+    table in place of the inline md5 weights."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per = (
+        toks.select(
+            "doc_id", (_hex4_to_int(F.md5(F.col("w"))) % FH_DIM).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.collect_list(F.struct("b", "c")).alias("xs"),
+        F.sum("c").cast("bigint").alias("n_tok"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        lambda i: F.aggregate(
+            F.filter(F.col("xs"), lambda s: s.getField("b") == i),
+            F.lit(0).cast("bigint"),
+            lambda a, s: a + s.getField("c"),
+        ),
+    )
+    withv = agg.select(
+        "doc_id",
+        "n_tok",
+        F.size("xs").cast("bigint").alias("nnz"),
+        vec.alias("vec"),
+    )
+    z = F.aggregate(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        F.lit(0.0),
+        lambda a, i: a
+        + F.element_at(F.col("vec"), i + 1).cast("double") * _fh_weight(i),
+    )
+    scored = withv.withColumn("z", z)
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "nnz",
+        F.to_json("vec").alias("vec"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+        ).alias("clf_score"),
+        (F.col("z") >= 0).cast("int").alias("kept"),
+    )
+
+
+_FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per AS (
+  SELECT doc_id, {_hex4_to_int_sql("md5(w)")} % {FH_DIM} AS b, count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         list(struct_pack(b := b, c := c)) AS xs,
+         CAST(sum(c) AS BIGINT) AS n_tok
+  FROM per GROUP BY 1
+),
+vecs AS (
+  SELECT doc_id, n_tok, CAST(len(xs) AS BIGINT) AS nnz,
+         list_transform(range({FH_DIM}), i ->
+           CAST(coalesce(list_sum(list_transform(
+                  list_filter(xs, s -> s.b = i), s -> s.c)), 0) AS BIGINT)
+         ) AS vec
+  FROM agg
+)
+SELECT doc_id, n_tok, nnz, to_json(vec)::VARCHAR AS vec,
+       round({dlit(1.0)} / ({dlit(1.0)} + exp(-z)), 6) AS clf_score,
+       CAST(CASE WHEN z >= {dlit(0.0)} THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM (
+  SELECT *, list_reduce(list_prepend({dlit(0.0)},
+         list_transform(range({FH_DIM}), i ->
+           CAST(vec[i + 1] AS DOUBLE)
+           * ({_hex4_to_int_sql("md5(CAST(i AS VARCHAR))")} / {dlit(65536.0)}
+              - {dlit(0.5)}))),
+         (a, x) -> a + x) AS z
+  FROM vecs
+) scored
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -8936,6 +9049,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_contamination_by_n", contamination_by_n, _contam_by_n_sql()),
     ("llm_pca_deflated_second", pca_deflated_second, _pca_deflated_sql()),
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
+    ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
 ]
 
 

@@ -403,3 +403,16 @@ def test_mixing_divergence_empty_corpus(spark, tmp_path):
     out = llm.mixing_divergence(spark, sf)
     assert out.count() == 0
     assert "js_divergence" in out.columns
+
+
+def test_feature_hashing_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.feature_hashing(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tok", "nnz", "vec", "clf_score", "kept"]

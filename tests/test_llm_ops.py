@@ -2919,3 +2919,34 @@ def test_mixing_divergence_matches_reference(spark):
     assert row.kl_kept_vs_corpus == round(kl, 6)
     assert row.js_divergence == round(0.5 * jsp + 0.5 * jsq, 6)
     assert row.kl_kept_vs_corpus > 0 and row.js_divergence > 0
+
+
+def test_feature_hashing_matches_reference(spark):
+    """Per-doc bucket vectors, nnz, and classifier scores recomputed in
+    pure Python with the same md5 bucket rule and the same ascending-bucket
+    dot-product fold; vec sums back to n_tok and kept == (z >= 0)."""
+    import hashlib
+    import json
+
+    def h16(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    rows = {r.doc_id: r for r in llm.feature_hashing(spark, SF).collect()}
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    weights = [h16(str(i)) / 65536.0 - 0.5 for i in range(llm.FH_DIM)]
+    for d in docs:
+        toks = d.text.split(" ")
+        vec = [0] * llm.FH_DIM
+        for w in toks:
+            vec[h16(w) % llm.FH_DIM] += 1
+        z = 0.0
+        for i in range(llm.FH_DIM):
+            z = z + float(vec[i]) * weights[i]
+        got = rows[d.doc_id]
+        assert json.loads(got.vec) == vec
+        assert got.n_tok == len(toks)
+        assert got.nnz == sum(1 for c in vec if c)
+        assert got.clf_score == _r6(1.0 / (1.0 + math.exp(-z)))
+        assert got.kept == (1 if z >= 0 else 0)
+    assert {r.kept for r in rows.values()} == {0, 1}
