@@ -8923,6 +8923,67 @@ FROM (
 """
 
 
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): per source, pair
+    the highest-quality doc (chosen) with the lowest-quality doc (rejected)
+    under the shared deterministic quality score, with the score margin —
+    the standard way to mine preference data from a scored corpus when no
+    human labels exist. Sources whose docs all tie (zero margin) or that
+    hold a single doc produce no pair.
+
+    Determinism: argmax/argmin are lexicographic struct MIN/MAX over
+    (score, -doc_id) — ties break to the SMALLEST doc_id for chosen and the
+    LARGEST for rejected, identically in both engines (verified: DuckDB
+    struct min/max compares fields left-to-right like Spark).
+
+    Scale shape: ONE map-side-combining groupBy(source) — partial struct
+    min/max combine inside the scan, so a hot source never concentrates
+    rows on one task the way a per-source window would; the score is a
+    pure codegen expression riding the scan."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "source", "doc_id", quality_score(F.col("text")).alias("score")
+    )
+    key = F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
+    agg = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(key).alias("ch"),
+            F.min(key).alias("rj"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        (-F.col("ch.nid")).cast("bigint").alias("chosen_doc"),
+        F.col("ch.score").alias("chosen_score"),
+        (-F.col("rj.nid")).cast("bigint").alias("rejected_doc"),
+        F.col("rj.score").alias("rejected_score"),
+        F.round(F.col("ch.score") - F.col("rj.score"), 6).alias("margin"),
+    ).filter(F.col("margin") > 0)
+
+
+_PREF_PAIRS_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id, {quality_score_sql("text")} AS score FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         max(struct_pack(score := score, nid := -doc_id)) AS ch,
+         min(struct_pack(score := score, nid := -doc_id)) AS rj
+  FROM scored GROUP BY source HAVING count(*) >= 2
+)
+SELECT source, n_docs,
+       CAST(-ch.nid AS BIGINT) AS chosen_doc, ch.score AS chosen_score,
+       CAST(-rj.nid AS BIGINT) AS rejected_doc, rj.score AS rejected_score,
+       round(ch.score - rj.score, 6) AS margin
+FROM agg
+WHERE round(ch.score - rj.score, 6) > {dlit(0.0)}
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -9050,6 +9111,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pca_deflated_second", pca_deflated_second, _pca_deflated_sql()),
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
+    ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
 ]
 
 

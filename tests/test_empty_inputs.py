@@ -416,3 +416,24 @@ def test_feature_hashing_empty_corpus(spark, tmp_path):
     out = llm.feature_hashing(spark, sf)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tok", "nnz", "vec", "clf_score", "kept"]
+
+
+def test_preference_pairs_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.preference_pairs(spark, sf)
+    assert out.count() == 0
+    assert out.columns == [
+        "source",
+        "n_docs",
+        "chosen_doc",
+        "chosen_score",
+        "rejected_doc",
+        "rejected_score",
+        "margin",
+    ]

@@ -2950,3 +2950,45 @@ def test_feature_hashing_matches_reference(spark):
         assert got.clf_score == _r6(1.0 / (1.0 + math.exp(-z)))
         assert got.kept == (1 if z >= 0 else 0)
     assert {r.kept for r in rows.values()} == {0, 1}
+
+
+def test_preference_pairs_matches_reference(spark):
+    """Chosen/rejected replayed in pure Python from the per-doc scores the
+    engine itself emits (quality_score is pinned elsewhere): lexicographic
+    (score, -doc_id) extremes per source, margin > 0 pairs only."""
+    scored = {
+        (r.source, r.doc_id): r.score
+        for r in load(spark, SF, "documents")
+        .select(
+            "source",
+            "doc_id",
+            llm.quality_score(F.col("text")).alias("score"),
+        )
+        .collect()
+    }
+    by_src: dict[str, list[tuple[float, int]]] = {}
+    for (src, did), s in scored.items():
+        by_src.setdefault(src, []).append((s, -did))
+    want = {}
+    for src, xs in by_src.items():
+        if len(xs) < 2:
+            continue
+        ch, rj = max(xs), min(xs)
+        margin = _r6(ch[0] - rj[0])
+        if margin > 0:
+            want[src] = (len(xs), -ch[1], ch[0], -rj[1], rj[0], margin)
+    rows = llm.preference_pairs(spark, SF).collect()
+    got = {
+        r.source: (
+            r.n_docs,
+            r.chosen_doc,
+            r.chosen_score,
+            r.rejected_doc,
+            r.rejected_score,
+            r.margin,
+        )
+        for r in rows
+    }
+    assert got == want and len(got) > 0
+    for r in rows:
+        assert r.chosen_score > r.rejected_score
