@@ -8923,6 +8923,95 @@ FROM (
 """
 
 
+def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-agreement audit: the 2x2 confusion between the cheap
+    heuristic quality gate (quality_gate's predicate) and the model-based
+    LM-perplexity filter (xent <= XENT_MAX from lm_token_logprob), plus
+    observed agreement and Cohen's kappa — the before/after evidence a
+    pipeline owner reads when swapping one quality filter for another
+    (high kappa = the cheap gate is a safe prefilter; low kappa = the
+    filters disagree and the swap changes the corpus).
+
+    Determinism: the four cells are exact integer counts from ONE global
+    aggregate; po/pe/kappa are a fixed dag of double divisions and
+    multiplications written identically in both engines; kappa is NULL if
+    pe = 1 (both filters constant). Scale: per-doc flags ride the
+    lm_token_logprob scoring plan (its scale posture applies) and the
+    final aggregate is map-side-combining down to one row."""
+    lm = lm_token_logprob(spark, sf_dir).select("doc_id", "xent")
+    d = load(spark, sf_dir, "documents")
+    heur = (
+        (quality_score(F.col("text")) >= QUALITY_MIN)
+        & (F.col("n_chars") >= CHARS_MIN)
+        & (F.col("n_chars") <= CHARS_MAX)
+        & F.col("lang").isin("en", "de", "fr")
+    ).cast("long")
+    j = (
+        d.select("doc_id", heur.alias("h"))
+        .join(lm, "doc_id")
+        .select("h", (F.col("xent") <= F.lit(XENT_MAX)).cast("long").alias("l"))
+    )
+    a = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("h") * F.col("l")).cast("bigint").alias("n_both_keep"),
+        F.sum(F.col("h") * (1 - F.col("l"))).cast("bigint").alias("n_heur_only"),
+        F.sum((1 - F.col("h")) * F.col("l")).cast("bigint").alias("n_lm_only"),
+        F.sum((1 - F.col("h")) * (1 - F.col("l"))).cast("bigint").alias("n_both_drop"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n_both_keep") + F.col("n_both_drop")).cast("double") / n
+    ph = (F.col("n_both_keep") + F.col("n_heur_only")).cast("double") / n
+    pl = (F.col("n_both_keep") + F.col("n_lm_only")).cast("double") / n
+    pe = ph * pl + (F.lit(1.0) - ph) * (F.lit(1.0) - pl)
+    kappa = F.when(
+        F.lit(1.0) - pe == 0, F.lit(None).cast("double")
+    ).otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return a.select(
+        "n_docs",
+        "n_both_keep",
+        "n_heur_only",
+        "n_lm_only",
+        "n_both_drop",
+        F.round(po, 6).alias("agree_rate"),
+        kappa.alias("kappa"),
+    )
+
+
+_FILTER_AGREE_SQL = f"""
+WITH {_LM_TERMS_SQL},
+scores AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+flags AS (
+  SELECT CASE WHEN {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
+                   AND d.n_chars BETWEEN {CHARS_MIN} AND {CHARS_MAX}
+                   AND d.lang IN ('en', 'de', 'fr')
+              THEN 1 ELSE 0 END AS h,
+         CASE WHEN s.xent <= CAST({XENT_MAX} AS DOUBLE) THEN 1 ELSE 0 END AS l
+  FROM documents d JOIN scores s ON d.doc_id = s.doc_id),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(h * l) AS BIGINT) AS n_both_keep,
+         CAST(sum(h * (1 - l)) AS BIGINT) AS n_heur_only,
+         CAST(sum((1 - h) * l) AS BIGINT) AS n_lm_only,
+         CAST(sum((1 - h) * (1 - l)) AS BIGINT) AS n_both_drop
+  FROM flags),
+rates AS (
+  SELECT *,
+         CAST(n_both_keep + n_both_drop AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+         CAST(n_both_keep + n_heur_only AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ph,
+         CAST(n_both_keep + n_lm_only AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pl
+  FROM cells)
+SELECT n_docs, n_both_keep, n_heur_only, n_lm_only, n_both_drop,
+       round(po, 6) AS agree_rate,
+       CASE WHEN {dlit(1.0)} - (ph * pl + ({dlit(1.0)} - ph) * ({dlit(1.0)} - pl)) = {dlit(0.0)}
+            THEN NULL
+            ELSE round((po - (ph * pl + ({dlit(1.0)} - ph) * ({dlit(1.0)} - pl)))
+                       / ({dlit(1.0)} - (ph * pl + ({dlit(1.0)} - ph) * ({dlit(1.0)} - pl))), 6)
+       END AS kappa
+FROM rates
+"""
+
+
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per source, pair
     the highest-quality doc (chosen) with the lowest-quality doc (rejected)
@@ -9112,6 +9201,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
+    ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
 ]
 
 

@@ -437,3 +437,15 @@ def test_preference_pairs_empty_corpus(spark, tmp_path):
         "rejected_score",
         "margin",
     ]
+
+
+def test_filter_agreement_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    row = llm.filter_agreement(spark, sf).collect()
+    assert len(row) == 1 and row[0].n_docs == 0 and row[0].kappa is None

@@ -2992,3 +2992,40 @@ def test_preference_pairs_matches_reference(spark):
     assert got == want and len(got) > 0
     for r in rows:
         assert r.chosen_score > r.rejected_score
+
+
+def test_filter_agreement_matches_reference(spark):
+    """Confusion cells and kappa replayed in pure Python from the per-doc
+    signals the engine itself emits (xent pinned by the LM tests, quality
+    by the gate tests); the fixture must exercise disagreement."""
+    xents = {r.doc_id: r.xent for r in llm.lm_token_logprob(spark, SF).collect()}
+    heur = {
+        r.doc_id: int(
+            r.q >= llm.QUALITY_MIN
+            and llm.CHARS_MIN <= r.n_chars <= llm.CHARS_MAX
+            and r.lang in ("en", "de", "fr")
+        )
+        for r in load(spark, SF, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            llm.quality_score(F.col("text")).alias("q"),
+        )
+        .collect()
+    }
+    cells = [0, 0, 0, 0]  # hl, h-only, l-only, neither
+    for did, x in xents.items():
+        h, l = heur[did], int(x <= llm.XENT_MAX)
+        cells[0 if h and l else 1 if h else 2 if l else 3] += 1
+    n = sum(cells)
+    po = (cells[0] + cells[3]) / n
+    ph = (cells[0] + cells[1]) / n
+    pl = (cells[0] + cells[2]) / n
+    pe = ph * pl + (1.0 - ph) * (1.0 - pl)
+    row = llm.filter_agreement(spark, SF).collect()[0]
+    assert row.n_docs == n
+    assert [row.n_both_keep, row.n_heur_only, row.n_lm_only, row.n_both_drop] == cells
+    assert row.agree_rate == _r6(po)
+    assert row.kappa == _r6((po - pe) / (1.0 - pe))
+    assert row.n_heur_only + row.n_lm_only > 0  # fixture shows disagreement
