@@ -4593,6 +4593,136 @@ FROM mx
 """
 
 
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic marketing-analytics cut):
+    per customer recency (days since last order, vs the corpus max date),
+    frequency (order count), monetary (exact-decimal spend); each
+    dimension scored into quintiles 1..5 (5 best — most recent, most
+    orders, highest spend) against boundaries from ONE percentile
+    aggregate, then rolled up per (r, f, m) segment with volumes and
+    per-dimension means.
+
+    Determinism: boundaries are rounded to 4 dp so both engines compare
+    identical doubles (the curriculum_deciles discipline; ties fall to
+    the lower score); money goes through exact DECIMAL(18,2) sums; means
+    are exact sums divided once. Scale: ONE map-side-combining
+    groupBy(custkey), a 1-row broadcast for the reference date, a 1-row
+    broadcast for the boundaries, and a segment-sized (<=125 rows) final
+    aggregate — never an ntile window over all customers (single-task
+    global sort at 100 TB)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("p").cast("double").alias("monetary"),
+    )
+    ref = per.agg(F.max("last_d").alias("ref_d"))
+    base = per.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_d", "last_d").cast("bigint").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    bounds = base.agg(
+        *[
+            F.round(F.percentile(c, q), 4).alias(f"{c[0]}{k}")
+            for c in ("recency_days", "freq", "monetary")
+            for k, q in enumerate(RFM_QS)
+        ]
+    )
+    nq = len(RFM_QS)
+    above = lambda c: sum(  # noqa: E731
+        (F.col(c) > F.col(f"{c[0]}{k}")).cast("int") for k in range(nq)
+    )
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "recency_days",
+        "freq",
+        "monetary",
+        (F.lit(5) - above("recency_days")).cast("int").alias("r_score"),
+        (F.lit(1) + above("freq")).cast("int").alias("f_score"),
+        (F.lit(1) + above("monetary")).cast("int").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (
+                F.sum("recency_days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_recency_days"),
+            (
+                F.sum("freq").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_orders"),
+            (
+                F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_monetary"),
+        )
+        .select(
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "avg_recency_days",
+            "avg_orders",
+            "avg_monetary",
+        )
+    )
+
+
+def _rfm_sql() -> str:
+    bcols = ",\n         ".join(
+        f"round(quantile_cont({c}, {q!r}), 4) AS {c[0]}{k}"
+        for c in ("recency_days", "freq", "monetary")
+        for k, q in enumerate(RFM_QS)
+    )
+    above = lambda c: " + ".join(  # noqa: E731
+        f"CASE WHEN {c} > {c[0]}{k} THEN 1 ELSE 0 END"
+        for k in range(len(RFM_QS))
+    )
+    return f"""
+WITH per AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+ref AS (SELECT max(last_d) AS ref_d FROM per),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_d, ref_d) AS BIGINT) AS recency_days,
+         freq, monetary
+  FROM per, ref),
+bounds AS (
+  SELECT {bcols}
+  FROM base),
+scored AS (
+  SELECT recency_days, freq, monetary,
+         CAST(5 - ({above('recency_days')}) AS INTEGER) AS r_score,
+         CAST(1 + ({above('freq')}) AS INTEGER) AS f_score,
+         CAST(1 + ({above('monetary')}) AS INTEGER) AS m_score
+  FROM base, bounds)
+SELECT concat_ws('-', r_score, f_score, m_score) AS segment,
+       r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(recency_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_recency_days,
+       CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_orders,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -4713,6 +4843,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_dp_noisy_counts", dp_noisy_counts, _dp_counts_sql()),
     ("rel_clamped_running_balance", clamped_running_balance, CLAMPED_BALANCE_SQL),
     ("rel_max_concurrency", max_concurrency, MAX_CONCURRENCY_SQL),
+    ("rel_rfm_segments", rfm_segments, _rfm_sql()),
 ]
 
 

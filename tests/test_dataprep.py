@@ -951,3 +951,59 @@ def test_max_concurrency_matches_reference(spark):
     got = {p: (r.peak_live, r.peak_date) for p, r in rows.items()}
     assert got == want
     assert max(p for p, _ in want.values()) > 1
+
+
+def test_rfm_segments_matches_reference(spark):
+    """RFM scores replayed in pure Python/numpy: per-customer recency/
+    frequency/monetary from raw orders, quintile boundaries via the same
+    linear-interpolated percentile (rounded 4 dp), segment rollup counts
+    and means exact."""
+    import numpy as np
+
+    orders = (
+        load(spark, SF, "orders")
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .collect()
+    )
+    per: dict[int, list] = {}
+    for r in orders:
+        e = per.setdefault(r.o_custkey, [None, 0, 0])
+        e[0] = r.d if e[0] is None else max(e[0], r.d)
+        e[1] += 1
+        e[2] += r.p
+    ref = max(e[0] for e in per.values())
+    base = {
+        c: ((ref - e[0]).days, e[1], float(e[2])) for c, e in per.items()
+    }
+    qs = list(relational.RFM_QS)
+    bounds = [
+        [
+            round(float(np.quantile([b[i] for b in base.values()], q, method="linear")), 4)
+            for q in qs
+        ]
+        for i in range(3)
+    ]
+    segs: dict[tuple, list] = {}
+    for rec, freq, mon in base.values():
+        r_s = 5 - sum(rec > b for b in bounds[0])
+        f_s = 1 + sum(freq > b for b in bounds[1])
+        m_s = 1 + sum(mon > b for b in bounds[2])
+        e = segs.setdefault((r_s, f_s, m_s), [0, 0, 0, 0.0])
+        e[0] += 1
+        e[1] += rec
+        e[2] += freq
+        e[3] += mon
+    rows = relational.rfm_segments(spark, SF).collect()
+    assert len(rows) == len(segs)
+    for r in rows:
+        e = segs[(r.r_score, r.f_score, r.m_score)]
+        assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+        assert r.n_customers == e[0]
+        assert r.avg_recency_days == e[1] / e[0]
+        assert r.avg_orders == e[2] / e[0]
+        assert abs(r.avg_monetary - e[3] / e[0]) < 1e-6
+    assert {r.r_score for r in rows} == {1, 2, 3, 4, 5}

@@ -449,3 +449,16 @@ def test_filter_agreement_empty_corpus(spark, tmp_path):
     )
     row = llm.filter_agreement(spark, sf).collect()
     assert len(row) == 1 and row[0].n_docs == 0 and row[0].kappa is None
+
+
+def test_rfm_segments_empty_orders(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "orders").filter(F.lit(False)).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = relational.rfm_segments(spark, sf)
+    assert out.count() == 0
+    assert out.columns[:5] == ["segment", "r_score", "f_score", "m_score", "n_customers"]
