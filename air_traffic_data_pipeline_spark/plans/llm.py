@@ -9012,6 +9012,81 @@ FROM rates
 """
 
 
+CROSS_SOURCE_K = 13  # verbatim-span convention (GPT-3 contamination n)
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication provenance matrix (the RefinedWeb/Dolma
+    audit): for every pair of sources, how many DISTINCT verbatim
+    CROSS_SOURCE_K-word grams they share, each side's distinct-gram
+    count, and the gram-level Jaccard — the table that answers "which
+    sources copy from each other" before choosing a dedup priority
+    order. Uses the 13-gram convention the contamination battery uses
+    for verbatim spans (exact full-text digests are near-vacuous below
+    web scale).
+
+    Determinism: all counts are exact integers from the shared shingle
+    kernel; jaccard is one double division of identical operands.
+    Scale: the self-join is keyed on the gram, so pair generation is
+    bounded per gram by the number of sources holding it
+    (<= |sources|^2, never doc^2); DISTINCT (gram, source) collapses
+    first with map-side combine, and the per-source totals are a
+    |sources|-row broadcast join. At 100 TB the gram key would be its
+    md5 (fixed 16-byte shuffle width) — the equi-join shape is the
+    same."""
+    d = load(spark, sf_dir, "documents").select("text", "source")
+    ds = exploded_shingles(d, "text", CROSS_SOURCE_K, "g").select(
+        "g", "source"
+    ).distinct()
+    tot = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = F.broadcast(
+        tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    )
+    j = pairs.join(ta, "src_a").join(tb, "src_b")
+    denom = (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+    return j.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / denom, 6).alias("jaccard"),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH ds AS (
+  SELECT DISTINCT unnest({shingles_sql('text', CROSS_SOURCE_K)}) AS g, source
+  FROM documents),
+tot AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ds a JOIN ds b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.src_a, p.src_b,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       p.n_shared,
+       round(CAST(p.n_shared AS DOUBLE)
+               / CAST(ta.n + tb.n - p.n_shared AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN tot ta ON p.src_a = ta.source
+JOIN tot tb ON p.src_b = tb.source
+"""
+
+
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per source, pair
     the highest-quality doc (chosen) with the lowest-quality doc (rejected)
@@ -9202,6 +9277,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
+    ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
 ]
 
 

@@ -462,3 +462,16 @@ def test_rfm_segments_empty_orders(spark, tmp_path):
     out = relational.rfm_segments(spark, sf)
     assert out.count() == 0
     assert out.columns[:5] == ["segment", "r_score", "f_score", "m_score", "n_customers"]
+
+
+def test_cross_source_overlap_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.cross_source_overlap(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard"]

@@ -3029,3 +3029,40 @@ def test_filter_agreement_matches_reference(spark):
     assert row.agree_rate == _r6(po)
     assert row.kappa == _r6((po - pe) / (1.0 - pe))
     assert row.n_heur_only + row.n_lm_only > 0  # fixture shows disagreement
+
+
+def test_cross_source_overlap_matches_reference(spark):
+    """Pair matrix replayed in pure Python from raw (text, source) with
+    the same ragged-shingle semantics (docs shorter than K words yield
+    one short gram); the fixture must contain cross-source repeats."""
+
+    def grams(text: str, k: int) -> set:
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 1))
+        }
+
+    docs = load(spark, SF, "documents").select("text", "source").collect()
+    by_src: dict[str, set] = {}
+    for r in docs:
+        by_src.setdefault(r.source, set()).update(
+            grams(r.text, llm.CROSS_SOURCE_K)
+        )
+    want = {}
+    for sa in sorted(by_src):
+        for sb in sorted(by_src):
+            if sa < sb:
+                shared = len(by_src[sa] & by_src[sb])
+                if shared:
+                    union = len(by_src[sa]) + len(by_src[sb]) - shared
+                    want[(sa, sb)] = (
+                        len(by_src[sa]),
+                        len(by_src[sb]),
+                        shared,
+                        _r6(shared / union),
+                    )
+    rows = llm.cross_source_overlap(spark, SF).collect()
+    got = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_shared, r.jaccard) for r in rows
+    }
+    assert got == want and len(got) > 0
