@@ -9087,6 +9087,78 @@ JOIN tot tb ON p.src_b = tb.source
 """
 
 
+TOKEN_BUDGET = 1_000_000  # planner target (tokens) for the epoch allocation
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling planner (the Muennighoff et al. question):
+    given a target token budget and the dataset_mixing source weights, how
+    many EPOCHS of each source does the plan imply — i.e. which sources
+    must repeat, and which repeat past the ~4-epoch point of diminishing
+    returns. Per source: available docs/tokens, mixture weight, allocated
+    tokens, implied epochs, and the over-repetition flag.
+
+    Determinism: weights stay in INTEGER tenths (the mixing rate ladder is
+    k/10) until a single double division, so the weight normalizer is an
+    exact integer sum — no float-order dependence; epochs is one more
+    division of identical doubles. Scale: ONE map-side-combining
+    groupBy(source) plus a 1-row broadcast total."""
+    d = load(spark, sf_dir, "documents")
+    rt = (
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5 + 1
+    ).alias("rate_tenths")
+    per = (
+        d.select(
+            "source",
+            rt,
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "rate_tenths")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("rate_tenths").cast("bigint").alias("t"))
+    j = per.crossJoin(F.broadcast(tot))
+    w = F.col("rate_tenths").cast("double") / F.col("t").cast("double")
+    alloc = F.lit(float(TOKEN_BUDGET)) * w
+    epochs = alloc / F.col("n_tokens").cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("mix_weight"),
+        F.round(alloc, 2).alias("allocated_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > F.lit(4.0)).cast("int").alias("over_repeated"),
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1 AS rate_tenths,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(rate_tenths) AS BIGINT) AS t FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(rate_tenths AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mix_weight,
+       round({dlit(float(TOKEN_BUDGET))}
+               * (CAST(rate_tenths AS DOUBLE) / CAST(t AS DOUBLE)), 2)
+         AS allocated_tokens,
+       round({dlit(float(TOKEN_BUDGET))}
+               * (CAST(rate_tenths AS DOUBLE) / CAST(t AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       CAST(CASE WHEN {dlit(float(TOKEN_BUDGET))}
+                      * (CAST(rate_tenths AS DOUBLE) / CAST(t AS DOUBLE))
+                      / CAST(n_tokens AS DOUBLE) > {dlit(4.0)}
+                 THEN 1 ELSE 0 END AS INTEGER) AS over_repeated
+FROM per, tot
+"""
+
+
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per source, pair
     the highest-quality doc (chosen) with the lowest-quality doc (rejected)
@@ -9278,6 +9350,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
+    ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
 ]
 
 

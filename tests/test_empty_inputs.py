@@ -475,3 +475,15 @@ def test_cross_source_overlap_empty_corpus(spark, tmp_path):
     out = llm.cross_source_overlap(spark, sf)
     assert out.count() == 0
     assert out.columns == ["src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard"]
+
+
+def test_token_budget_plan_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.token_budget_plan(spark, sf)
+    assert out.count() == 0

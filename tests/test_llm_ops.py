@@ -3066,3 +3066,32 @@ def test_cross_source_overlap_matches_reference(spark):
         (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_shared, r.jaccard) for r in rows
     }
     assert got == want and len(got) > 0
+
+
+def test_token_budget_plan_matches_reference(spark):
+    """Epoch allocation replayed in pure Python from raw (source, text):
+    integer-tenths weights, one division; the fixture's rate spread must
+    produce at least one over-repeated source flag somewhere OR none —
+    pin exact values instead of the flag's presence."""
+    import re
+
+    docs = load(spark, SF, "documents").select("source", "text").collect()
+    per: dict[str, list] = {}
+    for r in docs:
+        rt = int(re.search(r"[0-9]+", r.source).group(0)) % 5 + 1
+        e = per.setdefault(r.source, [rt, 0, 0])
+        e[1] += 1
+        e[2] += len(r.text.split(" "))
+    t = sum(e[0] for e in per.values())
+    rows = {r.source: r for r in llm.token_budget_plan(spark, SF).collect()}
+    assert set(rows) == set(per)
+    for src, (rt, nd, ntok) in per.items():
+        w = rt / t
+        alloc = float(llm.TOKEN_BUDGET) * w
+        ep = alloc / ntok
+        r = rows[src]
+        assert (r.n_docs, r.n_tokens) == (nd, ntok)
+        assert r.mix_weight == _r6(w)
+        assert abs(r.allocated_tokens - alloc) < 0.005
+        assert r.epochs == _r6(ep)
+        assert r.over_repeated == int(ep > 4.0)
