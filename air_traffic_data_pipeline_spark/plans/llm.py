@@ -7536,7 +7536,7 @@ def lm_token_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_TERMS_SQL = f"""
+_LM_BASE_SQL = """
 t AS (
   SELECT doc_id, list_prepend('<s>', string_split(text, ' ')) AS l,
          list_append(string_split(text, ' '), '</s>') AS r
@@ -7545,7 +7545,9 @@ bgp AS (
   SELECT doc_id, i AS pos, l[i] AS w1, r[i] AS w2
   FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s),
 bg AS (SELECT w1, w2, count(*) AS c_bg FROM bgp GROUP BY 1, 2),
-ctx AS (SELECT w1, count(*) AS c_ctx FROM bgp GROUP BY 1),
+ctx AS (SELECT w1, count(*) AS c_ctx FROM bgp GROUP BY 1)"""
+
+_LM_TERMS_SQL = f"""{_LM_BASE_SQL},
 v AS (SELECT count(DISTINCT w2) AS v FROM bgp),
 terms AS (
   SELECT p.doc_id, p.pos,
@@ -7565,6 +7567,98 @@ SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
        round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent,
        round(exp(round(-lp / CAST(n_bigrams AS DOUBLE), 6)), 6) AS ppl
 FROM per
+"""
+
+
+LM_LAMBDA = 0.7  # Jelinek-Mercer bigram weight
+LM_LAMBDA2 = 1.0 - LM_LAMBDA  # computed once so both engines see one double
+
+
+def lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring — the smoothing
+    family CCNet-style filters actually ship (add-k over-penalizes unseen
+    bigrams of common words; interpolation backs off to the unigram):
+    P(w2|w1) = lam*c(w1,w2)/c(w1) + (1-lam)*(c(w2)+1)/(N+V), per-doc
+    sequence logprob / cross-entropy / perplexity, same output shape as
+    lm_token_logprob so the two smoothers are directly comparable.
+
+    Determinism: counts/N/V are exact integers; each term is a fixed dag
+    of two divisions, two multiplies, one add, one ln of identical
+    doubles; the per-doc sum is the position-sorted sequential fold.
+    Scale: same posture as lm_token_logprob plus one unigram join —
+    n-gram-table-sized map-side-combining aggregates, Zipf-hot heads
+    handled by AQE skew handling."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    lhs = F.concat(F.array(F.lit("<s>")), w)
+    rhs = F.concat(w, F.array(F.lit("</s>")))
+    pairs = d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(lhs.alias("w1"), rhs.alias("w2"))).alias(
+            "pos", "bg"
+        ),
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    uni = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c_uni"))
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.count_distinct("w2").alias("v")
+    )
+    p_bg = F.col("c_bg").cast("double") / F.col("c_ctx").cast("double")
+    p_uni = (F.col("c_uni") + 1).cast("double") / (
+        F.col("n_tot") + F.col("v")
+    ).cast("double")
+    terms = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(uni, ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                F.lit(LM_LAMBDA) * p_bg + F.lit(LM_LAMBDA2) * p_uni
+            ).alias("term"),
+        )
+    )
+    per = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("ts"),
+    )
+    lp = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["term"])
+    xent = F.round(-lp / F.col("n_bigrams").cast("double"), 6)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(lp, 6).alias("logprob"),
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+_LM_INTERP_SQL = f"""
+WITH {_LM_BASE_SQL},
+uni AS (SELECT w2, count(*) AS c_uni FROM bgp GROUP BY 1),
+tot AS (SELECT count(*) AS n_tot, count(DISTINCT w2) AS v FROM bgp),
+iterms AS (
+  SELECT p.doc_id, p.pos,
+         ln({dlit(LM_LAMBDA)}
+              * (CAST(b.c_bg AS DOUBLE) / CAST(c.c_ctx AS DOUBLE))
+            + {dlit(LM_LAMBDA2)}
+              * (CAST(u.c_uni + 1 AS DOUBLE)
+                 / CAST(t.n_tot + t.v AS DOUBLE))) AS term
+  FROM bgp p JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+             JOIN ctx c ON p.w1 = c.w1
+             JOIN uni u ON p.w2 = u.w2
+             CROSS JOIN tot t),
+iper AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list(term ORDER BY pos), (acc, x) -> acc + x) AS lp
+  FROM iterms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
+       round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent,
+       round(exp(round(-lp / CAST(n_bigrams AS DOUBLE), 6)), 6) AS ppl
+FROM iper
 """
 
 
@@ -9351,6 +9445,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
+    ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
 ]
 
 

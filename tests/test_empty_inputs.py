@@ -487,3 +487,16 @@ def test_token_budget_plan_empty_corpus(spark, tmp_path):
     )
     out = llm.token_budget_plan(spark, sf)
     assert out.count() == 0
+
+
+def test_lm_interpolated_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.lm_interpolated(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_bigrams", "logprob", "xent", "ppl"]

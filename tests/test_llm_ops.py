@@ -3095,3 +3095,48 @@ def test_token_budget_plan_matches_reference(spark):
         assert abs(r.allocated_tokens - alloc) < 0.005
         assert r.epochs == _r6(ep)
         assert r.over_repeated == int(ep > 4.0)
+
+
+def test_lm_interpolated_matches_reference(spark):
+    """Jelinek-Mercer LM trained and applied driver-side in pure Python
+    (same count arithmetic, same term dag, same position-ordered fold);
+    per-doc logprob/xent/ppl must match bitwise, and the smoother must
+    rank at least one doc differently from add-one (the point of it)."""
+    import math
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    bg: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    uni: dict[str, int] = {}
+    per_doc: dict[int, list[tuple]] = {}
+    n_tot = 0
+    for r in docs:
+        ws = r.text.split(" ")
+        bgs = list(zip(["<s>"] + ws, ws + ["</s>"]))
+        per_doc[r.doc_id] = bgs
+        for a, b in bgs:
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            uni[b] = uni.get(b, 0) + 1
+            n_tot += 1
+    v = len(uni)
+    got = {r.doc_id: r for r in llm.lm_interpolated(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for did, bgs in per_doc.items():
+        lp = 0.0
+        for a, b in bgs:
+            lp += math.log(
+                llm.LM_LAMBDA * (bg[(a, b)] / ctx[a])
+                + llm.LM_LAMBDA2 * ((uni[b] + 1) / (n_tot + v))
+            )
+        g = got[did]
+        assert g.n_bigrams == len(bgs)
+        assert g.logprob == round(lp, 6)
+        xent = round(-lp / len(bgs), 6)
+        assert g.xent == xent
+        assert g.ppl == round(math.exp(xent), 6)
+    addone = {r.doc_id: r.xent for r in llm.lm_token_logprob(spark, SF).collect()}
+    interp = {d: got[d].xent for d in got}
+    rank_a = sorted(addone, key=lambda d: (addone[d], d))
+    rank_i = sorted(interp, key=lambda d: (interp[d], d))
+    assert rank_a != rank_i, "smoothers should disagree somewhere"
