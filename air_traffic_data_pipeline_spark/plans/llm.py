@@ -9132,6 +9132,13 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = exploded_shingles(d, "text", CROSS_SOURCE_K, "g").select(
         "g", "source"
     ).distinct()
+    return cross_source_matrix(ds)
+
+
+def cross_source_matrix(ds: DataFrame) -> DataFrame:
+    """Pair matrix over a DISTINCT (g, source) frame — shared by the batch
+    query and the streaming incremental mirror so both produce the exact
+    same plan tail (bitwise-critical)."""
     tot = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = ds.alias("a"), ds.alias("b")
     pairs = (

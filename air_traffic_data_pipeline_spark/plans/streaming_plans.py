@@ -425,6 +425,21 @@ FROM hit
 """
 
 
+
+def stream_incremental_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_cross_source
+
+    return incremental_cross_source(spark, sf_dir)
+
+
+def _cross_source_sql() -> str:
+    """The merged distinct (gram, source) state must reproduce the batch
+    pair matrix bitwise — the batch query's SQL IS the oracle."""
+    from .llm import _CROSS_SOURCE_SQL
+
+    return _CROSS_SOURCE_SQL
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -446,6 +461,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_semdedup", stream_incremental_semdedup, _semdedup_sql()),
     ("stream_incremental_bm25", stream_incremental_bm25, _bm25_sql()),
     ("stream_incremental_funnel", stream_incremental_funnel, _funnel_sql()),
+    ("stream_incremental_cross_source", stream_incremental_cross_source, _cross_source_sql()),
 ]
 
 if _tws_available():

@@ -570,3 +570,61 @@ def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental cross-source 13-gram overlap — bitwise equal
+    to the one-shot ``plans.llm.cross_source_overlap`` (its SQL is the
+    oracle), under ANY arrival order.
+
+    Each micro-batch lands ONLY its own DISTINCT (gram, source) rows; the
+    accumulated state is the distinct union of the partials — set union is
+    idempotent, commutative, and associative, so the merged frame equals
+    the batch query's DISTINCT frame whatever the file source's slicing —
+    and the pair matrix runs the SAME shared ``cross_source_matrix`` tail
+    on it. Per-batch state is (new grams x sources)-sized; history is
+    never re-read beyond the partial rows. Idempotent under foreachBatch
+    replay via the epoch-scoped overwrite discipline shared with the
+    streams above.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..functions.text import exploded_shingles
+    from ..plans.llm import CROSS_SOURCE_K, cross_source_matrix
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_xsrc_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            exploded_shingles(
+                batch_df.select("text", "source"), "text", CROSS_SOURCE_K, "g"
+            )
+            .select("g", "source")
+            .distinct()
+        )
+        partial.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = spark.read.parquet(f"{part_dir}/batch=*").distinct()
+        out = cross_source_matrix(merged)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -762,3 +762,25 @@ def test_incremental_funnel_equals_batch(spark):
     assert got == want
     counts = {s: n for s, _, n in want}
     assert counts[1] >= counts[2] >= counts[3] > 0
+
+
+def test_incremental_cross_source_equals_batch(spark):
+    """Per-batch DISTINCT (gram, source) partials distinct-unioned across
+    batches must reproduce the one-shot cross-source pair matrix exactly —
+    set union is order-free — and the matrix must be non-empty (the lake
+    contains cross-source repeats)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_cross_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.src_a, r.src_b, r.n_a, r.n_b, r.n_shared, r.jaccard)
+        for r in incremental_cross_source(spark, sf).collect()
+    }
+    want = {
+        (r.src_a, r.src_b, r.n_a, r.n_b, r.n_shared, r.jaccard)
+        for r in llm.cross_source_overlap(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
