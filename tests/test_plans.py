@@ -725,3 +725,44 @@ def test_round7_plan_shapes(spark):
     # rather than a second winnow branch
     q = plan(llm.repeated_spans(spark, SF), "simple")
     assert q.count("MapInPandas") == 0 and "CartesianProduct" not in q
+
+
+def test_round7_batch2_plan_shapes(spark):
+    """The late-round-7 additions keep their promised shapes: feature
+    hashing is two keyed aggregates with NO join and no Python evaluator
+    (the vector/score are array expressions); preference pairs is ONE
+    aggregate with no window and no join; the token-budget planner's only
+    nested-loop leg is the 1-row totals broadcast; the filter-agreement
+    flags join is an equi-join (never cartesian); cross-source overlap is
+    a gram-keyed equi-join with the per-source totals broadcast; RFM is
+    aggregates + 1-row broadcasts with no window over all customers; the
+    interpolated LM adds only equi-join legs."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+
+    p = plan(llm.feature_hashing(spark, SF), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan(llm.preference_pairs(spark, SF), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p
+
+    p = plan(llm.token_budget_plan(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    nl = [l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(nl) <= 1  # the 1-row totals broadcast only
+
+    p = plan(llm.filter_agreement(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan(llm.cross_source_overlap(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # per-source totals broadcast
+
+    p = plan(relational.rfm_segments(spark, SF), "simple")
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    p = plan(llm.lm_interpolated(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
