@@ -86,6 +86,9 @@ def main() -> int:
         # word-keyed joins + per-doc fold) — the new heavy paths
         "llm_repeated_spans": llm.repeated_spans,
         "llm_lm_token_logprob": llm.lm_token_logprob,
+        # late round-7: the gram-keyed self-join (bounded per gram by
+        # |sources|^2) behind the cross-source provenance matrix
+        "llm_cross_source_overlap": llm.cross_source_overlap,
     }
 
     root = tempfile.mkdtemp(prefix="scale_")
