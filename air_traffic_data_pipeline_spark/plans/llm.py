@@ -9188,6 +9188,77 @@ JOIN tot tb ON p.src_b = tb.source
 """
 
 
+FLESCH_EASY = 60.0
+FLESCH_STANDARD = 30.0
+
+
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document — the classic
+    surface-statistics quality signal (used alongside stopword/length
+    heuristics in curation stacks): words per sentence and vowel-group
+    "syllables" per word folded into 206.835 − 1.015·(W/S) − 84.6·(Sy/W),
+    banded easy/standard/hard.
+
+    Determinism: all three counts are exact integers from the same
+    regexes in both engines (sentence enders [.!?], vowel groups
+    [aeiouy]+ on the lowercased text); the score is one fixed double dag
+    rounded 4 dp. Sentence count floors at 1 so unpunctuated docs score
+    instead of dividing by zero. Scale: pure codegen column expressions
+    over the scan — no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double"))
+    )
+    band = (
+        F.when(score >= FLESCH_EASY, F.lit("easy"))
+        .when(score >= FLESCH_STANDARD, F.lit("standard"))
+        .otherwise(F.lit("hard"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+        band.alias("band"),
+    )
+
+
+_READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents),
+s AS (
+  SELECT *,
+         {dlit(206.835)}
+           - {dlit(1.015)} * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - {dlit(84.6)} * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           AS score
+  FROM c)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(score, 4) AS flesch,
+       CASE WHEN score >= {dlit(FLESCH_EASY)} THEN 'easy'
+            WHEN score >= {dlit(FLESCH_STANDARD)} THEN 'standard'
+            ELSE 'hard' END AS band
+FROM s
+"""
+
+
 TOKEN_BUDGET = 1_000_000  # planner target (tokens) for the epoch allocation
 
 
@@ -9453,6 +9524,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
+    ("llm_readability_score", readability_score, _READABILITY_SQL),
 ]
 
 

@@ -4593,6 +4593,52 @@ FROM mx
 """
 
 
+L_DIVERSITY = 3
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion privacy check to rel_k_anonymity
+    (a k-anonymous class is still unsafe if everyone in it shares the
+    SAME sensitive value): per quasi-identifier class (event type,
+    hour-of-day), the class size, the number of DISTINCT sensitive
+    values (the coarse value band), and a violation flag for classes
+    with fewer than L distinct values — the homogeneity-attack check a
+    release gate runs after the k check.
+
+    Exact integer arithmetic end to end (same epoch-nano hour and
+    floor-banded value as the k audit). Scale: one count-distinct
+    aggregate on the QI tuple (Spark expands it to a two-level
+    aggregate — still map-side-combining on (QI, band)); output is the
+    bounded QI domain."""
+    e = load(spark, sf_dir, "events")
+    hour = F.expr("(ts div 1000000000) div 3600") % 24
+    band = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        e.select("event_type", hour.alias("hour"), band.alias("value_band"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("value_band").alias("l_distinct"),
+        )
+        .withColumn(
+            "l_violation", (F.col("l_distinct") < L_DIVERSITY).cast("int")
+        )
+    )
+
+
+L_DIVERSITY_SQL = f"""
+SELECT event_type,
+       (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+       count(*) AS n,
+       count(DISTINCT CAST(floor(value / 25.0) AS BIGINT)) AS l_distinct,
+       CAST(CASE WHEN count(DISTINCT CAST(floor(value / 25.0) AS BIGINT))
+                      < {L_DIVERSITY}
+                 THEN 1 ELSE 0 END AS INTEGER) AS l_violation
+FROM events
+GROUP BY 1, 2
+"""
+
+
 RFM_QS = (0.2, 0.4, 0.6, 0.8)
 
 
@@ -4844,6 +4890,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_clamped_running_balance", clamped_running_balance, CLAMPED_BALANCE_SQL),
     ("rel_max_concurrency", max_concurrency, MAX_CONCURRENCY_SQL),
     ("rel_rfm_segments", rfm_segments, _rfm_sql()),
+    ("rel_l_diversity", l_diversity, L_DIVERSITY_SQL),
 ]
 
 

@@ -1007,3 +1007,31 @@ def test_rfm_segments_matches_reference(spark):
         assert r.avg_orders == e[2] / e[0]
         assert abs(r.avg_monetary - e[3] / e[0]) < 1e-6
     assert {r.r_score for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_l_diversity_matches_reference(spark):
+    """Distinct-band counts per QI class replayed in pure Python; the
+    fixture must contain at least one violating and one passing class."""
+    events = load(spark, SF, "events").select("event_type", "ts", "value").collect()
+    classes: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    import math
+
+    for r in events:
+        hour = (r.ts // 1_000_000_000 // 3600) % 24
+        band = math.floor(r.value / 25.0)
+        k = (r.event_type, hour)
+        classes.setdefault(k, set()).add(band)
+        sizes[k] = sizes.get(k, 0) + 1
+    rows = {
+        (r.event_type, r.hour): r
+        for r in relational.l_diversity(spark, SF).collect()
+    }
+    assert set(rows) == set(classes)
+    for k, bands in classes.items():
+        r = rows[k]
+        assert r.n == sizes[k]
+        assert r.l_distinct == len(bands)
+        assert r.l_violation == int(len(bands) < relational.L_DIVERSITY)
+    flags = {r.l_violation for r in rows.values()}
+    assert flags == {0, 1}

@@ -500,3 +500,27 @@ def test_lm_interpolated_empty_corpus(spark, tmp_path):
     out = llm.lm_interpolated(spark, sf)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_bigrams", "logprob", "xent", "ppl"]
+
+
+def test_readability_empty_corpus(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = llm.readability_score(spark, sf)
+    assert out.count() == 0
+
+
+def test_l_diversity_empty_events(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "events").filter(F.lit(False)).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = relational.l_diversity(spark, sf)
+    assert out.count() == 0

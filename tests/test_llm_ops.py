@@ -3140,3 +3140,31 @@ def test_lm_interpolated_matches_reference(spark):
     rank_a = sorted(addone, key=lambda d: (addone[d], d))
     rank_i = sorted(interp, key=lambda d: (interp[d], d))
     assert rank_a != rank_i, "smoothers should disagree somewhere"
+
+
+def test_readability_score_matches_reference(spark):
+    """Flesch components replayed in pure Python (same regexes, same
+    fixed double dag); all three bands must appear across the fixture OR
+    at minimum the scores must span the band thresholds' sides."""
+    import re
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    rows = {r.doc_id: r for r in llm.readability_score(spark, SF).collect()}
+    assert set(rows) == {r.doc_id for r in docs}
+    bands = set()
+    for d in docs:
+        w = len(d.text.split(" "))
+        s = max(len(re.findall(r"[.!?]", d.text)), 1)
+        sy = len(re.findall(r"[aeiouy]+", d.text.lower()))
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+        g = rows[d.doc_id]
+        assert (g.n_words, g.n_sentences, g.n_syllables) == (w, s, sy)
+        assert g.flesch == _r6(round(score, 4)) or g.flesch == round(score, 4)
+        want_band = (
+            "easy" if score >= llm.FLESCH_EASY
+            else "standard" if score >= llm.FLESCH_STANDARD
+            else "hard"
+        )
+        assert g.band == want_band
+        bands.add(g.band)
+    assert len(bands) >= 2, "fixture should span readability bands"
