@@ -4593,6 +4593,72 @@ FROM mx
 """
 
 
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    data-quality / fraud screen for monetary columns: observed first
+    significant digit frequencies vs the Benford expectation
+    n·log10(1 + 1/d), with the per-digit (obs − exp)²/exp chi-square
+    contribution so an auditor sees which digits drive any deviation.
+
+    Determinism: digit extraction is pure string arithmetic on the
+    decimal rendering of an exact DECIMAL(18,2) cast (no float
+    formatting); counts are exact integers; expectation and contribution
+    are a fixed double dag per digit. Scale: one 9-group
+    map-side-combining aggregate + a 1-row broadcast total."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    per = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = per.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    exp = F.col("n").cast("double") * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    dev = F.col("n_obs").cast("double") - exp
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(exp, 4).alias("n_expected"),
+        F.round(dev * dev / exp, 6).alias("chi2_part"),
+    )
+
+
+BENFORD_SQL = """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders
+  GROUP BY 1),
+f AS (SELECT * FROM per WHERE digit BETWEEN 1 AND 9),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM f)
+SELECT digit, n_obs,
+       round(CAST(n AS DOUBLE)
+               * log10(CAST(1.0 AS DOUBLE)
+                       + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 4)
+         AS n_expected,
+       round((CAST(n_obs AS DOUBLE)
+              - CAST(n AS DOUBLE)
+                * log10(CAST(1.0 AS DOUBLE)
+                        + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(n AS DOUBLE)
+                  * log10(CAST(1.0 AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+             / (CAST(n AS DOUBLE)
+                * log10(CAST(1.0 AS DOUBLE)
+                        + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))), 6)
+         AS chi2_part
+FROM f, tot
+"""
+
+
 L_DIVERSITY = 3
 
 
@@ -4891,6 +4957,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_max_concurrency", max_concurrency, MAX_CONCURRENCY_SQL),
     ("rel_rfm_segments", rfm_segments, _rfm_sql()),
     ("rel_l_diversity", l_diversity, L_DIVERSITY_SQL),
+    ("rel_benford_audit", benford_audit, BENFORD_SQL),
 ]
 
 

@@ -440,6 +440,21 @@ def _cross_source_sql() -> str:
     return _CROSS_SOURCE_SQL
 
 
+
+def stream_incremental_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_preference_pairs
+
+    return incremental_preference_pairs(spark, sf_dir)
+
+
+def _pref_pairs_sql() -> str:
+    """Merged per-source struct extremes must reproduce the one-shot pair
+    mining bitwise — the batch query's SQL IS the oracle."""
+    from .llm import _PREF_PAIRS_SQL
+
+    return _PREF_PAIRS_SQL
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -462,6 +477,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_bm25", stream_incremental_bm25, _bm25_sql()),
     ("stream_incremental_funnel", stream_incremental_funnel, _funnel_sql()),
     ("stream_incremental_cross_source", stream_incremental_cross_source, _cross_source_sql()),
+    ("stream_incremental_pref_pairs", stream_incremental_pref_pairs, _pref_pairs_sql()),
 ]
 
 if _tws_available():

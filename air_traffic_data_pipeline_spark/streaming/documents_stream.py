@@ -628,3 +628,83 @@ def incremental_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental preference-pair maintenance — bitwise equal
+    to the one-shot ``plans.llm.preference_pairs`` (its SQL is the
+    oracle), under ANY arrival order.
+
+    The lexicographic-struct-extreme case of the incremental-MV family:
+    each micro-batch lands per-source partials (count, max/min of the
+    (score, -doc_id) key struct); struct MAX/MIN are associative and
+    commutative, and counts are sums, so the merged extremes equal the
+    one-shot aggregate whatever the slicing — per-batch state is one row
+    per touched source. The final margin/gate projection runs on the
+    |sources|-sized merged state. Idempotent under foreachBatch replay
+    via the epoch-scoped overwrite discipline shared with the streams
+    above.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..functions.text import quality_score
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_pref_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        key = F.struct(
+            quality_score(F.col("text")).alias("score"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+        partial = (
+            batch_df.select("source", key.alias("k"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("k").alias("ch"),
+                F.min("k").alias("rj"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.max("ch").alias("ch"),
+                F.min("rj").alias("rj"),
+            )
+            .filter(F.col("n_docs") >= 2)
+        )
+        out = merged.select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (-F.col("ch.nid")).cast("bigint").alias("chosen_doc"),
+            F.col("ch.score").alias("chosen_score"),
+            (-F.col("rj.nid")).cast("bigint").alias("rejected_doc"),
+            F.col("rj.score").alias("rejected_score"),
+            F.round(F.col("ch.score") - F.col("rj.score"), 6).alias("margin"),
+        ).filter(F.col("margin") > 0)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1035,3 +1035,28 @@ def test_l_diversity_matches_reference(spark):
         assert r.l_violation == int(len(bands) < relational.L_DIVERSITY)
     flags = {r.l_violation for r in rows.values()}
     assert flags == {0, 1}
+
+
+def test_benford_audit_matches_reference(spark):
+    """First-digit counts replayed in pure Python from the decimal
+    rendering; expectation/chi2 parts from the same fixed dag; all nine
+    digits must appear in the fixture."""
+    import math
+    from decimal import Decimal
+
+    orders = load(spark, SF, "orders").select("o_totalprice").collect()
+    counts: dict[int, int] = {}
+    for r in orders:
+        d = str(Decimal(repr(r.o_totalprice)).quantize(Decimal("0.01")))[0]
+        if d.isdigit() and d != "0":
+            counts[int(d)] = counts.get(int(d), 0) + 1
+    n = sum(counts.values())
+    rows = {r.digit: r for r in relational.benford_audit(spark, SF).collect()}
+    assert set(rows) == set(counts)
+    assert set(counts) == set(range(1, 10)), "fixture should hit all digits"
+    for d, c in counts.items():
+        exp = n * math.log10(1.0 + 1.0 / d)
+        r = rows[d]
+        assert r.n_obs == c
+        assert abs(r.n_expected - exp) < 5e-4
+        assert abs(r.chi2_part - (c - exp) ** 2 / exp) < 5e-6

