@@ -724,6 +724,57 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 """
 
 
+def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space — the k-occurrence
+    distribution N_k (how often each corpus vector appears in the query
+    set's exact top-k): a histogram over (k_occurrences -> n_vectors,
+    fraction), including the 0 row (anti-hubs never retrieved). A skewed
+    N_k is the standard symptom of hub-dominated high-dimensional
+    retrieval (Radovanović et al.) and decides whether to re-normalize /
+    whiten before shipping an ANN index.
+
+    Determinism: exact integer counts end to end; the fraction is one
+    double division. Scale: reuses the cosine_topk plan (its cost
+    dominates); the reverse counts are a query-set-sized broadcast joined
+    to the corpus ids, then a histogram-sized aggregate."""
+    topk = cosine_topk(spark, sf_dir).select("c_id")
+    per = topk.groupBy("c_id").agg(F.count(F.lit(1)).alias("k_occ"))
+    corpus = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id")
+    )
+    j = corpus.join(F.broadcast(per), "c_id", "left").select(
+        F.coalesce(F.col("k_occ"), F.lit(0)).cast("bigint").alias("k_occurrences")
+    )
+    tot = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("k_occurrences", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            "k_occurrences",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("n").cast("double"), 6
+            ).alias("frac"),
+        )
+    )
+
+
+_HUBNESS_SQL = f"""
+WITH topk AS (SELECT c_id FROM ({_COSINE_TOPK_SQL}) t),
+per AS (SELECT c_id, count(*) AS k_occ FROM topk GROUP BY 1),
+corpus AS (SELECT vec_id AS c_id FROM embeddings),
+j AS (
+  SELECT CAST(coalesce(p.k_occ, 0) AS BIGINT) AS k_occurrences
+  FROM corpus c LEFT JOIN per p ON c.c_id = p.c_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus)
+SELECT k_occurrences, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
+FROM j, tot
+GROUP BY k_occurrences, n
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     v = to_double(F.col("embedding"))
@@ -9525,6 +9576,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
+    ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),
 ]
 
 

@@ -535,3 +535,14 @@ def test_benford_audit_empty_orders(spark, tmp_path):
         f"{sf}/orders.parquet"
     )
     assert relational.benford_audit(spark, sf).count() == 0
+
+
+def test_hubness_audit_empty_embeddings(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "embeddings").filter(F.lit(False)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    assert llm.hubness_audit(spark, sf).count() == 0

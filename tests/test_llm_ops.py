@@ -3168,3 +3168,27 @@ def test_readability_score_matches_reference(spark):
         assert g.band == want_band
         bands.add(g.band)
     assert len(bands) >= 2, "fixture should span readability bands"
+
+
+def test_hubness_audit_matches_reference(spark):
+    """k-occurrence histogram replayed from the engine's own exact top-k
+    (cosine_topk is pinned elsewhere): reverse counts over the full
+    corpus including the 0 anti-hub row; fractions sum to 1 and vector
+    counts sum to the corpus size; some vector must repeat across query
+    lists (a hub exists even at fixture scale)."""
+    topk = llm.cosine_topk(spark, SF).collect()
+    occ: dict[int, int] = {}
+    for r in topk:
+        occ[r.c_id] = occ.get(r.c_id, 0) + 1
+    n_corpus = load(spark, SF, "embeddings").count()
+    hist: dict[int, int] = {}
+    for c in occ.values():
+        hist[c] = hist.get(c, 0) + 1
+    hist[0] = n_corpus - len(occ)
+    rows = {r.k_occurrences: r for r in llm.hubness_audit(spark, SF).collect()}
+    assert {k: r.n_vectors for k, r in rows.items()} == hist
+    assert sum(r.n_vectors for r in rows.values()) == n_corpus
+    assert abs(sum(r.frac for r in rows.values()) - 1.0) < 1e-4
+    for k, r in rows.items():
+        assert r.frac == _r6(hist[k] / n_corpus)
+    assert max(hist) >= 2, "fixture should contain a hub"
