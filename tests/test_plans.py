@@ -766,3 +766,28 @@ def test_round7_batch2_plan_shapes(spark):
 
     p = plan(llm.lm_interpolated(spark, SF), "simple")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_round7_batch3_plan_shapes(spark):
+    """The closing round-7 additions keep their shapes: l-diversity and
+    Benford are aggregates with no window (Benford's only nested-loop leg
+    is the 1-row total broadcast); readability is pure codegen over the
+    scan — no Exchange, no join, no Python evaluator; hubness joins the
+    query-set-sized reverse counts via broadcast and never a cartesian."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+
+    p = plan(relational.l_diversity(spark, SF), "simple")
+    assert "Join" not in p and "Window" not in p and "BatchEvalPython" not in p
+
+    p = plan(relational.benford_audit(spark, SF), "simple")
+    assert "Window" not in p and "CartesianProduct" not in p
+    nl = [l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(nl) <= 1
+
+    p = plan(llm.readability_score(spark, SF), "simple")
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan(llm.hubness_audit(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
