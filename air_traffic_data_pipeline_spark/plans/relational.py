@@ -4593,6 +4593,97 @@ FROM mx
 """
 
 
+FIFO_MAX_PART = 200
+
+
+def fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching (inventory/lot accounting, tax-lot matching for
+    trades): per part, odd line numbers are receipts and even ones are
+    issues (a deterministic synthetic split of the lineitem flow); each
+    issue consumes receipts strictly first-in-first-out. Expressed as the
+    classic cumulative-interval intersection: each receipt covers the
+    cumulative-quantity interval [cum−qty, cum) on the part's inbound
+    axis, each issue likewise on the outbound axis, and FIFO matches are
+    EXACTLY the pairs whose intervals overlap, with
+    qty_matched = min(hi) − max(lo) — no procedural loop, no recursion.
+
+    Determinism: quantities are whole-valued (cast to int64 exactly);
+    the running sums are integer windows under a total (orderkey,
+    linenumber) order; every matched quantity is exact integer min/max
+    arithmetic. Scale: both running sums are part-keyed windows (lot
+    counts per part are bounded); the match is a part-keyed equi-join
+    whose per-part pair count is O(receipts + issues) — FIFO intervals
+    are non-overlapping within each side, so each receipt overlaps a
+    contiguous run of issues (chain length 1 + crossings, never
+    receipts x issues). Bounded to l_partkey < FIFO_MAX_PART for the
+    fixture; at scale the same plan runs unbounded with AQE handling hot
+    parts."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < FIFO_MAX_PART)
+        .groupBy("l_partkey", "l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    # the synthetic lake repeats (orderkey, linenumber); the pre-aggregate
+    # makes the FIFO axis order total, so RANGE == ROWS in the window
+    w = W.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+
+    def lots(side: DataFrame, tag: str) -> DataFrame:
+        hi = F.sum("qty").over(w)
+        return side.select(
+            "l_partkey",
+            F.col("l_orderkey").alias(f"{tag}_order"),
+            F.col("l_linenumber").alias(f"{tag}_line"),
+            (hi - F.col("qty")).alias(f"{tag}_lo"),
+            hi.alias(f"{tag}_hi"),
+        )
+
+    rec = lots(li.filter(F.col("l_linenumber") % 2 == 1), "in")
+    iss = lots(li.filter(F.col("l_linenumber") % 2 == 0), "out")
+    j = rec.join(iss, "l_partkey").filter(
+        (F.col("in_lo") < F.col("out_hi")) & (F.col("out_lo") < F.col("in_hi"))
+    )
+    return j.select(
+        "l_partkey",
+        "in_order",
+        "in_line",
+        "out_order",
+        "out_line",
+        (
+            F.least(F.col("in_hi"), F.col("out_hi"))
+            - F.greatest(F.col("in_lo"), F.col("out_lo"))
+        ).cast("bigint").alias("qty_matched"),
+    )
+
+
+FIFO_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_partkey < {FIFO_MAX_PART}
+  GROUP BY 1, 2, 3),
+rec AS (
+  SELECT l_partkey, l_orderkey AS in_order, l_linenumber AS in_line,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_orderkey, l_linenumber) - qty AS in_lo,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_orderkey, l_linenumber) AS in_hi
+  FROM li WHERE l_linenumber % 2 = 1),
+iss AS (
+  SELECT l_partkey, l_orderkey AS out_order, l_linenumber AS out_line,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_orderkey, l_linenumber) - qty AS out_lo,
+         sum(qty) OVER (PARTITION BY l_partkey
+                        ORDER BY l_orderkey, l_linenumber) AS out_hi
+  FROM li WHERE l_linenumber % 2 = 0)
+SELECT r.l_partkey, in_order, in_line, out_order, out_line,
+       CAST(least(in_hi, out_hi) - greatest(in_lo, out_lo) AS BIGINT)
+         AS qty_matched
+FROM rec r JOIN iss i ON r.l_partkey = i.l_partkey
+WHERE in_lo < out_hi AND out_lo < in_hi
+"""
+
+
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit on order totals — the classic
     data-quality / fraud screen for monetary columns: observed first
@@ -4958,6 +5049,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_rfm_segments", rfm_segments, _rfm_sql()),
     ("rel_l_diversity", l_diversity, L_DIVERSITY_SQL),
     ("rel_benford_audit", benford_audit, BENFORD_SQL),
+    ("rel_fifo_matching", fifo_matching, FIFO_SQL),
 ]
 
 

@@ -1060,3 +1060,52 @@ def test_benford_audit_matches_reference(spark):
         assert r.n_obs == c
         assert abs(r.n_expected - exp) < 5e-4
         assert abs(r.chi2_part - (c - exp) ** 2 / exp) < 5e-6
+
+
+def test_fifo_matching_equals_procedural_queue(spark):
+    """The cumulative-interval intersection must equal an actual
+    procedural FIFO queue replay (pop receipts first-in-first-out per
+    issue): same matched (receipt, issue) pairs, same quantities; and at
+    least one issue must span two receipts (a real split)."""
+    li = (
+        load(spark, SF, "lineitem")
+        .filter(F.col("l_partkey") < relational.FIFO_MAX_PART)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    )
+    lots: dict[tuple, int] = {}
+    for r in li:
+        k = (r.l_partkey, r.l_orderkey, r.l_linenumber)
+        lots[k] = lots.get(k, 0) + int(r.l_quantity)
+    parts: dict[int, dict[str, list]] = {}
+    for (pk, ok, ln) in sorted(lots):
+        side = "in" if ln % 2 == 1 else "out"
+        parts.setdefault(pk, {"in": [], "out": []})[side].append(
+            (ok, ln, lots[(pk, ok, ln)])
+        )
+    want: dict[tuple, int] = {}
+    split_seen = False
+    for pk, sides in parts.items():
+        queue = [list(x) for x in sides["in"]]  # mutable remaining qty
+        qi = 0
+        for o_ord, o_line, o_qty in sides["out"]:
+            need = o_qty
+            used = 0
+            while need > 0 and qi < len(queue):
+                r_ord, r_line, r_rem = queue[qi]
+                take = min(need, r_rem)
+                if take > 0:
+                    want[(pk, r_ord, r_line, o_ord, o_line)] = take
+                    used += 1
+                queue[qi][2] -= take
+                need -= take
+                if queue[qi][2] == 0:
+                    qi += 1
+            if used > 1:
+                split_seen = True
+    got = {
+        (r.l_partkey, r.in_order, r.in_line, r.out_order, r.out_line): r.qty_matched
+        for r in relational.fifo_matching(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+    assert split_seen, "fixture should split an issue across receipts"

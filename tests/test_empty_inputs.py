@@ -546,3 +546,14 @@ def test_hubness_audit_empty_embeddings(spark, tmp_path):
         f"{sf}/embeddings.parquet"
     )
     assert llm.hubness_audit(spark, sf).count() == 0
+
+
+def test_fifo_matching_empty_lineitem(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "lineitem").filter(F.lit(False)).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    assert relational.fifo_matching(spark, sf).count() == 0
