@@ -1109,3 +1109,50 @@ def test_fifo_matching_equals_procedural_queue(spark):
     }
     assert got == want and len(want) > 0
     assert split_seen, "fixture should split an issue across receipts"
+
+
+def test_fifo_interval_formulation_property():
+    """Pure-math property (no Spark): for ANY receipt/issue quantity
+    streams, cumulative-interval intersection produces exactly the
+    procedural FIFO queue's matches. This is the identity the
+    rel_fifo_matching plan relies on; engine parity is pinned separately
+    by the oracle and the fixture test."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), max_size=12),
+        st.lists(st.integers(min_value=1, max_value=50), max_size=12),
+    )
+    def check(rec_q, iss_q):
+        # intervals
+        ri, c = [], 0
+        for i, q in enumerate(rec_q):
+            ri.append((i, c, c + q))
+            c += q
+        ii, c = [], 0
+        for j, q in enumerate(iss_q):
+            ii.append((j, c, c + q))
+            c += q
+        interval = {
+            (i, j): min(rh, ih) - max(rl, il)
+            for i, rl, rh in ri
+            for j, il, ih in ii
+            if rl < ih and il < rh
+        }
+        # procedural queue
+        queue = [[i, q] for i, q in enumerate(rec_q)]
+        qi, want = 0, {}
+        for j, q in enumerate(iss_q):
+            need = q
+            while need > 0 and qi < len(queue):
+                take = min(need, queue[qi][1])
+                if take > 0:
+                    want[(queue[qi][0], j)] = take
+                queue[qi][1] -= take
+                need -= take
+                if queue[qi][1] == 0:
+                    qi += 1
+        assert interval == want
+
+    check()

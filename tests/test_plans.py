@@ -791,3 +791,14 @@ def test_round7_batch3_plan_shapes(spark):
     p = plan(llm.hubness_audit(spark, SF), "simple")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_fifo_matching_plan_shape(spark):
+    """FIFO matching stays the promised shape: part-keyed windows + a
+    part-keyed equi-join (SortMerge/ShuffledHash/BroadcastHash on
+    l_partkey), never a cartesian, no Python evaluator."""
+    from air_traffic_data_pipeline_spark.plans import relational
+
+    p = plan(relational.fifo_matching(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
