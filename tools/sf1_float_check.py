@@ -44,6 +44,12 @@ FOLD_HEAVY = (
     "llm_pca_power_iter",
     "rel_ewma_per_user",
     "rel_time_weighted_avg",
+    # late round-7 fold-heavy additions: the interpolated-LM per-doc
+    # position fold, the feature-hashing dot-product fold, and the
+    # mixture-divergence lang-sorted folds
+    "llm_lm_interpolated",
+    "llm_feature_hashing",
+    "llm_mixing_divergence",
 )
 
 ALL_TABLES = (
