@@ -724,6 +724,78 @@ SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 """
 
 
+SEP_MAX_ID = 64  # bounded exact-kernel sample (the n-gram Jaccard convention)
+
+
+def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability of the embedding space — mean pairwise cosine
+    WITHIN labels vs ACROSS labels on a bounded sample: the alignment
+    check run before trusting labels for semantic dedup, stratified
+    sampling, or nearest-centroid routing (if intra ~= inter, the labels
+    carry no geometry and label-conditioned ops are noise).
+
+    Determinism: each pair cosine is the shared zip_with/list fold
+    rounded 6 dp; the per-group mean folds the pair values in
+    (a_id, b_id) order, so both engines add identical doubles
+    identically. Scale: the exact kernel is deliberately bounded to
+    SEP_MAX_ID vectors (the fuzzy-match convention); at 100 TB the same
+    two numbers come from a label-stratified sample, not the full
+    corpus."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < SEP_MAX_ID)
+    s = e.select("vec_id", "label", to_double(F.col("embedding")).alias("vec"))
+    a = s.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("vec").alias("a_vec"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("vec").alias("b_vec"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        (F.col("a_label") == F.col("b_label")).cast("int").alias("same_label"),
+        F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+    )
+    per = pairs.groupBy("same_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sort_array(
+            F.collect_list(F.struct("a_id", "b_id", "cos_sim"))
+        ).alias("xs"),
+    )
+    total = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["cos_sim"]
+    )
+    return per.select(
+        "same_label",
+        "n_pairs",
+        F.round(total / F.col("n_pairs").cast("double"), 6).alias("mean_cos"),
+    )
+
+
+_SEPARABILITY_SQL = f"""
+WITH s AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec
+  FROM embeddings WHERE vec_id < {SEP_MAX_ID}),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INTEGER)
+           AS same_label,
+         round({cosine_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+per AS (
+  SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+         list_reduce(list_prepend({dlit(0.0)},
+           list(cos_sim ORDER BY a_id, b_id)), (acc, x) -> acc + x) AS s
+  FROM pairs GROUP BY 1)
+SELECT same_label, n_pairs,
+       round(s / CAST(n_pairs AS DOUBLE), 6) AS mean_cos
+FROM per
+"""
+
+
 def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hubness audit of the embedding space — the k-occurrence
     distribution N_k (how often each corpus vector appears in the query
@@ -9577,6 +9649,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
     ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),
+    ("llm_label_separability", label_separability, _SEPARABILITY_SQL),
 ]
 
 

@@ -557,3 +557,14 @@ def test_fifo_matching_empty_lineitem(spark, tmp_path):
         f"{sf}/lineitem.parquet"
     )
     assert relational.fifo_matching(spark, sf).count() == 0
+
+
+def test_label_separability_empty_embeddings(spark, tmp_path):
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "embeddings").filter(F.lit(False)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    assert llm.label_separability(spark, sf).count() == 0

@@ -3192,3 +3192,39 @@ def test_hubness_audit_matches_reference(spark):
     for k, r in rows.items():
         assert r.frac == _r6(hist[k] / n_corpus)
     assert max(hist) >= 2, "fixture should contain a hub"
+
+
+def test_label_separability_matches_reference(spark):
+    """Intra/inter-label mean cosines replayed in pure Python with the
+    same pair order and fold; on this fixture the labels are geometry-free
+    (random vectors), so the audit must report intra ~= inter ~= 0."""
+    rows = {
+        r.same_label: r for r in llm.label_separability(spark, SF).collect()
+    }
+    sample = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < llm.SEP_MAX_ID)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    sample.sort(key=lambda r: r.vec_id)
+    groups: dict[int, list] = {0: [], 1: []}
+    for i in range(len(sample)):
+        for j in range(i + 1, len(sample)):
+            a, b = sample[i], sample[j]
+            cos = _ref_cos([float(x) for x in a.embedding], [float(x) for x in b.embedding])
+            groups[int(a.label == b.label)].append(cos)
+    for k, vals in groups.items():
+        s = 0.0
+        for v in vals:  # already in (a_id, b_id) order
+            s = s + v
+        r = rows[k]
+        assert r.n_pairs == len(vals)
+        assert r.mean_cos == _r6(s / len(vals))
+    # The synthetic embeddings are label-independent random vectors, so
+    # the audit must REPORT non-separation (both means ~0) — which is its
+    # diagnostic point; both groups must be present and cover all pairs.
+    assert set(rows) == {0, 1}
+    n = len(sample)
+    assert rows[0].n_pairs + rows[1].n_pairs == n * (n - 1) // 2
+    assert abs(rows[1].mean_cos) < 0.05 and abs(rows[0].mean_cos) < 0.05
