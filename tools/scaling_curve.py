@@ -47,7 +47,8 @@ def build_lakes(spark, base: str, root: str) -> dict[int, str]:
         ev = spark.read.parquet(f"{base}/events.parquet")
         doc = spark.read.parquet(f"{base}/documents.parquet")
         emb = spark.read.parquet(f"{base}/embeddings.parquet")
-        evs, docs, embs = [], [], []
+        li = spark.read.parquet(f"{base}/lineitem.parquet")
+        evs, docs, embs, lis = [], [], [], []
         for i in range(m):
             evs.append(
                 ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
@@ -61,7 +62,19 @@ def build_lakes(spark, base: str, root: str) -> dict[int, str]:
             embs.append(
                 emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
             )
-        for name, parts in (("events", evs), ("documents", docs), ("embeddings", embs)):
+            # lineitem replicas keep partkeys but get fresh orderkeys:
+            # lots per part DENSIFY — the FIFO hot-part growth model
+            lis.append(
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * ID_OFFSET)
+                )
+            )
+        for name, parts in (
+            ("events", evs),
+            ("documents", docs),
+            ("embeddings", embs),
+            ("lineitem", lis),
+        ):
             u = parts[0]
             for p in parts[1:]:
                 u = u.unionByName(p)
@@ -73,8 +86,11 @@ def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    from air_traffic_data_pipeline_spark.plans import domain, llm
+    from air_traffic_data_pipeline_spark.plans import domain, llm, relational
     from air_traffic_data_pipeline_spark.session import get_spark
+
+    def _rel_fifo(spark, sf_dir):
+        return relational.fifo_matching(spark, sf_dir)
 
     spark = get_spark("scaling-curve")
     queries = {
@@ -89,6 +105,10 @@ def main() -> int:
         # late round-7: the gram-keyed self-join (bounded per gram by
         # |sources|^2) behind the cross-source provenance matrix
         "llm_cross_source_overlap": llm.cross_source_overlap,
+        # FIFO interval intersection under lot densification (replicas
+        # add lots to the SAME parts — per-part pair counts grow
+        # linearly because FIFO intervals are non-overlapping per side)
+        "rel_fifo_matching": _rel_fifo,
     }
 
     root = tempfile.mkdtemp(prefix="scale_")
