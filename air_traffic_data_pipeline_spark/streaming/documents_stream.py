@@ -604,7 +604,7 @@ def incremental_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             exploded_shingles(
                 batch_df.select("text", "source"), "text", CROSS_SOURCE_K, "g"
             )
-            .select("g", "source")
+            .select(F.md5("g").alias("g"), "source")
             .distinct()
         )
         partial.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
