@@ -8346,7 +8346,13 @@ FROM rated r LEFT JOIN kept k ON r.lang = k.lang
 DIFF_ADD_MOD = 17  # doc_id % 17 == 3: present only in the CURRENT snapshot
 DIFF_CHG_MOD = 13  # doc_id % 13 == 5: text differs between snapshots
 DIFF_RM_MOD = 19  # doc_id % 19 == 7: spawns a prev-only doc (removed since)
-DIFF_RM_OFFSET = 10_000_000
+# Sentinel offset for synthetic prev-only ids. Must live FAR outside any real
+# or replica-scaled doc_id range: tools/scaling_curve.py densifies lakes by
+# adding i*10_000_000 to doc_ids, so a 10M offset here would collide with
+# replica-1 ids and silently misclassify rows (r7 ADVICE). 10**12 clears any
+# plausible replica count while staying exact in int64 (and in the float
+# arithmetic DuckDB may use for the + literal).
+DIFF_RM_OFFSET = 10**12
 
 
 def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

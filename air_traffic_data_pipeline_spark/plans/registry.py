@@ -176,21 +176,34 @@ def _load_query_hashes() -> dict[str, str]:
         return {}
 
 
-def _changed_since_green(green: frozenset[str]) -> set[str]:
+_CHANGED_SINCE_GREEN_CACHE: dict[frozenset, frozenset] = {}
+
+
+def _changed_since_green(green: frozenset[str]) -> frozenset[str]:
     """Green-tail queries whose CURRENT function source no longer matches
     the hash recorded at their last green driver row — their green
     evidence describes code that no longer exists, so they jump the green
-    tail into the recheck window (the r6 VERDICT's git-aware hook)."""
+    tail into the recheck window (the r6 VERDICT's git-aware hook).
+
+    Memoized per process (keyed on the green set): all_queries() runs this
+    on every call and source hashes can't change mid-process, so hashing
+    ~290 function sources repeatedly was pure overhead (r7 ADVICE)."""
+    cached = _CHANGED_SINCE_GREEN_CACHE.get(green)
+    if cached is not None:
+        return cached
     recorded = _load_query_hashes()
     if not recorded:
-        return set()
+        _CHANGED_SINCE_GREEN_CACHE[green] = frozenset()
+        return frozenset()
     out: set[str] = set()
     for name, fn in _collect_queries().items():
         if name in green and name in recorded:
             h = _query_src_hash(fn)
             if h is not None and h != recorded[name]:
                 out.add(name)
-    return out
+    result = frozenset(out)
+    _CHANGED_SINCE_GREEN_CACHE[green] = result
+    return result
 
 
 def _driver_green_rounds() -> dict[str, int] | None:

@@ -4191,8 +4191,10 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     protected aggregate). Count queries have sensitivity 1, so the noise
     scale is b = 1/ε.
 
-    The Laplace draw is DETERMINISTIC: u = hex4(md5(event_type))/65536 ∈
-    (0,1), noise = -b·sign(u-0.5)·ln(1-2|u-0.5|) — the inverse-CDF
+    The Laplace draw is DETERMINISTIC: u = (hex4(md5(event_type))+0.5)/65536
+    ∈ (0,1) — the +0.5 keeps u strictly off both endpoints so
+    ln(1-2|u-0.5|) is always finite even when the md5 prefix is 0000 or
+    ffff (r7 ADVICE) — noise = -b·sign(u-0.5)·ln(1-2|u-0.5|), the inverse-CDF
     transform on a hash-seeded uniform, so the release is reproducible
     under re-runs/retries (the stratified-sample discipline applied to
     noise; a production run would salt the hash with a per-release secret
@@ -4204,7 +4206,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .llm import _hex4_to_int
 
-    u = _hex4_to_int(F.md5(F.col("event_type"))) / F.lit(65536.0)
+    u = (_hex4_to_int(F.md5(F.col("event_type"))) + F.lit(0.5)) / F.lit(65536.0)
     b = F.lit(1.0 / DP_EPSILON)
     half = u - F.lit(0.5)
     noise = -b * F.signum(half) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(half))
@@ -4219,7 +4221,10 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dp_counts_sql() -> str:
     from .llm import _hex4_to_int_sql
 
-    u = f"({_hex4_to_int_sql('md5(event_type)')} / CAST(65536.0 AS DOUBLE))"
+    u = (
+        f"(({_hex4_to_int_sql('md5(event_type)')} + CAST(0.5 AS DOUBLE))"
+        f" / CAST(65536.0 AS DOUBLE))"
+    )
     b = dlit(1.0 / DP_EPSILON)
     half = f"({u} - {dlit(0.5)})"
     noise = (

@@ -136,9 +136,12 @@ def main() -> None:
             _clear_engine_caches()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            samples.append(round(time.time() - t0, 3))
-        reps[name] = samples
-        timings[name] = min(samples)
+            samples.append(time.time() - t0)
+        # min over RAW floats, round only for reporting — rounding each rep
+        # before the min quantized the reported best by up to 0.5 ms
+        # (r7 ADVICE)
+        reps[name] = [round(s, 3) for s in samples]
+        timings[name] = round(min(samples), 3)
 
     cal_after = _cpu_probe()
     cal_mt_after = _cpu_probe_mt()

@@ -846,7 +846,7 @@ def test_dp_noisy_counts_reference(spark):
     assert set(rows) == set(counts)
     b = 1.0 / relational.DP_EPSILON
     for t, n in counts.items():
-        u = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) / 65536.0
+        u = (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) + 0.5) / 65536.0
         half = u - 0.5
         sign = (half > 0) - (half < 0)
         noise = -b * sign * math.log(1.0 - 2.0 * abs(half))

@@ -69,6 +69,22 @@ def main() -> int:
     for k in dropped:
         del snap[k]
 
+    # Snapshot-vs-source drift for NON-green queries: these are outside the
+    # registry's _changed_since_green hook (it only inspects green names),
+    # so a stale hash here relies on a manual _FORCE_RECHECK pairing that
+    # nothing verified (r7 ADVICE, the llm_bm25_topk case). Report them so
+    # the pairing is audited each round instead of assumed.
+    nongreen_drift = []
+    for name, ent in sorted(snap.items()):
+        if name in rounds:
+            continue  # green: the registry's own hook covers it
+        fn = fns.get(name)
+        if fn is None:
+            continue
+        h = registry._query_src_hash(fn)
+        if h is not None and h != ent.get("hash"):
+            nongreen_drift.append(name)
+
     with open(PATH, "w") as fh:
         json.dump(dict(sorted(snap.items())), fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -79,6 +95,7 @@ def main() -> int:
                 "updated": updated,
                 "dropped": len(dropped),
                 "green_total": len(rounds),
+                "nongreen_drift": nongreen_drift,
             }
         )
     )
