@@ -992,12 +992,82 @@ FROM events GROUP BY 1, 2
 # --- approx (rows-only: engines' sketches differ by design) ---------------
 
 
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Accuracy band for the approximate-sketch acceptance booleans. Spark's
+# approx_count_distinct at rsd=0.01 (~1% std err), its default-accuracy
+# percentile_approx, DuckDB's HLL approx_count_distinct, and DuckDB's
+# t-digest approx_quantile all sit far inside ±5% on these lakes, so both
+# engines deterministically compute TRUE — which is what makes the banded
+# boolean a real value oracle for an approximate operator (r7 VERDICT
+# item 2: the estimates themselves are engine-specific byte-for-byte, the
+# accuracy CLAIM is not).
+SKETCH_BAND = 0.05
+
+
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw estimates next to their exact counterparts — the pytest accuracy
+    bounds consume this; the registered query reduces it to exact values +
+    banded booleans so the driver can hash-compare across engines."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
     )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count + approximate median per group, graded by
+    a DETERMINISTIC acceptance band: output = exact per-group distinct
+    (integer, engine-portable) plus booleans asserting each engine's own
+    estimate lands within ±SKETCH_BAND of exact. Engines' sketch internals
+    differ by design; the banded claim is identical — so this query is
+    fully value-oracled (DuckDB runs its approx_count_distinct /
+    approx_quantile through the same band) instead of rows-only.
+    Scale: one map-side-combining aggregate; HLL partials are tiny and
+    mergeable, exact countDistinct is the only shuffle-heavy leg."""
+    g = _approx_distinct_raw(spark, sf_dir)
+    band = F.lit(float(SKETCH_BAND))
+    return g.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(
+                F.col("approx_parts").cast("double")
+                / F.col("exact_parts").cast("double")
+                - F.lit(1.0)
+            )
+            <= band
+        ).alias("parts_est_within_band"),
+        (
+            F.abs(
+                F.col("approx_median_price") / F.col("exact_median_price")
+                - F.lit(1.0)
+            )
+            <= band
+        ).alias("median_est_within_band"),
+    )
+
+
+APPROX_DISTINCT_SQL = f"""
+WITH g AS (
+  SELECT l_returnflag,
+         approx_count_distinct(l_partkey) AS approx_parts,
+         count(DISTINCT l_partkey) AS exact_parts,
+         approx_quantile(l_extendedprice, 0.5) AS approx_median_price,
+         quantile_cont(l_extendedprice, 0.5) AS exact_median_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(exact_parts AS BIGINT) AS exact_parts,
+       abs(CAST(approx_parts AS DOUBLE) / CAST(exact_parts AS DOUBLE)
+           - CAST(1.0 AS DOUBLE)) <= CAST({SKETCH_BAND} AS DOUBLE)
+         AS parts_est_within_band,
+       abs(CAST(approx_median_price AS DOUBLE)
+           / CAST(exact_median_price AS DOUBLE)
+           - CAST(1.0 AS DOUBLE)) <= CAST({SKETCH_BAND} AS DOUBLE)
+         AS median_est_within_band
+FROM g
+"""
 
 
 # --- statistical moments (decimal-exact partial sums => deterministic) -----
@@ -1753,26 +1823,79 @@ SELECT * FROM ex UNION ALL SELECT * FROM st
 """
 
 
-def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches — the 100 TB cardinality pattern: per-group
-    sketch partials (hll_sketch_agg), re-aggregated with hll_union_agg into
-    a global estimate WITHOUT touching raw data again. Engines' sketches
-    differ by design, so the driver check is rows-only; the pytest bounds
-    the estimate against the exact count (±5%)."""
+def _hll_partial_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL estimates (per-flag partials + the merged global) next to
+    exact counts — pytest accuracy bounds consume this; the registered
+    query reduces it to exact + banded booleans for the driver oracle."""
     li = load(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg(F.col("l_partkey")).alias("sk"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    merged = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"),
-    ).select(F.lit("ALL").alias("l_returnflag"), F.col("est").cast("bigint").alias("est_parts"), F.lit(None).cast("long").alias("exact_parts"))
+    g_exact = li.agg(F.countDistinct("l_partkey").alias("g_exact"))
+    merged = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_parts")
+        )
+        .crossJoin(g_exact)
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            F.col("est_parts").cast("bigint").alias("est_parts"),
+            F.col("g_exact").cast("bigint").alias("exact_parts"),
+        )
+    )
     per = per_flag.select(
         "l_returnflag",
         F.hll_sketch_estimate(F.col("sk")).cast("bigint").alias("est_parts"),
-        F.col("exact_parts").cast("long").alias("exact_parts"),
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
     )
     return per.unionAll(merged)
+
+
+def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the 100 TB cardinality pattern: per-group
+    sketch partials (hll_sketch_agg), re-aggregated with hll_union_agg into
+    a global estimate WITHOUT touching raw data again. Engines' sketch
+    bytes differ by design, so the oracle checks the deterministic
+    accuracy CLAIM instead: exact counts (integers, portable) + a boolean
+    per row asserting the engine's own estimate is within ±SKETCH_BAND of
+    exact — DuckDB's side runs its HLL approx_count_distinct through the
+    same band (its global approx over all rows is the semantic mirror of
+    merging the partials). The pytest additionally bounds the raw
+    estimates via _hll_partial_raw."""
+    raw = _hll_partial_raw(spark, sf_dir)
+    return raw.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(
+                F.col("est_parts").cast("double")
+                / F.col("exact_parts").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(float(SKETCH_BAND))
+        ).alias("est_within_band"),
+    )
+
+
+HLL_PARTIAL_SQL = f"""
+WITH per AS (
+  SELECT l_returnflag,
+         approx_count_distinct(l_partkey) AS est_parts,
+         count(DISTINCT l_partkey) AS exact_parts
+  FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT 'ALL' AS l_returnflag,
+         approx_count_distinct(l_partkey) AS est_parts,
+         count(DISTINCT l_partkey) AS exact_parts
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(exact_parts AS BIGINT) AS exact_parts,
+       abs(CAST(est_parts AS DOUBLE) / CAST(exact_parts AS DOUBLE)
+           - CAST(1.0 AS DOUBLE)) <= CAST({SKETCH_BAND} AS DOUBLE)
+         AS est_within_band
+FROM per
+"""
 
 
 def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5015,7 +5138,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_subquery_exists", subquery_exists_correlated, SUBQ_EXISTS_SQL),
     ("rel_asof_join", asof_join, ASOF_SQL),
     ("rel_time_bucket_agg", time_bucket_agg, TIME_BUCKET_SQL),
-    ("rel_approx_distinct", approx_distinct, None),
+    ("rel_approx_distinct", approx_distinct, APPROX_DISTINCT_SQL),
     ("rel_from_json_struct", from_json_struct, FROM_JSON_SQL),
     ("rel_range_bucket_join", range_bucket_join, RANGE_BUCKET_SQL),
     ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
@@ -5058,7 +5181,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_join_null_safe", join_null_safe, JOIN_NULL_SAFE_SQL),
     ("rel_date_spine_gapfill", date_spine_gapfill, DATE_SPINE_SQL),
     ("rel_posexplode_inline", posexplode_inline, POSEXPLODE_SQL),
-    ("rel_hll_partial_merge", hll_partial_merge, None),
+    ("rel_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_SQL),
     ("rel_scd2_order_status", scd2_order_status, SCD2_SQL),
     ("rel_recursive_cte_hierarchy", recursive_cte_hierarchy, RECURSIVE_CTE_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),

