@@ -6099,25 +6099,27 @@ def _winnow_fp_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fp_from(d)
 
 
-def winnow_fp_from(d: DataFrame) -> DataFrame:
+def winnow_fp_from(
+    d: DataFrame, k: int = WINNOW_K, w_win: int = WINNOW_W
+) -> DataFrame:
     """DataFrame-input form of :func:`_winnow_fp_rows` — shared with the
     streaming incremental repeated-span pipeline, which winnows one
-    micro-batch at a time (streaming/documents_stream.py)."""
+    micro-batch at a time (streaming/documents_stream.py). ``k``/``w_win``
+    parameterize the gram length and winnow window for the K-sensitivity
+    sweep (defaults reproduce the canonical pipeline bitwise)."""
     d = d.select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
         w.alias("__w"),
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(w) - (WINNOW_K - 1), F.lit(1))
-            )
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1)))
         ).alias("pos"),
     ).select(
         "doc_id",
         "pos",
         F.concat_ws(
-            " ", *[F.get("__w", F.col("pos") + j - 1) for j in range(WINNOW_K)]
+            " ", *[F.get("__w", F.col("pos") + j - 1) for j in range(k)]
         ).alias("gram"),
     )
     key = F.concat(
@@ -6128,7 +6130,7 @@ def winnow_fp_from(d: DataFrame) -> DataFrame:
     frame = (
         W.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(W.currentRow, WINNOW_W - 1)
+        .rowsBetween(W.currentRow, w_win - 1)
     )
     per_doc = W.partitionBy("doc_id")
     sel = grams.select(
@@ -6141,7 +6143,7 @@ def winnow_fp_from(d: DataFrame) -> DataFrame:
         # the last full window (docs shorter than W grams keep their one
         # truncated window — winnowing of a short doc is its global min)
         F.col("pos")
-        <= F.greatest(F.col("npos") - (WINNOW_W - 1), F.lit(1))
+        <= F.greatest(F.col("npos") - (w_win - 1), F.lit(1))
     )
     return sel.select(
         "doc_id",
@@ -6153,7 +6155,9 @@ def winnow_fp_from(d: DataFrame) -> DataFrame:
     ).distinct()
 
 
-_WINNOW_FP_SQL = f"""
+def _winnow_fp_sql(k: int = WINNOW_K, w_win: int = WINNOW_W) -> str:
+    """SQL twin of :func:`winnow_fp_from`, parameterized the same way."""
+    return f"""
 SELECT DISTINCT doc_id,
        {_WINNOW_POSBASE} - CAST(substr(wkey, 33, 10) AS BIGINT) AS fp_pos,
        substr(wkey, 1, 32) AS h,
@@ -6163,18 +6167,21 @@ FROM (
          min(md5(gram) || lpad(CAST({_WINNOW_POSBASE} - pos AS VARCHAR), 10, '0')
              || gram)
            OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wkey,
+                 ROWS BETWEEN CURRENT ROW AND {w_win - 1} FOLLOWING) AS wkey,
          max(pos) OVER (PARTITION BY doc_id) AS npos
   FROM (
     SELECT doc_id, i AS pos,
-           array_to_string((w)[i:i+{WINNOW_K - 1}], ' ') AS gram
+           array_to_string((w)[i:i+{k - 1}], ' ') AS gram
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
          LATERAL (SELECT unnest(generate_series(
-                    1, greatest(len(w) - {WINNOW_K - 1}, 1))) AS i) t
+                    1, greatest(len(w) - {k - 1}, 1))) AS i) t
   ) g
 ) s
-WHERE pos <= greatest(npos - {WINNOW_W - 1}, 1)
+WHERE pos <= greatest(npos - {w_win - 1}, 1)
 """
+
+
+_WINNOW_FP_SQL = _winnow_fp_sql()
 
 
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6255,10 +6262,10 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_accounting(matched, d)
 
 
-def _merge_islands(matched: DataFrame) -> DataFrame:
+def _merge_islands(matched: DataFrame, gap: int = SPAN_MERGE_GAP) -> DataFrame:
     """Gaps-and-islands merge of matched (doc_id, fp_pos) sites: sites
-    closer than SPAN_MERGE_GAP fuse into one island; returns
-    (doc_id, island, s, e). Shared by repeated_span_accounting and
+    closer than ``gap`` (default SPAN_MERGE_GAP) fuse into one island;
+    returns (doc_id, island, s, e). Shared by repeated_span_accounting and
     span_scrub_apply so the merge semantics can never drift apart."""
     order = W.partitionBy("doc_id").orderBy("fp_pos")
     run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -6268,7 +6275,7 @@ def _merge_islands(matched: DataFrame) -> DataFrame:
             "new_island",
             F.when(
                 F.col("prev").isNull()
-                | (F.col("fp_pos") - F.col("prev") > SPAN_MERGE_GAP),
+                | (F.col("fp_pos") - F.col("prev") > gap),
                 1,
             ).otherwise(0),
         )
@@ -6278,14 +6285,21 @@ def _merge_islands(matched: DataFrame) -> DataFrame:
     )
 
 
-def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
+def repeated_span_accounting(
+    matched: DataFrame,
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    gap: int = SPAN_MERGE_GAP,
+) -> DataFrame:
     """Gaps-and-islands span merge + per-doc scrub ledger over matched
     (doc_id, fp_pos) fingerprint sites — shared by the batch query above
     and the streaming incremental pipeline, which accumulates the matched
-    sites across micro-batches (streaming/documents_stream.py)."""
-    per_doc = _merge_islands(matched).groupBy("doc_id").agg(
+    sites across micro-batches (streaming/documents_stream.py).
+    ``k``/``gap`` parameterize span extension and island fusing for the
+    K-sensitivity sweep (defaults reproduce the canonical pipeline)."""
+    per_doc = _merge_islands(matched, gap=gap).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + WINNOW_K).cast("bigint").alias("raw_words"),
+        F.sum(F.col("e") - F.col("s") + k).cast("bigint").alias("raw_words"),
     )
     doc_words = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("doc_words")
@@ -6303,26 +6317,27 @@ def repeated_span_accounting(matched: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def _islands_cte_sql(src: str) -> str:
+def _islands_cte_sql(src: str, gap: int = SPAN_MERGE_GAP, sfx: str = "") -> str:
     """The flagged -> isl -> spans CTE chain (gaps-and-islands merge) over a
     (doc_id, fp_pos) source CTE — the SQL twin of ``_merge_islands``, shared
     by _REPEATED_SPANS_SQL and _SPAN_SCRUB_SQL so the merge semantics can
-    never drift between the two oracles."""
-    return f"""flagged AS (
+    never drift between the two oracles. ``sfx`` suffixes the CTE names so
+    the K-sweep oracle can instantiate the chain once per K in one WITH."""
+    return f"""flagged{sfx} AS (
   SELECT doc_id, fp_pos,
          CASE WHEN lag(fp_pos) OVER w IS NULL
-                   OR fp_pos - lag(fp_pos) OVER w > {SPAN_MERGE_GAP}
+                   OR fp_pos - lag(fp_pos) OVER w > {gap}
               THEN 1 ELSE 0 END AS new_island
   FROM {src}
   WINDOW w AS (PARTITION BY doc_id ORDER BY fp_pos)),
-isl AS (
+isl{sfx} AS (
   SELECT doc_id, fp_pos,
          sum(new_island) OVER (PARTITION BY doc_id ORDER BY fp_pos
                                ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged),
-spans0 AS (
+  FROM flagged{sfx}),
+spans0{sfx} AS (
   SELECT doc_id, island, min(fp_pos) AS s, max(fp_pos) AS e
-  FROM isl GROUP BY doc_id, island)"""
+  FROM isl{sfx} GROUP BY doc_id, island)"""
 
 
 _REPEATED_SPANS_SQL = f"""
@@ -6347,6 +6362,135 @@ SELECT p.doc_id, p.n_spans,
              / CAST(dw.doc_words AS DOUBLE), 6) AS repeated_frac
 FROM per_doc p JOIN dw ON p.doc_id = dw.doc_id
 """
+
+
+# K values for the repeated-span sensitivity sweep. Lee et al. run exact
+# substring dedup at a fixed 50-token threshold; the winnowing analogue's
+# knob is the gram length K (detection guarantee K+W-1 words). Small K
+# fires on short boilerplate (high recall, big index), large K only on
+# long verbatim spans (small index, misses short repeats).
+SPAN_SWEEP_KS = (4, 8, 16)
+
+
+def repeated_spans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span K-sensitivity: one summary row per gram length K in
+    SPAN_SWEEP_KS, reporting detection yield vs index cost — selected
+    fingerprints (cost: the index the scrubber must build/shuffle),
+    matched repeat sites, docs flagged, scrubbed word volume, and the
+    corpus-wide repeated-word fraction. The parameter study behind
+    WINNOW_K=8, the sibling of llm_contamination_by_n's n-sweep: K=4
+    fires on short boilerplate, K=16 only on long verbatim spans
+    (detection guarantee K+W-1 words at fixed W).
+
+    Each K runs the canonical pipeline — winnow_fp_from(k) → (h, gram)
+    count-window repeat test → repeated_span_accounting(k, gap=K+W-1) —
+    so the sweep measures exactly what the production pass would do at
+    that K, then collapses to a 1-row aggregate per K; the union ships
+    |KS| rows. Scale: |KS| passes over the corpus, each the
+    llm_repeated_spans shape (gram windows per doc, one (h,gram)
+    shuffle); a production sweep could share the max-K explode, at the
+    cost of diverging from the per-K production plan it is meant to
+    measure."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_words = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("corpus_words")
+    )
+    out = None
+    for k in SPAN_SWEEP_KS:
+        fps = winnow_fp_from(d, k=k)
+        wg = W.partitionBy("h", "gram")
+        matched = (
+            fps.withColumn("n_occ", F.count(F.lit(1)).over(wg))
+            .filter(F.col("n_occ") >= 2)
+            .select("doc_id", "fp_pos")
+            .distinct()
+        )
+        acct = repeated_span_accounting(
+            matched, docs, k=k, gap=k + WINNOW_W - 1
+        )
+        row = (
+            fps.agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
+            .crossJoin(
+                matched.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_matched_sites")
+                )
+            )
+            .crossJoin(
+                acct.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs_flagged"),
+                    F.coalesce(F.sum("span_words"), F.lit(0))
+                    .cast("bigint")
+                    .alias("span_words"),
+                )
+            )
+            .crossJoin(corpus_words)
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "n_fps",
+                "n_matched_sites",
+                "n_docs_flagged",
+                "span_words",
+                F.round(
+                    F.col("span_words").cast("double")
+                    / F.col("corpus_words").cast("double"),
+                    6,
+                ).alias("repeated_word_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _span_k_sweep_sql() -> str:
+    ctes = [
+        """cw AS (
+  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS corpus_words
+  FROM documents),
+dwx AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_words
+  FROM documents)"""
+    ]
+    legs = []
+    for k in SPAN_SWEEP_KS:
+        sfx = f"_{k}"
+        ctes.append(f"fp{sfx} AS ({_winnow_fp_sql(k=k)})")
+        ctes.append(
+            f"""matched{sfx} AS (
+  SELECT DISTINCT doc_id, fp_pos
+  FROM (SELECT doc_id, fp_pos,
+               count(*) OVER (PARTITION BY h, gram) AS n_occ
+        FROM fp{sfx}) t
+  WHERE n_occ >= 2)"""
+        )
+        ctes.append(
+            _islands_cte_sql(f"matched{sfx}", gap=k + WINNOW_W - 1, sfx=sfx)
+        )
+        ctes.append(
+            f"""per_doc{sfx} AS (
+  SELECT doc_id, CAST(sum(e - s + {k}) AS BIGINT) AS raw_words
+  FROM spans0{sfx} GROUP BY doc_id),
+acct{sfx} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs_flagged,
+         CAST(coalesce(sum(least(p.raw_words, d.doc_words)), 0) AS BIGINT)
+           AS span_words
+  FROM per_doc{sfx} p JOIN dwx d ON p.doc_id = d.doc_id)"""
+        )
+        legs.append(
+            f"""
+SELECT CAST({k} AS INTEGER) AS k, s.n_fps, m.n_matched_sites,
+       a.n_docs_flagged, a.span_words,
+       round(CAST(a.span_words AS DOUBLE) / CAST(cw.corpus_words AS DOUBLE), 6)
+         AS repeated_word_frac
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_fps FROM fp{sfx}) s
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_matched_sites
+            FROM matched{sfx}) m
+CROSS JOIN acct{sfx} a
+CROSS JOIN cw"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
 
 
 def span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9618,6 +9762,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_vocab_coverage_curve", vocab_coverage_curve, _COVERAGE_CURVE_SQL),
     ("llm_winnow_fingerprints", winnow_fingerprints, _WINNOW_STATS_SQL),
     ("llm_repeated_spans", repeated_spans, _REPEATED_SPANS_SQL),
+    ("llm_repeated_spans_k_sweep", repeated_spans_k_sweep, _span_k_sweep_sql()),
     ("llm_url_dedup", url_dedup, _URL_DEDUP_SQL),
     ("llm_span_scrub_apply", span_scrub_apply, _SPAN_SCRUB_SQL),
     ("llm_pq_codebook", pq_codebook, _PQ_CODEBOOK_SQL),

@@ -139,6 +139,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # incremental index (plan-identical refactor, bitwise-verified locally
     # — re-entered on principle)
     "llm_bm25_topk": 7,
+    # r8: winnow helpers parameterized by (k, gap) for the K-sensitivity
+    # sweep — defaults reproduce the canonical pipeline bitwise (verified
+    # via oracle_check on every consumer); re-entered on principle
+    "llm_winnow_fingerprints": 8,
+    "llm_repeated_spans": 8,
+    "llm_span_scrub_apply": 8,
+    "stream_incremental_repeated_spans": 8,
+    "llm_pretrain_pipeline_v2": 8,
 }
 
 

@@ -45,3 +45,49 @@ def test_winnow_guarantee_any_context(spark, pre, post, run_seed):
     fps_a = {(h, g) for _, h, g in _ref_winnow(doc_a)}
     fps_b = {(h, g) for _, h, g in _ref_winnow(doc_b)}
     assert fps_a & fps_b, (doc_a, doc_b)
+
+
+def _flagged_docs(spark, sf, k):
+    """Doc ids with >= 1 repeated winnow fingerprint at gram length k —
+    the detection leg of the K-sweep, recomputed per K."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    fps = llm.winnow_fp_from(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text"),
+        k=k,
+    )
+    wg = W.partitionBy("h", "gram")
+    return {
+        r.doc_id
+        for r in fps.withColumn("n_occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+
+def test_k_sweep_monotone_and_nested(spark):
+    """K-sensitivity sweep invariants at sf0.001: index cost (n_fps) and
+    detection yield (matched sites, flagged docs, span words) are
+    non-increasing in K, and the flagged-doc sets are NESTED
+    (K16 ⊆ K8 ⊆ K4): a K-gram repeat is a shared run of >= K words, and
+    K >= K'+W-1 for the next smaller K' in the sweep, so the winnowing
+    guarantee at K' must also flag both sites — the recall argument that
+    justifies small K as the high-recall end of the tradeoff."""
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        llm.repeated_spans_k_sweep(spark, sf).collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == sorted(llm.SPAN_SWEEP_KS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_fps >= b.n_fps, (a.k, b.k)
+        assert a.n_matched_sites >= b.n_matched_sites, (a.k, b.k)
+        assert a.n_docs_flagged >= b.n_docs_flagged, (a.k, b.k)
+        assert a.span_words >= b.span_words, (a.k, b.k)
+        assert a.repeated_word_frac >= b.repeated_word_frac, (a.k, b.k)
+    sets = {k: _flagged_docs(spark, sf, k) for k in llm.SPAN_SWEEP_KS}
+    ks = sorted(llm.SPAN_SWEEP_KS)
+    for small, big in zip(ks, ks[1:]):
+        assert sets[big] <= sets[small], (small, big)
