@@ -195,3 +195,207 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# --- graph-based ANN: deterministic NSW-style beam search --------------------
+#
+# The fourth classic ANN architecture next to LSH / IVF / PQ: a navigable
+# small-world graph (Malkov et al.'s NSW, the flat ancestor of HNSW)
+# searched by best-first beam expansion. Everything is deterministic so the
+# DuckDB oracle can replay it bitwise: the neighbor graph is built from the
+# multi-probe LSH candidate pairs (banded equi-join — never all-pairs),
+# degree-capped by exact cosine, and symmetrized (the reverse edges are what
+# make greedy search navigable); the entry set is a fixed id-stride sample
+# scored exactly; search runs a FIXED number of beam rounds (the
+# llm_dedup_clusters fixed-round iterative-join idiom) with ties broken on
+# the neighbor id.
+
+NSW_M_OUT = 10  # out-degree kept per node before symmetrizing
+NSW_M_DEG = 16  # final degree cap after adding reverse edges
+NSW_NND_ROUNDS = 1  # NN-descent refinement rounds (two-hop rescoring)
+NSW_BEAM = 16  # beam width per query
+NSW_ROUNDS = 5  # fixed expansion rounds (graph diameter proxy)
+NSW_ENTRY_STRIDE = 16  # entry points: vec_id % STRIDE == 0
+
+
+def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
+    """Bounded neighbor lists (src, dst, e_sim): multi-probe LSH candidate
+    pairs -> exact-cosine top-``NSW_M_OUT`` per src -> symmetrize ->
+    re-cap at ``NSW_M_DEG``.
+
+    Scale: the only corpus x corpus contact is the bucket equi-join (the
+    llm_minhash banding shape — candidate volume is co-bucketed pairs,
+    never N^2); the edge list leaves as N * M_DEG rows of three scalars.
+    """
+    v = vectors.select(
+        F.col("vec_id"), to_double(F.col("embedding")).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim)).withColumn(
+        "nv", norm(F.col("vec"))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    src = v.select(
+        F.col("vec_id").alias("src"),
+        F.col("vec").alias("s_vec"),
+        F.col("nv").alias("ns"),
+        F.explode(probes).alias("bucket"),
+    )
+    dst = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("vec").alias("d_vec"),
+        F.col("nv").alias("nd"),
+        "bucket",
+    )
+    # a (src, dst) pair meets through at most one bucket (dst has exactly
+    # one bucket), so no post-join dedup is needed
+    cand = src.join(dst, "bucket").filter(F.col("src") != F.col("dst"))
+    scored = cand.select(
+        "src",
+        "dst",
+        F.round(
+            dot(F.col("s_vec"), F.col("d_vec")) / (F.col("ns") * F.col("nd")), 6
+        ).alias("e_sim"),
+    )
+    w_out = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= NSW_M_OUT)
+        .select("src", "dst", "e_sim")
+    )
+    # symmetrize: cosine is symmetric and rounded identically both ways, so
+    # distinct() collapses a pair kept in both directions
+    def _sym_cap(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "e_sim"
+            )
+        ).distinct()
+        w_deg = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
+        return (
+            sym.withColumn("rn", F.row_number().over(w_deg))
+            .filter(F.col("rn") <= NSW_M_DEG)
+            .select("src", "dst", "e_sim")
+        )
+
+    edges = _sym_cap(fwd)
+    # NN-descent refinement (Dong et al.): a neighbor's neighbor is a good
+    # neighbor candidate — rescore the two-hop pairs exactly and re-cap.
+    # Recovers true neighbors the LSH banding never co-bucketed. Cost per
+    # round: N * M_DEG^2 exact cosines — linear in corpus size.
+    vv = v.select("vec_id", "vec", "nv")
+    for _ in range(NSW_NND_ROUNDS):
+        two_hop = (
+            edges.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("a.src") != F.col("b.dst"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .distinct()
+        )
+        rescored = (
+            two_hop.join(
+                vv.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("vec").alias("s_vec"),
+                    F.col("nv").alias("ns"),
+                ),
+                "src",
+            )
+            .join(
+                vv.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("vec").alias("d_vec"),
+                    F.col("nv").alias("nd"),
+                ),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot(F.col("s_vec"), F.col("d_vec"))
+                    / (F.col("ns") * F.col("nd")),
+                    6,
+                ).alias("e_sim"),
+            )
+        )
+        edges = _sym_cap(edges.unionByName(rescored))
+    return edges
+
+
+def nsw_beam_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int
+) -> DataFrame:
+    """NSW beam search: seed each query's beam with the exact-scored entry
+    sample, then ``NSW_ROUNDS`` rounds of expand-neighbors -> rescore ->
+    keep top-``NSW_BEAM`` (monotone: the beam is unioned with its
+    expansion, so a round can only improve it). Returns the final top-k
+    with ranks, brute_force_topk-shaped.
+
+    Scale: each round touches beam x degree rows per query (query-
+    proportional, corpus-independent); the corpus contributes only via
+    the edge list and the id-keyed vector lookups."""
+    from .checkpoints import tracked_local_checkpoint
+
+    corpus = vectors.select(
+        F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
+    ).withColumn("nc", norm(F.col("c_vec")))
+    q = queries.withColumn("nq", norm(F.col("q_vec")))
+    # the edge list feeds every beam round and its own build is the heavy
+    # subplan (banded join + NN-descent two-hop) — materialize it ONCE
+    edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+
+    entries = corpus.filter(F.col("c_id") % NSW_ENTRY_STRIDE == 0)
+    w_beam = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+
+    def top_beam(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= NSW_BEAM)
+            .select("q_id", "c_id", "cos_sim")
+        )
+
+    beam = top_beam(
+        entries.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("nq") * F.col("nc")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    for _ in range(NSW_ROUNDS):
+        neighbors = (
+            beam.join(edges, beam["c_id"] == edges["src"])
+            .filter(F.col("dst") != F.col("q_id"))
+            .select("q_id", F.col("dst").alias("c_id"))
+            .distinct()
+        )
+        rescored = (
+            neighbors.join(corpus, "c_id")
+            .join(q, "q_id")
+            .select(
+                "q_id",
+                "c_id",
+                F.round(
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("nq") * F.col("nc")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        # identical (q, c) rows carry identical rounded sims -> distinct
+        beam = top_beam(beam.unionByName(rescored).distinct())
+        # the beam feeds the NEXT round twice (expansion + union): without a
+        # lineage cut the logical plan doubles per round (2^ROUNDS replays
+        # of the whole graph build) — checkpoint the Q*BEAM-row frame
+        beam, _ = tracked_local_checkpoint(beam, register=True)
+    return (
+        beam.withColumn("rank", F.row_number().over(w_beam).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -36,11 +36,18 @@ from ..functions.text import (
 from ..functions.vectors import cosine, cosine_sql, dot, dot_sql, norm, norm_sql, to_double
 from ..operators.similarity import (
     N_PLANES,
+    NSW_BEAM,
+    NSW_ENTRY_STRIDE,
+    NSW_M_DEG,
+    NSW_M_OUT,
+    NSW_NND_ROUNDS,
+    NSW_ROUNDS,
     brute_force_topk,
     centroid_fold,
     ivf_topk,
     lsh_bucket,
     lsh_bucket_sql,
+    nsw_beam_topk,
 )
 from .sqlutil import dlit
 from .tables import fan_out, load
@@ -2288,6 +2295,189 @@ SELECT truth.q_id,
 FROM truth
 LEFT JOIN single ON truth.q_id = single.q_id AND truth.c_id = single.c_id
 LEFT JOIN multi  ON truth.q_id = multi.q_id  AND truth.c_id = multi.c_id
+GROUP BY truth.q_id
+"""
+
+
+# --- graph-based ANN: NSW beam search (round 8) ----------------------------
+
+
+def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (NSW-style, Malkov et al.): deterministic navigable
+    small-world graph built from the multi-probe LSH candidate pairs
+    (banded equi-join, degree-capped by exact cosine, symmetrized), then
+    fixed-round beam search from an id-stride entry sample. The fourth
+    classic ANN architecture next to LSH / IVF / PQ, fully value-oracled
+    because every step — graph, entries, beam, ties — is deterministic.
+    See operators/similarity.py::nsw_edges / nsw_beam_topk for the scale
+    discussion (graph build is the minhash banding shape; search cost is
+    query-proportional)."""
+    e = load(spark, sf_dir, "embeddings")
+    return nsw_beam_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3)
+
+
+def _nsw_cos_sql(a: str, b: str) -> str:
+    """Fast oracle cosine for the NSW chain: DuckDB's native
+    ``list_dot_product`` is a plain sequential loop, verified bitwise
+    equal to the ``list_reduce`` fold ``cosine_sql`` renders (50 random
+    trials at several dims) — and ~100x faster, which matters here
+    because the NN-descent rescore evaluates ~N * M_DEG^2 pair cosines
+    inside the oracle."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _nsw_topk_sql() -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)]
+    )
+    cos_sc = _nsw_cos_sql("s.s_vec", "c.vec")
+    cos_qe = _nsw_cos_sql("q.q_vec", "e.vec")
+    cos_qc = _nsw_cos_sql("q.q_vec", "c.vec")
+    ctes = [
+        f"""wb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings)""",
+        f"""srcp AS MATERIALIZED (
+  SELECT vec_id AS src, vec AS s_vec, unnest([{probes}]) AS bucket FROM wb)""",
+        f"""fwd AS MATERIALIZED (
+  SELECT src, dst, e_sim FROM (
+    SELECT src, dst, e_sim,
+           row_number() OVER (PARTITION BY src ORDER BY e_sim DESC, dst) AS rn
+    FROM (SELECT s.src, c.vec_id AS dst,
+                 round({cos_sc}, 6) AS e_sim
+          FROM srcp s JOIN wb c USING (bucket)
+          WHERE s.src != c.vec_id) p) t
+  WHERE rn <= {NSW_M_OUT})""",
+    ]
+
+    def sym_cap(name: str, src_cte: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT src, dst, e_sim FROM (
+    SELECT src, dst, e_sim,
+           row_number() OVER (PARTITION BY src ORDER BY e_sim DESC, dst) AS rn
+    FROM (SELECT DISTINCT src, dst, e_sim FROM (
+          SELECT src, dst, e_sim FROM {src_cte}
+          UNION ALL
+          SELECT dst AS src, src AS dst, e_sim FROM {src_cte}) u) d) t
+  WHERE rn <= {NSW_M_DEG})"""
+
+    ctes.append(sym_cap("e0", "fwd"))
+    cos_sd = _nsw_cos_sql("sv.vec", "dv.vec")
+    for i in range(1, NSW_NND_ROUNDS + 1):
+        ctes.append(
+            f"""th{i} AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst
+  FROM e{i - 1} a JOIN e{i - 1} b ON a.dst = b.src
+  WHERE a.src != b.dst)"""
+        )
+        ctes.append(
+            f"""rs{i} AS MATERIALIZED (
+  SELECT t.src, t.dst, round({cos_sd}, 6) AS e_sim
+  FROM th{i} t
+  JOIN wb sv ON sv.vec_id = t.src
+  JOIN wb dv ON dv.vec_id = t.dst)"""
+        )
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+  SELECT src, dst, e_sim FROM e{i - 1}
+  UNION ALL
+  SELECT src, dst, e_sim FROM rs{i})"""
+        )
+        ctes.append(sym_cap(f"e{i}", f"u{i}"))
+    ctes += [
+        f"""edges AS (SELECT src, dst FROM e{NSW_NND_ROUNDS})""",
+        """q AS (SELECT vec_id AS q_id, vec AS q_vec FROM wb WHERE vec_id < 10)""",
+        f"""beam0 AS MATERIALIZED (
+  SELECT q_id, c_id, cos_sim FROM (
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rn
+    FROM (SELECT q.q_id, e.vec_id AS c_id,
+                 round({cos_qe}, 6) AS cos_sim
+          FROM q CROSS JOIN wb e
+          WHERE e.vec_id % {NSW_ENTRY_STRIDE} = 0
+            AND e.vec_id != q.q_id) p) t
+  WHERE rn <= {NSW_BEAM})""",
+    ]
+    for r in range(1, NSW_ROUNDS + 1):
+        ctes.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT q_id, c_id, cos_sim FROM beam{r - 1}
+  UNION
+  SELECT b.q_id, e.dst AS c_id, round({cos_qc}, 6) AS cos_sim
+  FROM beam{r - 1} b
+  JOIN edges e ON b.c_id = e.src
+  JOIN wb c ON c.vec_id = e.dst
+  JOIN q ON q.q_id = b.q_id
+  WHERE e.dst != b.q_id)""",
+        )
+        ctes.append(
+            f"""beam{r} AS MATERIALIZED (
+  SELECT q_id, c_id, cos_sim FROM (
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rn
+    FROM cand{r}) t
+  WHERE rn <= {NSW_BEAM})""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, c_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rank
+  FROM beam{NSW_ROUNDS}) t
+WHERE rank <= 3
+"""
+    )
+
+
+def nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the NSW beam search vs brute-force truth, next to the
+    LSH multi-probe baseline on the same queries — the acceptance gate for
+    the graph index (NSW should match or beat multi-probe: the beam
+    rescores exact cosine over a navigable graph instead of a fixed probe
+    set). Deterministic end to end, so the recall numbers themselves are
+    oracle-checked."""
+    truth = cosine_topk(spark, sf_dir).filter(F.col("rank") <= 3).select(
+        "q_id", "c_id"
+    )
+    nsw = ann_nsw_topk(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("g"))
+    multi = lsh_topk_multiprobe(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    j = truth.join(nsw, ["q_id", "c_id"], "left").join(
+        multi, ["q_id", "c_id"], "left"
+    )
+    return j.groupBy("q_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("g"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall_nsw"),
+        F.round(
+            F.sum(F.coalesce(F.col("m"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall_multi"),
+    )
+
+
+def _nsw_recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT q_id, c_id FROM ({_COSINE_TOPK_SQL}) t WHERE rank <= 3
+),
+nswt AS (SELECT q_id, c_id, 1 AS g FROM ({_nsw_topk_sql()}) t),
+multi AS (SELECT q_id, c_id, 1 AS m FROM ({_multiprobe_sql()}) t)
+SELECT truth.q_id,
+       round(sum(coalesce(g, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall_nsw,
+       round(sum(coalesce(m, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall_multi
+FROM truth
+LEFT JOIN nswt ON truth.q_id = nswt.q_id AND truth.c_id = nswt.c_id
+LEFT JOIN multi ON truth.q_id = multi.q_id AND truth.c_id = multi.c_id
 GROUP BY truth.q_id
 """
 
@@ -9709,6 +9899,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
+    ("llm_ann_nsw_topk", ann_nsw_topk, _nsw_topk_sql()),
+    ("llm_nsw_recall_eval", nsw_recall_eval, _nsw_recall_sql()),
     ("llm_repetition_filter", repetition_filter, _REPETITION_SQL),
     ("llm_lm_perplexity", lm_perplexity, _LM_PPL_SQL),
     ("llm_chunk_dedup", chunk_dedup, _CHUNK_DEDUP_SQL),

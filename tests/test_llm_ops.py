@@ -129,6 +129,35 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert recall_multi >= recall_single, (recall_single, recall_multi)
 
 
+def test_nsw_graph_and_recall(spark):
+    """NSW graph ANN acceptance: (a) the edge list respects the degree cap
+    and contains no self-loops; (b) beam-search recall@3 vs brute force is
+    >= the LSH multi-probe baseline on the same queries (the graph
+    rescores exact cosine over a navigable neighborhood instead of a
+    fixed probe set) — the r7 VERDICT's done-bar for the graph index."""
+    from air_traffic_data_pipeline_spark.operators.similarity import (
+        NSW_M_DEG,
+        nsw_edges,
+    )
+
+    e = load(spark, SF, "embeddings")
+    edges = nsw_edges(e, llm.EMB_DIM).collect()
+    deg: dict[int, int] = {}
+    for r in edges:
+        assert r.src != r.dst
+        deg[r.src] = deg.get(r.src, 0) + 1
+    assert max(deg.values()) <= NSW_M_DEG
+
+    rows = llm.nsw_recall_eval(spark, SF).collect()
+    mean_nsw = sum(r.recall_nsw for r in rows) / len(rows)
+    mean_multi = sum(r.recall_multi for r in rows) / len(rows)
+    assert mean_nsw >= mean_multi, (mean_nsw, mean_multi)
+    # absolute floor: the tuned graph recovers most true neighbors even on
+    # near-random embeddings (measured 0.97 at sf0.001; pin well below to
+    # keep the test stable if constants shift)
+    assert mean_nsw >= 0.6, mean_nsw
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chain a-b-c collapses to one cluster labeled min(a); disjoint edge
     keeps its own label; convergence beyond one hop is exercised (the chain
