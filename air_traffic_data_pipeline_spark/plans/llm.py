@@ -9726,6 +9726,12 @@ FROM s
 TOKEN_BUDGET = 1_000_000  # planner target (tokens) for the epoch allocation
 
 
+def mixing_rate_tenths() -> Column:
+    """The dataset_mixing integer rate ladder (k/10 by source number) —
+    shared by the batch planner and its streaming incremental mirror."""
+    return F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5 + 1
+
+
 def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained scaling planner (the Muennighoff et al. question):
     given a target token budget and the dataset_mixing source weights, how
@@ -9740,9 +9746,7 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of identical doubles. Scale: ONE map-side-combining
     groupBy(source) plus a 1-row broadcast total."""
     d = load(spark, sf_dir, "documents")
-    rt = (
-        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5 + 1
-    ).alias("rate_tenths")
+    rt = mixing_rate_tenths().alias("rate_tenths")
     per = (
         d.select(
             "source",
@@ -9755,6 +9759,15 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+    return token_budget_from_per_source(per)
+
+
+def token_budget_from_per_source(per: DataFrame) -> DataFrame:
+    """Allocation math over the per-source (source, rate_tenths, n_docs,
+    n_tokens) totals — shared with the streaming incremental mirror,
+    whose micro-batches maintain exactly this table from integer-sum
+    partials. Weights stay integer until one double division, so the
+    merge order can never change the answer."""
     tot = per.agg(F.sum("rate_tenths").cast("bigint").alias("t"))
     j = per.crossJoin(F.broadcast(tot))
     w = F.col("rate_tenths").cast("double") / F.col("t").cast("double")

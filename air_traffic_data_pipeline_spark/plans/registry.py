@@ -128,13 +128,11 @@ _FORCE_RECHECK: dict[str, int] = {
     # refactor, bitwise-verified locally — re-entered on principle)
     "llm_semdedup_cells": 6,
     # r7: ADVICE fixes change values/plans — hash-gate delimiter, overflow
-    # clamp, banded final skyline pass; repeated-spans island-merge
-    # delegation is a bitwise-pinned refactor, re-entered on principle
+    # clamp, banded final skyline pass (the r7 repeated-spans island-merge
+    # entries were superseded by the r8 ones below)
     "llm_lang_temperature_sample": 7,
     "llm_length_bucketing": 7,
     "rel_skyline_frontier": 7,
-    "llm_repeated_spans": 7,
-    "stream_incremental_repeated_spans": 7,
     # r7: scoring/top-k extracted to bm25_rank_from for the streaming
     # incremental index (plan-identical refactor, bitwise-verified locally
     # — re-entered on principle)
@@ -147,6 +145,11 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_span_scrub_apply": 8,
     "stream_incremental_repeated_spans": 8,
     "llm_pretrain_pipeline_v2": 8,
+    # r8: scoring kernels extracted for the new streaming mirrors
+    # (rfm_from_per_customer / token_budget_from_per_source) — bitwise
+    # verified via oracle_check; re-entered on principle
+    "rel_rfm_segments": 8,
+    "llm_token_budget_plan": 8,
 }
 
 

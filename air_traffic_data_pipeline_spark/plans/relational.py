@@ -4988,6 +4988,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("freq"),
         F.sum("p").cast("double").alias("monetary"),
     )
+    return rfm_from_per_customer(per)
+
+
+def rfm_from_per_customer(per: DataFrame) -> DataFrame:
+    """Scoring + rollup over the per-customer (o_custkey, last_d, freq,
+    monetary) state — shared with the streaming incremental RFM mirror,
+    whose micro-batches maintain exactly this table from mergeable
+    partials (max / count-sum / exact-decimal-sum) and re-derive the
+    quintile boundaries at emission. Keeping the scoring here means the
+    batch and streaming answers can never drift."""
     ref = per.agg(F.max("last_d").alias("ref_d"))
     base = per.crossJoin(F.broadcast(ref)).select(
         "o_custkey",

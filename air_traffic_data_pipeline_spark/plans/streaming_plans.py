@@ -455,6 +455,36 @@ def _pref_pairs_sql() -> str:
     return _PREF_PAIRS_SQL
 
 
+def stream_incremental_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_rfm
+
+    return incremental_rfm(spark, sf_dir)
+
+
+def _rfm_oracle_sql() -> str:
+    """Exact mergeable per-customer state + emission-time boundary
+    recompute must reproduce the one-shot segmentation bitwise — the
+    batch query's SQL IS the oracle (see streaming/orders_stream.py for
+    the sketch-vs-exact boundary tradeoff discussion)."""
+    from .relational import _rfm_sql
+
+    return _rfm_sql()
+
+
+def stream_incremental_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_token_budget
+
+    return incremental_token_budget(spark, sf_dir)
+
+
+def _token_budget_sql() -> str:
+    """Integer-sum partials re-aggregated must reproduce the one-shot
+    planner bitwise — the batch query's SQL IS the oracle."""
+    from .llm import _TOKEN_BUDGET_SQL
+
+    return _TOKEN_BUDGET_SQL
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -478,6 +508,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_funnel", stream_incremental_funnel, _funnel_sql()),
     ("stream_incremental_cross_source", stream_incremental_cross_source, _cross_source_sql()),
     ("stream_incremental_pref_pairs", stream_incremental_pref_pairs, _pref_pairs_sql()),
+    ("stream_incremental_rfm", stream_incremental_rfm, _rfm_oracle_sql()),
+    ("stream_incremental_token_budget", stream_incremental_token_budget, _token_budget_sql()),
 ]
 
 if _tws_available():

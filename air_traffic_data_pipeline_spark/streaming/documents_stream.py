@@ -708,3 +708,70 @@ def incremental_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental token-budget planner — bitwise equal to the
+    one-shot ``plans.llm.token_budget_plan`` (its SQL is the oracle).
+
+    The pure integer-weight case of the incremental-MV family: each
+    micro-batch lands per-(source, rate ladder) integer partials (doc
+    count, token sum); the merge is a sum of sums, and the allocation
+    math (weights, epochs) runs on the merged totals via the shared
+    ``token_budget_from_per_source`` kernel. Everything before the final
+    double division is integer arithmetic, so arrival order provably
+    cannot change the plan — the easiest possible mergeability proof,
+    which is exactly why the re-aggregate pattern applies unchanged."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import mixing_rate_tenths, token_budget_from_per_source
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_tokbudget_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            batch_df.select(
+                "source",
+                mixing_rate_tenths().alias("rate_tenths"),
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            )
+            .groupBy("source", "rate_tenths")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        per = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("source", "rate_tenths")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+        out, _ = tracked_local_checkpoint(
+            token_budget_from_per_source(per), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

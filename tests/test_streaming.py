@@ -804,3 +804,64 @@ def test_incremental_pref_pairs_equals_batch(spark):
     got = {tuple(r[c] for c in cols) for r in incremental_preference_pairs(spark, sf).collect()}
     want = {tuple(r[c] for c in cols) for r in llm.preference_pairs(spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_incremental_rfm_equals_batch_any_order(spark):
+    """Streaming incremental RFM: per-customer mergeable partials
+    (max last date / count / exact-decimal spend) + emission-time exact
+    quintile boundaries must reproduce the one-shot segmentation exactly
+    — and since every partial column is distributive, merging the staged
+    partials in REVERSED and interleaved order must too (the adversarial
+    arrival-order proof, without restaging the stream)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_rfm,
+        rfm_from_per_customer_partials_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (  # noqa: E731
+        r.segment,
+        r.r_score,
+        r.f_score,
+        r.m_score,
+        r.n_customers,
+        r.avg_recency_days,
+        r.avg_orders,
+        r.avg_monetary,
+    )
+    want = sorted(key(r) for r in relational.rfm_segments(spark, sf).collect())
+    got = sorted(key(r) for r in incremental_rfm(spark, sf).collect())
+    assert got == want
+    for order in ("reversed", "odd_even"):
+        alt = sorted(
+            key(r)
+            for r in rfm_from_per_customer_partials_check(
+                spark, sf, order
+            ).collect()
+        )
+        assert alt == want, order
+
+
+def test_incremental_token_budget_equals_batch(spark):
+    """Integer-sum partials re-aggregated must equal the one-shot token
+    budget planner bitwise (weights stay integer until one division)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (  # noqa: E731
+        r.source,
+        r.n_docs,
+        r.n_tokens,
+        r.mix_weight,
+        r.allocated_tokens,
+        r.epochs,
+        r.over_repeated,
+    )
+    want = sorted(key(r) for r in llm.token_budget_plan(spark, sf).collect())
+    got = sorted(key(r) for r in incremental_token_budget(spark, sf).collect())
+    assert got == want
+    assert len(want) >= 2, "multiple sources expected"
