@@ -675,3 +675,51 @@ def phash_bmp(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         batches, "doc_id long, width int, height int, phash string, n_ones long"
     )
+
+
+# --- audio energy-envelope fingerprint (round 8) -----------------------------
+#
+# The audio analogue of the image phash: a fixed-length, exactly-replayable
+# fingerprint of the clip's energy profile, quantized with INTEGER
+# threshold comparisons only (level k = #{j in 1..15 : energy >= 4^j}) so
+# the DuckDB oracle can recompute it closed-form from the synthetic sample
+# formula with zero float-boundary risk (a log2/floor quantizer can flip at
+# exact powers of the base; counting threshold crossings cannot).
+
+ENVELOPE_SCHEMA = "doc_id long, envelope string"
+_ENV_LEVELS = 15  # 4^15 = 2^30 = max int16 sample energy (32768^2)
+
+
+def _energy_level(e: int) -> int:
+    """Quantized energy level in [0, 15] by integer threshold counting."""
+    return sum(1 for j in range(1, _ENV_LEVELS + 1) if e >= 4**j)
+
+
+def audio_envelope(df: DataFrame) -> DataFrame:
+    """Per-doc energy-envelope fingerprint over real WAV payloads: one hex
+    character per PCM16 sample (8 samples per synthetic clip), each the
+    quantized level of that sample's energy. Same mapInPandas shape as
+    ``frame_energy``; payload bytes never leave the executors — only the
+    8-char fingerprint shuffles."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, envs = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, _block, _bits, samples = _parse_wav(bytes(raw))
+                env = "".join(
+                    "0123456789abcdef"[_energy_level(int(s) * int(s))]
+                    for s in samples
+                )
+                ids.append(int(doc_id))
+                envs.append(env)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "envelope": pd.Series(envs, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, ENVELOPE_SCHEMA)

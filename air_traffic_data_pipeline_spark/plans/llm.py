@@ -5800,6 +5800,116 @@ FROM ({base}) t
 """
 
 
+# --- audio near-dup: energy-envelope fingerprint banding (round 8) -----------
+
+AUDIO_ND_MAX_HAMMING = 2
+# 3 bands over the 8 envelope chars; Hamming <= 2 touches <= 2 bands, so
+# at least one band matches exactly (pigeonhole) — the band-blocked join
+# is RECALL-COMPLETE for the envelope metric, like image_near_dup.
+AUDIO_ENV_BANDS: tuple[tuple[int, int], ...] = ((1, 3), (4, 3), (7, 2))
+
+
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs — closes the audio modality the way
+    image_near_dup closed images: energy-envelope fingerprint (one hex
+    level per PCM16 sample, integer-threshold quantized — see
+    operators/multimodal.py:audio_envelope) -> band-blocked equi-join ->
+    exact Hamming verify <= AUDIO_ND_MAX_HAMMING.
+
+    Scale shape: each clip ships only its 8-char fingerprint, exploded
+    into 3 (band_id, band_value) keys; candidates come from the equi-join
+    on that key (content-subdivided buckets — skew-safe where a
+    duration/sample-rate block is not), dedup on the pair before the
+    8-comparison codegen verify. Pigeonhole makes the block exact for the
+    metric, so the output equals a true all-pairs Hamming join (pinned by
+    the brute-force pytest). Oracle recomputes the envelope closed-form
+    from the synthetic sample formula without touching payload bytes."""
+    from ..operators.multimodal import attach_wav_payload, audio_envelope
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    env = audio_envelope(attach_wav_payload(d))
+    bands = env.select(
+        "doc_id",
+        "envelope",
+        F.posexplode(
+            F.array(
+                *[F.substring("envelope", st, ln) for st, ln in AUDIO_ENV_BANDS]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("envelope").alias("env_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("envelope").alias("env_b"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "env_a", "env_b")
+        .distinct()
+    )
+    ham = sum(
+        F.when(
+            F.substring("env_a", i + 1, 1) != F.substring("env_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(8)
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= AUDIO_ND_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _audio_envelope_char_sql(k: int) -> str:
+    """Hex level char of sample k's energy, closed-form from md5(text)."""
+    a = _md5_abs_i16_sql("md5(text)", k)
+    e = f"({a} * {a})"
+    lvl = " + ".join(
+        f"CASE WHEN {e} >= {4 ** j} THEN 1 ELSE 0 END" for j in range(1, 16)
+    )
+    return f"substr('0123456789abcdef', ({lvl}) + 1, 1)"
+
+
+def _audio_near_dup_sql() -> str:
+    env = " || ".join(_audio_envelope_char_sql(k) for k in range(8))
+    band_rows = ", ".join(
+        f"({i}, {st}, {ln})" for i, (st, ln) in enumerate(AUDIO_ENV_BANDS)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(env_a, {i + 1}, 1) != substr(env_b, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    return f"""
+WITH env AS MATERIALIZED (
+  SELECT doc_id, {env} AS envelope
+  FROM documents WHERE doc_id < 300
+),
+bands AS (
+  SELECT doc_id, envelope, bd.band_id,
+         substr(envelope, bd.start, bd.len) AS band_val
+  FROM env, (VALUES {band_rows}) bd(band_id, start, len)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.envelope AS env_a, b.envelope AS env_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand WHERE {ham} <= {AUDIO_ND_MAX_HAMMING}
+"""
+
+
 # --- MMR diversified re-ranking (round 5) ------------------------------------
 
 MMR_LAMBDA = 0.7
@@ -9960,6 +10070,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_domain_quota_sample", domain_quota_sample, _QUOTA_SQL),
     ("llm_pca_power_iter", pca_power_iter, _PCA_SQL),
     ("llm_audio_frame_energy", audio_frame_energy, _audio_energy_sql()),
+    ("llm_audio_near_dup", audio_near_dup, _audio_near_dup_sql()),
     ("llm_mmr_rerank", mmr_rerank, _mmr_sql()),
     ("llm_hard_negative_mining", hard_negative_mining, _HARDNEG_SQL),
     ("llm_embedding_outliers", embedding_outliers, _EMB_OUTLIER_SQL),

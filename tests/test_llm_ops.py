@@ -3257,3 +3257,43 @@ def test_label_separability_matches_reference(spark):
     n = len(sample)
     assert rows[0].n_pairs + rows[1].n_pairs == n * (n - 1) // 2
     assert abs(rows[1].mean_cos) < 0.05 and abs(rows[0].mean_cos) < 0.05
+
+
+def test_audio_near_dup_equals_brute_force(spark):
+    """The energy-envelope band join is RECALL-COMPLETE (pigeonhole:
+    Hamming <= 2 over 8 chars with 3 bands leaves one band exact), so the
+    query must equal a driver-side all-pairs Hamming replay from the raw
+    WAV samples — both the pair set and the distances."""
+    import hashlib
+    import struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        _energy_level,
+    )
+
+    docs = (
+        load(spark, SF, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .collect()
+    )
+    envs = {}
+    for r in docs:
+        raw = hashlib.md5(r.text.encode()).digest()
+        samples = struct.unpack("<8h", raw)
+        envs[r.doc_id] = "".join(
+            "0123456789abcdef"[_energy_level(s * s)] for s in samples
+        )
+    ids = sorted(envs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(1 for x, y in zip(envs[a], envs[b]) if x != y)
+            if h <= llm.AUDIO_ND_MAX_HAMMING:
+                want[(a, b)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in llm.audio_near_dup(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "the synthetic lake should contain near-dup envelopes"
