@@ -34,6 +34,9 @@ HEADLINE = [
     # them round-over-round, not against the r1 aggregate)
     "llm_repeated_spans",
     "llm_semdedup_cells",
+    # round-8 addition: the heaviest non-headline op (~2.3 s at sf0.1,
+    # md5-keyed cross-source gram matrix) — same new-key caveat as above
+    "llm_cross_source_overlap",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles
