@@ -8290,7 +8290,14 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The model-based complement is lm_token_logprob/lm_ppl_filter;
     this is the cheap first gate a 100 TB curation pass runs in pure
     codegen over the scan — no shuffle at all."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules_from(load(spark, sf_dir, "documents"))
+
+
+def gopher_rules_from(d: DataFrame) -> DataFrame:
+    """DataFrame-input form — shared with the streaming mirror, which
+    scores each micro-batch independently (per-doc stateless rules, so
+    the union of batch outputs IS the batch answer)."""
+    d = d.select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     n = F.size(w).cast("bigint")
     chars = (F.length("text") - (n - 1)).cast("bigint")
@@ -9779,7 +9786,12 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded 4 dp. Sentence count floors at 1 so unpunctuated docs score
     instead of dividing by zero. Scale: pure codegen column expressions
     over the scan — no shuffle, no UDF."""
-    d = load(spark, sf_dir, "documents")
+    return readability_from(load(spark, sf_dir, "documents"))
+
+
+def readability_from(d: DataFrame) -> DataFrame:
+    """DataFrame-input form — shared with the streaming mirror (per-doc
+    stateless, so per-batch outputs union to the batch answer)."""
     n_words = F.size(F.split("text", " ")).cast("bigint")
     n_sent = F.greatest(
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)),

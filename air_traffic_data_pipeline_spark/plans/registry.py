@@ -150,6 +150,8 @@ _FORCE_RECHECK: dict[str, int] = {
     # verified via oracle_check; re-entered on principle
     "rel_rfm_segments": 8,
     "llm_token_budget_plan": 8,
+    "llm_gopher_rules": 8,
+    "llm_readability_score": 8,
 }
 
 

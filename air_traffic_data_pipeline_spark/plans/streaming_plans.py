@@ -485,6 +485,30 @@ def _token_budget_sql() -> str:
     return _TOKEN_BUDGET_SQL
 
 
+def stream_incremental_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_gopher
+
+    return incremental_gopher(spark, sf_dir)
+
+
+def _gopher_sql() -> str:
+    from .llm import _gopher_rules_sql
+
+    return _gopher_rules_sql()
+
+
+def stream_incremental_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_readability
+
+    return incremental_readability(spark, sf_dir)
+
+
+def _readability_sql() -> str:
+    from .llm import _READABILITY_SQL
+
+    return _READABILITY_SQL
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -510,6 +534,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pref_pairs", stream_incremental_pref_pairs, _pref_pairs_sql()),
     ("stream_incremental_rfm", stream_incremental_rfm, _rfm_oracle_sql()),
     ("stream_incremental_token_budget", stream_incremental_token_budget, _token_budget_sql()),
+    ("stream_incremental_gopher", stream_incremental_gopher, _gopher_sql()),
+    ("stream_incremental_readability", stream_incremental_readability, _readability_sql()),
 ]
 
 if _tws_available():

@@ -775,3 +775,68 @@ def incremental_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _incremental_stateless(
+    spark: SparkSession, sf_dir: str, tag: str, score_batch
+) -> DataFrame:
+    """Shared shape for PER-DOC STATELESS streaming mirrors (gopher,
+    readability): each micro-batch is scored independently with the batch
+    kernel and appended as an epoch-scoped partial; the final answer is
+    the plain union of partials — no merge step at all, because stateless
+    per-row scoring commutes with any partitioning of the stream. The
+    trivial end of the incremental-MV spectrum, included so the streaming
+    surface spans the whole range: stateless -> integer re-aggregate
+    (token budget) -> distributive state + emission recompute (RFM) ->
+    cross-batch store joins (repeated spans / semdedup)."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_{tag}_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        score_batch(batch_df).write.mode("overwrite").parquet(
+            f"{part_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out, _ = tracked_local_checkpoint(
+            spark.read.parquet(f"{part_dir}/batch=*"), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher rule audit — bitwise equal to plans.llm.gopher_rules
+    (its SQL is the oracle); per-doc stateless, so batch outputs union."""
+    from ..plans.llm import gopher_rules_from
+
+    return _incremental_stateless(spark, sf_dir, "gopher", gopher_rules_from)
+
+
+def incremental_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming readability scoring — bitwise equal to
+    plans.llm.readability_score (its SQL is the oracle)."""
+    from ..plans.llm import readability_from
+
+    return _incremental_stateless(
+        spark, sf_dir, "readability", readability_from
+    )

@@ -865,3 +865,23 @@ def test_incremental_token_budget_equals_batch(spark):
     got = sorted(key(r) for r in incremental_token_budget(spark, sf).collect())
     assert got == want
     assert len(want) >= 2, "multiple sources expected"
+
+
+def test_incremental_stateless_mirrors_equal_batch(spark):
+    """Per-doc stateless mirrors (gopher, readability): the union of
+    per-batch scored outputs must equal the one-shot batch query row for
+    row — stateless scoring commutes with any partitioning of the
+    stream."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_gopher,
+        incremental_readability,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in incremental_gopher(spark, sf).collect()}
+    want = {tuple(r) for r in llm.gopher_rules(spark, sf).collect()}
+    assert got == want and want
+    got = {tuple(r) for r in incremental_readability(spark, sf).collect()}
+    want = {tuple(r) for r in llm.readability_score(spark, sf).collect()}
+    assert got == want and want
