@@ -189,34 +189,37 @@ def _load_query_hashes() -> dict[str, str]:
         return {}
 
 
-_CHANGED_SINCE_GREEN_CACHE: dict[frozenset, frozenset] = {}
+_SRC_HASH_CACHE: dict[str, str | None] = {}
 
 
-def _changed_since_green(green: frozenset[str]) -> frozenset[str]:
+def _current_src_hashes() -> dict[str, str | None]:
+    """Per-process memo of every registered query's CURRENT source hash —
+    the inspect.getsource+md5 pass is the expensive leg of the git-aware
+    recheck and function sources cannot change mid-process, so hashing
+    ~290 functions on every all_queries() call was pure overhead
+    (r7 ADVICE). The QUERY_HASHES.json snapshot is deliberately NOT
+    memoized: it is tiny, and tests (and tools) swap it out."""
+    if not _SRC_HASH_CACHE:
+        for name, fn in _collect_queries().items():
+            _SRC_HASH_CACHE[name] = _query_src_hash(fn)
+    return _SRC_HASH_CACHE
+
+
+def _changed_since_green(green: frozenset[str]) -> set[str]:
     """Green-tail queries whose CURRENT function source no longer matches
     the hash recorded at their last green driver row — their green
     evidence describes code that no longer exists, so they jump the green
-    tail into the recheck window (the r6 VERDICT's git-aware hook).
-
-    Memoized per process (keyed on the green set): all_queries() runs this
-    on every call and source hashes can't change mid-process, so hashing
-    ~290 function sources repeatedly was pure overhead (r7 ADVICE)."""
-    cached = _CHANGED_SINCE_GREEN_CACHE.get(green)
-    if cached is not None:
-        return cached
+    tail into the recheck window (the r6 VERDICT's git-aware hook)."""
     recorded = _load_query_hashes()
     if not recorded:
-        _CHANGED_SINCE_GREEN_CACHE[green] = frozenset()
-        return frozenset()
+        return set()
+    current = _current_src_hashes()
     out: set[str] = set()
-    for name, fn in _collect_queries().items():
-        if name in green and name in recorded:
-            h = _query_src_hash(fn)
-            if h is not None and h != recorded[name]:
-                out.add(name)
-    result = frozenset(out)
-    _CHANGED_SINCE_GREEN_CACHE[green] = result
-    return result
+    for name in green:
+        h = current.get(name)
+        if name in recorded and h is not None and h != recorded[name]:
+            out.add(name)
+    return out
 
 
 def _driver_green_rounds() -> dict[str, int] | None:

@@ -351,7 +351,13 @@ def test_changed_source_query_jumps_green_tail(monkeypatch):
     never_green = [n for n in names if n not in green]
     if never_green:
         assert pos > max(names.index(n) for n in never_green)
-    unchanged = [names.index(n) for n in names if n in green and n != target]
+    # mid-round the working tree may hold OTHER genuinely-changed green
+    # queries (they jump too, rightly) — compare only against the
+    # truly-unchanged green tail
+    changed = registry._changed_since_green(green) | {target}
+    unchanged = [
+        names.index(n) for n in names if n in green and n not in changed
+    ]
     assert unchanged and pos < min(unchanged)
 
 
