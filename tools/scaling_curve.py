@@ -109,6 +109,14 @@ def main() -> int:
         # add lots to the SAME parts — per-part pair counts grow
         # linearly because FIFO intervals are non-overlapping per side)
         "rel_fifo_matching": _rel_fifo,
+        # round-8 additions: the NSW graph build under the IDENTICAL-
+        # replica embedding model (adversarial for the LSH band join —
+        # bucket populations scale with replicas, so candidate volume is
+        # the thing to watch; NND rescore and beam stay linear), and the
+        # K-sensitivity sweep (3 winnow passes — expect ~3x the
+        # repeated_spans curve, still at-most-linear per pass)
+        "llm_ann_nsw_topk": llm.ann_nsw_topk,
+        "llm_repeated_spans_k_sweep": llm.repeated_spans_k_sweep,
     }
 
     root = tempfile.mkdtemp(prefix="scale_")
