@@ -217,6 +217,17 @@ NSW_BEAM = 16  # beam width per query
 NSW_ROUNDS = 5  # fixed expansion rounds (graph diameter proxy)
 NSW_ENTRY_STRIDE = 16  # entry points: vec_id % STRIDE == 0
 
+# HNSW (hierarchical NSW, Malkov & Yashunin): one coarse upper layer whose
+# membership is the deterministic id-stride analogue of HNSW's geometric
+# level draw (P(level >= 1) = 1/STRIDE), searched first to find good entry
+# points, then descended into the base graph. The payoff the hierarchy buys
+# is FEWER base-layer rounds (L0_ROUNDS < NSW_ROUNDS) at equal-or-better
+# recall: the upper layer's long-range hops replace the flat graph's early
+# wandering rounds.
+HNSW_L1_STRIDE = 4  # upper layer: vec_id % STRIDE == 0 (~1/4 of corpus)
+HNSW_L1_ROUNDS = 3  # beam rounds on the upper layer
+HNSW_L0_ROUNDS = 3  # beam rounds on the base layer after the descent
+
 
 def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
     """Bounded neighbor lists (src, dst, e_sim): multi-probe LSH candidate
@@ -324,39 +335,24 @@ def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
     return edges
 
 
-def nsw_beam_topk(
-    vectors: DataFrame, queries: DataFrame, dim: int, k: int
-) -> DataFrame:
-    """NSW beam search: seed each query's beam with the exact-scored entry
-    sample, then ``NSW_ROUNDS`` rounds of expand-neighbors -> rescore ->
-    keep top-``NSW_BEAM`` (monotone: the beam is unioned with its
-    expansion, so a round can only improve it). Returns the final top-k
-    with ranks, brute_force_topk-shaped.
+def _w_beam() -> W:
+    # built lazily: constructing the window spec at import time needs an
+    # active session under pyspark 4
+    return W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
 
-    Scale: each round touches beam x degree rows per query (query-
-    proportional, corpus-independent); the corpus contributes only via
-    the edge list and the id-keyed vector lookups."""
-    from .checkpoints import tracked_local_checkpoint
 
-    corpus = vectors.select(
-        F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
-    ).withColumn("nc", norm(F.col("c_vec")))
-    q = queries.withColumn("nq", norm(F.col("q_vec")))
-    # the edge list feeds every beam round and its own build is the heavy
-    # subplan (banded join + NN-descent two-hop) — materialize it ONCE
-    edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+def _top_beam(scored: DataFrame) -> DataFrame:
+    return (
+        scored.withColumn("rn", F.row_number().over(_w_beam()))
+        .filter(F.col("rn") <= NSW_BEAM)
+        .select("q_id", "c_id", "cos_sim")
+    )
 
-    entries = corpus.filter(F.col("c_id") % NSW_ENTRY_STRIDE == 0)
-    w_beam = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
 
-    def top_beam(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rn", F.row_number().over(w_beam))
-            .filter(F.col("rn") <= NSW_BEAM)
-            .select("q_id", "c_id", "cos_sim")
-        )
-
-    beam = top_beam(
+def _entry_beam(corpus: DataFrame, q: DataFrame, stride: int) -> DataFrame:
+    """Exact-scored seed beam over the id-stride entry sample."""
+    entries = corpus.filter(F.col("c_id") % stride == 0)
+    return _top_beam(
         entries.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
@@ -368,7 +364,18 @@ def nsw_beam_topk(
             ).alias("cos_sim"),
         )
     )
-    for _ in range(NSW_ROUNDS):
+
+
+def _beam_rounds(
+    beam: DataFrame, edges: DataFrame, corpus: DataFrame, q: DataFrame, rounds: int
+) -> DataFrame:
+    """``rounds`` rounds of expand-neighbors -> rescore -> keep
+    top-``NSW_BEAM`` (monotone: the beam is unioned with its expansion,
+    so a round can only improve it). Shared by the flat NSW search and
+    both HNSW phases — the edge list is the only thing that differs."""
+    from .checkpoints import tracked_local_checkpoint
+
+    for _ in range(rounds):
         neighbors = (
             beam.join(edges, beam["c_id"] == edges["src"])
             .filter(F.col("dst") != F.col("q_id"))
@@ -389,13 +396,81 @@ def nsw_beam_topk(
             )
         )
         # identical (q, c) rows carry identical rounded sims -> distinct
-        beam = top_beam(beam.unionByName(rescored).distinct())
+        beam = _top_beam(beam.unionByName(rescored).distinct())
         # the beam feeds the NEXT round twice (expansion + union): without a
         # lineage cut the logical plan doubles per round (2^ROUNDS replays
         # of the whole graph build) — checkpoint the Q*BEAM-row frame
         beam, _ = tracked_local_checkpoint(beam, register=True)
+    return beam
+
+
+def _search_frames(
+    vectors: DataFrame, queries: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    corpus = vectors.select(
+        F.col("vec_id").alias("c_id"), to_double(F.col("embedding")).alias("c_vec")
+    ).withColumn("nc", norm(F.col("c_vec")))
+    q = queries.withColumn("nq", norm(F.col("q_vec")))
+    return corpus, q
+
+
+def nsw_beam_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int
+) -> DataFrame:
+    """NSW beam search: seed each query's beam with the exact-scored entry
+    sample, then ``NSW_ROUNDS`` rounds of ``_beam_rounds`` expansion.
+    Returns the final top-k with ranks, brute_force_topk-shaped.
+
+    Scale: each round touches beam x degree rows per query (query-
+    proportional, corpus-independent); the corpus contributes only via
+    the edge list and the id-keyed vector lookups."""
+    from .checkpoints import tracked_local_checkpoint
+
+    corpus, q = _search_frames(vectors, queries)
+    # the edge list feeds every beam round and its own build is the heavy
+    # subplan (banded join + NN-descent two-hop) — materialize it ONCE
+    edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+    beam = _entry_beam(corpus, q, NSW_ENTRY_STRIDE)
+    beam = _beam_rounds(beam, edges, corpus, q, NSW_ROUNDS)
     return (
-        beam.withColumn("rank", F.row_number().over(w_beam).cast("bigint"))
+        beam.withColumn("rank", F.row_number().over(_w_beam()).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def hnsw_beam_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int
+) -> DataFrame:
+    """Hierarchical NSW (Malkov & Yashunin's HNSW, deterministic variant):
+    level assignment is the id-stride rule ``vec_id % HNSW_L1_STRIDE == 0``
+    (the fixed-probability geometric level draw, made replayable), the
+    upper layer is a full NSW graph over that subsample, and search
+    descends — seed on the upper layer's own (sparser) entry stride, run
+    ``HNSW_L1_ROUNDS`` beam rounds on the upper graph, then use the
+    resulting beam as the base layer's entry points for ``HNSW_L0_ROUNDS``
+    rounds (fewer than flat NSW needs, because the upper layer already
+    navigated to the right neighborhood).
+
+    Scale: the upper graph build is the same banded-join shape over N/STRIDE
+    vectors; search cost per query is beam x degree x (L1+L0) rounds —
+    corpus-independent. At 100 TB add layers by nesting strides
+    (%4, %16, %64, ...); two levels suffice at test scale."""
+    from .checkpoints import tracked_local_checkpoint
+
+    corpus, q = _search_frames(vectors, queries)
+    base_edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+    upper = vectors.filter(F.col("vec_id") % HNSW_L1_STRIDE == 0)
+    upper_edges, _ = tracked_local_checkpoint(
+        nsw_edges(upper, dim), register=True
+    )
+    # upper-layer entries: the stride-of-strides sample (every entry is an
+    # upper-layer member by construction)
+    beam = _entry_beam(corpus, q, HNSW_L1_STRIDE * NSW_ENTRY_STRIDE)
+    beam = _beam_rounds(beam, upper_edges, corpus, q, HNSW_L1_ROUNDS)
+    beam = _beam_rounds(beam, base_edges, corpus, q, HNSW_L0_ROUNDS)
+    return (
+        beam.withColumn("rank", F.row_number().over(_w_beam()).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )

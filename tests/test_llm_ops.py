@@ -158,6 +158,38 @@ def test_nsw_graph_and_recall(spark):
     assert mean_nsw >= 0.6, mean_nsw
 
 
+def test_hnsw_descent_recall(spark):
+    """HNSW acceptance: (a) the upper layer is a strict id-stride subsample
+    (every upper edge endpoint satisfies vec_id % STRIDE == 0); (b) the
+    hierarchical search (3 upper + 3 base rounds, 4x sparser entry scan)
+    stays in flat NSW's recall band (>= nsw - 0.1: at toy scale flat's
+    stride-16 seed scan exact-scores ~6% of the corpus, an advantage the
+    hierarchy deliberately forgoes — see hnsw_recall_eval's docstring);
+    (c) it beats the LSH multiprobe baseline outright, like flat NSW."""
+    from air_traffic_data_pipeline_spark.operators.similarity import (
+        HNSW_L1_STRIDE,
+        nsw_edges,
+    )
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF, "embeddings")
+    upper = nsw_edges(
+        e.filter(F.col("vec_id") % HNSW_L1_STRIDE == 0), llm.EMB_DIM
+    ).collect()
+    assert upper, "upper layer graph is empty"
+    for r in upper:
+        assert r.src % HNSW_L1_STRIDE == 0 and r.dst % HNSW_L1_STRIDE == 0
+
+    rows = llm.hnsw_recall_eval(spark, SF).collect()
+    mean_hnsw = sum(r.recall_hnsw for r in rows) / len(rows)
+    mean_nsw = sum(r.recall_nsw for r in rows) / len(rows)
+    assert mean_hnsw >= mean_nsw - 0.1, (mean_hnsw, mean_nsw)
+    multi_rows = llm.nsw_recall_eval(spark, SF).collect()
+    mean_multi = sum(r.recall_multi for r in multi_rows) / len(multi_rows)
+    assert mean_hnsw >= mean_multi, (mean_hnsw, mean_multi)
+    assert mean_hnsw >= 0.6, mean_hnsw
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chain a-b-c collapses to one cluster labeled min(a); disjoint edge
     keeps its own label; convergence beyond one hop is exercised (the chain
