@@ -24,78 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Keep this list <= ~50 names; anything past the driver's window falls back
-# to local-mirror-only verification (tools/oracle_check.py) until rotated in.
-# Round-4 ordering: (a) the 44 queries with NO driver row ever (highest
-# information per slot), (b) the three r3 hash-fail fixes (no green row, so
-# they re-enter automatically — listed for determinism), (c) the five
-# previously-green minhash-lane consumers re-entering via _FORCE_RECHECK
-# (sha256 lane adoption) — they have old-code green rows, so they are the
-# cheapest to defer if the window is exactly 50 (the last 2 spill to r5).
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked, module order ----------------------------
-    "rel_python_udtf_expand",
-    "rel_variant_json",
-    "rel_dq_checks",
-    "rel_ab_test_zscore",
-    "rel_funnel_steps",
-    "rel_cohort_retention",
-    "llm_doc_chunking",
-    "llm_sequence_packing",
-    "llm_train_val_split",
-    "llm_pii_scrub",
-    "llm_heavy_hitters",
-    "llm_dataset_mixing",
-    "llm_fuzzy_match_levenshtein",
-    "llm_quality_pandas_udf",
-    "llm_ngram_lm_counts",
-    "llm_vocab_coverage",
-    "llm_ann_recall_eval",
-    "llm_repetition_filter",
-    "llm_lm_perplexity",
-    "llm_chunk_dedup",
-    "llm_importance_resample",
-    "llm_grouped_agg_udf",
-    "llm_semantic_dedup",
-    "llm_curation_pipeline",
-    "llm_minhash_jaccard_est",
-    "llm_winsorize_lengths",
-    "llm_dataset_card",
-    "llm_substring_contamination",
-    "llm_lsh_sensitivity",
-    "llm_incremental_dedup",
-    "llm_bloom_prefilter",
-    "llm_quantize_int8",
-    "llm_quantized_topk",
-    "llm_count_min_freq",
-    "llm_minhash_band_stats",
-    "llm_semdedup_cells",
-    "llm_bpe_merges",
-    "llm_bpe_tokenize",
-    "stream_late_data_drop",
-    "stream_dedup_watermark",
-    "stream_foreach_batch_sink",
-    "stream_stream_join",
-    "stream_incremental_cms",
-    "stream_incremental_near_dup",
-    # -- (b) r3 hash-fails, fixed this round -------------------------------
-    "rel_q12_priority_counts",
-    "rel_bitwise_funcs",
-    "rel_lateral_column_alias",
-    # -- (b2) new in round 4 (never checked) -------------------------------
-    "rel_keyset_pagination",
-    "llm_random_projection",
-    "llm_minhash_containment",
-    "llm_char_entropy",
-    "llm_multimodal_resize",
-    "llm_boilerplate_fraction",
-    # -- (c) sha256-lane re-entries (old-code green rows exist) ------------
-    "llm_minhash_signatures",
-    "llm_minhash_near_dup_pairs",
-    "llm_near_dup_survivors",
-    "llm_dedup_clusters",
-    "llm_cluster_survivors",
-)
+# Hand-ordered names that jump the never-green tier (highest information per
+# window slot). DRAINED as of round 8: every name the round-4 list carried has
+# a green driver row (CORRECTNESS_r4–r7), so each was filtered out by the
+# ``name not in green`` guard below and the list was dead weight in the
+# rotation math — new queries already self-prioritize through the never-green
+# tier in module order. Re-populate only to hand-rank WITHIN that tier.
+_WINDOW_PRIORITY: tuple[str, ...] = ()
 
 
 # Queries whose implementation (or oracle) changed AFTER they last earned a
@@ -152,6 +87,12 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_token_budget_plan": 8,
     "llm_gopher_rules": 8,
     "llm_readability_score": 8,
+    # r8 (late): lm_token_logprob's pairs/scoring split into shared kernels
+    # for the composed-pipeline streaming mirror (plan-identical refactor,
+    # bitwise-verified via oracle_check) — downstream consumers whose own
+    # source did not change re-enter on principle
+    "llm_lm_ppl_filter": 8,
+    "llm_filter_agreement": 8,
 }
 
 

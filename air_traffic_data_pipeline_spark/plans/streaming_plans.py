@@ -509,6 +509,21 @@ def _readability_sql() -> str:
     return _READABILITY_SQL
 
 
+def stream_incremental_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_pretrain_pipeline
+
+    return incremental_pretrain_pipeline(spark, sf_dir)
+
+
+def _pipeline_v2_oracle_sql() -> str:
+    """The five per-stage partial families, merged and composed through the
+    shared gate/release kernels, must reproduce the one-shot composed
+    pipeline bitwise — the batch query's SQL IS the oracle."""
+    from .llm import _pipeline_v2_sql
+
+    return _pipeline_v2_sql()
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -536,6 +551,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_token_budget", stream_incremental_token_budget, _token_budget_sql()),
     ("stream_incremental_gopher", stream_incremental_gopher, _gopher_sql()),
     ("stream_incremental_readability", stream_incremental_readability, _readability_sql()),
+    ("stream_incremental_pipeline_v2", stream_incremental_pipeline_v2, _pipeline_v2_oracle_sql()),
 ]
 
 if _tws_available():

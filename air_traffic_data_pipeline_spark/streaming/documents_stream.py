@@ -840,3 +840,161 @@ def incremental_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_stateless(
         spark, sf_dir, "readability", readability_from
     )
+
+
+def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental mirror of the COMPOSED curation stack — bitwise
+    equal to the one-shot ``plans.llm.pretrain_pipeline_v2`` (its SQL is the
+    oracle): URL dedup -> Gopher gate -> LM cross-entropy gate -> repeated-
+    span drop -> survivor-distribution temperature sampling -> release
+    accounting, maintained incrementally across micro-batches.
+
+    Each stage lands exactly the partial its standalone mirror established:
+    - URL keeps: per-canonical (max doc_id) partials — max of maxes.
+    - Gopher passes: stateless per-doc flags, plain union.
+    - LM gate: the batch's positional bigram stream (tokenize once — the
+      bm25-postings discipline: raw text is never re-tokenized); the global
+      bigram/context/V tables re-aggregate from the merged stream at
+      emission time, because a corpus-global LM changes with EVERY batch —
+      per-doc xent is only final once the stream is drained, so scoring
+      runs once, on merged integer tables, through the shared
+      ``lm_logprob_from_pairs`` kernel.
+    - Repeated spans: winnow fingerprints into the accumulated store,
+      matched-site flags emitted per batch (both sites flag in the later
+      batch — arrival-order-free, as incremental_repeated_spans proves).
+    - Doc meta: (doc_id, lang, n_words) so emission-time accounting never
+      re-reads text.
+    The composition itself adds NO new merge math: the gates are id-keyed
+    semi/anti joins of the merged keep/drop sets, and the release tail is
+    the shared ``pretrain_release_accounting`` kernel (counts + int64 sums,
+    order-free by construction). Idempotent under foreachBatch replay via
+    the epoch-scoped overwrite discipline shared with the sibling streams.
+
+    At 100 TB: per-batch work is the batch's own tokenize/winnow plus
+    (batch grams) ⋈ (store grams); state is posting/fingerprint/meta rows,
+    never raw text; emission re-aggregates tables that are distinct-gram-
+    sized, not corpus-sized."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..functions.text import word_count
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import (
+        PIPE2_MAX_REPEATED,
+        XENT_MAX,
+        canonical_url,
+        gopher_rules_from,
+        lm_bigram_pairs,
+        lm_logprob_from_pairs,
+        pretrain_release_accounting,
+        raw_urls_from,
+        repeated_span_accounting_words,
+        winnow_fp_from,
+    )
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_pipe2_{_uuid.uuid4().hex[:8]}"
+    url_dir = f"{base}/urls"
+    gop_dir = f"{base}/gopher"
+    pairs_dir = f"{base}/pairs"
+    fp_dir = f"{base}/fp"
+    flags_dir = f"{base}/flags"
+    meta_dir = f"{base}/meta"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        urls = (
+            raw_urls_from(batch_df)
+            .select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.max("doc_id").alias("max_doc"))
+        )
+        urls.write.mode("overwrite").parquet(f"{url_dir}/batch={epoch_id}")
+        gop = (
+            gopher_rules_from(batch_df)
+            .filter(F.col("passes") == 1)
+            .select("doc_id")
+        )
+        gop.write.mode("overwrite").parquet(f"{gop_dir}/batch={epoch_id}")
+        lm_bigram_pairs(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(f"{pairs_dir}/batch={epoch_id}")
+        # repeated-span store + per-batch matched-site flags — the
+        # incremental_repeated_spans emission, verbatim
+        winnow_fp_from(batch_df).write.mode("overwrite").parquet(
+            f"{fp_dir}/batch={epoch_id}"
+        )
+        batch_fp = spark.read.parquet(f"{fp_dir}/batch={epoch_id}")
+        all_fp = spark.read.parquet(f"{fp_dir}/batch=*")
+        touched = all_fp.join(
+            batch_fp.select("h", "gram").distinct(), ["h", "gram"], "leftsemi"
+        )
+        repeated = (
+            touched.groupBy("h", "gram")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") >= 2)
+            .select("h", "gram")
+        )
+        flags = (
+            touched.join(repeated, ["h", "gram"], "leftsemi")
+            .select("doc_id", "fp_pos")
+            .distinct()
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_dir}/batch={epoch_id}")
+        meta = batch_df.select(
+            "doc_id", "lang", word_count(F.col("text")).alias("n_words")
+        )
+        meta.write.mode("overwrite").parquet(f"{meta_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        url_keep = (
+            spark.read.parquet(f"{url_dir}/batch=*")
+            .groupBy("canonical_url")
+            .agg(F.max("max_doc").alias("doc_id"))
+            .select("doc_id")
+        )
+        gop = spark.read.parquet(f"{gop_dir}/batch=*")
+        ppl = (
+            lm_logprob_from_pairs(spark.read.parquet(f"{pairs_dir}/batch=*"))
+            .filter(F.col("xent") <= XENT_MAX)
+            .select("doc_id")
+        )
+        meta = spark.read.parquet(f"{meta_dir}/batch=*")
+        matched = (
+            spark.read.parquet(f"{flags_dir}/batch=*").distinct()
+            if os.path.isdir(flags_dir)
+            else spark.createDataFrame([], "doc_id long, fp_pos long")
+        )
+        heavy = (
+            repeated_span_accounting_words(
+                matched, meta.select("doc_id", F.col("n_words").alias("doc_words"))
+            )
+            .filter(F.col("repeated_frac") > PIPE2_MAX_REPEATED)
+            .select("doc_id")
+        )
+        surv = (
+            meta.join(url_keep, "doc_id", "leftsemi")
+            .join(gop, "doc_id", "leftsemi")
+            .join(ppl, "doc_id", "leftsemi")
+            .join(heavy, "doc_id", "left_anti")
+        )
+        out = pretrain_release_accounting(
+            surv.select("doc_id", "lang", F.col("n_words").alias("n_tok"))
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -885,3 +885,22 @@ def test_incremental_stateless_mirrors_equal_batch(spark):
     got = {tuple(r) for r in incremental_readability(spark, sf).collect()}
     want = {tuple(r) for r in llm.readability_score(spark, sf).collect()}
     assert got == want and want
+
+
+def test_incremental_pipeline_v2_equals_batch(spark):
+    """The composed curation-stack mirror: five per-stage partial families
+    (URL max-of-max, stateless gopher flags, the landed bigram stream, the
+    winnow store+flags, doc meta) merged and pushed through the shared
+    gate/release kernels must equal the one-shot composed pipeline row for
+    row — the composition adds no new merge math, so any drift means a
+    stage partial lost information."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_pretrain_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.pretrain_pipeline_v2(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_pretrain_pipeline(spark, sf).collect()}
+    assert got == want
+    assert len(want) >= 2, "multiple languages expected"
