@@ -10087,6 +10087,105 @@ FROM per, tot
 """
 
 
+DOREMI_TEMP = 0.5  # softmax temperature on per-source excess loss
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al.): mixture weights from
+    per-source EXCESS LM loss — domains whose documents the corpus LM
+    finds hardest (highest mean cross-entropy above the equal-weight
+    baseline) get upweighted, the deterministic single-pass analogue of
+    DoReMi's proxy-vs-reference excess-loss signal, computed from the
+    already-oracle-checked ``lm_token_logprob`` scores. Output: per
+    source, doc count, mean xent, excess over the across-source mean, and
+    the softmax(excess / T) mixture weight. The table a mixture planner
+    (token_budget_plan, dataset_mixing) would consume instead of
+    hand-set rates.
+
+    Determinism: per-doc xent is the 6-dp scorer output; the per-source
+    mean folds doc xents in doc_id order; the baseline folds source means
+    in source order; the softmax normalizer folds exp terms in source
+    order — every float reduction a pinned sequential fold, mirrored by
+    DuckDB ``list_reduce`` folds over identically-ordered lists. Scale:
+    rides the lm_token_logprob plan (n-gram tables with map-side
+    combine); everything after is |sources|-sized aggregates and one
+    broadcast baseline row."""
+    lm = lm_token_logprob(spark, sf_dir).select("doc_id", "xent")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    grouped = (
+        lm.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "xent"))).alias("xs"),
+        )
+    )
+    mean_x = F.round(
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda a, s: a + s["xent"])
+        / F.col("n_docs").cast("double"),
+        6,
+    )
+    per = grouped.select("source", "n_docs", mean_x.alias("mean_xent"))
+    base = per.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("source", "mean_xent"))),
+                F.lit(0.0),
+                lambda a, s: a + s["mean_xent"],
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("base_xent")
+    )
+    ex = per.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "mean_xent",
+        F.round(F.col("mean_xent") - F.col("base_xent"), 6).alias("excess"),
+    )
+    wr = ex.withColumn("wraw", F.exp(F.col("excess") / F.lit(DOREMI_TEMP)))
+    z = wr.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "wraw"))),
+            F.lit(0.0),
+            lambda a, s: a + s["wraw"],
+        ).alias("z")
+    )
+    return wr.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "mean_xent",
+        "excess",
+        F.round(F.col("wraw") / F.col("z"), 6).alias("weight"),
+    )
+
+
+def _doremi_sql() -> str:
+    return f"""
+WITH {_LM_TERMS_SQL},
+xent AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+srcx AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(list_reduce(list(x.xent ORDER BY x.doc_id), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_xent
+  FROM xent x JOIN documents d ON x.doc_id = d.doc_id
+  GROUP BY d.source),
+base AS (
+  SELECT round(list_reduce(list(mean_xent ORDER BY source), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE), 6) AS base_xent FROM srcx),
+ex AS (
+  SELECT source, n_docs, mean_xent,
+         round(mean_xent - base_xent, 6) AS excess
+  FROM srcx, base),
+wr AS (SELECT *, exp(excess / {dlit(DOREMI_TEMP)}) AS wraw FROM ex),
+z AS (SELECT list_reduce(list(wraw ORDER BY source), (a, b) -> a + b) AS z
+      FROM wr)
+SELECT source, n_docs, mean_xent, excess, round(wraw / z, 6) AS weight
+FROM wr, z
+"""
+
+
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per source, pair
     the highest-quality doc (chosen) with the lowest-quality doc (rejected)
@@ -10285,6 +10384,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
+    ("llm_doremi_weights", doremi_weights, _doremi_sql()),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
     ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),

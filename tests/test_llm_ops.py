@@ -3329,3 +3329,50 @@ def test_audio_near_dup_equals_brute_force(spark):
     }
     assert got == want
     assert want, "the synthetic lake should contain near-dup envelopes"
+
+
+def test_doremi_weights_matches_replay(spark):
+    """Pure-Python replay of the excess-loss softmax over the scorer's own
+    per-doc xents: per-source mean folded in doc_id order, baseline folded
+    in source order, softmax normalizer folded in source order — bitwise
+    equal to the query. Also pins the semantics: weights sum to ~1 and the
+    hardest source (max mean_xent) carries the max weight."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    lm = {r.doc_id: r.xent for r in llm.lm_token_logprob(spark, sf).collect()}
+    src = {
+        r.doc_id: r.source
+        for r in llm.load(spark, sf, "documents").select("doc_id", "source").collect()
+    }
+    by_src: dict[str, list[tuple[int, float]]] = {}
+    for doc_id, xent in lm.items():
+        by_src.setdefault(src[doc_id], []).append((doc_id, xent))
+    mean = {}
+    for s, xs in by_src.items():
+        acc = 0.0
+        for _, x in sorted(xs):
+            acc += x
+        mean[s] = round(acc / len(xs), 6)
+    acc = 0.0
+    for s in sorted(mean):
+        acc += mean[s]
+    base = round(acc / len(mean), 6)
+    excess = {s: round(mean[s] - base, 6) for s in mean}
+    wraw = {s: math.exp(excess[s] / llm.DOREMI_TEMP) for s in mean}
+    z = 0.0
+    for s in sorted(wraw):
+        z += wraw[s]
+    want = {
+        s: (len(by_src[s]), mean[s], excess[s], round(wraw[s] / z, 6))
+        for s in mean
+    }
+    got = {
+        r.source: (r.n_docs, r.mean_xent, r.excess, r.weight)
+        for r in llm.doremi_weights(spark, sf).collect()
+    }
+    assert got == want
+    assert abs(sum(w for *_, w in got.values()) - 1.0) < 1e-4
+    hardest = max(got, key=lambda s: got[s][1])
+    assert got[hardest][3] == max(w for *_, w in got.values())
+    assert len(got) >= 2
