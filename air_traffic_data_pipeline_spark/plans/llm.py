@@ -10186,6 +10186,128 @@ FROM wr, z
 """
 
 
+BITEXT_K = 4  # neighborhood size in the margin denominator
+BITEXT_MARGIN_MIN = 1.02  # keep pairs clearly above their neighborhoods
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext (parallel-pair) mining (Artetxe & Schwenk — the
+    CCMatrix/LASER method): candidate translation pairs are CROSS-language
+    document pairs whose embedding cosine stands out from both endpoints'
+    neighborhoods — margin = cos(x, y) / ((nn(x) + nn(y)) / 2), where
+    nn(v) is the mean cosine of v's top-K cross-language neighbors. Raw
+    cosine thresholds fail because neighborhood density varies (hubness);
+    the ratio margin is the standard fix. Emits pairs with
+    margin >= BITEXT_MARGIN_MIN.
+
+    Determinism: pair cosines are the shared 6-dp kernel; each node's
+    neighborhood mean folds its top-K cosines in rank order (ties on
+    neighbor id); margin is one fixed double dag. Scale: the exact kernel
+    is bounded to SEP_MAX_ID vectors (the fuzzy-match convention); at
+    100 TB candidates come from the banded LSH / IVF index instead of the
+    cross join and the same margin math scores band-join survivors."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < SEP_MAX_ID)
+    langs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    s = e.join(langs, "vec_id").select(
+        "vec_id", "lang", to_double(F.col("embedding")).alias("vec")
+    )
+    a = s.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("vec").alias("a_vec"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("vec").alias("b_vec"),
+    )
+    # directed cross-language pairs: every node sees its FULL cross-lang
+    # neighborhood (an a<b restriction here would skew nn() toward high ids)
+    dpairs = (
+        a.crossJoin(b)
+        .filter((F.col("a_id") != F.col("b_id")) & (F.col("a_lang") != F.col("b_lang")))
+        .select(
+            "a_id",
+            "a_lang",
+            "b_id",
+            "b_lang",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+        )
+    )
+    wnn = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+    top = dpairs.withColumn("rn", F.row_number().over(wnn)).filter(
+        F.col("rn") <= BITEXT_K
+    )
+    nn = top.groupBy("a_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sort_array(F.collect_list(F.struct("rn", "cos_sim"))).alias("xs"),
+    )
+    # nn_avg stays UNROUNDED: it is a pinned fold of identical 6-dp doubles,
+    # so both engines hold the identical double already — an intermediate
+    # round(·, 6) here actually BROKE parity once (sf0.001 node 42's mean
+    # sits ~1.4e-17 below a .5 boundary: DuckDB's multiply-based round tips
+    # up, Spark's BigDecimal HALF_UP stays down). Round only at the margin.
+    nn = nn.select(
+        F.col("a_id").alias("id"),
+        (
+            F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["cos_sim"])
+            / F.col("m").cast("double")
+        ).alias("nn_avg"),
+    )
+    upairs = dpairs.filter(F.col("a_id") < F.col("b_id"))
+    scored = (
+        upairs.join(nn.select(F.col("id").alias("a_id"), F.col("nn_avg").alias("nn_a")), "a_id")
+        .join(nn.select(F.col("id").alias("b_id"), F.col("nn_avg").alias("nn_b")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "a_lang",
+            "b_lang",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim") / ((F.col("nn_a") + F.col("nn_b")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    return scored.filter(F.col("margin") >= BITEXT_MARGIN_MIN)
+
+
+def _bitext_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS vec
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id < {SEP_MAX_ID}),
+dpairs AS (
+  SELECT a.vec_id AS a_id, a.lang AS a_lang,
+         b.vec_id AS b_id, b.lang AS b_lang,
+         round({cosine_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM s a JOIN s b ON a.vec_id != b.vec_id AND a.lang != b.lang),
+ranked AS (
+  SELECT a_id, b_id, cos_sim,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos_sim DESC, b_id) AS rn
+  FROM dpairs),
+nn AS (
+  SELECT a_id AS id,
+         list_reduce(list_prepend({dlit(0.0)},
+                 list(cos_sim ORDER BY rn)), (acc, x) -> acc + x)
+               / CAST(count(*) AS DOUBLE) AS nn_avg
+  FROM ranked WHERE rn <= {BITEXT_K} GROUP BY a_id)
+SELECT p.a_id, p.b_id, p.a_lang, p.b_lang, p.cos_sim,
+       round(p.cos_sim / ((na.nn_avg + nb.nn_avg) / {dlit(2.0)}), 6) AS margin
+FROM dpairs p
+JOIN nn na ON na.id = p.a_id
+JOIN nn nb ON nb.id = p.b_id
+WHERE p.a_id < p.b_id
+  AND round(p.cos_sim / ((na.nn_avg + nb.nn_avg) / {dlit(2.0)}), 6)
+      >= {dlit(BITEXT_MARGIN_MIN)}
+"""
+
+
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction (DPO/RLHF data prep): per source, pair
     the highest-quality doc (chosen) with the lowest-quality doc (rejected)
@@ -10385,6 +10507,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
     ("llm_doremi_weights", doremi_weights, _doremi_sql()),
+    ("llm_bitext_margin_mining", bitext_margin_mining, _bitext_sql()),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
     ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),

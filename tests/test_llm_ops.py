@@ -3376,3 +3376,62 @@ def test_doremi_weights_matches_replay(spark):
     hardest = max(got, key=lambda s: got[s][1])
     assert got[hardest][3] == max(w for *_, w in got.values())
     assert len(got) >= 2
+
+
+def test_bitext_margin_matches_replay(spark):
+    """Pure-Python replay of the margin criterion over the query's own
+    cross-language pair cosines: per-node top-K mean folded in rank order
+    (UNROUNDED — an intermediate 6-dp round broke parity once on a .5
+    boundary), margin = cos / midpoint, 6-dp rounded, thresholded.
+    Also pins semantics: every emitted pair is cross-language with
+    a_id < b_id, and the fixture yields a non-trivial selection."""
+    from pyspark.sql import functions as F
+    from air_traffic_data_pipeline_spark.functions.vectors import cosine, to_double
+
+    sf = "/root/testdata/sf0.001"
+    e = llm.load(spark, sf, "embeddings").filter(F.col("vec_id") < llm.SEP_MAX_ID)
+    langs = llm.load(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    s = e.join(langs, "vec_id").select(
+        "vec_id", "lang", to_double(F.col("embedding")).alias("vec")
+    )
+    a = s.select(
+        F.col("vec_id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.col("vec").alias("a_vec"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("b_id"), F.col("lang").alias("b_lang"),
+        F.col("vec").alias("b_vec"),
+    )
+    dpairs = (
+        a.crossJoin(b)
+        .filter((F.col("a_id") != F.col("b_id")) & (F.col("a_lang") != F.col("b_lang")))
+        .select("a_id", "a_lang", "b_id", "b_lang",
+                F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"))
+        .collect()
+    )
+    by_node: dict[int, list[tuple[float, int]]] = {}
+    lang_of: dict[int, str] = {}
+    for r in dpairs:
+        by_node.setdefault(r.a_id, []).append((-r.cos_sim, r.b_id))
+        lang_of[r.a_id] = r.a_lang
+    nn = {}
+    for node, cands in by_node.items():
+        cands.sort()
+        top = cands[: llm.BITEXT_K]
+        acc = 0.0
+        for negc, _ in top:
+            acc += -negc
+        nn[node] = acc / float(len(top))
+    want = set()
+    for r in dpairs:
+        if r.a_id < r.b_id:
+            margin = round(r.cos_sim / ((nn[r.a_id] + nn[r.b_id]) / 2.0), 6)
+            if margin >= llm.BITEXT_MARGIN_MIN:
+                want.add((r.a_id, r.b_id, r.a_lang, r.b_lang, r.cos_sim, margin))
+    got = {tuple(r) for r in llm.bitext_margin_mining(spark, sf).collect()}
+    assert got == want
+    assert len(got) >= 3
+    for a_id, b_id, a_lang, b_lang, *_ in got:
+        assert a_id < b_id and a_lang != b_lang
