@@ -10112,6 +10112,14 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast baseline row."""
     lm = lm_token_logprob(spark, sf_dir).select("doc_id", "xent")
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return doremi_from(lm, src)
+
+
+def doremi_from(lm: DataFrame, src: DataFrame) -> DataFrame:
+    """The reweighting tail over per-doc (doc_id, xent) scores and a
+    (doc_id, source) map — shared with the streaming incremental mirror,
+    which re-derives the scores from its landed bigram stream at emission
+    time and feeds them through this identical dag."""
     grouped = (
         lm.join(src, "doc_id")
         .groupBy("source")

@@ -509,6 +509,21 @@ def _readability_sql() -> str:
     return _READABILITY_SQL
 
 
+def stream_incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_doremi
+
+    return incremental_doremi(spark, sf_dir)
+
+
+def _doremi_oracle_sql() -> str:
+    """The merged bigram stream re-scored through the shared LM +
+    reweighting kernels must reproduce the one-shot weights bitwise — the
+    batch query's SQL IS the oracle."""
+    from .llm import _doremi_sql
+
+    return _doremi_sql()
+
+
 def stream_incremental_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_pretrain_pipeline
 
@@ -552,6 +567,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_gopher", stream_incremental_gopher, _gopher_sql()),
     ("stream_incremental_readability", stream_incremental_readability, _readability_sql()),
     ("stream_incremental_pipeline_v2", stream_incremental_pipeline_v2, _pipeline_v2_oracle_sql()),
+    ("stream_incremental_doremi", stream_incremental_doremi, _doremi_oracle_sql()),
 ]
 
 if _tws_available():

@@ -842,6 +842,62 @@ def incremental_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental DoReMi domain reweighting — bitwise equal to
+    the one-shot ``plans.llm.doremi_weights`` (its SQL is the oracle).
+
+    The corpus-global-LM case of the incremental-MV family, sharing the
+    composed pipeline's posture: each micro-batch lands its positional
+    bigram stream (tokenize once) plus a (doc_id, source) map; because the
+    LM tables are corpus-global, per-doc xent is only final when the
+    stream drains, so emission re-aggregates the integer n-gram tables
+    from the merged stream and runs the shared ``lm_logprob_from_pairs``
+    + ``doremi_from`` kernels — every fold inside them is pinned, so
+    arrival order cannot move a weight. State is posting-sized partials;
+    raw text is never re-read."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import doremi_from, lm_bigram_pairs, lm_logprob_from_pairs
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_doremi_{_uuid.uuid4().hex[:8]}"
+    pairs_dir = f"{base}/pairs"
+    src_dir = f"{base}/src"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        lm_bigram_pairs(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(f"{pairs_dir}/batch={epoch_id}")
+        batch_df.select("doc_id", "source").write.mode("overwrite").parquet(
+            f"{src_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src_stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src_stream.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        lm = lm_logprob_from_pairs(
+            spark.read.parquet(f"{pairs_dir}/batch=*")
+        ).select("doc_id", "xent")
+        src = spark.read.parquet(f"{src_dir}/batch=*")
+        out, _ = tracked_local_checkpoint(doremi_from(lm, src), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental mirror of the COMPOSED curation stack — bitwise
     equal to the one-shot ``plans.llm.pretrain_pipeline_v2`` (its SQL is the

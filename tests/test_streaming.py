@@ -904,3 +904,21 @@ def test_incremental_pipeline_v2_equals_batch(spark):
     got = {tuple(r) for r in incremental_pretrain_pipeline(spark, sf).collect()}
     assert got == want
     assert len(want) >= 2, "multiple languages expected"
+
+
+def test_incremental_doremi_equals_batch(spark):
+    """The corpus-global-LM mirror: the merged landed bigram stream,
+    re-scored through the shared LM + reweighting kernels, must equal the
+    one-shot doremi_weights row for row — per-doc xent is only final when
+    the stream drains, so this pins that the emission-time re-aggregate
+    loses nothing."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_doremi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.doremi_weights(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_doremi(spark, sf).collect()}
+    assert got == want
+    assert len(want) >= 2
