@@ -10244,6 +10244,15 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
         )
     )
+    return bitext_margin_from(dpairs)
+
+
+def bitext_margin_from(dpairs: DataFrame) -> DataFrame:
+    """The margin tail over a DIRECTED cross-language candidate-pair frame
+    (a_id, a_lang, b_id, b_lang, cos_sim) — shared by the bounded exact
+    kernel above and the banded scale-path query below (candidates differ,
+    scoring must not). Requires the candidate relation to be symmetric so
+    both endpoints carry a neighborhood."""
     wnn = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
     top = dpairs.withColumn("rn", F.row_number().over(wnn)).filter(
         F.col("rn") <= BITEXT_K
@@ -10283,18 +10292,10 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("margin") >= BITEXT_MARGIN_MIN)
 
 
-def _bitext_sql() -> str:
-    return f"""
-WITH s AS (
-  SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS vec
-  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-  WHERE e.vec_id < {SEP_MAX_ID}),
-dpairs AS (
-  SELECT a.vec_id AS a_id, a.lang AS a_lang,
-         b.vec_id AS b_id, b.lang AS b_lang,
-         round({cosine_sql('a.vec', 'b.vec')}, 6) AS cos_sim
-  FROM s a JOIN s b ON a.vec_id != b.vec_id AND a.lang != b.lang),
-ranked AS (
+def _bitext_tail_sql() -> str:
+    """ranked/nn CTE tail + margin SELECT over a ``dpairs`` CTE — shared by
+    the exact and banded oracles, like ``bitext_margin_from`` Spark-side."""
+    return f"""ranked AS (
   SELECT a_id, b_id, cos_sim,
          row_number() OVER (PARTITION BY a_id
                             ORDER BY cos_sim DESC, b_id) AS rn
@@ -10314,6 +10315,102 @@ WHERE p.a_id < p.b_id
   AND round(p.cos_sim / ((na.nn_avg + nb.nn_avg) / {dlit(2.0)}), 6)
       >= {dlit(BITEXT_MARGIN_MIN)}
 """
+
+
+def _bitext_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS vec
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id < {SEP_MAX_ID}),
+dpairs AS (
+  SELECT a.vec_id AS a_id, a.lang AS a_lang,
+         b.vec_id AS b_id, b.lang AS b_lang,
+         round({cosine_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+  FROM s a JOIN s b ON a.vec_id != b.vec_id AND a.lang != b.lang),
+{_bitext_tail_sql()}"""
+
+
+def bitext_banded_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitext margin miner's 100 TB path: candidates come from the
+    multi-probe LSH band join over the FULL corpus instead of the bounded
+    cross join — each vector meets only cross-language vectors sharing its
+    bucket or a 1-bit probe neighbor (a symmetric relation, so both
+    endpoints carry a neighborhood), and the identical shared margin tail
+    scores the survivors. Same output shape and thresholds as the exact
+    kernel; the candidate volume is co-bucketed pairs, never |corpus|².
+
+    Scale: both sides shuffle once on the bucket key (the minhash banding
+    shape); AQE splits hot buckets; per-node neighborhoods are top-K of
+    banded candidates, so the margin denominator degrades gracefully from
+    exact-kNN to banded-kNN — the standard mined-bitext production
+    tradeoff."""
+    e = load(spark, sf_dir, "embeddings")
+    langs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = (
+        e.join(langs, "vec_id")
+        .select("vec_id", "lang", to_double(F.col("embedding")).alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
+        .withColumn("nv", norm(F.col("vec")))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    src = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("vec").alias("a_vec"),
+        F.col("nv").alias("na"),
+        F.explode(probes).alias("bucket"),
+    )
+    dst = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("vec").alias("b_vec"),
+        F.col("nv").alias("nb"),
+        "bucket",
+    )
+    # a pair meets through at most one bucket (the dst side carries exactly
+    # one), so no post-join dedup is needed — the nsw_edges construction
+    dpairs = (
+        src.join(dst, "bucket")
+        .filter((F.col("a_id") != F.col("b_id")) & (F.col("a_lang") != F.col("b_lang")))
+        .select(
+            "a_id",
+            "a_lang",
+            "b_id",
+            "b_lang",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return bitext_margin_from(dpairs)
+
+
+def _bitext_banded_sql() -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)]
+    )
+    return f"""
+WITH sb AS MATERIALIZED (
+  SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(e.embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+srcp AS (
+  SELECT vec_id AS a_id, lang AS a_lang, vec AS a_vec,
+         unnest([{probes}]) AS bucket
+  FROM sb),
+dpairs AS MATERIALIZED (
+  SELECT s.a_id, s.a_lang, c.vec_id AS b_id, c.lang AS b_lang,
+         round({_nsw_cos_sql('s.a_vec', 'c.vec')}, 6) AS cos_sim
+  FROM srcp s JOIN sb c USING (bucket)
+  WHERE s.a_id != c.vec_id AND s.a_lang != c.lang),
+{_bitext_tail_sql()}"""
 
 
 def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10516,6 +10613,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
     ("llm_doremi_weights", doremi_weights, _doremi_sql()),
     ("llm_bitext_margin_mining", bitext_margin_mining, _bitext_sql()),
+    ("llm_bitext_banded", bitext_banded_mining, _bitext_banded_sql()),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
     ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),

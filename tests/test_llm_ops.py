@@ -3435,3 +3435,56 @@ def test_bitext_margin_matches_replay(spark):
     assert len(got) >= 3
     for a_id, b_id, a_lang, b_lang, *_ in got:
         assert a_id < b_id and a_lang != b_lang
+
+
+def test_bitext_banded_invariants_and_selectivity(spark):
+    """The banded scale path: (a) output invariants (cross-language,
+    a_id < b_id, margin >= threshold); (b) the scale claim itself — the
+    multi-probe band join generates a small fraction of the full
+    cross-language pair space (value correctness is the oracle's job;
+    this pins that the plan never degenerates toward all-pairs)."""
+    from pyspark.sql import functions as F
+    from air_traffic_data_pipeline_spark.functions.vectors import to_double
+    from air_traffic_data_pipeline_spark.operators.similarity import (
+        N_PLANES,
+        lsh_bucket,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.bitext_banded_mining(spark, sf).collect()
+    assert rows, "banded miner found no pairs"
+    for r in rows:
+        assert r.a_id < r.b_id and r.a_lang != r.b_lang
+        assert r.margin >= llm.BITEXT_MARGIN_MIN
+
+    e = llm.load(spark, sf, "embeddings")
+    langs = llm.load(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = (
+        e.join(langs, "vec_id")
+        .select("vec_id", "lang", to_double(F.col("embedding")).alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), llm.EMB_DIM))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    src = v.select(
+        F.col("vec_id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.explode(probes).alias("bucket"),
+    )
+    dst = v.select(
+        F.col("vec_id").alias("b_id"), F.col("lang").alias("b_lang"), "bucket"
+    )
+    n_banded = (
+        src.join(dst, "bucket")
+        .filter((F.col("a_id") != F.col("b_id")) & (F.col("a_lang") != F.col("b_lang")))
+        .count()
+    )
+    per_lang = {r.lang: r.n for r in v.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(per_lang.values())
+    n_cross = n * n - sum(c * c for c in per_lang.values())
+    # multi-probe covers 9 of 256 bucket relations; require a wide margin
+    # under the pin so hyperplane drift can't silently flip it
+    assert n_banded < 0.25 * n_cross, (n_banded, n_cross)
