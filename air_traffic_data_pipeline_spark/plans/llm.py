@@ -10194,6 +10194,107 @@ FROM wr, z
 """
 
 
+def doremi_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi with a HELD-OUT reference LM — closer to the paper's
+    proxy-vs-reference structure than the single-pass variant above,
+    which scores the corpus under its own LM (a document always looks
+    easier to a model trained on it): split the corpus by doc_id parity,
+    score each half's documents under the OTHER half's add-one bigram
+    tables, then run the identical excess-loss softmax tail. Same output
+    shape as ``doremi_weights`` so the two signals compare directly.
+
+    Determinism: the parity split is exact integer arithmetic; unseen
+    bigrams take the add-one floor via coalesce(0); folds are the pinned
+    doc_id/pos and source orders of the shared tail. Scale: two
+    half-corpus n-gram tables instead of one (same distinct-gram-sized
+    map-side-combining shape); scoring joins carry a tiny ref-half key
+    alongside the word keys."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lm_bigram_pairs(d).withColumn(
+        "ref", (F.lit(1) - F.col("doc_id") % F.lit(2)).cast("int")
+    )
+    half = F.col("doc_id") % F.lit(2)
+    tbl_src = pairs.withColumn("h", half.cast("int"))
+    bg = tbl_src.groupBy("h", "w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = tbl_src.groupBy("h", "w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    v = tbl_src.groupBy("h").agg(F.count_distinct("w2").alias("v"))
+    num = (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(PPL_SMOOTH_K)).cast("double")
+    den = (
+        F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(PPL_SMOOTH_K) * F.col("v")
+    ).cast("double")
+    terms = (
+        pairs.join(
+            bg.select(F.col("h").alias("ref"), "w1", "w2", "c_bg"),
+            ["ref", "w1", "w2"],
+            "left",
+        )
+        .join(
+            ctx.select(F.col("h").alias("ref"), "w1", "c_ctx"),
+            ["ref", "w1"],
+            "left",
+        )
+        .join(F.broadcast(v.select(F.col("h").alias("ref"), "v")), "ref")
+        .select("doc_id", "pos", F.log(num / den).alias("term"))
+    )
+    per = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("ts"),
+    )
+    lp = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["term"])
+    lm = per.select(
+        "doc_id",
+        F.round(-lp / F.col("n_bigrams").cast("double"), 6).alias("xent"),
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return doremi_from(lm, src)
+
+
+def _doremi_heldout_sql() -> str:
+    return f"""
+WITH {_LM_BASE_SQL},
+bgp2 AS (SELECT doc_id, pos, w1, w2,
+                CAST(1 - doc_id % 2 AS INTEGER) AS ref,
+                CAST(doc_id % 2 AS INTEGER) AS h
+         FROM bgp),
+bgh AS (SELECT h, w1, w2, count(*) AS c_bg FROM bgp2 GROUP BY 1, 2, 3),
+ctxh AS (SELECT h, w1, count(*) AS c_ctx FROM bgp2 GROUP BY 1, 2),
+vh AS (SELECT h, count(DISTINCT w2) AS v FROM bgp2 GROUP BY 1),
+terms AS (
+  SELECT p.doc_id, p.pos,
+         ln(CAST(coalesce(b.c_bg, 0) + {PPL_SMOOTH_K} AS DOUBLE)
+            / CAST(coalesce(c.c_ctx, 0) + {PPL_SMOOTH_K} * v.v AS DOUBLE))
+           AS term
+  FROM bgp2 p
+  LEFT JOIN bgh b ON b.h = p.ref AND p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ctxh c ON c.h = p.ref AND p.w1 = c.w1
+  JOIN vh v ON v.h = p.ref),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list(term ORDER BY pos), (acc, x) -> acc + x) AS lp
+  FROM terms GROUP BY doc_id),
+xent AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+srcx AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(list_reduce(list(x.xent ORDER BY x.doc_id), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_xent
+  FROM xent x JOIN documents d ON x.doc_id = d.doc_id
+  GROUP BY d.source),
+base AS (
+  SELECT round(list_reduce(list(mean_xent ORDER BY source), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE), 6) AS base_xent FROM srcx),
+ex AS (
+  SELECT source, n_docs, mean_xent,
+         round(mean_xent - base_xent, 6) AS excess
+  FROM srcx, base),
+wr AS (SELECT *, exp(excess / {dlit(DOREMI_TEMP)}) AS wraw FROM ex),
+z AS (SELECT list_reduce(list(wraw ORDER BY source), (a, b) -> a + b) AS z
+      FROM wr)
+SELECT source, n_docs, mean_xent, excess, round(wraw / z, 6) AS weight
+FROM wr, z
+"""
+
+
 BITEXT_K = 4  # neighborhood size in the margin denominator
 BITEXT_MARGIN_MIN = 1.02  # keep pairs clearly above their neighborhoods
 
@@ -10612,6 +10713,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),
     ("llm_token_budget_plan", token_budget_plan, _TOKEN_BUDGET_SQL),
     ("llm_doremi_weights", doremi_weights, _doremi_sql()),
+    ("llm_doremi_heldout", doremi_heldout, _doremi_heldout_sql()),
     ("llm_bitext_margin_mining", bitext_margin_mining, _bitext_sql()),
     ("llm_bitext_banded", bitext_banded_mining, _bitext_banded_sql()),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
