@@ -808,3 +808,37 @@ def test_fifo_matching_plan_shape(spark):
     p = plan(relational.fifo_matching(spark, SF), "simple")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_bitext_banded_is_bucket_equi_join(spark):
+    """The banded bitext miner's corpus x corpus contact must be the
+    bucket equi-join (shuffle or broadcast hash), never a cartesian /
+    nested-loop pair generation — the plan property the 100 TB claim
+    rests on. The bounded exact kernel IS allowed its nested loop (it is
+    a 64-vector sample by construction); pin the contrast."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        bitext_banded_mining,
+        bitext_margin_mining,
+    )
+
+    p = plan(bitext_banded_mining(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+    p_exact = plan(bitext_margin_mining(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in p_exact or "CartesianProduct" in p_exact
+
+
+def test_doremi_rides_lm_plan_jvm_side(spark):
+    """Both reweighting variants must stay pure Catalyst (no Python eval
+    nodes) and keep the LM scoring joins as hash joins — the xent source
+    is the word-keyed equi-join plan, not a UDF."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        doremi_heldout,
+        doremi_weights,
+    )
+
+    for fn in (doremi_weights, doremi_heldout):
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
