@@ -18,7 +18,9 @@ Scaling models (deliberately different per table):
   duplicate); bounded subcells must keep the in-cell pair cost linear
   anyway (plans/llm.py semdedup_subcells).
 
-Usage: python tools/scaling_curve.py [base_sf_dir] [reps]
+Usage: python tools/scaling_curve.py [base_sf_dir] [reps] [name ...]
+Optional trailing names restrict the run to those queries (exact match)
+— lakes still build once, so a one-query measurement stays cheap.
 Prints one markdown table (for PERF.md) and one JSON line.
 """
 
@@ -117,7 +119,18 @@ def main() -> int:
         # repeated_spans curve, still at-most-linear per pass)
         "llm_ann_nsw_topk": llm.ann_nsw_topk,
         "llm_repeated_spans_k_sweep": llm.repeated_spans_k_sweep,
+        # late round-8: the two banded-candidate searches under the same
+        # IDENTICAL-replica adversarial model — bucket populations scale
+        # with replicas, candidate volume is the thing to watch
+        "llm_ann_hnsw_topk": llm.ann_hnsw_topk,
+        "llm_bitext_banded": llm.bitext_banded_mining,
     }
+    only = [a for a in sys.argv[3:]]
+    if only:
+        unknown = set(only) - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
 
     root = tempfile.mkdtemp(prefix="scale_")
     try:
