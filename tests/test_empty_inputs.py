@@ -568,3 +568,30 @@ def test_label_separability_empty_embeddings(spark, tmp_path):
         f"{sf}/embeddings.parquet"
     )
     assert llm.label_separability(spark, sf).count() == 0
+
+
+def test_round8_late_ops_empty_inputs(spark, tmp_path):
+    """Late-round-8 ops over empty lakes: typed empty frames, no crash —
+    the graph searches must survive an empty edge list, the miners an
+    empty candidate set, and the reweighters an empty source table."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    load(spark, SF, "embeddings").filter(F.lit(False)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    for fn, col in (
+        (llm.ann_nsw_topk, "rank"),
+        (llm.ann_hnsw_topk, "rank"),
+        (llm.doremi_weights, "weight"),
+        (llm.doremi_heldout, "weight"),
+        (llm.bitext_margin_mining, "margin"),
+        (llm.bitext_banded_mining, "margin"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__
