@@ -229,45 +229,64 @@ HNSW_L1_ROUNDS = 3  # beam rounds on the upper layer
 HNSW_L0_ROUNDS = 3  # beam rounds on the base layer after the descent
 
 
-def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
-    """Bounded neighbor lists (src, dst, e_sim): multi-probe LSH candidate
-    pairs -> exact-cosine top-``NSW_M_OUT`` per src -> symmetrize ->
-    re-cap at ``NSW_M_DEG``.
+def banded_pairs(v: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Directed multi-probe banded candidate pairs over a prepared frame
+    ``v(vec_id, vec, nv, bucket[, extra...])``: each vector meets vectors
+    sharing its bucket or a 1-bit probe neighbor (a SYMMETRIC relation —
+    1-bit XOR Hamming), scored by the shared rounded cosine. Returns
+    ``(a_id, b_id, cos_sim[, a_<e>, b_<e>])``. The ONE home of the
+    probe-explode/bucket-join construction, shared by the NSW graph
+    builder and the banded bitext miner — a pair meets through at most
+    one bucket (the b side carries exactly one), so no post-join dedup.
 
     Scale: the only corpus x corpus contact is the bucket equi-join (the
     llm_minhash banding shape — candidate volume is co-bucketed pairs,
-    never N^2); the edge list leaves as N * M_DEG rows of three scalars.
+    never N^2)."""
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    src = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nv").alias("na"),
+        *[F.col(e).alias(f"a_{e}") for e in extra],
+        F.explode(probes).alias("bucket"),
+    )
+    dst = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nv").alias("nb"),
+        *[F.col(e).alias(f"b_{e}") for e in extra],
+        "bucket",
+    )
+    cand = src.join(dst, "bucket").filter(F.col("a_id") != F.col("b_id"))
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+        *[f"a_{e}" for e in extra],
+        *[f"b_{e}" for e in extra],
+    )
+
+
+def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
+    """Bounded neighbor lists (src, dst, e_sim): multi-probe LSH candidate
+    pairs (``banded_pairs``) -> exact-cosine top-``NSW_M_OUT`` per src ->
+    symmetrize -> re-cap at ``NSW_M_DEG``. The edge list leaves as
+    N * M_DEG rows of three scalars.
     """
     v = vectors.select(
         F.col("vec_id"), to_double(F.col("embedding")).alias("vec")
     ).withColumn("bucket", lsh_bucket(F.col("vec"), dim)).withColumn(
         "nv", norm(F.col("vec"))
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
-    )
-    src = v.select(
-        F.col("vec_id").alias("src"),
-        F.col("vec").alias("s_vec"),
-        F.col("nv").alias("ns"),
-        F.explode(probes).alias("bucket"),
-    )
-    dst = v.select(
-        F.col("vec_id").alias("dst"),
-        F.col("vec").alias("d_vec"),
-        F.col("nv").alias("nd"),
-        "bucket",
-    )
-    # a (src, dst) pair meets through at most one bucket (dst has exactly
-    # one bucket), so no post-join dedup is needed
-    cand = src.join(dst, "bucket").filter(F.col("src") != F.col("dst"))
-    scored = cand.select(
-        "src",
-        "dst",
-        F.round(
-            dot(F.col("s_vec"), F.col("d_vec")) / (F.col("ns") * F.col("nd")), 6
-        ).alias("e_sim"),
+    scored = banded_pairs(v).select(
+        F.col("a_id").alias("src"),
+        F.col("b_id").alias("dst"),
+        F.col("cos_sim").alias("e_sim"),
     )
     w_out = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
     fwd = (
@@ -350,8 +369,19 @@ def _top_beam(scored: DataFrame) -> DataFrame:
 
 
 def _entry_beam(corpus: DataFrame, q: DataFrame, stride: int) -> DataFrame:
-    """Exact-scored seed beam over the id-stride entry sample."""
-    entries = corpus.filter(F.col("c_id") % stride == 0)
+    """Exact-scored seed beam over the id-stride entry sample, unioned
+    with the global min id — a 1-row broadcast that guarantees a
+    non-empty entry set on corpora whose id range contains no stride
+    multiple (review finding: an all-odd-id lake would otherwise return
+    zero rows from every search while flat brute force still answers).
+    On any lake containing id 0 the fallback is a no-op (0 % stride == 0),
+    so verified outputs are unchanged."""
+    min_id = corpus.agg(F.min("c_id").alias("__min_id"))
+    entries = (
+        corpus.crossJoin(F.broadcast(min_id))
+        .filter((F.col("c_id") % stride == 0) | (F.col("c_id") == F.col("__min_id")))
+        .drop("__min_id")
+    )
     return _top_beam(
         entries.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
@@ -415,11 +445,17 @@ def _search_frames(
 
 
 def nsw_beam_topk(
-    vectors: DataFrame, queries: DataFrame, dim: int, k: int
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """NSW beam search: seed each query's beam with the exact-scored entry
     sample, then ``NSW_ROUNDS`` rounds of ``_beam_rounds`` expansion.
     Returns the final top-k with ranks, brute_force_topk-shaped.
+    ``edges`` accepts a prebuilt (already materialized) graph so an eval
+    comparing several searches builds the heavy subplan once.
 
     Scale: each round touches beam x degree rows per query (query-
     proportional, corpus-independent); the corpus contributes only via
@@ -427,9 +463,12 @@ def nsw_beam_topk(
     from .checkpoints import tracked_local_checkpoint
 
     corpus, q = _search_frames(vectors, queries)
-    # the edge list feeds every beam round and its own build is the heavy
-    # subplan (banded join + NN-descent two-hop) — materialize it ONCE
-    edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+    if edges is None:
+        # the edge list feeds every beam round and its own build is the
+        # heavy subplan (banded join + NN-descent) — materialize it ONCE
+        edges, _ = tracked_local_checkpoint(
+            nsw_edges(vectors, dim), register=True
+        )
     beam = _entry_beam(corpus, q, NSW_ENTRY_STRIDE)
     beam = _beam_rounds(beam, edges, corpus, q, NSW_ROUNDS)
     return (
@@ -440,7 +479,11 @@ def nsw_beam_topk(
 
 
 def hnsw_beam_topk(
-    vectors: DataFrame, queries: DataFrame, dim: int, k: int
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    base_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Hierarchical NSW (Malkov & Yashunin's HNSW, deterministic variant):
     level assignment is the id-stride rule ``vec_id % HNSW_L1_STRIDE == 0``
@@ -459,7 +502,10 @@ def hnsw_beam_topk(
     from .checkpoints import tracked_local_checkpoint
 
     corpus, q = _search_frames(vectors, queries)
-    base_edges, _ = tracked_local_checkpoint(nsw_edges(vectors, dim), register=True)
+    if base_edges is None:
+        base_edges, _ = tracked_local_checkpoint(
+            nsw_edges(vectors, dim), register=True
+        )
     upper = vectors.filter(F.col("vec_id") % HNSW_L1_STRIDE == 0)
     upper_edges, _ = tracked_local_checkpoint(
         nsw_edges(upper, dim), register=True

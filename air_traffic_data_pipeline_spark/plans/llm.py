@@ -2406,7 +2406,9 @@ def _nsw_graph_ctes(pfx: str, wb: str) -> list[str]:
 
 
 def _entry_beam_cte(name: str, stride: int) -> str:
-    """Exact-scored seed beam over the id-stride entry sample (from wb/q)."""
+    """Exact-scored seed beam over the id-stride entry sample (from wb/q),
+    unioned with the global min id — the Spark side's non-empty-entry
+    guarantee for stride-free id ranges (no-op on lakes containing id 0)."""
     cos_qe = _nsw_cos_sql("q.q_vec", "e.vec")
     return f"""{name} AS MATERIALIZED (
   SELECT q_id, c_id, cos_sim FROM (
@@ -2416,7 +2418,8 @@ def _entry_beam_cte(name: str, stride: int) -> str:
     FROM (SELECT q.q_id, e.vec_id AS c_id,
                  round({cos_qe}, 6) AS cos_sim
           FROM q CROSS JOIN wb e
-          WHERE e.vec_id % {stride} = 0
+          WHERE (e.vec_id % {stride} = 0
+                 OR e.vec_id = (SELECT min(vec_id) FROM wb))
             AND e.vec_id != q.q_id) p) t
   WHERE rn <= {NSW_BEAM})"""
 
@@ -2565,11 +2568,24 @@ def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale where the corpus-proportional seed scan is exactly what the
     hierarchy exists to remove. The hard acceptance gate (pytest) is
     recall >= the LSH multiprobe baseline and >= flat-NSW - 0.1."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.similarity import nsw_edges
+
     truth = cosine_topk(spark, sf_dir).filter(F.col("rank") <= 3).select(
         "q_id", "c_id"
     )
-    h = ann_hnsw_topk(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("h"))
-    nsw = ann_nsw_topk(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("g"))
+    e = load(spark, sf_dir, "embeddings")
+    qs = _queries(spark, sf_dir)
+    # the full-corpus graph is the dominant subplan and BOTH searches need
+    # it — build and materialize it once (review finding: calling the two
+    # registered queries here built identical edge lists twice)
+    edges, _ = tracked_local_checkpoint(nsw_edges(e, EMB_DIM), register=True)
+    h = hnsw_beam_topk(e, qs, EMB_DIM, 3, base_edges=edges).select(
+        "q_id", "c_id", F.lit(1).alias("h")
+    )
+    nsw = nsw_beam_topk(e, qs, EMB_DIM, 3, edges=edges).select(
+        "q_id", "c_id", F.lit(1).alias("g")
+    )
     j = truth.join(h, ["q_id", "c_id"], "left").join(
         nsw, ["q_id", "c_id"], "left"
     )
@@ -10168,12 +10184,12 @@ def doremi_from(lm: DataFrame, src: DataFrame) -> DataFrame:
     )
 
 
-def _doremi_sql() -> str:
-    return f"""
-WITH {_LM_TERMS_SQL},
-xent AS (
-  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
-srcx AS (
+def _doremi_tail_sql() -> str:
+    """srcx/base/ex/wr/z CTE chain + final SELECT over an ``xent`` CTE —
+    the SQL twin of ``doremi_from``, shared by the self-scored and
+    held-out oracles so the reweighting math can never drift between
+    them (the `_bitext_tail_sql` pattern)."""
+    return f"""srcx AS (
   SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          round(list_reduce(list(x.xent ORDER BY x.doc_id), (a, b) -> a + b)
                / CAST(count(*) AS DOUBLE), 6) AS mean_xent
@@ -10194,6 +10210,14 @@ FROM wr, z
 """
 
 
+def _doremi_sql() -> str:
+    return f"""
+WITH {_LM_TERMS_SQL},
+xent AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+{_doremi_tail_sql()}"""
+
+
 def doremi_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi with a HELD-OUT reference LM — closer to the paper's
     proxy-vs-reference structure than the single-pass variant above,
@@ -10205,7 +10229,12 @@ def doremi_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the parity split is exact integer arithmetic; unseen
     bigrams take the add-one floor via coalesce(0); folds are the pinned
-    doc_id/pos and source orders of the shared tail. Scale: two
+    doc_id/pos and source orders of the shared tail. Degenerate case,
+    BY DEFINITION: a document whose reference half is empty cannot be
+    held-out-scored — the inner join on the reference-half V table
+    excludes it, so a single-parity corpus (e.g. all-even ids after an
+    id-keyed dedup) yields zero weights rather than self-scored ones;
+    use ``doremi_weights`` there (pinned by pytest). Scale: two
     half-corpus n-gram tables instead of one (same distinct-gram-sized
     map-side-combining shape); scoring joins carry a tiny ref-half key
     alongside the word keys."""
@@ -10274,25 +10303,7 @@ per AS (
   FROM terms GROUP BY doc_id),
 xent AS (
   SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
-srcx AS (
-  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-         round(list_reduce(list(x.xent ORDER BY x.doc_id), (a, b) -> a + b)
-               / CAST(count(*) AS DOUBLE), 6) AS mean_xent
-  FROM xent x JOIN documents d ON x.doc_id = d.doc_id
-  GROUP BY d.source),
-base AS (
-  SELECT round(list_reduce(list(mean_xent ORDER BY source), (a, b) -> a + b)
-               / CAST(count(*) AS DOUBLE), 6) AS base_xent FROM srcx),
-ex AS (
-  SELECT source, n_docs, mean_xent,
-         round(mean_xent - base_xent, 6) AS excess
-  FROM srcx, base),
-wr AS (SELECT *, exp(excess / {dlit(DOREMI_TEMP)}) AS wraw FROM ex),
-z AS (SELECT list_reduce(list(wraw ORDER BY source), (a, b) -> a + b) AS z
-      FROM wr)
-SELECT source, n_docs, mean_xent, excess, round(wraw / z, 6) AS weight
-FROM wr, z
-"""
+{_doremi_tail_sql()}"""
 
 
 BITEXT_K = 4  # neighborhood size in the margin denominator
@@ -10446,6 +10457,8 @@ def bitext_banded_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidates, so the margin denominator degrades gracefully from
     exact-kNN to banded-kNN — the standard mined-bitext production
     tradeoff."""
+    from ..operators.similarity import banded_pairs
+
     e = load(spark, sf_dir, "embeddings")
     langs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
@@ -10456,39 +10469,12 @@ def bitext_banded_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
         .withColumn("nv", norm(F.col("vec")))
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
-    )
-    src = v.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("lang").alias("a_lang"),
-        F.col("vec").alias("a_vec"),
-        F.col("nv").alias("na"),
-        F.explode(probes).alias("bucket"),
-    )
-    dst = v.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("lang").alias("b_lang"),
-        F.col("vec").alias("b_vec"),
-        F.col("nv").alias("nb"),
-        "bucket",
-    )
-    # a pair meets through at most one bucket (the dst side carries exactly
-    # one), so no post-join dedup is needed — the nsw_edges construction
+    # the shared multi-probe construction (one home with nsw_edges) + the
+    # cross-language residual
     dpairs = (
-        src.join(dst, "bucket")
-        .filter((F.col("a_id") != F.col("b_id")) & (F.col("a_lang") != F.col("b_lang")))
-        .select(
-            "a_id",
-            "a_lang",
-            "b_id",
-            "b_lang",
-            F.round(
-                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos_sim"),
-        )
+        banded_pairs(v, extra=("lang",))
+        .filter(F.col("a_lang") != F.col("b_lang"))
+        .select("a_id", "a_lang", "b_id", "b_lang", "cos_sim")
     )
     return bitext_margin_from(dpairs)
 

@@ -492,6 +492,40 @@ def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _winnow_store_flags(
+    spark: SparkSession, fp_dir: str, flags_dir: str, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """Land THIS batch's winnow fingerprints in the accumulated store and
+    emit matched-site flags for the grams it touched — the ONE home of the
+    incremental span-dedup step (shared by the standalone mirror and the
+    composed pipeline mirror, which must compute the identical matched
+    set). Both sites of a late-arriving repeat flag in the later batch,
+    so accumulated flags equal the batch query's matched set under ANY
+    arrival order; epoch-scoped overwrite = replay-idempotent."""
+    from ..plans.llm import winnow_fp_from
+
+    winnow_fp_from(batch_df).write.mode("overwrite").parquet(
+        f"{fp_dir}/batch={epoch_id}"
+    )
+    batch_fp = spark.read.parquet(f"{fp_dir}/batch={epoch_id}")
+    all_fp = spark.read.parquet(f"{fp_dir}/batch=*")
+    touched = all_fp.join(
+        batch_fp.select("h", "gram").distinct(), ["h", "gram"], "leftsemi"
+    )
+    repeated = (
+        touched.groupBy("h", "gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h", "gram")
+    )
+    flags = (
+        touched.join(repeated, ["h", "gram"], "leftsemi")
+        .select("doc_id", "fp_pos")
+        .distinct()
+    )
+    flags.write.mode("overwrite").parquet(f"{flags_dir}/batch={epoch_id}")
+
+
 def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental repeated-span detection — bitwise equal to the
     one-shot ``plans.llm.repeated_spans`` (its SQL is the oracle).
@@ -515,7 +549,7 @@ def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..operators.checkpoints import tracked_local_checkpoint
-    from ..plans.llm import repeated_span_accounting, winnow_fp_from
+    from ..plans.llm import repeated_span_accounting
     from ..plans.tables import load
 
     tune_session(spark)
@@ -525,26 +559,7 @@ def incremental_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags_dir = f"{base}/flags"
 
     def _update(batch_df: DataFrame, epoch_id: int) -> None:
-        winnow_fp_from(batch_df).write.mode("overwrite").parquet(
-            f"{fp_dir}/batch={epoch_id}"
-        )
-        batch_fp = spark.read.parquet(f"{fp_dir}/batch={epoch_id}")
-        all_fp = spark.read.parquet(f"{fp_dir}/batch=*")
-        touched = all_fp.join(
-            batch_fp.select("h", "gram").distinct(), ["h", "gram"], "leftsemi"
-        )
-        repeated = (
-            touched.groupBy("h", "gram")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .filter(F.col("n_occ") >= 2)
-            .select("h", "gram")
-        )
-        flags = (
-            touched.join(repeated, ["h", "gram"], "leftsemi")
-            .select("doc_id", "fp_pos")
-            .distinct()
-        )
-        flags.write.mode("overwrite").parquet(f"{flags_dir}/batch={epoch_id}")
+        _winnow_store_flags(spark, fp_dir, flags_dir, batch_df, epoch_id)
 
     try:
         src = (
@@ -930,7 +945,6 @@ def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     (batch grams) ⋈ (store grams); state is posting/fingerprint/meta rows,
     never raw text; emission re-aggregates tables that are distinct-gram-
     sized, not corpus-sized."""
-    import os
     import shutil
     import uuid as _uuid
 
@@ -946,7 +960,6 @@ def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         pretrain_release_accounting,
         raw_urls_from,
         repeated_span_accounting_words,
-        winnow_fp_from,
     )
 
     tune_session(spark)
@@ -976,28 +989,9 @@ def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         lm_bigram_pairs(batch_df.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(f"{pairs_dir}/batch={epoch_id}")
-        # repeated-span store + per-batch matched-site flags — the
-        # incremental_repeated_spans emission, verbatim
-        winnow_fp_from(batch_df).write.mode("overwrite").parquet(
-            f"{fp_dir}/batch={epoch_id}"
-        )
-        batch_fp = spark.read.parquet(f"{fp_dir}/batch={epoch_id}")
-        all_fp = spark.read.parquet(f"{fp_dir}/batch=*")
-        touched = all_fp.join(
-            batch_fp.select("h", "gram").distinct(), ["h", "gram"], "leftsemi"
-        )
-        repeated = (
-            touched.groupBy("h", "gram")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .filter(F.col("n_occ") >= 2)
-            .select("h", "gram")
-        )
-        flags = (
-            touched.join(repeated, ["h", "gram"], "leftsemi")
-            .select("doc_id", "fp_pos")
-            .distinct()
-        )
-        flags.write.mode("overwrite").parquet(f"{flags_dir}/batch={epoch_id}")
+        # repeated-span store + per-batch matched-site flags — the shared
+        # incremental span-dedup step (one home with the standalone mirror)
+        _winnow_store_flags(spark, fp_dir, flags_dir, batch_df, epoch_id)
         meta = batch_df.select(
             "doc_id", "lang", word_count(F.col("text")).alias("n_words")
         )
@@ -1029,11 +1023,11 @@ def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("doc_id")
         )
         meta = spark.read.parquet(f"{meta_dir}/batch=*")
-        matched = (
-            spark.read.parquet(f"{flags_dir}/batch=*").distinct()
-            if os.path.isdir(flags_dir)
-            else spark.createDataFrame([], "doc_id long, fp_pos long")
-        )
+        # flags_dir always exists: _update writes (possibly empty) flags
+        # every epoch and the staging always yields >=1 batch — an isdir
+        # fallback here would be dead code (review finding), and the four
+        # sibling reads above are deliberately unguarded for the same reason
+        matched = spark.read.parquet(f"{flags_dir}/batch=*").distinct()
         heavy = (
             repeated_span_accounting_words(
                 matched, meta.select("doc_id", F.col("n_words").alias("doc_words"))

@@ -595,3 +595,23 @@ def test_round8_late_ops_empty_inputs(spark, tmp_path):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
         assert col in out.columns, fn.__name__
+
+
+def test_doremi_heldout_single_parity_corpus(spark, tmp_path):
+    """A single-parity lake (all-even doc_ids, e.g. downstream of an
+    id-keyed dedup) has no reference half: held-out scoring is undefined
+    BY DEFINITION and must yield zero weights without crashing — while
+    the self-scored variant still returns a valid mixture (the documented
+    fallback)."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.col("doc_id") % 2 == 0).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    held = llm.doremi_heldout(spark, sf)
+    assert held.count() == 0 and "weight" in held.columns
+    self_rows = llm.doremi_weights(spark, sf).collect()
+    assert len(self_rows) >= 2
+    assert abs(sum(r.weight for r in self_rows) - 1.0) < 1e-4
