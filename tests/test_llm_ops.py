@@ -3505,3 +3505,20 @@ def test_doremi_heldout_generalization_gap(spark):
     mean_self = sum(r.mean_xent for r in self_rows.values()) / len(self_rows)
     mean_held = sum(r.mean_xent for r in held_rows.values()) / len(held_rows)
     assert mean_held > mean_self, (mean_held, mean_self)
+
+
+def test_graph_search_survives_stride_free_ids(spark, tmp_path):
+    """An all-odd-id lake contains NO entry-stride multiple: before the
+    min-id fallback both graph searches returned zero rows silently; now
+    every query must still get a full top-k (the fallback seeds the beam
+    from the global min id)."""
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    load(spark, SF, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") * 2 + 1
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    for fn in (llm.ann_nsw_topk, llm.ann_hnsw_topk):
+        out = fn(spark, sf)
+        per_q = {r.q_id for r in out.collect()}
+        assert len(per_q) >= 4, (fn.__name__, per_q)
