@@ -9770,6 +9770,111 @@ FROM (
 """
 
 
+CALIB_BINS = 10  # reliability-diagram score deciles
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) of the
+    learned quality classifier (feature_hashing's sigmoid score) against
+    the Gopher structural gate as the reference label — the calibration
+    check run before trusting a learned filter's score as a keep
+    PROBABILITY (a miscalibrated classifier ranks fine but lies about
+    thresholds; Guo et al.'s ECE is the standard one-number summary).
+    One row per non-empty score decile: doc count, mean predicted score,
+    empirical pass rate, |gap|, plus the n-weighted ECE (constant column).
+
+    Determinism: bin = floor(score*10) on the 6-dp score, identical
+    double math both engines; per-bin mean folds scores in doc_id order;
+    gap compares the two ROUNDED outputs; ECE folds rounded gaps in bin
+    order with exact-integer weights. Scale: rides the feature_hashing
+    and gopher plans (one token shuffle + pure codegen); everything
+    after is a <=10-row aggregate."""
+    clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("label")
+    )
+    j = clf.join(gop, "doc_id")
+    b = F.least(
+        F.floor(F.col("clf_score") * CALIB_BINS).cast("int"),
+        F.lit(CALIB_BINS - 1),
+    )
+    per = (
+        j.select(b.alias("bin"), "doc_id", "clf_score", "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "clf_score"))).alias("xs"),
+            F.sum("label").cast("bigint").alias("n_pass"),
+        )
+    )
+    conf = F.round(
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda a, s: a + s["clf_score"])
+        / F.col("n_docs").cast("double"),
+        6,
+    )
+    emp = F.round(
+        F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    rows = per.select(
+        "bin",
+        "n_docs",
+        conf.alias("mean_score"),
+        emp.alias("pass_rate"),
+        F.round(F.abs(conf - emp), 6).alias("gap"),
+    )
+    tot = rows.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sort_array(
+            F.collect_list(F.struct("bin", "gap", "n_docs"))
+        ).alias("bs"),
+    )
+    ece = F.round(
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0.0),
+            lambda a, s: a
+            + s["gap"] * s["n_docs"].cast("double") / F.col("n_total").cast("double"),
+        ),
+        6,
+    )
+    return rows.crossJoin(F.broadcast(tot.select(ece.alias("ece")))).select(
+        "bin", "n_docs", "mean_score", "pass_rate", "gap", "ece"
+    )
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH clf AS (SELECT doc_id, clf_score FROM ({_FEATURE_HASH_SQL}) t),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS label
+        FROM ({_gopher_rules_sql()}) t),
+j AS (
+  SELECT least(CAST(floor(c.clf_score * {CALIB_BINS}) AS INTEGER),
+               {CALIB_BINS - 1}) AS bin,
+         c.doc_id, c.clf_score, g.label
+  FROM clf c JOIN gop g ON c.doc_id = g.doc_id),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         round(list_reduce(list_prepend({dlit(0.0)},
+                 list(clf_score ORDER BY doc_id)), (a, x) -> a + x)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+         round(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS pass_rate
+  FROM j GROUP BY bin),
+rows_ AS (
+  SELECT bin, n_docs, mean_score, pass_rate,
+         round(abs(mean_score - pass_rate), 6) AS gap
+  FROM per),
+tot AS (
+  SELECT round(list_reduce(list_prepend({dlit(0.0)},
+           list(gap * CAST(n_docs AS DOUBLE)
+                / CAST((SELECT sum(n_docs) FROM rows_) AS DOUBLE)
+                ORDER BY bin)), (a, x) -> a + x), 6) AS ece
+  FROM rows_)
+SELECT bin, n_docs, mean_score, pass_rate, gap, ece
+FROM rows_, tot
+"""
+
+
 def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-agreement audit: the 2x2 confusion between the cheap
     heuristic quality gate (quality_gate's predicate) and the model-based
@@ -10694,6 +10799,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_pca_deflated_second", pca_deflated_second, _pca_deflated_sql()),
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
+    ("llm_classifier_calibration", classifier_calibration, _calibration_sql()),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),

@@ -3522,3 +3522,38 @@ def test_graph_search_survives_stride_free_ids(spark, tmp_path):
         out = fn(spark, sf)
         per_q = {r.q_id for r in out.collect()}
         assert len(per_q) >= 4, (fn.__name__, per_q)
+
+
+def test_classifier_calibration_matches_replay(spark):
+    """Pure-Python replay of the reliability diagram over the classifier's
+    own scores and the gopher labels: decile binning on the 6-dp score,
+    per-bin mean folded in doc_id order, gap from the two rounded outputs,
+    n-weighted ECE folded in bin order — bitwise equal to the query; also
+    pins the ECE is a constant column equal to the weighted gap sum."""
+    sf = "/root/testdata/sf0.001"
+    scores = {r.doc_id: r.clf_score for r in llm.feature_hashing(spark, sf).collect()}
+    labels = {r.doc_id: r.passes for r in llm.gopher_rules(spark, sf).collect()}
+    bins: dict[int, list[int]] = {}
+    for doc_id, s in scores.items():
+        b = min(int(s * llm.CALIB_BINS // 1), llm.CALIB_BINS - 1)
+        bins.setdefault(b, []).append(doc_id)
+    want_rows = {}
+    for b, ids in bins.items():
+        acc = 0.0
+        for d in sorted(ids):
+            acc += scores[d]
+        conf = round(acc / len(ids), 6)
+        emp = round(sum(labels[d] for d in ids) / float(len(ids)), 6)
+        want_rows[b] = (len(ids), conf, emp, round(abs(conf - emp), 6))
+    n_total = sum(v[0] for v in want_rows.values())
+    ece = 0.0
+    for b in sorted(want_rows):
+        n, _, _, gap = want_rows[b]
+        ece += gap * float(n) / float(n_total)
+    ece = round(ece, 6)
+    got = {r.bin: (r.n_docs, r.mean_score, r.pass_rate, r.gap) for r in
+           llm.classifier_calibration(spark, sf).collect()}
+    eces = {r.ece for r in llm.classifier_calibration(spark, sf).collect()}
+    assert got == want_rows
+    assert eces == {ece}
+    assert len(got) >= 2
