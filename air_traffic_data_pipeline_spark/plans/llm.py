@@ -9687,7 +9687,13 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed regardless of vocabulary size — the point of the hashing trick;
     at 100 TB the same plan holds with FH_DIM=2^20 and a broadcast weight
     table in place of the inline md5 weights."""
-    d = fan_out(load(spark, sf_dir, "documents"))
+    return feature_hashing_from(fan_out(load(spark, sf_dir, "documents")))
+
+
+def feature_hashing_from(d: DataFrame) -> DataFrame:
+    """DataFrame-input form — per-doc stateless (the weight vector is a
+    deterministic constant, no corpus statistics), so the streaming
+    calibration mirror scores each micro-batch independently with it."""
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     per = (
         toks.select(
@@ -9793,10 +9799,17 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     gop = gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("passes").cast("bigint").alias("label")
     )
-    j = clf.join(gop, "doc_id")
+    return calibration_from(clf.join(gop, "doc_id"))
+
+
+def calibration_from(j: DataFrame) -> DataFrame:
+    """The binning/ECE tail over a (doc_id, clf_score, label) frame —
+    shared with the streaming mirror, whose micro-batches land exactly
+    these per-doc rows (both scorers are stateless) and re-aggregate the
+    global deciles at emission."""
     b = F.least(
-        F.floor(F.col("clf_score") * CALIB_BINS).cast("int"),
-        F.lit(CALIB_BINS - 1),
+        F.floor(F.col("clf_score") * CALIB_BINS).cast("bigint"),
+        F.lit(CALIB_BINS - 1).cast("bigint"),
     )
     per = (
         j.select(b.alias("bin"), "doc_id", "clf_score", "label")
@@ -9848,8 +9861,8 @@ WITH clf AS (SELECT doc_id, clf_score FROM ({_FEATURE_HASH_SQL}) t),
 gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS label
         FROM ({_gopher_rules_sql()}) t),
 j AS (
-  SELECT least(CAST(floor(c.clf_score * {CALIB_BINS}) AS INTEGER),
-               {CALIB_BINS - 1}) AS bin,
+  SELECT least(CAST(floor(c.clf_score * {CALIB_BINS}) AS BIGINT),
+               CAST({CALIB_BINS - 1} AS BIGINT)) AS bin,
          c.doc_id, c.clf_score, g.label
   FROM clf c JOIN gop g ON c.doc_id = g.doc_id),
 per AS (

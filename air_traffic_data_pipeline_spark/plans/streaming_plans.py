@@ -509,6 +509,21 @@ def _readability_sql() -> str:
     return _READABILITY_SQL
 
 
+def stream_incremental_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_calibration
+
+    return incremental_calibration(spark, sf_dir)
+
+
+def _calibration_oracle_sql() -> str:
+    """Stateless per-doc score/label partials re-binned at emission must
+    reproduce the one-shot reliability diagram bitwise — the batch
+    query's SQL IS the oracle."""
+    from .llm import _calibration_sql
+
+    return _calibration_sql()
+
+
 def stream_incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_doremi
 
@@ -568,6 +583,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_readability", stream_incremental_readability, _readability_sql()),
     ("stream_incremental_pipeline_v2", stream_incremental_pipeline_v2, _pipeline_v2_oracle_sql()),
     ("stream_incremental_doremi", stream_incremental_doremi, _doremi_oracle_sql()),
+    ("stream_incremental_calibration", stream_incremental_calibration, _calibration_oracle_sql()),
 ]
 
 if _tws_available():

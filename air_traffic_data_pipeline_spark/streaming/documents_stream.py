@@ -857,6 +857,65 @@ def incremental_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental classifier-calibration audit — bitwise equal
+    to the one-shot ``plans.llm.classifier_calibration`` (its SQL is the
+    oracle).
+
+    Both scorers are per-doc STATELESS (the hashing-trick weights are a
+    deterministic constant; the Gopher rules are structural), so each
+    micro-batch lands its (doc_id, clf_score, label) rows and the global
+    reliability deciles + ECE re-aggregate at emission through the shared
+    ``calibration_from`` tail — the diagram is corpus-global (bin means
+    and the ECE weights shift with every batch), which is exactly why the
+    emission recompute over per-doc partial ROWS (never raw text) is the
+    right split. Epoch-scoped overwrite = replay-idempotent."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import (
+        calibration_from,
+        feature_hashing_from,
+        gopher_rules_from,
+    )
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_calib_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/scored"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        clf = feature_hashing_from(batch_df).select("doc_id", "clf_score")
+        gop = gopher_rules_from(batch_df).select(
+            "doc_id", F.col("passes").cast("bigint").alias("label")
+        )
+        clf.join(gop, "doc_id").write.mode("overwrite").parquet(
+            f"{part_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            calibration_from(spark.read.parquet(f"{part_dir}/batch=*")),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental DoReMi domain reweighting — bitwise equal to
     the one-shot ``plans.llm.doremi_weights`` (its SQL is the oracle).

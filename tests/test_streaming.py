@@ -922,3 +922,20 @@ def test_incremental_doremi_equals_batch(spark):
     got = {tuple(r) for r in incremental_doremi(spark, sf).collect()}
     assert got == want
     assert len(want) >= 2
+
+
+def test_incremental_calibration_equals_batch(spark):
+    """Stateless per-doc score/label partials re-binned at emission must
+    equal the one-shot reliability diagram row for row — the diagram's
+    bin means and ECE weights are corpus-global, so this pins that the
+    emission-time re-aggregate over landed rows loses nothing."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.classifier_calibration(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_calibration(spark, sf).collect()}
+    assert got == want
+    assert len(want) >= 2
