@@ -37,6 +37,11 @@ HEADLINE = [
     # round-8 addition: the heaviest non-headline op (~2.3 s at sf0.1,
     # md5-keyed cross-source gram matrix) — same new-key caveat as above
     "llm_cross_source_overlap",
+    # round-8 late addition: the composed five-stage curation pipeline —
+    # now the heaviest registered op, and the one whose regression would
+    # mean a regression in ANY of its five stages (URL dedup, gopher, LM
+    # gate, repeated spans, temperature sampling) — same new-key caveat
+    "llm_pretrain_pipeline_v2",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles
