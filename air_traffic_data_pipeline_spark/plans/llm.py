@@ -9977,6 +9977,146 @@ FROM rates
 """
 
 
+# the four shipped quality gates, in the fixed pair-table order
+FILTER_PAIRS = (
+    ("heuristic", "lm"),
+    ("heuristic", "gopher"),
+    ("heuristic", "classifier"),
+    ("lm", "gopher"),
+    ("lm", "classifier"),
+    ("gopher", "classifier"),
+)
+
+
+def filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full filter-swap decision table: pairwise 2x2 cells, observed
+    agreement, and Cohen's kappa for EVERY pair of the four shipped
+    quality gates (heuristic quality_gate predicate, LM xent gate,
+    Gopher structural rules, feature-hashing classifier) — generalizing
+    ``filter_agreement`` (one pair) into the matrix a pipeline owner
+    reads to pick a prefilter chain: high-kappa pairs are redundant
+    (run only the cheaper one), low-kappa pairs are complementary.
+
+    Determinism: all 6x4 cells are exact integer sums from ONE global
+    aggregate; po/pe/kappa is the filter_agreement dag per pair. Scale:
+    per-doc flags ride the lm/gopher/classifier plans (doc_id-keyed
+    joins); the aggregate map-side-combines to one row, then 6 rows."""
+    d = load(spark, sf_dir, "documents")
+    heur = (
+        (quality_score(F.col("text")) >= QUALITY_MIN)
+        & (F.col("n_chars") >= CHARS_MIN)
+        & (F.col("n_chars") <= CHARS_MAX)
+        & F.col("lang").isin("en", "de", "fr")
+    ).cast("long")
+    lm = lm_token_logprob(spark, sf_dir).select(
+        "doc_id", (F.col("xent") <= F.lit(XENT_MAX)).cast("long").alias("lm")
+    )
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("long").alias("gopher")
+    )
+    clf = feature_hashing(spark, sf_dir).select(
+        "doc_id", F.col("kept").cast("long").alias("classifier")
+    )
+    flags = (
+        d.select("doc_id", heur.alias("heuristic"))
+        .join(lm, "doc_id")
+        .join(gop, "doc_id")
+        .join(clf, "doc_id")
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for fa, fb in FILTER_PAIRS:
+        x, y = F.col(fa), F.col(fb)
+        aggs += [
+            F.sum(x * y).cast("bigint").alias(f"n11_{fa}_{fb}"),
+            F.sum(x * (1 - y)).cast("bigint").alias(f"n10_{fa}_{fb}"),
+            F.sum((1 - x) * y).cast("bigint").alias(f"n01_{fa}_{fb}"),
+            F.sum((1 - x) * (1 - y)).cast("bigint").alias(f"n00_{fa}_{fb}"),
+        ]
+    a = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(fa).alias("filter_a"),
+                F.lit(fb).alias("filter_b"),
+                F.col(f"n11_{fa}_{fb}").alias("n11"),
+                F.col(f"n10_{fa}_{fb}").alias("n10"),
+                F.col(f"n01_{fa}_{fb}").alias("n01"),
+                F.col(f"n00_{fa}_{fb}").alias("n00"),
+            )
+            for fa, fb in FILTER_PAIRS
+        ]
+    )
+    p = a.select("n_docs", F.explode(rows).alias("p")).select("n_docs", "p.*")
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb = (F.col("n11") + F.col("n01")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = F.when(
+        F.lit(1.0) - pe == 0, F.lit(None).cast("double")
+    ).otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return p.select(
+        "filter_a",
+        "filter_b",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("agree_rate"),
+        kappa.alias("kappa"),
+    )
+
+
+def _filter_matrix_sql() -> str:
+    cells = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    for fa, fb in FILTER_PAIRS:
+        cells += [
+            f"CAST(sum({fa} * {fb}) AS BIGINT) AS n11_{fa}_{fb}",
+            f"CAST(sum({fa} * (1 - {fb})) AS BIGINT) AS n10_{fa}_{fb}",
+            f"CAST(sum((1 - {fa}) * {fb}) AS BIGINT) AS n01_{fa}_{fb}",
+            f"CAST(sum((1 - {fa}) * (1 - {fb})) AS BIGINT) AS n00_{fa}_{fb}",
+        ]
+    legs = []
+    for fa, fb in FILTER_PAIRS:
+        po = f"(CAST(n11_{fa}_{fb} + n00_{fa}_{fb} AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        pa = f"(CAST(n11_{fa}_{fb} + n10_{fa}_{fb} AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        pb = f"(CAST(n11_{fa}_{fb} + n01_{fa}_{fb} AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        pe = f"({pa} * {pb} + ({dlit(1.0)} - {pa}) * ({dlit(1.0)} - {pb}))"
+        legs.append(
+            f"""SELECT '{fa}' AS filter_a, '{fb}' AS filter_b, n_docs,
+       n11_{fa}_{fb} AS n11, n10_{fa}_{fb} AS n10,
+       n01_{fa}_{fb} AS n01, n00_{fa}_{fb} AS n00,
+       round({po}, 6) AS agree_rate,
+       CASE WHEN {dlit(1.0)} - {pe} = 0 THEN NULL
+            ELSE round(({po} - {pe}) / ({dlit(1.0)} - {pe}), 6) END AS kappa
+FROM cells"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {_LM_TERMS_SQL},
+scores AS (
+  SELECT doc_id, round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent FROM per),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS gopher
+        FROM ({_gopher_rules_sql()}) t),
+clf AS (SELECT doc_id, CAST(kept AS BIGINT) AS classifier
+        FROM ({_FEATURE_HASH_SQL}) t),
+flags AS (
+  SELECT CASE WHEN {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
+                   AND d.n_chars BETWEEN {CHARS_MIN} AND {CHARS_MAX}
+                   AND d.lang IN ('en', 'de', 'fr')
+              THEN 1 ELSE 0 END AS heuristic,
+         CASE WHEN s.xent <= CAST({XENT_MAX} AS DOUBLE) THEN 1 ELSE 0 END AS lm,
+         g.gopher, c.classifier
+  FROM documents d
+  JOIN scores s ON d.doc_id = s.doc_id
+  JOIN gop g ON d.doc_id = g.doc_id
+  JOIN clf c ON d.doc_id = c.doc_id),
+cells AS (SELECT {', '.join(cells)} FROM flags)
+{union}
+"""
+
+
 CROSS_SOURCE_K = 13  # verbatim-span convention (GPT-3 contamination n)
 
 
@@ -10813,6 +10953,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_classifier_calibration", classifier_calibration, _calibration_sql()),
+    ("llm_filter_matrix", filter_matrix, _filter_matrix_sql()),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),

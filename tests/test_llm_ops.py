@@ -3557,3 +3557,31 @@ def test_classifier_calibration_matches_replay(spark):
     assert got == want_rows
     assert eces == {ece}
     assert len(got) >= 2
+
+
+def test_filter_matrix_consistency(spark):
+    """The pairwise decision table must (a) carry all 6 pairs of the 4
+    gates with cells summing to n_docs; (b) agree with the standalone
+    filter_agreement query on the (heuristic, lm) pair bitwise — the
+    matrix generalizes it, so any drift means the shared dag diverged;
+    (c) be symmetric in substance: kappa is pair-order-free by
+    construction (cells transpose), pinned by recomputing kappa from the
+    transposed cells."""
+    sf = "/root/testdata/sf0.001"
+    rows = {(r.filter_a, r.filter_b): r for r in llm.filter_matrix(spark, sf).collect()}
+    assert set(rows) == set(llm.FILTER_PAIRS)
+    for r in rows.values():
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n_docs
+    fa = llm.filter_agreement(spark, sf).collect()[0]
+    hl = rows[("heuristic", "lm")]
+    assert (hl.n11, hl.n10, hl.n01, hl.n00) == (
+        fa.n_both_keep, fa.n_heur_only, fa.n_lm_only, fa.n_both_drop
+    )
+    assert hl.agree_rate == fa.agree_rate and hl.kappa == fa.kappa
+    # kappa invariance under pair transposition (n10 <-> n01)
+    n = float(hl.n_docs)
+    po = (hl.n11 + hl.n00) / n
+    pa = (hl.n11 + hl.n01) / n  # transposed marginals
+    pb = (hl.n11 + hl.n10) / n
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    assert round((po - pe) / (1.0 - pe), 6) == hl.kappa
