@@ -9988,6 +9988,151 @@ FILTER_PAIRS = (
 )
 
 
+CALIB_PAIRS = (
+    ("classifier", "gopher"),
+    ("classifier", "heuristic"),
+    ("lm", "gopher"),
+    ("lm", "heuristic"),
+)
+
+
+def calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration half of the filter-swap decision table: every
+    scored filter reliability-binned against every structural gate —
+    (classifier sigmoid score | LM keep-probability sigmoid(XENT_MAX −
+    xent)) × (Gopher rules | heuristic gate), one reliability diagram +
+    ECE per pair through the SHARED ``calibration_from`` tail, keyed
+    (scorer, gate, bin). Read next to ``llm_filter_matrix``: kappa says
+    whether two gates agree; this says whether a scorer's PROBABILITIES
+    can be trusted against a gate before using it as a soft replacement.
+
+    Determinism: the LM keep-probability is one sigmoid of the 6-dp
+    xent, rounded 6 dp like the classifier score; each diagram is the
+    calibration_from dag (pinned folds). Scale: per-doc scores ride the
+    lm/classifier plans; the four diagrams are <=10-row aggregates
+    unioned."""
+    clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
+    lm = lm_token_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(XENT_MAX) - F.col("xent")))),
+            6,
+        ).alias("lm_prob"),
+    )
+    d = load(spark, sf_dir, "documents")
+    heur = (
+        (quality_score(F.col("text")) >= QUALITY_MIN)
+        & (F.col("n_chars") >= CHARS_MIN)
+        & (F.col("n_chars") <= CHARS_MAX)
+        & F.col("lang").isin("en", "de", "fr")
+    ).cast("bigint")
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("gopher")
+    )
+    j = (
+        d.select("doc_id", heur.alias("heuristic"))
+        .join(clf, "doc_id")
+        .join(lm, "doc_id")
+        .join(gop, "doc_id")
+        .select(
+            "doc_id",
+            F.col("clf_score").alias("classifier"),
+            F.col("lm_prob").alias("lm"),
+            "gopher",
+            "heuristic",
+        )
+    )
+    out = None
+    for scorer, gate in CALIB_PAIRS:
+        leg = calibration_from(
+            j.select(
+                "doc_id",
+                F.col(scorer).alias("clf_score"),
+                F.col(gate).alias("label"),
+            )
+        ).select(
+            F.lit(scorer).alias("scorer"),
+            F.lit(gate).alias("gate"),
+            "bin",
+            "n_docs",
+            "mean_score",
+            "pass_rate",
+            "gap",
+            "ece",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _calibration_matrix_sql() -> str:
+    score_expr = {
+        "classifier": "j.classifier",
+        "lm": "j.lm",
+    }
+    gate_expr = {"gopher": "j.gopher", "heuristic": "j.heuristic"}
+    ctes = []
+    legs = []
+    for i, (scorer, gate) in enumerate(CALIB_PAIRS):
+        s, g = score_expr[scorer], gate_expr[gate]
+        ctes.append(
+            f"""b{i} AS (
+  SELECT least(CAST(floor({s} * {CALIB_BINS}) AS BIGINT),
+               CAST({CALIB_BINS - 1} AS BIGINT)) AS bin,
+         j.doc_id, {s} AS clf_score, {g} AS label
+  FROM j),
+per{i} AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         round(list_reduce(list_prepend({dlit(0.0)},
+                 list(clf_score ORDER BY doc_id)), (a, x) -> a + x)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+         round(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS pass_rate
+  FROM b{i} GROUP BY bin),
+rows{i} AS (
+  SELECT bin, n_docs, mean_score, pass_rate,
+         round(abs(mean_score - pass_rate), 6) AS gap
+  FROM per{i}),
+tot{i} AS (
+  SELECT round(list_reduce(list_prepend({dlit(0.0)},
+           list(gap * CAST(n_docs AS DOUBLE)
+                / CAST((SELECT sum(n_docs) FROM rows{i}) AS DOUBLE)
+                ORDER BY bin)), (a, x) -> a + x), 6) AS ece
+  FROM rows{i})"""
+        )
+        legs.append(
+            f"""SELECT '{scorer}' AS scorer, '{gate}' AS gate,
+       bin, n_docs, mean_score, pass_rate, gap, ece
+FROM rows{i}, tot{i}"""
+        )
+    return f"""
+WITH {_LM_TERMS_SQL},
+lmp AS (
+  SELECT doc_id,
+         round({dlit(1.0)} / ({dlit(1.0)}
+               + exp(-(CAST({XENT_MAX} AS DOUBLE)
+                       - round(-lp / CAST(n_bigrams AS DOUBLE), 6)))), 6)
+           AS lm
+  FROM per),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS gopher
+        FROM ({_gopher_rules_sql()}) t),
+clf AS (SELECT doc_id, clf_score AS classifier
+        FROM ({_FEATURE_HASH_SQL}) t),
+j AS (
+  SELECT d.doc_id, c.classifier, l.lm, g.gopher,
+         CASE WHEN {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
+                   AND d.n_chars BETWEEN {CHARS_MIN} AND {CHARS_MAX}
+                   AND d.lang IN ('en', 'de', 'fr')
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS heuristic
+  FROM documents d
+  JOIN clf c ON d.doc_id = c.doc_id
+  JOIN lmp l ON d.doc_id = l.doc_id
+  JOIN gop g ON d.doc_id = g.doc_id),
+{','.join(ctes)}
+{chr(10).join(f"{leg}{chr(10)}UNION ALL" for leg in legs[:-1])}
+{legs[-1]}
+"""
+
+
 def filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full filter-swap decision table: pairwise 2x2 cells, observed
     agreement, and Cohen's kappa for EVERY pair of the four shipped
@@ -10954,6 +11099,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_classifier_calibration", classifier_calibration, _calibration_sql()),
     ("llm_filter_matrix", filter_matrix, _filter_matrix_sql()),
+    ("llm_calibration_matrix", calibration_matrix, _calibration_matrix_sql()),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
     ("llm_filter_agreement", filter_agreement, _FILTER_AGREE_SQL),
     ("llm_cross_source_overlap", cross_source_overlap, _CROSS_SOURCE_SQL),

@@ -3585,3 +3585,35 @@ def test_filter_matrix_consistency(spark):
     pb = (hl.n11 + hl.n10) / n
     pe = pa * pb + (1.0 - pa) * (1.0 - pb)
     assert round((po - pe) / (1.0 - pe), 6) == hl.kappa
+
+
+def test_calibration_matrix_consistency(spark):
+    """The calibration matrix must (a) carry all 4 (scorer, gate) pairs
+    with per-pair bin populations summing to the corpus size; (b) agree
+    bitwise with the standalone llm_classifier_calibration on the
+    (classifier, gopher) pair — the matrix generalizes it through the
+    same shared tail; (c) keep each pair's ECE equal to its n-weighted
+    gap sum."""
+    sf = "/root/testdata/sf0.001"
+    rows = llm.calibration_matrix(spark, sf).collect()
+    pairs = {(r.scorer, r.gate) for r in rows}
+    assert pairs == set(llm.CALIB_PAIRS)
+    n_docs_total = llm.load(spark, sf, "documents").count()
+    for scorer, gate in pairs:
+        leg = [r for r in rows if (r.scorer, r.gate) == (scorer, gate)]
+        assert sum(r.n_docs for r in leg) == n_docs_total, (scorer, gate)
+        ece = round(
+            sum(r.gap * float(r.n_docs) for r in sorted(leg, key=lambda r: r.bin))
+            / float(n_docs_total),
+            6,
+        )
+        assert {r.ece for r in leg} == {ece}, (scorer, gate)
+    single = {
+        r.bin: tuple(r) for r in llm.classifier_calibration(spark, sf).collect()
+    }
+    cg = {
+        r.bin: (r.bin, r.n_docs, r.mean_score, r.pass_rate, r.gap, r.ece)
+        for r in rows
+        if (r.scorer, r.gate) == ("classifier", "gopher")
+    }
+    assert cg == single
