@@ -130,7 +130,18 @@ def _load_query_hashes() -> dict[str, str]:
         return {}
 
 
+# INVARIANT: this memo assumes registered query functions are immutable for
+# the life of the process. Anything that reloads or monkeypatches a query
+# function after the first all_queries() call (importlib.reload, a test
+# simulating source drift) must call _clear_src_hash_cache() first, or
+# _changed_since_green silently compares against stale hashes (r8 ADVICE).
 _SRC_HASH_CACHE: dict[str, str | None] = {}
+
+
+def _clear_src_hash_cache() -> None:
+    """Invalidate the per-process source-hash memo — for tests/tools that
+    reload or patch query functions mid-process."""
+    _SRC_HASH_CACHE.clear()
 
 
 def _current_src_hashes() -> dict[str, str | None]:

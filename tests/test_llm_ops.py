@@ -129,6 +129,37 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert recall_multi >= recall_single, (recall_single, recall_multi)
 
 
+def test_duckdb_list_dot_product_matches_fold_bitwise():
+    """Pin the DuckDB implementation detail the whole NSW/HNSW/bitext
+    oracle family rests on: ``list_dot_product`` must be bitwise-equal to
+    the sequential ``list_reduce`` left-fold that ``cosine_sql`` renders
+    (r8 ADVICE — a DuckDB upgrade switching to SIMD/pairwise accumulation
+    would silently shift every hash in that family; this test makes the
+    version change fail loudly at the right spot). Runs the comparison on
+    every pair of REAL lake vectors from consecutive ids at sf0.001, plus
+    self-pairs (the norm leg)."""
+    import duckdb
+
+    from air_traffic_data_pipeline_spark.functions.vectors import cosine_sql
+    from air_traffic_data_pipeline_spark.plans.llm import _nsw_cos_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    fast = _nsw_cos_sql("a.v", "b.v")
+    fold = cosine_sql("a.v", "b.v")
+    bad = con.sql(
+        f"""
+        WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT count(*) FROM w a JOIN w b
+          ON b.vec_id = a.vec_id OR b.vec_id = a.vec_id + 1
+        WHERE {fast} IS DISTINCT FROM {fold}
+        """
+    ).fetchone()[0]
+    assert bad == 0, f"{bad} pairs where list_dot_product != list_reduce fold"
+
+
 def test_nsw_graph_and_recall(spark):
     """NSW graph ANN acceptance: (a) the edge list respects the degree cap
     and contains no self-loops; (b) beam-search recall@3 vs brute force is

@@ -85,8 +85,21 @@ def build_lakes(spark, base: str, root: str) -> dict[int, str]:
 
 
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # Positional grammar: [base_sf_dir] [reps] [query_name ...] — but a
+    # bare query name must not be swallowed as base_sf_dir (r8 ADVICE), so
+    # classify each leading arg: an existing directory is the base, a pure
+    # integer is reps, anything else starts the name filter.
+    argv = sys.argv[1:]
+    base = "/root/testdata/sf0.1"
+    reps = 2
+    while argv:
+        a = argv[0]
+        if os.path.isdir(a):
+            base = argv.pop(0)
+        elif a.isdigit():
+            reps = int(argv.pop(0))
+        else:
+            break
 
     from air_traffic_data_pipeline_spark.plans import domain, llm, relational
     from air_traffic_data_pipeline_spark.session import get_spark
@@ -125,7 +138,7 @@ def main() -> int:
         "llm_ann_hnsw_topk": llm.ann_hnsw_topk,
         "llm_bitext_banded": llm.bitext_banded_mining,
     }
-    only = [a for a in sys.argv[3:]]
+    only = list(argv)
     if only:
         unknown = set(only) - set(queries)
         if unknown:
