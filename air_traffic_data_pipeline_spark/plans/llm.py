@@ -8390,6 +8390,101 @@ FROM iper
 """
 
 
+KN_DISCOUNT = 0.75  # absolute discount D — exactly representable double
+
+
+def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM scoring — completes the smoothing
+    ladder next to add-k (lm_token_logprob) and Jelinek-Mercer
+    (lm_interpolated): absolute discounting with the CONTINUATION unigram
+    P_cont(w2) = N1+(.,w2) / N1+(.,.) as the back-off (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the smoother n-gram filters standardize on):
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                      + D * N1+(w1,.)/c(w1) * P_cont(w2)
+
+    Same per-doc output shape (logprob / xent / ppl) so all three
+    smoothers are directly comparable per document. Because the corpus is
+    scored under its own LM every bigram was observed (c >= 1 > D), so
+    the max() never zeroes and every term's log argument is positive.
+
+    Determinism: all five count tables (bigram, context, left/right
+    continuation-type counts, total bigram types) are exact integers;
+    each term is a fixed dag of doubles evaluated identically in both
+    engines; the per-doc sum is the position-sorted sequential fold.
+    Scale: the continuation tables are DISTINCT-BIGRAM-sized aggregates
+    of the bg table (strictly smaller than the corpus), so this adds two
+    cheap word-keyed joins to the lm_token_logprob posture — Zipf-hot
+    heads split by AQE skew handling, 1-row type total broadcast."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lm_bigram_pairs(d)
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # continuation-type tables: counts of DISTINCT bigram types, not tokens
+    n1f = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1b = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = bg.agg(F.count(F.lit(1)).alias("tt"))
+    disc = (
+        F.greatest(
+            F.col("c_bg").cast("double") - F.lit(KN_DISCOUNT), F.lit(0.0)
+        )
+        / F.col("c_ctx").cast("double")
+    )
+    lam = (
+        F.lit(KN_DISCOUNT) * F.col("n1f").cast("double")
+    ) / F.col("c_ctx").cast("double")
+    pcont = F.col("n1b").cast("double") / F.col("tt").cast("double")
+    terms = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(n1f, ["w1"])
+        .join(n1b, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", "pos", F.log(disc + lam * pcont).alias("term"))
+    )
+    per = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("ts"),
+    )
+    lp = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["term"])
+    xent = F.round(-lp / F.col("n_bigrams").cast("double"), 6)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(lp, 6).alias("logprob"),
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+_LM_KN_SQL = f"""
+WITH {_LM_BASE_SQL},
+n1f AS (SELECT w1, count(*) AS n1f FROM bg GROUP BY 1),
+n1b AS (SELECT w2, count(*) AS n1b FROM bg GROUP BY 1),
+tt AS (SELECT count(*) AS tt FROM bg),
+kterms AS (
+  SELECT p.doc_id, p.pos,
+         ln(greatest(CAST(b.c_bg AS DOUBLE) - {dlit(KN_DISCOUNT)},
+                     {dlit(0.0)}) / CAST(c.c_ctx AS DOUBLE)
+            + (({dlit(KN_DISCOUNT)} * CAST(f.n1f AS DOUBLE))
+               / CAST(c.c_ctx AS DOUBLE))
+              * (CAST(k.n1b AS DOUBLE) / CAST(t.tt AS DOUBLE))) AS term
+  FROM bgp p JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+             JOIN ctx c ON p.w1 = c.w1
+             JOIN n1f f ON p.w1 = f.w1
+             JOIN n1b k ON p.w2 = k.w2
+             CROSS JOIN tt t),
+kper AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list(term ORDER BY pos), (acc, x) -> acc + x) AS lp
+  FROM kterms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
+       round(-lp / CAST(n_bigrams AS DOUBLE), 6) AS xent,
+       round(exp(round(-lp / CAST(n_bigrams AS DOUBLE), 6)), 6) AS ppl
+FROM kper
+"""
+
+
 def lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of perplexity filtering (the decontam_filter shape):
     drop docs whose bigram cross-entropy under the corpus LM exceeds
@@ -9888,6 +9983,190 @@ FROM rows_, tot
 """
 
 
+TEMP_GRID = [0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0]  # exact doubles
+P_CLAMP = 0.000001  # logit clamp for 6-dp scores that round to 0/1
+
+
+def temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled recalibration of the learned quality classifier
+    (Guo et al. 2017 — the one-parameter fix the calibration_matrix
+    diagnoses motivate): recover the logit z = ln(p/(1-p)) from the
+    classifier score, sweep a fixed temperature grid, and report per
+    temperature the corpus NLL and the post-scaling ECE against the
+    Gopher structural gate, flagging the NLL-argmin temperature. The
+    T=1.0 row IS the uncalibrated baseline, so the table reads as the
+    before/after evidence in one artifact.
+
+    Determinism — the integer micro-unit discipline (stronger than the
+    ordered-fold pattern the other calibration queries use, and the
+    better 100 TB posture): every per-doc double (scaled probability,
+    per-doc NLL, per-bin gap) is quantized to fixed-point BIGINT units
+    (1e6 for probabilities/gaps, 1e9 for NLL) via round/floor of
+    IDENTICAL doubles in both engines, then summed as exact integers —
+    order-free, partial-aggregate-mergeable, no collect_list state.
+    (At ~1e9+ docs the 1e9-unit NLL sum approaches int64 range; the
+    scale path widens to DECIMAL(38,0) sums, same plan.)
+
+    Scale: rides the feature_hashing + gopher plans (one token shuffle
+    each); the grid explode multiplies per-DOC rows (not tokens) by
+    |grid|=8 before a map-side-combining (t, bin) aggregate — everything
+    after is an 80-row reduction."""
+    clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("label")
+    )
+    return temperature_fit_from(clf.join(gop, "doc_id"))
+
+
+def temperature_fit_from(j: DataFrame) -> DataFrame:
+    """The grid-sweep/NLL/ECE tail over a (doc_id, clf_score, label)
+    frame — partials + finish, shared with the streaming mirror."""
+    return temperature_finish(temperature_bin_partials(j))
+
+
+def temperature_bin_partials(j: DataFrame) -> DataFrame:
+    """Per-(t, bin) INTEGER partial sums of a (doc_id, clf_score, label)
+    frame — the incremental-MV state the streaming mirror checkpoints per
+    micro-batch: exact BIGINT sums merge across batches by addition, so
+    emission is a sum-of-sums, never a per-doc replay (the payoff of the
+    micro-unit discipline over the ordered-fold pattern)."""
+    one = F.lit(1.0)
+    pc = F.greatest(F.least(F.col("clf_score"), F.lit(1.0 - P_CLAMP)), F.lit(P_CLAMP))
+    e = j.select(
+        "doc_id",
+        "label",
+        F.log(pc / (one - pc)).alias("z"),
+    ).select(
+        "doc_id",
+        "label",
+        "z",
+        F.explode(F.array(*[F.lit(t) for t in TEMP_GRID])).alias("t"),
+    )
+    pt = F.round(one / (one + F.exp(-(F.col("z") / F.col("t")))), 6)
+    ptc = F.greatest(F.least(F.col("pt"), F.lit(1.0 - P_CLAMP)), F.lit(P_CLAMP))
+    y = F.col("label").cast("double")
+    nll = -(y * F.log(ptc) + (one - y) * F.log(one - ptc))
+    scored = e.select("label", "t", pt.alias("pt")).select(
+        "label",
+        "t",
+        "pt",
+        nll.alias("nll"),
+        F.least(
+            F.floor(F.col("pt") * F.lit(CALIB_BINS)).cast("bigint"),
+            F.lit(CALIB_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    return scored.groupBy("t", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.round(F.col("pt") * F.lit(1000000.0), 0).cast("bigint")).alias("p_u"),
+        F.sum("label").cast("bigint").alias("n_pass"),
+        F.sum(F.floor(F.col("nll") * F.lit(1000000000.0)).cast("bigint")).alias(
+            "nll_u"
+        ),
+    )
+
+
+def temperature_finish(per: DataFrame) -> DataFrame:
+    """The <=80-row reduction from merged (t, bin) integer partials to the
+    (t, nll, ece, is_best) grid table."""
+    msc = F.col("p_u").cast("double") / (F.col("n_docs").cast("double") * F.lit(1000000.0))
+    emp = F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+    gap_u = F.round(F.round(F.abs(msc - emp), 6) * F.lit(1000000.0), 0).cast("bigint")
+    bins = per.select(
+        "t", "n_docs", "nll_u", (gap_u * F.col("n_docs")).alias("gap_w_u")
+    )
+    byt = bins.groupBy("t").agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("nll_u").cast("bigint").alias("nll_su"),
+        F.sum("gap_w_u").cast("bigint").alias("gap_su"),
+    )
+    nll_t = F.round(
+        F.col("nll_su").cast("double")
+        / (F.col("n_total").cast("double") * F.lit(1000000000.0)),
+        6,
+    )
+    ece_t = F.round(
+        F.col("gap_su").cast("double")
+        / (F.col("n_total").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    rows = byt.select("t", nll_t.alias("nll"), ece_t.alias("ece"))
+    best = rows.agg(F.min(F.struct("nll", "t")).alias("b")).select(
+        F.col("b.nll").alias("b_nll"), F.col("b.t").alias("b_t")
+    )
+    return rows.crossJoin(F.broadcast(best)).select(
+        "t",
+        "nll",
+        "ece",
+        ((F.col("nll") == F.col("b_nll")) & (F.col("t") == F.col("b_t")))
+        .cast("int")
+        .alias("is_best"),
+    )
+
+
+def _temperature_sql() -> str:
+    grid = ", ".join(dlit(t) for t in TEMP_GRID)
+    pmin, pmax = dlit(P_CLAMP), dlit(1.0 - P_CLAMP)
+    one = dlit(1.0)
+    return f"""
+WITH clf AS (SELECT doc_id, clf_score FROM ({_FEATURE_HASH_SQL}) x),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS label
+        FROM ({_gopher_rules_sql()}) x),
+j AS (
+  SELECT c.doc_id, g.label,
+         ln(greatest(least(c.clf_score, {pmax}), {pmin})
+            / ({one} - greatest(least(c.clf_score, {pmax}), {pmin}))) AS z
+  FROM clf c JOIN gop g ON c.doc_id = g.doc_id),
+grid AS (SELECT unnest([{grid}]) AS t),
+sc0 AS (
+  SELECT j.label, grid.t,
+         round({one} / ({one} + exp(-(j.z / grid.t))), 6) AS pt
+  FROM j CROSS JOIN grid),
+scored AS (
+  SELECT label, t, pt,
+         -(CAST(label AS DOUBLE)
+             * ln(greatest(least(pt, {pmax}), {pmin}))
+           + ({one} - CAST(label AS DOUBLE))
+             * ln({one} - greatest(least(pt, {pmax}), {pmin}))) AS nll,
+         least(CAST(floor(pt * {CALIB_BINS}) AS BIGINT),
+               CAST({CALIB_BINS - 1} AS BIGINT)) AS bin
+  FROM sc0),
+per AS (
+  SELECT t, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(pt * {dlit(1000000.0)}, 0) AS BIGINT)) AS BIGINT)
+           AS p_u,
+         CAST(sum(label) AS BIGINT) AS n_pass,
+         CAST(sum(CAST(floor(nll * {dlit(1000000000.0)}) AS BIGINT)) AS BIGINT)
+           AS nll_u
+  FROM scored GROUP BY t, bin),
+bins AS (
+  SELECT t, n_docs, nll_u,
+         CAST(round(round(abs(CAST(p_u AS DOUBLE)
+                               / (CAST(n_docs AS DOUBLE) * {dlit(1000000.0)})
+                             - CAST(n_pass AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE)), 6)
+                    * {dlit(1000000.0)}, 0) AS BIGINT) * n_docs AS gap_w_u
+  FROM per),
+byt AS (
+  SELECT t, CAST(sum(n_docs) AS BIGINT) AS n_total,
+         CAST(sum(nll_u) AS BIGINT) AS nll_su,
+         CAST(sum(gap_w_u) AS BIGINT) AS gap_su
+  FROM bins GROUP BY t),
+rows_ AS (
+  SELECT t,
+         round(CAST(nll_su AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * {dlit(1000000000.0)}), 6) AS nll,
+         round(CAST(gap_su AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * {dlit(1000000.0)}), 6) AS ece
+  FROM byt),
+best AS (SELECT nll AS b_nll, t AS b_t FROM rows_ ORDER BY nll, t LIMIT 1)
+SELECT r.t, r.nll, r.ece,
+       CAST(CASE WHEN r.nll = b.b_nll AND r.t = b.b_t THEN 1 ELSE 0 END
+            AS INTEGER) AS is_best
+FROM rows_ r CROSS JOIN best b
+"""
+
+
 def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-agreement audit: the 2x2 confusion between the cheap
     heuristic quality gate (quality_gate's predicate) and the model-based
@@ -11098,6 +11377,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_curriculum_deciles", curriculum_deciles, _curriculum_sql()),
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_classifier_calibration", classifier_calibration, _calibration_sql()),
+    ("llm_temperature_scaling", temperature_scaling, _temperature_sql()),
     ("llm_filter_matrix", filter_matrix, _filter_matrix_sql()),
     ("llm_calibration_matrix", calibration_matrix, _calibration_matrix_sql()),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),
@@ -11109,6 +11389,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_bitext_margin_mining", bitext_margin_mining, _bitext_sql()),
     ("llm_bitext_banded", bitext_banded_mining, _bitext_banded_sql()),
     ("llm_lm_interpolated", lm_interpolated, _LM_INTERP_SQL),
+    ("llm_lm_kneser_ney", lm_kneser_ney, _LM_KN_SQL),
     ("llm_readability_score", readability_score, _READABILITY_SQL),
     ("llm_hubness_audit", hubness_audit, _HUBNESS_SQL),
     ("llm_label_separability", label_separability, _SEPARABILITY_SQL),

@@ -524,6 +524,21 @@ def _calibration_oracle_sql() -> str:
     return _calibration_sql()
 
 
+def stream_incremental_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_temperature
+
+    return incremental_temperature(spark, sf_dir)
+
+
+def _temperature_oracle_sql() -> str:
+    """Per-batch (t, bin) INTEGER partials merged by exact addition at
+    emission must reproduce the one-shot grid fit bitwise — the batch
+    query's SQL IS the oracle."""
+    from .llm import _temperature_sql
+
+    return _temperature_sql()
+
+
 def stream_incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_doremi
 
@@ -584,6 +599,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pipeline_v2", stream_incremental_pipeline_v2, _pipeline_v2_oracle_sql()),
     ("stream_incremental_doremi", stream_incremental_doremi, _doremi_oracle_sql()),
     ("stream_incremental_calibration", stream_incremental_calibration, _calibration_oracle_sql()),
+    ("stream_incremental_temperature", stream_incremental_temperature, _temperature_oracle_sql()),
 ]
 
 if _tws_available():

@@ -916,6 +916,75 @@ def incremental_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental temperature-scaling fit — bitwise equal to
+    the one-shot ``plans.llm.temperature_scaling`` (its SQL is the
+    oracle).
+
+    The strongest member of the incremental-MV family: because the batch
+    query's per-doc doubles are quantized to fixed-point BIGINT units
+    BEFORE aggregation, each micro-batch lands <=80 (t, bin) integer
+    partial rows (not per-doc rows) and emission is a sum-of-sums merge
+    through the shared ``temperature_finish`` tail — exact integer
+    addition is order-free, so arrival order provably cannot move the
+    fitted temperature. State is O(|grid| x bins) per batch, independent
+    of corpus size; raw text is read once."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import (
+        feature_hashing_from,
+        gopher_rules_from,
+        temperature_bin_partials,
+        temperature_finish,
+    )
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_temp_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        clf = feature_hashing_from(batch_df).select("doc_id", "clf_score")
+        gop = gopher_rules_from(batch_df).select(
+            "doc_id", F.col("passes").cast("bigint").alias("label")
+        )
+        temperature_bin_partials(clf.join(gop, "doc_id")).write.mode(
+            "overwrite"
+        ).parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("t", "bin")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("p_u").cast("bigint").alias("p_u"),
+                F.sum("n_pass").cast("bigint").alias("n_pass"),
+                F.sum("nll_u").cast("bigint").alias("nll_u"),
+            )
+        )
+        out, _ = tracked_local_checkpoint(
+            temperature_finish(merged), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental DoReMi domain reweighting — bitwise equal to
     the one-shot ``plans.llm.doremi_weights`` (its SQL is the oracle).

@@ -597,6 +597,26 @@ def test_round8_late_ops_empty_inputs(spark, tmp_path):
         assert col in out.columns, fn.__name__
 
 
+def test_round9_ops_empty_inputs(spark, tmp_path):
+    """Round-9 ops over an empty documents lake: typed empty frames, no
+    crash — the KN smoother must survive empty count tables and the
+    temperature fit an empty (score, label) join."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    for fn, col in (
+        (llm.lm_kneser_ney, "ppl"),
+        (llm.temperature_scaling, "is_best"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__
+
+
 def test_doremi_heldout_single_parity_corpus(spark, tmp_path):
     """A single-parity lake (all-even doc_ids, e.g. downstream of an
     id-keyed dedup) has no reference half: held-out scoring is undefined

@@ -3234,6 +3234,75 @@ def test_lm_interpolated_matches_reference(spark):
     assert rank_a != rank_i, "smoothers should disagree somewhere"
 
 
+def test_lm_kneser_ney_matches_reference(spark):
+    """Kneser-Ney LM trained and applied driver-side in pure Python (same
+    count tables — bigram, context, left/right continuation TYPE counts,
+    total bigram types — same term dag, same position-ordered fold);
+    per-doc logprob/xent/ppl must match bitwise, and the continuation
+    back-off must rank at least one doc differently from Jelinek-Mercer
+    (P_cont weights bigram TYPE diversity, not token frequency)."""
+    import math
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    bg: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    per_doc: dict[int, list[tuple]] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        bgs = list(zip(["<s>"] + ws, ws + ["</s>"]))
+        per_doc[r.doc_id] = bgs
+        for a, b in bgs:
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for a, b in bg:
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    tt = len(bg)
+    d = llm.KN_DISCOUNT
+    got = {r.doc_id: r for r in llm.lm_kneser_ney(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for did, bgs in per_doc.items():
+        lp = 0.0
+        for a, b in bgs:
+            lp += math.log(
+                max(bg[(a, b)] - d, 0.0) / ctx[a]
+                + ((d * n1f[a]) / ctx[a]) * (n1b[b] / tt)
+            )
+        g = got[did]
+        assert g.n_bigrams == len(bgs)
+        assert g.logprob == round(lp, 6)
+        xent = round(-lp / len(bgs), 6)
+        assert g.xent == xent
+        assert g.ppl == round(math.exp(xent), 6)
+    interp = {r.doc_id: r.xent for r in llm.lm_interpolated(spark, SF).collect()}
+    kn = {d_: got[d_].xent for d_ in got}
+    rank_i = sorted(interp, key=lambda d_: (interp[d_], d_))
+    rank_k = sorted(kn, key=lambda d_: (kn[d_], d_))
+    assert rank_i != rank_k, "smoothers should disagree somewhere"
+
+
+def test_temperature_scaling_grid_fit(spark):
+    """Temperature-fit acceptance: one row per grid temperature, exactly
+    one argmin flag, and the flagged NLL is the grid minimum (tie -> the
+    smaller T). The T=1.0 row is the uncalibrated baseline, so its ECE
+    must sit within quantization distance (the 1e-6-unit floor/round) of
+    classifier_calibration's corpus ECE — same scores, same bins, only
+    the summation discipline differs (integer micro-units vs ordered
+    fold)."""
+    rows = sorted(llm.temperature_scaling(spark, SF).collect(), key=lambda r: r.t)
+    assert [r.t for r in rows] == llm.TEMP_GRID
+    assert sum(r.is_best for r in rows) == 1
+    best = next(r for r in rows if r.is_best)
+    assert best.nll == min(r.nll for r in rows)
+    ties = [r.t for r in rows if r.nll == best.nll]
+    assert best.t == min(ties)
+    base = next(r for r in rows if r.t == 1.0)
+    calib = llm.classifier_calibration(spark, SF).collect()
+    assert abs(base.ece - calib[0].ece) < 1e-4, (base.ece, calib[0].ece)
+
+
 def test_readability_score_matches_reference(spark):
     """Flesch components replayed in pure Python (same regexes, same
     fixed double dag); all three bands must appear across the fixture OR

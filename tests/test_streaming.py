@@ -924,6 +924,25 @@ def test_incremental_doremi_equals_batch(spark):
     assert len(want) >= 2
 
 
+def test_incremental_temperature_equals_batch(spark):
+    """The integer-partial mirror: per-batch (t, bin) BIGINT partial sums
+    merged by addition at emission must equal the one-shot temperature
+    fit row for row — the partials are distributive, so this pins that
+    quantize-then-aggregate loses nothing vs the batch plan, and the grid
+    table must carry exactly one is_best row."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_temperature,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.temperature_scaling(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_temperature(spark, sf).collect()}
+    assert got == want
+    assert len(want) == len(llm.TEMP_GRID)
+    assert sum(r[3] for r in want) == 1, "exactly one is_best row"
+
+
 def test_incremental_calibration_equals_batch(spark):
     """Stateless per-doc score/label partials re-binned at emission must
     equal the one-shot reliability diagram row for row — the diagram's
