@@ -1,0 +1,74 @@
+"""Hop-bounded weighted shortest paths (Bellman-Ford rounds) over an edge
+list — the min-plus sibling of operators/components.py's min-label
+propagation.
+
+The training-data / analytics use case: proximity queries over derived
+similarity or co-occurrence graphs ("how tightly is this part/document
+coupled to these anchors?") where the edge weight is a distance-like score
+(1/co-purchase-count, 1 - similarity, ...). K rounds of relaxation compute
+the exact minimum-cost path using at most K edges — the hop bound is a
+FEATURE at scale: it caps both the number of shuffles and the blast radius
+of hub nodes, and for locality queries K is small and known up front.
+
+Execution model: each round is one shuffle join (frontier x edges, keyed by
+node) + one min-aggregation — the Pregel message pattern as DataFrames, all
+executor-side; the driver loop only orchestrates the fixed K rounds.
+``localCheckpoint`` truncates per-round lineage so round k does not replay
+rounds 1..k-1. Min over doubles is an exact comparison (no accumulation
+ordering), and every candidate path cost is the same left-to-right double
+sum in any engine, so results are bitwise-deterministic — which is what
+lets the DuckDB oracle unroll the identical K rounds as chained CTEs.
+
+At 100 TB: the edge table shuffles once per round keyed by src; hub-node
+skew splits under AQE; the frontier stays (|sources| x |reached nodes|)-
+sized. For diameter-unbounded reachability use connected_components; for
+weighted all-pairs, don't — bound your sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+) -> DataFrame:
+    """(source, node, dist) for every node reachable from each row of
+    ``sources`` within ``rounds`` edges; dist = exact min-cost such path.
+
+    ``edges`` must already be directed the way you mean it (symmetrize
+    before calling for undirected graphs)."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w")
+    )
+    dist, dist_ids = tracked_local_checkpoint(
+        sources.select(
+            F.col(source_col).alias("source"),
+            F.col(source_col).alias("node"),
+            F.lit(0.0).alias("dist"),
+        ),
+        register=True,
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["e_src"])
+            .select("source", F.col("e_dst").alias("node"), (F.col("dist") + F.col("e_w")).alias("dist"))
+        )
+        new_dist, new_ids = tracked_local_checkpoint(
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist")),
+            register=True,
+        )
+        release(spark, dist_ids)
+        dist, dist_ids = new_dist, new_ids
+    return dist

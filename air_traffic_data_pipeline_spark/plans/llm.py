@@ -1407,6 +1407,91 @@ FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+SEM_CONTAM_TAU = 0.3  # same similarity bar as EMB_NEAR_DUP_THRESHOLD
+
+
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/eval contamination — the embedding-space member of
+    the contamination family (substring_contamination catches verbatim
+    leaks, contamination_check catches shingle overlap; this catches
+    paraphrased/translated eval items): corpus vectors whose cosine to
+    any benchmark vector (vec_id < CONTAM_BENCH_MAX_ID stands in for the
+    eval suite) reaches SEM_CONTAM_TAU, with hit count and max
+    similarity per flagged item.
+
+    Scale path: multi-probe LSH banding — the BENCHMARK side (small by
+    contract) explodes 1+N_PLANES probe buckets; the corpus side lands
+    each vector in exactly one bucket, so the join is one equi-join on
+    bucket and corpus embeddings never fan out. Exact brute force
+    (corpus x bench broadcast) is affordable only while |corpus| is; at
+    1e9+ vectors banding is the plan, and its recall at a given tau is
+    exactly what the existing recall-eval harness measures. A (b, c)
+    pair meets through at most one bucket on the corpus side, so hit
+    counts need no dedup. Determinism: both engines band identically, so
+    the candidate set — not just the scores — matches bitwise; max over
+    rounded cosines and integer counts follow."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    v = to_double(F.col("embedding"))
+    wb = (
+        e.select("vec_id", v.alias("vec"))
+        .withColumn("bucket", lsh_bucket(F.col("vec"), EMB_DIM))
+        .withColumn("nv", norm(F.col("vec")))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    b = wb.filter(F.col("vec_id") < CONTAM_BENCH_MAX_ID).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nv").alias("nb"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = wb.filter(F.col("vec_id") >= CONTAM_BENCH_MAX_ID).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nv").alias("nc"),
+        "bucket",
+    )
+    cs = F.round(
+        dot(F.col("b_vec"), F.col("c_vec")) / (F.col("nb") * F.col("nc")), 6
+    )
+    hits = (
+        b.join(c, "bucket")
+        .select("b_id", "c_id", cs.alias("cs"))
+        .filter(F.col("cs") >= F.lit(SEM_CONTAM_TAU))
+    )
+    return hits.groupBy(F.col("c_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+        F.max("cs").alias("max_sim"),
+    )
+
+
+def _sem_contam_sql() -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)]
+    )
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings),
+b AS (
+  SELECT vec_id AS b_id, vec AS b_vec, unnest([{probes}]) AS bucket
+  FROM wb WHERE vec_id < {CONTAM_BENCH_MAX_ID}),
+c AS (
+  SELECT vec_id AS c_id, vec AS c_vec, bucket
+  FROM wb WHERE vec_id >= {CONTAM_BENCH_MAX_ID}),
+hits AS (
+  SELECT b_id, c_id, round({cosine_sql('b_vec', 'c_vec')}, 6) AS cs
+  FROM b JOIN c USING (bucket)
+  WHERE round({cosine_sql('b_vec', 'c_vec')}, 6) >= {dlit(SEM_CONTAM_TAU)})
+SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       max(cs) AS max_sim
+FROM hits GROUP BY c_id
+"""
+
+
 # --- decontamination filter (round 4) ---------------------------------------
 
 DECONTAM_MAX_FRAC = 0.5
@@ -11268,6 +11353,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_multimodal_frames", multimodal_frames, _mm_frames_sql()),
     ("llm_lsh_topk_multiprobe", lsh_topk_multiprobe, _multiprobe_sql()),
     ("llm_contamination_check", contamination_check, _CONTAM_SQL),
+    ("llm_semantic_contamination", semantic_contamination, _sem_contam_sql()),
     ("llm_stratified_sample", stratified_sample, _stratified_sample_sql()),
     ("llm_tf_idf", tf_idf, _TFIDF_SQL),
     ("llm_quality_gate", quality_gate, _QUALITY_GATE_SQL),

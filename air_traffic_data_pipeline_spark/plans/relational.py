@@ -1967,6 +1967,94 @@ SELECT s_suppkey, depth, root FROM chain
 """
 
 
+SP_ROUNDS = 4  # hop bound K: exact min-cost paths using <= K edges
+SP_N_SOURCES = 3
+
+
+def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (Bellman-Ford, K=4 rounds) over
+    the part CO-PURCHASE graph: parts appearing in the same order are
+    connected with distance 1/co-purchase-count (strong affinity = short
+    edge); from the 3 smallest part nodes, report the exact minimum-cost
+    path using at most K edges to every reachable part. The weighted
+    iterative-graph sibling of the min-label connected components — same
+    Pregel-as-DataFrames execution (operators/graph.py::bellman_ford),
+    value-checked against the identical K rounds unrolled as chained CTEs.
+
+    Determinism: edge weights are rounds of identical doubles; every
+    candidate path cost is the same left-to-right double sum in both
+    engines and min is an exact comparison, so the fixpoint matches
+    bitwise. Scale: per-order pair expansion is quadratic only in ORDER
+    size (TPC-H caps at 7 lineitems); each round is ONE shuffle join
+    keyed by node + one min-agg with map-side combine, hub skew AQE-split;
+    the hop bound caps total shuffles at K regardless of graph size."""
+    from ..operators.graph import bellman_ford
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.round(F.lit(1.0) / F.col("cnt").cast("double"), 6)
+    e = pr.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), w.alias("w")
+    ).unionByName(
+        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), w.alias("w"))
+    )
+    srcs = (
+        e.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(SP_N_SOURCES)
+        .select(F.col("src").alias("node"))
+    )
+    out = bellman_ford(e, srcs, SP_ROUNDS)
+    return out.select("source", "node", F.round("dist", 6).alias("dist"))
+
+
+def _shortest_path_sql() -> str:
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS (
+  SELECT pa AS src, pb AS dst,
+         round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS w FROM pr
+  UNION ALL
+  SELECT pb, pa, round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) FROM pr),
+s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT {n}),
+d0 AS (SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist FROM s)""".format(
+            n=SP_N_SOURCES
+        )
+    ]
+    for k in range(1, SP_ROUNDS + 1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT source, node, min(dist) AS dist FROM (
+    SELECT source, node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT d.source, e.dst AS node, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN e ON d.node = e.src
+  ) u GROUP BY 1, 2)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, node, round(dist, 6) AS dist FROM d{SP_ROUNDS}"
+    )
+
+
 def python_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function) applied laterally: each part row expands
     into (p_size % 3 + 1) derived rows. The row-generating escape hatch when
@@ -5194,6 +5282,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_SQL),
     ("rel_scd2_order_status", scd2_order_status, SCD2_SQL),
     ("rel_recursive_cte_hierarchy", recursive_cte_hierarchy, RECURSIVE_CTE_SQL),
+    ("rel_shortest_path", shortest_path, _shortest_path_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -1163,3 +1163,140 @@ def test_fifo_interval_formulation_property():
         assert interval == want
 
     check()
+
+
+def test_shortest_path_matches_reference(spark):
+    """Bellman-Ford replayed driver-side in pure Python (same edge
+    weights, same K relaxation rounds, same double sums); the (source,
+    node, dist) table must match bitwise, every source must reach itself
+    at distance 0, and K rounds must genuinely use the hop bound (some
+    node's K-hop distance improves on its 1-hop distance, i.e. multi-edge
+    paths won)."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SP_N_SOURCES,
+        SP_ROUNDS,
+        shortest_path,
+    )
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict[int, list[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    cnt: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                if a == b:
+                    continue
+                k = (min(a, b), max(a, b))
+                cnt[k] = cnt.get(k, 0) + 1
+    adj: dict[int, list[tuple]] = {}
+    for (a, b), c in cnt.items():
+        w = round(1.0 / c, 6)
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    sources = sorted(adj)[:SP_N_SOURCES]
+    want = {}
+    for s in sources:
+        dist = {s: 0.0}
+        for _ in range(SP_ROUNDS):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < nxt.get(v, float("inf")):
+                        nxt[v] = nd
+            dist = nxt
+        for n, d in dist.items():
+            want[(s, n)] = round(d, 6)
+    got = {
+        (r.source, r.node): r.dist for r in shortest_path(spark, SF).collect()
+    }
+    assert got == want
+    for s in sources:
+        assert got[(s, s)] == 0.0
+    multi_hop_won = any(
+        (s, n) in got and n not in dict(adj.get(s, [])) and s != n
+        for (s, n) in got
+    )
+    assert multi_hop_won, "hop bound never exercised beyond 1 edge"
+
+
+def test_semantic_contamination_subset_of_exact(spark):
+    """Banded semantic contamination vs exact brute force at the same tau:
+    every flagged corpus item must be a true positive with the EXACT max
+    similarity (banding can lower recall, never precision), and the
+    banded pass must catch a usable share of the exact positives at this
+    tau/probe setting."""
+    from air_traffic_data_pipeline_spark.functions.vectors import cosine, to_double
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        CONTAM_BENCH_MAX_ID,
+        SEM_CONTAM_TAU,
+        semantic_contamination,
+    )
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    b = e.filter(F.col("vec_id") < CONTAM_BENCH_MAX_ID).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    c = e.filter(F.col("vec_id") >= CONTAM_BENCH_MAX_ID).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(b))
+        .select("c_id", "b_id", F.round(cosine(F.col("bv"), F.col("cv")), 6).alias("cs"))
+        .filter(F.col("cs") >= SEM_CONTAM_TAU)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("cs").alias("mx"))
+        .collect()
+    )
+    exact_by_id = {r.c_id: (r.n, r.mx) for r in exact}
+    got = {r.vec_id: (r.n_bench_hits, r.max_sim)
+           for r in semantic_contamination(spark, SF).collect()}
+    assert got, "banded pass found nothing at this tau"
+    for vid, (n, mx) in got.items():
+        assert vid in exact_by_id, vid
+        en, emx = exact_by_id[vid]
+        assert n <= en and mx <= emx, (vid, n, en, mx, emx)
+    # at the synthetic lake's tau (0.3 — barely above random for these
+    # vectors) hyperplane LSH is intentionally weak; real contamination
+    # (paraphrases, cos >= ~0.9) is the planted-fixture test below
+    recall = len(got) / len(exact_by_id)
+    assert recall >= 0.1, (recall, len(got), len(exact_by_id))
+
+
+def test_semantic_contamination_recall_on_planted_dups(spark, tmp_path):
+    """The realistic contamination regime: corpus items that ARE
+    near-copies of benchmark items (deterministically perturbed bench
+    vectors, cosine ~0.99). Multi-probe banding must recover a solid
+    majority of the planted contaminants — this is the recall claim the
+    operator actually makes at production taus, where hyperplane bits
+    agree with high probability."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        CONTAM_BENCH_MAX_ID,
+        semantic_contamination,
+    )
+
+    sf = str(tmp_path)
+    base = load(spark, SF, "embeddings").filter(
+        F.col("vec_id") < CONTAM_BENCH_MAX_ID
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x * F.lit(0.97)
+                + F.lit(0.01) * F.sin((F.col("vec_id") + 1).cast("double") * (i + 1).cast("double"))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    base.unionByName(planted).write.parquet(f"{sf}/embeddings.parquet")
+    got = {r.vec_id for r in semantic_contamination(spark, sf).collect()}
+    planted_ids = {r.vec_id for r in planted.select("vec_id").collect()}
+    found = got & planted_ids
+    recall = len(found) / len(planted_ids)
+    assert recall >= 0.6, (recall, len(found), len(planted_ids))

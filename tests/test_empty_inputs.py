@@ -598,19 +598,23 @@ def test_round8_late_ops_empty_inputs(spark, tmp_path):
 
 
 def test_round9_ops_empty_inputs(spark, tmp_path):
-    """Round-9 ops over an empty documents lake: typed empty frames, no
-    crash — the KN smoother must survive empty count tables and the
-    temperature fit an empty (score, label) join."""
-    from air_traffic_data_pipeline_spark.plans import llm
+    """Round-9 ops over empty lakes: typed empty frames, no crash — the
+    KN smoother must survive empty count tables, the temperature fit an
+    empty (score, label) join, Bellman-Ford an empty edge list, and the
+    semantic contamination check an empty embedding table."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
     from air_traffic_data_pipeline_spark.plans.tables import load
 
     sf = str(tmp_path)
-    load(spark, SF, "documents").filter(F.lit(False)).write.parquet(
-        f"{sf}/documents.parquet"
-    )
+    for t in ("documents", "embeddings", "lineitem"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
     for fn, col in (
         (llm.lm_kneser_ney, "ppl"),
         (llm.temperature_scaling, "is_best"),
+        (llm.semantic_contamination, "max_sim"),
+        (relational.shortest_path, "dist"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
