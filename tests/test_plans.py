@@ -842,3 +842,54 @@ def test_doremi_rides_lm_plan_jvm_side(spark):
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 ops keep their promised physical shapes:
+
+    - temperature_scaling: pure Catalyst (no Python evaluator), NO
+      collect_list state anywhere — the integer micro-unit sums replace
+      ordered-fold lists, so the aggregate is partial/mergeable — and no
+      cartesian contact.
+    - lm_kneser_ney: the continuation tables join hash-style on the word
+      keys (SMJ/ShuffledHash/BroadcastHash), never a cartesian; the only
+      per-doc state is the position-sorted fold the whole LM family uses.
+    - semantic_contamination: corpus contact is the bucket equi-join —
+      no cartesian, no broadcast nested loop (the bench side explodes
+      probes, the corpus side never fans out).
+    """
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    p = plan(llm.temperature_scaling(spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    # the fit TAIL must carry no list state (the upstream hashing-trick
+    # featurizer legitimately builds its per-doc vector via collect_list)
+    j = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id").cast("double") / 10.0 + 0.05).alias("clf_score"),
+        (F.col("id") % 2).cast("bigint").alias("label"),
+    )
+    p_tail = plan(llm.temperature_fit_from(j), "simple")
+    assert "collect_list" not in p_tail, "micro-unit sums must replace list folds"
+    assert "BatchEvalPython" not in p_tail
+
+    p = plan(llm.lm_kneser_ney(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    p = plan(llm.semantic_contamination(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_shortest_path_rounds_are_joins_not_cartesian(spark):
+    """Each Bellman-Ford round must be a node-keyed equi-join + a partial
+    min-aggregate — never a cartesian and never Python — and the round
+    count is the constant SP_ROUNDS (the hop bound caps shuffles by
+    construction; lineage is cut per round, so the final frame's plan is
+    the LAST round over a checkpointed input, which is exactly what keeps
+    round k from replaying rounds 1..k-1)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+
+    p = plan(relational.shortest_path(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p

@@ -137,6 +137,15 @@ def main() -> int:
         # with replicas, candidate volume is the thing to watch
         "llm_ann_hnsw_topk": llm.ann_hnsw_topk,
         "llm_bitext_banded": llm.bitext_banded_mining,
+        # round-9 additions: Bellman-Ford under lot densification (replica
+        # orders reuse the SAME part pool, so co-purchase counts and edge
+        # multiplicity grow while the node set stays fixed — per-round
+        # relax volume is frontier x degree, the thing to watch), and the
+        # banded contamination check under identical replicas (bench side
+        # FIXED, corpus buckets scale with replicas — candidates must grow
+        # linearly, never bench x corpus)
+        "rel_shortest_path": relational.shortest_path,
+        "llm_semantic_contamination": llm.semantic_contamination,
     }
     only = list(argv)
     if only:
