@@ -5824,6 +5824,160 @@ FROM stats WHERE n_words > 0
 """
 
 
+HEAPS_CKPTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law diagnostic — the vocabulary GROWTH companion to the
+    Zipf frequency fit and the coverage curve: V(N) = K * N^beta fitted by
+    log-log OLS over HEAPS_CKPTS corpus prefixes (checkpoints at fixed
+    doc_id boundaries max_id*i/10, the scale-safe choice: rank-based
+    deciles would need a global order statistic). beta ~0.4-0.6 for
+    natural text; beta near 0 flags template/duplicate-dominated crawls
+    (vocabulary stops growing), beta near 1 flags noise/ids (every token
+    new) — read next to zipf_slope before sizing a tokenizer.
+
+    One row per non-degenerate checkpoint (ckpt, n_tokens, vocab) plus
+    the constant fitted columns (beta, k_coef). Determinism: prefix token
+    counts and vocab sizes are EXACT integer conditional aggregates (a
+    word is in prefix i iff its min doc_id <= boundary_i); ln runs on
+    integer-valued doubles; the four OLS sums fold over the <=10
+    checkpoints in ckpt order. Scale: the first-occurrence table is ONE
+    vocabulary-sized map-side-combining min-aggregate; both conditional
+    aggregates explode rows x10 (a constant) before combining map-side;
+    no global window, no order statistic, no per-doc state."""
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("ws"),
+    )
+    docs = d.select("doc_id", F.size("ws").cast("bigint").alias("n_tok"))
+    bdf = (
+        docs.agg(F.max("doc_id").alias("mx"))
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, HEAPS_CKPTS + 1)])
+            ).alias("ckpt"),
+            "mx",
+        )
+        .select(
+            F.col("ckpt").cast("bigint").alias("ckpt"),
+            F.expr(f"(mx * ckpt) div {HEAPS_CKPTS}").alias("bnd"),
+        )
+    )
+    nn = (
+        docs.crossJoin(F.broadcast(bdf))
+        .groupBy("ckpt")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("bnd"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    first = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vv = (
+        first.crossJoin(F.broadcast(bdf))
+        .groupBy("ckpt")
+        .agg(
+            F.sum(F.when(F.col("fd") <= F.col("bnd"), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("vocab")
+        )
+    )
+    ck = (
+        nn.join(vv, "ckpt")
+        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            "ckpt",
+            "n_tokens",
+            "vocab",
+            F.log(F.col("n_tokens").cast("double")).alias("lx"),
+            F.log(F.col("vocab").cast("double")).alias("ly"),
+        )
+    )
+    # <=10 rows, but its lineage is the whole two-aggregate pipeline and
+    # BOTH the fit and the output rows consume it — materialize once
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    ck, _ = tracked_local_checkpoint(ck, register=True)
+    arr = ck.agg(
+        F.array_sort(F.collect_list(F.struct("ckpt", "lx", "ly"))).alias("ts"),
+        F.count(F.lit(1)).alias("p"),
+    ).filter(F.col("p") > 1)
+    fold = lambda expr: F.aggregate("ts", F.lit(0.0), expr)  # noqa: E731
+    sx = fold(lambda a, s: a + s.getField("lx"))
+    sy = fold(lambda a, s: a + s.getField("ly"))
+    sxx = fold(lambda a, s: a + s.getField("lx") * s.getField("lx"))
+    sxy = fold(lambda a, s: a + s.getField("lx") * s.getField("ly"))
+    n = F.col("p").cast("double")
+    stats = arr.select(
+        "p", sx.alias("sx"), sy.alias("sy"), sxx.alias("sxx"), sxy.alias("sxy")
+    )
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = stats.select(
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / n), 6).alias("k_coef"),
+    )
+    return ck.crossJoin(F.broadcast(fit)).select(
+        "ckpt", "n_tokens", "vocab", "beta", "k_coef"
+    )
+
+
+_HEAPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+  FROM documents),
+docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+b AS (
+  SELECT CAST(ckpt AS BIGINT) AS ckpt, (mx.mx * ckpt) // {HEAPS_CKPTS} AS bnd
+  FROM (SELECT unnest(generate_series(1, {HEAPS_CKPTS})) AS ckpt) g,
+       (SELECT max(doc_id) AS mx FROM docs) mx),
+nn AS (
+  SELECT b.ckpt,
+         CAST(sum(CASE WHEN docs.doc_id <= b.bnd THEN n_tok ELSE 0 END)
+              AS BIGINT) AS n_tokens
+  FROM docs, b GROUP BY b.ckpt),
+first_ AS (
+  SELECT w, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d) t GROUP BY w),
+vv AS (
+  SELECT b.ckpt,
+         CAST(sum(CASE WHEN fd <= b.bnd THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+  FROM first_, b GROUP BY b.ckpt),
+ck AS (
+  SELECT nn.ckpt, n_tokens, vocab,
+         ln(CAST(n_tokens AS DOUBLE)) AS lx, ln(CAST(vocab AS DOUBLE)) AS ly
+  FROM nn JOIN vv USING (ckpt)
+  WHERE n_tokens > 0 AND vocab > 0),
+stats AS (
+  SELECT count(*) AS p,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx ORDER BY ckpt)),
+                     (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend({dlit(0.0)}, list(ly ORDER BY ckpt)),
+                     (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx * lx ORDER BY ckpt)),
+                     (a, x) -> a + x) AS sxx,
+         list_reduce(list_prepend({dlit(0.0)}, list(lx * ly ORDER BY ckpt)),
+                     (a, x) -> a + x) AS sxy
+  FROM ck),
+fit AS (
+  SELECT round((CAST(p AS DOUBLE) * sxy - sx * sy)
+               / (CAST(p AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+         round(exp((sy - (CAST(p AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(p AS DOUBLE) * sxx - sx * sx) * sx)
+                   / CAST(p AS DOUBLE)), 6) AS k_coef
+  FROM stats WHERE p > 1)
+SELECT ck.ckpt, ck.n_tokens, ck.vocab, fit.beta, fit.k_coef
+FROM ck CROSS JOIN fit
+"""
+
+
 # --- vocabulary coverage curve (round 5) -------------------------------------
 
 COVERAGE_CHECKPOINTS = (50, 100, 200, 500, 1000)
@@ -11419,6 +11573,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ndcg_eval", ndcg_eval, _NDCG_SQL),
     ("llm_matryoshka_recall", matryoshka_recall, _MRL_SQL),
     ("llm_zipf_fit", zipf_fit, _ZIPF_SQL),
+    ("llm_heaps_law_fit", heaps_law_fit, _HEAPS_SQL),
     ("llm_domain_quota_sample", domain_quota_sample, _QUOTA_SQL),
     ("llm_pca_power_iter", pca_power_iter, _PCA_SQL),
     ("llm_audio_frame_energy", audio_frame_energy, _audio_energy_sql()),

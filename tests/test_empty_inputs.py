@@ -614,6 +614,7 @@ def test_round9_ops_empty_inputs(spark, tmp_path):
         (llm.lm_kneser_ney, "ppl"),
         (llm.temperature_scaling, "is_best"),
         (llm.semantic_contamination, "max_sim"),
+        (llm.heaps_law_fit, "beta"),
         (relational.shortest_path, "dist"),
     ):
         out = fn(spark, sf)

@@ -3717,3 +3717,62 @@ def test_calibration_matrix_consistency(spark):
         if (r.scorer, r.gate) == ("classifier", "gopher")
     }
     assert cg == single
+
+
+def test_heaps_law_fit_matches_reference_and_flags_growth(spark, tmp_path):
+    """Heaps fit replayed driver-side in pure Python (same boundaries,
+    same integer prefix counts, same OLS fold); on the synthetic lake the
+    31-word template vocabulary saturates at the first checkpoint, so the
+    fit must raise the template flag (beta == 0). On a fixture whose docs
+    keep introducing fresh words, beta must be solidly positive — the
+    growth regime the law describes."""
+    import math
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    n_tok = {r.doc_id: len([w for w in r.text.split(" ") if w]) for r in docs}
+    first: dict[str, int] = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        for w in r.text.split(" "):
+            if w and w not in first:
+                first[w] = r.doc_id
+    mx = max(n_tok)
+    pts = []
+    for i in range(1, llm.HEAPS_CKPTS + 1):
+        bnd = (mx * i) // llm.HEAPS_CKPTS
+        nn = sum(v for d, v in n_tok.items() if d <= bnd)
+        vv = sum(1 for fd in first.values() if fd <= bnd)
+        if nn > 0 and vv > 0:
+            pts.append((i, nn, vv))
+    xs = [math.log(float(n)) for _, n, _ in pts]
+    ys = [math.log(float(v)) for _, _, v in pts]
+    p = float(len(pts))
+    sx, sy = 0.0, 0.0
+    for x in xs:
+        sx += x
+    for y in ys:
+        sy += y
+    sxx, sxy = 0.0, 0.0
+    for x in xs:
+        sxx += x * x
+    for x, y in zip(xs, ys):
+        sxy += x * y
+    beta = round((p * sxy - sx * sy) / (p * sxx - sx * sx), 6)
+    k = round(math.exp((sy - (p * sxy - sx * sy) / (p * sxx - sx * sx) * sx) / p), 6)
+    got = {r.ckpt: r for r in llm.heaps_law_fit(spark, SF).collect()}
+    assert set(got) == {i for i, _, _ in pts}
+    for i, nn, vv in pts:
+        g = got[i]
+        assert (g.n_tokens, g.vocab, g.beta, g.k_coef) == (nn, vv, beta, k), i
+    assert beta == 0.0, "template lake must flag saturated vocabulary"
+
+    # growth fixture: doc i contributes i+1 fresh words
+    sf = str(tmp_path)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(i + 1)), "en", "src0", 10)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    grown = llm.heaps_law_fit(spark, sf).collect()
+    assert grown and grown[0].beta > 0.5, grown[0].beta
