@@ -1943,6 +1943,75 @@ FROM t GROUP BY 1, 2
 """
 
 
+SHARD_TOKENS = 2048  # global shard size target (tokens)
+SHARD_BUCKET = 64  # doc_ids per prefix-sum bucket
+
+
+def global_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL corpus sharding for export: every document gets the shard
+    its FIRST token lands in under a corpus-wide running token count in
+    doc_id order — the step that writes a curated corpus out as
+    fixed-size training shards with deterministic, stable boundaries
+    (sequence_packing is the per-SOURCE variant; this one needs a global
+    ordered prefix sum, which naively is THE driver-melting single-task
+    window). One row per shard: doc count, token count, first/last doc.
+
+    Scale pattern — the two-level distributed prefix sum: (1) bucket docs
+    by contiguous doc_id ranges (doc_id div SHARD_BUCKET) and aggregate
+    per-bucket token sums map-side; (2) cumulate ONLY the bucket sums —
+    a window over the buckets table, |docs|/SHARD_BUCKET rows, broadcast
+    back; (3) a per-BUCKET window adds local prefixes. No window ever
+    sees the full doc table in one partition. At 1e12 docs the bucket
+    table itself gets the same treatment recursively (three levels);
+    everything is exact int64 arithmetic, so the result is
+    order-deterministic by construction."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", word_count(F.col("text")).alias("n_tok")
+    )
+    b = d.withColumn("bucket", F.expr(f"doc_id div {SHARD_BUCKET}"))
+    bsum = b.groupBy("bucket").agg(F.sum("n_tok").cast("bigint").alias("btok"))
+    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wloc = (
+        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = (
+        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
+    ).cast("bigint")
+    assigned = (
+        b.join(F.broadcast(offs), "bucket")
+        .withColumn("before", before)
+        .withColumn("shard_id", F.expr(f"before div {SHARD_TOKENS}"))
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SHARD_PLAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM d)
+SELECT CAST(before // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
 SPLIT_TRAIN, SPLIT_VAL = 90, 95  # of 100
 
 
@@ -11516,6 +11585,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_zscore_groups", zscore_groups, _ZSCORE_SQL),
     ("llm_doc_chunking", doc_chunking, _CHUNKING_SQL),
     ("llm_sequence_packing", sequence_packing, _PACKING_SQL),
+    ("llm_global_shard_plan", global_shard_plan, _SHARD_PLAN_SQL),
     ("llm_train_val_split", train_val_split, _SPLIT_SQL),
     ("llm_pii_scrub", pii_scrub, _PII_SQL),
     ("llm_heavy_hitters", heavy_hitters, _HEAVY_HITTERS_SQL),

@@ -615,6 +615,7 @@ def test_round9_ops_empty_inputs(spark, tmp_path):
         (llm.temperature_scaling, "is_best"),
         (llm.semantic_contamination, "max_sim"),
         (llm.heaps_law_fit, "beta"),
+        (llm.global_shard_plan, "tokens"),
         (relational.shortest_path, "dist"),
     ):
         out = fn(spark, sf)

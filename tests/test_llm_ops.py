@@ -3776,3 +3776,36 @@ def test_heaps_law_fit_matches_reference_and_flags_growth(spark, tmp_path):
     ).write.parquet(f"{sf}/documents.parquet")
     grown = llm.heaps_law_fit(spark, sf).collect()
     assert grown and grown[0].beta > 0.5, grown[0].beta
+
+
+def test_global_shard_plan_matches_reference(spark):
+    """Two-level prefix-sum sharding replayed driver-side in pure Python
+    (one global running token count in doc_id order); the shard table
+    must match exactly, shard token counts must re-sum to the corpus
+    total, and consecutive shards' doc ranges must be contiguous and
+    ordered (boundaries are deterministic by construction)."""
+    docs = sorted(
+        load(spark, SF, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    want: dict[int, list] = {}
+    before = 0
+    for r in docs:
+        n = len(r.text.split(" "))
+        sid = before // llm.SHARD_TOKENS
+        e = want.setdefault(sid, [0, 0, r.doc_id, r.doc_id])
+        e[0] += 1
+        e[1] += n
+        e[3] = r.doc_id
+        before += n
+    got = {
+        r.shard_id: [r.n_docs, r.tokens, r.first_doc, r.last_doc]
+        for r in llm.global_shard_plan(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == sum(
+        len(r.text.split(" ")) for r in docs
+    )
+    ordered = [got[k] for k in sorted(got)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a[3] < b[2], "shard doc ranges must be disjoint and ordered"

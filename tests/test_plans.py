@@ -893,3 +893,24 @@ def test_shortest_path_rounds_are_joins_not_cartesian(spark):
 
     p = plan(relational.shortest_path(spark, SF), "simple")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_global_shard_plan_never_windows_full_doc_table(spark):
+    """The two-level prefix-sum's scale claim: the window that touches
+    DOC rows is partitioned by bucket; the only unpartitioned (global
+    ORDER BY) window runs over the bucket-sums table. A windowspec that
+    orders by doc_id without a bucket partition would be the
+    driver-melting single-task global window — assert none exists."""
+    import re
+
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    p = plan(llm.global_shard_plan(spark, SF), "formatted")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, "expected window specs in plan"
+    assert any("bucket" in s and "doc_id" in s for s in specs), (
+        "doc-row window must be partitioned by bucket"
+    )
+    assert not any("doc_id" in s and "bucket" not in s for s in specs), (
+        "global doc-ordered window found — the anti-pattern this plan avoids"
+    )
