@@ -5920,6 +5920,20 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("ws"),
     )
     docs = d.select("doc_id", F.size("ws").cast("bigint").alias("n_tok"))
+    first = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    return heaps_fit_from(docs, first)
+
+
+def heaps_fit_from(docs: DataFrame, first: DataFrame) -> DataFrame:
+    """The checkpoint/OLS tail over a (doc_id, n_tok) frame and a
+    (w, fd) first-occurrence table — shared with the streaming mirror:
+    token counts union across batches (doc ids are unique) and first
+    occurrences merge by MIN (associative/commutative), so the fit is
+    arrival-order-free by construction."""
     bdf = (
         docs.agg(F.max("doc_id").alias("mx"))
         .select(
@@ -5941,11 +5955,6 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_tokens")
         )
-    )
-    first = (
-        d.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.min("doc_id").alias("fd"))
     )
     vv = (
         first.crossJoin(F.broadcast(bdf))
@@ -8725,7 +8734,15 @@ def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap word-keyed joins to the lm_token_logprob posture — Zipf-hot
     heads split by AQE skew handling, 1-row type total broadcast."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = lm_bigram_pairs(d)
+    return lm_kn_from_pairs(lm_bigram_pairs(d))
+
+
+def lm_kn_from_pairs(pairs: DataFrame) -> DataFrame:
+    """KN scoring over a positional bigram stream — shared with the
+    streaming mirror: all five count tables are integer aggregates of the
+    stream (sums of partials merge exactly) and the per-doc fold is
+    position-sorted, so the score is identical however the stream was
+    sliced into batches (the lm_logprob_from_pairs discipline)."""
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
     # continuation-type tables: counts of DISTINCT bigram types, not tokens

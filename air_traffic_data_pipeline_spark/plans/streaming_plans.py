@@ -524,6 +524,36 @@ def _calibration_oracle_sql() -> str:
     return _calibration_sql()
 
 
+def stream_incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_kneser_ney
+
+    return incremental_kneser_ney(spark, sf_dir)
+
+
+def _kneser_ney_oracle_sql() -> str:
+    """The merged bigram stream re-scored through the shared KN kernel
+    must reproduce the one-shot scores bitwise — the batch query's SQL IS
+    the oracle."""
+    from .llm import _LM_KN_SQL
+
+    return _LM_KN_SQL
+
+
+def stream_incremental_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_heaps
+
+    return incremental_heaps(spark, sf_dir)
+
+
+def _heaps_oracle_sql() -> str:
+    """Unioned per-doc token partials + MIN-merged first occurrences
+    through the shared fit tail must reproduce the one-shot fit bitwise —
+    the batch query's SQL IS the oracle."""
+    from .llm import _HEAPS_SQL
+
+    return _HEAPS_SQL
+
+
 def stream_incremental_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_temperature
 
@@ -600,6 +630,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_doremi", stream_incremental_doremi, _doremi_oracle_sql()),
     ("stream_incremental_calibration", stream_incremental_calibration, _calibration_oracle_sql()),
     ("stream_incremental_temperature", stream_incremental_temperature, _temperature_oracle_sql()),
+    ("stream_incremental_kneser_ney", stream_incremental_kneser_ney, _kneser_ney_oracle_sql()),
+    ("stream_incremental_heaps", stream_incremental_heaps, _heaps_oracle_sql()),
 ]
 
 if _tws_available():

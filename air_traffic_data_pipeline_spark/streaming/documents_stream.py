@@ -916,6 +916,120 @@ def incremental_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Kneser-Ney LM scoring — bitwise equal to the
+    one-shot ``plans.llm.lm_kneser_ney`` (its SQL is the oracle).
+
+    The corpus-global-LM case (the doremi posture): each micro-batch
+    lands its positional bigram stream (tokenize once; raw text never
+    re-read); because ALL FIVE KN count tables — bigram, context, the two
+    continuation-TYPE tables, total bigram types — are integer aggregates
+    of the merged stream, per-doc scores are only final when the stream
+    drains, so emission re-aggregates and scores through the shared
+    ``lm_kn_from_pairs`` kernel; every fold inside it is position-pinned,
+    so arrival order cannot move a perplexity."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import lm_bigram_pairs, lm_kn_from_pairs
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_kn_{_uuid.uuid4().hex[:8]}"
+    pairs_dir = f"{base}/pairs"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        lm_bigram_pairs(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(f"{pairs_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            lm_kn_from_pairs(spark.read.parquet(f"{pairs_dir}/batch=*")),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Heaps'-law fit — bitwise equal to the
+    one-shot ``plans.llm.heaps_law_fit`` (its SQL is the oracle).
+
+    Each micro-batch lands two partial families: per-doc (doc_id, n_tok)
+    token counts (doc ids are unique, so the merge is plain union) and a
+    per-batch (w, min doc_id) first-occurrence table — MIN is
+    associative/commutative, so merging batch minima by MIN equals the
+    corpus minimum under ANY arrival order. Emission pushes the merged
+    partials through the shared ``heaps_fit_from`` tail (boundaries come
+    from the merged max doc_id, so checkpoints are final only when the
+    stream drains — the corpus-global posture). Raw text is tokenized
+    once; state is doc-count + vocabulary sized, never re-read."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import heaps_fit_from
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_heaps_{_uuid.uuid4().hex[:8]}"
+    docs_dir = f"{base}/docs"
+    first_dir = f"{base}/first"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("ws"),
+        )
+        b.select("doc_id", F.size("ws").cast("bigint").alias("n_tok")).write.mode(
+            "overwrite"
+        ).parquet(f"{docs_dir}/batch={epoch_id}")
+        b.select("doc_id", F.explode("ws").alias("w")).groupBy("w").agg(
+            F.min("doc_id").alias("fd")
+        ).write.mode("overwrite").parquet(f"{first_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        docs = spark.read.parquet(f"{docs_dir}/batch=*")
+        first = (
+            spark.read.parquet(f"{first_dir}/batch=*")
+            .groupBy("w")
+            .agg(F.min("fd").alias("fd"))
+        )
+        out, _ = tracked_local_checkpoint(
+            heaps_fit_from(docs, first), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental temperature-scaling fit — bitwise equal to
     the one-shot ``plans.llm.temperature_scaling`` (its SQL is the

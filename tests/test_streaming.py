@@ -924,6 +924,40 @@ def test_incremental_doremi_equals_batch(spark):
     assert len(want) >= 2
 
 
+def test_incremental_kneser_ney_equals_batch(spark):
+    """The corpus-global KN mirror: the merged landed bigram stream
+    re-scored through the shared lm_kn_from_pairs kernel must equal the
+    one-shot scores row for row — all five KN count tables (incl. the two
+    continuation-TYPE tables) are integer aggregates of the stream, so
+    this pins that slicing the stream loses nothing."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_kneser_ney,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.lm_kneser_ney(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_kneser_ney(spark, sf).collect()}
+    assert got == want and want
+
+
+def test_incremental_heaps_equals_batch(spark):
+    """The Heaps mirror: unioned per-doc token partials + MIN-merged
+    per-batch first occurrences through the shared fit tail must equal
+    the one-shot fit row for row — MIN is associative/commutative, so
+    batch minima merged by MIN equal the corpus minimum under any
+    arrival order."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_heaps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in llm.heaps_law_fit(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_heaps(spark, sf).collect()}
+    assert got == want and want
+
+
 def test_incremental_temperature_equals_batch(spark):
     """The integer-partial mirror: per-batch (t, bin) BIGINT partial sums
     merged by addition at emission must equal the one-shot temperature
