@@ -1378,6 +1378,154 @@ FROM orders GROUP BY 1
 """
 
 
+QS_BINS = 512  # equi-width histogram resolution
+QS_PCTS = (25, 50, 75, 90, 99)  # integer percents -> exact rational targets
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate global quantiles via the two-pass equi-width histogram
+    sketch — the MERGEABLE scale path next to percentiles_exact (whose
+    exact selection needs a per-group sort): pass 1 takes (min, max, n),
+    pass 2 builds QS_BINS integer bin counts (map-side combining — bin
+    partials merge by addition, the sketch property), and each requested
+    percentile interpolates inside the first bin whose cumulative count
+    reaches the EXACT integer rank ceil(n*p/100) (computed as
+    (n*p + 99) div 100 — no float ceil). One row per percentile with the
+    estimate, the exact interpolated percentile, and the guarantee
+    boolean |est - exact| <= one bin width — the banded-accuracy
+    treatment the HLL sketches established, so accuracy itself is
+    value-checked.
+
+    Determinism: bins from floor() on identical doubles; ranks and
+    cumulative counts exact integers; the winning bin is a lexicographic
+    struct MIN; the estimate is a fixed double dag. The cumulative sum
+    windows over the <=QS_BINS-row bin table, never the data (the
+    two-level discipline). Streaming variant would freeze [lo, hi] like
+    semdedup's frozen quantizer — bin partials then merge across batches
+    by plain addition."""
+    x = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    mm = x.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.round(F.percentile("x", p / 100.0), 4).alias(f"ex{p}")
+            for p in QS_PCTS
+        ],
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
+    binned = (
+        x.crossJoin(F.broadcast(mm.select("lo", "hi")))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / w).cast("bigint"),
+                F.lit(QS_BINS - 1).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = W.orderBy("bin")
+    bins = binned.select(
+        "bin",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).cast("bigint").alias("cumb"),
+    )
+    targets = mm.select(
+        "lo",
+        "hi",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("bigint").alias("q_pct"),
+                        F.col(f"ex{p}").alias("exact_q"),
+                    )
+                    for p in QS_PCTS
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.col("t.q_pct").alias("q_pct"),
+        F.col("t.exact_q").alias("exact_q"),
+        F.expr(f"(n * t.q_pct + 99) div 100").alias("rank"),
+    )
+    hit = (
+        targets.join(F.broadcast(bins), F.col("cumb") + F.col("c") >= F.col("rank"))
+        .groupBy("q_pct", "lo", "hi", "n", "exact_q", "rank")
+        .agg(F.min(F.struct("bin", "cumb", "c")).alias("b"))
+    )
+    wexpr = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
+    est = F.col("lo") + wexpr * (
+        F.col("b.bin").cast("double")
+        + (F.col("rank") - F.col("b.cumb")).cast("double")
+        / F.col("b.c").cast("double")
+    )
+    return hit.select(
+        "q_pct",
+        "rank",
+        F.round(est, 4).alias("est_q"),
+        "exact_q",
+        (F.abs(F.round(est, 4) - F.col("exact_q")) <= wexpr)
+        .cast("int")
+        .alias("within_one_bin"),
+    )
+
+
+def _quantile_sketch_sql() -> str:
+    ex_cols = ", ".join(
+        f"round(quantile_cont(x, CAST({p} AS DOUBLE) / CAST(100.0 AS DOUBLE)), 4) AS ex{p}"
+        for p in QS_PCTS
+    )
+    t_structs = ", ".join(
+        f"struct_pack(q_pct := CAST({p} AS BIGINT), exact_q := ex{p})"
+        for p in QS_PCTS
+    )
+    return f"""
+WITH xs AS (SELECT o_totalprice AS x FROM orders),
+mm AS (
+  SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n, {ex_cols}
+  FROM xs),
+binned AS (
+  SELECT least(CAST(floor((x - lo) / ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE)))
+                    AS BIGINT),
+               CAST({QS_BINS - 1} AS BIGINT)) AS bin
+  FROM xs, mm),
+bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+bins AS (
+  SELECT bin, c,
+         CAST(sum(c) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+              AS BIGINT) AS cumb
+  FROM bc),
+targets AS (
+  SELECT lo, hi, n, t.q_pct AS q_pct, t.exact_q AS exact_q,
+         (n * t.q_pct + 99) // 100 AS rank
+  FROM mm, LATERAL (SELECT unnest([{t_structs}]) AS t) u),
+hit AS (
+  SELECT q_pct, lo, hi, n, exact_q, rank,
+         min(struct_pack(bin := bin, cumb := cumb, c := c)) AS b
+  FROM targets JOIN bins ON cumb + c >= rank
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT q_pct, CAST(rank AS BIGINT) AS rank,
+       round(lo + ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE))
+                  * (CAST(b.bin AS DOUBLE)
+                     + CAST(rank - b.cumb AS DOUBLE) / CAST(b.c AS DOUBLE)),
+             4) AS est_q,
+       exact_q,
+       CAST(CASE WHEN abs(round(lo + ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE))
+                  * (CAST(b.bin AS DOUBLE)
+                     + CAST(rank - b.cumb AS DOUBLE) / CAST(b.c AS DOUBLE)),
+             4) - exact_q) <= (hi - lo) / CAST({QS_BINS}.0 AS DOUBLE)
+            THEN 1 ELSE 0 END AS INTEGER) AS within_one_bin
+FROM hit
+"""
+
+
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: build a map from arrays, access/lookup/
     size/keys; map values are projected to scalars or JSON so the driver
@@ -5240,6 +5388,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_from_json_struct", from_json_struct, FROM_JSON_SQL),
     ("rel_range_bucket_join", range_bucket_join, RANGE_BUCKET_SQL),
     ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
+    ("rel_quantile_sketch", quantile_sketch, _quantile_sketch_sql()),
     ("rel_map_funcs", map_funcs, MAP_SQL),
     ("rel_higher_order", higher_order_funcs, HOF_SQL),
     ("rel_q4_priority_exists", q4_priority_exists, Q4_SQL),

@@ -1300,3 +1300,53 @@ def test_semantic_contamination_recall_on_planted_dups(spark, tmp_path):
     found = got & planted_ids
     recall = len(found) / len(planted_ids)
     assert recall >= 0.6, (recall, len(found), len(planted_ids))
+
+
+def test_quantile_sketch_matches_reference(spark):
+    """Histogram quantile sketch replayed driver-side in pure Python (same
+    two passes, same bin width, same integer ranks, same interpolation);
+    every row must match bitwise and every estimate must sit within one
+    bin width of the exact percentile (the guarantee column must be 1
+    across the board — equi-width histograms cannot miss by more than a
+    bin on the value axis)."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        QS_BINS,
+        QS_PCTS,
+        quantile_sketch,
+    )
+
+    xs = sorted(
+        r.o_totalprice for r in load(spark, SF, "orders").select("o_totalprice").collect()
+    )
+    lo, hi, n = min(xs), max(xs), len(xs)
+    w = (hi - lo) / float(QS_BINS)
+    counts: dict[int, int] = {}
+    for x in xs:
+        b = min(int(math.floor((x - lo) / w)), QS_BINS - 1)
+        counts[b] = counts.get(b, 0) + 1
+    want = {}
+    for p in QS_PCTS:
+        rank = (n * p + 99) // 100
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= rank:
+                est = lo + w * (b + (rank - cum) / counts[b])
+                break
+            cum += counts[b]
+        q = p / 100.0
+        pos = (n - 1) * q
+        f = int(math.floor(pos))
+        frac = pos - f
+        exact = xs[f] + (xs[f + 1] - xs[f]) * frac if f + 1 < n else xs[f]
+        want[p] = (rank, round(est, 4), round(exact, 4))
+    got = {
+        r.q_pct: (r.rank, r.est_q, r.exact_q, r.within_one_bin)
+        for r in quantile_sketch(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for p, (rank, est, exact) in want.items():
+        g = got[p]
+        assert g[:3] == (rank, est, exact), (p, g, (rank, est, exact))
+        assert g[3] == 1, p

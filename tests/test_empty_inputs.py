@@ -606,7 +606,7 @@ def test_round9_ops_empty_inputs(spark, tmp_path):
     from air_traffic_data_pipeline_spark.plans.tables import load
 
     sf = str(tmp_path)
-    for t in ("documents", "embeddings", "lineitem"):
+    for t in ("documents", "embeddings", "lineitem", "orders"):
         load(spark, SF, t).filter(F.lit(False)).write.parquet(
             f"{sf}/{t}.parquet"
         )
@@ -617,6 +617,7 @@ def test_round9_ops_empty_inputs(spark, tmp_path):
         (llm.heaps_law_fit, "beta"),
         (llm.global_shard_plan, "tokens"),
         (relational.shortest_path, "dist"),
+        (relational.quantile_sketch, "within_one_bin"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
