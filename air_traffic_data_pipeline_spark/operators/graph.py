@@ -68,8 +68,11 @@ def bellman_ford(
         register=True,
     )
     for _ in range(rounds):
+        # the frontier is (|sources| x |reached nodes|)-sized — broadcast it
+        # so the (usually much larger) edge table never shuffles; drop the
+        # hint if sources x nodes outgrows executor memory
         relaxed = (
-            dist.join(e, dist["node"] == e["e_src"])
+            F.broadcast(dist).join(e, dist["node"] == e["e_src"])
             .select("source", F.col("e_dst").alias("node"), (F.col("dist") + F.col("e_w")).alias("dist"))
         )
         new_dist, new_ids = tracked_local_checkpoint(
