@@ -146,6 +146,12 @@ def main() -> int:
         # linearly, never bench x corpus)
         "rel_shortest_path": relational.shortest_path,
         "llm_semantic_contamination": llm.semantic_contamination,
+        # replica docs carry suffixed tokens, so the vocabulary (and the
+        # first-occurrence table — the thing to watch) grows with replicas
+        "llm_heaps_law_fit": llm.heaps_law_fit,
+        # rides the feature-hashing token shuffle; the x8 grid explode is
+        # per-DOC and pre-aggregates map-side — expect linear
+        "llm_temperature_scaling": llm.temperature_scaling,
     }
     only = list(argv)
     if only:
