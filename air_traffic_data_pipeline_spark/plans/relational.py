@@ -1404,13 +1404,32 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup's frozen quantizer — bin partials then merge across batches
     by plain addition."""
     x = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    est = histogram_quantile_estimates(x, QS_PCTS)
+    wexpr = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
+    return est.select(
+        "q_pct",
+        "rank",
+        "est_q",
+        "exact_q",
+        (F.abs(F.col("est_q") - F.col("exact_q")) <= wexpr)
+        .cast("int")
+        .alias("within_one_bin"),
+    )
+
+
+def histogram_quantile_estimates(x: DataFrame, pcts) -> DataFrame:
+    """The histogram-sketch quantile kernel over a single-column frame
+    ``x(x)``: one row per requested integer percent with the sketch
+    estimate, the exact interpolated percentile, the integer rank, and
+    the [lo, hi] range (for bin-width guarantees downstream). Shared by
+    the standalone sketch query and the RFM boundary-tradeoff audit."""
     mm = x.agg(
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[
             F.round(F.percentile("x", p / 100.0), 4).alias(f"ex{p}")
-            for p in QS_PCTS
+            for p in pcts
         ],
     )
     w = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
@@ -1442,7 +1461,7 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(p).cast("bigint").alias("q_pct"),
                         F.col(f"ex{p}").alias("exact_q"),
                     )
-                    for p in QS_PCTS
+                    for p in pcts
                 ]
             )
         ).alias("t"),
@@ -1452,7 +1471,7 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("t.q_pct").alias("q_pct"),
         F.col("t.exact_q").alias("exact_q"),
-        F.expr(f"(n * t.q_pct + 99) div 100").alias("rank"),
+        F.expr("(n * t.q_pct + 99) div 100").alias("rank"),
     )
     hit = (
         targets.join(F.broadcast(bins), F.col("cumb") + F.col("c") >= F.col("rank"))
@@ -1466,28 +1485,22 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("b.c").cast("double")
     )
     return hit.select(
-        "q_pct",
-        "rank",
-        F.round(est, 4).alias("est_q"),
-        "exact_q",
-        (F.abs(F.round(est, 4) - F.col("exact_q")) <= wexpr)
-        .cast("int")
-        .alias("within_one_bin"),
+        "q_pct", "rank", F.round(est, 4).alias("est_q"), "exact_q", "lo", "hi"
     )
 
 
-def _quantile_sketch_sql() -> str:
+def _hist_q_ctes(pcts) -> str:
+    """CTE chain (expects ``xs(x)``) ending in ``hq(q_pct, rank, est_q,
+    exact_q, lo, hi)`` — the SQL mirror of histogram_quantile_estimates."""
     ex_cols = ", ".join(
         f"round(quantile_cont(x, CAST({p} AS DOUBLE) / CAST(100.0 AS DOUBLE)), 4) AS ex{p}"
-        for p in QS_PCTS
+        for p in pcts
     )
     t_structs = ", ".join(
         f"struct_pack(q_pct := CAST({p} AS BIGINT), exact_q := ex{p})"
-        for p in QS_PCTS
+        for p in pcts
     )
-    return f"""
-WITH xs AS (SELECT o_totalprice AS x FROM orders),
-mm AS (
+    return f"""mm AS (
   SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n, {ex_cols}
   FROM xs),
 binned AS (
@@ -1510,19 +1523,133 @@ hit AS (
   SELECT q_pct, lo, hi, n, exact_q, rank,
          min(struct_pack(bin := bin, cumb := cumb, c := c)) AS b
   FROM targets JOIN bins ON cumb + c >= rank
-  GROUP BY 1, 2, 3, 4, 5, 6)
-SELECT q_pct, CAST(rank AS BIGINT) AS rank,
-       round(lo + ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE))
-                  * (CAST(b.bin AS DOUBLE)
-                     + CAST(rank - b.cumb AS DOUBLE) / CAST(b.c AS DOUBLE)),
-             4) AS est_q,
-       exact_q,
-       CAST(CASE WHEN abs(round(lo + ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE))
-                  * (CAST(b.bin AS DOUBLE)
-                     + CAST(rank - b.cumb AS DOUBLE) / CAST(b.c AS DOUBLE)),
-             4) - exact_q) <= (hi - lo) / CAST({QS_BINS}.0 AS DOUBLE)
+  GROUP BY 1, 2, 3, 4, 5, 6),
+hq AS (
+  SELECT q_pct, CAST(rank AS BIGINT) AS rank,
+         round(lo + ((hi - lo) / CAST({QS_BINS}.0 AS DOUBLE))
+                    * (CAST(b.bin AS DOUBLE)
+                       + CAST(rank - b.cumb AS DOUBLE) / CAST(b.c AS DOUBLE)),
+               4) AS est_q,
+         exact_q, lo, hi
+  FROM hit)"""
+
+
+def _quantile_sketch_sql() -> str:
+    return f"""
+WITH xs AS (SELECT o_totalprice AS x FROM orders),
+{_hist_q_ctes(QS_PCTS)}
+SELECT q_pct, rank, est_q, exact_q,
+       CAST(CASE WHEN abs(est_q - exact_q)
+                      <= (hi - lo) / CAST({QS_BINS}.0 AS DOUBLE)
             THEN 1 ELSE 0 END AS INTEGER) AS within_one_bin
-FROM hit
+FROM hq
+"""
+
+
+RFM_SK_PCTS = (20, 40, 60, 80)  # the RFM quintile boundaries as int percents
+
+
+def rfm_sketch_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-vs-sketch percentile-boundary tradeoff, measured (the
+    question the streaming RFM mirror's design raised: incremental
+    boundaries from a mergeable sketch vs exact recompute): quintile
+    boundaries on the RFM monetary dimension from BOTH estimators — the
+    exact interpolated percentile rfm_segments ships and the mergeable
+    histogram sketch — plus the decision-relevant number: how many
+    customers land in a DIFFERENT monetary quintile if the sketch
+    boundaries replace the exact ones (n_rescored out of n_customers).
+    One row per boundary: exact, sketch, |diff|, one-bin guarantee, and
+    the constant rescore columns.
+
+    Determinism: both boundary sets are 4-dp rounds of identical doubles;
+    quintile assignment is the same count-of-boundaries-below dag
+    rfm_segments uses; the rescore count is an exact integer aggregate.
+    Note the flag's honest reading: the sketch's one-bin bound holds vs
+    the rank ORDER STATISTIC; vs the INTERPOLATED percentile compared
+    here it can exceed one bin when customers are sparse relative to the
+    bins (n << QS_BINS — visible at sf0.001 with 150 customers), which
+    is itself the diagnostic: sparse bins mean the corpus is too small
+    to need the sketch. Scale: the per-customer aggregate + the sketch's
+    bin table + two 1-row broadcasts — the sketch side never sorts; at
+    stream time its bin partials merge by addition while the exact side
+    must re-sort, the tradeoff this table quantifies."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("p").cast("double").alias("monetary")
+    )
+    hq = histogram_quantile_estimates(
+        per.select(F.col("monetary").alias("x")), RFM_SK_PCTS
+    )
+    bw = hq.agg(
+        *[
+            F.max(F.when(F.col("q_pct") == p, F.col("exact_q"))).alias(f"e{p}")
+            for p in RFM_SK_PCTS
+        ],
+        *[
+            F.max(F.when(F.col("q_pct") == p, F.col("est_q"))).alias(f"s{p}")
+            for p in RFM_SK_PCTS
+        ],
+    )
+    above = lambda pfx: sum(  # noqa: E731
+        (F.col("monetary") > F.col(f"{pfx}{p}")).cast("int") for p in RFM_SK_PCTS
+    )
+    res = (
+        per.crossJoin(F.broadcast(bw))
+        .select((above("e") != above("s")).cast("int").alias("moved"))
+        .agg(
+            F.sum("moved").cast("bigint").alias("n_rescored"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )
+    wexpr = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
+    return hq.crossJoin(F.broadcast(res)).select(
+        "q_pct",
+        F.col("exact_q").alias("exact_b"),
+        F.col("est_q").alias("sketch_b"),
+        F.round(F.abs(F.col("est_q") - F.col("exact_q")), 4).alias("abs_diff"),
+        (F.abs(F.col("est_q") - F.col("exact_q")) <= wexpr)
+        .cast("int")
+        .alias("within_one_bin"),
+        "n_rescored",
+        "n_customers",
+    )
+
+
+def _rfm_sketch_sql() -> str:
+    e_cols = ", ".join(
+        f"max(CASE WHEN q_pct = {p} THEN exact_q END) AS e{p}" for p in RFM_SK_PCTS
+    )
+    s_cols = ", ".join(
+        f"max(CASE WHEN q_pct = {p} THEN est_q END) AS s{p}" for p in RFM_SK_PCTS
+    )
+    above_e = " + ".join(
+        f"(CASE WHEN monetary > e{p} THEN 1 ELSE 0 END)" for p in RFM_SK_PCTS
+    )
+    above_s = " + ".join(
+        f"(CASE WHEN monetary > s{p} THEN 1 ELSE 0 END)" for p in RFM_SK_PCTS
+    )
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+xs AS (SELECT monetary AS x FROM per),
+{_hist_q_ctes(RFM_SK_PCTS)},
+bw AS (SELECT {e_cols}, {s_cols} FROM hq),
+res AS (
+  SELECT CAST(sum(CASE WHEN ({above_e}) != ({above_s}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rescored,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM per, bw)
+SELECT q_pct, exact_q AS exact_b, est_q AS sketch_b,
+       round(abs(est_q - exact_q), 4) AS abs_diff,
+       CAST(CASE WHEN abs(est_q - exact_q)
+                      <= (hi - lo) / CAST({QS_BINS}.0 AS DOUBLE)
+            THEN 1 ELSE 0 END AS INTEGER) AS within_one_bin,
+       n_rescored, n_customers
+FROM hq, res
 """
 
 
@@ -5389,6 +5516,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_range_bucket_join", range_bucket_join, RANGE_BUCKET_SQL),
     ("rel_percentiles_exact", percentiles_exact, PERCENTILES_SQL),
     ("rel_quantile_sketch", quantile_sketch, _quantile_sketch_sql()),
+    ("rel_rfm_sketch_boundaries", rfm_sketch_boundaries, _rfm_sketch_sql()),
     ("rel_map_funcs", map_funcs, MAP_SQL),
     ("rel_higher_order", higher_order_funcs, HOF_SQL),
     ("rel_q4_priority_exists", q4_priority_exists, Q4_SQL),

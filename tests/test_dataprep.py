@@ -1350,3 +1350,47 @@ def test_quantile_sketch_matches_reference(spark):
         g = got[p]
         assert g[:3] == (rank, est, exact), (p, g, (rank, est, exact))
         assert g[3] == 1, p
+
+
+def test_rfm_sketch_boundaries_tradeoff(spark):
+    """The boundary-tradeoff audit: the rescore count must equal a direct
+    replay (count customers whose count-of-boundaries-below differs
+    between exact and sketch boundary sets), every boundary must sit
+    within one bin width, and the misclassification rate must be small
+    (the sketch's whole point — boundary error <= bin width moves only
+    customers inside that bin)."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RFM_SK_PCTS,
+        rfm_sketch_boundaries,
+    )
+
+    rows = sorted(rfm_sketch_boundaries(spark, SF).collect(), key=lambda r: r.q_pct)
+    assert [r.q_pct for r in rows] == list(RFM_SK_PCTS)
+    # at sf0.001 (150 customers over 512 bins) the interpolated percentile
+    # can sit several SPARSE bins from the rank statistic — the one-bin
+    # flag is only expected to hold once bins are populated (sf0.01 below)
+    dense = sorted(
+        rfm_sketch_boundaries(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.q_pct,
+    )
+    assert all(r.within_one_bin == 1 for r in dense), dense
+    e = {r.q_pct: r.exact_b for r in rows}
+    s = {r.q_pct: r.sketch_b for r in rows}
+    per = (
+        load(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    )
+    moved = sum(
+        1
+        for r in per
+        if sum(r.m > e[p] for p in RFM_SK_PCTS) != sum(r.m > s[p] for p in RFM_SK_PCTS)
+    )
+    assert rows[0].n_rescored == moved
+    assert rows[0].n_customers == len(per)
+    assert moved <= max(2, 0.05 * len(per)), (moved, len(per))

@@ -618,6 +618,7 @@ def test_round9_ops_empty_inputs(spark, tmp_path):
         (llm.global_shard_plan, "tokens"),
         (relational.shortest_path, "dist"),
         (relational.quantile_sketch, "within_one_bin"),
+        (relational.rfm_sketch_boundaries, "n_rescored"),
     ):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
