@@ -2263,10 +2263,16 @@ def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (TPC-H caps at 7 lineitems); each round is ONE shuffle join
     keyed by node + one min-agg with map-side combine, hub skew AQE-split;
     the hop bound caps total shuffles at K regardless of graph size."""
-    from ..operators.graph import bellman_ford
-
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = (
+    return shortest_path_from_pairs(copurchase_pairs(li))
+
+
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """(pa, pb, cnt) co-purchase pair counts from a (l_orderkey,
+    l_partkey) frame — per-ORDER local, so any order-atomic slicing of
+    the lineitem stream yields partials that merge by integer SUM (the
+    streaming mirror's state)."""
+    return (
         li.alias("a")
         .join(
             li.alias("b"),
@@ -2276,8 +2282,17 @@ def shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def shortest_path_from_pairs(pr: DataFrame) -> DataFrame:
+    """Weights + symmetrization + source pick + K relaxation rounds over a
+    (pa, pb, cnt) pair-count frame — shared with the streaming mirror
+    (weights are 1/cnt, so they are only final once all count partials
+    merged; emission recomputes them from exact integers)."""
+    from ..operators.graph import bellman_ford
+
     w = F.round(F.lit(1.0) / F.col("cnt").cast("double"), 6)
     e = pr.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), w.alias("w")

@@ -524,6 +524,22 @@ def _calibration_oracle_sql() -> str:
     return _calibration_sql()
 
 
+def stream_incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_shortest_path
+
+    return incremental_shortest_path(spark, sf_dir)
+
+
+def _shortest_path_oracle_sql() -> str:
+    """Order-atomic per-batch pair partials merged by integer SUM, weights
+    recomputed at emission, through the shared relaxation kernel — must
+    reproduce the one-shot distances bitwise; the batch query's SQL IS the
+    oracle."""
+    from .relational import _shortest_path_sql
+
+    return _shortest_path_sql()
+
+
 def stream_incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_kneser_ney
 
@@ -632,6 +648,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_temperature", stream_incremental_temperature, _temperature_oracle_sql()),
     ("stream_incremental_kneser_ney", stream_incremental_kneser_ney, _kneser_ney_oracle_sql()),
     ("stream_incremental_heaps", stream_incremental_heaps, _heaps_oracle_sql()),
+    ("stream_incremental_shortest_path", stream_incremental_shortest_path, _shortest_path_oracle_sql()),
 ]
 
 if _tws_available():

@@ -198,3 +198,97 @@ def rfm_from_per_customer_partials_check(
         F.col("monetary_dec").cast("double").alias("monetary"),
     )
     return rfm_from_per_customer(per)
+
+
+LINEITEM_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+    ]
+)
+
+
+def _stage_lineitem_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered batches splitting the (l_orderkey, l_partkey)
+    projection by l_orderkey terciles — ORDER-ATOMIC slicing (an order's
+    lineitems never straddle a batch), the transactional unit a lineitem
+    source actually emits, and the property that makes per-batch
+    co-purchase pair counting exact."""
+    import hashlib
+
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/lineitem_{key}"
+
+    def build():
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        ks = li.select("l_orderkey").distinct()
+        n = ks.count()
+        lo_hi = ks.orderBy("l_orderkey").collect()
+        lo = lo_hi[n // 3 - 1].l_orderkey if n >= 3 else lo_hi[0].l_orderkey
+        hi = lo_hi[2 * n // 3 - 1].l_orderkey if n >= 3 else lo_hi[-1].l_orderkey
+        return [
+            li.filter(F.col("l_orderkey") <= lo),
+            li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)),
+            li.filter(F.col("l_orderkey") > hi),
+        ]
+
+    return _stage_ordered(
+        d, ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"], build
+    )
+
+
+def incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental co-purchase shortest paths — bitwise equal to
+    the one-shot ``plans.relational.shortest_path`` (its SQL is the
+    oracle).
+
+    Each micro-batch lands its (pa, pb, cnt) co-purchase pair partials —
+    the pair kernel is per-ORDER local and batches are order-atomic, so
+    batch partials are exact and MERGE BY INTEGER SUM under any arrival
+    order. Edge weights (1/cnt) and therefore distances are corpus-global
+    (a later batch can SHORTEN an edge by raising its count), so emission
+    recomputes weights from the merged exact counts and runs the shared
+    K-round relaxation kernel — the corpus-global posture of the LM
+    mirrors, with distinct-pair-sized state and lineitems read once."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import copurchase_pairs, shortest_path_from_pairs
+
+    tune_session(spark)
+    d = _stage_lineitem_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_sp_{_uuid.uuid4().hex[:8]}"
+    pairs_dir = f"{base}/pairs"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        copurchase_pairs(batch_df).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_PAIR_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{pairs_dir}/batch=*")
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        out, _ = tracked_local_checkpoint(
+            shortest_path_from_pairs(merged), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -992,3 +992,22 @@ def test_incremental_calibration_equals_batch(spark):
     got = {tuple(r) for r in incremental_calibration(spark, sf).collect()}
     assert got == want
     assert len(want) >= 2
+
+
+def test_incremental_shortest_path_equals_batch(spark):
+    """The graph mirror: order-atomic per-batch co-purchase pair partials
+    merged by integer SUM, with weights recomputed from the merged exact
+    counts at emission, must equal the one-shot Bellman-Ford distances
+    row for row — a later batch can SHORTEN an edge (1/cnt falls as the
+    same pair's counts from different orders merge across batches), so
+    this pins that the emission-time weight recompute loses nothing."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_shortest_path,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in relational.shortest_path(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_shortest_path(spark, sf).collect()}
+    assert got == want and want
