@@ -42,6 +42,12 @@ HEADLINE = [
     # mean a regression in ANY of its five stages (URL dedup, gopher, LM
     # gate, repeated spans, temperature sampling) — same new-key caveat
     "llm_pretrain_pipeline_v2",
+    # round-9 addition: the iterative-graph family's heaviest path (K=4
+    # Bellman-Ford over the co-purchase graph, ~6 s at sf0.1 — the edge
+    # self-join + 4 relaxation rounds); regression here means the frontier
+    # broadcast, the edge checkpoint, or the relax join shape slipped —
+    # same new-key caveat as above
+    "rel_shortest_path",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles
