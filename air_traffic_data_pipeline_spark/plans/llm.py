@@ -10429,25 +10429,24 @@ def temperature_finish(per: DataFrame) -> DataFrame:
     )
 
 
-def _temperature_sql() -> str:
+def _temp_chain(pfx: str, j_cte: str, score: str, label: str) -> tuple[str, str]:
+    """(CTE chain, final-select-body) for one temperature fit over
+    ``{j_cte}(doc_id, {score}, {label})`` — shared by the standalone fit
+    and the scorer x gate matrix. The chain ends in ``{pfx}rows(t, nll,
+    ece)`` and ``{pfx}best``."""
     grid = ", ".join(dlit(t) for t in TEMP_GRID)
     pmin, pmax = dlit(P_CLAMP), dlit(1.0 - P_CLAMP)
     one = dlit(1.0)
-    return f"""
-WITH clf AS (SELECT doc_id, clf_score FROM ({_FEATURE_HASH_SQL}) x),
-gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS label
-        FROM ({_gopher_rules_sql()}) x),
-j AS (
-  SELECT c.doc_id, g.label,
-         ln(greatest(least(c.clf_score, {pmax}), {pmin})
-            / ({one} - greatest(least(c.clf_score, {pmax}), {pmin}))) AS z
-  FROM clf c JOIN gop g ON c.doc_id = g.doc_id),
-grid AS (SELECT unnest([{grid}]) AS t),
-sc0 AS (
-  SELECT j.label, grid.t,
-         round({one} / ({one} + exp(-(j.z / grid.t))), 6) AS pt
-  FROM j CROSS JOIN grid),
-scored AS (
+    ctes = f"""{pfx}z AS (
+  SELECT CAST({label} AS BIGINT) AS label,
+         ln(greatest(least({score}, {pmax}), {pmin})
+            / ({one} - greatest(least({score}, {pmax}), {pmin}))) AS z
+  FROM {j_cte}),
+{pfx}sc0 AS (
+  SELECT label, grid.t,
+         round({one} / ({one} + exp(-(z / grid.t))), 6) AS pt
+  FROM {pfx}z CROSS JOIN grid),
+{pfx}scored AS (
   SELECT label, t, pt,
          -(CAST(label AS DOUBLE)
              * ln(greatest(least(pt, {pmax}), {pmin}))
@@ -10455,40 +10454,57 @@ scored AS (
              * ln({one} - greatest(least(pt, {pmax}), {pmin}))) AS nll,
          least(CAST(floor(pt * {CALIB_BINS}) AS BIGINT),
                CAST({CALIB_BINS - 1} AS BIGINT)) AS bin
-  FROM sc0),
-per AS (
+  FROM {pfx}sc0),
+{pfx}per AS (
   SELECT t, bin, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(CAST(round(pt * {dlit(1000000.0)}, 0) AS BIGINT)) AS BIGINT)
            AS p_u,
          CAST(sum(label) AS BIGINT) AS n_pass,
          CAST(sum(CAST(floor(nll * {dlit(1000000000.0)}) AS BIGINT)) AS BIGINT)
            AS nll_u
-  FROM scored GROUP BY t, bin),
-bins AS (
+  FROM {pfx}scored GROUP BY t, bin),
+{pfx}bins AS (
   SELECT t, n_docs, nll_u,
          CAST(round(round(abs(CAST(p_u AS DOUBLE)
                                / (CAST(n_docs AS DOUBLE) * {dlit(1000000.0)})
                              - CAST(n_pass AS DOUBLE)
                                / CAST(n_docs AS DOUBLE)), 6)
                     * {dlit(1000000.0)}, 0) AS BIGINT) * n_docs AS gap_w_u
-  FROM per),
-byt AS (
+  FROM {pfx}per),
+{pfx}byt AS (
   SELECT t, CAST(sum(n_docs) AS BIGINT) AS n_total,
          CAST(sum(nll_u) AS BIGINT) AS nll_su,
          CAST(sum(gap_w_u) AS BIGINT) AS gap_su
-  FROM bins GROUP BY t),
-rows_ AS (
+  FROM {pfx}bins GROUP BY t),
+{pfx}rows AS (
   SELECT t,
          round(CAST(nll_su AS DOUBLE)
                / (CAST(n_total AS DOUBLE) * {dlit(1000000000.0)}), 6) AS nll,
          round(CAST(gap_su AS DOUBLE)
                / (CAST(n_total AS DOUBLE) * {dlit(1000000.0)}), 6) AS ece
-  FROM byt),
-best AS (SELECT nll AS b_nll, t AS b_t FROM rows_ ORDER BY nll, t LIMIT 1)
-SELECT r.t, r.nll, r.ece,
+  FROM {pfx}byt),
+{pfx}best AS (SELECT nll AS b_nll, t AS b_t FROM {pfx}rows
+              ORDER BY nll, t LIMIT 1)"""
+    body = f"""SELECT r.t, r.nll, r.ece,
        CAST(CASE WHEN r.nll = b.b_nll AND r.t = b.b_t THEN 1 ELSE 0 END
             AS INTEGER) AS is_best
-FROM rows_ r CROSS JOIN best b
+FROM {pfx}rows r CROSS JOIN {pfx}best b"""
+    return ctes, body
+
+
+def _temperature_sql() -> str:
+    grid = ", ".join(dlit(t) for t in TEMP_GRID)
+    ctes, body = _temp_chain("q", "j", "clf_score", "label")
+    return f"""
+WITH clf AS (SELECT doc_id, clf_score FROM ({_FEATURE_HASH_SQL}) x),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS label
+        FROM ({_gopher_rules_sql()}) x),
+j AS (
+  SELECT c.doc_id, c.clf_score, g.label
+  FROM clf c JOIN gop g ON c.doc_id = g.doc_id),
+grid AS (SELECT unnest([{grid}]) AS t),
+{ctes}
+{body}
 """
 
 
@@ -10600,21 +10616,10 @@ CALIB_PAIRS = (
 )
 
 
-def calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The calibration half of the filter-swap decision table: every
-    scored filter reliability-binned against every structural gate —
-    (classifier sigmoid score | LM keep-probability sigmoid(XENT_MAX −
-    xent)) × (Gopher rules | heuristic gate), one reliability diagram +
-    ECE per pair through the SHARED ``calibration_from`` tail, keyed
-    (scorer, gate, bin). Read next to ``llm_filter_matrix``: kappa says
-    whether two gates agree; this says whether a scorer's PROBABILITIES
-    can be trusted against a gate before using it as a soft replacement.
-
-    Determinism: the LM keep-probability is one sigmoid of the 6-dp
-    xent, rounded 6 dp like the classifier score; each diagram is the
-    calibration_from dag (pinned folds). Scale: per-doc scores ride the
-    lm/classifier plans; the four diagrams are <=10-row aggregates
-    unioned."""
+def _scorer_gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, classifier, lm, gopher, heuristic) — both probability
+    scorers next to both structural gates, the shared input of the
+    calibration matrix and the temperature matrix."""
     clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
     lm = lm_token_logprob(spark, sf_dir).select(
         "doc_id",
@@ -10633,7 +10638,7 @@ def calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     gop = gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("passes").cast("bigint").alias("gopher")
     )
-    j = (
+    return (
         d.select("doc_id", heur.alias("heuristic"))
         .join(clf, "doc_id")
         .join(lm, "doc_id")
@@ -10646,6 +10651,102 @@ def calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heuristic",
         )
     )
+
+
+def temperature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled recalibration for EVERY scorer x gate pair —
+    the apply step over the calibration_matrix diagnosis: each of the
+    four (probability scorer, structural gate) pairs gets its own grid
+    fit through the shared ``temperature_fit_from`` tail, so the table
+    answers "which filters are fixable by one scalar, and at what T"
+    in a single artifact (a pair whose post-fit ECE stays high is
+    mis-RANKED, not just mis-scaled — temperature cannot fix it).
+    Output keyed (scorer, gate, t) with nll / ece / per-pair argmin.
+
+    Determinism and scale: four independent runs of the integer
+    micro-unit fit (each an 80-row reduction) over ONE shared scored
+    frame — the scorer plans run once."""
+    j = _scorer_gate_frame(spark, sf_dir)
+    out = None
+    for scorer, gate in CALIB_PAIRS:
+        leg = temperature_fit_from(
+            j.select(
+                "doc_id",
+                F.col(scorer).alias("clf_score"),
+                F.col(gate).alias("label"),
+            )
+        ).select(
+            F.lit(scorer).alias("scorer"),
+            F.lit(gate).alias("gate"),
+            "t",
+            "nll",
+            "ece",
+            "is_best",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _temperature_matrix_sql() -> str:
+    grid = ", ".join(dlit(t) for t in TEMP_GRID)
+    score_expr = {"classifier": "j.classifier", "lm": "j.lm"}
+    gate_expr = {"gopher": "j.gopher", "heuristic": "j.heuristic"}
+    ctes, legs = [], []
+    for i, (scorer, gate) in enumerate(CALIB_PAIRS):
+        chain, body = _temp_chain(
+            f"m{i}", "j", score_expr[scorer], gate_expr[gate]
+        )
+        ctes.append(chain)
+        legs.append(
+            f"SELECT '{scorer}' AS scorer, '{gate}' AS gate, t, nll, ece, is_best"
+            f" FROM ({body}) leg{i}"
+        )
+    return f"""
+WITH {_LM_TERMS_SQL},
+lmp AS (
+  SELECT doc_id,
+         round({dlit(1.0)} / ({dlit(1.0)}
+               + exp(-(CAST({XENT_MAX} AS DOUBLE)
+                       - round(-lp / CAST(n_bigrams AS DOUBLE), 6)))), 6)
+           AS lm
+  FROM per),
+gop AS (SELECT doc_id, CAST(passes AS BIGINT) AS gopher
+        FROM ({_gopher_rules_sql()}) t),
+clf AS (SELECT doc_id, clf_score AS classifier
+        FROM ({_FEATURE_HASH_SQL}) t),
+j AS (
+  SELECT d.doc_id, c.classifier, l.lm, g.gopher,
+         CASE WHEN {quality_score_sql('text')} >= CAST({QUALITY_MIN} AS DOUBLE)
+                   AND d.n_chars BETWEEN {CHARS_MIN} AND {CHARS_MAX}
+                   AND d.lang IN ('en', 'de', 'fr')
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS heuristic
+  FROM documents d
+  JOIN clf c ON d.doc_id = c.doc_id
+  JOIN lmp l ON d.doc_id = l.doc_id
+  JOIN gop g ON d.doc_id = g.doc_id),
+grid AS (SELECT unnest([{grid}]) AS t),
+{','.join(ctes)}
+{chr(10).join(f"{leg}{chr(10)}UNION ALL" for leg in legs[:-1])}
+{legs[-1]}
+"""
+
+
+def calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration half of the filter-swap decision table: every
+    scored filter reliability-binned against every structural gate —
+    (classifier sigmoid score | LM keep-probability sigmoid(XENT_MAX −
+    xent)) × (Gopher rules | heuristic gate), one reliability diagram +
+    ECE per pair through the SHARED ``calibration_from`` tail, keyed
+    (scorer, gate, bin). Read next to ``llm_filter_matrix``: kappa says
+    whether two gates agree; this says whether a scorer's PROBABILITIES
+    can be trusted against a gate before using it as a soft replacement.
+
+    Determinism: the LM keep-probability is one sigmoid of the 6-dp
+    xent, rounded 6 dp like the classifier score; each diagram is the
+    calibration_from dag (pinned folds). Scale: per-doc scores ride the
+    lm/classifier plans; the four diagrams are <=10-row aggregates
+    unioned."""
+    j = _scorer_gate_frame(spark, sf_dir)
     out = None
     for scorer, gate in CALIB_PAIRS:
         leg = calibration_from(
@@ -11706,6 +11807,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_feature_hashing", feature_hashing, _FEATURE_HASH_SQL),
     ("llm_classifier_calibration", classifier_calibration, _calibration_sql()),
     ("llm_temperature_scaling", temperature_scaling, _temperature_sql()),
+    ("llm_temperature_matrix", temperature_matrix, _temperature_matrix_sql()),
     ("llm_filter_matrix", filter_matrix, _filter_matrix_sql()),
     ("llm_calibration_matrix", calibration_matrix, _calibration_matrix_sql()),
     ("llm_preference_pairs", preference_pairs, _PREF_PAIRS_SQL),

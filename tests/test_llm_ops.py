@@ -3809,3 +3809,23 @@ def test_global_shard_plan_matches_reference(spark):
     ordered = [got[k] for k in sorted(got)]
     for a, b in zip(ordered, ordered[1:]):
         assert a[3] < b[2], "shard doc ranges must be disjoint and ordered"
+
+
+def test_temperature_matrix_consistency(spark):
+    """The scorer x gate temperature matrix must (a) carry all four
+    CALIB_PAIRS with the full grid each, (b) flag exactly one argmin per
+    pair, and (c) reproduce the standalone temperature_scaling fit
+    bitwise on its (classifier, gopher) leg — same kernel, same inputs,
+    so any drift means the matrix plumbing changed the math."""
+    rows = llm.temperature_matrix(spark, SF).collect()
+    pairs = {(r.scorer, r.gate) for r in rows}
+    assert pairs == {(s, g) for s, g in llm.CALIB_PAIRS}
+    for s, g in pairs:
+        leg = [r for r in rows if r.scorer == s and r.gate == g]
+        assert sorted(r.t for r in leg) == llm.TEMP_GRID, (s, g)
+        assert sum(r.is_best for r in leg) == 1, (s, g)
+    solo = {r.t: (r.nll, r.ece, r.is_best)
+            for r in llm.temperature_scaling(spark, SF).collect()}
+    leg = {r.t: (r.nll, r.ece, r.is_best)
+           for r in rows if (r.scorer, r.gate) == ("classifier", "gopher")}
+    assert leg == solo
