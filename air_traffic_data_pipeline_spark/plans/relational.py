@@ -1404,6 +1404,13 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup's frozen quantizer — bin partials then merge across batches
     by plain addition."""
     x = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    return quantile_sketch_from(x)
+
+
+def quantile_sketch_from(x: DataFrame) -> DataFrame:
+    """The estimate + one-bin-flag tail over a value frame ``x(x)`` —
+    shared with the streaming mirror, whose exact (value, count) partials
+    reconstruct this frame at emission."""
     est = histogram_quantile_estimates(x, QS_PCTS)
     wexpr = (F.col("hi") - F.col("lo")) / F.lit(float(QS_BINS))
     return est.select(

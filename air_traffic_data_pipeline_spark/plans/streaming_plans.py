@@ -540,6 +540,22 @@ def _shortest_path_oracle_sql() -> str:
     return _shortest_path_sql()
 
 
+def stream_incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_quantile_sketch
+
+    return incremental_quantile_sketch(spark, sf_dir)
+
+
+def _quantile_sketch_oracle_sql() -> str:
+    """Exact (value, count) multiset partials merged by SUM, re-expanded
+    through the shared sketch tail — must reproduce the one-shot
+    data-dependent binning bitwise; the batch query's SQL IS the
+    oracle."""
+    from .relational import _quantile_sketch_sql
+
+    return _quantile_sketch_sql()
+
+
 def stream_incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_kneser_ney
 
@@ -649,6 +665,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_kneser_ney", stream_incremental_kneser_ney, _kneser_ney_oracle_sql()),
     ("stream_incremental_heaps", stream_incremental_heaps, _heaps_oracle_sql()),
     ("stream_incremental_shortest_path", stream_incremental_shortest_path, _shortest_path_oracle_sql()),
+    ("stream_incremental_quantile_sketch", stream_incremental_quantile_sketch, _quantile_sketch_oracle_sql()),
 ]
 
 if _tws_available():

@@ -292,3 +292,64 @@ def incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental histogram quantile sketch — bitwise equal to
+    the one-shot ``plans.relational.quantile_sketch`` (its SQL is the
+    oracle).
+
+    The discrete-domain incremental design: o_totalprice is 2-dp money,
+    so a per-batch (value, count) table is an EXACT compressed multiset
+    whose partials merge by integer SUM under any arrival order — state
+    is distinct-price-sized, not row-sized. Because the batch query's
+    [lo, hi], bin counts AND exact percentile are all functions of the
+    multiset, emission reconstructs the value frame from the merged
+    partials and runs the shared ``quantile_sketch_from`` tail — nothing
+    approximate is frozen, so the mirror matches the data-dependent
+    batch binning bitwise. (For continuous domains the production
+    variant freezes [lo, hi] up front — the semdedup frozen-quantizer
+    posture — and bin partials merge directly.)"""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import quantile_sketch_from
+
+    tune_session(spark)
+    d = _stage_order_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_qsk_{_uuid.uuid4().hex[:8]}"
+    vals_dir = f"{base}/vals"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(F.col("o_totalprice").alias("x")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ).write.mode("overwrite").parquet(f"{vals_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(ORDERS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{vals_dir}/batch=*")
+            .groupBy("x")
+            .agg(F.sum("c").cast("int").alias("c"))
+        )
+        xs = merged.select(
+            F.explode(F.array_repeat(F.col("x"), F.col("c"))).alias("x")
+        )
+        out, _ = tracked_local_checkpoint(
+            quantile_sketch_from(xs), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

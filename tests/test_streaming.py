@@ -1011,3 +1011,21 @@ def test_incremental_shortest_path_equals_batch(spark):
     want = {tuple(r) for r in relational.shortest_path(spark, sf).collect()}
     got = {tuple(r) for r in incremental_shortest_path(spark, sf).collect()}
     assert got == want and want
+
+
+def test_incremental_quantile_sketch_equals_batch(spark):
+    """The discrete-domain sketch mirror: per-batch exact (value, count)
+    multiset partials merged by integer SUM, re-expanded through the
+    shared sketch tail, must equal the one-shot sketch row for row —
+    [lo, hi], the bin counts, AND the exact percentile are all functions
+    of the multiset, so this pins that the compressed state loses
+    nothing (including the data-dependent binning)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in relational.quantile_sketch(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_quantile_sketch(spark, sf).collect()}
+    assert got == want and want
