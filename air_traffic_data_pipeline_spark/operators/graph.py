@@ -84,3 +84,217 @@ def bellman_ford(
         release(spark, dist_ids)
         dist, dist_ids = new_dist, new_ids
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation over a directed edge list:
+    every node starts with its own id as label; each round, every node
+    adopts the label with the greatest total incident edge weight among
+    its in-neighbors (ties → smallest label). Returns (node, label) after
+    ``rounds`` synchronous updates — community detection as repeated
+    weighted plurality vote (Raghavan et al. 2007, made deterministic by
+    the synchronous schedule + total tie order).
+
+    Determinism at any scale: weights must be INTEGERS (co-occurrence
+    counts, not floats) so per-(node, label) vote totals are exact
+    order-free BIGINT sums; the argmax is a single max(struct(total,
+    -label)) — no window, no row_number race. Each round is one shuffle
+    join (labels × edges, keyed by node) + one two-level aggregation with
+    map-side combine; hub skew AQE-splits. Symmetrize edges first for
+    undirected semantics; isolated nodes keep their own label (seeded via
+    the node set, not dropped)."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e, _ = tracked_local_checkpoint(
+        edges.select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            F.col(weight).cast("bigint").alias("e_w"),
+        ),
+        register=True,
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    lab, lab_ids = tracked_local_checkpoint(
+        nodes.select("node", F.col("node").alias("label")), register=True
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(lab, e["e_src"] == lab["node"])
+            .groupBy(F.col("e_dst").alias("node"), "label")
+            .agg(F.sum("e_w").alias("tw"))
+        )
+        winner = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("tw"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+        # nodes with no in-edges keep their current label
+        new_lab, new_ids = tracked_local_checkpoint(
+            lab.alias("l")
+            .join(winner.alias("w"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("w.label"), F.col("l.label")).alias("label"),
+            ),
+            register=True,
+        )
+        release(spark, lab_ids)
+        lab, lab_ids = new_lab, new_ids
+    return lab
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # micro-unit fixed point: 1.0 == 1e12
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    rounds: int,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank as a deterministic INTEGER fixed-point iteration:
+    ranks live in micro-units (BIGINT, PAGERANK_SCALE == 1.0), each round
+    v's new rank = base + d·Σ_in floor(rank_u·w_uv / sw_u), with d and the
+    per-node teleport base also computed by integer floor division. Returns
+    (node, rank) after ``rounds`` synchronous rounds.
+
+    Why integers: float PageRank sums contributions in shuffle order —
+    non-deterministic across engines and runs. Floor-division micro-units
+    make every sum an exact order-free BIGINT fold (the same INTEGER
+    MICRO-UNIT discipline as the temperature-scaling queries), at the cost
+    of leaking ≤1 micro-unit of mass per in-edge per round — a bias of
+    ~1e-12·|E|, documented and irrelevant at ranking granularity.
+
+    Scale: per round ONE shuffle join (ranks × out-edges keyed by node) +
+    one sum-agg with map-side combine + a left join back to the node set;
+    the edge table (joined with out-weight sums) checkpoints once. No
+    dangling-node mass term — symmetrized graphs have no sinks (assert
+    upstream if you feed a directed graph with sinks). Overflow headroom:
+    rank ≤ ~1e12, so rank·w stays < 9.2e18 for w < 9e6."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e0 = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).cast("bigint").alias("e_w"),
+    )
+    deg = e0.groupBy("e_src").agg(F.sum("e_w").alias("e_sw"))
+    e, _ = tracked_local_checkpoint(e0.join(deg, "e_src"), register=True)
+    nodes = e.select(F.col("e_src").alias("node")).distinct()
+    n_frame = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    r0 = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .select(
+            "node",
+            F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) DIV n").alias("rank"),
+            F.expr(
+                f"(CAST({100 - damping_pct} AS BIGINT)"
+                f" * (CAST({PAGERANK_SCALE} AS BIGINT) DIV n)) DIV 100"
+            ).alias("base"),
+        )
+    )
+    rank, rank_ids = tracked_local_checkpoint(r0, register=True)
+    for _ in range(rounds):
+        # NOTE: no broadcast here — unlike the Bellman-Ford frontier, the
+        # rank table is |V|-sized; this is the classic shuffle join keyed
+        # by node (pre-bucket both sides on node in a real deployment)
+        contrib = (
+            rank.join(e, rank["node"] == e["e_src"])
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr("(rank * e_w) DIV e_sw").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_rank, new_ids = tracked_local_checkpoint(
+            rank.select("node", "base")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"base + (CAST({damping_pct} AS BIGINT)"
+                    " * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("rank"),
+                "base",
+            ),
+            register=True,
+        )
+        release(spark, rank_ids)
+        rank, rank_ids = new_rank, new_ids
+    return rank.select("node", "rank")
+
+
+def bellman_ford_snapshots(
+    edges: DataFrame,
+    sources: DataFrame,
+    snapshot_rounds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+) -> dict[int, DataFrame]:
+    """Run max(snapshot_rounds) relaxation rounds ONCE and return the dist
+    frame at each requested round — {k: (source, node, dist)}.
+
+    The hop-bound sensitivity audit ("is K enough, or does 2K still find
+    shorter/new paths?") needs dist_K for several K over the SAME graph.
+    Running bellman_ford per K would checkpoint the edge table |K| times
+    and redo the shared prefix rounds; here the K=4 pass IS the first 4
+    rounds of the K=8 pass — one edge checkpoint, max(K) total shuffles,
+    each requested round snapshotted via its own localCheckpoint (which the
+    loop takes anyway for lineage truncation, so snapshots are free)."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e, _ = tracked_local_checkpoint(
+        edges.select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            F.col(weight).alias("e_w"),
+        ),
+        register=True,
+    )
+    dist, dist_ids = tracked_local_checkpoint(
+        sources.select(
+            F.col(source_col).alias("source"),
+            F.col(source_col).alias("node"),
+            F.lit(0.0).alias("dist"),
+        ),
+        register=True,
+    )
+    wanted = sorted(set(snapshot_rounds))
+    snaps: dict[int, DataFrame] = {}
+    if 0 in wanted:
+        snaps[0] = dist
+    for k in range(1, wanted[-1] + 1):
+        relaxed = (
+            F.broadcast(dist).join(e, dist["node"] == e["e_src"])
+            .select("source", F.col("e_dst").alias("node"), (F.col("dist") + F.col("e_w")).alias("dist"))
+        )
+        new_dist, new_ids = tracked_local_checkpoint(
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist")),
+            register=True,
+        )
+        if (k - 1) not in snaps:  # keep snapshotted rounds alive
+            release(spark, dist_ids)
+        dist, dist_ids = new_dist, new_ids
+        if k in wanted:
+            snaps[k] = dist
+    return snaps

@@ -2317,6 +2317,291 @@ def shortest_path_from_pairs(pr: DataFrame) -> DataFrame:
     return out.select("source", "node", F.round("dist", 6).alias("dist"))
 
 
+SP_AUDIT_ROUNDS = (2, 4, 8)  # is K=4 enough? bracket it one halving each way
+
+
+def shortest_path_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bound sensitivity audit for the shortest-path query ("is K=4
+    enough?"): one row per (K, source) for K ∈ {2, 4, 8} over the SAME
+    co-purchase graph as rel_shortest_path — reached = nodes reachable
+    within K hops, converged = those whose K-hop distance already equals
+    the K=8 distance (no shorter ≤8-hop path exists), max_dist = the
+    worst distance in the K-hop ball. reached(4)≈reached(8) with
+    converged(4)=reached(4) is the quantitative "K=4 suffices" evidence;
+    a growing gap says raise K.
+
+    Cost discipline: all three K share ONE relaxation pass (the K=4 state
+    IS round 4 of the K=8 run — operators/graph.py::bellman_ford_snapshots),
+    so the audit costs max(K) shuffle rounds + three converged-join
+    aggregates over (|sources|·|nodes|)-sized frames, not |K| full runs.
+    Distances compare by exact double equality: every candidate path cost
+    is the identical left-to-right double sum in both engines and min is
+    an exact comparison, so dist_K == dist_8 is engine-stable."""
+    from ..operators.graph import bellman_ford_snapshots
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = copurchase_pairs(li)
+    w = F.round(F.lit(1.0) / F.col("cnt").cast("double"), 6)
+    e = pr.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), w.alias("w")
+    ).unionByName(
+        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), w.alias("w"))
+    )
+    srcs = (
+        e.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(SP_N_SOURCES)
+        .select(F.col("src").alias("node"))
+    )
+    snaps = bellman_ford_snapshots(e, srcs, list(SP_AUDIT_ROUNDS))
+    kmax = max(SP_AUDIT_ROUNDS)
+    final = snaps[kmax].select(
+        "source", "node", F.col("dist").alias("dist_final")
+    )
+    parts = []
+    for k in SP_AUDIT_ROUNDS:
+        agg = (
+            snaps[k]
+            .join(final, ["source", "node"])  # dist never leaves, so ⊆ holds
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("reached"),
+                F.sum(
+                    F.when(F.col("dist") == F.col("dist_final"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("converged"),
+                F.round(F.max("dist"), 6).alias("max_dist"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "source",
+                "reached",
+                "converged",
+                "max_dist",
+            )
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+LP_ROUNDS = 4  # synchronous label-propagation rounds (fixed → deterministic)
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the part co-purchase
+    graph (edge weight = co-purchase COUNT — integer affinity, heavier =
+    stronger pull): 4 synchronous plurality-vote rounds from self-labels,
+    then one row per community (label, n_members, min/max member). The
+    modularity-flavored sibling of connected components: components ignore
+    weights and flood to the diameter; LPA lets strong co-purchase cliques
+    keep their own label against weakly-attached bridges.
+
+    Determinism (the classic LPA pitfall): synchronous schedule + integer
+    vote totals (exact order-free BIGINT sums) + total tie order (max
+    total, then smallest label) — no RNG, no visit-order dependence, so
+    the DuckDB oracle replays the identical rounds as unrolled CTEs.
+    Scale: each round = one shuffle join keyed by node + a two-level agg
+    with map-side combine; fixed rounds cap total shuffles; hub skew
+    AQE-splits (operators/graph.py::label_propagation)."""
+    from ..operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = copurchase_pairs(li)
+    e = pr.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
+    ).unionByName(
+        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("cnt").alias("w"))
+    )
+    lab = label_propagation(e, LP_ROUNDS)
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def _label_propagation_sql() -> str:
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, cnt AS w FROM pr
+  UNION ALL
+  SELECT pb, pa, cnt FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    ]
+    # each l{k} is referenced twice by round k+1 (vote join + keep-label
+    # left join) — MATERIALIZED stops DuckDB's inlining from doubling the
+    # plan per round (same fix as _sp_chain_ctes)
+    for k in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label,
+           row_number() OVER (
+             PARTITION BY e.dst
+             ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+    FROM e JOIN l{k - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label) x
+  WHERE rn = 1),
+l{k} AS MATERIALIZED (
+  SELECT p.node, coalesce(w.label, p.label) AS label
+  FROM l{k - 1} p LEFT JOIN w{k} w ON p.node = w.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       min(node) AS min_member, max(node) AS max_member
+FROM l{LP_ROUNDS} GROUP BY label"""
+    )
+
+
+PR_ROUNDS = 5
+PR_TOPK = 20
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph (edge weight =
+    co-purchase count), 5 rounds of the INTEGER MICRO-UNIT fixed-point
+    iteration (operators/graph.py::pagerank_integer — every per-round sum
+    is an exact order-free BIGINT fold, so the result is engine-bitwise),
+    reporting the top-20 hub parts by rank with a total (rank DESC, node
+    ASC) tie order. Completes the graph-family ladder: reachability
+    (components), proximity (Bellman-Ford), community (LPA), centrality
+    (PageRank) — all on one derived graph, all Pregel-as-DataFrames.
+
+    Scale: per round one |V|-vs-|E| shuffle join keyed by node + a summed
+    agg with map-side combine; the out-weight-annotated edge table
+    checkpoints once; top-k is TakeOrderedAndProject, never a global
+    sort. The symmetric graph has no sinks, so no dangling-mass term."""
+    from ..operators.graph import pagerank_integer
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = copurchase_pairs(li)
+    e = pr.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
+    ).unionByName(
+        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("cnt").alias("w"))
+    )
+    out = pagerank_integer(e, PR_ROUNDS)
+    return (
+        out.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+        .select("node", F.col("rank").alias("rank_micro"))
+    )
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import PAGERANK_SCALE
+
+    scale = PAGERANK_SCALE
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e0 AS (
+  SELECT pa AS src, pb AS dst, CAST(cnt AS BIGINT) AS w FROM pr
+  UNION ALL
+  SELECT pb, pa, CAST(cnt AS BIGINT) FROM pr),
+deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e0 GROUP BY src),
+e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, deg.sw FROM e0 JOIN deg ON e0.src = deg.src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT deg.src AS node,
+         CAST({scale} AS BIGINT) // nn.n AS rank,
+         (CAST(15 AS BIGINT) * (CAST({scale} AS BIGINT) // nn.n)) // 100 AS base
+  FROM deg, nn)""".format(scale=scale)
+    ]
+    # r{k} is referenced twice per round (teleport leg + contribution
+    # join) — MATERIALIZED for the same inlining-blowup reason as above
+    for k in range(1, PR_ROUNDS + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST(p.base + (CAST(85 AS BIGINT) *
+              coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank,
+         p.base
+  FROM r{k - 1} p LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((r.rank * e.w) // e.sw) AS BIGINT) AS s
+    FROM r{k - 1} r JOIN e ON r.node = e.src
+    GROUP BY e.dst) s ON p.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank AS rank_micro FROM r{PR_ROUNDS}
+ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}"""
+    )
+
+
+def _sp_chain_ctes(max_rounds: int) -> str:
+    """The co-purchase Bellman-Ford CTE chain d0..d{max_rounds} (shared
+    text-shape with _shortest_path_sql, parameterized on depth). Every
+    d{k} is referenced twice by d{k+1} (union leg + join leg) and the
+    audit legs re-reference the snapshots, so each CTE is MATERIALIZED —
+    without the hint DuckDB's inlining makes the plan 2^max_rounds-sized
+    (measured: K=4 fine, K=8 never finishes)."""
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst,
+         round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS w FROM pr
+  UNION ALL
+  SELECT pb, pa, round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) FROM pr),
+s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT {n}),
+d0 AS MATERIALIZED (
+  SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist FROM s)""".format(
+            n=SP_N_SOURCES
+        )
+    ]
+    for k in range(1, max_rounds + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT source, node, min(dist) AS dist FROM (
+    SELECT source, node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT d.source, e.dst AS node, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN e ON d.node = e.src
+  ) u GROUP BY 1, 2)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _shortest_path_k_audit_sql() -> str:
+    kmax = max(SP_AUDIT_ROUNDS)
+    legs = []
+    for k in SP_AUDIT_ROUNDS:
+        legs.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k, a.source,
+       CAST(count(*) AS BIGINT) AS reached,
+       CAST(sum(CASE WHEN a.dist = f.dist THEN 1 ELSE 0 END) AS BIGINT) AS converged,
+       round(max(a.dist), 6) AS max_dist
+FROM d{k} a JOIN d{kmax} f ON a.source = f.source AND a.node = f.node
+GROUP BY a.source"""
+        )
+    return _sp_chain_ctes(kmax) + "\n" + "\nUNION ALL\n".join(legs)
+
+
 def _shortest_path_sql() -> str:
     ctes = [
         """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
@@ -5582,6 +5867,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_scd2_order_status", scd2_order_status, SCD2_SQL),
     ("rel_recursive_cte_hierarchy", recursive_cte_hierarchy, RECURSIVE_CTE_SQL),
     ("rel_shortest_path", shortest_path, _shortest_path_sql()),
+    ("rel_shortest_path_k_audit", shortest_path_k_audit, _shortest_path_k_audit_sql()),
+    ("rel_label_propagation", label_propagation_communities, _label_propagation_sql()),
+    ("rel_pagerank", pagerank_copurchase, _pagerank_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -1394,3 +1394,170 @@ def test_rfm_sketch_boundaries_tradeoff(spark):
     assert rows[0].n_rescored == moved
     assert rows[0].n_customers == len(per)
     assert moved <= max(2, 0.05 * len(per)), (moved, len(per))
+
+
+def _copurchase_graph(spark):
+    """(adj_weighted, cnt) driver-side replay of copurchase_pairs: adj maps
+    node -> [(nbr, 1/cnt-rounded)] for the distance queries, cnt holds the
+    raw integer pair counts for the vote/rank queries."""
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict[int, list[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    cnt: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                if a == b:
+                    continue
+                k = (min(a, b), max(a, b))
+                cnt[k] = cnt.get(k, 0) + 1
+    adj: dict[int, list[tuple]] = {}
+    for (a, b), c in cnt.items():
+        w = round(1.0 / c, 6)
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    return adj, cnt
+
+
+def test_shortest_path_k_audit_matches_reference(spark):
+    """The K-sensitivity audit vs a pure-Python replay that snapshots one
+    relaxation pass at K=2/4/8 (the same single-pass discipline the Spark
+    side uses): per-(K, source) reached/converged/max_dist must match, and
+    the audit's own invariants must hold — reached is non-decreasing in K,
+    converged <= reached, and at K=Kmax converged == reached."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SP_AUDIT_ROUNDS,
+        SP_N_SOURCES,
+        shortest_path_k_audit,
+    )
+
+    adj, _ = _copurchase_graph(spark)
+    sources = sorted(adj)[:SP_N_SOURCES]
+    kmax = max(SP_AUDIT_ROUNDS)
+    snaps: dict[int, dict] = {}
+    per_src = {}
+    for s in sources:
+        dist = {s: 0.0}
+        hist = {}
+        for k in range(1, kmax + 1):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < nxt.get(v, float("inf")):
+                        nxt[v] = nd
+            dist = nxt
+            if k in SP_AUDIT_ROUNDS:
+                hist[k] = dict(dist)
+        per_src[s] = hist
+    want = {}
+    for s in sources:
+        final = per_src[s][kmax]
+        for k in SP_AUDIT_ROUNDS:
+            dk = per_src[s][k]
+            reached = len(dk)
+            converged = sum(1 for n, d in dk.items() if d == final[n])
+            max_dist = round(max(dk.values()), 6)
+            want[(k, s)] = (reached, converged, max_dist)
+    got = {
+        (r.k, r.source): (r.reached, r.converged, r.max_dist)
+        for r in shortest_path_k_audit(spark, SF).collect()
+    }
+    assert got == want
+    for s in sources:
+        ks = sorted(SP_AUDIT_ROUNDS)
+        reach = [got[(k, s)][0] for k in ks]
+        assert reach == sorted(reach), "reached must be monotone in K"
+        for k in ks:
+            assert got[(k, s)][1] <= got[(k, s)][0]
+        assert got[(kmax, s)][1] == got[(kmax, s)][0]
+
+
+def test_label_propagation_matches_reference(spark):
+    """Weighted LPA vs a pure-Python synchronous replay (integer vote
+    totals, ties to the smallest label): the community table must match
+    exactly, membership must partition the node set, and at least one
+    genuine multi-member community must form."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        LP_ROUNDS,
+        label_propagation_communities,
+    )
+
+    _, cnt = _copurchase_graph(spark)
+    out_edges: dict[int, list[tuple]] = {}
+    for (a, b), c in cnt.items():
+        out_edges.setdefault(a, []).append((b, c))
+        out_edges.setdefault(b, []).append((a, c))
+    nodes = sorted(out_edges)
+    labels = {v: v for v in nodes}
+    for _ in range(LP_ROUNDS):
+        tally: dict[int, dict[int, int]] = {}
+        for u, nbrs in out_edges.items():
+            lu = labels[u]
+            for v, w in nbrs:
+                tally.setdefault(v, {}).setdefault(lu, 0)
+                tally[v][lu] += w
+        new = {}
+        for v in nodes:
+            t = tally.get(v)
+            if t:
+                new[v] = max(t.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                new[v] = labels[v]
+        labels = new
+    want: dict[int, list[int]] = {}
+    for v, l in labels.items():
+        want.setdefault(l, []).append(v)
+    want_rows = {
+        (l, len(m), min(m), max(m)) for l, m in want.items()
+    }
+    got_rows = {
+        (r.community, r.n_members, r.min_member, r.max_member)
+        for r in label_propagation_communities(spark, SF).collect()
+    }
+    assert got_rows == want_rows
+    assert sum(r[1] for r in got_rows) == len(nodes)
+    assert any(r[1] >= 2 for r in got_rows), "no community ever formed"
+
+
+def test_pagerank_integer_matches_reference(spark):
+    """Integer micro-unit PageRank vs a pure-Python replay using the same
+    floor-division fixed point: the top-20 table must match exactly, ranks
+    must be positive, and total mass must stay within the documented
+    floor-leak envelope of the initial SCALE."""
+    from air_traffic_data_pipeline_spark.operators.graph import PAGERANK_SCALE
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        PR_ROUNDS,
+        PR_TOPK,
+        pagerank_copurchase,
+    )
+
+    _, cnt = _copurchase_graph(spark)
+    out_edges: dict[int, list[tuple]] = {}
+    for (a, b), c in cnt.items():
+        out_edges.setdefault(a, []).append((b, c))
+        out_edges.setdefault(b, []).append((a, c))
+    nodes = sorted(out_edges)
+    sw = {u: sum(w for _, w in nbrs) for u, nbrs in out_edges.items()}
+    n = len(nodes)
+    r0 = PAGERANK_SCALE // n
+    base = (15 * r0) // 100
+    rank = {v: r0 for v in nodes}
+    for _ in range(PR_ROUNDS):
+        s: dict[int, int] = {}
+        for u, nbrs in out_edges.items():
+            ru = rank[u]
+            du = sw[u]
+            for v, w in nbrs:
+                s[v] = s.get(v, 0) + (ru * w) // du
+        rank = {v: base + (85 * s.get(v, 0)) // 100 for v in nodes}
+    top = sorted(nodes, key=lambda v: (-rank[v], v))[:PR_TOPK]
+    want = {(v, rank[v]) for v in top}
+    got = {
+        (r.node, r.rank_micro) for r in pagerank_copurchase(spark, SF).collect()
+    }
+    assert got == want
+    assert all(rm > 0 for _, rm in got)
+    total = sum(rank.values())
+    assert 0.9 * PAGERANK_SCALE <= total <= PAGERANK_SCALE + n

@@ -643,3 +643,24 @@ def test_doremi_heldout_single_parity_corpus(spark, tmp_path):
     self_rows = llm.doremi_weights(spark, sf).collect()
     assert len(self_rows) >= 2
     assert abs(sum(r.weight for r in self_rows) - 1.0) < 1e-4
+
+
+def test_graph_family_empty_inputs(spark, tmp_path):
+    """Late-round-9 graph ops over an empty lineitem lake: no edges means
+    typed empty results (no division by the zero node count, no crash in
+    the fixed-round loops)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "lineitem").filter(F.lit(False)).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    for fn, col in (
+        (relational.shortest_path_k_audit, "converged"),
+        (relational.label_propagation_communities, "n_members"),
+        (relational.pagerank_copurchase, "rank_micro"),
+    ):
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert col in out.columns, fn.__name__
