@@ -298,3 +298,56 @@ def bellman_ford_snapshots(
         if k in wanted:
             snaps[k] = dist
     return snaps
+
+
+def k_core_survivors(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded k-core peeling over a symmetrized edge list: starting from
+    all nodes, each round keeps exactly the nodes with degree >= k in the
+    subgraph induced by the current survivors. Returns ``(prev, final)``
+    — the survivor sets after ``rounds - 1`` and ``rounds`` rounds, so the
+    caller can report convergence (survivor sets only shrink, so equal
+    COUNTS <=> equal sets <=> the true k-core was reached).
+
+    The cohesion member of the graph family: a node in the k-core has k
+    neighbors that themselves survive — degree alone is spam-able, core
+    membership is not (Seidman 1983). The bounded-round posture is the
+    same as hop-bounded Bellman-Ford: a fixed round budget caps shuffles
+    at any graph size, and the converged flag says whether the budget
+    sufficed (on a 1000-executor cluster you raise rounds, not hope).
+
+    Scale: each round is two semi-joins of the edge table against the
+    |V|-sized survivor set (keyed src then dst) + one count-agg with
+    map-side combine; pure integer counts — no floats anywhere, so the
+    DuckDB oracle replays the identical rounds as unrolled CTEs."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e, _ = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        register=True,
+    )
+    surv, surv_ids = tracked_local_checkpoint(
+        e.select(F.col("e_src").alias("node")).distinct(), register=True
+    )
+    prev, prev_ids = surv, None
+    for _ in range(rounds):
+        alive = e.join(surv, e["e_src"] == surv["node"], "left_semi")
+        alive = alive.join(surv, alive["e_dst"] == surv["node"], "left_semi")
+        new_surv, new_ids = tracked_local_checkpoint(
+            alive.groupBy("e_src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("e_src").alias("node")),
+            register=True,
+        )
+        if prev_ids is not None:
+            release(spark, prev_ids)
+        prev, prev_ids = surv, surv_ids
+        surv, surv_ids = new_surv, new_ids
+    return prev, surv

@@ -2549,6 +2549,120 @@ ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}"""
     )
 
 
+KC_KS = (2, 3, 4)  # report the 2-, 3- and 4-core
+KC_ROUNDS = 6  # peel rounds per k (bounded; the converged flag audits it)
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph — the COHESION
+    member completing the graph-family ladder (reachability = components,
+    proximity = Bellman-Ford, community = LPA, centrality = PageRank,
+    cohesion = k-core): one row per k ∈ {2,3,4} with the bounded-peel
+    core size (nodes, undirected edges, min/max member) and a converged
+    flag — survivor sets only shrink, so equal consecutive counts proves
+    the true k-core was reached within the round budget (Seidman 1983;
+    the hop-bounded-Bellman-Ford posture applied to peeling).
+
+    Pure integer counts end to end — no floats — so the DuckDB oracle
+    replays the identical peel rounds as unrolled MATERIALIZED CTEs.
+    Scale: the derived edge table localCheckpoints ONCE and is shared by
+    all three k legs; each round is two edge-vs-survivor semi-joins + one
+    count-agg with map-side combine (operators/graph.py::k_core_survivors);
+    the final edge-count legs are semi-joins collapsing to 1-row aggs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return kcore_from_pairs(copurchase_pairs(li))
+
+
+def kcore_from_pairs(pr: DataFrame) -> DataFrame:
+    """The peel + report tail of :func:`kcore_decomposition`, shared with
+    the streaming incremental mirror (which feeds MERGED batch pair
+    partials instead of the one-shot ``copurchase_pairs``)."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.graph import k_core_survivors
+
+    e, _ = tracked_local_checkpoint(
+        pr.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        ),
+        register=True,
+    )
+    parts = []
+    for k in KC_KS:
+        prev, fin = k_core_survivors(e, k, KC_ROUNDS)
+        f = fin.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        p = prev.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("prev_nodes"))
+        alive = e.join(fin, e["src"] == fin["node"], "left_semi")
+        alive = alive.join(fin, alive["dst"] == fin["node"], "left_semi")
+        ec = alive.groupBy().agg(F.expr("count(1) DIV 2").alias("core_edges"))
+        parts.append(
+            f.crossJoin(p)
+            .crossJoin(ec)
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "core_nodes",
+                "core_edges",
+                (F.col("core_nodes") == F.col("prev_nodes")).alias("converged"),
+                "min_node",
+                "max_node",
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pr
+  UNION ALL
+  SELECT pb, pa FROM pr),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
+    ]
+    # each survivor CTE is referenced three times (both endpoint joins of
+    # the next round + the final legs) — MATERIALIZED for the same
+    # inlining-blowup reason as _sp_chain_ctes
+    for k in KC_KS:
+        for r in range(1, KC_ROUNDS + 1):
+            prev = "s0" if r == 1 else f"k{k}r{r - 1}"
+            ctes.append(
+                f"""k{k}r{r} AS MATERIALIZED (
+  SELECT e.src AS node FROM e
+  JOIN {prev} a ON e.src = a.node
+  JOIN {prev} b ON e.dst = b.node
+  GROUP BY e.src
+  HAVING count(*) >= {k})"""
+            )
+    legs = []
+    last, before = KC_ROUNDS, KC_ROUNDS - 1
+    for k in KC_KS:
+        legs.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k,
+       f.core_nodes, ec.core_edges,
+       f.core_nodes = p.prev_nodes AS converged,
+       f.min_node, f.max_node
+FROM (SELECT CAST(count(*) AS BIGINT) AS core_nodes,
+             min(node) AS min_node, max(node) AS max_node
+        FROM k{k}r{last}) f,
+     (SELECT CAST(count(*) AS BIGINT) AS prev_nodes FROM k{k}r{before}) p,
+     (SELECT CAST(count(*) // 2 AS BIGINT) AS core_edges
+        FROM e JOIN k{k}r{last} a ON e.src = a.node
+               JOIN k{k}r{last} b ON e.dst = b.node) ec"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
 def _sp_chain_ctes(max_rounds: int) -> str:
     """The co-purchase Bellman-Ford CTE chain d0..d{max_rounds} (shared
     text-shape with _shortest_path_sql, parameterized on depth). Every
@@ -5870,6 +5984,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_shortest_path_k_audit", shortest_path_k_audit, _shortest_path_k_audit_sql()),
     ("rel_label_propagation", label_propagation_communities, _label_propagation_sql()),
     ("rel_pagerank", pagerank_copurchase, _pagerank_sql()),
+    ("rel_kcore_decomposition", kcore_decomposition, _kcore_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

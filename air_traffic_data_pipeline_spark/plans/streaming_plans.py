@@ -540,6 +540,22 @@ def _shortest_path_oracle_sql() -> str:
     return _shortest_path_sql()
 
 
+def stream_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_kcore
+
+    return incremental_kcore(spark, sf_dir)
+
+
+def _kcore_oracle_sql() -> str:
+    """The same staged pair state as the shortest-path mirror, consumed
+    for its SUPPORT only (degrees ignore counts), through the shared peel
+    kernel — must reproduce the one-shot per-k core table bitwise; the
+    batch query's SQL IS the oracle."""
+    from .relational import _kcore_sql
+
+    return _kcore_sql()
+
+
 def stream_incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_sketch
 
@@ -666,6 +682,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_heaps", stream_incremental_heaps, _heaps_oracle_sql()),
     ("stream_incremental_shortest_path", stream_incremental_shortest_path, _shortest_path_oracle_sql()),
     ("stream_incremental_quantile_sketch", stream_incremental_quantile_sketch, _quantile_sketch_oracle_sql()),
+    ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
 ]
 
 if _tws_available():

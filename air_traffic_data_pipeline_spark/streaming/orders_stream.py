@@ -353,3 +353,57 @@ def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental k-core decomposition — bitwise equal to the
+    one-shot ``plans.relational.kcore_decomposition`` (its SQL is the
+    oracle).
+
+    Same staged pair state as the shortest-path mirror (order-atomic
+    batches make per-batch (pa, pb, cnt) partials exact; they merge by
+    integer SUM under any arrival order), but k-core consumes only the
+    pair SUPPORT — degree is the number of distinct surviving partners,
+    counts are irrelevant — so one landed state serves both the distance
+    query (needs the exact counts for 1/cnt weights) and the cohesion
+    query (needs only which pairs exist). Core membership is corpus-
+    global (a later batch can RESCUE a peeled node by adding partners),
+    so emission runs the shared peel kernel over the merged pairs."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import copurchase_pairs, kcore_from_pairs
+
+    tune_session(spark)
+    d = _stage_lineitem_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_kc_{_uuid.uuid4().hex[:8]}"
+    pairs_dir = f"{base}/pairs"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        copurchase_pairs(batch_df).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_PAIR_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{pairs_dir}/batch=*")
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        out, _ = tracked_local_checkpoint(kcore_from_pairs(merged), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -56,15 +56,26 @@ HEADLINE = [
 REPS = 3
 
 
-def _clear_engine_caches() -> None:
+def _clear_engine_caches(spark=None) -> None:
     """Drop cross-call caches so every timed repetition is a COLD run (the
-    minhash doc-table cache would otherwise make rep 2 measure cache reads)."""
+    minhash doc-table cache would otherwise make rep 2 measure cache reads).
+    Also releases tracked localCheckpoints: the iterative-graph queries pin
+    their edge/result RDDs until session teardown, and dozens of leaked
+    pinned blocks across reps distort later timings (block-manager
+    pressure — measured as non-monotone scaling curves before the fix)."""
     try:
         from air_traffic_data_pipeline_spark.plans import llm
 
         llm.clear_caches()
     except Exception:
         pass
+    if spark is not None:
+        try:
+            from air_traffic_data_pipeline_spark.operators import checkpoints
+
+            checkpoints.clear_all(spark)
+        except Exception:
+            pass
 
 
 def _probe_work(_: int = 0) -> int:
@@ -135,7 +146,7 @@ def main() -> None:
     spark.range(10).count()
     for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         for name in names:
-            _clear_engine_caches()
+            _clear_engine_caches(spark)
             qs[name](spark, warm_dir).count()
 
     cal_before = _cpu_probe()
@@ -147,7 +158,7 @@ def main() -> None:
         loads[name] = _loadavg()
         samples = []
         for _ in range(REPS):
-            _clear_engine_caches()
+            _clear_engine_caches(spark)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)

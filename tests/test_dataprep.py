@@ -1561,3 +1561,53 @@ def test_pagerank_integer_matches_reference(spark):
     assert all(rm > 0 for _, rm in got)
     total = sum(rank.values())
     assert 0.9 * PAGERANK_SCALE <= total <= PAGERANK_SCALE + n
+
+
+def test_kcore_decomposition_matches_reference(spark):
+    """Bounded k-core peeling vs a pure-Python replay (same round budget,
+    same both-endpoints-surviving degree rule): the per-k table must match
+    exactly, cores must nest (4-core <= 3-core <= 2-core), and a converged
+    flag must mean the replayed fixed point was actually reached."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KC_KS,
+        KC_ROUNDS,
+        kcore_decomposition,
+    )
+
+    _, cnt = _copurchase_graph(spark)
+    adj: dict[int, set] = {}
+    for a, b in cnt:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    by_k = {}
+    for k in KC_KS:
+        surv = set(adj)
+        prev = surv
+        for _ in range(KC_ROUNDS):
+            prev = surv
+            surv = {u for u in surv if len(adj[u] & surv) >= k}
+        core_edges = sum(len(adj[u] & surv) for u in surv) // 2
+        want[k] = (
+            len(surv),
+            core_edges,
+            len(surv) == len(prev),
+            min(surv) if surv else None,
+            max(surv) if surv else None,
+        )
+        by_k[k] = surv
+    got = {
+        r.k: (r.core_nodes, r.core_edges, r.converged, r.min_node, r.max_node)
+        for r in kcore_decomposition(spark, SF).collect()
+    }
+    assert got == want
+    ks = sorted(KC_KS)
+    for lo, hi in zip(ks, ks[1:]):
+        assert by_k[hi] <= by_k[lo], "cores must nest"
+    # every converged core is the true k-core: one more replay round is a
+    # no-op
+    for k in ks:
+        if got[k][2]:
+            surv = by_k[k]
+            again = {u for u in surv if len(adj[u] & surv) >= k}
+            assert again == surv

@@ -664,3 +664,10 @@ def test_graph_family_empty_inputs(spark, tmp_path):
         out = fn(spark, sf)
         assert out.count() == 0, fn.__name__
         assert col in out.columns, fn.__name__
+    # k-core reports one row per k even on an empty graph: all-zero cores,
+    # converged (0 == 0), null min/max members
+    rows = relational.kcore_decomposition(spark, sf).collect()
+    assert len(rows) == len(relational.KC_KS)
+    for r in rows:
+        assert (r.core_nodes, r.core_edges, r.converged) == (0, 0, True)
+        assert r.min_node is None and r.max_node is None

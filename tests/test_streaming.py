@@ -1029,3 +1029,20 @@ def test_incremental_quantile_sketch_equals_batch(spark):
     want = {tuple(r) for r in relational.quantile_sketch(spark, sf).collect()}
     got = {tuple(r) for r in incremental_quantile_sketch(spark, sf).collect()}
     assert got == want and want
+
+
+def test_incremental_kcore_equals_batch(spark):
+    """The cohesion mirror: the SAME staged pair state as the shortest-path
+    mirror, consumed for its support only, must equal the one-shot per-k
+    core table row for row — a later batch can RESCUE a peeled node by
+    adding partners (cross-batch pairs raise degrees), so this pins that
+    emission-time peeling over the merged pairs loses nothing."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in relational.kcore_decomposition(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_kcore(spark, sf).collect()}
+    assert got == want and want

@@ -152,6 +152,15 @@ def main() -> int:
         # rides the feature-hashing token shuffle; the x8 grid explode is
         # per-DOC and pre-aggregates map-side — expect linear
         "llm_temperature_scaling": llm.temperature_scaling,
+        # late round-9 graph family under the same lot-densification
+        # model (fixed node set, growing co-purchase counts): the K-audit
+        # runs 8 relaxation rounds sharing one pass (expect ~2x the K=4
+        # shortest-path curve), LPA and PageRank each ride fixed-round
+        # node-keyed joins over the same near-constant edge table — the
+        # pair-building self-join is the only input-proportional stage
+        "rel_shortest_path_k_audit": relational.shortest_path_k_audit,
+        "rel_label_propagation": relational.label_propagation_communities,
+        "rel_pagerank": relational.pagerank_copurchase,
     }
     only = list(argv)
     if only:
@@ -162,10 +171,19 @@ def main() -> int:
 
     root = tempfile.mkdtemp(prefix="scale_")
     try:
+        from air_traffic_data_pipeline_spark.operators import checkpoints
+
+        def _reset():
+            # cold caches AND released checkpoints per run: the graph
+            # queries pin edge/result RDDs until teardown, and leaked
+            # pinned blocks across reps made earlier curves non-monotone
+            llm.clear_caches()
+            checkpoints.clear_all(spark)
+
         dirs = build_lakes(spark, base, root)
         # warm codegen/JIT per plan shape on the smallest lake
         for fn in queries.values():
-            llm.clear_caches()
+            _reset()
             fn(spark, dirs[1]).count()
 
         table: dict[str, dict[int, float]] = {q: {} for q in queries}
@@ -174,7 +192,7 @@ def main() -> int:
             for qname, fn in queries.items():
                 best = None
                 for _ in range(reps):
-                    llm.clear_caches()
+                    _reset()
                     t0 = time.time()
                     n = fn(spark, dirs[m]).count()
                     dt = time.time() - t0

@@ -50,6 +50,16 @@ FOLD_HEAVY = (
     "llm_lm_interpolated",
     "llm_feature_hashing",
     "llm_mixing_divergence",
+    # round-9 fold paths (breadcrumb #5): the temperature fit's integer
+    # micro-unit quantization (per-doc double -> BIGINT boundary), the
+    # Heaps log-log OLS fold, the Bellman-Ford double-sum path costs
+    # (lineitem now densifies 10x below, so the graph genuinely scales),
+    # and the integer PageRank fixed point (order-free by construction —
+    # the check proves the claim survives a 10x partial-agg topology)
+    "llm_temperature_scaling",
+    "llm_heaps_law_fit",
+    "rel_shortest_path",
+    "rel_pagerank",
 )
 
 ALL_TABLES = (
@@ -74,7 +84,8 @@ def build_sf1(spark, base: str, out: str, m: int) -> None:
     ev = spark.read.parquet(f"{base}/events.parquet")
     doc = spark.read.parquet(f"{base}/documents.parquet")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
-    evs, docs, embs = [], [], []
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    evs, docs, embs, lis = [], [], [], []
     for i in range(m):
         evs.append(ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET)))
         d = doc.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
@@ -82,9 +93,18 @@ def build_sf1(spark, base: str, out: str, m: int) -> None:
             d = d.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1_{i}"))
         docs.append(d)
         embs.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET)))
+        # lineitem replicas keep partkeys under fresh orderkeys (the
+        # scaling_curve lot-densification model) so the co-purchase graph
+        # queries see a genuinely 10x lineitem, not a copy-through
+        lis.append(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ID_OFFSET)))
     from air_traffic_data_pipeline_spark.streaming.events_stream import _write_single
 
-    for name, parts in (("events", evs), ("documents", docs), ("embeddings", embs)):
+    for name, parts in (
+        ("events", evs),
+        ("documents", docs),
+        ("embeddings", embs),
+        ("lineitem", lis),
+    ):
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -92,7 +112,7 @@ def build_sf1(spark, base: str, out: str, m: int) -> None:
         # as a FILE, not a Spark-style directory
         _write_single(u, f"{out}/{name}.parquet")
     for t in ALL_TABLES:
-        if t not in ("events", "documents", "embeddings"):
+        if t not in ("events", "documents", "embeddings", "lineitem"):
             src = f"{base}/{t}.parquet"
             dst = f"{out}/{t}.parquet"
             if os.path.isdir(src):
