@@ -2717,36 +2717,12 @@ GROUP BY a.source"""
 
 
 def _shortest_path_sql() -> str:
-    ctes = [
-        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-pr AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2),
-e AS (
-  SELECT pa AS src, pb AS dst,
-         round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS w FROM pr
-  UNION ALL
-  SELECT pb, pa, round(CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE), 6) FROM pr),
-s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT {n}),
-d0 AS (SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist FROM s)""".format(
-            n=SP_N_SOURCES
-        )
-    ]
-    for k in range(1, SP_ROUNDS + 1):
-        ctes.append(
-            f"""d{k} AS (
-  SELECT source, node, min(dist) AS dist FROM (
-    SELECT source, node, dist FROM d{k - 1}
-    UNION ALL
-    SELECT d.source, e.dst AS node, d.dist + e.w AS dist
-    FROM d{k - 1} d JOIN e ON d.node = e.src
-  ) u GROUP BY 1, 2)"""
-        )
+    # shares _sp_chain_ctes' MATERIALIZED discipline: each d{k} is
+    # referenced twice by d{k+1}, so inlining makes the plan 2^K-sized —
+    # tolerable at sf0.01, pathological once the 10x sf1 lake multiplies
+    # the pair self-join each inlined copy re-runs
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _sp_chain_ctes(SP_ROUNDS)
         + f"\nSELECT source, node, round(dist, 6) AS dist FROM d{SP_ROUNDS}"
     )
 
