@@ -129,29 +129,38 @@ def label_propagation(
         nodes.select("node", F.col("node").alias("label")), register=True
     )
     for _ in range(rounds):
-        votes = (
-            e.join(lab, e["e_src"] == lab["node"])
-            .groupBy(F.col("e_dst").alias("node"), "label")
-            .agg(F.sum("e_w").alias("tw"))
-        )
-        winner = (
-            votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("tw"), (-F.col("label")).alias("neg"))).alias("m"))
-            .select("node", (-F.col("m.neg")).alias("label"))
-        )
-        # nodes with no in-edges keep their current label
         new_lab, new_ids = tracked_local_checkpoint(
-            lab.alias("l")
-            .join(winner.alias("w"), "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("w.label"), F.col("l.label")).alias("label"),
-            ),
-            register=True,
+            lp_round(e, lab), register=True
         )
         release(spark, lab_ids)
         lab, lab_ids = new_lab, new_ids
     return lab
+
+
+def lp_round(e: DataFrame, lab: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round as a pure plan (exposed so
+    tests can pin the physical shape — the loop's checkpoints truncate it
+    out of the final frame): vote join keyed by node, two-level integer
+    vote aggregate, struct-max winner, keep-label left join."""
+    votes = (
+        e.join(lab, e["e_src"] == lab["node"])
+        .groupBy(F.col("e_dst").alias("node"), "label")
+        .agg(F.sum("e_w").alias("tw"))
+    )
+    winner = (
+        votes.groupBy("node")
+        .agg(F.max(F.struct(F.col("tw"), (-F.col("label")).alias("neg"))).alias("m"))
+        .select("node", (-F.col("m.neg")).alias("label"))
+    )
+    # nodes with no in-edges keep their current label
+    return (
+        lab.alias("l")
+        .join(winner.alias("w"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("w.label"), F.col("l.label")).alias("label"),
+        )
+    )
 
 
 PAGERANK_SCALE = 1_000_000_000_000  # micro-unit fixed point: 1.0 == 1e12
@@ -209,34 +218,42 @@ def pagerank_integer(
     )
     rank, rank_ids = tracked_local_checkpoint(r0, register=True)
     for _ in range(rounds):
-        # NOTE: no broadcast here — unlike the Bellman-Ford frontier, the
-        # rank table is |V|-sized; this is the classic shuffle join keyed
-        # by node (pre-bucket both sides on node in a real deployment)
-        contrib = (
-            rank.join(e, rank["node"] == e["e_src"])
-            .select(
-                F.col("e_dst").alias("node"),
-                F.expr("(rank * e_w) DIV e_sw").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
         new_rank, new_ids = tracked_local_checkpoint(
-            rank.select("node", "base")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"base + (CAST({damping_pct} AS BIGINT)"
-                    " * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
-                ).alias("rank"),
-                "base",
-            ),
-            register=True,
+            pr_round(e, rank, damping_pct), register=True
         )
         release(spark, rank_ids)
         rank, rank_ids = new_rank, new_ids
     return rank.select("node", "rank")
+
+
+def pr_round(e: DataFrame, rank: DataFrame, damping_pct: int) -> DataFrame:
+    """One integer-PageRank round as a pure plan (exposed so tests can pin
+    the physical shape — the loop's checkpoints truncate it out of the
+    final frame). NOTE: no broadcast on the rank side — unlike the
+    Bellman-Ford frontier, the rank table is |V|-sized; this is the
+    classic shuffle join keyed by node (pre-bucket both sides on node in
+    a real deployment)."""
+    contrib = (
+        rank.join(e, rank["node"] == e["e_src"])
+        .select(
+            F.col("e_dst").alias("node"),
+            F.expr("(rank * e_w) DIV e_sw").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        rank.select("node", "base")
+        .join(contrib, "node", "left")
+        .select(
+            "node",
+            F.expr(
+                f"base + (CAST({damping_pct} AS BIGINT)"
+                " * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+            ).alias("rank"),
+            "base",
+        )
+    )
 
 
 def bellman_ford_snapshots(
@@ -337,17 +354,25 @@ def k_core_survivors(
     )
     prev, prev_ids = surv, None
     for _ in range(rounds):
-        alive = e.join(surv, e["e_src"] == surv["node"], "left_semi")
-        alive = alive.join(surv, alive["e_dst"] == surv["node"], "left_semi")
         new_surv, new_ids = tracked_local_checkpoint(
-            alive.groupBy("e_src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("e_src").alias("node")),
-            register=True,
+            kcore_round(e, surv, k), register=True
         )
         if prev_ids is not None:
             release(spark, prev_ids)
         prev, prev_ids = surv, surv_ids
         surv, surv_ids = new_surv, new_ids
     return prev, surv
+
+
+def kcore_round(e: DataFrame, surv: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round as a pure plan (exposed so tests can pin the
+    physical shape): two edge-vs-survivor semi-joins + a count-agg with
+    the degree->=k filter."""
+    alive = e.join(surv, e["e_src"] == surv["node"], "left_semi")
+    alive = alive.join(surv, alive["e_dst"] == surv["node"], "left_semi")
+    return (
+        alive.groupBy("e_src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("e_src").alias("node"))
+    )

@@ -914,3 +914,50 @@ def test_global_shard_plan_never_windows_full_doc_table(spark):
     assert not any("doc_id" in s and "bucket" not in s for s in specs), (
         "global doc-ordered window found — the anti-pattern this plan avoids"
     )
+
+
+def test_late_round9_graph_round_plan_shapes(spark):
+    """The per-round plans of the late-round-9 graph family keep their
+    promised shapes (the loops' checkpoints truncate these out of the
+    final frames, so the exposed *_round builders are what's pinnable):
+
+    - LPA round: node-keyed equi-join + hash aggregates (partial combine)
+      + a left join — no window (the winner is max(struct), so a hot node
+      never lands on one task), no cartesian, no Python.
+    - PageRank round: node-keyed equi-join + sum aggregate + left join —
+      no cartesian, no Python, and the rank side is NOT broadcast (it is
+      |V|-sized by design; the plan must show a real exchange, not a
+      BroadcastHashJoin build on rank).
+    - k-core round: two LeftSemi joins + count aggregate — semi, never
+      inner (edge payloads must not multiply), no cartesian, no Python.
+    """
+    from air_traffic_data_pipeline_spark.operators.graph import (
+        kcore_round,
+        lp_round,
+        pr_round,
+    )
+
+    e = spark.range(100).select(
+        (F.col("id") % 10).alias("e_src"),
+        (F.col("id") % 7).alias("e_dst"),
+        (F.col("id") % 3 + 1).alias("e_w"),
+    )
+    lab = spark.range(10).select(F.col("id").alias("node"), F.col("id").alias("label"))
+    p = plan(lp_round(e, lab), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p, "winner must be max(struct), not a ranking window"
+    assert "HashAggregate" in p
+
+    rank = spark.range(10).select(
+        F.col("id").alias("node"),
+        F.lit(1000).cast("bigint").alias("rank"),
+        F.lit(10).cast("bigint").alias("base"),
+    )
+    e_pr = e.withColumn("e_sw", F.lit(5).cast("bigint"))
+    p = plan(pr_round(e_pr, rank, 85), "simple")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    surv = spark.range(10).select(F.col("id").alias("node"))
+    p = plan(kcore_round(e, surv, 2), "simple")
+    assert p.count("LeftSemi") >= 2, "both endpoint filters must be semi-joins"
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
