@@ -2408,10 +2408,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: each round = one shuffle join keyed by node + a two-level agg
     with map-side combine; fixed rounds cap total shuffles; hub skew
     AQE-splits (operators/graph.py::label_propagation)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return label_propagation_from_pairs(copurchase_pairs(li))
+
+
+def label_propagation_from_pairs(pr: DataFrame) -> DataFrame:
+    """The symmetrize + vote + report tail of
+    :func:`label_propagation_communities`, shared with the streaming
+    incremental mirror (which feeds MERGED batch pair partials — vote
+    weights are the corpus-global counts, so they must merge first)."""
     from ..operators.graph import label_propagation
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = copurchase_pairs(li)
     e = pr.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
     ).unionByName(
@@ -2485,10 +2492,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg with map-side combine; the out-weight-annotated edge table
     checkpoints once; top-k is TakeOrderedAndProject, never a global
     sort. The symmetric graph has no sinks, so no dangling-mass term."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return pagerank_from_pairs(copurchase_pairs(li))
+
+
+def pagerank_from_pairs(pr: DataFrame) -> DataFrame:
+    """The symmetrize + iterate + top-k tail of :func:`pagerank_copurchase`,
+    shared with the streaming incremental mirror (transition weights and
+    out-weight sums are corpus-global counts, so partials merge first)."""
     from ..operators.graph import pagerank_integer
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = copurchase_pairs(li)
     e = pr.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
     ).unionByName(

@@ -556,6 +556,38 @@ def _kcore_oracle_sql() -> str:
     return _kcore_sql()
 
 
+def stream_incremental_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_label_propagation
+
+    return incremental_label_propagation(spark, sf_dir)
+
+
+def _label_propagation_oracle_sql() -> str:
+    """Merged pair counts feed the shared synchronous-vote kernel (vote
+    weights are corpus-global counts — a later batch can flip a
+    plurality); must reproduce the one-shot community table bitwise; the
+    batch query's SQL IS the oracle."""
+    from .relational import _label_propagation_sql
+
+    return _label_propagation_sql()
+
+
+def stream_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_pagerank
+
+    return incremental_pagerank(spark, sf_dir)
+
+
+def _pagerank_oracle_sql() -> str:
+    """Merged pair counts feed the shared micro-unit fixed-point kernel
+    (transition weights and out-weight normalizers are corpus-global);
+    must reproduce the one-shot top-k bitwise; the batch query's SQL IS
+    the oracle."""
+    from .relational import _pagerank_sql
+
+    return _pagerank_sql()
+
+
 def stream_incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_sketch
 
@@ -683,6 +715,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_shortest_path", stream_incremental_shortest_path, _shortest_path_oracle_sql()),
     ("stream_incremental_quantile_sketch", stream_incremental_quantile_sketch, _quantile_sketch_oracle_sql()),
     ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
+    ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
+    ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
 ]
 
 if _tws_available():

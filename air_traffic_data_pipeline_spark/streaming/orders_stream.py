@@ -239,28 +239,26 @@ def _stage_lineitem_batches(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming incremental co-purchase shortest paths — bitwise equal to
-    the one-shot ``plans.relational.shortest_path`` (its SQL is the
-    oracle).
-
-    Each micro-batch lands its (pa, pb, cnt) co-purchase pair partials —
-    the pair kernel is per-ORDER local and batches are order-atomic, so
-    batch partials are exact and MERGE BY INTEGER SUM under any arrival
-    order. Edge weights (1/cnt) and therefore distances are corpus-global
-    (a later batch can SHORTEN an edge by raising its count), so emission
-    recomputes weights from the merged exact counts and runs the shared
-    K-round relaxation kernel — the corpus-global posture of the LM
-    mirrors, with distinct-pair-sized state and lineitems read once."""
+def _incremental_from_pair_state(spark: SparkSession, sf_dir: str, tag, kernel) -> DataFrame:
+    """The shared scaffolding of the graph-family mirrors: stage
+    order-atomic lineitem batches, land per-batch (pa, pb, cnt)
+    co-purchase pair partials via Structured Streaming (the pair kernel
+    is per-ORDER local, so batch partials are exact and MERGE BY INTEGER
+    SUM under any arrival order), then run ``kernel`` over the merged
+    pairs and checkpoint the small result. One landed state serves every
+    graph query — distance reads 1/cnt, cohesion reads the pair support,
+    community reads cnt as the vote weight, centrality reads cnt as the
+    transition weight — which is exactly the point: at 100 TB you land
+    the distinct-pair-sized state once and fan the kernels out over it."""
     import shutil
     import uuid as _uuid
 
     from ..operators.checkpoints import tracked_local_checkpoint
-    from ..plans.relational import copurchase_pairs, shortest_path_from_pairs
+    from ..plans.relational import copurchase_pairs
 
     tune_session(spark)
     d = _stage_lineitem_batches(spark, sf_dir)
-    base = f"{d.rstrip('/')}_sp_{_uuid.uuid4().hex[:8]}"
+    base = f"{d.rstrip('/')}_{tag}_{_uuid.uuid4().hex[:8]}"
     pairs_dir = f"{base}/pairs"
 
     def _update(batch_df: DataFrame, epoch_id: int) -> None:
@@ -286,12 +284,25 @@ def incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pa", "pb")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
-        out, _ = tracked_local_checkpoint(
-            shortest_path_from_pairs(merged), register=True
-        )
+        out, _ = tracked_local_checkpoint(kernel(merged), register=True)
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental co-purchase shortest paths — bitwise equal to
+    the one-shot ``plans.relational.shortest_path`` (its SQL is the
+    oracle).
+
+    Edge weights (1/cnt) and therefore distances are corpus-global (a
+    later batch can SHORTEN an edge by raising its count), so emission
+    recomputes weights from the merged exact counts and runs the shared
+    K-round relaxation kernel — the corpus-global posture of the LM
+    mirrors, with distinct-pair-sized state and lineitems read once."""
+    from ..plans.relational import shortest_path_from_pairs
+
+    return _incremental_from_pair_state(spark, sf_dir, "sp", shortest_path_from_pairs)
 
 
 def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,41 +380,38 @@ def incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (needs only which pairs exist). Core membership is corpus-
     global (a later batch can RESCUE a peeled node by adding partners),
     so emission runs the shared peel kernel over the merged pairs."""
-    import shutil
-    import uuid as _uuid
+    from ..plans.relational import kcore_from_pairs
 
-    from ..operators.checkpoints import tracked_local_checkpoint
-    from ..plans.relational import copurchase_pairs, kcore_from_pairs
+    return _incremental_from_pair_state(spark, sf_dir, "kc", kcore_from_pairs)
 
-    tune_session(spark)
-    d = _stage_lineitem_batches(spark, sf_dir)
-    base = f"{d.rstrip('/')}_kc_{_uuid.uuid4().hex[:8]}"
-    pairs_dir = f"{base}/pairs"
 
-    def _update(batch_df: DataFrame, epoch_id: int) -> None:
-        copurchase_pairs(batch_df).write.mode("overwrite").parquet(
-            f"{pairs_dir}/batch={epoch_id}"
-        )
+def incremental_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental LPA communities — bitwise equal to the
+    one-shot ``plans.relational.label_propagation_communities`` (its SQL
+    is the oracle).
 
-    try:
-        src = (
-            spark.readStream.schema(LINEITEM_PAIR_SCHEMA)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(d)
-        )
-        q = src.writeStream.foreachBatch(_update).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    Vote weights are the corpus-global co-purchase COUNTS — a later batch
+    can FLIP a plurality vote by raising one label's total — so emission
+    runs the shared synchronous-vote kernel over the merged exact counts;
+    the integer vote sums that make the batch query engine-deterministic
+    are the same property that makes the merged state exact here."""
+    from ..plans.relational import label_propagation_from_pairs
 
-        merged = (
-            spark.read.parquet(f"{pairs_dir}/batch=*")
-            .groupBy("pa", "pb")
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        )
-        out, _ = tracked_local_checkpoint(kcore_from_pairs(merged), register=True)
-        return out
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    return _incremental_from_pair_state(
+        spark, sf_dir, "lp", label_propagation_from_pairs
+    )
+
+
+def incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental integer PageRank — bitwise equal to the
+    one-shot ``plans.relational.pagerank_copurchase`` (its SQL is the
+    oracle).
+
+    Transition weights AND the per-node out-weight normalizers are
+    corpus-global counts (a later batch shifts every ratio at a touched
+    node), so emission runs the shared micro-unit fixed-point kernel over
+    the merged counts — the floor-division folds that make the batch
+    query engine-bitwise are order-free over the merged state too."""
+    from ..plans.relational import pagerank_from_pairs
+
+    return _incremental_from_pair_state(spark, sf_dir, "pg", pagerank_from_pairs)

@@ -1046,3 +1046,38 @@ def test_incremental_kcore_equals_batch(spark):
     want = {tuple(r) for r in relational.kcore_decomposition(spark, sf).collect()}
     got = {tuple(r) for r in incremental_kcore(spark, sf).collect()}
     assert got == want and want
+
+
+def test_incremental_label_propagation_equals_batch(spark):
+    """The community mirror: vote weights are corpus-global counts (a
+    cross-batch pair can FLIP a plurality vote), so emission must vote
+    over the MERGED counts — equality with the one-shot community table
+    pins that per-batch voting was never smuggled in."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        tuple(r)
+        for r in relational.label_propagation_communities(spark, sf).collect()
+    }
+    got = {tuple(r) for r in incremental_label_propagation(spark, sf).collect()}
+    assert got == want and want
+
+
+def test_incremental_pagerank_equals_batch(spark):
+    """The centrality mirror: transition weights AND out-weight
+    normalizers are corpus-global (a later batch shifts every ratio at a
+    touched node), so emission must iterate over the merged counts —
+    bitwise equality of the integer micro-unit top-k pins it."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in relational.pagerank_copurchase(spark, sf).collect()}
+    got = {tuple(r) for r in incremental_pagerank(spark, sf).collect()}
+    assert got == want and want
