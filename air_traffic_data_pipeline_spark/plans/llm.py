@@ -2632,6 +2632,98 @@ def _nsw_topk_sql() -> str:
     return "WITH " + ",\n".join(ctes) + _topk_tail_sql(final, 3)
 
 
+GCP_ROUNDS = 5
+GCP_W_SCALE = 1_000_000  # cosine -> integer micro-weight (e_sim is 6-dp)
+
+
+def graph_centrality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the NSW document-similarity graph as a
+    CURATION PRIOR — which sources contribute the most representative
+    (central) material: the ANN family's banded neighbor graph
+    (operators/similarity.py::nsw_edges) re-read as a similarity network,
+    its 6-dp cosines quantized to integer micro-weights, symmetric-closed
+    (so no sinks), then 5 rounds of the integer micro-unit PageRank and a
+    per-source rollup (node count, total centrality mass, top doc by
+    struct-extreme — no per-source window). Central docs are cluster
+    prototypes; sources whose mass is LOW relative to their node count
+    contribute peripheral/outlier material — the graph-flavored sibling
+    of semdedup's centroid distance (prototype selection via random-walk
+    centrality, cf. LexRank, Erkan & Radev 2004).
+
+    Cross-family composite by construction: the graph build is the
+    banded-join shape (never all-pairs), the iteration is the order-free
+    BIGINT fixed point, and BOTH already carry their own oracles — this
+    query's oracle just composes the two CTE chains (prefixable builders
+    _nsw_graph_ctes + relational.pagerank_chain_ctes) in one statement.
+
+    Scale: graph build linear in corpus (degree-capped); per PageRank
+    round one |V|-vs-|E| shuffle join (|E| <= N*M_DEG); the rollup is one
+    map-side-combining groupBy(source)."""
+    from ..operators.graph import pagerank_integer
+    from ..operators.similarity import nsw_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = nsw_edges(emb, EMB_DIM)
+    w = F.round(F.col("e_sim") * GCP_W_SCALE).cast("bigint")
+    pe = edges.filter(F.col("e_sim") > 0).select("src", "dst", w.alias("w"))
+    sym = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).distinct()
+    rank = pagerank_integer(sym, GCP_ROUNDS)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source"
+    )
+    return (
+        rank.join(docs, "node")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("rank").cast("bigint").alias("mass_micro"),
+            F.max(
+                F.struct(F.col("rank"), (-F.col("node")).alias("neg"))
+            ).alias("m"),
+        )
+        .select(
+            "source",
+            "n_nodes",
+            "mass_micro",
+            (-F.col("m.neg")).alias("top_doc"),
+            F.col("m.rank").alias("top_rank_micro"),
+        )
+    )
+
+
+def _graph_centrality_sql() -> str:
+    from .relational import pagerank_chain_ctes
+
+    ctes = [_NSW_WB_CTE]
+    ctes += _nsw_graph_ctes("", "wb")
+    last = f"e{NSW_NND_ROUNDS}"
+    ctes.append(
+        f"""pg0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT src, dst, CAST(round(e_sim * {GCP_W_SCALE}) AS BIGINT) AS w
+    FROM {last} WHERE e_sim > 0
+    UNION ALL
+    SELECT dst, src, CAST(round(e_sim * {GCP_W_SCALE}) AS BIGINT)
+    FROM {last} WHERE e_sim > 0) u)"""
+    )
+    chain, final = pagerank_chain_ctes("pg", "pg0", GCP_ROUNDS)
+    ctes += chain
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(r.rank) AS BIGINT) AS mass_micro,
+       -(max({{'r': r.rank, 'n': -r.node}}).n) AS top_doc,
+       max({{'r': r.rank, 'n': -r.node}}).r AS top_rank_micro
+FROM {final} r JOIN documents d ON r.node = d.doc_id
+GROUP BY d.source"""
+    )
+
+
 def nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the NSW beam search vs brute-force truth, next to the
     LSH multi-probe baseline on the same queries — the acceptance gate for
@@ -11715,6 +11807,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
     ("llm_ann_nsw_topk", ann_nsw_topk, _nsw_topk_sql()),
+    ("llm_graph_centrality_prior", graph_centrality_prior, _graph_centrality_sql()),
     ("llm_nsw_recall_eval", nsw_recall_eval, _nsw_recall_sql()),
     ("llm_ann_hnsw_topk", ann_hnsw_topk, _hnsw_topk_sql()),
     ("llm_hnsw_recall_eval", hnsw_recall_eval, _hnsw_recall_sql()),

@@ -2515,10 +2515,48 @@ def pagerank_from_pairs(pr: DataFrame) -> DataFrame:
     )
 
 
-def _pagerank_sql() -> str:
+def pagerank_chain_ctes(
+    pfx: str, edge_cte: str, rounds: int, damping_pct: int = 85
+) -> tuple[list[str], str]:
+    """CTE chain replaying :func:`operators.graph.pagerank_integer` over
+    ``edge_cte(src, dst, w BIGINT)``; returns (ctes, final rank CTE name)
+    — final CTE has (node, rank, base). Prefixable so composites (e.g.
+    the NSW-graph centrality prior in plans/llm.py) can run the chain
+    over their own derived edge list in one statement. Every round CTE is
+    referenced twice (teleport leg + contribution join) — MATERIALIZED
+    for the same inlining-blowup reason as _sp_chain_ctes."""
     from ..operators.graph import PAGERANK_SCALE
 
     scale = PAGERANK_SCALE
+    tele = 100 - damping_pct
+    ctes = [
+        f"""{pfx}deg AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM {edge_cte} GROUP BY src)""",
+        f"""{pfx}e AS MATERIALIZED (
+  SELECT t.src, t.dst, t.w, d.sw FROM {edge_cte} t JOIN {pfx}deg d ON t.src = d.src)""",
+        f"""{pfx}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {pfx}deg)""",
+        f"""{pfx}r0 AS MATERIALIZED (
+  SELECT d.src AS node,
+         CAST({scale} AS BIGINT) // nn.n AS rank,
+         (CAST({tele} AS BIGINT) * (CAST({scale} AS BIGINT) // nn.n)) // 100 AS base
+  FROM {pfx}deg d, {pfx}nn nn)""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""{pfx}r{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST(p.base + (CAST({damping_pct} AS BIGINT) *
+              coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank,
+         p.base
+  FROM {pfx}r{k - 1} p LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((r.rank * e.w) // e.sw) AS BIGINT) AS s
+    FROM {pfx}r{k - 1} r JOIN {pfx}e e ON r.node = e.src
+    GROUP BY e.dst) s ON p.node = s.node)"""
+        )
+    return ctes, f"{pfx}r{rounds}"
+
+
+def _pagerank_sql() -> str:
     ctes = [
         """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
 pr AS MATERIALIZED (
@@ -2529,35 +2567,15 @@ pr AS MATERIALIZED (
 e0 AS (
   SELECT pa AS src, pb AS dst, CAST(cnt AS BIGINT) AS w FROM pr
   UNION ALL
-  SELECT pb, pa, CAST(cnt AS BIGINT) FROM pr),
-deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e0 GROUP BY src),
-e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, deg.sw FROM e0 JOIN deg ON e0.src = deg.src),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-r0 AS MATERIALIZED (
-  SELECT deg.src AS node,
-         CAST({scale} AS BIGINT) // nn.n AS rank,
-         (CAST(15 AS BIGINT) * (CAST({scale} AS BIGINT) // nn.n)) // 100 AS base
-  FROM deg, nn)""".format(scale=scale)
+  SELECT pb, pa, CAST(cnt AS BIGINT) FROM pr)"""
     ]
-    # r{k} is referenced twice per round (teleport leg + contribution
-    # join) — MATERIALIZED for the same inlining-blowup reason as above
-    for k in range(1, PR_ROUNDS + 1):
-        ctes.append(
-            f"""r{k} AS MATERIALIZED (
-  SELECT p.node,
-         CAST(p.base + (CAST(85 AS BIGINT) *
-              coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank,
-         p.base
-  FROM r{k - 1} p LEFT JOIN (
-    SELECT e.dst AS node, CAST(sum((r.rank * e.w) // e.sw) AS BIGINT) AS s
-    FROM r{k - 1} r JOIN e ON r.node = e.src
-    GROUP BY e.dst) s ON p.node = s.node)"""
-        )
+    chain, final = pagerank_chain_ctes("", "e0", PR_ROUNDS)
+    ctes += chain
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT node, rank AS rank_micro FROM r{PR_ROUNDS}
+SELECT node, rank AS rank_micro FROM {final}
 ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}"""
     )
 

@@ -3829,3 +3829,51 @@ def test_temperature_matrix_consistency(spark):
     leg = {r.t: (r.nll, r.ece, r.is_best)
            for r in rows if (r.scorer, r.gate) == ("classifier", "gopher")}
     assert leg == solo
+
+
+def test_graph_centrality_prior_consistency(spark):
+    """The NSW-graph centrality prior must be consistent with the pieces
+    it composes: per-source node counts partition the positive-similarity
+    symmetric graph's node set, centrality mass is positive and sums to
+    the whole graph's (floor-leak-bounded) total, each top doc belongs to
+    its source and carries that source's maximum rank with the smallest-id
+    tie-break."""
+    from air_traffic_data_pipeline_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_integer,
+    )
+    from air_traffic_data_pipeline_spark.operators.similarity import nsw_edges
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        EMB_DIM,
+        GCP_ROUNDS,
+        GCP_W_SCALE,
+        graph_centrality_prior,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    out = {r.source: r for r in graph_centrality_prior(spark, SF).collect()}
+    assert out, "no sources reported"
+
+    edges = nsw_edges(load(spark, SF, "embeddings"), EMB_DIM)
+    pe = edges.filter(F.col("e_sim") > 0).select(
+        "src", "dst", F.round(F.col("e_sim") * GCP_W_SCALE).cast("bigint").alias("w")
+    )
+    sym = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).distinct()
+    rank = {r.node: r.rank for r in pagerank_integer(sym, GCP_ROUNDS).collect()}
+    src_of = {
+        r.doc_id: r.source
+        for r in load(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+
+    assert sum(r.n_nodes for r in out.values()) == len(rank)
+    assert sum(r.mass_micro for r in out.values()) == sum(rank.values())
+    n = len(rank)
+    assert 0.9 * PAGERANK_SCALE <= sum(rank.values()) <= PAGERANK_SCALE + n
+    for s, r in out.items():
+        members = [v for v in rank if src_of[v] == s]
+        assert r.n_nodes == len(members)
+        best = max(members, key=lambda v: (rank[v], -v))
+        assert (r.top_doc, r.top_rank_micro) == (best, rank[best])
+        assert r.mass_micro > 0
