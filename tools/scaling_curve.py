@@ -161,6 +161,13 @@ def main() -> int:
         "rel_shortest_path_k_audit": relational.shortest_path_k_audit,
         "rel_label_propagation": relational.label_propagation_communities,
         "rel_pagerank": relational.pagerank_copurchase,
+        # the peel rounds ride the same near-constant distinct-edge table
+        # as LPA (expect flat); only the pair-building stage sees 4x input
+        "rel_kcore_decomposition": relational.kcore_decomposition,
+        # the centrality composite under the IDENTICAL-replica embedding
+        # model — dominated by the NSW graph build (the ann_nsw_topk
+        # entry's curve), plus 5 corpus-independent integer rounds
+        "llm_graph_centrality_prior": llm.graph_centrality_prior,
     }
     only = list(argv)
     if only:
