@@ -1541,9 +1541,12 @@ hq AS (
   FROM hit)"""
 
 
-def _quantile_sketch_sql() -> str:
+def _quantile_sketch_sql_from(xs_sql: str) -> str:
+    """The sketch-vs-exact tail over an arbitrary value source — shared
+    by the plain sketch oracle and the retraction-mirror oracle (same
+    tail, different xs)."""
     return f"""
-WITH xs AS (SELECT o_totalprice AS x FROM orders),
+WITH xs AS ({xs_sql}),
 {_hist_q_ctes(QS_PCTS)}
 SELECT q_pct, rank, est_q, exact_q,
        CAST(CASE WHEN abs(est_q - exact_q)
@@ -1551,6 +1554,24 @@ SELECT q_pct, rank, est_q, exact_q,
             THEN 1 ELSE 0 END AS INTEGER) AS within_one_bin
 FROM hq
 """
+
+
+def _quantile_sketch_sql() -> str:
+    return _quantile_sketch_sql_from("SELECT o_totalprice AS x FROM orders")
+
+
+RETRACT_MOD = 10
+RETRACT_RES = 7  # o_orderkey % 10 = 7: the deterministic cancellation set
+
+
+def _quantile_sketch_retract_sql() -> str:
+    """Oracle for the retraction-aware streaming mirror: the NET effect of
+    inserts minus cancellations is simply the sketch over the surviving
+    orders — the signed-partial state must land exactly here."""
+    return _quantile_sketch_sql_from(
+        "SELECT o_totalprice AS x FROM orders"
+        f" WHERE o_orderkey % {RETRACT_MOD} <> {RETRACT_RES}"
+    )
 
 
 RFM_SK_PCTS = (20, 40, 60, 80)  # the RFM quintile boundaries as int percents

@@ -604,6 +604,22 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_quantile_retract
+
+    return incremental_quantile_retract(spark, sf_dir)
+
+
+def _quantile_retract_oracle_sql() -> str:
+    """Signed (+1 insert / -1 cancellation) per-batch multiset partials
+    merged by SIGNED integer sum — the retraction-aware member of the
+    family; the net state must land exactly on the sketch over the
+    surviving orders, so THAT batch SQL is the oracle."""
+    from .relational import _quantile_sketch_retract_sql
+
+    return _quantile_sketch_retract_sql()
+
+
 def stream_incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_kneser_ney
 
@@ -717,6 +733,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
+    ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
 ]
 
 if _tws_available():

@@ -415,3 +415,126 @@ def incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.relational import pagerank_from_pairs
 
     return _incremental_from_pair_state(spark, sf_dir, "pg", pagerank_from_pairs)
+
+
+RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def _stage_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Four mtime-ordered batches: the three order terciles as
+    (o_totalprice, +1) INSERT rows plus a CANCELLATIONS batch carrying
+    the same rows at sign -1 for every order with
+    o_orderkey % RETRACT_MOD == RETRACT_RES — staged SECOND, so two
+    thirds of the retractions arrive BEFORE the inserts they cancel
+    (transient negative net counts mid-stream: the adversarial schedule
+    a signed-sum state must shrug off)."""
+    import hashlib
+
+    from ..plans.relational import RETRACT_MOD, RETRACT_RES
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/orders_retract_{key}"
+
+    def build():
+        from pyspark.sql import Window
+
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        n = o.count()
+        lo, hi = n // 3, 2 * n // 3
+        ranked = o.withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+        )
+
+        def ins(df: DataFrame) -> DataFrame:
+            return df.select("o_totalprice", F.lit(1).alias("sign"))
+
+        cancel = o.filter(
+            F.col("o_orderkey") % RETRACT_MOD == RETRACT_RES
+        ).select("o_totalprice", F.lit(-1).alias("sign"))
+        return [
+            ins(ranked.filter(F.col("rn") <= lo)),
+            cancel,
+            ins(ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))),
+            ins(ranked.filter(F.col("rn") > hi)),
+        ]
+
+    return _stage_ordered(
+        d,
+        [
+            "01_lo.parquet",
+            "02_cancel.parquet",
+            "03_mid.parquet",
+            "04_hi.parquet",
+        ],
+        build,
+    )
+
+
+def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE streaming quantile sketch — bitwise equal to the
+    one-shot sketch over the surviving (never-cancelled) orders (that
+    batch SQL is the oracle).
+
+    The merge semantics the insert-only incremental-MV family lacks:
+    micro-batches carry SIGNED rows (+1 insert, -1 cancellation), so the
+    per-batch (value, signed count) partials merge by SIGNED integer sum
+    — still commutative and associative, so arrival order provably can't
+    move the net state even when a retraction arrives BEFORE the insert
+    it cancels (the staged schedule does exactly that: the cancellations
+    batch lands second of four, driving transient negative net counts
+    that the final merge resolves). Emission expands the net multiset
+    through the shared sketch tail — nothing downstream knows deletions
+    ever happened, which is the point: retractions are a STATE-layer
+    concern, not a kernel concern. State is distinct-price-sized; a
+    value cancelled down to zero leaves the state entirely."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import quantile_sketch_from
+
+    tune_session(spark)
+    d = _stage_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_qr_{_uuid.uuid4().hex[:8]}"
+    vals_dir = f"{base}/vals"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(F.col("o_totalprice").alias("x")).agg(
+            F.sum("sign").cast("bigint").alias("c")
+        ).write.mode("overwrite").parquet(f"{vals_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # net multiset: every cancellation matches an insert, so net
+        # counts are >= 0 once the stream drains; the filter makes the
+        # zero-count drop explicit (array_repeat(x, 0) would also vanish)
+        merged = (
+            spark.read.parquet(f"{vals_dir}/batch=*")
+            .groupBy("x")
+            .agg(F.sum("c").cast("int").alias("c"))
+            .filter(F.col("c") > 0)
+        )
+        xs = merged.select(
+            F.explode(F.array_repeat(F.col("x"), F.col("c"))).alias("x")
+        )
+        out, _ = tracked_local_checkpoint(quantile_sketch_from(xs), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1081,3 +1081,35 @@ def test_incremental_pagerank_equals_batch(spark):
     want = {tuple(r) for r in relational.pagerank_copurchase(spark, sf).collect()}
     got = {tuple(r) for r in incremental_pagerank(spark, sf).collect()}
     assert got == want and want
+
+
+def test_incremental_quantile_retract_equals_batch(spark):
+    """The retraction mirror: signed per-batch multiset partials (the
+    cancellations batch lands SECOND of four, so two thirds of the
+    retractions precede the inserts they cancel — transient negative net
+    counts mid-stream) must land exactly on the one-shot sketch over the
+    surviving orders, including the data-dependent [lo, hi] binning."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RETRACT_MOD,
+        RETRACT_RES,
+        quantile_sketch_from,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_quantile_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    surviving = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % RETRACT_MOD != RETRACT_RES)
+        .select(F.col("o_totalprice").alias("x"))
+    )
+    want = {tuple(r) for r in quantile_sketch_from(surviving).collect()}
+    got = {tuple(r) for r in incremental_quantile_retract(spark, sf).collect()}
+    assert got == want and want
+    # and the retractions actually changed the answer vs the insert-only
+    # sketch (otherwise this test pins nothing)
+    all_orders = load(spark, sf, "orders").select(F.col("o_totalprice").alias("x"))
+    full = {tuple(r) for r in quantile_sketch_from(all_orders).collect()}
+    assert full != want, "cancellation set left every percentile untouched"
