@@ -1574,6 +1574,15 @@ def _quantile_sketch_retract_sql() -> str:
     )
 
 
+def _rfm_retract_sql() -> str:
+    """Oracle for the KEYED retraction mirror: the identical RFM scoring
+    over the surviving orders."""
+    return _rfm_sql(
+        "(SELECT * FROM orders"
+        f" WHERE o_orderkey % {RETRACT_MOD} <> {RETRACT_RES})"
+    )
+
+
 RFM_SK_PCTS = (20, 40, 60, 80)  # the RFM quintile boundaries as int percents
 
 
@@ -5867,7 +5876,9 @@ def rfm_from_per_customer(per: DataFrame) -> DataFrame:
     )
 
 
-def _rfm_sql() -> str:
+def _rfm_sql(src: str = "orders") -> str:
+    """Parameterized on the order source so the retraction mirror's
+    oracle can run the identical scoring over the surviving orders."""
     bcols = ",\n         ".join(
         f"round(quantile_cont({c}, {q!r}), 4) AS {c[0]}{k}"
         for c in ("recency_days", "freq", "monetary")
@@ -5882,7 +5893,7 @@ WITH per AS (
   SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
          CAST(count(*) AS BIGINT) AS freq,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
-  FROM orders GROUP BY 1),
+  FROM {src} GROUP BY 1),
 ref AS (SELECT max(last_d) AS ref_d FROM per),
 base AS (
   SELECT o_custkey,

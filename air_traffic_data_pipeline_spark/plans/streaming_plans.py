@@ -620,6 +620,22 @@ def _quantile_retract_oracle_sql() -> str:
     return _quantile_sketch_retract_sql()
 
 
+def stream_incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_rfm_retract
+
+    return incremental_rfm_retract(spark, sf_dir)
+
+
+def _rfm_retract_oracle_sql() -> str:
+    """Keyed retraction: per-customer SIGNED (date, price) multiset state
+    — max() is monotone and cannot retract, so the state stays one level
+    less aggregated and every scoring input is recomputed at emission;
+    must land exactly on the RFM scoring over the surviving orders."""
+    from .relational import _rfm_retract_sql
+
+    return _rfm_retract_sql()
+
+
 def stream_incremental_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_kneser_ney
 
@@ -734,6 +750,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
+    ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
 ]
 
 if _tws_available():

@@ -425,10 +425,15 @@ RETRACT_SCHEMA = T.StructType(
 )
 
 
-def _stage_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+def _stage_retraction_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: tuple[str, ...] = ("o_totalprice",),
+    name: str = "orders_retract",
+) -> str:
     """Four mtime-ordered batches: the three order terciles as
-    (o_totalprice, +1) INSERT rows plus a CANCELLATIONS batch carrying
-    the same rows at sign -1 for every order with
+    (*cols, +1) INSERT rows plus a CANCELLATIONS batch carrying the same
+    rows at sign -1 for every order with
     o_orderkey % RETRACT_MOD == RETRACT_RES — staged SECOND, so two
     thirds of the retractions arrive BEFORE the inserts they cancel
     (transient negative net counts mid-stream: the adversarial schedule
@@ -439,12 +444,12 @@ def _stage_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
     from ..plans.tables import load
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"{_STAGE_ROOT}/orders_retract_{key}"
+    d = f"{_STAGE_ROOT}/{name}_{key}"
 
     def build():
         from pyspark.sql import Window
 
-        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", *cols)
         n = o.count()
         lo, hi = n // 3, 2 * n // 3
         ranked = o.withColumn(
@@ -452,11 +457,11 @@ def _stage_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
         )
 
         def ins(df: DataFrame) -> DataFrame:
-            return df.select("o_totalprice", F.lit(1).alias("sign"))
+            return df.select(*cols, F.lit(1).alias("sign"))
 
         cancel = o.filter(
             F.col("o_orderkey") % RETRACT_MOD == RETRACT_RES
-        ).select("o_totalprice", F.lit(-1).alias("sign"))
+        ).select(*cols, F.lit(-1).alias("sign"))
         return [
             ins(ranked.filter(F.col("rn") <= lo)),
             cancel,
@@ -535,6 +540,94 @@ def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_repeat(F.col("x"), F.col("c"))).alias("x")
         )
         out, _ = tracked_local_checkpoint(quantile_sketch_from(xs), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+RFM_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE streaming RFM — bitwise equal to the one-shot RFM
+    scoring over the surviving (never-cancelled) orders (that batch SQL
+    is the oracle).
+
+    The KEYED generalization of the retraction principle the quantile
+    mirror demonstrates on a global multiset: the insert-only RFM mirror
+    keeps per-customer (max date, count, decimal sum) — but max() is
+    MONOTONE and cannot retract (cancel the latest order and the stored
+    max is wrong with no way back). The fix is to keep the state one
+    level less aggregated: a per-customer signed multiset of
+    (order date, price) rows, merged by SIGNED integer sum — every
+    aggregate the scoring needs is then recomputable at emission
+    (last_d = max date with net count > 0, freq = net count sum,
+    monetary = exact-decimal sum of price x net count). Distributive
+    sums retract for free; monotone aggregates need the multiset (or
+    tombstones) — that is the design note this mirror exists to pin.
+    State is distinct-(customer, date, price)-sized; a customer whose
+    every order is cancelled leaves the state (and the answer) entirely,
+    exactly as the batch filter drops them."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import rfm_from_per_customer
+
+    tune_session(spark)
+    d = _stage_retraction_batches(
+        spark,
+        sf_dir,
+        cols=("o_custkey", "o_orderdate", "o_totalprice"),
+        name="orders_rfm_retract",
+    )
+    base = f"{d.rstrip('/')}_rr_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/partials"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            "sign",
+        ).groupBy("o_custkey", "d", "p").agg(
+            F.sum("sign").cast("bigint").alias("c")
+        ).write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(RFM_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        net = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("o_custkey", "d", "p")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .filter(F.col("c") > 0)
+        )
+        per = net.groupBy("o_custkey").agg(
+            F.max("d").alias("last_d"),
+            F.sum("c").cast("bigint").alias("freq"),
+            F.sum(F.col("p") * F.col("c")).cast("double").alias("monetary"),
+        )
+        out, _ = tracked_local_checkpoint(
+            rfm_from_per_customer(per), register=True
+        )
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)

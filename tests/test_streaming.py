@@ -1113,3 +1113,54 @@ def test_incremental_quantile_retract_equals_batch(spark):
     all_orders = load(spark, sf, "orders").select(F.col("o_totalprice").alias("x"))
     full = {tuple(r) for r in quantile_sketch_from(all_orders).collect()}
     assert full != want, "cancellation set left every percentile untouched"
+
+
+def test_incremental_rfm_retract_equals_batch(spark):
+    """The KEYED retraction mirror: per-customer signed (date, price)
+    multiset state must land exactly on the RFM scoring over surviving
+    orders — including customers whose LATEST order was cancelled (the
+    case a monotone max-state cannot retract) and customers cancelled
+    out entirely (who must vanish from the segmentation)."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RETRACT_MOD,
+        RETRACT_RES,
+        rfm_from_per_customer,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_rfm_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    surviving = o.filter(F.col("o_orderkey") % RETRACT_MOD != RETRACT_RES)
+    per = (
+        surviving.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("p").cast("double").alias("monetary"),
+        )
+    )
+    want = {tuple(r) for r in rfm_from_per_customer(per).collect()}
+    got = {tuple(r) for r in incremental_rfm_retract(spark, sf).collect()}
+    assert got == want and want
+    # the cancellation set must actually exercise the hard case: at least
+    # one customer's LATEST order is cancelled (their last_d moves back)
+    full_last = {
+        r.o_custkey: r.last_d
+        for r in o.select(
+            "o_custkey", F.to_date("o_orderdate").alias("d")
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("d").alias("last_d"))
+        .collect()
+    }
+    surv_last = {r.o_custkey: r.last_d for r in per.select("o_custkey", "last_d").collect()}
+    moved = [c for c, d in surv_last.items() if full_last[c] != d]
+    assert moved, "no customer's latest order was cancelled — weak fixture"
