@@ -323,6 +323,7 @@ def k_core_survivors(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_edges: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Bounded k-core peeling over a symmetrized edge list: starting from
     all nodes, each round keeps exactly the nodes with degree >= k in the
@@ -345,10 +346,12 @@ def k_core_survivors(
     from .checkpoints import release, tracked_local_checkpoint
 
     spark = edges.sparkSession
-    e, _ = tracked_local_checkpoint(
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
-        register=True,
-    )
+    # checkpoint_edges=False when the caller already checkpointed the edge
+    # table (kcore_from_pairs shares ONE materialization across all k legs
+    # — re-checkpointing here would pin a redundant copy per k)
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    if checkpoint_edges:
+        e, _ = tracked_local_checkpoint(e, register=True)
     surv, surv_ids = tracked_local_checkpoint(
         e.select(F.col("e_src").alias("node")).distinct(), register=True
     )

@@ -2649,7 +2649,7 @@ def kcore_from_pairs(pr: DataFrame) -> DataFrame:
     )
     parts = []
     for k in KC_KS:
-        prev, fin = k_core_survivors(e, k, KC_ROUNDS)
+        prev, fin = k_core_survivors(e, k, KC_ROUNDS, checkpoint_edges=False)
         f = fin.groupBy().agg(
             F.count(F.lit(1)).cast("bigint").alias("core_nodes"),
             F.min("node").alias("min_node"),
