@@ -277,6 +277,8 @@ def bellman_ford_snapshots(
     loop takes anyway for lineage truncation, so snapshots are free)."""
     from .checkpoints import release, tracked_local_checkpoint
 
+    if not snapshot_rounds:
+        raise ValueError("snapshot_rounds must name at least one round")
     spark = edges.sparkSession
     e, _ = tracked_local_checkpoint(
         edges.select(

@@ -176,6 +176,15 @@ def main():
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        # full-registry sweeps run hundreds of queries in one session —
+        # release tracked localCheckpoints between queries so the graph
+        # family's pinned RDDs don't accumulate (the bench.py leak class)
+        try:
+            from air_traffic_data_pipeline_spark.operators import checkpoints
+
+            checkpoints.clear_all(spark)
+        except Exception:
+            pass
         if name not in oracles:
             try:
                 cnt = fn(spark, sf_dir).count()
