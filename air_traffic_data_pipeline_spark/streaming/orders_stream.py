@@ -36,6 +36,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..session import tune_session
 from .events_stream import _STAGE_ROOT, _stage_ordered
 
+def _int_count_guarded(c_big):
+    """Cast a bigint multiplicity to int for array_repeat, raising on
+    2^31 overflow instead of silently wrapping (r9 ADVICE). The
+    when/otherwise keeps raise_error inside the row expression so
+    Catalyst cannot prune it away."""
+    return F.when(c_big <= F.lit(2147483647), c_big.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("net multiset count overflows int32: "),
+                c_big.cast("string"),
+            )
+        ).cast("int")
+    )
+
+
 ORDERS_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType()),
@@ -223,11 +238,14 @@ def _stage_lineitem_batches(spark: SparkSession, sf_dir: str) -> str:
 
     def build():
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        # Tercile cut points via approxQuantile (relativeError=0 → exact,
+        # computed distributed): TWO scalars reach the driver instead of
+        # every distinct orderkey. The mirrors are arrival-order-free by
+        # design, so the cut points may sit anywhere — order-atomicity
+        # (an order never straddles a batch) is preserved because both
+        # filters compare the full l_orderkey.
         ks = li.select("l_orderkey").distinct()
-        n = ks.count()
-        lo_hi = ks.orderBy("l_orderkey").collect()
-        lo = lo_hi[n // 3 - 1].l_orderkey if n >= 3 else lo_hi[0].l_orderkey
-        hi = lo_hi[2 * n // 3 - 1].l_orderkey if n >= 3 else lo_hi[-1].l_orderkey
+        lo, hi = ks.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.0)
         return [
             li.filter(F.col("l_orderkey") <= lo),
             li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)),
@@ -353,10 +371,14 @@ def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             spark.read.parquet(f"{vals_dir}/batch=*")
             .groupBy("x")
-            .agg(F.sum("c").cast("int").alias("c"))
+            .agg(F.sum("c").alias("c_big"))
         )
+        # array_repeat needs an int count; keep the merged sum as bigint
+        # and fail loudly on 2^31 overflow instead of silently wrapping.
         xs = merged.select(
-            F.explode(F.array_repeat(F.col("x"), F.col("c"))).alias("x")
+            F.explode(
+                F.array_repeat(F.col("x"), _int_count_guarded(F.col("c_big")))
+            ).alias("x")
         )
         out, _ = tracked_local_checkpoint(
             quantile_sketch_from(xs), register=True
@@ -533,11 +555,14 @@ def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             spark.read.parquet(f"{vals_dir}/batch=*")
             .groupBy("x")
-            .agg(F.sum("c").cast("int").alias("c"))
-            .filter(F.col("c") > 0)
+            .agg(F.sum("c").alias("c_big"))
+            .filter(F.col("c_big") > 0)
         )
+        # overflow-guarded int cast: see _int_count_guarded
         xs = merged.select(
-            F.explode(F.array_repeat(F.col("x"), F.col("c"))).alias("x")
+            F.explode(
+                F.array_repeat(F.col("x"), _int_count_guarded(F.col("c_big")))
+            ).alias("x")
         )
         out, _ = tracked_local_checkpoint(quantile_sketch_from(xs), register=True)
         return out
