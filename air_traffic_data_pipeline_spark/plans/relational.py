@@ -2726,6 +2726,99 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS core_nodes,
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
 
 
+KCN_KMAX = 6  # decompose cores up to k=6 (coreness capped at kmax)
+KCN_ROUNDS = 6  # peel rounds per k, same bounded budget as KC_ROUNDS
+
+
+def core_numbers_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-node core-number decomposition of the part co-purchase
+    graph — the fifth rung of the graph ladder (r9 VERDICT item 4): where
+    ``rel_kcore_decomposition`` reports the k∈{2,3,4} core SIZES, this
+    answers the per-node question ("what is THIS part's coreness") for
+    every node, coreness = 1 + #{k in 2..KCN_KMAX : node survives the
+    bounded k-peel}, deterministic integers end to end.
+
+    Peel sharing: each k's peel is SEEDED from the (k-1)-peel's survivors
+    (cores nest, Seidman 1983; bounded rounds preserve the nesting because
+    a peel round is monotone in both arguments) — nothing re-peels from
+    scratch, the bellman_ford_snapshots trick applied to peeling. The
+    DuckDB oracle replays the identical (KCN_KMAX-1)×KCN_ROUNDS rounds as
+    unrolled MATERIALIZED CTEs, so the match is bitwise whether or not a
+    given k converged within budget.
+
+    Scale: the edge table localCheckpoints ONCE; every peel round is two
+    edge-vs-survivor semi-joins + a count-agg with map-side combine over a
+    survivor set that only shrinks; the final assignment is one union of
+    kmax-1 |V|-bounded survivor sets + one count-agg + one left join. No
+    collect, no per-node loop (operators/graph.py::core_numbers)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return core_numbers_from_pairs(copurchase_pairs(li))
+
+
+def core_numbers_from_pairs(pr: DataFrame) -> DataFrame:
+    """The symmetrize + decompose tail of :func:`core_numbers_copurchase`
+    (split out so a streaming mirror can feed merged batch pair partials)."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.graph import core_numbers
+
+    e, _ = tracked_local_checkpoint(
+        pr.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        ),
+        register=True,
+    )
+    # checkpoint_edges=False: copurchase_pairs emits one row per unordered
+    # pair, so the symmetrized union is distinct by construction
+    return core_numbers(
+        e, KCN_KMAX, KCN_ROUNDS, checkpoint_edges=False
+    ).orderBy("node")
+
+
+def _core_numbers_sql() -> str:
+    ctes = [
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pr
+  UNION ALL
+  SELECT pb, pa FROM pr),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
+    ]
+    # chained seeds: k's first round peels the (k-1)-final survivors —
+    # the same peel sharing the Spark operator does; MATERIALIZED for the
+    # same doubly-referenced-CTE inlining-blowup reason as _kcore_sql
+    prev = "s0"
+    for k in range(2, KCN_KMAX + 1):
+        for r in range(1, KCN_ROUNDS + 1):
+            name = f"c{k}r{r}"
+            ctes.append(
+                f"""{name} AS MATERIALIZED (
+  SELECT e.src AS node FROM e
+  JOIN {prev} a ON e.src = a.node
+  JOIN {prev} b ON e.dst = b.node
+  GROUP BY e.src
+  HAVING count(*) >= {k})"""
+            )
+            prev = name
+    members = "\n    UNION ALL\n    ".join(
+        f"SELECT node FROM c{k}r{KCN_ROUNDS}" for k in range(2, KCN_KMAX + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+members AS ({members})
+SELECT n.node, CAST(1 + count(m.node) AS INTEGER) AS core
+FROM s0 n LEFT JOIN members m ON n.node = m.node
+GROUP BY n.node
+ORDER BY n.node"""
+    )
+
+
 def _sp_chain_ctes(max_rounds: int) -> str:
     """The co-purchase Bellman-Ford CTE chain d0..d{max_rounds} (shared
     text-shape with _shortest_path_sql, parameterized on depth). Every
@@ -6026,6 +6119,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_label_propagation", label_propagation_communities, _label_propagation_sql()),
     ("rel_pagerank", pagerank_copurchase, _pagerank_sql()),
     ("rel_kcore_decomposition", kcore_decomposition, _kcore_sql()),
+    ("rel_core_numbers", core_numbers_copurchase, _core_numbers_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

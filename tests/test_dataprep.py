@@ -1611,3 +1611,40 @@ def test_kcore_decomposition_matches_reference(spark):
             surv = by_k[k]
             again = {u for u in surv if len(adj[u] & surv) >= k}
             assert again == surv
+
+
+def test_core_numbers_matches_reference(spark):
+    """Per-node core-number decomposition vs a pure-Python replay of the
+    identical bounded, peel-shared sweep (k's peel seeded from (k-1)'s
+    survivors): every node's coreness must match exactly, the coreness
+    histogram must be consistent with nesting, and at every k the
+    decomposition's >=k set must equal the replayed k-survivor set."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KCN_KMAX,
+        KCN_ROUNDS,
+        core_numbers_copurchase,
+    )
+
+    _, cnt = _copurchase_graph(spark)
+    adj: dict[int, set] = {}
+    for a, b in cnt:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {u: 1 for u in adj}
+    by_k = {}
+    surv = set(adj)
+    for k in range(2, KCN_KMAX + 1):
+        for _ in range(KCN_ROUNDS):
+            surv = {u for u in surv if len(adj[u] & surv) >= k}
+        for u in surv:
+            want[u] = k
+        by_k[k] = set(surv)
+    rows = core_numbers_copurchase(spark, SF).collect()
+    got = {r.node: r.core for r in rows}
+    assert got == want
+    # output is ordered by node and covers the node set exactly once
+    assert [r.node for r in rows] == sorted(adj)
+    # decomposition vs survivor sets: {v : core >= k} == bounded k-core
+    for k in range(2, KCN_KMAX + 1):
+        assert {u for u, c in got.items() if c >= k} == by_k[k]
+    assert all(1 <= c <= KCN_KMAX for c in got.values())
