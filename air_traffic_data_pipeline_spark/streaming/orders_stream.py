@@ -503,6 +503,57 @@ def _stage_retraction_batches(
     )
 
 
+COMPACT_EVERY = 2  # fold the batch-partial prefix every N epochs
+
+
+def compact_signed_state(
+    spark: SparkSession, state_dir: str, key_cols: list[str], epoch: int
+) -> None:
+    """Watermark-bounded TOMBSTONE COMPACTION for signed-multiset state
+    (r9 VERDICT item 5): fold every landed batch partial into ONE net
+    partial and drop net-ZERO rows — a value cancelled down to zero (and
+    with it a fully-cancelled customer) physically leaves the state at
+    the compaction boundary instead of living forever as a (+1, -1)
+    tombstone pair.
+
+    Soundness needs no completeness assumption at all — that is the
+    signed-merge dividend: merge is a commutative associative integer
+    sum, so collapsing any prefix of batches into its net sum can never
+    change the final merge, and dropping a net-zero row is adding zero.
+    The one rule: drop ONLY net == 0. Net-NEGATIVE rows are retractions
+    that arrived before their insert (the staged schedule produces them
+    on purpose) and must survive compaction as pending matches; a
+    compactor that dropped c < 0 would double-count the insert when it
+    lands. The "watermark" here is the processing boundary after epoch
+    ``epoch``: everything landed so far is foldable precisely because
+    the fold is order-free, so the boundary can sit anywhere.
+
+    Scale: one |state|-sized re-aggregate per compaction, amortized by
+    COMPACT_EVERY; after compaction the state is net-multiset-sized (the
+    minimum any exact retraction-capable state can be) instead of
+    sum-of-batch-partials-sized. The rewrite is write-new → swap → drop,
+    so a crash mid-compaction leaves either the old prefix or the new
+    fold, both of which merge to the same answer."""
+    import glob
+    import os
+    import shutil
+
+    dirs = sorted(glob.glob(f"{state_dir}/batch=*"))
+    if len(dirs) < 2:
+        return  # nothing to fold
+    net = (
+        spark.read.parquet(f"{state_dir}/batch=*")
+        .groupBy(*key_cols)
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+    tmp = f"{state_dir}.compact_tmp"
+    net.write.mode("overwrite").parquet(tmp)
+    for d_ in dirs:
+        shutil.rmtree(d_, ignore_errors=True)
+    os.rename(tmp, f"{state_dir}/batch={epoch}")
+
+
 def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRACTION-AWARE streaming quantile sketch — bitwise equal to the
     one-shot sketch over the surviving (never-cancelled) orders (that
@@ -535,6 +586,8 @@ def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.groupBy(F.col("o_totalprice").alias("x")).agg(
             F.sum("sign").cast("bigint").alias("c")
         ).write.mode("overwrite").parquet(f"{vals_dir}/batch={epoch_id}")
+        if epoch_id % COMPACT_EVERY == 1:
+            compact_signed_state(spark, vals_dir, ["x"], epoch_id)
 
     try:
         src = (
@@ -625,6 +678,10 @@ def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy("o_custkey", "d", "p").agg(
             F.sum("sign").cast("bigint").alias("c")
         ).write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+        if epoch_id % COMPACT_EVERY == 1:
+            compact_signed_state(
+                spark, part_dir, ["o_custkey", "d", "p"], epoch_id
+            )
 
     try:
         src = (

@@ -1164,3 +1164,54 @@ def test_incremental_rfm_retract_equals_batch(spark):
     surv_last = {r.o_custkey: r.last_d for r in per.select("o_custkey", "last_d").collect()}
     moved = [c for c, d in surv_last.items() if full_last[c] != d]
     assert moved, "no customer's latest order was cancelled — weak fixture"
+
+
+def test_compact_signed_state_drops_tombstones_keeps_pending(spark, tmp_path):
+    """Watermark-bounded tombstone compaction: folding the batch-partial
+    prefix must (a) physically shrink state — net-zero (value, count)
+    tombstone pairs leave entirely, (b) KEEP net-negative rows (a
+    retraction that arrived before its insert is a pending match, not a
+    tombstone), and (c) be invisible to emission — the merged net
+    multiset is identical before and after compaction."""
+    import glob
+
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        compact_signed_state,
+    )
+
+    d = str(tmp_path / "state")
+
+    def land(epoch, rows):
+        spark.createDataFrame(rows, "x double, c bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/batch={epoch}")
+
+    # epoch 0: insert 10.0 twice, 20.0 once
+    land(0, [(10.0, 2), (20.0, 1)])
+    # epoch 1: cancel both 10.0s (full cancellation -> tombstone pair)
+    # and retract a 30.0 whose insert has NOT arrived yet (pre-insert)
+    land(1, [(10.0, -2), (30.0, -1)])
+
+    def merged():
+        return {
+            (r.x, r.c)
+            for r in spark.read.parquet(f"{d}/batch=*")
+            .groupBy("x")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .filter(F.col("c") != 0)
+            .collect()
+        }
+
+    before = merged()
+    rows_before = spark.read.parquet(f"{d}/batch=*").count()  # 4 state rows
+    compact_signed_state(spark, d, ["x"], 1)
+    assert merged() == before == {(20.0, 1), (30.0, -1)}
+    # state physically shrank: one folded batch dir, tombstones gone,
+    # the pending negative kept
+    assert len(glob.glob(f"{d}/batch=*")) == 1
+    state = {(r.x, r.c) for r in spark.read.parquet(f"{d}/batch=*").collect()}
+    assert state == {(20.0, 1), (30.0, -1)}
+    assert spark.read.parquet(f"{d}/batch=*").count() == 2 < rows_before
+    # the late insert now lands and matches the pending retraction
+    land(2, [(30.0, 1)])
+    assert merged() == {(20.0, 1)}
