@@ -346,3 +346,42 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # absent — the failure mode the option exists to prevent
     plain = spark.read.parquet(f"{base}/batch=*")
     assert set(plain.columns) >= {"k", "v"}
+
+
+def test_bucketed_copurchase_pair_build_skips_shuffle(spark):
+    """The rel_pagerank watch item (r9 VERDICT item 6): the co-purchase
+    pair build is a lineitem self-join on l_orderkey, and at growing lot
+    density that self-join's shuffle is the scaling bound (1.95x wall at
+    4x data, PERF.md). The bucketed-write lever removes the shuffle
+    entirely: land the (l_orderkey, l_partkey) projection bucketed on
+    l_orderkey once, and the self-join becomes a zero-Exchange
+    bucket-aware SMJ — each bucket joins against itself in place, which
+    is exactly how the pair state would be maintained on a 1000-executor
+    cluster (land bucketed, rebuild pairs per bucket, merge counts).
+    This test pins that plan AND that the bucketed build is bitwise equal
+    to the straight self-join."""
+    import uuid
+
+    from air_traffic_data_pipeline_spark.plans.relational import copurchase_pairs
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.sinks.lake import read_table, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    tname = f"bkt_li_{uuid.uuid4().hex[:8]}"
+    write_bucketed(li, tname, "l_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = copurchase_pairs(read_table(spark, tname))
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # below the self-join: only bucket-aware scans — no Exchange
+        below_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in below_join, below_join
+        assert "SelectedBucketsCount" in plan, plan
+        got = sorted(tuple(r) for r in pairs.collect())
+        want = sorted(tuple(r) for r in copurchase_pairs(li).collect())
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
