@@ -48,6 +48,12 @@ HEADLINE = [
     # broadcast, the edge checkpoint, or the relax join shape slipped —
     # same new-key caveat as above
     "rel_shortest_path",
+    # round-10 addition (r9 VERDICT item 7): the heaviest cross-family
+    # composite — NSW similarity-graph build x integer PageRank x per-source
+    # rollup (~9.5 s at sf0.1, dominated by the banded NSW build; its
+    # scaling history: 1.74x wall at 4x replicas, r9 PERF.md). New key —
+    # absent from the r1 baseline total, compare round-over-round only.
+    "llm_graph_centrality_prior",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles
