@@ -556,6 +556,22 @@ def _kcore_oracle_sql() -> str:
     return _kcore_sql()
 
 
+def stream_incremental_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_core_numbers
+
+    return incremental_core_numbers(spark, sf_dir)
+
+
+def _core_numbers_oracle_sql() -> str:
+    """Merged pair support feeds the shared peel-sharing decomposition
+    kernel (coreness is corpus-global — a later batch can rescue a peeled
+    node); must reproduce the one-shot per-node coreness table bitwise;
+    the batch query's SQL IS the oracle."""
+    from .relational import _core_numbers_sql
+
+    return _core_numbers_sql()
+
+
 def stream_incremental_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_label_propagation
 
@@ -747,6 +763,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_shortest_path", stream_incremental_shortest_path, _shortest_path_oracle_sql()),
     ("stream_incremental_quantile_sketch", stream_incremental_quantile_sketch, _quantile_sketch_oracle_sql()),
     ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
+    ("stream_incremental_core_numbers", stream_incremental_core_numbers, _core_numbers_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -439,6 +439,23 @@ def incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_from_pair_state(spark, sf_dir, "pg", pagerank_from_pairs)
 
 
+def incremental_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental per-node core numbers — bitwise equal to the
+    one-shot ``plans.relational.core_numbers_copurchase`` (its SQL is the
+    oracle).
+
+    Fifth graph mirror off the SAME staged pair state: like k-core it
+    consumes only the pair SUPPORT (coreness ignores counts), and like
+    core membership, coreness is corpus-global — a later batch can raise
+    a node's coreness by adding partners — so emission runs the shared
+    peel-sharing decomposition kernel over the merged pairs."""
+    from ..plans.relational import core_numbers_from_pairs
+
+    return _incremental_from_pair_state(
+        spark, sf_dir, "cn", core_numbers_from_pairs
+    )
+
+
 RETRACT_SCHEMA = T.StructType(
     [
         T.StructField("o_totalprice", T.DoubleType()),

@@ -1215,3 +1215,20 @@ def test_compact_signed_state_drops_tombstones_keeps_pending(spark, tmp_path):
     # the late insert now lands and matches the pending retraction
     land(2, [(30.0, 1)])
     assert merged() == {(20.0, 1)}
+
+
+def test_incremental_core_numbers_equals_batch(spark):
+    """The decomposition mirror: coreness is corpus-global (a later batch
+    can raise a node's coreness by adding partners), so emission must run
+    the peel-sharing sweep over the MERGED pair support — per-node
+    equality with the one-shot decomposition pins that no per-batch
+    peeling was smuggled in."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_core_numbers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in relational.core_numbers_copurchase(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_core_numbers(spark, sf).collect()]
+    assert got == want and want
