@@ -2819,15 +2819,17 @@ ORDER BY n.node"""
     )
 
 
-def _sp_chain_ctes(max_rounds: int) -> str:
+def _sp_chain_ctes(max_rounds: int, li_where: str = "") -> str:
     """The co-purchase Bellman-Ford CTE chain d0..d{max_rounds} (shared
-    text-shape with _shortest_path_sql, parameterized on depth). Every
+    text-shape with _shortest_path_sql, parameterized on depth; li_where
+    optionally restricts the lineitem feed — the retraction mirror passes
+    the surviving-orders predicate). Every
     d{k} is referenced twice by d{k+1} (union leg + join leg) and the
     audit legs re-reference the snapshots, so each CTE is MATERIALIZED —
     without the hint DuckDB's inlining makes the plan 2^max_rounds-sized
     (measured: K=4 fine, K=8 never finishes)."""
     ctes = [
-        """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        """li AS (SELECT l_orderkey, l_partkey FROM lineitem {w}),
 pr AS MATERIALIZED (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
   FROM li a JOIN li b
@@ -2841,7 +2843,7 @@ e AS MATERIALIZED (
 s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT {n}),
 d0 AS MATERIALIZED (
   SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist FROM s)""".format(
-            n=SP_N_SOURCES
+            n=SP_N_SOURCES, w=li_where
         )
     ]
     for k in range(1, max_rounds + 1):
@@ -2870,6 +2872,19 @@ FROM d{k} a JOIN d{kmax} f ON a.source = f.source AND a.node = f.node
 GROUP BY a.source"""
         )
     return _sp_chain_ctes(kmax) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+def _shortest_path_surviving_sql() -> str:
+    """The Bellman-Ford chain over the SURVIVING-orders co-purchase graph
+    — oracle for the retraction-aware streaming mirror: the batch answer
+    over lineitems whose order was never cancelled."""
+    return (
+        _sp_chain_ctes(
+            SP_ROUNDS,
+            li_where=f"WHERE l_orderkey % {RETRACT_MOD} <> {RETRACT_RES}",
+        )
+        + f"\nSELECT source, node, round(dist, 6) AS dist FROM d{SP_ROUNDS}"
+    )
 
 
 def _shortest_path_sql() -> str:

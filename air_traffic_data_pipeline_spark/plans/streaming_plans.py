@@ -556,6 +556,25 @@ def _kcore_oracle_sql() -> str:
     return _kcore_sql()
 
 
+def stream_incremental_shortest_path_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.orders_stream import incremental_shortest_path_retract
+
+    return incremental_shortest_path_retract(spark, sf_dir)
+
+
+def _shortest_path_retract_oracle_sql() -> str:
+    """SIGNED pair partials (a cancelled order retracts its co-purchase
+    pairs; net-zero pairs leave the graph, partial support keeps the
+    surviving count — and the 1/cnt weight moves with it) merged by
+    signed sum, then the shared relaxation kernel: must reproduce the
+    one-shot Bellman-Ford over surviving orders bitwise."""
+    from .relational import _shortest_path_surviving_sql
+
+    return _shortest_path_surviving_sql()
+
+
 def stream_incremental_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_core_numbers
 
@@ -768,6 +787,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
+    ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),
 ]
 
 if _tws_available():

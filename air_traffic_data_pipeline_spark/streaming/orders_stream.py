@@ -730,3 +730,131 @@ def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+LINEITEM_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def _stage_lineitem_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Four mtime-ordered SIGNED lineitem batches: the three order
+    terciles as (+1) inserts plus a CANCELLATIONS batch carrying the
+    lineitems of every order with l_orderkey % RETRACT_MOD == RETRACT_RES
+    at sign -1 — staged SECOND, so two thirds of the retractions arrive
+    before the inserts they cancel (transient negative net pair counts,
+    the adversarial schedule). Order-atomic slicing as in
+    _stage_lineitem_batches: an order's lineitems never straddle a batch,
+    so per-batch SIGNED pair partials are exact."""
+    import hashlib
+
+    from ..plans.relational import RETRACT_MOD, RETRACT_RES
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/lineitem_retract_{key}"
+
+    def build():
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        ks = li.select("l_orderkey").distinct()
+        lo, hi = ks.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.0)
+
+        def ins(df: DataFrame) -> DataFrame:
+            return df.select("l_orderkey", "l_partkey", F.lit(1).alias("sign"))
+
+        cancel = li.filter(
+            F.col("l_orderkey") % RETRACT_MOD == RETRACT_RES
+        ).select("l_orderkey", "l_partkey", F.lit(-1).alias("sign"))
+        return [
+            ins(li.filter(F.col("l_orderkey") <= lo)),
+            cancel,
+            ins(li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))),
+            ins(li.filter(F.col("l_orderkey") > hi)),
+        ]
+
+    return _stage_ordered(
+        d,
+        ["01_lo.parquet", "02_cancel.parquet", "03_mid.parquet", "04_hi.parquet"],
+        build,
+    )
+
+
+def incremental_shortest_path_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION composed with the ITERATIVE-GRAPH family: streaming
+    K-hop shortest paths over the co-purchase graph of SURVIVING
+    (never-cancelled) orders — bitwise equal to the one-shot Bellman-Ford
+    over the filtered lineitem feed (that SQL is the oracle).
+
+    A cancelled order retracts its co-purchase pairs: per-batch pair
+    partials carry SIGNED counts (the pair kernel is per-ORDER local and
+    every order lands with one sign, so each pair instance contributes
+    the order's sign), merged by signed integer sum — a pair supported
+    only by cancelled orders nets to zero and LEAVES the graph, and a
+    pair partially supported keeps the surviving count, which matters
+    because the edge weight is 1/cnt (a retraction can LENGTHEN a
+    shortest path, or re-route it entirely). The cancellations batch
+    lands second of four, driving transient negative net pair counts the
+    signed merge shrugs off. Tombstone pairs compact out at the same
+    watermark boundaries as the scalar retraction mirrors
+    (compact_signed_state — net != 0 survives, net == 0 leaves).
+    Emission recomputes weights from the exact net counts and runs the
+    shared relaxation kernel; nothing downstream knows deletions ever
+    happened."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import shortest_path_from_pairs
+
+    tune_session(spark)
+    d = _stage_lineitem_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_spr_{_uuid.uuid4().hex[:8]}"
+    pairs_dir = f"{base}/pairs"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        a, b = batch_df.alias("a"), batch_df.alias("b")
+        (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+            )
+            .agg(F.sum("a.sign").cast("bigint").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{pairs_dir}/batch={epoch_id}")
+        )
+        if epoch_id % COMPACT_EVERY == 1:
+            compact_signed_state(spark, pairs_dir, ["pa", "pb"], epoch_id)
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        net = (
+            spark.read.parquet(f"{pairs_dir}/batch=*")
+            .groupBy("pa", "pb")
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        out, _ = tracked_local_checkpoint(
+            shortest_path_from_pairs(net), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

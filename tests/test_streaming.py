@@ -1232,3 +1232,35 @@ def test_incremental_core_numbers_equals_batch(spark):
     want = [tuple(r) for r in relational.core_numbers_copurchase(spark, sf).collect()]
     got = [tuple(r) for r in incremental_core_numbers(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_shortest_path_retract_equals_batch(spark):
+    """Retraction composed with the iterative-graph family: signed pair
+    partials (cancellations staged before two thirds of their inserts,
+    tombstone pairs compacted at watermark boundaries) must land exactly
+    on the one-shot Bellman-Ford over the surviving-orders graph — and
+    the cancellation set must actually move the distances vs the full
+    graph (a retraction can lengthen or re-route a shortest path),
+    otherwise this pins nothing."""
+    from air_traffic_data_pipeline_spark.plans import relational as R
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_shortest_path_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % R.RETRACT_MOD != R.RETRACT_RES)
+    )
+    want = {
+        tuple(r)
+        for r in R.shortest_path_from_pairs(R.copurchase_pairs(li)).collect()
+    }
+    got = {
+        tuple(r) for r in incremental_shortest_path_retract(spark, sf).collect()
+    }
+    assert got == want and want
+    full = {tuple(r) for r in R.shortest_path(spark, sf).collect()}
+    assert full != want, "cancellation set left every distance untouched"
