@@ -2874,6 +2874,109 @@ GROUP BY a.source"""
     return _sp_chain_ctes(kmax) + "\n" + "\nUNION ALL\n".join(legs)
 
 
+REC_TOP_EDGES = 8  # strongest co-purchase edges kept per node pre-expansion
+REC_TOP_K = 3  # recommendations reported per node
+
+
+def two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop co-purchase recommendations — "parts frequently bought
+    with the parts YOU were bought with, that you were never bought with
+    directly": for each node u, candidates v reachable as u→m→v with
+    v ≠ u, scored by the integer path weight Σ_m cnt(u,m)·cnt(m,v),
+    direct neighbors excluded (the collaborative-filtering item-item
+    shape, LinkBench/A-A style, kept exact and deterministic).
+
+    The scale decision is the DEGREE CAP: the raw 2-hop expansion is
+    Σ_v deg(v)² — quadratic at hub nodes, the classic blow-up — so each
+    node keeps only its REC_TOP_EDGES strongest edges (by count, ties by
+    partner id) before expanding, making the expansion ≤ |V|·M² with M
+    fixed. That cap is the real-world posture (recommenders prune to
+    top-M neighbor lists long before the pair join) and it is part of
+    the query's DEFINITION here, so the oracle replays it exactly —
+    deterministic ties included.
+
+    Scale: one pair build (shuffle keyed by order), one row_number window
+    per node (partition-local sort of ≤deg rows), one M-capped self-join
+    keyed by the middle node, one integer sum-agg with map-side combine,
+    one anti-join against the direct edges, one final per-node top-k
+    window. All counts BIGINT — bitwise across engines."""
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = copurchase_pairs(li)
+    # the edge table is referenced four times below (both sides of the
+    # 2-hop self-join via top, plus the anti-join) — materialize the pair
+    # build ONCE instead of re-running the lineitem self-join per reference
+    e, _ = tracked_local_checkpoint(
+        pr.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), "cnt"
+        ).unionByName(
+            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "cnt")
+        ),
+        register=True,
+    )
+    w_edge = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    top = (
+        e.withColumn("rn", F.row_number().over(w_edge))
+        .filter(F.col("rn") <= REC_TOP_EDGES)
+        .drop("rn")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    cand = (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("b.dst") != F.col("a.src")))
+        .groupBy(F.col("a.src").alias("node"), F.col("b.dst").alias("rec"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("score"))
+    )
+    indirect = cand.join(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("rec")),
+        ["node", "rec"],
+        "left_anti",
+    )
+    w_rec = Window.partitionBy("node").orderBy(F.col("score").desc(), F.col("rec"))
+    return (
+        indirect.withColumn("rank", F.row_number().over(w_rec))
+        .filter(F.col("rank") <= REC_TOP_K)
+        .select("node", "rank", "rec", "score")
+        .orderBy("node", "rank")
+    )
+
+
+def _two_hop_recs_sql() -> str:
+    return f"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS cnt
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, cnt FROM pr
+  UNION ALL
+  SELECT pb, pa, cnt FROM pr),
+top AS MATERIALIZED (
+  SELECT src, dst, cnt FROM (
+    SELECT src, dst, cnt,
+           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rn
+    FROM e) t
+  WHERE rn <= {REC_TOP_EDGES}),
+cand AS (
+  SELECT a.src AS node, b.dst AS rec,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS score
+  FROM top a JOIN top b ON a.dst = b.src AND b.dst <> a.src
+  GROUP BY 1, 2),
+indirect AS (
+  SELECT c.node, c.rec, c.score
+  FROM cand c ANTI JOIN e ON c.node = e.src AND c.rec = e.dst)
+SELECT node, rank, rec, score FROM (
+  SELECT node, rec, score,
+         CAST(row_number() OVER (PARTITION BY node
+                                 ORDER BY score DESC, rec) AS INTEGER) AS rank
+  FROM indirect) r
+WHERE rank <= {REC_TOP_K}
+ORDER BY node, rank"""
+
+
 def _shortest_path_surviving_sql() -> str:
     """The Bellman-Ford chain over the SURVIVING-orders co-purchase graph
     — oracle for the retraction-aware streaming mirror: the batch answer
@@ -6135,6 +6238,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_pagerank", pagerank_copurchase, _pagerank_sql()),
     ("rel_kcore_decomposition", kcore_decomposition, _kcore_sql()),
     ("rel_core_numbers", core_numbers_copurchase, _core_numbers_sql()),
+    ("rel_two_hop_recs", two_hop_recs, _two_hop_recs_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

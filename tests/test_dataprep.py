@@ -1648,3 +1648,39 @@ def test_core_numbers_matches_reference(spark):
     for k in range(2, KCN_KMAX + 1):
         assert {u for u, c in got.items() if c >= k} == by_k[k]
     assert all(1 <= c <= KCN_KMAX for c in got.values())
+
+
+def test_two_hop_recs_matches_reference(spark):
+    """Degree-capped 2-hop recommendations vs a pure-Python replay of the
+    identical definition (top-M strongest edges per node with the
+    (cnt desc, partner asc) tie order, path-weight scoring, direct-edge
+    exclusion, per-node top-k with the (score desc, rec asc) tie order):
+    every (node, rank, rec, score) row must match exactly."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        REC_TOP_EDGES,
+        REC_TOP_K,
+        two_hop_recs,
+    )
+
+    _, cnt = _copurchase_graph(spark)
+    e: dict[int, dict[int, int]] = {}
+    for (a, b), c in cnt.items():
+        e.setdefault(a, {})[b] = c
+        e.setdefault(b, {})[a] = c
+    top = {
+        u: sorted(nbrs.items(), key=lambda kv: (-kv[1], kv[0]))[:REC_TOP_EDGES]
+        for u, nbrs in e.items()
+    }
+    want = []
+    for u in sorted(e):
+        score: dict[int, int] = {}
+        for m, c1 in top[u]:
+            for v, c2 in top.get(m, []):
+                if v == u or v in e[u]:
+                    continue
+                score[v] = score.get(v, 0) + c1 * c2
+        ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:REC_TOP_K]
+        for i, (v, s) in enumerate(ranked, 1):
+            want.append((u, i, v, s))
+    got = [tuple(r) for r in two_hop_recs(spark, SF).collect()]
+    assert got == want and want
