@@ -698,6 +698,151 @@ FROM common JOIN counts na ON na.doc_id = doc_a JOIN counts nb ON nb.doc_id = do
 """
 
 
+SN_KEY_CHARS = 24  # normalized sort-key length
+SN_BLOCK_CHARS = 2  # sort-prefix block: the window is partition-local
+SN_WINDOW = 3  # each doc meets the next SN_WINDOW-1 docs in sort order
+SN_JACCARD_MIN = 0.4  # char-5-gram verification threshold
+
+
+def sorted_neighborhood_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995) — the
+    classic entity-resolution strategy missing from the minhash/simhash/
+    winnow family: normalize a sort key (lowercased alphanumerics, first
+    SN_KEY_CHARS chars), sort, and compare each doc only to its next
+    SN_WINDOW-1 neighbors in sort order; candidates verify by exact
+    char-5-gram Jaccard >= SN_JACCARD_MIN. Near-identical texts share
+    normalized prefixes, so they land adjacent — O(n·w) candidate pairs
+    from one sort instead of O(n²) comparisons, and unlike LSH the
+    recall story is human-auditable (sort the file, look at neighbors).
+
+    Scale: the sort is PARTITION-LOCAL by design — the window runs inside
+    SN_BLOCK_CHARS sort-prefix blocks (a real deployment range-partitions
+    by the same prefix), so no global-order window ever materializes one
+    partition (the llm_global_shard_plan discipline). Pairs crossing a
+    block boundary differ in their first two normalized chars and are by
+    definition not prefix-adjacent — the documented, bounded recall trade
+    every blocking strategy makes. Gram verification explodes 5-grams for
+    CANDIDATE docs only (semi-join pruning), joins gram-keyed, and the
+    jaccard is one divide of exact integer counts."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+        1,
+        SN_KEY_CHARS,
+    )
+    keyed = d.select(
+        "doc_id", k.alias("k"), F.substring(k, 1, SN_BLOCK_CHARS).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("k", "doc_id")
+    legs = []
+    for j in range(1, SN_WINDOW):
+        legs.append(
+            keyed.select(
+                "doc_id", F.lead("doc_id", j).over(w).alias("nbr")
+            ).filter(F.col("nbr").isNotNull())
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    cand = cand.select(
+        F.least("doc_id", "nbr").alias("doc_a"),
+        F.greatest("doc_id", "nbr").alias("doc_b"),
+    )
+    ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    grams = (
+        d.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))
+                    ),
+                    lambda i: F.substring(F.col("text"), i, 5),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+        .join(
+            grams.select(F.col("doc_id").alias("gb_id"), F.col("g").alias("g2")),
+            (F.col("gb_id") == F.col("doc_b")) & (F.col("g2") == F.col("g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= SN_JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {SN_KEY_CHARS}) AS k
+  FROM documents),
+blocked AS (
+  SELECT doc_id, k, substr(k, 1, {SN_BLOCK_CHARS}) AS blk FROM keyed),
+cand0 AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS n1,
+         lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS n2
+  FROM blocked),
+cand AS (
+  SELECT least(doc_id, n1) AS doc_a, greatest(doc_id, n1) AS doc_b
+  FROM cand0 WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT least(doc_id, n2), greatest(doc_id, n2)
+  FROM cand0 WHERE n2 IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(text, i, 5)
+                 for i in generate_series(1, greatest(length(text) - 4, 1))]) AS g
+  FROM documents
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN counts na ON na.doc_id = doc_a
+JOIN counts nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE)
+            / CAST(na.n + nb.n - n_common AS DOUBLE), 6)
+      >= CAST({SN_JACCARD_MIN} AS DOUBLE)
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- embedding similarity --------------------------------------------------
 
 
@@ -11775,6 +11920,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_simhash_near_dup", simhash_near_dup, _SIMHASH_NEAR_DUP_SQL),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
+    ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

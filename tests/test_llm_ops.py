@@ -3877,3 +3877,54 @@ def test_graph_centrality_prior_consistency(spark):
         best = max(members, key=lambda v: (rank[v], -v))
         assert (r.top_doc, r.top_rank_micro) == (best, rank[best])
         assert r.mass_micro > 0
+
+
+def test_sorted_neighborhood_dup_matches_reference(spark):
+    """Sorted-neighborhood blocking vs a pure-Python replay of the same
+    definition (normalized 24-char sort key, 2-char prefix blocks,
+    window-3 adjacency, exact char-5-gram Jaccard >= threshold with the
+    identical rounding): every (doc_a, doc_b, jaccard) row must match,
+    and the candidate set must be O(n*w)-sized, not all-pairs."""
+    import re
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        SN_BLOCK_CHARS,
+        SN_JACCARD_MIN,
+        SN_KEY_CHARS,
+        SN_WINDOW,
+        sorted_neighborhood_dup,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    keyed = sorted(
+        (re.sub(r"[^a-z0-9]", "", t.lower())[:SN_KEY_CHARS], i)
+        for i, t in docs.items()
+    )
+    cand = set()
+    for a in range(len(keyed)):
+        for j in range(1, SN_WINDOW):
+            b = a + j
+            if b >= len(keyed):
+                continue
+            (ka, ia), (kb, ib) = keyed[a], keyed[b]
+            if ka[:SN_BLOCK_CHARS] != kb[:SN_BLOCK_CHARS]:
+                continue  # window is block-local
+            cand.add((min(ia, ib), max(ia, ib)))
+    assert len(cand) <= len(docs) * (SN_WINDOW - 1)
+
+    def grams(t):
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    want = []
+    for da, db in sorted(cand):
+        ga, gb = grams(docs[da]), grams(docs[db])
+        jac = round(len(ga & gb) / len(ga | gb), 6)
+        if jac >= SN_JACCARD_MIN:
+            want.append((da, db, jac))
+    got = [tuple(r) for r in sorted_neighborhood_dup(spark, sf).collect()]
+    assert got == want and want
