@@ -989,6 +989,69 @@ FROM events GROUP BY 1, 2
 """
 
 
+TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
+
+
+def decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending leaderboard — "what is hot NOW", the
+    recency-weighted popularity rank every feed/monitoring stack runs:
+    each event contributes exp(-age/τ) with age measured from the
+    newest event in the lake, summed per event_type and ranked.
+
+    The INTEGER MICRO-UNIT discipline makes the decayed sum order-free:
+    the per-event weight is one exp of an exactly-derived double (age =
+    exact nanosecond delta / one double literal), quantized to 1e9
+    micro-units by round() — so the per-type total is an exact BIGINT
+    fold, bitwise across engines and shuffle orders, where a naive
+    double sum would depend on reduction order. Scale: one 1-row max
+    broadcast, one map-side-combining sum per type, a ≤|types|-row
+    ranking window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    ref = ev.agg(F.max("ts").alias("ref"))
+    age_days = (F.col("ref") - F.col("ts")).cast("double") / F.lit(86400e9)
+    w_micro = F.round(F.exp(-age_days / F.lit(TREND_TAU_DAYS)) * F.lit(1e9)).cast(
+        "bigint"
+    )
+    per = (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", w_micro.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w").cast("bigint").alias("decayed_micro"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("decayed_micro").desc(), F.col("event_type"))
+    return per.select(
+        "event_type",
+        "n_events",
+        "decayed_micro",
+        F.row_number().over(w_rank).cast("int").alias("trend_rank"),
+    ).orderBy("trend_rank")
+
+
+DECAYED_TRENDING_SQL = f"""
+WITH ref AS (SELECT max(epoch_ns(ts)) AS ref FROM events),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(exp(-(CAST(ref - epoch_ns(ts) AS DOUBLE)
+                                   / CAST(86400e9 AS DOUBLE))
+                                 / CAST({TREND_TAU_DAYS} AS DOUBLE))
+                             * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS decayed_micro
+  FROM events CROSS JOIN ref
+  GROUP BY event_type)
+SELECT event_type, n_events, decayed_micro,
+       CAST(row_number() OVER (ORDER BY decayed_micro DESC, event_type)
+            AS INTEGER) AS trend_rank
+FROM per
+ORDER BY trend_rank
+"""
+
+
 # --- approx (rows-only: engines' sketches differ by design) ---------------
 
 
@@ -6239,6 +6302,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kcore_decomposition", kcore_decomposition, _kcore_sql()),
     ("rel_core_numbers", core_numbers_copurchase, _core_numbers_sql()),
     ("rel_two_hop_recs", two_hop_recs, _two_hop_recs_sql()),
+    ("rel_decayed_trending", decayed_trending, DECAYED_TRENDING_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -961,3 +961,37 @@ def test_late_round9_graph_round_plan_shapes(spark):
     p = plan(kcore_round(e, surv, 2), "simple")
     assert p.count("LeftSemi") >= 2, "both endpoint filters must be semi-joins"
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_decayed_trending_matches_reference(spark):
+    """Time-decayed trending vs a pure-Python replay: exact nanosecond
+    ages, one exp per event quantized to 1e9 micro-units (half-up, the
+    engines' double round), exact integer fold per type, deterministic
+    rank tie order."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        TREND_TAU_DAYS,
+        decayed_trending,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "events").select("ts", "event_type").collect()
+    ref = max(r.ts for r in rows)
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        age_days = float(ref - r.ts) / 86400e9
+        w = int(math.floor(math.exp(-age_days / TREND_TAU_DAYS) * 1e9 + 0.5))
+        a = agg.setdefault(r.event_type, [0, 0])
+        a[0] += 1
+        a[1] += w
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    want = [
+        (t, n, d, i + 1) for i, (t, (n, d)) in enumerate(ranked)
+    ]
+    got = [tuple(r) for r in decayed_trending(spark, sf).collect()]
+    assert got == want and want
+    # decay actually moves the ranking vs raw counts (otherwise the decay
+    # path is untested): the micro totals must not be count-proportional
+    assert len({d // n for _, n, d, _ in got}) > 1
