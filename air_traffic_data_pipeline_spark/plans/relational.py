@@ -2963,12 +2963,18 @@ def two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by the middle node, one integer sum-agg with map-side combine,
     one anti-join against the direct edges, one final per-node top-k
     window. All counts BIGINT — bitwise across engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return two_hop_from_pairs(copurchase_pairs(li))
+
+
+def two_hop_from_pairs(pr: DataFrame) -> DataFrame:
+    """The cap + expand + score tail of :func:`two_hop_recs` — shared with
+    the streaming incremental mirror (recommendation scores are corpus-
+    global pair counts, so emission expands over the merged state)."""
     from pyspark.sql import Window
 
     from ..operators.checkpoints import tracked_local_checkpoint
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = copurchase_pairs(li)
     # the edge table is referenced four times below (both sides of the
     # 2-hop self-join via top, plus the anti-join) — materialize the pair
     # build ONCE instead of re-running the lineitem self-join per reference

@@ -575,6 +575,22 @@ def _shortest_path_retract_oracle_sql() -> str:
     return _shortest_path_surviving_sql()
 
 
+def stream_incremental_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_two_hop_recs
+
+    return incremental_two_hop_recs(spark, sf_dir)
+
+
+def _two_hop_recs_oracle_sql() -> str:
+    """Merged pair counts feed the shared cap + expand + score kernel
+    (both the top-M cap order and the path-weight scores are corpus-
+    global); must reproduce the one-shot recommendation table bitwise;
+    the batch query's SQL IS the oracle."""
+    from .relational import _two_hop_recs_sql
+
+    return _two_hop_recs_sql()
+
+
 def stream_incremental_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_core_numbers
 
@@ -783,6 +799,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_quantile_sketch", stream_incremental_quantile_sketch, _quantile_sketch_oracle_sql()),
     ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
     ("stream_incremental_core_numbers", stream_incremental_core_numbers, _core_numbers_oracle_sql()),
+    ("stream_incremental_two_hop_recs", stream_incremental_two_hop_recs, _two_hop_recs_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

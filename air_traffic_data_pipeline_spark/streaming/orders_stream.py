@@ -732,6 +732,21 @@ def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental two-hop recommendations — bitwise equal to
+    the one-shot ``plans.relational.two_hop_recs`` (its SQL is the
+    oracle).
+
+    Sixth graph mirror off the same staged pair state: both the top-M
+    edge cap (ordered by corpus-global counts) and the path-weight scores
+    (products of corpus-global counts) can be flipped by a later batch,
+    so emission runs the shared cap + expand + score kernel over the
+    merged exact counts."""
+    from ..plans.relational import two_hop_from_pairs
+
+    return _incremental_from_pair_state(spark, sf_dir, "th", two_hop_from_pairs)
+
+
 LINEITEM_RETRACT_SCHEMA = T.StructType(
     [
         T.StructField("l_orderkey", T.LongType()),

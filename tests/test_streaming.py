@@ -1264,3 +1264,19 @@ def test_incremental_shortest_path_retract_equals_batch(spark):
     assert got == want and want
     full = {tuple(r) for r in R.shortest_path(spark, sf).collect()}
     assert full != want, "cancellation set left every distance untouched"
+
+
+def test_incremental_two_hop_recs_equals_batch(spark):
+    """The recommendation mirror: both the top-M cap order and the
+    path-weight scores are corpus-global counts (a later batch can evict
+    an edge from a node's top-M or flip a score comparison), so emission
+    must cap+expand+score over the MERGED counts."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_two_hop_recs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in relational.two_hop_recs(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_two_hop_recs(spark, sf).collect()]
+    assert got == want and want
