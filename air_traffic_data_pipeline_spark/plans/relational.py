@@ -989,6 +989,97 @@ FROM events GROUP BY 1, 2
 """
 
 
+KMV_KS = (16, 32, 64)  # K sweep: estimate accuracy vs sketch size
+KMV_KMAX = max(KMV_KS)
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over l_partkey (Bar-Yossef
+    et al. 2002; Beyer et al. 2007) — the mergeable distinct sketch that,
+    unlike HLL (rel_hll_partial_merge / rel_approx_distinct, whose
+    engine-internal registers differ by design and get banded-boolean
+    oracles), is VALUE-ORACLE-CHECKABLE end to end: the hash is an
+    explicit md5-derived u32, the sketch is the K smallest distinct hash
+    values, and the estimate DV̂ = (K-1)/u_(K) is one divide of exactly
+    agreed numbers — bitwise across engines. One row per K in KMV_KS,
+    showing estimate convergence as the sketch grows.
+
+    Mergeability (the sketch property the streaming mirror exercises):
+    the K smallest of a union are contained in the union of per-part K
+    smallest, so per-batch K-min partials merge by distinct-union +
+    re-take-K — no rescan of history.
+
+    Scale: distinct() is hash-keyed with map-side combine; the K-min is
+    orderBy(u).limit(KMAX) which Spark executes as per-partition top-K +
+    merge (TakeOrdered — NO global sort); everything after operates on
+    ≤KMAX rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return kmv_from_values(li.select(_kmv_u32(F.col("l_partkey")).alias("u")))
+
+
+def _kmv_u32(key: Column) -> Column:
+    """md5-derived u32 in [0, 2^32): two hex4 blocks of the digest — the
+    same strpos arithmetic both engines evaluate bit-identically."""
+    from ..functions.hashes import hex4_to_int
+
+    h = F.md5(key.cast("string"))
+    return (
+        hex4_to_int(h, 0).cast("bigint") * F.lit(65536).cast("bigint")
+        + hex4_to_int(h, 4).cast("bigint")
+    )
+
+
+def _kmv_u32_sql(expr: str) -> str:
+    from ..functions.hashes import hex4_to_int_sql
+
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"(CAST({hex4_to_int_sql(h, 0)} AS BIGINT) * 65536"
+        f" + CAST({hex4_to_int_sql(h, 4)} AS BIGINT))"
+    )
+
+
+def kmv_from_values(vals: DataFrame) -> DataFrame:
+    """The sketch tail of :func:`kmv_distinct` over a (possibly
+    duplicated) u32 hash column — shared with the streaming mirror, whose
+    merged per-batch K-min partials feed the identical take-K + estimate."""
+    from pyspark.sql import Window
+
+    kmins = vals.select("u").distinct().orderBy("u").limit(KMV_KMAX)
+    ranked = kmins.select(
+        "u",
+        F.row_number()
+        .over(Window.orderBy("u"))
+        .cast("int")
+        .alias("rn"),  # ≤KMAX rows: the single-partition window is bounded
+    )
+    ks = vals.sparkSession.createDataFrame(
+        [(k,) for k in KMV_KS], "k int"
+    )
+    est = F.round(
+        (F.col("k") - 1).cast("double")
+        / (F.col("u").cast("double") / F.lit(4294967296.0)),
+        6,
+    )
+    return (
+        ks.join(ranked, F.col("rn") == F.col("k"))
+        .select("k", F.col("u").alias("kth_u32"), est.alias("kmv_estimate"))
+        .orderBy("k")
+    )
+
+
+KMV_SQL = f"""
+WITH h AS (SELECT DISTINCT {_kmv_u32_sql('l_partkey')} AS u FROM lineitem),
+r AS (SELECT u, CAST(row_number() OVER (ORDER BY u) AS INTEGER) AS rn FROM h)
+SELECT k, u AS kth_u32,
+       round(CAST(k - 1 AS DOUBLE) / (CAST(u AS DOUBLE)
+             / CAST(4294967296.0 AS DOUBLE)), 6) AS kmv_estimate
+FROM (VALUES {", ".join(f"({k})" for k in KMV_KS)}) ks(k)
+JOIN r ON r.rn = ks.k
+ORDER BY k
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -6309,6 +6400,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_core_numbers", core_numbers_copurchase, _core_numbers_sql()),
     ("rel_two_hop_recs", two_hop_recs, _two_hop_recs_sql()),
     ("rel_decayed_trending", decayed_trending, DECAYED_TRENDING_SQL),
+    ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -575,6 +575,21 @@ def _shortest_path_retract_oracle_sql() -> str:
     return _shortest_path_surviving_sql()
 
 
+def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_kmv
+
+    return incremental_kmv(spark, sf_dir)
+
+
+def _kmv_oracle_sql() -> str:
+    """Per-batch K-min partials merged by distinct-union + re-take-K (the
+    KMV mergeability property) must reproduce the one-shot sketch and
+    estimates bitwise; the batch query's SQL IS the oracle."""
+    from .relational import KMV_SQL
+
+    return KMV_SQL
+
+
 def stream_incremental_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_two_hop_recs
 
@@ -800,6 +815,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_kcore", stream_incremental_kcore, _kcore_oracle_sql()),
     ("stream_incremental_core_numbers", stream_incremental_core_numbers, _core_numbers_oracle_sql()),
     ("stream_incremental_two_hop_recs", stream_incremental_two_hop_recs, _two_hop_recs_oracle_sql()),
+    ("stream_incremental_kmv", stream_incremental_kmv, _kmv_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -732,6 +732,57 @@ def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental KMV distinct sketch — bitwise equal to the
+    one-shot ``plans.relational.kmv_distinct`` (its SQL is the oracle).
+
+    THE mergeable-sketch mirror: each micro-batch lands only its K
+    smallest distinct u32 hashes (a KMV_KMAX-row partial — the whole
+    point of the sketch: state is O(K), not O(distinct)); partials merge
+    by distinct-union + re-take-K, sound because the K smallest of a
+    union are contained in the union of per-part K smallest. Emission
+    runs the shared take-K + estimate tail."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import KMV_KMAX, _kmv_u32, kmv_from_values
+
+    tune_session(spark)
+    d = _stage_lineitem_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_kmv_{_uuid.uuid4().hex[:8]}"
+    mins_dir = f"{base}/kmins"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(_kmv_u32(F.col("l_partkey")).alias("u"))
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_KMAX)
+            .write.mode("overwrite")
+            .parquet(f"{mins_dir}/batch={epoch_id}")
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_PAIR_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = spark.read.parquet(f"{mins_dir}/batch=*")
+        out, _ = tracked_local_checkpoint(kmv_from_values(merged), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental two-hop recommendations — bitwise equal to
     the one-shot ``plans.relational.two_hop_recs`` (its SQL is the

@@ -995,3 +995,49 @@ def test_decayed_trending_matches_reference(spark):
     # decay actually moves the ranking vs raw counts (otherwise the decay
     # path is untested): the micro totals must not be count-proportional
     assert len({d // n for _, n, d, _ in got}) > 1
+
+
+def test_kmv_distinct_matches_reference(spark):
+    """KMV sketch vs a pure-Python replay (same md5-u32 hash, distinct,
+    K smallest, (K-1)/u_(K) estimate with the identical rounding) — plus
+    the accuracy claim the sketch exists for: the K=64 estimate lands
+    within 35% of the true distinct count (std err ~ 1/sqrt(K-2) ~ 13%)."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KMV_KS,
+        kmv_distinct,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    keys = {
+        r.l_partkey
+        for r in load(spark, sf, "lineitem").select("l_partkey").collect()
+    }
+    us = sorted(
+        {int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in keys}
+    )
+    want = [
+        (k, us[k - 1], round((k - 1) / (us[k - 1] / 4294967296.0), 6))
+        for k in KMV_KS
+    ]
+    got = [tuple(r) for r in kmv_distinct(spark, sf).collect()]
+    assert got == want and got
+    est64 = dict((k, e) for k, _, e in got)[64]
+    assert abs(est64 - len(keys)) / len(keys) < 0.35
+
+
+def test_incremental_kmv_equals_batch(spark):
+    """The mergeable-sketch mirror: per-batch K-min partials (O(K) state
+    per batch, never the distinct set) merged by distinct-union +
+    re-take-K must reproduce the one-shot sketch bitwise."""
+    from air_traffic_data_pipeline_spark.plans.relational import kmv_distinct
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_kmv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in kmv_distinct(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_kmv(spark, sf).collect()]
+    assert got == want and want
