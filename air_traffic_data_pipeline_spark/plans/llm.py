@@ -4871,6 +4871,180 @@ def bm25_rank_from(tf: DataFrame, avgdl: DataFrame) -> DataFrame:
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+MRR_MAX_ID = 500  # retrieval corpus: doc_id < 500
+MRR_QUERY_MOD = 25  # every 25th doc issues a query
+MRR_Q_TOKENS = 6  # query = the doc's first 6 tokens
+MRR_KS = (1, 5, 10)  # MRR@k cutoffs
+
+
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-RETRIEVAL MRR — the end-to-end sanity eval a retrieval stack
+    runs before shipping: every MRR_QUERY_MOD-th doc issues its own first
+    MRR_Q_TOKENS tokens as a query against the whole corpus under the
+    shared BM25 formula, and the metric is the mean reciprocal rank of
+    the SOURCE doc (ties and near-duplicates push it down — which is the
+    point: self-retrieval failure localizes index/scoring bugs and
+    surfaces duplicate clusters without any human labels). One row per
+    cutoff k in MRR_KS: queries issued, hits within k, MRR@k.
+
+    Determinism: per-(query, doc) score is a (term-sorted) sequential
+    fold of ≤MRR_Q_TOKENS BM25 partials rounded 6dp (the lm/bm25 fold
+    discipline); ranks use the (score desc, doc_id) total order;
+    reciprocal ranks are quantized to integer micro-units before the
+    cross-query sum (order-free BIGINT fold, the decayed-trending
+    discipline). Scale: postings are semi-join-pruned to query terms,
+    df/avgdl broadcast 1-row/term-count tables, the per-query ranking is
+    a partition-local window keyed by query."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < MRR_MAX_ID)
+    words = F.split(F.col("text"), " ")
+    docs = d.select(
+        "doc_id", F.size(words).cast("bigint").alias("dl"), words.alias("ws")
+    )
+    stats = docs.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") % MRR_QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice("ws", 1, MRR_Q_TOKENS)).alias("w"),
+        )
+        .distinct()
+    )
+    tok = (
+        docs.select("doc_id", "dl", F.explode("ws").alias("w"))
+        .join(qterms.select("w").distinct(), "w", "left_semi")
+    )
+    tf = tok.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    partial = (
+        idf
+        * tfd
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qterms.join(tf, "w")
+        .join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", F.struct("w", partial.alias("c")).alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.aggregate("ss", F.lit(0.0), lambda a, s: a + s.getField("c")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    self_rank = (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("doc_id") == F.col("qid"))
+        .select("qid", "rank")
+    )
+    rr_micro = F.round(F.lit(1e6) / F.col("rank").cast("double")).cast("bigint")
+    ks = spark.createDataFrame([(k,) for k in MRR_KS], "k int")
+    per_k = (
+        ks.crossJoin(self_rank)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("rank") <= F.col("k"), 1).otherwise(0)
+            ).cast("bigint").alias("n_hit"),
+            F.sum(
+                F.when(F.col("rank") <= F.col("k"), rr_micro).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).cast("bigint").alias("rr_micro_sum"),
+        )
+    )
+    return per_k.select(
+        "k",
+        "n_queries",
+        "n_hit",
+        F.round(
+            F.col("rr_micro_sum").cast("double")
+            / (F.lit(1e6) * F.col("n_queries").cast("double")),
+            6,
+        ).alias("mrr"),
+    ).orderBy("k")
+
+
+_RETRIEVAL_MRR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < {MRR_MAX_ID}
+),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                 CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+qterms AS (
+  SELECT DISTINCT doc_id AS qid, unnest(ws[1:{MRR_Q_TOKENS}]) AS w
+  FROM docs WHERE doc_id % {MRR_QUERY_MOD} = 0
+),
+tok AS (
+  SELECT doc_id, dl, unnest(ws) AS w FROM docs
+),
+tf AS (
+  SELECT doc_id, dl, w, count(*) AS tf FROM tok
+  WHERE w IN (SELECT DISTINCT w FROM qterms) GROUP BY doc_id, dl, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         round(list_reduce(list(
+           ln(1.0 + (stats.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                    / (CAST(df.df AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+           ORDER BY tf.w), (a, b) -> a + b), 6) AS score
+  FROM qterms q JOIN tf ON q.w = tf.w JOIN df ON tf.w = df.w CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+self_rank AS (
+  SELECT qid, rank FROM (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored) t
+  WHERE doc_id = qid
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN rank <= k
+                      THEN CAST(round(1e6 / CAST(rank AS DOUBLE)) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE)
+             / (1e6 * CAST(count(*) AS DOUBLE)), 6) AS mrr
+FROM (VALUES {", ".join(f"({k})" for k in MRR_KS)}) ks(k) CROSS JOIN self_rank
+GROUP BY k
+ORDER BY k
+"""
+
+
 _BM25_SQL = f"""
 WITH docs AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -11985,6 +12159,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_multimodal_resize", multimodal_resize, _mm_resize_sql()),
     ("llm_boilerplate_fraction", boilerplate_fraction, _BOILERPLATE_SQL),
     ("llm_bm25_topk", bm25_topk, _BM25_SQL),
+    ("llm_retrieval_mrr", retrieval_mrr, _RETRIEVAL_MRR_SQL),
     ("llm_inverted_index", inverted_index, _INVIDX_SQL),
     ("llm_pmi_collocations", pmi_collocations, _PMI_SQL),
     ("llm_kmeans_refine", kmeans_refine, _KMEANS_SQL),

@@ -3928,3 +3928,87 @@ def test_sorted_neighborhood_dup_matches_reference(spark):
             want.append((da, db, jac))
     got = [tuple(r) for r in sorted_neighborhood_dup(spark, sf).collect()]
     assert got == want and want
+
+
+def test_retrieval_mrr_matches_reference(spark):
+    """Self-retrieval MRR vs a pure-Python replay of the whole stack:
+    query extraction (first-6-token distinct terms of every 25th doc),
+    BM25 scoring with the term-sorted fold and 6dp rounding, the
+    (score desc, doc_id) rank order, micro-unit reciprocal ranks, and
+    the per-cutoff aggregation."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        BM25_B,
+        BM25_K1,
+        MRR_KS,
+        MRR_MAX_ID,
+        MRR_Q_TOKENS,
+        MRR_QUERY_MOD,
+        retrieval_mrr,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < MRR_MAX_ID)
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = {r.doc_id: r.text.split(" ") for r in rows}
+    n_docs = float(len(docs))
+    avgdl = sum(len(ws) for ws in docs.values()) / n_docs
+    queries = {
+        i: sorted(set(ws[:MRR_Q_TOKENS]))
+        for i, ws in docs.items()
+        if i % MRR_QUERY_MOD == 0
+    }
+    qvocab = {w for ts in queries.values() for w in ts}
+    tf: dict[tuple, int] = {}
+    for i, ws in docs.items():
+        for w in ws:
+            if w in qvocab:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+
+    def score(qid, did):
+        s, dl = 0.0, float(len(docs[did]))
+        for w in queries[qid]:  # already sorted: the term-sorted fold
+            if (did, w) not in tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            t = float(tf[(did, w)])
+            s += (
+                idf
+                * t
+                * (BM25_K1 + 1.0)
+                / (t + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        return round(s, 6)
+
+    want_rows = []
+    self_rank = {}
+    for qid in queries:
+        cand = [
+            (did,) for did in docs
+            if any((did, w) in tf for w in queries[qid])
+        ]
+        ranked = sorted(
+            (d for (d,) in cand), key=lambda d: (-score(qid, d), d)
+        )
+        self_rank[qid] = ranked.index(qid) + 1
+    for k in MRR_KS:
+        hits = [q for q, r in self_rank.items() if r <= k]
+        rrsum = sum(
+            int(math.floor(1e6 / r + 0.5))
+            for r in self_rank.values()
+            if r <= k
+        )
+        want_rows.append(
+            (k, len(self_rank), len(hits), round(rrsum / (1e6 * len(self_rank)), 6))
+        )
+    got = [tuple(r) for r in retrieval_mrr(spark, sf).collect()]
+    assert got == want_rows and got
