@@ -5009,6 +5009,75 @@ GROUP BY promo_id
 ATTR_WINDOW_NS = 7 * 86_400 * 1_000_000_000  # 7 days
 
 
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the 40/20/40
+    industry-standard split first_touch deliberately ignores: per user,
+    the first touch earns 40% credit, the last 40%, and the middle
+    touches share the remaining 20%. All credit is EXACT INTEGER BASIS
+    POINTS: single-touch paths earn 10000, two-touch 5000/5000, and for
+    n>=3 the middle share is 2000 DIV (n-2) with the remainder assigned
+    one point each to the EARLIEST middles — so every user's path sums to
+    exactly 10000 bp and the per-type totals are order-free BIGINT folds
+    (a percentage-double version would accumulate float dust and
+    shuffle-order drift).
+
+    Scale: one rank window + one count window, both partition-local per
+    user; credit is a branch-free CASE per row; one map-side-combining
+    sum per event_type."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    r = e.select(
+        "event_type",
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    mid_base = F.expr("2000 DIV (n - 2)")
+    mid_rem = F.expr("2000 % (n - 2)")
+    j = F.col("rk") - 1  # 1-based middle position
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000).cast("bigint"))
+        .when(F.col("n") == 2, F.lit(5000).cast("bigint"))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), F.lit(4000).cast("bigint"))
+        .otherwise(
+            (mid_base + F.when(j <= mid_rem, 1).otherwise(0)).cast("bigint")
+        )
+    )
+    return (
+        r.select("event_type", credit.alias("bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+POSITION_ATTRIBUTION_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events),
+c AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN rk = 1 OR rk = n THEN 4000
+              ELSE 2000 // (n - 2)
+                   + CASE WHEN rk - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+         END AS bp
+  FROM r)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(bp) AS BIGINT) AS credit_bp
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution: each user's FIRST click gets credit for
     every purchase value inside the following 7-day window — the marketing
@@ -6401,6 +6470,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_two_hop_recs", two_hop_recs, _two_hop_recs_sql()),
     ("rel_decayed_trending", decayed_trending, DECAYED_TRENDING_SQL),
     ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
+    ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

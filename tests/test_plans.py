@@ -1041,3 +1041,44 @@ def test_incremental_kmv_equals_batch(spark):
     want = [tuple(r) for r in kmv_distinct(spark, sf).collect()]
     got = [tuple(r) for r in incremental_kmv(spark, sf).collect()]
     assert got == want and want
+
+
+def test_position_attribution_matches_reference(spark):
+    """U-shaped attribution vs a pure-Python replay — per-path integer
+    basis points with the earliest-middles remainder rule — plus the
+    invariant the integer design exists for: every user's path sums to
+    exactly 10000 bp, so the grand total is 10000 * n_users."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        position_attribution,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    paths: dict[int, list] = {}
+    for r in rows:
+        paths.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    agg: dict[str, list[int]] = {}
+    for evs in paths.values():
+        evs.sort()
+        n = len(evs)
+        for rk, (_, _, t) in enumerate(evs, 1):
+            if n == 1:
+                bp = 10000
+            elif n == 2:
+                bp = 5000
+            elif rk in (1, n):
+                bp = 4000
+            else:
+                bp = 2000 // (n - 2) + (1 if rk - 1 <= 2000 % (n - 2) else 0)
+            a = agg.setdefault(t, [0, 0])
+            a[0] += 1
+            a[1] += bp
+    want = [(t, n, c) for t, (n, c) in sorted(agg.items())]
+    got = [tuple(r) for r in position_attribution(spark, sf).collect()]
+    assert got == want and want
+    assert sum(c for _, _, c in got) == 10000 * len(paths)
