@@ -843,6 +843,124 @@ ORDER BY doc_a, doc_b
 """
 
 
+SN_EVAL_MAX_ID = 200  # exact all-pairs ground truth runs on this sample
+
+
+def sn_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of sorted-neighborhood BLOCKING against exact all-pairs
+    char-5-gram Jaccard ground truth on a bounded doc sample — the
+    dedup_pr_eval discipline applied to the new rung: since the SN
+    pipeline verifies candidates with the SAME metric and threshold as
+    the ground truth, precision is 1.0 by construction and the number
+    this eval exists for is RECALL — qualifying pairs the sort order
+    never placed within the window (different prefixes, cross-block
+    adjacency). One row: exact counts + NULL-guarded rounded ratios.
+
+    Scale: ground truth is the O(N²) gram kernel, so it runs on the
+    SN_EVAL_MAX_ID sample exactly like dedup_pr_eval; the predicted side
+    reuses the production blocking path unchanged."""
+    lim = SN_EVAL_MAX_ID
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < lim)
+        .select("doc_id", "text")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                lambda i: F.substring(F.col("text"), i, 5),
+            )
+        ).alias("g"),
+    ).distinct()
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    truth = (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(jac >= SN_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    pred = sorted_neighborhood_dup(spark, sf_dir).filter(
+        (F.col("doc_a") < lim) & (F.col("doc_b") < lim)
+    ).select("doc_a", "doc_b")
+    tp = truth.join(pred, ["doc_a", "doc_b"]).select("doc_a")
+    stats = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_tp")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    )
+    return stats.select(
+        "n_truth",
+        "n_pred",
+        "n_tp",
+        ratio("n_tp", "n_pred").alias("precision"),
+        ratio("n_tp", "n_truth").alias("recall"),
+    )
+
+
+_SN_RECALL_EVAL_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(text, i, 5)
+                 for i in generate_series(1, greatest(length(text) - 4, 1))]) AS g
+  FROM documents WHERE doc_id < {SN_EVAL_MAX_ID}
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN counts na ON na.doc_id = doc_a
+  JOIN counts nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= CAST({SN_JACCARD_MIN} AS DOUBLE)),
+pred AS (
+  SELECT doc_a, doc_b FROM ({_SORTED_NEIGHBORHOOD_SQL}) p
+  WHERE doc_a < {SN_EVAL_MAX_ID} AND doc_b < {SN_EVAL_MAX_ID}),
+tp AS (SELECT t.doc_a FROM truth t JOIN pred p
+       ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+         (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp)
+SELECT n_truth, n_pred, n_tp,
+       CASE WHEN n_pred > 0
+            THEN round(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END
+         AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END
+         AS recall
+FROM s
+"""
+
+
 # --- embedding similarity --------------------------------------------------
 
 
@@ -12095,6 +12213,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),
+    ("llm_sn_dedup_recall_eval", sn_dedup_recall_eval, _SN_RECALL_EVAL_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

@@ -4012,3 +4012,45 @@ def test_retrieval_mrr_matches_reference(spark):
         )
     got = [tuple(r) for r in retrieval_mrr(spark, sf).collect()]
     assert got == want_rows and got
+
+
+def test_sn_dedup_recall_eval_invariants(spark):
+    """The blocking eval's construction invariants: predicted pairs
+    verify with the SAME metric/threshold as ground truth, so pred is a
+    subset of truth (n_tp == n_pred, precision == 1.0), and n_truth must
+    equal an independent Python all-pairs count on the sample."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        SN_EVAL_MAX_ID,
+        SN_JACCARD_MIN,
+        sn_dedup_recall_eval,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    row = sn_dedup_recall_eval(spark, sf).collect()[0]
+    assert row.n_tp == row.n_pred and row.precision == 1.0
+    assert 0 < row.n_tp <= row.n_truth
+    assert row.recall == round(row.n_tp / row.n_truth, 6)
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf, "documents")
+        .filter(F.col("doc_id") < SN_EVAL_MAX_ID)
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def grams(t):
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    g = {i: grams(t) for i, t in docs.items()}
+    ids = sorted(g)
+    n_truth = sum(
+        1
+        for x in range(len(ids))
+        for y in range(x + 1, len(ids))
+        if round(
+            len(g[ids[x]] & g[ids[y]]) / len(g[ids[x]] | g[ids[y]]), 6
+        )
+        >= SN_JACCARD_MIN
+    )
+    assert row.n_truth == n_truth
