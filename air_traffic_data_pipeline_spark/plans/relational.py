@@ -989,6 +989,148 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per l_returnflag — price_cents ~ quantity +
+    discount_pct — the distributed-ML primitive done with the EXACT
+    MOMENT discipline: every feature is already (or is losslessly scaled
+    to) an integer, the ten normal-equation moments (n, Σx, ΣxᵀX, Σy,
+    Σxy, Σy²) accumulate as DECIMAL(38,0) sums — exact and order-free at
+    any parallelism where a double accumulation would drift with shuffle
+    order — and the 3×3 solve (Cramer's rule) + R² happen ONCE per group
+    on the final exact moments, every engine seeing identical doubles.
+
+    This is how regression actually scales on Spark: one
+    map-side-combining aggregate over the fact table (the moments are the
+    sufficient statistic), solve on the driver-sized result — no
+    per-iteration passes, no gradient loop.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[
+            F.sum(expr).cast("decimal(38,0)").alias(name)
+            for name, expr in [
+                ("sx1", F.col("x1")),
+                ("sx2", F.col("x2")),
+                ("sx11", F.col("x1") * F.col("x1")),
+                ("sx22", F.col("x2") * F.col("x2")),
+                ("sx12", F.col("x1") * F.col("x2")),
+                ("sy", F.col("y")),
+                ("sx1y", F.col("x1") * F.col("y")),
+                ("sx2y", F.col("x2") * F.col("y")),
+                ("syy", F.col("y") * F.col("y")),
+            ]
+        ],
+    )
+    return ols_solve_from_moments(m)
+
+
+def ols_solve_from_moments(m: DataFrame) -> DataFrame:
+    """Cramer's-rule solve + R² from exact per-group normal-equation
+    moments — shared by the batch query and the streaming mirror (moments
+    are distributive sums, so per-batch partials merge exactly)."""
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11, a12, a13 = d("n"), d("sx1"), d("sx2")
+    a22, a23, a33 = d("sx11"), d("sx12"), d("sx22")
+    b1, b2, b3 = d("sy"), d("sx1y"), d("sx2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    c0, c1, c2 = det0 / det, det1 / det, det2 / det
+    # R² from the same exact moments: SSE = Σy² - c·(X'y) with X'y exact;
+    # SST = Σy² - (Σy)²/n
+    sse = d("syy") - (c0 * b1 + c1 * b2 + c2 * b3)
+    sst = d("syy") - b1 * b1 / a11
+    return m.select(
+        "l_returnflag",
+        F.round(c0, 6).alias("coef_intercept"),
+        F.round(c1, 6).alias("coef_quantity"),
+        F.round(c2, 6).alias("coef_discount_pct"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+OLS_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(38,0)) AS x1,
+         CAST(round(l_discount * 100) AS DECIMAL(38,0)) AS x2,
+         CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(sum(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(sum(x1 * x1) AS DECIMAL(38,0)) AS sx11,
+         CAST(sum(x2 * x2) AS DECIMAL(38,0)) AS sx22,
+         CAST(sum(x1 * x2) AS DECIMAL(38,0)) AS sx12,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x1 * y) AS DECIMAL(38,0)) AS sx1y,
+         CAST(sum(x2 * y) AS DECIMAL(38,0)) AS sx2y,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM li GROUP BY l_returnflag),
+s AS (
+  SELECT l_returnflag,
+         CAST(n AS DOUBLE) AS a11, CAST(sx1 AS DOUBLE) AS a12,
+         CAST(sx2 AS DOUBLE) AS a13, CAST(sx11 AS DOUBLE) AS a22,
+         CAST(sx12 AS DOUBLE) AS a23, CAST(sx22 AS DOUBLE) AS a33,
+         CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+         CAST(sx2y AS DOUBLE) AS b3, CAST(syy AS DOUBLE) AS syy
+  FROM m),
+c AS (
+  SELECT l_returnflag, b1, b2, b3, syy, a11,
+         (b1 * (a22 * a33 - a23 * a23)
+          - a12 * (b2 * a33 - a23 * b3)
+          + a13 * (b2 * a23 - a22 * b3))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c0,
+         (a11 * (b2 * a33 - a23 * b3)
+          - b1 * (a12 * a33 - a23 * a13)
+          + a13 * (a12 * b3 - b2 * a13))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c1,
+         (a11 * (a22 * b3 - b2 * a23)
+          - a12 * (a12 * b3 - b2 * a13)
+          + b1 * (a12 * a23 - a22 * a13))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c2
+  FROM s)
+SELECT l_returnflag,
+       round(c0, 6) AS coef_intercept,
+       round(c1, 6) AS coef_quantity,
+       round(c2, 6) AS coef_discount_pct,
+       round(1.0 - (syy - (c0 * b1 + c1 * b2 + c2 * b3))
+                   / (syy - b1 * b1 / a11), 6) AS r2
+FROM c ORDER BY l_returnflag
+"""
+
+
 KMV_KS = (16, 32, 64)  # K sweep: estimate accuracy vs sketch size
 KMV_KMAX = max(KMV_KS)
 
@@ -6471,6 +6613,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_decayed_trending", decayed_trending, DECAYED_TRENDING_SQL),
     ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
     ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
+    ("rel_ols_regression", ols_regression, OLS_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

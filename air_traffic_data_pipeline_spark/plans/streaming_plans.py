@@ -575,6 +575,21 @@ def _shortest_path_retract_oracle_sql() -> str:
     return _shortest_path_surviving_sql()
 
 
+def stream_incremental_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_ols
+
+    return incremental_ols(spark, sf_dir)
+
+
+def _ols_oracle_sql() -> str:
+    """Per-batch DECIMAL(38,0) moment partials merged by exact addition
+    feed the shared Cramer solve — must reproduce the one-shot regression
+    bitwise; the batch query's SQL IS the oracle."""
+    from .relational import OLS_SQL
+
+    return OLS_SQL
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -816,6 +831,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_core_numbers", stream_incremental_core_numbers, _core_numbers_oracle_sql()),
     ("stream_incremental_two_hop_recs", stream_incremental_two_hop_recs, _two_hop_recs_oracle_sql()),
     ("stream_incremental_kmv", stream_incremental_kmv, _kmv_oracle_sql()),
+    ("stream_incremental_ols", stream_incremental_ols, _ols_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

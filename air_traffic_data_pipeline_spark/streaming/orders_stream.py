@@ -732,6 +732,124 @@ def incremental_rfm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+LINEITEM_OLS_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ]
+)
+
+
+def _stage_lineitem_ols_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered batches of the OLS feature projection, split by
+    l_orderkey terciles (approxQuantile cuts — two scalars to the driver)."""
+    import hashlib
+
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/lineitem_ols_{key}"
+
+    def build():
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_discount",
+            "l_extendedprice",
+        )
+        ks = li.select("l_orderkey").distinct()
+        lo, hi = ks.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.0)
+        return [
+            li.filter(F.col("l_orderkey") <= lo),
+            li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)),
+            li.filter(F.col("l_orderkey") > hi),
+        ]
+
+    return _stage_ordered(
+        d, ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"], build
+    )
+
+
+def incremental_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental OLS — bitwise equal to the one-shot
+    ``plans.relational.ols_regression`` (its SQL is the oracle).
+
+    The textbook mergeable-state mirror: the ten normal-equation moments
+    are DECIMAL(38,0) sums — distributive, so per-batch partials merge by
+    exact addition under any arrival order — and emission runs the shared
+    Cramer solve on the merged moments. The model retrains continuously
+    with O(groups x moments) state, never a second pass over history."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import ols_solve_from_moments
+
+    tune_session(spark)
+    d = _stage_lineitem_ols_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_ols_{_uuid.uuid4().hex[:8]}"
+    mom_dir = f"{base}/moments"
+
+    def _moments(df: DataFrame) -> DataFrame:
+        li = df.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x2"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        return li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            *[
+                F.sum(expr).cast("decimal(38,0)").alias(name)
+                for name, expr in [
+                    ("sx1", F.col("x1")),
+                    ("sx2", F.col("x2")),
+                    ("sx11", F.col("x1") * F.col("x1")),
+                    ("sx22", F.col("x2") * F.col("x2")),
+                    ("sx12", F.col("x1") * F.col("x2")),
+                    ("sy", F.col("y")),
+                    ("sx1y", F.col("x1") * F.col("y")),
+                    ("sx2y", F.col("x2") * F.col("y")),
+                    ("syy", F.col("y") * F.col("y")),
+                ]
+            ],
+        )
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        _moments(batch_df).write.mode("overwrite").parquet(
+            f"{mom_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_OLS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        cols = ["n", "sx1", "sx2", "sx11", "sx22", "sx12", "sy", "sx1y", "sx2y", "syy"]
+        merged = (
+            spark.read.parquet(f"{mom_dir}/batch=*")
+            .groupBy("l_returnflag")
+            .agg(*[F.sum(c).cast("decimal(38,0)").alias(c) for c in cols])
+        )
+        out, _ = tracked_local_checkpoint(
+            ols_solve_from_moments(merged), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental KMV distinct sketch — bitwise equal to the
     one-shot ``plans.relational.kmv_distinct`` (its SQL is the oracle).

@@ -1082,3 +1082,79 @@ def test_position_attribution_matches_reference(spark):
     got = [tuple(r) for r in position_attribution(spark, sf).collect()]
     assert got == want and want
     assert sum(c for _, _, c in got) == 10000 * len(paths)
+
+
+def test_ols_regression_matches_reference(spark):
+    """Exact-moment OLS vs a pure-Python replay: integer moments
+    accumulated exactly, the identical Cramer double arithmetic, 6dp
+    rounding — plus an INDEPENDENT-SOLVER check: numpy lstsq on the raw
+    design matrix must agree with the Cramer solve to float tolerance
+    (catches a shared sign/formula bug that bitwise three-way agreement
+    between Spark, DuckDB, and the replay could not). Note: this
+    synthetic lake has no quantity->price relationship (r2 ~ 0.001),
+    which the fit honestly reports."""
+    from air_traffic_data_pipeline_spark.plans.relational import ols_regression
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        x1 = int(r.l_quantity)
+        x2 = int(round(r.l_discount * 100))
+        y = int(round(r.l_extendedprice * 100))
+        groups.setdefault(r.l_returnflag, []).append((x1, x2, y))
+    want = []
+    for flag in sorted(groups):
+        g = groups[flag]
+        n = float(len(g))
+        sx1 = float(sum(x1 for x1, _, _ in g))
+        sx2 = float(sum(x2 for _, x2, _ in g))
+        sx11 = float(sum(x1 * x1 for x1, _, _ in g))
+        sx22 = float(sum(x2 * x2 for _, x2, _ in g))
+        sx12 = float(sum(x1 * x2 for x1, x2, _ in g))
+        sy = float(sum(y for _, _, y in g))
+        sx1y = float(sum(x1 * y for x1, _, y in g))
+        sx2y = float(sum(x2 * y for _, x2, y in g))
+        syy = float(sum(y * y for _, _, y in g))
+        a11, a12, a13, a22, a23, a33 = n, sx1, sx2, sx11, sx12, sx22
+        b1, b2, b3 = sy, sx1y, sx2y
+        det = (
+            a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)
+        )
+        c0 = (
+            b1 * (a22 * a33 - a23 * a23)
+            - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3)
+        ) / det
+        c1 = (
+            a11 * (b2 * a33 - a23 * b3)
+            - b1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * b3 - b2 * a13)
+        ) / det
+        c2 = (
+            a11 * (a22 * b3 - b2 * a23)
+            - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13)
+        ) / det
+        sse = syy - (c0 * b1 + c1 * b2 + c2 * b3)
+        sst = syy - b1 * b1 / a11
+        want.append(
+            (flag, round(c0, 6), round(c1, 6), round(c2, 6), round(1.0 - sse / sst, 6))
+        )
+    got = [tuple(r) for r in ols_regression(spark, sf).collect()]
+    assert got == want and want
+    import numpy as np
+
+    for flag, c0, c1, c2, r2 in got:
+        assert 0.0 <= r2 <= 1.0
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in groups[flag]])
+        y = np.array([float(y) for _, _, y in groups[flag]])
+        ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert np.allclose([c0, c1, c2], ref, rtol=1e-6, atol=1e-3)

@@ -1280,3 +1280,18 @@ def test_incremental_two_hop_recs_equals_batch(spark):
     want = [tuple(r) for r in relational.two_hop_recs(spark, sf).collect()]
     got = [tuple(r) for r in incremental_two_hop_recs(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_ols_equals_batch(spark):
+    """The regression mirror: DECIMAL(38,0) moment partials merge by
+    exact addition, so the retrained coefficients must be bitwise equal
+    to the one-shot fit regardless of arrival slicing."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_ols,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in relational.ols_regression(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_ols(spark, sf).collect()]
+    assert got == want and want
