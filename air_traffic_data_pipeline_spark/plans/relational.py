@@ -1222,6 +1222,128 @@ ORDER BY k
 """
 
 
+KMV_SETOP_QTY = (10, 40)  # A: orders with a line qty <= 10; B: qty >= 40
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches (Beyer et al.
+    2007; the Theta Sketch framework) — the reason mergeable distinct
+    sketches exist: estimate |A∪B|, |A∩B| and Jaccard between two sets
+    from their K-min sketches alone, never materializing either set.
+    A = orders holding a line with qty <= 10, B = orders holding a
+    line with qty >= 40 (genuinely overlapping sets: J ~ 0.4 at sf0.01);
+    θ = min(θ_A, θ_B)
+    (each sketch's K-th smallest hash), the combined sample is every
+    sketch hash below θ, and each estimate is |sample| / (θ/2^32). The
+    row carries the EXACT counterparts next to the estimates, so the
+    driver hash pins both the sketch math and the accuracy context.
+
+    Scale: two K-min sketches (per-partition top-K + merge, no global
+    sort), then everything operates on ≤2K rows; the exact legs are
+    distinct-aggregates included for audit (drop them at 100 TB — the
+    sketch is the product)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    q_lo, q_hi = KMV_SETOP_QTY
+    pred_a, pred_b = F.col("l_quantity") <= q_lo, F.col("l_quantity") >= q_hi
+
+    def sk(pred):
+        return (
+            li.filter(pred)
+            .select(_kmv_u32(F.col("l_orderkey")).alias("u"))
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_KMAX)
+        )
+
+    sa, sb = sk(pred_a), sk(pred_b)
+    tha = sa.agg(F.max("u").alias("tha"))
+    thb = sb.agg(F.max("u").alias("thb"))
+    th = tha.crossJoin(thb).select(
+        F.least("tha", "thb").alias("theta")
+    )
+    ua = sa.crossJoin(F.broadcast(th)).filter(F.col("u") < F.col("theta"))
+    ub = sb.crossJoin(F.broadcast(th)).filter(F.col("u") < F.col("theta"))
+    n_union = (
+        ua.select("u").unionByName(ub.select("u")).distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_sample"))
+    )
+    n_inter = (
+        ua.select("u").join(ub.select("u"), "u", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_sample"))
+    )
+    exact = li.groupBy().agg(
+        F.count_distinct(
+            F.when(pred_a | pred_b, F.col("l_orderkey"))
+        ).cast("bigint").alias("exact_union")
+    )
+    ea = li.filter(pred_a).select("l_orderkey").distinct()
+    eb = li.filter(pred_b).select("l_orderkey").distinct()
+    exact_i = ea.join(eb, "l_orderkey", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+    )
+    frac = F.col("theta").cast("double") / F.lit(4294967296.0)
+    est = lambda c: F.round(F.col(c).cast("double") / frac, 6)  # noqa: E731
+    return (
+        th.crossJoin(n_union)
+        .crossJoin(n_inter)
+        .crossJoin(exact)
+        .crossJoin(exact_i)
+        .select(
+            F.col("theta").alias("theta_u32"),
+            "n_union_sample",
+            "n_inter_sample",
+            est("n_union_sample").alias("union_est"),
+            est("n_inter_sample").alias("inter_est"),
+            F.round(
+                F.col("n_inter_sample").cast("double")
+                / F.col("n_union_sample").cast("double"),
+                6,
+            ).alias("jaccard_est"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+KMV_SETOP_SQL = f"""
+WITH sa AS (
+  SELECT DISTINCT {_kmv_u32_sql('l_orderkey')} AS u FROM lineitem
+  WHERE l_quantity <= {KMV_SETOP_QTY[0]} ORDER BY u LIMIT {KMV_KMAX}),
+sb AS (
+  SELECT DISTINCT {_kmv_u32_sql('l_orderkey')} AS u FROM lineitem
+  WHERE l_quantity >= {KMV_SETOP_QTY[1]} ORDER BY u LIMIT {KMV_KMAX}),
+th AS (SELECT least((SELECT max(u) FROM sa), (SELECT max(u) FROM sb)) AS theta),
+ua AS (SELECT u FROM sa CROSS JOIN th WHERE u < theta),
+ub AS (SELECT u FROM sb CROSS JOIN th WHERE u < theta),
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_union_sample
+       FROM (SELECT u FROM ua UNION ALL SELECT u FROM ub)),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_sample
+       FROM ua SEMI JOIN ub ON ua.u = ub.u),
+ex AS (SELECT CAST(count(DISTINCT CASE WHEN l_quantity <= {KMV_SETOP_QTY[0]}
+                 OR l_quantity >= {KMV_SETOP_QTY[1]}
+                 THEN l_orderkey END) AS BIGINT) AS exact_union
+       FROM lineitem),
+exi AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM
+        (SELECT DISTINCT l_orderkey FROM lineitem
+         WHERE l_quantity <= {KMV_SETOP_QTY[0]}) a
+        SEMI JOIN
+        (SELECT DISTINCT l_orderkey FROM lineitem
+         WHERE l_quantity >= {KMV_SETOP_QTY[1]}) b
+        ON a.l_orderkey = b.l_orderkey)
+SELECT theta AS theta_u32, n_union_sample, n_inter_sample,
+       round(CAST(n_union_sample AS DOUBLE)
+             / (CAST(theta AS DOUBLE) / CAST(4294967296.0 AS DOUBLE)), 6)
+         AS union_est,
+       round(CAST(n_inter_sample AS DOUBLE)
+             / (CAST(theta AS DOUBLE) / CAST(4294967296.0 AS DOUBLE)), 6)
+         AS inter_est,
+       round(CAST(n_inter_sample AS DOUBLE)
+             / CAST(n_union_sample AS DOUBLE), 6) AS jaccard_est,
+       exact_union, exact_inter
+FROM th CROSS JOIN nu CROSS JOIN ni CROSS JOIN ex CROSS JOIN exi
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -6614,6 +6736,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
     ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
     ("rel_ols_regression", ols_regression, OLS_SQL),
+    ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -1158,3 +1158,54 @@ def test_ols_regression_matches_reference(spark):
         y = np.array([float(y) for _, _, y in groups[flag]])
         ref, *_ = np.linalg.lstsq(X, y, rcond=None)
         assert np.allclose([c0, c1, c2], ref, rtol=1e-6, atol=1e-3)
+
+
+def test_kmv_set_ops_matches_reference(spark):
+    """Theta-style KMV set operations vs a pure-Python replay (same u32
+    hash, per-set K-mins, theta = min of the two K-th values, below-theta
+    samples, |sample|/(theta/2^32) estimates) — and the accuracy claims:
+    union/intersection estimates within 35% of the exact counts carried
+    in the same row, and the jaccard estimate between 0 and 1."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KMV_KMAX,
+        KMV_SETOP_QTY,
+        kmv_set_ops,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "lineitem").select("l_orderkey", "l_quantity").collect()
+    )
+    q_lo, q_hi = KMV_SETOP_QTY
+    A = {r.l_orderkey for r in rows if r.l_quantity <= q_lo}
+    B = {r.l_orderkey for r in rows if r.l_quantity >= q_hi}
+
+    def u32s(keys):
+        return sorted(
+            {int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in keys}
+        )[:KMV_KMAX]
+
+    sa, sb = u32s(A), u32s(B)
+    theta = min(sa[-1], sb[-1])
+    ua = {u for u in sa if u < theta}
+    ub = {u for u in sb if u < theta}
+    frac = theta / 4294967296.0
+    want = (
+        theta,
+        len(ua | ub),
+        len(ua & ub),
+        round(len(ua | ub) / frac, 6),
+        round(len(ua & ub) / frac, 6),
+        round(len(ua & ub) / len(ua | ub), 6),
+        len(A | B),
+        len(A & B),
+    )
+    got = tuple(kmv_set_ops(spark, sf).collect()[0])
+    assert got == want
+    _, _, _, u_est, i_est, j_est, ex_u, ex_i = got
+    assert abs(u_est - ex_u) / ex_u < 0.35
+    assert abs(i_est - ex_i) / ex_i < 0.35
+    assert 0.0 <= j_est <= 1.0
