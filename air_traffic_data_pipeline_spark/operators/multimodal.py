@@ -723,3 +723,44 @@ def audio_envelope(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, ENVELOPE_SCHEMA)
+
+
+def tile_stats_bmp(df: DataFrame) -> DataFrame:
+    """Per-image luminance TILE STATISTICS over real BMP bytes — the
+    blank/low-contrast detector an image-curation pipeline gates on
+    before spending decode/embedding budget downstream: the same
+    PHASH_GRID² sampled gray grid as both hash kernels, reduced to exact
+    integer stats — min, max, contrast (max−min) and the scaled variance
+    n·Σg² − (Σg)² (exact BIGINT; zero ⟺ a perfectly flat image). All
+    integers from the real byte parse, so the row is bitwise
+    reproducible and the flat flag is a hard equality, not a float
+    threshold. At 100 TB: payloads never leave executors; the stats are
+    16 bytes per image."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "width", "height", "gray_min", "gray_max",
+            "contrast", "var_scaled", "is_flat",
+        )
+        for pdf in it:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, row_size, pixels = _parse_bmp(bytes(raw))
+                g = _grid_grays(pixels, w, h, row_size)
+                n, s, s2 = len(g), sum(g), sum(x * x for x in g)
+                var = n * s2 - s * s
+                rows.append(
+                    (
+                        int(doc_id), w, h, min(g), max(g),
+                        max(g) - min(g), var, var == 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    return df.mapInPandas(
+        batches,
+        "doc_id long, width int, height int, gray_min long, gray_max long,"
+        " contrast long, var_scaled long, is_flat boolean",
+    )

@@ -10522,6 +10522,52 @@ FROM t
 """
 
 
+def image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank/low-contrast image detection — the cheap gate an image
+    pipeline runs BEFORE spending embedding budget: exact integer
+    luminance-grid statistics per BMP (min, max, contrast, the scaled
+    variance n·Σg²−(Σg)², and a hard is_flat equality — no float
+    threshold) via the real byte parse
+    (operators/multimodal.py:tile_stats_bmp). The oracle recomputes the
+    stats closed-form from the synthetic pixel formula, never touching
+    payload bytes."""
+    from ..operators.multimodal import attach_bmp_payload, tile_stats_bmp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return tile_stats_bmp(attach_bmp_payload(d))
+
+
+def _image_tile_stats_sql() -> str:
+    newline = ",\n         "
+    gray_cols = _bmp_gray_cols_sql("g", "w", "h", "row_size")
+    n = 16
+    gs = [f"g{i}" for i in range(n)]
+    smallest = "least(" + ", ".join(gs) + ")"
+    largest = "greatest(" + ", ".join(gs) + ")"
+    s = " + ".join(gs)
+    s2 = " + ".join(f"g{i} * g{i}" for i in range(n))
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text, doc_id % 16 + 1 AS w, (doc_id // 16) % 8 + 1 AS h
+  FROM documents WHERE doc_id < 300
+),
+dims2 AS (SELECT *, (w * 3 + 3) // 4 * 4 AS row_size FROM dims),
+grays AS (
+  SELECT doc_id, w, h,
+         {newline.join(gray_cols)}
+  FROM dims2
+),
+t AS (SELECT doc_id, w, h, {smallest} AS gmin, {largest} AS gmax,
+             CAST({n} AS BIGINT) * ({s2}) - CAST(({s}) AS BIGINT) * ({s}) AS var_scaled
+      FROM grays)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(gmin AS BIGINT) AS gray_min, CAST(gmax AS BIGINT) AS gray_max,
+       CAST(gmax - gmin AS BIGINT) AS contrast,
+       var_scaled, var_scaled = 0 AS is_flat
+FROM t
+"""
+
+
 def image_dct_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-robustness grading of the two perceptual hashes: every BMP
     is NN-downsampled to max side 4 (resize_bmp's integer-exact
@@ -12325,6 +12371,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_lm_token_logprob", lm_token_logprob, _LM_LOGPROB_SQL),
     ("llm_lm_ppl_filter", lm_ppl_filter, _LM_PPL_FILTER_SQL),
     ("llm_image_dct_phash", image_dct_phash, _image_dct_phash_sql()),
+    ("llm_image_tile_stats", image_tile_stats, _image_tile_stats_sql()),
     ("llm_image_dct_robustness", image_dct_robustness, _image_dct_robust_sql()),
     ("llm_gopher_rules", gopher_rules, _gopher_rules_sql()),
     ("llm_dedup_survivor_weights", dedup_survivor_weights, _survivor_weights_sql()),

@@ -4054,3 +4054,65 @@ def test_sn_dedup_recall_eval_invariants(spark):
         >= SN_JACCARD_MIN
     )
     assert row.n_truth == n_truth
+
+
+def test_image_tile_stats_matches_reference(spark):
+    """Tile stats vs an independent pure-Python recomputation from the
+    synthetic pixel formula (md5 digest bytes cycled row-major) — no
+    shared parse code with the kernel — plus a constructed FLAT image
+    through the real kernel: constant pixels must trip the hard is_flat
+    equality with zero contrast."""
+    import hashlib
+    import struct
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        tile_stats_bmp,
+    )
+    from air_traffic_data_pipeline_spark.plans.llm import image_tile_stats
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    for r in docs:
+        w, h = r.doc_id % 16 + 1, (r.doc_id // 16) % 8 + 1
+        row_size = (w * 3 + 3) // 4 * 4
+        dig = hashlib.md5(r.text.encode()).digest()
+        px = lambda i: dig[i % 16]  # noqa: E731
+        g = []
+        for gy in range(4):
+            sy = (gy * h) // 4
+            for gx in range(4):
+                sx = (gx * w) // 4
+                base = sy * row_size + sx * 3
+                g.append(px(base) + px(base + 1) + px(base + 2))
+        var = 16 * sum(x * x for x in g) - sum(g) ** 2
+        want[r.doc_id] = (
+            w, h, min(g), max(g), max(g) - min(g), var, var == 0
+        )
+    got = {
+        r.doc_id: (
+            r.width, r.height, r.gray_min, r.gray_max, r.contrast,
+            r.var_scaled, r.is_flat,
+        )
+        for r in image_tile_stats(spark, sf).collect()
+    }
+    assert got == want and want
+    # at least one non-flat image exists (the stats discriminate)
+    assert any(not v[-1] for v in got.values())
+
+    # constructed flat image through the REAL kernel
+    w, h = 5, 3
+    row_size = (w * 3 + 3) // 4 * 4
+    img = bytes([7]) * (row_size * h)
+    fh = b"BM" + struct.pack("<IHHI", BMP_HEADER_BYTES + len(img), 0, 0, BMP_HEADER_BYTES)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    flat = spark.createDataFrame([(1, fh + ih + img)], "doc_id long, payload binary")
+    row = tile_stats_bmp(flat).collect()[0]
+    assert row.is_flat and row.contrast == 0 and row.gray_min == 21
