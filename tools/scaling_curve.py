@@ -168,6 +168,18 @@ def main() -> int:
         # model — dominated by the NSW graph build (the ann_nsw_topk
         # entry's curve), plus 5 corpus-independent integer rounds
         "llm_graph_centrality_prior": llm.graph_centrality_prior,
+        # round-10 additions under the same models: per-node coreness
+        # shares the kcore posture (30 bounded peels over the
+        # near-constant distinct-edge table — expect flat-ish); two-hop
+        # recs cap each node at top-8 edges BEFORE the expansion, so the
+        # 2-hop join is |V|*M^2-bounded while the pair-building stage
+        # sees 4x input (expect the pagerank-like pair-build curve);
+        # sorted-neighborhood dedup rides the distinct-text document
+        # model (one partition-local sort + candidate-pruned grams —
+        # expect linear)
+        "rel_core_numbers": relational.core_numbers_copurchase,
+        "rel_two_hop_recs": relational.two_hop_recs,
+        "llm_sorted_neighborhood_dup": llm.sorted_neighborhood_dup,
     }
     only = list(argv)
     if only:
