@@ -961,6 +961,127 @@ FROM s
 """
 
 
+PF_T_NUM, PF_T_DEN = 4, 5  # exact Jaccard threshold t = 4/5 on shingle sets
+
+
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (Chaudhuri et
+    al. 2006; Bayardo et al. 2007 "All-Pairs") — the missing rung between
+    the approximate blockers (minhash/LSH, simhash, sorted-neighborhood)
+    and the bounded-sample exact kernels (llm_ngram_jaccard): guaranteed
+    recall 1.0 over the WHOLE corpus without an all-pairs join. Order the
+    corpus shingle vocabulary rarest-first (doc frequency, then shingle);
+    each doc's PREFIX is its first |s| - ceil(t·|s|) + 1 shingles in that
+    order. Theorem: two sets with J ≥ t must share a prefix token — if
+    they shared none, even perfect overlap of the remaining suffixes
+    leaves the intersection below t·union. So the candidate set = pairs
+    meeting in ≥1 prefix-shingle bucket is recall-complete, and prefixes
+    are RARE tokens by construction, so buckets stay small where a raw
+    inverted index would explode on common shingles.
+
+    Every comparison is integer: prefix length via ceil-division in
+    BIGINTs, the threshold predicate as PF_T_DEN·common ≥
+    PF_T_NUM·(|a|+|b|-common) — no doubles until the reported jaccard.
+    Because the filter is exact, the ORACLE is the straightforward
+    all-pairs semantics: a driver hash-match is a recall-1.0 proof on
+    real data, not a spot check.
+
+    Scale: df table is one map-side-combining count; the per-doc rank
+    window partitions by doc_id (bounded by max doc length, not corpus
+    size); the candidate join is equi on prefix shingles (the classic
+    skew win: the rarest tokens are the least skewed); verification
+    explodes shingles for candidate docs only (semi-join pruned). The
+    length filter PF_T_DEN·|b| ≥ PF_T_NUM·|a| (implied by J ≥ t) prunes
+    candidates before gram counting."""
+    from pyspark.sql import Window
+
+    sh = _shingle_rows(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            "sz",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("rn"),
+        )
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
+    ceil_t_sz = F.floor(
+        (F.lit(PF_T_NUM) * F.col("sz") + F.lit(PF_T_DEN - 1)) / F.lit(PF_T_DEN)
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t implies t*max(sz) <= min(sz)
+        .filter(
+            F.lit(PF_T_DEN) * F.least("sz_a", "sz_b")
+            >= F.lit(PF_T_NUM) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    csh = sh.join(ids, "doc_id", "left_semi")
+    common = (
+        cand.join(csh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(
+            csh.select(F.col("doc_id").alias("pb_id"), F.col("s").alias("s2")),
+            (F.col("pb_id") == F.col("doc_b")) & (F.col("s2") == F.col("s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        common.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(
+            F.lit(PF_T_DEN) * F.col("n_common")
+            >= F.lit(PF_T_NUM) * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        )
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_common", "sz_a", "sz_b", jac.alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# The oracle is deliberately the ALL-PAIRS exact semantics: matching it
+# bitwise is the recall-1.0 guarantee demonstrated on data.
+_PREFIX_FILTER_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE {PF_T_DEN} * n_common >= {PF_T_NUM} * (sa.sz + sb.sz - n_common)
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- embedding similarity --------------------------------------------------
 
 
@@ -12260,6 +12381,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),
     ("llm_sn_dedup_recall_eval", sn_dedup_recall_eval, _SN_RECALL_EVAL_SQL),
+    ("llm_prefix_filter_join", prefix_filter_join, _PREFIX_FILTER_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

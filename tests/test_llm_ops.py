@@ -4116,3 +4116,72 @@ def test_image_tile_stats_matches_reference(spark):
     flat = spark.createDataFrame([(1, fh + ih + img)], "doc_id long, payload binary")
     row = tile_stats_bmp(flat).collect()[0]
     assert row.is_flat and row.contrast == 0 and row.gray_min == 21
+
+
+def test_prefix_filter_join_matches_reference(spark):
+    """Prefix-filter exact Jaccard join vs a pure-Python replay of BOTH
+    sides of the exactness claim: (1) the result must equal the
+    brute-force all-pairs truth (recall 1.0 AND precision 1.0 — the
+    oracle repeats this cross-engine, the replay pins it in-process);
+    (2) the replayed prefix-filter candidate set must cover every truth
+    pair (the Chaudhuri/Bayardo prefix theorem on real data); (3) the
+    candidate volume must be a small fraction of all pairs — the reason
+    the operator exists."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        PF_T_DEN,
+        PF_T_NUM,
+        prefix_filter_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    sets: dict[int, frozenset] = {}
+    for r in docs:
+        w = r.text.split(" ")
+        n = max(len(w) - 2, 1)
+        sets[r.doc_id] = frozenset(" ".join(w[i : i + 3]) for i in range(n))
+    ids = sorted(sets)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - common
+            if PF_T_DEN * common >= PF_T_NUM * union:
+                truth[(a, b)] = (
+                    common,
+                    len(sets[a]),
+                    len(sets[b]),
+                    round(common / union, 6),
+                )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.sz_a, r.sz_b, r.jaccard)
+        for r in prefix_filter_join(spark, sf).collect()
+    }
+    assert got == truth and truth
+
+    # replay the prefix selection: candidates must cover every truth pair
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    prefixes = {}
+    for d, s in sets.items():
+        ordered = sorted(s, key=lambda g: (df_count[g], g))
+        p = len(s) - (PF_T_NUM * len(s) + PF_T_DEN - 1) // PF_T_DEN + 1
+        prefixes[d] = set(ordered[:p])
+    buckets: dict[str, list] = {}
+    for d, p in prefixes.items():
+        for g in p:
+            buckets.setdefault(g, []).append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                sa, sb = len(sets[a]), len(sets[b])
+                if PF_T_DEN * min(sa, sb) >= PF_T_NUM * max(sa, sb):
+                    cand.add((a, b))
+    assert set(truth) <= cand
+    # the scale claim: candidates are a tiny fraction of all pairs
+    all_pairs = len(ids) * (len(ids) - 1) // 2
+    assert len(cand) < 0.05 * all_pairs
