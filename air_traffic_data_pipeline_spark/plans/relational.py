@@ -1344,6 +1344,169 @@ FROM th CROSS JOIN nu CROSS JOIN ni CROSS JOIN ex CROSS JOIN exi
 """
 
 
+BOOT_B = 64  # bootstrap replicates
+# Poisson(1) CDF breakpoints scaled to u32: floor(P(X<=k) * 2^32) for k=0..5.
+# A row's weight in replicate b is the pseudo-Poisson draw CASE(u < T[k]) -> k
+# — exact integer comparisons, so the resample is bitwise across engines.
+BOOT_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+BOOT_LO_RANK = 2  # ceil(0.025 * B): nearest-rank 2.5th percentile
+BOOT_HI_RANK = 63  # ceil(0.975 * B)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean lineitem revenue per
+    l_returnflag via the POISSON BOOTSTRAP (Hanley & MacGibbon 2006; the
+    bag-of-little-bootstraps lineage) — the way uncertainty is actually
+    estimated over data too large to resample: a multinomial resample
+    needs the global row count and a shuffle per replicate; the Poisson
+    approximation gives every row an independent Poisson(1) weight per
+    replicate, so ALL B resamples ride ONE pass over the fact table and
+    collapse immediately into a map-side-combining aggregate of
+    |groups|·B partial sums. No resample ever materializes.
+
+    Determinism discipline: the per-(row, replicate) weight is a pseudo-
+    Poisson draw from the md5-u32 of (orderkey, linenumber, b) compared
+    against integer CDF breakpoints (BOOT_POIS_T) — exact integer
+    comparisons, no doubles; revenue is exact cent-hundredths
+    (price_cents · (100 - disc_pct)); each replicate mean is ONE divide
+    of two exact BIGINTs; the CI bounds are nearest-rank order statistics
+    (ranks BOOT_LO_RANK / BOOT_HI_RANK of the B means, ties broken by
+    replicate id) — bitwise across engines and shuffle orders end to end.
+
+    Scale: explode factor B is the only cost and it never reaches an
+    Exchange — the groupBy(flag, b) partials combine inside the scan
+    stage; the rank window runs over |flags|·B ≤ a few hundred rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("rev").cast("bigint").alias("s_rev"),
+    )
+    u = _kmv_u32(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    w = F.lit(len(BOOT_POIS_T))
+    for k in reversed(range(len(BOOT_POIS_T))):
+        w = F.when(F.col("u") < F.lit(BOOT_POIS_T[k]), F.lit(k)).otherwise(w)
+    reps = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "rev",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("u", u)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum(w.cast("bigint") * F.col("rev")).cast("bigint").alias("s_wy"),
+            F.sum(w.cast("bigint")).cast("bigint").alias("s_w"),
+        )
+        .filter(F.col("s_w") > 0)
+        .select(
+            "l_returnflag",
+            "b",
+            (F.col("s_wy").cast("double") / F.col("s_w").cast("double")).alias(
+                "rep_mean"
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy("rep_mean", "b")
+    )
+    bounds = (
+        reps.select("l_returnflag", "rep_mean", rn.alias("rn"))
+        .filter(F.col("rn").isin(BOOT_LO_RANK, BOOT_HI_RANK))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rn") == BOOT_LO_RANK, F.col("rep_mean"))).alias("lo"),
+            F.max(F.when(F.col("rn") == BOOT_HI_RANK, F.col("rep_mean"))).alias("hi"),
+        )
+    )
+    cents = lambda c: F.round(c / F.lit(100.0), 6)  # noqa: E731
+    return (
+        exact.join(bounds, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            cents(
+                F.col("s_rev").cast("double") / F.col("n_rows").cast("double")
+            ).alias("mean_cents"),
+            cents(F.col("lo")).alias("ci_lo_cents"),
+            cents(F.col("hi")).alias("ci_hi_cents"),
+            cents(F.col("hi") - F.col("lo")).alias("ci_width_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _boot_w_sql() -> str:
+    branches = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_POIS_T)
+    )
+    return f"CASE {branches} ELSE {len(BOOT_POIS_T)} END"
+
+
+POISSON_BOOTSTRAP_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem),
+exact AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(rev) AS BIGINT) AS s_rev
+  FROM li GROUP BY 1),
+hashed AS (
+  SELECT l_returnflag, rev, b,
+         {_kmv_u32_sql("l_orderkey || ':' || l_linenumber || ':' || b")} AS u
+  FROM li CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) bs),
+reps AS (
+  SELECT l_returnflag, b,
+         CAST(sum(CAST({_boot_w_sql()} AS BIGINT) * rev) AS DOUBLE)
+           / CAST(sum(CAST({_boot_w_sql()} AS BIGINT)) AS DOUBLE) AS rep_mean
+  FROM hashed GROUP BY 1, 2
+  HAVING sum(CAST({_boot_w_sql()} AS BIGINT)) > 0),
+ranked AS (
+  SELECT l_returnflag, rep_mean,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY rep_mean, b) AS rn
+  FROM reps),
+bounds AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = {BOOT_LO_RANK} THEN rep_mean END) AS lo,
+         max(CASE WHEN rn = {BOOT_HI_RANK} THEN rep_mean END) AS hi
+  FROM ranked WHERE rn IN ({BOOT_LO_RANK}, {BOOT_HI_RANK}) GROUP BY 1)
+SELECT e.l_returnflag, e.n_rows,
+       round(CAST(s_rev AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             / CAST(100.0 AS DOUBLE), 6) AS mean_cents,
+       round(lo / CAST(100.0 AS DOUBLE), 6) AS ci_lo_cents,
+       round(hi / CAST(100.0 AS DOUBLE), 6) AS ci_hi_cents,
+       round((hi - lo) / CAST(100.0 AS DOUBLE), 6) AS ci_width_cents
+FROM exact e JOIN bounds USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -6737,6 +6900,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
     ("rel_ols_regression", ols_regression, OLS_SQL),
     ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
+    ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

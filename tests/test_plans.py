@@ -1209,3 +1209,83 @@ def test_kmv_set_ops_matches_reference(spark):
     assert abs(u_est - ex_u) / ex_u < 0.35
     assert abs(i_est - ex_i) / ex_i < 0.35
     assert 0.0 <= j_est <= 1.0
+
+
+def test_poisson_bootstrap_ci_matches_reference(spark):
+    """Poisson bootstrap vs a pure-Python replay: the identical md5-u32
+    pseudo-Poisson draws, exact integer weighted sums, one divide per
+    replicate, nearest-rank order statistics — plus the statistical
+    sanity conditions the operator exists for: the CI brackets the
+    point estimate and has positive width (the resample actually
+    varies)."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        BOOT_POIS_T,
+        poisson_bootstrap_ci,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "l_discount",
+        )
+        .collect()
+    )
+
+    def pois_w(u: int) -> int:
+        for k, t in enumerate(BOOT_POIS_T):
+            if u < t:
+                return k
+        return len(BOOT_POIS_T)
+
+    groups: dict[str, list] = {}
+    for r in rows:
+        rev = int(round(r.l_extendedprice * 100)) * (
+            100 - int(round(r.l_discount * 100))
+        )
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_orderkey, r.l_linenumber, rev)
+        )
+    want = []
+    for flag in sorted(groups):
+        g = groups[flag]
+        n, s_rev = len(g), sum(rev for _, _, rev in g)
+        means = []
+        for b in range(BOOT_B):
+            s_wy = s_w = 0
+            for ok, ln, rev in g:
+                u = int(
+                    hashlib.md5(f"{ok}:{ln}:{b}".encode()).hexdigest()[:8], 16
+                )
+                w = pois_w(u)
+                s_wy += w * rev
+                s_w += w
+            if s_w > 0:
+                means.append((s_wy / s_w, b))
+        means.sort()
+        lo = means[BOOT_LO_RANK - 1][0]
+        hi = means[BOOT_HI_RANK - 1][0]
+        want.append(
+            (
+                flag,
+                n,
+                round(s_rev / n / 100.0, 6),
+                round(lo / 100.0, 6),
+                round(hi / 100.0, 6),
+                round((hi - lo) / 100.0, 6),
+            )
+        )
+    got = [tuple(r) for r in poisson_bootstrap_ci(spark, sf).collect()]
+    assert got == want and want
+    for _, n, mean, lo, hi, width in got:
+        assert n > 100  # enough rows for the CLT regime the CI assumes
+        assert lo <= mean <= hi  # CI brackets the point estimate
+        assert width > 0  # the resample varies
+        assert width < 0.2 * mean  # and is tight at this n
