@@ -1507,6 +1507,107 @@ ORDER BY l_returnflag
 """
 
 
+SEAS_ANCHOR = "1994-12-26"  # a Monday before the lake's first order date
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order-
+    revenue series (trend via centered 7-day moving average, day-of-week
+    seasonal as the mean detrended value, Cleveland/Makridakis textbook
+    form) — the time-series capability next to rel_ewma_per_user /
+    rel_decayed_trending: "is Monday systematically below trend?".
+
+    Exactness discipline: daily revenue is an exact BIGINT cent sum; the
+    centered moving average is kept as its NUMERATOR (the 7-day sum) so
+    the detrended series is computed in SEVENTHS — detr7 = 7·daily −
+    trend_sum7, an exact BIGINT — and the one divide per output row
+    happens on final exact sums. Calendar gaps are handled honestly: a
+    window only yields a trend when all 7 ROWS are 7 CONSECUTIVE days
+    (count = 7 AND max(day)−min(day) = 6); sparse stretches contribute
+    no detrended samples rather than a silently-wrong mix of
+    non-adjacent days. Day-of-week is anchor-Monday modular arithmetic
+    (dn % 7, 0 = Monday), not an engine dayofweek() whose numbering
+    differs across systems.
+
+    Scale: the daily aggregate is the only pass over orders (map-side
+    combine); the ordered window runs over |distinct days| rows — ~2.4k
+    for a 7-year lake, bounded by the CALENDAR, not data volume, at any
+    corpus scale. The final group-by reduces to 7 rows."""
+    o = load(spark, sf_dir, "orders")
+    dn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+    ).cast("bigint")
+    daily = (
+        o.select(
+            dn.alias("dn"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("dn")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = W.orderBy("dn").rowsBetween(-3, 3)
+    trended = daily.select(
+        "dn",
+        "cents",
+        F.sum("cents").over(w).alias("trend_sum7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+        (F.max("dn").over(w) - F.min("dn").over(w)).alias("span"),
+    ).filter((F.col("c7") == 7) & (F.col("span") == 6))
+    agg = (
+        trended.select(
+            F.pmod(F.col("dn"), F.lit(7)).alias("dow_idx"),
+            "cents",
+            (F.lit(7) * F.col("cents") - F.col("trend_sum7")).alias("detr7"),
+        )
+        .groupBy("dow_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("cents").cast("bigint").alias("s_cents"),
+            F.sum("detr7").cast("bigint").alias("s_detr7"),
+        )
+    )
+    return agg.select(
+        "dow_idx",
+        "n_days",
+        F.round(
+            F.col("s_cents").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("mean_daily_cents"),
+        F.round(
+            F.col("s_detr7").cast("double")
+            / (F.lit(7).cast("double") * F.col("n_days").cast("double")),
+            6,
+        ).alias("seasonal_cents"),
+    ).orderBy("dow_idx")
+
+
+SEASONAL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+trended AS (
+  SELECT dn, cents,
+         sum(cents) OVER win AS trend_sum7,
+         count(*) OVER win AS c7,
+         max(dn) OVER win - min(dn) OVER win AS span
+  FROM daily
+  WINDOW win AS (ORDER BY dn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+agg AS (
+  SELECT dn % 7 AS dow_idx,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS s_cents,
+         CAST(sum(7 * cents - trend_sum7) AS BIGINT) AS s_detr7
+  FROM trended WHERE c7 = 7 AND span = 6 GROUP BY 1)
+SELECT CAST(dow_idx AS BIGINT) AS dow_idx, n_days,
+       round(CAST(s_cents AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_daily_cents,
+       round(CAST(s_detr7 AS DOUBLE)
+             / (CAST(7 AS DOUBLE) * CAST(n_days AS DOUBLE)), 6)
+         AS seasonal_cents
+FROM agg ORDER BY dow_idx
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -6901,6 +7002,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_ols_regression", ols_regression, OLS_SQL),
     ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
     ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
+    ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

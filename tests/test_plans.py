@@ -1289,3 +1289,52 @@ def test_poisson_bootstrap_ci_matches_reference(spark):
         assert lo <= mean <= hi  # CI brackets the point estimate
         assert width > 0  # the resample varies
         assert width < 0.2 * mean  # and is tight at this n
+
+
+def test_seasonal_decompose_matches_reference(spark):
+    """Additive decomposition vs a pure-Python replay (exact cent sums,
+    7-day numerator trend, contiguity-gated windows, anchor-Monday dow)
+    — plus the decomposition identity: seasonal components are
+    deviations from trend, so weighted by day count they sum to ~zero
+    (exactly zero iff every dow appears equally; bounded here)."""
+    import datetime
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SEAS_ANCHOR,
+        seasonal_decompose,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        load(spark, sf, "orders").select("o_orderdate", "o_totalprice").collect()
+    )
+    anchor = datetime.date.fromisoformat(SEAS_ANCHOR)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        dn = (d - anchor).days
+        daily[dn] = daily.get(dn, 0) + int(round(r.o_totalprice * 100))
+    dns = sorted(daily)
+    agg: dict[int, list] = {}
+    for i in range(3, len(dns) - 3):
+        win = dns[i - 3 : i + 4]
+        if win[-1] - win[0] != 6:
+            continue
+        dn = dns[i]
+        trend7 = sum(daily[d] for d in win)
+        detr7 = 7 * daily[dn] - trend7
+        a = agg.setdefault(dn % 7, [0, 0, 0])
+        a[0] += 1
+        a[1] += daily[dn]
+        a[2] += detr7
+    want = [
+        (dow, n, round(s / n, 6), round(sd / (7.0 * n), 6))
+        for dow, (n, s, sd) in sorted(agg.items())
+    ]
+    got = [tuple(r) for r in seasonal_decompose(spark, sf).collect()]
+    assert got == want and len(got) == 7
+    # decomposition identity: count-weighted seasonal components cancel
+    total = sum(n * seas for _, n, _, seas in got)
+    scale = sum(n * m for _, n, m, _ in got)
+    assert abs(total) < 0.01 * scale
