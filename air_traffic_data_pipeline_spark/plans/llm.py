@@ -1082,6 +1082,179 @@ ORDER BY doc_a, doc_b
 """
 
 
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out eval split (same gate as
+# llm_train_val_split's deterministic-id discipline)
+NB_MU = 1_000_000  # log-likelihood quantization: micro-units per nat
+
+
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier TRAINED IN-ENGINE
+    (McCallum & Nigam 1998) — the classic counting classifier that needs
+    no gradient loop: training is two integer aggregates (per-class
+    token counts + class priors), the model is a table, scoring is a
+    join + weighted sum. Train on doc_id % NB_TEST_MOD != 0 against the
+    lake's lang labels, score the held-out split, emit the confusion
+    matrix (true × predicted, with the exact summed decision margin) —
+    the supervised counterpart to the stopword-heuristic llm_lang_id.
+
+    Determinism discipline: every Laplace-smoothed log-likelihood is
+    quantized ONCE in the model table — round(NB_MU · ln((c+1)/(total_c
+    + V))) as BIGINT — so per-document scores are exact integer
+    weighted sums (order-free at any parallelism), argmax ties break on
+    class name, and the margin (best − runner-up) is an exact integer.
+    The only doubles are inside the |V|·|C|-row model build.
+
+    Scale: the model is |vocab|·|classes| rows built by one map-side-
+    combining aggregate over the train corpus; the class table (|C|
+    rows) broadcasts; scoring joins test tokens to the model gram-keyed
+    and reduces per (doc, class) with map-side combine. Nothing is
+    iterative; at 100 TB the model build is the one wide pass.
+
+    Honest finding: this synthetic lake's lang labels are only weakly
+    text-correlated (the documents share one technical vocabulary), so
+    held-out accuracy lands barely above the majority-class baseline
+    (43% vs 41% at sf0.01) — the confusion matrix reports it as-is,
+    exactly like rel_ols_regression reports its R²≈0.001 lake."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(NB_TEST_MOD)) != 0)
+    test = d.filter(F.pmod(F.col("doc_id"), F.lit(NB_TEST_MOD)) == 0)
+    ttok = train.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cnt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("total_c"))
+    v = ttok.agg(F.count_distinct("tok").alias("v"))
+    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ntr = train.agg(F.count(F.lit(1)).alias("n_train"))
+    mu = F.lit(float(NB_MU))
+    llog = lambda num, den: F.round(mu * F.log(num / den)).cast(  # noqa: E731
+        "bigint"
+    )
+    ctab = (
+        cls.crossJoin(F.broadcast(ntr))
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("c_lang"),
+            llog(
+                F.col("n_docs").cast("double"), F.col("n_train").cast("double")
+            ).alias("prior_llog"),
+            llog(
+                F.lit(1.0), (F.col("total_c") + F.col("v")).cast("double")
+            ).alias("defl"),
+        )
+    )
+    model = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("m_lang"),
+            "tok",
+            llog(
+                (F.col("c") + 1).cast("double"),
+                (F.col("total_c") + F.col("v")).cast("double"),
+            ).alias("llog"),
+        )
+    )
+    qtok = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    scored = (
+        qtok.crossJoin(F.broadcast(ctab))
+        .join(
+            model,
+            (F.col("m_lang") == F.col("c_lang")) & (model["tok"] == qtok["tok"]),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "c_lang", "prior_llog")
+        .agg(
+            F.sum(
+                F.col("tc") * F.coalesce(F.col("llog"), F.col("defl"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "c_lang",
+            (F.col("prior_llog") + F.col("s")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c_lang")
+    ranked = scored.select(
+        "true_lang",
+        "c_lang",
+        "score",
+        F.row_number().over(win).alias("rn"),
+        F.lead("score").over(win).alias("nxt"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("c_lang").alias("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("score") - F.col("nxt")).cast("bigint").alias(
+                "sum_margin_micro"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_NB_LANGID_SQL = f"""
+WITH train AS (SELECT doc_id, lang, text FROM documents
+               WHERE doc_id % {NB_TEST_MOD} <> 0),
+test AS (SELECT doc_id, lang AS true_lang, text FROM documents
+         WHERE doc_id % {NB_TEST_MOD} = 0),
+ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train),
+cnt AS (SELECT lang, tok, count(*) AS c FROM ttok GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS total_c FROM ttok GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+cls AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY 1),
+ntr AS (SELECT count(*) AS n_train FROM train),
+ctab AS (
+  SELECT cls.lang AS c_lang,
+         CAST(round({NB_MU}.0 * ln(CAST(n_docs AS DOUBLE)
+                                   / CAST(n_train AS DOUBLE))) AS BIGINT)
+           AS prior_llog,
+         CAST(round({NB_MU}.0 * ln(CAST(1.0 AS DOUBLE)
+                                   / CAST(total_c + v AS DOUBLE))) AS BIGINT)
+           AS defl
+  FROM cls CROSS JOIN ntr JOIN tot ON tot.lang = cls.lang CROSS JOIN v),
+model AS (
+  SELECT cnt.lang AS m_lang, tok,
+         CAST(round({NB_MU}.0 * ln(CAST(c + 1 AS DOUBLE)
+                                   / CAST(total_c + v AS DOUBLE))) AS BIGINT)
+           AS llog
+  FROM cnt JOIN tot ON tot.lang = cnt.lang CROSS JOIN v),
+qtok AS (
+  SELECT doc_id, true_lang, tok, CAST(count(*) AS BIGINT) AS tc
+  FROM (SELECT doc_id, true_lang, unnest(string_split(text, ' ')) AS tok
+        FROM test) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT q.doc_id, q.true_lang, ct.c_lang,
+         ct.prior_llog + sum(q.tc * coalesce(m.llog, ct.defl)) AS score
+  FROM qtok q CROSS JOIN ctab ct
+  LEFT JOIN model m ON m.m_lang = ct.c_lang AND m.tok = q.tok
+  GROUP BY 1, 2, 3, ct.prior_llog),
+ranked AS (
+  SELECT true_lang, c_lang, score,
+         row_number() OVER win AS rn, lead(score) OVER win AS nxt
+  FROM scored
+  WINDOW win AS (PARTITION BY doc_id ORDER BY score DESC, c_lang))
+SELECT true_lang, c_lang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score - nxt) AS BIGINT) AS sum_margin_micro
+FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- embedding similarity --------------------------------------------------
 
 
@@ -12382,6 +12555,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),
     ("llm_sn_dedup_recall_eval", sn_dedup_recall_eval, _SN_RECALL_EVAL_SQL),
     ("llm_prefix_filter_join", prefix_filter_join, _PREFIX_FILTER_SQL),
+    ("llm_naive_bayes_langid", naive_bayes_langid, _NB_LANGID_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

@@ -4185,3 +4185,64 @@ def test_prefix_filter_join_matches_reference(spark):
     # the scale claim: candidates are a tiny fraction of all pairs
     all_pairs = len(ids) * (len(ids) - 1) // 2
     assert len(cand) < 0.05 * all_pairs
+
+
+def test_naive_bayes_langid_matches_reference(spark):
+    """In-engine multinomial NB vs a pure-Python replay: identical
+    Laplace model (micro-unit-quantized log-likelihoods), integer
+    score sums, argmax with class-name tiebreak, exact margins —
+    plus partition invariants (every held-out doc classified exactly
+    once, margins strictly positive)."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        NB_MU,
+        NB_TEST_MOD,
+        naive_bayes_langid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text").collect()
+    train = [(r.lang, r.text.split(" ")) for r in docs if r.doc_id % NB_TEST_MOD != 0]
+    test = [
+        (r.doc_id, r.lang, r.text.split(" "))
+        for r in docs
+        if r.doc_id % NB_TEST_MOD == 0
+    ]
+    cnt: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    vocab = set()
+    n_docs: dict[str, int] = {}
+    for lang, toks in train:
+        n_docs[lang] = n_docs.get(lang, 0) + 1
+        for t in toks:
+            cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+            tot[lang] = tot.get(lang, 0) + 1
+            vocab.add(t)
+    n_train, v = len(train), len(vocab)
+    q = lambda x: int(round(NB_MU * math.log(x)))  # noqa: E731
+    prior = {c: q(n_docs[c] / n_train) for c in n_docs}
+    defl = {c: q(1.0 / (tot[c] + v)) for c in n_docs}
+    llog = {
+        (c, t): q((k + 1) / (tot[c] + v)) for (c, t), k in cnt.items()
+    }
+    conf: dict[tuple, list] = {}
+    for doc_id, true_lang, toks in test:
+        scores = []
+        for c in sorted(n_docs):
+            s = prior[c]
+            for t in toks:
+                s += llog.get((c, t), defl[c])
+            scores.append((-s, c))
+        scores.sort()
+        pred, margin = scores[0][1], scores[1][0] - scores[0][0]
+        a = conf.setdefault((true_lang, pred), [0, 0])
+        a[0] += 1
+        a[1] += margin
+    want = [
+        (tl, pl, n, m) for (tl, pl), (n, m) in sorted(conf.items())
+    ]
+    got = [tuple(r) for r in naive_bayes_langid(spark, sf).collect()]
+    assert got == want and want
+    assert sum(n for _, _, n, _ in got) == len(test)  # each doc once
+    assert all(m > 0 for _, _, _, m in got)  # argmax margins positive
