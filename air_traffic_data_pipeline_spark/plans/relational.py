@@ -1004,13 +1004,20 @@ def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistic), solve on the driver-sized result — no
     per-iteration passes, no gradient loop.
     """
+    return ols_solve_from_moments(_ols_moments(spark, sf_dir))
+
+
+def _ols_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten exact normal-equation moments per l_returnflag — the
+    sufficient statistic shared by OLS, the ridge sweep, and the
+    streaming regression mirror."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
         F.round(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
     )
-    m = li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         *[
             F.sum(expr).cast("decimal(38,0)").alias(name)
@@ -1027,7 +1034,6 @@ def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
-    return ols_solve_from_moments(m)
 
 
 def ols_solve_from_moments(m: DataFrame) -> DataFrame:
@@ -1128,6 +1134,139 @@ SELECT l_returnflag,
        round(1.0 - (syy - (c0 * b1 + c1 * b2 + c2 * b3))
                    / (syy - b1 * b1 / a11), 6) AS r2
 FROM c ORDER BY l_returnflag
+"""
+
+
+RIDGE_LAMBDAS = (0, 1_000_000, 100_000_000)  # L2 sweep incl. the OLS limit
+
+
+def ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form RIDGE regression sweep per l_returnflag — the exact-
+    moment discipline generalized: (XᵀX + λD)β = Xᵀy with D = diag(0,1,1)
+    (intercept unpenalized, Hoerl & Kennard 1970), solved by the same
+    3×3 Cramer kernel with λ added to the two slope diagonals. One row
+    per (group, λ) with λ ∈ RIDGE_LAMBDAS — λ=0 IS OLS, so the sweep
+    shows shrinkage against its own unregularized limit. R² is computed
+    from the full quadratic form (syy − 2βᵀXᵀy + βᵀXᵀXβ, with the
+    UNPENALIZED XᵀX), which reduces to the OLS shortcut only at λ=0 —
+    ridge solutions don't satisfy the normal equations.
+
+    Scale: ZERO additional passes — the moments are the same sufficient
+    statistic `_ols_moments` already accumulates (one map-side-combining
+    aggregate); the λ sweep is a broadcast crossJoin on the |groups|-row
+    moment frame, so sweeping 100 λs costs the same scan as one."""
+    m = _ols_moments(spark, sf_dir)
+    lam = spark.createDataFrame([(l,) for l in RIDGE_LAMBDAS], "lam bigint")
+    ml = m.crossJoin(F.broadcast(lam))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lamd = d("lam")
+    a11, a12, a13 = d("n"), d("sx1"), d("sx2")
+    a22, a23, a33 = d("sx11") + lamd, d("sx12"), d("sx22") + lamd
+    b1, b2, b3 = d("sy"), d("sx1y"), d("sx2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    c0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    ) / det
+    c1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    ) / det
+    c2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    ) / det
+    # SSE via the full quadratic form with the UNpenalized XtX
+    u22, u33 = d("sx11"), d("sx22")
+    quad = (
+        c0 * c0 * a11
+        + c1 * c1 * u22
+        + c2 * c2 * u33
+        + 2.0 * (c0 * c1 * a12 + c0 * c2 * a13 + c1 * c2 * a23)
+    )
+    sse = d("syy") - 2.0 * (c0 * b1 + c1 * b2 + c2 * b3) + quad
+    sst = d("syy") - b1 * b1 / a11
+    return ml.select(
+        "l_returnflag",
+        "lam",
+        F.round(c0, 6).alias("coef_intercept"),
+        F.round(c1, 6).alias("coef_quantity"),
+        F.round(c2, 6).alias("coef_discount_pct"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    ).orderBy("l_returnflag", "lam")
+
+
+_RIDGE_MOMENTS_SQL = """
+li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(38,0)) AS x1,
+         CAST(round(l_discount * 100) AS DECIMAL(38,0)) AS x2,
+         CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(sum(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(sum(x1 * x1) AS DECIMAL(38,0)) AS sx11,
+         CAST(sum(x2 * x2) AS DECIMAL(38,0)) AS sx22,
+         CAST(sum(x1 * x2) AS DECIMAL(38,0)) AS sx12,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x1 * y) AS DECIMAL(38,0)) AS sx1y,
+         CAST(sum(x2 * y) AS DECIMAL(38,0)) AS sx2y,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM li GROUP BY l_returnflag)"""
+
+RIDGE_SQL = f"""
+WITH {_RIDGE_MOMENTS_SQL},
+s AS (
+  SELECT l_returnflag, CAST(lam AS BIGINT) AS lam,
+         CAST(n AS DOUBLE) AS a11, CAST(sx1 AS DOUBLE) AS a12,
+         CAST(sx2 AS DOUBLE) AS a13,
+         CAST(sx11 AS DOUBLE) + CAST(lam AS DOUBLE) AS a22,
+         CAST(sx12 AS DOUBLE) AS a23,
+         CAST(sx22 AS DOUBLE) + CAST(lam AS DOUBLE) AS a33,
+         CAST(sx11 AS DOUBLE) AS u22, CAST(sx22 AS DOUBLE) AS u33,
+         CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+         CAST(sx2y AS DOUBLE) AS b3, CAST(syy AS DOUBLE) AS syy
+  FROM m CROSS JOIN (VALUES {", ".join(f"({v})" for v in RIDGE_LAMBDAS)}) ls(lam)),
+c AS (
+  SELECT *,
+         (b1 * (a22 * a33 - a23 * a23)
+          - a12 * (b2 * a33 - a23 * b3)
+          + a13 * (b2 * a23 - a22 * b3))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c0,
+         (a11 * (b2 * a33 - a23 * b3)
+          - b1 * (a12 * a33 - a23 * a13)
+          + a13 * (a12 * b3 - b2 * a13))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c1,
+         (a11 * (a22 * b3 - b2 * a23)
+          - a12 * (a12 * b3 - b2 * a13)
+          + b1 * (a12 * a23 - a22 * a13))
+         / (a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c2
+  FROM s)
+SELECT l_returnflag, lam,
+       round(c0, 6) AS coef_intercept,
+       round(c1, 6) AS coef_quantity,
+       round(c2, 6) AS coef_discount_pct,
+       round(1.0 - (syy - 2.0 * (c0 * b1 + c1 * b2 + c2 * b3)
+                    + (c0 * c0 * a11 + c1 * c1 * u22 + c2 * c2 * u33
+                       + 2.0 * (c0 * c1 * a12 + c0 * c2 * a13 + c1 * c2 * a23)))
+                   / (syy - b1 * b1 / a11), 6) AS r2
+FROM c ORDER BY l_returnflag, lam
 """
 
 
@@ -7000,6 +7139,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
     ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
     ("rel_ols_regression", ols_regression, OLS_SQL),
+    ("rel_ridge_regression", ridge_regression, RIDGE_SQL),
     ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
     ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
     ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),

@@ -1338,3 +1338,59 @@ def test_seasonal_decompose_matches_reference(spark):
     total = sum(n * seas for _, n, _, seas in got)
     scale = sum(n * m for _, n, m, _ in got)
     assert abs(total) < 0.01 * scale
+
+
+def test_ridge_regression_matches_reference(spark):
+    """Ridge sweep vs numpy: solve (XtX + lam*diag(0,1,1)) b = Xty
+    directly on the raw design matrix per (group, lambda) and compare
+    to the Cramer-on-exact-moments result — an INDEPENDENT solver, so a
+    shared formula bug in the Spark and DuckDB expressions cannot hide.
+    Plus the regularization laws: the lam=0 row equals OLS, slope
+    magnitudes shrink monotonically in lambda, and train R2 never
+    improves with regularization."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RIDGE_LAMBDAS,
+        ols_regression,
+        ridge_regression,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (
+                float(int(r.l_quantity)),
+                float(int(round(r.l_discount * 100))),
+                float(int(round(r.l_extendedprice * 100))),
+            )
+        )
+    got = [tuple(r) for r in ridge_regression(spark, sf).collect()]
+    assert len(got) == len(groups) * len(RIDGE_LAMBDAS)
+    for flag, lam, c0, c1, c2, r2 in got:
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in groups[flag]])
+        y = np.array([yy for _, _, yy in groups[flag]])
+        A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+        ref = np.linalg.solve(A, X.T @ y)
+        assert np.allclose([c0, c1, c2], ref, rtol=1e-5, atol=1e-3)
+        assert r2 <= 1.0
+    ols = {r.l_returnflag: tuple(r)[1:] for r in ols_regression(spark, sf).collect()}
+    by_flag: dict[str, list] = {}
+    for flag, lam, c0, c1, c2, r2 in got:
+        by_flag.setdefault(flag, []).append((lam, c0, c1, c2, r2))
+    for flag, rows_ in by_flag.items():
+        rows_.sort()
+        assert rows_[0][0] == 0
+        # lam=0 row is OLS (same moments, same Cramer kernel)
+        assert rows_[0][1:4] == ols[flag][:3]
+        norms = [c1 * c1 + c2 * c2 for _, _, c1, c2, _ in rows_]
+        r2s = [r2 for *_, r2 in rows_]
+        assert norms == sorted(norms, reverse=True)  # shrinkage
+        assert r2s == sorted(r2s, reverse=True)  # train fit never improves
