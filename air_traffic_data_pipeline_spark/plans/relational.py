@@ -1522,7 +1522,17 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode factor B is the only cost and it never reaches an
     Exchange — the groupBy(flag, b) partials combine inside the scan
     stage; the rank window runs over |flags|·B ≤ a few hundred rows."""
-    li = load(spark, sf_dir, "lineitem").select(
+    li = boot_rev_projection(load(spark, sf_dir, "lineitem"))
+    return bootstrap_ci_from_partials(
+        boot_exact_partial(li), boot_rep_partial(li)
+    )
+
+
+def boot_rev_projection(df: DataFrame) -> DataFrame:
+    """Exact cent-hundredth revenue with the (orderkey, linenumber) row
+    identity the pseudo-Poisson draws hash — shared by the batch query
+    and the streaming mirror's per-batch partials."""
+    return df.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
@@ -1531,10 +1541,22 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
         ).alias("rev"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+
+
+def boot_exact_partial(li: DataFrame) -> DataFrame:
+    """Per-group point-estimate partial (count + exact revenue sum) —
+    distributive, merges by addition."""
+    return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("rev").cast("bigint").alias("s_rev"),
     )
+
+
+def boot_rep_partial(li: DataFrame) -> DataFrame:
+    """Per-(group, replicate) weighted-sum partial. The weight of a row
+    in replicate b depends only on the row's identity and b — never on
+    which batch carried it — so partials merge by exact BIGINT addition
+    under any arrival slicing."""
     u = _kmv_u32(
         F.concat_ws(
             ":",
@@ -1546,7 +1568,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(len(BOOT_POIS_T))
     for k in reversed(range(len(BOOT_POIS_T))):
         w = F.when(F.col("u") < F.lit(BOOT_POIS_T[k]), F.lit(k)).otherwise(w)
-    reps = (
+    return (
         li.select(
             "l_orderkey",
             "l_linenumber",
@@ -1559,6 +1581,23 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(w.cast("bigint") * F.col("rev")).cast("bigint").alias("s_wy"),
             F.sum(w.cast("bigint")).cast("bigint").alias("s_w"),
+        )
+    )
+
+
+def bootstrap_ci_from_partials(exact: DataFrame, reps: DataFrame) -> DataFrame:
+    """Merge (sum) the distributive partials and take the nearest-rank
+    order statistics — the tail shared by the batch query and the
+    streaming mirror."""
+    exact = exact.groupBy("l_returnflag").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("s_rev").cast("bigint").alias("s_rev"),
+    )
+    rep_means = (
+        reps.groupBy("l_returnflag", "b")
+        .agg(
+            F.sum("s_wy").cast("bigint").alias("s_wy"),
+            F.sum("s_w").cast("bigint").alias("s_w"),
         )
         .filter(F.col("s_w") > 0)
         .select(
@@ -1573,7 +1612,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("l_returnflag").orderBy("rep_mean", "b")
     )
     bounds = (
-        reps.select("l_returnflag", "rep_mean", rn.alias("rn"))
+        rep_means.select("l_returnflag", "rep_mean", rn.alias("rn"))
         .filter(F.col("rn").isin(BOOT_LO_RANK, BOOT_HI_RANK))
         .groupBy("l_returnflag")
         .agg(

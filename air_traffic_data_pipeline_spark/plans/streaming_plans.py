@@ -590,6 +590,22 @@ def _ols_oracle_sql() -> str:
     return OLS_SQL
 
 
+def stream_incremental_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_bootstrap
+
+    return incremental_bootstrap(spark, sf_dir)
+
+
+def _bootstrap_oracle_sql() -> str:
+    """Per-batch (group, replicate) weighted-sum partials — the Poisson
+    weight is a pure function of (row identity, replicate), never of
+    batch membership — merged by exact BIGINT addition feed the shared
+    nearest-rank tail; must reproduce the one-shot CI bitwise."""
+    from .relational import POISSON_BOOTSTRAP_SQL
+
+    return POISSON_BOOTSTRAP_SQL
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -832,6 +848,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_two_hop_recs", stream_incremental_two_hop_recs, _two_hop_recs_oracle_sql()),
     ("stream_incremental_kmv", stream_incremental_kmv, _kmv_oracle_sql()),
     ("stream_incremental_ols", stream_incremental_ols, _ols_oracle_sql()),
+    ("stream_incremental_bootstrap", stream_incremental_bootstrap, _bootstrap_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -850,6 +850,109 @@ def incremental_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+LINEITEM_BOOT_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ]
+)
+
+
+def _stage_lineitem_boot_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered batches of the bootstrap projection (the OLS
+    feed plus l_linenumber — the pseudo-Poisson draws hash the full row
+    identity), split by l_orderkey terciles via approxQuantile."""
+    import hashlib
+
+    from ..plans.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/lineitem_boot_{key}"
+
+    def build():
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_discount",
+            "l_extendedprice",
+        )
+        ks = li.select("l_orderkey").distinct()
+        lo, hi = ks.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.0)
+        return [
+            li.filter(F.col("l_orderkey") <= lo),
+            li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)),
+            li.filter(F.col("l_orderkey") > hi),
+        ]
+
+    return _stage_ordered(
+        d, ["01_lo.parquet", "02_mid.parquet", "03_hi.parquet"], build
+    )
+
+
+def incremental_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Poisson bootstrap — bitwise equal to the
+    one-shot ``plans.relational.poisson_bootstrap_ci`` (its SQL is the
+    oracle).
+
+    Why the Poisson bootstrap streams for free where a classical
+    bootstrap cannot: a multinomial resample needs the FINAL corpus size
+    before any row can be weighted, so history would need a second pass
+    once the stream grows; the Poisson weight of a row in replicate b is
+    a pure function of (row identity, b) — batch-independent — so each
+    micro-batch lands its |groups|·B weighted-sum partial and the CI
+    retrains continuously by exact BIGINT merge. State is
+    O(groups · B) numbers, independent of stream length."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import (
+        boot_exact_partial,
+        boot_rep_partial,
+        boot_rev_projection,
+        bootstrap_ci_from_partials,
+    )
+
+    tune_session(spark)
+    d = _stage_lineitem_boot_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_boot_{_uuid.uuid4().hex[:8]}"
+    ex_dir, rep_dir = f"{base}/exact", f"{base}/reps"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        li = boot_rev_projection(batch_df)
+        boot_exact_partial(li).write.mode("overwrite").parquet(
+            f"{ex_dir}/batch={epoch_id}"
+        )
+        boot_rep_partial(li).write.mode("overwrite").parquet(
+            f"{rep_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(LINEITEM_BOOT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            bootstrap_ci_from_partials(
+                spark.read.parquet(f"{ex_dir}/batch=*"),
+                spark.read.parquet(f"{rep_dir}/batch=*"),
+            ),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental KMV distinct sketch — bitwise equal to the
     one-shot ``plans.relational.kmv_distinct`` (its SQL is the oracle).

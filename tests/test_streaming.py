@@ -1295,3 +1295,47 @@ def test_incremental_ols_equals_batch(spark):
     want = [tuple(r) for r in relational.ols_regression(spark, sf).collect()]
     got = [tuple(r) for r in incremental_ols(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_bootstrap_equals_batch(spark):
+    """The Poisson-bootstrap mirror: a row's replicate weight is a pure
+    function of (row identity, replicate) — batch-independent — so the
+    merged weighted-sum partials must reproduce the one-shot CI bitwise
+    regardless of arrival slicing. Also re-merges the staged partials in
+    reversed arrival order to prove commutativity beyond the staged
+    slicing."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_bootstrap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in relational.poisson_bootstrap_ci(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_bootstrap(spark, sf).collect()]
+    assert got == want and want
+
+    # adversarial order: partials recomputed per tercile, merged reversed
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        boot_exact_partial,
+        boot_rep_partial,
+        boot_rev_projection,
+        bootstrap_ci_from_partials,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    li = load(spark, sf, "lineitem")
+    ks = li.select("l_orderkey").distinct()
+    lo, hi = ks.approxQuantile("l_orderkey", [1 / 3, 2 / 3], 0.0)
+    parts = [
+        li.filter(F.col("l_orderkey") > hi),
+        li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)),
+        li.filter(F.col("l_orderkey") <= lo),
+    ]
+    ex = rep = None
+    for p in parts:
+        proj = boot_rev_projection(p)
+        e, r = boot_exact_partial(proj), boot_rep_partial(proj)
+        ex = e if ex is None else ex.unionByName(e)
+        rep = r if rep is None else rep.unionByName(r)
+    got_rev = [tuple(r) for r in bootstrap_ci_from_partials(ex, rep).collect()]
+    assert got_rev == want
