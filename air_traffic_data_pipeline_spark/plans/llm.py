@@ -1116,16 +1116,57 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (43% vs 41% at sf0.01) — the confusion matrix reports it as-is,
     exactly like rel_ols_regression reports its R²≈0.001 lake."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cnt, cls, qtok = nb_partials(d)
+    return nb_confusion_from_partials(cnt, cls, qtok)
+
+
+def nb_partials(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three distributive NB partials over a (doc_id, lang, text)
+    frame — a whole corpus or one micro-batch: per-class token counts,
+    per-class doc counts, held-out per-doc token counts. All plain
+    integer counts, so per-batch partials merge by addition; the split
+    gate (doc_id % NB_TEST_MOD) is a pure row function, batch-blind."""
     train = d.filter(F.pmod(F.col("doc_id"), F.lit(NB_TEST_MOD)) != 0)
     test = d.filter(F.pmod(F.col("doc_id"), F.lit(NB_TEST_MOD)) == 0)
     ttok = train.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    cnt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("total_c"))
-    v = ttok.agg(F.count_distinct("tok").alias("v"))
-    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    ntr = train.agg(F.count(F.lit(1)).alias("n_train"))
+    cnt = ttok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cls = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    qtok = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    return cnt, cls, qtok
+
+
+def nb_confusion_from_partials(
+    cnt: DataFrame, cls: DataFrame, qtok: DataFrame
+) -> DataFrame:
+    """Model build + held-out scoring + confusion matrix from MERGED NB
+    partials — shared by the batch query and the continuously-retraining
+    streaming mirror. Totals and vocabulary size derive from the merged
+    token-count table (tot = Σc per class, V = distinct tokens), so the
+    kernel needs nothing beyond the three partials."""
+    cnt = cnt.groupBy("lang", "tok").agg(F.sum("c").cast("bigint").alias("c"))
+    cls = cls.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+    qtok = qtok.groupBy("doc_id", "true_lang", "tok").agg(
+        F.sum("tc").cast("bigint").alias("tc")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("total_c"))
+    v = cnt.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    ntr = cls.agg(F.sum("n_docs").cast("bigint").alias("n_train"))
     mu = F.lit(float(NB_MU))
     llog = lambda num, den: F.round(mu * F.log(num / den)).cast(  # noqa: E731
         "bigint"
@@ -1155,15 +1196,6 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("total_c") + F.col("v")).cast("double"),
             ).alias("llog"),
         )
-    )
-    qtok = (
-        test.select(
-            "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.explode(F.split(F.col("text"), " ")).alias("tok"),
-        )
-        .groupBy("doc_id", "true_lang", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
     )
     scored = (
         qtok.crossJoin(F.broadcast(ctab))

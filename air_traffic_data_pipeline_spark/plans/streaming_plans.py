@@ -590,6 +590,23 @@ def _ols_oracle_sql() -> str:
     return OLS_SQL
 
 
+def stream_incremental_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_naive_bayes
+
+    return incremental_naive_bayes(spark, sf_dir)
+
+
+def _naive_bayes_oracle_sql() -> str:
+    """Integer count-table partials (per-class token counts, class doc
+    counts, held-out per-doc token counts) merge by BIGINT addition and
+    feed the shared model-build + scoring kernel at emission — the
+    retrained classifier must reproduce the one-shot confusion matrix
+    bitwise; the batch query's SQL IS the oracle."""
+    from .llm import _NB_LANGID_SQL
+
+    return _NB_LANGID_SQL
+
+
 def stream_incremental_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_bootstrap
 
@@ -849,6 +866,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_kmv", stream_incremental_kmv, _kmv_oracle_sql()),
     ("stream_incremental_ols", stream_incremental_ols, _ols_oracle_sql()),
     ("stream_incremental_bootstrap", stream_incremental_bootstrap, _bootstrap_oracle_sql()),
+    ("stream_incremental_naive_bayes", stream_incremental_naive_bayes, _naive_bayes_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

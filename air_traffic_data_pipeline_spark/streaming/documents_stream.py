@@ -1290,3 +1290,60 @@ def incremental_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-retraining streaming Naive Bayes — bitwise equal to
+    the one-shot ``plans.llm.naive_bayes_langid`` (its SQL is the oracle).
+
+    The classifier mirror the counting-model family makes possible: the
+    MODEL is integer count tables (per-class token counts, class doc
+    counts) and the EVAL side is per-doc token counts — all three are
+    distributive, so each micro-batch lands its partials and the model
+    retrains exactly at every emission by BIGINT merge. The confusion
+    matrix is corpus-global twice over (every batch moves the model AND
+    adds held-out docs; a later train batch can flip an earlier doc's
+    argmax), so emission reruns the shared model-build + scoring kernel
+    over merged partials — over token-count ROWS, never raw text.
+    Epoch-scoped overwrite = replay-idempotent."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import nb_confusion_from_partials, nb_partials
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_nb_{_uuid.uuid4().hex[:8]}"
+    dirs = {k: f"{base}/{k}" for k in ("cnt", "cls", "qtok")}
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        cnt, cls, qtok = nb_partials(batch_df.select("doc_id", "lang", "text"))
+        cnt.write.mode("overwrite").parquet(f"{dirs['cnt']}/batch={epoch_id}")
+        cls.write.mode("overwrite").parquet(f"{dirs['cls']}/batch={epoch_id}")
+        qtok.write.mode("overwrite").parquet(f"{dirs['qtok']}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            nb_confusion_from_partials(
+                spark.read.parquet(f"{dirs['cnt']}/batch=*"),
+                spark.read.parquet(f"{dirs['cls']}/batch=*"),
+                spark.read.parquet(f"{dirs['qtok']}/batch=*"),
+            ),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1339,3 +1339,37 @@ def test_incremental_bootstrap_equals_batch(spark):
         rep = r if rep is None else rep.unionByName(r)
     got_rev = [tuple(r) for r in bootstrap_ci_from_partials(ex, rep).collect()]
     assert got_rev == want
+
+
+def test_incremental_naive_bayes_equals_batch(spark):
+    """The continuously-retraining classifier mirror: integer count
+    partials merge by addition, so the final model — and therefore every
+    held-out argmax and margin — must be bitwise equal to the one-shot
+    batch training run, regardless of arrival slicing. Re-merges the
+    partials in reversed arrival order to prove commutativity."""
+    from air_traffic_data_pipeline_spark.plans import llm
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_naive_bayes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in llm.naive_bayes_langid(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_naive_bayes(spark, sf).collect()]
+    assert got == want and want
+
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    parts = [
+        d.filter(F.col("doc_id") % 3 == k) for k in (2, 0, 1)
+    ]
+    cnt = cls = qtok = None
+    for p in parts:
+        c, l, q = llm.nb_partials(p)
+        cnt = c if cnt is None else cnt.unionByName(c)
+        cls = l if cls is None else cls.unionByName(l)
+        qtok = q if qtok is None else qtok.unionByName(q)
+    got_rev = [
+        tuple(r)
+        for r in llm.nb_confusion_from_partials(cnt, cls, qtok).collect()
+    ]
+    assert got_rev == want
