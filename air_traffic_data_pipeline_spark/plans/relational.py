@@ -1695,7 +1695,14 @@ def daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection): ONE map-side-combining pass over orders, reduced to a
     calendar-bounded frame (~2.4k rows for a 7-year lake at ANY corpus
     scale) on which ordered windows are then trivially safe."""
-    o = load(spark, sf_dir, "orders")
+    return daily_revenue_partial(load(spark, sf_dir, "orders"))
+
+
+def daily_revenue_partial(o: DataFrame) -> DataFrame:
+    """The (dn, cents) aggregate over any orders-shaped frame — a whole
+    lake or one micro-batch. Plain BIGINT sums keyed by day, so per-batch
+    partials merge by addition into the exact corpus series; shared by
+    the batch time-series family and their streaming mirrors."""
     dn = F.datediff(
         F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
     ).cast("bigint")
@@ -1739,7 +1746,13 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine); the ordered window runs over |distinct days| rows — ~2.4k
     for a 7-year lake, bounded by the CALENDAR, not data volume, at any
     corpus scale. The final group-by reduces to 7 rows."""
-    daily = daily_revenue_cents(spark, sf_dir)
+    return seasonal_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def seasonal_from_daily(daily: DataFrame) -> DataFrame:
+    """The decomposition tail over any (dn, cents) daily frame — shared
+    with the streaming mirror, whose per-batch daily cent partials merge
+    by exact addition into the same series."""
     w = W.orderBy("dn").rowsBetween(-3, 3)
     trended = daily.select(
         "dn",
@@ -1823,7 +1836,14 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (daily_revenue_cents), so the global rank window is over ~2.4k rows
     at any corpus scale; the heavy pass is the shared one-scan
     aggregate."""
-    daily = daily_revenue_cents(spark, sf_dir).select(
+    return mann_whitney_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def mann_whitney_from_daily(base: DataFrame) -> DataFrame:
+    """The rank-sum tail over any (dn, cents) daily frame — shared with
+    the streaming mirror (ranks are corpus-global order statistics, so
+    emission must re-rank the merged series)."""
+    daily = base.select(
         "dn", "cents", F.pmod(F.col("dn"), F.lit(7)).alias("dow")
     )
     is_a = F.col("dow").isin(*MW_WEEKEND)  # sample A: weekend days
@@ -1937,7 +1957,13 @@ def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical posture to the seasonal/Mann-Whitney family — the
     orders scan is the only data-sized pass; windows run on ~2.4k rows
     bounded by the calendar."""
-    daily = daily_revenue_cents(spark, sf_dir)
+    return changepoint_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The BinSeg sweep tail over any (dn, cents) daily frame — shared
+    with the streaming mirror (prefix sums are order statistics of the
+    merged series, recomputed at emission)."""
     wcum = W.orderBy("dn").rowsBetween(W.unboundedPreceding, W.currentRow)
     cdec = F.col("cents").cast("decimal(18,0)")
     # prefix Σx² overflows BIGINT (squares of daily cents accumulate past

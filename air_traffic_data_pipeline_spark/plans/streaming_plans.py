@@ -623,6 +623,52 @@ def _bootstrap_oracle_sql() -> str:
     return POISSON_BOOTSTRAP_SQL
 
 
+def stream_incremental_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_seasonal
+
+    return incremental_seasonal(spark, sf_dir)
+
+
+def _seasonal_oracle_sql() -> str:
+    """Per-batch (dn, cents) daily partials merged by BIGINT addition
+    feed the shared windowed decomposition kernel — must reproduce the
+    one-shot decomposition bitwise (trend eligibility is corpus-global:
+    late batches can fill calendar gaps)."""
+    from .relational import SEASONAL_SQL
+
+    return SEASONAL_SQL
+
+
+def stream_incremental_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_mann_whitney
+
+    return incremental_mann_whitney(spark, sf_dir)
+
+
+def _mann_whitney_oracle_sql() -> str:
+    """Same shared daily state as the seasonal mirror; ranks are global
+    order statistics, so emission re-ranks the merged series — must
+    reproduce the one-shot rank-sum test bitwise."""
+    from .relational import MANN_WHITNEY_SQL
+
+    return MANN_WHITNEY_SQL
+
+
+def stream_incremental_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_changepoint
+
+    return incremental_changepoint(spark, sf_dir)
+
+
+def _changepoint_oracle_sql() -> str:
+    """Same shared daily state; every split statistic moves with a late
+    batch, so emission re-sweeps the merged prefix sums — must reproduce
+    the one-shot argmax (ties included) bitwise."""
+    from .relational import CHANGEPOINT_SQL
+
+    return CHANGEPOINT_SQL
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -867,6 +913,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_ols", stream_incremental_ols, _ols_oracle_sql()),
     ("stream_incremental_bootstrap", stream_incremental_bootstrap, _bootstrap_oracle_sql()),
     ("stream_incremental_naive_bayes", stream_incremental_naive_bayes, _naive_bayes_oracle_sql()),
+    ("stream_incremental_seasonal", stream_incremental_seasonal, _seasonal_oracle_sql()),
+    ("stream_incremental_mann_whitney", stream_incremental_mann_whitney, _mann_whitney_oracle_sql()),
+    ("stream_incremental_changepoint", stream_incremental_changepoint, _changepoint_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

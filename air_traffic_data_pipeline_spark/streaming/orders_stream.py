@@ -1145,3 +1145,93 @@ def incremental_shortest_path_retract(spark: SparkSession, sf_dir: str) -> DataF
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _incremental_from_daily_state(
+    spark: SparkSession, sf_dir: str, tag: str, kernel
+) -> DataFrame:
+    """Shared daily-revenue state for the time-series mirror family
+    (seasonal decomposition, Mann-Whitney, BinSeg changepoint) — the
+    `_incremental_from_pair_state` discipline applied to the calendar:
+    each micro-batch lands its (dn, cents) partial (plain BIGINT sums,
+    so partials merge by addition into the exact corpus series), and
+    the family differs only in the emission kernel run over the merged
+    series. All three answers are corpus-global order statistics
+    (ranks, moving windows, prefix sums), which is exactly why emission
+    recomputes over the merged DAILY rows — calendar-bounded, ~2.4k —
+    never over raw orders."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import daily_revenue_partial
+
+    tune_session(spark)
+    d = _stage_order_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_{tag}_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/daily"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        daily_revenue_partial(batch_df).write.mode("overwrite").parquet(
+            f"{part_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(ORDERS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("dn")
+            .agg(F.sum("cents").cast("bigint").alias("cents"))
+        )
+        out, _ = tracked_local_checkpoint(kernel(merged), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental seasonal decomposition — bitwise equal to
+    the one-shot ``plans.relational.seasonal_decompose`` (its SQL is the
+    oracle). A late batch can CREATE a contiguous 7-day window around an
+    earlier day (gap fills in), so trend eligibility is corpus-global —
+    emission reruns the windowed kernel over the merged series."""
+    from ..plans.relational import seasonal_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "seas", seasonal_from_daily
+    )
+
+
+def incremental_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Mann-Whitney — bitwise equal to the one-shot
+    ``plans.relational.mann_whitney`` (its SQL is the oracle). Ranks are
+    global order statistics (every new day shifts ranks above it), so
+    emission re-ranks the merged series."""
+    from ..plans.relational import mann_whitney_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "mw", mann_whitney_from_daily
+    )
+
+
+def incremental_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental BinSeg changepoint — bitwise equal to the
+    one-shot ``plans.relational.changepoint_binseg`` (its SQL is the
+    oracle). Prefix sums and the argmax are global (a late batch moves
+    every split statistic), so emission re-sweeps the merged series."""
+    from ..plans.relational import changepoint_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "chg", changepoint_from_daily
+    )

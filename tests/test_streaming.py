@@ -1373,3 +1373,36 @@ def test_incremental_naive_bayes_equals_batch(spark):
         for r in llm.nb_confusion_from_partials(cnt, cls, qtok).collect()
     ]
     assert got_rev == want
+
+
+def test_incremental_time_series_family_equals_batch(spark):
+    """The shared-daily-state mirror family (seasonal, Mann-Whitney,
+    changepoint): per-batch (dn, cents) partials merge by addition, and
+    each emission kernel over the merged series must be bitwise equal to
+    its one-shot batch query. Also folds the partials in reversed
+    arrival order through each kernel to prove merge commutativity."""
+    from air_traffic_data_pipeline_spark.plans import relational as rel
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming import orders_stream as osm
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (rel.seasonal_decompose, osm.incremental_seasonal, rel.seasonal_from_daily),
+        (rel.mann_whitney, osm.incremental_mann_whitney, rel.mann_whitney_from_daily),
+        (rel.changepoint_binseg, osm.incremental_changepoint, rel.changepoint_from_daily),
+    ]
+    o = load(spark, sf, "orders")
+    parts3 = [
+        rel.daily_revenue_partial(o.filter(F.col("o_orderkey") % 3 == k))
+        for k in (2, 0, 1)
+    ]
+    merged = parts3[0]
+    for p in parts3[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("dn").agg(F.sum("cents").cast("bigint").alias("cents"))
+    for batch_fn, mirror_fn, kernel in pairs:
+        want = [tuple(r) for r in batch_fn(spark, sf).collect()]
+        got = [tuple(r) for r in mirror_fn(spark, sf).collect()]
+        assert got == want and want, batch_fn.__name__
+        got_rev = [tuple(r) for r in kernel(merged).collect()]
+        assert got_rev == want, batch_fn.__name__
