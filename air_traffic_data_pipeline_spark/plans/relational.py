@@ -2053,6 +2053,296 @@ WHERE best.b IS NOT NULL
 """
 
 
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between l_returnflag and
+    l_linestatus, with Cramér's V effect size — the categorical
+    counterpart to rel_ab_test_zscore/rel_mann_whitney. Each cell's term
+    is kept EXACT as long as possible: (n·n_ij − r_i·c_j)² and
+    n·r_i·c_j are DECIMAL(38,0) integer products (the squared numerator
+    overflows BIGINT at sf1), one divide per cell, and the ≤|R|·|C|
+    cell terms fold in (flag, status) order via a sorted-array aggregate
+    so the double sum is arrival-order-free.
+
+    Scale: one map-side-combining count over the fact table; row/col
+    totals and n broadcast; everything after operates on ≤9 rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    rowt = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_i")
+    )
+    colt = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_j")
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dd(F.col("n")) * dd(F.col("n_ij")) - dd(F.col("r_i")) * dd(F.col("c_j"))
+    # term = (n*n_ij - r_i*c_j)^2 / (n * r_i * c_j); the extra /n of the
+    # textbook (o-e)^2/e cancels against the n^2 in the squared numerator
+    term = (num * num).cast("double") / (
+        dd(F.col("n")) * dd(F.col("r_i")) * dd(F.col("c_j"))
+    ).cast("double")
+    terms = (
+        cell.join(F.broadcast(rowt), "l_returnflag")
+        .join(F.broadcast(colt), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.struct("l_returnflag", "l_linestatus", term.alias("t")).alias("s"),
+        )
+    )
+    folded = terms.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.aggregate(
+            F.sort_array(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2"),
+    )
+    r = rowt.agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    c = colt.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    return (
+        folded.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n",
+            "r",
+            "c",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (d("n") * F.least(d("r") - 1.0, d("c") - 1.0))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH li AS (SELECT l_returnflag, l_linestatus FROM lineitem),
+cell AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_ij
+         FROM li GROUP BY 1, 2),
+rowt AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS r_i FROM li GROUP BY 1),
+colt AS (SELECT l_linestatus, CAST(count(*) AS BIGINT) AS c_j FROM li GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li),
+terms AS (
+  SELECT n,
+         struct_pack(l_returnflag := cell.l_returnflag,
+                     l_linestatus := cell.l_linestatus,
+                     t := CAST((CAST(n AS DECIMAL(38,0)) * n_ij
+                                - CAST(r_i AS DECIMAL(38,0)) * c_j)
+                               * (CAST(n AS DECIMAL(38,0)) * n_ij
+                                  - CAST(r_i AS DECIMAL(38,0)) * c_j)
+                               AS DOUBLE)
+                          / CAST(CAST(n AS DECIMAL(38,0)) * r_i * c_j
+                                 AS DOUBLE)) AS s
+  FROM cell JOIN rowt USING (l_returnflag)
+            JOIN colt USING (l_linestatus) CROSS JOIN tot),
+folded AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  [x.t for x in list_sort(list(s))]),
+                     (acc, x) -> acc + x) AS chi2
+  FROM terms GROUP BY n),
+rc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rowt) AS r,
+              (SELECT CAST(count(*) AS BIGINT) FROM colt) AS c)
+SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * least(CAST(r AS DOUBLE) - 1.0,
+                                  CAST(c AS DOUBLE) - 1.0))), 6) AS cramers_v
+FROM folded CROSS JOIN rc
+"""
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count — "do busier days make proportionally more money?" asked
+    robustly: Pearson on RANKS is immune to the revenue distribution's
+    tail. Tie-corrected average ranks in exact HALF-UNITS (the
+    mann_whitney device: 2·avgrank = 2·rank() + count_equal − 1), then
+    the Pearson moments of the half-unit ranks as exact BIGINTs — the
+    factor 2 cancels in the correlation — and rho is one fixed double
+    DAG. Runs on the calendar-bounded daily frame."""
+    o = load(spark, sf_dir, "orders")
+    dn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+    ).cast("bigint")
+    daily = (
+        o.select(
+            dn.alias("dn"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("dn")
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    rank2 = lambda col: (  # noqa: E731
+        F.lit(2) * F.rank().over(W.orderBy(col))
+        + F.count(F.lit(1)).over(W.partitionBy(col))
+        - F.lit(1)
+    ).cast("bigint")
+    ranked = daily.select(
+        rank2(F.col("cents")).alias("rx"), rank2(F.col("n_orders")).alias("ry")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_days"), F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+SPEARMAN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY n_orders)
+              + count(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS ry
+  FROM daily),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM ranked)
+SELECT n AS n_days,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+ACF_LAGS = (1, 7, 30)  # daily, weekly, monthly autocorrelation
+
+
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at ACF_LAGS — the
+    time-series diagnostic that quantifies what seasonal_decompose
+    models (a 7-day rhythm shows up as elevated ACF(7)). Textbook ACF:
+    numerator Σ(x_t−μ)(x_{t+k}−μ) over available pairs, denominator
+    Σ(x−μ)² over the full series, with the corpus mean μ.
+
+    Exactness: μ = S/n is rational, so both sums are multiplied through
+    by n² — n²·num = n²·Σx_t·x_{t+k} − n·S·(Σx_t + Σx_{t+k}) + m·S² and
+    n²·den = n²·Σx² − n·S², all DECIMAL(38,0) integer arithmetic — and
+    ACF(k) is ONE divide of exact numbers. Calendar gaps: a pair exists
+    only when both days do (m is reported).
+
+    Scale: the lag join is dn-keyed on the calendar-bounded frame; the
+    lag dimension broadcasts."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "k bigint")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    a = daily.select(F.col("dn").alias("dn_a"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("dn").alias("dn_b"), F.col("cents").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dn_b") == F.col("dn_a") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(
+                F.col("xa").cast("decimal(18,0)")
+                * F.col("xb").cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sab"),
+            F.sum(F.col("xa").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("sa"),
+            F.sum(F.col("xb").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("sb"),
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(tot))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (
+        d("n") * d("n") * d("sab")
+        - d("n") * d("s") * (d("sa") + d("sb"))
+        + d("m") * d("s") * d("s")
+    )
+    den = d("n") * d("n") * d("sxx") - d("n") * d("s") * d("s")
+    return j.select(
+        F.col("k").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")
+
+
+ACF_SQL = f"""
+WITH {_DAILY_SQL},
+tot AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(CAST(cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM daily),
+pairs AS (
+  SELECT k,
+         CAST(count(*) AS DECIMAL(38,0)) AS m,
+         CAST(sum(CAST(a.cents AS DECIMAL(18,0))
+                  * CAST(b.cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sab,
+         CAST(sum(CAST(a.cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sa,
+         CAST(sum(CAST(b.cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sb
+  FROM daily a
+  CROSS JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) ls(k)
+  JOIN daily b ON b.dn = a.dn + k
+  GROUP BY k),
+j AS (SELECT * FROM pairs CROSS JOIN tot)
+SELECT CAST(k AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+              + CAST(m AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+             6) AS acf
+FROM j ORDER BY lag
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -7451,6 +7741,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),
     ("rel_mann_whitney", mann_whitney, MANN_WHITNEY_SQL),
     ("rel_changepoint_binseg", changepoint_binseg, CHANGEPOINT_SQL),
+    ("rel_chi_square_independence", chi_square_independence, CHI_SQUARE_SQL),
+    ("rel_spearman_corr", spearman_corr, SPEARMAN_SQL),
+    ("rel_autocorrelation", autocorrelation, ACF_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

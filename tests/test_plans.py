@@ -1501,3 +1501,133 @@ def test_changepoint_binseg_matches_reference(spark):
     )
     got = [tuple(r) for r in changepoint_binseg(spark, sf).collect()]
     assert got == [want]
+
+
+def test_chi_square_independence_matches_reference(spark):
+    """Chi-square vs a pure-Python textbook recomputation — observed
+    vs expected (o-e)^2/e with float expected counts, an INDEPENDENT
+    formulation of the engine's exact-integer-numerator form — plus the
+    bounds 0 <= V <= 1 and dof consistency."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        chi_square_independence,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    cells: dict[tuple, int] = {}
+    for r in rows:
+        cells[(r.l_returnflag, r.l_linestatus)] = (
+            cells.get((r.l_returnflag, r.l_linestatus), 0) + 1
+        )
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for (a, b), v in cells.items():
+        rt[a] = rt.get(a, 0) + v
+        ct[b] = ct.get(b, 0) + v
+    n = sum(cells.values())
+    chi2 = 0.0
+    for (a, b), o in sorted(cells.items()):
+        e = rt[a] * ct[b] / n
+        chi2 += (o - e) ** 2 / e
+    got = [tuple(r) for r in chi_square_independence(spark, sf).collect()]
+    assert len(got) == 1
+    gn, gr, gc, gdof, gchi2, gv = got[0]
+    assert (gn, gr, gc, gdof) == (n, len(rt), len(ct), (len(rt) - 1) * (len(ct) - 1))
+    assert abs(gchi2 - chi2) < 1e-4  # independent float formulation
+    assert 0.0 <= gv <= 1.0
+    import math
+
+    assert abs(gv - math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))) < 1e-6
+
+
+def test_spearman_corr_matches_reference(spark):
+    """Spearman rho vs a pure-Python replay (half-unit average ranks,
+    Pearson on ranks) and vs the direct textbook formula on float
+    average ranks — two routes to the same number."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SEAS_ANCHOR,
+        spearman_corr,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    import datetime
+
+    sf = "/root/testdata/sf0.001"
+    anchor = datetime.date.fromisoformat(SEAS_ANCHOR)
+    daily: dict[int, list] = {}
+    for r in load(spark, sf, "orders").select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        dn = (d - anchor).days
+        a = daily.setdefault(dn, [0, 0])
+        a[0] += int(round(r.o_totalprice * 100))
+        a[1] += 1
+
+    def rank2(vals):
+        sv = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(sv):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    xs = [v[0] for v in daily.values()]
+    ys = [v[1] for v in daily.values()]
+    rx, ry = rank2(xs), rank2(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    import math
+
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    got = [tuple(r) for r in spearman_corr(spark, sf).collect()]
+    assert got == [(n, round(rho, 6))]
+    # second route: Pearson on float average ranks
+    fx = [v / 2.0 for v in rx]
+    fy = [v / 2.0 for v in ry]
+    mx, my = sum(fx) / n, sum(fy) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(fx, fy))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in fx) * sum((b - my) ** 2 for b in fy)
+    )
+    assert abs(rho - num / den) < 1e-9
+
+
+def test_autocorrelation_matches_reference(spark):
+    """ACF vs a pure-Python textbook recomputation with float means —
+    independent of the engine's multiplied-through integer form — plus
+    the diagnostic property the operator exists for: this lake's daily
+    revenue is near-white (|acf| small at every lag)."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        ACF_LAGS,
+        autocorrelation,
+        daily_revenue_cents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = {r.dn: r.cents for r in daily_revenue_cents(spark, sf).collect()}
+    n = len(daily)
+    mu = sum(daily.values()) / n
+    den = sum((v - mu) ** 2 for v in daily.values())
+    want = {}
+    for k in ACF_LAGS:
+        pairs = [
+            (daily[dn], daily[dn + k]) for dn in daily if dn + k in daily
+        ]
+        num = sum((a - mu) * (b - mu) for a, b in pairs)
+        want[k] = (len(pairs), num / den)
+    got = [tuple(r) for r in autocorrelation(spark, sf).collect()]
+    assert [g[0] for g in got] == sorted(ACF_LAGS)
+    for lag, n_pairs, acf in got:
+        wn, wa = want[lag]
+        assert n_pairs == wn
+        assert abs(acf - wa) < 1e-6
+        assert abs(acf) < 0.3  # near-white daily revenue on this lake
