@@ -2343,6 +2343,82 @@ FROM j ORDER BY lag
 """
 
 
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily-revenue series
+    (Theil 1950; Sen 1968): slope = median of all pairwise slopes,
+    intercept = median of (y − slope·x) — the regression that tolerates
+    up to ~29% outliers where rel_ols_regression's least squares would
+    chase a single corrupted day. The within-series complement to the
+    robust-scale rel_robust_stats_mad.
+
+    Determinism: each pairwise slope is ONE divide of exact BIGINTs (Δ
+    cents / Δ days) — the same double on every engine — and both medians
+    are exact interpolated order statistics (Spark `percentile` and
+    DuckDB `quantile_cont` share the h = (n−1)·q rule, parity probed);
+    no accumulation of doubles anywhere.
+
+    Scale: the pair set is CALENDAR² — ~2.9M pairs for a 7-year lake at
+    ANY corpus scale (the one data-sized pass is the shared daily
+    aggregate), grouped exact-median reduction after. A series that
+    grows with data volume (per-key trends over billions of keys) would
+    need the sampled variant; for the calendar series the exact kernel
+    is the right call."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    a = daily.select(F.col("dn").alias("dn_a"), F.col("cents").alias("ya"))
+    b = daily.select(F.col("dn").alias("dn_b"), F.col("cents").alias("yb"))
+    slopes = (
+        a.join(b, F.col("dn_b") > F.col("dn_a"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("dn_b") - F.col("dn_a")).cast("double")
+            ).alias("slope")
+        )
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "sen_slope",
+        (
+            F.col("cents").cast("double")
+            - F.col("sen_slope") * F.col("dn").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "sen_slope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("percentile(r, 0.5)").alias("intercept"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("sen_slope"), 6).alias("sen_slope_cents_per_day"),
+        F.round(F.col("intercept"), 6).alias("intercept_cents"),
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH {_DAILY_SQL},
+slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE)
+         / CAST(b.dn - a.dn AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.dn > a.dn),
+med AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS sen_slope
+  FROM slopes),
+resid AS (
+  SELECT n_pairs, sen_slope,
+         CAST(cents AS DOUBLE) - sen_slope * CAST(dn AS DOUBLE) AS r
+  FROM daily CROSS JOIN med)
+SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs,
+       round(sen_slope, 6) AS sen_slope_cents_per_day,
+       round(quantile_cont(r, 0.5), 6) AS intercept_cents
+FROM resid GROUP BY n_pairs, sen_slope
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -7744,6 +7820,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_chi_square_independence", chi_square_independence, CHI_SQUARE_SQL),
     ("rel_spearman_corr", spearman_corr, SPEARMAN_SQL),
     ("rel_autocorrelation", autocorrelation, ACF_SQL),
+    ("rel_theil_sen", theil_sen, THEIL_SEN_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

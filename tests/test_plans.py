@@ -1631,3 +1631,46 @@ def test_autocorrelation_matches_reference(spark):
         assert n_pairs == wn
         assert abs(acf - wa) < 1e-6
         assert abs(acf) < 0.3  # near-white daily revenue on this lake
+
+
+def test_theil_sen_matches_reference(spark):
+    """Theil-Sen vs a pure-Python replay: all pairwise slopes, the
+    interpolated median (h = (n-1)/2 rule), residual-median intercept —
+    plus the robustness property the estimator exists for: the sf lake's
+    sen slope is finite and the intercept is within the daily range."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        daily_revenue_cents,
+        theil_sen,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, sf).collect()
+    )
+
+    def interp_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        h = (n - 1) * 0.5
+        lo = int(h)
+        frac = h - lo
+        return vals[lo] if frac == 0 else vals[lo] + frac * (vals[lo + 1] - vals[lo])
+
+    slopes = [
+        (yb - ya) / float(db - da)
+        for i, (da, ya) in enumerate(rows)
+        for db, yb in rows[i + 1 :]
+    ]
+    sen = interp_median(slopes)
+    resid = [y - sen * dn for dn, y in rows]
+    want = (
+        len(rows),
+        len(slopes),
+        round(sen, 6),
+        round(interp_median(resid), 6),
+    )
+    got = [tuple(r) for r in theil_sen(spark, sf).collect()]
+    assert got == [want]
+    lo = min(y for _, y in rows)
+    hi = max(y for _, y in rows)
+    assert lo <= got[0][3] <= hi  # intercept inside the daily range
