@@ -704,26 +704,10 @@ SN_WINDOW = 3  # each doc meets the next SN_WINDOW-1 docs in sort order
 SN_JACCARD_MIN = 0.4  # char-5-gram verification threshold
 
 
-def sorted_neighborhood_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995) — the
-    classic entity-resolution strategy missing from the minhash/simhash/
-    winnow family: normalize a sort key (lowercased alphanumerics, first
-    SN_KEY_CHARS chars), sort, and compare each doc only to its next
-    SN_WINDOW-1 neighbors in sort order; candidates verify by exact
-    char-5-gram Jaccard >= SN_JACCARD_MIN. Near-identical texts share
-    normalized prefixes, so they land adjacent — O(n·w) candidate pairs
-    from one sort instead of O(n²) comparisons, and unlike LSH the
-    recall story is human-auditable (sort the file, look at neighbors).
-
-    Scale: the sort is PARTITION-LOCAL by design — the window runs inside
-    SN_BLOCK_CHARS sort-prefix blocks (a real deployment range-partitions
-    by the same prefix), so no global-order window ever materializes one
-    partition (the llm_global_shard_plan discipline). Pairs crossing a
-    block boundary differ in their first two normalized chars and are by
-    definition not prefix-adjacent — the documented, bounded recall trade
-    every blocking strategy makes. Gram verification explodes 5-grams for
-    CANDIDATE docs only (semi-join pruning), joins gram-keyed, and the
-    jaccard is one divide of exact integer counts."""
+def _sn_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-neighborhood CANDIDATE set (doc_a < doc_b) — the
+    blocking stage alone, shared by the production dedup path and the
+    blocking-cost eval."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -746,10 +730,34 @@ def sorted_neighborhood_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = legs[0]
     for leg in legs[1:]:
         cand = cand.unionByName(leg)
-    cand = cand.select(
+    return cand.select(
         F.least("doc_id", "nbr").alias("doc_a"),
         F.greatest("doc_id", "nbr").alias("doc_b"),
     )
+
+
+def sorted_neighborhood_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995) — the
+    classic entity-resolution strategy missing from the minhash/simhash/
+    winnow family: normalize a sort key (lowercased alphanumerics, first
+    SN_KEY_CHARS chars), sort, and compare each doc only to its next
+    SN_WINDOW-1 neighbors in sort order; candidates verify by exact
+    char-5-gram Jaccard >= SN_JACCARD_MIN. Near-identical texts share
+    normalized prefixes, so they land adjacent — O(n·w) candidate pairs
+    from one sort instead of O(n²) comparisons, and unlike LSH the
+    recall story is human-auditable (sort the file, look at neighbors).
+
+    Scale: the sort is PARTITION-LOCAL by design — the window runs inside
+    SN_BLOCK_CHARS sort-prefix blocks (a real deployment range-partitions
+    by the same prefix), so no global-order window ever materializes one
+    partition (the llm_global_shard_plan discipline). Pairs crossing a
+    block boundary differ in their first two normalized chars and are by
+    definition not prefix-adjacent — the documented, bounded recall trade
+    every blocking strategy makes. Gram verification explodes 5-grams for
+    CANDIDATE docs only (semi-join pruning), joins gram-keyed, and the
+    jaccard is one divide of exact integer counts."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = _sn_candidate_pairs(spark, sf_dir)
     ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
@@ -964,6 +972,46 @@ FROM s
 PF_T_NUM, PF_T_DEN = 4, 5  # exact Jaccard threshold t = 4/5 on shingle sets
 
 
+def _pf_candidate_pairs(sh: DataFrame, sz: DataFrame) -> DataFrame:
+    """The prefix-filter CANDIDATE set (doc_a < doc_b, length-filtered,
+    distinct) over a (doc_id, s) shingle frame — the recall-complete
+    blocking stage alone, shared by the production join and the
+    blocking-cost eval."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            "sz",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("rn"),
+        )
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
+    ceil_t_sz = F.floor(
+        (F.lit(PF_T_NUM) * F.col("sz") + F.lit(PF_T_DEN - 1)) / F.lit(PF_T_DEN)
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t implies t*max(sz) <= min(sz)
+        .filter(
+            F.lit(PF_T_DEN) * F.least("sz_a", "sz_b")
+            >= F.lit(PF_T_NUM) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (Chaudhuri et
     al. 2006; Bayardo et al. 2007 "All-Pairs") — the missing rung between
@@ -993,41 +1041,9 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes shingles for candidate docs only (semi-join pruned). The
     length filter PF_T_DEN·|b| ≥ PF_T_NUM·|a| (implied by J ≥ t) prunes
     candidates before gram counting."""
-    from pyspark.sql import Window
-
     sh = _shingle_rows(spark, sf_dir)
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    ranked = (
-        sh.join(dfreq, "s")
-        .join(sz, "doc_id")
-        .select(
-            "doc_id",
-            "s",
-            "sz",
-            F.row_number()
-            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
-            .alias("rn"),
-        )
-    )
-    # prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
-    ceil_t_sz = F.floor(
-        (F.lit(PF_T_NUM) * F.col("sz") + F.lit(PF_T_DEN - 1)) / F.lit(PF_T_DEN)
-    )
-    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
-    cand = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # length filter: J >= t implies t*max(sz) <= min(sz)
-        .filter(
-            F.lit(PF_T_DEN) * F.least("sz_a", "sz_b")
-            >= F.lit(PF_T_NUM) * F.greatest("sz_a", "sz_b")
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _pf_candidate_pairs(sh, sz)
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1079,6 +1095,176 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE {PF_T_DEN} * n_common >= {PF_T_NUM} * (sa.sz + sb.sz - n_common)
 ORDER BY doc_a, doc_b
+"""
+
+
+def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head cost/recall audit of the THREE blocking strategies
+    the dedup family ships (minhash-LSH banding, prefix filtering,
+    sorted-neighborhood) against the exact all-pairs baseline — the
+    completeness critic for the near-dup stack: one row per strategy
+    with the candidate volume it generates, how many of its candidates
+    are TRUE pairs under ONE common ground truth (exact word-3-gram
+    shingle Jaccard ≥ PF_T_NUM/PF_T_DEN), and its recall. The numbers a
+    user needs to pick a blocker: prefix_filter is recall-1.0 by
+    theorem, LSH trades recall for the cheapest candidates, SN's sort
+    window is the narrowest and misses non-prefix-similar pairs.
+
+    All candidate generators are the PRODUCTION code paths
+    (_band_rows/_pf_candidate_pairs/_sn_candidate_pairs — not
+    re-implementations), so the audit measures what actually ships.
+    Verified counts are candidate ∩ truth (the common metric makes
+    per-candidate re-verification redundant).
+
+    Scale: each strategy's candidate set is the same bounded structure
+    its production query builds; truth reuses the recall-complete
+    prefix-filter join; the final frame is 4 rows."""
+    sh = _shingle_rows(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    truth = prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    n_docs = sz.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    bands = _band_rows(_minhash_doc_tbl(spark, sf_dir))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    mh_cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    strategies = [
+        ("minhash_lsh", mh_cand),
+        ("prefix_filter", _pf_candidate_pairs(sh, sz)),
+        ("sorted_neighborhood", _sn_candidate_pairs(spark, sf_dir)),
+    ]
+    rows = None
+    for name, cand in strategies:
+        r = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_verified")
+                )
+            )
+            .select(F.lit(name).alias("strategy"), "n_candidates", "n_verified")
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    all_pairs_row = n_docs.crossJoin(n_truth).select(
+        F.lit("all_pairs").alias("strategy"),
+        (F.col("nd") * (F.col("nd") - 1) / 2).cast("bigint").alias("n_candidates"),
+        F.col("nt").alias("n_verified"),
+    )
+    out = all_pairs_row.unionByName(rows)
+    return (
+        out.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "strategy",
+            "n_candidates",
+            "n_verified",
+            F.col("nt").alias("n_truth"),
+            F.when(
+                F.col("nt") > 0,
+                F.round(
+                    F.col("n_verified").cast("double") / F.col("nt").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+            F.round(
+                F.col("n_candidates").cast("double")
+                / (F.col("nd") * (F.col("nd") - 1) / 2).cast("double"),
+                6,
+            ).alias("candidate_frac"),
+        )
+        .orderBy("strategy")
+    )
+
+
+def _blocking_cost_sql() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    sn_leads = ", ".join(
+        f"lead(doc_id, {j}) OVER (PARTITION BY blk ORDER BY k, doc_id) AS n{j}"
+        for j in range(1, SN_WINDOW)
+    )
+    sn_cand_union = " UNION ALL ".join(
+        f"SELECT least(doc_id, n{j}) AS doc_a, greatest(doc_id, n{j}) AS doc_b "
+        f"FROM sn0 WHERE n{j} IS NOT NULL"
+        for j in range(1, SN_WINDOW)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sz),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE {PF_T_DEN} * n_common >= {PF_T_NUM} * (sa.sz + sb.sz - n_common)),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM truth),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({bands_union}),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+pfranked AS (
+  SELECT sh.doc_id, sh.s, sz.sz,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn
+  FROM sh JOIN dfreq USING (s) JOIN sz ON sz.doc_id = sh.doc_id),
+pfprefix AS (
+  SELECT doc_id, s, sz FROM pfranked
+  WHERE rn <= sz - ({PF_T_NUM} * sz + {PF_T_DEN - 1}) // {PF_T_DEN} + 1),
+pf_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfprefix a JOIN pfprefix b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE {PF_T_DEN} * least(a.sz, b.sz) >= {PF_T_NUM} * greatest(a.sz, b.sz)),
+snk AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {SN_KEY_CHARS}) AS k
+  FROM documents),
+snb AS (SELECT doc_id, k, substr(k, 1, {SN_BLOCK_CHARS}) AS blk FROM snk),
+sn0 AS (SELECT doc_id, {sn_leads} FROM snb),
+sn_cand AS ({sn_cand_union}),
+rows_ AS (
+  SELECT 'all_pairs' AS strategy,
+         CAST(nd * (nd - 1) // 2 AS BIGINT) AS n_candidates,
+         (SELECT nt FROM nt) AS n_verified
+  FROM nd
+  UNION ALL
+  SELECT 'minhash_lsh',
+         (SELECT CAST(count(*) AS BIGINT) FROM mh_cand),
+         (SELECT CAST(count(*) AS BIGINT) FROM mh_cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'prefix_filter',
+         (SELECT CAST(count(*) AS BIGINT) FROM pf_cand),
+         (SELECT CAST(count(*) AS BIGINT) FROM pf_cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'sorted_neighborhood',
+         (SELECT CAST(count(*) AS BIGINT) FROM sn_cand),
+         (SELECT CAST(count(*) AS BIGINT) FROM sn_cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+SELECT strategy, n_candidates, n_verified,
+       (SELECT nt FROM nt) AS n_truth,
+       CASE WHEN (SELECT nt FROM nt) > 0
+            THEN round(CAST(n_verified AS DOUBLE)
+                       / CAST((SELECT nt FROM nt) AS DOUBLE), 6) END AS recall,
+       round(CAST(n_candidates AS DOUBLE)
+             / CAST((SELECT nd * (nd - 1) // 2 FROM nd) AS DOUBLE), 6)
+         AS candidate_frac
+FROM rows_ ORDER BY strategy
 """
 
 
@@ -12588,6 +12774,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_sn_dedup_recall_eval", sn_dedup_recall_eval, _SN_RECALL_EVAL_SQL),
     ("llm_prefix_filter_join", prefix_filter_join, _PREFIX_FILTER_SQL),
     ("llm_naive_bayes_langid", naive_bayes_langid, _NB_LANGID_SQL),
+    ("llm_blocking_cost_eval", blocking_cost_eval, _blocking_cost_sql()),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

@@ -4246,3 +4246,35 @@ def test_naive_bayes_langid_matches_reference(spark):
     assert got == want and want
     assert sum(n for _, _, n, _ in got) == len(test)  # each doc once
     assert all(m > 0 for _, _, _, m in got)  # argmax margins positive
+
+
+def test_blocking_cost_eval_invariants(spark):
+    """The blocking audit's structural laws: four strategies, one shared
+    truth; prefix_filter recall is EXACTLY 1.0 (the prefix theorem);
+    every blocker's verified count is bounded by its candidates and by
+    the truth; the all_pairs row is the n-choose-2 baseline; and every
+    blocker generates a small fraction of all pairs (the reason blocking
+    exists). Cross-checked against the production queries' own counts."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        blocking_cost_eval,
+        prefix_filter_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.strategy: r for r in blocking_cost_eval(spark, sf).collect()}
+    assert set(rows) == {
+        "all_pairs", "minhash_lsh", "prefix_filter", "sorted_neighborhood"
+    }
+    n_truth = rows["all_pairs"].n_truth
+    n_docs_pairs = rows["all_pairs"].n_candidates
+    assert rows["all_pairs"].n_verified == n_truth
+    assert rows["all_pairs"].recall == 1.0
+    for name, r in rows.items():
+        assert r.n_truth == n_truth
+        assert 0 <= r.n_verified <= min(r.n_candidates, n_truth)
+        assert r.candidate_frac <= 1.0
+        if name != "all_pairs":
+            assert r.n_candidates < 0.05 * n_docs_pairs  # blocking works
+    assert rows["prefix_filter"].recall == 1.0  # the theorem, on data
+    # the audit's truth equals the production exact join's output
+    assert n_truth == prefix_filter_join(spark, sf).count()
