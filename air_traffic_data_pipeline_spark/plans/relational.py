@@ -2419,6 +2419,115 @@ FROM resid GROUP BY n_pairs, sen_slope
 """
 
 
+GINI_TOP_PCTS = (1, 10)  # top-share cutoffs reported next to the Gini
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across customers: the Gini coefficient plus
+    top-1%/top-10% revenue shares — "how unequal is our customer base"
+    (CR-k / Lorenz analytics). Gini from the rank form of the Lorenz
+    integral: G = (2·Σ i·x_(i) )/(n·Σx) − (n+1)/n over customers sorted
+    ascending by exact cent totals (ties broken by custkey, which leaves
+    G invariant because equal values commute in Σ i·x_(i)).
+
+    Exactness: per-customer totals are exact BIGINT cents; Σ i·x_(i) is
+    a DECIMAL(38,0) sum of integer products; top-k% cutoffs are integer
+    ranks (ceil division); every reported number is one divide of exact
+    integers.
+
+    Scale: the ranking window runs over the CUSTOMER DIMENSION — the
+    same posture as rel_rfm_segments' quintile boundaries: orders of
+    magnitude smaller than the fact table and already what a warehouse
+    materializes. At a customer dimension too large for one sort, the
+    rel_rfm_sketch_boundaries route (mergeable quantile sketch) is the
+    documented approximation path."""
+    o = load(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = per.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("six"),
+    )
+    # top-k% share: the k% highest-ranked customers (ceil(n*k/100) of them)
+    shares = []
+    for pct in GINI_TOP_PCTS:
+        cut = F.ceil(F.col("n") * pct / 100).cast("bigint")
+        shares.append(
+            F.sum(F.when(F.col("i") > F.col("n") - cut, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"top{pct}_cents")
+        )
+    topc = ranked.crossJoin(
+        F.broadcast(agg.select("n"))
+    ).agg(*shares)
+    j = agg.crossJoin(F.broadcast(topc))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = (
+        F.lit(2.0) * d("six") / (d("n") * d("sx"))
+        - (d("n") + F.lit(1.0)) / d("n")
+    )
+    sel = [
+        F.col("n").alias("n_customers"),
+        F.round(gini, 6).alias("gini"),
+    ]
+    for pct in GINI_TOP_PCTS:
+        sel.append(
+            F.round(d(f"top{pct}_cents") / d("sx"), 6).alias(f"top{pct}pct_share")
+        )
+    return j.select(*sel)
+
+
+def _gini_sql() -> str:
+    share_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN i > n - CAST(ceil(n * {pct} / 100.0) AS BIGINT)"
+        f" THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS top{pct}_cents"
+        for pct in GINI_TOP_PCTS
+    )
+    share_sel = ",\n       ".join(
+        f"round(CAST(top{pct}_cents AS DOUBLE) / CAST(sx AS DOUBLE), 6)"
+        f" AS top{pct}pct_share"
+        for pct in GINI_TOP_PCTS
+    )
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM per),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(i AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS six
+  FROM ranked),
+topc AS (
+  SELECT {share_cols}
+  FROM ranked CROSS JOIN (SELECT n FROM agg) a)
+SELECT n AS n_customers,
+       round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+       {share_sel}
+FROM agg CROSS JOIN topc
+"""
+
+
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
 
 
@@ -7821,6 +7930,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_spearman_corr", spearman_corr, SPEARMAN_SQL),
     ("rel_autocorrelation", autocorrelation, ACF_SQL),
     ("rel_theil_sen", theil_sen, THEIL_SEN_SQL),
+    ("rel_gini_concentration", gini_concentration, _gini_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

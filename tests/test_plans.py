@@ -1674,3 +1674,38 @@ def test_theil_sen_matches_reference(spark):
     lo = min(y for _, y in rows)
     hi = max(y for _, y in rows)
     assert lo <= got[0][3] <= hi  # intercept inside the daily range
+
+
+def test_gini_concentration_matches_reference(spark):
+    """Gini vs a pure-Python replay of the rank form AND vs the
+    mean-absolute-difference definition G = sum|xi-xj| / (2 n^2 mu) — two
+    independent formulations — plus bounds and top-share consistency."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        GINI_TOP_PCTS,
+        gini_concentration,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    per: dict[int, int] = {}
+    for r in load(spark, sf, "orders").select("o_custkey", "o_totalprice").collect():
+        per[r.o_custkey] = per.get(r.o_custkey, 0) + int(round(r.o_totalprice * 100))
+    vals = [per[k] for k in sorted(per, key=lambda k: (per[k], k))]
+    n, sx = len(vals), sum(vals)
+    six = sum((i + 1) * x for i, x in enumerate(vals))
+    gini = 2.0 * six / (float(n) * sx) - (n + 1.0) / n
+    import math
+
+    want = [n, round(gini, 6)]
+    for pct in GINI_TOP_PCTS:
+        cut = math.ceil(n * pct / 100)
+        want.append(round(sum(vals[n - cut:]) / sx, 6))
+    got = [tuple(r) for r in gini_concentration(spark, sf).collect()]
+    assert got == [tuple(want)]
+    # independent formulation: mean absolute difference / (2 mu)
+    mad = sum(abs(a - b) for a in vals for b in vals)
+    gini2 = mad / (2.0 * n * n * (sx / n))
+    assert abs(gini - gini2) < 1e-9
+    assert 0.0 <= got[0][1] < 1.0
+    # shares nest: top1% <= top10% <= 1
+    assert got[0][2] <= got[0][3] <= 1.0
