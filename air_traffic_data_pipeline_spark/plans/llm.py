@@ -1268,6 +1268,126 @@ FROM rows_ ORDER BY strategy
 """
 
 
+JSD_MU = 1_000_000_000  # per-token term quantization: micro-nats x 1e3
+
+
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-redundancy map ("which sources say the
+    same things?") that sits beside llm_mixing_divergence (mixture vs
+    target) and llm_cross_source_overlap (exact n-gram sharing): JSD is
+    symmetric, bounded by ln 2, and zero iff the distributions agree.
+
+    The decomposition that keeps it one INNER join: tokens present in
+    only one source contribute exactly p·ln2, so
+    JSD = ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+        + ½·ln2·(2 − P_shared − Q_shared),
+    where P_shared = (Σ_shared c₁)/T₁ is EXACT (integer count ratios) —
+    no full-outer join, no per-pair vocab materialization beyond the
+    overlap.
+
+    Determinism: each shared-token term is quantized ONCE to JSD_MU
+    units (the micro-unit discipline), so the per-pair fold is an exact
+    BIGINT sum under any shuffle order; the correction is a single
+    double expression of exact integers.
+
+    Scale: token tables are one map-side-combining count; the shared
+    join is gram-keyed with per-token fan-out ≤ C(|sources|,2); the
+    output is |sources|²/2 rows."""
+    import math
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    a = cnt.join(tot, "source").select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("c").alias("c1"),
+        F.col("t").alias("t1"),
+    )
+    b = cnt.join(tot, "source").select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("c").alias("c2"),
+        F.col("t").alias("t2"),
+    )
+    shared = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    p = F.col("c1").cast("double") / F.col("t1").cast("double")
+    q = F.col("c2").cast("double") / F.col("t2").cast("double")
+    term = F.lit(0.5) * (
+        p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    per_pair = shared.groupBy("source_a", "source_b", "t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.sum(F.round(term * F.lit(float(JSD_MU))).cast("bigint"))
+        .cast("bigint")
+        .alias("s_micro"),
+        F.sum("c1").cast("bigint").alias("sb1"),
+        F.sum("c2").cast("bigint").alias("sb2"),
+    )
+    ln2 = F.lit(math.log(2.0))
+    corr = (
+        F.lit(0.5)
+        * ln2
+        * (
+            F.lit(2.0)
+            - F.col("sb1").cast("double") / F.col("t1").cast("double")
+            - F.col("sb2").cast("double") / F.col("t2").cast("double")
+        )
+    )
+    jsd = F.col("s_micro").cast("double") / F.lit(float(JSD_MU)) + corr
+    return per_pair.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / ln2, 6).alias("jsd_normalized"),
+    ).orderBy("source_a", "source_b")
+
+
+_JSD_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY 1),
+a AS (SELECT cnt.source AS source_a, tok, c AS c1, t AS t1
+      FROM cnt JOIN tot USING (source)),
+b AS (SELECT cnt.source AS source_b, tok, c AS c2, t AS t2
+      FROM cnt JOIN tot USING (source)),
+shared AS (
+  SELECT source_a, source_b, t1, t2, c1, c2,
+         CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p,
+         CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS q
+  FROM a JOIN b USING (tok) WHERE source_a < source_b),
+per_pair AS (
+  SELECT source_a, source_b, t1, t2,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(CAST(round({JSD_MU}.0 * 0.5
+                             * (p * ln(2.0 * p / (p + q))
+                                + q * ln(2.0 * q / (p + q)))) AS BIGINT))
+              AS BIGINT) AS s_micro,
+         CAST(sum(c1) AS BIGINT) AS sb1,
+         CAST(sum(c2) AS BIGINT) AS sb2
+  FROM shared GROUP BY 1, 2, 3, 4)
+SELECT source_a, source_b, n_shared,
+       round(CAST(s_micro AS DOUBLE) / {JSD_MU}.0
+             + 0.5 * ln(2.0) * (2.0 - CAST(sb1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                                - CAST(sb2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 6)
+         AS jsd_nats,
+       round((CAST(s_micro AS DOUBLE) / {JSD_MU}.0
+              + 0.5 * ln(2.0) * (2.0 - CAST(sb1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                                 - CAST(sb2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+             / ln(2.0), 6) AS jsd_normalized
+FROM per_pair ORDER BY source_a, source_b
+"""
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out eval split (same gate as
 # llm_train_val_split's deterministic-id discipline)
 NB_MU = 1_000_000  # log-likelihood quantization: micro-units per nat
@@ -12775,6 +12895,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_prefix_filter_join", prefix_filter_join, _PREFIX_FILTER_SQL),
     ("llm_naive_bayes_langid", naive_bayes_langid, _NB_LANGID_SQL),
     ("llm_blocking_cost_eval", blocking_cost_eval, _blocking_cost_sql()),
+    ("llm_source_jsd_matrix", source_jsd_matrix, _JSD_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

@@ -4278,3 +4278,48 @@ def test_blocking_cost_eval_invariants(spark):
     assert rows["prefix_filter"].recall == 1.0  # the theorem, on data
     # the audit's truth equals the production exact join's output
     assert n_truth == prefix_filter_join(spark, sf).count()
+
+
+def test_source_jsd_matrix_matches_reference(spark):
+    """JSD matrix vs a pure-Python FULL-VOCAB recomputation (the naive
+    two-distribution formula, no shared/only-one decomposition — an
+    independent route that would expose a wrong correction term) — plus
+    the JSD laws: symmetric input handling, 0 <= JSD <= ln2, and
+    self-divergence of a source with itself is 0 by construction."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.llm import source_jsd_matrix
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("source", "text").collect()
+    cnt: dict[str, dict[str, int]] = {}
+    for r in docs:
+        d = cnt.setdefault(r.source, {})
+        for t in r.text.split(" "):
+            d[t] = d.get(t, 0) + 1
+    tots = {s: sum(d.values()) for s, d in cnt.items()}
+
+    def jsd(s1, s2):
+        d1, d2 = cnt[s1], cnt[s2]
+        t1, t2 = tots[s1], tots[s2]
+        out = 0.0
+        for tok in set(d1) | set(d2):
+            p = d1.get(tok, 0) / t1
+            q = d2.get(tok, 0) / t2
+            m = (p + q) / 2.0
+            if p > 0:
+                out += 0.5 * p * math.log(p / m)
+            if q > 0:
+                out += 0.5 * q * math.log(q / m)
+        return out
+
+    got = [tuple(r) for r in source_jsd_matrix(spark, sf).collect()]
+    srcs = sorted(cnt)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for sa, sb, n_shared, nats, norm in got:
+        assert sa < sb
+        ref = jsd(sa, sb)
+        assert abs(nats - ref) < 1e-5, (sa, sb)  # independent full-vocab route
+        assert 0.0 <= nats <= math.log(2.0) + 1e-9
+        assert abs(norm - nats / math.log(2.0)) < 1e-5
+        assert n_shared == len(set(cnt[sa]) & set(cnt[sb]))
