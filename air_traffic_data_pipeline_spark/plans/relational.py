@@ -1699,10 +1699,11 @@ def daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def daily_revenue_partial(o: DataFrame) -> DataFrame:
-    """The (dn, cents) aggregate over any orders-shaped frame — a whole
-    lake or one micro-batch. Plain BIGINT sums keyed by day, so per-batch
-    partials merge by addition into the exact corpus series; shared by
-    the batch time-series family and their streaming mirrors."""
+    """The (dn, cents, n_orders) aggregate over any orders-shaped frame —
+    a whole lake or one micro-batch. Plain BIGINT sums keyed by day, so
+    per-batch partials merge by addition into the exact corpus series;
+    shared by the batch time-series family (seasonal, Mann-Whitney,
+    changepoint, Spearman, ACF, Theil-Sen) and their streaming mirrors."""
     dn = F.datediff(
         F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
     ).cast("bigint")
@@ -1712,7 +1713,10 @@ def daily_revenue_partial(o: DataFrame) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
         .groupBy("dn")
-        .agg(F.sum("cents").alias("cents"))
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
     )
 
 
@@ -2169,21 +2173,13 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Pearson moments of the half-unit ranks as exact BIGINTs — the
     factor 2 cancels in the correlation — and rho is one fixed double
     DAG. Runs on the calendar-bounded daily frame."""
-    o = load(spark, sf_dir, "orders")
-    dn = F.datediff(
-        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
-    ).cast("bigint")
-    daily = (
-        o.select(
-            dn.alias("dn"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        .groupBy("dn")
-        .agg(
-            F.sum("cents").alias("cents"),
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        )
-    )
+    return spearman_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def spearman_from_daily(daily: DataFrame) -> DataFrame:
+    """The rank-correlation tail over any (dn, cents, n_orders) daily
+    frame — shared with the streaming mirror (ranks are corpus-global,
+    so emission re-ranks the merged series)."""
     rank2 = lambda col: (  # noqa: E731
         F.lit(2) * F.rank().over(W.orderBy(col))
         + F.count(F.lit(1)).over(W.partitionBy(col))
@@ -2260,7 +2256,14 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the lag join is dn-keyed on the calendar-bounded frame; the
     lag dimension broadcasts."""
-    daily = daily_revenue_cents(spark, sf_dir)
+    return acf_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def acf_from_daily(daily: DataFrame) -> DataFrame:
+    """The ACF tail over any (dn, cents) daily frame — shared with the
+    streaming mirror (a late batch moves μ and every lag pair, so
+    emission recomputes over the merged series)."""
+    spark = daily.sparkSession
     lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "k bigint")
     tot = daily.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -2363,7 +2366,13 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with data volume (per-key trends over billions of keys) would
     need the sampled variant; for the calendar series the exact kernel
     is the right call."""
-    daily = daily_revenue_cents(spark, sf_dir)
+    return theil_sen_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
+    """The pairwise-slope-median tail over any (dn, cents) daily frame —
+    shared with the streaming mirror (every pair involving a new day
+    changes the median, so emission re-pairs the merged series)."""
     a = daily.select(F.col("dn").alias("dn_a"), F.col("cents").alias("ya"))
     b = daily.select(F.col("dn").alias("dn_b"), F.col("cents").alias("yb"))
     slopes = (
@@ -2441,20 +2450,30 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes. At a customer dimension too large for one sort, the
     rel_rfm_sketch_boundaries route (mergeable quantile sketch) is the
     documented approximation path."""
-    o = load(spark, sf_dir, "orders")
-    per = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        )
+    return gini_from_per_customer(
+        customer_cents_partial(load(spark, sf_dir, "orders"))
     )
+
+
+def customer_cents_partial(o: DataFrame) -> DataFrame:
+    """Per-customer exact cent totals over any orders-shaped frame — a
+    whole lake or one micro-batch; BIGINT sums merge by addition (the
+    rfm_partial posture), shared with the streaming Gini mirror."""
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+def gini_from_per_customer(per: DataFrame) -> DataFrame:
+    """The Lorenz/Gini tail over any (o_custkey, cents) frame — shared
+    with the streaming mirror (ranks are global order statistics over
+    the merged customer dimension)."""
     ranked = per.select(
         "cents",
         F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
     )
-    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("decimal(38,0)").alias("sx"),

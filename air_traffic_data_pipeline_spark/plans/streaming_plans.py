@@ -669,6 +669,66 @@ def _changepoint_oracle_sql() -> str:
     return CHANGEPOINT_SQL
 
 
+def stream_incremental_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_spearman
+
+    return incremental_spearman(spark, sf_dir)
+
+
+def _spearman_oracle_sql() -> str:
+    """Shared daily state; both rank columns are global order statistics
+    — emission re-ranks the merged (cents, n_orders) series; must
+    reproduce the one-shot rank correlation bitwise."""
+    from .relational import SPEARMAN_SQL
+
+    return SPEARMAN_SQL
+
+
+def stream_incremental_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_acf
+
+    return incremental_acf(spark, sf_dir)
+
+
+def _acf_oracle_sql() -> str:
+    """Shared daily state; the corpus mean and every lag pair move with
+    a late batch — emission recomputes the exact integer ACF forms over
+    the merged series; must reproduce the one-shot ACF bitwise."""
+    from .relational import ACF_SQL
+
+    return ACF_SQL
+
+
+def stream_incremental_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_theil_sen
+
+    return incremental_theil_sen(spark, sf_dir)
+
+
+def _theil_sen_oracle_sql() -> str:
+    """Shared daily state; every pair involving a new day shifts the
+    slope median — emission re-pairs the merged calendar-bounded series;
+    must reproduce the one-shot Theil-Sen fit bitwise."""
+    from .relational import THEIL_SEN_SQL
+
+    return THEIL_SEN_SQL
+
+
+def stream_incremental_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_gini
+
+    return incremental_gini(spark, sf_dir)
+
+
+def _gini_oracle_sql() -> str:
+    """Per-customer cent partials merge by BIGINT addition (customer-
+    dimension state); the Lorenz ranks re-rank at emission — must
+    reproduce the one-shot Gini and top shares bitwise."""
+    from .relational import _gini_sql
+
+    return _gini_sql()
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -916,6 +976,10 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_seasonal", stream_incremental_seasonal, _seasonal_oracle_sql()),
     ("stream_incremental_mann_whitney", stream_incremental_mann_whitney, _mann_whitney_oracle_sql()),
     ("stream_incremental_changepoint", stream_incremental_changepoint, _changepoint_oracle_sql()),
+    ("stream_incremental_spearman", stream_incremental_spearman, _spearman_oracle_sql()),
+    ("stream_incremental_acf", stream_incremental_acf, _acf_oracle_sql()),
+    ("stream_incremental_theil_sen", stream_incremental_theil_sen, _theil_sen_oracle_sql()),
+    ("stream_incremental_gini", stream_incremental_gini, _gini_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -1192,7 +1192,10 @@ def _incremental_from_daily_state(
         merged = (
             spark.read.parquet(f"{part_dir}/batch=*")
             .groupBy("dn")
-            .agg(F.sum("cents").cast("bigint").alias("cents"))
+            .agg(
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+            )
         )
         out, _ = tracked_local_checkpoint(kernel(merged), register=True)
         return out
@@ -1235,3 +1238,89 @@ def incremental_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_from_daily_state(
         spark, sf_dir, "chg", changepoint_from_daily
     )
+
+
+def incremental_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Spearman correlation — bitwise equal to the
+    one-shot ``plans.relational.spearman_corr`` (its SQL is the oracle).
+    Fourth member of the shared-daily-state family; both rank columns
+    are global order statistics, so emission re-ranks the merged
+    (cents, n_orders) series."""
+    from ..plans.relational import spearman_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "spear", spearman_from_daily
+    )
+
+
+def incremental_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental autocorrelation — bitwise equal to the
+    one-shot ``plans.relational.autocorrelation`` (its SQL is the
+    oracle). A late batch moves the corpus mean and adds lag pairs on
+    both sides, so emission recomputes the exact integer forms over the
+    merged series."""
+    from ..plans.relational import acf_from_daily
+
+    return _incremental_from_daily_state(spark, sf_dir, "acf", acf_from_daily)
+
+
+def incremental_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Theil-Sen trend — bitwise equal to the
+    one-shot ``plans.relational.theil_sen`` (its SQL is the oracle).
+    Every pair involving a newly-arrived day shifts the slope median, so
+    emission re-pairs the merged calendar-bounded series — still ~2.9M
+    bounded pairs however long the stream runs."""
+    from ..plans.relational import theil_sen_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "tsen", theil_sen_from_daily
+    )
+
+
+def incremental_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Gini concentration — bitwise equal to the
+    one-shot ``plans.relational.gini_concentration`` (its SQL is the
+    oracle). Per-customer cent partials merge by BIGINT addition (the
+    rfm_partial posture — customer-dimension state); the Lorenz ranks
+    are global order statistics, so emission re-ranks the merged
+    customer totals."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import customer_cents_partial, gini_from_per_customer
+
+    tune_session(spark)
+    d = _stage_order_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_gini_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/per_cust"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        customer_cents_partial(batch_df).write.mode("overwrite").parquet(
+            f"{part_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(ORDERS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("bigint").alias("cents"))
+        )
+        out, _ = tracked_local_checkpoint(
+            gini_from_per_customer(merged), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1406,3 +1406,52 @@ def test_incremental_time_series_family_equals_batch(spark):
         assert got == want and want, batch_fn.__name__
         got_rev = [tuple(r) for r in kernel(merged).collect()]
         assert got_rev == want, batch_fn.__name__
+
+
+def test_incremental_daily_family_extension_equals_batch(spark):
+    """The daily-state family's round-10 extension (Spearman, ACF,
+    Theil-Sen) plus the customer-state Gini mirror: each must be bitwise
+    equal to its batch query; the daily kernels are also re-fed with
+    reversed-order merged partials (the extended (cents, n_orders)
+    schema) to prove merge commutativity."""
+    from air_traffic_data_pipeline_spark.plans import relational as rel
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming import orders_stream as osm
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    parts3 = [
+        rel.daily_revenue_partial(o.filter(F.col("o_orderkey") % 3 == k))
+        for k in (1, 2, 0)
+    ]
+    merged = parts3[0]
+    for p in parts3[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("dn").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+    for batch_fn, mirror_fn, kernel in [
+        (rel.spearman_corr, osm.incremental_spearman, rel.spearman_from_daily),
+        (rel.autocorrelation, osm.incremental_acf, rel.acf_from_daily),
+        (rel.theil_sen, osm.incremental_theil_sen, rel.theil_sen_from_daily),
+    ]:
+        want = [tuple(r) for r in batch_fn(spark, sf).collect()]
+        got = [tuple(r) for r in mirror_fn(spark, sf).collect()]
+        assert got == want and want, batch_fn.__name__
+        got_rev = [tuple(r) for r in kernel(merged).collect()]
+        assert got_rev == want, batch_fn.__name__
+
+    want = [tuple(r) for r in rel.gini_concentration(spark, sf).collect()]
+    got = [tuple(r) for r in osm.incremental_gini(spark, sf).collect()]
+    assert got == want and want
+    cust_parts = [
+        rel.customer_cents_partial(o.filter(F.col("o_orderkey") % 3 == k))
+        for k in (2, 1, 0)
+    ]
+    cm = cust_parts[0]
+    for p in cust_parts[1:]:
+        cm = cm.unionByName(p)
+    cm = cm.groupBy("o_custkey").agg(F.sum("cents").cast("bigint").alias("cents"))
+    got_rev = [tuple(r) for r in rel.gini_from_per_customer(cm).collect()]
+    assert got_rev == want
