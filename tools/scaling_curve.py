@@ -180,6 +180,19 @@ def main() -> int:
         "rel_core_numbers": relational.core_numbers_copurchase,
         "rel_two_hop_recs": relational.two_hop_recs,
         "llm_sorted_neighborhood_dup": llm.sorted_neighborhood_dup,
+        # round-10 late additions: the exact-Jaccard prefix-filter join
+        # under the distinct-text model (shingle vocab grows with
+        # replicas; prefixes stay rare so bucket populations — the thing
+        # to watch — must not superlinearize); the Poisson bootstrap is
+        # a pure constant-fan-out (x64) scan aggregate — expect linear
+        # in lineitem rows; Naive Bayes is two vocab-keyed count
+        # aggregates + a test-side join — vocab grows with replicas;
+        # the JSD matrix's shared-token join is bounded per token by
+        # |sources|^2 — expect linear in the token stream
+        "llm_prefix_filter_join": llm.prefix_filter_join,
+        "rel_poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
+        "llm_naive_bayes_langid": llm.naive_bayes_langid,
+        "llm_source_jsd_matrix": llm.source_jsd_matrix,
     }
     only = list(argv)
     if only:
