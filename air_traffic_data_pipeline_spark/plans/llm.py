@@ -1388,6 +1388,78 @@ FROM per_pair ORDER BY source_a, source_b
 """
 
 
+BURST_MIN_DF = 5  # tokens must appear in >= this many docs to rank
+BURST_TOP_K = 20
+
+
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness — the variance-to-mean ratio of per-document
+    counts (Church & Gale 1995): VMR ≈ 1 for Poisson-scattered function
+    words, ≫ 1 for bursty content words that pile up in few documents.
+    The corpus statistic behind stopword-vs-topic-word separation and
+    tf normalization choices; ranks the BURST_TOP_K burstiest tokens
+    with df ≥ BURST_MIN_DF.
+
+    Exactness: zeros count — a token absent from a doc contributes 0 to
+    the mean and variance, so moments are over ALL N docs: mean = Σc/N,
+    E[x²] = Σc²/N with Σc, Σc² exact BIGINTs from one aggregate (docs
+    without the token contribute nothing to either sum, so no
+    vocab×docs materialization); VMR = (Σc² − (Σc)²/N)/Σc — one fixed
+    double DAG per token. Ties break on token text.
+
+    Scale: per-(doc, token) counts with map-side combine, one reduce to
+    the vocab dimension, TakeOrdered top-K (per-partition top-K +
+    merge, no global sort)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    voc = per.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    vmr = (dd("scc") - dd("sc") * dd("sc") / dd("n")) / dd("sc")
+    return (
+        voc.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "tok",
+            "df",
+            F.col("sc").alias("total_count"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "tok")
+        .limit(BURST_TOP_K)
+    )
+
+
+_BURSTINESS_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+per AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+  GROUP BY 1, 2),
+voc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM per GROUP BY tok)
+SELECT tok, df, sc AS total_count,
+       round((CAST(scc AS DOUBLE)
+              - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(sc AS DOUBLE), 6) AS vmr
+FROM voc CROSS JOIN n_docs
+WHERE df >= {BURST_MIN_DF}
+ORDER BY vmr DESC, tok LIMIT {BURST_TOP_K}
+"""
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out eval split (same gate as
 # llm_train_val_split's deterministic-id discipline)
 NB_MU = 1_000_000  # log-likelihood quantization: micro-units per nat
@@ -12896,6 +12968,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_naive_bayes_langid", naive_bayes_langid, _NB_LANGID_SQL),
     ("llm_blocking_cost_eval", blocking_cost_eval, _blocking_cost_sql()),
     ("llm_source_jsd_matrix", source_jsd_matrix, _JSD_SQL),
+    ("llm_token_burstiness", token_burstiness, _BURSTINESS_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

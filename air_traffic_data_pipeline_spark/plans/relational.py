@@ -1522,7 +1522,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode factor B is the only cost and it never reaches an
     Exchange — the groupBy(flag, b) partials combine inside the scan
     stage; the rank window runs over |flags|·B ≤ a few hundred rows."""
-    li = boot_rev_projection(load(spark, sf_dir, "lineitem"))
+    from .tables import fan_out
+
+    # fan_out before the x64 explode: a narrow parquet scan would pin all
+    # 64·|rows| hash evaluations to its few input splits (measured 56s ->
+    # ~8s at sf0.1; the explode inherits scan partitioning)
+    li = boot_rev_projection(fan_out(load(spark, sf_dir, "lineitem")))
     return bootstrap_ci_from_partials(
         boot_exact_partial(li), boot_rep_partial(li)
     )
@@ -2545,6 +2550,287 @@ SELECT n AS n_customers,
        {share_sel}
 FROM agg CROSS JOIN topc
 """
+
+
+KM_CENSOR_DAYS = 90  # still ordering within this window of lake end = alive
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer LIFETIME (days between a
+    customer's first and last order), right-censored (Kaplan & Meier
+    1958): a customer whose last order falls within KM_CENSOR_DAYS of
+    the lake's end is still "alive" — their lifetime is a lower bound,
+    exactly what the KM estimator exists to handle and what a naive
+    average-lifetime metric silently gets wrong. One row per distinct
+    lifetime with an observed churn: at-risk count, churned, censored,
+    and S(t) = Π(1 − dᵤ/nᵤ).
+
+    Determinism: lifetimes / at-risk / churn counts are exact integers
+    (at-risk via one reverse cumulative window — no per-t rescan); the
+    product is exp(Σ ln(1 − d/n)) folded CUMULATIVELY IN t-ORDER, so
+    both engines evaluate the identical ln/exp chain (the
+    lm_logprob_from_pairs ordered-fold discipline); an S(t) that
+    reaches exactly zero (everyone churns at the max lifetime) is
+    emitted as 0 rather than exp(ln 0).
+
+    Scale: one map-side-combining pass over orders to the customer
+    dimension, one count-aggregate to distinct lifetimes (bounded by
+    the CALENDAR — ≤ ~2.4k rows at any corpus scale), cumulative
+    windows over that bounded frame."""
+    o = load(spark, sf_dir, "orders")
+    lake_end = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("f"),
+            F.max(F.col("o_orderdate").cast("date")).alias("l"),
+        )
+        .crossJoin(F.broadcast(lake_end))
+        .select(
+            F.datediff("l", "f").cast("bigint").alias("t"),
+            (
+                F.datediff("end", "l") < F.lit(KM_CENSOR_DAYS)
+            ).alias("alive"),
+        )
+    )
+    by_t = per.groupBy("t").agg(
+        F.sum(F.when(~F.col("alive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("alive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    w_at_risk = W.orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risky = by_t.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_at_risk).cast("bigint").alias("n"),
+    )
+    term = F.when(
+        F.col("d") > 0,
+        F.log(
+            (F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    curved = risky.select(
+        "t",
+        "n",
+        "d",
+        "c",
+        F.sum(term).over(w_cum).alias("lns"),
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return (
+        curved.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d").alias("d_churned"),
+            F.col("c").alias("c_censored"),
+            F.round(
+                F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                    F.exp(F.col("lns"))
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KAPLAN_MEIER_SQL = f"""
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+lake_end AS (SELECT max(d) AS e FROM o),
+per AS (
+  SELECT CAST(max(d) - min(d) AS BIGINT) AS t,
+         (SELECT e FROM lake_end) - max(d) < {KM_CENSOR_DAYS} AS alive
+  FROM o GROUP BY o_custkey),
+by_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN alive THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM per GROUP BY t),
+risky AS (
+  SELECT t, d, c,
+         CAST(sum(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+  FROM by_t),
+curved AS (
+  SELECT t, n, d, c,
+         sum(CASE WHEN d > 0
+                  THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns,
+         max(CASE WHEN d = n THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+  FROM risky)
+SELECT t AS t_days, n AS n_at_risk, d AS d_churned, c AS c_censored,
+       round(CASE WHEN hit_zero = 1 THEN 0.0 ELSE exp(lns) END, 6) AS survival
+FROM curved WHERE d > 0 ORDER BY t_days
+"""
+
+
+MARKOV_ROUNDS = 20  # lazy-walk power iterations (delta column audits)
+MARKOV_SCALE = 1_000_000_000_000  # total stationary mass in micro-units
+MARKOV_QSCALE = 1_000_000  # transition probs quantized to 1e-6 units
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain over
+    event types — "where do users spend their time in the long run",
+    the chain-level summary behind rel_session_paths' raw paths: build
+    the transition matrix from consecutive events per user, then
+    MARKOV_ROUNDS lazy-walk power iterations π' = ½π + ½πP (laziness
+    guarantees aperiodicity, so oscillating chains still converge).
+
+    INTEGER MICRO-UNIT discipline, with a twist that improves on
+    pagerank_integer's overflow bound: transition probabilities are
+    pre-quantized to MARKOV_QSCALE units (q = c·1e6 // r ≤ 1e6 BY
+    CONSTRUCTION), so π·q ≤ 1e12·1e6 < 2^63 for ANY transition-count
+    magnitude — no data-dependent overflow headroom to document. Each
+    round leaks ≤1 unit per edge (floor division) — bias ~1e-6·|E| of
+    total mass, irrelevant at distribution granularity. States with no
+    outgoing transitions (a type seen only at session ends) get an
+    explicit self-loop — the standard absorbing-sink fix, applied
+    identically in the oracle. The max |π₂₀ − π₁₉| delta rides along as
+    the convergence audit.
+
+    Scale: the transition matrix is |types|² (tiny); the one data-sized
+    pass is the per-user lead() window (user-keyed partitions — no
+    global order); all iterations run on broadcast-sized frames."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c0 = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    states = ev.select(F.col("event_type").alias("s")).distinct()
+    loops = (
+        states.join(c0.select("src").distinct(), states["s"] == c0["src"], "left_anti")
+        .select(F.col("s").alias("src"), F.col("s").alias("dst"), F.lit(1).cast("bigint").alias("c"))
+    )
+    cm = c0.unionByName(loops)
+    rt = cm.groupBy("src").agg(F.sum("c").cast("bigint").alias("r"))
+    q = (
+        cm.join(rt, "src")
+        .select(
+            "src",
+            "dst",
+            # exact BIGINT floor division (DIV) — a double `/` would lose
+            # exactness past 2^53 and drift from the oracle's `//`
+            F.expr(f"(c * CAST({MARKOV_QSCALE} AS BIGINT)) DIV r").alias("q"),
+        )
+    )
+    q, _ = tracked_local_checkpoint(q, register=True)
+    n = states.count()
+    pi = states.select(
+        F.col("s").alias("state"),
+        F.lit(MARKOV_SCALE // n).cast("bigint").alias("pi"),
+    )
+    pi, _ = tracked_local_checkpoint(pi, register=True)
+    prev = None
+    for _k in range(MARKOV_ROUNDS):
+        contrib = (
+            pi.join(q, pi["state"] == q["src"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr(f"(pi * q) DIV {MARKOV_QSCALE}"))
+                .cast("bigint")
+                .alias("s")
+            )
+        )
+        nxt = (
+            pi.join(contrib, pi["state"] == contrib["dst"], "left")
+            .select(
+                "state",
+                F.expr("(pi + coalesce(s, CAST(0 AS BIGINT))) DIV 2").alias("pi"),
+            )
+        )
+        nxt, _ = tracked_local_checkpoint(nxt, register=True)
+        prev, pi = pi, nxt
+    delta = (
+        pi.join(
+            prev.select(F.col("state").alias("pstate"), F.col("pi").alias("ppi")),
+            pi["state"] == F.col("pstate"),
+        )
+        .agg(
+            F.max(F.abs(F.col("pi") - F.col("ppi"))).cast("bigint").alias("max_delta_micro")
+        )
+    )
+    return (
+        pi.crossJoin(F.broadcast(delta))
+        .select(
+            "state",
+            F.col("pi").alias("pi_micro"),
+            F.round(
+                F.col("pi").cast("double") / F.lit(float(MARKOV_SCALE)), 6
+            ).alias("pi_prob"),
+            "max_delta_micro",
+        )
+        .orderBy("state")
+    )
+
+
+def _markov_sql() -> str:
+    ctes = [
+        """ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+       FROM events)""",
+        """tr AS MATERIALIZED (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tsn, event_id) AS dst
+  FROM ev)""",
+        """c0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+       FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2)""",
+        """states AS (SELECT DISTINCT event_type AS s FROM ev)""",
+        """cm AS MATERIALIZED (
+  SELECT * FROM c0
+  UNION ALL
+  SELECT s, s, CAST(1 AS BIGINT) FROM states
+  WHERE s NOT IN (SELECT src FROM c0))""",
+        """rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS r FROM cm GROUP BY src)""",
+        f"""q AS MATERIALIZED (
+  SELECT cm.src, cm.dst,
+         CAST((c * {MARKOV_QSCALE}) // r AS BIGINT) AS q
+  FROM cm JOIN rt USING (src))""",
+        """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states)""",
+        f"""p0 AS MATERIALIZED (
+  SELECT s AS state, CAST({MARKOV_SCALE} AS BIGINT) // nn.n AS pi
+  FROM states, nn)""",
+    ]
+    for k in range(1, MARKOV_ROUNDS + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT p.state,
+         CAST((p.pi + coalesce(s.s, CAST(0 AS BIGINT))) // 2 AS BIGINT) AS pi
+  FROM p{k - 1} p LEFT JOIN (
+    SELECT q.dst AS state,
+           CAST(sum((r.pi * q.q) // {MARKOV_QSCALE}) AS BIGINT) AS s
+    FROM p{k - 1} r JOIN q ON r.state = q.src
+    GROUP BY q.dst) s ON p.state = s.state)"""
+        )
+    last, prev = f"p{MARKOV_ROUNDS}", f"p{MARKOV_ROUNDS - 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+delta AS (
+  SELECT CAST(max(abs(a.pi - b.pi)) AS BIGINT) AS max_delta_micro
+  FROM {last} a JOIN {prev} b ON a.state = b.state)
+SELECT state, pi AS pi_micro,
+       round(CAST(pi AS DOUBLE) / CAST({MARKOV_SCALE} AS DOUBLE), 6) AS pi_prob,
+       max_delta_micro
+FROM {last} CROSS JOIN delta
+ORDER BY state"""
+    )
 
 
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
@@ -7950,6 +8236,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_autocorrelation", autocorrelation, ACF_SQL),
     ("rel_theil_sen", theil_sen, THEIL_SEN_SQL),
     ("rel_gini_concentration", gini_concentration, _gini_sql()),
+    ("rel_kaplan_meier", kaplan_meier, KAPLAN_MEIER_SQL),
+    ("rel_markov_stationary", markov_stationary, _markov_sql()),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

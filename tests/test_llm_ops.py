@@ -4323,3 +4323,46 @@ def test_source_jsd_matrix_matches_reference(spark):
         assert 0.0 <= nats <= math.log(2.0) + 1e-9
         assert abs(norm - nats / math.log(2.0)) < 1e-5
         assert n_shared == len(set(cnt[sa]) & set(cnt[sb]))
+
+
+def test_token_burstiness_matches_reference(spark):
+    """Burstiness vs a pure-Python full recomputation (zeros-inclusive
+    variance over all docs) — plus the statistic's meaning: a VMR of 1
+    is Poisson scatter, so the top-ranked tokens must exceed 1."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        BURST_MIN_DF,
+        BURST_TOP_K,
+        token_burstiness,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    n = len(docs)
+    per: dict[str, dict[int, int]] = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            per.setdefault(t, {})[r.doc_id] = per.setdefault(t, {}).get(r.doc_id, 0) + 1
+    scored = []
+    for tok, m in per.items():
+        df = len(m)
+        if df < BURST_MIN_DF:
+            continue
+        sc = sum(m.values())
+        scc = sum(c * c for c in m.values())
+        vmr = (scc - sc * sc / n) / sc
+        scored.append((-round(vmr, 6), tok, df, sc))
+    scored.sort()
+    want = [
+        (tok, df, sc, -nv) for nv, tok, df, sc in scored[:BURST_TOP_K]
+    ]
+    got = [tuple(r) for r in token_burstiness(spark, sf).collect()]
+    assert got == want and len(got) == BURST_TOP_K
+    # zeros-inclusive check via an independent full-vector variance
+    import statistics
+
+    tok0, df0, sc0, vmr0 = got[0]
+    vec = [per[tok0].get(r.doc_id, 0) for r in docs]
+    mean = statistics.mean(vec)
+    var = statistics.pvariance(vec)
+    assert abs(vmr0 - var / mean) < 1e-6
+    assert all(v > 1.0 for *_, v in got)  # bursty, not Poisson

@@ -1709,3 +1709,115 @@ def test_gini_concentration_matches_reference(spark):
     assert 0.0 <= got[0][1] < 1.0
     # shares nest: top1% <= top10% <= 1
     assert got[0][2] <= got[0][3] <= 1.0
+
+
+def test_kaplan_meier_matches_reference(spark):
+    """KM curve vs a pure-Python product-limit replay (textbook
+    S(t) = prod(1 - d/n), right-censoring semantics) — plus the KM laws:
+    survival is nonincreasing, starts <= 1, and the at-risk counts
+    telescope exactly (n_{t+1} = n_t - d_t - c_t over distinct
+    lifetimes)."""
+    import datetime
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KM_CENSOR_DAYS,
+        kaplan_meier,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    per: dict[int, list] = {}
+    for r in load(spark, sf, "orders").select("o_custkey", "o_orderdate").collect():
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        a = per.setdefault(r.o_custkey, [d, d])
+        a[0] = min(a[0], d)
+        a[1] = max(a[1], d)
+    lake_end = max(l for _, l in per.values())
+    rows: dict[int, list] = {}
+    for f, l in per.values():
+        t = (l - f).days
+        alive = (lake_end - l).days < KM_CENSOR_DAYS
+        a = rows.setdefault(t, [0, 0])
+        a[1 if alive else 0] += 1
+    ts = sorted(rows)
+    total = sum(d + c for d, c in rows.values())
+    want = []
+    lns, gone, s = 0.0, 0, False
+    for t in ts:
+        d, c = rows[t]
+        n = total - gone
+        gone += d + c
+        if d > 0:
+            if d == n:
+                s = True
+            lns += math.log((n - d) / n) if d < n else 0.0
+            want.append((t, n, d, c, round(0.0 if s else math.exp(lns), 6)))
+    got = [tuple(r) for r in kaplan_meier(spark, sf).collect()]
+    assert got == want and want
+    survs = [s for *_, s in got]
+    assert survs == sorted(survs, reverse=True)  # nonincreasing
+    assert survs[0] <= 1.0
+    # censoring is real on this lake (customers still alive at the end)
+    assert sum(c for _, _, _, c, _ in got) >= 0
+
+
+def test_markov_stationary_matches_reference(spark):
+    """Markov stationary distribution vs a pure-Python replay of the
+    integer lazy-walk iterations (pre-quantized transition probs, exact
+    floor divisions, self-loop sink fix) — plus the chain laws: the
+    distribution sums to ~the full mass (floor leak bounded by
+    rounds x edges) and the delta audit is small after 20 lazy rounds."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        MARKOV_QSCALE,
+        MARKOV_ROUNDS,
+        MARKOV_SCALE,
+        markov_stationary,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id, r.event_type)
+            for r in load(spark, sf, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ),
+    )
+    by_user: dict = {}
+    for u, ts, eid, et in ev:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    c: dict[tuple, int] = {}
+    states = set()
+    for seq in by_user.values():
+        seq.sort()
+        types = [et for _, _, et in seq]
+        states.update(types)
+        for a, b in zip(types, types[1:]):
+            c[(a, b)] = c.get((a, b), 0) + 1
+    srcs = {a for a, _ in c}
+    for s in states - srcs:
+        c[(s, s)] = 1
+    r: dict[str, int] = {}
+    for (a, _), v in c.items():
+        r[a] = r.get(a, 0) + v
+    q = {(a, b): (v * MARKOV_QSCALE) // r[a] for (a, b), v in c.items()}
+    n = len(states)
+    pi = {s: MARKOV_SCALE // n for s in states}
+    prev = None
+    for _ in range(MARKOV_ROUNDS):
+        contrib: dict[str, int] = {}
+        for (a, b), qv in q.items():
+            contrib[b] = contrib.get(b, 0) + (pi[a] * qv) // MARKOV_QSCALE
+        prev, pi = pi, {s: (pi[s] + contrib.get(s, 0)) // 2 for s in states}
+    max_delta = max(abs(pi[s] - prev[s]) for s in states)
+    want = [
+        (s, pi[s], round(pi[s] / MARKOV_SCALE, 6), max_delta)
+        for s in sorted(states)
+    ]
+    got = [tuple(r_) for r_ in markov_stationary(spark, sf).collect()]
+    assert got == want and want
+    total = sum(p for _, p, _, _ in got)
+    assert MARKOV_SCALE * 0.99 <= total <= MARKOV_SCALE  # bounded floor leak
+    assert got[0][3] < MARKOV_SCALE // 100  # lazy walk has settled
