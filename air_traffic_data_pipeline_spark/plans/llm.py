@@ -1077,6 +1077,27 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT prefix-filter pairs — the
+    guarantee composition the approximate stack can't offer: the edge
+    set is recall-complete at J ≥ PF_T_NUM/PF_T_DEN (prefix theorem), so
+    every component here is EXACTLY a maximal transitive near-dup group
+    at that threshold — no dup survives because LSH banding or a sort
+    window happened to miss its edge. The cluster id is the min member
+    id; unclustered docs are absent (join survivor logic handles them,
+    as cluster_best_survivor does for the minhash clusters).
+
+    Scale: the component iteration runs on the near-dup pair set (tiny
+    vs the corpus — 25 pairs at sf0.01); O(diameter) min-label rounds
+    (operators/components.py), each a pair-keyed join."""
+    from ..operators.components import connected_components
+
+    pairs = prefix_filter_join(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 # The oracle is deliberately the ALL-PAIRS exact semantics: matching it
 # bitwise is the recall-1.0 guarantee demonstrated on data.
 _PREFIX_FILTER_SQL = f"""
@@ -1095,6 +1116,23 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE {PF_T_DEN} * n_common >= {PF_T_NUM} * (sa.sz + sb.sz - n_common)
 ORDER BY doc_a, doc_b
+"""
+
+
+_EXACT_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_PREFIX_FILTER_SQL}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+ORDER BY doc_id
 """
 
 
@@ -12969,6 +13007,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_blocking_cost_eval", blocking_cost_eval, _blocking_cost_sql()),
     ("llm_source_jsd_matrix", source_jsd_matrix, _JSD_SQL),
     ("llm_token_burstiness", token_burstiness, _BURSTINESS_SQL),
+    ("llm_exact_dup_clusters", exact_dup_clusters, _EXACT_CLUSTERS_SQL),
     ("llm_cosine_topk", cosine_topk, _COSINE_TOPK_SQL),
     ("llm_embedding_norms", embedding_norms, _EMB_NORMS_SQL),
     ("llm_lsh_buckets", lsh_buckets, _LSH_BUCKETS_SQL),

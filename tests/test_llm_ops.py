@@ -4366,3 +4366,54 @@ def test_token_burstiness_matches_reference(spark):
     var = statistics.pvariance(vec)
     assert abs(vmr0 - var / mean) < 1e-6
     assert all(v > 1.0 for *_, v in got)  # bursty, not Poisson
+
+
+def test_exact_dup_clusters_matches_reference(spark):
+    """Exact clusters vs a pure-Python union-find over the replayed
+    all-pairs truth edges — plus the guarantee chain: component
+    membership equals the transitive closure of the EXACT edge set, and
+    every clustered doc's cluster id is its component minimum."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        PF_T_DEN,
+        PF_T_NUM,
+        exact_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        w = r.text.split(" ")
+        n = max(len(w) - 2, 1)
+        sets[r.doc_id] = frozenset(" ".join(w[i : i + 3]) for i in range(n))
+    ids = sorted(sets)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            union_sz = len(sets[a]) + len(sets[b]) - common
+            if PF_T_DEN * common >= PF_T_NUM * union_sz:
+                union(a, b)
+                members.update((a, b))
+    want = sorted((m, find(m)) for m in members)
+    got = [tuple(r) for r in exact_dup_clusters(spark, sf).collect()]
+    assert got == want and want
+    # every cluster id is its own component minimum
+    comp: dict[int, list] = {}
+    for d, c in got:
+        comp.setdefault(c, []).append(d)
+    for c, ms in comp.items():
+        assert c == min(ms) and len(ms) >= 2
