@@ -1449,6 +1449,15 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab dimension, TakeOrdered top-K (per-partition top-K +
     merge, no global sort)."""
     d = fan_out(load(spark, sf_dir, "documents"))
+    voc, n_docs = burstiness_partials(d)
+    return burstiness_from_partials(voc, n_docs)
+
+
+def burstiness_partials(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vocab-moment, doc-count) partials over any (doc_id, text) frame —
+    a doc lives wholly in one micro-batch, so per-batch (tok, df, Σc,
+    Σc²) rows and the doc count merge by plain BIGINT addition; shared
+    with the streaming mirror."""
     n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     per = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -1460,6 +1469,19 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("sc"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
     )
+    return voc, n_docs
+
+
+def burstiness_from_partials(voc: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """Merge (sum) the distributive vocab moments and take the VMR
+    top-K — the tail shared by the batch query and the streaming
+    mirror."""
+    voc = voc.groupBy("tok").agg(
+        F.sum("df").cast("bigint").alias("df"),
+        F.sum("sc").cast("bigint").alias("sc"),
+        F.sum("scc").cast("bigint").alias("scc"),
+    )
+    n_docs = n_docs.agg(F.sum("n").cast("bigint").alias("n"))
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     vmr = (dd("scc") - dd("sc") * dd("sc") / dd("n")) / dd("sc")
     return (

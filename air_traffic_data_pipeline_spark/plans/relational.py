@@ -1731,6 +1731,13 @@ daily AS (
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY 1)"""
 
+_DAILY_SQL_NORD = f"""
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)"""
+
 
 def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily order-
@@ -2577,21 +2584,31 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension, one count-aggregate to distinct lifetimes (bounded by
     the CALENDAR — ≤ ~2.4k rows at any corpus scale), cumulative
     windows over that bounded frame."""
-    o = load(spark, sf_dir, "orders")
-    lake_end = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end"))
-    per = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.min(F.col("o_orderdate").cast("date")).alias("f"),
-            F.max(F.col("o_orderdate").cast("date")).alias("l"),
-        )
-        .crossJoin(F.broadcast(lake_end))
-        .select(
-            F.datediff("l", "f").cast("bigint").alias("t"),
-            (
-                F.datediff("end", "l") < F.lit(KM_CENSOR_DAYS)
-            ).alias("alive"),
-        )
+    return km_from_spans(km_span_partial(load(spark, sf_dir, "orders")))
+
+
+def km_span_partial(o: DataFrame) -> DataFrame:
+    """Per-customer (first, last) order-date span over any orders-shaped
+    frame — min/max are distributive, so per-batch partials merge by
+    min-of-mins / max-of-maxes; shared with the streaming KM mirror."""
+    return o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
+    )
+
+
+def km_from_spans(spans: DataFrame) -> DataFrame:
+    """The product-limit tail over any (o_custkey, f, l) span frame —
+    merges partials first (so the batch query and the mirror share one
+    code path), then lifetimes, censoring against the lake end, at-risk
+    reverse window and the ordered ln fold."""
+    spans = spans.groupBy("o_custkey").agg(
+        F.min("f").alias("f"), F.max("l").alias("l")
+    )
+    lake_end = spans.agg(F.max("l").alias("end"))
+    per = spans.crossJoin(F.broadcast(lake_end)).select(
+        F.datediff("l", "f").cast("bigint").alias("t"),
+        (F.datediff("end", "l") < F.lit(KM_CENSOR_DAYS)).alias("alive"),
     )
     by_t = per.groupBy("t").agg(
         F.sum(F.when(~F.col("alive"), 1).otherwise(0))
@@ -2831,6 +2848,87 @@ SELECT state, pi AS pi_micro,
 FROM {last} CROSS JOIN delta
 ORDER BY state"""
     )
+
+
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily revenue and daily order count — the
+    concordance view of the association rel_spearman_corr measures by
+    ranks: τ-b = (C − D) / √((n₀ − t_x)(n₀ − t_y)) from exact pair
+    counts (Kendall 1945 tie correction). Unlike Spearman (one double
+    rho), EVERYTHING here is an exact BIGINT until the final divide:
+    concordant/discordant/tied counts come from one pair join with
+    integer sign comparisons — the most oracle-robust correlation in
+    the family.
+
+    Scale: the pair set is CALENDAR² (the rel_theil_sen posture, ~2.9M
+    bounded pairs at any corpus scale); the one data-sized pass is the
+    shared daily aggregate."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    a = daily.select(
+        F.col("dn").alias("dn_a"), F.col("cents").alias("xa"), F.col("n_orders").alias("ya")
+    )
+    b = daily.select(
+        F.col("dn").alias("dn_b"), F.col("cents").alias("xb"), F.col("n_orders").alias("yb")
+    )
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("bigint")
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("bigint")
+    pairs = a.join(b, F.col("dn_b") > F.col("dn_a")).select(
+        sx.alias("sx"), sy.alias("sy")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when((F.col("sx") == 0) & (F.col("sy") != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when((F.col("sy") == 0) & (F.col("sx") != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+        F.sum(F.when((F.col("sx") == 0) & (F.col("sy") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("txy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    tau_b = (dd("c") - dd("d")) / F.sqrt(
+        (dd("n0") - dd("tx") - dd("txy")) * (dd("n0") - dd("ty") - dd("txy"))
+    )
+    return agg.select(
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.col("txy").alias("ties_both"),
+        F.round(tau_b, 6).alias("kendall_tau_b"),
+    )
+
+
+KENDALL_SQL = f"""
+WITH {_DAILY_SQL_NORD},
+pairs AS (
+  SELECT CAST(sign(b.cents - a.cents) AS BIGINT) AS sx,
+         CAST(sign(b.n_orders - a.n_orders) AS BIGINT) AS sy
+  FROM daily a JOIN daily b ON b.dn > a.dn),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN sx = 0 AND sy != 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN sy = 0 AND sx != 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM pairs)
+SELECT n0, c AS concordant, d AS discordant,
+       tx AS ties_x_only, ty AS ties_y_only, txy AS ties_both,
+       round(CAST(c - d AS DOUBLE)
+             / sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                    * CAST(n0 - ty - txy AS DOUBLE)), 6) AS kendall_tau_b
+FROM agg
+"""
 
 
 TREND_TAU_DAYS = 7.0  # decay half-scale: weight = exp(-age_days / tau)
@@ -8238,6 +8336,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_gini_concentration", gini_concentration, _gini_sql()),
     ("rel_kaplan_meier", kaplan_meier, KAPLAN_MEIER_SQL),
     ("rel_markov_stationary", markov_stationary, _markov_sql()),
+    ("rel_kendall_tau", kendall_tau, KENDALL_SQL),
     ("rel_python_udtf_expand", python_udtf_expand, PYTHON_UDTF_SQL),
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),

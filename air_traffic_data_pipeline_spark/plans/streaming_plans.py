@@ -729,6 +729,38 @@ def _gini_oracle_sql() -> str:
     return _gini_sql()
 
 
+def stream_incremental_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_kaplan_meier
+
+    return incremental_kaplan_meier(spark, sf_dir)
+
+
+def _kaplan_meier_oracle_sql() -> str:
+    """Per-customer span partials merge by min/max; the censoring anchor
+    and every lifetime are corpus-global (a new order can flip churned
+    to censored), so emission reruns the shared product-limit tail —
+    must reproduce the one-shot survival curve bitwise."""
+    from .relational import KAPLAN_MEIER_SQL
+
+    return KAPLAN_MEIER_SQL
+
+
+def stream_incremental_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_burstiness
+
+    return incremental_burstiness(spark, sf_dir)
+
+
+def _burstiness_oracle_sql() -> str:
+    """Per-batch vocab-moment partials (docs are batch-local) merge by
+    BIGINT addition; VMR and the top-K cutoff are corpus-global, so
+    emission reruns the shared rank tail — must reproduce the one-shot
+    burstiness table bitwise."""
+    from .llm import _BURSTINESS_SQL
+
+    return _BURSTINESS_SQL
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -980,6 +1012,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_acf", stream_incremental_acf, _acf_oracle_sql()),
     ("stream_incremental_theil_sen", stream_incremental_theil_sen, _theil_sen_oracle_sql()),
     ("stream_incremental_gini", stream_incremental_gini, _gini_oracle_sql()),
+    ("stream_incremental_kaplan_meier", stream_incremental_kaplan_meier, _kaplan_meier_oracle_sql()),
+    ("stream_incremental_burstiness", stream_incremental_burstiness, _burstiness_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

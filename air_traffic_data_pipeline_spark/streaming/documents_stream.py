@@ -1347,3 +1347,52 @@ def incremental_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental token burstiness — bitwise equal to the
+    one-shot ``plans.llm.token_burstiness`` (its SQL is the oracle).
+    A document lives wholly in one micro-batch, so the per-token
+    (df, Σc, Σc²) vocab moments and the doc count are plain BIGINT
+    partials; the VMR and the top-K cutoff are corpus-global (a later
+    batch can evict a token from the top-K), so emission reruns the
+    shared merge + rank tail."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import burstiness_from_partials, burstiness_partials
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_burst_{_uuid.uuid4().hex[:8]}"
+    voc_dir, nd_dir = f"{base}/voc", f"{base}/nd"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        voc, nd = burstiness_partials(batch_df.select("doc_id", "text"))
+        voc.write.mode("overwrite").parquet(f"{voc_dir}/batch={epoch_id}")
+        nd.write.mode("overwrite").parquet(f"{nd_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            burstiness_from_partials(
+                spark.read.parquet(f"{voc_dir}/batch=*"),
+                spark.read.parquet(f"{nd_dir}/batch=*"),
+            ),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1324,3 +1324,50 @@ def incremental_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Kaplan-Meier — bitwise equal to the one-shot
+    ``plans.relational.kaplan_meier`` (its SQL is the oracle). The
+    textbook case for min/max-distributive state: per-batch (customer,
+    first, last) spans merge by min-of-mins / max-of-maxes, and BOTH the
+    lake end (censoring anchor) and every lifetime are corpus-global —
+    a customer's next order extends their span and can flip them from
+    churned to censored — so emission reruns the shared product-limit
+    tail over the merged customer dimension."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import km_from_spans, km_span_partial
+
+    tune_session(spark)
+    d = _stage_order_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_km_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/spans"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        km_span_partial(batch_df).write.mode("overwrite").parquet(
+            f"{part_dir}/batch={epoch_id}"
+        )
+
+    try:
+        src = (
+            spark.readStream.schema(ORDERS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            km_from_spans(spark.read.parquet(f"{part_dir}/batch=*")),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

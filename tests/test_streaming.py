@@ -1455,3 +1455,78 @@ def test_incremental_daily_family_extension_equals_batch(spark):
     cm = cm.groupBy("o_custkey").agg(F.sum("cents").cast("bigint").alias("cents"))
     got_rev = [tuple(r) for r in rel.gini_from_per_customer(cm).collect()]
     assert got_rev == want
+
+
+def test_incremental_km_and_burstiness_equal_batch(spark):
+    """Round-10 late mirrors: Kaplan-Meier (min/max-distributive span
+    state) and burstiness (vocab-moment state) — bitwise equal to their
+    batch queries, plus reversed-order partial folds."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational as rel
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming import (
+        documents_stream as dsm,
+        orders_stream as osm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in rel.kaplan_meier(spark, sf).collect()]
+    got = [tuple(r) for r in osm.incremental_kaplan_meier(spark, sf).collect()]
+    assert got == want and want
+    o = load(spark, sf, "orders")
+    parts = [
+        rel.km_span_partial(o.filter(F.col("o_orderkey") % 3 == k))
+        for k in (2, 0, 1)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    assert [tuple(r) for r in rel.km_from_spans(merged).collect()] == want
+
+    want = [tuple(r) for r in llm.token_burstiness(spark, sf).collect()]
+    got = [tuple(r) for r in dsm.incremental_burstiness(spark, sf).collect()]
+    assert got == want and want
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    vocs, nds = None, None
+    for k in (1, 0, 2):
+        v, nd = llm.burstiness_partials(d.filter(F.col("doc_id") % 3 == k))
+        vocs = v if vocs is None else vocs.unionByName(v)
+        nds = nd if nds is None else nds.unionByName(nd)
+    assert [
+        tuple(r) for r in llm.burstiness_from_partials(vocs, nds).collect()
+    ] == want
+
+
+def test_kendall_tau_matches_reference(spark):
+    """Kendall tau-b vs a pure-Python all-pairs concordance count —
+    plus consistency with Spearman's sign on this lake."""
+    from air_traffic_data_pipeline_spark.plans import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    rows = [
+        (r.dn, r.cents, r.n_orders)
+        for r in rel.daily_revenue_cents(spark, sf).collect()
+    ]
+    c = d = tx = ty = txy = 0
+    import math
+
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            sx = (rows[j][1] > rows[i][1]) - (rows[j][1] < rows[i][1])
+            sy = (rows[j][2] > rows[i][2]) - (rows[j][2] < rows[i][2])
+            if sx * sy == 1:
+                c += 1
+            elif sx * sy == -1:
+                d += 1
+            elif sx == 0 and sy == 0:
+                txy += 1
+            elif sx == 0:
+                tx += 1
+            else:
+                ty += 1
+    n0 = c + d + tx + ty + txy
+    tau = (c - d) / math.sqrt((n0 - tx - txy) * (n0 - ty - txy))
+    want = (n0, c, d, tx, ty, txy, round(tau, 6))
+    got = [tuple(r) for r in rel.kendall_tau(spark, sf).collect()]
+    assert got == [want]
+    rho = rel.spearman_corr(spark, sf).collect()[0].spearman_rho
+    assert (tau > 0) == (rho > 0)  # same association direction
