@@ -1821,3 +1821,57 @@ def test_markov_stationary_matches_reference(spark):
     total = sum(p for _, p, _, _ in got)
     assert MARKOV_SCALE * 0.99 <= total <= MARKOV_SCALE  # bounded floor leak
     assert got[0][3] < MARKOV_SCALE // 100  # lazy walk has settled
+
+
+def test_round10_late_plan_shapes(spark):
+    """Round-10 late ops stay JVM-side and shuffle-lean: the statistics
+    family is pure Catalyst (no Python eval, no cartesian); the
+    bootstrap's x64 explode collapses into a partial hash aggregate
+    before any Exchange (map-side combine — the one-pass claim); the
+    prefix-filter join is equi-join only (no BroadcastNestedLoop — the
+    all-pairs shape it exists to avoid); Kendall/Theil-Sen use the
+    bounded range self-join (a nested-loop over the calendar frame is
+    the DOCUMENTED bounded cost, but no Python eval rides it)."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational as rel
+
+    for fn in (
+        rel.poisson_bootstrap_ci,
+        rel.seasonal_decompose,
+        rel.mann_whitney,
+        rel.changepoint_binseg,
+        rel.chi_square_independence,
+        rel.spearman_corr,
+        rel.autocorrelation,
+        rel.gini_concentration,
+        rel.kaplan_meier,
+        rel.kendall_tau,
+        rel.ridge_regression,
+        llm.prefix_filter_join,
+        llm.naive_bayes_langid,
+        llm.source_jsd_matrix,
+        llm.token_burstiness,
+    ):
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+
+    # prefix filter: equi-joins only — never the all-pairs nested loop
+    p = plan(llm.prefix_filter_join(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # bootstrap: the explode feeds a partial aggregate INSIDE the same
+    # stage (map-side combine), so the x64 fan-out never crosses an
+    # Exchange — in formatted-plan node ids (children have smaller ids),
+    # the first HashAggregate above Generate must precede the first
+    # Exchange above it
+    import re
+
+    p = plan(rel.poisson_bootstrap_ci(spark, SF), "formatted")
+    ids = lambda op: [int(m) for m in re.findall(rf"\((\d+)\) {op}", p)]  # noqa: E731
+    gen_id = min(ids("Generate"))
+    agg_above = min(i for i in ids("HashAggregate") if i > gen_id)
+    exch_above = min(i for i in ids("Exchange") if i > gen_id)
+    assert agg_above < exch_above
+
+    # NB model scoring joins the broadcast class table (|C| rows)
+    p = plan(llm.naive_bayes_langid(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
