@@ -1332,16 +1332,29 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token tables are one map-side-combining count; the shared
     join is gram-keyed with per-token fan-out ≤ C(|sources|,2); the
     output is |sources|²/2 rows."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    return jsd_from_counts(jsd_token_partial(d))
+
+
+def jsd_token_partial(d: DataFrame) -> DataFrame:
+    """Per-(source, token) BIGINT counts over any (source, text) frame —
+    a whole corpus or one micro-batch; merges by addition (totals derive
+    from the merged table), shared with the streaming JSD mirror."""
+    return (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def jsd_from_counts(cnt: DataFrame) -> DataFrame:
+    """Merge (sum) the count partials and run the shared-token JSD
+    decomposition — the tail shared by the batch query and the
+    streaming mirror."""
     import math
 
-    d = fan_out(load(spark, sf_dir, "documents"))
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    cnt = tok.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    tot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    cnt = cnt.groupBy("source", "tok").agg(F.sum("c").cast("bigint").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
     a = cnt.join(tot, "source").select(
         F.col("source").alias("source_a"),
         "tok",

@@ -2863,7 +2863,13 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair set is CALENDAR² (the rel_theil_sen posture, ~2.9M
     bounded pairs at any corpus scale); the one data-sized pass is the
     shared daily aggregate."""
-    daily = daily_revenue_cents(spark, sf_dir)
+    return kendall_from_daily(daily_revenue_cents(spark, sf_dir))
+
+
+def kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """The concordance tail over any (dn, cents, n_orders) daily frame —
+    eighth member of the shared-daily-state mirror family (every pair
+    involving a new day changes the counts, so emission re-pairs)."""
     a = daily.select(
         F.col("dn").alias("dn_a"), F.col("cents").alias("xa"), F.col("n_orders").alias("ya")
     )

@@ -761,6 +761,37 @@ def _burstiness_oracle_sql() -> str:
     return _BURSTINESS_SQL
 
 
+def stream_incremental_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.orders_stream import incremental_kendall
+
+    return incremental_kendall(spark, sf_dir)
+
+
+def _kendall_oracle_sql() -> str:
+    """Shared daily state; every pair involving a new day changes the
+    concordance counts — emission re-pairs the merged series; must
+    reproduce the one-shot tau-b decomposition bitwise."""
+    from .relational import KENDALL_SQL
+
+    return KENDALL_SQL
+
+
+def stream_incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_jsd
+
+    return incremental_jsd(spark, sf_dir)
+
+
+def _jsd_oracle_sql() -> str:
+    """Per-(source, token) count partials merge by BIGINT addition; the
+    distributions, shared-token sets and exact correction all move per
+    batch, so emission reruns the decomposition over merged counts —
+    must reproduce the one-shot JSD matrix bitwise."""
+    from .llm import _JSD_SQL
+
+    return _JSD_SQL
+
+
 def stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_kmv
 
@@ -1014,6 +1045,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_gini", stream_incremental_gini, _gini_oracle_sql()),
     ("stream_incremental_kaplan_meier", stream_incremental_kaplan_meier, _kaplan_meier_oracle_sql()),
     ("stream_incremental_burstiness", stream_incremental_burstiness, _burstiness_oracle_sql()),
+    ("stream_incremental_kendall", stream_incremental_kendall, _kendall_oracle_sql()),
+    ("stream_incremental_jsd", stream_incremental_jsd, _jsd_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

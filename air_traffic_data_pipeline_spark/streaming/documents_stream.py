@@ -1396,3 +1396,49 @@ def incremental_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental source-pair JSD matrix — bitwise equal to
+    the one-shot ``plans.llm.source_jsd_matrix`` (its SQL is the
+    oracle). Per-batch (source, token) counts are plain BIGINT partials;
+    every distribution, the shared-token set, AND the exact correction
+    term move with each batch, so emission reruns the shared
+    decomposition over the merged count tables — over COUNT ROWS, never
+    raw text (the nb_partials posture)."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import jsd_from_counts, jsd_token_partial
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_jsd_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/counts"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        jsd_token_partial(batch_df.select("source", "text")).write.mode(
+            "overwrite"
+        ).parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            jsd_from_counts(spark.read.parquet(f"{part_dir}/batch=*")),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

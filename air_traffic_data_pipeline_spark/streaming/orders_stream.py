@@ -1371,3 +1371,16 @@ def incremental_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Kendall tau-b — bitwise equal to the
+    one-shot ``plans.relational.kendall_tau`` (its SQL is the oracle).
+    Eighth kernel off the shared daily state: every pair involving a
+    newly-arrived (or revenue-updated) day changes the concordance
+    counts, so emission re-pairs the merged calendar-bounded series."""
+    from ..plans.relational import kendall_from_daily
+
+    return _incremental_from_daily_state(
+        spark, sf_dir, "ktau", kendall_from_daily
+    )

@@ -1530,3 +1530,43 @@ def test_kendall_tau_matches_reference(spark):
     assert got == [want]
     rho = rel.spearman_corr(spark, sf).collect()[0].spearman_rho
     assert (tau > 0) == (rho > 0)  # same association direction
+
+
+def test_incremental_kendall_and_jsd_equal_batch(spark):
+    """Final round-10 mirrors: Kendall (eighth shared-daily-state
+    kernel) and the JSD matrix (count-table state) — bitwise equal to
+    their batch queries, plus reversed-order partial folds."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational as rel
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming import (
+        documents_stream as dsm,
+        orders_stream as osm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in rel.kendall_tau(spark, sf).collect()]
+    got = [tuple(r) for r in osm.incremental_kendall(spark, sf).collect()]
+    assert got == want and want
+    o = load(spark, sf, "orders")
+    parts = [
+        rel.daily_revenue_partial(o.filter(F.col("o_orderkey") % 3 == k))
+        for k in (2, 1, 0)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("dn").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+    assert [tuple(r) for r in rel.kendall_from_daily(merged).collect()] == want
+
+    want = [tuple(r) for r in llm.source_jsd_matrix(spark, sf).collect()]
+    got = [tuple(r) for r in dsm.incremental_jsd(spark, sf).collect()]
+    assert got == want and want
+    d = load(spark, sf, "documents").select("source", "text")
+    cnts = None
+    for k in (0, 2, 1):
+        c = llm.jsd_token_partial(d.filter(F.col("source").substr(4, 9).cast("int") % 3 == k))
+        cnts = c if cnts is None else cnts.unionByName(c)
+    assert [tuple(r) for r in llm.jsd_from_counts(cnts).collect()] == want
