@@ -1188,9 +1188,13 @@ def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("strategy"), "n_candidates", "n_verified")
         )
         rows = r if rows is None else rows.unionByName(r)
+    # n·(n−1)/2 via DECIMAL — a BIGINT square overflows past ~3e9 docs
+    half_pairs = F.expr(
+        "CAST((CAST(nd AS DECIMAL(38,0)) * (nd - 1)) / 2 AS DECIMAL(38,0))"
+    )
     all_pairs_row = n_docs.crossJoin(n_truth).select(
         F.lit("all_pairs").alias("strategy"),
-        (F.col("nd") * (F.col("nd") - 1) / 2).cast("bigint").alias("n_candidates"),
+        half_pairs.cast("bigint").alias("n_candidates"),
         F.col("nt").alias("n_verified"),
     )
     out = all_pairs_row.unionByName(rows)
@@ -1211,7 +1215,11 @@ def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
             F.round(
                 F.col("n_candidates").cast("double")
-                / (F.col("nd") * (F.col("nd") - 1) / 2).cast("double"),
+                / (
+                    F.col("nd").cast("double")
+                    * (F.col("nd").cast("double") - F.lit(1.0))
+                    / F.lit(2.0)
+                ),
                 6,
             ).alias("candidate_frac"),
         )
@@ -1300,7 +1308,8 @@ SELECT strategy, n_candidates, n_verified,
             THEN round(CAST(n_verified AS DOUBLE)
                        / CAST((SELECT nt FROM nt) AS DOUBLE), 6) END AS recall,
        round(CAST(n_candidates AS DOUBLE)
-             / CAST((SELECT nd * (nd - 1) // 2 FROM nd) AS DOUBLE), 6)
+             / ((SELECT CAST(nd AS DOUBLE) FROM nd)
+                * ((SELECT CAST(nd AS DOUBLE) FROM nd) - 1.0) / 2.0), 6)
          AS candidate_frac
 FROM rows_ ORDER BY strategy
 """

@@ -1550,10 +1550,12 @@ def boot_rev_projection(df: DataFrame) -> DataFrame:
 
 def boot_exact_partial(li: DataFrame) -> DataFrame:
     """Per-group point-estimate partial (count + exact revenue sum) —
-    distributive, merges by addition."""
+    distributive, merges by addition. The revenue sums are DECIMAL(38,0):
+    cent-hundredths × corpus rows passes 2^63 around 1e10 rows, well
+    inside the 100 TB design point."""
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("rev").cast("bigint").alias("s_rev"),
+        F.sum(F.col("rev").cast("decimal(18,0)")).cast("decimal(38,0)").alias("s_rev"),
     )
 
 
@@ -1584,7 +1586,9 @@ def boot_rep_partial(li: DataFrame) -> DataFrame:
         .withColumn("u", u)
         .groupBy("l_returnflag", "b")
         .agg(
-            F.sum(w.cast("bigint") * F.col("rev")).cast("bigint").alias("s_wy"),
+            F.sum((w.cast("bigint") * F.col("rev")).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("s_wy"),
             F.sum(w.cast("bigint")).cast("bigint").alias("s_w"),
         )
     )
@@ -1596,12 +1600,12 @@ def bootstrap_ci_from_partials(exact: DataFrame, reps: DataFrame) -> DataFrame:
     streaming mirror."""
     exact = exact.groupBy("l_returnflag").agg(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
-        F.sum("s_rev").cast("bigint").alias("s_rev"),
+        F.sum("s_rev").cast("decimal(38,0)").alias("s_rev"),
     )
     rep_means = (
         reps.groupBy("l_returnflag", "b")
         .agg(
-            F.sum("s_wy").cast("bigint").alias("s_wy"),
+            F.sum("s_wy").cast("decimal(38,0)").alias("s_wy"),
             F.sum("s_w").cast("bigint").alias("s_w"),
         )
         .filter(F.col("s_w") > 0)
@@ -1657,7 +1661,7 @@ WITH li AS (
   FROM lineitem),
 exact AS (
   SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(rev) AS BIGINT) AS s_rev
+         CAST(sum(CAST(rev AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s_rev
   FROM li GROUP BY 1),
 hashed AS (
   SELECT l_returnflag, rev, b,
@@ -1665,7 +1669,8 @@ hashed AS (
   FROM li CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) bs),
 reps AS (
   SELECT l_returnflag, b,
-         CAST(sum(CAST({_boot_w_sql()} AS BIGINT) * rev) AS DOUBLE)
+         CAST(CAST(sum(CAST(CAST({_boot_w_sql()} AS BIGINT) * rev
+                            AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS DOUBLE)
            / CAST(sum(CAST({_boot_w_sql()} AS BIGINT)) AS DOUBLE) AS rep_mean
   FROM hashed GROUP BY 1, 2
   HAVING sum(CAST({_boot_w_sql()} AS BIGINT)) > 0),
@@ -2095,8 +2100,12 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = dd(F.col("n")) * dd(F.col("n_ij")) - dd(F.col("r_i")) * dd(F.col("c_j"))
     # term = (n*n_ij - r_i*c_j)^2 / (n * r_i * c_j); the extra /n of the
-    # textbook (o-e)^2/e cancels against the n^2 in the squared numerator
-    term = (num * num).cast("double") / (
+    # textbook (o-e)^2/e cancels against the n^2 in the squared numerator.
+    # The difference is computed EXACTLY in DECIMAL(38,0) (products stay
+    # under 1e38 to ~1e18 rows), then squared in DOUBLE — squaring in
+    # decimal would overflow 38 digits already at ~3e9 rows, and past
+    # 2^53 the square carries no extra information the double lacks
+    term = (num.cast("double") * num.cast("double")) / (
         dd(F.col("n")) * dd(F.col("r_i")) * dd(F.col("c_j"))
     ).cast("double")
     terms = (
@@ -2150,11 +2159,10 @@ terms AS (
   SELECT n,
          struct_pack(l_returnflag := cell.l_returnflag,
                      l_linestatus := cell.l_linestatus,
-                     t := CAST((CAST(n AS DECIMAL(38,0)) * n_ij
-                                - CAST(r_i AS DECIMAL(38,0)) * c_j)
-                               * (CAST(n AS DECIMAL(38,0)) * n_ij
-                                  - CAST(r_i AS DECIMAL(38,0)) * c_j)
-                               AS DOUBLE)
+                     t := CAST(CAST(n AS DECIMAL(38,0)) * n_ij
+                               - CAST(r_i AS DECIMAL(38,0)) * c_j AS DOUBLE)
+                          * CAST(CAST(n AS DECIMAL(38,0)) * n_ij
+                                 - CAST(r_i AS DECIMAL(38,0)) * c_j AS DOUBLE)
                           / CAST(CAST(n AS DECIMAL(38,0)) * r_i * c_j
                                  AS DOUBLE)) AS s
   FROM cell JOIN rowt USING (l_returnflag)
@@ -2709,7 +2717,9 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank_integer's overflow bound: transition probabilities are
     pre-quantized to MARKOV_QSCALE units (q = c·1e6 // r ≤ 1e6 BY
     CONSTRUCTION), so π·q ≤ 1e12·1e6 < 2^63 for ANY transition-count
-    magnitude — no data-dependent overflow headroom to document. Each
+    magnitude. The one remaining integer bound is the quantization
+    itself: c·QSCALE < 2^63 ⇒ per-cell transition counts below ~9.2e12
+    (beyond that, count transitions in coarser units first). Each
     round leaks ≤1 unit per edge (floor division) — bias ~1e-6·|E| of
     total mass, irrelevant at distribution granularity. States with no
     outgoing transitions (a type seen only at session ends) get an

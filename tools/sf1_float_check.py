@@ -60,6 +60,17 @@ FOLD_HEAVY = (
     "llm_heaps_law_fit",
     "rel_shortest_path",
     "rel_pagerank",
+    # round-10 fold paths: the JSD per-token quantized-ln terms and the
+    # NB model-table quantized log-likelihoods both see a 10x vocabulary
+    # (distinct-suffixed replicas); the bootstrap's rank tail orders
+    # replicate means computed from 10x-denser exact sums; burstiness
+    # ranks VMR doubles over the 10x vocab. The orders-based time-series
+    # family is deliberately absent — orders stays sf0.1-sized in this
+    # lake, so a "check" there would re-run identical data
+    "llm_source_jsd_matrix",
+    "llm_naive_bayes_langid",
+    "rel_poisson_bootstrap_ci",
+    "llm_token_burstiness",
 )
 
 ALL_TABLES = (
