@@ -704,13 +704,20 @@ SN_WINDOW = 3  # each doc meets the next SN_WINDOW-1 docs in sort order
 SN_JACCARD_MIN = 0.4  # char-5-gram verification threshold
 
 
-def _sn_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sn_candidate_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """The sorted-neighborhood CANDIDATE set (doc_a < doc_b) — the
     blocking stage alone, shared by the production dedup path and the
-    blocking-cost eval."""
+    blocking-cost eval. Callers that already hold the (doc_id, text)
+    frame pass it via `docs` so the corpus is scanned once."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        docs.select("doc_id", "text")
+        if docs is not None
+        else load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     k = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
         1,
@@ -757,7 +764,7 @@ def sorted_neighborhood_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANDIDATE docs only (semi-join pruning), joins gram-keyed, and the
     jaccard is one divide of exact integer counts."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = _sn_candidate_pairs(spark, sf_dir)
+    cand = _sn_candidate_pairs(spark, sf_dir, docs=d)
     ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
@@ -1284,7 +1291,9 @@ sn0 AS (SELECT doc_id, {sn_leads} FROM snb),
 sn_cand AS ({sn_cand_union}),
 rows_ AS (
   SELECT 'all_pairs' AS strategy,
-         CAST(nd * (nd - 1) // 2 AS BIGINT) AS n_candidates,
+         -- HUGEINT route mirrors the Spark side's DECIMAL(38,0): a BIGINT
+         -- square overflows past ~3e9 docs at the 100TB design point
+         CAST(CAST(nd AS HUGEINT) * (nd - 1) // 2 AS BIGINT) AS n_candidates,
          (SELECT nt FROM nt) AS n_verified
   FROM nd
   UNION ALL

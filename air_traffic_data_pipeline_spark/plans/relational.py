@@ -1495,8 +1495,9 @@ BOOT_POIS_T = (
     4279248373,
     4292415291,
 )
-BOOT_LO_RANK = 2  # ceil(0.025 * B): nearest-rank 2.5th percentile
-BOOT_HI_RANK = 63  # ceil(0.975 * B)
+# CI ranks are DERIVED from the surviving replicate count n (zero-weight
+# replicates drop): lo = ceil(0.025·n) = (n+39)//40, hi = ceil(0.975·n)
+# = (39n+39)//40 — at full survival of B=64 these are 2 and 63.
 
 
 def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,8 +1517,9 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons, no doubles; revenue is exact cent-hundredths
     (price_cents · (100 - disc_pct)); each replicate mean is ONE divide
     of two exact BIGINTs; the CI bounds are nearest-rank order statistics
-    (ranks BOOT_LO_RANK / BOOT_HI_RANK of the B means, ties broken by
-    replicate id) — bitwise across engines and shuffle orders end to end.
+    (ranks ceil(0.025·n)/ceil(0.975·n) of the n SURVIVING replicate
+    means — 2/63 at full survival of B=64 — ties broken by replicate id)
+    — bitwise across engines and shuffle orders end to end.
 
     Scale: explode factor B is the only cost and it never reaches an
     Exchange — the groupBy(flag, b) partials combine inside the scan
@@ -1620,13 +1622,39 @@ def bootstrap_ci_from_partials(exact: DataFrame, reps: DataFrame) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("l_returnflag").orderBy("rep_mean", "b")
     )
+    # ranks derive from the SURVIVING replicate count, not a fixed B:
+    # lo = ceil(0.025·n) = (n+39)//40, hi = ceil(0.975·n) = (39n+39)//40,
+    # exact integer arithmetic; at full survival (n=64) these are the
+    # documented 2/63, so the common case is unchanged, but a group whose
+    # zero-weight replicates were dropped still reports true 2.5/97.5
+    # nearest-rank percentiles of what survived.
+    n_reps = F.count(F.lit(1)).over(W.partitionBy("l_returnflag"))
+    counted = rep_means.select(
+        "l_returnflag", "rep_mean", "b", n_reps.cast("bigint").alias("n_reps")
+    )
+    ranked = counted.select(
+        "l_returnflag",
+        "rep_mean",
+        rn.alias("rn"),
+        ((F.col("n_reps") + F.lit(39)) / F.lit(40)).cast("bigint").alias(
+            "lo_rank"
+        ),
+        ((F.lit(39) * F.col("n_reps") + F.lit(39)) / F.lit(40))
+        .cast("bigint")
+        .alias("hi_rank"),
+    )
     bounds = (
-        rep_means.select("l_returnflag", "rep_mean", rn.alias("rn"))
-        .filter(F.col("rn").isin(BOOT_LO_RANK, BOOT_HI_RANK))
+        ranked.filter(
+            (F.col("rn") == F.col("lo_rank")) | (F.col("rn") == F.col("hi_rank"))
+        )
         .groupBy("l_returnflag")
         .agg(
-            F.max(F.when(F.col("rn") == BOOT_LO_RANK, F.col("rep_mean"))).alias("lo"),
-            F.max(F.when(F.col("rn") == BOOT_HI_RANK, F.col("rep_mean"))).alias("hi"),
+            F.max(
+                F.when(F.col("rn") == F.col("lo_rank"), F.col("rep_mean"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("hi_rank"), F.col("rep_mean"))
+            ).alias("hi"),
         )
     )
     cents = lambda c: F.round(c / F.lit(100.0), 6)  # noqa: E731
@@ -1677,13 +1705,15 @@ reps AS (
 ranked AS (
   SELECT l_returnflag, rep_mean,
          row_number() OVER (PARTITION BY l_returnflag
-                            ORDER BY rep_mean, b) AS rn
+                            ORDER BY rep_mean, b) AS rn,
+         (count(*) OVER (PARTITION BY l_returnflag) + 39) // 40 AS lo_rank,
+         (39 * count(*) OVER (PARTITION BY l_returnflag) + 39) // 40 AS hi_rank
   FROM reps),
 bounds AS (
   SELECT l_returnflag,
-         max(CASE WHEN rn = {BOOT_LO_RANK} THEN rep_mean END) AS lo,
-         max(CASE WHEN rn = {BOOT_HI_RANK} THEN rep_mean END) AS hi
-  FROM ranked WHERE rn IN ({BOOT_LO_RANK}, {BOOT_HI_RANK}) GROUP BY 1)
+         max(CASE WHEN rn = lo_rank THEN rep_mean END) AS lo,
+         max(CASE WHEN rn = hi_rank THEN rep_mean END) AS hi
+  FROM ranked WHERE rn IN (lo_rank, hi_rank) GROUP BY 1)
 SELECT e.l_returnflag, e.n_rows,
        round(CAST(s_rev AS DOUBLE) / CAST(n_rows AS DOUBLE)
              / CAST(100.0 AS DOUBLE), 6) AS mean_cents,
@@ -2821,8 +2851,8 @@ def _markov_sql() -> str:
         """cm AS MATERIALIZED (
   SELECT * FROM c0
   UNION ALL
-  SELECT s, s, CAST(1 AS BIGINT) FROM states
-  WHERE s NOT IN (SELECT src FROM c0))""",
+  SELECT s, s, CAST(1 AS BIGINT) FROM states st
+  WHERE NOT EXISTS (SELECT 1 FROM c0 WHERE c0.src = st.s))""",
         """rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS r FROM cm GROUP BY src)""",
         f"""q AS MATERIALIZED (
   SELECT cm.src, cm.dst,

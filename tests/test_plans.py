@@ -1222,8 +1222,6 @@ def test_poisson_bootstrap_ci_matches_reference(spark):
 
     from air_traffic_data_pipeline_spark.plans.relational import (
         BOOT_B,
-        BOOT_HI_RANK,
-        BOOT_LO_RANK,
         BOOT_POIS_T,
         poisson_bootstrap_ci,
     )
@@ -1270,8 +1268,9 @@ def test_poisson_bootstrap_ci_matches_reference(spark):
             if s_w > 0:
                 means.append((s_wy / s_w, b))
         means.sort()
-        lo = means[BOOT_LO_RANK - 1][0]
-        hi = means[BOOT_HI_RANK - 1][0]
+        n_reps = len(means)  # ranks derive from SURVIVING replicates
+        lo = means[(n_reps + 39) // 40 - 1][0]
+        hi = means[(39 * n_reps + 39) // 40 - 1][0]
         want.append(
             (
                 flag,
