@@ -2760,8 +2760,6 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the transition matrix is |types|² (tiny); the one data-sized
     pass is the per-user lead() window (user-keyed partitions — no
     global order); all iterations run on broadcast-sized frames."""
-    from ..operators.checkpoints import tracked_local_checkpoint
-
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     tr = ev.select(
@@ -2770,6 +2768,17 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     c0 = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     states = ev.select(F.col("event_type").alias("s")).distinct()
+    return markov_stationary_from_counts(c0, states)
+
+
+def markov_stationary_from_counts(c0: DataFrame, states: DataFrame) -> DataFrame:
+    """Everything downstream of the transition-count build (self-loop
+    injection, quantization, the 20 lazy power iterations, the delta
+    audit) — the tail shared by the one-shot query and the streaming
+    mirror, which merges per-batch boundary-stitched transition partials
+    into the same (src, dst, c) frame before calling here."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
     loops = (
         states.join(c0.select("src").distinct(), states["s"] == c0["src"], "left_anti")
         .select(F.col("s").alias("src"), F.col("s").alias("dst"), F.lit(1).cast("bigint").alias("c"))
@@ -2787,10 +2796,12 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q, _ = tracked_local_checkpoint(q, register=True)
-    n = states.count()
-    pi = states.select(
+    # state count rides along as a broadcast 1-row frame — no driver-side
+    # action, the plan stays fully lazy (r10 verdict note)
+    nn = states.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pi = states.crossJoin(F.broadcast(nn)).select(
         F.col("s").alias("state"),
-        F.lit(MARKOV_SCALE // n).cast("bigint").alias("pi"),
+        F.expr(f"CAST({MARKOV_SCALE} AS BIGINT) DIV n").alias("pi"),
     )
     pi, _ = tracked_local_checkpoint(pi, register=True)
     prev = None

@@ -887,6 +887,26 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_markov
+
+    return incremental_markov(spark, sf_dir)
+
+
+def _markov_oracle_sql() -> str:
+    """Per-batch transition partials with boundary-stitched pairs from the
+    per-user last-event state, merged by integer SUM under the ORDERED
+    delivery contract (batches slice the global (ts, event_id) order —
+    the one mirror whose state merge is not arrival-order-free, see
+    incremental_markov's docstring and the counterexample pytest), then
+    the shared quantize/iterate tail — must reproduce the one-shot
+    stationary distribution bitwise; the batch query's SQL IS the
+    oracle."""
+    from .relational import _markov_sql
+
+    return _markov_sql()
+
+
 def stream_incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_retract
 
@@ -1049,6 +1069,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_jsd", stream_incremental_jsd, _jsd_oracle_sql()),
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
+    ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
     ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),

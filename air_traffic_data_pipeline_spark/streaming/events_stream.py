@@ -900,3 +900,185 @@ def incremental_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _stage_time_ordered_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the events table as ``n_batches`` micro-batches sliced on the
+    GLOBAL (ts, event_id) order — every row of batch i+1 sorts strictly
+    after every row of batch i. This is the ordered-stitch delivery
+    contract the Markov mirror requires (see ``incremental_markov``):
+    sequence-valued state (the per-user LAST event) only merges correctly
+    when batches arrive in event-time order. Unlike ``_stage_late_batches``
+    (which deliberately replays newest-first to prove order-freeness),
+    this staging asserts the opposite property and says so."""
+    import hashlib
+
+    key = hashlib.md5(f"{sf_dir}:{n_batches}".encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/ordered_{key}"
+
+    def build():
+        from pyspark.sql import Window
+
+        ev = _load_canonical_events(spark, sf_dir)
+        n = ev.count()
+        ranked = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        cuts = [round(i * n / n_batches) for i in range(n_batches + 1)]
+        return [
+            ranked.filter(
+                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+            ).drop("rn")
+            for i in range(n_batches)
+        ]
+
+    names = [f"{i + 1:02d}.parquet" for i in range(n_batches)]
+    return _stage_ordered(d, names, build)
+
+
+def markov_batch_partial(
+    b: DataFrame, prev_state: DataFrame | None
+) -> tuple:
+    """The Markov mirror's per-batch kernel, module-level so the
+    non-order-freeness counterexample pytest can drive it directly:
+    given one micro-batch (user_id, ts, event_id, event_type) and the
+    previous per-user last-event state (or None on the first batch),
+    return (transition-count partial (src, dst, c), new last-event
+    state). The partial contains the batch's within-batch consecutive
+    pairs plus one stitched (stored last → batch first) pair per user
+    present in both; the new state carries forward users absent from
+    the batch. ONLY correct when batches deliver each user's events in
+    nondecreasing (ts, event_id) order — the ordered-stitch contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = b.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn_asc"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ).alias("rn_desc"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    within = ranked.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    firsts = ranked.filter(F.col("rn_asc") == 1).select(
+        "user_id", F.col("event_type").alias("first_type")
+    )
+    lasts = ranked.filter(F.col("rn_desc") == 1).select(
+        "user_id", F.col("event_type").alias("last_type")
+    )
+    if prev_state is not None:
+        stitched = prev_state.join(firsts, "user_id").select(
+            F.col("last_type").alias("src"),
+            F.col("first_type").alias("dst"),
+        )
+        pairs = within.unionByName(stitched)
+        new_state = lasts.unionByName(
+            prev_state.join(lasts.select("user_id"), "user_id", "left_anti")
+        )
+    else:
+        pairs = within
+        new_state = lasts
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return counts, new_state
+
+
+def incremental_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental Markov stationary distribution — bitwise
+    equal to the one-shot ``plans.relational.markov_stationary`` (its SQL
+    is the oracle).
+
+    THE ORDERED-STITCH CONTRACT (why this mirror is different): the
+    sufficient statistic is the transition-count matrix plus, per user,
+    the LAST event seen so far. A batch's contribution is its within-batch
+    consecutive pairs PLUS one stitched transition (stored last event →
+    the batch's first event) per user carried in state. That merge is NOT
+    arrival-order-free: delivering a user's older events after newer ones
+    would stitch transitions that never happened. Every other mirror in
+    this family keeps order-free state (sums, sets, signed multisets);
+    this one cannot — consecutiveness is inherently ordered — so instead
+    of pretending otherwise it names its delivery contract: the source
+    must deliver each user's events in nondecreasing (ts, event_id) order
+    across batches (within-batch order is irrelevant — the per-user
+    window sorts locally). That is Kafka-with-keyed-partitions semantics
+    (per-key order, no cross-key promise), the weakest contract any real
+    event log already provides. ``tests/test_streaming.py`` carries the
+    counterexample pytest demonstrating the non-order-freeness.
+
+    Per batch, state I/O is: read the per-user last-event frame written
+    by the previous epoch (epoch-scoped paths — deterministic on replay),
+    write (a) the batch's (src, dst, c) transition partial including the
+    stitched boundary pairs, and (b) the new last-event frame (batch
+    users updated, absent users carried). Emission merges partials by
+    integer SUM and runs the shared quantize/iterate tail
+    (``markov_stationary_from_counts``). Raw events are never re-read
+    after their batch.
+
+    At 100 TB: per-batch state is |users| rows (one slim last-event row
+    each — the same cardinality class as the RFM mirror's per-customer
+    state) and the transition partials are |types|² — both independent
+    of stream length; the carried-users anti-join is user-keyed and
+    would be a keyed state-store lookup under foreachBatch-free
+    transformWithState."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import markov_stationary_from_counts
+
+    tune_session(spark)
+    d = _stage_time_ordered_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_markov_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        b = batch_df.select("user_id", "ts", "event_id", "event_type")
+        prev_path = f"{base}/state/epoch={epoch_id - 1}"
+        prev = (
+            batch_df.sparkSession.read.parquet(prev_path)
+            if os.path.exists(prev_path)
+            else None
+        )
+        counts, new_state = markov_batch_partial(b, prev)
+        counts.write.mode("overwrite").parquet(f"{base}/batch={epoch_id}")
+        b.select(F.col("event_type").alias("s")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{base}/types/batch={epoch_id}")
+        new_state.write.mode("overwrite").parquet(f"{base}/state/epoch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        c0 = (
+            spark.read.parquet(f"{base}/batch=*")
+            .groupBy("src", "dst")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        states = spark.read.parquet(f"{base}/types/batch=*").distinct()
+        out = markov_stationary_from_counts(c0, states)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

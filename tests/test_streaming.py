@@ -1570,3 +1570,52 @@ def test_incremental_kendall_and_jsd_equal_batch(spark):
         c = llm.jsd_token_partial(d.filter(F.col("source").substr(4, 9).cast("int") % 3 == k))
         cnts = c if cnts is None else cnts.unionByName(c)
     assert [tuple(r) for r in llm.jsd_from_counts(cnts).collect()] == want
+
+
+def test_incremental_markov_equals_batch(spark):
+    """The Markov mirror under the ordered-stitch contract: time-ordered
+    batch slices with per-user last-event boundary state must reproduce
+    the one-shot stationary distribution bitwise. The sf0.001 lake's
+    users straddle the 4 batch boundaries heavily, so the stitched
+    cross-batch transitions are load-bearing — a per-batch lead() alone
+    would drop ~|users|·3 transitions and diverge."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        incremental_markov,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in relational.markov_stationary(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_markov(spark, sf).collect()]
+    assert got == want and want
+
+
+def test_markov_stitch_is_not_order_free(spark):
+    """The documented counterexample: the Markov mirror's state merge is
+    NOT arrival-order-free — the reason this mirror names an explicit
+    ordered-delivery contract where every other mirror's state (sums,
+    sets, signed multisets) merges under any slicing. One user, events
+    A→B→C split as [A,B] then [C]: ordered delivery stitches B→C and
+    reproduces the true pair multiset; reversed delivery ([C] first)
+    stitches a C→A transition that never happened."""
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        markov_batch_partial,
+    )
+
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    rows = [(1, 10, 1, "A"), (1, 20, 2, "B"), (1, 30, 3, "C")]
+    early = spark.createDataFrame(rows[:2], cols)
+    late = spark.createDataFrame(rows[2:], cols)
+
+    def run(batches):
+        state, acc = None, {}
+        for b in batches:
+            counts, state = markov_batch_partial(b, state)
+            for r in counts.collect():
+                acc[(r.src, r.dst)] = acc.get((r.src, r.dst), 0) + r.c
+        return acc
+
+    truth = {("A", "B"): 1, ("B", "C"): 1}
+    assert run([early, late]) == truth  # contract honored -> exact
+    wrong = run([late, early])  # contract violated -> phantom C->A
+    assert wrong != truth and ("C", "A") in wrong
