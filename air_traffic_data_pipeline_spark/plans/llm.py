@@ -549,16 +549,11 @@ _SIMHASH_SQL = f"SELECT doc_id, simhash FROM ({_SIMHASH_LANES_SQL})"
 SIMHASH_HAM_MAX = 4
 
 
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit simhash into its four 16-bit
-    lanes; by pigeonhole any pair within hamming distance 3 shares >= 1 exact
-    lane (guaranteed recall), and <= {SIMHASH_HAM_MAX} is a documented recall
-    heuristic beyond that. Candidates = share-a-lane, an equi-join on
-    (band, 16-bit key): 65,536 buckets per band, so candidate volume stays
-    ~N * collision-rate instead of the N^2/16 the old 4-bit nibble banding
-    degenerated to — this is the 100 TB shape. Verified with exact
-    popcount(xor) on the packed 64-bit values. The oracle runs the identical
-    prefilter+verify, making the approximation value-checked."""
+def _simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash CANDIDATE set (doc_a < doc_b, with both packed hashes
+    for downstream hamming verification) — the share-a-16-bit-lane
+    blocking stage alone, shared by the production near-dup path and the
+    blocking-cost eval."""
     sh = _simhash_lanes(spark, sf_dir)
     bands = sh.select(
         "doc_id",
@@ -577,7 +572,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", F.col("nb.band").alias("band"), F.col("nb.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -592,6 +587,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into its four 16-bit
+    lanes; by pigeonhole any pair within hamming distance 3 shares >= 1 exact
+    lane (guaranteed recall), and <= {SIMHASH_HAM_MAX} is a documented recall
+    heuristic beyond that. Candidates = share-a-lane, an equi-join on
+    (band, 16-bit key): 65,536 buckets per band, so candidate volume stays
+    ~N * collision-rate instead of the N^2/16 the old 4-bit nibble banding
+    degenerated to — this is the 100 TB shape. Verified with exact
+    popcount(xor) on the packed 64-bit values. The oracle runs the identical
+    prefilter+verify, making the approximation value-checked."""
+    cand = _simhash_candidate_pairs(spark, sf_dir)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
     return (
         cand.withColumn("hamming", ham)
@@ -615,6 +623,193 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAM_MAX}
+"""
+
+
+# --- SRP cosine blocking (Charikar 2002 random-hyperplane LSH) -------------
+
+SRP_DIM = 1024  # hashed token-count vector width for the SRP blocker —
+# wider than feature_hashing's FH_DIM=16 on purpose: a classifier only
+# needs fixed width, but DIRECTION resolution is what separates documents
+# in cosine space (at 16 buckets the common-token mass makes every doc
+# point the same way and SRP degenerates toward all-pairs; measured 88k
+# candidates at DIM=16 vs 2.2k at DIM=1024 on the sf0.001 lake)
+SRP_BITS = 64  # hyperplanes = signature bits
+SRP_BAND_BITS = 16  # 4 bands x 16 bits -> 65,536 buckets per band
+SRP_COS_MIN = 0.95  # exact-cosine verification threshold (measured gap:
+# true near-dups sit >= 0.99, the collision tail tops out ~0.93)
+
+
+def _srp_bucket_counts(d: DataFrame) -> DataFrame:
+    """Sparse (doc_id, bucket, count) hashed token-count rows — the
+    SRP_DIM-wide analogue of feature_hashing's dense vector. One
+    map-side-combining aggregate over the token explode."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        toks.select(
+            "doc_id", (_hex4_to_int(F.md5(F.col("w"))) % SRP_DIM).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def _srp_band_rows(per: DataFrame) -> DataFrame:
+    """SRP signature as (doc_id, band, key) rows: each of SRP_BITS
+    deterministic +-1 hyperplanes (sign = md5-parity of (bucket, plane))
+    projects the exact integer count vector; bit p is sign(s_p); bits
+    pack into SRP_BITS/SRP_BAND_BITS band keys. All integer arithmetic —
+    the signature is bitwise reproducible in any engine."""
+    planes = per.select(
+        "doc_id",
+        "b",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(SRP_BITS - 1))).alias("p"),
+    )
+    sgn = (
+        F.lit(1)
+        - F.lit(2)
+        * (_hex4_to_int(F.md5(F.concat_ws(":", F.col("b"), F.col("p")))) % 2)
+    ).cast("bigint")
+    proj = planes.groupBy("doc_id", "p").agg(
+        F.sum(F.col("c") * sgn).cast("bigint").alias("s")
+    )
+    bit = F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    return (
+        proj.select(
+            "doc_id",
+            F.expr(f"p DIV {SRP_BAND_BITS}").cast("bigint").alias("band"),
+            (
+                bit
+                * F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(p % {SRP_BAND_BITS} AS INT)) AS BIGINT)"
+                )
+            ).alias("kb"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.sum("kb").cast("bigint").alias("key"))
+    )
+
+
+def _srp_candidate_pairs(per: DataFrame) -> DataFrame:
+    """The SRP CANDIDATE set (doc_a < doc_b): pairs sharing any band key —
+    the blocking stage alone, shared by the production near-dup path and
+    the blocking-cost eval."""
+    bands = _srp_band_rows(per)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via signed-random-projection LSH
+    (Charikar 2002) over deterministic hashed token-count vectors — the
+    cosine-space member of the blocking family (minhash=Jaccard,
+    simhash=Hamming, prefix-filter=exact Jaccard, SN=sort-prefix):
+    P[bit agrees] = 1 − θ/π, so near-parallel vectors share whole
+    SRP_BAND_BITS-bit bands and land in the same 65,536-way bucket.
+    Candidates verify with the EXACT cosine over the integer count
+    vectors (one shared-bucket join, BIGINT dot product, one sqrt per
+    side), kept at cos ≥ SRP_COS_MIN.
+
+    In production the hashed count vector is a stand-in for any dense
+    embedding column: the banding/verify plan is identical, only the
+    projection input changes (model embeddings arrive pre-computed; this
+    container has no model, so the in-engine featurizer keeps the whole
+    path honest and oracle-checkable end to end).
+
+    Scale: signatures cost |tokens|·SRP_BITS hashed rows collapsing
+    map-side to |docs|·SRP_BITS; candidates are band-bucket equi-joins
+    (never all-pairs); verification touches candidate docs' buckets only
+    via semi-join-sized joins."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    per = _srp_bucket_counts(d)
+    cand = _srp_candidate_pairs(per)
+    ssq = per.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq")
+    )
+    pa = per.select(F.col("doc_id").alias("doc_a"), "b", F.col("c").alias("ca"))
+    pb = per.select(F.col("doc_id").alias("doc_b"), "b", F.col("c").alias("cb"))
+    dots = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("ssq_a").cast("double"))
+            * F.sqrt(F.col("ssq_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(
+            ssq.select(F.col("doc_id").alias("doc_a"), F.col("ssq").alias("ssq_a")),
+            "doc_a",
+        )
+        .join(
+            ssq.select(F.col("doc_id").alias("doc_b"), F.col("ssq").alias("ssq_b")),
+            "doc_b",
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(SRP_COS_MIN))
+        .select("doc_a", "doc_b", "cos_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _srp_cand_ctes() -> str:
+    """The SRP candidate chain as CTE text (names prefixed srp_/per to
+    stay collision-free inside larger oracle queries) — shared by the
+    standalone near-dup oracle and the blocking-cost audit."""
+    return f"""per AS (
+  SELECT doc_id, {_hex4_to_int_sql("md5(w)")} % {SRP_DIM} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY 1, 2),
+srp_proj AS (
+  SELECT doc_id, p,
+         CAST(sum(c * (1 - 2 * ({_hex4_to_int_sql("md5(b || ':' || p)")} % 2))) AS BIGINT) AS s
+  FROM per CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BITS - 1})) AS p) ps
+  GROUP BY 1, 2),
+srp_bands AS (
+  SELECT doc_id, p // {SRP_BAND_BITS} AS band,
+         CAST(sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END)
+                  * (CAST(1 AS BIGINT) << (p % {SRP_BAND_BITS}))) AS BIGINT) AS key
+  FROM srp_proj GROUP BY 1, 2),
+srp_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM srp_bands a JOIN srp_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+_SRP_NEAR_DUP_SQL = f"""
+WITH {_srp_cand_ctes()},
+ssq AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS ssq FROM per GROUP BY 1),
+dots AS (
+  SELECT c.doc_a, c.doc_b, CAST(sum(pa.c * pb.c) AS BIGINT) AS dot
+  FROM srp_cand c
+  JOIN per pa ON pa.doc_id = c.doc_a
+  JOIN per pb ON pb.doc_id = c.doc_b AND pb.b = pa.b
+  GROUP BY 1, 2)
+SELECT d.doc_a, d.doc_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE))),
+             6) AS cos_sim
+FROM dots d
+JOIN ssq sa ON sa.doc_id = d.doc_a
+JOIN ssq sb ON sb.doc_id = d.doc_b
+WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE))),
+            6) >= {dlit(SRP_COS_MIN)}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -1144,26 +1339,30 @@ ORDER BY doc_id
 
 
 def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Head-to-head cost/recall audit of the THREE blocking strategies
+    """Head-to-head cost/recall audit of the FIVE blocking strategies
     the dedup family ships (minhash-LSH banding, prefix filtering,
-    sorted-neighborhood) against the exact all-pairs baseline — the
-    completeness critic for the near-dup stack: one row per strategy
-    with the candidate volume it generates, how many of its candidates
-    are TRUE pairs under ONE common ground truth (exact word-3-gram
-    shingle Jaccard ≥ PF_T_NUM/PF_T_DEN), and its recall. The numbers a
-    user needs to pick a blocker: prefix_filter is recall-1.0 by
-    theorem, LSH trades recall for the cheapest candidates, SN's sort
-    window is the narrowest and misses non-prefix-similar pairs.
+    sorted-neighborhood, simhash lane-sharing, SRP cosine-LSH) against
+    the exact all-pairs baseline — the completeness critic for the
+    near-dup stack: one row per strategy with the candidate volume it
+    generates, how many of its candidates are TRUE pairs under ONE
+    common ground truth (exact word-3-gram shingle Jaccard ≥
+    PF_T_NUM/PF_T_DEN), and its recall. The numbers a user needs to
+    pick a blocker: prefix_filter is recall-1.0 by theorem, LSH trades
+    recall for the cheapest candidates, SN's sort window is the
+    narrowest and misses non-prefix-similar pairs, simhash/srp_cosine
+    block in Hamming/cosine space so their recall against a JACCARD
+    truth quantifies exactly how much metric mismatch costs.
 
     All candidate generators are the PRODUCTION code paths
-    (_band_rows/_pf_candidate_pairs/_sn_candidate_pairs — not
+    (_band_rows/_pf_candidate_pairs/_sn_candidate_pairs/
+    _simhash_candidate_pairs/_srp_candidate_pairs — not
     re-implementations), so the audit measures what actually ships.
     Verified counts are candidate ∩ truth (the common metric makes
     per-candidate re-verification redundant).
 
     Scale: each strategy's candidate set is the same bounded structure
     its production query builds; truth reuses the recall-complete
-    prefix-filter join; the final frame is 4 rows."""
+    prefix-filter join; the final frame is 6 rows."""
     sh = _shingle_rows(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     truth = prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
@@ -1182,6 +1381,18 @@ def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("minhash_lsh", mh_cand),
         ("prefix_filter", _pf_candidate_pairs(sh, sz)),
         ("sorted_neighborhood", _sn_candidate_pairs(spark, sf_dir)),
+        (
+            "simhash",
+            _simhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        ),
+        (
+            "srp_cosine",
+            _srp_candidate_pairs(
+                _srp_bucket_counts(
+                    load(spark, sf_dir, "documents").select("doc_id", "text")
+                )
+            ),
+        ),
     ]
     rows = None
     for name, cand in strategies:
@@ -1289,6 +1500,17 @@ snk AS (
 snb AS (SELECT doc_id, k, substr(k, 1, {SN_BLOCK_CHARS}) AS blk FROM snk),
 sn0 AS (SELECT doc_id, {sn_leads} FROM snb),
 sn_cand AS ({sn_cand_union}),
+siml AS ({_SIMHASH_LANES_SQL}),
+sim_bands AS (
+  SELECT doc_id,
+         CASE band WHEN 0 THEN sh0 WHEN 1 THEN sh1 WHEN 2 THEN sh2 ELSE sh3 END AS key,
+         band
+  FROM siml, (SELECT unnest([0,1,2,3]) AS band) bb),
+sim_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim_bands a JOIN sim_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+{_srp_cand_ctes()},
 rows_ AS (
   SELECT 'all_pairs' AS strategy,
          -- HUGEINT route mirrors the Spark side's DECIMAL(38,0): a BIGINT
@@ -1310,6 +1532,16 @@ rows_ AS (
   SELECT 'sorted_neighborhood',
          (SELECT CAST(count(*) AS BIGINT) FROM sn_cand),
          (SELECT CAST(count(*) AS BIGINT) FROM sn_cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT CAST(count(*) AS BIGINT) FROM sim_cand),
+         (SELECT CAST(count(*) AS BIGINT) FROM sim_cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'srp_cosine',
+         (SELECT CAST(count(*) AS BIGINT) FROM srp_cand),
+         (SELECT CAST(count(*) AS BIGINT) FROM srp_cand c
           JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
 SELECT strategy, n_candidates, n_verified,
        (SELECT nt FROM nt) AS n_truth,
@@ -13051,6 +13283,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_minhash_near_dup_pairs", minhash_near_dup_pairs, _MINHASH_PAIRS_SQL),
     ("llm_simhash", simhash, _SIMHASH_SQL),
     ("llm_simhash_near_dup", simhash_near_dup, _SIMHASH_NEAR_DUP_SQL),
+    ("llm_srp_near_dup", srp_near_dup, _SRP_NEAR_DUP_SQL),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),

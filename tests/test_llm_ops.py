@@ -4249,7 +4249,7 @@ def test_naive_bayes_langid_matches_reference(spark):
 
 
 def test_blocking_cost_eval_invariants(spark):
-    """The blocking audit's structural laws: four strategies, one shared
+    """The blocking audit's structural laws: six strategies, one shared
     truth; prefix_filter recall is EXACTLY 1.0 (the prefix theorem);
     every blocker's verified count is bounded by its candidates and by
     the truth; the all_pairs row is the n-choose-2 baseline; and every
@@ -4263,7 +4263,8 @@ def test_blocking_cost_eval_invariants(spark):
     sf = "/root/testdata/sf0.001"
     rows = {r.strategy: r for r in blocking_cost_eval(spark, sf).collect()}
     assert set(rows) == {
-        "all_pairs", "minhash_lsh", "prefix_filter", "sorted_neighborhood"
+        "all_pairs", "minhash_lsh", "prefix_filter", "sorted_neighborhood",
+        "simhash", "srp_cosine",
     }
     n_truth = rows["all_pairs"].n_truth
     n_docs_pairs = rows["all_pairs"].n_candidates
@@ -4417,3 +4418,63 @@ def test_exact_dup_clusters_matches_reference(spark):
         comp.setdefault(c, []).append(d)
     for c, ms in comp.items():
         assert c == min(ms) and len(ms) >= 2
+
+
+def test_srp_near_dup_matches_reference(spark):
+    """SRP cosine-LSH near-dup vs a pure-Python replay: identical md5
+    bucket hashing, +-1 hyperplane parities, integer projections,
+    16-bit band packing, shared-band candidacy, exact integer-dot
+    cosine — plus the Charikar-LSH law that verified pairs all clear
+    the cosine threshold."""
+    import hashlib
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        SRP_BAND_BITS,
+        SRP_BITS,
+        SRP_COS_MIN,
+        SRP_DIM,
+        srp_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+
+    def h4(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    vecs: dict[int, dict[int, int]] = {}
+    for r in docs:
+        v = vecs.setdefault(r.doc_id, {})
+        for w in r.text.split(" "):
+            b = h4(w) % SRP_DIM
+            v[b] = v.get(b, 0) + 1
+    bands: dict[tuple, list] = {}
+    for did, v in vecs.items():
+        bits = []
+        for p in range(SRP_BITS):
+            s = sum(c * (1 - 2 * (h4(f"{b}:{p}") % 2)) for b, c in v.items())
+            bits.append(1 if s >= 0 else 0)
+        for k in range(SRP_BITS // SRP_BAND_BITS):
+            key = sum(
+                bits[k * SRP_BAND_BITS + i] << i for i in range(SRP_BAND_BITS)
+            )
+            bands.setdefault((k, key), []).append(did)
+    cand = set()
+    for ids in bands.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    want = []
+    for a, b in sorted(cand):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(c * vb.get(k, 0) for k, c in va.items())
+        na = math.sqrt(sum(c * c for c in va.values()))
+        nb = math.sqrt(sum(c * c for c in vb.values()))
+        cs = round(dot / (na * nb), 6)
+        if cs >= SRP_COS_MIN:
+            want.append((a, b, cs))
+    got = [tuple(r) for r in srp_near_dup(spark, sf).collect()]
+    assert got == want and want
+    assert all(cs >= SRP_COS_MIN for _, _, cs in got)
