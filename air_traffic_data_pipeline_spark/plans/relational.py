@@ -2478,6 +2478,192 @@ FROM resid GROUP BY n_pairs, sen_slope
 """
 
 
+TS_SAMPLE_K = 8  # deterministic sampled partners generated per day
+
+
+def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Theil-Sen via DETERMINISTIC-HASH PAIR SAMPLING, audited
+    against the exact per-key fit — the scale path rel_theil_sen's
+    docstring promises for series that grow with data volume: the exact
+    estimator needs all n·(n−1)/2 pairwise slopes per key, quadratic in
+    series length and hopeless over billions of keys; the sampled
+    variant generates O(n·K) pairs per key instead — each indexed day i
+    picks K partners j = (i + 1 + u32(md5(key:i:r)) mod (n−1)) mod n,
+    a pure hash of row identity (the stratified-sample gate / Poisson
+    bootstrap discipline), so the pair SET is a deterministic function
+    of the data alone: replayable in any engine, arrival-order-free,
+    no RNG state. Median-of-sampled-slopes converges to the true Sen
+    slope (it is a U-statistic subsample estimate; Dillencourt/Matoušek
+    lineage of sampled Theil-Sen).
+
+    Audited, not asserted: the lake's per-segment series are
+    calendar-bounded, so the EXACT per-segment fit is computable here
+    and rides along — one row per c_mktsegment with exact vs sampled
+    slope, both pair volumes, and the absolute error. On a true
+    billions-of-keys workload only the sampled columns survive; this
+    query is the measured evidence for trusting them.
+
+    Determinism discipline: every slope is one divide of exact BIGINTs;
+    both medians are exact interpolated order statistics (percentile /
+    quantile_cont parity); the sampled pair set is DISTINCT normalized
+    (lo, hi) index pairs — identical in both engines by construction.
+
+    Scale: the one data-sized pass is the (seg, day) aggregate; pair
+    generation is an explode(K) over the per-seg day table joined back
+    by (seg, index) equi-keys — never a quadratic join; the exact-fit
+    audit columns are the only CALENDAR²-bounded stage and are exactly
+    what the billions-of-keys deployment drops."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+    ).cast("bigint")
+    daily = (
+        o.join(c, "o_custkey")
+        .select(
+            "seg",
+            dn.alias("dn"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("seg", "dn")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    ranked = daily.select(
+        "seg",
+        "dn",
+        "cents",
+        (F.row_number().over(W.partitionBy("seg").orderBy("dn")) - 1)
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("seg"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    gen = ranked.filter(F.col("n") >= 2).select(
+        "seg",
+        "i",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(TS_SAMPLE_K - 1))).alias("r"),
+    )
+    u = _kmv_u32(F.concat_ws(":", F.col("seg"), F.col("i"), F.col("r")))
+    j = (F.col("i") + F.lit(1) + (u % (F.col("n") - F.lit(1)))) % F.col("n")
+    pairs = gen.select(
+        "seg",
+        F.least(F.col("i"), j).alias("lo"),
+        F.greatest(F.col("i"), j).alias("hi"),
+    ).distinct()
+    pa = ranked.select(
+        "seg",
+        F.col("i").alias("lo"),
+        F.col("dn").alias("dn_a"),
+        F.col("cents").alias("ya"),
+    )
+    pb = ranked.select(
+        "seg",
+        F.col("i").alias("hi"),
+        F.col("dn").alias("dn_b"),
+        F.col("cents").alias("yb"),
+    )
+    slope = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("dn_b") - F.col("dn_a")
+    ).cast("double")
+    samp = (
+        pairs.join(pa, ["seg", "lo"])
+        .join(pb, ["seg", "hi"])
+        .select("seg", slope.alias("slope"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs_sampled"),
+            F.expr("percentile(slope, 0.5)").alias("slope_sampled"),
+        )
+    )
+    a = daily.select("seg", F.col("dn").alias("dn_a"), F.col("cents").alias("ya"))
+    b = daily.select("seg", F.col("dn").alias("dn_b"), F.col("cents").alias("yb"))
+    exact = (
+        a.join(b, "seg")
+        .filter(F.col("dn_b") > F.col("dn_a"))
+        .select("seg", slope.alias("slope"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"),
+            F.expr("percentile(slope, 0.5)").alias("slope_exact"),
+        )
+    )
+    ndays = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        ndays.join(exact, "seg")
+        .join(samp, "seg")
+        .select(
+            "seg",
+            "n_days",
+            "n_pairs_exact",
+            "n_pairs_sampled",
+            F.round(F.col("slope_exact"), 6).alias("slope_exact"),
+            F.round(F.col("slope_sampled"), 6).alias("slope_sampled"),
+            F.round(F.abs(F.col("slope_sampled") - F.col("slope_exact")), 6).alias(
+                "slope_abs_err"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+THEIL_SEN_SAMPLED_SQL = f"""
+WITH sdaily AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS BIGINT) AS dn,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT seg, dn, cents,
+         CAST(row_number() OVER (PARTITION BY seg ORDER BY dn) - 1 AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+  FROM sdaily),
+gen AS (
+  SELECT seg, i, n, r
+  FROM ranked CROSS JOIN (SELECT unnest(generate_series(0, {TS_SAMPLE_K - 1})) AS r) rs
+  WHERE n >= 2),
+jj AS (
+  SELECT seg, i,
+         (i + 1 + ({_kmv_u32_sql("seg || ':' || i || ':' || r")} % (n - 1))) % n AS j
+  FROM gen),
+pairs AS (
+  SELECT DISTINCT seg, least(i, j) AS lo, greatest(i, j) AS hi FROM jj),
+samp AS (
+  SELECT p.seg,
+         CAST(count(*) AS BIGINT) AS n_pairs_sampled,
+         quantile_cont(CAST(pb.cents - pa.cents AS DOUBLE)
+                       / CAST(pb.dn - pa.dn AS DOUBLE), 0.5) AS slope_sampled
+  FROM pairs p
+  JOIN ranked pa ON pa.seg = p.seg AND pa.i = p.lo
+  JOIN ranked pb ON pb.seg = p.seg AND pb.i = p.hi
+  GROUP BY 1),
+exact AS (
+  SELECT a.seg,
+         CAST(count(*) AS BIGINT) AS n_pairs_exact,
+         quantile_cont(CAST(b.cents - a.cents AS DOUBLE)
+                       / CAST(b.dn - a.dn AS DOUBLE), 0.5) AS slope_exact
+  FROM sdaily a JOIN sdaily b ON b.seg = a.seg AND b.dn > a.dn
+  GROUP BY 1),
+nd AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days FROM sdaily GROUP BY 1)
+SELECT nd.seg AS seg, n_days, n_pairs_exact, n_pairs_sampled,
+       round(slope_exact, 6) AS slope_exact,
+       round(slope_sampled, 6) AS slope_sampled,
+       round(abs(slope_sampled - slope_exact), 6) AS slope_abs_err
+FROM nd JOIN exact ON exact.seg = nd.seg JOIN samp ON samp.seg = nd.seg
+ORDER BY seg
+"""
+
+
 GINI_TOP_PCTS = (1, 10)  # top-share cutoffs reported next to the Gini
 
 
@@ -8390,6 +8576,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_spearman_corr", spearman_corr, SPEARMAN_SQL),
     ("rel_autocorrelation", autocorrelation, ACF_SQL),
     ("rel_theil_sen", theil_sen, THEIL_SEN_SQL),
+    ("rel_theil_sen_sampled", theil_sen_sampled, THEIL_SEN_SAMPLED_SQL),
     ("rel_gini_concentration", gini_concentration, _gini_sql()),
     ("rel_kaplan_meier", kaplan_meier, KAPLAN_MEIER_SQL),
     ("rel_markov_stationary", markov_stationary, _markov_sql()),

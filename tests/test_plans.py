@@ -1874,3 +1874,94 @@ def test_round10_late_plan_shapes(spark):
     # NB model scoring joins the broadcast class table (|C| rows)
     p = plan(llm.naive_bayes_langid(spark, SF), "simple")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_theil_sen_sampled_matches_reference(spark):
+    """Sampled per-segment Theil-Sen vs a pure-Python replay: identical
+    md5-u32 partner draws, normalized distinct index pairs, interpolated
+    medians for BOTH the exact and sampled branches — plus the laws the
+    audit exists for: the sampled pair set is O(n·K) (far below the
+    exact n·(n−1)/2), nonempty per segment, and the reported error is
+    exactly |sampled − exact|."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SEAS_ANCHOR,
+        TS_SAMPLE_K,
+        theil_sen_sampled,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    import datetime as _dt
+
+    sf = "/root/testdata/sf0.001"
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    anchor = _dt.date.fromisoformat(SEAS_ANCHOR)
+    daily: dict[str, dict[int, int]] = {}
+    for r in (
+        load(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        d = r.o_orderdate
+        if isinstance(d, _dt.datetime):
+            d = d.date()
+        elif not isinstance(d, _dt.date):
+            d = _dt.date.fromisoformat(str(d)[:10])
+        dn = (d - anchor).days
+        seg = seg_of[r.o_custkey]
+        s = daily.setdefault(seg, {})
+        s[dn] = s.get(dn, 0) + int(round(r.o_totalprice * 100))
+
+    def u32(s: str) -> int:
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[:4], 16) * 65536 + int(h[4:8], 16)
+
+    def interp_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        h = (n - 1) * 0.5
+        lo = int(h)
+        frac = h - lo
+        return vals[lo] if frac == 0 else vals[lo] + frac * (vals[lo + 1] - vals[lo])
+
+    want = []
+    for seg in sorted(daily):
+        rows = sorted(daily[seg].items())
+        n = len(rows)
+        exact = [
+            (yb - ya) / float(db - da)
+            for i, (da, ya) in enumerate(rows)
+            for db, yb in rows[i + 1 :]
+        ]
+        pairs = set()
+        if n >= 2:
+            for i in range(n):
+                for r_ in range(TS_SAMPLE_K):
+                    j = (i + 1 + u32(f"{seg}:{i}:{r_}") % (n - 1)) % n
+                    pairs.add((min(i, j), max(i, j)))
+        samp = [
+            (rows[hi][1] - rows[lo][1]) / float(rows[hi][0] - rows[lo][0])
+            for lo, hi in pairs
+        ]
+        se, ss = interp_median(exact), interp_median(samp)
+        want.append(
+            (
+                seg,
+                n,
+                len(exact),
+                len(pairs),
+                round(se, 6),
+                round(ss, 6),
+                round(abs(ss - se), 6),
+            )
+        )
+    got = [tuple(r) for r in theil_sen_sampled(spark, sf).collect()]
+    assert got == want and want
+    for seg, n_days, n_ex, n_samp, _, _, _ in got:
+        assert 0 < n_samp <= TS_SAMPLE_K * n_days  # O(n·K), never n²
+        assert n_samp < n_ex  # the sampling actually saves work
