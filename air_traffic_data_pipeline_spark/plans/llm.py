@@ -1174,11 +1174,33 @@ FROM s
 PF_T_NUM, PF_T_DEN = 4, 5  # exact Jaccard threshold t = 4/5 on shingle sets
 
 
-def _pf_candidate_pairs(sh: DataFrame, sz: DataFrame) -> DataFrame:
+def _pf_candidate_pairs(
+    sh: DataFrame, sz: DataFrame, positional: bool = True
+) -> DataFrame:
     """The prefix-filter CANDIDATE set (doc_a < doc_b, length-filtered,
     distinct) over a (doc_id, s) shingle frame — the recall-complete
     blocking stage alone, shared by the production join and the
-    blocking-cost eval."""
+    blocking-cost eval.
+
+    ``positional=True`` (the default, PPJoin — Xiao et al. 2008, the
+    published successor to All-Pairs) additionally applies the
+    POSITIONAL filter, generalized to every shared prefix token rather
+    than only the first match: a token s at 1-indexed rarest-first
+    ranks (pa, pb) bounds the overlap by
+        common ≤ min(pa, pb) − 1 + 1 + min(sz_a − pa, sz_b − pb)
+    (shared tokens ordered before s number at most min(pa,pb)−1; after
+    s at most min of the suffix lengths), so the pair survives only if
+    the MINIMUM such bound still reaches the required overlap
+    α = ceil(t/(1+t)·(sz_a+sz_b)), i.e. (NUM+DEN)·ub ≥ NUM·(sz_a+sz_b)
+    in exact integers. J ≥ t implies common ≥ α ≤ ub, so no true pair
+    is ever pruned — the recall-1.0 theorem (and the all-pairs oracle
+    hash) is untouched; only never-qualifying candidates drop. The
+    per-pair MIN rides the same groupBy that deduplicated multi-token
+    meetings, so the filter costs no extra shuffle. PPJoin+'s recursive
+    binary-search SUFFIX filter is deliberately absent: it needs
+    per-pair token-array recursion (control flow, not relational
+    algebra); the positional filter is where the relational formulation
+    stops, and the measured candidate cut is recorded in the pytest."""
     from pyspark.sql import Window
 
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -1199,9 +1221,19 @@ def _pf_candidate_pairs(sh: DataFrame, sz: DataFrame) -> DataFrame:
         (F.lit(PF_T_NUM) * F.col("sz") + F.lit(PF_T_DEN - 1)) / F.lit(PF_T_DEN)
     )
     prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
-    return (
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "s",
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    met = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: J >= t implies t*max(sz) <= min(sz)
@@ -1209,8 +1241,20 @@ def _pf_candidate_pairs(sh: DataFrame, sz: DataFrame) -> DataFrame:
             F.lit(PF_T_DEN) * F.least("sz_a", "sz_b")
             >= F.lit(PF_T_NUM) * F.greatest("sz_a", "sz_b")
         )
+    )
+    if not positional:
+        return met.select("doc_a", "doc_b").distinct()
+    ub = F.least("rn_a", "rn_b") + F.least(
+        F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+    )
+    return (
+        met.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min(ub).alias("ub"))
+        .filter(
+            F.lit(PF_T_NUM + PF_T_DEN) * F.col("ub")
+            >= F.lit(PF_T_NUM) * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -1486,12 +1530,17 @@ pfranked AS (
          row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn
   FROM sh JOIN dfreq USING (s) JOIN sz ON sz.doc_id = sh.doc_id),
 pfprefix AS (
-  SELECT doc_id, s, sz FROM pfranked
+  SELECT doc_id, s, sz, rn FROM pfranked
   WHERE rn <= sz - ({PF_T_NUM} * sz + {PF_T_DEN - 1}) // {PF_T_DEN} + 1),
-pf_cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+pf_met AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+         least(a.rn, b.rn) + least(a.sz - a.rn, b.sz - b.rn) AS ub
   FROM pfprefix a JOIN pfprefix b ON a.s = b.s AND a.doc_id < b.doc_id
   WHERE {PF_T_DEN} * least(a.sz, b.sz) >= {PF_T_NUM} * greatest(a.sz, b.sz)),
+pf_cand AS (
+  SELECT doc_a, doc_b FROM pf_met
+  GROUP BY doc_a, doc_b, sz_a, sz_b
+  HAVING {PF_T_NUM + PF_T_DEN} * min(ub) >= {PF_T_NUM} * (sz_a + sz_b)),
 snk AS (
   SELECT doc_id,
          substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),

@@ -4478,3 +4478,60 @@ def test_srp_near_dup_matches_reference(spark):
     got = [tuple(r) for r in srp_near_dup(spark, sf).collect()]
     assert got == want and want
     assert all(cs >= SRP_COS_MIN for _, _, cs in got)
+
+
+def test_ppjoin_positional_filter_tightens_candidates(spark):
+    """The PPJoin positional filter's contract, pinned three ways.
+    (1) On an adversarial corpus it STRICTLY cuts: docs A and B share
+    exactly one prefix token m sitting at ranks (1, 3) with sizes
+    (10, 10), so the overlap upper bound min(pa,pb) + min(sza-pa,
+    szb-pb) = 8 falls below the required alpha = ceil(t/(1+t)*20) = 9 —
+    prefix-only keeps (A,B), positional kills it; meanwhile the TRUE
+    near-dup (C1,C2) at J = 16/18 survives (its bound 16 meets
+    alpha=16). (2) On the lake the positional set still contains every
+    verified true pair (recall-1.0 preserved). (3) On the lake
+    positional is a subset of prefix-only (it only ever removes). The
+    lake's prefix candidates are already exactly the true pairs (the
+    audit's precision-1.0 row), so the adversarial corpus is where the
+    cut is observable."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        _pf_candidate_pairs,
+        _shingle_rows,
+        prefix_filter_join,
+    )
+    from pyspark.sql import functions as SF
+
+    A = ["m"] + [f"t{i}" for i in range(1, 10)]
+    B = ["b1", "b2", "m"] + [f"u{i}" for i in range(1, 8)]
+    C1 = ["b1", "b2"] + [f"t{i}" for i in range(1, 10)] + [
+        f"u{i}" for i in range(1, 8)
+    ]
+    C2 = [f"t{i}" for i in range(1, 10)] + [f"u{i}" for i in range(1, 8)]
+    rows = [
+        (did, s)
+        for did, toks in ((1, A), (2, B), (3, C1), (4, C2))
+        for s in toks
+    ]
+    sh = spark.createDataFrame(rows, ["doc_id", "s"])
+    sz = sh.groupBy("doc_id").agg(SF.count(SF.lit(1)).cast("bigint").alias("sz"))
+    plain = {(r.doc_a, r.doc_b) for r in
+             _pf_candidate_pairs(sh, sz, positional=False).collect()}
+    pos = {(r.doc_a, r.doc_b) for r in
+           _pf_candidate_pairs(sh, sz, positional=True).collect()}
+    assert (1, 2) in plain and (1, 2) not in pos  # the false candidate cut
+    assert (3, 4) in pos  # the true near-dup survives
+    assert pos < plain  # strictly fewer candidates
+
+    sf = "/root/testdata/sf0.001"
+    lsh = _shingle_rows(spark, sf)
+    lsz = lsh.groupBy("doc_id").agg(
+        SF.count(SF.lit(1)).cast("bigint").alias("sz")
+    )
+    lplain = {(r.doc_a, r.doc_b) for r in
+              _pf_candidate_pairs(lsh, lsz, positional=False).collect()}
+    lpos = {(r.doc_a, r.doc_b) for r in
+            _pf_candidate_pairs(lsh, lsz, positional=True).collect()}
+    assert lpos <= lplain  # only ever removes
+    true_pairs = {(r.doc_a, r.doc_b)
+                  for r in prefix_filter_join(spark, sf).collect()}
+    assert true_pairs <= lpos and true_pairs  # no true pair pruned
