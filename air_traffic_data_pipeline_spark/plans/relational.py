@@ -1839,8 +1839,11 @@ def seasonal_from_daily(daily: DataFrame) -> DataFrame:
     ).orderBy("dow_idx")
 
 
-SEASONAL_SQL = f"""
-WITH {_DAILY_SQL},
+def _seasonal_sql_from(daily_cte: str) -> str:
+    """The decomposition SQL over any `daily AS (...)` CTE — shared by the
+    batch oracle and the retraction mirror's surviving-orders oracle."""
+    return f"""
+WITH {daily_cte},
 trended AS (
   SELECT dn, cents,
          sum(cents) OVER win AS trend_sum7,
@@ -1862,6 +1865,23 @@ SELECT CAST(dow_idx AS BIGINT) AS dow_idx, n_days,
          AS seasonal_cents
 FROM agg ORDER BY dow_idx
 """
+
+
+SEASONAL_SQL = _seasonal_sql_from(_DAILY_SQL)
+
+
+def _seasonal_retract_sql() -> str:
+    """Oracle for the retraction-aware seasonal mirror: the net effect of
+    inserts minus cancellations is the decomposition over the surviving
+    orders — including the day-granularity consequence that a
+    fully-cancelled day leaves the series (and can break a 7-day trend
+    window)."""
+    return _seasonal_sql_from(
+        f"""daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS dn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {RETRACT_MOD} <> {RETRACT_RES} GROUP BY 1)"""
+    )
 
 
 MW_WEEKEND = (5, 6)  # dow_idx of Saturday/Sunday under the Monday anchor

@@ -887,6 +887,24 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_seasonal_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.orders_stream import incremental_seasonal_retract
+
+    return incremental_seasonal_retract(spark, sf_dir)
+
+
+def _seasonal_retract_oracle_sql() -> str:
+    """Signed (cents, n_orders) daily partials with tombstone compaction,
+    fully-cancelled days dropped from the net series, the shared windowed
+    kernel rerun at emission — must equal the one-shot decomposition over
+    the surviving orders bitwise."""
+    from .relational import _seasonal_retract_sql
+
+    return _seasonal_retract_sql()
+
+
 def stream_incremental_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import incremental_markov
 
@@ -1070,6 +1088,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
+    ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
     ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),

@@ -1619,3 +1619,58 @@ def test_markov_stitch_is_not_order_free(spark):
     assert run([early, late]) == truth  # contract honored -> exact
     wrong = run([late, early])  # contract violated -> phantom C->A
     assert wrong != truth and ("C", "A") in wrong
+
+
+def test_incremental_seasonal_retract_equals_surviving_batch(spark):
+    """The retraction-aware seasonal mirror: signed (cents, n_orders)
+    daily state under the adversarial schedule (two thirds of the
+    cancellations land before their inserts) must reproduce the one-shot
+    decomposition over the SURVIVING orders bitwise — and the
+    cancellations must actually move the answer (the mirror output
+    differs from the full-series decomposition), so the equality is
+    non-vacuous."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RETRACT_MOD,
+        RETRACT_RES,
+        daily_revenue_partial,
+        seasonal_decompose,
+        seasonal_from_daily,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_seasonal_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    surviving = load(spark, sf, "orders").filter(
+        F.col("o_orderkey") % RETRACT_MOD != RETRACT_RES
+    )
+    want = [
+        tuple(r)
+        for r in seasonal_from_daily(
+            daily_revenue_partial(surviving).select("dn", "cents")
+        ).collect()
+    ]
+    got = [tuple(r) for r in incremental_seasonal_retract(spark, sf).collect()]
+    assert got == want and want
+    full = [tuple(r) for r in seasonal_decompose(spark, sf).collect()]
+    assert got != full  # the cancellations moved the decomposition
+
+
+def test_seasonal_day_removal_breaks_trend_window(spark):
+    """The day-granularity consequence the retraction mirror must honor:
+    cancelling a day's LAST surviving order removes the day row, which
+    breaks 7-day contiguity and changes which days are trend-eligible.
+    Seven contiguous days admit exactly one eligible center; with day 6
+    fully cancelled the series has no 7-day window at all."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        seasonal_from_daily,
+    )
+
+    full = spark.createDataFrame(
+        [(d, 100 + d) for d in range(7)], ["dn", "cents"]
+    )
+    out_full = seasonal_from_daily(full).collect()
+    assert len(out_full) == 1 and out_full[0].dow_idx == 3
+    cancelled = full.filter(F.col("dn") != 6)
+    assert seasonal_from_daily(cancelled).count() == 0
