@@ -2499,6 +2499,96 @@ FROM resid GROUP BY n_pairs, sen_slope
 
 
 TS_SAMPLE_K = 8  # deterministic sampled partners generated per day
+TS_SALT = 16  # parallelism salt for the audit-only exact pair joins
+
+
+def _seg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(c_mktsegment, day) exact cent totals + order counts — the
+    keyed analogue of daily_revenue_cents, shared by the sampled-pairs
+    trend family (Theil-Sen, Kendall)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+    ).cast("bigint")
+    return (
+        o.join(c, "o_custkey")
+        .select(
+            "seg",
+            dn.alias("dn"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("seg", "dn")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def _seg_ranked(daily: DataFrame) -> DataFrame:
+    """Adds the per-segment 0-based day index i and segment day count n —
+    the coordinates the deterministic pair sampler draws over."""
+    return daily.select(
+        "*",
+        (F.row_number().over(W.partitionBy("seg").orderBy("dn")) - 1)
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("seg"))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+
+def _seg_sampled_pairs(ranked: DataFrame) -> DataFrame:
+    """The deterministic-hash sampled pair set (seg, lo, hi): each indexed
+    day draws TS_SAMPLE_K partners j = (i + 1 + u32(md5(seg:i:r)) mod
+    (n−1)) mod n — a pure hash of row identity, so the pair SET is a
+    deterministic function of the data alone (replayable in any engine,
+    arrival-order-free). O(n·K) pairs per key instead of n·(n−1)/2."""
+    gen = ranked.filter(F.col("n") >= 2).select(
+        "seg",
+        "i",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(TS_SAMPLE_K - 1))).alias("r"),
+    )
+    u = _kmv_u32(F.concat_ws(":", F.col("seg"), F.col("i"), F.col("r")))
+    j = (F.col("i") + F.lit(1) + (u % (F.col("n") - F.lit(1)))) % F.col("n")
+    return gen.select(
+        "seg",
+        F.least(F.col("i"), j).alias("lo"),
+        F.greatest(F.col("i"), j).alias("hi"),
+    ).distinct()
+
+
+_SEG_SAMPLED_CTES = f"""sdaily AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS BIGINT) AS dn,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT seg, dn, cents, n_orders,
+         CAST(row_number() OVER (PARTITION BY seg ORDER BY dn) - 1 AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+  FROM sdaily),
+gen AS (
+  SELECT seg, i, n, r
+  FROM ranked CROSS JOIN (SELECT unnest(generate_series(0, {TS_SAMPLE_K - 1})) AS r) rs
+  WHERE n >= 2),
+jj AS (
+  SELECT seg, i,
+         (i + 1 + ({_kmv_u32_sql("seg || ':' || i || ':' || r")} % (n - 1))) % n AS j
+  FROM gen),
+pairs AS (
+  SELECT DISTINCT seg, least(i, j) AS lo, greatest(i, j) AS hi FROM jj)"""
 
 
 def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2533,51 +2623,13 @@ def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (seg, index) equi-keys — never a quadratic join; the exact-fit
     audit columns are the only CALENDAR²-bounded stage and are exactly
     what the billions-of-keys deployment drops."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    dn = F.datediff(
-        F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
-    ).cast("bigint")
-    daily = (
-        o.join(c, "o_custkey")
-        .select(
-            "seg",
-            dn.alias("dn"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        .groupBy("seg", "dn")
-        .agg(F.sum("cents").cast("bigint").alias("cents"))
-    )
-    ranked = daily.select(
-        "seg",
-        "dn",
-        "cents",
-        (F.row_number().over(W.partitionBy("seg").orderBy("dn")) - 1)
-        .cast("bigint")
-        .alias("i"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("seg"))
-        .cast("bigint")
-        .alias("n"),
-    )
-    gen = ranked.filter(F.col("n") >= 2).select(
-        "seg",
-        "i",
-        "n",
-        F.explode(F.sequence(F.lit(0), F.lit(TS_SAMPLE_K - 1))).alias("r"),
-    )
-    u = _kmv_u32(F.concat_ws(":", F.col("seg"), F.col("i"), F.col("r")))
-    j = (F.col("i") + F.lit(1) + (u % (F.col("n") - F.lit(1)))) % F.col("n")
-    pairs = gen.select(
-        "seg",
-        F.least(F.col("i"), j).alias("lo"),
-        F.greatest(F.col("i"), j).alias("hi"),
-    ).distinct()
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    # the calendar-bounded (seg, day) frame feeds four branches (ranked,
+    # exact a/b sides, ndays) — checkpoint once so orders+customer scan once
+    daily, _ = tracked_local_checkpoint(_seg_daily(spark, sf_dir), register=True)
+    ranked = _seg_ranked(daily)
+    pairs = _seg_sampled_pairs(ranked)
     pa = ranked.select(
         "seg",
         F.col("i").alias("lo"),
@@ -2603,10 +2655,23 @@ def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(slope, 0.5)").alias("slope_sampled"),
         )
     )
-    a = daily.select("seg", F.col("dn").alias("dn_a"), F.col("cents").alias("ya"))
-    b = daily.select("seg", F.col("dn").alias("dn_b"), F.col("cents").alias("yb"))
+    # the audit-only exact branch joins on just |segments| keys — salt the
+    # a-side by dn mod TS_SALT (b-side replicated TS_SALT x) so the pair
+    # build runs |segments|·TS_SALT-way parallel instead of |segments|-way;
+    # the pair set (and thus the exact median) is unchanged
+    a = daily.select(
+        "seg",
+        F.col("dn").alias("dn_a"),
+        F.col("cents").alias("ya"),
+        F.pmod(F.col("dn"), F.lit(TS_SALT)).alias("salt"),
+    )
+    b = daily.select(
+        "seg", F.col("dn").alias("dn_b"), F.col("cents").alias("yb")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(TS_SALT - 1))).alias("salt")
+    )
     exact = (
-        a.join(b, "seg")
+        a.join(b, ["seg", "salt"])
         .filter(F.col("dn_b") > F.col("dn_a"))
         .select("seg", slope.alias("slope"))
         .groupBy("seg")
@@ -2637,27 +2702,7 @@ def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 THEIL_SEN_SAMPLED_SQL = f"""
-WITH sdaily AS (
-  SELECT c.c_mktsegment AS seg,
-         CAST(CAST(o.o_orderdate AS DATE) - DATE '{SEAS_ANCHOR}' AS BIGINT) AS dn,
-         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-  GROUP BY 1, 2),
-ranked AS (
-  SELECT seg, dn, cents,
-         CAST(row_number() OVER (PARTITION BY seg ORDER BY dn) - 1 AS BIGINT) AS i,
-         CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
-  FROM sdaily),
-gen AS (
-  SELECT seg, i, n, r
-  FROM ranked CROSS JOIN (SELECT unnest(generate_series(0, {TS_SAMPLE_K - 1})) AS r) rs
-  WHERE n >= 2),
-jj AS (
-  SELECT seg, i,
-         (i + 1 + ({_kmv_u32_sql("seg || ':' || i || ':' || r")} % (n - 1))) % n AS j
-  FROM gen),
-pairs AS (
-  SELECT DISTINCT seg, least(i, j) AS lo, greatest(i, j) AS hi FROM jj),
+WITH {_SEG_SAMPLED_CTES},
 samp AS (
   SELECT p.seg,
          CAST(count(*) AS BIGINT) AS n_pairs_sampled,
@@ -2681,6 +2726,164 @@ SELECT nd.seg AS seg, n_days, n_pairs_exact, n_pairs_sampled,
        round(abs(slope_sampled - slope_exact), 6) AS slope_abs_err
 FROM nd JOIN exact ON exact.seg = nd.seg JOIN samp ON samp.seg = nd.seg
 ORDER BY seg
+"""
+
+
+def kendall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Kendall τ-b (daily revenue vs order count, per
+    c_mktsegment) from the SAME deterministic-hash sampled pair set as
+    rel_theil_sen_sampled — the second consumer that makes the sampler a
+    family: concordance statistics are pair-set aggregates, so the
+    identical O(n·K) pair generation feeds a different kernel with zero
+    new state. The exact per-segment τ-b rides along as audit columns
+    (the lake's segments are calendar-bounded; a billions-of-keys
+    deployment keeps only the sampled columns) — τ-b over a sampled pair
+    set is a U-statistic subsample estimate of the population τ.
+
+    Same determinism discipline as the parent queries: signs are exact
+    integer signum products, counts are BIGINTs, the one double is the
+    final τ-b divide, and the sampled pair SET is a pure function of the
+    data (md5-u32 row-identity draws, DISTINCT normalized index pairs).
+
+    Scale: the one data-sized pass is the shared (seg, day) aggregate;
+    sampled pair generation is explode(K) + (seg, index) equi-joins; the
+    exact branch is the audit-only CALENDAR²-bounded stage."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    daily, _ = tracked_local_checkpoint(_seg_daily(spark, sf_dir), register=True)
+    ranked = _seg_ranked(daily)
+    pairs = _seg_sampled_pairs(ranked)
+
+    def tau_agg(p: DataFrame, n_name: str, tau_name: str) -> DataFrame:
+        agg = p.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.sum(F.when((F.col("sx") * F.col("sy")) == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.when((F.col("sx") * F.col("sy")) == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+            F.sum(F.when((F.col("sx") == 0) & (F.col("sy") != 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when((F.col("sy") == 0) & (F.col("sx") != 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+            F.sum(F.when((F.col("sx") == 0) & (F.col("sy") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("txy"),
+        )
+        dd = lambda c: F.col(c).cast("double")  # noqa: E731
+        tau = (dd("c") - dd("d")) / F.sqrt(
+            (dd("n0") - dd("tx") - dd("txy")) * (dd("n0") - dd("ty") - dd("txy"))
+        )
+        return agg.select(
+            "seg",
+            F.col("n0").alias(n_name),
+            F.round(tau, 6).alias(tau_name),
+        )
+
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("bigint")
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("bigint")
+    pa = ranked.select(
+        "seg",
+        F.col("i").alias("lo"),
+        F.col("cents").alias("xa"),
+        F.col("n_orders").alias("ya"),
+    )
+    pb = ranked.select(
+        "seg",
+        F.col("i").alias("hi"),
+        F.col("cents").alias("xb"),
+        F.col("n_orders").alias("yb"),
+    )
+    samp = tau_agg(
+        pairs.join(pa, ["seg", "lo"])
+        .join(pb, ["seg", "hi"])
+        .select("seg", sx.alias("sx"), sy.alias("sy")),
+        "n_pairs_sampled",
+        "tau_b_sampled",
+    )
+    a = daily.select(
+        "seg",
+        F.col("dn").alias("dn_a"),
+        F.col("cents").alias("xa"),
+        F.col("n_orders").alias("ya"),
+    )
+    b = daily.select(
+        "seg",
+        F.col("dn").alias("dn_b"),
+        F.col("cents").alias("xb"),
+        F.col("n_orders").alias("yb"),
+    )
+    exact = tau_agg(
+        a.join(b, "seg")
+        .filter(F.col("dn_b") > F.col("dn_a"))
+        .select("seg", sx.alias("sx"), sy.alias("sy")),
+        "n_pairs_exact",
+        "tau_b_exact",
+    )
+    ndays = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        ndays.join(exact, "seg")
+        .join(samp, "seg")
+        .select(
+            "seg",
+            "n_days",
+            "n_pairs_exact",
+            "n_pairs_sampled",
+            "tau_b_exact",
+            "tau_b_sampled",
+            F.round(F.abs(F.col("tau_b_sampled") - F.col("tau_b_exact")), 6).alias(
+                "tau_abs_err"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+def _kendall_tau_sql_frag(src: str, cond: str) -> str:
+    return f"""
+  SELECT seg, CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN sx = 0 AND sy != 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN sy = 0 AND sx != 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM ({src}) {cond} GROUP BY seg"""
+
+
+KENDALL_SAMPLED_SQL = f"""
+WITH {_SEG_SAMPLED_CTES},
+sp AS ({_kendall_tau_sql_frag(
+    f'''SELECT p.seg AS seg,
+        CAST(sign(pb.cents - pa.cents) AS BIGINT) AS sx,
+        CAST(sign(pb.n_orders - pa.n_orders) AS BIGINT) AS sy
+    FROM pairs p
+    JOIN ranked pa ON pa.seg = p.seg AND pa.i = p.lo
+    JOIN ranked pb ON pb.seg = p.seg AND pb.i = p.hi''', '')}),
+ex AS ({_kendall_tau_sql_frag(
+    '''SELECT a.seg AS seg,
+        CAST(sign(b.cents - a.cents) AS BIGINT) AS sx,
+        CAST(sign(b.n_orders - a.n_orders) AS BIGINT) AS sy
+    FROM sdaily a JOIN sdaily b ON b.seg = a.seg AND b.dn > a.dn''', '')}),
+nd AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days FROM sdaily GROUP BY 1),
+taus AS (
+  SELECT nd.seg AS seg, n_days,
+         ex.n0 AS n_pairs_exact, sp.n0 AS n_pairs_sampled,
+         round(CAST(ex.c - ex.d AS DOUBLE)
+               / sqrt(CAST(ex.n0 - ex.tx - ex.txy AS DOUBLE)
+                      * CAST(ex.n0 - ex.ty - ex.txy AS DOUBLE)), 6) AS tau_b_exact,
+         round(CAST(sp.c - sp.d AS DOUBLE)
+               / sqrt(CAST(sp.n0 - sp.tx - sp.txy AS DOUBLE)
+                      * CAST(sp.n0 - sp.ty - sp.txy AS DOUBLE)), 6) AS tau_b_sampled
+  FROM nd JOIN ex ON ex.seg = nd.seg JOIN sp ON sp.seg = nd.seg)
+SELECT seg, n_days, n_pairs_exact, n_pairs_sampled,
+       tau_b_exact, tau_b_sampled,
+       round(abs(tau_b_sampled - tau_b_exact), 6) AS tau_abs_err
+FROM taus ORDER BY seg
 """
 
 
@@ -8597,6 +8800,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_autocorrelation", autocorrelation, ACF_SQL),
     ("rel_theil_sen", theil_sen, THEIL_SEN_SQL),
     ("rel_theil_sen_sampled", theil_sen_sampled, THEIL_SEN_SAMPLED_SQL),
+    ("rel_kendall_sampled", kendall_sampled, KENDALL_SAMPLED_SQL),
     ("rel_gini_concentration", gini_concentration, _gini_sql()),
     ("rel_kaplan_meier", kaplan_meier, KAPLAN_MEIER_SQL),
     ("rel_markov_stationary", markov_stationary, _markov_sql()),

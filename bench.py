@@ -54,6 +54,13 @@ HEADLINE = [
     # scaling history: 1.74x wall at 4x replicas, r9 PERF.md). New key —
     # absent from the r1 baseline total, compare round-over-round only.
     "llm_graph_centrality_prior",
+    # round-11 addition (r10 VERDICT item 6): the heaviest statistics-family
+    # key — the one-pass Poisson bootstrap (~5.6 s standalone at sf0.1; the
+    # x64 replicate explode collapses map-side inside the scan stage, so a
+    # regression here means the fan_out repartition or the partial-agg
+    # shape slipped). Scaling history: 2.21x wall at 4x data (r10 PERF.md).
+    # New key — absent from the r1 baseline total, compare round-over-round.
+    "rel_poisson_bootstrap_ci",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles

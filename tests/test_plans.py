@@ -1965,3 +1965,89 @@ def test_theil_sen_sampled_matches_reference(spark):
     for seg, n_days, n_ex, n_samp, _, _, _ in got:
         assert 0 < n_samp <= TS_SAMPLE_K * n_days  # O(n·K), never n²
         assert n_samp < n_ex  # the sampling actually saves work
+
+
+def test_kendall_sampled_matches_reference(spark):
+    """Sampled per-segment Kendall tau-b vs a pure-Python replay: the
+    SAME md5-u32 pair sampler as the Theil-Sen variant feeding the
+    concordance kernel — identical draws, normalized distinct pairs,
+    exact integer sign classification for BOTH the exact and sampled
+    branches, the one double being the final tau-b divide."""
+    import hashlib
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SEAS_ANCHOR,
+        TS_SAMPLE_K,
+        kendall_sampled,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    import datetime as _dt
+
+    sf = "/root/testdata/sf0.001"
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    anchor = _dt.date.fromisoformat(SEAS_ANCHOR)
+    daily: dict[str, dict[int, list]] = {}
+    for r in (
+        load(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        d = r.o_orderdate
+        if isinstance(d, _dt.datetime):
+            d = d.date()
+        dn = (d - anchor).days
+        seg = seg_of[r.o_custkey]
+        s = daily.setdefault(seg, {})
+        cur = s.setdefault(dn, [0, 0])
+        cur[0] += int(round(r.o_totalprice * 100))
+        cur[1] += 1
+
+    def u32(s: str) -> int:
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[:4], 16) * 65536 + int(h[4:8], 16)
+
+    def sgn(v: int) -> int:
+        return (v > 0) - (v < 0)
+
+    def tau(pair_rows):
+        n0 = len(pair_rows)
+        c = sum(1 for sx, sy in pair_rows if sx * sy == 1)
+        d = sum(1 for sx, sy in pair_rows if sx * sy == -1)
+        tx = sum(1 for sx, sy in pair_rows if sx == 0 and sy != 0)
+        ty = sum(1 for sx, sy in pair_rows if sy == 0 and sx != 0)
+        txy = sum(1 for sx, sy in pair_rows if sx == 0 and sy == 0)
+        t = (c - d) / math.sqrt(
+            float(n0 - tx - txy) * float(n0 - ty - txy)
+        )
+        return n0, round(t, 6)
+
+    want = []
+    for seg in sorted(daily):
+        rows = sorted(daily[seg].items())  # [(dn, [cents, n_orders])]
+        n = len(rows)
+        ex = [
+            (sgn(rows[j][1][0] - rows[i][1][0]),
+             sgn(rows[j][1][1] - rows[i][1][1]))
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        pairs = set()
+        for i in range(n):
+            for r_ in range(TS_SAMPLE_K):
+                j = (i + 1 + u32(f"{seg}:{i}:{r_}") % (n - 1)) % n
+                pairs.add((min(i, j), max(i, j)))
+        sp = [
+            (sgn(rows[hi][1][0] - rows[lo][1][0]),
+             sgn(rows[hi][1][1] - rows[lo][1][1]))
+            for lo, hi in sorted(pairs)
+        ]
+        (ne, te), (ns, ts_) = tau(ex), tau(sp)
+        want.append((seg, n, ne, ns, te, ts_, round(abs(ts_ - te), 6)))
+    got = [tuple(r) for r in kendall_sampled(spark, sf).collect()]
+    assert got == want and want
