@@ -193,6 +193,10 @@ def main() -> int:
         "rel_poisson_bootstrap_ci": relational.poisson_bootstrap_ci,
         "llm_naive_bayes_langid": llm.naive_bayes_langid,
         "llm_source_jsd_matrix": llm.source_jsd_matrix,
+        # round-11 addition: SRP cosine-LSH under the distinct-text model
+        # (SRP_DIM bucket vectors see a growing vocabulary; band-bucket
+        # populations — the thing to watch — must keep candidates linear)
+        "llm_srp_near_dup": llm.srp_near_dup,
     }
     only = list(argv)
     if only:

@@ -71,6 +71,12 @@ FOLD_HEAVY = (
     "llm_naive_bayes_langid",
     "rel_poisson_bootstrap_ci",
     "llm_token_burstiness",
+    # round-11 fold path: SRP signatures integer-project a 10x vocabulary
+    # (distinct-suffixed replicas) and the exact-cosine verification
+    # divides sqrt products of 10x-larger integer norms. The sampled
+    # trend family (theil_sen/kendall sampled) is orders-based and
+    # deliberately absent — orders stays sf0.1-sized in this lake
+    "llm_srp_near_dup",
 )
 
 ALL_TABLES = (
