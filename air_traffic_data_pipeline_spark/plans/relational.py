@@ -2628,6 +2628,13 @@ def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the calendar-bounded (seg, day) frame feeds four branches (ranked,
     # exact a/b sides, ndays) — checkpoint once so orders+customer scan once
     daily, _ = tracked_local_checkpoint(_seg_daily(spark, sf_dir), register=True)
+    return theil_sen_sampled_from_seg_daily(daily)
+
+
+def theil_sen_sampled_from_seg_daily(daily: DataFrame) -> DataFrame:
+    """The sampler + dual-median tail over any (seg, dn, cents, …) daily
+    frame — shared with the streaming mirror, whose per-batch keyed daily
+    cent partials merge by exact addition into the same frame."""
     ranked = _seg_ranked(daily)
     pairs = _seg_sampled_pairs(ranked)
     pa = ranked.select(
@@ -2751,6 +2758,12 @@ def kendall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.checkpoints import tracked_local_checkpoint
 
     daily, _ = tracked_local_checkpoint(_seg_daily(spark, sf_dir), register=True)
+    return kendall_sampled_from_seg_daily(daily)
+
+
+def kendall_sampled_from_seg_daily(daily: DataFrame) -> DataFrame:
+    """The sampler + dual-concordance tail over any (seg, dn, cents,
+    n_orders) daily frame — shared with the streaming mirror."""
     ranked = _seg_ranked(daily)
     pairs = _seg_sampled_pairs(ranked)
 

@@ -887,6 +887,40 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_theil_sen_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.orders_stream import incremental_theil_sen_sampled
+
+    return incremental_theil_sen_sampled(spark, sf_dir)
+
+
+def _theil_sen_sampled_oracle_sql() -> str:
+    """Keyed (seg, day) daily partials merged by integer SUM; the
+    deterministic pair sampler and both audit medians rerun over the
+    merged series at emission — must equal the one-shot sampled fit
+    bitwise; the batch query's SQL IS the oracle."""
+    from .relational import THEIL_SEN_SAMPLED_SQL
+
+    return THEIL_SEN_SAMPLED_SQL
+
+
+def stream_incremental_kendall_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.orders_stream import incremental_kendall_sampled
+
+    return incremental_kendall_sampled(spark, sf_dir)
+
+
+def _kendall_sampled_oracle_sql() -> str:
+    """Same keyed daily state, concordance kernel at emission — the batch
+    query's SQL IS the oracle."""
+    from .relational import KENDALL_SAMPLED_SQL
+
+    return KENDALL_SAMPLED_SQL
+
+
 def stream_incremental_seasonal_retract(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1089,6 +1123,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
+    ("stream_incremental_theil_sen_sampled", stream_incremental_theil_sen_sampled, _theil_sen_sampled_oracle_sql()),
+    ("stream_incremental_kendall_sampled", stream_incremental_kendall_sampled, _kendall_sampled_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
     ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),

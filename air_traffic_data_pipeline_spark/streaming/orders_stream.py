@@ -1506,3 +1506,109 @@ def incremental_seasonal_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _incremental_from_seg_daily_state(
+    spark: SparkSession, sf_dir: str, tag: str, kernel
+) -> DataFrame:
+    """KEYED daily-revenue state for the sampled-trend mirror family
+    (per-segment Theil-Sen / Kendall): `_incremental_from_daily_state`
+    with the state key widened from the calendar day to (c_mktsegment,
+    day). Each micro-batch STREAM-STATIC-joins the customer dimension
+    (the enrichment every real order stream does) and lands its
+    (seg, dn, cents, n_orders) partial — plain BIGINT sums, so partials
+    merge by addition into the exact keyed series. The deterministic
+    pair sampler downstream is a pure function of the MERGED series
+    (md5 of (seg, day-index, draw)), so the sampled pair set — and both
+    audit branches — are arrival-order-free by construction; emission
+    reruns the shared kernel over the merged |segments|·calendar rows."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import SEAS_ANCHOR
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_order_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_{tag}_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/segdaily"
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        dn = F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit(SEAS_ANCHOR))
+        ).cast("bigint")
+        part = (
+            batch_df.join(cust, "o_custkey")
+            .select(
+                "seg",
+                dn.alias("dn"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("seg", "dn")
+            .agg(
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            )
+        )
+        part.write.mode("overwrite").parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(ORDERS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("seg", "dn")
+            .agg(
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+            )
+        )
+        merged, _ = tracked_local_checkpoint(merged, register=True)
+        out, _ = tracked_local_checkpoint(kernel(merged), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental sampled per-segment Theil-Sen — bitwise
+    equal to the one-shot ``plans.relational.theil_sen_sampled`` (its
+    SQL is the oracle). A new day shifts every later day's per-segment
+    index i, which re-seeds the sampler's partner draws — so the sampled
+    pair set is a corpus-global function and emission reruns the sampler
+    + both medians over the merged keyed series."""
+    from ..plans.relational import theil_sen_sampled_from_seg_daily
+
+    return _incremental_from_seg_daily_state(
+        spark, sf_dir, "tss", theil_sen_sampled_from_seg_daily
+    )
+
+
+def incremental_kendall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental sampled per-segment Kendall τ-b — bitwise
+    equal to the one-shot ``plans.relational.kendall_sampled`` (its SQL
+    is the oracle). Same keyed daily state as the Theil-Sen mirror, a
+    different emission kernel — the batch family's sampler-sharing
+    carried over to the mirrors."""
+    from ..plans.relational import kendall_sampled_from_seg_daily
+
+    return _incremental_from_seg_daily_state(
+        spark, sf_dir, "kts", kendall_sampled_from_seg_daily
+    )

@@ -1674,3 +1674,25 @@ def test_seasonal_day_removal_breaks_trend_window(spark):
     assert len(out_full) == 1 and out_full[0].dow_idx == 3
     cancelled = full.filter(F.col("dn") != 6)
     assert seasonal_from_daily(cancelled).count() == 0
+
+
+def test_incremental_sampled_trend_mirrors_equal_batch(spark):
+    """The keyed-daily-state mirror pair: per-(segment, day) BIGINT
+    partials with stream-static customer enrichment must reproduce both
+    one-shot sampled-trend fits bitwise — a new day re-indexes every
+    later day per segment (re-seeding the sampler), so emission reruns
+    the sampler over the merged series and the equality proves the
+    sampled pair set is a pure function of the merged data."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        incremental_kendall_sampled,
+        incremental_theil_sen_sampled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want_ts = [tuple(r) for r in relational.theil_sen_sampled(spark, sf).collect()]
+    got_ts = [tuple(r) for r in incremental_theil_sen_sampled(spark, sf).collect()]
+    assert got_ts == want_ts and want_ts
+    want_kt = [tuple(r) for r in relational.kendall_sampled(spark, sf).collect()]
+    got_kt = [tuple(r) for r in incremental_kendall_sampled(spark, sf).collect()]
+    assert got_kt == want_kt and want_kt
