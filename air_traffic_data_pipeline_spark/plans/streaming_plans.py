@@ -887,6 +887,22 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_srp_near_dup
+
+    return incremental_srp_near_dup(spark, sf_dir)
+
+
+def _srp_oracle_sql() -> str:
+    """Per-doc stateless SRP signatures landed once per arrival batch;
+    batch-vs-landed band-keyed candidates verified by the exact
+    integer-dot cosine — must equal the one-shot SRP join bitwise; the
+    batch query's SQL IS the oracle."""
+    from .llm import _SRP_NEAR_DUP_SQL
+
+    return _SRP_NEAR_DUP_SQL
+
+
 def stream_incremental_theil_sen_sampled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1123,6 +1139,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
+    ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
     ("stream_incremental_theil_sen_sampled", stream_incremental_theil_sen_sampled, _theil_sen_sampled_oracle_sql()),
     ("stream_incremental_kendall_sampled", stream_incremental_kendall_sampled, _kendall_sampled_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -1442,3 +1442,129 @@ def incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SRP cosine-LSH near-dup — bitwise equal to
+    the one-shot ``plans.llm.srp_near_dup`` (its SQL is the oracle),
+    completing the every-blocker-has-a-mirror story (minhash has
+    incremental_near_dup_survivors; SRP gets the same shape).
+
+    SRP's state story is the friendliest in the blocker family: the
+    signature is PER-DOC STATELESS (md5 hyperplane parities of the
+    doc's own hashed count vector — no corpus statistics), so each doc
+    computes its bands and sparse bucket counts EXACTLY ONCE, in its
+    arrival batch. State = the landed (doc_id, band, key) band rows +
+    (doc_id, b, c) bucket counts. Per batch, candidates are the
+    band-keyed equi-join of the BATCH's band rows against ALL landed
+    rows (id-ordered staging makes every a<b pair land in b's batch,
+    the minhash mirror's discipline), verified by the exact integer-dot
+    cosine against landed bucket counts — new docs only ever join, the
+    corpus is never re-paired. Epoch-scoped overwrite keeps every write
+    replay-idempotent.
+
+    At 100 TB: per-batch work is batch-sized × bucket-collision-sized;
+    state grows linearly in docs (the signature table a production
+    deployment materializes anyway)."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import (
+        SRP_COS_MIN,
+        _srp_band_rows,
+        _srp_bucket_counts,
+    )
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_srp_{_uuid.uuid4().hex[:8]}"
+    per_dir = f"{base}/per"
+    bands_dir = f"{base}/bands"
+    pairs_dir = f"{base}/pairs"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        per_b = _srp_bucket_counts(batch_df.select("doc_id", "text"))
+        per_b.write.mode("overwrite").parquet(f"{per_dir}/batch={epoch_id}")
+        per_b = sp.read.parquet(f"{per_dir}/batch={epoch_id}")
+        _srp_band_rows(per_b).write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={epoch_id}"
+        )
+        bands_b = sp.read.parquet(f"{bands_dir}/batch={epoch_id}")
+        bands_all = sp.read.parquet(f"{bands_dir}/batch=*")
+        per_all = sp.read.parquet(f"{per_dir}/batch=*")
+        cand = (
+            bands_all.select(F.col("doc_id").alias("doc_a"), "band", "key")
+            .join(
+                bands_b.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+                ["band", "key"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        ssq = per_all.groupBy("doc_id").agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq")
+        )
+        pa = per_all.select(
+            F.col("doc_id").alias("doc_a"), "b", F.col("c").alias("ca")
+        )
+        pb = per_all.select(
+            F.col("doc_id").alias("doc_b"), "b", F.col("c").alias("cb")
+        )
+        dots = (
+            cand.join(pa, "doc_a")
+            .join(pb, ["doc_b", "b"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+        )
+        cos = F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("ssq_a").cast("double"))
+                * F.sqrt(F.col("ssq_b").cast("double"))
+            ),
+            6,
+        )
+        verified = (
+            dots.join(
+                ssq.select(
+                    F.col("doc_id").alias("doc_a"), F.col("ssq").alias("ssq_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                ssq.select(
+                    F.col("doc_id").alias("doc_b"), F.col("ssq").alias("ssq_b")
+                ),
+                "doc_b",
+            )
+            .withColumn("cos_sim", cos)
+            .filter(F.col("cos_sim") >= F.lit(SRP_COS_MIN))
+            .select("doc_a", "doc_b", "cos_sim")
+        )
+        verified.write.mode("overwrite").parquet(f"{pairs_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = (
+            spark.read.parquet(f"{pairs_dir}/batch=*")
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

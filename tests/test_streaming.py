@@ -1696,3 +1696,20 @@ def test_incremental_sampled_trend_mirrors_equal_batch(spark):
     want_kt = [tuple(r) for r in relational.kendall_sampled(spark, sf).collect()]
     got_kt = [tuple(r) for r in incremental_kendall_sampled(spark, sf).collect()]
     assert got_kt == want_kt and want_kt
+
+
+def test_incremental_srp_equals_batch(spark):
+    """The SRP mirror: per-doc stateless signatures landed once per
+    arrival batch, batch-vs-landed band candidates, exact-cosine
+    verification — must reproduce the one-shot SRP near-dup join
+    bitwise (id-ordered staging makes every a<b pair land in b's
+    batch, so the union of per-batch verified pairs IS the join)."""
+    from air_traffic_data_pipeline_spark.plans.llm import srp_near_dup
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_srp_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in srp_near_dup(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_srp_near_dup(spark, sf).collect()]
+    assert got == want and want
