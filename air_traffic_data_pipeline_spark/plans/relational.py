@@ -2900,6 +2900,130 @@ FROM taus ORDER BY seg
 """
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over the orders table — the DESCRIBE/SUMMARY class
+    of warehouse operator (per column: row count, null count, exact
+    distinct count, lexicographic min/max, modal value + its support)
+    done as ONE scan: every column is projected to a canonical string,
+    the projections explode into (column, value) rows inside the scan
+    stage, and everything downstream aggregates the (column, value)
+    count table. The modal value breaks count ties by value ascending —
+    deterministic in both engines.
+
+    Canonicalization is part of the operator contract: doubles render as
+    exact cent BIGINTs and timestamps as yyyy-MM-dd strings, because
+    engine-native double→string casts are NOT portable (Spark prints
+    scientific notation where DuckDB prints decimals) and a profiler
+    whose output depends on the engine is not a profiler.
+
+    Scale: one scan; the explode multiplies rows by |columns| but
+    collapses immediately into the map-side-combining (column, value)
+    aggregate — the same cost class as |columns| separate GROUP BYs
+    fused into one pass; per-column reductions then run over
+    distinct-value-sized frames."""
+    o = load(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        (
+            "o_totalprice_cents",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        ),
+        (
+            "o_orderdate",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+        ),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    vals = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("c"), e.alias("v"))
+                    for n, e in cols
+                ]
+            )
+        ).alias("cv")
+    ).select(F.col("cv.c").alias("c"), F.col("cv.v").alias("v"))
+    counts = vals.groupBy("c", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    nn = counts.filter(F.col("v").isNotNull())
+    rn = F.row_number().over(
+        W.partitionBy("c").orderBy(F.col("cnt").desc(), F.col("v").asc())
+    )
+    top = (
+        nn.select("c", "v", "cnt", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("c", F.col("v").alias("top_val"), F.col("cnt").alias("top_count"))
+    )
+    per = counts.groupBy("c").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    return (
+        per.join(top, "c", "left")
+        .select(
+            F.col("c").alias("column_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_val",
+            "max_val",
+            "top_val",
+            "top_count",
+        )
+        .orderBy("column_name")
+    )
+
+
+def _table_profile_sql() -> str:
+    projections = [
+        ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        ("o_orderstatus", "o_orderstatus"),
+        (
+            "o_totalprice_cents",
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        ),
+        ("o_orderdate", "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')"),
+        ("o_orderpriority", "o_orderpriority"),
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT '{n}' AS c, {e} AS v FROM orders" for n, e in projections
+    )
+    return f"""
+WITH vals AS ({union}),
+counts AS (SELECT c, v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY 1, 2),
+top AS (
+  SELECT c, v AS top_val, cnt AS top_count
+  FROM (SELECT c, v, cnt,
+               row_number() OVER (PARTITION BY c ORDER BY cnt DESC, v ASC) AS rn
+        FROM counts WHERE v IS NOT NULL) t
+  WHERE rn = 1),
+per AS (
+  SELECT c,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+         min(v) AS min_val,
+         max(v) AS max_val
+  FROM counts GROUP BY c)
+SELECT per.c AS column_name, n_rows, n_null, n_distinct,
+       min_val, max_val, top_val, top_count
+FROM per LEFT JOIN top ON top.c = per.c
+ORDER BY column_name
+"""
+
+
 GINI_TOP_PCTS = (1, 10)  # top-share cutoffs reported next to the Gini
 
 
@@ -8806,6 +8930,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kmv_set_ops", kmv_set_ops, KMV_SETOP_SQL),
     ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
     ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),
+    ("rel_table_profile", table_profile, _table_profile_sql()),
     ("rel_mann_whitney", mann_whitney, MANN_WHITNEY_SQL),
     ("rel_changepoint_binseg", changepoint_binseg, CHANGEPOINT_SQL),
     ("rel_chi_square_independence", chi_square_independence, CHI_SQUARE_SQL),

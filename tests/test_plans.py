@@ -2051,3 +2051,63 @@ def test_kendall_sampled_matches_reference(spark):
         want.append((seg, n, ne, ns, te, ts_, round(abs(ts_ - te), 6)))
     got = [tuple(r) for r in kendall_sampled(spark, sf).collect()]
     assert got == want and want
+
+
+def test_table_profile_matches_reference(spark):
+    """Column profiler vs a pure-Python replay over the canonical string
+    projections — plus the profiler laws: n_null + n_distinct-covered
+    rows account exactly, min <= top <= max lexicographically, and the
+    key column's distinct count equals its row count (it is a key)."""
+    import datetime as _dt
+
+    from air_traffic_data_pipeline_spark.plans.relational import table_profile
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "orders").collect()
+
+    def canon(r):
+        d = r.o_orderdate
+        if isinstance(d, _dt.datetime):
+            d = d.date()
+        return {
+            "o_orderkey": str(r.o_orderkey),
+            "o_custkey": str(r.o_custkey),
+            "o_orderstatus": r.o_orderstatus,
+            "o_totalprice_cents": str(int(round(r.o_totalprice * 100))),
+            "o_orderdate": d.strftime("%Y-%m-%d"),
+            "o_orderpriority": r.o_orderpriority,
+        }
+
+    per: dict[str, dict] = {}
+    for r in rows:
+        for c, v in canon(r).items():
+            st = per.setdefault(c, {})
+            st[v] = st.get(v, 0) + 1
+    want = []
+    for c in sorted(per):
+        st = per[c]
+        nn = {v: k for v, k in st.items() if v is not None}
+        top_val, top_count = min(
+            nn.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append(
+            (
+                c,
+                sum(st.values()),
+                sum(k for v, k in st.items() if v is None),
+                len(nn),
+                min(nn),
+                max(nn),
+                top_val,
+                top_count,
+            )
+        )
+    got = [tuple(r) for r in table_profile(spark, sf).collect()]
+    assert got == want and want
+    prof = {r[0]: r for r in got}
+    k = prof["o_orderkey"]
+    assert k[3] == k[1] - k[2]  # orderkey is a key: distinct == non-null rows
+    for _, n_rows, n_null, n_distinct, mn, mx, tv, tc in got:
+        assert mn <= tv <= mx
+        assert 1 <= tc <= n_rows - n_null
