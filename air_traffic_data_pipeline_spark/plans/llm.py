@@ -813,6 +813,117 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- Hamming key join (pigeonhole-banded exact ER matching) ----------------
+
+HAM_KEY_LEN = 24  # normalized fixed-length entity key (the SN key, padded)
+HAM_MAX = 2  # match threshold: keys within hamming distance 2
+HAM_BANDS = HAM_MAX + 1  # pigeonhole: ≤2 mismatches cannot touch all 3 bands
+HAM_BAND_LEN = HAM_KEY_LEN // HAM_BANDS
+
+
+def hamming_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Hamming-distance entity-key join with GUARANTEED recall —
+    the classic dirty-ER primitive (typo-tolerant key matching) done
+    with the prefix-filter discipline: keys are the sorted-neighborhood
+    normalization (lowercased alphanumerics) cut/padded to a fixed
+    HAM_KEY_LEN chars; two keys MATCH when ≤ HAM_MAX positions differ.
+    Blocking is the pigeonhole band split (the PassJoin/simhash-lane
+    argument applied to raw characters): split every key into
+    HAM_MAX + 1 equal bands — ≤ HAM_MAX substitutions cannot touch all
+    of them, so any true match shares at least one band VERBATIM, and
+    the band equi-join is recall-complete by theorem. Verification
+    counts mismatched positions with a static unrolled character
+    comparison (24 substring equalities — whole-stage-codegen'd, no
+    UDF).
+
+    Like llm_prefix_filter_join, the ORACLE is deliberately the
+    all-pairs semantics: a driver hash-match is a recall-1.0 proof on
+    data, not a spot check.
+
+    Scale: band keys are 8-char substrings — the same
+    65k+-bucket-cardinality class as the simhash lanes, the least-skewed
+    blocking keys available from raw text; the verify join touches only
+    band-sharing pairs; the hamming expression is 24 byte compares."""
+    norm = F.rpad(
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+            1,
+            HAM_KEY_LEN,
+        ),
+        HAM_KEY_LEN,
+        "#",
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", norm.alias("k"))
+    bands = d.select(
+        "doc_id",
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            F.col("k"), b * HAM_BAND_LEN + 1, HAM_BAND_LEN
+                        ).alias("bkey"),
+                    )
+                    for b in range(HAM_BANDS)
+                ]
+            )
+        ).alias("nb"),
+    ).select("doc_id", "k", F.col("nb.band").alias("band"), F.col("nb.bkey").alias("bkey"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("k").alias("kb"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ka", "kb")
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.when(
+                F.substring(F.col("ka"), i, 1) != F.substring(F.col("kb"), i, 1),
+                1,
+            ).otherwise(0)
+            for i in range(1, HAM_KEY_LEN + 1)
+        ),
+        start=F.lit(0),
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _hamming_key_sql() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substr(ka, {i}, 1) != substr(kb, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, HAM_KEY_LEN + 1)
+    )
+    # the oracle is the ALL-PAIRS semantics: matching it bitwise proves
+    # the pigeonhole blocking missed nothing on this data
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         rpad(substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                     1, {HAM_KEY_LEN}), {HAM_KEY_LEN}, '#') AS k
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS ka, b.k AS kb
+  FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM pairs
+WHERE {ham} <= {HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: corpus minus the higher-id member of every verified
     minhash near-dup pair (greedy keep-lowest-id survivor policy) — the
@@ -13333,6 +13444,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_simhash", simhash, _SIMHASH_SQL),
     ("llm_simhash_near_dup", simhash_near_dup, _SIMHASH_NEAR_DUP_SQL),
     ("llm_srp_near_dup", srp_near_dup, _SRP_NEAR_DUP_SQL),
+    ("llm_hamming_key_join", hamming_key_join, _hamming_key_sql()),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),

@@ -4535,3 +4535,49 @@ def test_ppjoin_positional_filter_tightens_candidates(spark):
     true_pairs = {(r.doc_a, r.doc_b)
                   for r in prefix_filter_join(spark, sf).collect()}
     assert true_pairs <= lpos and true_pairs  # no true pair pruned
+
+
+def test_hamming_key_join_matches_reference(spark):
+    """Hamming key join vs a pure-Python all-pairs replay (the oracle
+    semantics recomputed independently) — plus the pigeonhole law the
+    blocking rests on: every emitted pair shares at least one verbatim
+    band, and a synthetic pair with HAM_MAX substitutions spread across
+    two bands is still caught through its untouched third band."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        HAM_BAND_LEN,
+        HAM_BANDS,
+        HAM_KEY_LEN,
+        HAM_MAX,
+        hamming_key_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import re
+
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    keys = {}
+    for r in docs:
+        k = re.sub(r"[^a-z0-9]", "", r.text.lower())[:HAM_KEY_LEN]
+        keys[r.doc_id] = k + "#" * (HAM_KEY_LEN - len(k))
+    ids = sorted(keys)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(1 for x, y in zip(keys[a], keys[b]) if x != y)
+            if h <= HAM_MAX:
+                want.append((a, b, h))
+    got = [tuple(r) for r in hamming_key_join(spark, sf).collect()]
+    assert got == want and want
+    for a, b, _ in got:  # the pigeonhole invariant, checked on data
+        shares = any(
+            keys[a][s * HAM_BAND_LEN:(s + 1) * HAM_BAND_LEN]
+            == keys[b][s * HAM_BAND_LEN:(s + 1) * HAM_BAND_LEN]
+            for s in range(HAM_BANDS)
+        )
+        assert shares
+    # synthetic: 2 substitutions in bands 0 and 1 -> caught via band 2
+    ka = "abcdefghijklmnopqrstuvwx"
+    kb = "Xbcdefgh" + "iXklmnop" + "qrstuvwx"
+    h = sum(1 for x, y in zip(ka, kb) if x != y)
+    assert h == HAM_MAX
+    assert ka[2 * HAM_BAND_LEN:] == kb[2 * HAM_BAND_LEN:]
