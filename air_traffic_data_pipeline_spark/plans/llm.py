@@ -3030,6 +3030,74 @@ WHERE {u} / CAST(65536.0 AS DOUBLE) < (CASE {cases} ELSE CAST(0.5 AS DOUBLE) END
 """
 
 
+PRIO_K = 20  # docs kept per source by the priority sampler
+PRIO_SCALE = 1 << 32  # priority quantization: w·2^32 // u
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without RNG state: per source, keep the top
+    PRIO_K docs by PRIORITY w/u (Duffield-Lund-Thorup priority sampling,
+    JACM 2007 — the weighted companion to stratified_sample's uniform
+    hash gate): w = n_chars (long docs proportionally likelier), u a
+    pure md5-u32 hash of doc_id in [1, 2^32]. Deterministic end to end —
+    re-running a failed partition at 100 TB, or re-running the whole
+    job, selects the identical sample, and the oracle replays it
+    exactly.
+
+    Exactness twist: the ratio w/u cannot be ordered portably as a
+    double (last-ulp division differences could flip ranks between
+    engines), so the priority is QUANTIZED to the exact BIGINT
+    w·2^32 // u (w·2^32 ≤ ~4e16 < 2^63 — no overflow; resolution 2^-32
+    relative, far below any real weight gap), ties broken by doc_id.
+    Both engines evaluate the identical integer, so the sample is
+    bitwise reproducible by construction.
+
+    Scale: one scan, a (source)-keyed top-K window over rank keys —
+    at billions of docs the window becomes the per-partition TakeOrdered
+    + merge Spark already plans for row_number()<=K on keyed windows."""
+    from pyspark.sql import Window
+
+    from .relational import _kmv_u32
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = _kmv_u32(F.col("doc_id").cast("string")) + F.lit(1)
+    prio = F.expr(f"(n_chars * CAST({PRIO_SCALE} AS BIGINT)) DIV u")
+    keyed = d.select(
+        "doc_id", "source", "n_chars", u.cast("bigint").alias("u")
+    ).select("*", prio.alias("priority_q"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("priority_q").desc(), F.col("doc_id").asc()
+        )
+    ).cast("bigint")
+    return (
+        keyed.select("source", "doc_id", "n_chars", "priority_q", rn.alias("rank"))
+        .filter(F.col("rank") <= PRIO_K)
+        .orderBy("source", "rank")
+    )
+
+
+def _priority_sample_sql() -> str:
+    from .relational import _kmv_u32_sql
+
+    u = _kmv_u32_sql("doc_id")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         (n_chars * CAST({PRIO_SCALE} AS BIGINT)) // ({u} + 1) AS priority_q
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, n_chars, priority_q,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY priority_q DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM keyed)
+SELECT source, doc_id, n_chars, priority_q, rank
+FROM ranked WHERE rank <= {PRIO_K}
+ORDER BY source, rank
+"""
+
+
 # --- TF-IDF ----------------------------------------------------------------
 
 TFIDF_MAX_ID = 200
@@ -13445,6 +13513,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_simhash_near_dup", simhash_near_dup, _SIMHASH_NEAR_DUP_SQL),
     ("llm_srp_near_dup", srp_near_dup, _SRP_NEAR_DUP_SQL),
     ("llm_hamming_key_join", hamming_key_join, _hamming_key_sql()),
+    ("llm_priority_sample", priority_sample, _priority_sample_sql()),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),

@@ -4581,3 +4581,43 @@ def test_hamming_key_join_matches_reference(spark):
     h = sum(1 for x, y in zip(ka, kb) if x != y)
     assert h == HAM_MAX
     assert ka[2 * HAM_BAND_LEN:] == kb[2 * HAM_BAND_LEN:]
+
+
+def test_priority_sample_matches_reference(spark):
+    """Priority sampling vs a pure-Python replay: identical md5-u32
+    draws, the exact BIGINT quantized priority w·2^32 // u, per-source
+    top-K with doc_id tiebreak — plus the sampler's statistical law on
+    data: the kept set's mean weight exceeds the corpus mean weight
+    (weighted sampling prefers heavy docs)."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        PRIO_K,
+        PRIO_SCALE,
+        priority_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+
+    def u32(s: str) -> int:
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[:4], 16) * 65536 + int(h[4:8], 16)
+
+    by_src: dict[str, list] = {}
+    for r in docs:
+        u = u32(str(r.doc_id)) + 1
+        pq = (r.n_chars * PRIO_SCALE) // u
+        by_src.setdefault(r.source, []).append((pq, r.doc_id, r.n_chars))
+    want = []
+    for src in sorted(by_src):
+        rows = sorted(by_src[src], key=lambda t: (-t[0], t[1]))[:PRIO_K]
+        for rank, (pq, did, nc) in enumerate(rows, start=1):
+            want.append((src, did, nc, pq, rank))
+    got = [tuple(r) for r in priority_sample(spark, sf).collect()]
+    assert got == want and want
+    kept_mean = sum(r[2] for r in got) / len(got)
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    assert kept_mean > corpus_mean
