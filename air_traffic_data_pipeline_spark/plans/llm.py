@@ -12143,6 +12143,141 @@ TEMP_GRID = [0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0]  # exact doubles
 P_CLAMP = 0.000001  # logit clamp for 6-dp scores that round to 0/1
 
 
+ISO_BINS = 16  # score-quantile bins for the isotonic fit
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the learned quality classifier —
+    the nonparametric rung of the calibration ladder above temperature
+    scaling (Zadrozny & Elkan 2002): fit the best MONOTONE step function
+    from score bins to empirical pass rates. Instead of the sequential
+    pool-adjacent-violators sweep (control flow, not relational
+    algebra), the fit uses PAV's closed-form MINIMAX characterization
+    (Barlow et al. 1972):
+
+        iso(i) = max_{j ≤ i} min_{k ≥ i} mean(y[j..k])
+
+    which is three bounded relational steps over the B = ISO_BINS score
+    bins: prefix sums, the B² interval-average table, and a
+    max-of-min-per-bin reduction — B³ ≈ 4k rows total however large the
+    corpus, all from ONE data-sized (bin, count, positives) aggregate.
+
+    Determinism: bin counts/positives are exact BIGINTs; each interval
+    average is one divide of exact integers (the identical double in
+    both engines); min/max over doubles are order-free. Monotonicity of
+    the output is a THEOREM of the minimax form — the pytest pins it on
+    data and replays a classic sequential PAV to prove the two
+    formulations agree.
+
+    Scale: the one data-sized pass is the (bin) aggregate riding the
+    feature_hashing + gopher plans; everything after is bins-sized."""
+    clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("label")
+    )
+    j = clf.join(gop, "doc_id")
+    bin_ = F.least(
+        F.floor(F.col("clf_score") * F.lit(ISO_BINS)).cast("bigint"),
+        F.lit(ISO_BINS - 1),
+    )
+    bins = (
+        j.select(bin_.alias("bin"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("s"),
+        )
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.row_number().over(W.orderBy("bin")).cast("bigint").alias("i"),
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+    )
+    # j-side carries the EXCLUSIVE prefix (cs/cn up to j-1)
+    jside = pref.select(
+        F.col("i").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_jm1"),
+        (F.col("cs") - F.col("s")).alias("cs_jm1"),
+    )
+    kside = pref.select(
+        F.col("i").alias("k"), F.col("cn").alias("cn_k"), F.col("cs").alias("cs_k")
+    )
+    intervals = jside.join(kside, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("cs_k") - F.col("cs_jm1")).cast("double")
+            / (F.col("cn_k") - F.col("cn_jm1")).cast("double")
+        ).alias("avg"),
+    )
+    idx = pref.select(F.col("i").alias("ii"))
+    fit = (
+        idx.join(
+            intervals,
+            (F.col("j") <= F.col("ii")) & (F.col("k") >= F.col("ii")),
+        )
+        .groupBy("ii", "j")
+        .agg(F.min("avg").alias("m"))
+        .groupBy("ii")
+        .agg(F.max("m").alias("iso"))
+    )
+    return (
+        pref.join(fit, pref["i"] == fit["ii"])
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.col("s").alias("n_pass"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 6
+            ).alias("emp_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _isotonic_sql() -> str:
+    return f"""
+WITH scored AS ({_FEATURE_HASH_SQL.strip()}),
+gop AS ({_gopher_rules_sql().strip()}),
+j AS (
+  SELECT least(CAST(floor(s.clf_score * {ISO_BINS}) AS BIGINT),
+               {ISO_BINS - 1}) AS bin,
+         CAST(g.passes AS BIGINT) AS label
+  FROM scored s JOIN gop g ON g.doc_id = s.doc_id),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS s
+  FROM j GROUP BY bin),
+pref AS (
+  SELECT bin, n, s,
+         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+  FROM bins),
+intervals AS (
+  SELECT js.j, ks.k,
+         CAST(ks.cs_k - js.cs_jm1 AS DOUBLE)
+           / CAST(ks.cn_k - js.cn_jm1 AS DOUBLE) AS avg
+  FROM (SELECT i AS j, cn - n AS cn_jm1, cs - s AS cs_jm1 FROM pref) js
+  JOIN (SELECT i AS k, cn AS cn_k, cs AS cs_k FROM pref) ks ON ks.k >= js.j),
+fit AS (
+  SELECT ii, max(m) AS iso FROM (
+    SELECT p.i AS ii, iv.j, min(iv.avg) AS m
+    FROM pref p JOIN intervals iv ON iv.j <= p.i AND iv.k >= p.i
+    GROUP BY 1, 2) t
+  GROUP BY ii)
+SELECT bin, n AS n_docs, s AS n_pass,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS emp_rate,
+       round(iso, 6) AS iso_rate
+FROM pref JOIN fit ON fit.ii = pref.i
+ORDER BY bin
+"""
+
+
 def temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled recalibration of the learned quality classifier
     (Guo et al. 2017 — the one-parameter fix the calibration_matrix
@@ -13514,6 +13649,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_srp_near_dup", srp_near_dup, _SRP_NEAR_DUP_SQL),
     ("llm_hamming_key_join", hamming_key_join, _hamming_key_sql()),
     ("llm_priority_sample", priority_sample, _priority_sample_sql()),
+    ("llm_isotonic_calibration", isotonic_calibration, _isotonic_sql()),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),

@@ -4621,3 +4621,46 @@ def test_priority_sample_matches_reference(spark):
     kept_mean = sum(r[2] for r in got) / len(got)
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     assert kept_mean > corpus_mean
+
+
+def test_isotonic_calibration_matches_pav(spark):
+    """The minimax isotonic fit vs a CLASSIC sequential
+    pool-adjacent-violators replay — two independent formulations of the
+    same optimum (Barlow et al. 1972), so their agreement on data is the
+    correctness proof; plus the isotonic laws: the fitted rates are
+    nondecreasing in the score bin, and each fitted rate stays within
+    [0, 1]."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        isotonic_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in isotonic_calibration(spark, sf).collect()]
+    assert got
+
+    # sequential PAV over the same (bin, n, s) table read off the output
+    blocks = [[r[1], r[2]] for r in got]  # [n, s] per present bin
+    pooled = []
+    for n, s in blocks:
+        pooled.append([n, s])
+        while len(pooled) >= 2 and (
+            pooled[-2][1] * pooled[-1][0] >= pooled[-1][1] * pooled[-2][0]
+        ):  # prev mean >= cur mean (exact rational compare) -> pool
+            n2, s2 = pooled.pop()
+            pooled[-1][0] += n2
+            pooled[-1][1] += s2
+    # expand pooled blocks back over their member bins
+    expanded = []
+    bi = 0
+    for n, s in pooled:
+        covered = 0
+        while covered < n:
+            expanded.append(s / n)
+            covered += blocks[bi][0]
+            bi += 1
+    assert len(expanded) == len(got)
+    for (bin_, n, s, emp, iso), pav in zip(got, expanded):
+        assert iso == round(pav, 6)
+        assert 0.0 <= iso <= 1.0
+    rates = [r[4] for r in got]
+    assert rates == sorted(rates)  # monotone by theorem
