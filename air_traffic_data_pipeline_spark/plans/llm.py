@@ -12175,12 +12175,19 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     gop = gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("passes").cast("bigint").alias("label")
     )
-    j = clf.join(gop, "doc_id")
+    return isotonic_from_bins(isotonic_bin_partials(clf.join(gop, "doc_id")))
+
+
+def isotonic_bin_partials(j: DataFrame) -> DataFrame:
+    """Per-bin (n, s) BIGINT partials of a (doc_id, clf_score, label)
+    frame — the incremental-MV state the streaming mirror lands per
+    micro-batch (the temperature_bin_partials discipline): exact integer
+    sums merge across batches by addition."""
     bin_ = F.least(
         F.floor(F.col("clf_score") * F.lit(ISO_BINS)).cast("bigint"),
         F.lit(ISO_BINS - 1),
     )
-    bins = (
+    return (
         j.select(bin_.alias("bin"), "label")
         .groupBy("bin")
         .agg(
@@ -12188,6 +12195,11 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("bigint").alias("s"),
         )
     )
+
+
+def isotonic_from_bins(bins: DataFrame) -> DataFrame:
+    """The minimax tail over any (bin, n, s) frame — shared by the batch
+    query and the streaming mirror."""
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
     pref = bins.select(
         "bin",

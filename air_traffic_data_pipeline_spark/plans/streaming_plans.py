@@ -887,6 +887,20 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_isotonic
+
+    return incremental_isotonic(spark, sf_dir)
+
+
+def _isotonic_oracle_sql() -> str:
+    """Bins-sized integer partials merged by addition, the minimax tail
+    rerun at emission — the batch query's SQL IS the oracle."""
+    from .llm import _isotonic_sql
+
+    return _isotonic_sql()
+
+
 def stream_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_srp_near_dup
 
@@ -1140,6 +1154,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
+    ("stream_incremental_isotonic", stream_incremental_isotonic, _isotonic_oracle_sql()),
     ("stream_incremental_theil_sen_sampled", stream_incremental_theil_sen_sampled, _theil_sen_sampled_oracle_sql()),
     ("stream_incremental_kendall_sampled", stream_incremental_kendall_sampled, _kendall_sampled_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

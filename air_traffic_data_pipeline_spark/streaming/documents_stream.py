@@ -1568,3 +1568,65 @@ def incremental_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental isotonic calibration — bitwise equal to the
+    one-shot ``plans.llm.isotonic_calibration`` (its SQL is the oracle).
+    Both scorers are per-doc stateless, so each micro-batch lands ≤
+    ISO_BINS (bin, n, s) INTEGER partial rows (never per-doc rows — the
+    temperature mirror's discipline); partials merge by exact addition,
+    and emission runs the shared minimax tail over the merged bins-sized
+    frame. The fit is corpus-global (pooling can reach across the whole
+    score range), which is exactly why emission recomputes over the
+    merged BINS, never raw text."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import (
+        feature_hashing_from,
+        gopher_rules_from,
+        isotonic_bin_partials,
+        isotonic_from_bins,
+    )
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_iso_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/bins"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        clf = feature_hashing_from(batch_df).select("doc_id", "clf_score")
+        gop = gopher_rules_from(batch_df).select(
+            "doc_id", F.col("passes").cast("bigint").alias("label")
+        )
+        isotonic_bin_partials(clf.join(gop, "doc_id")).write.mode(
+            "overwrite"
+        ).parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged = (
+            spark.read.parquet(f"{part_dir}/batch=*")
+            .groupBy("bin")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("s").cast("bigint").alias("s"),
+            )
+        )
+        out, _ = tracked_local_checkpoint(isotonic_from_bins(merged), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

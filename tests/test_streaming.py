@@ -1713,3 +1713,19 @@ def test_incremental_srp_equals_batch(spark):
     want = [tuple(r) for r in srp_near_dup(spark, sf).collect()]
     got = [tuple(r) for r in incremental_srp_near_dup(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_isotonic_equals_batch(spark):
+    """The isotonic mirror: bins-sized integer partials merged by exact
+    addition must reproduce the one-shot minimax fit bitwise — pooling
+    reaches across the whole score range, so the equality proves the
+    bin state is the sufficient statistic."""
+    from air_traffic_data_pipeline_spark.plans.llm import isotonic_calibration
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_isotonic,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in isotonic_calibration(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_isotonic(spark, sf).collect()]
+    assert got == want and want
