@@ -887,6 +887,23 @@ def _quantile_sketch_oracle_sql() -> str:
     return _quantile_sketch_sql()
 
 
+def stream_incremental_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.documents_stream import incremental_priority_sample
+
+    return incremental_priority_sample(spark, sf_dir)
+
+
+def _priority_sample_oracle_sql() -> str:
+    """Row-intrinsic priorities make top-K mergeable: per-batch
+    |sources|·K candidate rows, re-ranked at emission — the batch
+    query's SQL IS the oracle."""
+    from .llm import _priority_sample_sql
+
+    return _priority_sample_sql()
+
+
 def stream_incremental_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents_stream import incremental_isotonic
 
@@ -1155,6 +1172,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
     ("stream_incremental_isotonic", stream_incremental_isotonic, _isotonic_oracle_sql()),
+    ("stream_incremental_priority_sample", stream_incremental_priority_sample, _priority_sample_oracle_sql()),
     ("stream_incremental_theil_sen_sampled", stream_incremental_theil_sen_sampled, _theil_sen_sampled_oracle_sql()),
     ("stream_incremental_kendall_sampled", stream_incremental_kendall_sampled, _kendall_sampled_oracle_sql()),
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),

@@ -1630,3 +1630,85 @@ def incremental_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental weighted priority sample — bitwise equal to
+    the one-shot ``plans.llm.priority_sample`` (its SQL is the oracle).
+
+    Priority sampling is MERGEABLE BY CONSTRUCTION: a doc's quantized
+    priority w·2^32 // u is intrinsic to the row (no corpus statistics),
+    so the global per-source top-K is the top-K of the union of
+    per-batch top-Ks — each micro-batch lands at most |sources|·K
+    candidate rows (a bounded keyed sketch, the smallest state any exact
+    top-K can carry), and emission re-ranks the concatenated candidates.
+    A doc outside its batch's top-K can never enter the global top-K,
+    so dropping it at batch time is lossless."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import PRIO_K, PRIO_SCALE
+    from ..plans.relational import _kmv_u32
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_prio_{_uuid.uuid4().hex[:8]}"
+    part_dir = f"{base}/topk"
+
+    def _batch_topk(df: DataFrame) -> DataFrame:
+        u = (_kmv_u32(F.col("doc_id").cast("string")) + F.lit(1)).cast("bigint")
+        keyed = df.select("doc_id", "source", "n_chars", u.alias("u")).select(
+            "*",
+            F.expr(f"(n_chars * CAST({PRIO_SCALE} AS BIGINT)) DIV u").alias(
+                "priority_q"
+            ),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("priority_q").desc(), F.col("doc_id").asc()
+            )
+        )
+        return (
+            keyed.select("source", "doc_id", "n_chars", "priority_q", rn.alias("rn"))
+            .filter(F.col("rn") <= PRIO_K)
+            .drop("rn")
+        )
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        _batch_topk(batch_df.select("doc_id", "source", "n_chars")).write.mode(
+            "overwrite"
+        ).parquet(f"{part_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        from pyspark.sql import Window
+
+        cand = spark.read.parquet(f"{part_dir}/batch=*")
+        rn = F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("priority_q").desc(), F.col("doc_id").asc()
+            )
+        ).cast("bigint")
+        out = (
+            cand.select("source", "doc_id", "n_chars", "priority_q", rn.alias("rank"))
+            .filter(F.col("rank") <= PRIO_K)
+            .orderBy("source", "rank")
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1729,3 +1729,18 @@ def test_incremental_isotonic_equals_batch(spark):
     want = [tuple(r) for r in isotonic_calibration(spark, sf).collect()]
     got = [tuple(r) for r in incremental_isotonic(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_priority_sample_equals_batch(spark):
+    """The priority-sample mirror: per-batch bounded top-K candidate
+    state (row-intrinsic priorities are mergeable by construction) must
+    reproduce the one-shot weighted sample bitwise."""
+    from air_traffic_data_pipeline_spark.plans.llm import priority_sample
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_priority_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in priority_sample(spark, sf).collect()]
+    got = [tuple(r) for r in incremental_priority_sample(spark, sf).collect()]
+    assert got == want and want
