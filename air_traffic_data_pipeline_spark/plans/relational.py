@@ -3499,10 +3499,12 @@ def markov_stationary_from_counts(c0: DataFrame, states: DataFrame) -> DataFrame
     )
 
 
-def _markov_sql() -> str:
+def _markov_sql(where: str = "") -> str:
+    # `where` narrows the event set (e.g. the retraction mirror's
+    # survivors-only view: "WHERE event_id % 10 <> 7"); empty = all events.
     ctes = [
-        """ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
-       FROM events)""",
+        f"""ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+       FROM events {where})""",
         """tr AS MATERIALIZED (
   SELECT event_type AS src,
          lead(event_type) OVER (PARTITION BY user_id

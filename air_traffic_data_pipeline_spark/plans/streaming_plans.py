@@ -1006,6 +1006,27 @@ def _markov_oracle_sql() -> str:
     return _markov_sql()
 
 
+def stream_incremental_markov_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import incremental_markov_retract
+
+    return incremental_markov_retract(spark, sf_dir)
+
+
+def _markov_retract_oracle_sql() -> str:
+    """The retraction-aware Markov mirror (watermark-bounded signed event
+    buffer in front of the unchanged ordered freeze kernel — see
+    incremental_markov_retract's docstring for why transition counts
+    alone cannot absorb a deletion) must reproduce the one-shot
+    stationary distribution over the SURVIVING (never-cancelled) events
+    bitwise; the batch query's SQL restricted to survivors IS the
+    oracle."""
+    from .relational import RETRACT_MOD, RETRACT_RES, _markov_sql
+
+    return _markov_sql(
+        where=f"WHERE event_id % {RETRACT_MOD} <> {RETRACT_RES}"
+    )
+
+
 def stream_incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_retract
 
@@ -1169,6 +1190,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_label_propagation", stream_incremental_label_propagation, _label_propagation_oracle_sql()),
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
+    ("stream_incremental_markov_retract", stream_incremental_markov_retract, _markov_retract_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
     ("stream_incremental_isotonic", stream_incremental_isotonic, _isotonic_oracle_sql()),

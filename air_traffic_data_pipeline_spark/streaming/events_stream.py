@@ -1082,3 +1082,271 @@ def incremental_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware Markov mirror (round 12): the watermark-bounded buffer
+# that closes the one retraction gap the ordered-stitch contract left open.
+
+MARKOV_RETRACT_BATCHES = 6
+
+# Watermark delay (event-time ns): inserts AND tombstones may arrive
+# disordered by at most this much behind the high-water mark. The staged
+# adversarial schedule below bounds disorder at 2 of 6 batch spans of the
+# 30-day events table (= 10 days); 12 days covers it with margin. Events
+# older than (hwm - W) FREEZE: their transitions are finalized into
+# (src, dst) counts and the rows leave the buffer — so state is
+# W·arrival-rate-bounded, not stream-length-bounded.
+MARKOV_RETRACT_W_NS = 12 * 24 * 3600 * 1_000_000_000
+
+MARKOV_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def _stage_markov_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Six time-ordered insert slices (global (ts, event_id) order) with a
+    -1 tombstone for every event whose event_id % RETRACT_MOD ==
+    RETRACT_RES, scheduled ADVERSARIALLY within the watermark bound:
+    cancelled events with even (event_id DIV RETRACT_MOD) tombstone one
+    batch EARLY (retraction arrives before its insert — transient net -1),
+    odd ones one batch LATE (net +1 then cancelled). Both directions stay
+    inside MARKOV_RETRACT_W_NS of the high-water mark, so a correct
+    watermark buffer absorbs them; anything later would be a contract
+    violation the freeze kernel rejects."""
+    import hashlib
+
+    from ..plans.relational import RETRACT_MOD, RETRACT_RES
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/markov_retract_{key}"
+    nb = MARKOV_RETRACT_BATCHES
+
+    def build():
+        from pyspark.sql import Window
+
+        ev = _load_canonical_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        n = ev.count()
+        ranked = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        cuts = [round(i * n / nb) for i in range(nb + 1)]
+        slices = [
+            ranked.filter(
+                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+            ).drop("rn")
+            for i in range(nb)
+        ]
+
+        def ins(df: DataFrame) -> DataFrame:
+            return df.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.lit(1).alias("sign"),
+            )
+
+        def tomb(df: DataFrame, early: bool) -> DataFrame:
+            cancelled = df.filter(
+                F.col("event_id") % RETRACT_MOD == RETRACT_RES
+            )
+            parity = (F.col("event_id") / RETRACT_MOD).cast("bigint") % 2
+            sel = cancelled.filter(parity == (0 if early else 1))
+            return sel.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.lit(-1).alias("sign"),
+            )
+
+        # batch i carries: slice i inserts, EARLY tombstones of slice i+1
+        # (arriving before their inserts), LATE tombstones of slice i-1;
+        # boundary slices fold their edge tombstones into their own batch.
+        out = []
+        for i in range(nb):
+            b = ins(slices[i])
+            if i + 1 < nb:
+                b = b.unionByName(tomb(slices[i + 1], early=True))
+            if i == 0:
+                b = b.unionByName(tomb(slices[0], early=True))
+            if i > 0:
+                b = b.unionByName(tomb(slices[i - 1], early=False))
+            if i == nb - 1:
+                b = b.unionByName(tomb(slices[i], early=False))
+            out.append(b)
+        return out
+
+    names = [f"{i + 1:02d}.parquet" for i in range(nb)]
+    return _stage_ordered(d, names, build)
+
+
+def markov_retract_freeze(
+    merged: DataFrame, prev_lastfin: DataFrame | None, frontier_ns: int
+) -> tuple:
+    """The retraction mirror's per-epoch kernel, module-level so the
+    contract-violation pytest can drive it directly. Input: the signed
+    buffer AFTER merging this batch (user_id, ts, event_id, event_type,
+    net — net in {-1, 0 dropped, +1}), the per-user last-FINALIZED-event
+    state, and the watermark frontier (hwm − W).
+
+    Rows with ts < frontier freeze: by the watermark contract nothing
+    older than the frontier can still arrive, so their net is final — a
+    surviving event has net +1, a cancelled one net 0 (already dropped).
+    A freezing row with net != +1 is therefore a CONTRACT VIOLATION
+    (a tombstone whose insert never arrived, or a tombstone for an
+    already-frozen event): returned in `violations` for the caller to
+    reject, exactly as a watermark drops late data instead of silently
+    corrupting state. The frozen survivors — now immutable AND complete
+    — run through the UNCHANGED ordered kernel (markov_batch_partial):
+    retraction support is purely a buffering layer in front of it.
+
+    Returns (finalized (src,dst,c) counts, new last-finalized state,
+    surviving buffer, frozen types, violations)."""
+    freeze = merged.filter(F.col("ts") < F.lit(int(frontier_ns)))
+    keep = merged.filter(F.col("ts") >= F.lit(int(frontier_ns)))
+    violations = freeze.filter(F.col("net") != 1)
+    frozen = freeze.filter(F.col("net") == 1).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    counts, new_lastfin = markov_batch_partial(frozen, prev_lastfin)
+    types = frozen.select(F.col("event_type").alias("s")).distinct()
+    return counts, new_lastfin, keep, types, violations
+
+
+def incremental_markov_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE streaming Markov stationary distribution —
+    bitwise equal to the one-shot stationary distribution over the
+    SURVIVING (never-cancelled) events (that batch SQL is the oracle).
+
+    Why (src, dst) counts alone cannot retract (SURVEY §10.2): deleting
+    event B from a user's sequence A→B→C removes TWO transitions (A→B,
+    B→C) and CREATES one (A→C) — the replacement pair (A, C) is not
+    recoverable from transition counts; it needs B's neighbors, i.e.
+    sequence-valued state. The memory-honest resolution is a WATERMARK-
+    BOUNDED EVENT BUFFER: per-user signed event rows younger than
+    (high-water-mark − W) stay mutable in the buffer, where a tombstone
+    simply cancels its insert by integer net (order-free, either may
+    arrive first); once the watermark passes an event, no insert or
+    tombstone for it may arrive (the same promise a Structured Streaming
+    watermark makes), so its net is final and the frozen prefix runs
+    through the UNCHANGED ordered stitch kernel (markov_batch_partial)
+    to finalized (src, dst) counts + per-user last-finalized state. A
+    too-late tombstone is a detected contract violation (ValueError),
+    not silent corruption. Inside the W horizon the mirror is thus
+    FULLY order-free — strictly weaker than incremental_markov's
+    per-user-ordered delivery contract — at the price of W·rate buffer
+    rows.
+
+    Emission: finalized counts + the live tail (the same kernel over the
+    buffer, stitched from last-finalized state) merge by integer SUM into
+    the exact surviving transition matrix; the shared quantize/iterate
+    tail (markov_stationary_from_counts) does the rest.
+
+    At 100 TB: buffer is W·arrival-rate rows (watermark-bounded, the
+    same class as any stream-stream join state), last-finalized state is
+    |users| rows, finalized counts |types|² — none grow with stream
+    length. Under transformWithState the buffer would be a per-user
+    ListState with the freeze on the event-time timer."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.relational import markov_stationary_from_counts
+
+    tune_session(spark)
+    d = _stage_markov_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_mkvr_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        b = batch_df.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("sign").cast("bigint").alias("net"),
+        )
+        prev_buf = f"{base}/buf/epoch={epoch_id - 1}"
+        merged = (
+            s.read.parquet(prev_buf).unionByName(b)
+            if os.path.exists(prev_buf)
+            else b
+        )
+        merged = (
+            merged.groupBy("user_id", "ts", "event_id", "event_type")
+            .agg(F.sum("net").cast("bigint").alias("net"))
+            .filter(F.col("net") != 0)
+        )
+        prev_hwm_p = f"{base}/hwm/epoch={epoch_id - 1}"
+        prev_hwm = (
+            s.read.parquet(prev_hwm_p).collect()[0][0]
+            if os.path.exists(prev_hwm_p)
+            else None
+        )
+        bmax = b.agg(F.max("ts").alias("m")).collect()[0][0]
+        hwm = bmax if prev_hwm is None else max(prev_hwm, bmax)
+        prev_lf_p = f"{base}/lastfin/epoch={epoch_id - 1}"
+        prev_lastfin = (
+            s.read.parquet(prev_lf_p) if os.path.exists(prev_lf_p) else None
+        )
+        counts, new_lastfin, keep, types, violations = markov_retract_freeze(
+            merged, prev_lastfin, hwm - MARKOV_RETRACT_W_NS
+        )
+        nviol = violations.count()
+        if nviol:
+            raise ValueError(
+                f"markov_retract watermark contract violated: {nviol} "
+                "event(s) froze with net != +1 (insert or tombstone "
+                f"arrived more than {MARKOV_RETRACT_W_NS} ns late)"
+            )
+        counts.write.mode("overwrite").parquet(f"{base}/fin/batch={epoch_id}")
+        types.write.mode("overwrite").parquet(f"{base}/types/batch={epoch_id}")
+        keep.write.mode("overwrite").parquet(f"{base}/buf/epoch={epoch_id}")
+        new_lastfin.write.mode("overwrite").parquet(
+            f"{base}/lastfin/epoch={epoch_id}"
+        )
+        s.createDataFrame([(int(hwm),)], "hwm bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/hwm/epoch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(MARKOV_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        last = MARKOV_RETRACT_BATCHES - 1
+        fin = (
+            spark.read.parquet(f"{base}/fin/batch=*")
+            .groupBy("src", "dst")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        buf = spark.read.parquet(f"{base}/buf/epoch={last}")
+        lastfin = spark.read.parquet(f"{base}/lastfin/epoch={last}")
+        tail, _ = markov_batch_partial(
+            buf.select("user_id", "ts", "event_id", "event_type"), lastfin
+        )
+        c0 = (
+            fin.unionByName(tail)
+            .groupBy("src", "dst")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        states = (
+            spark.read.parquet(f"{base}/types/batch=*")
+            .unionByName(buf.select(F.col("event_type").alias("s")))
+            .distinct()
+        )
+        out = markov_stationary_from_counts(c0, states)
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

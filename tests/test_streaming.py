@@ -1744,3 +1744,118 @@ def test_incremental_priority_sample_equals_batch(spark):
     want = [tuple(r) for r in priority_sample(spark, sf).collect()]
     got = [tuple(r) for r in incremental_priority_sample(spark, sf).collect()]
     assert got == want and want
+
+
+def test_incremental_markov_retract_equals_surviving_batch(spark):
+    """The retraction-aware Markov mirror: a watermark-bounded signed
+    event buffer (tombstones cancel inserts by integer net, either
+    arrival order) in front of the unchanged ordered freeze kernel must
+    reproduce the one-shot stationary distribution over the SURVIVING
+    events bitwise — and the cancellations must actually move the
+    answer, so the equality is non-vacuous."""
+    from pyspark.sql import Window
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        RETRACT_MOD,
+        RETRACT_RES,
+        markov_stationary,
+        markov_stationary_from_counts,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        incremental_markov_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_id") % RETRACT_MOD != RETRACT_RES)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c0 = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    states = ev.select(F.col("event_type").alias("s")).distinct()
+    want = [
+        tuple(r) for r in markov_stationary_from_counts(c0, states).collect()
+    ]
+    got = [tuple(r) for r in incremental_markov_retract(spark, sf).collect()]
+    assert got == want and want
+    full = [tuple(r) for r in markov_stationary(spark, sf).collect()]
+    assert got != full  # the cancellations moved the distribution
+
+
+def test_markov_retract_deletion_rewires_transitions(spark):
+    """The semantic that makes (src, dst) counts alone unretractable
+    (SURVEY §10.2): deleting B from A→B→C removes TWO transitions and
+    CREATES one — the freeze kernel over the netted buffer must emit
+    exactly {A→C}, which no count-level subtraction could produce."""
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        markov_retract_freeze,
+    )
+
+    cols = "user_id bigint, ts bigint, event_id bigint, event_type string, net bigint"
+    # buffer after merging B's tombstone: B netted to 0 and dropped
+    merged = spark.createDataFrame(
+        [(1, 10, 1, "A", 1), (1, 30, 3, "C", 1)], cols
+    )
+    counts, lastfin, keep, types, viol = markov_retract_freeze(
+        merged, None, frontier_ns=100
+    )
+    assert [(r.src, r.dst, r.c) for r in counts.collect()] == [("A", "C", 1)]
+    assert viol.count() == 0 and keep.count() == 0
+    assert [(r.user_id, r.last_type) for r in lastfin.collect()] == [(1, "C")]
+
+
+def test_markov_retract_freeze_splits_and_stitches(spark):
+    """A frontier that bisects a user's buffer must finalize only the
+    expired prefix (A→B), carry B as last-finalized state, and leave C
+    live — the later tail pass then stitches B→C, so the split loses no
+    transition."""
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        markov_batch_partial,
+        markov_retract_freeze,
+    )
+
+    cols = "user_id bigint, ts bigint, event_id bigint, event_type string, net bigint"
+    merged = spark.createDataFrame(
+        [(1, 10, 1, "A", 1), (1, 20, 2, "B", 1), (1, 30, 3, "C", 1)], cols
+    )
+    counts, lastfin, keep, types, viol = markov_retract_freeze(
+        merged, None, frontier_ns=25
+    )
+    assert [(r.src, r.dst, r.c) for r in counts.collect()] == [("A", "B", 1)]
+    assert [(r.user_id, r.last_type) for r in lastfin.collect()] == [(1, "B")]
+    assert [r.event_type for r in keep.collect()] == ["C"]
+    tail, _ = markov_batch_partial(
+        keep.select("user_id", "ts", "event_id", "event_type"), lastfin
+    )
+    assert [(r.src, r.dst, r.c) for r in tail.collect()] == [("B", "C", 1)]
+
+
+def test_markov_retract_late_tombstone_is_violation(spark):
+    """The watermark contract is ENFORCED, not assumed: a tombstone whose
+    insert never arrived (net -1) freezing past the frontier is returned
+    as a violation — the detected-rejection analogue of a watermark
+    dropping late rows — while a clean +1 row freezes silently."""
+    from air_traffic_data_pipeline_spark.streaming.events_stream import (
+        markov_retract_freeze,
+    )
+
+    cols = "user_id bigint, ts bigint, event_id bigint, event_type string, net bigint"
+    merged = spark.createDataFrame(
+        [(1, 10, 1, "A", -1), (1, 20, 2, "B", 1)], cols
+    )
+    counts, lastfin, keep, types, viol = markov_retract_freeze(
+        merged, None, frontier_ns=100
+    )
+    rows = viol.collect()
+    assert len(rows) == 1 and rows[0].event_type == "A" and rows[0].net == -1
+    # the clean row still finalized; the violation never enters counts
+    assert [(r.user_id, r.last_type) for r in lastfin.collect()] == [(1, "B")]
+    assert counts.count() == 0
