@@ -1286,7 +1286,11 @@ PF_T_NUM, PF_T_DEN = 4, 5  # exact Jaccard threshold t = 4/5 on shingle sets
 
 
 def _pf_candidate_pairs(
-    sh: DataFrame, sz: DataFrame, positional: bool = True
+    sh: DataFrame,
+    sz: DataFrame,
+    positional: bool = True,
+    t_num: int = PF_T_NUM,
+    t_den: int = PF_T_DEN,
 ) -> DataFrame:
     """The prefix-filter CANDIDATE set (doc_a < doc_b, length-filtered,
     distinct) over a (doc_id, s) shingle frame — the recall-complete
@@ -1329,7 +1333,7 @@ def _pf_candidate_pairs(
     )
     # prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
     ceil_t_sz = F.floor(
-        (F.lit(PF_T_NUM) * F.col("sz") + F.lit(PF_T_DEN - 1)) / F.lit(PF_T_DEN)
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     )
     prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
     a = prefix.select(
@@ -1349,8 +1353,8 @@ def _pf_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: J >= t implies t*max(sz) <= min(sz)
         .filter(
-            F.lit(PF_T_DEN) * F.least("sz_a", "sz_b")
-            >= F.lit(PF_T_NUM) * F.greatest("sz_a", "sz_b")
+            F.lit(t_den) * F.least("sz_a", "sz_b")
+            >= F.lit(t_num) * F.greatest("sz_a", "sz_b")
         )
     )
     if not positional:
@@ -1362,8 +1366,8 @@ def _pf_candidate_pairs(
         met.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.min(ub).alias("ub"))
         .filter(
-            F.lit(PF_T_NUM + PF_T_DEN) * F.col("ub")
-            >= F.lit(PF_T_NUM) * (F.col("sz_a") + F.col("sz_b"))
+            F.lit(t_num + t_den) * F.col("ub")
+            >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b"))
         )
         .select("doc_a", "doc_b")
     )
@@ -1713,6 +1717,300 @@ SELECT strategy, n_candidates, n_verified,
                 * ((SELECT CAST(nd AS DOUBLE) FROM nd) - 1.0) / 2.0), 6)
          AS candidate_frac
 FROM rows_ ORDER BY strategy
+"""
+
+
+BT_THRESHOLDS = [(3, 5), (7, 10), (4, 5), (9, 10)]  # J in {.6, .7, .8, .9}
+
+
+def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-threshold curves for the five blocking strategies —
+    the decision table a user TUNING a 100 TB dedup actually reads
+    (llm_blocking_cost_eval fixes J = PF_T_NUM/PF_T_DEN; this sweeps
+    J ∈ {0.6, 0.7, 0.8, 0.9}): one row per (strategy, threshold) with
+    the strategy's candidate volume, how many candidates are true pairs
+    at that threshold, recall, and precision. The fixed-configuration
+    blockers (minhash-LSH bands, sorted-neighborhood window, simhash
+    lanes, SRP bands) keep ONE candidate set across thresholds — the
+    sweep shows how their recall degrades as the truth loosens (looser
+    J admits less-similar true pairs the bucketing no longer catches)
+    while precision rises; prefix_filter re-derives its prefix length
+    per threshold and stays recall-1.0 at every J by theorem.
+
+    ONE ground-truth pass: the prefix filter at the LOOSEST threshold
+    is recall-complete for every tighter one, so truth for all four
+    thresholds is a single verified-Jaccard frame (exact integer
+    predicate per threshold) — no per-threshold corpus rescan. Each
+    fixed blocker likewise costs one candidate build + one left join
+    against that frame with four conditional sums.
+
+    All candidate generators are the PRODUCTION code paths, as in
+    llm_blocking_cost_eval. Scale: everything is the bounded structure
+    its production query builds; the output is 20 rows."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    sh = _shingle_rows(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    lo_num, lo_den = BT_THRESHOLDS[0]
+    cand0 = _pf_candidate_pairs(sh, sz, t_num=lo_num, t_den=lo_den)
+    ids = (
+        cand0.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand0.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    csh = sh.join(ids, "doc_id", "left_semi")
+    scored = (
+        cand0.join(csh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(
+            csh.select(F.col("doc_id").alias("pb_id"), F.col("s").alias("s2")),
+            (F.col("pb_id") == F.col("doc_b")) & (F.col("s2") == F.col("s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b")
+    )
+    scored, _ = tracked_local_checkpoint(scored, register=True)
+
+    def ok(n: int, d: int):
+        # exact-integer J >= n/d on (possibly null) joined score columns;
+        # a candidate absent from `scored` shares no shingle -> not true
+        return F.lit(d) * F.col("n_common") >= F.lit(n) * (
+            F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+        )
+
+    truth = F.broadcast(
+        scored.agg(
+            *[
+                F.sum(F.when(ok(n, d), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nt_{n}_{d}")
+                for n, d in BT_THRESHOLDS
+            ]
+        )
+    )
+    bands = _band_rows(_minhash_doc_tbl(spark, sf_dir))
+    mh_cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fixed = [
+        ("minhash_lsh", mh_cand),
+        ("sorted_neighborhood", _sn_candidate_pairs(spark, sf_dir)),
+        (
+            "simhash",
+            _simhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        ),
+        (
+            "srp_cosine",
+            _srp_candidate_pairs(
+                _srp_bucket_counts(
+                    load(spark, sf_dir, "documents").select("doc_id", "text")
+                )
+            ),
+        ),
+    ]
+    rows = None
+    for name, cand in fixed:
+        wide = cand.join(scored, ["doc_a", "doc_b"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            *[
+                F.sum(F.when(ok(n, d), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nv_{n}_{d}")
+                for n, d in BT_THRESHOLDS
+            ],
+        )
+        for n, d in BT_THRESHOLDS:
+            r = wide.crossJoin(truth).select(
+                F.lit(name).alias("strategy"),
+                F.lit(n / d).alias("threshold"),
+                "n_candidates",
+                F.col(f"nv_{n}_{d}").alias("n_verified"),
+                F.col(f"nt_{n}_{d}").alias("n_truth"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+    for n, d in BT_THRESHOLDS:
+        cand = _pf_candidate_pairs(sh, sz, t_num=n, t_den=d)
+        r = (
+            cand.join(scored, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(F.when(ok(n, d), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_verified"),
+            )
+            .crossJoin(truth)
+            .select(
+                F.lit("prefix_filter").alias("strategy"),
+                F.lit(n / d).alias("threshold"),
+                "n_candidates",
+                "n_verified",
+                F.col(f"nt_{n}_{d}").alias("n_truth"),
+            )
+        )
+        rows = rows.unionByName(r)
+    return rows.select(
+        "strategy",
+        "threshold",
+        "n_candidates",
+        "n_verified",
+        "n_truth",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(
+                F.col("n_verified").cast("double")
+                / F.col("n_truth").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            ),
+        ).alias("precision"),
+    ).orderBy("strategy", "threshold")
+
+
+def _blocking_threshold_sweep_sql() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    sn_leads = ", ".join(
+        f"lead(doc_id, {j}) OVER (PARTITION BY blk ORDER BY k, doc_id) AS n{j}"
+        for j in range(1, SN_WINDOW)
+    )
+    sn_cand_union = " UNION ALL ".join(
+        f"SELECT least(doc_id, n{j}) AS doc_a, greatest(doc_id, n{j}) AS doc_b "
+        f"FROM sn0 WHERE n{j} IS NOT NULL"
+        for j in range(1, SN_WINDOW)
+    )
+    pf_ctes, nt_ctes = [], []
+    for n, d in BT_THRESHOLDS:
+        tag = f"t{n}_{d}"
+        pf_ctes.append(
+            f"""pfprefix_{tag} AS (
+  SELECT doc_id, s, sz, rn FROM pfranked
+  WHERE rn <= sz - ({n} * sz + {d - 1}) // {d} + 1),
+pf_met_{tag} AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+         least(a.rn, b.rn) + least(a.sz - a.rn, b.sz - b.rn) AS ub
+  FROM pfprefix_{tag} a JOIN pfprefix_{tag} b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE {d} * least(a.sz, b.sz) >= {n} * greatest(a.sz, b.sz)),
+pf_cand_{tag} AS (
+  SELECT doc_a, doc_b FROM pf_met_{tag}
+  GROUP BY doc_a, doc_b, sz_a, sz_b
+  HAVING {n + d} * min(ub) >= {n} * (sz_a + sz_b))"""
+        )
+        nt_ctes.append(
+            f"""nt_{tag} AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt FROM scored
+  WHERE {d} * n_common >= {n} * (sz_a + sz_b - n_common))"""
+        )
+    strat_rows = []
+    for name, cand in (
+        ("minhash_lsh", "mh_cand"),
+        ("sorted_neighborhood", "sn_cand"),
+        ("simhash", "sim_cand"),
+        ("srp_cosine", "srp_cand"),
+    ):
+        for n, d in BT_THRESHOLDS:
+            tag = f"t{n}_{d}"
+            strat_rows.append(
+                f"""SELECT '{name}' AS strategy, CAST({n / d!r} AS DOUBLE) AS threshold,
+  (SELECT CAST(count(*) AS BIGINT) FROM {cand}) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM {cand} c
+   JOIN scored s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+   WHERE {d} * s.n_common >= {n} * (s.sz_a + s.sz_b - s.n_common)) AS n_verified,
+  (SELECT nt FROM nt_{tag}) AS n_truth"""
+            )
+    for n, d in BT_THRESHOLDS:
+        tag = f"t{n}_{d}"
+        strat_rows.append(
+            f"""SELECT 'prefix_filter', CAST({n / d!r} AS DOUBLE),
+  (SELECT CAST(count(*) AS BIGINT) FROM pf_cand_{tag}),
+  (SELECT CAST(count(*) AS BIGINT) FROM pf_cand_{tag} c
+   JOIN scored s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+   WHERE {d} * s.n_common >= {n} * (s.sz_a + s.sz_b - s.n_common)),
+  (SELECT nt FROM nt_{tag})"""
+        )
+    rows_union = "\n  UNION ALL\n".join(strat_rows)
+    pf_ctes_sql = ",\n".join(pf_ctes)
+    nt_ctes_sql = ",\n".join(nt_ctes)
+    return f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS MATERIALIZED (
+  SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM common
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({bands_union}),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+snk AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {SN_KEY_CHARS}) AS k
+  FROM documents),
+snb AS (SELECT doc_id, k, substr(k, 1, {SN_BLOCK_CHARS}) AS blk FROM snk),
+sn0 AS (SELECT doc_id, {sn_leads} FROM snb),
+sn_cand AS ({sn_cand_union}),
+siml AS ({_SIMHASH_LANES_SQL}),
+sim_bands AS (
+  SELECT doc_id,
+         CASE band WHEN 0 THEN sh0 WHEN 1 THEN sh1 WHEN 2 THEN sh2 ELSE sh3 END AS key,
+         band
+  FROM siml, (SELECT unnest([0,1,2,3]) AS band) bb),
+sim_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim_bands a JOIN sim_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+{_srp_cand_ctes()},
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+pfranked AS (
+  SELECT sh.doc_id, sh.s, sz.sz,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn
+  FROM sh JOIN dfreq USING (s) JOIN sz ON sz.doc_id = sh.doc_id),
+{pf_ctes_sql},
+{nt_ctes_sql},
+rows_ AS (
+  {rows_union})
+SELECT strategy, threshold, n_candidates, n_verified, n_truth,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_verified AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+       END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_verified AS DOUBLE)
+                       / CAST(n_candidates AS DOUBLE), 6)
+       END AS precision
+FROM rows_ ORDER BY strategy, threshold
 """
 
 
@@ -13669,6 +13967,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_prefix_filter_join", prefix_filter_join, _PREFIX_FILTER_SQL),
     ("llm_naive_bayes_langid", naive_bayes_langid, _NB_LANGID_SQL),
     ("llm_blocking_cost_eval", blocking_cost_eval, _blocking_cost_sql()),
+    ("llm_blocking_threshold_sweep", blocking_threshold_sweep, _blocking_threshold_sweep_sql()),
     ("llm_source_jsd_matrix", source_jsd_matrix, _JSD_SQL),
     ("llm_token_burstiness", token_burstiness, _BURSTINESS_SQL),
     ("llm_exact_dup_clusters", exact_dup_clusters, _EXACT_CLUSTERS_SQL),

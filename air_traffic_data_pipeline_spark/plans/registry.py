@@ -93,6 +93,11 @@ _FORCE_RECHECK: dict[str, int] = {
     # source did not change re-enter on principle
     "llm_lm_ppl_filter": 8,
     "llm_filter_agreement": 8,
+    # r12: _pf_candidate_pairs gained t_num/t_den threshold params for the
+    # blocking threshold sweep (defaults preserve behavior exactly; both
+    # consumers re-verified bitwise via oracle_check) — re-enter on principle
+    "llm_prefix_filter_join": 12,
+    "llm_blocking_cost_eval": 12,
 }
 
 

@@ -4664,3 +4664,42 @@ def test_isotonic_calibration_matches_pav(spark):
         assert 0.0 <= iso <= 1.0
     rates = [r[4] for r in got]
     assert rates == sorted(rates)  # monotone by theorem
+
+
+def test_blocking_threshold_sweep_pins(spark):
+    """The recall-vs-threshold sweep's structural guarantees: 5
+    strategies x 4 thresholds; prefix_filter is recall-1.0 at EVERY
+    threshold (the theorem holds per-J, not just at the production 4/5);
+    true-pair counts and every blocker's verified counts are monotone
+    non-increasing as the threshold tightens (truth at a tighter J is a
+    subset); and the J=0.8 column agrees exactly with the fixed-threshold
+    llm_blocking_cost_eval table — the two audits are one measurement."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        blocking_cost_eval,
+        blocking_threshold_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = blocking_threshold_sweep(spark, sf).collect()
+    assert len(rows) == 20
+    by = {(r.strategy, round(r.threshold, 2)): r for r in rows}
+    strategies = sorted({r.strategy for r in rows})
+    assert strategies == [
+        "minhash_lsh", "prefix_filter", "simhash",
+        "sorted_neighborhood", "srp_cosine",
+    ]
+    ts = [0.6, 0.7, 0.8, 0.9]
+    for t in ts:
+        assert by[("prefix_filter", t)].recall == 1.0
+    for s in strategies:
+        nts = [by[(s, t)].n_truth for t in ts]
+        nvs = [by[(s, t)].n_verified for t in ts]
+        assert nts == sorted(nts, reverse=True)
+        assert nvs == sorted(nvs, reverse=True)
+    fixed_08 = {
+        r.strategy: r for r in blocking_cost_eval(spark, sf).collect()
+    }
+    for s in strategies:
+        assert by[(s, 0.8)].n_candidates == fixed_08[s].n_candidates
+        assert by[(s, 0.8)].n_verified == fixed_08[s].n_verified
+        assert by[(s, 0.8)].n_truth == fixed_08[s].n_truth
