@@ -12588,6 +12588,158 @@ ORDER BY bin
 """
 
 
+ISO_APPLY_FIT_PCT = 50  # md5(doc_id) % 100 < 50 fits the map; rest held out
+ISO_GATE = 0.5  # calibrated-probability quality gate
+
+
+def isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the isotonic calibration map to held-out documents — the
+    fit→apply loop llm_isotonic_calibration alone leaves open (the
+    temperature rung reports its before/after in one artifact; this
+    closes the same loop for the nonparametric rung): fit the PAV
+    minimax map on a deterministic hashed half of the corpus
+    (md5(doc_id) % 100 < ISO_APPLY_FIT_PCT — the train_val_split hash
+    discipline, stable under reshuffling and appends), then calibrate
+    the OTHER half by a bins-sized broadcast lookup join and report,
+    per score bin: held-out doc/pass counts, the held-out empirical
+    pass rate, the mean raw score, the fitted iso_rate, the raw and
+    calibrated absolute gaps (the per-bin before/after reliability
+    evidence — sum them weighted for held-out ECE), and how many docs
+    a calibrated-probability ≥ ISO_GATE quality gate admits.
+
+    A held-out bin the fit split never populated falls back to its raw
+    (quantized) score — documented, and NULL iso_rate marks the row.
+    Determinism: raw scores quantize to 1e6-unit BIGINTs before any
+    sum (order-free); every double below derives from exact integers
+    by the identical expression tree in both engines.
+
+    Scale: one data-sized pass per input plan (shared with the fit
+    query), a 16-row broadcast join — no new corpus scan; everything
+    after the (bin) aggregate is bins-sized."""
+    clf = feature_hashing(spark, sf_dir).select("doc_id", "clf_score")
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("bigint").alias("label")
+    )
+    j = clf.join(gop, "doc_id").withColumn(
+        "is_fit",
+        _hex4_to_int(F.md5(F.col("doc_id").cast("string"))) % 100
+        < F.lit(ISO_APPLY_FIT_PCT),
+    )
+    fitmap = isotonic_from_bins(
+        isotonic_bin_partials(j.filter(F.col("is_fit")))
+    ).select("bin", "iso_rate")
+    bin_ = F.least(
+        F.floor(F.col("clf_score") * F.lit(ISO_BINS)).cast("bigint"),
+        F.lit(ISO_BINS - 1),
+    )
+    held = j.filter(~F.col("is_fit")).select(
+        bin_.alias("bin"),
+        "label",
+        F.round(F.col("clf_score") * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    app = held.join(F.broadcast(fitmap), "bin", "left").withColumn(
+        "cal",
+        F.coalesce(
+            F.col("iso_rate"),
+            F.col("micro").cast("double") / F.lit(1_000_000.0),
+        ),
+    )
+    agg = app.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("s"),
+        F.sum("micro").cast("bigint").alias("m"),
+        F.max("iso_rate").alias("iso_rate"),
+        F.sum(F.when(F.col("cal") >= F.lit(float(ISO_GATE)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gated"),
+    )
+    mean_raw = F.col("m").cast("double") / (
+        F.col("n").cast("double") * F.lit(1_000_000.0)
+    )
+    emp = F.col("s").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("n_pass"),
+        F.round(emp, 6).alias("emp_rate"),
+        F.round(mean_raw, 6).alias("mean_raw"),
+        "iso_rate",
+        F.round(F.abs(mean_raw - emp), 6).alias("raw_gap"),
+        F.round(F.abs(F.coalesce(F.col("iso_rate"), mean_raw) - emp), 6).alias(
+            "cal_gap"
+        ),
+        "n_gated",
+    ).orderBy("bin")
+
+
+def _isotonic_apply_sql() -> str:
+    split = f"{_hex4_to_int_sql('md5(CAST(s.doc_id AS VARCHAR))')} % 100 < {ISO_APPLY_FIT_PCT}"
+    return f"""
+WITH scored AS ({_FEATURE_HASH_SQL.strip()}),
+gop AS ({_gopher_rules_sql().strip()}),
+j AS (
+  SELECT s.doc_id, s.clf_score, CAST(g.passes AS BIGINT) AS label,
+         ({split}) AS is_fit
+  FROM scored s JOIN gop g ON g.doc_id = s.doc_id),
+fbins AS (
+  SELECT least(CAST(floor(clf_score * {ISO_BINS}) AS BIGINT),
+               {ISO_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS s
+  FROM j WHERE is_fit GROUP BY 1),
+pref AS (
+  SELECT bin, n, s,
+         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+  FROM fbins),
+intervals AS (
+  SELECT js.j, ks.k,
+         CAST(ks.cs_k - js.cs_jm1 AS DOUBLE)
+           / CAST(ks.cn_k - js.cn_jm1 AS DOUBLE) AS avg
+  FROM (SELECT i AS j, cn - n AS cn_jm1, cs - s AS cs_jm1 FROM pref) js
+  JOIN (SELECT i AS k, cn AS cn_k, cs AS cs_k FROM pref) ks ON ks.k >= js.j),
+fitmap AS (
+  SELECT p.bin, round(f.iso, 6) AS iso_rate
+  FROM pref p JOIN (
+    SELECT ii, max(m) AS iso FROM (
+      SELECT p2.i AS ii, iv.j, min(iv.avg) AS m
+      FROM pref p2 JOIN intervals iv ON iv.j <= p2.i AND iv.k >= p2.i
+      GROUP BY 1, 2) t
+    GROUP BY ii) f ON f.ii = p.i),
+held AS (
+  SELECT least(CAST(floor(clf_score * {ISO_BINS}) AS BIGINT),
+               {ISO_BINS - 1}) AS bin,
+         label,
+         CAST(round(clf_score * 1000000.0) AS BIGINT) AS micro
+  FROM j WHERE NOT is_fit),
+app AS (
+  SELECT h.bin, h.label, h.micro, f.iso_rate,
+         coalesce(f.iso_rate, CAST(h.micro AS DOUBLE) / 1000000.0) AS cal
+  FROM held h LEFT JOIN fitmap f ON f.bin = h.bin)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(label) AS BIGINT) AS n_pass,
+       round(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS emp_rate,
+       round(CAST(sum(micro) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_raw,
+       max(iso_rate) AS iso_rate,
+       round(abs(CAST(sum(micro) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                 - CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         AS raw_gap,
+       round(abs(coalesce(max(iso_rate),
+                          CAST(sum(micro) AS DOUBLE)
+                          / (CAST(count(*) AS DOUBLE) * 1000000.0))
+                 - CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         AS cal_gap,
+       CAST(sum(CASE WHEN cal >= CAST({ISO_GATE!r} AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gated
+FROM app GROUP BY bin ORDER BY bin
+"""
+
+
 def temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled recalibration of the learned quality classifier
     (Guo et al. 2017 — the one-parameter fix the calibration_matrix
@@ -13960,6 +14112,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_hamming_key_join", hamming_key_join, _hamming_key_sql()),
     ("llm_priority_sample", priority_sample, _priority_sample_sql()),
     ("llm_isotonic_calibration", isotonic_calibration, _isotonic_sql()),
+    ("llm_isotonic_apply", isotonic_apply, _isotonic_apply_sql()),
     ("llm_near_dup_survivors", near_dup_survivors, _SURVIVORS_SQL),
     ("llm_ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL),
     ("llm_sorted_neighborhood_dup", sorted_neighborhood_dup, _SORTED_NEIGHBORHOOD_SQL),

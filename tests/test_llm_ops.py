@@ -4703,3 +4703,28 @@ def test_blocking_threshold_sweep_pins(spark):
         assert by[(s, 0.8)].n_candidates == fixed_08[s].n_candidates
         assert by[(s, 0.8)].n_verified == fixed_08[s].n_verified
         assert by[(s, 0.8)].n_truth == fixed_08[s].n_truth
+
+
+def test_isotonic_apply_holdout_properties(spark):
+    """The fit->apply loop: the applied map stays MONOTONE across held-out
+    bins (PAV's theorem survives the restriction to populated bins), the
+    gate count is consistent with the calibrated rates (a bin whose
+    iso_rate clears the gate admits all its docs; below, none — fallback
+    bins aside), and the bins-sized lookup is a broadcast join, never a
+    shuffle."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        ISO_GATE,
+        isotonic_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = isotonic_apply(spark, sf)
+    rows = df.collect()
+    assert rows
+    fitted = [r for r in rows if r.iso_rate is not None]
+    iso = [r.iso_rate for r in fitted]
+    assert iso == sorted(iso)
+    for r in fitted:
+        assert r.n_gated == (r.n_docs if r.iso_rate >= ISO_GATE else 0)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
