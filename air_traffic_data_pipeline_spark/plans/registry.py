@@ -98,6 +98,11 @@ _FORCE_RECHECK: dict[str, int] = {
     # consumers re-verified bitwise via oracle_check) — re-enter on principle
     "llm_prefix_filter_join": 12,
     "llm_blocking_cost_eval": 12,
+    # r12: theil-sen exact audit branch moved from the percentile UDAF to
+    # distributed selection (_exact_median_by_selection) — same multiset
+    # median, both consumers re-verified bitwise via oracle_check
+    "rel_theil_sen_sampled": 12,
+    "stream_incremental_theil_sen_sampled": 12,
 }
 
 

@@ -2591,6 +2591,127 @@ pairs AS (
   SELECT DISTINCT seg, least(i, j) AS lo, greatest(i, j) AS hi FROM jj)"""
 
 
+TS_SEL_BUCKETS = 4096  # value-range buckets for distributed median selection
+
+
+def _exact_median_by_selection(slopes: DataFrame) -> DataFrame:
+    """Exact per-key interpolated median of a (seg, slope) frame by
+    DISTRIBUTED SELECTION — the r11-VERDICT floor fix for the
+    theil-sen audit branch: Spark's `percentile` UDAF buffers every
+    group value in one task's heap (PercentileBase keeps a value→count
+    map and materializes the sorted scan at eval — the measured ~14 s
+    sf-independent floor, and an OOM under default executor heap),
+    which caps exact medians at per-group-fits-in-memory. Selection
+    replaces it with three bounded relational steps, none of which
+    ever holds a group in one place:
+
+      1. one narrow pass for per-key (count, min, max) — the target
+         ranks k_lo = floor(0.5·(n−1)), k_hi = ceil of the 0-based
+         sorted order, exactly Spark percentile's interpolation inputs;
+      2. a TS_SEL_BUCKETS-way value-range histogram (floor of the
+         affine map is monotone under IEEE, so bucket order = value
+         order and equal values share a bucket) + a keys×B running sum
+         to locate the bucket(s) holding k_lo/k_hi;
+      3. a sort of ONLY those buckets (expected n/B rows each,
+         partitioned by (key, bucket)) to read off the two order
+         statistics, then Spark's own formula
+         (k_hi − rank)·v_lo + (rank − k_lo)·v_hi verbatim.
+
+    The result is the identical multiset median — same value, not an
+    approximation — with the one data-sized structure (the slope frame)
+    localCheckpointed so the histogram and candidate passes reuse it.
+    Pathological skew (≫n/B of a key's mass in one bucket) would just
+    make step 3's sort bigger; a second bucketing level inside the hot
+    bucket is the standard escalation if a lake ever exhibits it.
+
+    Returns (seg, n_pairs_exact, slope_exact)."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
+    slopes, _ = tracked_local_checkpoint(slopes, register=True)
+    rank = F.lit(0.5) * (F.col("n_pairs_exact") - 1).cast("double")
+    stats = (
+        slopes.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"),
+            F.min("slope").alias("mn"),
+            F.max("slope").alias("mx"),
+        )
+        .select(
+            "seg",
+            "n_pairs_exact",
+            "mn",
+            "mx",
+            rank.alias("rk"),
+            F.floor(rank).cast("bigint").alias("k_lo"),
+            F.ceil(rank).cast("bigint").alias("k_hi"),
+        )
+    )
+    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(
+                (F.col("slope") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(float(TS_SEL_BUCKETS))
+            ).cast("bigint"),
+            F.lit(TS_SEL_BUCKETS - 1).cast("bigint"),
+        )
+    )
+    bucketed = slopes.join(F.broadcast(stats), "seg").select(
+        "seg", "slope", bkt.alias("bkt")
+    )
+    before = W.partitionBy("seg").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sel = (
+        bucketed.groupBy("seg", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn(
+            "base",
+            F.coalesce(F.sum("c").over(before), F.lit(0).cast("bigint")),
+        )
+        .join(stats.select("seg", "k_lo", "k_hi"), "seg")
+        .filter(
+            (
+                (F.col("k_lo") >= F.col("base"))
+                & (F.col("k_lo") < F.col("base") + F.col("c"))
+            )
+            | (
+                (F.col("k_hi") >= F.col("base"))
+                & (F.col("k_hi") < F.col("base") + F.col("c"))
+            )
+        )
+        .select("seg", "bkt", "base")
+    )
+    wrn = W.partitionBy("seg", "bkt").orderBy("slope")
+    cand = bucketed.join(F.broadcast(sel), ["seg", "bkt"]).select(
+        "seg",
+        "slope",
+        (F.row_number().over(wrn) - 1 + F.col("base"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    vals = cand.join(
+        F.broadcast(stats.select("seg", "k_lo", "k_hi")), "seg"
+    ).filter((F.col("r") == F.col("k_lo")) | (F.col("r") == F.col("k_hi")))
+    med = vals.groupBy("seg").agg(
+        F.min(F.when(F.col("r") == F.col("k_lo"), F.col("slope"))).alias(
+            "v_lo"
+        ),
+        F.min(F.when(F.col("r") == F.col("k_hi"), F.col("slope"))).alias(
+            "v_hi"
+        ),
+    )
+    # Spark PercentileBase's interpolation, verbatim
+    interp = F.when(F.col("k_lo") == F.col("k_hi"), F.col("v_lo")).otherwise(
+        (F.col("k_hi").cast("double") - F.col("rk")) * F.col("v_lo")
+        + (F.col("rk") - F.col("k_lo").cast("double")) * F.col("v_hi")
+    )
+    return (
+        stats.join(med, "seg")
+        .select("seg", "n_pairs_exact", interp.alias("slope_exact"))
+    )
+
+
 def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key Theil-Sen via DETERMINISTIC-HASH PAIR SAMPLING, audited
     against the exact per-key fit — the scale path rel_theil_sen's
@@ -2677,16 +2798,12 @@ def theil_sen_sampled_from_seg_daily(daily: DataFrame) -> DataFrame:
     ).select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(TS_SALT - 1))).alias("salt")
     )
-    exact = (
+    slopes = (
         a.join(b, ["seg", "salt"])
         .filter(F.col("dn_b") > F.col("dn_a"))
         .select("seg", slope.alias("slope"))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"),
-            F.expr("percentile(slope, 0.5)").alias("slope_exact"),
-        )
     )
+    exact = _exact_median_by_selection(slopes)
     ndays = daily.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
     )

@@ -2155,3 +2155,42 @@ def test_numeric_summary_matches_reference(spark):
         assert abs(r.skewness - sk) < 1e-5
         assert abs(r.excess_kurtosis - ku) < 1e-5
         assert r.var_cents2 > 0
+
+
+def test_exact_median_by_selection_equals_percentile(spark):
+    """The distributed-selection median (the r12 replacement for the
+    percentile UDAF on the theil-sen audit branch) must equal Spark's
+    own `percentile(col, 0.5)` BITWISE on every shape that exercises a
+    distinct code path: odd n (exact middle element), even n
+    (interpolated), n=1, all-values-equal (mn == mx bucket guard), and
+    values straddling many histogram buckets including negatives."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        _exact_median_by_selection,
+    )
+
+    rows = []
+    # odd n, distinct values spanning buckets
+    rows += [("odd", float(v)) for v in (-500, -3, 0, 7, 11, 400, 1e6)]
+    # even n -> interpolation between two middles
+    rows += [("even", float(v)) for v in (1, 2, 30, 40, 500, 6000)]
+    # single row
+    rows += [("one", 42.5)]
+    # all equal -> mx == mn guard
+    rows += [("flat", 3.25)] * 9
+    # deterministic pseudo-random spread with duplicates
+    rows += [("mix", float(((i * 2654435761) % 1000) - 500)) for i in range(257)]
+    df = spark.createDataFrame(rows, "seg string, slope double")
+    want = {
+        r.seg: (r.n, r.med)
+        for r in df.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("percentile(slope, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    got = {
+        r.seg: (r.n_pairs_exact, r.slope_exact)
+        for r in _exact_median_by_selection(df).collect()
+    }
+    assert got == want and len(want) == 5
