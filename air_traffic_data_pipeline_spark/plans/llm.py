@@ -3375,7 +3375,9 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _priority_sample_sql() -> str:
+def _priority_sample_sql(where: str = "") -> str:
+    # `where` narrows the corpus (the retraction mirror's survivors-only
+    # view); empty = all documents.
     from .relational import _kmv_u32_sql
 
     u = _kmv_u32_sql("doc_id")
@@ -3383,7 +3385,7 @@ def _priority_sample_sql() -> str:
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
          (n_chars * CAST({PRIO_SCALE} AS BIGINT)) // ({u} + 1) AS priority_q
-  FROM documents),
+  FROM documents {where}),
 ranked AS (
   SELECT source, doc_id, n_chars, priority_q,
          CAST(row_number() OVER (PARTITION BY source

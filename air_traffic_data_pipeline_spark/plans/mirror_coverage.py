@@ -60,6 +60,7 @@ MIRRORS: dict[str, str | None] = {
     "stream_incremental_pipeline_v2": "llm_pretrain_pipeline_v2",
     "stream_incremental_pref_pairs": "llm_preference_pairs",
     "stream_incremental_priority_sample": "llm_priority_sample",
+    "stream_incremental_priority_sample_retract": "llm_priority_sample",
     "stream_incremental_quantile": None,
     "stream_incremental_quantile_retract": None,
     "stream_incremental_quantile_sketch": "rel_quantile_sketch",

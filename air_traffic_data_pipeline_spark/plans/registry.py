@@ -103,6 +103,13 @@ _FORCE_RECHECK: dict[str, int] = {
     # median, both consumers re-verified bitwise via oracle_check
     "rel_theil_sen_sampled": 12,
     "stream_incremental_theil_sen_sampled": 12,
+    # r12: _priority_sample_sql / _markov_sql gained a `where` param for
+    # the retraction mirrors' survivor oracles (defaults preserve behavior
+    # exactly; consumers re-verified bitwise) — re-enter on principle
+    "llm_priority_sample": 12,
+    "stream_incremental_priority_sample": 12,
+    "rel_markov_stationary": 12,
+    "stream_incremental_markov": 12,
 }
 
 

@@ -1027,6 +1027,32 @@ def _markov_retract_oracle_sql() -> str:
     )
 
 
+def stream_incremental_priority_sample_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.documents_stream import incremental_priority_sample_retract
+
+    return incremental_priority_sample_retract(spark, sf_dir)
+
+
+def _priority_sample_retract_oracle_sql() -> str:
+    """The bounded-top-K retraction mirror (per-source top-(K+B) frontier
+    with an explicit erosion budget — see
+    incremental_priority_sample_retract for why a K-bounded state cannot
+    absorb deletions) must reproduce the one-shot priority sample over
+    the SURVIVING documents bitwise; the batch query's SQL restricted to
+    survivors IS the oracle."""
+    from ..streaming.documents_stream import (
+        PRIO_RETRACT_MOD,
+        PRIO_RETRACT_RES,
+    )
+    from .llm import _priority_sample_sql
+
+    return _priority_sample_sql(
+        where=f"WHERE doc_id % {PRIO_RETRACT_MOD} <> {PRIO_RETRACT_RES}"
+    )
+
+
 def stream_incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_retract
 
@@ -1191,6 +1217,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_pagerank", stream_incremental_pagerank, _pagerank_oracle_sql()),
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_markov_retract", stream_incremental_markov_retract, _markov_retract_oracle_sql()),
+    ("stream_incremental_priority_sample_retract", stream_incremental_priority_sample_retract, _priority_sample_retract_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
     ("stream_incremental_isotonic", stream_incremental_isotonic, _isotonic_oracle_sql()),

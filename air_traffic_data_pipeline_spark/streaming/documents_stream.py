@@ -1712,3 +1712,288 @@ def incremental_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware priority sample (round 12): the ORDER-STATISTIC
+# retraction shape — deletion erodes a bounded top-K frontier, the one
+# failure mode signed sums (scalar/keyed/graph/calendar retract mirrors)
+# and the watermark buffer (sequence retract mirror) never face.
+
+# documents tombstone set: doc_id % 7 == 3. Deliberately NOT the orders
+# RETRACT_MOD discipline (doc_id % 10) — the lake assigns source =
+# f"src{doc_id % 20}", so any modulus sharing a factor with 20 deletes
+# entire sources (doc_id%10==7 erases src7/src17 wholesale); 7 is coprime
+# with 20 and spreads deletions uniformly across sources.
+PRIO_RETRACT_MOD = 7
+PRIO_RETRACT_RES = 3
+# frontier erosion budget B: the state keeps top-(K+B) per source, so it
+# survives up to B deletions per source that hit the kept set; the
+# (B+1)-th is a DETECTED contract violation (ValueError), mirroring the
+# markov-retract watermark discipline.
+PRIO_RETRACT_B = 20
+
+DOCS_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def _stage_prio_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three doc_id-tercile insert slices with a -1 tombstone for every
+    doc_id % PRIO_RETRACT_MOD == PRIO_RETRACT_RES document, scheduled
+    adversarially: even (doc_id DIV MOD) tombstones one batch EARLY
+    (delete-before-insert — the pending-tombstone path), odd ones one
+    batch LATE (delete-after-insert — the frontier-erosion path);
+    boundary slices fold edge tombstones into their own batch."""
+    import hashlib
+
+    from ..plans.tables import load
+    from .events_stream import _stage_ordered
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/docs_prio_retract_{key}"
+    nb = 3
+
+    def build():
+        from pyspark.sql import Window
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        n = docs.count()
+        cuts = [round(i * n / nb) for i in range(nb + 1)]
+        ranked = docs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        slices = [
+            ranked.filter(
+                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+            ).drop("rn")
+            for i in range(nb)
+        ]
+
+        def ins(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id", "source", "n_chars", F.lit(1).alias("sign")
+            )
+
+        def tomb(df: DataFrame, early: bool) -> DataFrame:
+            cancelled = df.filter(
+                F.col("doc_id") % PRIO_RETRACT_MOD == PRIO_RETRACT_RES
+            )
+            parity = (F.col("doc_id") / PRIO_RETRACT_MOD).cast("bigint") % 2
+            return cancelled.filter(parity == (0 if early else 1)).select(
+                "doc_id", "source", "n_chars", F.lit(-1).alias("sign")
+            )
+
+        out = []
+        for i in range(nb):
+            b = ins(slices[i])
+            if i + 1 < nb:
+                b = b.unionByName(tomb(slices[i + 1], early=True))
+            if i == 0:
+                b = b.unionByName(tomb(slices[0], early=True))
+            if i > 0:
+                b = b.unionByName(tomb(slices[i - 1], early=False))
+            if i == nb - 1:
+                b = b.unionByName(tomb(slices[i], early=False))
+            out.append(b)
+        return out
+
+    names = [f"{i + 1:02d}.parquet" for i in range(nb)]
+    return _stage_ordered(d, names, build)
+
+
+def priority_retract_update(
+    prev_kept: DataFrame | None,
+    prev_pend: DataFrame | None,
+    prev_x: DataFrame | None,
+    batch: DataFrame,
+    k_plus_b: int,
+) -> tuple:
+    """The retraction sampler's per-epoch kernel, module-level so the
+    frontier-erosion and pending-tombstone pytests can drive it with a
+    tiny K. State: per source the top-(K+B) SURVIVING arrived docs by
+    quantized priority (`kept`), the outstanding tombstones whose insert
+    has not arrived (`pend`), and the per-source count of deletions that
+    hit the kept set (`x` — the erosion tally).
+
+    Why K+B suffices (the invariant the pytest pins): after x deletions
+    have hit the kept set, it still contains the top-(K+B−x) of all
+    arrived surviving docs — trimming only ever drops rows ranked past
+    K+B, a new arrival that belongs to the surviving top-(K+B−x) always
+    survives the trim, and a state-hitting deletion shrinks the
+    guarantee by exactly one. So the final top-K is exact while x ≤ B.
+    A deletion of a NON-kept doc is provably irrelevant: at its trim (or
+    cancellation) time ≥ K+B−x survivors outranked it, and at most B−x
+    future erosions can remove outrankers, leaving ≥ K — it could never
+    re-enter the answer. Deletions of kept docs beyond B are DETECTED
+    (caller raises), not silently wrong.
+
+    Tombstone-before-insert parks in `pend` and cancels the insert on
+    arrival (no erosion — the doc never occupies state). A tombstone for
+    an already-trimmed doc stays in `pend` forever — harmless by the
+    irrelevance argument, and bounded by the deletion contract; a real
+    deployment ages these out with the same watermark the markov-retract
+    buffer uses.
+
+    Returns (kept, pend, x)."""
+    from pyspark.sql import Window
+
+    from ..plans.llm import PRIO_SCALE
+    from ..plans.relational import _kmv_u32
+
+    s = batch.sparkSession
+    if prev_kept is None:
+        prev_kept = s.createDataFrame(
+            [], "source string, doc_id bigint, n_chars bigint, priority_q bigint"
+        )
+    if prev_pend is None:
+        prev_pend = s.createDataFrame([], "doc_id bigint")
+    if prev_x is None:
+        prev_x = s.createDataFrame([], "source string, x bigint")
+    ins = batch.filter(F.col("sign") == 1).select("doc_id", "source", "n_chars")
+    dels = batch.filter(F.col("sign") == -1).select("doc_id", "source")
+    dead = dels.select("doc_id").unionByName(prev_pend).distinct()
+    ins_live = ins.join(dead, "doc_id", "left_anti")
+    u = (_kmv_u32(F.col("doc_id").cast("string")) + F.lit(1)).cast("bigint")
+    keyed = ins_live.select("source", "doc_id", "n_chars", u.alias("u")).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"(n_chars * CAST({PRIO_SCALE} AS BIGINT)) DIV u").alias(
+            "priority_q"
+        ),
+    )
+    hits = (
+        prev_kept.join(dels.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    kept_base = prev_kept.join(dels.select("doc_id"), "doc_id", "left_anti")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("priority_q").desc(), F.col("doc_id").asc()
+        )
+    )
+    kept = (
+        kept_base.unionByName(keyed)
+        .select("source", "doc_id", "n_chars", "priority_q", rn.alias("rn"))
+        .filter(F.col("rn") <= k_plus_b)
+        .drop("rn")
+    )
+    pend = (
+        prev_pend.join(ins.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(
+            dels.select("doc_id")
+            .join(prev_kept.select("doc_id"), "doc_id", "left_anti")
+            .join(ins.select("doc_id"), "doc_id", "left_anti")
+        )
+        .distinct()
+    )
+    x = (
+        prev_x.unionByName(hits)
+        .groupBy("source")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+    )
+    return kept, pend, x
+
+
+def incremental_priority_sample_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRACTION-AWARE streaming priority sample — bitwise equal to the
+    one-shot ``plans.llm.priority_sample`` over the SURVIVING
+    (never-deleted) documents (that batch SQL, survivor-filtered, is the
+    oracle).
+
+    The new retraction shape this closes (SURVEY round-12): bounded
+    top-K state under deletion. The insert-only mirror keeps |sources|·K
+    rows because a doc outside the top-K can never ENTER it; a deletion
+    breaks exactly that — removing a kept doc must PROMOTE the next
+    contender, which a K-bounded state has already discarded. The
+    resolution is a per-source ERROR BUDGET: keep top-(K+PRIO_RETRACT_B)
+    survivors, absorb up to B kept-set deletions per source (each
+    consumes one buffer slot of guarantee — see
+    ``priority_retract_update`` for the invariant), detect the (B+1)-th
+    as a contract violation instead of emitting a silently-wrong sample.
+    Deletions may arrive before their insert (pending-tombstone state)
+    or after; both directions are exercised by the staged schedule.
+
+    At 100 TB: state is |sources|·(K+B) rows plus the outstanding
+    tombstone set (bounded by the deletion contract) plus |sources|
+    erosion counters — independent of corpus size; under
+    transformWithState the kept set is a per-source bounded ListState
+    and the pending set a MapState with watermark-aged eviction."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import PRIO_K
+
+    tune_session(spark)
+    d = _stage_prio_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_prior_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+
+        def rd(tag: str):
+            p = f"{base}/{tag}/epoch={epoch_id - 1}"
+            return s.read.parquet(p) if os.path.exists(p) else None
+
+        kept, pend, x = priority_retract_update(
+            rd("kept"),
+            rd("pend"),
+            rd("x"),
+            batch_df.select("doc_id", "source", "n_chars", "sign"),
+            PRIO_K + PRIO_RETRACT_B,
+        )
+        over = x.filter(F.col("x") > PRIO_RETRACT_B).count()
+        if over:
+            raise ValueError(
+                f"priority_retract erosion budget exhausted: {over} "
+                f"source(s) exceeded B={PRIO_RETRACT_B} kept-set deletions"
+            )
+        kept.write.mode("overwrite").parquet(f"{base}/kept/epoch={epoch_id}")
+        pend.write.mode("overwrite").parquet(f"{base}/pend/epoch={epoch_id}")
+        x.write.mode("overwrite").parquet(f"{base}/x/epoch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        kept = spark.read.parquet(f"{base}/kept/epoch=2")
+        rank = F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("priority_q").desc(), F.col("doc_id").asc()
+            )
+        ).cast("bigint")
+        out = (
+            kept.select(
+                "source", "doc_id", "n_chars", "priority_q", rank.alias("rank")
+            )
+            .filter(F.col("rank") <= PRIO_K)
+            .orderBy("source", "rank")
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1859,3 +1859,124 @@ def test_markov_retract_late_tombstone_is_violation(spark):
     # the clean row still finalized; the violation never enters counts
     assert [(r.user_id, r.last_type) for r in lastfin.collect()] == [(1, "B")]
     assert counts.count() == 0
+
+
+def test_incremental_priority_sample_retract_equals_surviving_batch(spark):
+    """The bounded-top-K retraction mirror: per-source top-(K+B) frontier
+    state under the adversarial schedule (delete-before-insert AND
+    delete-after-insert tombstones) must reproduce the one-shot priority
+    sample over SURVIVING documents bitwise — and the deletions must
+    actually change the sample, so the equality is non-vacuous."""
+    from pyspark.sql import Window
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        PRIO_K,
+        PRIO_SCALE,
+        priority_sample,
+    )
+    from air_traffic_data_pipeline_spark.plans.relational import _kmv_u32
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        PRIO_RETRACT_MOD,
+        PRIO_RETRACT_RES,
+        incremental_priority_sample_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") % PRIO_RETRACT_MOD != PRIO_RETRACT_RES)
+        .select("doc_id", "source", "n_chars")
+    )
+    u = (_kmv_u32(F.col("doc_id").cast("string")) + F.lit(1)).cast("bigint")
+    keyed = d.select("doc_id", "source", "n_chars", u.alias("u")).select(
+        "*",
+        F.expr(f"(n_chars * CAST({PRIO_SCALE} AS BIGINT)) DIV u").alias(
+            "priority_q"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("priority_q").desc(), F.col("doc_id").asc()
+        )
+    ).cast("bigint")
+    want = [
+        tuple(r)
+        for r in keyed.select(
+            "source", "doc_id", "n_chars", "priority_q", rn.alias("rank")
+        )
+        .filter(F.col("rank") <= PRIO_K)
+        .orderBy("source", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in incremental_priority_sample_retract(spark, sf).collect()
+    ]
+    assert got == want and want
+    full = [tuple(r) for r in priority_sample(spark, sf).collect()]
+    assert got != full  # the deletions moved the sample
+
+
+def test_priority_retract_deletion_promotes_buffered_contender(spark):
+    """The shape that makes K-bounded top-K state unretractable: deleting
+    a kept doc must PROMOTE the next contender, which only survives in
+    the buffer. K=2, B=1: four docs, the rank-2 doc is deleted, and the
+    buffered rank-3 doc enters the final top-2 — while the erosion tally
+    records exactly one kept-set hit."""
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        priority_retract_update,
+    )
+
+    cols = "doc_id bigint, source string, n_chars bigint, sign int"
+    # priorities are monotone in n_chars for a fixed u? no — use distinct
+    # n_chars large enough that w dominates the hash denominator spread
+    b1 = spark.createDataFrame(
+        [
+            (1, "s", 10_000_000, 1),
+            (2, "s", 9_000_000, 1),
+            (3, "s", 8_000_000, 1),
+            (4, "s", 7_000_000, 1),
+        ],
+        cols,
+    )
+    kept, pend, x = priority_retract_update(None, None, None, b1, k_plus_b=3)
+    top3 = sorted(
+        [(r.doc_id, r.priority_q) for r in kept.collect()],
+        key=lambda t: -t[1],
+    )
+    assert len(top3) == 3
+    rank2_doc = top3[1][0]
+    b2 = spark.createDataFrame([(rank2_doc, "s", 0, -1)], cols)
+    kept2, pend2, x2 = priority_retract_update(kept, pend, x, b2, k_plus_b=3)
+    ids2 = {r.doc_id for r in kept2.collect()}
+    assert rank2_doc not in ids2 and top3[2][0] in ids2
+    # final top-2 now includes the formerly-buffered rank-3 doc
+    final2 = sorted(
+        [(r.doc_id, r.priority_q) for r in kept2.collect()],
+        key=lambda t: -t[1],
+    )[:2]
+    assert top3[2][0] in {d for d, _ in final2}
+    assert [(r.source, r.x) for r in x2.collect()] == [("s", 1)]
+    assert pend2.count() == 0
+
+
+def test_priority_retract_pending_tombstone_cancels_late_insert(spark):
+    """Delete-before-insert: the tombstone parks in pending state and the
+    insert is cancelled on arrival without ever entering the kept set or
+    the erosion tally."""
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        priority_retract_update,
+    )
+
+    cols = "doc_id bigint, source string, n_chars bigint, sign int"
+    b1 = spark.createDataFrame([(7, "s", 0, -1)], cols)
+    kept, pend, x = priority_retract_update(None, None, None, b1, k_plus_b=3)
+    assert kept.count() == 0 and x.count() == 0
+    assert [r.doc_id for r in pend.collect()] == [7]
+    b2 = spark.createDataFrame(
+        [(7, "s", 10_000_000, 1), (8, "s", 5_000_000, 1)], cols
+    )
+    kept2, pend2, x2 = priority_retract_update(kept, pend, x, b2, k_plus_b=3)
+    assert [r.doc_id for r in kept2.collect()] == [8]
+    assert pend2.count() == 0 and x2.count() == 0
