@@ -24,7 +24,10 @@ HEADLINE = [
     "rel_q3_top_orders",
     "rel_q5_nation_revenue",
     "rel_win_topk_orders",
-    "rel_asof_join",
+    # rel_asof_join RETIRED round 12 (r11 VERDICT item 5): saturated at
+    # ~0.21 s for four straight rounds — zero information per round. The
+    # r1-comparable longitudinal subset is now 11 keys; r1..r11 artifacts
+    # still carry its history if it ever needs a recheck.
     "llm_minhash_near_dup_pairs",
     "llm_cosine_topk",
     "llm_lsh_topk",
@@ -61,6 +64,13 @@ HEADLINE = [
     # shape slipped). Scaling history: 2.21x wall at 4x data (r10 PERF.md).
     # New key — absent from the r1 baseline total, compare round-over-round.
     "rel_poisson_bootstrap_ci",
+    # round-12 addition (r11 VERDICT item 5, promoted with two rounds of
+    # curve history: 1.48x wall at 4x replicas, r11 PERF.md): the SRP
+    # cosine-LSH blocker — |tokens|x64 signed projections collapsing
+    # map-side, 65,536-way band-bucket equi-join, exact BIGINT-dot
+    # verification. A regression here means the projection collapse or
+    # the band join shape slipped. New key — compare round-over-round.
+    "llm_srp_near_dup",
 ]
 
 # Repetitions per timed query; the min is reported. The host VM throttles

@@ -197,6 +197,17 @@ def main() -> int:
         # (SRP_DIM bucket vectors see a growing vocabulary; band-bucket
         # populations — the thing to watch — must keep candidates linear)
         "llm_srp_near_dup": llm.srp_near_dup,
+        # round-12 additions under the distinct-text model: the threshold
+        # sweep runs ONE loosest-threshold truth pass plus the five
+        # production candidate generators (each already curved) — expect
+        # the sum of its parts, dominated by the all-pairs-sharing-a-
+        # shingle truth at J=0.6 (prefix filter prunes less at loose
+        # thresholds — candidate volume at 0.6 is the thing to watch);
+        # isotonic apply rides the feature-hashing token shuffle twice
+        # (fit + held-out halves of one scan) with a 16-row broadcast —
+        # expect the temperature_scaling curve
+        "llm_blocking_threshold_sweep": llm.blocking_threshold_sweep,
+        "llm_isotonic_apply": llm.isotonic_apply,
     }
     only = list(argv)
     if only:
