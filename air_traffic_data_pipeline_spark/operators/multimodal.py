@@ -8,7 +8,10 @@ image/audio libraries needed. The generation parameters are closed-form in
 (doc_id, md5(text)), so a SQL oracle can independently recompute every
 extracted field and value-check the full write -> Arrow -> parse round trip.
 
-Codecs that genuinely need external libraries (jpeg/png/mp4) remain behind
+Round 12 adds a REAL PNG codec: stdlib ``zlib`` is its only dependency
+(DEFLATE + CRC32), so the encode/decode pair below implements the actual
+spec — chunk CRCs, one IDAT stream, and all five scanline filters.
+Codecs that genuinely need external libraries (jpeg/mp4) remain behind
 ``decode_stub``'s ``NotImplementedError`` — an honest gate, not a fake parse.
 
 At 100 TB: payload bytes never leave the executors, batches stream through
@@ -25,7 +28,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-_UNAVAILABLE_CODECS = {"jpeg", "png", "mp4"}
+_UNAVAILABLE_CODECS = {"jpeg", "mp4"}  # png graduated r12: stdlib zlib suffices
 
 WAV_HEADER_BYTES = 44  # canonical RIFF + fmt(16) + data header
 BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
@@ -419,13 +422,13 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
     if codec in _UNAVAILABLE_CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires an image/audio library not present in "
-            "this environment; see decode_wav/decode_bmp_meta for the real "
-            "pure-Python formats"
+            "this environment; see decode_wav/decode_bmp_meta/decode_png_meta "
+            "for the real pure-Python formats"
         )
-    if codec in {"wav", "bmp"}:
+    if codec in {"wav", "bmp", "png"}:
         raise ValueError(
-            "use decode_wav / decode_bmp_meta with attach_wav_payload / "
-            "attach_bmp_payload for real byte formats"
+            "use decode_wav / decode_bmp_meta / decode_png_meta with the "
+            "matching attach_*_payload for real byte formats"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -764,3 +767,184 @@ def tile_stats_bmp(df: DataFrame) -> DataFrame:
         "doc_id long, width int, height int, gray_min long, gray_max long,"
         " contrast long, var_scaled long, is_flat boolean",
     )
+
+
+# --- PNG codec (round 12): stdlib zlib is the only dependency ---------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 9.4) — exact integer arithmetic."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_bytes(doc_id: int, text: str) -> bytes:
+    """A complete, valid 8-bit RGB PNG (color type 2): signature, IHDR,
+    one zlib-DEFLATE IDAT, IEND — CRC32 on every chunk. Row r is filtered
+    with type r % 5, so a decoder must invert ALL FIVE scanline
+    predictors (None/Sub/Up/Average/Paeth) to recover the pixels — the
+    round trip tests the codec, not just the header walk. Pixels are the
+    md5 digest of the text cycled across the image (the BMP generator's
+    model, minus BMP's 4-byte row padding — PNG rows are unpadded).
+    width = doc_id % 16 + 1, height = (doc_id // 16) % 8 + 1."""
+    import struct
+    import zlib
+
+    width = doc_id % 16 + 1
+    height = (doc_id // 16) % 8 + 1
+    stride = width * 3
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    raw = (digest * (stride * height // len(digest) + 1))[: stride * height]
+    prev = bytes(stride)
+    filtered = bytearray()
+    for r in range(height):
+        row = raw[r * stride : (r + 1) * stride]
+        ft = r % 5
+        filtered.append(ft)
+        for i in range(stride):
+            left = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            filtered.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def attach_png_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real PNG file per row."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_png_bytes), "doc_id long, payload binary"
+    )
+
+
+PNG_META_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "checksum long"
+)
+
+
+def decode_png_meta(df: DataFrame) -> DataFrame:
+    """REAL PNG decode via mapInPandas with stdlib zlib only: walk the
+    chunk list verifying every CRC32, inflate the concatenated IDAT
+    stream, INVERT all five scanline filters (the spec's None/Sub/Up/
+    Average/Paeth predictors over reconstructed neighbors), and reduce
+    the recovered pixels to an exact integer checksum — a value the
+    oracle recomputes closed-form from (doc_id, md5(text)), so a wrong
+    unfilter (not just a wrong header) fails the driver hash. jpeg/mp4
+    remain behind decode_stub's NotImplementedError: their codecs
+    genuinely need external libraries; PNG's does not."""
+
+    def batches(it: Iterator) -> Iterator:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for i, raw in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(raw)
+                if raw[:8] != PNG_SIG:
+                    raise ValueError("not a PNG payload")
+                pos, ihdr, idat = 8, None, b""
+                while pos + 12 <= len(raw):
+                    ln, typ = struct.unpack(">I4s", raw[pos : pos + 8])
+                    data = raw[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack(
+                        ">I", raw[pos + 8 + ln : pos + 12 + ln]
+                    )
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError("PNG chunk CRC mismatch")
+                    if typ == b"IHDR":
+                        ihdr = data
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                if ihdr is None:
+                    raise ValueError("malformed PNG: no IHDR")
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", ihdr
+                )
+                if depth != 8 or ctype != 2 or comp or filt or inter:
+                    raise ValueError("unsupported PNG variant")
+                dec = zlib.decompress(idat)
+                stride = w * 3
+                if len(dec) != (stride + 1) * h:
+                    raise ValueError("PNG scanline length mismatch")
+                prev = bytes(stride)
+                total = 0
+                for r in range(h):
+                    base = r * (stride + 1)
+                    ft = dec[base]
+                    rowf = dec[base + 1 : base + 1 + stride]
+                    row = bytearray(stride)
+                    for j in range(stride):
+                        left = row[j - 3] if j >= 3 else 0
+                        up = prev[j]
+                        ul = prev[j - 3] if j >= 3 else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = left
+                        elif ft == 2:
+                            pred = up
+                        elif ft == 3:
+                            pred = (left + up) >> 1
+                        elif ft == 4:
+                            pred = _paeth(left, up, ul)
+                        else:
+                            raise ValueError(f"bad PNG filter type {ft}")
+                        row[j] = (rowf[j] + pred) & 0xFF
+                    total += sum(row)
+                    prev = bytes(row)
+                out.append((int(i), int(w), int(h), depth, ctype, total))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, PNG_META_SCHEMA)

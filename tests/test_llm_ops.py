@@ -4728,3 +4728,55 @@ def test_isotonic_apply_holdout_properties(spark):
         assert r.n_gated == (r.n_docs if r.iso_rate >= ISO_GATE else 0)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_png_codec_round_trip_all_filters(spark):
+    """The PNG codec is the real spec, not a header walk: an 8-row image
+    carries every scanline filter type (row r uses predictor r % 5), the
+    decode kernel's checksum equals the generator pixels' sum (so the
+    unfiltering inverted Sub/Up/Average/Paeth exactly), and a corrupted
+    byte is caught by the chunk CRC."""
+    import hashlib
+    import struct
+    import zlib
+
+    import pytest
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_bytes,
+        attach_png_payload,
+        decode_png_meta,
+    )
+
+    doc_id, text = 119, "the quick brown fox"
+    raw = _png_bytes(doc_id, text)
+    assert raw[:8] == PNG_SIG
+    w, h = doc_id % 16 + 1, (doc_id // 16) % 8 + 1
+    assert h == 8  # all five filter types appear (r % 5 over 8 rows)
+    # independent structural walk: inflate IDAT, read the filter bytes
+    pos, idat = 8, b""
+    while pos + 12 <= len(raw):
+        ln, typ = struct.unpack(">I4s", raw[pos : pos + 8])
+        if typ == b"IDAT":
+            idat += raw[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    dec = zlib.decompress(idat)
+    stride = w * 3
+    fts = [dec[r * (stride + 1)] for r in range(h)]
+    assert fts == [r % 5 for r in range(h)] and set(fts) == {0, 1, 2, 3, 4}
+    # decode through the Spark kernel and check the exact pixel checksum
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    row = decode_png_meta(attach_png_payload(df)).collect()[0]
+    digest = hashlib.md5(text.encode()).digest()
+    pixels = (digest * (stride * h // 16 + 1))[: stride * h]
+    assert (row.width, row.height, row.bit_depth, row.color_type) == (w, h, 8, 2)
+    assert row.checksum == sum(pixels)
+    # CRC detection: corrupt one IDAT byte
+    bad = bytearray(raw)
+    bad[50] ^= 0xFF
+    dfb = spark.createDataFrame(
+        [(doc_id, bytes(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC|PNG"):
+        decode_png_meta(dfb).collect()
