@@ -55,6 +55,7 @@ MIRRORS: dict[str, str | None] = {
     "stream_incremental_markov_retract": "rel_markov_stationary",
     "stream_incremental_naive_bayes": "llm_naive_bayes_langid",
     "stream_incremental_near_dup": "llm_near_dup_survivors",
+    "stream_incremental_near_dup_retract": "llm_near_dup_survivors",
     "stream_incremental_ols": "rel_ols_regression",
     "stream_incremental_pagerank": "rel_pagerank",
     "stream_incremental_pipeline_v2": "llm_pretrain_pipeline_v2",

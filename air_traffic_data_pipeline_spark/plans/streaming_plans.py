@@ -1053,6 +1053,34 @@ def _priority_sample_retract_oracle_sql() -> str:
     )
 
 
+def stream_incremental_near_dup_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.documents_stream import incremental_near_dup_retract
+
+    return incremental_near_dup_retract(spark, sf_dir)
+
+
+def _near_dup_retract_oracle_sql() -> str:
+    """Un-ingestion for the dedup stack: kill EDGES (not sets) so a
+    deleted survivor's victims are re-elected — see
+    incremental_near_dup_retract. The oracle is the batch survivors SQL
+    evaluated over the surviving corpus, expressed by shadowing the
+    `documents` view with a survivor-filtered CTE (main.documents is the
+    schema-qualified base — DuckDB's sanctioned same-name idiom)."""
+    from ..streaming.documents_stream import (
+        PRIO_RETRACT_MOD,
+        PRIO_RETRACT_RES,
+    )
+    from .llm import _SURVIVORS_SQL
+
+    shadow = (
+        "WITH documents AS (SELECT * FROM main.documents "
+        f"WHERE doc_id % {PRIO_RETRACT_MOD} <> {PRIO_RETRACT_RES}), pairs AS"
+    )
+    return _SURVIVORS_SQL.replace("WITH pairs AS", shadow, 1)
+
+
 def stream_incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orders_stream import incremental_quantile_retract
 
@@ -1218,6 +1246,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_markov", stream_incremental_markov, _markov_oracle_sql()),
     ("stream_incremental_markov_retract", stream_incremental_markov_retract, _markov_retract_oracle_sql()),
     ("stream_incremental_priority_sample_retract", stream_incremental_priority_sample_retract, _priority_sample_retract_oracle_sql()),
+    ("stream_incremental_near_dup_retract", stream_incremental_near_dup_retract, _near_dup_retract_oracle_sql()),
     ("stream_incremental_seasonal_retract", stream_incremental_seasonal_retract, _seasonal_retract_oracle_sql()),
     ("stream_incremental_srp", stream_incremental_srp, _srp_oracle_sql()),
     ("stream_incremental_isotonic", stream_incremental_isotonic, _isotonic_oracle_sql()),

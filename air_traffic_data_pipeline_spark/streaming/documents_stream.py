@@ -1997,3 +1997,233 @@ def incremental_priority_sample_retract(
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware near-dup dedup (round 12): un-ingestion for the dedup
+# stack itself — the GDPR-shaped requirement that deleting a document also
+# updates DEDUP state, because a deleted survivor's kill decisions must
+# not outlive it.
+
+DOCS_ND_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+
+def _stage_near_dup_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three doc_id-tercile insert slices with a -1 tombstone for every
+    doc_id % PRIO_RETRACT_MOD == PRIO_RETRACT_RES document (the same
+    source-uniform deletion set the priority retract mirror uses),
+    scheduled adversarially: even (doc_id DIV MOD) tombstones one batch
+    EARLY (the never-ingest path), odd one batch LATE (the
+    kill-then-void path)."""
+    import hashlib
+
+    from ..plans.tables import load
+    from .events_stream import _stage_ordered
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"{_STAGE_ROOT}/docs_nd_retract_{key}"
+    nb = 3
+
+    def build():
+        from pyspark.sql import Window
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        n = docs.count()
+        cuts = [round(i * n / nb) for i in range(nb + 1)]
+        ranked = docs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        slices = [
+            ranked.filter(
+                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+            ).drop("rn")
+            for i in range(nb)
+        ]
+
+        def ins(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id", "text", "lang", "n_chars", F.lit(1).alias("sign")
+            )
+
+        def tomb(df: DataFrame, early: bool) -> DataFrame:
+            cancelled = df.filter(
+                F.col("doc_id") % PRIO_RETRACT_MOD == PRIO_RETRACT_RES
+            )
+            parity = (F.col("doc_id") / PRIO_RETRACT_MOD).cast("bigint") % 2
+            return cancelled.filter(parity == (0 if early else 1)).select(
+                "doc_id", "text", "lang", "n_chars", F.lit(-1).alias("sign")
+            )
+
+        out = []
+        for i in range(nb):
+            b = ins(slices[i])
+            if i + 1 < nb:
+                b = b.unionByName(tomb(slices[i + 1], early=True))
+            if i == 0:
+                b = b.unionByName(tomb(slices[0], early=True))
+            if i > 0:
+                b = b.unionByName(tomb(slices[i - 1], early=False))
+            if i == nb - 1:
+                b = b.unionByName(tomb(slices[i], early=False))
+            out.append(b)
+        return out
+
+    names = [f"{i + 1:02d}.parquet" for i in range(nb)]
+    return _stage_ordered(d, names, build)
+
+
+def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE streaming near-dup dedup — bitwise equal to the
+    one-shot ``near_dup_survivors`` over the SURVIVING (never-deleted)
+    documents (that SQL, survivor-restricted, is the oracle).
+
+    Why deletion is a first-class dedup problem: the min-id survivor rule
+    means a deleted SURVIVOR's victims must be RE-ELECTED — doc X killed
+    doc Y, X is un-ingested, so Y must come back unless another surviving
+    earlier doc also matches it. A kill SET cannot express that; the
+    state must keep kill EDGES (doc_a, doc_b), and emission voids every
+    edge whose killer is dead. The insert-only mirror's discovery
+    invariant survives deletion untouched: a pair of FINALLY-SURVIVING
+    docs (a < b) is discovered exactly once, at b's arrival, because a
+    surviving killer's signature was necessarily still in state then —
+    deletions only ever VOID edges, never create them (a tombstone that
+    precedes its insert simply keeps the doc out of the signature state,
+    which is also what the survivor-restricted oracle sees).
+
+    Per epoch: cumulative dead set += batch tombstones; batch inserts
+    already dead are dropped (never-ingest path); the batch's doc table
+    lands; candidates join the batch against ALL landed signatures MINUS
+    the dead (a deleted doc stops killing future arrivals immediately);
+    verified J >= JACCARD_MIN pairs land as edges. Emission: survivors =
+    (documents − dead) anti-join {doc_b of edges whose doc_a is not
+    dead}. The resurrection pytest pins a real victim whose only killer
+    is deleted.
+
+    At 100 TB: dead set is deletion-contract-sized; dead docs' signature
+    rows and edges are anti-joined at use and physically dropped at the
+    same compaction boundary compact_signed_state uses; everything else
+    is the insert-only mirror's banded state."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import _band_rows, doc_tbl_from
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_near_dup_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_ndr_{_uuid.uuid4().hex[:8]}"
+    state_dir = f"{base}/doc_tbl"
+    edges_dir = f"{base}/edges"
+    dead_dir = f"{base}/dead"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev_dead_p = f"{dead_dir}/epoch={epoch_id - 1}"
+        prev_dead = (
+            s.read.parquet(prev_dead_p)
+            if os.path.exists(prev_dead_p)
+            else s.createDataFrame([], "doc_id bigint")
+        )
+        dead = (
+            prev_dead.unionByName(
+                batch_df.filter(F.col("sign") == -1).select("doc_id")
+            )
+            .distinct()
+        )
+        dead.write.mode("overwrite").parquet(f"{dead_dir}/epoch={epoch_id}")
+        dead = s.read.parquet(f"{dead_dir}/epoch={epoch_id}")
+        ins = (
+            batch_df.filter(F.col("sign") == 1)
+            .select("doc_id", "text", "lang", "n_chars")
+            .join(dead, "doc_id", "left_anti")
+        )
+        doc_tbl_from(ins).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={epoch_id}"
+        )
+        batch_tbl = s.read.parquet(f"{state_dir}/batch={epoch_id}")
+        all_tbl = s.read.parquet(f"{state_dir}/batch=*").join(
+            dead, "doc_id", "left_anti"
+        )
+        a = _band_rows(all_tbl).alias("a")
+        b = _band_rows(batch_tbl).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        a_side = all_tbl.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
+        )
+        b_side = batch_tbl.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
+        )
+        n_common = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        edges = (
+            a_side.join(cand, "doc_a")
+            .join(b_side, "doc_b")
+            .withColumn("n_common", n_common)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (
+                        F.size("arr_a") + F.size("arr_b") - F.col("n_common")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_MIN)
+            .select("doc_a", "doc_b")
+        )
+        edges.write.mode("overwrite").parquet(f"{edges_dir}/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_ND_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        dead = spark.read.parquet(f"{dead_dir}/epoch=2")
+        docs = load(spark, sf_dir, "documents").join(dead, "doc_id", "left_anti")
+        edges = spark.read.parquet(f"{edges_dir}/batch=*")
+        live_kills = (
+            edges.join(
+                dead.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        out = docs.join(live_kills, "doc_id", "left_anti").select(
+            "doc_id", "lang", "n_chars"
+        )
+        out, _ = tracked_local_checkpoint(out, register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
