@@ -2082,6 +2082,48 @@ def _stage_near_dup_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
     return _stage_ordered(d, names, build)
 
 
+ND_COMPACT_EVERY = 2  # fold the batch-partial prefix every N epochs
+
+
+def compact_dead_state(
+    spark: SparkSession,
+    state_dir: str,
+    dead: DataFrame,
+    epoch: int,
+    anti_cols: tuple[str, ...] = ("doc_id",),
+) -> None:
+    """Tombstone compaction for DEAD-SET state (the anti-join sibling of
+    orders_stream.compact_signed_state): fold every landed batch partial
+    into one file, PHYSICALLY DROPPING rows whose id in any ``anti_cols``
+    column is dead. Soundness needs only monotonicity: docs never
+    resurrect, so a dead-keyed row is permanently void (a dead killer's
+    edges can never re-arm; a dead doc's signatures can never match a
+    future arrival the emission would count) and dropping it can never
+    change the merge. Write-new → swap → drop, same crash discipline as
+    the signed compactor. After compaction the state is
+    surviving-rows-sized instead of sum-of-batch-partials-sized — the
+    measured form of the 'dropped at the compaction boundary' claim."""
+    import glob
+    import os
+    import shutil
+
+    dirs = sorted(glob.glob(f"{state_dir}/batch=*"))
+    if len(dirs) < 2:
+        return
+    kept = spark.read.parquet(f"{state_dir}/batch=*")
+    cols = kept.columns  # using-column joins reorder; restore below
+    for c in anti_cols:
+        kept = kept.join(
+            dead.select(F.col("doc_id").alias(c)), c, "left_anti"
+        )
+    kept = kept.select(*cols)
+    tmp = f"{state_dir}.compact_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    for d_ in dirs:
+        shutil.rmtree(d_, ignore_errors=True)
+    os.rename(tmp, f"{state_dir}/batch={epoch}")
+
+
 def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRACTION-AWARE streaming near-dup dedup — bitwise equal to the
     one-shot ``near_dup_survivors`` over the SURVIVING (never-deleted)
@@ -2110,9 +2152,11 @@ def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deleted.
 
     At 100 TB: dead set is deletion-contract-sized; dead docs' signature
-    rows and edges are anti-joined at use and physically dropped at the
-    same compaction boundary compact_signed_state uses; everything else
-    is the insert-only mirror's banded state."""
+    rows and edges are anti-joined at use AND physically dropped every
+    ND_COMPACT_EVERY epochs by ``compact_dead_state`` (write-new → swap
+    → drop, the signed compactor's crash discipline), so state is
+    surviving-rows-sized; everything else is the insert-only mirror's
+    banded state."""
     import os
     import shutil
     import uuid as _uuid
@@ -2196,6 +2240,11 @@ def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
         )
         edges.write.mode("overwrite").parquet(f"{edges_dir}/batch={epoch_id}")
+        if epoch_id % ND_COMPACT_EVERY == 1:
+            compact_dead_state(s, state_dir, dead, epoch_id)
+            compact_dead_state(
+                s, edges_dir, dead, epoch_id, anti_cols=("doc_a", "doc_b")
+            )
 
     try:
         src = (

@@ -2022,3 +2022,29 @@ def test_incremental_near_dup_retract_resurrects_victims(spark):
     assert got_ids == want
     # the documented resurrection case: killed in full, alive in retract
     assert 487 not in full_ids and 487 in got_ids and 487 % 7 != 3
+
+
+def test_compact_dead_state_physically_drops_dead_rows(spark, tmp_path):
+    """The anti-join compactor: folding the batch-partial prefix must
+    physically remove dead-keyed rows (either anti column) and leave ONE
+    batch dir whose content equals the surviving rows."""
+    import glob
+
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        compact_dead_state,
+    )
+
+    sd = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 5), (2, 6)], "doc_a bigint, doc_b bigint"
+    ).write.parquet(f"{sd}/batch=0")
+    spark.createDataFrame(
+        [(3, 7), (2, 8)], "doc_a bigint, doc_b bigint"
+    ).write.parquet(f"{sd}/batch=1")
+    dead = spark.createDataFrame([(2,), (7,)], "doc_id bigint")
+    compact_dead_state(spark, sd, dead, 1, anti_cols=("doc_a", "doc_b"))
+    assert glob.glob(f"{sd}/batch=*") == [f"{sd}/batch=1"]
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{sd}/batch=*").collect()
+    )
+    assert rows == [(1, 5)]  # (2,6),(2,8) dead killer; (3,7) dead victim
