@@ -1752,7 +1752,11 @@ def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     lo_num, lo_den = BT_THRESHOLDS[0]
-    cand0 = _pf_candidate_pairs(sh, sz, t_num=lo_num, t_den=lo_den)
+    # checkpointed: feeds the truth verification AND doubles as the
+    # loosest threshold's own prefix_filter candidate row below
+    cand0, _ = tracked_local_checkpoint(
+        _pf_candidate_pairs(sh, sz, t_num=lo_num, t_den=lo_den), register=True
+    )
     ids = (
         cand0.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand0.select(F.col("doc_b").alias("doc_id")))
@@ -1786,7 +1790,7 @@ def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz_a") + F.col("sz_b") - F.col("n_common")
         )
 
-    truth = F.broadcast(
+    truth, _ = tracked_local_checkpoint(
         scored.agg(
             *[
                 F.sum(F.when(ok(n, d), 1).otherwise(0))
@@ -1794,8 +1798,10 @@ def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"nt_{n}_{d}")
                 for n, d in BT_THRESHOLDS
             ]
-        )
+        ),
+        register=True,
     )
+    truth = F.broadcast(truth)
     bands = _band_rows(_minhash_doc_tbl(spark, sf_dir))
     mh_cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
@@ -1825,14 +1831,20 @@ def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows = None
     for name, cand in fixed:
-        wide = cand.join(scored, ["doc_a", "doc_b"], "left").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-            *[
-                F.sum(F.when(ok(n, d), 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"nv_{n}_{d}")
-                for n, d in BT_THRESHOLDS
-            ],
+        # ONE candidate build + ONE left join per blocker: the 1-row
+        # wide aggregate is checkpointed so the four threshold branches
+        # below read it instead of re-executing the join per row
+        wide, _ = tracked_local_checkpoint(
+            cand.join(scored, ["doc_a", "doc_b"], "left").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                *[
+                    F.sum(F.when(ok(n, d), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"nv_{n}_{d}")
+                    for n, d in BT_THRESHOLDS
+                ],
+            ),
+            register=True,
         )
         for n, d in BT_THRESHOLDS:
             r = wide.crossJoin(truth).select(
@@ -1844,7 +1856,13 @@ def blocking_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = r if rows is None else rows.unionByName(r)
     for n, d in BT_THRESHOLDS:
-        cand = _pf_candidate_pairs(sh, sz, t_num=n, t_den=d)
+        # the loosest threshold's candidate set IS cand0 (the truth pass
+        # already built it) — reuse instead of re-running the prefix join
+        cand = (
+            cand0
+            if (n, d) == (lo_num, lo_den)
+            else _pf_candidate_pairs(sh, sz, t_num=n, t_den=d)
+        )
         r = (
             cand.join(scored, ["doc_a", "doc_b"], "left")
             .agg(

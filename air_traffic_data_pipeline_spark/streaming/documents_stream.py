@@ -1753,60 +1753,21 @@ def _stage_prio_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     from ..plans.tables import load
-    from .events_stream import _stage_ordered
+    from .events_stream import _STAGE_ROOT, _stage_adversarial_retraction
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"{_STAGE_ROOT}/docs_prio_retract_{key}"
-    nb = 3
-
-    def build():
-        from pyspark.sql import Window
-
-        docs = load(spark, sf_dir, "documents").select(
+    return _stage_adversarial_retraction(
+        d=f"{_STAGE_ROOT}/docs_prio_retract_{key}",
+        frame_fn=lambda: load(spark, sf_dir, "documents").select(
             "doc_id", "source", "n_chars"
-        )
-        n = docs.count()
-        cuts = [round(i * n / nb) for i in range(nb + 1)]
-        ranked = docs.withColumn(
-            "rn", F.row_number().over(Window.orderBy("doc_id"))
-        )
-        slices = [
-            ranked.filter(
-                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
-            ).drop("rn")
-            for i in range(nb)
-        ]
-
-        def ins(df: DataFrame) -> DataFrame:
-            return df.select(
-                "doc_id", "source", "n_chars", F.lit(1).alias("sign")
-            )
-
-        def tomb(df: DataFrame, early: bool) -> DataFrame:
-            cancelled = df.filter(
-                F.col("doc_id") % PRIO_RETRACT_MOD == PRIO_RETRACT_RES
-            )
-            parity = (F.col("doc_id") / PRIO_RETRACT_MOD).cast("bigint") % 2
-            return cancelled.filter(parity == (0 if early else 1)).select(
-                "doc_id", "source", "n_chars", F.lit(-1).alias("sign")
-            )
-
-        out = []
-        for i in range(nb):
-            b = ins(slices[i])
-            if i + 1 < nb:
-                b = b.unionByName(tomb(slices[i + 1], early=True))
-            if i == 0:
-                b = b.unionByName(tomb(slices[0], early=True))
-            if i > 0:
-                b = b.unionByName(tomb(slices[i - 1], early=False))
-            if i == nb - 1:
-                b = b.unionByName(tomb(slices[i], early=False))
-            out.append(b)
-        return out
-
-    names = [f"{i + 1:02d}.parquet" for i in range(nb)]
-    return _stage_ordered(d, names, build)
+        ),
+        order_cols=("doc_id",),
+        id_col="doc_id",
+        mod=PRIO_RETRACT_MOD,
+        res=PRIO_RETRACT_RES,
+        nb=3,
+        cols=("doc_id", "source", "n_chars"),
+    )
 
 
 def priority_retract_update(
@@ -2026,60 +1987,21 @@ def _stage_near_dup_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     from ..plans.tables import load
-    from .events_stream import _stage_ordered
+    from .events_stream import _STAGE_ROOT, _stage_adversarial_retraction
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"{_STAGE_ROOT}/docs_nd_retract_{key}"
-    nb = 3
-
-    def build():
-        from pyspark.sql import Window
-
-        docs = load(spark, sf_dir, "documents").select(
+    return _stage_adversarial_retraction(
+        d=f"{_STAGE_ROOT}/docs_nd_retract_{key}",
+        frame_fn=lambda: load(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "n_chars"
-        )
-        n = docs.count()
-        cuts = [round(i * n / nb) for i in range(nb + 1)]
-        ranked = docs.withColumn(
-            "rn", F.row_number().over(Window.orderBy("doc_id"))
-        )
-        slices = [
-            ranked.filter(
-                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
-            ).drop("rn")
-            for i in range(nb)
-        ]
-
-        def ins(df: DataFrame) -> DataFrame:
-            return df.select(
-                "doc_id", "text", "lang", "n_chars", F.lit(1).alias("sign")
-            )
-
-        def tomb(df: DataFrame, early: bool) -> DataFrame:
-            cancelled = df.filter(
-                F.col("doc_id") % PRIO_RETRACT_MOD == PRIO_RETRACT_RES
-            )
-            parity = (F.col("doc_id") / PRIO_RETRACT_MOD).cast("bigint") % 2
-            return cancelled.filter(parity == (0 if early else 1)).select(
-                "doc_id", "text", "lang", "n_chars", F.lit(-1).alias("sign")
-            )
-
-        out = []
-        for i in range(nb):
-            b = ins(slices[i])
-            if i + 1 < nb:
-                b = b.unionByName(tomb(slices[i + 1], early=True))
-            if i == 0:
-                b = b.unionByName(tomb(slices[0], early=True))
-            if i > 0:
-                b = b.unionByName(tomb(slices[i - 1], early=False))
-            if i == nb - 1:
-                b = b.unionByName(tomb(slices[i], early=False))
-            out.append(b)
-        return out
-
-    names = [f"{i + 1:02d}.parquet" for i in range(nb)]
-    return _stage_ordered(d, names, build)
+        ),
+        order_cols=("doc_id",),
+        id_col="doc_id",
+        mod=PRIO_RETRACT_MOD,
+        res=PRIO_RETRACT_RES,
+        nb=3,
+        cols=("doc_id", "text", "lang", "n_chars"),
+    )
 
 
 ND_COMPACT_EVERY = 2  # fold the batch-partial prefix every N epochs
@@ -2099,13 +2021,27 @@ def compact_dead_state(
     resurrect, so a dead-keyed row is permanently void (a dead killer's
     edges can never re-arm; a dead doc's signatures can never match a
     future arrival the emission would count) and dropping it can never
-    change the merge. Write-new → swap → drop, same crash discipline as
-    the signed compactor. After compaction the state is
-    surviving-rows-sized instead of sum-of-batch-partials-sized — the
-    measured form of the 'dropped at the compaction boundary' claim."""
+    change the merge.
+
+    Crash/replay discipline — STRONGER than the signed compactor's,
+    because this state is SET-semantic (rows are facts, duplicates
+    collapse under the fold's dropDuplicates and the consumers'
+    distinct(), unlike signed sums where a double-counted row is wrong):
+    the fold lands under a fresh nonce dir name (``batch={epoch}f<hex>``
+    — never a replayable integer epoch, so a foreachBatch replay of the
+    compaction epoch can overwrite its own partial without touching the
+    fold) BEFORE the source dirs are removed. Every crash point leaves a
+    glob whose union is row-equal to the state: old dirs only, old dirs
+    plus the fold (duplicates — collapsed at the next fold/consumer), or
+    the fold only. A replayed compaction folds the leftover fold together
+    with the replayed partial into a new nonce dir and clears the rest.
+    After compaction the state is surviving-rows-sized instead of
+    sum-of-batch-partials-sized — the measured form of the 'dropped at
+    the compaction boundary' claim."""
     import glob
     import os
     import shutil
+    import uuid as _uuid
 
     dirs = sorted(glob.glob(f"{state_dir}/batch=*"))
     if len(dirs) < 2:
@@ -2116,12 +2052,12 @@ def compact_dead_state(
         kept = kept.join(
             dead.select(F.col("doc_id").alias(c)), c, "left_anti"
         )
-    kept = kept.select(*cols)
+    kept = kept.select(*cols).dropDuplicates()
     tmp = f"{state_dir}.compact_tmp"
     kept.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, f"{state_dir}/batch={epoch}f{_uuid.uuid4().hex[:8]}")
     for d_ in dirs:
         shutil.rmtree(d_, ignore_errors=True)
-    os.rename(tmp, f"{state_dir}/batch={epoch}")
 
 
 def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1110,35 +1110,35 @@ MARKOV_RETRACT_SCHEMA = T.StructType(
 )
 
 
-def _stage_markov_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
-    """Six time-ordered insert slices (global (ts, event_id) order) with a
-    -1 tombstone for every event whose event_id % RETRACT_MOD ==
-    RETRACT_RES, scheduled ADVERSARIALLY within the watermark bound:
-    cancelled events with even (event_id DIV RETRACT_MOD) tombstone one
-    batch EARLY (retraction arrives before its insert — transient net -1),
-    odd ones one batch LATE (net +1 then cancelled). Both directions stay
-    inside MARKOV_RETRACT_W_NS of the high-water mark, so a correct
-    watermark buffer absorbs them; anything later would be a contract
-    violation the freeze kernel rejects."""
-    import hashlib
-
-    from ..plans.relational import RETRACT_MOD, RETRACT_RES
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = f"{_STAGE_ROOT}/markov_retract_{key}"
-    nb = MARKOV_RETRACT_BATCHES
+def _stage_adversarial_retraction(
+    d: str,
+    frame_fn,
+    order_cols: tuple[str, ...],
+    id_col: str,
+    mod: int,
+    res: int,
+    nb: int,
+    cols: tuple[str, ...],
+) -> str:
+    """The SHARED adversarial-tombstone staging behind all three
+    retraction mirrors (markov/priority-sample/near-dup — one
+    implementation of the subtle boundary-fold schedule instead of three
+    drifting copies): slice ``frame_fn()`` into ``nb`` row-count slices
+    ordered by ``order_cols``; every row with ``id_col % mod == res``
+    gets a −1 tombstone, scheduled by parity of (id DIV mod) — EVEN one
+    batch EARLY (delete-before-insert), ODD one batch LATE
+    (delete-after-insert); boundary slices fold their edge tombstones
+    into their own batch. Inserts carry sign +1 over ``cols``."""
 
     def build():
         from pyspark.sql import Window
 
-        ev = _load_canonical_events(spark, sf_dir).select(
-            "user_id", "ts", "event_id", "event_type"
-        )
-        n = ev.count()
-        ranked = ev.withColumn(
-            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-        )
+        frame = frame_fn()
+        n = frame.count()
         cuts = [round(i * n / nb) for i in range(nb + 1)]
+        ranked = frame.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order_cols))
+        )
         slices = [
             ranked.filter(
                 (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
@@ -1147,25 +1147,15 @@ def _stage_markov_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
         ]
 
         def ins(df: DataFrame) -> DataFrame:
-            return df.select(
-                "user_id", "ts", "event_id", "event_type",
-                F.lit(1).alias("sign"),
-            )
+            return df.select(*cols, F.lit(1).alias("sign"))
 
         def tomb(df: DataFrame, early: bool) -> DataFrame:
-            cancelled = df.filter(
-                F.col("event_id") % RETRACT_MOD == RETRACT_RES
-            )
-            parity = (F.col("event_id") / RETRACT_MOD).cast("bigint") % 2
-            sel = cancelled.filter(parity == (0 if early else 1))
-            return sel.select(
-                "user_id", "ts", "event_id", "event_type",
-                F.lit(-1).alias("sign"),
+            cancelled = df.filter(F.col(id_col) % mod == res)
+            parity = (F.col(id_col) / mod).cast("bigint") % 2
+            return cancelled.filter(parity == (0 if early else 1)).select(
+                *cols, F.lit(-1).alias("sign")
             )
 
-        # batch i carries: slice i inserts, EARLY tombstones of slice i+1
-        # (arriving before their inserts), LATE tombstones of slice i-1;
-        # boundary slices fold their edge tombstones into their own batch.
         out = []
         for i in range(nb):
             b = ins(slices[i])
@@ -1182,6 +1172,41 @@ def _stage_markov_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
 
     names = [f"{i + 1:02d}.parquet" for i in range(nb)]
     return _stage_ordered(d, names, build)
+
+
+def _stage_markov_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Six time-ordered insert slices (global (ts, event_id) order) with a
+    -1 tombstone for every event whose event_id % RETRACT_MOD ==
+    RETRACT_RES, scheduled ADVERSARIALLY within the watermark bound.
+    Density caveat: slices are row-count terciles, so the "2 of 6 batch
+    spans ≤ 10 days < W" bound assumes roughly uniform event-time density
+    (true of this lake); a heavily time-skewed lake could stretch two
+    adjacent slices past W and trip the mirror's DETECTED violation — the
+    correct response there is a larger W (a deployment sizes W from its
+    lateness SLA, not from batch geometry), never a silent result:
+    cancelled events with even (event_id DIV RETRACT_MOD) tombstone one
+    batch EARLY (retraction arrives before its insert — transient net -1),
+    odd ones one batch LATE (net +1 then cancelled). Both directions stay
+    inside MARKOV_RETRACT_W_NS of the high-water mark, so a correct
+    watermark buffer absorbs them; anything later would be a contract
+    violation the freeze kernel rejects."""
+    import hashlib
+
+    from ..plans.relational import RETRACT_MOD, RETRACT_RES
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _stage_adversarial_retraction(
+        d=f"{_STAGE_ROOT}/markov_retract_{key}",
+        frame_fn=lambda: _load_canonical_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        order_cols=("ts", "event_id"),
+        id_col="event_id",
+        mod=RETRACT_MOD,
+        res=RETRACT_RES,
+        nb=MARKOV_RETRACT_BATCHES,
+        cols=("user_id", "ts", "event_id", "event_type"),
+    )
 
 
 def markov_retract_freeze(

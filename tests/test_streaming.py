@@ -2043,8 +2043,22 @@ def test_compact_dead_state_physically_drops_dead_rows(spark, tmp_path):
     ).write.parquet(f"{sd}/batch=1")
     dead = spark.createDataFrame([(2,), (7,)], "doc_id bigint")
     compact_dead_state(spark, sd, dead, 1, anti_cols=("doc_a", "doc_b"))
-    assert glob.glob(f"{sd}/batch=*") == [f"{sd}/batch=1"]
+    folds = glob.glob(f"{sd}/batch=*")
+    assert len(folds) == 1 and "/batch=1f" in folds[0]  # nonce fold dir
     rows = sorted(
         tuple(r) for r in spark.read.parquet(f"{sd}/batch=*").collect()
     )
     assert rows == [(1, 5)]  # (2,6),(2,8) dead killer; (3,7) dead victim
+    # replay idempotence: a foreachBatch retry of the compaction epoch
+    # rewrites its own partial NEXT TO the fold; re-compacting collapses
+    # the duplicate facts into one fold with the same surviving rows
+    spark.createDataFrame(
+        [(3, 7), (2, 8)], "doc_a bigint, doc_b bigint"
+    ).write.parquet(f"{sd}/batch=1")
+    compact_dead_state(spark, sd, dead, 1, anti_cols=("doc_a", "doc_b"))
+    folds2 = glob.glob(f"{sd}/batch=*")
+    assert len(folds2) == 1 and "/batch=1f" in folds2[0]
+    rows2 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{sd}/batch=*").collect()
+    )
+    assert rows2 == [(1, 5)]
