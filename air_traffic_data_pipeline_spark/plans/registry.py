@@ -110,6 +110,13 @@ _FORCE_RECHECK: dict[str, int] = {
     "stream_incremental_priority_sample": 12,
     "rel_markov_stationary": 12,
     "stream_incremental_markov": 12,
+    # r12 (late): compact_signed_state hardened to the exclude-current /
+    # tmp+_SUCCESS-recovery protocol (replay of a compaction epoch no
+    # longer loses the fold) — all four consumers re-verified bitwise
+    "stream_incremental_quantile_retract": 12,
+    "stream_incremental_rfm_retract": 12,
+    "stream_incremental_seasonal_retract": 12,
+    "stream_incremental_shortest_path_retract": 12,
 }
 
 

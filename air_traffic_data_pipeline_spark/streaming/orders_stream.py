@@ -557,29 +557,64 @@ def compact_signed_state(
     fold, both of which merge to the same answer. ``val_cols`` names the
     signed integer columns (default the multiset count ``c``; the daily
     statistics family folds (cents, n_orders) pairs) — a row drops only
-    when EVERY net is zero."""
+    when EVERY net is zero.
+
+    Crash/replay protocol (r12 hardening — the original folded INTO
+    ``batch={epoch}``, a replayable integer epoch, so a foreachBatch
+    retry of a compaction epoch would overwrite the fold with that
+    epoch's lone partial and silently lose every earlier batch; and a
+    crash between its delete loop and rename lost the state outright):
+    the fold now EXCLUDES the current epoch's partial (so the retry's
+    deterministic rewrite of ``batch={epoch}`` never touches folded
+    data; signed sums cannot use the set-semantic dedup trick the
+    dead-set compactor uses, exclusion is what prevents double-count),
+    lands in ``{state_dir}.compact_tmp_e{epoch}`` first, and only then
+    are sources deleted and the tmp renamed to ``batch={epoch}m`` (not a
+    replayable integer name). Every crash point is recoverable: before
+    the tmp's _SUCCESS exists the protocol simply restarts from intact
+    sources (incomplete tmp discarded); after _SUCCESS the next call
+    FINISHES the protocol (delete non-current dirs, install the fold) —
+    the fold was computed before any delete, so it is complete whatever
+    the delete loop managed. A replay after a fully successful
+    compaction folds the fold (same net) into a fresh ``batch={epoch}m``
+    — idempotent."""
     import glob
     import os
     import shutil
 
-    dirs = sorted(glob.glob(f"{state_dir}/batch=*"))
-    if len(dirs) < 2:
+    cur = f"{state_dir}/batch={epoch}"
+    target = f"{state_dir}/batch={epoch}m"
+    tmp = f"{state_dir}.compact_tmp_e{epoch}"
+
+    for t in glob.glob(f"{state_dir}.compact_tmp_e*"):
+        if t == tmp and os.path.exists(f"{t}/_SUCCESS"):
+            # interrupted between fold-write and install: finish it
+            for d_ in glob.glob(f"{state_dir}/batch=*"):
+                if d_ != cur:
+                    shutil.rmtree(d_, ignore_errors=True)
+            os.rename(t, target)
+            return
+        shutil.rmtree(t, ignore_errors=True)  # incomplete write — discard
+
+    sources = [
+        d_ for d_ in sorted(glob.glob(f"{state_dir}/batch=*")) if d_ != cur
+    ]
+    if not sources:
         return  # nothing to fold
     keep = None  # drop a row only when EVERY signed net is zero
     for v in val_cols:
         cond = F.col(v) != 0
         keep = cond if keep is None else (keep | cond)
     net = (
-        spark.read.parquet(f"{state_dir}/batch=*")
+        spark.read.parquet(*sources)
         .groupBy(*key_cols)
         .agg(*[F.sum(v).cast("bigint").alias(v) for v in val_cols])
         .filter(keep)
     )
-    tmp = f"{state_dir}.compact_tmp"
     net.write.mode("overwrite").parquet(tmp)
-    for d_ in dirs:
+    for d_ in sources:
         shutil.rmtree(d_, ignore_errors=True)
-    os.rename(tmp, f"{state_dir}/batch={epoch}")
+    os.rename(tmp, target)
 
 
 def incremental_quantile_retract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1206,15 +1206,87 @@ def test_compact_signed_state_drops_tombstones_keeps_pending(spark, tmp_path):
     rows_before = spark.read.parquet(f"{d}/batch=*").count()  # 4 state rows
     compact_signed_state(spark, d, ["x"], 1)
     assert merged() == before == {(20.0, 1), (30.0, -1)}
-    # state physically shrank: one folded batch dir, tombstones gone,
-    # the pending negative kept
-    assert len(glob.glob(f"{d}/batch=*")) == 1
-    state = {(r.x, r.c) for r in spark.read.parquet(f"{d}/batch=*").collect()}
-    assert state == {(20.0, 1), (30.0, -1)}
-    assert spark.read.parquet(f"{d}/batch=*").count() == 2 < rows_before
+    # state physically shrank: the non-current prefix folded into
+    # batch=1m (the current epoch's partial stays its own dir — the r12
+    # replay-safety exclusion), tombstone pairs net out at the next fold
+    assert sorted(glob.glob(f"{d}/batch=*")) == [
+        f"{d}/batch=1",
+        f"{d}/batch=1m",
+    ]
+    assert spark.read.parquet(f"{d}/batch=*").count() <= rows_before
+    # REPLAY of the compaction epoch: foreachBatch retries rewrite the
+    # epoch's own partial and re-run compaction — the fold must survive
+    # and the merge stay identical (the bug the r12 protocol fixes: the
+    # old fold-into-batch={epoch} was overwritten by the retried partial)
+    land(1, [(10.0, -2), (30.0, -1)])
+    compact_signed_state(spark, d, ["x"], 1)
+    assert merged() == before
     # the late insert now lands and matches the pending retraction
     land(2, [(30.0, 1)])
     assert merged() == {(20.0, 1)}
+    # next compaction folds everything before epoch 3 incl. the old fold
+    land(3, [(20.0, 1)])
+    compact_signed_state(spark, d, ["x"], 3)
+    assert merged() == {(20.0, 2)}
+    assert sorted(glob.glob(f"{d}/batch=*")) == [
+        f"{d}/batch=3",
+        f"{d}/batch=3m",
+    ]
+
+
+def test_compact_signed_state_crash_recovery(spark, tmp_path):
+    """The compaction protocol's crash windows: a COMPLETE tmp fold
+    (_SUCCESS present) left by a crash between fold-write and install is
+    FINISHED by the next call (sources deleted, fold installed) even if
+    the delete loop had partially run; an INCOMPLETE tmp (no _SUCCESS)
+    is discarded and compaction restarts from the intact sources."""
+    import glob
+    import os
+    import shutil
+
+    from air_traffic_data_pipeline_spark.streaming.orders_stream import (
+        compact_signed_state,
+    )
+
+    d = str(tmp_path / "state")
+
+    def land(epoch, rows):
+        spark.createDataFrame(rows, "x double, c bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/batch={epoch}")
+
+    def merged():
+        return {
+            (r.x, r.c)
+            for r in spark.read.parquet(f"{d}/batch=*")
+            .groupBy("x")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .filter(F.col("c") != 0)
+            .collect()
+        }
+
+    land(0, [(10.0, 1)])
+    land(1, [(20.0, 1)])
+    want = merged()
+    # simulate a crash AFTER the fold write + partial delete, BEFORE the
+    # rename: hand-build the complete tmp, delete a source
+    spark.createDataFrame([(10.0, 1)], "x double, c bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{d}.compact_tmp_e1")
+    assert os.path.exists(f"{d}.compact_tmp_e1/_SUCCESS")
+    shutil.rmtree(f"{d}/batch=0")  # the delete loop got this far
+    compact_signed_state(spark, d, ["x"], 1)  # recovery path
+    assert merged() == want
+    assert sorted(glob.glob(f"{d}/batch=*")) == [
+        f"{d}/batch=1",
+        f"{d}/batch=1m",
+    ]
+    # incomplete tmp (no _SUCCESS): discarded, normal fold proceeds
+    land(2, [(30.0, 1)])
+    os.makedirs(f"{d}.compact_tmp_e2")  # junk dir, no _SUCCESS
+    compact_signed_state(spark, d, ["x"], 2)
+    assert merged() == {(10.0, 1), (20.0, 1), (30.0, 1)}
+    assert not glob.glob(f"{d}.compact_tmp_e*")
 
 
 def test_incremental_core_numbers_equals_batch(spark):

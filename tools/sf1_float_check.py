@@ -77,6 +77,14 @@ FOLD_HEAVY = (
     # trend family (theil_sen/kendall sampled) is orders-based and
     # deliberately absent — orders stays sf0.1-sized in this lake
     "llm_srp_near_dup",
+    # round-12 fold paths: isotonic apply's held-out reliability gaps are
+    # doubles derived from 1e6-unit BIGINT sums over a 10x corpus with a
+    # map fitted on a 10x fit split (the minimax interval table sees
+    # denser bins); the threshold sweep's recall/precision divides come
+    # from exact counts over 10x-vocabulary candidate sets across four
+    # thresholds at once
+    "llm_isotonic_apply",
+    "llm_blocking_threshold_sweep",
 )
 
 ALL_TABLES = (
