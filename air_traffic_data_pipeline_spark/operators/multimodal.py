@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-_UNAVAILABLE_CODECS = {"jpeg", "mp4"}  # png graduated r12: stdlib zlib suffices
+_UNAVAILABLE_CODECS = {"mp4"}  # png graduated r12 (zlib); jpeg r12 (numpy DCT)
 
 WAV_HEADER_BYTES = 44  # canonical RIFF + fmt(16) + data header
 BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
@@ -415,20 +415,22 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
     """'Decode' opaque payloads to typed features via mapInPandas.
 
     codec='fake' produces deterministic pseudo-metadata from the raw bytes;
-    'wav'/'bmp' have REAL parsers — use decode_wav/decode_bmp_meta on
-    payloads from attach_wav_payload/attach_bmp_payload; jpeg/png/mp4 need
-    libraries not present here and raise NotImplementedError.
+    'wav'/'bmp'/'png'/'jpeg' have REAL parsers — use decode_wav /
+    decode_bmp_meta / decode_png_meta / decode_jpeg_meta on payloads from the
+    matching attach_*_payload; mp4 needs a container/video library not
+    present here and raises NotImplementedError.
     """
     if codec in _UNAVAILABLE_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r} requires an image/audio library not present in "
-            "this environment; see decode_wav/decode_bmp_meta/decode_png_meta "
-            "for the real pure-Python formats"
+            f"codec {codec!r} requires a media library not present in "
+            "this environment; see decode_wav/decode_bmp_meta/decode_png_meta/"
+            "decode_jpeg_meta for the real pure-Python formats"
         )
-    if codec in {"wav", "bmp", "png"}:
+    if codec in {"wav", "bmp", "png", "jpeg"}:
         raise ValueError(
-            "use decode_wav / decode_bmp_meta / decode_png_meta with the "
-            "matching attach_*_payload for real byte formats"
+            "use decode_wav / decode_bmp_meta / decode_png_meta / "
+            "decode_jpeg_meta with the matching attach_*_payload for real "
+            "byte formats"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -948,3 +950,426 @@ def decode_png_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, PNG_META_SCHEMA)
+
+
+# --- JPEG codec (round 12): baseline sequential DCT, stdlib + numpy only ----
+#
+# A GENERIC ITU-T T.81 baseline encoder/decoder pair: real markers
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), the spec's Annex K quantization and
+# Huffman tables, canonical Huffman code construction, differential DC
+# coding, run-length AC coding with ZRL/EOB, 0xFF byte stuffing, and a
+# float DCT/IDCT (numpy matrix form of the T.81 8x8 DCT-II). The encoder
+# accepts ANY 8-bit grayscale image whose sides are multiples of 8; the
+# decoder handles ANY single-component baseline JPEG (arbitrary nonzero
+# ACs, all DC/AC categories, ZRL runs) and rejects progressive /
+# 16-bit-quant / restart-interval variants with a clear error instead of
+# mis-parsing them.
+#
+# Oracle design (why the driver can value-check a LOSSY codec): the test
+# images are per-8x8-block constant gray values forced EVEN. A constant
+# block has one DC coefficient 8*(v-128) and mathematically-zero ACs
+# (float residue < 1e-10 quantizes to 0); with the Annex K luminance DC
+# step of 16, an even delta quantizes to (v-128)/2 WITHOUT loss and
+# reconstructs to exactly v — no rounding knife-edge anywhere, so the
+# decoded checksum is closed-form in (doc_id, md5(text)) and the SQL
+# oracle recomputes it bit-for-bit. The lossy paths the oracle cannot
+# see (odd deltas, nonzero ACs, half-away quantization) are pinned by
+# pytests against an independent numpy reference: entropy round-trip
+# recovers the encoder's quantized coefficients EXACTLY (Huffman+zigzag
+# is lossless on coefficients), and decoded pixels equal the reference
+# dequantize+IDCT.
+
+JPEG_QT_LUMA = (  # T.81 Annex K Table K.1, natural (row-major) order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+# T.81 Annex K Tables K.3/K.5: (BITS[1..16], HUFFVAL) for the luminance
+# DC and AC Huffman tables.
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91 "
+        "a1 08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a "
+        "25 26 27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53 "
+        "54 55 56 57 58 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79 "
+        "7a 83 84 85 86 87 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 "
+        "a6 a7 a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 "
+        "ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2 "
+        "f3 f4 f5 f6 f7 f8 f9 fa"
+    ).split()
+)
+
+
+def _jpeg_zigzag() -> tuple:
+    """Natural (row-major) index of each zigzag scan position (T.81
+    figure 5): generated, not transcribed, to rule out typos."""
+    order = []
+    for d in range(15):
+        rng = range(min(d, 7), max(0, d - 7) - 1, -1)
+        if d % 2:  # odd diagonals run top-right -> bottom-left
+            rng = reversed(rng)
+        for r in rng:
+            order.append(r * 8 + (d - r))
+    return tuple(order)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _huff_codes(bits) -> list:
+    """Canonical Huffman (length, code) pairs in symbol order — the
+    construction of T.81 Annex C (Generate_size_table/Generate_code_table)."""
+    out, code = [], 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((ln, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_encoder(bits, vals) -> dict:
+    return {v: lc for lc, v in zip(_huff_codes(bits), vals)}
+
+
+def _huff_decoder(bits, vals) -> dict:
+    return {lc: v for lc, v in zip(_huff_codes(bits), vals)}
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M with M[u,x] = C(u)/2 *
+    cos((2x+1)u*pi/16): forward 2-D DCT is M @ f @ M.T, inverse M.T @ F @ M
+    — the exact T.81 A.3.3 definition in matrix form."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _jpeg_bit_category(v: int) -> int:
+    """SSSS of T.81 table F.1: the magnitude-bit count of a coefficient."""
+    return (v if v > 0 else -v).bit_length()
+
+
+def _jpeg_encode_gray(pix) -> bytes:
+    """Encode an (h, w) uint8 grayscale array (sides multiples of 8) as a
+    complete baseline JPEG. Generic: full float DCT per block, half-away
+    quantization against Annex K luminance steps, differential DC,
+    run-length AC with ZRL/EOB, canonical Huffman bits, 0xFF stuffing."""
+    import numpy as np
+
+    h, w = int(pix.shape[0]), int(pix.shape[1])
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires sides that are multiples of 8")
+    m = _dct_matrix()
+    qt = np.asarray(JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
+    enc_dc = _huff_encoder(JPEG_DC_BITS, JPEG_DC_VALS)
+    enc_ac = _huff_encoder(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    buf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:  # T.81 F.1.2.3 byte stuffing
+                buf.append(0x00)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = (
+                pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+                - 128.0
+            )
+            coef = m @ blk @ m.T
+            q = np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)
+            zz = [int(q.flat[_JPEG_ZZ[k]]) for k in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            t = _jpeg_bit_category(diff) if diff else 0
+            ln, code = enc_dc[t]
+            put(code, ln)
+            if t:
+                put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = enc_ac[0xF0]  # ZRL
+                    put(code, ln)
+                    run -= 16
+                t = _jpeg_bit_category(v)
+                ln, code = enc_ac[(run << 4) | t]
+                put(code, ln)
+                put(v if v > 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last_nz < 63:
+                ln, code = enc_ac[0x00]  # EOB
+                put(code, ln)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad final byte with 1s
+    scan = bytes(buf)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(
+        0xE0,
+        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)),
+    )
+    dqt = seg(  # DQT payload carries the 64 steps in ZIGZAG order
+        0xDB, bytes((0x00,)) + bytes(JPEG_QT_LUMA[_JPEG_ZZ[k]] for k in range(64))
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht = seg(
+        0xC4, bytes((0x00,)) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    ) + seg(0xC4, bytes((0x10,)) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _jpeg_bytes(doc_id: int, text: str) -> bytes:
+    """The driver-checkable test image: (doc_id % 4 + 1) x ((doc_id // 4)
+    % 2 + 1) blocks of 8x8, block b a constant gray md5_byte[b % 16] with
+    the low bit cleared — the even-delta subspace on which the Annex K
+    DC step of 16 makes the codec exactly lossless (see module comment),
+    so the SQL oracle recomputes the decoded checksum closed-form."""
+    import numpy as np
+
+    wb = doc_id % 4 + 1
+    hb = (doc_id // 4) % 2 + 1
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    pix = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for b in range(wb * hb):
+        by, bx = divmod(b, wb)
+        pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[b % 16] & 0xFE
+    return _jpeg_encode_gray(pix)
+
+
+def attach_jpeg_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real baseline JPEG per row."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_jpeg_bytes), "doc_id long, payload binary"
+    )
+
+
+def _jpeg_decode_gray(raw: bytes):
+    """Decode a single-component baseline JPEG: marker walk, DQT/DHT/SOF0
+    parse, canonical Huffman decode with byte unstuffing, EXTEND sign
+    recovery, dezigzag, dequantize, float IDCT, level shift + clamp.
+    Returns (width, height, pixels ndarray). Rejects progressive and
+    other non-baseline variants explicitly."""
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict = {}
+    dc_dec: dict = {}
+    ac_dec: dict = {}
+    sof = None
+    scan_sel = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        mk = raw[pos + 1]
+        if mk == 0xD9:
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        data = raw[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if mk == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq:
+                    raise ValueError("16-bit quantization tables unsupported")
+                nat = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    nat[_JPEG_ZZ[k]] = data[i + 1 + k]
+                qts[tq] = nat.reshape(8, 8)
+                i += 65
+        elif mk == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = tuple(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(data[i + 17 : i + 17 + n])
+                (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif mk == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = [
+                (data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i])
+                for i in range(nc)
+            ]
+            sof = (h, w, comps)
+        elif mk in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG is supported")
+        elif mk == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif mk == 0xDA:
+            ns = data[0]
+            scan_sel = [(data[1 + 2 * i], data[2 + 2 * i]) for i in range(ns)]
+            break
+        # APPn / COM: skipped
+    if sof is None or scan_sel is None:
+        raise ValueError("malformed JPEG: missing SOF0 or SOS")
+    h, w, comps = sof
+    if len(comps) != 1 or len(scan_sel) != 1:
+        raise ValueError("multi-component JPEG not supported by this decoder")
+    _cid, sampling, tq = comps[0]
+    if sampling != 0x11:
+        raise ValueError("subsampled single-component JPEG is malformed")
+    qt = qts[tq]
+    dc_tab = dc_dec[scan_sel[0][1] >> 4]
+    ac_tab = ac_dec[scan_sel[0][1] & 0x0F]
+
+    i = pos
+    acc, nbits = 0, 0
+
+    def bit() -> int:
+        nonlocal i, acc, nbits
+        if nbits == 0:
+            if i >= len(raw):
+                raise ValueError("entropy data exhausted")
+            b = raw[i]
+            i += 1
+            if b == 0xFF:
+                if i >= len(raw) or raw[i] != 0x00:
+                    raise ValueError("unexpected marker in entropy-coded data")
+                i += 1
+            acc, nbits = b, 8
+        nbits -= 1
+        return (acc >> nbits) & 1
+
+    def bits(t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | bit()
+        return v
+
+    def decode(tab: dict) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | bit()
+            ln += 1
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+    m = _dct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            t = decode(dc_tab)
+            prev_dc += extend(bits(t), t) if t else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = decode(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = extend(bits(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[list(_JPEG_ZZ)] = zz
+            blk = m.T @ (coef.reshape(8, 8) * qt) @ m
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(blk + 128.0), 0, 255
+            ).astype(np.uint8)
+    if raw[-2:] != b"\xff\xd9":
+        raise ValueError("malformed JPEG: missing EOI")
+    return w, h, out[:h, :w]
+
+
+JPEG_META_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, n_blocks int, "
+    "checksum long"
+)
+
+
+def decode_jpeg_meta(df: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode via mapInPandas with stdlib + numpy only:
+    full marker walk, Huffman entropy decode with unstuffing, dequantize,
+    float IDCT, and an exact integer checksum over the recovered pixels —
+    closed-form for the even-delta block-constant test images (see the
+    codec comment), so the oracle value-checks the whole pipeline. mp4
+    remains behind decode_stub's NotImplementedError: a video container
+    genuinely needs external libraries; baseline JPEG does not."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for i, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = _jpeg_decode_gray(bytes(raw))
+                out.append(
+                    (
+                        int(i),
+                        int(w),
+                        int(h),
+                        1,
+                        ((w + 7) // 8) * ((h + 7) // 8),
+                        int(np.sum(pix, dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_components",
+                    "n_blocks",
+                    "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, JPEG_META_SCHEMA)

@@ -265,6 +265,10 @@ def test_multimodal_decode_stub(spark):
 def test_multimodal_real_codec_raises(spark):
     d = load(spark, SF, "documents").limit(1)
     with pytest.raises(NotImplementedError):
+        decode_stub(attach_payload(d), codec="mp4")
+    # jpeg graduated from the gate in round 12: the stub now redirects to
+    # the real decode_jpeg_meta kernel instead of claiming it is missing
+    with pytest.raises(ValueError, match="decode_jpeg_meta"):
         decode_stub(attach_payload(d), codec="jpeg")
 
 
@@ -4780,3 +4784,111 @@ def test_png_codec_round_trip_all_filters(spark):
     )
     with pytest.raises(Exception, match="CRC|PNG"):
         decode_png_meta(dfb).collect()
+
+
+def test_jpeg_codec_generic_paths_match_numpy_reference(spark):
+    """The JPEG codec is the real T.81 baseline, not a header walk. The
+    driver oracle only sees the lossless even-delta subspace, so this
+    pytest pins the generic paths against an independent numpy
+    quantize/dequantize/IDCT reference: (a) dense random blocks (all AC
+    categories, multi-block DC prediction), (b) a seed chosen so the
+    entropy stream contains a stuffed 0xFF 0x00 the reader must unstuff,
+    and (c) a crafted single-high-frequency image whose zigzag stream
+    has a 57-zero run (three ZRL codes)."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        JPEG_QT_LUMA,
+        _dct_matrix,
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    m = _dct_matrix()
+    qt = np.asarray(JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
+
+    def reference(img):
+        ref = np.zeros_like(img)
+        for by in range(img.shape[0] // 8):
+            for bx in range(img.shape[1] // 8):
+                blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
+                c = m @ blk @ m.T
+                q = np.sign(c) * np.floor(np.abs(c) / qt + 0.5)
+                r = m.T @ (q * qt) @ m
+                ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(r + 128.0), 0, 255
+                )
+        return ref
+
+    # (a) dense random multi-block image
+    img = np.random.RandomState(7).randint(0, 256, size=(16, 24)).astype(np.uint8)
+    w, h, pix = _jpeg_decode_gray(_jpeg_encode_gray(img))
+    assert (w, h) == (24, 16) and np.array_equal(pix, reference(img))
+
+    # (b) byte stuffing: seed 19 yields a scan containing 0xFF (verified
+    # at authoring time); the encoder must stuff and the reader unstuff
+    img = np.random.RandomState(19).randint(0, 256, size=(8, 8)).astype(np.uint8)
+    raw = _jpeg_encode_gray(img)
+    i = raw.find(b"\xff\xda")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    assert b"\xff\x00" in raw[i + 2 + ln : -2]
+    _, _, pix = _jpeg_decode_gray(raw)
+    assert np.array_equal(pix, reference(img))
+
+    # (c) ZRL: a lone (7,7) basis coefficient -> nonzero zigzag positions
+    # {58, 60, 63}, a leading 57-zero run the encoder covers with ZRLs
+    c0 = np.zeros((8, 8))
+    c0[7, 7] = 800.0
+    img = np.clip(np.round(m.T @ c0 @ m + 128.0), 0, 255).astype(np.uint8)
+    blk = img.astype(float) - 128.0
+    q = np.sign(m @ blk @ m.T) * np.floor(np.abs(m @ blk @ m.T) / qt + 0.5)
+    zz = [int(q.flat[_JPEG_ZZ[k]]) for k in range(64)]
+    assert [k for k in range(1, 64) if zz[k]] == [58, 60, 63]
+    _, _, pix = _jpeg_decode_gray(_jpeg_encode_gray(img))
+    assert np.array_equal(pix, reference(img))
+
+
+def test_jpeg_driver_images_closed_form_and_rejections(spark):
+    """Driver-shaped payloads decode through the Spark kernel to the
+    closed-form checksum the SQL oracle recomputes, and non-baseline
+    variants are rejected with clear errors instead of mis-parsed."""
+    import hashlib
+
+    import pytest
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        _jpeg_bytes,
+        attach_jpeg_payload,
+        decode_jpeg_meta,
+    )
+
+    doc_id, text = 29, "the quick brown fox"
+    raw = _jpeg_bytes(doc_id, text)
+    assert raw[:4] == b"\xff\xd8\xff\xe0" and raw[-2:] == b"\xff\xd9"
+    wb, hb = doc_id % 4 + 1, (doc_id // 4) % 2 + 1
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    row = decode_jpeg_meta(attach_jpeg_payload(df)).collect()[0]
+    digest = hashlib.md5(text.encode()).digest()
+    expect = sum((digest[b % 16] & 0xFE) * 64 for b in range(wb * hb))
+    assert (row.width, row.height, row.n_components, row.n_blocks) == (
+        wb * 8, hb * 8, 1, wb * hb,
+    )
+    assert row.checksum == expect
+
+    # progressive (SOF2) is rejected, not mis-parsed as baseline
+    i = raw.find(b"\xff\xc0")
+    prog = raw[:i] + b"\xff\xc2" + raw[i + 2 :]
+    dfb = spark.createDataFrame([(doc_id, prog)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="baseline"):
+        decode_jpeg_meta(dfb).collect()
+
+    # a 16-bit quantization table is rejected
+    j = raw.find(b"\xff\xdb")
+    bad = bytearray(raw)
+    bad[j + 4] |= 0x10  # Pq=1
+    dfb = spark.createDataFrame(
+        [(doc_id, bytes(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        decode_jpeg_meta(dfb).collect()
