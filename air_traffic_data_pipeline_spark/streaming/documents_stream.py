@@ -1731,6 +1731,19 @@ PRIO_RETRACT_RES = 3
 # survives up to B deletions per source that hit the kept set; the
 # (B+1)-th is a DETECTED contract violation (ValueError), mirroring the
 # markov-retract watermark discipline.
+#
+# SIZED, not guessed (tools/prio_erosion_probe.py replays the exact staged
+# schedule through priority_retract_update and reports the x distribution):
+# measured max erosion per source is 3 at sf0.001/sf0.01 and 10 at sf0.1 —
+# the SATURATED regime, where docs-per-source >> K+B and erosion stops
+# depending on corpus size: only late-parity tombstones (half the
+# schedule's 1/7 deletion set) can erode, so per epoch each kept slot
+# erodes w.p. ~1/14 and x ~ sum over the 3 staged epochs of
+# Binomial(K+B, 1/14) — mean ~8.6, sd ~2.8 at saturation; the observed
+# sf0.1 max of 10 sits on that mean and the 20-source max-tail stays
+# under ~15. B = 20 = measured saturated worst case x2 margin; growing
+# the BATCH COUNT (not the corpus) is what would require resizing, at
+# ~(K+B)/14 per extra mutable epoch.
 PRIO_RETRACT_B = 20
 
 DOCS_RETRACT_SCHEMA = T.StructType(
