@@ -1062,9 +1062,94 @@ def _dct_matrix():
     return m
 
 
+_DCT_M_CACHE = None
+
+
+def _dct_m():
+    """Lazy per-process cache of the DCT matrix (numpy stays a deferred
+    import, matching the module's executor-side import discipline)."""
+    global _DCT_M_CACHE
+    if _DCT_M_CACHE is None:
+        _DCT_M_CACHE = _dct_matrix()
+    return _DCT_M_CACHE
+
+
 def _jpeg_bit_category(v: int) -> int:
     """SSSS of T.81 table F.1: the magnitude-bit count of a coefficient."""
     return (v if v > 0 else -v).bit_length()
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 F.1.2.3 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad w/ 1s
+        return bytes(self.buf)
+
+
+def _encode_block(blk, qt, enc_dc, enc_ac, prev_dc: int, bw: _JpegBitWriter):
+    """DCT + half-away quantize one level-shifted 8x8 block and entropy-
+    code it (differential DC, run-length AC with ZRL/EOB). Returns the
+    new DC predictor."""
+    import numpy as np
+
+    m = _dct_m()
+    coef = m @ blk @ m.T
+    q = np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)
+    zz = [int(q.flat[_JPEG_ZZ[k]]) for k in range(64)]
+    diff = zz[0] - prev_dc
+    t = _jpeg_bit_category(diff) if diff else 0
+    ln, code = enc_dc[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = enc_ac[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        t = _jpeg_bit_category(v)
+        ln, code = enc_ac[(run << 4) | t]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        ln, code = enc_ac[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+
+_JPEG_APP0 = _jpeg_seg(
+    0xE0,
+    b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)),
+)
 
 
 def _jpeg_encode_gray(pix) -> bytes:
@@ -1077,26 +1162,10 @@ def _jpeg_encode_gray(pix) -> bytes:
     h, w = int(pix.shape[0]), int(pix.shape[1])
     if h % 8 or w % 8:
         raise ValueError("encoder requires sides that are multiples of 8")
-    m = _dct_matrix()
     qt = np.asarray(JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
     enc_dc = _huff_encoder(JPEG_DC_BITS, JPEG_DC_VALS)
     enc_ac = _huff_encoder(JPEG_AC_BITS, JPEG_AC_VALS)
-
-    buf = bytearray()
-    acc, nbits = 0, 0
-
-    def put(code: int, length: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << length) | (code & ((1 << length) - 1))
-        nbits += length
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            buf.append(byte)
-            if byte == 0xFF:  # T.81 F.1.2.3 byte stuffing
-                buf.append(0x00)
-            nbits -= 8
-            acc &= (1 << nbits) - 1
-
+    bw = _JpegBitWriter()
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
@@ -1104,55 +1173,16 @@ def _jpeg_encode_gray(pix) -> bytes:
                 pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
                 - 128.0
             )
-            coef = m @ blk @ m.T
-            q = np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)
-            zz = [int(q.flat[_JPEG_ZZ[k]]) for k in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            t = _jpeg_bit_category(diff) if diff else 0
-            ln, code = enc_dc[t]
-            put(code, ln)
-            if t:
-                put(diff if diff > 0 else diff + (1 << t) - 1, t)
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = enc_ac[0xF0]  # ZRL
-                    put(code, ln)
-                    run -= 16
-                t = _jpeg_bit_category(v)
-                ln, code = enc_ac[(run << 4) | t]
-                put(code, ln)
-                put(v if v > 0 else v + (1 << t) - 1, t)
-                run = 0
-            if last_nz < 63:
-                ln, code = enc_ac[0x00]  # EOB
-                put(code, ln)
-    if nbits:
-        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad final byte with 1s
-    scan = bytes(buf)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
-
-    app0 = seg(
-        0xE0,
-        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)),
-    )
-    dqt = seg(  # DQT payload carries the 64 steps in ZIGZAG order
+            prev_dc = _encode_block(blk, qt, enc_dc, enc_ac, prev_dc, bw)
+    dqt = _jpeg_seg(  # DQT payload carries the 64 steps in ZIGZAG order
         0xDB, bytes((0x00,)) + bytes(JPEG_QT_LUMA[_JPEG_ZZ[k]] for k in range(64))
     )
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
-    dht = seg(
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht = _jpeg_seg(
         0xC4, bytes((0x00,)) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
-    ) + seg(0xC4, bytes((0x10,)) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
-    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    ) + _jpeg_seg(0xC4, bytes((0x10,)) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    sos = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + _JPEG_APP0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
 def _jpeg_bytes(doc_id: int, text: str) -> bytes:
@@ -1180,12 +1210,14 @@ def attach_jpeg_payload(df: DataFrame) -> DataFrame:
     )
 
 
-def _jpeg_decode_gray(raw: bytes):
-    """Decode a single-component baseline JPEG: marker walk, DQT/DHT/SOF0
-    parse, canonical Huffman decode with byte unstuffing, EXTEND sign
+def _jpeg_parse(raw: bytes):
+    """Decode a baseline JPEG into per-component sample planes: marker
+    walk, DQT/DHT/SOF0 parse, canonical Huffman decode of the (possibly
+    interleaved multi-component) scan with byte unstuffing, EXTEND sign
     recovery, dezigzag, dequantize, float IDCT, level shift + clamp.
-    Returns (width, height, pixels ndarray). Rejects progressive and
-    other non-baseline variants explicitly."""
+    Returns (width, height, [(plane ndarray, Hi, Vi), ...]) with each
+    plane cropped to its own component dimensions. Rejects progressive
+    and other non-baseline variants explicitly."""
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
@@ -1246,14 +1278,10 @@ def _jpeg_decode_gray(raw: bytes):
     if sof is None or scan_sel is None:
         raise ValueError("malformed JPEG: missing SOF0 or SOS")
     h, w, comps = sof
-    if len(comps) != 1 or len(scan_sel) != 1:
-        raise ValueError("multi-component JPEG not supported by this decoder")
-    _cid, sampling, tq = comps[0]
-    if sampling != 0x11:
+    if len(scan_sel) != len(comps):
+        raise ValueError("partial scans unsupported (non-baseline layout)")
+    if len(comps) == 1 and comps[0][1] != 0x11:
         raise ValueError("subsampled single-component JPEG is malformed")
-    qt = qts[tq]
-    dc_tab = dc_dec[scan_sel[0][1] >> 4]
-    ac_tab = ac_dec[scan_sel[0][1] & 0x0F]
 
     i = pos
     acc, nbits = 0, 0
@@ -1293,38 +1321,100 @@ def _jpeg_decode_gray(raw: bytes):
         return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
     m = _dct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            t = decode(dc_tab)
-            prev_dc += extend(bits(t), t) if t else 0
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = decode(ac_tab)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = extend(bits(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[list(_JPEG_ZZ)] = zz
-            blk = m.T @ (coef.reshape(8, 8) * qt) @ m
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(blk + 128.0), 0, 255
-            ).astype(np.uint8)
+    sel = {cid: (td >> 4, td & 0x0F) for cid, td in scan_sel}
+    hmax = max(c[1] >> 4 for c in comps)
+    vmax = max(c[1] & 0x0F for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes, prev_dc = [], {}
+    for cid, sampling, _tq in comps:
+        hi, vi = sampling >> 4, sampling & 0x0F
+        planes.append(
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8)
+        )
+        prev_dc[cid] = 0
+
+    def decode_block(dc_tab: dict, ac_tab: dict, cid: int, qt) -> object:
+        zz = np.zeros(64, dtype=np.int64)
+        t = decode(dc_tab)
+        prev_dc[cid] += extend(bits(t), t) if t else 0
+        zz[0] = prev_dc[cid]
+        k = 1
+        while k < 64:
+            rs = decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = extend(bits(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[list(_JPEG_ZZ)] = zz
+        blk = m.T @ (coef.reshape(8, 8) * qt) @ m
+        return np.clip(np.round(blk + 128.0), 0, 255).astype(np.uint8)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, sampling, tq) in enumerate(comps):
+                hi, vi = sampling >> 4, sampling & 0x0F
+                td, ta = sel[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        by, bx = my * vi + v, mx * hi + hh
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = decode_block(dc_dec[td], ac_dec[ta], cid, qts[tq])
     if raw[-2:] != b"\xff\xd9":
         raise ValueError("malformed JPEG: missing EOI")
-    return w, h, out[:h, :w]
+    out = []
+    for ci, (_cid, sampling, _tq) in enumerate(comps):
+        hi, vi = sampling >> 4, sampling & 0x0F
+        wi = (w * hi + hmax - 1) // hmax
+        hgt = (h * vi + vmax - 1) // vmax
+        out.append((planes[ci][:hgt, :wi], hi, vi))
+    return w, h, out
+
+
+def _jpeg_decode_gray(raw: bytes):
+    """Decode a single-component baseline JPEG to (width, height, pixels)."""
+    w, h, planes = _jpeg_parse(raw)
+    if len(planes) != 1:
+        raise ValueError("multi-component JPEG: use _jpeg_decode_rgb")
+    return w, h, planes[0][0]
+
+
+def _jpeg_decode_rgb(raw: bytes):
+    """Decode a 3-component baseline JPEG (4:2:0, 4:2:2, or 4:4:4) to
+    (width, height, rgb ndarray (h, w, 3)): replicate-upsample the
+    chroma planes to full resolution, then apply the JFIF YCbCr -> RGB
+    conversion (R = Y + 1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr',
+    B = Y + 1.772 Cb') with round-half-even and [0, 255] clamp."""
+    import numpy as np
+
+    w, h, planes = _jpeg_parse(raw)
+    if len(planes) != 3:
+        raise ValueError("single-component JPEG: use _jpeg_decode_gray")
+    hmax = max(hi for _p, hi, _v in planes)
+    vmax = max(vi for _p, _hi, vi in planes)
+    full = []
+    for p, hi, vi in planes:
+        up = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(up[:h, :w].astype(np.float64))
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 JPEG_META_SCHEMA = (
@@ -1373,3 +1463,180 @@ def decode_jpeg_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, JPEG_META_SCHEMA)
+
+
+# --- JPEG color (4:2:0) layer: interleaved MCUs, two table pairs ------------
+
+JPEG_QT_CHROMA = (  # T.81 Annex K Table K.2, natural (row-major) order
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# T.81 Annex K Tables K.4/K.6: the chrominance DC and AC Huffman tables.
+JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+JPEG_DC_VALS_C = tuple(range(12))
+JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+JPEG_AC_VALS_C = tuple(
+    int(h, 16)
+    for h in (
+        "00 01 02 03 11 04 05 21 31 06 12 41 51 07 61 71 13 22 32 81 08 14 "
+        "42 91 a1 b1 c1 09 23 33 52 f0 15 62 72 d1 0a 16 24 34 e1 25 f1 17 "
+        "18 19 1a 26 27 28 29 2a 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a "
+        "53 54 55 56 57 58 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 "
+        "79 7a 82 83 84 85 86 87 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 "
+        "a4 a5 a6 a7 a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 "
+        "c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da e2 e3 e4 e5 e6 e7 e8 e9 ea f2 "
+        "f3 f4 f5 f6 f7 f8 f9 fa"
+    ).split()
+)
+
+
+def _jpeg_encode_ycbcr420(y, cb, cr) -> bytes:
+    """Encode Y (h, w) + Cb/Cr (h/2, w/2) uint8 planes (h, w multiples of
+    16) as a complete 3-component 4:2:0 baseline JPEG: luminance uses
+    quant/Huffman table pair 0, chrominance pair 1 (the Annex K chroma
+    tables above), and the scan interleaves MCUs of four Y blocks plus
+    one Cb and one Cr block, each component with its own DC predictor —
+    the standard layout virtually every camera JPEG uses."""
+    import numpy as np
+
+    h, w = int(y.shape[0]), int(y.shape[1])
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 encoder requires sides that are multiples of 16")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-resolution")
+    qt_l = np.asarray(JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
+    qt_c = np.asarray(JPEG_QT_CHROMA, dtype=np.float64).reshape(8, 8)
+    enc = {
+        0: (_huff_encoder(JPEG_DC_BITS, JPEG_DC_VALS),
+            _huff_encoder(JPEG_AC_BITS, JPEG_AC_VALS)),
+        1: (_huff_encoder(JPEG_DC_BITS_C, JPEG_DC_VALS_C),
+            _huff_encoder(JPEG_AC_BITS_C, JPEG_AC_VALS_C)),
+    }
+    bw = _JpegBitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+
+    def blk_at(plane, by: int, bx: int):
+        return plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+            np.float64
+        ) - 128.0
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for v in range(2):
+                for hh in range(2):
+                    prev[1] = _encode_block(
+                        blk_at(y, my * 2 + v, mx * 2 + hh),
+                        qt_l, enc[0][0], enc[0][1], prev[1], bw,
+                    )
+            prev[2] = _encode_block(
+                blk_at(cb, my, mx), qt_c, enc[1][0], enc[1][1], prev[2], bw
+            )
+            prev[3] = _encode_block(
+                blk_at(cr, my, mx), qt_c, enc[1][0], enc[1][1], prev[3], bw
+            )
+    dqt = _jpeg_seg(
+        0xDB,
+        bytes((0x00,)) + bytes(JPEG_QT_LUMA[_JPEG_ZZ[k]] for k in range(64))
+        + bytes((0x01,)) + bytes(JPEG_QT_CHROMA[_JPEG_ZZ[k]] for k in range(64)),
+    )
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes((1, 0x22, 0))  # Y: 2x2 sampling, quant table 0
+        + bytes((2, 0x11, 1))  # Cb: 1x1, quant table 1
+        + bytes((3, 0x11, 1)),  # Cr: 1x1, quant table 1
+    )
+    dht = (
+        _jpeg_seg(0xC4, bytes((0x00,)) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+        + _jpeg_seg(0xC4, bytes((0x10,)) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+        + _jpeg_seg(0xC4, bytes((0x01,)) + bytes(JPEG_DC_BITS_C) + bytes(JPEG_DC_VALS_C))
+        + _jpeg_seg(0xC4, bytes((0x11,)) + bytes(JPEG_AC_BITS_C) + bytes(JPEG_AC_VALS_C))
+    )
+    sos = _jpeg_seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    return b"\xff\xd8" + _JPEG_APP0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def _jpeg_color_bytes(doc_id: int, text: str) -> bytes:
+    """The color driver image: (doc_id % 2 + 1) x ((doc_id // 2) % 2 + 1)
+    MCUs of 16x16; each of the four Y blocks per MCU is a constant EVEN
+    md5 byte (raster block index b -> digest[b % 16] & 0xFE, the same
+    lossless-subspace trick as the grayscale query) and the chroma
+    planes are constant 128 — neutral chroma quantizes to exactly zero
+    and reconstructs to exactly 128, so YCbCr -> RGB collapses to
+    R = G = B = Y with no float knife-edge and the oracle recomputes the
+    RGB checksum closed-form as 3x the Y sum."""
+    import numpy as np
+
+    wm = doc_id % 2 + 1
+    hm = (doc_id // 2) % 2 + 1
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    wb = wm * 2
+    y = np.zeros((hm * 16, wm * 16), dtype=np.uint8)
+    for b in range(wb * hm * 2):
+        by, bx = divmod(b, wb)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[b % 16] & 0xFE
+    cb = np.full((hm * 8, wm * 8), 128, dtype=np.uint8)
+    cr = np.full((hm * 8, wm * 8), 128, dtype=np.uint8)
+    return _jpeg_encode_ycbcr420(y, cb, cr)
+
+
+def attach_jpeg_color_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real 4:2:0 color JPEG."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_jpeg_color_bytes), "doc_id long, payload binary"
+    )
+
+
+JPEG_COLOR_META_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, n_mcus int, "
+    "checksum long"
+)
+
+
+def decode_jpeg_color_meta(df: DataFrame) -> DataFrame:
+    """REAL 4:2:0 color JPEG decode via mapInPandas: interleaved-MCU
+    entropy decode with per-component DC predictors and both Annex K
+    table pairs, chroma replicate-upsample, JFIF YCbCr -> RGB, and an
+    exact integer checksum over all RGB bytes (closed-form for the
+    neutral-chroma driver images — see _jpeg_color_bytes)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for i, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = _jpeg_decode_rgb(bytes(raw))
+                out.append(
+                    (
+                        int(i),
+                        int(w),
+                        int(h),
+                        3,
+                        ((w + 15) // 16) * ((h + 15) // 16),
+                        int(np.sum(rgb, dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_components",
+                    "n_mcus",
+                    "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, JPEG_COLOR_META_SCHEMA
+    )

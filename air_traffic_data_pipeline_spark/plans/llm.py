@@ -3065,6 +3065,54 @@ FROM blocks GROUP BY doc_id, wb, hb
 """
 
 
+def jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 COLOR baseline-JPEG decode — the standard camera-JPEG layout
+    the grayscale query does not reach: three components, interleaved
+    MCUs of four Y blocks + Cb + Cr with per-component DC predictors,
+    BOTH Annex K quantization/Huffman table pairs, chroma
+    replicate-upsampling, and the JFIF YCbCr -> RGB conversion.
+
+    Oracle design: Y blocks are constant EVEN gray values (the grayscale
+    query's lossless subspace) and the chroma planes are constant 128 —
+    neutral chroma has delta 0, quantizes to exactly zero under the
+    chroma table's DC step of 17, reconstructs to exactly 128, and the
+    color conversion collapses to R = G = B = Y with zero float
+    knife-edges. The RGB checksum is therefore closed-form: 3x the Y
+    sum. A wrong chroma table, interleave order, DC-predictor split,
+    upsample, or conversion matrix all fail the driver hash. The
+    generic color path (random chroma, all ACs) is pinned by a pytest
+    against an independent numpy reference."""
+    from ..operators.multimodal import (
+        attach_jpeg_color_payload,
+        decode_jpeg_color_meta,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_jpeg_color_meta(attach_jpeg_color_payload(d))
+
+
+def _jpeg_color_decode_sql() -> str:
+    hx = _HEXDIGITS
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hh,
+         doc_id % 2 + 1 AS wm, (doc_id // 2) % 2 + 1 AS hm
+  FROM documents WHERE doc_id < 300),
+yblocks AS (
+  SELECT doc_id, wm, hm,
+         (strpos('{hx}', substr(hh, 2 * (b % 16) + 1, 1)) - 1) * 16
+           + (strpos('{hx}', substr(hh, 2 * (b % 16) + 2, 1)) - 1) AS v
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, 4 * wm * hm - 1)) AS b) g)
+SELECT doc_id,
+       CAST(wm * 16 AS INTEGER) AS width, CAST(hm * 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(wm * hm AS INTEGER) AS n_mcus,
+       CAST(3 * sum((v - v % 2) * 64) AS BIGINT) AS checksum
+FROM yblocks GROUP BY doc_id, wm, hm
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction from REAL WAV bytes: a genuine RIFF/WAVE
     PCM16 file is written per doc (md5 digest = 8 int16 samples; channels and
@@ -14240,6 +14288,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL),
     ("llm_png_decode", png_decode, _png_decode_sql()),
     ("llm_jpeg_decode", jpeg_decode, _jpeg_decode_sql()),
+    ("llm_jpeg_color_decode", jpeg_color_decode, _jpeg_color_decode_sql()),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),

@@ -193,6 +193,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_multimodal_decode": (SM, "per-payload codec kernel"),
     "llm_png_decode": (SM, "per-payload PNG codec kernel"),
     "llm_jpeg_decode": (SM, "per-payload JPEG codec kernel"),
+    "llm_jpeg_color_decode": (SM, "per-payload JPEG codec kernel"),
     "llm_multimodal_meta": (SM, "per-payload header parse"),
     "llm_multimodal_frames": (SM, "per-payload frame sampling"),
     "llm_multimodal_resize": (SM, "per-payload resize kernel"),

@@ -4892,3 +4892,70 @@ def test_jpeg_driver_images_closed_form_and_rejections(spark):
     )
     with pytest.raises(Exception, match="16-bit"):
         decode_jpeg_meta(dfb).collect()
+
+
+def test_jpeg_color_codec_generic_and_driver_paths(spark):
+    """The 4:2:0 color layer is the real interleaved-MCU spec: random
+    Y/Cb/Cr planes round-trip to an independent numpy reference
+    (per-plane quantize/dequantize/IDCT with the matching Annex K table,
+    replicate upsample, JFIF YCbCr -> RGB), and the driver-shaped
+    neutral-chroma payload decodes through the Spark kernel to the
+    closed-form 3x-Y-sum checksum."""
+    import hashlib
+
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        JPEG_QT_CHROMA,
+        JPEG_QT_LUMA,
+        _dct_matrix,
+        _jpeg_color_bytes,
+        _jpeg_decode_rgb,
+        _jpeg_encode_ycbcr420,
+        attach_jpeg_color_payload,
+        decode_jpeg_color_meta,
+    )
+
+    m = _dct_matrix()
+    qtl = np.asarray(JPEG_QT_LUMA, float).reshape(8, 8)
+    qtc = np.asarray(JPEG_QT_CHROMA, float).reshape(8, 8)
+
+    def rt_plane(p, qt):
+        out = np.zeros_like(p)
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
+                c = m @ blk @ m.T
+                q = np.sign(c) * np.floor(np.abs(c) / qt + 0.5)
+                r = m.T @ (q * qt) @ m
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(r + 128.0), 0, 255
+                )
+        return out
+
+    rng = np.random.RandomState(3)
+    h, w = 32, 48
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    ww, hh, rgb = _jpeg_decode_rgb(_jpeg_encode_ycbcr420(y, cb, cr))
+    assert (ww, hh) == (w, h)
+    cbu = np.repeat(np.repeat(rt_plane(cb, qtc), 2, 0), 2, 1)[:h, :w].astype(float) - 128.0
+    cru = np.repeat(np.repeat(rt_plane(cr, qtc), 2, 0), 2, 1)[:h, :w].astype(float) - 128.0
+    yf = rt_plane(y, qtl).astype(float)
+    ref = np.stack(
+        [yf + 1.402 * cru, yf - 0.344136 * cbu - 0.714136 * cru, yf + 1.772 * cbu],
+        axis=-1,
+    )
+    assert np.array_equal(rgb, np.clip(np.round(ref), 0, 255).astype(np.uint8))
+
+    doc_id, text = 3, "colorful fox"
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    row = decode_jpeg_color_meta(attach_jpeg_color_payload(df)).collect()[0]
+    wm, hm = doc_id % 2 + 1, (doc_id // 2) % 2 + 1
+    digest = hashlib.md5(text.encode()).digest()
+    ysum = sum((digest[b % 16] & 0xFE) * 64 for b in range(4 * wm * hm))
+    assert (row.width, row.height, row.n_components, row.n_mcus) == (
+        wm * 16, hm * 16, 3, wm * hm,
+    )
+    assert row.checksum == 3 * ysum
