@@ -10854,6 +10854,137 @@ FROM per
 """
 
 
+DSIR_B = 1024  # hashed-feature buckets (2^20 at 100 TB; the plan is B-free)
+DSIR_TARGET_SRC = "src0"  # the "target domain" whose distribution is matched
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023 — the
+    standard recipe for selecting pretraining data that matches a target
+    domain): hash each <s>/</s>-padded word bigram into one of DSIR_B
+    buckets, estimate add-one-smoothed bucket distributions for the
+    TARGET domain (source = DSIR_TARGET_SRC) and for the RAW corpus, and
+    score every document with its log importance ratio
+    w(doc) = sum_b n_doc(b) * [ln p_target(b) - ln p_raw(b)].
+    kept = w > 0 marks docs more target-like than the raw average; a
+    deployment resamples proportionally to exp(w) — the weights are the
+    full artifact.
+
+    Determinism: bucket counts are exact integers; each bucket's
+    log-ratio is two ln calls on identical doubles; per-doc summation is
+    a bucket-ascending sorted fold of identical products (the
+    feature_hashing / lm_token_logprob discipline); weight rounds to 6dp
+    at the boundary only. Scale: the bigram stream shuffles ONCE into
+    (doc_id, bucket) counts with map-side combine; both distribution
+    tables are <= DSIR_B rows, so the log-ratio table broadcasts; the
+    per-doc fold adds no further shuffle. Reuses ``lm_bigram_pairs`` —
+    the featurizer is shared with the LM-scoring family."""
+    from .tables import fan_out
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = lm_bigram_pairs(fan_out(docs.select("doc_id", "text")))
+    feats = (
+        pairs.select(
+            "doc_id",
+            (_hex4_to_int(F.md5(F.concat_ws(" ", "w1", "w2"))) % DSIR_B).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    src = docs.select("doc_id", "source")
+    raw = feats.groupBy("b").agg(F.sum("c").cast("bigint").alias("c_r"))
+    tgt = (
+        feats.join(
+            src.filter(F.col("source") == DSIR_TARGET_SRC), "doc_id", "left_semi"
+        )
+        .groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("c_t"))
+    )
+    tots = raw.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_t") + F.lit(DSIR_B)).cast("double")
+    ) - F.log(
+        (F.col("c_r") + F.lit(1)).cast("double")
+        / (F.col("n_r") + F.lit(DSIR_B)).cast("double")
+    )
+    lrt = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", lr.alias("lr"))
+    )
+    per = (
+        feats.join(F.broadcast(lrt), "b")
+        .select(
+            "doc_id",
+            "b",
+            "c",
+            (F.col("c").cast("double") * F.col("lr")).alias("v"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.count(F.lit(1)).cast("bigint").alias("nnz"),
+            F.sort_array(F.collect_list(F.struct("b", "v"))).alias("ts"),
+        )
+    )
+    wsum = F.aggregate(F.col("ts"), F.lit(0.0), lambda a, x: a + x["v"])
+    return (
+        per.select("doc_id", "n_feats", "nnz", wsum.alias("wsum"))
+        .join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            "nnz",
+            F.round("wsum", 6).alias("weight"),
+            (F.col("wsum") > 0).cast("int").alias("kept"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH {_LM_BASE_SQL},
+feats AS (
+  SELECT doc_id, {_hex4_to_int_sql("md5(w1 || ' ' || w2)")} % {DSIR_B} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bgp GROUP BY 1, 2),
+raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS c_r FROM feats GROUP BY 1),
+tgt AS (
+  SELECT f.b, CAST(sum(f.c) AS BIGINT) AS c_t
+  FROM feats f JOIN documents d USING (doc_id)
+  WHERE d.source = '{DSIR_TARGET_SRC}' GROUP BY 1),
+tot AS (
+  SELECT CAST((SELECT coalesce(sum(c_r), 0) FROM raw) AS BIGINT) AS n_r,
+         CAST((SELECT coalesce(sum(c_t), 0) FROM tgt) AS BIGINT) AS n_t),
+lrt AS (
+  SELECT r.b,
+         ln(CAST(coalesce(t.c_t, 0) + 1 AS DOUBLE)
+            / CAST(n_t + {DSIR_B} AS DOUBLE))
+         - ln(CAST(r.c_r + 1 AS DOUBLE)
+              / CAST(n_r + {DSIR_B} AS DOUBLE)) AS lr
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot),
+per AS (
+  SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+         CAST(count(*) AS BIGINT) AS nnz,
+         list_reduce(list(CAST(f.c AS DOUBLE) * l.lr ORDER BY f.b),
+                     (a, x) -> a + x) AS wsum
+  FROM feats f JOIN lrt l ON f.b = l.b GROUP BY 1)
+SELECT p.doc_id, d.source, p.n_feats, p.nnz,
+       round(p.wsum, 6) AS weight,
+       CAST(p.wsum > 0 AS INTEGER) AS kept
+FROM per p JOIN documents d USING (doc_id)
+"""
+
+
 LM_LAMBDA = 0.7  # Jelinek-Mercer bigram weight
 LM_LAMBDA2 = 1.0 - LM_LAMBDA  # computed once so both engines see one double
 
@@ -14289,6 +14420,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_png_decode", png_decode, _png_decode_sql()),
     ("llm_jpeg_decode", jpeg_decode, _jpeg_decode_sql()),
     ("llm_jpeg_color_decode", jpeg_color_decode, _jpeg_color_decode_sql()),
+    ("llm_dsir_weights", dsir_weights, _dsir_sql()),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),

@@ -4959,3 +4959,32 @@ def test_jpeg_color_codec_generic_and_driver_paths(spark):
         wm * 16, hm * 16, 3, wm * hm,
     )
     assert row.checksum == 3 * ysum
+
+
+def test_dsir_weights_semantics_and_plan(spark):
+    """DSIR importance weights: target-domain docs must score higher on
+    average than the raw corpus (the method's defining property — the
+    target's own features are up-weighted), weights are finite, every doc
+    is scored, and the bucket log-ratio table reaches the per-doc join as
+    a broadcast (DSIR_B rows, never a shuffle)."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        DSIR_TARGET_SRC,
+        dsir_weights,
+    )
+
+    df = dsir_weights(spark, SF)
+    rows = df.collect()
+    docs = load(spark, SF, "documents").count()
+    assert len(rows) == docs
+    assert all(math.isfinite(r.weight) for r in rows)
+    tgt = [r.weight for r in rows if r.source == DSIR_TARGET_SRC]
+    rest = [r.weight for r in rows if r.source != DSIR_TARGET_SRC]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        assert r.kept == (1 if r.weight > 0 else 0) or abs(r.weight) < 1e-5
+        assert r.nnz <= r.n_feats
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
