@@ -9042,6 +9042,195 @@ FROM scored GROUP BY r_score, f_score, m_score
 """
 
 
+
+
+# --- Fellegi-Sunter probabilistic record linkage (round 12) ------------------
+
+FS_M_SEG = 0.9  # stated per-field match probabilities m_f (the model's
+FS_M_BAL = 0.85  # priors; a production deployment EM-fits these — here they
+FS_M_SFX = 0.95  # are fixed constants so the score is fully deterministic)
+FS_M_CENTS = 0.8
+
+
+def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring — the SCORING
+    half of entity resolution (the blocking half is the llm_ blocking
+    family: minhash/prefix/simhash/SRP/hamming + the cost audits). Each
+    candidate pair gets the classic log-likelihood match weight
+    sum_f [agree_f ? ln(m_f/u_f) : ln((1-m_f)/(1-u_f))] where m_f is the
+    stated per-field match probability and u_f the DATA-DERIVED chance
+    two random records agree on field f (u_f = sum_v cnt_v^2 / N^2 —
+    exact integers until one final divide). The name-suffix field gets
+    the term-frequency adjustment (Splink's tf correction): agreeing on
+    a RARE value scores ln(m * N / cnt(v)) — rarer agreement, stronger
+    evidence. Fields are derived comparators on the customer table
+    (segment, balance band, name suffix, balance cents); blocking is
+    c_nationkey. Pairs with score > 0 (more likely match than non-match
+    under the model) are emitted.
+
+    Determinism: u_f numerators/denominators are exact BIGINTs; each
+    term is one or two ln calls on identical doubles; the four terms add
+    left-to-right in both engines; score rounds to 6dp at the boundary.
+    Scale: blocking bounds the pair space (the quadratic-in-block shape
+    every linkage deployment accepts); the u_f statistics are one-row
+    broadcasts and the tf table is |values| rows broadcast; at 100 TB
+    the u2 sums widen to DECIMAL(38,0) like the moment sketches."""
+    c = load(spark, sf_dir, "customer")
+    recs = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).cast("bigint").alias("bal_b"),
+        F.expr("right(c_name, 2)").alias("sfx"),
+        (F.round(F.col("c_acctbal") * F.lit(100.0)).cast("bigint") % 10).alias(
+            "cents"
+        ),
+    )
+
+    def u2(col: str) -> DataFrame:
+        return (
+            recs.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias(f"u2_{col}"))
+        )
+
+    us = (
+        u2("seg")
+        .crossJoin(u2("bal_b"))
+        .crossJoin(u2("sfx"))
+        .crossJoin(u2("cents"))
+        .crossJoin(recs.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    )
+    sfx_cnt = recs.groupBy("sfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sfx_c")
+    )
+    a = recs.alias("a")
+    b = recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agr_seg"),
+        (F.col("a.bal_b") == F.col("b.bal_b")).cast("int").alias("agr_bal"),
+        (F.col("a.sfx") == F.col("b.sfx")).cast("int").alias("agr_sfx"),
+        (F.col("a.cents") == F.col("b.cents")).cast("int").alias("agr_cents"),
+        F.col("a.sfx").alias("sfx_a"),
+    )
+    j = pairs.crossJoin(F.broadcast(us)).join(
+        F.broadcast(sfx_cnt), F.col("sfx_a") == F.col("sfx"), "left"
+    )
+    nd = F.col("n").cast("double")
+    n2 = (F.col("n") * F.col("n")).cast("double")
+
+    def field_term(agr: str, u2col: str, m: float):
+        u = F.col(u2col).cast("double") / n2
+        return F.when(F.col(agr) == 1, F.log(F.lit(m) / u)).otherwise(
+            F.log(F.lit(1.0 - m) / (F.lit(1.0) - u))
+        )
+
+    sfx_term = F.when(
+        F.col("agr_sfx") == 1,
+        F.log(F.lit(FS_M_SFX) * nd / F.col("sfx_c").cast("double")),
+    ).otherwise(
+        F.log(
+            F.lit(1.0 - FS_M_SFX)
+            / (F.lit(1.0) - F.col("u2_sfx").cast("double") / n2)
+        )
+    )
+    score = (
+        field_term("agr_seg", "u2_seg", FS_M_SEG)
+        + field_term("agr_bal", "u2_bal_b", FS_M_BAL)
+        + sfx_term
+        + field_term("agr_cents", "u2_cents", FS_M_CENTS)
+    )
+    return (
+        j.select(
+            "blk",
+            "cust_a",
+            "cust_b",
+            "agr_seg",
+            "agr_bal",
+            "agr_sfx",
+            "agr_cents",
+            score.alias("s"),
+        )
+        .filter(F.col("s") > 0)
+        .select(
+            "blk",
+            "cust_a",
+            "cust_b",
+            "agr_seg",
+            "agr_bal",
+            "agr_sfx",
+            "agr_cents",
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
+def _fs_linkage_sql() -> str:
+    u = "(CAST({c} AS DOUBLE) / CAST(n * n AS DOUBLE))"
+
+    def term(agr: str, u2: str, m: float) -> str:
+        uf = u.format(c=u2)
+        return (
+            f"CASE WHEN {agr} = 1 THEN ln({dlit(m)} / {uf}) "
+            f"ELSE ln({dlit(1.0 - m)} / (CAST(1 AS DOUBLE) - {uf})) END"
+        )
+
+    sfx_term = (
+        f"CASE WHEN agr_sfx = 1 "
+        f"THEN ln({dlit(FS_M_SFX)} * CAST(n AS DOUBLE) / CAST(sfx_c AS DOUBLE)) "
+        f"ELSE ln({dlit(1.0 - FS_M_SFX)} / (CAST(1 AS DOUBLE) - "
+        + u.format(c="u2_sfx")
+        + ")) END"
+    )
+    return f"""
+WITH recs AS (
+  SELECT c_custkey, c_nationkey AS blk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / CAST(500 AS DOUBLE)) AS BIGINT) AS bal_b,
+         right(c_name, 2) AS sfx,
+         CAST(round(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT) % 10 AS cents
+  FROM customer),
+us AS (
+  SELECT
+    (SELECT CAST(sum(c * c) AS BIGINT)
+     FROM (SELECT count(*) AS c FROM recs GROUP BY seg) t) AS u2_seg,
+    (SELECT CAST(sum(c * c) AS BIGINT)
+     FROM (SELECT count(*) AS c FROM recs GROUP BY bal_b) t) AS u2_bal_b,
+    (SELECT CAST(sum(c * c) AS BIGINT)
+     FROM (SELECT count(*) AS c FROM recs GROUP BY sfx) t) AS u2_sfx,
+    (SELECT CAST(sum(c * c) AS BIGINT)
+     FROM (SELECT count(*) AS c FROM recs GROUP BY cents) t) AS u2_cents,
+    (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n),
+sfx_cnt AS (
+  SELECT sfx, CAST(count(*) AS BIGINT) AS sfx_c FROM recs GROUP BY 1),
+pairs AS (
+  SELECT a.blk, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         CAST(a.seg = b.seg AS INTEGER) AS agr_seg,
+         CAST(a.bal_b = b.bal_b AS INTEGER) AS agr_bal,
+         CAST(a.sfx = b.sfx AS INTEGER) AS agr_sfx,
+         CAST(a.cents = b.cents AS INTEGER) AS agr_cents,
+         a.sfx AS sfx_a
+  FROM recs a JOIN recs b ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+scored AS (
+  SELECT p.blk, p.cust_a, p.cust_b,
+         p.agr_seg, p.agr_bal, p.agr_sfx, p.agr_cents,
+         {term("agr_seg", "u2_seg", FS_M_SEG)}
+         + {term("agr_bal", "u2_bal_b", FS_M_BAL)}
+         + {sfx_term}
+         + {term("agr_cents", "u2_cents", FS_M_CENTS)} AS s
+  FROM pairs p CROSS JOIN us LEFT JOIN sfx_cnt f ON p.sfx_a = f.sfx)
+SELECT blk, cust_a, cust_b, agr_seg, agr_bal, agr_sfx, agr_cents,
+       round(s, 6) AS score
+FROM scored WHERE s > 0
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -9176,6 +9365,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
+    ("rel_fs_record_linkage", fs_record_linkage, _fs_linkage_sql()),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
     ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),

@@ -2194,3 +2194,48 @@ def test_exact_median_by_selection_equals_percentile(spark):
         for r in _exact_median_by_selection(df).collect()
     }
     assert got == want and len(want) == 5
+
+
+def test_fs_record_linkage_tf_adjustment_and_shape(spark, tmp_path):
+    """Fellegi-Sunter scoring: emitted pairs are canonical (a < b) with
+    positive scores on the real lake, and the term-frequency adjustment
+    is pinned on a CRAFTED lake with skewed name suffixes (the synthetic
+    lake's sequential names make every suffix equally frequent): pairs
+    agreeing on a rare suffix must outscore pairs agreeing on a common
+    one under an otherwise identical agreement pattern."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        fs_record_linkage,
+    )
+
+    rows = fs_record_linkage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cust_a < r.cust_b and r.score > 0
+        for bit in (r.agr_seg, r.agr_bal, r.agr_sfx, r.agr_cents):
+            assert bit in (0, 1)
+
+    # crafted lake: nation 7 holds the compared pairs — suffix "01" is
+    # common (30 records), "99" rare (4 records), other fields agree.
+    # Nation-8 background records diversify segments/balances/suffixes so
+    # the field-level u statistics sit below 1 (all-identical fields
+    # would make every agreement worthless and drop common pairs under
+    # the score > 0 gate).
+    segs = ["AUTO", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    recs = [
+        (i, f"Customer#0000000{'01' if i < 30 else '99'}", 7, 1234.56, "AUTO")
+        for i in range(34)
+    ] + [
+        (100 + i, f"Customer#00000novel{i:02d}", 8, 17.23 * (i + 1), segs[i % 5])
+        for i in range(30)
+    ]
+    lake = tmp_path / "fs_lake"
+    spark.createDataFrame(
+        recs,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(lake / "customer.parquet"))
+    crafted = fs_record_linkage(spark, str(lake)).collect()
+    common = {r.score for r in crafted if r.cust_a < 30 and r.cust_b < 30}
+    rare = {r.score for r in crafted if r.cust_a >= 30 and r.cust_b >= 30}
+    assert len(common) == 1 and len(rare) == 1  # ties score equal
+    assert rare.pop() > common.pop()  # rarer agreement -> higher score
