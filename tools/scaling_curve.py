@@ -208,6 +208,15 @@ def main() -> int:
         # expect the temperature_scaling curve
         "llm_blocking_threshold_sweep": llm.blocking_threshold_sweep,
         "llm_isotonic_apply": llm.isotonic_apply,
+        # round-12 late addition under the distinct-text model: DSIR sees
+        # a growing bigram vocabulary hashed into a FIXED DSIR_B-bucket
+        # space — the log-ratio table stays 1024 rows however the corpus
+        # grows, so expect linear in the bigram stream (the one shuffle).
+        # fs_record_linkage and the jpeg codecs are deliberately absent:
+        # customer stays sf0.1-sized in the replica lake and the codec
+        # queries cap at 300 docs — their "curves" would re-run identical
+        # data.
+        "llm_dsir_weights": llm.dsir_weights,
     }
     only = list(argv)
     if only:

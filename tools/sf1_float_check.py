@@ -85,6 +85,12 @@ FOLD_HEAVY = (
     # thresholds at once
     "llm_isotonic_apply",
     "llm_blocking_threshold_sweep",
+    # round-12 late fold path: DSIR's per-doc weight is a bucket-ascending
+    # double fold whose log-ratio table is re-estimated from a 10x bigram
+    # stream (fixed 1024-bucket space — denser buckets, same fold shape).
+    # fs_record_linkage is customers-based and deliberately absent —
+    # customer stays sf0.1-sized in this lake
+    "llm_dsir_weights",
 )
 
 ALL_TABLES = (
