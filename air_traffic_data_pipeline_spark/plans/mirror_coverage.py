@@ -309,6 +309,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_bitext_banded": (PC, "stream_incremental_near_dup"),
     "llm_fuzzy_match_levenshtein": (PC, "stream_incremental_near_dup"),
     "rel_fs_record_linkage": (PC, "stream_incremental_near_dup"),
+    "rel_jaro_winkler_match": (PC, "stream_incremental_near_dup"),
     "llm_ngram_jaccard": (PC, "stream_incremental_near_dup"),
     "llm_split_leakage": (PC, "stream_incremental_near_dup"),
     "llm_lsh_buckets": (PC, "stream_incremental_near_dup"),

@@ -9231,6 +9231,68 @@ FROM scored WHERE s > 0
 """
 
 
+
+
+# --- Jaro-Winkler fuzzy matching (round 12) ----------------------------------
+
+JW_MIN_SIM = 0.6  # emit threshold for the part-name pair surface
+
+
+def jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy matching over distinct part names — the string
+    comparator half of record linkage (Levenshtein's rank-based sibling;
+    the FS scorer consumes comparators like this one). The similarity is
+    a PURE Catalyst expression (``functions.text.jaro_winkler`` — greedy
+    windowed matching via one fold over the left string with a boolean
+    used-mask over the right; see its docstring for the semantics pinned
+    bitwise to DuckDB's built-in), so pair scoring runs JVM-side with no
+    UDF. Pairs are blocked on the first character — the classic linkage
+    blocking choice — and name_a < name_b canonicalizes.
+
+    Scale: the name table collapses to DISTINCT values + counts first
+    (fuzzy matching on values, not rows — |values| << |rows| at 100 TB),
+    the first-char blocking bounds the quadratic inside each block, and
+    the per-pair cost is O(|name| * window) inside codegen-adjacent
+    higher-order expressions."""
+    from ..functions.text import jaro_winkler
+
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.substring("name", 1, 1).alias("blk"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.substring("name", 1, 1).alias("blk"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("name_a") < F.col("name_b"))
+    jw = jaro_winkler(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.select("name_a", "name_b", "n_a", "n_b", jw.alias("s"))
+        .filter(F.col("s") >= JW_MIN_SIM)
+        .select(
+            "name_a", "name_b", "n_a", "n_b", F.round("s", 6).alias("jw_sim")
+        )
+    )
+
+
+_JW_MATCH_SQL = f"""
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1)
+SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
+FROM names a JOIN names b
+  ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+WHERE jaro_winkler_similarity(a.name, b.name) >= {JW_MIN_SIM}
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -9366,6 +9428,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_fs_record_linkage", fs_record_linkage, _fs_linkage_sql()),
+    ("rel_jaro_winkler_match", jaro_winkler_match, _JW_MATCH_SQL),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
     ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),

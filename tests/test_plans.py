@@ -2239,3 +2239,40 @@ def test_fs_record_linkage_tf_adjustment_and_shape(spark, tmp_path):
     rare = {r.score for r in crafted if r.cust_a >= 30 and r.cust_b >= 30}
     assert len(common) == 1 and len(rare) == 1  # ties score equal
     assert rare.pop() > common.pop()  # rarer agreement -> higher score
+
+
+def test_jaro_winkler_expression_matches_duckdb_bitwise(spark):
+    """The pure-expression Jaro-Winkler is pinned BITWISE to DuckDB's
+    built-in on the textbook fixtures plus 500 random fuzz pairs —
+    including the repeated-character cases where the transposition count
+    must use integer halving (the detail naive ports miss)."""
+    import random
+
+    import duckdb
+
+    from air_traffic_data_pipeline_spark.functions.text import jaro_winkler
+
+    fixtures = [
+        ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+        ("JELLYFISH", "SMELLYFISH"), ("CRATE", "TRACE"), ("ab", "ba"),
+        ("a", ""), ("", ""), ("prefixaa", "prefixbb"), ("fcbc", "cbfcfff"),
+    ]
+    rng = random.Random(7)
+    alpha = "abcdef"  # dense alphabet maximizes repeated-char collisions
+    fuzz = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(fixtures + fuzz, "a string, b string")
+    got = df.select(
+        "a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        exp = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [r.a, r.b]
+        ).fetchone()[0]
+        assert r.jw == exp, (r.a, r.b, r.jw, exp)
