@@ -671,3 +671,32 @@ def test_graph_family_empty_inputs(spark, tmp_path):
     for r in rows:
         assert (r.core_nodes, r.core_edges, r.converged) == (0, 0, True)
         assert r.min_node is None and r.max_node is None
+
+
+def test_round12_ops_empty_inputs(spark, tmp_path):
+    """Round-12 ops over empty lakes: typed empty frames, no crash — the
+    JPEG codec kernels, DSIR weights, FS linkage, and Jaro-Winkler
+    matching with zero documents/customers/parts."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("documents", "customer", "part"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+
+    jd = llm.jpeg_decode(spark, sf)
+    assert jd.count() == 0 and "checksum" in jd.columns
+
+    jc = llm.jpeg_color_decode(spark, sf)
+    assert jc.count() == 0 and "n_mcus" in jc.columns
+
+    dw = llm.dsir_weights(spark, sf)
+    assert dw.count() == 0 and "weight" in dw.columns
+
+    fs = relational.fs_record_linkage(spark, sf)
+    assert fs.count() == 0 and "score" in fs.columns
+
+    jw = relational.jaro_winkler_match(spark, sf)
+    assert jw.count() == 0 and "jw_sim" in jw.columns
