@@ -3113,6 +3113,98 @@ FROM yblocks GROUP BY doc_id, wm, hm
 """
 
 
+DSIR_SEL_PCT = 30  # token budget: top-weighted docs up to 30% of corpus mass
+DSIR_SEL_BUCKET = 100_000  # micro-weight band width for the two-level prefix
+
+
+def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR fit -> APPLY loop (the isotonic_apply discipline): rank
+    every document by its importance weight and greedily select docs in
+    weight order until the token budget — DSIR_SEL_PCT percent of the
+    corpus token mass — is exhausted (a doc is selected iff it FITS
+    entirely). Emits per-source selection stats: the artifact a curation
+    run reads to see which sources the target-domain weighting favors.
+
+    Determinism: weights quantize to 1e6-unit BIGINTs (they are already
+    6dp-rounded), the budget is exact integer arithmetic
+    (total * PCT div 100), and the greedy order is (wq DESC, doc_id) —
+    no doubles anywhere past the reused dsir_weights boundary. Token
+    counts come free: the padded bigram count n_feats is n_tok + 1, so
+    no second corpus scan. Scale: the global ordered prefix sum uses the
+    shard-plan two-level pattern — micro-weight BANDS aggregate map-side,
+    only the |bands| table sees a global window, and a per-band window
+    adds local prefixes; no window ever holds the doc table in one
+    partition."""
+    w = dsir_weights(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (F.col("n_feats") - F.lit(1)).cast("bigint").alias("n_tok"),
+        F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
+    )
+    tot = w.agg(
+        ((F.sum("n_tok") * F.lit(DSIR_SEL_PCT)) / F.lit(100))
+        .cast("bigint")
+        .alias("budget")
+    )
+    b = w.withColumn("band", F.expr(f"wq div {DSIR_SEL_BUCKET}"))
+    bsum = b.groupBy("band").agg(F.sum("n_tok").cast("bigint").alias("btok"))
+    woff = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "band",
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wloc = (
+        W.partitionBy("band")
+        .orderBy(F.col("wq").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = (
+        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
+    ).cast("bigint")
+    sel = (
+        b.join(F.broadcast(offs), "band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("selected", (before + F.col("n_tok") <= F.col("budget")))
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("selected").cast("bigint")).cast("bigint").alias("n_sel"),
+        F.sum("n_tok").cast("bigint").alias("tok_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("selected"), F.col("n_tok"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tok_sel"),
+    )
+
+
+def _dsir_select_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, n_feats - 1 AS n_tok,
+         CAST(round(weight * 1e6) AS BIGINT) AS wq
+  FROM ({_dsir_sql()}) dsir),
+tot AS (
+  SELECT CAST(sum(n_tok) * {DSIR_SEL_PCT} // 100 AS BIGINT) AS budget FROM w),
+c AS (
+  SELECT doc_id, source, n_tok, wq,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY wq DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM w),
+sel AS (
+  SELECT c.source, c.n_tok, (c.before + c.n_tok <= t.budget) AS selected
+  FROM c CROSS JOIN tot t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       CAST(coalesce(sum(CASE WHEN selected THEN n_tok END), 0) AS BIGINT)
+         AS tok_sel
+FROM sel GROUP BY source
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction from REAL WAV bytes: a genuine RIFF/WAVE
     PCM16 file is written per doc (md5 digest = 8 int16 samples; channels and
@@ -14421,6 +14513,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_jpeg_decode", jpeg_decode, _jpeg_decode_sql()),
     ("llm_jpeg_color_decode", jpeg_color_decode, _jpeg_color_decode_sql()),
     ("llm_dsir_weights", dsir_weights, _dsir_sql()),
+    ("llm_dsir_budget_select", dsir_budget_select, _dsir_select_sql()),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),

@@ -334,6 +334,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_ngram_novelty": (PC, "stream_incremental_kneser_ney"),
     "llm_pmi_collocations": (PC, "stream_incremental_kneser_ney"),
     "llm_dsir_weights": (PC, "stream_incremental_kneser_ney"),
+    "llm_dsir_budget_select": (PC, "stream_incremental_token_budget"),
     "llm_bpe_merges": (PC, "stream_incremental_kneser_ney"),
     "llm_tf_idf": (PC, "stream_incremental_bm25"),
     "llm_ctfidf_keywords": (PC, "stream_incremental_bm25"),

@@ -4988,3 +4988,42 @@ def test_dsir_weights_semantics_and_plan(spark):
         assert r.nnz <= r.n_feats
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_budget_select_greedy_prefix_exact(spark):
+    """The budget selection equals the greedy top-weight prefix computed
+    independently: sort docs by (quantized weight DESC, doc_id), take
+    while each doc still fits in the 30%-of-corpus token budget, and the
+    per-source stats must match exactly; selected token mass never
+    exceeds the budget."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        DSIR_SEL_PCT,
+        dsir_budget_select,
+        dsir_weights,
+    )
+
+    rows = dsir_budget_select(spark, SF).collect()
+    w = dsir_weights(spark, SF).collect()
+    docs = sorted(
+        (
+            (-round(r.weight * 1e6), r.doc_id, r.source, r.n_feats - 1)
+            for r in w
+        )
+    )
+    total = sum(t for *_x, t in docs)
+    budget = total * DSIR_SEL_PCT // 100
+    run, sel = 0, {}
+    per = {}
+    for _wq, doc_id, src, t in docs:
+        per.setdefault(src, [0, 0, 0, 0])
+        per[src][0] += 1
+        per[src][2] += t
+        if run + t <= budget:
+            per[src][1] += 1
+            per[src][3] += t
+            run += t
+        else:
+            run += t  # strict prefix-sum semantics: later docs still shift
+    got = {r.source: [r.n_docs, r.n_sel, r.tok_total, r.tok_sel] for r in rows}
+    assert got == per
+    assert sum(v[3] for v in per.values()) <= budget
