@@ -2276,3 +2276,17 @@ def test_jaro_winkler_expression_matches_duckdb_bitwise(spark):
             "SELECT jaro_winkler_similarity(?, ?)", [r.a, r.b]
         ).fetchone()[0]
         assert r.jw == exp, (r.a, r.b, r.jw, exp)
+
+
+def test_jaro_winkler_query_has_no_python_in_plan(spark):
+    """The JW match query's claim is 'pure Catalyst expression': the
+    executed plan must contain no Python evaluation operator (UDF/
+    mapInPandas) — scoring runs entirely JVM-side."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        jaro_winkler_match,
+    )
+
+    df = jaro_winkler_match(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p
