@@ -242,6 +242,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_salted_join_agg": (PC, "stream_incremental_rfm"),
     "rel_subquery_scalar": (PC, "stream_incremental_rfm"),
     "rel_k_anonymity": (PC, "stream_incremental_rfm"),
+    "rel_t_closeness": (PC, "stream_incremental_rfm"),
     "rel_dp_noisy_counts": (PC, "stream_incremental_rfm"),
     "rel_explode_wordcount": (PC, "stream_incremental_gopher"),
     "llm_length_bucketing": (PC, "stream_incremental_gopher"),

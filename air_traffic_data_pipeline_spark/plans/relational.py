@@ -9293,6 +9293,149 @@ WHERE jaro_winkler_similarity(a.name, b.name) >= {JW_MIN_SIM}
 """
 
 
+
+
+# --- t-closeness (round 12): the third privacy rung ---------------------------
+
+T_CLOSE_THRESHOLD = 0.2  # Li et al.'s canonical example threshold
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian ICDE 2007) — the
+    third rung of the privacy ladder after rel_k_anonymity and
+    rel_l_diversity: for each quasi-identifier class (event type, hour)
+    the ORDERED Earth Mover's Distance between the class's sensitive-
+    attribute distribution (value band) and the global one,
+    t = (1/(m-1)) * sum_i |cum_p(i) - cum_q(i)| over the m global bands;
+    classes with t above the threshold leak attribute information even
+    when k-anonymous and l-diverse.
+
+    Exactness: the cumulative difference at band i is
+    (N*cumc_g(i) - n_g*cumC(i)) / (n_g*N) — the numerator stays an exact
+    BIGINT through the whole fold and ONE final division produces the
+    double, so both engines emit identical values (the k-anonymity
+    integer-bucketing discipline extended to the EMD). At 100 TB the
+    numerator widens to DECIMAL(38,0) like the moment sketches.
+    Scale: group x band cells are the bounded QI-domain cross join
+    (|types|*24 x |bands|), never event-sized; the global band table
+    broadcasts; windows partition by group over <= |bands| rows."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        (F.expr("(ts div 1000000000) div 3600") % 24).alias("hour"),
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("band"),
+    )
+    gb = base.groupBy("event_type", "hour", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = base.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    wg = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    glob_cum = glob.select(
+        "band",
+        "cg",
+        F.sum("cg").over(wg).cast("bigint").alias("cum_cg"),
+    ).crossJoin(
+        glob.agg(
+            F.sum("cg").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("m_bands"),
+        )
+    )
+    groups = gb.groupBy("event_type", "hour").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    cells = (
+        groups.crossJoin(F.broadcast(glob_cum.select("band", "cum_cg", "n_total", "m_bands")))
+        .join(gb, ["event_type", "hour", "band"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "band",
+            "n",
+            "cum_cg",
+            "n_total",
+            "m_bands",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wloc = (
+        W.partitionBy("event_type", "hour")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    diff = (
+        F.col("n_total") * F.sum("c").over(wloc) - F.col("n") * F.col("cum_cg")
+    ).cast("bigint")
+    per = (
+        cells.select(
+            "event_type", "hour", "n", "n_total", "m_bands",
+            F.abs(diff).alias("ad"),
+        )
+        .groupBy("event_type", "hour", "n", "n_total", "m_bands")
+        .agg(F.sum("ad").cast("bigint").alias("num"))
+    )
+    t = F.when(F.col("m_bands") <= 1, F.lit(0.0)).otherwise(
+        F.col("num").cast("double")
+        / (F.col("n") * F.col("n_total") * (F.col("m_bands") - 1)).cast("double")
+    )
+    return per.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(t, 6).alias("t_closeness"),
+        (t > F.lit(T_CLOSE_THRESHOLD)).cast("int").alias("t_violation"),
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+         CAST(floor(value / 25.0) AS BIGINT) AS band
+  FROM events),
+gb AS (
+  SELECT event_type, hour, band, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3),
+gall AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS cg FROM base GROUP BY 1),
+gall_cum AS (
+  SELECT band, CAST(sum(cg) OVER (ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cg,
+         (SELECT CAST(sum(cg) AS BIGINT) FROM gall) AS n_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM gall) AS m_bands
+  FROM gall),
+groups AS (
+  SELECT event_type, hour, CAST(sum(c) AS BIGINT) AS n
+  FROM gb GROUP BY 1, 2),
+cells AS (
+  SELECT g.event_type, g.hour, gc.band, g.n, gc.cum_cg, gc.n_total,
+         gc.m_bands, CAST(coalesce(b.c, 0) AS BIGINT) AS c
+  FROM groups g CROSS JOIN gall_cum gc
+  LEFT JOIN gb b ON b.event_type = g.event_type AND b.hour = g.hour
+                AND b.band = gc.band),
+per AS (
+  SELECT event_type, hour, n, n_total, m_bands,
+         CAST(sum(abs(n_total * cumc - n * cum_cg)) AS BIGINT) AS num
+  FROM (
+    SELECT event_type, hour, band, n, cum_cg, n_total, m_bands,
+           CAST(sum(c) OVER (PARTITION BY event_type, hour ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumc
+    FROM cells) x
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT event_type, hour, n,
+       round(CASE WHEN m_bands <= 1 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(num AS DOUBLE)
+                       / CAST(n * n_total * (m_bands - 1) AS DOUBLE) END,
+             6) AS t_closeness,
+       CAST(CASE WHEN m_bands > 1 AND CAST(num AS DOUBLE)
+                      / CAST(n * n_total * (m_bands - 1) AS DOUBLE)
+                      > {T_CLOSE_THRESHOLD} THEN 1 ELSE 0 END AS INTEGER)
+         AS t_violation
+FROM per
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -9429,6 +9572,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),
     ("rel_fs_record_linkage", fs_record_linkage, _fs_linkage_sql()),
     ("rel_jaro_winkler_match", jaro_winkler_match, _JW_MATCH_SQL),
+    ("rel_t_closeness", t_closeness, T_CLOSENESS_SQL),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
     ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),

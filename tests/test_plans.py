@@ -2290,3 +2290,45 @@ def test_jaro_winkler_query_has_no_python_in_plan(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p
+
+
+def test_t_closeness_matches_independent_emd(spark):
+    """t-closeness equals an independently computed ordered EMD: rebuild
+    the per-group and global band distributions from raw events in
+    Python, evaluate Li et al.'s (1/(m-1)) * sum |cum_p - cum_q| with
+    the same exact-integer numerator, and match every group bitwise
+    after the 6dp boundary rounding."""
+    from collections import Counter, defaultdict
+
+    from air_traffic_data_pipeline_spark.plans.relational import t_closeness
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = {(r.event_type, r.hour): r for r in t_closeness(spark, SF).collect()}
+    ev = (
+        load(spark, SF, "events")
+        .select(
+            "event_type",
+            (F.expr("(ts div 1000000000) div 3600") % 24).alias("hour"),
+            F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("band"),
+        )
+        .collect()
+    )
+    glob: Counter = Counter()
+    per: dict = defaultdict(Counter)
+    for r in ev:
+        glob[r.band] += 1
+        per[(r.event_type, r.hour)][r.band] += 1
+    bands = sorted(glob)
+    n_total, m = sum(glob.values()), len(bands)
+    assert set(rows) == set(per)
+    for key, cnt in per.items():
+        n = sum(cnt.values())
+        num = cum_c = cum_cg = 0
+        for b in bands:
+            cum_c += cnt.get(b, 0)
+            cum_cg += glob[b]
+            num += abs(n_total * cum_c - n * cum_cg)
+        t = 0.0 if m <= 1 else num / float(n * n_total * (m - 1))
+        assert rows[key].n == n
+        assert rows[key].t_closeness == round(t, 6), (key, t)
+        assert rows[key].t_violation == (1 if t > 0.2 else 0)
