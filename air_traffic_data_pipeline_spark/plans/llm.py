@@ -10975,7 +10975,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tables import fan_out
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pairs = lm_bigram_pairs(fan_out(docs.select("doc_id", "text")))
+    return dsir_from_feats(dsir_feats(fan_out(docs)))
+
+
+def dsir_feats(d: DataFrame) -> DataFrame:
+    """Per-doc hashed-bigram feature counts (doc_id, source, b, c) — the
+    DISTRIBUTIVE partial the streaming mirror lands per micro-batch: a
+    document lives wholly in one batch, so merged partials equal the
+    one-shot feature table row-for-row (exact integers)."""
+    pairs = lm_bigram_pairs(d.select("doc_id", "text"))
     feats = (
         pairs.select(
             "doc_id",
@@ -10986,7 +10994,16 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    src = docs.select("doc_id", "source")
+    return feats.join(d.select("doc_id", "source"), "doc_id")
+
+
+def dsir_from_feats(feats: DataFrame) -> DataFrame:
+    """Weights from merged feature partials — shared by the batch query
+    and the streaming mirror (the nb_partials posture: emission reruns
+    this kernel over COUNT ROWS, never raw text, because BOTH bucket
+    distributions move with every batch and every landed doc's weight
+    moves with them)."""
+    src = feats.select("doc_id", "source").distinct()
     raw = feats.groupBy("b").agg(F.sum("c").cast("bigint").alias("c_r"))
     tgt = (
         feats.join(

@@ -47,6 +47,7 @@ MIRRORS: dict[str, str | None] = {
     "stream_incremental_kcore": "rel_kcore_decomposition",
     "stream_incremental_kendall": "rel_kendall_tau",
     "stream_incremental_kendall_sampled": "rel_kendall_sampled",
+    "stream_incremental_dsir": "llm_dsir_weights",
     "stream_incremental_kmv": "rel_kmv_distinct",
     "stream_incremental_kneser_ney": "llm_lm_kneser_ney",
     "stream_incremental_label_propagation": "rel_label_propagation",
@@ -334,7 +335,6 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_lm_token_logprob": (PC, "stream_incremental_kneser_ney"),
     "llm_ngram_novelty": (PC, "stream_incremental_kneser_ney"),
     "llm_pmi_collocations": (PC, "stream_incremental_kneser_ney"),
-    "llm_dsir_weights": (PC, "stream_incremental_kneser_ney"),
     "llm_dsir_budget_select": (PC, "stream_incremental_token_budget"),
     "llm_bpe_merges": (PC, "stream_incremental_kneser_ney"),
     "llm_tf_idf": (PC, "stream_incremental_bm25"),

@@ -596,6 +596,22 @@ def stream_incremental_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_naive_bayes(spark, sf_dir)
 
 
+def stream_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_dsir
+
+    return incremental_dsir(spark, sf_dir)
+
+
+def _dsir_oracle_sql() -> str:
+    """The one-shot DSIR SQL is the oracle: merged per-batch feature
+    partials equal the batch feature table row-for-row (documents live
+    wholly in one batch; counts are exact integers), and emission reruns
+    the shared dsir_from_feats kernel."""
+    from .llm import _dsir_sql
+
+    return _dsir_sql()
+
+
 def _naive_bayes_oracle_sql() -> str:
     """Integer count-table partials (per-class token counts, class doc
     counts, held-out per-doc token counts) merge by BIGINT addition and
@@ -1230,6 +1246,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_ols", stream_incremental_ols, _ols_oracle_sql()),
     ("stream_incremental_bootstrap", stream_incremental_bootstrap, _bootstrap_oracle_sql()),
     ("stream_incremental_naive_bayes", stream_incremental_naive_bayes, _naive_bayes_oracle_sql()),
+    ("stream_incremental_dsir", stream_incremental_dsir, _dsir_oracle_sql()),
     ("stream_incremental_seasonal", stream_incremental_seasonal, _seasonal_oracle_sql()),
     ("stream_incremental_mann_whitney", stream_incremental_mann_whitney, _mann_whitney_oracle_sql()),
     ("stream_incremental_changepoint", stream_incremental_changepoint, _changepoint_oracle_sql()),

@@ -2225,3 +2225,53 @@ def incremental_near_dup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-retraining streaming DSIR — bitwise equal to the
+    one-shot ``plans.llm.dsir_weights`` (its SQL is the oracle).
+
+    The importance-resampling mirror the counting-model family makes
+    possible: the MODEL is two integer bucket-count tables (target and
+    raw hashed-bigram distributions) and the EVAL side is per-doc bucket
+    counts — all distributive, so each micro-batch lands its
+    ``dsir_feats`` partials and the model re-estimates exactly at every
+    emission by BIGINT merge. Every landed doc's weight is corpus-global
+    (BOTH distributions move with each batch), so emission reruns the
+    shared ``dsir_from_feats`` kernel over merged partials — over COUNT
+    ROWS, never raw text (the nb_partials posture). Epoch-scoped
+    overwrite = replay-idempotent."""
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..plans.llm import dsir_feats, dsir_from_feats
+
+    tune_session(spark)
+    d = _stage_doc_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_dsir_{_uuid.uuid4().hex[:8]}"
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        feats = dsir_feats(batch_df.select("doc_id", "source", "text"))
+        feats.write.mode("overwrite").parquet(f"{base}/feats/batch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out, _ = tracked_local_checkpoint(
+            dsir_from_feats(spark.read.parquet(f"{base}/feats/batch=*")),
+            register=True,
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
