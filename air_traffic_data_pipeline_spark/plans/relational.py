@@ -9436,6 +9436,112 @@ FROM per
 """
 
 
+
+
+# --- Holt linear forecasting (round 12) ---------------------------------------
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_H = 7  # forecast horizon (days)
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) forecasting over the daily
+    order-revenue series — the FORECASTING rung of the time-series
+    family (seasonal_decompose explains the past; this extrapolates):
+    one pass of the standard recursion L_t = a*y_t + (1-a)(L+B),
+    B_t = b*(L_t - L) + (1-b)B, initialized at the first observation
+    with zero trend (stated choice), then y-hat(T+h) = L + h*B for
+    h = 1..HOLT_H.
+
+    Determinism: the daily series is the exact BIGINT cent aggregate
+    (daily_revenue_cents); the recursion is a dn-sorted sequential fold
+    where both engines evaluate the SAME double expressions in the same
+    order (list_reduce's first-element-as-init semantics emulated in
+    Spark via element_at + slice); outputs round to 6dp at the boundary.
+    Scale: the fold runs over the CALENDAR-bounded daily frame (~2.4k
+    rows for a 7-year lake at any corpus scale) — one map-side-combining
+    pass over orders is the only data-sized work."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(F.struct("dn", "cents")))
+    ys = F.transform(
+        arr,
+        lambda e: F.struct(
+            e["cents"].cast("double").alias("level"),
+            F.lit(0.0).alias("trend"),
+        ),
+    )
+
+    def combine(acc: Column, x: Column) -> Column:
+        lp = F.lit(HOLT_ALPHA) * x["level"] + F.lit(1.0 - HOLT_ALPHA) * (
+            acc["level"] + acc["trend"]
+        )
+        return F.struct(
+            lp.alias("level"),
+            (
+                F.lit(HOLT_BETA) * (lp - acc["level"])
+                + F.lit(1.0 - HOLT_BETA) * acc["trend"]
+            ).alias("trend"),
+        )
+
+    fitted = F.aggregate(
+        F.slice(ys, 2, F.size(ys) - 1), F.element_at(ys, 1), combine
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        fitted.alias("st"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(HOLT_H))).alias("h")
+    base = agg.select(
+        "n_days",
+        F.col("st.level").alias("lv"),
+        F.col("st.trend").alias("tr"),
+        h,
+    )
+    return base.select(
+        "n_days",
+        F.round("lv", 6).alias("level"),
+        F.round("tr", 6).alias("trend"),
+        F.col("h").cast("int").alias("h"),
+        F.round(F.col("lv") + F.col("h").cast("double") * F.col("tr"), 6).alias(
+            "forecast"
+        ),
+    )
+
+
+def _holt_sql() -> str:
+    # DuckDB 1.0.0's list_reduce mis-evaluates MULTI-FIELD STRUCT
+    # accumulators (fields desynchronize across steps — verified with a
+    # history-logging trace), so the oracle carries the (level, trend)
+    # state as a 2-ELEMENT LIST, which folds correctly. Spark's
+    # F.aggregate struct accumulator is unaffected.
+    a, b = dlit(HOLT_ALPHA), dlit(HOLT_BETA)
+    oma, omb = dlit(1.0 - HOLT_ALPHA), dlit(1.0 - HOLT_BETA)
+    lp = f"({a} * x[1] + {oma} * (acc[1] + acc[2]))"
+    return f"""
+WITH {_DAILY_SQL},
+ser AS (
+  SELECT list_transform(list(struct_pack(dn := dn, cents := cents)
+                             ORDER BY dn),
+                        e -> [CAST(e.cents AS DOUBLE), CAST(0 AS DOUBLE)])
+           AS ys,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily),
+fit AS (
+  SELECT n_days,
+         list_reduce(ys, (acc, x) -> [
+             {lp},
+             {b} * ({lp} - acc[1]) + {omb} * acc[2]]) AS st
+  FROM ser)
+SELECT n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       CAST(h AS INTEGER) AS h,
+       round(st[1] + CAST(h AS DOUBLE) * st[2], 6) AS forecast
+FROM fit, LATERAL (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -9573,6 +9679,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_fs_record_linkage", fs_record_linkage, _fs_linkage_sql()),
     ("rel_jaro_winkler_match", jaro_winkler_match, _JW_MATCH_SQL),
     ("rel_t_closeness", t_closeness, T_CLOSENESS_SQL),
+    ("rel_holt_forecast", holt_forecast, _holt_sql()),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
     ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),

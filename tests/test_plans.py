@@ -2332,3 +2332,31 @@ def test_t_closeness_matches_independent_emd(spark):
         assert rows[key].n == n
         assert rows[key].t_closeness == round(t, 6), (key, t)
         assert rows[key].t_violation == (1 if t > 0.2 else 0)
+
+
+def test_holt_forecast_matches_python_recursion(spark):
+    """Holt linear forecasting equals the recursion run independently in
+    Python over the exact daily cent series: same init (first obs, zero
+    trend), same alpha/beta, forecasts level + h*trend for h = 1..7."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_H,
+        daily_revenue_cents,
+        holt_forecast,
+    )
+
+    daily = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, SF).collect()
+    )
+    lv, tr = float(daily[0][1]), 0.0
+    for _dn, c in daily[1:]:
+        lp = HOLT_ALPHA * float(c) + (1.0 - HOLT_ALPHA) * (lv + tr)
+        tr = HOLT_BETA * (lp - lv) + (1.0 - HOLT_BETA) * tr
+        lv = lp
+    rows = holt_forecast(spark, SF).collect()
+    assert len(rows) == HOLT_H
+    for r in sorted(rows, key=lambda r: r.h):
+        assert r.n_days == len(daily)
+        assert r.level == round(lv, 6) and r.trend == round(tr, 6)
+        assert r.forecast == round(lv + r.h * tr, 6)
