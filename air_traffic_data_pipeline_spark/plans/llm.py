@@ -3117,6 +3117,111 @@ DSIR_SEL_PCT = 30  # token budget: top-weighted docs up to 30% of corpus mass
 DSIR_SEL_BUCKET = 100_000  # micro-weight band width for the two-level prefix
 
 
+
+
+DSIR_WIDTHS = (256, 1024)  # audited widths
+DSIR_REF_B = 4096  # the reference width the audit compares against
+
+
+def dsir_width_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashing-WIDTH stability audit — the blocking-audit
+    discipline applied to importance estimation: how much do the weights
+    and the kept set move when the hashed feature space shrinks from a
+    DSIR_REF_B=4096-bucket reference to 1024 or 256 buckets? Narrower
+    spaces collide more bigrams, blurring the target/raw contrast — this
+    query puts numbers on that (the "is B big enough?" question a 100 TB
+    DSIR deployment asks before committing to a width). Per width:
+    kept-flag agreement count, kept-set Jaccard vs the reference, and
+    the mean |weight delta| — all exact integers until one divide per
+    metric. Runs the production kernels (dsir_feats/dsir_from_feats) at
+    each width; nothing is reimplemented."""
+    from .tables import fan_out
+
+    docs = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+    def wq(b: int) -> DataFrame:
+        return dsir_from_feats(dsir_feats(docs, b), b).select(
+            "doc_id",
+            F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
+            "kept",
+        )
+
+    ref = wq(DSIR_REF_B).select(
+        "doc_id", F.col("wq").alias("wq_ref"), F.col("kept").alias("kept_ref")
+    )
+    outs = []
+    for b in DSIR_WIDTHS:
+        j = wq(b).join(ref, "doc_id")
+        inter = F.sum(
+            ((F.col("kept") == 1) & (F.col("kept_ref") == 1)).cast("bigint")
+        )
+        union = F.sum(
+            ((F.col("kept") == 1) | (F.col("kept_ref") == 1)).cast("bigint")
+        )
+        agg = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("kept") == F.col("kept_ref")).cast("bigint"))
+            .cast("bigint")
+            .alias("kept_agree"),
+            inter.cast("bigint").alias("i"),
+            union.cast("bigint").alias("u"),
+            F.sum(F.abs(F.col("wq") - F.col("wq_ref")))
+            .cast("bigint")
+            .alias("adw"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(b).cast("int").alias("width"),
+                "n_docs",
+                "kept_agree",
+                F.round(
+                    F.when(F.col("u") == 0, F.lit(0.0)).otherwise(
+                        F.col("i").cast("double") / F.col("u").cast("double")
+                    ),
+                    6,
+                ).alias("kept_jaccard"),
+                F.round(
+                    F.col("adw").cast("double")
+                    / (F.col("n_docs").cast("double") * F.lit(1e6)),
+                    6,
+                ).alias("mean_abs_dw"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _dsir_width_sql() -> str:
+    parts = []
+    for b in DSIR_WIDTHS:
+        parts.append(
+            f"""
+SELECT CAST({b} AS INTEGER) AS width,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN w.kept = r.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_agree,
+       round(CASE WHEN sum(CASE WHEN w.kept = 1 OR r.kept = 1 THEN 1
+                               ELSE 0 END) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(sum(CASE WHEN w.kept = 1 AND r.kept = 1 THEN 1
+                               ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN w.kept = 1 OR r.kept = 1 THEN 1
+                                 ELSE 0 END) AS DOUBLE) END, 6)
+         AS kept_jaccard,
+       round(CAST(sum(abs(w.wq - r.wq)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(1e6 AS DOUBLE)), 6)
+         AS mean_abs_dw
+FROM (SELECT doc_id, CAST(round(weight * 1e6) AS BIGINT) AS wq, kept
+      FROM ({_dsir_sql(b)}) x) w
+JOIN (SELECT doc_id, CAST(round(weight * 1e6) AS BIGINT) AS wq, kept
+      FROM ({_dsir_sql(DSIR_REF_B)}) y) r USING (doc_id)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR fit -> APPLY loop (the isotonic_apply discipline): rank
     every document by its importance weight and greedily select docs in
@@ -10978,18 +11083,20 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_from_feats(dsir_feats(fan_out(docs)))
 
 
-def dsir_feats(d: DataFrame) -> DataFrame:
+def dsir_feats(d: DataFrame, n_buckets: int = DSIR_B) -> DataFrame:
     """Per-doc hashed-bigram feature counts (doc_id, source, b, c) — the
     DISTRIBUTIVE partial the streaming mirror lands per micro-batch: a
     document lives wholly in one batch, so merged partials equal the
-    one-shot feature table row-for-row (exact integers)."""
+    one-shot feature table row-for-row (exact integers). ``n_buckets``
+    defaults preserve the registered query; the width-stability audit
+    passes other values."""
     pairs = lm_bigram_pairs(d.select("doc_id", "text"))
     feats = (
         pairs.select(
             "doc_id",
-            (_hex4_to_int(F.md5(F.concat_ws(" ", "w1", "w2"))) % DSIR_B).alias(
-                "b"
-            ),
+            (
+                _hex4_to_int(F.md5(F.concat_ws(" ", "w1", "w2"))) % n_buckets
+            ).alias("b"),
         )
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -10997,7 +11104,7 @@ def dsir_feats(d: DataFrame) -> DataFrame:
     return feats.join(d.select("doc_id", "source"), "doc_id")
 
 
-def dsir_from_feats(feats: DataFrame) -> DataFrame:
+def dsir_from_feats(feats: DataFrame, n_buckets: int = DSIR_B) -> DataFrame:
     """Weights from merged feature partials — shared by the batch query
     and the streaming mirror (the nb_partials posture: emission reruns
     this kernel over COUNT ROWS, never raw text, because BOTH bucket
@@ -11019,10 +11126,10 @@ def dsir_from_feats(feats: DataFrame) -> DataFrame:
     )
     lr = F.log(
         (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.col("n_t") + F.lit(DSIR_B)).cast("double")
+        / (F.col("n_t") + F.lit(n_buckets)).cast("double")
     ) - F.log(
         (F.col("c_r") + F.lit(1)).cast("double")
-        / (F.col("n_r") + F.lit(DSIR_B)).cast("double")
+        / (F.col("n_r") + F.lit(n_buckets)).cast("double")
     )
     lrt = (
         raw.join(tgt, "b", "left")
@@ -11059,11 +11166,11 @@ def dsir_from_feats(feats: DataFrame) -> DataFrame:
     )
 
 
-def _dsir_sql() -> str:
+def _dsir_sql(n_buckets: int = DSIR_B) -> str:
     return f"""
 WITH {_LM_BASE_SQL},
 feats AS (
-  SELECT doc_id, {_hex4_to_int_sql("md5(w1 || ' ' || w2)")} % {DSIR_B} AS b,
+  SELECT doc_id, {_hex4_to_int_sql("md5(w1 || ' ' || w2)")} % {n_buckets} AS b,
          CAST(count(*) AS BIGINT) AS c
   FROM bgp GROUP BY 1, 2),
 raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS c_r FROM feats GROUP BY 1),
@@ -11077,9 +11184,9 @@ tot AS (
 lrt AS (
   SELECT r.b,
          ln(CAST(coalesce(t.c_t, 0) + 1 AS DOUBLE)
-            / CAST(n_t + {DSIR_B} AS DOUBLE))
+            / CAST(n_t + {n_buckets} AS DOUBLE))
          - ln(CAST(r.c_r + 1 AS DOUBLE)
-              / CAST(n_r + {DSIR_B} AS DOUBLE)) AS lr
+              / CAST(n_r + {n_buckets} AS DOUBLE)) AS lr
   FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot),
 per AS (
   SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
@@ -14531,6 +14638,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_jpeg_color_decode", jpeg_color_decode, _jpeg_color_decode_sql()),
     ("llm_dsir_weights", dsir_weights, _dsir_sql()),
     ("llm_dsir_budget_select", dsir_budget_select, _dsir_select_sql()),
+    ("llm_dsir_width_eval", dsir_width_eval, _dsir_width_sql()),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),

@@ -5027,3 +5027,19 @@ def test_dsir_budget_select_greedy_prefix_exact(spark):
     got = {r.source: [r.n_docs, r.n_sel, r.tok_total, r.tok_sel] for r in rows}
     assert got == per
     assert sum(v[3] for v in per.values()) <= budget
+
+
+def test_dsir_width_eval_stability_is_monotone(spark):
+    """The width audit's defining property: the wider hashed space is
+    closer to the 4096-bucket reference than the narrower one — kept-set
+    Jaccard rises and the mean |weight delta| falls from width 256 to
+    1024; agreement counts are bounded by the doc count."""
+    from air_traffic_data_pipeline_spark.plans.llm import dsir_width_eval
+
+    rows = {r.width: r for r in dsir_width_eval(spark, SF).collect()}
+    assert set(rows) == {256, 1024}
+    for r in rows.values():
+        assert 0 <= r.kept_agree <= r.n_docs
+        assert 0.0 <= r.kept_jaccard <= 1.0 and r.mean_abs_dw >= 0.0
+    assert rows[1024].kept_jaccard >= rows[256].kept_jaccard
+    assert rows[1024].mean_abs_dw <= rows[256].mean_abs_dw
