@@ -386,6 +386,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_skyline_frontier": (EK, "stream_incremental_topk"),
     "rel_ewma_per_user": (EK, "stream_incremental_seasonal"),
     "rel_holt_forecast": (EK, "stream_incremental_seasonal"),
+    "rel_holt_winters": (EK, "stream_incremental_seasonal"),
     "rel_ewma_anomaly_flags": (EK, "stream_incremental_seasonal"),
     "rel_decayed_trending": (EK, "stream_incremental_seasonal"),
     "rel_time_weighted_avg": (EK, "stream_incremental_seasonal"),

@@ -9542,6 +9542,139 @@ FROM fit, LATERAL (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g
 """
 
 
+
+
+HW_ALPHA = 0.5  # Holt-Winters level smoothing
+HW_BETA = 0.3  # trend smoothing
+HW_GAMMA = 0.4  # seasonal smoothing
+HW_PERIOD = 7  # weekly seasonality over the daily series
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE forecasting over the daily revenue series —
+    the seasonal extension of rel_holt_forecast: the standard triple
+    recursion L_t = a(y_t - S_slot) + (1-a)(L+B), B_t = b(L_t - L) +
+    (1-b)B, S_slot_t = g(y_t - L_t) + (1-g)S_slot with weekly slots
+    (slot = dn % 7 — the day number IS the seasonal index, so calendar
+    gaps stay honest), initialized L = y_1, B = 0, S = zeros (stated
+    simple choice), forecasting y-hat(T+h) = L + hB + S_((dn_T + h) % 7)
+    for h = 1..7.
+
+    Determinism: the dn-sorted fold carries (level, trend, seasonal[7])
+    — a struct in Spark, a 9-element LIST in the DuckDB oracle (DuckDB
+    1.0.0's list_reduce mis-evaluates multi-field STRUCT accumulators;
+    see rel_holt_forecast) — with the init state PREPENDED so there is
+    no in-fold special case; every float op appears identically in both
+    engines and outputs round to 6dp at the boundary. Scale: identical
+    to rel_holt_forecast — the fold runs over the calendar-bounded daily
+    frame."""
+    daily = daily_revenue_cents(spark, sf_dir)
+    ag = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("dn", "cents"))).alias("arr"),
+    )
+    # elements and state are plain DOUBLE ARRAYS ([y, slot] and
+    # [L, B, s0..s6]) rather than structs: Spark drops struct field
+    # aliases inside nested higher-order lambdas here, and the array
+    # form also mirrors the DuckDB oracle exactly
+    elems = F.transform(
+        F.col("arr"),
+        lambda e: F.array(
+            e["cents"].cast("double"),
+            (e["dn"] % HW_PERIOD).cast("double"),
+        ),
+    )
+    init = F.concat(
+        F.array(F.element_at(F.element_at(elems, 1), 1), F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), HW_PERIOD),
+    )
+
+    def combine(acc: Column, x: Column) -> Column:
+        y = F.element_at(x, 1)
+        slot = F.element_at(x, 2)
+        s_slot = F.element_at(acc, (F.lit(3) + slot.cast("int")).cast("int"))
+        lp = F.lit(HW_ALPHA) * (y - s_slot) + F.lit(1.0 - HW_ALPHA) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        bp = (
+            F.lit(HW_BETA) * (lp - F.element_at(acc, 1))
+            + F.lit(1.0 - HW_BETA) * F.element_at(acc, 2)
+        )
+        seas = F.transform(
+            F.sequence(F.lit(0), F.lit(HW_PERIOD - 1)),
+            lambda i: F.when(
+                i.cast("double") == slot,
+                F.lit(HW_GAMMA) * (y - lp) + F.lit(1.0 - HW_GAMMA) * s_slot,
+            ).otherwise(F.element_at(acc, (F.lit(3) + i).cast("int"))),
+        )
+        return F.concat(F.array(lp, bp), seas)
+
+    st = F.aggregate(F.slice(elems, 2, F.size(elems) - 1), init, combine)
+    base = ag.select(
+        "n_days",
+        F.element_at(F.col("arr"), F.size("arr"))["dn"].alias("last_dn"),
+        st.alias("st"),
+        F.explode(F.sequence(F.lit(1), F.lit(HOLT_H))).alias("h"),
+    )
+    slot_h = ((F.col("last_dn") + F.col("h")) % HW_PERIOD).cast("int")
+    return base.select(
+        "n_days",
+        F.round(F.element_at(F.col("st"), 1), 6).alias("level"),
+        F.round(F.element_at(F.col("st"), 2), 6).alias("trend"),
+        F.col("h").cast("int").alias("h"),
+        F.round(
+            F.element_at(F.col("st"), 1)
+            + F.col("h").cast("double") * F.element_at(F.col("st"), 2)
+            + F.element_at(F.col("st"), (F.lit(3) + slot_h).cast("int")),
+            6,
+        ).alias("forecast"),
+    )
+
+
+def _holt_winters_sql() -> str:
+    a, b, g = dlit(HW_ALPHA), dlit(HW_BETA), dlit(HW_GAMMA)
+    oma, omb, omg = (
+        dlit(1.0 - HW_ALPHA),
+        dlit(1.0 - HW_BETA),
+        dlit(1.0 - HW_GAMMA),
+    )
+    sl = "acc[3 + CAST(x[2] AS INTEGER)]"
+    lp = f"({a} * (x[1] - {sl}) + {oma} * (acc[1] + acc[2]))"
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * HW_PERIOD)
+    return f"""
+WITH {_DAILY_SQL},
+ser AS (
+  SELECT list(struct_pack(dn := dn, cents := cents) ORDER BY dn) AS arr,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily),
+prep AS (
+  SELECT n_days, arr[len(arr)].dn AS last_dn,
+         list_transform(arr, e -> [CAST(e.cents AS DOUBLE),
+                                   CAST(e.dn % {HW_PERIOD} AS DOUBLE)]) AS ys
+  FROM ser),
+fit AS (
+  SELECT n_days, last_dn,
+         list_reduce(
+           list_prepend([ys[1][1], CAST(0 AS DOUBLE), {zeros}], ys[2:]),
+           (acc, x) -> [
+             {lp},
+             {b} * ({lp} - acc[1]) + {omb} * acc[2]]
+             || list_transform(range({HW_PERIOD}), i ->
+                  CASE WHEN CAST(i AS DOUBLE) = x[2]
+                       THEN {g} * (x[1] - {lp}) + {omg} * {sl}
+                       ELSE acc[3 + CAST(i AS INTEGER)] END)) AS st
+  FROM prep)
+SELECT n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       CAST(h AS INTEGER) AS h,
+       round(st[1] + CAST(h AS DOUBLE) * st[2]
+             + st[3 + CAST((last_dn + h) % {HW_PERIOD} AS INTEGER)], 6)
+         AS forecast
+FROM fit, LATERAL (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -9680,6 +9813,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_jaro_winkler_match", jaro_winkler_match, _JW_MATCH_SQL),
     ("rel_t_closeness", t_closeness, T_CLOSENESS_SQL),
     ("rel_holt_forecast", holt_forecast, _holt_sql()),
+    ("rel_holt_winters", holt_winters_forecast, _holt_winters_sql()),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),
     ("rel_gaps_islands", gaps_islands, GAPS_ISLANDS_SQL),
     ("rel_ewma_per_user", ewma_per_user, EWMA_SQL),

@@ -2360,3 +2360,39 @@ def test_holt_forecast_matches_python_recursion(spark):
         assert r.n_days == len(daily)
         assert r.level == round(lv, 6) and r.trend == round(tr, 6)
         assert r.forecast == round(lv + r.h * tr, 6)
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    """Holt-Winters additive forecasting equals the triple recursion run
+    independently in Python over the exact daily cent series: weekly
+    slot = dn % 7, init L = first obs / B = 0 / S = zeros, forecasts
+    L + h*B + S[(last_dn + h) % 7]."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        HOLT_H,
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+        daily_revenue_cents,
+        holt_winters_forecast,
+    )
+
+    daily = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, SF).collect()
+    )
+    lv, tr = float(daily[0][1]), 0.0
+    seas = [0.0] * HW_PERIOD
+    for dn, c in daily[1:]:
+        y, slot = float(c), dn % HW_PERIOD
+        lp = HW_ALPHA * (y - seas[slot]) + (1.0 - HW_ALPHA) * (lv + tr)
+        tr = HW_BETA * (lp - lv) + (1.0 - HW_BETA) * tr
+        seas[slot] = HW_GAMMA * (y - lp) + (1.0 - HW_GAMMA) * seas[slot]
+        lv = lp
+    last_dn = daily[-1][0]
+    rows = holt_winters_forecast(spark, SF).collect()
+    assert len(rows) == HOLT_H
+    for r in sorted(rows, key=lambda r: r.h):
+        assert r.n_days == len(daily)
+        assert r.level == round(lv, 6) and r.trend == round(tr, 6)
+        expect = lv + r.h * tr + seas[(last_dn + r.h) % HW_PERIOD]
+        assert r.forecast == round(expect, 6), (r.h, r.forecast, expect)
