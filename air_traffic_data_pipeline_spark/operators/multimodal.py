@@ -1231,9 +1231,22 @@ def _jpeg_parse(raw: bytes):
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # 0xFF fill bytes are legal padding before any marker — skip them
+        # rather than reading a bogus segment length.
+        while raw[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(raw):
+                raise ValueError("malformed JPEG: truncated marker stream")
         mk = raw[pos + 1]
         if mk == 0xD9:
             raise ValueError("EOI before SOS")
+        if mk == 0x01 or 0xD0 <= mk <= 0xD7:
+            # TEM / RSTn are standalone (length-less) markers; legal in a
+            # foreign stream but carrying no segment — reject explicitly
+            # instead of mis-walking two garbage length bytes.
+            raise ValueError(
+                f"standalone marker 0x{mk:02x} before SOS unsupported"
+            )
         (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         data = raw[pos + 4 : pos + 2 + ln]
         pos += 2 + ln

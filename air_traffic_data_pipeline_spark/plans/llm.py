@@ -3224,11 +3224,14 @@ JOIN (SELECT doc_id, CAST(round(weight * 1e6) AS BIGINT) AS wq, kept
 
 def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR fit -> APPLY loop (the isotonic_apply discipline): rank
-    every document by its importance weight and greedily select docs in
-    weight order until the token budget — DSIR_SEL_PCT percent of the
-    corpus token mass — is exhausted (a doc is selected iff it FITS
-    entirely). Emits per-source selection stats: the artifact a curation
-    run reads to see which sources the target-domain weighting favors.
+    every document by its importance weight and select docs in weight
+    order under the token budget — DSIR_SEL_PCT percent of the corpus
+    token mass — with strict PREFIX-SUM semantics: a doc is selected iff
+    the cumulative token sum up to and INCLUDING it fits the budget
+    (a skipped doc's tokens still consume budget, so later smaller docs
+    do not back-fill; matches the oracle window exactly). Emits
+    per-source selection stats: the artifact a curation run reads to see
+    which sources the target-domain weighting favors.
 
     Determinism: weights quantize to 1e6-unit BIGINTs (they are already
     6dp-rounded), the budget is exact integer arithmetic
@@ -3247,7 +3250,7 @@ def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
     )
     tot = w.agg(
-        ((F.sum("n_tok") * F.lit(DSIR_SEL_PCT)) / F.lit(100))
+        F.expr(f"(sum(n_tok) * {DSIR_SEL_PCT}) div 100")
         .cast("bigint")
         .alias("budget")
     )

@@ -4893,6 +4893,21 @@ def test_jpeg_driver_images_closed_form_and_rejections(spark):
     with pytest.raises(Exception, match="16-bit"):
         decode_jpeg_meta(dfb).collect()
 
+    # 0xFF fill bytes before a marker are legal padding: skipped, not
+    # read as a bogus segment length (foreign-JPEG robustness)
+    from air_traffic_data_pipeline_spark.operators.multimodal import _jpeg_parse
+
+    k = raw.find(b"\xff\xdb")
+    padded = raw[:k] + b"\xff\xff\xff" + raw[k:]
+    w, h, planes = _jpeg_parse(padded)
+    assert (w, h, len(planes)) == (wb * 8, hb * 8, 1)
+
+    # standalone (length-less) markers before SOS are rejected with a
+    # clear error instead of mis-walking two garbage bytes as a length
+    for mk in (0x01, 0xD0, 0xD7):  # TEM, RST0, RST7
+        with pytest.raises(ValueError, match="standalone marker"):
+            _jpeg_parse(raw[:k] + bytes([0xFF, mk]) + raw[k:])
+
 
 def test_jpeg_color_codec_generic_and_driver_paths(spark):
     """The 4:2:0 color layer is the real interleaved-MCU spec: random
