@@ -244,6 +244,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_subquery_scalar": (PC, "stream_incremental_rfm"),
     "rel_k_anonymity": (PC, "stream_incremental_rfm"),
     "rel_t_closeness": (PC, "stream_incremental_rfm"),
+    "rel_privacy_release_gate": (PC, "stream_incremental_rfm"),
     "rel_dp_noisy_counts": (PC, "stream_incremental_rfm"),
     "rel_explode_wordcount": (PC, "stream_incremental_gopher"),
     "llm_length_bucketing": (PC, "stream_incremental_gopher"),

@@ -9438,6 +9438,175 @@ FROM per
 
 
 
+# --- Privacy release gate (round 13) ------------------------------------------
+
+
+def privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy RELEASE-DECISION query — the composition that closes
+    the privacy loop the way llm_curation_pipeline closed curation: per
+    quasi-identifier class (event type, hour-of-day) ALL THREE rungs of
+    the ladder in one row with a releasable verdict:
+
+    - k rung: k_min = the smallest (type, hour, value-band) equivalence
+      class inside the group — the group passes iff NONE of its
+      sub-classes violates rel_k_anonymity's K (a group is only as
+      anonymous as its most identifiable band);
+    - l rung: distinct sensitive bands >= L (rel_l_diversity);
+    - t rung: exact-integer-EMD t-closeness <= T (rel_t_closeness);
+    - releasable = k_ok AND l_ok AND t_ok.
+
+    Exactness: everything up to the single final division is BIGINT
+    (epoch-nano hour, floor band, counts, the N*cumc - n*cumC EMD
+    numerator), so both engines emit identical doubles and identical
+    verdict bits. Scale: ONE map-side-combining aggregate over events
+    builds gb=(type, hour, band, c); every other table (global band
+    CDF, per-group rollup, EMD cells) derives from gb and is bounded by
+    the QI domain x band alphabet, never event-sized; the global band
+    table broadcasts."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        (F.expr("(ts div 1000000000) div 3600") % 24).alias("hour"),
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("band"),
+    )
+    gb = base.groupBy("event_type", "hour", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = gb.groupBy("band").agg(F.sum("c").cast("bigint").alias("cg"))
+    wg = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    glob_cum = glob.select(
+        "band",
+        F.sum("cg").over(wg).cast("bigint").alias("cum_cg"),
+    ).crossJoin(
+        glob.agg(
+            F.sum("cg").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("m_bands"),
+        )
+    )
+    groups = gb.groupBy("event_type", "hour").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.min("c").cast("bigint").alias("k_min"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+    )
+    cells = (
+        groups.crossJoin(F.broadcast(glob_cum))
+        .join(gb, ["event_type", "hour", "band"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "band",
+            "n",
+            "k_min",
+            "l_distinct",
+            "cum_cg",
+            "n_total",
+            "m_bands",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wloc = (
+        W.partitionBy("event_type", "hour")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    diff = (
+        F.col("n_total") * F.sum("c").over(wloc) - F.col("n") * F.col("cum_cg")
+    ).cast("bigint")
+    per = (
+        cells.select(
+            "event_type", "hour", "n", "k_min", "l_distinct",
+            "n_total", "m_bands", F.abs(diff).alias("ad"),
+        )
+        .groupBy(
+            "event_type", "hour", "n", "k_min", "l_distinct",
+            "n_total", "m_bands",
+        )
+        .agg(F.sum("ad").cast("bigint").alias("num"))
+    )
+    t = F.when(F.col("m_bands") <= 1, F.lit(0.0)).otherwise(
+        F.col("num").cast("double")
+        / (F.col("n") * F.col("n_total") * (F.col("m_bands") - 1)).cast("double")
+    )
+    k_ok = (F.col("k_min") >= F.lit(K_ANON_THRESHOLD)).cast("int")
+    l_ok = (F.col("l_distinct") >= F.lit(L_DIVERSITY)).cast("int")
+    t_ok = (t <= F.lit(T_CLOSE_THRESHOLD)).cast("int")
+    return per.select(
+        "event_type",
+        "hour",
+        "n",
+        "k_min",
+        "l_distinct",
+        F.round(t, 6).alias("t_closeness"),
+        k_ok.alias("k_ok"),
+        l_ok.alias("l_ok"),
+        t_ok.alias("t_ok"),
+        (k_ok * l_ok * t_ok).cast("int").alias("releasable"),
+    )
+
+
+PRIVACY_GATE_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+         CAST(floor(value / 25.0) AS BIGINT) AS band
+  FROM events),
+gb AS (
+  SELECT event_type, hour, band, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3),
+gall AS (
+  SELECT band, CAST(sum(c) AS BIGINT) AS cg FROM gb GROUP BY 1),
+gall_cum AS (
+  SELECT band, CAST(sum(cg) OVER (ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cg,
+         (SELECT CAST(sum(cg) AS BIGINT) FROM gall) AS n_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM gall) AS m_bands
+  FROM gall),
+groups AS (
+  SELECT event_type, hour, CAST(sum(c) AS BIGINT) AS n,
+         CAST(min(c) AS BIGINT) AS k_min,
+         CAST(count(*) AS BIGINT) AS l_distinct
+  FROM gb GROUP BY 1, 2),
+cells AS (
+  SELECT g.event_type, g.hour, gc.band, g.n, g.k_min, g.l_distinct,
+         gc.cum_cg, gc.n_total, gc.m_bands,
+         CAST(coalesce(b.c, 0) AS BIGINT) AS c
+  FROM groups g CROSS JOIN gall_cum gc
+  LEFT JOIN gb b ON b.event_type = g.event_type AND b.hour = g.hour
+                AND b.band = gc.band),
+per AS (
+  SELECT event_type, hour, n, k_min, l_distinct, n_total, m_bands,
+         CAST(sum(abs(n_total * cumc - n * cum_cg)) AS BIGINT) AS num
+  FROM (
+    SELECT event_type, hour, band, n, k_min, l_distinct, cum_cg, n_total,
+           m_bands,
+           CAST(sum(c) OVER (PARTITION BY event_type, hour ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumc
+    FROM cells) x
+  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+per2 AS (
+  SELECT event_type, hour, n, k_min, l_distinct,
+         CASE WHEN m_bands <= 1 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(num AS DOUBLE)
+                   / CAST(n * n_total * (m_bands - 1) AS DOUBLE) END AS t
+  FROM per)
+SELECT event_type, hour, n, k_min, l_distinct,
+       round(t, 6) AS t_closeness,
+       CAST(CASE WHEN k_min >= {K_ANON_THRESHOLD} THEN 1 ELSE 0 END
+            AS INTEGER) AS k_ok,
+       CAST(CASE WHEN l_distinct >= {L_DIVERSITY} THEN 1 ELSE 0 END
+            AS INTEGER) AS l_ok,
+       CAST(CASE WHEN t <= {T_CLOSE_THRESHOLD} THEN 1 ELSE 0 END
+            AS INTEGER) AS t_ok,
+       CAST(CASE WHEN k_min >= {K_ANON_THRESHOLD}
+                  AND l_distinct >= {L_DIVERSITY}
+                  AND t <= {T_CLOSE_THRESHOLD} THEN 1 ELSE 0 END
+            AS INTEGER) AS releasable
+FROM per2
+"""
+
+
 # --- Holt linear forecasting (round 12) ---------------------------------------
 
 HOLT_ALPHA = 0.5  # level smoothing
@@ -9812,6 +9981,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_fs_record_linkage", fs_record_linkage, _fs_linkage_sql()),
     ("rel_jaro_winkler_match", jaro_winkler_match, _JW_MATCH_SQL),
     ("rel_t_closeness", t_closeness, T_CLOSENESS_SQL),
+    ("rel_privacy_release_gate", privacy_release_gate, PRIVACY_GATE_SQL),
     ("rel_holt_forecast", holt_forecast, _holt_sql()),
     ("rel_holt_winters", holt_winters_forecast, _holt_winters_sql()),
     ("rel_tseries_motif", tseries_motif, TSERIES_MOTIF_SQL),

@@ -700,3 +700,21 @@ def test_round12_ops_empty_inputs(spark, tmp_path):
 
     jw = relational.jaro_winkler_match(spark, sf)
     assert jw.count() == 0 and "jw_sim" in jw.columns
+
+
+def test_round13_ops_empty_inputs(spark, tmp_path):
+    """Round-13 ops over empty lakes: the privacy release gate and the
+    DSIR width-overlap audit return typed empty frames on zero events /
+    documents instead of crashing."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    for t in ("events", "documents"):
+        load(spark, SF, t).filter(F.lit(False)).write.parquet(
+            f"{sf}/{t}.parquet"
+        )
+
+    pg = relational.privacy_release_gate(spark, sf)
+    assert pg.count() == 0
+    assert {"k_ok", "l_ok", "t_ok", "releasable"} <= set(pg.columns)

@@ -2396,3 +2396,44 @@ def test_holt_winters_matches_python_recursion(spark):
         assert r.level == round(lv, 6) and r.trend == round(tr, 6)
         expect = lv + r.h * tr + seas[(last_dn + r.h) % HW_PERIOD]
         assert r.forecast == round(expect, 6), (r.h, r.forecast, expect)
+
+
+def test_privacy_release_gate_composes_the_three_audits(spark):
+    """The release gate's per-group verdicts must agree with the three
+    standalone audits: k_ok iff NO (type, hour, band) sub-class violates
+    rel_k_anonymity's K, l_ok/t_ok iff the group passes rel_l_diversity /
+    rel_t_closeness, and releasable is their conjunction."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        k_anonymity,
+        l_diversity,
+        privacy_release_gate,
+        t_closeness,
+    )
+
+    gate = {
+        (r.event_type, r.hour): r
+        for r in privacy_release_gate(spark, SF).collect()
+    }
+    # k rung: a group passes iff none of its band sub-classes violates K
+    k_viol = {}
+    for r in k_anonymity(spark, SF).collect():
+        key = (r.event_type, r.hour)
+        k_viol[key] = max(k_viol.get(key, 0), r.k_violation)
+    l_rows = {
+        (r.event_type, r.hour): r for r in l_diversity(spark, SF).collect()
+    }
+    t_rows = {
+        (r.event_type, r.hour): r for r in t_closeness(spark, SF).collect()
+    }
+    assert set(gate) == set(k_viol) == set(l_rows) == set(t_rows)
+    for key, g in gate.items():
+        assert g.k_ok == (1 - k_viol[key]), key
+        assert g.l_ok == (1 - l_rows[key].l_violation), key
+        assert g.t_ok == (1 - t_rows[key].t_violation), key
+        assert g.l_distinct == l_rows[key].l_distinct, key
+        assert g.t_closeness == t_rows[key].t_closeness, key
+        assert g.n == l_rows[key].n, key
+        assert g.releasable == g.k_ok * g.l_ok * g.t_ok, key
+    # the gate must actually discriminate on this lake
+    vals = {g.releasable for g in gate.values()}
+    assert vals <= {0, 1} and len(gate) > 0
