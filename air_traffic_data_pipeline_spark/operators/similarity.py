@@ -272,28 +272,91 @@ def banded_pairs(v: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def nsw_prep(vectors: DataFrame, dim: int) -> DataFrame:
+    """Prepare ``(vec_id, vec, bucket, nv)`` for the NSW builder — the
+    stateless "quantizer" (deterministic LSH planes + norm) shared by the
+    one-shot build and the streaming incremental ingest mirror, so both
+    assign bitwise-identical buckets."""
+    return (
+        vectors.select(
+            F.col("vec_id"), to_double(F.col("embedding")).alias("vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec"), dim))
+        .withColumn("nv", norm(F.col("vec")))
+    )
+
+
+def banded_pairs_between(src_v: DataFrame, dst_v: DataFrame) -> DataFrame:
+    """``banded_pairs`` generalized to two frames: directed candidate
+    pairs (a in ``src_v``, b in ``dst_v``) meeting through the multi-probe
+    bucket relation, scored by the shared rounded cosine. The probe set
+    explodes on the SRC side only and the dst side carries exactly one
+    bucket, so a given (a, b) meets through at most one probe — no
+    post-join dedup. This is how the streaming ANN-ingest mirror contacts
+    only (batch x store) per micro-batch instead of (store x store)."""
+    src = src_v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nv").alias("na"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    dst = dst_v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nv").alias("nb"),
+        "bucket",
+    )
+    cand = src.join(dst, "bucket").filter(F.col("a_id") != F.col("b_id"))
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+    )
+
+
+def fwd_top_m(pairs: DataFrame) -> DataFrame:
+    """Top-``NSW_M_OUT`` directed edges per src over candidate pairs
+    ``(src, dst, e_sim)`` — deterministic (e_sim DESC, dst) cap. Top-K is
+    merge-associative, so the incremental mirror maintains this exact
+    state per micro-batch: topK(all) == topK(topK(prefix) ∪ new)."""
+    w_out = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= NSW_M_OUT)
+        .select("src", "dst", "e_sim")
+    )
+
+
 def nsw_edges(vectors: DataFrame, dim: int) -> DataFrame:
     """Bounded neighbor lists (src, dst, e_sim): multi-probe LSH candidate
     pairs (``banded_pairs``) -> exact-cosine top-``NSW_M_OUT`` per src ->
     symmetrize -> re-cap at ``NSW_M_DEG``. The edge list leaves as
     N * M_DEG rows of three scalars.
     """
-    v = vectors.select(
-        F.col("vec_id"), to_double(F.col("embedding")).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim)).withColumn(
-        "nv", norm(F.col("vec"))
-    )
+    v = nsw_prep(vectors, dim)
     scored = banded_pairs(v).select(
         F.col("a_id").alias("src"),
         F.col("b_id").alias("dst"),
         F.col("cos_sim").alias("e_sim"),
     )
-    w_out = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
-    fwd = (
-        scored.withColumn("rn", F.row_number().over(w_out))
-        .filter(F.col("rn") <= NSW_M_OUT)
-        .select("src", "dst", "e_sim")
-    )
+    return nsw_finish(fwd_top_m(scored), v)
+
+
+def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
+    """Symmetrize + degree-cap + NN-descent refinement over the forward
+    top-``NSW_M_OUT`` edge state and prepared vectors ``v`` — the
+    emission-time derivation shared by the one-shot build and the
+    streaming ingest mirror (whose per-batch state is exactly ``fwd``)."""
     # symmetrize: cosine is symmetric and rounded identically both ways, so
     # distinct() collapses a pair kept in both directions
     def _sym_cap(e: DataFrame) -> DataFrame:

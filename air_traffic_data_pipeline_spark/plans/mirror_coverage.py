@@ -28,6 +28,7 @@ from __future__ import annotations
 # insert-only sibling (the oracle restricts to surviving rows).
 MIRRORS: dict[str, str | None] = {
     "stream_incremental_acf": "rel_autocorrelation",
+    "stream_incremental_ann_ingest": None,
     "stream_incremental_bm25": "llm_bm25_topk",
     "stream_incremental_bootstrap": "rel_poisson_bootstrap_ci",
     "stream_incremental_burstiness": "llm_token_burstiness",
@@ -404,9 +405,9 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_asof_join": (EK, "stream_incremental_markov"),
     "rel_asof_join_forward": (EK, "stream_incremental_markov"),
     # --- ANN / retrieval query-time kernels -------------------------------
-    "llm_ann_hnsw_topk": (EK, "stream_incremental_semdedup"),
+    "llm_ann_hnsw_topk": (EK, "stream_incremental_ann_ingest"),
     "llm_ann_ivf_topk": (EK, "stream_incremental_semdedup"),
-    "llm_ann_nsw_topk": (EK, "stream_incremental_semdedup"),
+    "llm_ann_nsw_topk": (EK, "stream_incremental_ann_ingest"),
     "llm_cosine_topk": (EK, "stream_incremental_semdedup"),
     "llm_lsh_topk": (EK, "stream_incremental_semdedup"),
     "llm_lsh_topk_multiprobe": (EK, "stream_incremental_semdedup"),

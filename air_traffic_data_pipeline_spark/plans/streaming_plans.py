@@ -1204,6 +1204,28 @@ def _pipeline_v2_oracle_sql() -> str:
     return _pipeline_v2_sql()
 
 
+def stream_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_ann_ingest
+
+    return incremental_ann_ingest(spark, sf_dir)
+
+
+def _ann_ingest_oracle_sql() -> str:
+    """The maintained NSW graph must equal the one-shot build on the
+    union of all batches — the oracle is the same deterministic graph
+    CTE chain the ANN search queries replay, emitting the final
+    refined edge list (src, dst, e_sim)."""
+    from ..operators.similarity import NSW_NND_ROUNDS
+    from .llm import _NSW_WB_CTE, _nsw_graph_ctes
+
+    ctes = [_NSW_WB_CTE] + _nsw_graph_ctes("", "wb")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst, e_sim FROM e{NSW_NND_ROUNDS}"
+    )
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -1273,6 +1295,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_quantile_retract", stream_incremental_quantile_retract, _quantile_retract_oracle_sql()),
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
     ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),
+    ("stream_incremental_ann_ingest", stream_incremental_ann_ingest, _ann_ingest_oracle_sql()),
 ]
 
 if _tws_available():

@@ -2275,3 +2275,124 @@ def incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+def incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ANN-index (NSW graph) maintenance — bitwise
+    equal to the one-shot ``operators.similarity.nsw_edges`` on the union
+    of all batches (the DuckDB NSW graph CTE chain is the oracle) under
+    ANY arrival order.
+
+    The one large state the streaming surface never maintained (r12
+    verdict item 3): the navigable-small-world neighbor graph. The
+    "quantizer" is frozen by construction — the LSH probe planes are
+    deterministic and stateless (``nsw_prep``), so no setup pass. Each
+    micro-batch:
+
+    1. prepares ONLY its own vectors (bucket + norm) and lands them in
+       the accumulated vector store;
+    2. generates banded candidate pairs by joining the BATCH against the
+       store (never store x store): the directed pair (a, b) is created
+       exactly once globally, in the batch where its LATER member
+       arrives — new->any pairs come from the batch-side probe explode,
+       and old->new reverse edges are the mirrored candidates whose
+       source is NOT in the batch (an anti-join against the batch ids,
+       candidates-sized work);
+    3. merges them into the per-src top-``NSW_M_OUT`` forward-edge state
+       (degree-capped edge insertion). Top-K is merge-associative —
+       topK(all pairs) == topK(topK(prefix) ∪ new pairs) under the
+       deterministic (e_sim DESC, dst) order — so the maintained state
+       is bitwise the one-shot ``fwd`` table after every batch.
+
+    Emission runs the shared ``nsw_finish`` kernel (symmetrize +
+    degree-cap + NN-descent refinement) over the final forward state —
+    the same derivation the one-shot build applies to the same ``fwd``.
+
+    At 100 TB: per-batch contact is (batch x store) on the bucket
+    equi-key (the minhash banding shape), the forward state is N * M_OUT
+    rows of three scalars (compacted every batch, never reread raw
+    vectors), and emission's NN-descent is N * M_DEG^2 exact cosines —
+    linear in corpus size. Epoch-scoped overwrite = replay-idempotent:
+    re-running epoch e rebuilds vecs/batch=e and fwd/epoch=e from the
+    same inputs (state chains from the newest epoch BELOW e, never e
+    itself)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.similarity import (
+        banded_pairs_between,
+        fwd_top_m,
+        nsw_finish,
+        nsw_prep,
+    )
+    from ..plans.llm import EMB_DIM
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_emb_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_ann_{_uuid.uuid4().hex[:8]}"
+    vecs_dir = f"{base}/vecs"
+    fwd_dir = f"{base}/fwd"
+
+    def _fwd_epochs() -> list[int]:
+        if not os.path.isdir(fwd_dir):
+            return []
+        return sorted(
+            int(p.split("=", 1)[1])
+            for p in os.listdir(fwd_dir)
+            if p.startswith("epoch=")
+        )
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        prep = nsw_prep(batch_df, EMB_DIM).withColumn("ep", F.lit(epoch_id))
+        prep.write.mode("overwrite").parquet(f"{vecs_dir}/batch={epoch_id}")
+        store = spark.read.parquet(f"{vecs_dir}/batch=*")
+        batch_v = store.filter(F.col("ep") == epoch_id)
+        # new -> any (both directions of within-batch pairs arise here)
+        p_new = banded_pairs_between(batch_v, store)
+        # old -> new: mirror the candidates, drop mirrored within-batch
+        # pairs (already present both ways in p_new)
+        batch_ids = batch_v.select(F.col("vec_id").alias("a_id"))
+        p_old = p_new.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "cos_sim",
+        ).join(F.broadcast(batch_ids), "a_id", "left_anti")
+        directed = p_new.unionByName(p_old).select(
+            F.col("a_id").alias("src"),
+            F.col("b_id").alias("dst"),
+            F.col("cos_sim").alias("e_sim"),
+        )
+        prev_eps = [e for e in _fwd_epochs() if e < epoch_id]
+        if prev_eps:
+            prev = spark.read.parquet(f"{fwd_dir}/epoch={max(prev_eps)}")
+        else:
+            prev = spark.createDataFrame(
+                [], "src long, dst long, e_sim double"
+            )
+        merged = fwd_top_m(prev.unionByName(directed))
+        merged.write.mode("overwrite").parquet(f"{fwd_dir}/epoch={epoch_id}")
+
+    try:
+        src = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        eps = _fwd_epochs()
+        if not eps:
+            return spark.createDataFrame([], "src long, dst long, e_sim double")
+        fwd = spark.read.parquet(f"{fwd_dir}/epoch={max(eps)}")
+        v = nsw_prep(load(spark, sf_dir, "embeddings"), EMB_DIM)
+        out, _ = tracked_local_checkpoint(nsw_finish(fwd, v), register=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

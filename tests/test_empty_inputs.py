@@ -710,7 +710,7 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     from air_traffic_data_pipeline_spark.plans.tables import load
 
     sf = str(tmp_path)
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         load(spark, SF, t).filter(F.lit(False)).write.parquet(
             f"{sf}/{t}.parquet"
         )
@@ -718,3 +718,13 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     pg = relational.privacy_release_gate(spark, sf)
     assert pg.count() == 0
     assert {"k_ok", "l_ok", "t_ok", "releasable"} <= set(pg.columns)
+
+    # the ANN ingest mirror streams three EMPTY micro-batches: the state
+    # chain and the emission kernel must hand back a typed empty graph
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_ann_ingest,
+    )
+
+    g = incremental_ann_ingest(spark, sf)
+    assert g.count() == 0
+    assert {"src", "dst", "e_sim"} <= set(g.columns)

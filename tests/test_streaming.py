@@ -2134,3 +2134,37 @@ def test_compact_dead_state_physically_drops_dead_rows(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{sd}/batch=*").collect()
     )
     assert rows2 == [(1, 5)]
+
+
+def test_incremental_ann_ingest_equals_batch(spark):
+    """The incrementally-maintained NSW graph must be bitwise the
+    one-shot nsw_edges build on the union of all batches, even though
+    the staged batches interleave vec_id mod 3 (a pair's later-arriving
+    member routinely has the SMALLER id, exercising the old->new reverse
+    edge leg), and the graph must contain cross-batch edges — edges the
+    per-batch store-side join leg alone can produce."""
+    from air_traffic_data_pipeline_spark.operators.similarity import nsw_edges
+    from air_traffic_data_pipeline_spark.plans.llm import EMB_DIM
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_ann_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.src, r.dst, r.e_sim)
+        for r in incremental_ann_ingest(spark, sf).collect()
+    }
+    e = load(spark, sf, "embeddings")
+    want = {(r.src, r.dst, r.e_sim) for r in nsw_edges(e, EMB_DIM).collect()}
+    assert got == want
+    assert got, "graph should be non-empty"
+    # cross-batch edges really exist (members in different mod-3 batches)
+    assert any(s % 3 != d % 3 for s, d, _ in got)
+    # and the degree cap held
+    from collections import Counter
+
+    deg = Counter(s for s, _, _ in got)
+    from air_traffic_data_pipeline_spark.operators.similarity import NSW_M_DEG
+
+    assert max(deg.values()) <= NSW_M_DEG
