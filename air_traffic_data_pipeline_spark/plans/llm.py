@@ -3134,22 +3134,46 @@ def dsir_width_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept-flag agreement count, kept-set Jaccard vs the reference, and
     the mean |weight delta| — all exact integers until one divide per
     metric. Runs the production kernels (dsir_feats/dsir_from_feats) at
-    each width; nothing is reimplemented."""
+    each width; nothing is reimplemented.
+
+    One corpus scan: all widths are powers of two dividing the
+    reference, so the reference-width feature table re-buckets to each
+    audited width by an exact integer regroup (h % 256 ==
+    (h % 4096) % 256 since 256 | 4096) — bitwise identical to
+    featurizing at that width, and the 100 TB bigram scan happens once
+    instead of |widths|+1 times (the width-overlap audit's discipline)."""
+    from ..operators.checkpoints import tracked_local_checkpoint
     from .tables import fan_out
 
     docs = fan_out(
         load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
+    assert all(DSIR_REF_B % b == 0 for b in DSIR_WIDTHS)
+    f_ref, _ = tracked_local_checkpoint(
+        dsir_feats(docs, DSIR_REF_B), register=True
+    )
 
     def wq(b: int) -> DataFrame:
-        return dsir_from_feats(dsir_feats(docs, b), b).select(
+        feats = (
+            f_ref
+            if b == DSIR_REF_B
+            else f_ref.groupBy(
+                "doc_id", "source", (F.col("b") % F.lit(b)).alias("b")
+            ).agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        return dsir_from_feats(feats, b).select(
             "doc_id",
             F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
             "kept",
         )
 
-    ref = wq(DSIR_REF_B).select(
-        "doc_id", F.col("wq").alias("wq_ref"), F.col("kept").alias("kept_ref")
+    ref, _ = tracked_local_checkpoint(
+        wq(DSIR_REF_B).select(
+            "doc_id",
+            F.col("wq").alias("wq_ref"),
+            F.col("kept").alias("kept_ref"),
+        ),
+        register=True,
     )
     outs = []
     for b in DSIR_WIDTHS:
@@ -3222,6 +3246,45 @@ JOIN (SELECT doc_id, CAST(round(weight * 1e6) AS BIGINT) AS wq, kept
     return "\nUNION ALL\n".join(parts)
 
 
+def _dsir_select_flags(w: DataFrame) -> DataFrame:
+    """Prefix-sum budget selection over a quantized-weight frame
+    ``w(doc_id[, source], n_tok, wq)`` — adds a boolean ``selected``
+    column: a doc is selected iff the cumulative token sum up to and
+    including it (in (wq DESC, doc_id) order) fits the exact-integer
+    budget (total * DSIR_SEL_PCT div 100). Shared by the per-source
+    selection stats and the width-overlap audit, so both apply the
+    IDENTICAL selection rule. Scale: the global ordered prefix sum uses
+    the shard-plan two-level pattern — micro-weight BANDS aggregate
+    map-side, only the |bands| table sees a global window, and a
+    per-band window adds local prefixes; no window ever holds the doc
+    table in one partition."""
+    tot = w.agg(
+        F.expr(f"(sum(n_tok) * {DSIR_SEL_PCT}) div 100")
+        .cast("bigint")
+        .alias("budget")
+    )
+    b = w.withColumn("band", F.expr(f"wq div {DSIR_SEL_BUCKET}"))
+    bsum = b.groupBy("band").agg(F.sum("n_tok").cast("bigint").alias("btok"))
+    woff = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "band",
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wloc = (
+        W.partitionBy("band")
+        .orderBy(F.col("wq").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = (
+        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
+    ).cast("bigint")
+    return (
+        b.join(F.broadcast(offs), "band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("selected", (before + F.col("n_tok") <= F.col("budget")))
+    )
+
+
 def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR fit -> APPLY loop (the isotonic_apply discipline): rank
     every document by its importance weight and select docs in weight
@@ -3249,31 +3312,7 @@ def dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_feats") - F.lit(1)).cast("bigint").alias("n_tok"),
         F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
     )
-    tot = w.agg(
-        F.expr(f"(sum(n_tok) * {DSIR_SEL_PCT}) div 100")
-        .cast("bigint")
-        .alias("budget")
-    )
-    b = w.withColumn("band", F.expr(f"wq div {DSIR_SEL_BUCKET}"))
-    bsum = b.groupBy("band").agg(F.sum("n_tok").cast("bigint").alias("btok"))
-    woff = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, -1)
-    offs = bsum.select(
-        "band",
-        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
-    )
-    wloc = (
-        W.partitionBy("band")
-        .orderBy(F.col("wq").desc(), F.col("doc_id").asc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    before = (
-        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
-    ).cast("bigint")
-    sel = (
-        b.join(F.broadcast(offs), "band")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("selected", (before + F.col("n_tok") <= F.col("budget")))
-    )
+    sel = _dsir_select_flags(w)
     return sel.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("selected").cast("bigint")).cast("bigint").alias("n_sel"),
@@ -3311,6 +3350,182 @@ SELECT source,
          AS tok_sel
 FROM sel GROUP BY source
 """
+
+
+DSIR_OVL_WIDTHS = (256, 1024, 16384)  # widths whose SELECTION is compared
+
+
+def dsir_width_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR width DECISION curve (the follow-through on the width
+    stability audit, r12 verdict item 4): the width question that
+    actually matters downstream is not "do the weights move?" but "does
+    the SELECTED CORPUS change?" — so per candidate width (256 / 1024 /
+    16384 buckets, bracketing the 4096 reference from both sides) this
+    runs the full fit->select loop (production kernels dsir_feats /
+    dsir_from_feats / _dsir_select_flags, nothing reimplemented) and
+    compares the selected doc set against the DSIR_REF_B selection:
+    selected-flag agreement, selection Jaccard, the selection sizes, and
+    the token mass the width-b selection shares with the reference. Read
+    as a curve: the narrowest width whose sel_jaccard plateaus is the
+    cheapest safe width — the blocking-threshold-sweep discipline
+    applied to importance resampling.
+
+    Exactness: everything is exact BIGINT except each width's 6dp-
+    rounded weight (inherited from dsir_weights) and ONE divide per
+    Jaccard. Scale: |widths|+1 runs of the production kernel (each one
+    bigram shuffle + broadcast log-ratio table); the per-doc selection
+    frames join on doc_id and collapse to |widths| rows map-side."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from .tables import fan_out
+
+    docs = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+    # ONE corpus featurization: every audited width is a power of two
+    # dividing the finest (h % 256 == (h % 16384) % 256 whenever
+    # 256 | 16384), so the finest-width feature table re-buckets to any
+    # coarser width by an exact integer regroup — bitwise identical to
+    # featurizing at that width directly, and the 100 TB bigram scan
+    # happens once instead of |widths|+1 times.
+    finest = max(set(DSIR_OVL_WIDTHS) | {DSIR_REF_B})
+    assert all(finest % b == 0 for b in DSIR_OVL_WIDTHS)
+    f_fine, _ = tracked_local_checkpoint(
+        dsir_feats(docs, finest), register=True
+    )
+
+    def feats_at(b: int) -> DataFrame:
+        if b == finest:
+            return f_fine
+        return f_fine.groupBy(
+            "doc_id", "source", (F.col("b") % F.lit(b)).alias("b")
+        ).agg(F.sum("c").cast("bigint").alias("c"))
+
+    def sel(b: int) -> DataFrame:
+        w = dsir_from_feats(feats_at(b), b).select(
+            "doc_id",
+            (F.col("n_feats") - F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(F.col("weight") * F.lit(1e6)).cast("bigint").alias("wq"),
+        )
+        return _dsir_select_flags(w).select(
+            "doc_id", "n_tok", F.col("selected").cast("int").alias("s")
+        )
+
+    # the reference selection feeds every width branch — pin it once so
+    # the union's three branches don't re-run the reference kernel
+    ref, _ = tracked_local_checkpoint(
+        sel(DSIR_REF_B).select("doc_id", F.col("s").alias("s_ref")),
+        register=True,
+    )
+    outs = []
+    for b in DSIR_OVL_WIDTHS:
+        j = sel(b).join(ref, "doc_id")
+        # coalesce: global aggregates over an EMPTY corpus are NULL in
+        # both engines — pin them to typed zeros identically
+        agg = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("n_sel"),
+            F.coalesce(F.sum("s_ref"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sel_ref"),
+            F.coalesce(
+                F.sum((F.col("s") == F.col("s_ref")).cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sel_agree"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("s") == 1) & (F.col("s_ref") == 1)).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("i"),
+            F.coalesce(
+                F.sum(
+                    ((F.col("s") == 1) | (F.col("s_ref") == 1)).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("u"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("s") == 1) & (F.col("s_ref") == 1),
+                        F.col("n_tok"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tok_shared"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(b).cast("int").alias("width"),
+                "n_docs",
+                "n_sel",
+                "n_sel_ref",
+                "sel_agree",
+                F.round(
+                    F.when(F.col("u") == 0, F.lit(0.0)).otherwise(
+                        F.col("i").cast("double") / F.col("u").cast("double")
+                    ),
+                    6,
+                ).alias("sel_jaccard"),
+                "tok_shared",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _dsir_overlap_sql() -> str:
+    def sel_q(b: int) -> str:
+        return f"""
+SELECT doc_id, n_tok,
+       CAST(coalesce(sum(n_tok) OVER (ORDER BY wq DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tok
+            <= (SELECT CAST(sum(n_tok) * {DSIR_SEL_PCT} // 100 AS BIGINT)
+                FROM w_{b})
+            AS INTEGER) AS s
+FROM w_{b}"""
+
+    widths = set(DSIR_OVL_WIDTHS) | {DSIR_REF_B}
+    ctes = []
+    for b in sorted(widths):
+        ctes.append(
+            f"""w_{b} AS MATERIALIZED (
+  SELECT doc_id, n_feats - 1 AS n_tok,
+         CAST(round(weight * 1e6) AS BIGINT) AS wq
+  FROM ({_dsir_sql(b)}) x)"""
+        )
+        ctes.append(f"s_{b} AS MATERIALIZED ({sel_q(b)})")
+    parts = []
+    for b in DSIR_OVL_WIDTHS:
+        parts.append(
+            f"""
+SELECT CAST({b} AS INTEGER) AS width,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(a.s), 0) AS BIGINT) AS n_sel,
+       CAST(coalesce(sum(r.s), 0) AS BIGINT) AS n_sel_ref,
+       CAST(coalesce(sum(CASE WHEN a.s = r.s THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS sel_agree,
+       round(CASE WHEN coalesce(sum(CASE WHEN a.s = 1 OR r.s = 1
+                                         THEN 1 ELSE 0 END), 0) = 0
+                  THEN CAST(0 AS DOUBLE)
+             ELSE CAST(sum(CASE WHEN a.s = 1 AND r.s = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  / CAST(sum(CASE WHEN a.s = 1 OR r.s = 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) END, 6) AS sel_jaccard,
+       CAST(coalesce(sum(CASE WHEN a.s = 1 AND r.s = 1 THEN a.n_tok END), 0)
+            AS BIGINT) AS tok_shared
+FROM s_{b} a JOIN s_{DSIR_REF_B} r USING (doc_id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14642,6 +14857,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dsir_weights", dsir_weights, _dsir_sql()),
     ("llm_dsir_budget_select", dsir_budget_select, _dsir_select_sql()),
     ("llm_dsir_width_eval", dsir_width_eval, _dsir_width_sql()),
+    ("llm_dsir_width_overlap", dsir_width_overlap, _dsir_overlap_sql()),
     ("llm_rolling_fingerprint", rolling_fingerprint, _ROLLING_FP_SQL),
     ("llm_embedding_near_dup", embedding_near_dup, _EMB_NEAR_DUP_SQL),
     ("llm_multimodal_decode", multimodal_decode, _mm_decode_sql()),

@@ -432,6 +432,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_dedup_pr_eval": (AE, "precision/recall eval of dedup"),
     "llm_blocking_cost_eval": (AE, "blocker decision table"),
     "llm_dsir_width_eval": (AE, "hashing-width stability audit"),
+    "llm_dsir_width_overlap": (AE, "width selection-overlap decision curve"),
     "llm_blocking_threshold_sweep": (AE, "blocker recall-vs-J curves"),
     "llm_lsh_sensitivity": (AE, "LSH S-curve audit"),
     "llm_minhash_band_stats": (AE, "band-occupancy audit"),

@@ -728,3 +728,10 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     g = incremental_ann_ingest(spark, sf)
     assert g.count() == 0
     assert {"src", "dst", "e_sim"} <= set(g.columns)
+
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    ov = llm.dsir_width_overlap(spark, sf)
+    rows = ov.collect()
+    assert len(rows) == len(llm.DSIR_OVL_WIDTHS)
+    assert all(r.n_docs == 0 and r.sel_jaccard == 0.0 for r in rows)
