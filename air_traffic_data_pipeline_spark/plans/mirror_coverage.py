@@ -29,6 +29,7 @@ from __future__ import annotations
 MIRRORS: dict[str, str | None] = {
     "stream_incremental_acf": "rel_autocorrelation",
     "stream_incremental_ann_ingest": None,
+    "stream_incremental_ann_retract": None,
     "stream_incremental_bm25": "llm_bm25_topk",
     "stream_incremental_bootstrap": "rel_poisson_bootstrap_ci",
     "stream_incremental_burstiness": "llm_token_burstiness",

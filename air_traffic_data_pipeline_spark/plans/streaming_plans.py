@@ -1226,6 +1226,38 @@ def _ann_ingest_oracle_sql() -> str:
     )
 
 
+def stream_incremental_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents_stream import incremental_ann_retract
+
+    return incremental_ann_retract(spark, sf_dir)
+
+
+def _ann_retract_oracle_sql() -> str:
+    """The repaired graph must equal the one-shot NSW build over the
+    SURVIVING vectors only — the same deterministic CTE chain with the
+    deletion set (vec_id % MOD == RES) filtered out of the member table,
+    so a deleted vector's crowding-out is undone (re-election) and its
+    own edges are gone."""
+    from ..operators.similarity import NSW_NND_ROUNDS, lsh_bucket_sql
+    from ..streaming.documents_stream import (
+        PRIO_RETRACT_MOD,
+        PRIO_RETRACT_RES,
+    )
+    from .llm import EMB_DIM, _nsw_graph_ctes
+
+    wb = f"""wb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {lsh_bucket_sql("(embedding::DOUBLE[])", EMB_DIM)} AS bucket
+  FROM embeddings
+  WHERE vec_id % {PRIO_RETRACT_MOD} != {PRIO_RETRACT_RES})"""
+    ctes = [wb] + _nsw_graph_ctes("", "wb")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst, e_sim FROM e{NSW_NND_ROUNDS}"
+    )
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_late_data_drop", stream_late_data_drop, LATE_DROP_SQL),
     ("stream_tumbling_agg", stream_tumbling, TUMBLING_SQL),
@@ -1296,6 +1328,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("stream_incremental_rfm_retract", stream_incremental_rfm_retract, _rfm_retract_oracle_sql()),
     ("stream_incremental_shortest_path_retract", stream_incremental_shortest_path_retract, _shortest_path_retract_oracle_sql()),
     ("stream_incremental_ann_ingest", stream_incremental_ann_ingest, _ann_ingest_oracle_sql()),
+    ("stream_incremental_ann_retract", stream_incremental_ann_retract, _ann_retract_oracle_sql()),
 ]
 
 if _tws_available():

@@ -2396,3 +2396,177 @@ def incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# Retraction-aware ANN-graph maintenance (round 13): vector UN-ingestion
+# for the similarity index itself — deleting an embedding must also repair
+# the NSW graph, because a deleted vector's edges must not outlive it and
+# the neighbors it crowded out of a degree cap must be RE-ELECTED.
+
+EMB_RETRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("sign", T.IntegerType()),
+    ]
+)
+
+ANN_COMPACT_EVERY = 2  # fold the pair/vector state every N epochs
+
+
+def _stage_emb_retraction_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three vec_id-tercile insert slices with a -1 tombstone for every
+    vec_id % PRIO_RETRACT_MOD == PRIO_RETRACT_RES vector, scheduled
+    adversarially (even (id DIV MOD) tombstones one batch EARLY — the
+    never-ingest path; odd one batch LATE — the ingest-then-void path)."""
+    import hashlib
+
+    from ..plans.tables import load
+    from .events_stream import _STAGE_ROOT, _stage_adversarial_retraction
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return _stage_adversarial_retraction(
+        d=f"{_STAGE_ROOT}/emb_retract_{key}",
+        frame_fn=lambda: load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        ),
+        order_cols=("vec_id",),
+        id_col="vec_id",
+        mod=PRIO_RETRACT_MOD,
+        res=PRIO_RETRACT_RES,
+        nb=3,
+        cols=("vec_id", "embedding", "label"),
+    )
+
+
+def incremental_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE streaming NSW maintenance — bitwise equal to the
+    one-shot ``nsw_edges`` over the SURVIVING (never-deleted) vectors
+    (the survivor-restricted graph CTE chain is the oracle).
+
+    Why deletion is a first-class ANN problem: the degree caps mean a
+    deleted vector may have CROWDED OUT a true neighbor — dropping its
+    rows is not enough, the evicted candidate must be re-elected. A
+    capped edge state cannot express that (the evicted candidate is
+    gone), so the state keeps the UNCAPPED banded candidate pairs — the
+    same volume the one-shot build shuffles anyway, which is the honest
+    price of exact un-ingestion (the insert-only mirror keeps only the
+    capped top-M_OUT state; this one trades state size for
+    retractability). The discovery invariant survives deletion: a pair
+    of finally-surviving vectors is discovered exactly once, at the
+    later member's arrival, because a surviving earlier member was
+    necessarily in the store and not dead then — deletions only VOID
+    pairs, never create them.
+
+    Per epoch: cumulative dead set += batch tombstones; batch inserts
+    already dead are dropped (never-ingest); the batch's prepared
+    vectors land; banded candidates join the batch against the landed
+    store MINUS the dead (a deleted vector stops matching immediately);
+    the directed pairs land append-only. Every ANN_COMPACT_EVERY epochs
+    ``compact_dead_state`` physically drops dead-touching pairs and
+    vector rows (set-semantic state: duplicates from a replayed
+    compaction epoch collapse under the fold's dropDuplicates and the
+    emission's dropDuplicates). Emission: survivor pairs -> fwd_top_m ->
+    the shared nsw_finish kernel over the surviving vectors.
+
+    At 100 TB: per-batch contact is (batch x store) on the bucket
+    equi-key; the pair state is the banding volume (compacted to
+    survivor pairs); the dead set is deletion-contract-sized."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..operators.checkpoints import tracked_local_checkpoint
+    from ..operators.similarity import (
+        banded_pairs_between,
+        fwd_top_m,
+        nsw_finish,
+        nsw_prep,
+    )
+    from ..plans.llm import EMB_DIM
+    from ..plans.tables import load
+
+    tune_session(spark)
+    d = _stage_emb_retraction_batches(spark, sf_dir)
+    base = f"{d.rstrip('/')}_annr_{_uuid.uuid4().hex[:8]}"
+    dead_dir = f"{base}/dead"
+    vecs_dir = f"{base}/vecs"
+    pairs_dir = f"{base}/pairs"
+
+    def _read_or_empty(path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path):
+            return spark.read.parquet(f"{path}/batch=*")
+        return spark.createDataFrame([], schema)
+
+    def _update(batch_df: DataFrame, epoch_id: int) -> None:
+        tombs = batch_df.filter(F.col("sign") == -1).select("vec_id")
+        tombs.write.mode("overwrite").parquet(f"{dead_dir}/batch={epoch_id}")
+        dead = spark.read.parquet(f"{dead_dir}/batch=*").distinct()
+        ins = (
+            batch_df.filter(F.col("sign") == 1)
+            .select("vec_id", "embedding")
+            .join(dead, "vec_id", "left_anti")
+        )
+        prep = nsw_prep(ins, EMB_DIM).withColumn("ep", F.lit(epoch_id))
+        prep.write.mode("overwrite").parquet(f"{vecs_dir}/batch={epoch_id}")
+        store = (
+            spark.read.parquet(f"{vecs_dir}/batch=*")
+            .join(dead, "vec_id", "left_anti")
+        )
+        batch_v = store.filter(F.col("ep") == epoch_id)
+        p_new = banded_pairs_between(batch_v, store)
+        batch_ids = batch_v.select(F.col("vec_id").alias("a_id"))
+        p_old = p_new.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "cos_sim",
+        ).join(F.broadcast(batch_ids), "a_id", "left_anti")
+        directed = p_new.unionByName(p_old).select(
+            F.col("a_id").alias("src"),
+            F.col("b_id").alias("dst"),
+            F.col("cos_sim").alias("e_sim"),
+        )
+        directed.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={epoch_id}"
+        )
+        if epoch_id % ANN_COMPACT_EVERY == 1:
+            dead_dd = dead.select(F.col("vec_id").alias("doc_id"))
+            compact_dead_state(
+                spark, pairs_dir, dead_dd, epoch_id, anti_cols=("src", "dst")
+            )
+            compact_dead_state(
+                spark, vecs_dir, dead_dd, epoch_id, anti_cols=("vec_id",)
+            )
+
+    try:
+        src = (
+            spark.readStream.schema(EMB_RETRACT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(d)
+        )
+        q = src.writeStream.foreachBatch(_update).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        dead = _read_or_empty(dead_dir, "vec_id long").distinct()
+        pairs = (
+            _read_or_empty(pairs_dir, "src long, dst long, e_sim double")
+            .join(dead.select(F.col("vec_id").alias("src")), "src", "left_anti")
+            .join(dead.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+            .select("src", "dst", "e_sim")
+            .dropDuplicates()
+        )
+        surviving = load(spark, sf_dir, "embeddings").join(
+            dead, "vec_id", "left_anti"
+        )
+        v = nsw_prep(surviving, EMB_DIM)
+        out, _ = tracked_local_checkpoint(
+            nsw_finish(fwd_top_m(pairs), v), register=True
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

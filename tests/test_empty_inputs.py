@@ -729,6 +729,14 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     assert g.count() == 0
     assert {"src", "dst", "e_sim"} <= set(g.columns)
 
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        incremental_ann_retract,
+    )
+
+    gr = incremental_ann_retract(spark, sf)
+    assert gr.count() == 0
+    assert {"src", "dst", "e_sim"} <= set(gr.columns)
+
     from air_traffic_data_pipeline_spark.plans import llm
 
     ov = llm.dsir_width_overlap(spark, sf)

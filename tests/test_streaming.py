@@ -2168,3 +2168,54 @@ def test_incremental_ann_ingest_equals_batch(spark):
     from air_traffic_data_pipeline_spark.operators.similarity import NSW_M_DEG
 
     assert max(deg.values()) <= NSW_M_DEG
+
+
+def test_incremental_ann_retract_equals_batch_on_survivors(spark):
+    """The retraction-aware NSW mirror must equal the one-shot nsw_edges
+    build over the SURVIVING vectors — and the repair must be a real
+    re-election, not a filter: the survivor graph must contain at least
+    one edge that is NOT in the full-corpus graph restricted to
+    survivors (a candidate a deleted vector had crowded out of a degree
+    cap re-enters), while no deleted vector appears anywhere."""
+    from air_traffic_data_pipeline_spark.operators.similarity import nsw_edges
+    from air_traffic_data_pipeline_spark.plans.llm import EMB_DIM
+    from air_traffic_data_pipeline_spark.plans.tables import load
+    from air_traffic_data_pipeline_spark.streaming.documents_stream import (
+        PRIO_RETRACT_MOD,
+        PRIO_RETRACT_RES,
+        incremental_ann_retract,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.src, r.dst, r.e_sim)
+        for r in incremental_ann_retract(spark, sf).collect()
+    }
+    e = load(spark, sf, "embeddings")
+    surviving = e.filter(
+        F.col("vec_id") % PRIO_RETRACT_MOD != PRIO_RETRACT_RES
+    )
+    want = {
+        (r.src, r.dst, r.e_sim)
+        for r in nsw_edges(surviving, EMB_DIM).collect()
+    }
+    assert got == want
+    assert got, "survivor graph should be non-empty"
+    dead = {
+        r.vec_id
+        for r in e.filter(
+            F.col("vec_id") % PRIO_RETRACT_MOD == PRIO_RETRACT_RES
+        ).collect()
+    }
+    assert dead, "fixture should delete something"
+    assert not any(s in dead or d in dead for s, d, _ in got)
+    # re-election really happened: the survivor graph is not merely the
+    # full graph with dead endpoints dropped
+    full = {
+        (r.src, r.dst, r.e_sim) for r in nsw_edges(e, EMB_DIM).collect()
+    }
+    restricted = {
+        (s, d, x) for s, d, x in full if s not in dead and d not in dead
+    }
+    assert got - restricted, "deletion should re-elect evicted candidates"
