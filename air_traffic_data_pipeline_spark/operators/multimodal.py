@@ -415,22 +415,23 @@ def decode_stub(df: DataFrame, codec: str = "fake") -> DataFrame:
     """'Decode' opaque payloads to typed features via mapInPandas.
 
     codec='fake' produces deterministic pseudo-metadata from the raw bytes;
-    'wav'/'bmp'/'png'/'jpeg' have REAL parsers — use decode_wav /
-    decode_bmp_meta / decode_png_meta / decode_jpeg_meta on payloads from the
-    matching attach_*_payload; mp4 needs a container/video library not
-    present here and raises NotImplementedError.
+    'wav'/'bmp'/'png'/'jpeg'/'gif' have REAL parsers — use decode_wav /
+    decode_bmp_meta / decode_png_meta / decode_jpeg_meta / decode_gif_meta
+    on payloads from the matching attach_*_payload; mp4 needs a
+    container/video library not present here and raises
+    NotImplementedError.
     """
     if codec in _UNAVAILABLE_CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires a media library not present in "
             "this environment; see decode_wav/decode_bmp_meta/decode_png_meta/"
-            "decode_jpeg_meta for the real pure-Python formats"
+            "decode_jpeg_meta/decode_gif_meta for the real pure-Python formats"
         )
-    if codec in {"wav", "bmp", "png", "jpeg"}:
+    if codec in {"wav", "bmp", "png", "jpeg", "gif"}:
         raise ValueError(
             "use decode_wav / decode_bmp_meta / decode_png_meta / "
-            "decode_jpeg_meta with the matching attach_*_payload for real "
-            "byte formats"
+            "decode_jpeg_meta / decode_gif_meta with the matching "
+            "attach_*_payload for real byte formats"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -1653,3 +1654,263 @@ def decode_jpeg_color_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, JPEG_COLOR_META_SCHEMA
     )
+
+# --- GIF codec (round 13): pure-stdlib LZW, the lossless sibling of PNG -----
+#
+# GIF87a with a 256-entry grayscale global color table and the spec's
+# variable-width LSB-first LZW (min code size 8: clear = 256, EOI = 257,
+# first dynamic code 258, widths grow 9 -> 12 bits as the dictionary
+# fills). The encoder and decoder are independent implementations of the
+# same spec — the round trip tests the bit packing and the dictionary
+# discipline, not a shared helper. Reference: GIF87a specification
+# (CompuServe 1987), Appendix C (LZW) — public documentation only.
+
+GIF_MIN_CODE_SIZE = 8  # 8-bit palette indices
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> bytes:
+    """GIF-variant LZW: emits CLEAR first and EOI last; code width starts
+    at min_code_size+1 and grows the moment the NEXT code to be assigned
+    would not fit the current width (the GIF 'early change is wrong'
+    rule: width covers the largest ASSIGNED code). Caps at 12 bits and
+    emits CLEAR + resets when the dictionary would exceed 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    put(clear, width)
+    seq = b""
+    for b in indices:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        if next_code >= 4096:
+            put(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        seq = bytes([b])
+    if seq:
+        put(table[seq], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> bytes:
+    """Inverse of the GIF LZW coder, written against the spec (not the
+    encoder): variable-width LSB-first codes, the KwKwK first-byte rule
+    for a code one past the table, CLEAR resets, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    nbits = 0
+    acc = 0
+    out = bytearray()
+
+    def get(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = get(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError("GIF LZW: first code must be a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_bytes(doc_id: int, text: str) -> bytes:
+    """A complete, valid GIF87a: header, logical screen descriptor, a
+    256-entry grayscale global color table (index i -> gray i), one
+    image descriptor, the LZW-compressed index stream in length-prefixed
+    sub-blocks, trailer. Pixel indices are the md5 digest of the text
+    cycled across the image (the BMP/PNG generators' model).
+    width = doc_id % 8 + 1, height = (doc_id // 8) % 4 + 1."""
+    import struct
+
+    w = doc_id % 8 + 1
+    h = (doc_id // 8) % 4 + 1
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    idx = (digest * (w * h // len(digest) + 1))[: w * h]
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _gif_lzw_encode(idx)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([GIF_MIN_CODE_SIZE])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def attach_gif_payload(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload) with a real GIF87a per row."""
+    return df.select("doc_id", "text").mapInPandas(
+        _payload_writer(_gif_bytes), "doc_id long, payload binary"
+    )
+
+
+def _gif_parse(raw: bytes) -> tuple[int, int, int, bytes, bytes]:
+    """Decode a GIF87a into (width, height, palette_size, palette,
+    indices): header walk, logical screen descriptor, global color
+    table, image descriptor, sub-block reassembly, LZW decode. Rejects
+    GIF89a extension blocks, local color tables, and interlacing with
+    clear errors instead of mis-parsing (the _jpeg_parse posture)."""
+    import struct
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing signature)")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    psize = 2 << (packed & 0x07)
+    pos = 13
+    palette = raw[pos : pos + 3 * psize]
+    pos += 3 * psize
+    while True:
+        if pos >= len(raw):
+            raise ValueError("malformed GIF: no image descriptor")
+        b = raw[pos]
+        if b == 0x21:
+            raise ValueError("GIF89a extension blocks unsupported")
+        if b == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        break
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+    if ipacked & 0x80:
+        raise ValueError("GIF local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise ValueError("GIF sub-rectangle images unsupported")
+    pos += 10
+    min_code = raw[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(raw):
+            raise ValueError("malformed GIF: truncated sub-block stream")
+        n = raw[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(raw):
+            raise ValueError("malformed GIF: sub-block overruns payload")
+        lzw += raw[pos : pos + n]
+        pos += n
+    if pos >= len(raw) or raw[pos] != 0x3B:
+        raise ValueError("malformed GIF: missing trailer")
+    idx = _gif_lzw_decode(bytes(lzw), min_code)
+    if len(idx) != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    return w, h, psize, palette, idx
+
+
+GIF_META_SCHEMA = (
+    "doc_id long, width int, height int, palette_size int, checksum long"
+)
+
+
+def decode_gif_meta(df: DataFrame) -> DataFrame:
+    """REAL GIF decode via mapInPandas, stdlib only: header + descriptor
+    walk, sub-block reassembly, variable-width LSB-first LZW decode, and
+    an exact integer checksum over the PALETTE-MAPPED pixel values (red
+    channel — the table is grayscale, so a wrong palette read or a wrong
+    LZW expansion both change the sum). The oracle recomputes the
+    checksum closed-form from (doc_id, md5(text))."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for i, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, psize, palette, idx = _gif_parse(bytes(raw))
+                total = sum(palette[3 * b] for b in idx)
+                out.append((int(i), int(w), int(h), int(psize), int(total)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "palette_size",
+                    "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, GIF_META_SCHEMA)
