@@ -3017,6 +3017,47 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode over REAL GIF87a bytes built with stdlib only (round
+    13 — the lossless LZW sibling of the PNG/DEFLATE kernel; the codec
+    gate now holds just mp4): per doc a complete spec-valid GIF87a is
+    written (256-entry grayscale global color table, variable-width
+    LSB-first LZW with CLEAR/EOI and 9->12-bit growth, length-prefixed
+    sub-blocks), then an Arrow-batched mapInPandas kernel walks the
+    descriptors, reassembles the sub-blocks, LZW-decodes, maps indices
+    through the palette, and reduces the pixels to an exact integer
+    checksum. Pixels are closed-form in (doc_id, md5(text)) — the
+    oracle recomputes the checksum independently, so a wrong bit
+    unpacking, dictionary step, or palette read (not merely a wrong
+    header) fails the driver hash. Scale posture identical to the
+    BMP/WAV/PNG/JPEG kernels: payload bytes never leave executors or
+    enter an Exchange; decode parallelism equals scan parallelism."""
+    from ..operators.multimodal import attach_gif_payload, decode_gif_meta
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_gif_meta(attach_gif_payload(d))
+
+
+def _gif_decode_sql() -> str:
+    hx = _HEXDIGITS
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hh,
+         doc_id % 8 + 1 AS w, (doc_id // 8) % 4 + 1 AS h
+  FROM documents WHERE doc_id < 300),
+px AS (
+  SELECT doc_id, w, h,
+         (strpos('{hx}', substr(hh, 2 * (i % 16) + 1, 1)) - 1) * 16
+           + (strpos('{hx}', substr(hh, 2 * (i % 16) + 2, 1)) - 1) AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(256 AS INTEGER) AS palette_size,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG decode over REAL JPEG bytes built with stdlib + numpy
     only (round 12 — jpeg graduates from the NotImplementedError codec
@@ -14818,6 +14859,270 @@ WHERE round(ch.score - rj.score, 6) > {dlit(0.0)}
 """
 
 
+# --- Corpus text-overlap eval: BLEU / ROUGE-n (round 13) ---------------------
+
+OVERLAP_MAX_N = 4  # BLEU-4 convention
+
+
+def text_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU / ROUGE-n between paired documents (the
+    generation-eval metric family): odd doc_ids are candidates, the
+    preceding even doc_id is the paired reference. One row per n in
+    1..4 with the clipped-count modified n-gram precision (Papineni
+    2002), ROUGE-n recall and F1 (Lin 2004), the corpus brevity
+    penalty, and the CUMULATIVE smoothed BLEU through that order
+    (BLEU+1 add-one smoothing, Lin & Och 2004 — deterministic, no
+    zero-precision blowup at small corpora).
+
+    Scale: token/n-gram explosion collapses map-side into ONE shuffle
+    keyed (pair_id, n, gram) with both sides' counts as conditional
+    sums (no self-join); the per-n rollup is 4 rows; the brevity
+    penalty is a 1-row broadcast cross join. Nothing is quadratic in
+    pair length and no text leaves the executors un-hashed-down.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("c")).otherwise(F.lit("r")).alias("side"),
+        F.split("text", " ").alias("toks"),
+    )
+    dn = d.select(
+        "pair_id", "side", "toks",
+        F.explode(F.sequence(F.lit(1), F.lit(OVERLAP_MAX_N))).alias("n"),
+    )
+    grams = dn.select(
+        "pair_id",
+        "n",
+        F.explode(
+            F.when(
+                F.size("toks") >= F.col("n"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.col("n") + 1),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, F.col("n")), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+        "side",
+    )
+    counts = grams.groupBy("pair_id", "n", "g").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("c_cnt"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("r_cnt"),
+    )
+    per_n = counts.groupBy("n").agg(
+        F.sum(F.least("c_cnt", "r_cnt")).cast("bigint").alias("clipped"),
+        F.sum("c_cnt").cast("bigint").alias("cand_total"),
+        F.sum("r_cnt").cast("bigint").alias("ref_total"),
+    )
+    bp = per_n.filter(F.col("n") == 1).select(
+        F.exp(
+            F.least(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("ref_total").cast("double") / F.col("cand_total").cast("double"),
+            )
+        ).alias("bp")
+    )
+    w = W.orderBy("n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = F.col("clipped").cast("double") / F.col("cand_total").cast("double")
+    r = F.col("clipped").cast("double") / F.col("ref_total").cast("double")
+    return (
+        per_n.crossJoin(bp)
+        .select(
+            F.col("n").cast("int").alias("ngram_n"),
+            "clipped",
+            "cand_total",
+            "ref_total",
+            F.round(p, 6).alias("prec_n"),
+            F.round(r, 6).alias("rec_n"),
+            F.round(
+                F.when(F.col("clipped") == 0, F.lit(0.0)).otherwise(
+                    F.lit(2.0) * p * r / (p + r)
+                ),
+                6,
+            ).alias("f1_n"),
+            F.round(F.col("bp"), 6).alias("brevity_penalty"),
+            F.round(
+                F.col("bp")
+                * F.exp(
+                    F.avg(
+                        F.log(
+                            (F.col("clipped").cast("double") + F.lit(1.0))
+                            / (F.col("cand_total").cast("double") + F.lit(1.0))
+                        )
+                    ).over(w)
+                ),
+                6,
+            ).alias("bleu_cum"),
+        )
+    )
+
+
+ROUGE_L_MAX_TOK = 24  # bounded exact-LCS kernel (the SEP_MAX_ID posture):
+# ROUGE-L needs an O(n*m) sequential DP per pair — bounded to the first 24
+# tokens a side so the per-pair cost is a constant 576-cell DP, documented
+# here the way the separability kernel documents its 64-vector cap. At
+# 100 TB the bound is what you'd ship anyway (leads are what human evals
+# read); raising it scales cost quadratically in the bound, never in the
+# corpus, because pairs stay embarrassingly parallel.
+
+
+def rouge_l_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) per candidate/reference pair over the first
+    ROUGE_L_MAX_TOK tokens of each side: exact LCS length via a numpy DP
+    inside an Arrow-batched mapInPandas kernel, plus LCS precision /
+    recall / F1. The DP uses the running-max reformulation — row_new =
+    cummax(max(row_prev[1:], row_prev[:-1] + match_row)) — which
+    vectorizes the inner loop (np.maximum.accumulate) AND is exactly the
+    per-row list expression the DuckDB recursive-CTE oracle evaluates,
+    so the two engines share the recurrence, not code.
+
+    Scale: ONE shuffle to assemble pairs (groupBy pair_id, both sides as
+    conditional max — no self-join); the kernel is per-pair independent
+    and constant-cost, so decode parallelism equals scan parallelism and
+    nothing grows with the corpus except the pair count."""
+    import pandas as pd  # noqa: F401 — kernel-local import pattern
+
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            F.expr("doc_id div 2").alias("pair_id"),
+            (F.col("doc_id") % 2 == 1).alias("is_cand"),
+            F.slice(F.split("text", " "), 1, ROUGE_L_MAX_TOK).alias("toks"),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.max(F.when(F.col("is_cand"), F.col("toks"))).alias("c_toks"),
+            F.max(F.when(~F.col("is_cand"), F.col("toks"))).alias("r_toks"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") == 2)
+        .select("pair_id", "c_toks", "r_toks")
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for pid, c, r in zip(pdf["pair_id"], pdf["c_toks"], pdf["r_toks"]):
+                a = np.asarray(list(c), dtype=object)
+                b = np.asarray(list(r), dtype=object)
+                n, m = len(a), len(b)
+                row = np.zeros(m + 1, dtype=np.int64)
+                for i in range(n):
+                    match = (a[i] == b).astype(np.int64)
+                    e = np.maximum(row[1:], row[:-1] + match)
+                    row = np.concatenate(([0], np.maximum.accumulate(e)))
+                lcs = int(row[m])
+                p = lcs / n if n else 0.0
+                rc = lcs / m if m else 0.0
+                f = 2.0 * p * rc / (p + rc) if lcs else 0.0
+                out.append(
+                    (int(pid), n, m, lcs, round(p, 6), round(rc, 6), round(f, 6))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "pair_id", "cand_len", "ref_len", "lcs_len",
+                    "prec_l", "rec_l", "rouge_l_f",
+                ],
+            )
+
+    return pairs.mapInPandas(
+        batches,
+        "pair_id long, cand_len int, ref_len int, lcs_len int, "
+        "prec_l double, rec_l double, rouge_l_f double",
+    )
+
+
+_ROUGE_L_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id // 2 AS pair_id,
+         max(CASE WHEN doc_id % 2 = 1
+             THEN string_split(text, ' ')[1:{ROUGE_L_MAX_TOK}] END) AS c_toks,
+         max(CASE WHEN doc_id % 2 = 0
+             THEN string_split(text, ' ')[1:{ROUGE_L_MAX_TOK}] END) AS r_toks
+  FROM documents GROUP BY 1 HAVING count(*) = 2
+),
+dp AS (
+  SELECT pair_id, c_toks, r_toks, 0 AS i,
+         [0 for _ in generate_series(0, len(r_toks))] AS row
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, c_toks, r_toks, i + 1,
+         [0] || [list_max([greatest(row[k + 1],
+                     row[k] + CASE WHEN c_toks[i + 1] = r_toks[k]
+                              THEN 1 ELSE 0 END)
+                  for k in generate_series(1, j)])
+                 for j in generate_series(1, len(r_toks))]
+  FROM dp WHERE i < len(c_toks)
+),
+fin AS (
+  SELECT pair_id, len(c_toks) AS cand_len, len(r_toks) AS ref_len,
+         row[len(r_toks) + 1] AS lcs_len
+  FROM dp QUALIFY i = max(i) OVER (PARTITION BY pair_id)
+)
+SELECT pair_id, CAST(cand_len AS INTEGER) AS cand_len,
+       CAST(ref_len AS INTEGER) AS ref_len,
+       CAST(lcs_len AS INTEGER) AS lcs_len,
+       round(CASE WHEN cand_len = 0 THEN 0.0
+             ELSE CAST(lcs_len AS DOUBLE) / cand_len END, 6) AS prec_l,
+       round(CASE WHEN ref_len = 0 THEN 0.0
+             ELSE CAST(lcs_len AS DOUBLE) / ref_len END, 6) AS rec_l,
+       round(CASE WHEN lcs_len = 0 THEN 0.0
+             ELSE 2.0 * (CAST(lcs_len AS DOUBLE) / cand_len)
+                      * (CAST(lcs_len AS DOUBLE) / ref_len)
+                  / (CAST(lcs_len AS DOUBLE) / cand_len
+                     + CAST(lcs_len AS DOUBLE) / ref_len) END, 6) AS rouge_l_f
+FROM fin
+"""
+
+
+_TEXT_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id // 2 AS pair_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'c' ELSE 'r' END AS side,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+dn AS (
+  SELECT pair_id, side, toks, n
+  FROM d CROSS JOIN (SELECT unnest(generate_series(1, {OVERLAP_MAX_N})) AS n) ns
+),
+grams AS (
+  SELECT pair_id, n, g,
+         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS c_cnt,
+         sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS r_cnt
+  FROM dn, LATERAL (SELECT unnest([array_to_string(toks[i:i+n-1], ' ')
+                 for i in generate_series(1, len(toks) - n + 1)]) AS g) gg
+  GROUP BY 1, 2, 3
+),
+per_n AS (
+  SELECT n, CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+         CAST(sum(c_cnt) AS BIGINT) AS cand_total,
+         CAST(sum(r_cnt) AS BIGINT) AS ref_total
+  FROM grams GROUP BY n
+),
+bp AS (
+  SELECT exp(least(0.0, 1.0 - CAST(ref_total AS DOUBLE) / cand_total)) AS bp
+  FROM per_n WHERE n = 1
+)
+SELECT CAST(n AS INTEGER) AS ngram_n, clipped, cand_total, ref_total,
+       round(CAST(clipped AS DOUBLE) / cand_total, 6) AS prec_n,
+       round(CAST(clipped AS DOUBLE) / ref_total, 6) AS rec_n,
+       round(CASE WHEN clipped = 0 THEN 0.0 ELSE
+             2.0 * (CAST(clipped AS DOUBLE) / cand_total)
+                 * (CAST(clipped AS DOUBLE) / ref_total)
+               / (CAST(clipped AS DOUBLE) / cand_total
+                  + CAST(clipped AS DOUBLE) / ref_total) END, 6) AS f1_n,
+       round(bp, 6) AS brevity_penalty,
+       round(bp * exp(avg(ln((clipped + 1.0) / (cand_total + 1.0)))
+             OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS bleu_cum
+FROM per_n, bp
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -14852,6 +15157,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_ann_ivf_topk", ann_ivf_topk, _IVF_TOPK_SQL),
     ("llm_multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL),
     ("llm_png_decode", png_decode, _png_decode_sql()),
+    ("llm_gif_decode", gif_decode, _gif_decode_sql()),
+    ("llm_text_overlap_eval", text_overlap_eval, _TEXT_OVERLAP_SQL),
+    ("llm_rouge_l_bounded", rouge_l_bounded, _ROUGE_L_SQL),
     ("llm_jpeg_decode", jpeg_decode, _jpeg_decode_sql()),
     ("llm_jpeg_color_decode", jpeg_color_decode, _jpeg_color_decode_sql()),
     ("llm_dsir_weights", dsir_weights, _dsir_sql()),

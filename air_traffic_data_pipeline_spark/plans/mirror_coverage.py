@@ -195,6 +195,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_embedding_norms": (SM, "per-vector norms"),
     "llm_multimodal_decode": (SM, "per-payload codec kernel"),
     "llm_png_decode": (SM, "per-payload PNG codec kernel"),
+    "llm_gif_decode": (SM, "per-payload GIF codec kernel"),
     "llm_jpeg_decode": (SM, "per-payload JPEG codec kernel"),
     "llm_jpeg_color_decode": (SM, "per-payload JPEG codec kernel"),
     "llm_multimodal_meta": (SM, "per-payload header parse"),
@@ -398,6 +399,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_clamped_running_balance": (EK, "stream_incremental_markov"),
     "rel_gaps_islands": (EK, "stream_incremental_markov"),
     "rel_session_paths": (EK, "stream_incremental_markov"),
+    "rel_seq_pattern_match": (EK, "stream_incremental_markov"),
     "rel_first_touch_attribution": (EK, "stream_incremental_markov"),
     "rel_position_attribution": (EK, "stream_incremental_markov"),
     "rel_max_concurrency": (EK, "stream_incremental_markov"),
@@ -424,6 +426,8 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_global_shard_plan": (EK, "stream_incremental_token_budget"),
     "llm_sequence_packing": (EK, "stream_incremental_token_budget"),
     # --- audits / evals / diagnostics -------------------------------------
+    "llm_text_overlap_eval": (AE, "BLEU/ROUGE corpus eval report"),
+    "llm_rouge_l_bounded": (SM, "per-pair bounded LCS kernel"),
     "llm_ann_recall_eval": (AE, "recall eval of ANN queries"),
     "llm_hnsw_recall_eval": (AE, "recall eval of HNSW"),
     "llm_nsw_recall_eval": (AE, "recall eval of NSW"),

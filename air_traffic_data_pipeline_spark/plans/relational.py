@@ -8388,6 +8388,103 @@ FROM counts
 
 # --- EWMA-residual anomaly detection (round 7) -------------------------------
 
+# --- Event-sequence pattern matching (round 13) ------------------------------
+
+SEQ_PATTERNS: list[tuple[str, str]] = [
+    # alphabet = first letter of event_type: c(lick) e(rror) p(urchase)
+    # s(ignup) v(iew) — the five types are first-letter-unique.
+    ("browse_to_buy", "vc*p"),  # a view, any clicks, first purchase
+    ("error_burst", "ee+"),  # 2+ consecutive errors
+    ("signup_then_buy", "s[vce]*p"),  # signup converting within the day
+]
+
+MICROS_PER_DAY = 86_400_000_000
+
+
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence pattern detection (the SQL:2016
+    row-pattern-matching surface Spark lacks), expressed Spark-first: each
+    user-day's events collapse to an ordered single-char string (the five
+    event types are first-letter-unique), and each pattern is a regex
+    scanned leftmost non-overlapping over that string — `vc*p` is
+    MATCH_RECOGNIZE `PATTERN (V C* P)` with AFTER MATCH SKIP PAST LAST
+    ROW. Output: per (pattern, match length) the total match count and
+    the number of distinct user-days containing one.
+
+    Both engines (Java regex, DuckDB RE2) produce identical leftmost
+    non-overlapping scans for these patterns (no alternation ambiguity),
+    so the driver hash pins the full match-extraction semantics, not
+    just counts.
+
+    Scale: ONE shuffle keyed (user_id, day); the per-key ordered string
+    is bounded by per-user daily activity (human-bounded, independent of
+    corpus size — the same bound sessionization relies on), so the
+    collect_list state never skews; the regex scan is JVM-side per
+    string; the final rollup is alphabet-bounded. At 100 TB the
+    (user, day) key count grows linearly but each group stays tiny —
+    the ideal hash-aggregate shape.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    strs = (
+        ev.withColumn("day", F.expr(f"ts_us div {MICROS_PER_DAY}"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "code"))),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    hits = None
+    for name, rx in SEQ_PATTERNS:
+        h = strs.select(
+            "user_id",
+            "day",
+            F.lit(name).alias("pattern"),
+            F.explode(F.regexp_extract_all("s", F.lit(rx), F.lit(0))).alias("hit"),
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return (
+        hits.groupBy("pattern", F.length("hit").cast("int").alias("match_len"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.countDistinct(
+                F.col("user_id") * F.lit(1_000_000) + F.col("day")
+            ).cast("bigint").alias("n_seqs"),
+        )
+    )
+
+
+def _seq_pattern_sql() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, day, '{name}' AS pattern,\n"
+        f"         unnest(regexp_extract_all(s, '{rx}')) AS hit FROM strs"
+        for name, rx in SEQ_PATTERNS
+    )
+    return f"""
+WITH strs AS (
+  SELECT user_id, CAST(epoch_us(ts) // {MICROS_PER_DAY} AS BIGINT) AS day,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY 1, 2
+),
+m AS (
+{arms}
+)
+SELECT pattern, CAST(length(hit) AS INTEGER) AS match_len,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT user_id * 1000000 + day) AS BIGINT) AS n_seqs
+FROM m GROUP BY 1, 2
+"""
+
+
 ANOM_K = 2.0  # flag when |x - ewma_prev| > K * sigma_user
 
 
@@ -9998,6 +10095,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_user_erasure_audit", user_erasure_audit, USER_ERASURE_SQL),
     ("rel_ewma_anomaly_flags", ewma_anomaly_flags, EWMA_ANOM_SQL),
     ("rel_session_paths", session_paths, SESSION_PATHS_SQL),
+    ("rel_seq_pattern_match", seq_pattern_match, _seq_pattern_sql()),
     ("rel_dp_noisy_counts", dp_noisy_counts, _dp_counts_sql()),
     ("rel_clamped_running_balance", clamped_running_balance, CLAMPED_BALANCE_SQL),
     ("rel_max_concurrency", max_concurrency, MAX_CONCURRENCY_SQL),

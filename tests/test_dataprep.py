@@ -1684,3 +1684,81 @@ def test_two_hop_recs_matches_reference(spark):
             want.append((u, i, v, s))
     got = [tuple(r) for r in two_hop_recs(spark, SF).collect()]
     assert got == want and want
+
+
+def test_seq_pattern_match_reference(spark):
+    """The MATCH_RECOGNIZE-lite regex scan replayed in pure Python: the
+    same per-user-day ordered strings, Python's re (a third regex engine
+    next to Java and RE2) extracting leftmost non-overlapping matches,
+    and the same per-(pattern, length) rollup."""
+    import re
+    from collections import defaultdict
+
+    ev = sorted(
+        load(spark, SF, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts // 1000, r.event_id),
+    )
+    seqs: dict[tuple, list[str]] = defaultdict(list)
+    for r in ev:
+        day = (r.ts // 1000) // relational.MICROS_PER_DAY
+        seqs[(r.user_id, day)].append(r.event_type[0])
+    want: dict[tuple, tuple[int, set]] = {}
+    for name, rx in relational.SEQ_PATTERNS:
+        for key, chars in seqs.items():
+            for hit in re.findall(rx, "".join(chars)):
+                k = (name, len(hit))
+                n, s = want.get(k, (0, set()))
+                want[k] = (n + 1, s | {key})
+    got = {
+        (r.pattern, r.match_len): (r.n_matches, r.n_seqs)
+        for r in relational.seq_pattern_match(spark, SF).collect()
+    }
+    assert got == {k: (n, len(s)) for k, (n, s) in want.items()}
+    assert got  # non-vacuous at sf0.001
+
+
+def test_seq_pattern_non_overlapping_semantics(spark):
+    """Crafted sequences pin the scan semantics: backtracking inside
+    `vc*p` (vcvp yields ONE match, the trailing vp), non-overlap
+    (vpvp yields two length-2 matches, vpvpv only two), and the greedy
+    error-burst run split eee+ee -> one 3-run and one 2-run across a
+    day boundary."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def add(uid, day, codes):
+        full = {"v": "view", "c": "click", "p": "purchase",
+                "s": "signup", "e": "error"}
+        for i, ch in enumerate(codes):
+            rows.append(
+                (len(rows), base + dt.timedelta(days=day, minutes=i),
+                 uid, full[ch], 1.0, "{}")
+            )
+
+    add(100, 0, "vcvp")    # backtrack: one browse_to_buy of length 2 (vp)
+    add(101, 0, "vpvp")    # two non-overlapping length-2 matches
+    add(102, 0, "vccp")    # one length-4 match
+    add(103, 0, "eee")     # one 3-burst
+    add(103, 1, "ee")      # day boundary: separate 2-burst
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = {
+            (r.pattern, r.match_len): (r.n_matches, r.n_seqs)
+            for r in relational.seq_pattern_match(spark, td).collect()
+        }
+    assert got == {
+        ("browse_to_buy", 2): (3, 2),   # vcvp's vp + vpvp's two
+        ("browse_to_buy", 4): (1, 1),   # vccp
+        ("error_burst", 3): (1, 1),
+        ("error_burst", 2): (1, 1),
+    }

@@ -739,7 +739,21 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
 
     from air_traffic_data_pipeline_spark.plans import llm
 
+    gd = llm.gif_decode(spark, sf)
+    assert gd.count() == 0 and "checksum" in gd.columns
+
     ov = llm.dsir_width_overlap(spark, sf)
     rows = ov.collect()
     assert len(rows) == len(llm.DSIR_OVL_WIDTHS)
     assert all(r.n_docs == 0 and r.sel_jaccard == 0.0 for r in rows)
+
+    te = llm.text_overlap_eval(spark, sf)
+    assert te.count() == 0 and "bleu_cum" in te.columns
+
+    rl = llm.rouge_l_bounded(spark, sf)
+    assert rl.count() == 0 and "rouge_l_f" in rl.columns
+
+    from air_traffic_data_pipeline_spark.plans import relational
+
+    sq = relational.seq_pattern_match(spark, sf)
+    assert sq.count() == 0 and {"pattern", "match_len"} <= set(sq.columns)

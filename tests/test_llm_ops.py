@@ -5058,3 +5058,185 @@ def test_dsir_width_eval_stability_is_monotone(spark):
         assert 0.0 <= r.kept_jaccard <= 1.0 and r.mean_abs_dw >= 0.0
     assert rows[1024].kept_jaccard >= rows[256].kept_jaccard
     assert rows[1024].mean_abs_dw <= rows[256].mean_abs_dw
+
+
+def test_gif_codec_lzw_and_driver_paths(spark):
+    """The GIF LZW pair must round-trip arbitrary index streams
+    (including width growth past 9/10/11 bits and the 4096 dictionary
+    reset), driver-shaped payloads must decode through the Spark kernel
+    to the closed-form checksum, and foreign variants are rejected with
+    clear errors instead of mis-parsed."""
+    import hashlib
+    import random
+
+    import pytest
+
+    from air_traffic_data_pipeline_spark.operators.multimodal import (
+        _gif_bytes,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _gif_parse,
+        attach_gif_payload,
+        decode_gif_meta,
+    )
+
+    # generic LZW: random and highly compressible streams, boundary sizes
+    rng = random.Random(13)
+    for data in [
+        b"",
+        b"\x00",
+        bytes(rng.randrange(256) for _ in range(900)),
+        bytes(rng.randrange(256) for _ in range(5000)),
+        bytes(rng.randrange(4) for _ in range(20000)),  # forces dict reset
+        b"ab" * 4000,
+        bytes(range(256)) * 8,
+    ]:
+        assert _gif_lzw_decode(_gif_lzw_encode(data)) == data, len(data)
+
+    # the KwKwK case specifically: 'aaa...' emits code == len(table)
+    assert _gif_lzw_decode(_gif_lzw_encode(b"\x05" * 64)) == b"\x05" * 64
+
+    # driver-shaped payload through the Spark kernel
+    doc_id, text = 29, "the quick brown fox"
+    raw = _gif_bytes(doc_id, text)
+    assert raw[:6] == b"GIF87a" and raw[-1:] == b"\x3b"
+    w, h = doc_id % 8 + 1, (doc_id // 8) % 4 + 1
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    row = decode_gif_meta(attach_gif_payload(df)).collect()[0]
+    digest = hashlib.md5(text.encode()).digest()
+    expect = sum(digest[i % 16] for i in range(w * h))
+    assert (row.width, row.height, row.palette_size, row.checksum) == (
+        w, h, 256, expect,
+    )
+
+    # rejections: 89a extension block, local color table, interlace.
+    # The image descriptor sits at a STRUCTURAL offset (header 13 bytes +
+    # 3*256 palette) — searching for b"\x2c" would hit gray value 44
+    # inside the palette.
+    i = 13 + 3 * 256
+    assert raw[i] == 0x2C
+    ext = raw[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + raw[i:]
+    with pytest.raises(ValueError, match="extension"):
+        _gif_parse(ext)
+    lct = bytearray(raw)
+    lct[i + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color"):
+        _gif_parse(bytes(lct))
+    ilc = bytearray(raw)
+    ilc[i + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _gif_parse(bytes(ilc))
+    with pytest.raises(ValueError, match="signature"):
+        _gif_parse(b"NOTAGIF" + raw[6:])
+    # truncated LZW stream (drop the trailer and final sub-block)
+    with pytest.raises(ValueError):
+        _gif_parse(raw[: i + 11])
+
+
+def test_text_overlap_eval_reference(spark):
+    """BLEU/ROUGE-n replayed in pure Python: clipped modified n-gram
+    precision, recall, F1, brevity penalty, and the BLEU+1 cumulative
+    composite, all from the same odd/even doc pairing."""
+    import math
+    from collections import Counter
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        OVERLAP_MAX_N,
+        text_overlap_eval,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    docs = {r.doc_id: r.text.split(" ") for r in load(spark, SF, "documents").collect()}
+    per_n = {}
+    for n in range(1, OVERLAP_MAX_N + 1):
+        clipped = cand_total = ref_total = 0
+        for did, toks in docs.items():
+            if did % 2 == 0:
+                continue
+            ref = docs.get(did - 1)
+            cg = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            rg = Counter(
+                tuple(ref[i:i + n]) for i in range(len(ref) - n + 1)
+            ) if ref is not None else Counter()
+            clipped += sum(min(c, rg[g]) for g, c in cg.items())
+            cand_total += sum(cg.values())
+            ref_total += sum(rg.values())
+        per_n[n] = (clipped, cand_total, ref_total)
+    c1, r1 = per_n[1][1], per_n[1][2]
+    bp = math.exp(min(0.0, 1.0 - r1 / c1))
+    rows = {r.ngram_n: r for r in text_overlap_eval(spark, SF).collect()}
+    assert set(rows) == set(per_n)
+    logs = []
+    for n, (cl, ct, rt) in per_n.items():
+        row = rows[n]
+        assert (row.clipped, row.cand_total, row.ref_total) == (cl, ct, rt)
+        p, rc = cl / ct, cl / rt
+        assert row.prec_n == round(p, 6) and row.rec_n == round(rc, 6)
+        assert row.f1_n == round(0.0 if cl == 0 else 2 * p * rc / (p + rc), 6)
+        assert row.brevity_penalty == round(bp, 6)
+        logs.append(math.log((cl + 1.0) / (ct + 1.0)))
+        assert row.bleu_cum == round(bp * math.exp(sum(logs) / len(logs)), 6)
+    assert per_n[1][0] > 0  # non-vacuous
+
+
+def test_rouge_l_bounded_matches_bruteforce(spark):
+    """The running-max LCS kernel vs the classic O(n*m) DP: (a) on 200
+    random token-list pairs including empty/identical/disjoint shapes,
+    (b) end-to-end on the sf0.001 lake — every pair's lcs/precision/
+    recall/F1 reproduced from the raw texts."""
+    import random
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        ROUGE_L_MAX_TOK,
+        rouge_l_bounded,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    def classic(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[len(a)][len(b)]
+
+    def runmax(a, b):
+        import numpy as np
+
+        aa = np.asarray(list(a), dtype=object)
+        bb = np.asarray(list(b), dtype=object)
+        row = np.zeros(len(bb) + 1, dtype=np.int64)
+        for i in range(len(aa)):
+            match = (aa[i] == bb).astype(np.int64)
+            e = np.maximum(row[1:], row[:-1] + match)
+            row = np.concatenate(([0], np.maximum.accumulate(e)))
+        return int(row[len(bb)])
+
+    rng = random.Random(131)
+    vocab = ["a", "b", "c", "d", "e"]
+    cases = [([], []), (["a"], []), ([], ["a"]), (["a"] * 9, ["a"] * 9)]
+    for _ in range(200):
+        la, lb = rng.randrange(25), rng.randrange(25)
+        cases.append(
+            ([rng.choice(vocab) for _ in range(la)],
+             [rng.choice(vocab) for _ in range(lb)])
+        )
+    for a, b in cases:
+        assert runmax(a, b) == classic(a, b), (a, b)
+
+    SF = "/root/testdata/sf0.001"
+    docs = {r.doc_id: r.text.split(" ")[:ROUGE_L_MAX_TOK]
+            for r in load(spark, SF, "documents").collect()}
+    got = {r.pair_id: r for r in rouge_l_bounded(spark, SF).collect()}
+    want_pairs = {d // 2 for d in docs if d % 2 == 1 and d - 1 in docs}
+    assert set(got) == want_pairs and got
+    for pid in sorted(want_pairs)[:40]:
+        c, r_ = docs[2 * pid + 1], docs[2 * pid]
+        lcs = classic(c, r_)
+        row = got[pid]
+        assert (row.cand_len, row.ref_len, row.lcs_len) == (len(c), len(r_), lcs)
+        p, rc = lcs / len(c), lcs / len(r_)
+        assert row.rouge_l_f == round(0.0 if lcs == 0 else 2 * p * rc / (p + rc), 6)
