@@ -383,6 +383,9 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_win_distribution_funcs": (EK, "stream_incremental_quantile"),
     "rel_ordered_collect": (EK, "stream_incremental_topk"),
     "rel_percentiles_exact": (EK, "stream_incremental_quantile"),
+    "rel_ks_two_sample": (EK, "stream_incremental_mann_whitney"),
+    "rel_conformal_interval": (EK, "stream_incremental_quantile"),
+    "rel_bh_fdr": (AE, "FDR decision table over a test grid"),
     "rel_agg_median_argmax": (EK, "stream_incremental_quantile"),
     "rel_robust_stats_mad": (EK, "stream_incremental_quantile"),
     "llm_winsorize_lengths": (EK, "stream_incremental_quantile"),

@@ -7143,6 +7143,365 @@ CROSS JOIN (SELECT * FROM stats WHERE variant = 1) b
 """
 
 
+# --- Exact two-sample Kolmogorov-Smirnov (round 13) ---------------------------
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the hash-assigned
+    variants (user_id parity, the ab_test split) over event value: the
+    supremum ECDF gap D, the value where it is attained, and the
+    one-term asymptotic tail probability 2*exp(-2*lambda^2) with
+    Stephens' small-sample effective lambda (en + 0.12 + 0.11/en)*D
+    (Numerical Recipes' probks leading term).
+
+    The argmax is INTEGER-EXACT: at each distinct value the ECDF gap is
+    |cum_a*n_b - cum_b*n_a| over the common denominator n_a*n_b, so the
+    maximum and its location are found in BIGINT arithmetic (ties break
+    to the smallest value) and floats appear only in the final one-row
+    D/lambda/p expression — bitwise-stable at any parallelism.
+
+    Scale: ONE groupBy on distinct values (map-side combining), one
+    ordered window over the distinct-value spine (orders of magnitude
+    smaller than the event stream), a 1-row broadcast of the group
+    totals. Nothing is quadratic and raw events are never re-sorted.
+    """
+    import math
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = (
+        ev.withColumn("g", (F.col("user_id") % 2).cast("int"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+        )
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pts.select(
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cum.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    gaps = cum.crossJoin(tot).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("num"),
+        "value",
+    )
+    best = gaps.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("num"), (-F.col("value")).alias("nv"))).alias("bst")
+    )
+    d = F.col("bst.num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    en = F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * d
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("ks_d"),
+        (-F.col("bst.nv")).alias("d_at_value"),
+        F.round(lam, 6).alias("lambda_eff"),
+        F.round(F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam), 6).alias("p_approx"),
+    )
+
+
+KS_TWO_SAMPLE_SQL = """
+WITH pts AS (
+  SELECT value,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY value),
+cum AS (
+  SELECT value,
+         sum(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b
+  FROM pts),
+tot AS (SELECT CAST(max(cum_a) AS BIGINT) AS n_a,
+               CAST(max(cum_b) AS BIGINT) AS n_b FROM cum),
+best AS (
+  SELECT n_a, n_b,
+         max(struct_pack(num := abs(cum_a * n_b - cum_b * n_a),
+                         nv := -value)) AS bst
+  FROM cum, tot GROUP BY n_a, n_b)
+SELECT n_a, n_b,
+       round(CAST(bst.num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d,
+       -bst.nv AS d_at_value,
+       round((sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+              + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+             * (CAST(bst.num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)),
+             6) AS lambda_eff,
+       round(2.0 * exp(-2.0
+             * pow((sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+                    + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+                   * (CAST(bst.num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)),
+                   2)),
+             6) AS p_approx
+FROM best
+"""
+
+
+# --- Benjamini-Hochberg FDR over a grid of tests (round 13) -------------------
+
+BH_Q = 0.10  # target false-discovery rate
+# Zelen & Severo 26.2.17 polynomial tail of the standard normal CDF —
+# the same five coefficients evaluated in both engines, so p-values are
+# deterministic doubles, then ROUNDED to 6 before any BH comparison (the
+# selection boundary must not depend on a last-ulp exp() difference).
+_ZS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_ZS_T = 0.2316419
+
+
+def bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction: a grid of Welch z-tests (mean event
+    value, user-parity variants, one test per (event_type, weekday)
+    cell) corrected by Benjamini-Hochberg at q=0.10. Per cell: the z
+    statistic, the two-sided p (Zelen-Severo 26.2.17 normal tail,
+    rounded to 6 before comparison), its ascending rank, the BH
+    threshold rank*q/m, and the reject decision (p <= p_(k) for the
+    largest k passing its threshold — the step-up rule, not the naive
+    per-row comparison).
+
+    Scale: the test grid is alphabet x 7 cells built by ONE map-side
+    combining aggregate with exact decimal sums (the ab_test
+    discipline); the BH step-up is two tiny windows over m rows.
+    """
+    import math
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    per = (
+        ev.select(
+            "event_type",
+            (F.expr(f"(ts div 1000) div {MICROS_PER_DAY}") % 7).alias("weekday"),
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "weekday")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), dec)).cast("double").alias("sa"),
+            F.sum(F.when(~F.col("is_a"), dec)).cast("double").alias("sb"),
+            F.sum(F.when(F.col("is_a"), dec * dec)).cast("double").alias("ssa"),
+            F.sum(F.when(~F.col("is_a"), dec * dec)).cast("double").alias("ssb"),
+        )
+        .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    )
+    ma = F.col("sa") / F.col("n_a")
+    mb = F.col("sb") / F.col("n_b")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (F.col("n_a") - 1)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (F.col("n_b") - 1)
+    z = (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ZS_T) * az)
+    poly = (
+        F.lit(_ZS_B[0]) * t
+        + F.lit(_ZS_B[1]) * t * t
+        + F.lit(_ZS_B[2]) * t * t * t
+        + F.lit(_ZS_B[3]) * t * t * t * t
+        + F.lit(_ZS_B[4]) * t * t * t * t * t
+    )
+    phi = F.exp(-az * az / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    p = F.round(F.lit(2.0) * phi * poly, 6)
+    scored = per.select(
+        "event_type", "weekday", "n_a", "n_b",
+        F.round(z, 6).alias("z_score"), p.alias("p_value"),
+    )
+    wr = W.orderBy("p_value", "event_type", "weekday")
+    wall = W.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).alias("p_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    ranked = ranked.withColumn(
+        "bh_thresh",
+        F.round(F.col("p_rank").cast("double") * F.lit(BH_Q) / F.col("m"), 6),
+    )
+    kmax = ranked.withColumn(
+        "k_ok",
+        F.max(
+            F.when(F.col("p_value") <= F.col("bh_thresh"), F.col("p_rank")).otherwise(0)
+        ).over(wall),
+    )
+    return kmax.select(
+        "event_type",
+        F.col("weekday").cast("int").alias("weekday"),
+        "n_a", "n_b", "z_score", "p_value",
+        F.col("p_rank").cast("bigint").alias("p_rank"), "bh_thresh",
+        (F.col("p_rank") <= F.col("k_ok")).alias("rejected"),
+    )
+
+
+def _bh_fdr_sql() -> str:
+    b1, b2, b3, b4, b5 = _ZS_B
+    return f"""
+WITH per AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {MICROS_PER_DAY}) % 7 AS BIGINT) AS weekday,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN user_id % 2 = 0
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+         CAST(sum(CASE WHEN user_id % 2 = 1
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+         CAST(sum(CASE WHEN user_id % 2 = 0
+                  THEN CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ssa,
+         CAST(sum(CASE WHEN user_id % 2 = 1
+                  THEN CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ssb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2 HAVING n_a >= 2 AND n_b >= 2),
+zed AS (
+  SELECT event_type, weekday, n_a, n_b,
+         (sb / n_b - sa / n_a)
+           / sqrt(((ssa - sa * sa / n_a) / (n_a - 1)) / n_a
+                  + ((ssb - sb * sb / n_b) / (n_b - 1)) / n_b) AS z
+  FROM per),
+pv AS (
+  SELECT event_type, weekday, n_a, n_b, round(z, 6) AS z_score,
+         round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / sqrt(2.0 * pi()))
+               * ({b1} * (1.0 / (1.0 + {_ZS_T} * abs(z)))
+                  + {b2} * pow(1.0 / (1.0 + {_ZS_T} * abs(z)), 2)
+                  + {b3} * pow(1.0 / (1.0 + {_ZS_T} * abs(z)), 3)
+                  + {b4} * pow(1.0 / (1.0 + {_ZS_T} * abs(z)), 4)
+                  + {b5} * pow(1.0 / (1.0 + {_ZS_T} * abs(z)), 5)),
+               6) AS p_value
+  FROM zed),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, event_type, weekday) AS p_rank,
+         count(*) OVER () AS m
+  FROM pv),
+thr AS (
+  SELECT *, round(CAST(p_rank AS DOUBLE) * {BH_Q} / m, 6) AS bh_thresh FROM ranked),
+kmx AS (
+  SELECT *, max(CASE WHEN p_value <= bh_thresh THEN p_rank ELSE 0 END)
+              OVER () AS k_ok
+  FROM thr)
+SELECT event_type, CAST(weekday AS INTEGER) AS weekday, n_a, n_b, z_score,
+       p_value, p_rank, bh_thresh, p_rank <= k_ok AS rejected
+FROM kmx
+"""
+
+
+# --- Split-conformal prediction intervals (round 13) --------------------------
+
+CONF_ALPHA_PCT = 10  # 90% target coverage; the quantile rank is exact-integer
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018) for
+    event value per event_type: even event_ids are the calibration
+    split, odd the test split; the point predictor is the calibration
+    mean (exact decimal sum / count); the half-width q_hat is the
+    k-th smallest absolute calibration residual with the EXACT integer
+    rank k = ceil((1-alpha)(n_cal+1)) — the finite-sample-valid order
+    statistic, no percentile interpolation to disagree across engines.
+    Output: per type, both split sizes, the predictor, q_hat, and the
+    achieved test coverage |value - pred| <= q_hat.
+
+    Scale: one aggregate for the predictor (broadcast back — a
+    type-alphabet-sized dimension), one window rank over calibration
+    residuals per type, one test-side aggregate. The quantile is a
+    per-type order statistic, not a global sort.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cal = ev.filter(F.col("event_id") % 2 == 0)
+    tst = ev.filter(F.col("event_id") % 2 == 1)
+    pred = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pred"),
+    )
+    k = F.floor(
+        (F.lit(100 - CONF_ALPHA_PCT) * (F.col("n_cal") + 1) + F.lit(99)) / F.lit(100)
+    ).cast("bigint")
+    scored = (
+        cal.join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type", "n_cal", "pred", "event_id",
+            F.abs(F.col("value") - F.col("pred")).alias("score"),
+            k.alias("k"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("score", "event_id")
+    qhat = (
+        scored.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == F.col("k"))
+        .select("event_type", "n_cal", "pred", F.col("score").alias("q_hat"))
+    )
+    # k > n_cal (tiny calibration split) would mean an infinite interval;
+    # such types simply drop out of the rank filter above, mirroring the
+    # oracle's inner join.
+    cov = (
+        tst.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "pred", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("pred")) <= F.col("q_hat"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        F.round(F.col("pred"), 6).alias("pred_mean"),
+        F.round(F.col("q_hat"), 6).alias("q_hat"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+pred AS (
+  SELECT event_type, count(*) AS n_cal,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS pred
+  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+scored AS (
+  SELECT e.event_type, p.n_cal, p.pred,
+         abs(e.value - p.pred) AS score,
+         ({100 - CONF_ALPHA_PCT} * (p.n_cal + 1) + 99) // 100 AS k,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - p.pred), e.event_id) AS r
+  FROM ev e JOIN pred p USING (event_type) WHERE e.event_id % 2 = 0),
+qhat AS (
+  SELECT event_type, n_cal, pred, score AS q_hat FROM scored WHERE r = k),
+cov AS (
+  SELECT q.event_type, q.n_cal, q.pred, q.q_hat,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(e.value - q.pred) <= q.q_hat
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM ev e JOIN qhat q USING (event_type) WHERE e.event_id % 2 = 1
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, n_cal, n_test,
+       round(pred, 6) AS pred_mean,
+       round(q_hat, 6) AS q_hat,
+       round(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
+FROM cov
+"""
+
+
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user reaches
     step N only with an event strictly AFTER their step-N-1 time. Pure
@@ -10072,6 +10431,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_variant_json", variant_json, VARIANT_SQL),
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),
     ("rel_ab_test_zscore", ab_test_zscore, AB_TEST_SQL),
+    ("rel_ks_two_sample", ks_two_sample, KS_TWO_SAMPLE_SQL),
+    ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
+    ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),

@@ -1762,3 +1762,116 @@ def test_seq_pattern_non_overlapping_semantics(spark):
         ("error_burst", 3): (1, 1),
         ("error_burst", 2): (1, 1),
     }
+
+
+def test_ks_two_sample_reference(spark):
+    """ECDF sup-gap replayed in exact integer arithmetic in Python; the
+    argmax value, Stephens lambda, and one-term tail all reproduced."""
+    import math
+
+    ev = load(spark, SF, "events").select("user_id", "value").collect()
+    a = sorted(r.value for r in ev if r.value is not None and r.user_id % 2 == 0)
+    b = sorted(r.value for r in ev if r.value is not None and r.user_id % 2 == 1)
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    best_num, best_v = -1, None
+    ia = ib = 0
+    for v in values:
+        while ia < na and a[ia] <= v:
+            ia += 1
+        while ib < nb and b[ib] <= v:
+            ib += 1
+        num = abs(ia * nb - ib * na)
+        if num > best_num:
+            best_num, best_v = num, v
+    d = best_num / (na * nb)
+    en = math.sqrt(na * nb / (na + nb))
+    lam = (en + 0.12 + 0.11 / en) * d
+    row = relational.ks_two_sample(spark, SF).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.ks_d == round(d, 6)
+    assert row.d_at_value == best_v
+    assert row.lambda_eff == round(lam, 6)
+    assert row.p_approx == round(2.0 * math.exp(-2.0 * lam * lam), 6)
+
+
+def test_bh_fdr_step_up_reference(spark):
+    """Welch z grid + Zelen-Severo tail + BH step-up replayed in Python;
+    the rejected set must be the step-up prefix, not the naive per-row
+    comparison (a p above its own threshold is still rejected when a
+    later rank passes)."""
+    import math
+    from collections import defaultdict
+
+    ev = load(spark, SF, "events").select("user_id", "ts", "event_type", "value").collect()
+    cells = defaultdict(lambda: [0, 0, 0.0, 0.0, 0.0, 0.0])
+    for r in ev:
+        if r.value is None:
+            continue
+        wd = ((r.ts // 1000) // relational.MICROS_PER_DAY) % 7
+        c = cells[(r.event_type, wd)]
+        v = round(r.value, 2)
+        if r.user_id % 2 == 0:
+            c[0] += 1; c[2] += v; c[4] += v * v
+        else:
+            c[1] += 1; c[3] += v; c[5] += v * v
+    pv = {}
+    for key, (n_a, n_b, sa, sb, ssa, ssb) in cells.items():
+        if n_a < 2 or n_b < 2:
+            continue
+        va = (ssa - sa * sa / n_a) / (n_a - 1)
+        vb = (ssb - sb * sb / n_b) / (n_b - 1)
+        z = (sb / n_b - sa / n_a) / math.sqrt(va / n_a + vb / n_b)
+        az = abs(z)
+        t = 1.0 / (1.0 + relational._ZS_T * az)
+        poly = sum(bc * t ** (i + 1) for i, bc in enumerate(relational._ZS_B))
+        phi = math.exp(-az * az / 2.0) / math.sqrt(2.0 * math.pi)
+        pv[key] = (round(z, 6), round(2.0 * phi * poly, 6))
+    rows = {(r.event_type, r.weekday): r for r in relational.bh_fdr(spark, SF).collect()}
+    assert set(rows) == set(pv)
+    m = len(pv)
+    ordered = sorted(pv.items(), key=lambda kv: (kv[1][1], kv[0][0], kv[0][1]))
+    k_ok = 0
+    for i, (_k, (_z, p)) in enumerate(ordered, 1):
+        if p <= round(i * relational.BH_Q / m, 6):
+            k_ok = i
+    for i, (key, (z, p)) in enumerate(ordered, 1):
+        row = rows[key]
+        assert (row.z_score, row.p_value, row.p_rank) == (z, p, i)
+        assert row.rejected == (i <= k_ok)
+    assert any(r.rejected for r in rows.values()) or k_ok == 0
+
+
+def test_conformal_interval_reference(spark):
+    """Split-conformal replay: exact integer rank k = ceil(0.9(n+1)),
+    q_hat the k-th smallest calibration residual, coverage re-counted on
+    the test split; marginal coverage must be >= 1 - alpha - slack on
+    the real lake (the finite-sample guarantee holds per type here
+    because values are iid by construction)."""
+    from collections import defaultdict
+
+    ev = load(spark, SF, "events").select("event_id", "event_type", "value").collect()
+    cal = defaultdict(list)
+    tst = defaultdict(list)
+    for r in ev:
+        if r.value is None:
+            continue
+        v = round(r.value, 2)
+        (cal if r.event_id % 2 == 0 else tst)[r.event_type].append((v, r.event_id))
+    rows = {r.event_type: r for r in relational.conformal_interval(spark, SF).collect()}
+    for et, cvals in cal.items():
+        n = len(cvals)
+        k = (90 * (n + 1) + 99) // 100
+        if k > n or et not in tst:
+            assert et not in rows or rows[et].n_test == 0
+            continue
+        pred = sum(v for v, _ in cvals) / n
+        scores = sorted((abs(v - pred), eid) for v, eid in cvals)
+        q = scores[k - 1][0]
+        covered = sum(1 for v, _ in tst[et] if abs(v - pred) <= q)
+        row = rows[et]
+        assert (row.n_cal, row.n_test) == (n, len(tst[et]))
+        assert row.pred_mean == round(pred, 6)
+        assert row.q_hat == round(q, 6)
+        assert row.coverage == round(covered / len(tst[et]), 6)
+        assert row.coverage >= 0.8  # 90% target with small-sample slack

@@ -757,3 +757,12 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
 
     sq = relational.seq_pattern_match(spark, sf)
     assert sq.count() == 0 and {"pattern", "match_len"} <= set(sq.columns)
+
+    ks = relational.ks_two_sample(spark, sf)
+    assert ks.count() == 0 and "ks_d" in ks.columns
+
+    bh = relational.bh_fdr(spark, sf)
+    assert bh.count() == 0 and "rejected" in bh.columns
+
+    ci = relational.conformal_interval(spark, sf)
+    assert ci.count() == 0 and "coverage" in ci.columns
