@@ -4375,6 +4375,34 @@ SHARD_TOKENS = 2048  # global shard size target (tokens)
 SHARD_BUCKET = 64  # doc_ids per prefix-sum bucket
 
 
+def _shard_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, shard_id) under the two-level distributed prefix
+    sum — the assignment step shared by global_shard_plan and the shard
+    mixing audit."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", word_count(F.col("text")).alias("n_tok")
+    )
+    b = d.withColumn("bucket", F.expr(f"doc_id div {SHARD_BUCKET}"))
+    bsum = b.groupBy("bucket").agg(F.sum("n_tok").cast("bigint").alias("btok"))
+    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wloc = (
+        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = (
+        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
+    ).cast("bigint")
+    return (
+        b.join(F.broadcast(offs), "bucket")
+        .withColumn("before", before)
+        .withColumn("shard_id", F.expr(f"before div {SHARD_TOKENS}"))
+        .select("doc_id", "n_tok", "shard_id")
+    )
+
+
 def global_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL corpus sharding for export: every document gets the shard
     its FIRST token lands in under a corpus-wide running token count in
@@ -4393,28 +4421,7 @@ def global_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table itself gets the same treatment recursively (three levels);
     everything is exact int64 arithmetic, so the result is
     order-deterministic by construction."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", word_count(F.col("text")).alias("n_tok")
-    )
-    b = d.withColumn("bucket", F.expr(f"doc_id div {SHARD_BUCKET}"))
-    bsum = b.groupBy("bucket").agg(F.sum("n_tok").cast("bigint").alias("btok"))
-    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    offs = bsum.select(
-        "bucket",
-        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint").alias("off"),
-    )
-    wloc = (
-        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    )
-    before = (
-        F.col("off") + F.coalesce(F.sum("n_tok").over(wloc), F.lit(0))
-    ).cast("bigint")
-    assigned = (
-        b.join(F.broadcast(offs), "bucket")
-        .withColumn("before", before)
-        .withColumn("shard_id", F.expr(f"before div {SHARD_TOKENS}"))
-    )
-    return assigned.groupBy("shard_id").agg(
+    return _shard_assigned(spark, sf_dir).groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -4437,6 +4444,98 @@ SELECT CAST(before // {SHARD_TOKENS} AS BIGINT) AS shard_id,
        CAST(sum(n_tok) AS BIGINT) AS tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1
+"""
+
+
+def shard_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing uniformity audit over the global shard plan: a
+    training run streams shards in order, so a shard whose source mix
+    diverges from the corpus mix is a local curriculum bug (a stretch of
+    one source in doc_id order). Per shard: the chi-square statistic of
+    its observed source counts against corpus-proportional expectations
+    (ABSENT sources still contribute their expectation — the grid is
+    shards x corpus sources), the worst-fitting source, and sizes.
+
+    Each cell term (o*N - n_sh*N_s)^2 / (N*n_sh*N_s) is one
+    deterministic double from exact BIGINT inputs, quantized to 1e-6
+    micro-units before the per-shard sum (the bcubed discipline) — chi2
+    is bitwise-stable under any partial-aggregation order.
+
+    Scale: rides _shard_assigned's two-level prefix sum; the audit adds
+    one (shard, source) aggregate and a shards x sources grid join
+    (sources are an alphabet, the grid is shard-table-sized).
+    """
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = _shard_assigned(spark, sf_dir).join(src, "doc_id")
+    corpus = src.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    ntot = corpus.agg(F.sum("ns").cast("bigint").alias("n"))
+    shards = ds.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    cells = ds.groupBy("shard_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    grid = (
+        shards.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ntot))
+        .join(cells, ["shard_id", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint"))
+    )
+    num = F.col("o") * F.col("n") - F.col("n_sh") * F.col("ns")
+    term = (num * num).cast("double") / (
+        F.col("n") * F.col("n_sh") * F.col("ns")
+    ).cast("double")
+    t_mu = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    per = grid.groupBy("shard_id", "n_sh").agg(
+        F.sum(t_mu).cast("bigint").alias("chi_micro"),
+        F.max(F.struct(t_mu.alias("t"), F.col("source"))).alias("worst"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return per.select(
+        "shard_id",
+        F.col("n_sh").alias("n_docs"),
+        "n_sources",
+        F.round(F.col("chi_micro").cast("double") / F.lit(1e6), 6).alias("chi2"),
+        F.col("worst.source").alias("worst_source"),
+    )
+
+
+_SHARD_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM d),
+ds AS (
+  SELECT CAST(before // {SHARD_TOKENS} AS BIGINT) AS shard_id, doc.source
+  FROM c JOIN documents doc USING (doc_id)),
+corpus AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           FROM documents GROUP BY source),
+ntot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM corpus),
+shards AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_sh
+           FROM ds GROUP BY shard_id),
+cells AS (SELECT shard_id, source, CAST(count(*) AS BIGINT) AS o
+          FROM ds GROUP BY 1, 2),
+grid AS (
+  SELECT s.shard_id, s.n_sh, co.source, co.ns, t.n,
+         CAST(coalesce(ce.o, 0) AS BIGINT) AS o
+  FROM shards s CROSS JOIN corpus co CROSS JOIN ntot t
+  LEFT JOIN cells ce ON ce.shard_id = s.shard_id AND ce.source = co.source),
+terms AS (
+  SELECT shard_id, n_sh, source,
+         CAST(floor(CAST((o * n - n_sh * ns) * (o * n - n_sh * ns) AS DOUBLE)
+                    / CAST(n * n_sh * ns AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS t_mu
+  FROM grid)
+SELECT shard_id, n_sh AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       round(CAST(sum(t_mu) AS DOUBLE) / 1e6, 6) AS chi2,
+       max(struct_pack(t := t_mu, source := source)).source AS worst_source
+FROM terms GROUP BY shard_id, n_sh
 """
 
 
@@ -8012,6 +8111,194 @@ SELECT n_truth, n_pred, n_tp,
        CASE WHEN n_truth > 0
             THEN round(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall
 FROM stats
+"""
+
+
+# --- B-cubed cluster-quality eval (round 13) --------------------------------
+
+BCUBED_MICRO = 1_000_000  # per-cell terms quantized to 1e-6 via integer div
+
+
+def bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the banded
+    near-dup CLUSTERING against exact-Jaccard gold clusters — the
+    entity-resolution metric dedup_pr_eval's pairwise P/R cannot see
+    (B-cubed penalizes a wrongly merged mega-cluster per MEMBER, not per
+    pair). Gold = connected components of the exact all-pairs truth on
+    the dedup_pr_eval sample; predicted = components of the banded
+    pipeline's pairs on the same sample; singletons are their own
+    cluster on both sides. B3P = (1/N)*sum_cells n_cg^2/n_c and B3R the
+    n_g twin, with each cell term computed by INTEGER division in 1e-6
+    micro-units (n_cg^2 * 1e6 div n_c) so the cross-cluster sum is exact
+    BIGINT arithmetic at any parallelism — the k-anonymity bucketing
+    discipline applied to an eval metric.
+
+    Scale shape: ground truth is the O(N^2) exact kernel, so the sample
+    bound (doc_id < DEDUP_EVAL_MAX_ID) is inherited from dedup_pr_eval;
+    the cell table is bounded by the sample; components use the
+    O(diameter) label-propagation operator.
+    """
+    from ..operators.components import connected_components
+
+    lim = DEDUP_EVAL_MAX_ID
+    sh = _shingle_rows(spark, sf_dir).filter(F.col("doc_id") < lim)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    truth = (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(F.round(jac, 6) >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    pred_pairs = minhash_near_dup_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < lim) & (F.col("doc_b") < lim)
+    ).select("doc_a", "doc_b")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < lim)
+        .select("doc_id")
+    )
+    gold = connected_components(truth, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("g")
+    )
+    pred = connected_components(pred_pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("c")
+    )
+    assign = (
+        docs.join(pred, "doc_id", "left")
+        .join(gold, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.col("doc_id")).alias("c"),
+            F.coalesce(F.col("g"), F.col("doc_id")).alias("g"),
+        )
+    )
+    cells = assign.groupBy("c", "g").agg(F.count(F.lit(1)).alias("n_cg"))
+    nc = cells.groupBy("c").agg(F.sum("n_cg").alias("n_c"))
+    ng = cells.groupBy("g").agg(F.sum("n_cg").alias("n_g"))
+    terms = cells.join(nc, "c").join(ng, "g").select(
+        F.expr(f"(n_cg * n_cg * {BCUBED_MICRO}) div n_c").alias("p_mu"),
+        F.expr(f"(n_cg * n_cg * {BCUBED_MICRO}) div n_g").alias("r_mu"),
+        "n_cg",
+    )
+    sums = terms.agg(
+        F.coalesce(F.sum("p_mu"), F.lit(0)).cast("bigint").alias("p_micro"),
+        F.coalesce(F.sum("r_mu"), F.lit(0)).cast("bigint").alias("r_micro"),
+        F.coalesce(F.sum("n_cg"), F.lit(0)).cast("bigint").alias("n_docs"),
+    )
+    sizes = assign.agg(
+        F.countDistinct("c").cast("bigint").alias("n_pred_clusters"),
+        F.countDistinct("g").cast("bigint").alias("n_gold_clusters"),
+    )
+    p = F.col("p_micro").cast("double") / (
+        F.lit(float(BCUBED_MICRO)) * F.col("n_docs").cast("double")
+    )
+    r = F.col("r_micro").cast("double") / (
+        F.lit(float(BCUBED_MICRO)) * F.col("n_docs").cast("double")
+    )
+    return sums.crossJoin(sizes).select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_gold_clusters",
+        F.when(F.col("n_docs") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(p, 6)).alias("bcubed_p"),
+        F.when(F.col("n_docs") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6)).alias("bcubed_r"),
+        F.when(F.col("n_docs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.when(
+                    F.col("p_micro") + F.col("r_micro") == 0, F.lit(0.0)
+                ).otherwise(F.lit(2.0) * p * r / (p + r)),
+                6,
+            )
+        ).alias("bcubed_f"),
+    )
+
+
+_BCUBED_SQL = f"""
+WITH RECURSIVE sh0 AS ({{shingles}}),
+sh AS (SELECT * FROM sh0 WHERE doc_id < {DEDUP_EVAL_MAX_ID}),
+cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN cnts na ON na.doc_id = doc_a JOIN cnts nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= CAST(0.2 AS DOUBLE)
+),
+pred0 AS ({{pairs}}),
+predp AS (SELECT doc_a, doc_b FROM pred0
+          WHERE doc_a < {DEDUP_EVAL_MAX_ID} AND doc_b < {DEDUP_EVAL_MAX_ID}),
+gu AS (SELECT doc_a AS a, doc_b AS b FROM truth
+       UNION SELECT doc_b, doc_a FROM truth),
+greach AS (SELECT a, b FROM gu
+           UNION SELECT r.a, u.b FROM greach r JOIN gu u ON r.b = u.a),
+gcomp AS (SELECT a AS doc_id, least(a, min(b)) AS g FROM greach GROUP BY a),
+pu AS (SELECT doc_a AS a, doc_b AS b FROM predp
+       UNION SELECT doc_b, doc_a FROM predp),
+preach AS (SELECT a, b FROM pu
+           UNION SELECT r.a, u.b FROM preach r JOIN pu u ON r.b = u.a),
+pcomp AS (SELECT a AS doc_id, least(a, min(b)) AS c FROM preach GROUP BY a),
+assign AS (
+  SELECT d.doc_id,
+         coalesce(p.c, d.doc_id) AS c,
+         coalesce(g.g, d.doc_id) AS g
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {DEDUP_EVAL_MAX_ID}) d
+  LEFT JOIN pcomp p USING (doc_id) LEFT JOIN gcomp g USING (doc_id)
+),
+cells AS (SELECT c, g, count(*) AS n_cg FROM assign GROUP BY 1, 2),
+nc AS (SELECT c, sum(n_cg) AS n_c FROM cells GROUP BY c),
+ng AS (SELECT g, sum(n_cg) AS n_g FROM cells GROUP BY g),
+sums AS (
+  SELECT CAST(coalesce(sum((n_cg * n_cg * {BCUBED_MICRO}) // n_c), 0)
+              AS BIGINT) AS p_micro,
+         CAST(coalesce(sum((n_cg * n_cg * {BCUBED_MICRO}) // n_g), 0)
+              AS BIGINT) AS r_micro,
+         CAST(coalesce(sum(n_cg), 0) AS BIGINT) AS n_docs
+  FROM cells JOIN nc USING (c) JOIN ng USING (g)
+),
+sizes AS (
+  SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_pred_clusters,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_gold_clusters
+  FROM assign
+)
+SELECT n_docs, n_pred_clusters, n_gold_clusters,
+       CASE WHEN n_docs = 0 THEN NULL ELSE
+       round(CAST(p_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs), 6) END
+         AS bcubed_p,
+       CASE WHEN n_docs = 0 THEN NULL ELSE
+       round(CAST(r_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs), 6) END
+         AS bcubed_r,
+       CASE WHEN n_docs = 0 THEN NULL ELSE
+       round(CASE WHEN p_micro + r_micro = 0 THEN 0.0 ELSE
+             2.0 * (CAST(p_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs))
+                 * (CAST(r_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs))
+               / (CAST(p_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs)
+                  + CAST(r_micro AS DOUBLE) / ({BCUBED_MICRO}.0 * n_docs)) END,
+             6) END AS bcubed_f
+FROM sums, sizes
 """
 
 
@@ -15182,6 +15469,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_doc_chunking", doc_chunking, _CHUNKING_SQL),
     ("llm_sequence_packing", sequence_packing, _PACKING_SQL),
     ("llm_global_shard_plan", global_shard_plan, _SHARD_PLAN_SQL),
+    ("llm_shard_mixing_audit", shard_mixing_audit, _SHARD_MIX_SQL),
     ("llm_train_val_split", train_val_split, _SPLIT_SQL),
     ("llm_pii_scrub", pii_scrub, _PII_SQL),
     ("llm_heavy_hitters", heavy_hitters, _HEAVY_HITTERS_SQL),
@@ -15234,6 +15522,11 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_weighted_sample", weighted_sample, _weighted_sample_sql()),
     ("llm_langid_confusion", langid_confusion, _langid_confusion_sql()),
     ("llm_dedup_pr_eval", dedup_pr_eval, _DEDUP_PR_SQL),
+    (
+        "llm_bcubed_eval",
+        bcubed_eval,
+        _BCUBED_SQL.format(shingles=_SHINGLE_ROWS_SQL, pairs=_MINHASH_PAIRS_SQL),
+    ),
     ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
     ("llm_image_phash", image_phash, _image_phash_sql()),
     ("llm_image_near_dup", image_near_dup, _image_near_dup_sql()),

@@ -430,6 +430,9 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_sequence_packing": (EK, "stream_incremental_token_budget"),
     # --- audits / evals / diagnostics -------------------------------------
     "llm_text_overlap_eval": (AE, "BLEU/ROUGE corpus eval report"),
+    "llm_bcubed_eval": (AE, "B-cubed cluster-quality eval"),
+    "rel_ips_offline_eval": (AE, "off-policy IPS/SNIPS eval report"),
+    "llm_shard_mixing_audit": (AE, "source-mix audit of the shard plan"),
     "llm_rouge_l_bounded": (SM, "per-pair bounded LCS kernel"),
     "llm_ann_recall_eval": (AE, "recall eval of ANN queries"),
     "llm_hnsw_recall_eval": (AE, "recall eval of HNSW"),

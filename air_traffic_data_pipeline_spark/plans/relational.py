@@ -7145,6 +7145,8 @@ CROSS JOIN (SELECT * FROM stats WHERE variant = 1) b
 
 # --- Exact two-sample Kolmogorov-Smirnov (round 13) ---------------------------
 
+MICROS_PER_DAY = 86_400_000_000
+
 
 def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov test between the hash-assigned
@@ -7394,6 +7396,156 @@ kmx AS (
 SELECT event_type, CAST(weekday AS INTEGER) AS weekday, n_a, n_b, z_score,
        p_value, p_rank, bh_thresh, p_rank <= k_ok AS rejected
 FROM kmx
+"""
+
+
+# --- IPS / SNIPS off-policy evaluation (round 13) -----------------------------
+
+IPS_EPS = 0.2  # epsilon-greedy target policy mass off the argmax action
+
+
+def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of an epsilon-greedy target policy from the
+    logged event stream (IPS, Horvitz-Thompson; SNIPS, Swaminathan &
+    Joachims 2015): context = weekday, action = event_type, reward =
+    value. The target policy is LEARNED on the even-event_id split (per
+    context, argmax mean reward — exact decimal sums, mean ties to the
+    larger action string via the struct-max rule) and evaluated on the
+    odd split with empirical
+    logging propensities p(a|x) = n_xa/n_x from the SAME eval split.
+    Per context: the target action, the IPS value estimate
+    (1/n_x)*sum_a pi(a|x)/p(a|x)*sum_r(x,a), its self-normalized twin,
+    and the logged baseline mean.
+
+    Everything stays (context, action)-aggregated: weights are the
+    RATIONAL pi(a|x)*n_x/n_xa applied to per-cell reward sums — no
+    per-row weighting pass, no shuffle beyond the one cell aggregate.
+    The x7 alphabet-bounded output joins by broadcast.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    base = ev.select(
+        "event_type",
+        (F.expr(f"(ts div 1000) div {MICROS_PER_DAY}") % 7).alias("weekday"),
+        (F.col("event_id") % 2 == 0).alias("is_fit"),
+        F.col("value"),
+    )
+    # target policy: per-context argmax of fit-split mean reward
+    fit = (
+        base.filter(F.col("is_fit"))
+        .groupBy("weekday", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+        )
+    )
+    tgt = fit.groupBy("weekday").agg(
+        F.max(
+            F.struct(
+                (F.col("s") / F.col("n")).alias("mean_r"),
+                F.col("event_type"),
+            )
+        ).alias("bst")
+    )
+    # max(struct(mean, type)) breaks mean-ties to the LARGER type string;
+    # both engines apply the same struct ordering, so the rule is stated
+    # for determinism, not preference.
+    target = tgt.select("weekday", F.col("bst.event_type").alias("target_action"))
+    cells = (
+        base.filter(~F.col("is_fit"))
+        .groupBy("weekday", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_xa"),
+            F.sum(dec).alias("sum_r_dec"),  # exact decimal: associative
+        )
+    )
+    nk = cells.groupBy("weekday").agg(
+        F.sum("n_xa").cast("bigint").alias("n_x"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        F.sum("sum_r_dec").alias("sum_all_dec"),
+    )
+    j = cells.join(F.broadcast(target), "weekday").join(F.broadcast(nk), "weekday")
+    pi = F.when(
+        F.col("event_type") == F.col("target_action"), F.lit(1.0 - IPS_EPS)
+    ).otherwise(F.lit(IPS_EPS) / (F.col("k") - 1).cast("double"))
+    # IPS cell contribution: pi/p * sum_r with p = n_xa/n_x. Per-cell
+    # double terms are QUANTIZED to 1e-6 BIGINT micro-units before the
+    # cross-cell sum (the bcubed discipline) — double addition is not
+    # associative, integer addition is, so the estimate is bitwise-stable
+    # under any partial-aggregation order.
+    w_cell = pi * F.col("n_x").cast("double") / F.col("n_xa").cast("double")
+    t_mu = F.floor(
+        w_cell * F.col("sum_r_dec").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    w_mu = F.floor(
+        w_cell * F.col("n_xa").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    per_ctx = j.groupBy("weekday", "target_action", "n_x", "sum_all_dec").agg(
+        F.sum(t_mu).cast("bigint").alias("t_micro"),
+        F.sum(w_mu).cast("bigint").alias("w_micro"),
+    )
+    return per_ctx.select(
+        F.col("weekday").cast("int").alias("weekday"),
+        "target_action",
+        F.col("n_x").alias("n_eval"),
+        F.round(
+            F.col("t_micro").cast("double")
+            / (F.lit(1e6) * F.col("n_x").cast("double")),
+            6,
+        ).alias("ips_value"),
+        F.round(
+            F.col("t_micro").cast("double") / F.col("w_micro").cast("double"), 6
+        ).alias("snips_value"),
+        F.round(
+            F.col("sum_all_dec").cast("double") / F.col("n_x").cast("double"), 6
+        ).alias("logged_mean"),
+    )
+
+
+IPS_EVAL_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {MICROS_PER_DAY}) % 7 AS BIGINT) AS weekday,
+         event_id % 2 = 0 AS is_fit, value
+  FROM events WHERE value IS NOT NULL),
+fit AS (
+  SELECT weekday, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM base WHERE is_fit GROUP BY 1, 2),
+target AS (
+  SELECT weekday,
+         max(struct_pack(mean_r := s / n, event_type := event_type)).event_type
+           AS target_action
+  FROM fit GROUP BY weekday),
+cells AS (
+  SELECT weekday, event_type, CAST(count(*) AS BIGINT) AS n_xa,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_r_dec
+  FROM base WHERE NOT is_fit GROUP BY 1, 2),
+nk AS (
+  SELECT weekday, CAST(sum(n_xa) AS BIGINT) AS n_x,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+         sum(sum_r_dec) AS sum_all_dec
+  FROM cells GROUP BY weekday),
+j AS (
+  SELECT c.weekday, t.target_action, n.n_x, n.sum_all_dec,
+         (CASE WHEN c.event_type = t.target_action THEN {1.0 - IPS_EPS}
+               ELSE {IPS_EPS} / CAST(n.k - 1 AS DOUBLE) END)
+           * CAST(n.n_x AS DOUBLE) / c.n_xa AS w_cell,
+         CAST(c.sum_r_dec AS DOUBLE) AS sum_r, c.n_xa
+  FROM cells c JOIN target t USING (weekday) JOIN nk n USING (weekday)),
+mu AS (
+  SELECT weekday, target_action, n_x, sum_all_dec,
+         CAST(sum(CAST(floor(w_cell * sum_r * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS t_micro,
+         CAST(sum(CAST(floor(w_cell * CAST(n_xa AS DOUBLE) * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS w_micro
+  FROM j GROUP BY weekday, target_action, n_x, sum_all_dec)
+SELECT CAST(weekday AS INTEGER) AS weekday, target_action,
+       n_x AS n_eval,
+       round(CAST(t_micro AS DOUBLE) / (1e6 * n_x), 6) AS ips_value,
+       round(CAST(t_micro AS DOUBLE) / w_micro, 6) AS snips_value,
+       round(CAST(sum_all_dec AS DOUBLE) / n_x, 6) AS logged_mean
+FROM mu
 """
 
 
@@ -8756,8 +8908,6 @@ SEQ_PATTERNS: list[tuple[str, str]] = [
     ("error_burst", "ee+"),  # 2+ consecutive errors
     ("signup_then_buy", "s[vce]*p"),  # signup converting within the day
 ]
-
-MICROS_PER_DAY = 86_400_000_000
 
 
 def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10434,6 +10584,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_ks_two_sample", ks_two_sample, KS_TWO_SAMPLE_SQL),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
+    ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),

@@ -1875,3 +1875,59 @@ def test_conformal_interval_reference(spark):
         assert row.q_hat == round(q, 6)
         assert row.coverage == round(covered / len(tst[et]), 6)
         assert row.coverage >= 0.8  # 90% target with small-sample slack
+
+
+def test_ips_offline_eval_reference(spark):
+    """IPS/SNIPS replayed in pure Python: target policy learned on the
+    fit split (argmax mean, ties to larger type via struct-max), cell
+    weights pi/p, micro-unit quantized sums; SNIPS must equal IPS
+    divided by the mean importance weight (algebraic identity checked
+    numerically via the micro sums)."""
+    import math
+    from collections import defaultdict
+
+    ev = load(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    fit = defaultdict(lambda: [0, 0.0])
+    cells = defaultdict(lambda: [0, 0.0])
+    for r in ev:
+        if r.value is None:
+            continue
+        wd = ((r.ts // 1000) // relational.MICROS_PER_DAY) % 7
+        v = round(r.value, 2)
+        if r.event_id % 2 == 0:
+            fit[(wd, r.event_type)][0] += 1
+            fit[(wd, r.event_type)][1] += v
+        else:
+            cells[(wd, r.event_type)][0] += 1
+            cells[(wd, r.event_type)][1] += v
+    target = {}
+    for (wd, et), (n, s) in fit.items():
+        key = (s / n, et)
+        if wd not in target or key > target[wd]:
+            target[wd] = key
+    got = {r.weekday: r for r in relational.ips_offline_eval(spark, SF).collect()}
+    eps = relational.IPS_EPS
+    by_wd = defaultdict(dict)
+    for (wd, et), (n, s) in cells.items():
+        by_wd[wd][et] = (n, s)
+    assert set(got) == set(by_wd)
+    for wd, acts in by_wd.items():
+        n_x = sum(n for n, _ in acts.values())
+        k = len(acts)
+        t_micro = w_micro = 0
+        sum_all = sum(s for _, s in acts.values())
+        tgt = target[wd][1]
+        for et, (n_xa, s) in acts.items():
+            pi = (1.0 - eps) if et == tgt else eps / (k - 1)
+            w = pi * n_x / n_xa
+            t_micro += int(math.floor(w * s * 1e6 + 0.5))
+            w_micro += int(math.floor(w * n_xa * 1e6 + 0.5))
+        row = got[wd]
+        assert row.target_action == tgt and row.n_eval == n_x
+        assert row.ips_value == round(t_micro / (1e6 * n_x), 6)
+        assert row.snips_value == round(t_micro / w_micro, 6)
+        assert row.logged_mean == round(sum_all / n_x, 6)
+        # SNIPS = IPS / mean importance weight (w_micro/1e6/n_x)
+        assert abs(row.snips_value - row.ips_value / (w_micro / 1e6 / n_x)) < 1e-5

@@ -766,3 +766,13 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
 
     ci = relational.conformal_interval(spark, sf)
     assert ci.count() == 0 and "coverage" in ci.columns
+
+    ip = relational.ips_offline_eval(spark, sf)
+    assert ip.count() == 0 and "snips_value" in ip.columns
+
+    bc = llm.bcubed_eval(spark, sf)
+    rows = bc.collect()
+    assert len(rows) == 1 and rows[0].n_docs == 0  # empty-corpus report row
+
+    sm = llm.shard_mixing_audit(spark, sf)
+    assert sm.count() == 0 and "chi2" in sm.columns

@@ -5240,3 +5240,124 @@ def test_rouge_l_bounded_matches_bruteforce(spark):
         assert (row.cand_len, row.ref_len, row.lcs_len) == (len(c), len(r_), lcs)
         p, rc = lcs / len(c), lcs / len(r_)
         assert row.rouge_l_f == round(0.0 if lcs == 0 else 2 * p * rc / (p + rc), 6)
+
+
+def test_bcubed_eval_reference(spark):
+    """B-cubed replayed in pure Python: union-find components over both
+    pair sets, per-cell micro-unit integer terms, and the P/R/F roll-up;
+    B-cubed must also be <= 1 on both axes and equal 1 iff the
+    clusterings coincide (checked against the actual coincidence)."""
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        BCUBED_MICRO,
+        DEDUP_EVAL_MAX_ID,
+        bcubed_eval,
+        dedup_pr_eval,
+        minhash_near_dup_pairs,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    lim = DEDUP_EVAL_MAX_ID
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF, "documents").filter(f"doc_id < {lim}").collect()
+    }
+
+    def py_shingles(t):  # word 3-grams, the functions/text.py shingle rule
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    # truth pairs: exact jaccard >= 0.2 on shingle sets
+    sh = {d: py_shingles(t) for d, t in docs.items()}
+    truth = []
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and round(inter / len(sh[a] | sh[b]), 6) >= 0.2:
+                truth.append((a, b))
+    pred = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(spark, SF).collect()
+        if r.doc_a < lim and r.doc_b < lim
+    ]
+
+    def comps(pairs):
+        parent = {d: d for d in docs}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in docs}
+
+    cmap, gmap = comps(pred), comps(truth)
+    from collections import Counter
+    cells = Counter((cmap[d], gmap[d]) for d in docs)
+    n_c = Counter(); n_g = Counter()
+    for (c, g), n in cells.items():
+        n_c[c] += n; n_g[g] += n
+    p_micro = sum((n * n * BCUBED_MICRO) // n_c[c] for (c, g), n in cells.items())
+    r_micro = sum((n * n * BCUBED_MICRO) // n_g[g] for (c, g), n in cells.items())
+    N = len(docs)
+    row = bcubed_eval(spark, SF).collect()[0]
+    assert row.n_docs == N
+    assert row.n_pred_clusters == len(set(cmap.values()))
+    assert row.n_gold_clusters == len(set(gmap.values()))
+    p = p_micro / (BCUBED_MICRO * N)
+    r = r_micro / (BCUBED_MICRO * N)
+    assert row.bcubed_p == round(p, 6) and row.bcubed_r == round(r, 6)
+    assert row.bcubed_f == round(0.0 if p + r == 0 else 2 * p * r / (p + r), 6)
+    assert 0.0 < row.bcubed_p <= 1.0 and 0.0 < row.bcubed_r <= 1.0
+    # pairwise PR blind spot check: B3 recall <= 1 iff banding missed
+    # members exactly when dedup_pr_eval reports recall < 1
+    pr = dedup_pr_eval(spark, SF).collect()[0]
+    assert (row.bcubed_r == 1.0) == (pr.recall is None or pr.recall == 1.0) or (
+        cmap == gmap
+    )
+
+
+def test_shard_mixing_audit_reference(spark):
+    """Chi-square per shard replayed in pure Python from the same shard
+    assignment; absent sources contribute their expectation; worst
+    source is the max micro-unit term with ties to the larger source."""
+    from collections import Counter
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        SHARD_TOKENS,
+        shard_mixing_audit,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    rows = sorted(
+        load(spark, SF, "documents").select("doc_id", "text", "source").collect(),
+        key=lambda r: r.doc_id,
+    )
+    before = 0
+    shard_of = {}
+    for r in rows:
+        shard_of[r.doc_id] = before // SHARD_TOKENS
+        before += len(r.text.split(" "))
+    corpus = Counter(r.source for r in rows)
+    N = sum(corpus.values())
+    cells = Counter((shard_of[r.doc_id], r.source) for r in rows)
+    n_sh = Counter(shard_of[r.doc_id] for r in rows)
+    got = {r.shard_id: r for r in shard_mixing_audit(spark, SF).collect()}
+    assert set(got) == set(n_sh)
+    import math
+
+    for sid, nsh in n_sh.items():
+        terms = {}
+        for src, ns in corpus.items():
+            o = cells.get((sid, src), 0)
+            num = o * N - nsh * ns
+            terms[src] = int(math.floor((num * num) / (N * nsh * ns) * 1e6 + 0.5))
+        row = got[sid]
+        assert row.n_docs == nsh and row.n_sources == len(corpus)
+        assert row.chi2 == round(sum(terms.values()) / 1e6, 6)
+        assert row.worst_source == max(terms.items(), key=lambda kv: (kv[1], kv[0]))[0]

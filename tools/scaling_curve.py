@@ -217,6 +217,28 @@ def main() -> int:
         # queries cap at 300 docs — their "curves" would re-run identical
         # data.
         "llm_dsir_weights": llm.dsir_weights,
+        # round-13 additions. events replicas keep the user lattice, so
+        # per-user-day strings DENSIFY — the regex scan is linear in
+        # string length and the (user, day) key count is fixed: the
+        # collect_list state per key is the thing to watch
+        "rel_seq_pattern_match": relational.seq_pattern_match,
+        # the KS distinct-value spine is bounded by the 2-dp value
+        # domain — expect a linear scan into a near-constant window
+        "rel_ks_two_sample": relational.ks_two_sample,
+        # fixed (type, weekday) grid, one map-side-combining aggregate
+        "rel_bh_fdr": relational.bh_fdr,
+        # per-type rank window grows linearly in the calibration split
+        "rel_conformal_interval": relational.conformal_interval,
+        # QI-domain x band cells fixed; one aggregate feeds every rung
+        "rel_privacy_release_gate": relational.privacy_release_gate,
+        # distinct-text model: the n-gram vocabulary grows with replicas
+        # but the (pair, n, gram) shuffle stays one pass — expect linear
+        "llm_text_overlap_eval": llm.text_overlap_eval,
+        # constant 576-cell DP per pair, pair count grows — expect linear
+        "llm_rouge_l_bounded": llm.rouge_l_bounded,
+        # |widths| broadcast-table reweights of ONE bigram scan
+        "llm_dsir_width_overlap": llm.dsir_width_overlap,
+        # gif_decode deliberately absent: caps at 300 docs (the jpeg rule)
     }
     only = list(argv)
     if only:

@@ -91,6 +91,17 @@ FOLD_HEAVY = (
     # fs_record_linkage is customers-based and deliberately absent —
     # customer stays sf0.1-sized in this lake
     "llm_dsir_weights",
+    # round-13 fold paths: BH-FDR's Zelen-Severo tails ride decimal sums
+    # over a 10x event stream and the step-up selection must not move;
+    # KS's integer sup-gap argmax walks a denser distinct-value spine;
+    # the conformal order-statistic rank k = ceil(0.9(n+1)) lands on a
+    # 10x calibration split; BLEU's smoothed log composite divides 10x
+    # clipped counts. seq_pattern/privacy_gate are exact-integer
+    # (nothing to drift); rouge_l/gif are bounded kernels (the jpeg rule)
+    "rel_bh_fdr",
+    "rel_ks_two_sample",
+    "rel_conformal_interval",
+    "llm_text_overlap_eval",
 )
 
 ALL_TABLES = (
