@@ -8302,6 +8302,243 @@ FROM sums, sizes
 """
 
 
+def cluster_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting and information-theoretic agreement between the
+    banded near-dup clustering and the exact-Jaccard gold clustering
+    (the bcubed_eval pairing): Adjusted Rand Index (Hubert & Arabie
+    1985) computed in EXACT integer arithmetic end-to-end (choose-2
+    sums, the expected-index product, one final divide), plus
+    homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    2007) with each entropy term H = -sum p*ln(p) accumulated in 1e-6
+    micro-unit BIGINTs (each term is one deterministic double from
+    integer counts, quantized before the sum — the bcubed discipline).
+
+    Scale shape: shares the bounded-sample components with bcubed_eval;
+    everything past the cell table is alphabet-sized arithmetic.
+    """
+    from ..operators.components import connected_components
+
+    lim = DEDUP_EVAL_MAX_ID
+    sh = _shingle_rows(spark, sf_dir).filter(F.col("doc_id") < lim)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    truth = (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(F.round(jac, 6) >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    pred_pairs = minhash_near_dup_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < lim) & (F.col("doc_b") < lim)
+    ).select("doc_a", "doc_b")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < lim)
+        .select("doc_id")
+    )
+    gold = connected_components(truth, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("g")
+    )
+    pred = connected_components(pred_pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("c")
+    )
+    assign = (
+        docs.join(pred, "doc_id", "left")
+        .join(gold, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("c"), F.col("doc_id")).alias("c"),
+            F.coalesce(F.col("g"), F.col("doc_id")).alias("g"),
+        )
+    )
+    cells = assign.groupBy("c", "g").agg(F.count(F.lit(1)).alias("n_cg"))
+    # choose-2 sums: all exact BIGINT (integer div — n(n-1) is even)
+    ch2 = lambda col: F.expr(f"({col} * ({col} - 1)) div 2")  # noqa: E731
+    cell_s = cells.agg(
+        F.coalesce(F.sum(ch2("n_cg")), F.lit(0)).cast("bigint").alias("s_cells"),
+        F.coalesce(F.sum("n_cg"), F.lit(0)).cast("bigint").alias("n_docs"),
+    )
+    nc = cells.groupBy("c").agg(F.sum("n_cg").alias("n_c"))
+    ng = cells.groupBy("g").agg(F.sum("n_cg").alias("n_g"))
+    s_c = nc.agg(F.coalesce(F.sum(ch2("n_c")), F.lit(0)).cast("bigint").alias("s_pred"))
+    s_g = ng.agg(F.coalesce(F.sum(ch2("n_g")), F.lit(0)).cast("bigint").alias("s_gold"))
+    # entropy micro-sums: term(count) = -count/N * ln(count/N)
+    def ent_mu(df, col, n_docs_col):  # noqa: ANN001
+        p = F.col(col).cast("double") / F.col(n_docs_col).cast("double")
+        t = -p * F.log(p)
+        return F.coalesce(
+            F.sum(F.floor(t * F.lit(1e6) + F.lit(0.5)).cast("bigint")), F.lit(0)
+        ).cast("bigint")
+
+    base = cell_s.crossJoin(s_c).crossJoin(s_g)
+    h_cg = cells.crossJoin(cell_s.select("n_docs")).agg(
+        ent_mu(None, "n_cg", "n_docs").alias("h_cg_mu")
+    )
+    h_c = nc.crossJoin(cell_s.select("n_docs")).agg(
+        ent_mu(None, "n_c", "n_docs").alias("h_c_mu")
+    )
+    h_g = ng.crossJoin(cell_s.select("n_docs")).agg(
+        ent_mu(None, "n_g", "n_docs").alias("h_g_mu")
+    )
+    out = base.crossJoin(h_cg).crossJoin(h_c).crossJoin(h_g)
+    n2 = (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2)).cast("bigint")
+    # ARI = (S_cells - S_pred*S_gold/N2) / ((S_pred+S_gold)/2 - S_pred*S_gold/N2)
+    exp_idx = F.col("s_pred").cast("double") * F.col("s_gold").cast("double") / n2.cast(
+        "double"
+    )
+    ari_num = F.col("s_cells").cast("double") - exp_idx
+    ari_den = (
+        (F.col("s_pred") + F.col("s_gold")).cast("double") / F.lit(2.0) - exp_idx
+    )
+    hom_den = F.col("h_g_mu").cast("double")  # H(gold)
+    com_den = F.col("h_c_mu").cast("double")  # H(pred)
+    # H(gold|pred) = H(cells) - H(pred); homogeneity = 1 - that / H(gold)
+    h_g_given_c = (F.col("h_cg_mu") - F.col("h_c_mu")).cast("double")
+    h_c_given_g = (F.col("h_cg_mu") - F.col("h_g_mu")).cast("double")
+    hom = F.when(F.col("h_g_mu") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_g_given_c / hom_den
+    )
+    com = F.when(F.col("h_c_mu") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_c_given_g / com_den
+    )
+    small = F.col("n_docs") < 2  # n2 = 0: every ratio is 0/0, emit NULLs
+    return out.select(
+        "n_docs",
+        "s_cells",
+        "s_pred",
+        "s_gold",
+        F.when(small, F.lit(None).cast("double"))
+        .when(ari_den == 0, F.lit(1.0))
+        .otherwise(F.round(ari_num / ari_den, 6))
+        .alias("ari"),
+        F.when(small, F.lit(None).cast("double")).otherwise(F.round(hom, 6))
+        .alias("homogeneity"),
+        F.when(small, F.lit(None).cast("double")).otherwise(F.round(com, 6))
+        .alias("completeness"),
+        F.when(small, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.when(hom + com == 0, F.lit(0.0)).otherwise(
+                    F.lit(2.0) * hom * com / (hom + com)
+                ),
+                6,
+            )
+        ).alias("v_measure"),
+    )
+
+
+_AGREE_SQL = f"""
+WITH RECURSIVE sh0 AS ({{shingles}}),
+sh AS (SELECT * FROM sh0 WHERE doc_id < {DEDUP_EVAL_MAX_ID}),
+cnts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN cnts na ON na.doc_id = doc_a JOIN cnts nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= CAST(0.2 AS DOUBLE)
+),
+pred0 AS ({{pairs}}),
+predp AS (SELECT doc_a, doc_b FROM pred0
+          WHERE doc_a < {DEDUP_EVAL_MAX_ID} AND doc_b < {DEDUP_EVAL_MAX_ID}),
+gu AS (SELECT doc_a AS a, doc_b AS b FROM truth
+       UNION SELECT doc_b, doc_a FROM truth),
+greach AS (SELECT a, b FROM gu
+           UNION SELECT r.a, u.b FROM greach r JOIN gu u ON r.b = u.a),
+gcomp AS (SELECT a AS doc_id, least(a, min(b)) AS g FROM greach GROUP BY a),
+pu AS (SELECT doc_a AS a, doc_b AS b FROM predp
+       UNION SELECT doc_b, doc_a FROM predp),
+preach AS (SELECT a, b FROM pu
+           UNION SELECT r.a, u.b FROM preach r JOIN pu u ON r.b = u.a),
+pcomp AS (SELECT a AS doc_id, least(a, min(b)) AS c FROM preach GROUP BY a),
+assign AS (
+  SELECT coalesce(p.c, d.doc_id) AS c,
+         coalesce(g.g, d.doc_id) AS g
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {DEDUP_EVAL_MAX_ID}) d
+  LEFT JOIN pcomp p USING (doc_id) LEFT JOIN gcomp g USING (doc_id)
+),
+cells AS (SELECT c, g, count(*) AS n_cg FROM assign GROUP BY 1, 2),
+cell_s AS (
+  SELECT CAST(coalesce(sum(n_cg * (n_cg - 1) // 2), 0) AS BIGINT) AS s_cells,
+         CAST(coalesce(sum(n_cg), 0) AS BIGINT) AS n_docs
+  FROM cells),
+nc AS (SELECT c, sum(n_cg) AS n_c FROM cells GROUP BY c),
+ng AS (SELECT g, sum(n_cg) AS n_g FROM cells GROUP BY g),
+s_c AS (SELECT CAST(coalesce(sum(n_c * (n_c - 1) // 2), 0) AS BIGINT)
+          AS s_pred FROM nc),
+s_g AS (SELECT CAST(coalesce(sum(n_g * (n_g - 1) // 2), 0) AS BIGINT)
+          AS s_gold FROM ng),
+h_cg AS (SELECT CAST(coalesce(sum(CAST(floor(
+           -(CAST(n_cg AS DOUBLE) / n_docs) * ln(CAST(n_cg AS DOUBLE) / n_docs)
+           * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h_cg_mu
+         FROM cells, cell_s),
+h_c AS (SELECT CAST(coalesce(sum(CAST(floor(
+          -(CAST(n_c AS DOUBLE) / n_docs) * ln(CAST(n_c AS DOUBLE) / n_docs)
+          * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h_c_mu
+        FROM nc, cell_s),
+h_g AS (SELECT CAST(coalesce(sum(CAST(floor(
+          -(CAST(n_g AS DOUBLE) / n_docs) * ln(CAST(n_g AS DOUBLE) / n_docs)
+          * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h_g_mu
+        FROM ng, cell_s),
+fin AS (
+  SELECT n_docs, s_cells, s_pred, s_gold, h_cg_mu, h_c_mu, h_g_mu,
+         CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n2
+  FROM cell_s, s_c, s_g, h_cg, h_c, h_g)
+SELECT n_docs, s_cells, s_pred, s_gold,
+       CASE WHEN n_docs < 2 THEN NULL
+            WHEN (CAST(s_pred + s_gold AS DOUBLE) / 2.0
+                  - CAST(s_pred AS DOUBLE) * s_gold / n2) = 0 THEN 1.0
+            ELSE round((CAST(s_cells AS DOUBLE)
+                        - CAST(s_pred AS DOUBLE) * s_gold / n2)
+                       / (CAST(s_pred + s_gold AS DOUBLE) / 2.0
+                          - CAST(s_pred AS DOUBLE) * s_gold / n2), 6) END AS ari,
+       CASE WHEN n_docs < 2 THEN NULL ELSE
+       round(CASE WHEN h_g_mu = 0 THEN 1.0
+             ELSE 1.0 - CAST(h_cg_mu - h_c_mu AS DOUBLE) / h_g_mu END, 6) END
+         AS homogeneity,
+       CASE WHEN n_docs < 2 THEN NULL ELSE
+       round(CASE WHEN h_c_mu = 0 THEN 1.0
+             ELSE 1.0 - CAST(h_cg_mu - h_g_mu AS DOUBLE) / h_c_mu END, 6) END
+         AS completeness,
+       CASE WHEN n_docs < 2 THEN NULL ELSE
+       round(CASE WHEN (CASE WHEN h_g_mu = 0 THEN 1.0
+                        ELSE 1.0 - CAST(h_cg_mu - h_c_mu AS DOUBLE) / h_g_mu END)
+                  + (CASE WHEN h_c_mu = 0 THEN 1.0
+                     ELSE 1.0 - CAST(h_cg_mu - h_g_mu AS DOUBLE) / h_c_mu END) = 0
+             THEN 0.0
+             ELSE 2.0
+                  * (CASE WHEN h_g_mu = 0 THEN 1.0
+                     ELSE 1.0 - CAST(h_cg_mu - h_c_mu AS DOUBLE) / h_g_mu END)
+                  * (CASE WHEN h_c_mu = 0 THEN 1.0
+                     ELSE 1.0 - CAST(h_cg_mu - h_g_mu AS DOUBLE) / h_c_mu END)
+                  / ((CASE WHEN h_g_mu = 0 THEN 1.0
+                      ELSE 1.0 - CAST(h_cg_mu - h_c_mu AS DOUBLE) / h_g_mu END)
+                     + (CASE WHEN h_c_mu = 0 THEN 1.0
+                        ELSE 1.0 - CAST(h_cg_mu - h_g_mu AS DOUBLE) / h_c_mu END))
+             END, 6) END AS v_measure
+FROM fin
+"""
+
+
 # --- language-ID confusion matrix (round 4) ---------------------------------
 
 
@@ -15526,6 +15763,11 @@ _SPECS: list[tuple[str, object, str | None]] = [
         "llm_bcubed_eval",
         bcubed_eval,
         _BCUBED_SQL.format(shingles=_SHINGLE_ROWS_SQL, pairs=_MINHASH_PAIRS_SQL),
+    ),
+    (
+        "llm_cluster_agreement_eval",
+        cluster_agreement_eval,
+        _AGREE_SQL.format(shingles=_SHINGLE_ROWS_SQL, pairs=_MINHASH_PAIRS_SQL),
     ),
     ("llm_decontam_filter", decontam_filter, _DECONTAM_SQL),
     ("llm_image_phash", image_phash, _image_phash_sql()),

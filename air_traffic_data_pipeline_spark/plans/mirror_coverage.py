@@ -431,7 +431,9 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     # --- audits / evals / diagnostics -------------------------------------
     "llm_text_overlap_eval": (AE, "BLEU/ROUGE corpus eval report"),
     "llm_bcubed_eval": (AE, "B-cubed cluster-quality eval"),
+    "llm_cluster_agreement_eval": (AE, "ARI/V-measure cluster agreement"),
     "rel_ips_offline_eval": (AE, "off-policy IPS/SNIPS eval report"),
+    "rel_dr_offline_eval": (AE, "doubly-robust off-policy eval report"),
     "llm_shard_mixing_audit": (AE, "source-mix audit of the shard plan"),
     "llm_rouge_l_bounded": (SM, "per-pair bounded LCS kernel"),
     "llm_ann_recall_eval": (AE, "recall eval of ANN queries"),

@@ -7549,6 +7549,153 @@ FROM mu
 """
 
 
+def dr_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation (Dudik, Langford & Li 2011)
+    completing the OPE family next to ips_offline_eval: the direct-method
+    reward model q(x, a) = fit-split mean reward per (context, action)
+    cell, corrected by importance-weighted residuals on the eval split —
+    V_DR = (1/n_x) * [ sum_i sum_a pi(a|x) q(x, a)
+                       + sum_i rho_i (r_i - q(x_i, a_i)) ].
+    Per context: the DM baseline term, the residual correction, and the
+    DR estimate; the same epsilon-greedy target and empirical
+    propensities as IPS, so DR-vs-IPS differences isolate the model
+    term. Cell-aggregated throughout: the DM term is alphabet-sized, the
+    correction is rho_xa * (sum_r - n_xa * q) per cell; each cell term
+    is one deterministic double quantized to 1e-6 micro-units before the
+    cross-cell sum (the bcubed discipline).
+
+    An action seen in eval but absent from the fit split has no q model;
+    its q defaults to 0 (stated; the residual then degrades to plain
+    IPS for that cell).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    base = ev.select(
+        "event_type",
+        (F.expr(f"(ts div 1000) div {MICROS_PER_DAY}") % 7).alias("weekday"),
+        (F.col("event_id") % 2 == 0).alias("is_fit"),
+        F.col("value"),
+    )
+    fit = (
+        base.filter(F.col("is_fit"))
+        .groupBy("weekday", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+        )
+    )
+    q = fit.select(
+        "weekday", "event_type", (F.col("s") / F.col("n")).alias("q")
+    )
+    tgt = fit.groupBy("weekday").agg(
+        F.max(
+            F.struct((F.col("s") / F.col("n")).alias("mean_r"), F.col("event_type"))
+        ).alias("bst")
+    )
+    target = tgt.select("weekday", F.col("bst.event_type").alias("target_action"))
+    cells = (
+        base.filter(~F.col("is_fit"))
+        .groupBy("weekday", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_xa"),
+            F.sum(dec).alias("sum_r_dec"),
+        )
+    )
+    nk = cells.groupBy("weekday").agg(
+        F.sum("n_xa").cast("bigint").alias("n_x"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    j = (
+        cells.join(F.broadcast(target), "weekday")
+        .join(F.broadcast(nk), "weekday")
+        .join(F.broadcast(q), ["weekday", "event_type"], "left")
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
+    )
+    pi = F.when(
+        F.col("event_type") == F.col("target_action"), F.lit(1.0 - IPS_EPS)
+    ).otherwise(F.lit(IPS_EPS) / (F.col("k") - 1).cast("double"))
+    rho = pi * F.col("n_x").cast("double") / F.col("n_xa").cast("double")
+    # DM term: every eval ROW contributes sum_a pi(a|x) q(x,a) — cell
+    # (x, a)'s share of that constant is n_x * pi(a|x) * q(x, a)
+    dm_cell = F.col("n_x").cast("double") * pi * F.col("q")
+    corr_cell = rho * (
+        F.col("sum_r_dec").cast("double")
+        - F.col("n_xa").cast("double") * F.col("q")
+    )
+    dm_mu = F.floor(dm_cell * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    corr_mu = F.floor(corr_cell * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    per_ctx = j.groupBy("weekday", "target_action", "n_x").agg(
+        F.sum(dm_mu).cast("bigint").alias("dm_micro"),
+        F.sum(corr_mu).cast("bigint").alias("corr_micro"),
+    )
+    n_xd = F.col("n_x").cast("double")
+    return per_ctx.select(
+        F.col("weekday").cast("int").alias("weekday"),
+        "target_action",
+        F.col("n_x").alias("n_eval"),
+        F.round(F.col("dm_micro").cast("double") / (F.lit(1e6) * n_xd), 6).alias(
+            "dm_value"
+        ),
+        F.round(F.col("corr_micro").cast("double") / (F.lit(1e6) * n_xd), 6).alias(
+            "ips_correction"
+        ),
+        F.round(
+            (F.col("dm_micro") + F.col("corr_micro")).cast("double")
+            / (F.lit(1e6) * n_xd),
+            6,
+        ).alias("dr_value"),
+    )
+
+
+DR_EVAL_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {MICROS_PER_DAY}) % 7 AS BIGINT) AS weekday,
+         event_id % 2 = 0 AS is_fit, value
+  FROM events WHERE value IS NOT NULL),
+fit AS (
+  SELECT weekday, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM base WHERE is_fit GROUP BY 1, 2),
+q AS (SELECT weekday, event_type, s / n AS q FROM fit),
+target AS (
+  SELECT weekday,
+         max(struct_pack(mean_r := s / n, event_type := event_type)).event_type
+           AS target_action
+  FROM fit GROUP BY weekday),
+cells AS (
+  SELECT weekday, event_type, CAST(count(*) AS BIGINT) AS n_xa,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_r_dec
+  FROM base WHERE NOT is_fit GROUP BY 1, 2),
+nk AS (
+  SELECT weekday, CAST(sum(n_xa) AS BIGINT) AS n_x,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM cells GROUP BY weekday),
+j AS (
+  SELECT c.weekday, t.target_action, n.n_x, c.n_xa,
+         CAST(c.sum_r_dec AS DOUBLE) AS sum_r,
+         coalesce(qq.q, 0.0) AS q,
+         CASE WHEN c.event_type = t.target_action THEN {1.0 - IPS_EPS}
+              ELSE {IPS_EPS} / CAST(n.k - 1 AS DOUBLE) END AS pi
+  FROM cells c JOIN target t USING (weekday) JOIN nk n USING (weekday)
+  LEFT JOIN q qq ON qq.weekday = c.weekday AND qq.event_type = c.event_type),
+mu AS (
+  SELECT weekday, target_action, n_x,
+         CAST(sum(CAST(floor(CAST(n_x AS DOUBLE) * pi * q * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS dm_micro,
+         CAST(sum(CAST(floor(pi * CAST(n_x AS DOUBLE) / n_xa
+                             * (sum_r - CAST(n_xa AS DOUBLE) * q)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS corr_micro
+  FROM j GROUP BY weekday, target_action, n_x)
+SELECT CAST(weekday AS INTEGER) AS weekday, target_action,
+       n_x AS n_eval,
+       round(CAST(dm_micro AS DOUBLE) / (1e6 * n_x), 6) AS dm_value,
+       round(CAST(corr_micro AS DOUBLE) / (1e6 * n_x), 6) AS ips_correction,
+       round(CAST(dm_micro + corr_micro AS DOUBLE) / (1e6 * n_x), 6) AS dr_value
+FROM mu
+"""
+
+
 # --- Split-conformal prediction intervals (round 13) --------------------------
 
 CONF_ALPHA_PCT = 10  # 90% target coverage; the quantile rank is exact-integer
@@ -10585,6 +10732,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),
+    ("rel_dr_offline_eval", dr_offline_eval, DR_EVAL_SQL),
     ("rel_funnel_steps", funnel_steps, FUNNEL_SQL),
     ("rel_cohort_retention", cohort_retention, COHORT_SQL),
     ("rel_k_anonymity", k_anonymity, K_ANONYMITY_SQL),

@@ -1931,3 +1931,60 @@ def test_ips_offline_eval_reference(spark):
         assert row.logged_mean == round(sum_all / n_x, 6)
         # SNIPS = IPS / mean importance weight (w_micro/1e6/n_x)
         assert abs(row.snips_value - row.ips_value / (w_micro / 1e6 / n_x)) < 1e-5
+
+
+def test_dr_offline_eval_reference(spark):
+    """DR replay: DM term + importance-weighted residual correction from
+    the same fit/eval cells; when the reward model is PERFECT on a cell
+    (q = eval mean) the cell's correction vanishes up to quantization;
+    DR must sit near IPS when the model is decent (same target policy)."""
+    import math
+    from collections import defaultdict
+
+    ev = load(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).collect()
+    fit = defaultdict(lambda: [0, 0.0])
+    cells = defaultdict(lambda: [0, 0.0])
+    for r in ev:
+        if r.value is None:
+            continue
+        wd = ((r.ts // 1000) // relational.MICROS_PER_DAY) % 7
+        v = round(r.value, 2)
+        (fit if r.event_id % 2 == 0 else cells)[(wd, r.event_type)][0] += 1
+        (fit if r.event_id % 2 == 0 else cells)[(wd, r.event_type)][1] += v
+    target = {}
+    q = {}
+    for (wd, et), (n, s) in fit.items():
+        q[(wd, et)] = s / n
+        key = (s / n, et)
+        if wd not in target or key > target[wd]:
+            target[wd] = key
+    by_wd = defaultdict(dict)
+    for (wd, et), (n, s) in cells.items():
+        by_wd[wd][et] = (n, s)
+    eps = relational.IPS_EPS
+    got = {r.weekday: r for r in relational.dr_offline_eval(spark, SF).collect()}
+    ips = {r.weekday: r for r in relational.ips_offline_eval(spark, SF).collect()}
+    assert set(got) == set(by_wd)
+    for wd, acts in by_wd.items():
+        n_x = sum(n for n, _ in acts.values())
+        k = len(acts)
+        tgt = target[wd][1]
+        dm_mu = corr_mu = 0
+        for et, (n_xa, s) in acts.items():
+            pi = (1.0 - eps) if et == tgt else eps / (k - 1)
+            qv = q.get((wd, et), 0.0)
+            rho = pi * n_x / n_xa
+            dm_mu += int(math.floor(n_x * pi * qv * 1e6 + 0.5))
+            corr_mu += int(math.floor(rho * (s - n_xa * qv) * 1e6 + 0.5))
+        row = got[wd]
+        assert row.target_action == tgt and row.n_eval == n_x
+        assert row.dm_value == round(dm_mu / (1e6 * n_x), 6)
+        assert row.ips_correction == round(corr_mu / (1e6 * n_x), 6)
+        assert row.dr_value == round((dm_mu + corr_mu) / (1e6 * n_x), 6)
+        # variance-reduction sanity: DR within 2x of IPS's distance from
+        # the logged mean (both estimate the same target policy value)
+        assert abs(row.dr_value - ips[wd].ips_value) < max(
+            1.0, 2 * abs(ips[wd].ips_value)
+        )

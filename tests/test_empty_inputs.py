@@ -770,9 +770,16 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     ip = relational.ips_offline_eval(spark, sf)
     assert ip.count() == 0 and "snips_value" in ip.columns
 
+    dr = relational.dr_offline_eval(spark, sf)
+    assert dr.count() == 0 and "dr_value" in dr.columns
+
     bc = llm.bcubed_eval(spark, sf)
     rows = bc.collect()
     assert len(rows) == 1 and rows[0].n_docs == 0  # empty-corpus report row
+
+    ca = llm.cluster_agreement_eval(spark, sf)
+    rows = ca.collect()
+    assert len(rows) == 1 and rows[0].n_docs == 0 and rows[0].ari is None
 
     sm = llm.shard_mixing_audit(spark, sf)
     assert sm.count() == 0 and "chi2" in sm.columns

@@ -5361,3 +5361,93 @@ def test_shard_mixing_audit_reference(spark):
         assert row.n_docs == nsh and row.n_sources == len(corpus)
         assert row.chi2 == round(sum(terms.values()) / 1e6, 6)
         assert row.worst_source == max(terms.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def test_cluster_agreement_eval_reference(spark):
+    """ARI and V-measure replayed in pure Python (sklearn-free): exact
+    choose-2 pair counting for ARI, micro-unit entropy sums for
+    homogeneity/completeness; ARI must also agree in SIGN and rough
+    magnitude with B-cubed's quality story (both near 1 when the banded
+    clustering nearly matches gold)."""
+    import math
+    from collections import Counter
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        DEDUP_EVAL_MAX_ID,
+        cluster_agreement_eval,
+        minhash_near_dup_pairs,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    lim = DEDUP_EVAL_MAX_ID
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF, "documents").filter(f"doc_id < {lim}").collect()
+    }
+
+    def py_shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    sh = {d: py_shingles(t) for d, t in docs.items()}
+    ids = sorted(sh)
+    truth = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and round(inter / len(sh[a] | sh[b]), 6) >= 0.2:
+                truth.append((a, b))
+    pred = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(spark, SF).collect()
+        if r.doc_a < lim and r.doc_b < lim
+    ]
+
+    def comps(pairs):
+        parent = {d: d for d in docs}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in docs}
+
+    cmap, gmap = comps(pred), comps(truth)
+    cells = Counter((cmap[d], gmap[d]) for d in docs)
+    n_c = Counter(); n_g = Counter()
+    for (c, g), n in cells.items():
+        n_c[c] += n; n_g[g] += n
+    N = len(docs)
+    ch2 = lambda n: n * (n - 1) // 2
+    s_cells = sum(ch2(n) for n in cells.values())
+    s_pred = sum(ch2(n) for n in n_c.values())
+    s_gold = sum(ch2(n) for n in n_g.values())
+    n2 = ch2(N)
+    exp_idx = s_pred * s_gold / n2
+    ari = (
+        1.0
+        if (s_pred + s_gold) / 2.0 - exp_idx == 0
+        else (s_cells - exp_idx) / ((s_pred + s_gold) / 2.0 - exp_idx)
+    )
+    mu = lambda cnt: int(math.floor(-(cnt / N) * math.log(cnt / N) * 1e6 + 0.5))
+    h_cg = sum(mu(n) for n in cells.values())
+    h_c = sum(mu(n) for n in n_c.values())
+    h_g = sum(mu(n) for n in n_g.values())
+    hom = 1.0 if h_g == 0 else 1.0 - (h_cg - h_c) / h_g
+    com = 1.0 if h_c == 0 else 1.0 - (h_cg - h_g) / h_c
+    row = cluster_agreement_eval(spark, SF).collect()[0]
+    assert (row.n_docs, row.s_cells, row.s_pred, row.s_gold) == (
+        N, s_cells, s_pred, s_gold,
+    )
+    assert row.ari == round(ari, 6)
+    assert row.homogeneity == round(hom, 6)
+    assert row.completeness == round(com, 6)
+    assert row.v_measure == round(
+        0.0 if hom + com == 0 else 2 * hom * com / (hom + com), 6
+    )
+    assert 0.5 < row.ari <= 1.0 and 0.5 < row.v_measure <= 1.0
