@@ -386,6 +386,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_ks_two_sample": (EK, "stream_incremental_mann_whitney"),
     "rel_conformal_interval": (EK, "stream_incremental_quantile"),
     "rel_bh_fdr": (AE, "FDR decision table over a test grid"),
+    "rel_ams_f2_sketch": (PC, "stream_incremental_cms"),
     "rel_agg_median_argmax": (EK, "stream_incremental_quantile"),
     "rel_robust_stats_mad": (EK, "stream_incremental_quantile"),
     "llm_winsorize_lengths": (EK, "stream_incremental_quantile"),

@@ -1274,6 +1274,102 @@ KMV_KS = (16, 32, 64)  # K sweep: estimate accuracy vs sketch size
 KMV_KMAX = max(KMV_KS)
 
 
+# --- AMS F2 (second-moment) sketch (round 13) ---------------------------------
+
+AMS_R = 256  # sign estimators; median of AMS_G groups of AMS_R/AMS_G
+AMS_G = 8
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (Alon, Matias & Szegedy 1996) estimating
+    the self-join size F2 = sum_i f_i^2 of the (user_id, event_type)
+    frequency vector — the moment-estimation sketch family next to
+    HLL/KMV (distinct), count-min (point frequency), and the quantile
+    sketch. Sixteen sign estimators Z_r = sum_events s_r(item), with
+    s_r = +-1 from the parity of an md5-derived u16 (the explicit
+    strpos-arithmetic hash both engines evaluate bit-identically);
+    estimate = median of AMS_G group means of Z_r^2 (the standard
+    median-of-means; median of 4 = mean of the middle two). One row:
+    exact F2 and item count (from the item aggregate), the estimate,
+    and the relative error — the accuracy number, oracle-checked, that
+    turns the sketch from folklore into a measured tool.
+
+    Scale: the Z_r pass is ITEM-KEY-FREE — a 16x map-side explode
+    collapsing to 16 rows before the shuffle (one pass, O(R) state: the
+    true AMS streaming shape); only the exact-F2 comparison pays an
+    item-keyed aggregate, and a production deployment drops it.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.concat_ws("#", F.col("user_id").cast("string"), "event_type").alias("item")
+    )
+    from ..functions.hashes import hex4_to_int
+
+    r = F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    signed = ev.select("item", r).select(
+        "r",
+        F.when(
+            hex4_to_int(F.md5(F.concat(F.col("item"), F.lit("@ams"), F.col("r").cast("string")))) % 2
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    z = signed.groupBy("r").agg(F.sum("s").cast("bigint").alias("z"))
+    grp = z.groupBy(F.expr(f"r div {AMS_R // AMS_G}").alias("g")).agg(
+        (F.sum(F.col("z") * F.col("z")).cast("double") / F.lit(float(AMS_R // AMS_G)))
+        .alias("gm")
+    )
+    w = W.orderBy("gm")
+    med = (
+        grp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(AMS_G // 2, AMS_G // 2 + 1))
+        .agg((F.sum("gm") / F.lit(2.0)).alias("f2_est"))
+    )
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("f")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+    )
+    return exact.crossJoin(med).select(
+        "n_items",
+        "f2_exact",
+        F.round(F.col("f2_est"), 6).alias("f2_est"),
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def _ams_f2_sql() -> str:
+    from ..functions.hashes import hex4_to_int_sql
+
+    item = "CAST(user_id AS VARCHAR) || '#' || event_type"
+    return f"""
+WITH ev AS (SELECT {item} AS item FROM events),
+signed AS (
+  SELECT r, CASE WHEN {hex4_to_int_sql("md5(item || '@ams' || CAST(r AS VARCHAR))")} % 2 = 0
+            THEN 1 ELSE -1 END AS s
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r) rs),
+z AS (SELECT r, CAST(sum(s) AS BIGINT) AS z FROM signed GROUP BY r),
+grp AS (
+  SELECT r // {AMS_R // AMS_G} AS g,
+         CAST(sum(z * z) AS DOUBLE) / {float(AMS_R // AMS_G)} AS gm
+  FROM z GROUP BY 1),
+med AS (
+  SELECT sum(gm) / 2.0 AS f2_est
+  FROM (SELECT gm, row_number() OVER (ORDER BY gm) AS rn FROM grp)
+  WHERE rn IN ({AMS_G // 2}, {AMS_G // 2 + 1})),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM (SELECT item, count(*) AS f FROM ev GROUP BY item))
+SELECT n_items, f2_exact,
+       round(f2_est, 6) AS f2_est,
+       round(abs(f2_est - CAST(f2_exact AS DOUBLE)) / f2_exact, 6) AS rel_error
+FROM exact, med
+"""
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch over l_partkey (Bar-Yossef
     et al. 2002; Beyer et al. 2007) — the mergeable distinct sketch that,
@@ -10704,6 +10800,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_two_hop_recs", two_hop_recs, _two_hop_recs_sql()),
     ("rel_decayed_trending", decayed_trending, DECAYED_TRENDING_SQL),
     ("rel_kmv_distinct", kmv_distinct, KMV_SQL),
+    ("rel_ams_f2_sketch", ams_f2_sketch, _ams_f2_sql()),
     ("rel_position_attribution", position_attribution, POSITION_ATTRIBUTION_SQL),
     ("rel_ols_regression", ols_regression, OLS_SQL),
     ("rel_ridge_regression", ridge_regression, RIDGE_SQL),

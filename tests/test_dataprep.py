@@ -1988,3 +1988,35 @@ def test_dr_offline_eval_reference(spark):
         assert abs(row.dr_value - ips[wd].ips_value) < max(
             1.0, 2 * abs(ips[wd].ips_value)
         )
+
+
+def test_ams_f2_sketch_reference(spark):
+    """AMS Z_r estimators replayed in pure Python from the same md5 sign
+    hashes; exact F2 from a Counter; the median-of-means assembly and
+    the bounded relative error (the sketch's usefulness claim) pinned."""
+    import hashlib
+    import statistics
+    from collections import Counter
+
+    ev = load(spark, SF, "events").select("user_id", "event_type").collect()
+    items = [f"{r.user_id}#{r.event_type}" for r in ev]
+    f = Counter(items)
+    f2 = sum(v * v for v in f.values())
+    R, G = relational.AMS_R, relational.AMS_G
+
+    def sign(item, r):
+        h = hashlib.md5(f"{item}@ams{r}".encode()).hexdigest()
+        v = int(h[:4], 16)
+        return 1 if v % 2 == 0 else -1
+
+    z = [sum(sign(i, r) for i in items) for r in range(R)]
+    per = R // G
+    gms = sorted(
+        sum(z[g * per + j] ** 2 for j in range(per)) / per for g in range(G)
+    )
+    est = (gms[G // 2 - 1] + gms[G // 2]) / 2.0
+    row = relational.ams_f2_sketch(spark, SF).collect()[0]
+    assert (row.n_items, row.f2_exact) == (len(f), f2)
+    assert row.f2_est == round(est, 6)
+    assert row.rel_error == round(abs(est - f2) / f2, 6)
+    assert row.rel_error < 0.5  # R=256 median-of-means keeps it bounded

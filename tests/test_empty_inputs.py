@@ -773,6 +773,12 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     dr = relational.dr_offline_eval(spark, sf)
     assert dr.count() == 0 and "dr_value" in dr.columns
 
+    am = relational.ams_f2_sketch(spark, sf)
+    rows = am.collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0].n_items == 0
+
     bc = llm.bcubed_eval(spark, sf)
     rows = bc.collect()
     assert len(rows) == 1 and rows[0].n_docs == 0  # empty-corpus report row
