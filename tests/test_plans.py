@@ -2437,3 +2437,32 @@ def test_privacy_release_gate_composes_the_three_audits(spark):
     # the gate must actually discriminate on this lake
     vals = {g.releasable for g in gate.values()}
     assert vals <= {0, 1} and len(gate) > 0
+
+
+def test_round13_plans_have_no_cartesian_product(spark):
+    """The round-13 additions must keep their promised shapes: no
+    CartesianProduct anywhere (1-row summary sides become broadcast
+    nested loops, never a real cartesian), and the alphabet-sized
+    dimension joins (conformal q-hat, IPS target/propensities) build
+    broadcast joins rather than shuffles."""
+    from air_traffic_data_pipeline_spark.plans import llm, relational
+
+    for fn in (
+        relational.seq_pattern_match,
+        relational.ks_two_sample,
+        relational.bh_fdr,
+        relational.conformal_interval,
+        relational.ips_offline_eval,
+        relational.dr_offline_eval,
+        relational.ams_f2_sketch,
+        llm.text_overlap_eval,
+        llm.rouge_l_bounded,
+        llm.shard_mixing_audit,
+    ):
+        p = plan(fn(spark, SF), "simple")
+        assert "CartesianProduct" not in p, (fn.__name__, p)
+
+    p = plan(relational.conformal_interval(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    p = plan(relational.ips_offline_eval(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p

@@ -239,6 +239,20 @@ def main() -> int:
         # |widths| broadcast-table reweights of ONE bigram scan
         "llm_dsir_width_overlap": llm.dsir_width_overlap,
         # gif_decode deliberately absent: caps at 300 docs (the jpeg rule)
+        # round-13 second batch. OPE estimators are cell aggregates over
+        # a fixed (weekday, action) grid — expect flat-after-scan
+        "rel_ips_offline_eval": relational.ips_offline_eval,
+        "rel_dr_offline_eval": relational.dr_offline_eval,
+        # the AMS Z_r pass is a 256x map-side explode collapsing to 256
+        # rows — linear in events, the thing to watch is the explode
+        "rel_ams_f2_sketch": relational.ams_f2_sketch,
+        # cluster evals are sample-bounded (DEDUP_EVAL_MAX_ID) on the
+        # truth side but the PRED side's banded pipeline sees the full
+        # replica corpus — the curve shows the banding stays linear
+        "llm_bcubed_eval": llm.bcubed_eval,
+        "llm_cluster_agreement_eval": llm.cluster_agreement_eval,
+        # rides the two-level prefix sum; shards grow linearly
+        "llm_shard_mixing_audit": llm.shard_mixing_audit,
     }
     only = list(argv)
     if only:
