@@ -4861,6 +4861,130 @@ _QUALITY_UDF_SQL = QUALITY_SQL  # same contract as the native column version
 NGRAM_MIN_FREQ = 5
 
 
+def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-level entropy rate (Shannon 1951's printed-English
+    measurement, run on the lake): unigram entropy H1 = H(W), bigram
+    block entropy H(W1,W2), the conditional entropy rate
+    H2 = H(W2|W1) = H(W1,W2) − H(W1), and the redundancy 1 − H2/H1 —
+    the number that says how much a bigram model compresses over a
+    unigram model (the statistical rationale behind every n-gram LM
+    query in this file). Token stream = whitespace words, bigrams over
+    consecutive word pairs WITHIN a document (no padding — block
+    entropy over the observed pair distribution).
+
+    Each entropy term −p·log2 p is one deterministic double from exact
+    BIGINT counts, quantized to 1e-6 micro-units before the cross-vocab
+    sum (the bcubed discipline) — H values are bitwise-stable at any
+    parallelism.
+
+    Scale: the unigram and bigram count tables are the vocab-keyed
+    map-side-combining aggregates every LM query here already rides;
+    the entropy rollups collapse them to one row each.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    big = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("w1"),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+    def h_micro(df):  # noqa: ANN001 — -sum p*log2(p) in 1e-6 BIGINT units
+        tot = df.agg(F.sum("f").cast("bigint").alias("n"))
+        p = F.col("f").cast("double") / F.col("n").cast("double")
+        t = -p * F.log2(p)
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .agg(
+                F.coalesce(
+                    F.sum(F.floor(t * F.lit(1e6) + F.lit(0.5)).cast("bigint")),
+                    F.lit(0),
+                ).cast("bigint").alias("h_mu"),
+                F.max("n").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            )
+        )
+
+    h1 = h_micro(uni).select(
+        F.col("h_mu").alias("h1_mu"),
+        F.col("n").alias("n_tokens"),
+        F.col("vocab").alias("uni_vocab"),
+    )
+    h12 = h_micro(big).select(
+        F.col("h_mu").alias("h12_mu"),
+        F.col("n").alias("n_bigrams"),
+        F.col("vocab").alias("bi_vocab"),
+    )
+    out = h1.crossJoin(h12)
+    h1d = F.col("h1_mu").cast("double") / F.lit(1e6)
+    h2d = (F.col("h12_mu") - F.col("h1_mu")).cast("double") / F.lit(1e6)
+    return out.select(
+        "n_tokens",
+        "uni_vocab",
+        "n_bigrams",
+        "bi_vocab",
+        F.round(h1d, 6).alias("h1_bits"),
+        F.round(F.col("h12_mu").cast("double") / F.lit(1e6), 6).alias("h12_bits"),
+        F.round(h2d, 6).alias("h2_cond_bits"),
+        F.round(
+            F.when(F.col("h1_mu") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - h2d / h1d
+            ),
+            6,
+        ).alias("redundancy"),
+    )
+
+
+_ENTROPY_RATE_SQL = """
+WITH uni AS (
+  SELECT t, count(*) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+h1 AS (
+  SELECT CAST(coalesce(sum(CAST(floor(
+           -(CAST(f AS DOUBLE) / n) * log2(CAST(f AS DOUBLE) / n)
+           * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h1_mu,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS uni_vocab
+  FROM uni, (SELECT CAST(sum(f) AS BIGINT) AS n FROM uni) t),
+big AS (
+  SELECT w1, w2, count(*) AS f
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM (SELECT string_split(text, ' ') AS l FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g)
+  GROUP BY 1, 2),
+h12 AS (
+  SELECT CAST(coalesce(sum(CAST(floor(
+           -(CAST(f AS DOUBLE) / n) * log2(CAST(f AS DOUBLE) / n)
+           * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h12_mu,
+         CAST(max(n) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS bi_vocab
+  FROM big, (SELECT CAST(sum(f) AS BIGINT) AS n FROM big) t)
+SELECT n_tokens, uni_vocab, n_bigrams, bi_vocab,
+       round(CAST(h1_mu AS DOUBLE) / 1e6, 6) AS h1_bits,
+       round(CAST(h12_mu AS DOUBLE) / 1e6, 6) AS h12_bits,
+       round(CAST(h12_mu - h1_mu AS DOUBLE) / 1e6, 6) AS h2_cond_bits,
+       round(CASE WHEN h1_mu = 0 THEN 0.0
+             ELSE 1.0 - CAST(h12_mu - h1_mu AS DOUBLE) / h1_mu END, 6)
+         AS redundancy
+FROM h1, h12
+"""
+
+
 def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model counts with sentence padding (<s>, </s>):
     the count-collection pass an n-gram LM or tokenizer-training job runs.
@@ -15715,6 +15839,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_fuzzy_match_levenshtein", fuzzy_match_levenshtein, _FUZZY_SQL),
     ("llm_quality_pandas_udf", quality_pandas_udf, _QUALITY_UDF_SQL),
     ("llm_ngram_lm_counts", ngram_lm_counts, _NGRAM_LM_SQL),
+    ("llm_entropy_rate", entropy_rate, _ENTROPY_RATE_SQL),
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
     ("llm_ann_nsw_topk", ann_nsw_topk, _nsw_topk_sql()),

@@ -433,6 +433,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_text_overlap_eval": (AE, "BLEU/ROUGE corpus eval report"),
     "llm_bcubed_eval": (AE, "B-cubed cluster-quality eval"),
     "llm_cluster_agreement_eval": (AE, "ARI/V-measure cluster agreement"),
+    "llm_entropy_rate": (PC, "stream_incremental_heaps"),
     "rel_ips_offline_eval": (AE, "off-policy IPS/SNIPS eval report"),
     "rel_dr_offline_eval": (AE, "doubly-robust off-policy eval report"),
     "llm_shard_mixing_audit": (AE, "source-mix audit of the shard plan"),

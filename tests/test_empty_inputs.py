@@ -750,6 +750,10 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     te = llm.text_overlap_eval(spark, sf)
     assert te.count() == 0 and "bleu_cum" in te.columns
 
+    er = llm.entropy_rate(spark, sf)
+    rows = er.collect()
+    assert len(rows) == 1 and rows[0].h1_bits == 0.0  # empty-corpus report
+
     rl = llm.rouge_l_bounded(spark, sf)
     assert rl.count() == 0 and "rouge_l_f" in rl.columns
 

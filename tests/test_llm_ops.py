@@ -5451,3 +5451,43 @@ def test_cluster_agreement_eval_reference(spark):
         0.0 if hom + com == 0 else 2 * hom * com / (hom + com), 6
     )
     assert 0.5 < row.ari <= 1.0 and 0.5 < row.v_measure <= 1.0
+
+
+def test_entropy_rate_reference(spark):
+    """H1 / H(W1,W2) / conditional rate / redundancy replayed in pure
+    Python micro-unit sums; the chain rule inequality H2 <= H1 must hold
+    (conditioning never increases entropy) and redundancy sits in
+    (0, 1) on real text."""
+    import math
+    from collections import Counter
+
+    from air_traffic_data_pipeline_spark.plans.llm import entropy_rate
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    texts = [r.text for r in load(spark, SF, "documents").collect()]
+    uni = Counter()
+    big = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+
+    def h_mu(cnt):
+        n = sum(cnt.values())
+        return sum(
+            int(math.floor(-(f / n) * math.log2(f / n) * 1e6 + 0.5))
+            for f in cnt.values()
+        ), n
+
+    h1, n_tok = h_mu(uni)
+    h12, n_big = h_mu(big)
+    row = entropy_rate(spark, SF).collect()[0]
+    assert (row.n_tokens, row.uni_vocab) == (n_tok, len(uni))
+    assert (row.n_bigrams, row.bi_vocab) == (n_big, len(big))
+    assert row.h1_bits == round(h1 / 1e6, 6)
+    assert row.h12_bits == round(h12 / 1e6, 6)
+    assert row.h2_cond_bits == round((h12 - h1) / 1e6, 6)
+    assert row.redundancy == round(1.0 - (h12 - h1) / h1, 6)
+    assert row.h2_cond_bits <= row.h1_bits  # conditioning reduces entropy
+    assert 0.0 < row.redundancy < 1.0
