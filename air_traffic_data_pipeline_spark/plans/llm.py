@@ -15528,11 +15528,19 @@ def text_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty is a 1-row broadcast cross join. Nothing is quadratic in
     pair length and no text leaves the executors un-hashed-down.
     """
-    d = load(spark, sf_dir, "documents").select(
+    d0 = load(spark, sf_dir, "documents").select(
         F.expr("doc_id div 2").alias("pair_id"),
         F.when(F.col("doc_id") % 2 == 1, F.lit("c")).otherwise(F.lit("r")).alias("side"),
         F.split("text", " ").alias("toks"),
     )
+    # complete pairs only: a lone candidate or reference (odd corpus
+    # tail) must not skew the corpus totals
+    complete = (
+        d0.groupBy("pair_id").agg(F.count(F.lit(1)).alias("nn")).filter(
+            F.col("nn") == 2
+        ).select("pair_id")
+    )
+    d = d0.join(complete, "pair_id")
     dn = d.select(
         "pair_id", "side", "toks",
         F.explode(F.sequence(F.lit(1), F.lit(OVERLAP_MAX_N))).alias("n"),
@@ -15732,6 +15740,8 @@ WITH d AS (
          CASE WHEN doc_id % 2 = 1 THEN 'c' ELSE 'r' END AS side,
          string_split(text, ' ') AS toks
   FROM documents
+  WHERE doc_id // 2 IN (SELECT doc_id // 2 FROM documents
+                        GROUP BY 1 HAVING count(*) = 2)
 ),
 dn AS (
   SELECT pair_id, side, toks, n
