@@ -384,6 +384,9 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_ordered_collect": (EK, "stream_incremental_topk"),
     "rel_percentiles_exact": (EK, "stream_incremental_quantile"),
     "rel_ks_two_sample": (EK, "stream_incremental_mann_whitney"),
+    "rel_auc_roc": (EK, "stream_incremental_mann_whitney"),
+    "rel_lift_gain": (EK, "stream_incremental_quantile"),
+    "rel_kruskal_wallis": (EK, "stream_incremental_mann_whitney"),
     "rel_conformal_interval": (EK, "stream_incremental_quantile"),
     "rel_bh_fdr": (AE, "FDR decision table over a test grid"),
     "rel_ams_f2_sketch": (PC, "stream_incremental_cms"),

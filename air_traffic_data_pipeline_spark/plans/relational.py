@@ -10693,6 +10693,384 @@ FROM fit, LATERAL (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g2
 """
 
 
+# --- ROC / AUC / lift-gain classifier evaluation (round 13) -----------------
+
+ROC_POS_PRI = ("1-URGENT", "2-HIGH")  # positive class: expedited orders
+LIFT_DECILES = 10
+
+
+def _roc_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-score spine shared by the ROC family (auc_roc,
+    lift_gain): per distinct price point (exact cents) the positive /
+    negative class counts plus ascending cumulative totals.
+
+    Scale: ONE map-side-combining groupBy over orders collapses the fact
+    table to the distinct-value spine, then ONE ordered window runs over
+    that spine (orders of magnitude smaller than the fact table) — the
+    ks_two_sample discipline. Counts are DECIMAL(38,0) from the start
+    because the downstream PAIR totals (n_pos x n_neg, rank sums) exceed
+    BIGINT at web scale (1.5e11 rows squared ~ 2e22)."""
+    o = load(spark, sf_dir, "orders")
+    pts = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).alias("is_pos"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("cp"),
+            F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("cn"),
+        )
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return pts.select(
+        "cents",
+        "cp",
+        "cn",
+        F.sum("cp").over(w).cast("decimal(38,0)").alias("cum_p"),
+        F.sum("cn").over(w).cast("decimal(38,0)").alias("cum_n"),
+    )
+
+
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC analysis of the score->label ranking "order price
+    predicts expedited priority" (positive class ROC_POS_PRI): AUC via
+    the tie-corrected Mann-Whitney identity — 2U = sum over distinct
+    scores s of cp_s * (2 * negs_strictly_below(s) + cn_s), so AUC =
+    2U / (2 * n_pos * n_neg) counts ties as half-wins without ever
+    ranking individual rows — plus the Gini coefficient (2*AUC - 1) and
+    the ROC's Youden/KS point: max_s |TPR(s) - FPR(s)| located by
+    INTEGER argmax of |cum_p * n_neg - cum_n * n_pos| (ties break to the
+    smallest score), the same supremum discipline as ks_two_sample.
+
+    Exactness: all pair totals are DECIMAL(38,0) (2U ~ n_pos * n_neg
+    overflows BIGINT at web scale); floats appear only in the final
+    1-row AUC/gini/KS expression.
+
+    Scale: the fact table collapses to the distinct-value spine in one
+    map-side-combining pass; the only ordered window runs over the
+    spine; group totals ride a 1-row broadcast."""
+    cum = _roc_spine(spark, sf_dir)
+    tot = cum.agg(
+        F.max("cum_p").alias("n_pos_d"), F.max("cum_n").alias("n_neg_d")
+    )
+    per = cum.crossJoin(F.broadcast(tot)).select(
+        "n_pos_d",
+        "n_neg_d",
+        "cents",
+        (
+            F.col("cp")
+            * (F.lit(2) * (F.col("cum_n") - F.col("cn")) + F.col("cn"))
+        ).alias("u2c"),
+        F.abs(
+            F.col("cum_p") * F.col("n_neg_d") - F.col("cum_n") * F.col("n_pos_d")
+        ).alias("gap"),
+    )
+    agg = per.groupBy("n_pos_d", "n_neg_d").agg(
+        F.sum("u2c").cast("decimal(38,0)").alias("u2"),
+        F.max(
+            F.struct(F.col("gap").alias("gap"), (-F.col("cents")).alias("nc"))
+        ).alias("bst"),
+    )
+    den = F.col("n_pos_d").cast("double") * F.col("n_neg_d").cast("double")
+    auc = F.col("u2").cast("double") / (F.lit(2.0) * den)
+    ks = F.col("bst.gap").cast("double") / den
+    return agg.select(
+        F.col("n_pos_d").cast("bigint").alias("n_pos"),
+        F.col("n_neg_d").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+        F.round(ks, 6).alias("roc_ks"),
+        (-F.col("bst.nc")).cast("bigint").alias("ks_at_cents"),
+    )
+
+
+_ROC_SPINE_SQL = f"""
+pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN o_orderpriority IN {ROC_POS_PRI!r}
+                       THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS cp,
+         CAST(sum(CASE WHEN o_orderpriority IN {ROC_POS_PRI!r}
+                       THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cn
+  FROM orders GROUP BY 1),
+cum AS (
+  SELECT cents, cp, cn,
+         CAST(sum(cp) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_p,
+         CAST(sum(cn) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_n
+  FROM pts)"""
+
+AUC_ROC_SQL = f"""
+WITH {_ROC_SPINE_SQL},
+tot AS (SELECT max(cum_p) AS n_pos_d, max(cum_n) AS n_neg_d FROM cum),
+agg AS (
+  SELECT n_pos_d, n_neg_d,
+         CAST(sum(cp * (2 * (cum_n - cn) + cn)) AS DECIMAL(38,0)) AS u2,
+         max(struct_pack(gap := abs(cum_p * n_neg_d - cum_n * n_pos_d),
+                         nc := -cents)) AS bst
+  FROM cum, tot GROUP BY n_pos_d, n_neg_d)
+SELECT CAST(n_pos_d AS BIGINT) AS n_pos,
+       CAST(n_neg_d AS BIGINT) AS n_neg,
+       round(CAST(u2 AS DOUBLE)
+             / (2.0 * (CAST(n_pos_d AS DOUBLE) * CAST(n_neg_d AS DOUBLE))),
+             6) AS auc,
+       round(2.0 * (CAST(u2 AS DOUBLE)
+                    / (2.0 * (CAST(n_pos_d AS DOUBLE)
+                              * CAST(n_neg_d AS DOUBLE)))) - 1.0,
+             6) AS gini,
+       round(CAST(bst.gap AS DOUBLE)
+             / (CAST(n_pos_d AS DOUBLE) * CAST(n_neg_d AS DOUBLE)), 6)
+         AS roc_ks,
+       CAST(-bst.nc AS BIGINT) AS ks_at_cents
+FROM agg
+"""
+
+
+def lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gain table for the same score->label
+    ranking as auc_roc: rows are binned into LIFT_DECILES score deciles
+    (descending score), each decile reporting its response rate, lift
+    over the base rate, and cumulative gain (share of all positives
+    captured through this decile) — the campaign-targeting companion to
+    the threshold-free AUC.
+
+    Determinism: a distinct-score TIE GROUP never splits across deciles —
+    its decile is floor(LIFT_DECILES * rows_strictly_above / N) computed
+    in exact BIGINT arithmetic, so the binning is identical on any
+    engine and any row order (a huge tie bucket may legitimately swallow
+    whole deciles; the output then has fewer than LIFT_DECILES rows).
+    Rates and lifts are fixed double DAGs over exact counts.
+
+    Scale: same collapsed spine as auc_roc; the decile groupBy runs on
+    the spine, never the fact table."""
+    cum = _roc_spine(spark, sf_dir)
+    tot = cum.agg(
+        F.max("cum_p").cast("bigint").alias("np_tot"),
+        F.max("cum_n").cast("bigint").alias("nn_tot"),
+    )
+    g = cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("cp") + F.col("cn")).cast("bigint").alias("rows_s"),
+        F.col("cp").cast("bigint").alias("pos_s"),
+        (F.col("np_tot") + F.col("nn_tot")).alias("n_tot"),
+        F.col("np_tot"),
+        (
+            F.col("np_tot")
+            + F.col("nn_tot")
+            - (F.col("cum_p") + F.col("cum_n")).cast("bigint")
+        ).alias("above"),
+    )
+    dec = g.select(
+        "rows_s",
+        "pos_s",
+        "n_tot",
+        "np_tot",
+        F.least(
+            F.lit(LIFT_DECILES - 1),
+            F.expr(f"({LIFT_DECILES} * above) div n_tot"),
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    byd = dec.groupBy("decile", "n_tot", "np_tot").agg(
+        F.sum("rows_s").cast("bigint").alias("n_rows"),
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+    )
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rate = d("n_pos") / d("n_rows")
+    base = d("np_tot") / d("n_tot")
+    return (
+        byd.select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "np_tot",
+            F.sum("n_pos").over(wd).cast("bigint").alias("cum_pos"),
+            F.round(rate, 6).alias("resp_rate"),
+            F.round(rate / base, 6).alias("lift"),
+        )
+        .withColumn(
+            "cum_gain",
+            F.round(F.col("cum_pos").cast("double") / d("np_tot"), 6),
+        )
+        .select(
+            "decile", "n_rows", "n_pos", "resp_rate", "lift", "cum_gain"
+        )
+        .orderBy("decile")
+    )
+
+
+LIFT_GAIN_SQL = f"""
+WITH {_ROC_SPINE_SQL},
+tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS np_tot,
+               CAST(max(cum_n) AS BIGINT) AS nn_tot FROM cum),
+dec AS (
+  SELECT CAST(cp + cn AS BIGINT) AS rows_s,
+         CAST(cp AS BIGINT) AS pos_s,
+         np_tot + nn_tot AS n_tot,
+         np_tot,
+         least({LIFT_DECILES - 1},
+               CAST(({LIFT_DECILES}
+                     * (np_tot + nn_tot - CAST(cum_p + cum_n AS BIGINT)))
+                    // (np_tot + nn_tot) AS BIGINT)) AS decile
+  FROM cum, tot),
+byd AS (
+  SELECT CAST(decile AS INTEGER) AS decile, n_tot, np_tot,
+         CAST(sum(rows_s) AS BIGINT) AS n_rows,
+         CAST(sum(pos_s) AS BIGINT) AS n_pos
+  FROM dec GROUP BY 1, 2, 3)
+SELECT decile, n_rows, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS resp_rate,
+       round((CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+             / (CAST(np_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS lift,
+       round(CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS DOUBLE)
+             / CAST(np_tot AS DOUBLE), 6) AS cum_gain
+FROM byd ORDER BY decile
+"""
+
+
+# --- Kruskal-Wallis rank ANOVA (round 13) -----------------------------------
+
+KW_GROUPS = 7  # day-of-week groups over the daily revenue series
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — does daily
+    revenue differ across the seven weekdays? The k-group extension of
+    rel_mann_whitney: tie-corrected average ranks in exact half-units
+    (2*avg = 2*rank() + count_equal - 1), per-group rank sums as exact
+    BIGINTs, H = 3 * sum_i(R2_i^2 / n_i) / (N(N+1)) - 3(N+1) in
+    half-rank units, tie correction C = 1 - sum(t^3 - t)/(N^3 - N),
+    H_corr = H / C on chi-square df = KW_GROUPS - 1.
+
+    Determinism: the only cross-group float reduction, sum_i R2_i^2/n_i,
+    is PIVOTED into a fixed left-associated 7-term expression (one
+    conditional aggregate per weekday) so the double addition order is
+    identical on every engine and at any parallelism — R2_i^2 <= 2^53
+    stays exactly representable.
+
+    Scale: runs on the calendar-bounded daily series (~2.4k rows at any
+    corpus scale); the heavy pass is the shared one-scan daily
+    aggregate."""
+    daily = daily_revenue_cents(spark, sf_dir).select(
+        "cents", F.pmod(F.col("dn"), F.lit(KW_GROUPS)).cast("int").alias("dow")
+    )
+    ranked = daily.select(
+        "dow",
+        (
+            F.lit(2) * F.rank().over(W.orderBy("cents"))
+            + F.count(F.lit(1)).over(W.partitionBy("cents"))
+            - F.lit(1)
+        ).cast("bigint").alias("rank2"),
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    grp = ranked.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rank2").cast("bigint").alias("r2"),
+    )
+    term = lambda i: F.coalesce(  # noqa: E731
+        F.max(
+            F.when(
+                F.col("dow") == i,
+                (F.col("r2") * F.col("r2")).cast("double")
+                / F.col("n_days").cast("double"),
+            )
+        ),
+        F.lit(0.0),
+    )
+    rq = term(0)
+    for i in range(1, KW_GROUPS):
+        rq = rq + term(i)
+    stats = grp.agg(
+        F.sum("n_days").cast("bigint").alias("n"), rq.alias("rq")
+    ).crossJoin(F.broadcast(ties))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    h = F.lit(3.0) * F.col("rq") / (d("n") * (d("n") + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (d("n") + F.lit(1.0))
+    c = F.lit(1.0) - d("tie3") / (d("n") * d("n") * d("n") - d("n"))
+    hs = stats.select(
+        "n",
+        F.round(h, 6).alias("h"),
+        F.round(h / c, 6).alias("h_corr"),
+        F.lit(KW_GROUPS - 1).cast("int").alias("df"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(hs))
+        .select(
+            "dow",
+            "n_days",
+            F.round(
+                F.col("r2").cast("double")
+                / (F.lit(2.0) * F.col("n_days").cast("double")),
+                6,
+            ).alias("avg_rank"),
+            "h",
+            "h_corr",
+            "df",
+        )
+        .orderBy("dow")
+    )
+
+
+def _kw_sql() -> str:
+    terms = " + ".join(
+        f"coalesce(max(CASE WHEN dow = {i} THEN "
+        f"CAST(r2 * r2 AS DOUBLE) / CAST(n_days AS DOUBLE) END), 0.0)"
+        for i in range(KW_GROUPS)
+    )
+    return f"""
+WITH {_DAILY_SQL},
+dowd AS (SELECT cents, CAST(dn % {KW_GROUPS} AS INTEGER) AS dow FROM daily),
+ranked AS (
+  SELECT dow,
+         CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rank2
+  FROM dowd),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM dowd GROUP BY cents)),
+grp AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rank2) AS BIGINT) AS r2
+  FROM ranked GROUP BY dow),
+stats AS (
+  SELECT CAST(sum(n_days) AS BIGINT) AS n, {terms} AS rq FROM grp),
+hs AS (
+  SELECT n,
+         round(3.0 * rq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+         round((3.0 * rq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+           AS h_corr,
+         CAST({KW_GROUPS - 1} AS INTEGER) AS df
+  FROM stats, ties)
+SELECT dow, n_days,
+       round(CAST(r2 AS DOUBLE) / (2.0 * CAST(n_days AS DOUBLE)), 6)
+         AS avg_rank,
+       h, h_corr, df
+FROM grp, hs ORDER BY dow
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -10826,6 +11204,9 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_dq_checks", dq_checks, DQ_CHECKS_SQL),
     ("rel_ab_test_zscore", ab_test_zscore, AB_TEST_SQL),
     ("rel_ks_two_sample", ks_two_sample, KS_TWO_SAMPLE_SQL),
+    ("rel_auc_roc", auc_roc, AUC_ROC_SQL),
+    ("rel_lift_gain", lift_gain, LIFT_GAIN_SQL),
+    ("rel_kruskal_wallis", kruskal_wallis, _kw_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

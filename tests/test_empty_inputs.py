@@ -793,3 +793,27 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
 
     sm = llm.shard_mixing_audit(spark, sf)
     assert sm.count() == 0 and "chi2" in sm.columns
+
+
+def test_roc_family_empty_orders(spark, tmp_path):
+    """Round-13 ROC family over an empty orders lake: the AUC summary,
+    the lift table, and the Kruskal-Wallis report all come back as
+    typed EMPTY frames (the 1-row totals side holds NULLs, which must
+    never surface as NaN rows)."""
+    from air_traffic_data_pipeline_spark.plans import relational
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = str(tmp_path)
+    load(spark, SF, "orders").filter(F.lit(False)).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+
+    au = relational.auc_roc(spark, sf)
+    assert au.count() == 0
+    assert {"auc", "gini", "roc_ks", "ks_at_cents"} <= set(au.columns)
+
+    lg = relational.lift_gain(spark, sf)
+    assert lg.count() == 0 and {"lift", "cum_gain"} <= set(lg.columns)
+
+    kw = relational.kruskal_wallis(spark, sf)
+    assert kw.count() == 0 and {"h", "h_corr", "df"} <= set(kw.columns)

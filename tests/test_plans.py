@@ -2455,6 +2455,9 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.ips_offline_eval,
         relational.dr_offline_eval,
         relational.ams_f2_sketch,
+        relational.auc_roc,
+        relational.lift_gain,
+        relational.kruskal_wallis,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2466,3 +2469,144 @@ def test_round13_plans_have_no_cartesian_product(spark):
     assert "BroadcastHashJoin" in p
     p = plan(relational.ips_offline_eval(spark, SF), "simple")
     assert "BroadcastHashJoin" in p
+
+
+def test_auc_roc_matches_brute_force_pairs(spark):
+    """Exact ROC vs an O(n^2) pair count over the raw sf0.001 orders:
+    AUC must equal (wins + ties/2) / (n_pos * n_neg) counted pair by
+    pair, and the Youden/KS point must be the true sup over thresholds
+    with the smallest-score tie-break — an independent replay of both
+    the rank identity and the integer argmax."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        ROC_POS_PRI,
+        auc_roc,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = (
+        load(spark, SF, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).alias("p"),
+        )
+        .collect()
+    )
+    pos = sorted(r.c for r in rows if r.p)
+    neg = sorted(r.c for r in rows if not r.p)
+    import bisect
+
+    wins2 = 0  # 2*wins + ties, i.e. the exact 2U numerator
+    for c in pos:
+        lo = bisect.bisect_left(neg, c)
+        hi = bisect.bisect_right(neg, c)
+        wins2 += 2 * lo + (hi - lo)
+    want_auc = round(wins2 / (2.0 * len(pos) * len(neg)), 6)
+    # true KS sweep over distinct thresholds
+    best = (-1, None)
+    for c in sorted(set(pos) | set(neg)):
+        cp = bisect.bisect_right(pos, c)
+        cn = bisect.bisect_right(neg, c)
+        gap = abs(cp * len(neg) - cn * len(pos))
+        if gap > best[0]:
+            best = (gap, c)
+    got = auc_roc(spark, SF).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.auc == want_auc
+    assert r.gini == round(2.0 * (wins2 / (2.0 * len(pos) * len(neg))) - 1.0, 6)
+    assert r.roc_ks == round(best[0] / (float(len(pos)) * len(neg)), 6)
+    assert r.ks_at_cents == best[1]
+
+
+def test_lift_gain_decile_replay(spark):
+    """Decile lift/gain vs a pure-Python replay of the tie-group binning
+    rule (a distinct-score group lands wholly in the decile of its first
+    row in descending order) — totals must cover every order, the final
+    cumulative gain must be exactly 1, and lift must equal
+    rate/base_rate on exact counts."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        LIFT_DECILES,
+        ROC_POS_PRI,
+        lift_gain,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = (
+        load(spark, SF, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).alias("p"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    cnt = Counter(r.c for r in rows)
+    posc = Counter(r.c for r in rows if r.p)
+    n_tot = sum(cnt.values())
+    np_tot = sum(posc.values())
+    above = 0
+    exp = {}
+    for c in sorted(cnt, reverse=True):
+        dec = min(LIFT_DECILES - 1, (LIFT_DECILES * above) // n_tot)
+        nr, npos = exp.get(dec, (0, 0))
+        exp[dec] = (nr + cnt[c], npos + posc.get(c, 0))
+        above += cnt[c]
+    got = lift_gain(spark, SF).collect()
+    assert {r.decile: (r.n_rows, r.n_pos) for r in got} == exp
+    assert sum(r.n_rows for r in got) == n_tot
+    assert got[-1].cum_gain == 1.0
+    base = np_tot / n_tot
+    for r in got:
+        assert r.resp_rate == round(r.n_pos / r.n_rows, 6)
+        assert r.lift == round((r.n_pos / r.n_rows) / base, 6)
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    """Kruskal-Wallis H vs a pure-Python replay of the half-unit rank
+    arithmetic and, when scipy is present, scipy.stats.kruskal on the
+    same seven weekday samples — an independent implementation of ranks,
+    ties, and the correction that a shared Spark/DuckDB formula bug
+    cannot survive."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        KW_GROUPS,
+        daily_revenue_cents,
+        kruskal_wallis,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = [(r.dn % KW_GROUPS, r.cents)
+             for r in daily_revenue_cents(spark, sf).collect()]
+    all_v = sorted(c for _, c in daily)
+    first, cnt = {}, {}
+    for i, v in enumerate(all_v):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    r2 = lambda v: 2 * first[v] + cnt[v] - 1  # noqa: E731
+    groups = {}
+    for g, c in daily:
+        n, s = groups.get(g, (0, 0))
+        groups[g] = (n + 1, s + r2(c))
+    n = len(daily)
+    rq = 0.0
+    for g in range(KW_GROUPS):
+        ng, sg = groups.get(g, (0, 0))
+        rq += (float(sg) * sg / ng) if ng else 0.0
+    h = 3.0 * rq / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    tie3 = sum(t * t * t - t for t in cnt.values())
+    h_corr = h / (1.0 - tie3 / (float(n) ** 3 - n))
+    got = kruskal_wallis(spark, sf).collect()
+    assert len(got) == KW_GROUPS
+    for r in got:
+        ng, sg = groups[r.dow]
+        assert (r.n_days, r.avg_rank) == (ng, round(sg / (2.0 * ng), 6))
+        assert r.h == round(h, 6) and r.h_corr == round(h_corr, 6)
+        assert r.df == KW_GROUPS - 1
+    try:
+        from scipy.stats import kruskal
+    except ImportError:
+        return  # scipy absent: the replay above still pins the math
+    samples = [[c for g, c in daily if g == i] for i in range(KW_GROUPS)]
+    res = kruskal(*samples)
+    assert abs(res.statistic - h_corr) < 1e-6
