@@ -387,6 +387,8 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_auc_roc": (EK, "stream_incremental_mann_whitney"),
     "rel_lift_gain": (EK, "stream_incremental_quantile"),
     "rel_kruskal_wallis": (EK, "stream_incremental_mann_whitney"),
+    "rel_cusum_drift": (EK, "stream_incremental_changepoint"),
+    "rel_cv_ridge": (PC, "stream_incremental_ols"),
     "rel_conformal_interval": (EK, "stream_incremental_quantile"),
     "rel_bh_fdr": (AE, "FDR decision table over a test grid"),
     "rel_ams_f2_sketch": (PC, "stream_incremental_cms"),

@@ -11071,6 +11071,339 @@ FROM grp, hs ORDER BY dow
 """
 
 
+# --- CUSUM drift detection (round 13) ---------------------------------------
+
+CUSUM_SLACK_PCT = 5  # one-sided slack: 5% of the global daily mean
+CUSUM_ALARM_DAYS = 3  # alarm when cumulative excess is worth 3 mean days
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector (Page 1954) over the daily revenue
+    series: has revenue run persistently above (or below) its global
+    mean by more than the slack band? Uses the prefix-min closed form —
+    s+_t = P_t − min(0, min_{j<=t} P_j) with P = cumsum(x − (1+k)·mean) —
+    so the recursive max(0, s+x) fold becomes TWO plain windows (cumsum
+    + running min), no stateful UDF, in both engines.
+
+    Exactness: everything is scaled through by 100·n (n days, S total
+    cents): dev+_t = 100·n·x_t − (100+SLACK)·S is an exact DECIMAL(38,0)
+    integer (BIGINT overflows: the prefix of 100·n·x reaches ~1e19 at
+    web scale), the running min/argmax are integer-exact, and the alarm
+    threshold is 100·ALARM_DAYS·S in the SAME units. Floats appear only
+    in the final 1-row report (peak cusum re-expressed in mean-days).
+
+    Output: ONE summary row — peak positive/negative cusum (in units of
+    the mean daily revenue), the day each peak occurs (smallest-day
+    tie-break via integer argmax), alarm-day counts, and the first alarm
+    day per side (NULL when that side never alarms).
+
+    Scale: the series is calendar-bounded (~2.4k rows at any corpus
+    scale); the heavy pass is the shared one-scan daily aggregate."""
+    daily = daily_revenue_cents(spark, sf_dir).select(
+        "dn", F.col("cents").cast("decimal(38,0)").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    g = daily.crossJoin(F.broadcast(tot))
+    up = F.lit(100 + CUSUM_SLACK_PCT)
+    dn_ = F.lit(100 - CUSUM_SLACK_PCT)
+    base = g.select(
+        "dn",
+        "n",
+        "s",
+        (F.lit(100) * F.col("n") * F.col("x") - up * F.col("s")).alias("dp"),
+        (dn_ * F.col("s") - F.lit(100) * F.col("n") * F.col("x")).alias("dm"),
+    )
+    w = W.orderBy("dn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = base.select(
+        "dn",
+        "n",
+        "s",
+        F.sum("dp").over(w).alias("pp"),
+        F.sum("dm").over(w).alias("pm"),
+    ).select(
+        "dn",
+        "n",
+        "s",
+        (F.col("pp") - F.least(F.lit(0), F.min("pp").over(w))).alias("sp"),
+        (F.col("pm") - F.least(F.lit(0), F.min("pm").over(w))).alias("sm"),
+    )
+    thr = F.lit(100 * CUSUM_ALARM_DAYS) * F.col("s")
+    rep = pre.groupBy("n", "s").agg(
+        F.max(F.struct(F.col("sp").alias("v"), (-F.col("dn")).alias("nd"))).alias(
+            "bp"
+        ),
+        F.max(F.struct(F.col("sm").alias("v"), (-F.col("dn")).alias("nd"))).alias(
+            "bm"
+        ),
+        F.sum(F.when(F.col("sp") > thr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("alarms_pos"),
+        F.sum(F.when(F.col("sm") > thr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("alarms_neg"),
+        F.min(F.when(F.col("sp") > thr, F.col("dn"))).alias("first_alarm_pos"),
+        F.min(F.when(F.col("sm") > thr, F.col("dn"))).alias("first_alarm_neg"),
+    )
+    days = lambda v: F.round(  # noqa: E731  (peak cusum in mean-days)
+        v.cast("double") / (F.lit(100.0) * F.col("s").cast("double")), 6
+    )
+    return rep.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        days(F.col("bp.v")).alias("peak_pos_days"),
+        (-F.col("bp.nd")).cast("bigint").alias("peak_pos_dn"),
+        days(F.col("bm.v")).alias("peak_neg_days"),
+        (-F.col("bm.nd")).cast("bigint").alias("peak_neg_dn"),
+        "alarms_pos",
+        "alarms_neg",
+        F.col("first_alarm_pos").cast("bigint").alias("first_alarm_pos"),
+        F.col("first_alarm_neg").cast("bigint").alias("first_alarm_neg"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH {_DAILY_SQL},
+dd AS (SELECT dn, CAST(cents AS DECIMAL(38,0)) AS x FROM daily),
+tot AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS s FROM dd),
+base AS (
+  SELECT dn, n, s,
+         100 * n * x - {100 + CUSUM_SLACK_PCT} * s AS dp,
+         {100 - CUSUM_SLACK_PCT} * s - 100 * n * x AS dm
+  FROM dd, tot),
+pre AS (
+  SELECT dn, n, s,
+         sum(dp) OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pp,
+         sum(dm) OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pm
+  FROM base),
+cus AS (
+  SELECT dn, n, s,
+         pp - least(CAST(0 AS DECIMAL(38,0)),
+                    min(pp) OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)) AS sp,
+         pm - least(CAST(0 AS DECIMAL(38,0)),
+                    min(pm) OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)) AS sm
+  FROM pre),
+rep AS (
+  SELECT n, s,
+         max(struct_pack(v := sp, nd := -dn)) AS bp,
+         max(struct_pack(v := sm, nd := -dn)) AS bm,
+         CAST(sum(CASE WHEN sp > {100 * CUSUM_ALARM_DAYS} * s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS alarms_pos,
+         CAST(sum(CASE WHEN sm > {100 * CUSUM_ALARM_DAYS} * s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS alarms_neg,
+         min(CASE WHEN sp > {100 * CUSUM_ALARM_DAYS} * s THEN dn END)
+           AS first_alarm_pos,
+         min(CASE WHEN sm > {100 * CUSUM_ALARM_DAYS} * s THEN dn END)
+           AS first_alarm_neg
+  FROM cus GROUP BY n, s)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CAST(bp.v AS DOUBLE) / (100.0 * CAST(s AS DOUBLE)), 6)
+         AS peak_pos_days,
+       CAST(-bp.nd AS BIGINT) AS peak_pos_dn,
+       round(CAST(bm.v AS DOUBLE) / (100.0 * CAST(s AS DOUBLE)), 6)
+         AS peak_neg_days,
+       CAST(-bm.nd AS BIGINT) AS peak_neg_dn,
+       alarms_pos, alarms_neg,
+       CAST(first_alarm_pos AS BIGINT) AS first_alarm_pos,
+       CAST(first_alarm_neg AS BIGINT) AS first_alarm_neg
+FROM rep
+"""
+
+
+# --- One-pass k-fold cross-validated ridge (round 13) -----------------------
+
+CV_FOLDS = 5  # deterministic fold = l_orderkey % CV_FOLDS
+
+
+def cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the ridge sweep (rel_ridge_regression's
+    model price_cents ~ quantity + discount_pct) in ONE scan of the fact
+    table: per-fold normal-equation moments are the sufficient statistic
+    for BOTH sides of every split — train moments by SUBTRACTION
+    (complement = total − fold) and test error by the QUADRATIC FORM
+    (sse = syy − 2βᵀXᵀy + βᵀXᵀXβ on the held-out fold's own moments) —
+    so k-fold CV costs exactly one map-side-combining aggregate, not k
+    passes. Folds are deterministic (l_orderkey % CV_FOLDS), the same
+    hash-split discipline as llm_train_val_split.
+
+    Exactness: the ten moments accumulate as DECIMAL(38,0) per fold
+    (the _ols_moments discipline); fold totals come from a window over
+    the K-row moment frame; the 3×3 Cramer solve and RMSE/R² are a fixed
+    double DAG on exact moments — bitwise on any engine.
+
+    Scale: the moment aggregate is the only pass over lineitem; all CV
+    arithmetic happens on a K-row frame (broadcast-sized at any corpus
+    scale, any K)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(CV_FOLDS)).cast("int").alias("fold"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    names = [
+        ("n", F.lit(1).cast("decimal(38,0)")),
+        ("sx1", F.col("x1")),
+        ("sx2", F.col("x2")),
+        ("sx11", F.col("x1") * F.col("x1")),
+        ("sx22", F.col("x2") * F.col("x2")),
+        ("sx12", F.col("x1") * F.col("x2")),
+        ("sy", F.col("y")),
+        ("sx1y", F.col("x1") * F.col("y")),
+        ("sx2y", F.col("x2") * F.col("y")),
+        ("syy", F.col("y") * F.col("y")),
+    ]
+    m = li.groupBy("fold").agg(
+        *[F.sum(e).cast("decimal(38,0)").alias(k) for k, e in names]
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tr = m.select(
+        "fold",
+        *[F.col(k).alias(f"f_{k}") for k, _ in names],
+        *[
+            (F.sum(k).over(wall) - F.col(k)).cast("decimal(38,0)").alias(f"t_{k}")
+            for k, _ in names
+        ],
+    )
+    lam = spark.createDataFrame([(l,) for l in RIDGE_LAMBDAS], "lam bigint")
+    ml = tr.crossJoin(F.broadcast(lam))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lamd = F.col("lam").cast("double")
+    a11, a12, a13 = d("t_n"), d("t_sx1"), d("t_sx2")
+    a22, a23, a33 = d("t_sx11") + lamd, d("t_sx12"), d("t_sx22") + lamd
+    b1, b2, b3 = d("t_sy"), d("t_sx1y"), d("t_sx2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    c0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    ) / det
+    c1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    ) / det
+    c2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    ) / det
+    # held-out error: quadratic form over the FOLD's own (unpenalized)
+    # moments
+    fn_, f12, f13 = d("f_n"), d("f_sx1"), d("f_sx2")
+    f22, f23, f33 = d("f_sx11"), d("f_sx12"), d("f_sx22")
+    g1, g2_, g3 = d("f_sy"), d("f_sx1y"), d("f_sx2y")
+    quad = (
+        c0 * c0 * fn_
+        + c1 * c1 * f22
+        + c2 * c2 * f33
+        + F.lit(2.0) * (c0 * c1 * f12 + c0 * c2 * f13 + c1 * c2 * f23)
+    )
+    sse = d("f_syy") - F.lit(2.0) * (c0 * g1 + c1 * g2_ + c2 * g3) + quad
+    sst = d("f_syy") - g1 * g1 / fn_
+    return ml.select(
+        "fold",
+        "lam",
+        F.col("f_n").cast("bigint").alias("n_test"),
+        F.round(F.sqrt(sse / fn_), 6).alias("test_rmse"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("test_r2"),
+    ).orderBy("fold", "lam")
+
+
+def _cv_ridge_sql() -> str:
+    cols = ["n", "sx1", "sx2", "sx11", "sx22", "sx12", "sy", "sx1y", "sx2y", "syy"]
+    folds = ",\n         ".join(
+        [f"CAST({c} AS DECIMAL(38,0)) AS f_{c}" for c in cols]
+        + [
+            f"CAST(sum({c}) OVER () - {c} AS DECIMAL(38,0)) AS t_{c}"
+            for c in cols
+        ]
+    )
+    lams = ", ".join(f"({l})" for l in RIDGE_LAMBDAS)
+    return f"""
+WITH li AS (
+  SELECT CAST(l_orderkey % {CV_FOLDS} AS INTEGER) AS fold,
+         CAST(l_quantity AS DECIMAL(38,0)) AS x1,
+         CAST(round(l_discount * 100) AS DECIMAL(38,0)) AS x2,
+         CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem),
+m AS (
+  SELECT fold,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(sum(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(sum(x1 * x1) AS DECIMAL(38,0)) AS sx11,
+         CAST(sum(x2 * x2) AS DECIMAL(38,0)) AS sx22,
+         CAST(sum(x1 * x2) AS DECIMAL(38,0)) AS sx12,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x1 * y) AS DECIMAL(38,0)) AS sx1y,
+         CAST(sum(x2 * y) AS DECIMAL(38,0)) AS sx2y,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM li GROUP BY fold),
+tr AS (
+  SELECT fold,
+         {folds}
+  FROM m),
+ml AS (
+  SELECT tr.*, CAST(l.lam AS BIGINT) AS lam
+  FROM tr, (VALUES {lams}) AS l(lam)),
+sv AS (
+  SELECT fold, lam, f_n, f_syy, f_sy, f_sx1y, f_sx2y, f_sx1, f_sx2,
+         f_sx11, f_sx22, f_sx12,
+         CAST(t_n AS DOUBLE) AS a11, CAST(t_sx1 AS DOUBLE) AS a12,
+         CAST(t_sx2 AS DOUBLE) AS a13,
+         CAST(t_sx11 AS DOUBLE) + CAST(lam AS DOUBLE) AS a22,
+         CAST(t_sx12 AS DOUBLE) AS a23,
+         CAST(t_sx22 AS DOUBLE) + CAST(lam AS DOUBLE) AS a33,
+         CAST(t_sy AS DOUBLE) AS b1, CAST(t_sx1y AS DOUBLE) AS b2,
+         CAST(t_sx2y AS DOUBLE) AS b3
+  FROM ml),
+co AS (
+  SELECT fold, lam, f_n, f_syy, f_sy, f_sx1y, f_sx2y, f_sx1, f_sx2,
+         f_sx11, f_sx22, f_sx12,
+         (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+          + a13 * (b2 * a23 - a22 * b3))
+         / (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c0,
+         (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+          + a13 * (a12 * b3 - b2 * a13))
+         / (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c1,
+         (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+          + b1 * (a12 * a23 - a22 * a13))
+         / (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)) AS c2
+  FROM sv),
+ev AS (
+  SELECT fold, lam, f_n,
+         CAST(f_syy AS DOUBLE)
+         - 2.0 * (c0 * CAST(f_sy AS DOUBLE) + c1 * CAST(f_sx1y AS DOUBLE)
+                  + c2 * CAST(f_sx2y AS DOUBLE))
+         + (c0 * c0 * CAST(f_n AS DOUBLE) + c1 * c1 * CAST(f_sx11 AS DOUBLE)
+            + c2 * c2 * CAST(f_sx22 AS DOUBLE)
+            + 2.0 * (c0 * c1 * CAST(f_sx1 AS DOUBLE)
+                     + c0 * c2 * CAST(f_sx2 AS DOUBLE)
+                     + c1 * c2 * CAST(f_sx12 AS DOUBLE))) AS sse,
+         CAST(f_syy AS DOUBLE)
+         - CAST(f_sy AS DOUBLE) * CAST(f_sy AS DOUBLE)
+           / CAST(f_n AS DOUBLE) AS sst
+  FROM co)
+SELECT fold, lam, CAST(f_n AS BIGINT) AS n_test,
+       round(sqrt(sse / CAST(f_n AS DOUBLE)), 6) AS test_rmse,
+       round(1.0 - sse / sst, 6) AS test_r2
+FROM ev ORDER BY fold, lam
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -11207,6 +11540,8 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_auc_roc", auc_roc, AUC_ROC_SQL),
     ("rel_lift_gain", lift_gain, LIFT_GAIN_SQL),
     ("rel_kruskal_wallis", kruskal_wallis, _kw_sql()),
+    ("rel_cusum_drift", cusum_drift, CUSUM_SQL),
+    ("rel_cv_ridge", cv_ridge, _cv_ridge_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

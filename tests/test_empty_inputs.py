@@ -817,3 +817,14 @@ def test_roc_family_empty_orders(spark, tmp_path):
 
     kw = relational.kruskal_wallis(spark, sf)
     assert kw.count() == 0 and {"h", "h_corr", "df"} <= set(kw.columns)
+
+    cu = relational.cusum_drift(spark, sf)
+    assert cu.count() == 0 and {"peak_pos_days", "alarms_neg"} <= set(
+        cu.columns
+    )
+
+    load(spark, SF, "lineitem").filter(F.lit(False)).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    cv = relational.cv_ridge(spark, sf)
+    assert cv.count() == 0 and {"test_rmse", "test_r2"} <= set(cv.columns)

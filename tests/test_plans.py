@@ -2458,6 +2458,8 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.auc_roc,
         relational.lift_gain,
         relational.kruskal_wallis,
+        relational.cusum_drift,
+        relational.cv_ridge,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2610,3 +2612,97 @@ def test_kruskal_wallis_matches_reference(spark):
     samples = [[c for g, c in daily if g == i] for i in range(KW_GROUPS)]
     res = kruskal(*samples)
     assert abs(res.statistic - h_corr) < 1e-6
+
+
+def test_cusum_drift_matches_recursive_fold(spark):
+    """The prefix-min closed form must equal the RECURSIVE CUSUM
+    definition s_t = max(0, s_{t-1} + d_t) replayed in pure Python over
+    the same daily series — peaks, argmaxes (smallest-day tie-break),
+    alarm counts, and first-alarm days all pinned."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        CUSUM_ALARM_DAYS,
+        CUSUM_SLACK_PCT,
+        cusum_drift,
+        daily_revenue_cents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, sf).collect()
+    )
+    n = len(daily)
+    s = sum(c for _, c in daily)
+    thr = 100 * CUSUM_ALARM_DAYS * s
+    sp = sm = 0
+    best_p = best_m = (-1, None)
+    alarms_p = alarms_m = 0
+    first_p = first_m = None
+    for dn, x in daily:
+        sp = max(0, sp + 100 * n * x - (100 + CUSUM_SLACK_PCT) * s)
+        sm = max(0, sm + (100 - CUSUM_SLACK_PCT) * s - 100 * n * x)
+        if sp > best_p[0]:
+            best_p = (sp, dn)
+        if sm > best_m[0]:
+            best_m = (sm, dn)
+        if sp > thr:
+            alarms_p += 1
+            first_p = dn if first_p is None else first_p
+        if sm > thr:
+            alarms_m += 1
+            first_m = dn if first_m is None else first_m
+    got = cusum_drift(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == n
+    assert r.peak_pos_days == round(best_p[0] / (100.0 * s), 6)
+    assert r.peak_pos_dn == best_p[1]
+    assert r.peak_neg_days == round(best_m[0] / (100.0 * s), 6)
+    assert r.peak_neg_dn == best_m[1]
+    assert (r.alarms_pos, r.alarms_neg) == (alarms_p, alarms_m)
+    assert (r.first_alarm_pos, r.first_alarm_neg) == (first_p, first_m)
+
+
+def test_cv_ridge_matches_direct_refit(spark):
+    """One-pass CV vs a direct numpy refit: for every (fold, lam) the
+    subtraction-trained coefficients and the quadratic-form test error
+    must match an explicit train-on-complement / score-on-fold
+    computation on the raw rows."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        CV_FOLDS,
+        RIDGE_LAMBDAS,
+        cv_ridge,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = (
+        load(spark, SF, "lineitem")
+        .select(
+            (F.col("l_orderkey") % CV_FOLDS).cast("int").alias("f"),
+            F.col("l_quantity").cast("double").alias("x1"),
+            F.round(F.col("l_discount") * 100).alias("x2"),
+            F.round(F.col("l_extendedprice") * 100).alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r.x1, r.x2] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    f = np.array([r.f for r in rows])
+    got = {(r.fold, r.lam): r for r in cv_ridge(spark, SF).collect()}
+    assert len(got) == CV_FOLDS * len(RIDGE_LAMBDAS)
+    assert sum(r.n_test for r in got.values()) == len(rows) * len(RIDGE_LAMBDAS)
+    for k in range(CV_FOLDS):
+        tr, te = f != k, f == k
+        for lam in RIDGE_LAMBDAS:
+            A = X[tr].T @ X[tr] + lam * np.diag([0.0, 1.0, 1.0])
+            beta = np.linalg.solve(A, X[tr].T @ y[tr])
+            resid = y[te] - X[te] @ beta
+            rmse = float(np.sqrt(np.mean(resid**2)))
+            r2 = 1.0 - float(resid @ resid) / float(
+                ((y[te] - y[te].mean()) ** 2).sum()
+            )
+            r = got[(k, lam)]
+            assert r.n_test == int(te.sum())
+            assert abs(r.test_rmse - rmse) < 1e-4 * max(1.0, rmse)
+            assert abs(r.test_r2 - r2) < 1e-5
