@@ -11404,6 +11404,182 @@ FROM ev ORDER BY fold, lam
 """
 
 
+# --- Logistic regression via fixed-round IRLS (round 13) --------------------
+
+IRLS_ROUNDS = 4  # Newton/IRLS steps from beta = 0 (quadratic convergence)
+IRLS_SCALE = 1_000_000  # micro-unit quantization of per-point IRLS terms
+
+
+def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(expedited | price) = sigmoid(b0 + b1*z) by
+    IRLS_ROUNDS unrolled Newton/IRLS steps — the missing LOGISTIC rung
+    of the regression family (rel_ols_regression / rel_ridge_regression
+    are closed-form; the logistic MLE has no closed form, so the fixed
+    iteration count is part of the query's contract, the
+    llm_pca_power_iter discipline).
+
+    Scale + determinism come from the same move: the fact table
+    collapses ONCE to the distinct-(z, y) spine with multiplicities
+    (z = price in exact cents / 1e6), and every IRLS step aggregates
+    over the SPINE — per-point gradient/Hessian terms are quantized to
+    micro-units (round(term * 1e6) as BIGINT, the bcubed_eval
+    discipline), multiplied by the exact count, and summed as
+    DECIMAL(38,0), so the only float reductions in the whole loop are
+    order-free integer sums and the 2x2 Newton solve is a fixed double
+    DAG on a 1-row frame. An incremental deployment maintains the spine
+    counts (plain signed sums) and reruns the IRLS tail — the
+    naive-bayes retraining posture.
+
+    Output: one row — n, coefficients, mean log-loss (stable softplus,
+    micro-quantized), and accuracy at the eta > 0 decision boundary
+    (exactly p > 0.5, decided in integer-identical doubles)."""
+    o = load(spark, sf_dir, "orders")
+    spine = (
+        o.select(
+            (
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("double")
+                / F.lit(1e6)
+            ).alias("z"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).cast("int").alias("yy"),
+        )
+        .groupBy("z", "yy")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    mi = lambda c: F.round(c * F.lit(IRLS_SCALE)).cast("bigint")  # noqa: E731
+    d6 = lambda c: F.col(c).cast("double") / F.lit(1e6)  # noqa: E731
+    for _ in range(IRLS_ROUNDS):
+        j = spine.crossJoin(F.broadcast(beta))
+        eta = F.col("b0") + F.col("b1") * F.col("z")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        wgt = p * (F.lit(1.0) - p)
+        yv = F.col("yy").cast("double")
+        stats = j.agg(
+            F.sum(F.col("m") * mi(yv - p)).cast("decimal(38,0)").alias("g0"),
+            F.sum(F.col("m") * mi((yv - p) * F.col("z")))
+            .cast("decimal(38,0)")
+            .alias("g1"),
+            F.sum(F.col("m") * mi(wgt)).cast("decimal(38,0)").alias("h00"),
+            F.sum(F.col("m") * mi(wgt * F.col("z")))
+            .cast("decimal(38,0)")
+            .alias("h01"),
+            F.sum(F.col("m") * mi(wgt * F.col("z") * F.col("z")))
+            .cast("decimal(38,0)")
+            .alias("h11"),
+        )
+        det = d6("h00") * d6("h11") - d6("h01") * d6("h01")
+        beta = stats.crossJoin(F.broadcast(beta)).select(
+            (
+                F.col("b0")
+                + (d6("h11") * d6("g0") - d6("h01") * d6("g1")) / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (d6("h00") * d6("g1") - d6("h01") * d6("g0")) / det
+            ).alias("b1"),
+        )
+    fin = spine.crossJoin(F.broadcast(beta))
+    eta = F.col("b0") + F.col("b1") * F.col("z")
+    marg = (F.lit(2.0) * F.col("yy").cast("double") - F.lit(1.0)) * eta
+    softplus = F.greatest(-marg, F.lit(0.0)) + F.log(
+        F.lit(1.0) + F.exp(-F.abs(marg))
+    )
+    correct = (eta > F.lit(0.0)) == (F.col("yy") == F.lit(1))
+    rep = fin.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("m") * mi(softplus)).cast("decimal(38,0)").alias("llm_"),
+        F.sum(F.when(correct, F.col("m")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("acc"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+    )
+    nd = F.col("n").cast("double")
+    return rep.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(
+            F.col("llm_").cast("double") / F.lit(1e6) / nd, 6
+        ).alias("mean_logloss"),
+        F.round(F.col("acc").cast("double") / nd, 6).alias("accuracy"),
+    )
+
+
+def _logistic_sql() -> str:
+    pri = ", ".join(f"'{p}'" for p in ROC_POS_PRI)
+    header = f"""
+WITH spine AS (
+  SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+           / 1000000.0 AS z,
+         CAST(CASE WHEN o_orderpriority IN ({pri}) THEN 1 ELSE 0 END
+              AS INTEGER) AS yy,
+         CAST(count(*) AS DECIMAL(38,0)) AS m
+  FROM orders GROUP BY 1, 2),
+it0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    steps = []
+    for i in range(IRLS_ROUNDS):
+        steps.append(f""",
+s{i} AS (
+  SELECT
+    CAST(sum(m * CAST(round((CAST(yy AS DOUBLE)
+          - 1.0 / (1.0 + exp(-(b0 + b1 * z)))) * {IRLS_SCALE}) AS BIGINT))
+      AS DECIMAL(38,0)) AS g0,
+    CAST(sum(m * CAST(round(((CAST(yy AS DOUBLE)
+          - 1.0 / (1.0 + exp(-(b0 + b1 * z)))) * z) * {IRLS_SCALE})
+        AS BIGINT)) AS DECIMAL(38,0)) AS g1,
+    CAST(sum(m * CAST(round(((1.0 / (1.0 + exp(-(b0 + b1 * z))))
+          * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * z))))) * {IRLS_SCALE})
+        AS BIGINT)) AS DECIMAL(38,0)) AS h00,
+    CAST(sum(m * CAST(round(((1.0 / (1.0 + exp(-(b0 + b1 * z))))
+          * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * z)))) * z) * {IRLS_SCALE})
+        AS BIGINT)) AS DECIMAL(38,0)) AS h01,
+    CAST(sum(m * CAST(round(((1.0 / (1.0 + exp(-(b0 + b1 * z))))
+          * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * z)))) * z * z)
+          * {IRLS_SCALE}) AS BIGINT)) AS DECIMAL(38,0)) AS h11
+  FROM spine, it{i}),
+it{i + 1} AS (
+  SELECT b0 + ((CAST(h11 AS DOUBLE) / 1000000.0)
+               * (CAST(g0 AS DOUBLE) / 1000000.0)
+               - (CAST(h01 AS DOUBLE) / 1000000.0)
+                 * (CAST(g1 AS DOUBLE) / 1000000.0))
+             / ((CAST(h00 AS DOUBLE) / 1000000.0)
+                * (CAST(h11 AS DOUBLE) / 1000000.0)
+                - (CAST(h01 AS DOUBLE) / 1000000.0)
+                  * (CAST(h01 AS DOUBLE) / 1000000.0)) AS b0,
+         b1 + ((CAST(h00 AS DOUBLE) / 1000000.0)
+               * (CAST(g1 AS DOUBLE) / 1000000.0)
+               - (CAST(h01 AS DOUBLE) / 1000000.0)
+                 * (CAST(g0 AS DOUBLE) / 1000000.0))
+             / ((CAST(h00 AS DOUBLE) / 1000000.0)
+                * (CAST(h11 AS DOUBLE) / 1000000.0)
+                - (CAST(h01 AS DOUBLE) / 1000000.0)
+                  * (CAST(h01 AS DOUBLE) / 1000000.0)) AS b1
+  FROM s{i}, it{i})""")
+    tail = f""",
+rep AS (
+  SELECT CAST(sum(m) AS DECIMAL(38,0)) AS n,
+         CAST(sum(m * CAST(round((greatest(-((2.0 * CAST(yy AS DOUBLE) - 1.0)
+               * (b0 + b1 * z)), 0.0)
+             + ln(1.0 + exp(-abs((2.0 * CAST(yy AS DOUBLE) - 1.0)
+               * (b0 + b1 * z))))) * {IRLS_SCALE}) AS BIGINT))
+           AS DECIMAL(38,0)) AS llm_,
+         CAST(sum(CASE WHEN ((b0 + b1 * z) > 0.0) = (yy = 1)
+                       THEN m ELSE 0 END) AS DECIMAL(38,0)) AS acc,
+         max(b0) AS b0, max(b1) AS b1
+  FROM spine, it{IRLS_ROUNDS})
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(b0, 6) AS b0,
+       round(b1, 6) AS b1,
+       round(CAST(llm_ AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+         AS mean_logloss,
+       round(CAST(acc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
+FROM rep"""
+    return header + "".join(steps) + tail
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -11542,6 +11718,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_kruskal_wallis", kruskal_wallis, _kw_sql()),
     ("rel_cusum_drift", cusum_drift, CUSUM_SQL),
     ("rel_cv_ridge", cv_ridge, _cv_ridge_sql()),
+    ("rel_logistic_irls", logistic_irls, _logistic_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

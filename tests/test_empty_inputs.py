@@ -828,3 +828,10 @@ def test_roc_family_empty_orders(spark, tmp_path):
     )
     cv = relational.cv_ridge(spark, sf)
     assert cv.count() == 0 and {"test_rmse", "test_r2"} <= set(cv.columns)
+
+    # the IRLS report keeps its 1-row shape with NULL coefficients on an
+    # empty lake (sums over zero rows are NULL on both engines)
+    lg2 = relational.logistic_irls(spark, sf)
+    rows = lg2.collect()
+    assert len(rows) == 1 and rows[0].n_orders is None
+    assert rows[0].b0 is None and rows[0].accuracy is None

@@ -2460,6 +2460,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.kruskal_wallis,
         relational.cusum_drift,
         relational.cv_ridge,
+        relational.logistic_irls,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2706,3 +2707,66 @@ def test_cv_ridge_matches_direct_refit(spark):
             assert r.n_test == int(te.sum())
             assert abs(r.test_rmse - rmse) < 1e-4 * max(1.0, rmse)
             assert abs(r.test_r2 - r2) < 1e-5
+
+
+def test_logistic_irls_matches_numpy_replay(spark):
+    """The quantized IRLS loop vs an exact numpy replay of the SAME
+    algorithm (micro-unit rounding included) — and a sanity check that
+    the quantization stays within 1e-3 of the UNquantized Newton
+    iterate, so the determinism device does not distort the fit."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        IRLS_ROUNDS,
+        IRLS_SCALE,
+        ROC_POS_PRI,
+        logistic_irls,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = (
+        load(spark, SF, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).cast("int").alias("y"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    m = Counter((r.c / 1e6, r.y) for r in rows)
+    pts = np.array([[z, y, cnt] for (z, y), cnt in m.items()])
+    z, y, w = pts[:, 0], pts[:, 1], pts[:, 2]
+
+    def irls(quant):
+        b0 = b1 = 0.0
+        for _ in range(IRLS_ROUNDS):
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * z)))
+            r = lambda v: np.round(v * IRLS_SCALE) if quant else v * IRLS_SCALE
+            g0 = float((w * r(y - p)).sum()) / IRLS_SCALE
+            g1 = float((w * r((y - p) * z)).sum()) / IRLS_SCALE
+            h00 = float((w * r(p * (1 - p))).sum()) / IRLS_SCALE
+            h01 = float((w * r(p * (1 - p) * z)).sum()) / IRLS_SCALE
+            h11 = float((w * r(p * (1 - p) * z * z)).sum()) / IRLS_SCALE
+            det = h00 * h11 - h01 * h01
+            b0 += (h11 * g0 - h01 * g1) / det
+            b1 += (h00 * g1 - h01 * g0) / det
+        return b0, b1
+
+    b0q, b1q = irls(True)
+    b0u, b1u = irls(False)
+    got = logistic_irls(spark, SF).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_orders == len(rows)
+    assert abs(r.b0 - b0q) < 1e-6 and abs(r.b1 - b1q) < 1e-6
+    assert abs(b0q - b0u) < 1e-3 and abs(b1q - b1u) < 1e-3
+    # metrics replay on the final quantized beta
+    eta = b0q + b1q * z
+    sp = np.maximum(-(2.0 * y - 1.0) * eta, 0.0) + np.log1p(
+        np.exp(-np.abs((2.0 * y - 1.0) * eta))
+    )
+    want_ll = float((w * np.round(sp * IRLS_SCALE)).sum()) / IRLS_SCALE / w.sum()
+    assert abs(r.mean_logloss - want_ll) < 1e-6
+    acc = float((w * ((eta > 0) == (y == 1))).sum()) / w.sum()
+    assert abs(r.accuracy - acc) < 1e-6
