@@ -11580,6 +11580,227 @@ FROM rep"""
     return header + "".join(steps) + tail
 
 
+# --- Boosted decision stumps (round 13) -------------------------------------
+
+GBM_ROUNDS = 3  # boosting rounds (depth-1 trees), part of the contract
+GBM_NU = 0.5  # shrinkage
+
+
+def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares gradient boosting with depth-1 trees (decision
+    stumps) on P(expedited | price) — the missing TREE rung of the model
+    family (linear: ols/ridge; logistic: irls; trees: here). GBM_ROUNDS
+    rounds, shrinkage GBM_NU, F0 = mean(y).
+
+    The classic single-node stump search becomes a SPINE SWEEP: the
+    fact table collapses once to per-distinct-price label counts
+    (m1, m0), and the best threshold of EVERY round is found from one
+    cumulative window over that spine — gain(θ) = S_l²/n_l + S_r²/n_r
+    with residual prefix sums S kept in exact micro-unit BIGINTs
+    (residuals depend on the fitted value only through the per-z
+    micro-quantized fμ, so s_z = m1·(1e6 − fμ) − m0·fμ is integer), the
+    argmax decided on a (gain, −θ) struct with smallest-threshold
+    tie-break. Fitted values re-quantize to micro-units after every
+    update, so both engines walk the identical float lattice.
+
+    Output: one row per round — threshold (cents), gain, left/right leaf
+    values, and the training MSE after that round (the boosting curve;
+    pytest pins that it is non-increasing).
+
+    Scale: one fact-table pass builds the spine; each round is one
+    ordered window over the spine + a 1-row broadcast — GBM_ROUNDS
+    windows total, no pass ever returns to the fact table."""
+    o = load(spark, sf_dir, "orders")
+    spine = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("z"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).cast("int").alias("yy"),
+        )
+        .groupBy("z")
+        .agg(
+            F.sum("yy").cast("bigint").alias("m1"),
+            F.sum(F.lit(1) - F.col("yy")).cast("bigint").alias("m0"),
+        )
+    )
+    f0 = spine.agg(
+        F.round(
+            F.sum("m1").cast("double")
+            / (F.sum("m1") + F.sum("m0")).cast("double")
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("fu0")
+    )
+    cur = spine.crossJoin(F.broadcast(f0)).select(
+        "z", "m1", "m0", F.col("fu0").alias("fu")
+    )
+    w = W.orderBy("z").rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    out = None
+    for t in range(1, GBM_ROUNDS + 1):
+        pre = cur.select(
+            "z",
+            "m1",
+            "m0",
+            "fu",
+            F.sum(
+                F.col("m1") * (F.lit(1_000_000) - F.col("fu"))
+                - F.col("m0") * F.col("fu")
+            )
+            .over(w)
+            .cast("decimal(38,0)")
+            .alias("cs"),
+            F.sum(F.col("m1") + F.col("m0"))
+            .over(w)
+            .cast("decimal(38,0)")
+            .alias("cm"),
+        )
+        # the final cs is NOT usable as the total (cs can dip); re-sum
+        tot = pre.agg(
+            F.sum(
+                F.col("m1") * (F.lit(1_000_000) - F.col("fu"))
+                - F.col("m0") * F.col("fu")
+            )
+            .cast("decimal(38,0)")
+            .alias("s_t"),
+            F.sum(F.col("m1") + F.col("m0")).cast("decimal(38,0)").alias("n_t"),
+        )
+        g = pre.crossJoin(F.broadcast(tot)).filter(F.col("cm") < F.col("n_t"))
+        sl = d("cs") / F.lit(1e6)
+        sr = (d("s_t") - d("cs")) / F.lit(1e6)
+        nl, nr = d("cm"), d("n_t") - d("cm")
+        gain = sl * sl / nl + sr * sr / nr
+        best = g.select(
+            F.max(
+                F.struct(
+                    gain.alias("gain"),
+                    (-F.col("z")).alias("nz"),
+                    (sl / nl).alias("vl"),
+                    (sr / nr).alias("vr"),
+                )
+            ).alias("b")
+        ).select(
+            F.lit(t).alias("round"),
+            (-F.col("b.nz")).alias("theta_cents"),
+            F.col("b.gain").alias("gain_raw"),
+            F.col("b.vl").alias("vl"),
+            F.col("b.vr").alias("vr"),
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "z",
+            "m1",
+            "m0",
+            F.round(
+                (
+                    d("fu") / F.lit(1e6)
+                    + F.lit(GBM_NU)
+                    * F.when(F.col("z") <= F.col("theta_cents"), F.col("vl"))
+                    .otherwise(F.col("vr"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("fu"),
+        )
+        mi_ = lambda c: F.round(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+        fv = d("fu") / F.lit(1e6)
+        mse = cur.agg(
+            (
+                F.sum(
+                    F.col("m1") * mi_((F.lit(1.0) - fv) * (F.lit(1.0) - fv))
+                    + F.col("m0") * mi_(fv * fv)
+                ).cast("decimal(38,0)")
+            ).alias("sseu"),
+            F.sum(F.col("m1") + F.col("m0")).cast("decimal(38,0)").alias("nn"),
+        )
+        row = best.crossJoin(F.broadcast(mse)).select(
+            "round",
+            "theta_cents",
+            F.round(F.col("gain_raw") / d("nn"), 6).alias("gain_per_row"),
+            F.round("vl", 6).alias("left_val"),
+            F.round("vr", 6).alias("right_val"),
+            F.round(d("sseu") / F.lit(1e6) / d("nn"), 6).alias("mse_after"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def _boosted_stumps_sql() -> str:
+    pri = ", ".join(f"'{p}'" for p in ROC_POS_PRI)
+    parts = [f"""
+WITH spine AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS z,
+         CAST(sum(CASE WHEN o_orderpriority IN ({pri})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN o_orderpriority IN ({pri})
+                       THEN 0 ELSE 1 END) AS BIGINT) AS m0
+  FROM orders GROUP BY 1),
+f0 AS (
+  SELECT CAST(round(CAST(sum(m1) AS DOUBLE)
+                    / CAST(sum(m1) + sum(m0) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS fu0
+  FROM spine),
+cur0 AS (SELECT z, m1, m0, fu0 AS fu FROM spine, f0)"""]
+    for t in range(1, GBM_ROUNDS + 1):
+        p = t - 1
+        parts.append(f""",
+pre{t} AS (
+  SELECT z, m1, m0, fu,
+         CAST(sum(m1 * (1000000 - fu) - m0 * fu)
+              OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DECIMAL(38,0)) AS cs,
+         CAST(sum(m1 + m0)
+              OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DECIMAL(38,0)) AS cm
+  FROM cur{p}),
+tot{t} AS (
+  SELECT CAST(sum(m1 * (1000000 - fu) - m0 * fu) AS DECIMAL(38,0)) AS s_t,
+         CAST(sum(m1 + m0) AS DECIMAL(38,0)) AS n_t
+  FROM cur{p}),
+best{t} AS (
+  SELECT {t} AS rnd,
+         -(b.nz) AS theta_cents, b.gain AS gain_raw, b.vl AS vl, b.vr AS vr
+  FROM (
+    SELECT max(struct_pack(
+             gain := (CAST(cs AS DOUBLE) / 1000000.0)
+                     * (CAST(cs AS DOUBLE) / 1000000.0)
+                     / CAST(cm AS DOUBLE)
+                   + ((CAST(s_t AS DOUBLE) - CAST(cs AS DOUBLE)) / 1000000.0)
+                     * ((CAST(s_t AS DOUBLE) - CAST(cs AS DOUBLE)) / 1000000.0)
+                     / (CAST(n_t AS DOUBLE) - CAST(cm AS DOUBLE)),
+             nz := -z,
+             vl := (CAST(cs AS DOUBLE) / 1000000.0) / CAST(cm AS DOUBLE),
+             vr := ((CAST(s_t AS DOUBLE) - CAST(cs AS DOUBLE)) / 1000000.0)
+                   / (CAST(n_t AS DOUBLE) - CAST(cm AS DOUBLE)))) AS b
+    FROM pre{t}, tot{t} WHERE cm < n_t) q),
+cur{t} AS (
+  SELECT z, m1, m0,
+         CAST(round((CAST(fu AS DOUBLE) / 1000000.0
+                     + {GBM_NU} * (CASE WHEN z <= theta_cents THEN vl
+                                        ELSE vr END)) * 1000000.0)
+              AS BIGINT) AS fu
+  FROM cur{p}, best{t}),
+mse{t} AS (
+  SELECT CAST(sum(m1 * CAST(round((1.0 - CAST(fu AS DOUBLE) / 1000000.0)
+                   * (1.0 - CAST(fu AS DOUBLE) / 1000000.0) * 1000000.0)
+                 AS BIGINT)
+               + m0 * CAST(round((CAST(fu AS DOUBLE) / 1000000.0)
+                   * (CAST(fu AS DOUBLE) / 1000000.0) * 1000000.0)
+                 AS BIGINT)) AS DECIMAL(38,0)) AS sseu,
+         CAST(sum(m1 + m0) AS DECIMAL(38,0)) AS nn
+  FROM cur{t})""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST(rnd AS INTEGER) AS round, theta_cents,
+       round(gain_raw / CAST(nn AS DOUBLE), 6) AS gain_per_row,
+       round(vl, 6) AS left_val, round(vr, 6) AS right_val,
+       round(CAST(sseu AS DOUBLE) / 1000000.0 / CAST(nn AS DOUBLE), 6)
+         AS mse_after
+FROM best{t}, mse{t}"""
+        for t in range(1, GBM_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + rows + "\nORDER BY round"
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -11719,6 +11940,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_cusum_drift", cusum_drift, CUSUM_SQL),
     ("rel_cv_ridge", cv_ridge, _cv_ridge_sql()),
     ("rel_logistic_irls", logistic_irls, _logistic_sql()),
+    ("rel_boosted_stumps", boosted_stumps, _boosted_stumps_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

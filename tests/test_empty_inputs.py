@@ -835,3 +835,10 @@ def test_roc_family_empty_orders(spark, tmp_path):
     rows = lg2.collect()
     assert len(rows) == 1 and rows[0].n_orders is None
     assert rows[0].b0 is None and rows[0].accuracy is None
+
+    # the stump sweep has no splittable spine on an empty lake: every
+    # per-round best/mse side is a NULL 1-row frame, rounds still emit
+    bs = relational.boosted_stumps(spark, sf)
+    rows = bs.collect()
+    assert len(rows) == relational.GBM_ROUNDS
+    assert all(r.theta_cents is None and r.mse_after is None for r in rows)

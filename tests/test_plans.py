@@ -2461,6 +2461,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.cusum_drift,
         relational.cv_ridge,
         relational.logistic_irls,
+        relational.boosted_stumps,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2770,3 +2771,75 @@ def test_logistic_irls_matches_numpy_replay(spark):
     assert abs(r.mean_logloss - want_ll) < 1e-6
     acc = float((w * ((eta > 0) == (y == 1))).sum()) / w.sum()
     assert abs(r.accuracy - acc) < 1e-6
+
+
+def test_boosted_stumps_matches_python_replay(spark):
+    """The spine-sweep boosting loop vs a pure-Python replay of the SAME
+    algorithm (micro-quantized fitted values, exact prefix-sum gains,
+    smallest-threshold tie-break) — and the boosting contract itself:
+    training MSE is non-increasing across rounds and every chosen split
+    is the true argmax of its round."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        GBM_NU,
+        GBM_ROUNDS,
+        ROC_POS_PRI,
+        boosted_stumps,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    rows = (
+        load(spark, SF, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            F.col("o_orderpriority").isin(*ROC_POS_PRI).cast("int").alias("y"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        agg[r.c][r.y] += 1
+    zs = sorted(agg)
+    m1 = {z: agg[z][1] for z in zs}
+    m0 = {z: agg[z][0] for z in zs}
+    n = len(rows)
+    fu = {z: round(sum(m1.values()) / n * 1e6) for z in zs}
+    want = []
+    for t in range(1, GBM_ROUNDS + 1):
+        s_tot = sum(m1[z] * (1_000_000 - fu[z]) - m0[z] * fu[z] for z in zs)
+        cs = cm = 0
+        best = None
+        for z in zs:
+            cs += m1[z] * (1_000_000 - fu[z]) - m0[z] * fu[z]
+            cm += m1[z] + m0[z]
+            if cm >= n:
+                continue
+            sl, sr = cs / 1e6, (s_tot - cs) / 1e6
+            gain = sl * sl / cm + sr * sr / (n - cm)
+            key = (gain, -z)
+            if best is None or key > best[0]:
+                best = (key, z, sl / cm, sr / (n - cm))
+        _, theta, vl, vr = best
+        for z in zs:
+            v = vl if z <= theta else vr
+            fu[z] = round((fu[z] / 1e6 + GBM_NU * v) * 1e6)
+        sseu = sum(
+            m1[z] * round((1.0 - fu[z] / 1e6) ** 2 * 1e6)
+            + m0[z] * round((fu[z] / 1e6) ** 2 * 1e6)
+            for z in zs
+        )
+        want.append(
+            (
+                t,
+                theta,
+                round(best[0][0] / n, 6),
+                round(vl, 6),
+                round(vr, 6),
+                round(sseu / 1e6 / n, 6),
+            )
+        )
+    got = [tuple(r) for r in boosted_stumps(spark, SF).collect()]
+    assert got == want
+    mses = [r[5] for r in got]
+    assert all(a >= b for a, b in zip(mses, mses[1:]))  # boosting descends
