@@ -15781,6 +15781,118 @@ FROM per_n, bp
 """
 
 
+# --- kNN label classifier eval (round 13) -----------------------------------
+
+KNN_STRIDE = 10  # every KNN_STRIDE-th vector is a held-out query point
+KNN_K = 5  # neighbors per query
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor CLASSIFICATION eval — the missing kNN rung of
+    the model family (the ANN stack answers "which vectors are close";
+    this answers "how well do the neighbors' LABELS predict a held-out
+    point's label", the standard embedding-quality probe next to
+    llm_label_separability): every KNN_STRIDE-th vector is held out,
+    classified by majority vote over its KNN_K exact-cosine nearest
+    TRAINING neighbors (held-out points never vote — no self/split
+    leakage), ties to the smallest label; output is the confusion matrix
+    with per-true-label shares.
+
+    Determinism: the shared brute_force_topk kernel (round-6 cosine,
+    corpus-id tie-break) + integer votes with a (count, −label) struct
+    argmax — every step is either exact or a fixed double DAG.
+
+    Scale: exact brute force is the deliberate baseline kernel (the
+    cosine_topk convention — query side broadcast, corpus streamed); at
+    100 TB the candidate generation swaps to the IVF/LSH/HNSW kernels
+    whose recall against THIS exact ranking is already measured by the
+    *_recall_eval family."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(KNN_STRIDE)) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        to_double(F.col("embedding")).alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(F.pmod(F.col("vec_id"), F.lit(KNN_STRIDE)) != 0).select(
+        F.col("vec_id").alias("c_id"),
+        to_double(F.col("embedding")).alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    topk = brute_force_topk(
+        q.select("q_id", "q_vec"), c.select("c_id", "c_vec"), KNN_K
+    )
+    votes = (
+        topk.join(c.select("c_id", "c_label"), "c_id")
+        .groupBy("q_id", "c_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    pred = (
+        votes.groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("v").alias("v"),
+                    (-F.col("c_label")).cast("bigint").alias("nl"),
+                )
+            ).alias("b")
+        )
+        .select("q_id", (-F.col("b.nl")).cast("int").alias("pred_label"))
+    )
+    conf = (
+        pred.join(q.select("q_id", "true_label"), "q_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_true = W.partitionBy("true_label")
+    return conf.select(
+        "true_label",
+        "pred_label",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(per_true).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("true_label", "pred_label")
+
+
+_KNN_LABEL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS true_label
+  FROM embeddings WHERE vec_id % {KNN_STRIDE} = 0),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec, label AS c_label
+  FROM embeddings WHERE vec_id % {KNN_STRIDE} <> 0),
+pairs AS (
+  SELECT q_id, c_id, round({cosine_sql('q_vec', 'c_vec')}, 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE q_id != c_id),
+ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rank
+  FROM pairs),
+nb AS (
+  SELECT r.q_id, c.c_label FROM ranked r JOIN c ON r.c_id = c.c_id
+  WHERE r.rank <= {KNN_K}),
+votes AS (
+  SELECT q_id, c_label, CAST(count(*) AS BIGINT) AS v
+  FROM nb GROUP BY 1, 2),
+pred AS (
+  SELECT q_id, CAST(-(b.nl) AS INTEGER) AS pred_label
+  FROM (SELECT q_id,
+               max(struct_pack(v := v, nl := -CAST(c_label AS BIGINT))) AS b
+        FROM votes GROUP BY q_id) t),
+conf AS (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+  FROM pred JOIN q USING (q_id) GROUP BY 1, 2)
+SELECT true_label, pred_label, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY true_label) AS DOUBLE), 6)
+         AS share
+FROM conf ORDER BY true_label, pred_label
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     ("llm_dedup_fingerprint", dedup_fingerprint, DEDUP_FP_SQL),
@@ -15852,6 +15964,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("llm_entropy_rate", entropy_rate, _ENTROPY_RATE_SQL),
     ("llm_vocab_coverage", vocab_coverage, _VOCAB_SQL),
     ("llm_ann_recall_eval", ann_recall_eval, _ann_recall_sql()),
+    ("llm_knn_label_eval", knn_label_eval, _KNN_LABEL_SQL),
     ("llm_ann_nsw_topk", ann_nsw_topk, _nsw_topk_sql()),
     ("llm_graph_centrality_prior", graph_centrality_prior, _graph_centrality_sql()),
     ("llm_nsw_recall_eval", nsw_recall_eval, _nsw_recall_sql()),

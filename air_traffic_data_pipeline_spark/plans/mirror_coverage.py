@@ -446,6 +446,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "llm_shard_mixing_audit": (AE, "source-mix audit of the shard plan"),
     "llm_rouge_l_bounded": (SM, "per-pair bounded LCS kernel"),
     "llm_ann_recall_eval": (AE, "recall eval of ANN queries"),
+    "llm_knn_label_eval": (AE, "kNN confusion matrix over the exact ranking"),
     "llm_hnsw_recall_eval": (AE, "recall eval of HNSW"),
     "llm_nsw_recall_eval": (AE, "recall eval of NSW"),
     "llm_pq_recall_eval": (AE, "recall eval of PQ"),

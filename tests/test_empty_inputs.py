@@ -794,6 +794,9 @@ def test_round13_ops_empty_inputs(spark, tmp_path):
     sm = llm.shard_mixing_audit(spark, sf)
     assert sm.count() == 0 and "chi2" in sm.columns
 
+    kn = llm.knn_label_eval(spark, sf)
+    assert kn.count() == 0 and {"true_label", "pred_label"} <= set(kn.columns)
+
 
 def test_roc_family_empty_orders(spark, tmp_path):
     """Round-13 ROC family over an empty orders lake: the AUC summary,

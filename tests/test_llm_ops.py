@@ -5491,3 +5491,48 @@ def test_entropy_rate_reference(spark):
     assert row.redundancy == round(1.0 - (h12 - h1) / h1, 6)
     assert row.h2_cond_bits <= row.h1_bits  # conditioning reduces entropy
     assert 0.0 < row.redundancy < 1.0
+
+
+def test_knn_label_eval_matches_numpy_replay(spark):
+    """kNN confusion matrix vs a numpy brute-force replay: same round-6
+    cosine, same (score, id) ranking, same (count, -label) vote — and
+    the no-leakage contract (held-out points never appear as
+    neighbors)."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.plans.llm import (
+        KNN_K,
+        KNN_STRIDE,
+        knn_label_eval,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    lab = np.array([r.label for r in rows])
+    qm = ids % KNN_STRIDE == 0
+    cm = ~qm
+    from collections import Counter
+
+    conf = Counter()
+    nrm = np.sqrt((X * X).sum(axis=1))
+    for qi in np.where(qm)[0]:
+        cos = (X[cm] @ X[qi]) / (nrm[cm] * nrm[qi])
+        cand = sorted(
+            zip(np.round(cos, 6), -ids[cm], lab[cm]),
+            key=lambda t: (-t[0], -t[1]),
+        )[:KNN_K]
+        votes = Counter(c[2] for c in cand)
+        pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        conf[(lab[qi], pred)] += 1
+    got = knn_label_eval(spark, sf).collect()
+    assert {(r.true_label, r.pred_label): r.n for r in got} == dict(conf)
+    # shares sum to 1 within each true label
+    from collections import defaultdict
+
+    by_true = defaultdict(float)
+    for r in got:
+        by_true[r.true_label] += r.share
+    assert all(abs(v - 1.0) < 1e-5 for v in by_true.values())
