@@ -11801,6 +11801,154 @@ FROM best{t}, mse{t}"""
     return "".join(parts) + "\n" + rows + "\nORDER BY round"
 
 
+# --- Randomization (permutation-style) test (round 13) ----------------------
+
+PERM_B = 256  # resamples; all ride one pass over the daily series
+PERM_GROUPS = 7  # relabel modulus (day-of-week marginal)
+
+
+def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-relabel randomization test for the weekend-vs-weekday mean
+    daily-revenue difference — the EXACT-p companion to the asymptotic
+    rel_mann_whitney z: PERM_B resamples relabel every day by a
+    deterministic md5-u32 draw with the SAME 2/7 weekend marginal
+    (hash % 7 ∈ weekend — the binomial-relabel variant of the
+    permutation test, the Poisson-bootstrap convention for randomness
+    too large to truly permute), and the p-value is the add-one share of
+    resamples whose |mean gap| reaches the observed one.
+
+    Exactness: every comparison is INTEGER — resample b beats the
+    observed gap iff |S'_a·n'_b − S'_b·n'_a| · (n_a·n_b) ≥
+    |S_a·n_b − S_b·n_a| · (n'_a·n'_b), cross-multiplied in DECIMAL(38,0)
+    so no division ever happens before the final 1-row report;
+    degenerate resamples (one side empty) are excluded like bootstrap
+    non-survivors. p = (1 + #beats) / (1 + #valid), exact rational.
+
+    Scale: the B-explode rides the calendar-bounded daily frame (~2.4k
+    rows at any corpus scale · PERM_B), collapsing map-side; the heavy
+    pass is the shared one-scan daily aggregate."""
+    daily = daily_revenue_cents(spark, sf_dir).select(
+        "dn",
+        F.col("cents").cast("decimal(38,0)").alias("x"),
+        F.pmod(F.col("dn"), F.lit(PERM_GROUPS)).alias("dow"),
+    )
+    is_a = F.col("dow").isin(*MW_WEEKEND)
+    obs = daily.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("decimal(38,0)").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("decimal(38,0)").alias("n_b"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(~is_a, F.col("x")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+    )
+    u = _kmv_u32(
+        F.concat_ws(
+            ":", F.col("dn").cast("string"), F.col("b").cast("string"), F.lit("perm")
+        )
+    )
+    rel = (
+        daily.select(
+            "dn",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+        )
+        .withColumn("ra", F.pmod(u, F.lit(PERM_GROUPS)).isin(*MW_WEEKEND))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("ra"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("na"),
+            F.sum(F.when(~F.col("ra"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("nb"),
+            F.sum(F.when(F.col("ra"), F.col("x")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sa"),
+            F.sum(F.when(~F.col("ra"), F.col("x")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    j = rel.crossJoin(F.broadcast(obs))
+    beats = F.abs(
+        F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    ) * (F.col("n_a") * F.col("n_b")) >= F.abs(
+        F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    ) * (
+        F.col("na") * F.col("nb")
+    )
+    rep = j.groupBy("n_a", "n_b", "s_a", "s_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(beats, 1).otherwise(0)).cast("bigint").alias("n_ge"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return rep.select(
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_days"),
+        F.round(d("s_a") / d("n_a") - d("s_b") / d("n_b"), 6).alias(
+            "obs_diff_cents"
+        ),
+        "n_valid",
+        "n_ge",
+        F.round(
+            (F.col("n_ge") + F.lit(1)).cast("double")
+            / (F.col("n_valid") + F.lit(1)).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def _perm_test_sql() -> str:
+    wk = ", ".join(str(k) for k in MW_WEEKEND)
+    u = _kmv_u32_sql(
+        "CAST(dn AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':' || 'perm'"
+    )
+    return f"""
+WITH {_DAILY_SQL},
+dd AS (SELECT dn, CAST(cents AS DECIMAL(38,0)) AS x, dn % {PERM_GROUPS} AS dow
+       FROM daily),
+obs AS (
+  SELECT CAST(sum(CASE WHEN dow IN ({wk}) THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS n_a,
+         CAST(sum(CASE WHEN dow IN ({wk}) THEN 0 ELSE 1 END)
+              AS DECIMAL(38,0)) AS n_b,
+         CAST(sum(CASE WHEN dow IN ({wk}) THEN x ELSE 0 END)
+              AS DECIMAL(38,0)) AS s_a,
+         CAST(sum(CASE WHEN dow IN ({wk}) THEN 0 ELSE x END)
+              AS DECIMAL(38,0)) AS s_b
+  FROM dd),
+rel AS (
+  SELECT b,
+         CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS na,
+         CAST(sum(CASE WHEN ra THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS nb,
+         CAST(sum(CASE WHEN ra THEN x ELSE 0 END) AS DECIMAL(38,0)) AS sa,
+         CAST(sum(CASE WHEN ra THEN 0 ELSE x END) AS DECIMAL(38,0)) AS sb
+  FROM (
+    SELECT dn, x, b, ({u}) % {PERM_GROUPS} IN ({wk}) AS ra
+    FROM dd, (SELECT unnest(generate_series(0, {PERM_B - 1})) AS b) g)
+  GROUP BY b
+  HAVING sum(CASE WHEN ra THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN ra THEN 0 ELSE 1 END) > 0),
+rep AS (
+  SELECT n_a, n_b, s_a, s_b,
+         CAST(count(*) AS BIGINT) AS n_valid,
+         CAST(sum(CASE WHEN abs(sa * nb - sb * na) * (n_a * n_b)
+                        >= abs(s_a * n_b - s_b * n_a) * (na * nb)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+  FROM rel, obs GROUP BY n_a, n_b, s_a, s_b)
+SELECT CAST(n_a + n_b AS BIGINT) AS n_days,
+       round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+         AS obs_diff_cents,
+       n_valid, n_ge,
+       round(CAST(n_ge + 1 AS DOUBLE) / CAST(n_valid + 1 AS DOUBLE), 6)
+         AS p_value
+FROM rep
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -11941,6 +12089,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_cv_ridge", cv_ridge, _cv_ridge_sql()),
     ("rel_logistic_irls", logistic_irls, _logistic_sql()),
     ("rel_boosted_stumps", boosted_stumps, _boosted_stumps_sql()),
+    ("rel_permutation_test", permutation_test, _perm_test_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

@@ -845,3 +845,7 @@ def test_roc_family_empty_orders(spark, tmp_path):
     rows = bs.collect()
     assert len(rows) == relational.GBM_ROUNDS
     assert all(r.theta_cents is None and r.mse_after is None for r in rows)
+
+    # zero valid resamples on an empty lake: the report frame is empty
+    pt = relational.permutation_test(spark, sf)
+    assert pt.count() == 0 and {"p_value", "n_ge"} <= set(pt.columns)

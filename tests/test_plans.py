@@ -2462,6 +2462,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.cv_ridge,
         relational.logistic_irls,
         relational.boosted_stumps,
+        relational.permutation_test,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2843,3 +2844,58 @@ def test_boosted_stumps_matches_python_replay(spark):
     assert got == want
     mses = [r[5] for r in got]
     assert all(a >= b for a, b in zip(mses, mses[1:]))  # boosting descends
+
+
+def test_permutation_test_matches_python_replay(spark):
+    """The randomization test vs a pure-Python replay of the md5-u32
+    relabel draws and the exact cross-multiplied comparisons — the
+    add-one p, the valid-resample count, and the observed gap all
+    pinned; plus the calibration sanity that p is a proper fraction."""
+    import hashlib
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        MW_WEEKEND,
+        PERM_B,
+        PERM_GROUPS,
+        daily_revenue_cents,
+        permutation_test,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = sorted(
+        (r.dn, r.cents) for r in daily_revenue_cents(spark, sf).collect()
+    )
+
+    def u32(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[0:4], 16) * 65536 + int(h[4:8], 16)
+
+    wk = set(MW_WEEKEND)
+    n_a = sum(1 for dn, _ in daily if dn % PERM_GROUPS in wk)
+    n_b = len(daily) - n_a
+    s_a = sum(c for dn, c in daily if dn % PERM_GROUPS in wk)
+    s_b = sum(c for dn, c in daily if dn % PERM_GROUPS not in wk)
+    obs = abs(s_a * n_b - s_b * n_a)
+    n_valid = n_ge = 0
+    for b in range(PERM_B):
+        na = nb = sa = sb = 0
+        for dn, c in daily:
+            if u32(f"{dn}:{b}:perm") % PERM_GROUPS in wk:
+                na += 1
+                sa += c
+            else:
+                nb += 1
+                sb += c
+        if na == 0 or nb == 0:
+            continue
+        n_valid += 1
+        if abs(sa * nb - sb * na) * (n_a * n_b) >= obs * (na * nb):
+            n_ge += 1
+    got = permutation_test(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == len(daily)
+    assert (r.n_valid, r.n_ge) == (n_valid, n_ge)
+    assert r.p_value == round((n_ge + 1) / (n_valid + 1), 6)
+    assert r.obs_diff_cents == round(s_a / n_a - s_b / n_b, 6)
+    assert 0.0 < r.p_value <= 1.0
