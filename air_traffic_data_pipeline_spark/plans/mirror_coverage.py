@@ -392,6 +392,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_cv_ridge": (PC, "stream_incremental_ols"),
     "rel_logistic_irls": (PC, "stream_incremental_naive_bayes"),
     "rel_boosted_stumps": (PC, "stream_incremental_naive_bayes"),
+    "rel_gaussian_mixture_em": (PC, "stream_incremental_naive_bayes"),
     "rel_conformal_interval": (EK, "stream_incremental_quantile"),
     "rel_bh_fdr": (AE, "FDR decision table over a test grid"),
     "rel_ams_f2_sketch": (PC, "stream_incremental_cms"),

@@ -11949,6 +11949,235 @@ FROM rep
 """
 
 
+# --- 2-component Gaussian mixture via fixed-round EM (round 13) -------------
+
+EM_ROUNDS = 4  # unrolled E/M steps; the fixed count is part of the contract
+EM_VAR_FLOOR = 1e-6  # variance floor (z units squared)
+
+
+def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture over order price (z = exact
+    cents / 1e6) fit by EM_ROUNDS unrolled EM steps — the
+    latent-variable rung of the model family (Dempster-Laird-Rubin
+    1977): closed-form rungs (ols/ridge), iterative-convex (logistic
+    IRLS), trees (stumps), and now a non-convex mixture, all on the same
+    collapsed-spine execution shape.
+
+    Initialization is deterministic from the exact global moments
+    (mu +- sd/2, shared variance, equal weights). Each E-step computes
+    responsibilities per DISTINCT price (phi_k = exp(-(z-mu_k)^2/(2 v_k))
+    / sqrt(v_k), the 1/sqrt(2 pi) cancels), micro-quantizes them
+    (round(r1 * 1e6), complement r2 = 1e6 - r1 exactly), and the M-step
+    sums m * r_ku, m * round(r_ku * z), m * round(r_ku * z * z) as
+    DECIMAL(38,0) — every cross-row reduction an order-free integer sum,
+    so the parameter trajectory is bitwise on both engines. Variances
+    are floored at EM_VAR_FLOOR.
+
+    Output: one row — n, weights, means, sigmas (z units), and the mean
+    negative log-likelihood (micro-quantized softcount, ln sqrt(2 pi)
+    restored).
+
+    Scale: one fact-table pass builds the spine; each EM round is one
+    map-side-combining aggregate over the spine + a 1-row broadcast.
+    An incremental deployment maintains the spine counts and reruns the
+    EM tail — the nb retraining posture."""
+    o = load(spark, sf_dir, "orders")
+    spine = (
+        o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+        .select((F.col("c").cast("double") / F.lit(1e6)).alias("z"), "m")
+    )
+    mom = spine.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("m") * F.round(F.col("z") * F.lit(1e6)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(
+            F.col("m")
+            * F.round(F.col("z") * F.col("z") * F.lit(1e6)).cast("bigint")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mz = dd("s") / dd("n") / F.lit(1e6)
+    vz = F.greatest(
+        dd("q") / dd("n") / F.lit(1e6) - mz * mz, F.lit(EM_VAR_FLOOR)
+    )
+    params = mom.select(
+        F.lit(0.5).alias("w1"),
+        (mz - F.lit(0.5) * F.sqrt(vz)).alias("mu1"),
+        vz.alias("v1"),
+        (mz + F.lit(0.5) * F.sqrt(vz)).alias("mu2"),
+        vz.alias("v2"),
+    )
+    z = F.col("z")
+
+    def phi(mu, v):
+        return F.exp(-(((z - mu) * (z - mu)) / (F.lit(2.0) * v))) / F.sqrt(v)
+
+    for _ in range(EM_ROUNDS):
+        j = spine.crossJoin(F.broadcast(params))
+        p1 = phi(F.col("mu1"), F.col("v1"))
+        p2 = phi(F.col("mu2"), F.col("v2"))
+        r1 = (F.col("w1") * p1) / (
+            (F.col("w1") * p1) + ((F.lit(1.0) - F.col("w1")) * p2)
+        )
+        r1u = F.round(r1 * F.lit(1e6)).cast("bigint")
+        r2u = F.lit(1_000_000) - r1u
+        t = lambda ru, e: F.sum(  # noqa: E731
+            F.col("m") * F.round(ru.cast("double") * e).cast("bigint")
+        ).cast("decimal(38,0)")
+        s = j.agg(
+            F.sum(F.col("m") * r1u).cast("decimal(38,0)").alias("n1"),
+            t(r1u, z).alias("a1"),
+            t(r1u, z * z).alias("q1"),
+            F.sum(F.col("m") * r2u).cast("decimal(38,0)").alias("n2"),
+            t(r2u, z).alias("a2"),
+            t(r2u, z * z).alias("q2"),
+        )
+        mu1 = dd("a1") / dd("n1")
+        mu2 = dd("a2") / dd("n2")
+        params = s.select(
+            (dd("n1") / (dd("n1") + dd("n2"))).alias("w1"),
+            mu1.alias("mu1"),
+            F.greatest(dd("q1") / dd("n1") - mu1 * mu1, F.lit(EM_VAR_FLOOR)).alias(
+                "v1"
+            ),
+            mu2.alias("mu2"),
+            F.greatest(dd("q2") / dd("n2") - mu2 * mu2, F.lit(EM_VAR_FLOOR)).alias(
+                "v2"
+            ),
+        )
+    fin = spine.crossJoin(F.broadcast(params))
+    p1 = phi(F.col("mu1"), F.col("v1"))
+    p2 = phi(F.col("mu2"), F.col("v2"))
+    mix = (F.col("w1") * p1) + ((F.lit(1.0) - F.col("w1")) * p2)
+    nll = F.lit(0.9189385332046727) - F.log(mix)
+    rep = fin.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("m") * F.round(nll * F.lit(1e6)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("llu"),
+        F.max("w1").alias("w1"),
+        F.max("mu1").alias("mu1"),
+        F.max("v1").alias("v1"),
+        F.max("mu2").alias("mu2"),
+        F.max("v2").alias("v2"),
+    )
+    return rep.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("w1", 6).alias("w1"),
+        F.round("mu1", 6).alias("mu1"),
+        F.round(F.sqrt("v1"), 6).alias("sigma1"),
+        F.round("mu2", 6).alias("mu2"),
+        F.round(F.sqrt("v2"), 6).alias("sigma2"),
+        F.round(dd("llu") / F.lit(1e6) / dd("n"), 6).alias("mean_nll"),
+    )
+
+
+def _gmm_sql() -> str:
+    def phi(mu, v):
+        return f"(exp(-(((z - {mu}) * (z - {mu})) / (2.0 * {v}))) / sqrt({v}))"
+
+    def r1(px):
+        p1, p2 = phi(f"mu1_{px}", f"v1_{px}"), phi(f"mu2_{px}", f"v2_{px}")
+        return (
+            f"((w1_{px} * {p1}) / ((w1_{px} * {p1})"
+            f" + ((1.0 - w1_{px}) * {p2})))"
+        )
+
+    header = """
+WITH spine AS (
+  SELECT CAST(c AS DOUBLE) / 1000000.0 AS z, m FROM (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+           CAST(count(*) AS DECIMAL(38,0)) AS m
+    FROM orders GROUP BY 1)),
+mom AS (
+  SELECT CAST(sum(m) AS DECIMAL(38,0)) AS n,
+         CAST(sum(m * CAST(round(z * 1000000.0) AS BIGINT))
+              AS DECIMAL(38,0)) AS s,
+         CAST(sum(m * CAST(round(z * z * 1000000.0) AS BIGINT))
+              AS DECIMAL(38,0)) AS q
+  FROM spine),
+p0 AS (
+  SELECT 0.5 AS w1_0,
+         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+         - 0.5 * sqrt(greatest(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1000000.0
+                               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / 1000000.0)
+                                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                    / 1000000.0), 1e-06)) AS mu1_0,
+         greatest(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                  1e-06) AS v1_0,
+         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+         + 0.5 * sqrt(greatest(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1000000.0
+                               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / 1000000.0)
+                                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                    / 1000000.0), 1e-06)) AS mu2_0,
+         greatest(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                  1e-06) AS v2_0
+  FROM mom)"""
+    steps = []
+    for i in range(EM_ROUNDS):
+        j = i + 1
+        ru = f"CAST(round({r1(i)} * 1000000.0) AS BIGINT)"
+        steps.append(f""",
+s{j} AS (
+  SELECT CAST(sum(m * ({ru})) AS DECIMAL(38,0)) AS n1,
+         CAST(sum(m * CAST(round(CAST({ru} AS DOUBLE) * z) AS BIGINT))
+              AS DECIMAL(38,0)) AS a1,
+         CAST(sum(m * CAST(round(CAST({ru} AS DOUBLE) * (z * z)) AS BIGINT))
+              AS DECIMAL(38,0)) AS q1,
+         CAST(sum(m * (1000000 - ({ru}))) AS DECIMAL(38,0)) AS n2,
+         CAST(sum(m * CAST(round(CAST(1000000 - ({ru}) AS DOUBLE) * z)
+                  AS BIGINT)) AS DECIMAL(38,0)) AS a2,
+         CAST(sum(m * CAST(round(CAST(1000000 - ({ru}) AS DOUBLE) * (z * z))
+                  AS BIGINT)) AS DECIMAL(38,0)) AS q2
+  FROM spine, p{i}),
+p{j} AS (
+  SELECT CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+           AS w1_{j},
+         CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mu1_{j},
+         greatest(CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    * (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)),
+                  1e-06) AS v1_{j},
+         CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mu2_{j},
+         greatest(CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                  - (CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    * (CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)),
+                  1e-06) AS v2_{j}
+  FROM s{j}, p{i})""")
+    T = EM_ROUNDS
+    p1, p2 = phi(f"mu1_{T}", f"v1_{T}"), phi(f"mu2_{T}", f"v2_{T}")
+    mix = f"((w1_{T} * {p1}) + ((1.0 - w1_{T}) * {p2}))"
+    tail = f""",
+rep AS (
+  SELECT CAST(sum(m) AS DECIMAL(38,0)) AS n,
+         CAST(sum(m * CAST(round((0.9189385332046727 - ln({mix}))
+                  * 1000000.0) AS BIGINT)) AS DECIMAL(38,0)) AS llu,
+         max(w1_{T}) AS w1, max(mu1_{T}) AS mu1, max(v1_{T}) AS v1,
+         max(mu2_{T}) AS mu2, max(v2_{T}) AS v2
+  FROM spine, p{T})
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(w1, 6) AS w1, round(mu1, 6) AS mu1,
+       round(sqrt(v1), 6) AS sigma1,
+       round(mu2, 6) AS mu2, round(sqrt(v2), 6) AS sigma2,
+       round(CAST(llu AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+         AS mean_nll
+FROM rep"""
+    return header + "".join(steps) + tail
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -12090,6 +12319,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_logistic_irls", logistic_irls, _logistic_sql()),
     ("rel_boosted_stumps", boosted_stumps, _boosted_stumps_sql()),
     ("rel_permutation_test", permutation_test, _perm_test_sql()),
+    ("rel_gaussian_mixture_em", gaussian_mixture_em, _gmm_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

@@ -849,3 +849,7 @@ def test_roc_family_empty_orders(spark, tmp_path):
     # zero valid resamples on an empty lake: the report frame is empty
     pt = relational.permutation_test(spark, sf)
     assert pt.count() == 0 and {"p_value", "n_ge"} <= set(pt.columns)
+
+    gm = relational.gaussian_mixture_em(spark, sf)
+    rows = gm.collect()
+    assert len(rows) == 1 and rows[0].n_orders is None and rows[0].mu1 is None

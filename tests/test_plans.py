@@ -2463,6 +2463,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.logistic_irls,
         relational.boosted_stumps,
         relational.permutation_test,
+        relational.gaussian_mixture_em,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2899,3 +2900,68 @@ def test_permutation_test_matches_python_replay(spark):
     assert r.p_value == round((n_ge + 1) / (n_valid + 1), 6)
     assert r.obs_diff_cents == round(s_a / n_a - s_b / n_b, 6)
     assert 0.0 < r.p_value <= 1.0
+
+
+def test_gaussian_mixture_em_matches_numpy_replay(spark):
+    """The unrolled quantized EM vs a numpy replay of the SAME algorithm
+    (micro-quantized responsibilities and moment terms) — plus the EM
+    contract: the mean NLL after the last round is no worse than the
+    single-Gaussian NLL at the deterministic init."""
+    import numpy as np
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        EM_ROUNDS,
+        EM_VAR_FLOOR,
+        gaussian_mixture_em,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load(spark, sf, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    from collections import Counter
+
+    cnt = Counter(r.c for r in rows)
+    z = np.array(sorted(cnt)) / 1e6
+    m = np.array([cnt[int(round(v * 1e6))] for v in z], dtype=np.float64)
+    n = m.sum()
+    s = float((m * np.round(z * 1e6)).sum())
+    q = float((m * np.round(z * z * 1e6)).sum())
+    mz = s / n / 1e6
+    vz = max(q / n / 1e6 - mz * mz, EM_VAR_FLOOR)
+    w1, mu1, v1 = 0.5, mz - 0.5 * np.sqrt(vz), vz
+    mu2, v2 = mz + 0.5 * np.sqrt(vz), vz
+
+    def phi(mu, v):
+        return np.exp(-(((z - mu) * (z - mu)) / (2.0 * v))) / np.sqrt(v)
+
+    for _ in range(EM_ROUNDS):
+        p1, p2 = phi(mu1, v1), phi(mu2, v2)
+        r1u = np.round((w1 * p1) / ((w1 * p1) + ((1.0 - w1) * p2)) * 1e6)
+        r2u = 1e6 - r1u
+        n1, n2 = float((m * r1u).sum()), float((m * r2u).sum())
+        a1 = float((m * np.round(r1u * z)).sum())
+        q1 = float((m * np.round(r1u * (z * z))).sum())
+        a2 = float((m * np.round(r2u * z)).sum())
+        q2 = float((m * np.round(r2u * (z * z))).sum())
+        w1 = n1 / (n1 + n2)
+        mu1, v1 = a1 / n1, max(q1 / n1 - (a1 / n1) ** 2, EM_VAR_FLOOR)
+        mu2, v2 = a2 / n2, max(q2 / n2 - (a2 / n2) ** 2, EM_VAR_FLOOR)
+    mix = (w1 * phi(mu1, v1)) + ((1.0 - w1) * phi(mu2, v2))
+    llu = float((m * np.round((0.9189385332046727 - np.log(mix)) * 1e6)).sum())
+    got = gaussian_mixture_em(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_orders == int(n)
+    assert abs(r.w1 - round(w1, 6)) < 2e-6
+    assert abs(r.mu1 - round(mu1, 6)) < 2e-6
+    assert abs(r.sigma1 - round(np.sqrt(v1), 6)) < 2e-6
+    assert abs(r.mu2 - round(mu2, 6)) < 2e-6
+    assert abs(r.sigma2 - round(np.sqrt(v2), 6)) < 2e-6
+    assert abs(r.mean_nll - round(llu / 1e6 / n, 6)) < 2e-6
+    # EM must not be worse than the single-Gaussian init NLL
+    single = 0.9189385332046727 + 0.5 * np.log(vz) + 0.5
+    assert r.mean_nll <= single + 1e-3
