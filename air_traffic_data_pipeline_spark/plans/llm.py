@@ -15785,6 +15785,7 @@ FROM per_n, bp
 
 KNN_STRIDE = 10  # every KNN_STRIDE-th vector is a held-out query point
 KNN_K = 5  # neighbors per query
+KNN_QMAX = 512  # query-id ceiling: bounds |Q| at ANY corpus scale
 
 
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15796,7 +15797,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified by majority vote over its KNN_K exact-cosine nearest
     TRAINING neighbors (held-out points never vote — no self/split
     leakage), ties to the smallest label; output is the confusion matrix
-    with per-true-label shares.
+    with per-true-label shares. The query sample is CAPPED at KNN_QMAX
+    ids (the SEP_MAX_ID convention), so |Q| — and with it the exact
+    kernel's |Q|x|C| cost — is bounded at any corpus scale.
 
     Determinism: the shared brute_force_topk kernel (round-6 cosine,
     corpus-id tie-break) + integer votes with a (count, −label) struct
@@ -15808,7 +15811,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose recall against THIS exact ranking is already measured by the
     *_recall_eval family."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.pmod(F.col("vec_id"), F.lit(KNN_STRIDE)) == 0).select(
+    q = e.filter(
+        (F.pmod(F.col("vec_id"), F.lit(KNN_STRIDE)) == 0)
+        & (F.col("vec_id") < KNN_QMAX)
+    ).select(
         F.col("vec_id").alias("q_id"),
         to_double(F.col("embedding")).alias("q_vec"),
         F.col("label").alias("true_label"),
@@ -15859,7 +15865,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_LABEL_SQL = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS true_label
-  FROM embeddings WHERE vec_id % {KNN_STRIDE} = 0),
+  FROM embeddings WHERE vec_id % {KNN_STRIDE} = 0 AND vec_id < {KNN_QMAX}),
 c AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec, label AS c_label
   FROM embeddings WHERE vec_id % {KNN_STRIDE} <> 0),

@@ -5502,6 +5502,7 @@ def test_knn_label_eval_matches_numpy_replay(spark):
 
     from air_traffic_data_pipeline_spark.plans.llm import (
         KNN_K,
+        KNN_QMAX,
         KNN_STRIDE,
         knn_label_eval,
     )
@@ -5512,7 +5513,7 @@ def test_knn_label_eval_matches_numpy_replay(spark):
     ids = np.array([r.vec_id for r in rows])
     X = np.array([r.embedding for r in rows], dtype=np.float64)
     lab = np.array([r.label for r in rows])
-    qm = ids % KNN_STRIDE == 0
+    qm = (ids % KNN_STRIDE == 0) & (ids < KNN_QMAX)
     cm = ~qm
     from collections import Counter
 

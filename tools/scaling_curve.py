@@ -50,7 +50,8 @@ def build_lakes(spark, base: str, root: str) -> dict[int, str]:
         doc = spark.read.parquet(f"{base}/documents.parquet")
         emb = spark.read.parquet(f"{base}/embeddings.parquet")
         li = spark.read.parquet(f"{base}/lineitem.parquet")
-        evs, docs, embs, lis = [], [], [], []
+        od = spark.read.parquet(f"{base}/orders.parquet")
+        evs, docs, embs, lis, ods = [], [], [], [], []
         for i in range(m):
             evs.append(
                 ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
@@ -71,11 +72,21 @@ def build_lakes(spark, base: str, root: str) -> dict[int, str]:
                     "l_orderkey", F.col("l_orderkey") + F.lit(i * ID_OFFSET)
                 )
             )
+            # orders replicas keep the calendar and the price lattice but
+            # get fresh orderkeys: the daily series and the distinct-cents
+            # spine DENSIFY while day count / spine size stay near-fixed —
+            # the growth model the spine-sweep family is designed for
+            ods.append(
+                od.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * ID_OFFSET)
+                )
+            )
         for name, parts in (
             ("events", evs),
             ("documents", docs),
             ("embeddings", embs),
             ("lineitem", lis),
+            ("orders", ods),
         ):
             u = parts[0]
             for p in parts[1:]:
@@ -253,6 +264,29 @@ def main() -> int:
         "llm_cluster_agreement_eval": llm.cluster_agreement_eval,
         # rides the two-level prefix sum; shards grow linearly
         "llm_shard_mixing_audit": llm.shard_mixing_audit,
+        # round-13 third batch (orders replicas: calendar + price lattice
+        # fixed, rows densify). The ROC family's windows run on the
+        # distinct-cents spine — near-constant as rows grow, so expect
+        # flat-after-scan with the one map-side pass dominating
+        "rel_auc_roc": relational.auc_roc,
+        "rel_lift_gain": relational.lift_gain,
+        # calendar-bounded daily series: the rank window is fixed-size,
+        # the daily aggregate is the linear stage
+        "rel_kruskal_wallis": relational.kruskal_wallis,
+        "rel_cusum_drift": relational.cusum_drift,
+        # B-explode over the fixed-size daily frame: flat-after-scan
+        "rel_permutation_test": relational.permutation_test,
+        # one lineitem pass for the fold moments; CV math on K rows
+        "rel_cv_ridge": relational.cv_ridge,
+        # IRLS/EM/boosting: one fact pass + fixed-round spine aggregates;
+        # the spine is near-constant under the price-lattice model, so
+        # the iteration tail must stay flat while the scan goes linear
+        "rel_logistic_irls": relational.logistic_irls,
+        "rel_boosted_stumps": relational.boosted_stumps,
+        "rel_gaussian_mixture_em": relational.gaussian_mixture_em,
+        # |Q| capped at KNN_QMAX: the exact kernel is Q-bounded, corpus
+        # side streams — expect linear in replicas
+        "llm_knn_label_eval": llm.knn_label_eval,
     }
     only = list(argv)
     if only:
