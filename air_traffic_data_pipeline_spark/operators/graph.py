@@ -477,3 +477,43 @@ def core_numbers(
         "node",
         (F.lit(1) + F.coalesce(F.col("c"), F.lit(0))).cast("int").alias("core"),
     )
+
+
+def min_label_rounds(
+    edges: DataFrame, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, lab) after ``rounds`` of DIRECTED min-label propagation:
+    lab(v) starts at v; each round takes the min over {lab(v)} union
+    {lab(u) : edge u->v}. After k rounds lab(v) is the smallest node id
+    with a directed path to v of length <= k — the forward half of
+    forward-backward SCC coloring (Fleischer-Hendrickson-Pinar 2000),
+    i.e. the connected-components min-label kernel restricted to edge
+    direction and run on the bellman_ford fixed-round budget (one
+    node-keyed shuffle join + one min-agg per round; the edge table is
+    localCheckpointed once and never recomputed)."""
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = edges.sparkSession
+    e, _ = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        register=True,
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    lab, ids = tracked_local_checkpoint(
+        nodes.select("node", F.col("node").alias("lab")), register=True
+    )
+    for _ in range(rounds):
+        prop = lab.join(e, lab["node"] == e["e_src"]).select(
+            F.col("e_dst").alias("node"), "lab"
+        )
+        new_lab, new_ids = tracked_local_checkpoint(
+            lab.unionByName(prop).groupBy("node").agg(F.min("lab").alias("lab")),
+            register=True,
+        )
+        release(spark, ids)
+        lab, ids = new_lab, new_ids
+    return lab

@@ -12178,6 +12178,118 @@ FROM rep"""
     return header + "".join(steps) + tail
 
 
+# --- Bounded forward-backward SCC coloring (round 13) -----------------------
+
+SCC_ROUNDS = 4  # label-propagation rounds each way (the bellman_ford budget)
+
+
+def scc_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected structure of the DIRECTED part-precedence
+    graph (edge a→b iff part a appears on an EARLIER line than part b in
+    some order — the directed sibling of the co-purchase graph behind
+    rel_shortest_path/rel_pagerank) by hop-bounded forward-backward
+    coloring (Fleischer-Hendrickson-Pinar 2000): fwd(v) = min id
+    reaching v within SCC_ROUNDS hops, bwd(v) = min id v reaches within
+    SCC_ROUNDS hops (the same kernel on reversed edges). A (fwd, bwd)
+    group with fwd = bwd = r is VERIFIED mutually connected — every
+    member reaches r and is reached by r, so the group is a subset of
+    the true SCC of r (exactly SCC(r) once the round budget covers the
+    component diameter; the hop bound is part of the contract, the
+    shortest_path K-audit convention). Groups with fwd ≠ bwd are
+    reported unverified — structure evidence, not an SCC claim.
+
+    Output: one row per (fwd_label, bwd_label) colour class — member
+    count, min/max member — with the verified flag.
+
+    Scale: per-order pair expansion is bounded by order size (TPC-H caps
+    at 7 lines); each of the 2·SCC_ROUNDS rounds is ONE node-keyed
+    shuffle join + one min-agg with map-side combine over the
+    localCheckpointed distinct-edge table; no stage is quadratic in the
+    graph."""
+    from ..operators.graph import min_label_rounds
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    fwd = min_label_rounds(e, SCC_ROUNDS)
+    bwd = min_label_rounds(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        SCC_ROUNDS,
+    )
+    j = fwd.alias("f").join(bwd.alias("b"), "node").select(
+        "node",
+        F.col("f.lab").alias("fwd_label"),
+        F.col("b.lab").alias("bwd_label"),
+    )
+    return (
+        j.groupBy(
+            "fwd_label",
+            "bwd_label",
+            (F.col("fwd_label") == F.col("bwd_label")).alias("verified"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("fwd_label", "bwd_label")
+    )
+
+
+def _scc_sql() -> str:
+    def chain(pfx: str, e: str) -> str:
+        ctes = [
+            f"""{pfx}0 AS (
+  SELECT v AS node, v AS lab FROM (
+    SELECT src AS v FROM {e} UNION SELECT dst AS v FROM {e}) n)"""
+        ]
+        for k in range(1, SCC_ROUNDS + 1):
+            p = k - 1
+            ctes.append(
+                f"""{pfx}{k} AS (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM {pfx}{p}
+    UNION ALL
+    SELECT {e}.dst AS node, {pfx}{p}.lab
+    FROM {e} JOIN {pfx}{p} ON {e}.src = {pfx}{p}.node) u
+  GROUP BY node)"""
+            )
+        return ",\n".join(ctes)
+
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND a.l_linenumber < b.l_linenumber
+   AND a.l_partkey != b.l_partkey),
+r AS (SELECT dst AS src, src AS dst FROM e),
+{chain('f', 'e')},
+{chain('g', 'r')}
+SELECT f{SCC_ROUNDS}.lab AS fwd_label,
+       g{SCC_ROUNDS}.lab AS bwd_label,
+       f{SCC_ROUNDS}.lab = g{SCC_ROUNDS}.lab AS verified,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(f{SCC_ROUNDS}.node) AS BIGINT) AS min_node,
+       CAST(max(f{SCC_ROUNDS}.node) AS BIGINT) AS max_node
+FROM f{SCC_ROUNDS} JOIN g{SCC_ROUNDS} ON f{SCC_ROUNDS}.node = g{SCC_ROUNDS}.node
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -12320,6 +12432,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_boosted_stumps", boosted_stumps, _boosted_stumps_sql()),
     ("rel_permutation_test", permutation_test, _perm_test_sql()),
     ("rel_gaussian_mixture_em", gaussian_mixture_em, _gmm_sql()),
+    ("rel_scc_minlabel", scc_minlabel, _scc_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

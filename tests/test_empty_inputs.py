@@ -853,3 +853,6 @@ def test_roc_family_empty_orders(spark, tmp_path):
     gm = relational.gaussian_mixture_em(spark, sf)
     rows = gm.collect()
     assert len(rows) == 1 and rows[0].n_orders is None and rows[0].mu1 is None
+
+    sc = relational.scc_minlabel(spark, sf)
+    assert sc.count() == 0 and {"fwd_label", "verified"} <= set(sc.columns)

@@ -2464,6 +2464,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.boosted_stumps,
         relational.permutation_test,
         relational.gaussian_mixture_em,
+        relational.scc_minlabel,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -2965,3 +2966,115 @@ def test_gaussian_mixture_em_matches_numpy_replay(spark):
     # EM must not be worse than the single-Gaussian init NLL
     single = 0.9189385332046727 + 0.5 * np.log(vz) + 0.5
     assert r.mean_nll <= single + 1e-3
+
+
+def test_scc_minlabel_matches_replay_and_tarjan(spark):
+    """The hop-bounded forward-backward coloring vs (a) an exact Python
+    replay of the K-round min-label propagation and (b) a true Tarjan
+    SCC decomposition: every VERIFIED colour class must be a subset of
+    one true SCC, and the replay must reproduce the colour classes
+    exactly."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        SCC_ROUNDS,
+        scc_minlabel,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    li = (
+        load(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r.l_orderkey].append((r.l_linenumber, r.l_partkey))
+    edges = set()
+    for lines in by_order.values():
+        lines.sort()
+        for i in range(len(lines)):
+            for j in range(i + 1, len(lines)):
+                if lines[i][1] != lines[j][1]:
+                    edges.add((lines[i][1], lines[j][1]))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    out_e = defaultdict(list)
+    in_e = defaultdict(list)
+    for u, v in edges:
+        out_e[u].append(v)
+        in_e[v].append(u)
+
+    def minlab(adj):
+        lab = {v: v for v in nodes}
+        for _ in range(SCC_ROUNDS):
+            new = dict(lab)
+            for u, vs in adj.items():
+                for v in vs:
+                    if lab[u] < new[v]:
+                        new[v] = lab[u]
+            lab = new
+        return lab
+
+    fwd = minlab(out_e)
+    bwd = minlab(in_e)
+    classes = defaultdict(list)
+    for v in nodes:
+        classes[(fwd[v], bwd[v])].append(v)
+    want = {
+        k: (len(vs), min(vs), max(vs)) for k, vs in classes.items()
+    }
+    got = scc_minlabel(spark, SF).collect()
+    assert {
+        (r.fwd_label, r.bwd_label): (r.n_nodes, r.min_node, r.max_node)
+        for r in got
+    } == want
+    for r in got:
+        assert r.verified == (r.fwd_label == r.bwd_label)
+
+    # iterative Tarjan for the ground-truth SCC id per node
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    scc_id = {}
+    counter = [0]
+    next_scc = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, iter(out_e[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            adv = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(out_e[w])))
+                    adv = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if adv:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc_id[w] = next_scc[0]
+                    if w == v:
+                        break
+                next_scc[0] += 1
+    for (f, b), vs in classes.items():
+        if f == b:  # verified class: subset of ONE true SCC
+            assert len({scc_id[v] for v in vs}) == 1
