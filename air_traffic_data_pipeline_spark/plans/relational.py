@@ -12290,6 +12290,170 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2
 """
 
 
+# --- Rank-1 ALS matrix factorization (round 13) -----------------------------
+
+ALS_ROUNDS = 3  # alternating (user, part) half-round pairs
+
+
+def als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating-least-squares matrix factorization of the
+    (customer x part) purchase-count matrix — the collaborative-
+    filtering rung of the model family (Koren-Bell-Volinsky 2009):
+    r_cp ~ u_c * v_p, ALS_ROUNDS alternations of the exact rank-1
+    updates u_c = sum_p r*v_p / sum_p v_p^2 (over the parts c rated)
+    and the symmetric v_p update, from v = 1.
+
+    Determinism: factors are micro-quantized after every half-round
+    (uu = round(u * 1e6) as BIGINT), so every cross-row reduction is an
+    exact integer sum — num = sum r * vu, den = sum vu * vu — and the
+    division u = (num/1e6) / (den/1e12) is a fixed double DAG per key.
+    Final fit: SSE terms round((r - u*v)^2 * 1e6) summed exactly.
+
+    Output: one row — rating/user/part counts, the final train RMSE,
+    and the extreme quantized factors (exact integer max/min).
+
+    Scale: this IS the distributed ALS shape — each half-round is one
+    shuffle of the ratings by the updated side's key with map-side
+    combine (factor tables join in keyed, never broadcast-exploded);
+    the rank-1 case needs no matrix solve, so nothing is driver-side.
+    An incremental deployment maintains the (cust, part, cnt) counts
+    (signed sums) and reruns the alternation tail."""
+    from ..operators.checkpoints import release, tracked_local_checkpoint
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # materialize the ratings once — every half-round joins them, and
+    # without the cut each of the 2*ALS_ROUNDS rounds would re-run the
+    # orders x lineitem join (the bellman_ford edge-table discipline;
+    # measured ~11 s -> ~3 s at sf0.01)
+    r, _ = tracked_local_checkpoint(
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r")),
+        register=True,
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mq = lambda col: F.round(col * F.lit(1e6)).cast("bigint")  # noqa: E731
+
+    def half(rat: DataFrame, fac: DataFrame, key: str, other: str) -> DataFrame:
+        """One ALS half-round: update the ``key`` side's factor from the
+        ``other`` side's quantized factors."""
+        j = rat.join(fac, other)
+        s = j.groupBy(key).agg(
+            F.sum((F.col("r") * F.col("fu")).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.sum((F.col("fu") * F.col("fu")).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("den"),
+        )
+        return s.select(
+            key,
+            mq((d("num") / F.lit(1e6)) / (d("den") / F.lit(1e12))).alias("fu"),
+        )
+    v = (
+        r.select("p")
+        .distinct()
+        .select("p", F.lit(1_000_000).cast("bigint").alias("fu"))
+    )
+    # cut the factor lineage each half-round: the next half-round and
+    # the final fit join these frames, and the unclipped plan doubles
+    # per round (the NSW beam discipline). A frame is only released
+    # once the frame that DEPENDS on it has itself been checkpointed.
+    v_ids = u_ids = None
+    for _ in range(ALS_ROUNDS):
+        u, new_u_ids = tracked_local_checkpoint(
+            half(r, v, "c", "p"), register=True
+        )
+        if u_ids is not None:
+            release(spark, u_ids)
+        u_ids = new_u_ids
+        if v_ids is not None:
+            release(spark, v_ids)
+        v, v_ids = tracked_local_checkpoint(
+            half(r, u, "p", "c"), register=True
+        )
+    u = u.select("c", F.col("fu").alias("uu"))
+    v = v.select("p", F.col("fu").alias("vu"))
+    fit = r.join(u, "c").join(v, "p")
+    err = d("r") - (d("uu") / F.lit(1e6)) * (d("vu") / F.lit(1e6))
+    rep = fit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+        F.sum(mq(err * err).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("sseu"),
+        F.countDistinct("c").cast("bigint").alias("n_users"),
+        F.countDistinct("p").cast("bigint").alias("n_parts"),
+        F.max("uu").cast("bigint").alias("max_uu"),
+        F.min("uu").cast("bigint").alias("min_uu"),
+        F.max("vu").cast("bigint").alias("max_vu"),
+        F.min("vu").cast("bigint").alias("min_vu"),
+    )
+    return rep.select(
+        "n_ratings",
+        "n_users",
+        "n_parts",
+        F.round(F.sqrt(d("sseu") / F.lit(1e6) / d("n_ratings")), 6).alias(
+            "train_rmse"
+        ),
+        "max_uu",
+        "min_uu",
+        "max_vu",
+        "min_vu",
+    )
+
+
+def _als_sql() -> str:
+    header = """
+WITH rat AS (
+  SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS fu FROM rat)"""
+    steps = []
+    for t in range(1, ALS_ROUNDS + 1):
+        steps.append(f""",
+u{t} AS (
+  SELECT c, CAST(round(((CAST(num AS DOUBLE) / 1000000.0)
+                        / (CAST(den AS DOUBLE) / 1000000000000.0))
+                 * 1000000.0) AS BIGINT) AS fu
+  FROM (SELECT c, CAST(sum(r * fu) AS DECIMAL(38,0)) AS num,
+               CAST(sum(fu * fu) AS DECIMAL(38,0)) AS den
+        FROM rat JOIN v{t - 1} USING (p) GROUP BY c) s),
+v{t} AS (
+  SELECT p, CAST(round(((CAST(num AS DOUBLE) / 1000000.0)
+                        / (CAST(den AS DOUBLE) / 1000000000000.0))
+                 * 1000000.0) AS BIGINT) AS fu
+  FROM (SELECT p, CAST(sum(r * fu) AS DECIMAL(38,0)) AS num,
+               CAST(sum(fu * fu) AS DECIMAL(38,0)) AS den
+        FROM rat JOIN u{t} USING (c) GROUP BY p) s)""")
+    T = ALS_ROUNDS
+    tail = f""",
+fit AS (
+  SELECT rat.r, u{T}.fu AS uu, v{T}.fu AS vu, rat.c, rat.p
+  FROM rat JOIN u{T} USING (c) JOIN v{T} USING (p)),
+rep AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+         CAST(sum(CAST(round((CAST(r AS DOUBLE)
+                  - (CAST(uu AS DOUBLE) / 1000000.0)
+                    * (CAST(vu AS DOUBLE) / 1000000.0))
+                 * (CAST(r AS DOUBLE)
+                  - (CAST(uu AS DOUBLE) / 1000000.0)
+                    * (CAST(vu AS DOUBLE) / 1000000.0))
+                 * 1000000.0) AS BIGINT)) AS DECIMAL(38,0)) AS sseu,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_parts,
+         CAST(max(uu) AS BIGINT) AS max_uu, CAST(min(uu) AS BIGINT) AS min_uu,
+         CAST(max(vu) AS BIGINT) AS max_vu, CAST(min(vu) AS BIGINT) AS min_vu
+  FROM fit)
+SELECT n_ratings, n_users, n_parts,
+       round(sqrt(CAST(sseu AS DOUBLE) / 1000000.0
+                  / CAST(n_ratings AS DOUBLE)), 6) AS train_rmse,
+       max_uu, min_uu, max_vu, min_vu
+FROM rep"""
+    return header + "".join(steps) + tail
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -12433,6 +12597,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_permutation_test", permutation_test, _perm_test_sql()),
     ("rel_gaussian_mixture_em", gaussian_mixture_em, _gmm_sql()),
     ("rel_scc_minlabel", scc_minlabel, _scc_sql()),
+    ("rel_als_rank1", als_rank1, _als_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

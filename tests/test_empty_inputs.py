@@ -856,3 +856,8 @@ def test_roc_family_empty_orders(spark, tmp_path):
 
     sc = relational.scc_minlabel(spark, sf)
     assert sc.count() == 0 and {"fwd_label", "verified"} <= set(sc.columns)
+
+    al = relational.als_rank1(spark, sf)
+    rows = al.collect()
+    assert len(rows) == 1 and rows[0].n_ratings == 0
+    assert rows[0].train_rmse is None

@@ -2465,6 +2465,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.permutation_test,
         relational.gaussian_mixture_em,
         relational.scc_minlabel,
+        relational.als_rank1,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -3078,3 +3079,67 @@ def test_scc_minlabel_matches_replay_and_tarjan(spark):
     for (f, b), vs in classes.items():
         if f == b:  # verified class: subset of ONE true SCC
             assert len({scc_id[v] for v in vs}) == 1
+
+
+def test_als_rank1_matches_python_replay(spark):
+    """The quantized rank-1 ALS vs a pure-Python replay of the SAME
+    alternation (micro-quantized factors each half-round) — counts,
+    extreme factors, and the final RMSE all pinned; plus the descent
+    sanity that the fitted RMSE beats the v=1, u=row-mean start."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        ALS_ROUNDS,
+        als_rank1,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    o = {r.o_orderkey: r.o_custkey
+         for r in load(spark, SF, "orders").collect()}
+    from collections import Counter, defaultdict
+
+    rat = Counter()
+    for r in load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        if r.l_orderkey in o:
+            rat[(o[r.l_orderkey], r.l_partkey)] += 1
+    by_c = defaultdict(list)
+    by_p = defaultdict(list)
+    for (c, p), v in rat.items():
+        by_c[c].append((p, v))
+        by_p[p].append((c, v))
+    vu = {p: 1_000_000 for p in by_p}
+    uu = {}
+    for _ in range(ALS_ROUNDS):
+        uu = {}
+        for c, pvs in by_c.items():
+            num = sum(v * vu[p] for p, v in pvs)
+            den = sum(vu[p] * vu[p] for p, v in pvs)
+            uu[c] = round(((num / 1e6) / (den / 1e12)) * 1e6)
+        vu = {}
+        for p, cvs in by_p.items():
+            num = sum(v * uu[c] for c, v in cvs)
+            den = sum(uu[c] * uu[c] for c, v in cvs)
+            vu[p] = round(((num / 1e6) / (den / 1e12)) * 1e6)
+    sseu = sum(
+        round((v - (uu[c] / 1e6) * (vu[p] / 1e6)) ** 2 * 1e6)
+        for (c, p), v in rat.items()
+    )
+    got = als_rank1(spark, SF).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_ratings, r.n_users, r.n_parts) == (
+        len(rat),
+        len(by_c),
+        len(by_p),
+    )
+    assert (r.max_uu, r.min_uu) == (max(uu.values()), min(uu.values()))
+    assert (r.max_vu, r.min_vu) == (max(vu.values()), min(vu.values()))
+    import math
+
+    assert r.train_rmse == round(math.sqrt(sseu / 1e6 / len(rat)), 6)
+    # descent sanity vs the start point (v = 1, u = per-user row mean)
+    base_sse = 0.0
+    for c, pvs in by_c.items():
+        m = sum(v for _, v in pvs) / len(pvs)
+        base_sse += sum((v - m) ** 2 for _, v in pvs)
+    assert r.train_rmse <= math.sqrt(base_sse / len(rat)) + 1e-9

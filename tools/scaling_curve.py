@@ -287,6 +287,10 @@ def main() -> int:
         # |Q| capped at KNN_QMAX: the exact kernel is Q-bounded, corpus
         # side streams — expect linear in replicas
         "llm_knn_label_eval": llm.knn_label_eval,
+        # ratings densify (fixed customer x part lattice, counts x m):
+        # the orders x lineitem join is the linear stage, the 2*T
+        # alternations ride the near-constant distinct-(c,p) table
+        "rel_als_rank1": relational.als_rank1,
     }
     only = list(argv)
     if only:
