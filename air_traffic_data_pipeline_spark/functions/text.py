@@ -292,3 +292,44 @@ def jaro_winkler(a: Column, b: Column) -> Column:
         jaro > F.lit(0.7),
         jaro + ell.cast("double") * F.lit(0.1) * (F.lit(1.0) - jaro),
     ).otherwise(jaro)
+
+
+# --- American Soundex (round 13) -------------------------------------------
+
+# letter -> digit map with h/w ALREADY REMOVED from the alphabet (they are
+# stripped before coding, per the American Soundex h/w rule)
+_SDX_FROM = "abcdefgijklmnopqrstuvxyz"
+_SDX_TO = "012301202245501262301202"
+_SDX_DEDUP_PASSES = 5  # replace('dd','d') x5 collapses runs up to 2^5
+
+
+def soundex(word: Column) -> Column:
+    """American Soundex code (letter + 3 digits) of a lowercase alpha
+    word, as a pure Catalyst expression (no UDF): retain the first
+    letter, drop h/w from the tail, code consonants via one translate,
+    collapse adjacent identical digits (bounded replace passes — a run
+    longer than 2^5 cannot survive a <=64-char word), drop vowels, pad
+    with zeros. The phonetic rung of the fuzzy-match family next to
+    levenshtein / jaro_winkler."""
+    first = F.substring(word, 1, 1)
+    stripped = F.concat(first, F.translate(F.substring(word, 2, 64), "hw", ""))
+    code = F.translate(stripped, _SDX_FROM, _SDX_TO)
+    for _ in range(_SDX_DEDUP_PASSES):
+        for d in "123456":
+            code = F.replace(code, F.lit(d + d), F.lit(d))
+    tail = F.replace(F.substring(code, 2, 64), F.lit("0"), F.lit(""))
+    return F.concat(F.upper(first), F.substring(F.concat(tail, F.lit("000")), 1, 3))
+
+
+def soundex_sql(word: str) -> str:
+    """The identical expression tree rendered for DuckDB."""
+    first = f"substr({word}, 1, 1)"
+    code = (
+        f"translate({first} || translate(substr({word}, 2, 64), 'hw', ''),"
+        f" '{_SDX_FROM}', '{_SDX_TO}')"
+    )
+    for _ in range(_SDX_DEDUP_PASSES):
+        for d in "123456":
+            code = f"replace({code}, '{d}{d}', '{d}')"
+    tail = f"replace(substr({code}, 2, 64), '0', '')"
+    return f"(upper({first}) || substr({tail} || '000', 1, 3))"

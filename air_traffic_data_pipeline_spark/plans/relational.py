@@ -12454,6 +12454,61 @@ FROM rep"""
     return header + "".join(steps) + tail
 
 
+# --- Soundex phonetic blocking (round 13) -----------------------------------
+
+SDX_TOP = 20  # largest phonetic buckets reported
+
+
+def soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking audit over the part-name vocabulary: American
+    Soundex (Russell 1918; the blocking key every record-linkage stack
+    ships next to edit-distance — here the phonetic rung beside
+    rel_jaro_winkler_match / llm_fuzzy_match_levenshtein / the FS
+    linkage blocker), computed as a PURE Catalyst expression (one
+    translate + bounded replace passes, no UDF — functions/text.py
+    soundex(), pinned to the textbook examples by pytest). Reports the
+    SDX_TOP largest buckets — exactly the skew a soundex-blocked
+    linkage join would see.
+
+    Scale: one explode + distinct over the name vocabulary (bounded by
+    the p_name word lattice, not the row count), a map-side-combining
+    count, and a TakeOrderedAndProject top-20."""
+    from ..functions.text import soundex
+
+    w = (
+        load(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    coded = w.select("w", soundex(F.col("w")).alias("sdx"))
+    return (
+        coded.groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+        )
+        .orderBy(F.col("n_words").desc(), "sdx")
+        .limit(SDX_TOP)
+    )
+
+
+def _soundex_blocking_sql() -> str:
+    from ..functions.text import soundex_sql
+
+    return f"""
+WITH w AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS w FROM part) t
+  WHERE w != ''),
+c AS (SELECT w, {soundex_sql('w')} AS sdx FROM w)
+SELECT sdx, CAST(count(*) AS BIGINT) AS n_words,
+       min(w) AS first_word, max(w) AS last_word
+FROM c GROUP BY sdx ORDER BY n_words DESC, sdx LIMIT {SDX_TOP}
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -12598,6 +12653,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_gaussian_mixture_em", gaussian_mixture_em, _gmm_sql()),
     ("rel_scc_minlabel", scc_minlabel, _scc_sql()),
     ("rel_als_rank1", als_rank1, _als_sql()),
+    ("rel_soundex_blocking", soundex_blocking, _soundex_blocking_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

@@ -861,3 +861,9 @@ def test_roc_family_empty_orders(spark, tmp_path):
     rows = al.collect()
     assert len(rows) == 1 and rows[0].n_ratings == 0
     assert rows[0].train_rmse is None
+
+    load(spark, SF, "part").filter(F.lit(False)).write.parquet(
+        f"{sf}/part.parquet"
+    )
+    sx = relational.soundex_blocking(spark, sf)
+    assert sx.count() == 0 and {"sdx", "n_words"} <= set(sx.columns)

@@ -2466,6 +2466,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.gaussian_mixture_em,
         relational.scc_minlabel,
         relational.als_rank1,
+        relational.soundex_blocking,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -3143,3 +3144,64 @@ def test_als_rank1_matches_python_replay(spark):
         m = sum(v for _, v in pvs) / len(pvs)
         base_sse += sum((v - m) ** 2 for _, v in pvs)
     assert r.train_rmse <= math.sqrt(base_sse / len(rat)) + 1e-9
+
+
+def test_soundex_textbook_and_vocab_replay(spark):
+    """The Catalyst soundex vs (a) the eight textbook examples
+    (Wikipedia's American Soundex test vector) and (b) a pure-Python
+    implementation of the algorithm over the real part-name vocabulary
+    — every distinct word must code identically."""
+    from air_traffic_data_pipeline_spark.functions.text import soundex
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        soundex_blocking,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    textbook = {
+        "robert": "R163",
+        "rupert": "R163",
+        "ashcraft": "A261",
+        "ashcroft": "A261",
+        "tymczak": "T522",
+        "pfister": "P236",
+        "honeyman": "H555",
+        "jackson": "J250",
+    }
+    df = spark.createDataFrame(
+        [(w,) for w in textbook], "w string"
+    ).select("w", soundex(F.col("w")).alias("s"))
+    assert {r.w: r.s for r in df.collect()} == textbook
+
+    codes = "01230120022455012623010202"
+
+    def py_sdx(w):
+        first = w[0]
+        stripped = first + w[1:].replace("h", "").replace("w", "")
+        digs = [codes[ord(ch) - 97] for ch in stripped]
+        ded = [digs[0]]
+        for d in digs[1:]:
+            if d != ded[-1]:
+                ded.append(d)
+        tail = "".join(d for d in ded[1:] if d != "0")
+        return first.upper() + (tail + "000")[:3]
+
+    words = {
+        w
+        for r in load(spark, SF, "part").select("p_name").collect()
+        for w in r.p_name.split(" ")
+        if w
+    }
+    got = {
+        r.w: r.s
+        for r in spark.createDataFrame([(w,) for w in sorted(words)], "w string")
+        .select("w", soundex(F.col("w")).alias("s"))
+        .collect()
+    }
+    assert got == {w: py_sdx(w) for w in words}
+
+    out = soundex_blocking(spark, SF).collect()
+    assert 0 < len(out) <= 20
+    assert all(r.first_word <= r.last_word for r in out)
+    # ordering contract: bucket sizes non-increasing
+    sizes = [r.n_words for r in out]
+    assert sizes == sorted(sizes, reverse=True)
