@@ -11221,8 +11221,11 @@ FROM rep
 CV_FOLDS = 5  # deterministic fold = l_orderkey % CV_FOLDS
 
 
-def cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-fold cross-validation of the ridge sweep (rel_ridge_regression's
+def _cv_fold_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(fold, λ) raw held-out error frame — the shared core of
+    cv_ridge and cv_lambda_select.
+
+    K-fold cross-validation of the ridge sweep (rel_ridge_regression's
     model price_cents ~ quantity + discount_pct) in ONE scan of the fact
     table: per-fold normal-equation moments are the sufficient statistic
     for BOTH sides of every split — train moments by SUBTRACTION
@@ -11313,10 +11316,80 @@ def cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.select(
         "fold",
         "lam",
+        "f_n",
+        sse.alias("sse_raw"),
+        sst.alias("sst_raw"),
+    )
+
+
+def cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(fold, λ) held-out RMSE / R² from the one-pass CV frame —
+    see _cv_fold_frame for the sufficient-statistic design."""
+    ml = _cv_fold_frame(spark, sf_dir)
+    fn_ = F.col("f_n").cast("double")
+    return ml.select(
+        "fold",
+        "lam",
         F.col("f_n").cast("bigint").alias("n_test"),
-        F.round(F.sqrt(sse / fn_), 6).alias("test_rmse"),
-        F.round(F.lit(1.0) - sse / sst, 6).alias("test_r2"),
+        F.round(F.sqrt(F.col("sse_raw") / fn_), 6).alias("test_rmse"),
+        F.round(F.lit(1.0) - F.col("sse_raw") / F.col("sst_raw"), 6).alias(
+            "test_r2"
+        ),
     ).orderBy("fold", "lam")
+
+
+def cv_lambda_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularization-strength SELECTION on top of the one-pass CV —
+    the decision rung that closes the cv_ridge loop the way the
+    blocking-audit threshold sweep closes the blocker choice: per λ,
+    the pooled cross-validated RMSE (sum of the K held-out SSEs over
+    the total row count), with the winner flagged.
+
+    Determinism: the only cross-fold float reduction — Σ_folds sse —
+    is PIVOTED into a fixed left-associated K-term expression per λ
+    (the kruskal_wallis device), so the double addition order is
+    engine-identical; fold sizes sum as exact integers; the winner is
+    an integer-exact (rmse, λ) struct argmin with smallest-λ
+    tie-break.
+
+    Scale: identical single fact-table pass as cv_ridge (the shared
+    moment aggregate); everything after is a K·|λ|-row frame."""
+    ml = _cv_fold_frame(spark, sf_dir)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = lambda f: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("fold") == f, F.col("sse_raw"))), F.lit(0.0)
+    )
+    nterm = lambda f: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("fold") == f, F.col("f_n").cast("bigint"))),
+        F.lit(0).cast("bigint"),
+    )
+    tot_sse = term(0)
+    tot_n = nterm(0)
+    for f in range(1, CV_FOLDS):
+        tot_sse = tot_sse + term(f)
+        tot_n = tot_n + nterm(f)
+    per_lam = ml.groupBy("lam").agg(
+        tot_sse.alias("sse"), tot_n.alias("n")
+    )
+    rmse = F.sqrt(F.col("sse") / d("n"))
+    scored = per_lam.select(
+        "lam", "n", F.round(rmse, 6).alias("cv_rmse"), rmse.alias("raw")
+    )
+    best = scored.agg(
+        F.min(F.struct(F.col("raw").alias("r"), F.col("lam").alias("l"))).alias(
+            "b"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "lam",
+            F.col("n").alias("n_rows"),
+            "cv_rmse",
+            (F.col("lam") == F.col("b.l")).alias("selected"),
+        )
+        .orderBy("lam")
+    )
 
 
 def _cv_ridge_sql() -> str:
@@ -11401,6 +11474,37 @@ SELECT fold, lam, CAST(f_n AS BIGINT) AS n_test,
        round(sqrt(sse / CAST(f_n AS DOUBLE)), 6) AS test_rmse,
        round(1.0 - sse / sst, 6) AS test_r2
 FROM ev ORDER BY fold, lam
+"""
+
+
+def _cv_lambda_sql() -> str:
+    """cv_lambda_select oracle: the SAME CTE chain as _cv_ridge_sql up
+    to ``ev``, then the fixed-order fold pivot and the struct argmin."""
+    ridge = _cv_ridge_sql()
+    core = ridge[: ridge.index("SELECT fold, lam, CAST(f_n AS BIGINT)")]
+    sse_terms = " + ".join(
+        f"coalesce(max(CASE WHEN fold = {f} THEN sse END), 0.0)"
+        for f in range(CV_FOLDS)
+    )
+    n_terms = " + ".join(
+        f"coalesce(max(CASE WHEN fold = {f} THEN CAST(f_n AS BIGINT) END),"
+        f" CAST(0 AS BIGINT))"
+        for f in range(CV_FOLDS)
+    )
+    core = core.rstrip()
+    assert core.endswith("FROM co)")
+    return f"""{core},
+per_lam AS (
+  SELECT lam, {sse_terms} AS sse, {n_terms} AS n
+  FROM ev GROUP BY lam),
+scored AS (
+  SELECT lam, n, round(sqrt(sse / CAST(n AS DOUBLE)), 6) AS cv_rmse,
+         sqrt(sse / CAST(n AS DOUBLE)) AS raw
+  FROM per_lam),
+best AS (
+  SELECT min(struct_pack(r := raw, l := lam)) AS b FROM scored)
+SELECT lam, n AS n_rows, cv_rmse, lam = b.l AS selected
+FROM scored, best ORDER BY lam
 """
 
 
@@ -12654,6 +12758,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_scc_minlabel", scc_minlabel, _scc_sql()),
     ("rel_als_rank1", als_rank1, _als_sql()),
     ("rel_soundex_blocking", soundex_blocking, _soundex_blocking_sql()),
+    ("rel_cv_lambda_select", cv_lambda_select, _cv_lambda_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

@@ -867,3 +867,6 @@ def test_roc_family_empty_orders(spark, tmp_path):
     )
     sx = relational.soundex_blocking(spark, sf)
     assert sx.count() == 0 and {"sdx", "n_words"} <= set(sx.columns)
+
+    ls = relational.cv_lambda_select(spark, sf)
+    assert ls.count() == 0 and {"cv_rmse", "selected"} <= set(ls.columns)

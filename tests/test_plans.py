@@ -2467,6 +2467,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.scc_minlabel,
         relational.als_rank1,
         relational.soundex_blocking,
+        relational.cv_lambda_select,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -3205,3 +3206,37 @@ def test_soundex_textbook_and_vocab_replay(spark):
     # ordering contract: bucket sizes non-increasing
     sizes = [r.n_words for r in out]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_cv_lambda_select_picks_pooled_argmin(spark):
+    """The λ decision table vs a direct recomputation from cv_ridge's
+    own per-fold frame: pooled RMSE per λ must equal
+    sqrt(Σ_folds sse / Σ_folds n) on the same raw values, exactly one
+    λ is selected, and it is the pooled argmin (smallest λ on ties)."""
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        CV_FOLDS,
+        RIDGE_LAMBDAS,
+        _cv_fold_frame,
+        cv_lambda_select,
+    )
+
+    raw = _cv_fold_frame(spark, SF).collect()
+    agg = {}
+    for lam in RIDGE_LAMBDAS:
+        sse = 0.0
+        n = 0
+        for f in range(CV_FOLDS):
+            row = next(
+                r for r in raw if r.fold == f and r.lam == lam
+            )
+            sse += row.sse_raw
+            n += int(row.f_n)
+        agg[lam] = (n, (sse / n) ** 0.5)
+    got = cv_lambda_select(spark, SF).collect()
+    assert [r.lam for r in got] == sorted(RIDGE_LAMBDAS)
+    for r in got:
+        n, rmse = agg[r.lam]
+        assert r.n_rows == n
+        assert r.cv_rmse == round(rmse, 6)
+    sel = [r.lam for r in got if r.selected]
+    assert sel == [min(RIDGE_LAMBDAS, key=lambda l: (agg[l][1], l))]
