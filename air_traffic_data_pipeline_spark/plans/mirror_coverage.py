@@ -393,6 +393,7 @@ EXCLUDED: dict[str, tuple[str, str]] = {
     "rel_als_rank1": (PC, "stream_incremental_two_hop_recs"),
     "rel_soundex_blocking": (SM, "phonetic-key expression + count top-k"),
     "rel_cv_lambda_select": (AE, "lambda decision table over the CV frame"),
+    "rel_hmm_viterbi": (EK, "stream_incremental_seasonal"),
     "rel_cv_ridge": (PC, "stream_incremental_ols"),
     "rel_logistic_irls": (PC, "stream_incremental_naive_bayes"),
     "rel_boosted_stumps": (PC, "stream_incremental_naive_bayes"),

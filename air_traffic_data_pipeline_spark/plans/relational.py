@@ -12613,6 +12613,137 @@ FROM c GROUP BY sdx ORDER BY n_words DESC, sdx LIMIT {SDX_TOP}
 """
 
 
+# --- HMM Viterbi scoring (round 13) -----------------------------------------
+
+import math as _math
+
+HMM_OBS_HI = 100.0  # observation split: event value >= this is "high"
+# 2-state HMM with FIXED log-domain parameters (state 1 = low-activity,
+# sticky; state 2 = high-activity): the parameters are part of the
+# query's contract, the fixed-iteration-count convention.
+_HMM = {
+    "pi1": _math.log(0.5),
+    "pi2": _math.log(0.5),
+    "a11": _math.log(0.8),
+    "a12": _math.log(0.2),
+    "a21": _math.log(0.3),
+    "a22": _math.log(0.7),
+    "e10": _math.log(0.8),  # state 1 emits low with p=0.8
+    "e11": _math.log(0.2),
+    "e20": _math.log(0.3),  # state 2 emits high with p=0.7
+    "e21": _math.log(0.7),
+}
+
+
+def hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Viterbi scoring under a fixed 2-state HMM (Viterbi 1967;
+    Rabiner 1989 tutorial recursion) over the binarized event-value
+    sequence — the latent-SEQUENCE rung of the model family next to
+    rel_markov_stationary (which estimates a visible chain; this scores
+    a hidden one): delta'_s = max_r(delta_r + ln a_rs) + ln e_s(o),
+    folded left-to-right over each user's (ts, event_id)-ordered
+    observations, reporting the max-path log-probability and the MAP
+    final state (tie to state 1).
+
+    Determinism: the recursion is the Holt ordered-fold device — both
+    engines fold the IDENTICAL double expressions in the identical
+    (epoch, event_id) order, all constants rendered through dlit; the
+    DuckDB side carries the 2-value delta as a LIST (the documented
+    DuckDB 1.0.0 struct-accumulator workaround) and the obs stream is
+    pre-lifted to state-shaped [obs, 0.0] pairs so list_prepend's init
+    stays type-homogeneous.
+
+    Scale: one groupBy(user) with a per-user sort of THAT USER's events
+    (collect_list + sort_array — bounded by per-user activity, never a
+    global sort); the fold is executor-local."""
+    p = {k: F.lit(v) for k, v in _HMM.items()}
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ob = (F.col("value") >= F.lit(HMM_OBS_HI)).cast("int")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        # load() canonicalizes events.ts to epoch-ns int64
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        ob.alias("o"),
+                    )
+                )
+            ),
+            lambda e: e["o"],
+        ).alias("ys"),
+    )
+    el = F.element_at
+    o1 = el(F.col("ys"), 1)
+    e1 = lambda o: F.when(o == 1, p["e11"]).otherwise(p["e10"])  # noqa: E731
+    e2 = lambda o: F.when(o == 1, p["e21"]).otherwise(p["e20"])  # noqa: E731
+    init = F.array(p["pi1"] + e1(o1), p["pi2"] + e2(o1))
+    xs = F.transform(
+        F.slice(F.col("ys"), 2, F.size(F.col("ys")) - 1),
+        lambda o: F.array(o.cast("double"), F.lit(0.0)),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        o = el(x, 1)
+        em1 = F.when(o == F.lit(1.0), p["e11"]).otherwise(p["e10"])
+        em2 = F.when(o == F.lit(1.0), p["e21"]).otherwise(p["e20"])
+        return F.array(
+            F.greatest(el(acc, 1) + p["a11"], el(acc, 2) + p["a21"]) + em1,
+            F.greatest(el(acc, 1) + p["a12"], el(acc, 2) + p["a22"]) + em2,
+        )
+
+    d = F.aggregate(xs, init, step)
+    return (
+        g.select("user_id", "n_events", d.alias("d"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.greatest(el(F.col("d"), 1), el(F.col("d"), 2)), 6).alias(
+                "viterbi_logprob"
+            ),
+            F.when(el(F.col("d"), 1) >= el(F.col("d"), 2), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("map_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _hmm_sql() -> str:
+    c = {k: dlit(v) for k, v in _HMM.items()}
+    e1 = lambda o: f"(CASE WHEN {o} = 1 THEN {c['e11']} ELSE {c['e10']} END)"  # noqa: E731,E501
+    e2 = lambda o: f"(CASE WHEN {o} = 1 THEN {c['e21']} ELSE {c['e20']} END)"  # noqa: E731,E501
+    em1 = f"(CASE WHEN x[1] = CAST(1.0 AS DOUBLE) THEN {c['e11']} ELSE {c['e10']} END)"
+    em2 = f"(CASE WHEN x[1] = CAST(1.0 AS DOUBLE) THEN {c['e21']} ELSE {c['e20']} END)"
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list(CASE WHEN value >= {dlit(HMM_OBS_HI)} THEN 1 ELSE 0 END
+              ORDER BY epoch_ns(ts), event_id) AS ys
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+fit AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           list_prepend(
+             [{c['pi1']} + {e1('ys[1]')}, {c['pi2']} + {e2('ys[1]')}],
+             list_transform(ys[2:], o -> [CAST(o AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE)])),
+           (acc, x) -> [
+             greatest(acc[1] + {c['a11']}, acc[2] + {c['a21']}) + {em1},
+             greatest(acc[1] + {c['a12']}, acc[2] + {c['a22']}) + {em2}])
+           AS d
+  FROM seq)
+SELECT user_id, n_events,
+       round(greatest(d[1], d[2]), 6) AS viterbi_logprob,
+       CAST(CASE WHEN d[1] >= d[2] THEN 1 ELSE 2 END AS INTEGER) AS map_state
+FROM fit ORDER BY user_id
+"""
+
+
 _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_stats_moments", stats_moments, STATS_MOMENTS_SQL),
     ("rel_salted_join_agg", salted_join_agg, SALTED_JOIN_SQL),
@@ -12759,6 +12890,7 @@ _SPECS: list[tuple[str, object, str | None]] = [
     ("rel_als_rank1", als_rank1, _als_sql()),
     ("rel_soundex_blocking", soundex_blocking, _soundex_blocking_sql()),
     ("rel_cv_lambda_select", cv_lambda_select, _cv_lambda_sql()),
+    ("rel_hmm_viterbi", hmm_viterbi, _hmm_sql()),
     ("rel_bh_fdr", bh_fdr, _bh_fdr_sql()),
     ("rel_conformal_interval", conformal_interval, CONFORMAL_SQL),
     ("rel_ips_offline_eval", ips_offline_eval, IPS_EVAL_SQL),

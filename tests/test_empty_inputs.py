@@ -870,3 +870,11 @@ def test_roc_family_empty_orders(spark, tmp_path):
 
     ls = relational.cv_lambda_select(spark, sf)
     assert ls.count() == 0 and {"cv_rmse", "selected"} <= set(ls.columns)
+
+    load(spark, SF, "events").filter(F.lit(False)).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    hv = relational.hmm_viterbi(spark, sf)
+    assert hv.count() == 0 and {"viterbi_logprob", "map_state"} <= set(
+        hv.columns
+    )

@@ -2468,6 +2468,7 @@ def test_round13_plans_have_no_cartesian_product(spark):
         relational.als_rank1,
         relational.soundex_blocking,
         relational.cv_lambda_select,
+        relational.hmm_viterbi,
         llm.text_overlap_eval,
         llm.rouge_l_bounded,
         llm.shard_mixing_audit,
@@ -3240,3 +3241,59 @@ def test_cv_lambda_select_picks_pooled_argmin(spark):
         assert r.cv_rmse == round(rmse, 6)
     sel = [r.lam for r in got if r.selected]
     assert sel == [min(RIDGE_LAMBDAS, key=lambda l: (agg[l][1], l))]
+
+
+def test_hmm_viterbi_matches_python_replay(spark):
+    """The folded Viterbi recursion vs a pure-Python dynamic program
+    over the same ordered observation sequences — log-probs and MAP
+    final states pinned per user; plus the DP upper-bound sanity that
+    the Viterbi path never beats the best single-state path by less
+    than it should (viterbi >= best constant-state path log-prob)."""
+    import math
+
+    from air_traffic_data_pipeline_spark.plans.relational import (
+        HMM_OBS_HI,
+        _HMM,
+        hmm_viterbi,
+    )
+    from air_traffic_data_pipeline_spark.plans.tables import load
+
+    ev = (
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id, 1 if r.value >= HMM_OBS_HI else 0))
+    want = {}
+    for u, rows in seqs.items():
+        rows.sort()
+        obs = [o for _, _, o in rows]
+        e1 = lambda o: _HMM["e11"] if o == 1 else _HMM["e10"]  # noqa: E731
+        e2 = lambda o: _HMM["e21"] if o == 1 else _HMM["e20"]  # noqa: E731
+        d1 = _HMM["pi1"] + e1(obs[0])
+        d2 = _HMM["pi2"] + e2(obs[0])
+        for o in obs[1:]:
+            d1, d2 = (
+                max(d1 + _HMM["a11"], d2 + _HMM["a21"]) + e1(o),
+                max(d1 + _HMM["a12"], d2 + _HMM["a22"]) + e2(o),
+            )
+        want[u] = (len(obs), round(max(d1, d2), 6), 1 if d1 >= d2 else 2)
+        # constant-state lower bound
+        c1 = _HMM["pi1"] + e1(obs[0]) + sum(
+            _HMM["a11"] + e1(o) for o in obs[1:]
+        )
+        c2 = _HMM["pi2"] + e2(obs[0]) + sum(
+            _HMM["a22"] + e2(o) for o in obs[1:]
+        )
+        assert max(d1, d2) >= max(c1, c2) - 1e-9
+    got = {
+        r.user_id: (r.n_events, r.viterbi_logprob, r.map_state)
+        for r in hmm_viterbi(spark, SF).collect()
+    }
+    assert got == want
+    assert math.isfinite(min(v[1] for v in got.values()))
