@@ -11549,11 +11549,14 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("z", "yy")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
     )
+    from ..operators.checkpoints import release, tracked_local_checkpoint
+
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
     )
     mi = lambda c: F.round(c * F.lit(IRLS_SCALE)).cast("bigint")  # noqa: E731
     d6 = lambda c: F.col(c).cast("double") / F.lit(1e6)  # noqa: E731
+    beta_ids = None
     for _ in range(IRLS_ROUNDS):
         j = spine.crossJoin(F.broadcast(beta))
         eta = F.col("b0") + F.col("b1") * F.col("z")
@@ -11574,16 +11577,25 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h11"),
         )
         det = d6("h00") * d6("h11") - d6("h01") * d6("h01")
-        beta = stats.crossJoin(F.broadcast(beta)).select(
-            (
-                F.col("b0")
-                + (d6("h11") * d6("g0") - d6("h01") * d6("g1")) / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (d6("h00") * d6("g1") - d6("h01") * d6("g0")) / det
-            ).alias("b1"),
+        # cut the 1-row parameter lineage each round: beta is referenced
+        # TWICE per round (inside the spine join and in the update), so
+        # the unclipped plan re-expands 2^IRLS_ROUNDS times
+        new_beta, new_ids = tracked_local_checkpoint(
+            stats.crossJoin(F.broadcast(beta)).select(
+                (
+                    F.col("b0")
+                    + (d6("h11") * d6("g0") - d6("h01") * d6("g1")) / det
+                ).alias("b0"),
+                (
+                    F.col("b1")
+                    + (d6("h00") * d6("g1") - d6("h01") * d6("g0")) / det
+                ).alias("b1"),
+            ),
+            register=True,
         )
+        if beta_ids is not None:
+            release(spark, beta_ids)
+        beta, beta_ids = new_beta, new_ids
     fin = spine.crossJoin(F.broadcast(beta))
     eta = F.col("b0") + F.col("b1") * F.col("z")
     marg = (F.lit(2.0) * F.col("yy").cast("double") - F.lit(1.0)) * eta
@@ -11735,8 +11747,16 @@ def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fu0")
     )
-    cur = spine.crossJoin(F.broadcast(f0)).select(
-        "z", "m1", "m0", F.col("fu0").alias("fu")
+    from ..operators.checkpoints import release, tracked_local_checkpoint
+
+    # the fitted spine is referenced FOUR times per round (prefix window,
+    # totals, update, mse): cut its lineage each round or the unrolled
+    # plan re-expands ~4^GBM_ROUNDS times (measured 130 scan nodes -> 2)
+    cur, cur_ids = tracked_local_checkpoint(
+        spine.crossJoin(F.broadcast(f0)).select(
+            "z", "m1", "m0", F.col("fu0").alias("fu")
+        ),
+        register=True,
     )
     w = W.orderBy("z").rowsBetween(W.unboundedPreceding, W.currentRow)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
@@ -11774,38 +11794,49 @@ def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         sr = (d("s_t") - d("cs")) / F.lit(1e6)
         nl, nr = d("cm"), d("n_t") - d("cm")
         gain = sl * sl / nl + sr * sr / nr
-        best = g.select(
-            F.max(
-                F.struct(
-                    gain.alias("gain"),
-                    (-F.col("z")).alias("nz"),
-                    (sl / nl).alias("vl"),
-                    (sr / nr).alias("vr"),
-                )
-            ).alias("b")
-        ).select(
-            F.lit(t).alias("round"),
-            (-F.col("b.nz")).alias("theta_cents"),
-            F.col("b.gain").alias("gain_raw"),
-            F.col("b.vl").alias("vl"),
-            F.col("b.vr").alias("vr"),
+        # best must be MATERIALIZED before the old fitted spine is
+        # released below — it is consumed lazily by the output row
+        best, _ = tracked_local_checkpoint(
+            g.select(
+                F.max(
+                    F.struct(
+                        gain.alias("gain"),
+                        (-F.col("z")).alias("nz"),
+                        (sl / nl).alias("vl"),
+                        (sr / nr).alias("vr"),
+                    )
+                ).alias("b")
+            ).select(
+                F.lit(t).alias("round"),
+                (-F.col("b.nz")).alias("theta_cents"),
+                F.col("b.gain").alias("gain_raw"),
+                F.col("b.vl").alias("vl"),
+                F.col("b.vr").alias("vr"),
+            ),
+            register=True,
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            "z",
-            "m1",
-            "m0",
-            F.round(
-                (
-                    d("fu") / F.lit(1e6)
-                    + F.lit(GBM_NU)
-                    * F.when(F.col("z") <= F.col("theta_cents"), F.col("vl"))
-                    .otherwise(F.col("vr"))
+        new_cur, new_ids = tracked_local_checkpoint(
+            cur.crossJoin(F.broadcast(best)).select(
+                "z",
+                "m1",
+                "m0",
+                F.round(
+                    (
+                        d("fu") / F.lit(1e6)
+                        + F.lit(GBM_NU)
+                        * F.when(
+                            F.col("z") <= F.col("theta_cents"), F.col("vl")
+                        ).otherwise(F.col("vr"))
+                    )
+                    * F.lit(1e6)
                 )
-                * F.lit(1e6)
-            )
-            .cast("bigint")
-            .alias("fu"),
+                .cast("bigint")
+                .alias("fu"),
+            ),
+            register=True,
         )
+        release(spark, cur_ids)
+        cur, cur_ids = new_cur, new_ids
         mi_ = lambda c: F.round(c * F.lit(1e6)).cast("bigint")  # noqa: E731
         fv = d("fu") / F.lit(1e6)
         mse = cur.agg(
@@ -11817,13 +11848,20 @@ def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sseu"),
             F.sum(F.col("m1") + F.col("m0")).cast("decimal(38,0)").alias("nn"),
         )
-        row = best.crossJoin(F.broadcast(mse)).select(
-            "round",
-            "theta_cents",
-            F.round(F.col("gain_raw") / d("nn"), 6).alias("gain_per_row"),
-            F.round("vl", 6).alias("left_val"),
-            F.round("vr", 6).alias("right_val"),
-            F.round(d("sseu") / F.lit(1e6) / d("nn"), 6).alias("mse_after"),
+        # the 1-row output is materialized per round so the NEXT round's
+        # release of the superseded fitted spine cannot strand it
+        row, _ = tracked_local_checkpoint(
+            best.crossJoin(F.broadcast(mse)).select(
+                "round",
+                "theta_cents",
+                F.round(F.col("gain_raw") / d("nn"), 6).alias("gain_per_row"),
+                F.round("vl", 6).alias("left_val"),
+                F.round("vr", 6).alias("right_val"),
+                F.round(d("sseu") / F.lit(1e6) / d("nn"), 6).alias(
+                    "mse_after"
+                ),
+            ),
+            register=True,
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
@@ -12109,6 +12147,8 @@ def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     vz = F.greatest(
         dd("q") / dd("n") / F.lit(1e6) - mz * mz, F.lit(EM_VAR_FLOOR)
     )
+    from ..operators.checkpoints import release, tracked_local_checkpoint
+
     params = mom.select(
         F.lit(0.5).alias("w1"),
         (mz - F.lit(0.5) * F.sqrt(vz)).alias("mu1"),
@@ -12116,6 +12156,7 @@ def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mz + F.lit(0.5) * F.sqrt(vz)).alias("mu2"),
         vz.alias("v2"),
     )
+    params_ids = None
     z = F.col("z")
 
     def phi(mu, v):
@@ -12143,17 +12184,26 @@ def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mu1 = dd("a1") / dd("n1")
         mu2 = dd("a2") / dd("n2")
-        params = s.select(
-            (dd("n1") / (dd("n1") + dd("n2"))).alias("w1"),
-            mu1.alias("mu1"),
-            F.greatest(dd("q1") / dd("n1") - mu1 * mu1, F.lit(EM_VAR_FLOOR)).alias(
-                "v1"
+        # cut the 1-row parameter lineage each round (the IRLS device:
+        # params are referenced twice per round, so the unclipped plan
+        # re-expands 2^EM_ROUNDS times)
+        new_params, new_ids = tracked_local_checkpoint(
+            s.select(
+                (dd("n1") / (dd("n1") + dd("n2"))).alias("w1"),
+                mu1.alias("mu1"),
+                F.greatest(
+                    dd("q1") / dd("n1") - mu1 * mu1, F.lit(EM_VAR_FLOOR)
+                ).alias("v1"),
+                mu2.alias("mu2"),
+                F.greatest(
+                    dd("q2") / dd("n2") - mu2 * mu2, F.lit(EM_VAR_FLOOR)
+                ).alias("v2"),
             ),
-            mu2.alias("mu2"),
-            F.greatest(dd("q2") / dd("n2") - mu2 * mu2, F.lit(EM_VAR_FLOOR)).alias(
-                "v2"
-            ),
+            register=True,
         )
+        if params_ids is not None:
+            release(spark, params_ids)
+        params, params_ids = new_params, new_ids
     fin = spine.crossJoin(F.broadcast(params))
     p1 = phi(F.col("mu1"), F.col("v1"))
     p2 = phi(F.col("mu2"), F.col("v2"))
