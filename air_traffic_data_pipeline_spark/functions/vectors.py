@@ -21,7 +21,16 @@ def to_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product of two double arrays."""
+    """Sequential left-fold dot product of two double arrays.
+
+    Measured on Spark 4.1 (r13 optimization round): this higher-order
+    form OUTPERFORMS a fully unrolled ``a[0]*b[0] + a[1]*b[1] + ...``
+    column expression by ~2.5x at 64 dims — the unrolled tree generates
+    thousands of lines of null-checked code per dot, blowing fused
+    whole-stage methods past the JIT/janino limits (never-compiled
+    bytecode, or InternalCompilerException + interpreted fallback), while
+    the HOF evaluates as a tight loop. Keep the HOF; do not unroll.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -372,6 +372,8 @@ def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
             .select("src", "dst", "e_sim")
         )
 
+    from .checkpoints import tracked_local_checkpoint
+
     edges = _sym_cap(fwd)
     # NN-descent refinement (Dong et al.): a neighbor's neighbor is a good
     # neighbor candidate — rescore the two-hop pairs exactly and re-cap.
@@ -379,6 +381,11 @@ def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
     # round: N * M_DEG^2 exact cosines — linear in corpus size.
     vv = v.select("vec_id", "vec", "nv")
     for _ in range(NSW_NND_ROUNDS):
+        # each round consumes `edges` three times (both sides of the
+        # two-hop self-join + the union leg) — materialize the N*M_DEG-row
+        # list once per round so the upstream build (the banded multi-probe
+        # join, the heavy subplan) never re-executes
+        edges, _ = tracked_local_checkpoint(edges, register=True)
         two_hop = (
             edges.alias("a")
             .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))

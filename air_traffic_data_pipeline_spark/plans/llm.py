@@ -654,41 +654,79 @@ def _srp_bucket_counts(d: DataFrame) -> DataFrame:
     )
 
 
+def _srp_sign_table(spark: SparkSession) -> DataFrame:
+    """The SRP_DIM x SRP_BITS hyperplane SIGN TABLE as a broadcastable
+    frame (b, sgn[SRP_BITS]): sgn[p] = 1 - 2·parity(md5(b:p)) — the same
+    deterministic ±1 the per-row definition uses, but evaluated ONCE per
+    (bucket, plane) combination (SRP_DIM·SRP_BITS = 65,536 md5 calls
+    total) instead of once per (doc, bucket, plane) row. ~0.5 MB framed —
+    broadcastable at any corpus scale."""
+    b = F.col("id").cast("int")
+    sgns = F.array(
+        *[
+            (
+                F.lit(1)
+                - F.lit(2)
+                * (_hex4_to_int(F.md5(F.concat_ws(":", b, F.lit(p)))) % 2)
+            ).cast("bigint")
+            for p in range(SRP_BITS)
+        ]
+    )
+    return spark.range(SRP_DIM).select(b.alias("b"), sgns.alias("sgn"))
+
+
+def _srp_doc_stats(per: DataFrame) -> DataFrame:
+    """One row per doc: the SRP_BITS exact integer projections s0..s63
+    plus the squared norm — ONE broadcast join against the sign table and
+    ONE groupBy(doc_id) replace the former |per|·SRP_BITS plane explode
+    (which also cost two more shuffles, keyed (doc_id, p) then (doc_id,
+    band)). s_p = Σ_b c·sgn(b, p) is the identical order-free BIGINT sum,
+    so signatures stay bitwise equal; the squared norm rides the same
+    aggregate so the verify stage shares this subtree (exchange-reused)
+    instead of re-aggregating ``per``."""
+    signs = _srp_sign_table(per.sparkSession)
+    j = per.join(F.broadcast(signs), "b")
+    aggs = [
+        F.sum(F.col("c") * F.col("sgn")[p]).cast("bigint").alias(f"s{p}")
+        for p in range(SRP_BITS)
+    ]
+    aggs.append(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"))
+    return j.groupBy("doc_id").agg(*aggs)
+
+
 def _srp_band_rows(per: DataFrame) -> DataFrame:
     """SRP signature as (doc_id, band, key) rows: each of SRP_BITS
     deterministic +-1 hyperplanes (sign = md5-parity of (bucket, plane))
     projects the exact integer count vector; bit p is sign(s_p); bits
     pack into SRP_BITS/SRP_BAND_BITS band keys. All integer arithmetic —
-    the signature is bitwise reproducible in any engine."""
-    planes = per.select(
-        "doc_id",
-        "b",
-        "c",
-        F.explode(F.sequence(F.lit(0), F.lit(SRP_BITS - 1))).alias("p"),
-    )
-    sgn = (
-        F.lit(1)
-        - F.lit(2)
-        * (_hex4_to_int(F.md5(F.concat_ws(":", F.col("b"), F.col("p")))) % 2)
-    ).cast("bigint")
-    proj = planes.groupBy("doc_id", "p").agg(
-        F.sum(F.col("c") * sgn).cast("bigint").alias("s")
-    )
-    bit = F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-    return (
-        proj.select(
-            "doc_id",
-            F.expr(f"p DIV {SRP_BAND_BITS}").cast("bigint").alias("band"),
-            (
-                bit
-                * F.expr(
-                    f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(p % {SRP_BAND_BITS} AS INT)) AS BIGINT)"
+    the signature is bitwise reproducible in any engine. Band keys are
+    packed from the per-doc projection row (no per-plane shuffle)."""
+    stats = _srp_doc_stats(per)
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    keys = []
+    for band in range(n_bands):
+        k = F.lit(0).cast("bigint")
+        for j in range(SRP_BAND_BITS):
+            p = band * SRP_BAND_BITS + j
+            bit = (
+                F.when(F.col(f"s{p}") >= 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+            k = k + bit * F.lit(1 << j).cast("bigint")
+        keys.append(k)
+    bk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(band).cast("bigint").alias("band"),
+                    keys[band].alias("key"),
                 )
-            ).alias("kb"),
+                for band in range(n_bands)
+            ]
         )
-        .groupBy("doc_id", "band")
-        .agg(F.sum("kb").cast("bigint").alias("key"))
-    )
+    ).alias("bk")
+    return stats.select("doc_id", bk).select("doc_id", "bk.band", "bk.key")
 
 
 def _srp_candidate_pairs(per: DataFrame) -> DataFrame:
@@ -730,9 +768,9 @@ def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     per = _srp_bucket_counts(d)
     cand = _srp_candidate_pairs(per)
-    ssq = per.groupBy("doc_id").agg(
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq")
-    )
+    # squared norms from the same per-doc stats aggregate the band keys
+    # come from — the subtree is exchange-reused, not recomputed
+    ssq = _srp_doc_stats(per).select("doc_id", "ssq")
     pa = per.select(F.col("doc_id").alias("doc_a"), "b", F.col("c").alias("ca"))
     pb = per.select(F.col("doc_id").alias("doc_b"), "b", F.col("c").alias("cb"))
     dots = (
@@ -5121,7 +5159,7 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/similarity.py::nsw_edges / nsw_beam_topk for the scale
     discussion (graph build is the minhash banding shape; search cost is
     query-proportional)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     return nsw_beam_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3)
 
 
@@ -5313,7 +5351,7 @@ def graph_centrality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_integer
     from ..operators.similarity import nsw_edges
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     edges = nsw_edges(emb, EMB_DIM)
     w = F.round(F.col("e_sim") * GCP_W_SCALE).cast("bigint")
     pe = edges.filter(F.col("e_sim") > 0).select("src", "dst", w.alias("w"))
@@ -5432,7 +5470,7 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     converts early flat-graph wandering into cheap coarse hops. Fully
     value-oracled: levels, graphs, beams, and ties are all deterministic.
     See operators/similarity.py::hnsw_beam_topk for the scale posture."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     return hnsw_beam_topk(e, _queries(spark, sf_dir), EMB_DIM, k=3)
 
 
@@ -10203,35 +10241,44 @@ def winnow_fp_from(
     sweep (defaults reproduce the canonical pipeline bitwise)."""
     d = d.select("doc_id", "text")
     w = F.split(F.col("text"), " ")
+    # npos (the last gram position) IS the sequence upper bound — carried
+    # per row from the explode instead of a second max-over-doc window pass
     grams = d.select(
         "doc_id",
         w.alias("__w"),
+        F.greatest(F.size(w) - (k - 1), F.lit(1)).alias("npos"),
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1)))
         ).alias("pos"),
     ).select(
         "doc_id",
         "pos",
+        "npos",
         F.concat_ws(
             " ", *[F.get("__w", F.col("pos") + j - 1) for j in range(k)]
         ).alias("gram"),
     )
-    key = F.concat(
-        F.md5("gram"),
-        F.lpad((F.lit(_WINNOW_POSBASE) - F.col("pos")).cast("string"), 10, "0"),
-        F.col("gram"),
+    # The selection key is DEFINED (and oracle-evaluated) as the string
+    # md5(gram) || lpad(POSBASE - pos, 10, '0') || gram; a struct with the
+    # same three segments orders identically (each segment is fixed-width
+    # or compared only on ties), so min(struct) selects the same site —
+    # without building a per-gram composite string or re-parsing it with
+    # three substrings afterward.
+    key = F.struct(
+        F.md5("gram").alias("h"),
+        (F.lit(_WINNOW_POSBASE) - F.col("pos")).cast("bigint").alias("ip"),
+        F.col("gram").alias("g"),
     )
     frame = (
         W.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(W.currentRow, w_win - 1)
     )
-    per_doc = W.partitionBy("doc_id")
     sel = grams.select(
         "pos",
         "doc_id",
+        "npos",
         F.min(key).over(frame).alias("wkey"),
-        F.max("pos").over(per_doc).alias("npos"),
     ).filter(
         # full windows only: window starts past npos-(W-1) are suffixes of
         # the last full window (docs shorter than W grams keep their one
@@ -10241,11 +10288,9 @@ def winnow_fp_from(
     )
     return sel.select(
         "doc_id",
-        (F.lit(_WINNOW_POSBASE) - F.substring("wkey", 33, 10).cast("bigint")).alias(
-            "fp_pos"
-        ),
-        F.substring("wkey", 1, 32).alias("h"),
-        F.expr("substring(wkey, 43)").alias("gram"),
+        (F.lit(_WINNOW_POSBASE) - F.col("wkey.ip")).alias("fp_pos"),
+        F.col("wkey.h").alias("h"),
+        F.col("wkey.g").alias("gram"),
     ).distinct()
 
 
@@ -12799,7 +12844,14 @@ def pretrain_release_accounting(surv: DataFrame) -> DataFrame:
     per = surv.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_after_gates")
     )
-    tot = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # n_total = Σ of the per-lang counts: the same BIGINT value as a second
+    # surv.agg(count) pass, derived from the lang-sized aggregate instead of
+    # re-evaluating the whole gated survivor subtree for one scalar — at
+    # 100 TB that second pass was a full extra documents scan through all
+    # four gate joins. Locally this trades a parallel branch for two tiny
+    # serial stages (within host noise at sf0.1); at scale it removes a
+    # corpus-sized pass.
+    tot = per.agg(F.sum("n_after_gates").cast("bigint").alias("n_total"))
     rate = F.least(
         F.lit(1.0),
         F.lit(LANG_TEMP_BASE)

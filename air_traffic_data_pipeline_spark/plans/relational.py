@@ -1395,15 +1395,14 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_u32(key: Column) -> Column:
-    """md5-derived u32 in [0, 2^32): two hex4 blocks of the digest — the
-    same strpos arithmetic both engines evaluate bit-identically."""
-    from ..functions.hashes import hex4_to_int
+    """md5-derived u32 in [0, 2^32): the first 8 hex chars of the digest.
 
+    Defined (and oracle-evaluated) as two hex4 strpos blocks
+    (hi * 65536 + lo); the Spark side evaluates the same integer with ONE
+    base-16 parse of the 8-char prefix — bitwise identical, one string op
+    instead of eight."""
     h = F.md5(key.cast("string"))
-    return (
-        hex4_to_int(h, 0).cast("bigint") * F.lit(65536).cast("bigint")
-        + hex4_to_int(h, 4).cast("bigint")
-    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
 
 def _kmv_u32_sql(expr: str) -> str:
@@ -5252,19 +5251,49 @@ def copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+def sym_pair_edges(pr: DataFrame, with_cnt: bool = False) -> DataFrame:
+    """Both directions of a (pa, pb[, cnt]) unordered-pair frame as ONE
+    explode pass — the same edge multiset as the classic two-leg union,
+    but the (possibly expensive) pair derivation is evaluated once instead
+    of once per leg. Returns (src, dst[, w])."""
+    fields = lambda a, b: (
+        F.struct(
+            F.col(a).alias("src"),
+            F.col(b).alias("dst"),
+            *( [F.col("cnt").alias("w")] if with_cnt else [] ),
+        )
+    )
+    both = F.explode(F.array(fields("pa", "pb"), fields("pb", "pa"))).alias("e")
+    out = ["e.src", "e.dst"] + (["e.w"] if with_cnt else [])
+    return pr.select(both).select(*out)
+
+
 def shortest_path_from_pairs(pr: DataFrame) -> DataFrame:
     """Weights + symmetrization + source pick + K relaxation rounds over a
     (pa, pb, cnt) pair-count frame — shared with the streaming mirror
     (weights are 1/cnt, so they are only final once all count partials
-    merged; emission recomputes them from exact integers)."""
+    merged; emission recomputes them from exact integers).
+
+    The pair frame is materialized ONCE (tracked localCheckpoint): the
+    edge list, the source pick and bellman_ford's own edge checkpoint all
+    consume it, and without the barrier the (possibly expensive — a fact
+    self-join for the batch query) pair derivation evaluated three times
+    (two union legs + the source distinct; measured as two extra ~1.5 s
+    map stages plus a 10 s distinct stage at sf0.1). Symmetrization is an
+    explode of both directions in one pass instead of a two-leg union —
+    the same edge multiset, derived once."""
+    from ..operators.checkpoints import tracked_local_checkpoint
     from ..operators.graph import bellman_ford
 
+    pr, _ = tracked_local_checkpoint(pr.select("pa", "pb", "cnt"), register=True)
     w = F.round(F.lit(1.0) / F.col("cnt").cast("double"), 6)
-    e = pr.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), w.alias("w")
-    ).unionByName(
-        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), w.alias("w"))
-    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+        )
+    ).alias("e")
+    e = pr.select(both, w.alias("w")).select("e.src", "e.dst", "w")
     srcs = (
         e.select("src")
         .distinct()
@@ -5378,11 +5407,7 @@ def label_propagation_from_pairs(pr: DataFrame) -> DataFrame:
     weights are the corpus-global counts, so they must merge first)."""
     from ..operators.graph import label_propagation
 
-    e = pr.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
-    ).unionByName(
-        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("cnt").alias("w"))
-    )
+    e = sym_pair_edges(pr, with_cnt=True)
     lab = label_propagation(e, LP_ROUNDS)
     return lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
@@ -5461,11 +5486,7 @@ def pagerank_from_pairs(pr: DataFrame) -> DataFrame:
     out-weight sums are corpus-global counts, so partials merge first)."""
     from ..operators.graph import pagerank_integer
 
-    e = pr.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("cnt").alias("w")
-    ).unionByName(
-        pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("cnt").alias("w"))
-    )
+    e = sym_pair_edges(pr, with_cnt=True)
     # check_sinks=False: e is the explicit union of both edge directions
     # two lines up, so every dst is a src by construction
     out = pagerank_integer(e, PR_ROUNDS, check_sinks=False)
@@ -5572,12 +5593,7 @@ def kcore_from_pairs(pr: DataFrame) -> DataFrame:
     from ..operators.checkpoints import tracked_local_checkpoint
     from ..operators.graph import k_core_survivors
 
-    e, _ = tracked_local_checkpoint(
-        pr.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
-            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        ),
-        register=True,
-    )
+    e, _ = tracked_local_checkpoint(sym_pair_edges(pr), register=True)
     parts = []
     for k in KC_KS:
         prev, fin = k_core_survivors(e, k, KC_ROUNDS, checkpoint_edges=False)
@@ -5690,12 +5706,7 @@ def core_numbers_from_pairs(pr: DataFrame) -> DataFrame:
     from ..operators.checkpoints import tracked_local_checkpoint
     from ..operators.graph import core_numbers
 
-    e, _ = tracked_local_checkpoint(
-        pr.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
-            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        ),
-        register=True,
-    )
+    e, _ = tracked_local_checkpoint(sym_pair_edges(pr), register=True)
     # checkpoint_edges=False: copurchase_pairs emits one row per unordered
     # pair, so the symmetrized union is distinct by construction
     return core_numbers(
@@ -5845,11 +5856,7 @@ def two_hop_from_pairs(pr: DataFrame) -> DataFrame:
     # 2-hop self-join via top, plus the anti-join) — materialize the pair
     # build ONCE instead of re-running the lineitem self-join per reference
     e, _ = tracked_local_checkpoint(
-        pr.select(
-            F.col("pa").alias("src"), F.col("pb").alias("dst"), "cnt"
-        ).unionByName(
-            pr.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "cnt")
-        ),
+        sym_pair_edges(pr, with_cnt=True).withColumnRenamed("w", "cnt"),
         register=True,
     )
     w_edge = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
