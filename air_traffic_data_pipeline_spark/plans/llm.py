@@ -1560,9 +1560,18 @@ def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each strategy's candidate set is the same bounded structure
     its production query builds; truth reuses the recall-complete
     prefix-filter join; the final frame is 6 rows."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
     sh = _shingle_rows(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    truth = prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    # the exact-truth pair set is consumed by every strategy's semi-join
+    # plus two scalar counts; its build (the exact shingle self-join) is
+    # the most expensive subtree here — materialize the few-hundred-row
+    # result once
+    truth, _ = tracked_local_checkpoint(
+        prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b"),
+        register=True,
+    )
     n_docs = sz.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
     bands = _band_rows(_minhash_doc_tbl(spark, sf_dir))
@@ -1593,6 +1602,10 @@ def blocking_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows = None
     for name, cand in strategies:
+        # each candidate set is consumed twice (volume count + truth
+        # semi-join); the sets are pair-sized but their builds are the
+        # production blocker subtrees — materialize each once
+        cand, _ = tracked_local_checkpoint(cand, register=True)
         r = (
             cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
             .crossJoin(
@@ -9791,6 +9804,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
         )
     )
+    # the K*K pairwise-sim frame feeds every greedy step — materialize its
+    # ~K^2 rows once instead of re-deriving the cross join per step
+    ps, _ = tracked_local_checkpoint(ps, register=True)
     pool = cand.select("c_id", "q_sim")
     lam, inv = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
     selected = (
@@ -9803,6 +9819,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for step in range(2, MMR_SELECT + 1):
+        # each step references `selected` twice (anti-join + max-sim), so
+        # without a per-step lineage cut the unrolled plan DOUBLES per
+        # step (2^MMR_SELECT replays of the retrieval leg) — the ladder
+        # materializes <= MMR_SELECT rows per step
+        selected, _ = tracked_local_checkpoint(selected, register=True)
         remaining = pool.join(selected.select("c_id"), "c_id", "left_anti")
         mx = (
             ps.join(selected.select(F.col("c_id").alias("b")), "b")
