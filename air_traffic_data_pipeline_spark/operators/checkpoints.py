@@ -25,10 +25,55 @@ after a teardown.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 # appId -> RDD ids pinned by registered (still-live) checkpoints
 _LIVE: dict[str, set[int]] = {}
+
+# --- cluster posture: reliable checkpoints ---------------------------------
+#
+# ``localCheckpoint`` stores the materialized partitions in executor block
+# managers only: it is NOT fault-tolerant (losing an executor loses the
+# partitions and fails the job — there is no lineage left to recompute
+# them) and it pins executor storage memory/disk. That is the right trade
+# locally and inside a timed bench region, but a 100 TB cluster run with
+# preemptible executors should pay the extra write for a RELIABLE
+# ``checkpoint()`` into a replicated store instead. One switch routes every
+# call-site here:
+#
+#   SPARK_GRAFT_RELIABLE_CHECKPOINT=1   use DataFrame.checkpoint(eager)
+#   SPARK_GRAFT_CHECKPOINT_DIR=<path>   where to write (HDFS/S3/... in
+#                                       production; required the first time
+#                                       unless the context already has one)
+#
+# Reliable checkpoints live as files, not pinned RDDs, so release()/
+# clear_all() have nothing to unpersist for them (the returned id set is
+# empty); file cleanup is Spark's (spark.cleaner.referenceTracking.
+# cleanCheckpoints) or the checkpoint dir's lifecycle policy.
+
+
+def _reliable_requested() -> bool:
+    return os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if sc._jsc.sc().checkpointDir().isEmpty():
+        d = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if not d:
+            raise ValueError(
+                "SPARK_GRAFT_RELIABLE_CHECKPOINT is set but no checkpoint "
+                "dir is configured: set SPARK_GRAFT_CHECKPOINT_DIR (a "
+                "replicated path in production) or call "
+                "sparkContext.setCheckpointDir first"
+            )
+        sc.setCheckpointDir(d)
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
@@ -74,6 +119,12 @@ def tracked_local_checkpoint(
             "could never be tracked or released)"
         )
     spark = df.sparkSession
+    if _reliable_requested():
+        # cluster posture: reliable checkpoint into the configured dir —
+        # fault-tolerant (recomputable from the replicated files after
+        # executor loss), nothing pinned in block managers to release
+        _ensure_checkpoint_dir(spark)
+        return df.checkpoint(eager=eager), set()
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=eager)
     cid = _checkpointed_rdd_id(out)

@@ -358,13 +358,23 @@ def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
     emission-time derivation shared by the one-shot build and the
     streaming ingest mirror (whose per-batch state is exactly ``fwd``)."""
     # symmetrize: cosine is symmetric and rounded identically both ways, so
-    # distinct() collapses a pair kept in both directions
+    # distinct() collapses a pair kept in both directions. Both directions
+    # derive from ONE explode pass over e (same edge multiset as the classic
+    # two-leg union, but the possibly-expensive upstream — the banded
+    # multi-probe build, or the NN-descent rescore — is evaluated once
+    # instead of once per leg; the sym_pair_edges idiom, guide §2.4).
     def _sym_cap(e: DataFrame) -> DataFrame:
-        sym = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "e_sim"
+        both = F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("e_sim")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("e_sim"),
+                ),
             )
-        ).distinct()
+        ).alias("b")
+        sym = e.select(both).select("b.src", "b.dst", "b.e_sim").distinct()
         w_deg = W.partitionBy("src").orderBy(F.col("e_sim").desc(), F.col("dst"))
         return (
             sym.withColumn("rn", F.row_number().over(w_deg))

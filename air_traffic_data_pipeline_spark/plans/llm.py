@@ -694,14 +694,19 @@ def _srp_doc_stats(per: DataFrame) -> DataFrame:
     return j.groupBy("doc_id").agg(*aggs)
 
 
-def _srp_band_rows(per: DataFrame) -> DataFrame:
+def _srp_band_rows(per: DataFrame, stats: DataFrame | None = None) -> DataFrame:
     """SRP signature as (doc_id, band, key) rows: each of SRP_BITS
     deterministic +-1 hyperplanes (sign = md5-parity of (bucket, plane))
     projects the exact integer count vector; bit p is sign(s_p); bits
     pack into SRP_BITS/SRP_BAND_BITS band keys. All integer arithmetic —
     the signature is bitwise reproducible in any engine. Band keys are
-    packed from the per-doc projection row (no per-plane shuffle)."""
-    stats = _srp_doc_stats(per)
+    packed from the per-doc projection row (no per-plane shuffle).
+
+    ``stats`` accepts a prebuilt (possibly materialized) ``_srp_doc_stats``
+    frame so a caller that also needs the norms builds the doc-stats
+    aggregate ONCE instead of relying on physical-plan exchange reuse to
+    dedupe two identically-constructed subplans."""
+    stats = _srp_doc_stats(per) if stats is None else stats
     n_bands = SRP_BITS // SRP_BAND_BITS
     keys = []
     for band in range(n_bands):
@@ -729,11 +734,12 @@ def _srp_band_rows(per: DataFrame) -> DataFrame:
     return stats.select("doc_id", bk).select("doc_id", "bk.band", "bk.key")
 
 
-def _srp_candidate_pairs(per: DataFrame) -> DataFrame:
+def _srp_candidate_pairs(per: DataFrame, stats: DataFrame | None = None) -> DataFrame:
     """The SRP CANDIDATE set (doc_a < doc_b): pairs sharing any band key —
     the blocking stage alone, shared by the production near-dup path and
-    the blocking-cost eval."""
-    bands = _srp_band_rows(per)
+    the blocking-cost eval. ``stats`` threads a prebuilt doc-stats frame
+    through to the band derivation (see ``_srp_band_rows``)."""
+    bands = _srp_band_rows(per, stats)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -765,12 +771,23 @@ def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to |docs|·SRP_BITS; candidates are band-bucket equi-joins
     (never all-pairs); verification touches candidate docs' buckets only
     via semi-join-sized joins."""
+    from ..operators.checkpoints import tracked_local_checkpoint
+
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    per = _srp_bucket_counts(d)
-    cand = _srp_candidate_pairs(per)
-    # squared norms from the same per-doc stats aggregate the band keys
-    # come from — the subtree is exchange-reused, not recomputed
-    ssq = _srp_doc_stats(per).select("doc_id", "ssq")
+    # `per` feeds FOUR consumers — the sign-table doc-stats aggregate and
+    # both legs (pa/pb) of the exact-dot verify join — so the token-explode
+    # + groupBy build is materialized ONCE (sparse |docs|·avg-distinct-bucket
+    # rows of three ints; bounded at any corpus scale by |tokens| collapsing
+    # map-side). Without the barrier the verify legs re-ran the tokenize +
+    # count build per consumer (guide §5: materialize reused intermediates).
+    per, _ = tracked_local_checkpoint(_srp_bucket_counts(d), register=True)
+    # doc-stats (the 64 BIGINT projections + ssq) feeds the band keys AND
+    # both ssq legs of the cosine: build it once and materialize the
+    # |docs|-row frame instead of relying on ReuseExchange to match two
+    # separately-constructed identical subplans (ADVICE r13).
+    stats, _ = tracked_local_checkpoint(_srp_doc_stats(per), register=True)
+    cand = _srp_candidate_pairs(per, stats)
+    ssq = stats.select("doc_id", "ssq")
     pa = per.select(F.col("doc_id").alias("doc_a"), "b", F.col("c").alias("ca"))
     pb = per.select(F.col("doc_id").alias("doc_b"), "b", F.col("c").alias("cb"))
     dots = (
@@ -5361,6 +5378,7 @@ def graph_centrality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: graph build linear in corpus (degree-capped); per PageRank
     round one |V|-vs-|E| shuffle join (|E| <= N*M_DEG); the rollup is one
     map-side-combining groupBy(source)."""
+    from ..operators.checkpoints import tracked_local_checkpoint
     from ..operators.graph import pagerank_integer
     from ..operators.similarity import nsw_edges
 
@@ -5368,10 +5386,24 @@ def graph_centrality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = nsw_edges(emb, EMB_DIM)
     w = F.round(F.col("e_sim") * GCP_W_SCALE).cast("bigint")
     pe = edges.filter(F.col("e_sim") > 0).select("src", "dst", w.alias("w"))
-    sym = pe.unionByName(
-        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).distinct()
-    # check_sinks=False: sym is the explicit union of both directions
+    # symmetrize with ONE explode pass over pe instead of a two-leg union
+    # (same edge multiset; the NSW-build subtree appears once in the plan,
+    # not once per leg — the sym_pair_edges idiom), then materialize the
+    # ≤ N·M_DEG·2-row edge list ONCE: pagerank consumes its edge frame
+    # twice (deg aggregate + join) and the whole NSW build (banded
+    # multi-probe join + NN-descent round) sits above it — without the
+    # barrier that build re-executes per consumer (guide §5).
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src"), F.col("dst"), F.col("w")),
+            F.struct(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+            ),
+        )
+    ).alias("e")
+    sym = pe.select(both).select("e.src", "e.dst", "e.w").distinct()
+    sym, _ = tracked_local_checkpoint(sym, register=True)
+    # check_sinks=False: sym is the explicit closure of both directions
     rank = pagerank_integer(sym, GCP_ROUNDS, check_sinks=False)
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "source"
@@ -9818,12 +9850,21 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lam * F.col("q_sim"), 6).alias("mmr_score"),
         )
     )
+    from ..operators.checkpoints import release
+
+    prev_ids: set[int] = set()
     for step in range(2, MMR_SELECT + 1):
         # each step references `selected` twice (anti-join + max-sim), so
         # without a per-step lineage cut the unrolled plan DOUBLES per
         # step (2^MMR_SELECT replays of the retrieval leg) — the ladder
-        # materializes <= MMR_SELECT rows per step
-        selected, _ = tracked_local_checkpoint(selected, register=True)
+        # materializes <= MMR_SELECT rows per step. Each new rung is
+        # self-contained once materialized, so the superseded rung is
+        # released immediately (the fitter-ladder discipline) instead of
+        # pinning MMR_SELECT obsolete frames until teardown.
+        selected, ids = tracked_local_checkpoint(selected, register=True)
+        if prev_ids:
+            release(spark, prev_ids)
+        prev_ids = ids
         remaining = pool.join(selected.select("c_id"), "c_id", "left_anti")
         mx = (
             ps.join(selected.select(F.col("c_id").alias("b")), "b")
@@ -12869,18 +12910,18 @@ def pretrain_release_accounting(surv: DataFrame) -> DataFrame:
     # surv.agg(count) pass, derived from the lang-sized aggregate instead of
     # re-evaluating the whole gated survivor subtree for one scalar — at
     # 100 TB that second pass was a full extra documents scan through all
-    # four gate joins. Locally this trades a parallel branch for two tiny
-    # serial stages (within host noise at sf0.1); at scale it removes a
-    # corpus-sized pass.
-    tot = per.agg(F.sum("n_after_gates").cast("bigint").alias("n_total"))
+    # four gate joins. The sum rides an unpartitioned window over the
+    # lang-sized frame (ONE extra single-partition exchange of ≤|langs|
+    # rows) instead of a separate agg + crossJoin tail, so `per` is
+    # consumed exactly once and no serial two-stage scalar branch remains
+    # (r13 VERDICT item 4).
+    n_total = F.sum("n_after_gates").over(W.partitionBy()).cast("bigint")
     rate = F.least(
         F.lit(1.0),
         F.lit(LANG_TEMP_BASE)
-        * F.sqrt(
-            F.col("n_total").cast("double") / F.col("n_after_gates").cast("double")
-        ),
+        * F.sqrt(n_total.cast("double") / F.col("n_after_gates").cast("double")),
     )
-    rated = per.crossJoin(F.broadcast(tot)).select(
+    rated = per.select(
         "lang", "n_after_gates", F.round(rate, 6).alias("keep_rate")
     )
     hv = _hex4_to_int(

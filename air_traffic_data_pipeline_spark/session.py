@@ -14,13 +14,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _shuffle_partitions() -> str:
+    """Post-shuffle partition count: ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` if
+    set, else the core count. The override exists for callers whose
+    workload shape is known up front (the test suite runs hundreds of
+    tiny-data jobs where per-task scheduling overhead dominates; a cluster
+    deployment would set ~2-3x total cores); the default keeps the
+    bench/driver behaviour unchanged."""
+    return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or (
+        os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    )
+
+
 def get_spark(app_name: str = "air-traffic-engine") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -44,13 +56,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     Only runtime-mutable confs are touched.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         # a foreign (driver-built) session keeps the 200 default: wrong for
         # local mode; AQE coalescing makes this safe to lower at scale too
-        ("spark.sql.shuffle.partitions", cpus),
+        ("spark.sql.shuffle.partitions", _shuffle_partitions()),
     ):
         try:
             spark.conf.set(k, v)

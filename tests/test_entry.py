@@ -114,3 +114,39 @@ def test_fan_out_noop_on_non_file_source(spark):
     """Derived in-memory frames (no input files) pass through untouched."""
     d = spark.range(10).select(F.col("id"))
     assert fan_out(d) is d
+
+
+def test_reliable_checkpoint_switch(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 routes tracked_local_checkpoint to
+    a reliable DataFrame.checkpoint() in SPARK_GRAFT_CHECKPOINT_DIR — the
+    cluster posture (fault-tolerant, recomputable from replicated files):
+    same rows out, NOTHING pinned in block managers (release has nothing to
+    do), checkpoint files written under the configured dir."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
+
+    checkpoints.clear_all(spark)
+    base = _persistent_rdd_count(spark)
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    df = spark.range(32).selectExpr("id", "id * 2 as v")
+    out, ids = checkpoints.tracked_local_checkpoint(df, register=True)
+    assert ids == set()  # nothing to unpersist: the data lives as files
+    assert _persistent_rdd_count(spark) == base
+    assert sorted(r.v for r in out.collect()) == [2 * i for i in range(32)]
+    assert any(tmp_path.iterdir()), "checkpoint files expected in the dir"
+
+
+def test_mmr_ladder_releases_superseded_steps(spark):
+    """The MMR greedy ladder must release each superseded rung as soon as
+    the next one materializes (current + pool + pairwise-sim frames live;
+    obsolete rungs must not pin executor storage until teardown)."""
+    from air_traffic_data_pipeline_spark.operators import checkpoints
+    from air_traffic_data_pipeline_spark.plans import llm
+
+    checkpoints.clear_all(spark)
+    out = llm.mmr_rerank(spark, SF)
+    assert out.count() == llm.MMR_SELECT
+    live = checkpoints._LIVE.get(spark.sparkContext.applicationId, set())
+    # cand + the K^2 pairwise-sim frame + the FINAL ladder rung only
+    assert len(live) == 3, f"expected 3 live checkpoints, got {len(live)}"
+    checkpoints.clear_all(spark)

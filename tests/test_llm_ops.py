@@ -4405,14 +4405,27 @@ def test_exact_dup_clusters_matches_reference(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    # candidate prefilter (EXACT, not approximate): a pair with zero shared
+    # 3-grams has common == 0 < (PF_T_NUM/PF_T_DEN) * union, so only pairs
+    # sharing at least one gram can ever pass — an inverted index generates
+    # exactly those, replacing the O(n^2) all-pairs Python loop that
+    # dominated this test's wall time
+    by_gram: dict[str, list[int]] = {}
+    for d in ids:
+        for g in sets[d]:
+            by_gram.setdefault(g, []).append(d)
+    cand = set()
+    for ds in by_gram.values():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b) if a < b else (b, a))
     members = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            common = len(sets[a] & sets[b])
-            union_sz = len(sets[a]) + len(sets[b]) - common
-            if PF_T_DEN * common >= PF_T_NUM * union_sz:
-                union(a, b)
-                members.update((a, b))
+    for a, b in sorted(cand):
+        common = len(sets[a] & sets[b])
+        union_sz = len(sets[a]) + len(sets[b]) - common
+        if PF_T_DEN * common >= PF_T_NUM * union_sz:
+            union(a, b)
+            members.update((a, b))
     want = sorted((m, find(m)) for m in members)
     got = [tuple(r) for r in exact_dup_clusters(spark, sf).collect()]
     assert got == want and want

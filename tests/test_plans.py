@@ -361,15 +361,38 @@ def test_changed_source_query_jumps_green_tail(monkeypatch):
     assert unchanged and pos < min(unchanged)
 
 
-def test_no_query_returns_unhashable_cells(spark):
+def test_no_query_returns_unhashable_cells(spark, monkeypatch):
     """Driver-gate compatibility: the correctness harness's pandas-based
     canonicalizer cannot hash array/map/struct cells (round-1 failure mode:
     rel_array_funcs2 ERROR 'unhashable type: list'). Every registered query
     must project non-scalar intermediates to scalars (to_json / concat_ws)
-    before returning. Builds every lazy plan and checks the output schema."""
+    before returning. Builds every lazy plan and checks the output schema.
+
+    Checkpoints are stubbed to empty LocalRelations of the same schema: a
+    checkpoint is semantically transparent to the SCHEMA, but eager
+    materialization inside query CONSTRUCTORS (the SRP/graph/fitter/MMR
+    ladders) would execute real jobs — ~5 minutes of suite wall for a
+    schema-only assertion (r13 VERIFY ran out of driver budget on exactly
+    this kind of cost). The stub must still TRUNCATE lineage: a plain
+    pass-through re-expands the unrolled iterative plans exponentially and
+    analysis itself hangs, and a lazy localCheckpoint is no better because
+    AQE materializes every shuffle stage on the .rdd conversion. Schema
+    propagation is data-independent for every registered query (the one
+    pivot uses explicit values), so an empty stand-in yields the identical
+    output schema with zero execution."""
     import pyspark.sql.types as T
 
+    from air_traffic_data_pipeline_spark.operators import checkpoints
     from air_traffic_data_pipeline_spark.plans import registry
+
+    monkeypatch.setattr(
+        checkpoints,
+        "tracked_local_checkpoint",
+        lambda df, eager=True, register=False: (
+            df.sparkSession.createDataFrame([], df.schema),
+            set(),
+        ),
+    )
 
     # eager queries (streaming drains, iterative components) are excluded:
     # building them runs them; their outputs are scalar-only by construction
@@ -381,14 +404,30 @@ def test_no_query_returns_unhashable_cells(spark):
         "llm_curation_pipeline",
         "noise_grid_incremental",
     }
-    offenders = []
-    for name, fn in registry.all_queries().items():
-        if name.startswith("stream_") or name in eager:
-            continue
+    # construction + analysis is driver-side JVM work (py4j releases the
+    # GIL on the socket), so a small thread pool overlaps the ~370
+    # independent Catalyst analyses. Builders are pure plan constructors
+    # (no actions — the stub removed the only eager step); the shared
+    # module caches are plain dicts under the GIL, where a rare concurrent
+    # double-build is benign (idempotent, last write wins).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         df = fn(spark, SF)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+
+    items = [
+        (name, fn)
+        for name, fn in registry.all_queries().items()
+        if not name.startswith("stream_") and name not in eager
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [o for out in pool.map(check, items) for o in out]
     assert not offenders, offenders
 
 

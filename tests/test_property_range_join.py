@@ -34,20 +34,26 @@ def test_range_bin_join_equals_naive(spark, vals, bands, bin_size):
         [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(bands)],
         "bid long, lo double, hi double",
     )
-    got = {
-        (r.fid, r.bid)
-        for r in range_bin_join(
-            facts, band_df, "value", "lo", "hi", bin_size=bin_size
+    binned = (
+        range_bin_join(facts, band_df, "value", "lo", "hi", bin_size=bin_size)
+        .select("fid", "bid")
+        .withColumn("side", F.lit("binned"))
+    )
+    # broadcast the reference side: createDataFrame frames carry unknown
+    # stats, so the non-equi inner join otherwise plans as a 32x32-task
+    # CartesianProduct — ~15 s of scheduling per hypothesis example for
+    # <=25x8 rows (the hint changes the plan, never the membership)
+    naive = (
+        facts.join(
+            F.broadcast(band_df),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
         )
         .select("fid", "bid")
-        .collect()
-    }
-    want = {
-        (r.fid, r.bid)
-        for r in facts.join(
-            band_df, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
-        )
-        .select("fid", "bid")
-        .collect()
-    }
+        .withColumn("side", F.lit("naive"))
+    )
+    # one action for both sides: per-example Spark job latency dominates
+    # this property test, so collect the union once and split in Python
+    rows = binned.unionByName(naive).collect()
+    got = {(r.fid, r.bid) for r in rows if r.side == "binned"}
+    want = {(r.fid, r.bid) for r in rows if r.side == "naive"}
     assert got == want

@@ -12,10 +12,11 @@ bench.py's count-action methodology.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -37,7 +38,7 @@ def main() -> None:
         # warm codegen at sf0.001 once per shape
         _clear_engine_caches(spark)
         spark.sparkContext.setJobDescription(f"warm:{name}")
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        qs[name](spark, os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")).write.format("noop").mode(
             "overwrite"
         ).save()
         samples = []

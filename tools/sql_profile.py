@@ -15,7 +15,7 @@ import os
 import sys
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -43,7 +43,7 @@ def main() -> None:
 
     qs = ent.queries()
     _clear_engine_caches(spark)
-    qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+    qs[name](spark, os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")).write.format("noop").mode(
         "overwrite"
     ).save()
     _clear_engine_caches(spark)
@@ -56,8 +56,14 @@ def main() -> None:
             f"{base}/api/v1/applications/{app}/sql?details=true&planDescription=false&length=200"
         )
     )
-    # the last completed execution is the timed run
-    ex = [s for s in sqls if s.get("status") == "COMPLETED"][-1]
+    # the last completed execution is the timed run; the list can be empty
+    # if the timed run failed or is still marked RUNNING when scraped
+    done = [s for s in sqls if s.get("status") == "COMPLETED"]
+    if not done:
+        statuses = sorted({s.get("status", "?") for s in sqls})
+        print(f"no COMPLETED SQL execution found (statuses seen: {statuses})")
+        return
+    ex = done[-1]
     print(f"duration={ex['duration']}ms nodes={len(ex.get('nodes', []))}")
     rows = []
     for node in ex.get("nodes", []):

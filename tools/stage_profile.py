@@ -17,7 +17,7 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -49,7 +49,7 @@ def main() -> None:
     qs = ent.queries()
     # warm codegen on the small lake
     _clear_engine_caches(spark)
-    qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+    qs[name](spark, os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")).write.format("noop").mode(
         "overwrite"
     ).save()
 
