@@ -235,22 +235,46 @@ def pagerank_integer(
         )
     )
     rank, rank_ids = tracked_local_checkpoint(r0, register=True)
-    for _ in range(rounds):
-        new_rank, new_ids = tracked_local_checkpoint(
-            pr_round(e, rank, damping_pct), register=True
-        )
-        release(spark, rank_ids)
-        rank, rank_ids = new_rank, new_ids
+    # the loop variable is referenced ONCE per round (the contribution
+    # join); the round's second input is the STATIC (node, base) frame —
+    # read off the r0 checkpoint — so the unrolled plan grows LINEARLY and
+    # needs NO per-round checkpoint barrier: all `rounds` rounds pipeline
+    # into one job (the former per-round eager checkpoints cost a driver
+    # sync + materialization each, ~0.3-0.5 s/round of pure serialization
+    # at sf0.1). A lineage cut every 8 rounds bounds plan depth for larger
+    # round counts; r0's checkpoint must stay live (the static frame and
+    # every round read it).
+    nodes_base = rank.select("node", "base")
+    mid_ids: set[int] = set()
+    for i in range(rounds):
+        rank = pr_round(e, rank, damping_pct, nodes_base=nodes_base)
+        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+            rank, ids = tracked_local_checkpoint(rank, register=True)
+            if mid_ids:
+                release(spark, mid_ids)
+            mid_ids = ids
     return rank.select("node", "rank")
 
 
-def pr_round(e: DataFrame, rank: DataFrame, damping_pct: int) -> DataFrame:
+def pr_round(
+    e: DataFrame,
+    rank: DataFrame,
+    damping_pct: int,
+    nodes_base: DataFrame | None = None,
+) -> DataFrame:
     """One integer-PageRank round as a pure plan (exposed so tests can pin
     the physical shape — the loop's checkpoints truncate it out of the
     final frame). NOTE: no broadcast on the rank side — unlike the
     Bellman-Ford frontier, the rank table is |V|-sized; this is the
     classic shuffle join keyed by node (pre-bucket both sides on node in
-    a real deployment)."""
+    a real deployment).
+
+    ``nodes_base`` threads the static (node, base) frame in so the
+    iterative caller references its loop variable ONCE per round (the
+    contribution join) and the unrolled plan grows linearly — the device
+    that makes the loop checkpoint-free; the default derives it from
+    ``rank`` for standalone use (same rows: base is carried unchanged
+    through every round)."""
     contrib = (
         rank.join(e, rank["node"] == e["e_src"])
         .select(
@@ -260,9 +284,9 @@ def pr_round(e: DataFrame, rank: DataFrame, damping_pct: int) -> DataFrame:
         .groupBy("node")
         .agg(F.sum("c").alias("s"))
     )
+    nb = rank.select("node", "base") if nodes_base is None else nodes_base
     return (
-        rank.select("node", "base")
-        .join(contrib, "node", "left")
+        nb.join(contrib, "node", "left")
         .select(
             "node",
             F.expr(

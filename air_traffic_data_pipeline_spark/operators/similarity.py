@@ -260,8 +260,15 @@ def banded_pairs(v: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         *[F.col(e).alias(f"b_{e}") for e in extra],
         "bucket",
     )
-    cand = src.join(dst, "bucket").filter(F.col("a_id") != F.col("b_id"))
-    return cand.select(
+    # the probe relation is SYMMETRIC (bucket(b) == bucket(a) ^ bit ⟺
+    # bucket(a) == bucket(b) ^ bit), so the directed join surfaces every
+    # unordered pair in BOTH orientations and the exact 64-dim cosine —
+    # the dominant CPU of the whole graph build — was computed twice.
+    # Score each unordered pair once (a_id < b_id) and mirror the scored
+    # row into both directions with one explode: identical output multiset
+    # (dot and the rounded cosine are symmetric), half the dots.
+    cand = src.join(dst, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    scored = cand.select(
         "a_id",
         "b_id",
         F.round(
@@ -269,6 +276,28 @@ def banded_pairs(v: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         ).alias("cos_sim"),
         *[f"a_{e}" for e in extra],
         *[f"b_{e}" for e in extra],
+    )
+    fwd = F.struct(
+        F.col("a_id"),
+        F.col("b_id"),
+        F.col("cos_sim"),
+        *[F.col(f"a_{e}") for e in extra],
+        *[F.col(f"b_{e}") for e in extra],
+    )
+    rev = F.struct(
+        F.col("b_id").alias("a_id"),
+        F.col("a_id").alias("b_id"),
+        F.col("cos_sim"),
+        *[F.col(f"b_{e}").alias(f"a_{e}") for e in extra],
+        *[F.col(f"a_{e}").alias(f"b_{e}") for e in extra],
+    )
+    cols = (
+        ["a_id", "b_id", "cos_sim"]
+        + [f"a_{e}" for e in extra]
+        + [f"b_{e}" for e in extra]
+    )
+    return scored.select(F.explode(F.array(fwd, rev)).alias("p")).select(
+        *[F.col(f"p.{c}").alias(c) for c in cols]
     )
 
 
@@ -396,12 +425,20 @@ def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
         # list once per round so the upstream build (the banded multi-probe
         # join, the heavy subplan) never re-executes
         edges, _ = tracked_local_checkpoint(edges, register=True)
+        # the two-hop rescore is compute-dense over TINY shuffle bytes
+        # (N*M_DEG^2 exact 64-dim cosines behind a few-MB shuffle), so
+        # AQE's byte-based coalescing squeezes it onto 2-3 tasks; explicit
+        # REPARTITION_BY_NUM exchanges on the join keys pin the dense
+        # stages at cluster parallelism (scale-adaptive: defaultParallelism,
+        # not a constant; AQE never coalesces user-numbered repartitions)
+        par = edges.sparkSession.sparkContext.defaultParallelism
         two_hop = (
             edges.alias("a")
             .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
             .filter(F.col("a.src") != F.col("b.dst"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
+            .repartition(par, "src")
         )
         rescored = (
             two_hop.join(
@@ -412,6 +449,7 @@ def nsw_finish(fwd: DataFrame, v: DataFrame) -> DataFrame:
                 ),
                 "src",
             )
+            .repartition(par, "dst")
             .join(
                 vv.select(
                     F.col("vec_id").alias("dst"),
