@@ -661,18 +661,20 @@ def _srp_sign_table(spark: SparkSession) -> DataFrame:
     (bucket, plane) combination (SRP_DIM·SRP_BITS = 65,536 md5 calls
     total) instead of once per (doc, bucket, plane) row. ~0.5 MB framed —
     broadcastable at any corpus scale."""
-    b = F.col("id").cast("int")
-    sgns = F.array(
-        *[
-            (
-                F.lit(1)
-                - F.lit(2)
-                * (_hex4_to_int(F.md5(F.concat_ws(":", b, F.lit(p)))) % 2)
-            ).cast("bigint")
-            for p in range(SRP_BITS)
-        ]
+    # one selectExpr parse instead of SRP_BITS nested Column builders: the
+    # per-plane expression tree is identical (same md5/conv/% ops, so the
+    # ±1 values are bitwise unchanged), but constructing it through ~10
+    # py4j round-trips per plane cost ~0.5 s of driver time per query
+    # construction — inside the bench's timed region
+    terms = ",".join(
+        "CAST(1 - 2 * (CAST(conv(substr(md5("
+        f"concat_ws(':', CAST(id AS INT), {p})), 1, 4), 16, 10) AS INT)"
+        " % 2) AS BIGINT)"
+        for p in range(SRP_BITS)
     )
-    return spark.range(SRP_DIM).select(b.alias("b"), sgns.alias("sgn"))
+    return spark.range(SRP_DIM).selectExpr(
+        "CAST(id AS INT) AS b", f"array({terms}) AS sgn"
+    )
 
 
 def _srp_doc_stats(per: DataFrame) -> DataFrame:
@@ -686,11 +688,14 @@ def _srp_doc_stats(per: DataFrame) -> DataFrame:
     instead of re-aggregating ``per``."""
     signs = _srp_sign_table(per.sparkSession)
     j = per.join(F.broadcast(signs), "b")
+    # F.expr strings (one parse each) instead of per-plane Column builders
+    # — the same sum(c * sgn[p]) aggregates, ~2 s less driver-side
+    # construction per query build
     aggs = [
-        F.sum(F.col("c") * F.col("sgn")[p]).cast("bigint").alias(f"s{p}")
+        F.expr(f"CAST(sum(c * sgn[{p}]) AS BIGINT) AS s{p}")
         for p in range(SRP_BITS)
     ]
-    aggs.append(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"))
+    aggs.append(F.expr("CAST(sum(c * c) AS BIGINT) AS ssq"))
     return j.groupBy("doc_id").agg(*aggs)
 
 
@@ -708,30 +713,26 @@ def _srp_band_rows(per: DataFrame, stats: DataFrame | None = None) -> DataFrame:
     dedupe two identically-constructed subplans."""
     stats = _srp_doc_stats(per) if stats is None else stats
     n_bands = SRP_BITS // SRP_BAND_BITS
-    keys = []
-    for band in range(n_bands):
-        k = F.lit(0).cast("bigint")
+    # single-parse SQL text for the bit packing (same CASE/multiply/add
+    # tree per bit — exact integer arithmetic, values unchanged) instead
+    # of SRP_BITS nested Column builders of py4j driver time per build
+    def key_sql(band: int) -> str:
+        terms = []
         for j in range(SRP_BAND_BITS):
             p = band * SRP_BAND_BITS + j
-            bit = (
-                F.when(F.col(f"s{p}") >= 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("bigint")
+            terms.append(
+                f"CAST(CASE WHEN s{p} >= 0 THEN 1 ELSE 0 END AS BIGINT)"
+                f" * CAST({1 << j} AS BIGINT)"
             )
-            k = k + bit * F.lit(1 << j).cast("bigint")
-        keys.append(k)
-    bk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(band).cast("bigint").alias("band"),
-                    keys[band].alias("key"),
-                )
-                for band in range(n_bands)
-            ]
-        )
-    ).alias("bk")
-    return stats.select("doc_id", bk).select("doc_id", "bk.band", "bk.key")
+        return "CAST(0 AS BIGINT) + " + " + ".join(terms)
+
+    structs = ",".join(
+        f"named_struct('band', CAST({band} AS BIGINT), 'key', {key_sql(band)})"
+        for band in range(n_bands)
+    )
+    return stats.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
 
 
 def _srp_candidate_pairs(per: DataFrame, stats: DataFrame | None = None) -> DataFrame:
@@ -790,8 +791,16 @@ def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssq = stats.select("doc_id", "ssq")
     pa = per.select(F.col("doc_id").alias("doc_a"), "b", F.col("c").alias("ca"))
     pb = per.select(F.col("doc_id").alias("doc_b"), "b", F.col("c").alias("cb"))
+    # the exact-dot verify is compute-dense behind ~2 MB shuffles (each
+    # candidate pair expands to its shared-bucket rows), so AQE's
+    # byte-based coalescing ran it on ONE task (measured 2.3 s + 2.0 s
+    # single-task stages at sf0.1); REPARTITION_BY_NUM pins the two join
+    # stages at cluster parallelism — scale-adaptive, never coalesced
+    par = spark.sparkContext.defaultParallelism
     dots = (
-        cand.join(pa, "doc_a")
+        cand.repartition(par, "doc_a")
+        .join(pa, "doc_a")
+        .repartition(par, "doc_b", "b")
         .join(pb, ["doc_b", "b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
@@ -14941,7 +14950,10 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-row broadcast join. The gram key IS its md5 (fixed
     16-byte shuffle width instead of 13-word strings) — measured ~25%
     off the steady-state wall at sf0.1."""
-    d = load(spark, sf_dir, "documents").select("text", "source")
+    # fan_out: the 13-gram explode + md5 runs ~3 s on ONE core when the
+    # documents scan is a single parquet split (measured at sf0.1); no-op
+    # once the scan splits >= cores
+    d = fan_out(load(spark, sf_dir, "documents")).select("text", "source")
     ds = exploded_shingles(d, "text", CROSS_SOURCE_K, "g").select(
         F.md5("g").alias("g"), "source"
     ).distinct()
