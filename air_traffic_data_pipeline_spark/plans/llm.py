@@ -10345,6 +10345,13 @@ def winnow_fp_from(
         .orderBy("pos")
         .rowsBetween(W.currentRow, w_win - 1)
     )
+    # pin the window's doc_id exchange at cluster parallelism: the min-key
+    # scan over every gram window is compute-dense behind a ~16 MB shuffle,
+    # so AQE's byte-based coalescing ran it on ~12 tasks (measured 11.2 s
+    # of runtime there at sf0.1); the explicit REPARTITION_BY_NUM satisfies
+    # the window's clustering requirement, so no exchange is added
+    par = d.sparkSession.sparkContext.defaultParallelism
+    grams = grams.repartition(par, "doc_id")
     sel = grams.select(
         "pos",
         "doc_id",
